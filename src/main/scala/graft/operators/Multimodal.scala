@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata structs alongside. Real codec work (jpeg
+  * decode, audio resample) is NOT available in this environment, so the
+  * decode step is a clearly-marked deterministic stub — but the Spark
+  * side (schema, binary columns, per-frame explode, batch shape) is the
+  * real thing a decode UDF would plug into.
+  */
+object Multimodal {
+
+  /** Attach a binary payload + decoded-metadata stub to each document.
+    * STUB: width/height/frame-count are derived arithmetically from the
+    * payload size; a production build would replace `fakeDecode` with a
+    * vectorized decode over `mapInPandas`-style batches. */
+  def decodeMeta(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary") // stand-in media payload
+    val nBytes = octet_length(col("text"))
+    docs
+      .withColumn("payload", payload)
+      .withColumn("meta", struct(
+        nBytes.as("n_bytes"),
+        (pmod(nBytes, lit(640)) + 1).as("width"),     // fake decode
+        (pmod(nBytes, lit(480)) + 1).as("height"),    // fake decode
+        ceil(nBytes / lit(256.0)).cast("int").as("n_frames")))
+      .select(
+        col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.n_frames").as("n_frames"),
+        ascii(substring(col("text"), 1, 1)).as("first_cp"))
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling: split each payload into fixed-size 256-char frames
+    * via explode — the shape a video frame-sampler or audio chunker
+    * produces (one row per frame, keyed by (doc_id, frame_idx)). */
+  def frameSample(docs: DataFrame, frameSize: Int = 256): DataFrame =
+    docs
+      .withColumn("nf", ceil(length(col("text")) / lit(frameSize.toDouble)).cast("int"))
+      .select(
+        col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("nf") - 1)).as("fi"))
+      .select(
+        col("doc_id"),
+        col("fi").cast("long").as("frame_idx"),
+        least(lit(frameSize), length(col("text")) - col("fi") * frameSize).as("frame_len"),
+        md5(expr(s"substring(text, fi*$frameSize + 1, $frameSize)")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+}

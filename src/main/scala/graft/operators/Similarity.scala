@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the correctness baseline (one scan, a
+  * TakeOrderedAndProject — no shuffle of the vectors themselves);
+  * hyperplane LSH is the scale path: L hash tables of P sign-bits each,
+  * so the query probes L buckets holding ~N/2^P vectors instead of N.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two array<numeric> columns, accumulated
+    * left-to-right in double — codegen'd higher-order functions. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against the embedding of `queryId`.
+    * The single query row is broadcast; result is (vec_id, cosine). */
+  def cosineTopK(emb: DataFrame, queryId: Long = 0L, k: Int = 20): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic ±1 hyperplane component for (table, plane, dim) —
+    * a hash-derived Rademacher entry, so every executor regenerates the
+    * same planes with zero driver-side state to ship. */
+  private def rademacher(t: Int, j: Int, i: Int): Double = {
+    val x = (t * 1000003L + j * 8191L + i * 131L + 0x9e3779b97f4a7c15L) * 2654435761L
+    if (((x >>> 13) & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Bucket ids (one per table) for an embedding column: P sign-bits of
+    * hyperplane dot products packed into an int. */
+  private def buckets(emb: Column, dim: Int, tables: Int, planes: Int): Column = {
+    val perTable = (0 until tables).map { t =>
+      val bits = (0 until planes).map { j =>
+        val plane = array((0 until dim).map(i => lit(rademacher(t, j, i))): _*)
+        when(dot(emb, plane) > 0.0, lit(1 << j)).otherwise(lit(0))
+      }
+      bits.reduce(_ + _)
+    }
+    array(perTable: _*)
+  }
+
+  /** LSH-bucketed approximate nearest neighbors for `queryId`: probe the
+    * query's bucket in each of `tables` hash tables, union candidates,
+    * rank by exact cosine. Recall grows with `tables`, candidate count
+    * shrinks with `planes`. */
+  def annLsh(emb: DataFrame, queryId: Long = 0L, k: Int = 10, dim: Int = 64,
+             tables: Int = 4, planes: Int = 6): DataFrame = {
+    val banded = emb
+      .withColumn("bks", buckets(col("embedding"), dim, tables, planes))
+      .select(col("vec_id"), col("embedding"), posexplode(col("bks")).as(Seq("t", "bucket")))
+    val qb = banded.filter(col("vec_id") === queryId)
+      .select(col("t").as("qt"), col("bucket").as("qbucket"), col("embedding").as("q_emb"))
+    banded
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(qb), col("t") === col("qt") && col("bucket") === col("qbucket"))
+      .select(col("vec_id"), col("embedding"), col("q_emb"))
+      .distinct()
+      .select(
+        col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.rolling_hash
+
+/** Text-analysis operators: language id, quality scoring, token
+  * counting, fingerprinting. Everything is `functions._` string/regex
+  * arithmetic — codegen'd, whole-stage-fusable, no UDFs — so a 100 TB
+  * pass is a single pruned-column scan.
+  */
+object TextOps {
+
+  /** Occurrences of `sub` in `text` via the length-delta trick (portable
+    * to the DuckDB oracle verbatim). */
+  def occ(text: Column, sub: String): Column =
+    ((length(text) - length(replace(text, lit(sub), lit("")))) / lit(sub.length)).cast("int")
+
+  private def padded: Column = concat(lit(" "), col("text"), lit(" "))
+
+  /** Stopword-profile language heuristic: per-language marker-word hit
+    * counts, argmax with a fixed priority tie-break. */
+  def langId(docs: DataFrame): DataFrame = {
+    val en = (occ(padded, " the ") + occ(padded, " a ")).as("en_hits")
+    val es = (occ(padded, " el ") + occ(padded, " la ")).as("es_hits")
+    val de = (occ(padded, " der ") + occ(padded, " und ")).as("de_hits")
+    val fr = (occ(padded, " le ") + occ(padded, " et ")).as("fr_hits")
+    docs
+      .select(col("doc_id"), en, es, de, fr)
+      .withColumn(
+        "pred_lang",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("fr_hits"), "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality metrics: word count, punctuation count, stopword ratio,
+    * average word length. */
+  def quality(docs: DataFrame): DataFrame = {
+    val nWords = size(split(col("text"), " ")).as("n_words")
+    val nSpaces = length(col("text")) - length(replace(col("text"), lit(" "), lit("")))
+    docs
+      .select(
+        col("doc_id"),
+        nWords,
+        (occ(col("text"), ".") + occ(col("text"), ",") + occ(col("text"), "!")).as("n_punct"),
+        round(occ(padded, " the ") / size(split(col("text"), " ")), 6).as("stop_ratio"),
+        round((length(col("text")) - nSpaces) / size(split(col("text"), " ")), 6).as("avg_wlen"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counts: whitespace tokens, BPE-ish regex tokens (letter runs,
+    * digit runs, single other symbols), distinct whitespace tokens. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("re_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("distinct_tokens"))
+      .orderBy("doc_id")
+
+  /** Content fingerprint: md5 of the lowercased text (oracle-checkable). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp_md5"))
+      .orderBy("doc_id")
+
+  /** 64-bit polynomial rolling-hash fingerprint via the custom Catalyst
+    * expression [[graft.functions.RollingHash]] (codegen'd). */
+  def rollhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), rolling_hash(lower(col("text"))).as("fp64"))
+      .orderBy("doc_id")
+}

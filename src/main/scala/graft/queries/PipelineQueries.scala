@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.tables.Tables._
+
+/** Training-data pipeline operators (SURVEY §2c) wired to the driver
+  * contract. MinHash/SimHash/LSH internals are not SQL-expressible, so
+  * those entries are rows-only (no oracle) and carry ScalaTest
+  * invariants instead.
+  */
+object PipelineQueries {
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => Dedup.exact(documents(s, d))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d))),
+    "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d))),
+    "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(embeddings(s, d))),
+    "text_langid" -> ((s, d) => TextOps.langId(documents(s, d))),
+    "text_quality" -> ((s, d) => TextOps.quality(documents(s, d))),
+    "text_tokens" -> ((s, d) => TextOps.tokens(documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(documents(s, d))),
+    "text_rollhash" -> ((s, d) => TextOps.rollhash(documents(s, d))),
+    "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
+    "mm_framesample" -> ((s, d) => Multimodal.frameSample(documents(s, d))),
+  )
+
+  /** Portable spelling of TextOps.occ for the DuckDB side. */
+  private def occSql(text: String, sub: String): String =
+    s"CAST((length($text) - length(replace($text, '$sub', ''))) / ${sub.length} AS INT)"
+
+  private val pt = "' ' || text || ' '"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, sha256(text) AS h
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "sim_cosine_topk" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+    "text_langid" -> {
+      val en = s"${occSql(pt, " the ")} + ${occSql(pt, " a ")}"
+      val es = s"${occSql(pt, " el ")} + ${occSql(pt, " la ")}"
+      val de = s"${occSql(pt, " der ")} + ${occSql(pt, " und ")}"
+      val fr = s"${occSql(pt, " le ")} + ${occSql(pt, " et ")}"
+      s"""WITH h AS (
+         |  SELECT doc_id, $en AS en_hits, $es AS es_hits,
+         |         $de AS de_hits, $fr AS fr_hits
+         |  FROM documents)
+         |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+         |       WHEN de_hits >= fr_hits THEN 'de'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' ')) AS n_words,
+         |  ${occSql("text", ".")} + ${occSql("text", ",")} + ${occSql("text", "!")} AS n_punct,
+         |  round(${occSql(pt, " the ")} / len(string_split(text, ' ')), 6) AS stop_ratio,
+         |  round((length(text) - (length(text) - length(replace(text, ' ', ''))))
+         |        / len(string_split(text, ' ')), 6) AS avg_wlen
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS INT) AS n_bytes,
+        |  CAST(strlen(text) % 640 + 1 AS INT) AS width,
+        |  CAST(strlen(text) % 480 + 1 AS INT) AS height,
+        |  CAST(ceil(strlen(text) / 256.0) AS INT) AS n_frames,
+        |  ascii(substr(text, 1, 1)) AS first_cp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_framesample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(ceil(length(text) / 256.0) AS INT) - 1)) AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(least(256, length(text) - i * 256) AS INT) AS frame_len,
+        |  md5(substr(text, CAST(i * 256 + 1 AS INT), 256)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

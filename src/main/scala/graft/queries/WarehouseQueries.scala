@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables._
+import Det._
+
+/** Warehouse analytics (SURVEY §2b): the "Spark SQL warehouse" north-star
+  * capabilities — wide aggregates, join+agg+top-k, hierarchical rollup,
+  * event-time windows, sessionization, as-of join, skew-resistant agg.
+  */
+object WarehouseQueries {
+
+  /** TPC-H Q1-shaped wide aggregate: one pass, partial aggregation,
+    * whole-stage codegen end to end. */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = discPrice * (lit(1.0) + col("l_tax"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(discPrice).as("sum_disc_price"),
+        dsum(charge).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-shaped: selective dim filter broadcast into a fact-fact
+    * join, aggregate, top-k. The only shuffle is on the fact join key. */
+  def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = orders(s, d).filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = lineitem(s, d).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Hierarchical totals region→nation via ROLLUP — grouping-sets in one
+    * shuffle instead of three separate aggregates. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_bal"))
+      .orderBy(col("region").asc_nulls_first, col("nation").asc_nulls_first)
+
+  /** Event-time tumbling window aggregate — the batch shape of the
+    * Structured Streaming job in graft.streaming. */
+  def timeWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(
+        col("window.start").cast("long").as("wstart"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("wstart", "event_type")
+
+  /** Sessionization by inactivity gap (30 min): lag → new-session flag →
+    * running sum as session id → per-session aggregate. One shuffle on
+    * user_id; windows and the final groupBy share the partitioning. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapped = events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn(
+        "new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1)
+          .otherwise(0))
+      .withColumn("sess", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped
+      .groupBy("user_id", "sess")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).cast("long").as("sess_start"),
+        max(col("ts")).cast("long").as("sess_end"))
+      .orderBy("user_id", "sess")
+  }
+
+  /** As-of join: for every `error` event, the most recent `signup` by
+    * the same user at ts <= error ts. Implemented as the union+window
+    * trick: tag both sides, one shuffle on user_id, carry the last
+    * non-null signup ts forward — no row replication, no range cross
+    * product, scales linearly in events. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("event_type").isin("error", "signup"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    // at equal ts the signup sorts first so `<=` semantics hold
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), when(col("event_type") === "signup", 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("signup_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(
+        col("event_id"), col("user_id"),
+        col("ts").cast("long").as("ts_s"),
+        col("signup_ts").cast("long").as("signup_ts_s"))
+      .orderBy("event_id")
+  }
+
+  /** Skew-resistant aggregation: two-phase salted aggregate over a
+    * low-cardinality (hence skewed) key. Phase 1 fans each hot key over
+    * 16 salts; phase 2 combines the 16 partials — the second shuffle
+    * moves key-cardinality × 16 rows, not data-sized rows. */
+  def skewAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 6))).as("ps"))
+      .groupBy("event_type")
+      .agg(sum("pn").as("n_events"), sum("ps").cast("double").as("total"))
+      .orderBy("event_type")
+
+  /** Batch-parity query for the streaming windowed-count job
+    * (graft.streaming.StreamJobs) — same window spec, counts only. */
+  def streamWindowCounts(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("wstart"), col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg _,
+    "q3_join_agg" -> q3JoinAgg _,
+    "q_rollup" -> rollupAgg _,
+    "q_time_window" -> timeWindow _,
+    "q_sessionize" -> sessionize _,
+    "q_asof_join" -> asofJoin _,
+    "q_skew_agg" -> skewAgg _,
+    "stream_window_counts" -> streamWindowCounts _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${dsumSql("l_quantity")} / count(*) AS avg_qty,
+         |  ${dsumSql("l_extendedprice")} / count(*) AS avg_price,
+         |  ${dsumSql("l_discount")} / count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_agg" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT r_name AS region, n_name AS nation, count(*) AS n_suppliers,
+         |  ${dsumSql("s_acctbal")} AS total_bal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST""".stripMargin,
+    "q_time_window" ->
+      s"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart,
+         |  event_type, count(*) AS n, ${dsumSql("value")} AS total
+         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        |  FROM flagged)
+        |SELECT user_id, sess, count(*) AS n_events,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS sess_end
+        |FROM numbered GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+        |  CAST(floor(epoch(s.ts)) AS BIGINT) AS signup_ts_s
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "q_skew_agg" ->
+      s"""SELECT event_type, count(*) AS n_events, ${dsumSql("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_window_counts" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionColumnNode}
+import org.apache.spark.sql.Column
+
+/** Bridge between user-space Catalyst `Expression`s and `Column`s.
+  *
+  * Spark 4 made the Column↔Expression conversions `private[sql]`
+  * (columnNodeSupport.scala in the Spark source); third-party engines
+  * extend Spark by hosting a small shim inside the `org.apache.spark.sql`
+  * namespace — the same pattern Spark-native libraries use publicly.
+  * Only these two conversions live here; all graft logic stays in the
+  * `graft` package.
+  */
+object ExprBridge {
+  def toColumn(e: Expression): Column = new Column(ExpressionColumnNode(e))
+  def toExpression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+}

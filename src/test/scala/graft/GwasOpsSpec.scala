@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gwas.GwasOps
+
+class GwasOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mafCalc matches the reference formula (het + 2*hom1) / (2*total)") {
+    val d = Seq(("10/20/70", 0.2), ("0/0/100", 0.0), ("100/0/0", 1.0))
+      .toDF("geno", "expected")
+    val bad = d.withColumn("maf", GwasOps.mafCalc(col("geno")))
+      .filter(col("maf") =!= col("expected")).count()
+    assert(bad == 0)
+  }
+
+  test("kgp id round-trips through allele extraction") {
+    val d = Seq((1, 10505, "A", "T"), (22, 999, "CAG", "G"))
+      .toDF("chr", "pos", "ref", "alt")
+      .withColumn("kgp", GwasOps.kgpId(col("chr"), col("pos"), col("ref"), col("alt")))
+    val bad = d.filter(
+      GwasOps.refFromKgp(col("kgp")) =!= col("ref") ||
+        GwasOps.altFromKgp(col("kgp")) =!= col("alt")).count()
+    assert(bad == 0)
+  }
+
+  test("stripIdSuffix removes ,NNN composites like the reference load") {
+    val d = Seq(("1:10505_A_T,123", "1:10505_A_T"), ("2:5_G_C", "2:5_G_C"))
+      .toDF("in", "expected")
+    val bad = d.filter(GwasOps.stripIdSuffix(col("in")) =!= col("expected")).count()
+    assert(bad == 0)
+  }
+
+  test("pivotHwe widens ALL/AFF/UNAFF rows into one row per marker") {
+    val long = Seq(
+      (22, "rs1", "A", "T", "ALL", "10/20/70", 0.5),
+      (22, "rs1", "A", "T", "AFF", "5/10/35", 0.4),
+      (22, "rs1", "A", "T", "UNAFF", "5/10/35", 0.6)
+    ).toDF("chr", "snp", "a1", "a2", "test", "geno", "p")
+    val wide = GwasOps.pivotHwe(long)
+    assert(wide.count() == 1)
+    val r = wide.head()
+    assert(r.getAs[String]("ALL_geno") == "10/20/70")
+    assert(r.getAs[Double]("AFF_hwe_p") == 0.4)
+    assert(math.abs(r.getAs[Double]("UNAFF_maf") - 0.2) < 1e-12)
+  }
+
+  test("qcSplit partitions rows on info score and maf thresholds") {
+    val g = Seq(
+      ("m1", 1, 0.9, 0.3),   // keeps
+      ("m2", 1, 0.1, 0.3),   // low info
+      ("m3", 1, 0.9, 1e-6)   // low maf
+    ).toDF("kgp_id", "study_id", "impute_score", "maf_all")
+    val (kept, removed) = GwasOps.qcSplit(g)
+    assert(kept.count() == 1)
+    assert(removed.select("kgp_id").as[String].collect().toSet == Set("m2", "m3"))
+  }
+
+  test("combinedView applies the impute filter and joins study metadata") {
+    val gwas = Seq(
+      ("1:1_A_T", 1, 0.9, 5.5),
+      ("1:2_G_C", 1, 0.1, 7.0)  // filtered: impute < 0.3
+    ).toDF("kgp_id", "study_id", "impute_score", "neg_log10_p")
+    val b37 = Seq(("1:1_A_T", 1, 1), ("1:2_G_C", 1, 2)).toDF("kgp_id", "chr", "pos")
+    val study = Seq((1, "ukbb_gout", 332370L, 7131L, 325239L))
+      .toDF("id", "name", "n", "n_case", "n_control")
+    val v = GwasOps.combinedView(gwas, b37, study)
+    assert(v.count() == 1)
+    val r = v.head()
+    assert(r.getAs[String]("name") == "ukbb_gout")
+    assert(r.getAs[Int]("pos") == 1)
+  }
+
+  test("locusWindow keeps only markers within the half-window on the same chr") {
+    val b37 = Seq(
+      ("m0", 1, 100000), ("near", 1, 105000), ("far", 1, 200000), ("othchr", 2, 100001)
+    ).toDF("kgp_id", "chr", "pos")
+    val got = GwasOps.locusWindow(b37, b37, "m0").select("kgp_id")
+      .as[String].collect().toSet
+    assert(got == Set("m0", "near"))
+  }
+
+  test("orphans finds load rows missing from b37") {
+    val load = Seq(("a", 1), ("b", 1)).toDF("kgp_id", "study_id")
+    val b37 = Seq(("a", 1, 1)).toDF("kgp_id", "chr", "pos")
+    val got = GwasOps.orphans(load, b37).select("kgp_id").as[String].collect()
+    assert(got.sameElements(Array("b")))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.queries.PipelineQueries
+import graft.tables.Tables
+
+class PipelineQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every pipeline query runs and is non-empty on sf0.001") {
+    PipelineQueries.entries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  // fixture: two exact dups, one near-dup, one unrelated
+  private lazy val fixture = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again and once"),
+    (3L, "completely unrelated text about spark catalyst optimizer internals here")
+  ).toDF("doc_id", "text")
+
+  test("dedup_exact groups identical docs under the smallest id") {
+    val groups = Dedup.exact(fixture).collect()
+    val dupGroup = groups.find(_.getLong(1) == 2L)
+    assert(dupGroup.isDefined, "exact duplicate group not found")
+    assert(dupGroup.get.getLong(0) == 0L, "survivor is not the smallest id")
+    assert(groups.length == 3)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates as candidates") {
+    val pairs = Dedup.minhashCandidates(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair missed")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), "near dup pair missed")
+  }
+
+  test("simhash gives identical docs identical fingerprints (hamming 0)") {
+    val pairs = Dedup.simhashPairs(fixture)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(0), s"identical docs not at hamming 0: $pairs")
+  }
+
+  test("ngram jaccard: identical docs score 1.0, near dups high, others absent") {
+    val j = Dedup.ngramJaccard(fixture)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j.get((0L, 2L)).forall(_ > 0.5))
+    assert(!j.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("cosine top-k excludes the query, stays in [-1,1], sorted desc") {
+    val rows = Similarity.cosineTopK(Tables.embeddings(spark, sf)).collect()
+    assert(rows.length == 20)
+    assert(!rows.map(_.getLong(0)).contains(0L))
+    val cos = rows.map(_.getDouble(1))
+    assert(cos.forall(c => c >= -1.0 && c <= 1.0))
+    assert(cos.sameElements(cos.sortBy(-(_: Double))))
+  }
+
+  test("ann lsh candidates are a subset ranking consistent with brute force") {
+    val ann = Similarity.annLsh(Tables.embeddings(spark, sf)).collect()
+    assert(ann.nonEmpty)
+    val cos = ann.map(_.getDouble(1))
+    assert(cos.sameElements(cos.sortBy(-(_: Double))))
+  }
+
+  test("language id picks the language with the most marker hits") {
+    val d = Seq((1L, "el gato la casa el perro"), (2L, "the cat the dog a bird"))
+      .toDF("doc_id", "text")
+    val got = TextOps.langId(d).collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(got(1L) == "es")
+    assert(got(2L) == "en")
+  }
+
+  test("token counts agree with a manual count") {
+    val d = Seq((1L, "one two two 42 !")).toDF("doc_id", "text")
+    val r = TextOps.tokens(d).head()
+    assert(r.getInt(1) == 5)     // ws tokens
+    assert(r.getInt(2) == 5)     // regex tokens: one, two, two, 42, !
+    assert(r.getInt(3) == 4)     // distinct ws tokens
+  }
+
+  test("rolling hash: equal inputs collide, different inputs do not") {
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val h = TextOps.rollhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(3L))
+  }
+
+  test("rolling hash emits into whole-stage generated code") {
+    // needs a real scan (local relations fold before codegen) and an
+    // executed plan (AQE materializes codegen stages lazily)
+    val df = TextOps.rollhash(Tables.documents(spark, sf))
+    df.collect()
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(code.contains("1315423911"), s"RollingHash loop not in generated code:\n$code")
+  }
+
+  test("frame sampling reassembles to the original length") {
+    val d = Seq((1L, "x" * 700)).toDF("doc_id", "text")
+    val frames = Multimodal.frameSample(d).collect()
+    assert(frames.length == 3)
+    assert(frames.map(_.getInt(2)).sum == 700)
+  }
+
+  test("multimodal meta stub is deterministic over byte length") {
+    val d = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val r = Multimodal.decodeMeta(d).head()
+    assert(r.getInt(1) == 4)          // n_bytes
+    assert(r.getInt(2) == 5)          // width = 4 % 640 + 1
+    assert(r.getInt(3) == 5)          // height
+    assert(r.getInt(4) == 1)          // frames
+  }
+}

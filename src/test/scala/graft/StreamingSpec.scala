@@ -1,0 +1,22 @@
+package graft
+
+import graft.queries.WarehouseQueries
+import graft.streaming.StreamJobs
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming window counts match the batch-parity query") {
+    // file stream sources want a directory; stage the events there
+    val dir = "/tmp/graft_stream_events"
+    graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val stream = StreamJobs.eventsStream(spark, dir)
+    val q = StreamJobs.runToMemory(StreamJobs.windowCounts(stream), "wc_test")
+    try {
+      val streamed = spark.table("wc_test")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = WarehouseQueries.streamWindowCounts(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch, "streaming result diverges from batch plan")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.WarehouseQueries
+import graft.tables.Tables
+
+class WarehouseQueriesSpec extends SparkSpec {
+
+  test("every warehouse query runs and is non-empty on sf0.001") {
+    WarehouseQueries.entries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q1_agg groups cover all flag/status combinations") {
+    assert(WarehouseQueries.q1Agg(spark, sf).count() == 6)
+  }
+
+  test("q_sessionize covers every event exactly once") {
+    val sessions = WarehouseQueries.sessionize(spark, sf)
+    val total = sessions.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    val bad = sessions.filter(col("sess_start") > col("sess_end")).count()
+    assert(bad == 0)
+  }
+
+  test("q_asof_join never matches a signup after the error") {
+    val bad = WarehouseQueries.asofJoin(spark, sf)
+      .filter(col("signup_ts_s") > col("ts_s")).count()
+    assert(bad == 0)
+  }
+
+  test("q_asof_join keeps every error event (left semantics)") {
+    val errors = Tables.events(spark, sf).filter(col("event_type") === "error").count()
+    assert(WarehouseQueries.asofJoin(spark, sf).count() == errors)
+  }
+
+  test("q_skew_agg equals the unsalted aggregate") {
+    val salted = WarehouseQueries.skewAgg(spark, sf)
+      .select("event_type", "n_events").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("q3_join_agg broadcasts the filtered customer dim") {
+    val plan = WarehouseQueries.q3JoinAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q_top-k queries plan as TakeOrderedAndProject (no global sort)") {
+    val plan = WarehouseQueries.q3JoinAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"limit not fused with sort:\n$plan")
+  }
+}
