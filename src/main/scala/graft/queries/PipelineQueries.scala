@@ -17,6 +17,7 @@ object PipelineQueries {
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d))),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingDupPairs(embeddings(s, d), minCosine = 0.2)),
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(embeddings(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(documents(s, d))),
