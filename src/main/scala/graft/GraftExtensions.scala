@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+import graft.functions.{CosineSim, DotProduct, RollingHash}
+
+/** Session-extension entry point: makes graft's native expressions
+  * callable from SQL. Two ways in:
+  *
+  *  - config: `spark.sql.extensions=graft.GraftExtensions` at session
+  *    build time (the standard extension mechanism), or
+  *  - [[GraftExtensions.register]] on a live session (what the specs
+  *    and the driver-owned sessions use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("rolling_hash",
+      info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash of str's UTF-8 bytes"),
+      (es: Seq[Expression]) => RollingHash(es.head)),
+    ("vec_dot",
+      info("vec_dot", "vec_dot(a, b) - dot product of two numeric arrays in double"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))),
+    ("vec_cosine",
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two numeric arrays in double"),
+      (es: Seq[Expression]) => CosineSim(es.head, es(1))),
+  )
+
+  /** Register the functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (name, i, builder) =>
+      org.apache.spark.sql.graftbridge.ExprBridge.registerFunction(spark, name, i, builder)
+    }
+}

@@ -138,7 +138,30 @@ object WarehouseQueries {
       .select(col("window.start").cast("long").as("wstart"), col("event_type"), col("n"))
       .orderBy("wstart", "event_type")
 
+  /** Grouped exact distinct counts — Catalyst plans the expand +
+    * two-phase aggregate; at scale the partial distinct runs map-side. */
+  def distinctCount(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_partkey").as("n_parts"), count(lit(1)).as("n_rows"))
+      .orderBy("l_suppkey")
+
+  /** Sketch-based distinct counts (HyperLogLog++): constant memory per
+    * group regardless of cardinality — the 100 TB answer when exact
+    * distinct's expand-shuffle is too expensive. Rows-only (sketch
+    * estimates are engine-specific); the spec bounds the error vs
+    * exact. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        countDistinct("l_partkey").as("exact_parts"))
+      .orderBy("l_suppkey")
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_distinct_count" -> distinctCount _,
+    "q_approx_distinct" -> approxDistinct _,
     "q1_agg" -> q1Agg _,
     "q3_join_agg" -> q3JoinAgg _,
     "q_rollup" -> rollupAgg _,
@@ -150,6 +173,9 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_distinct_count" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,

@@ -16,4 +16,13 @@ import org.apache.spark.sql.Column
 object ExprBridge {
   def toColumn(e: Expression): Column = new Column(ExpressionColumnNode(e))
   def toExpression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a function builder on a live session's registry. */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }
