@@ -1,7 +1,14 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Typed row for the batched decode path: payload rides as bytes. */
+case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+/** Decoded-metadata record the stub "codec" emits. */
+case class DecodedMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                       n_frames: Int, codec: String)
 
 /** Multimodal-column plumbing: media payloads ride as opaque `binary`
   * columns with typed metadata structs alongside. Real codec work (jpeg
@@ -34,6 +41,30 @@ object Multimodal {
         col("meta.n_frames").as("n_frames"),
         ascii(substring(col("text"), 1, 1)).as("first_cp"))
       .orderBy("doc_id")
+  }
+
+  /** Batched decode over partitions — the Scala shape of a
+    * `mapInPandas` media pipeline: one decoder instantiation per
+    * partition (amortized like a per-batch codec init), rows streamed
+    * through it, typed output Dataset. The decode itself is a STUB —
+    * this container has no image/audio codecs — but the plumbing
+    * (binary payload column, per-partition batching, typed schema out)
+    * is exactly what a real `decode(bytes) → (w, h, frames)` plugs
+    * into. */
+  def decodeBatched(spark: SparkSession, docs: DataFrame): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    val media = docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      // per-partition "codec" init happens here (amortized, like a
+      // pandas-batch UDF); STUB: deterministic arithmetic fake
+      val codecName = "stub-codec-v0"
+      rows.map { m =>
+        val n = m.payload.length
+        DecodedMeta(m.doc_id, n, n % 640 + 1, n % 480 + 1, (n + 255) / 256, codecName)
+      }
+    }
   }
 
   /** Frame sampling: split each payload into fixed-size 256-char frames

@@ -36,11 +36,33 @@ object StreamJobs {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").cast("long").as("wstart"), col("event_type"), col("n"))
 
+  /** Stateful per-user running totals via mapGroupsWithState — the
+    * custom-state shape (KeyValueGroupedDataset) for logic windowed
+    * aggs can't express. State is one (count, sum) pair per user;
+    * at scale the state store shards by the group key. */
+  def userTotalsStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    typed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (user, n, s)
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Run a streaming aggregate to a named in-memory sink and block until
     * the source is drained (local smoke path). */
-  def runToMemory(df: DataFrame, name: String): StreamingQuery = {
+  def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()

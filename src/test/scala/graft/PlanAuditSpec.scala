@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.queries.{PipelineQueries, ReferenceQueries, WarehouseQueries}
+import graft.tables.Tables
+
+/** Plan-shape audit: the properties that keep these queries viable at
+  * 100 TB, asserted on the actual physical plans.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan-selective queries push predicates into the parquet scan") {
+    val pushdowns = Map(
+      "q_region_filter" -> "PushedFilters: [IsNotNull(l_suppkey)",
+      "q_marker_search" -> "PushedFilters: [IsNotNull(p_name)",
+      "q_qc_filter" -> "PushedFilters: [Or(LessThan(l_quantity",
+    )
+    pushdowns.foreach { case (q, needle) =>
+      val p = plan(ReferenceQueries.entries(q)(spark, sf))
+      assert(p.contains(needle), s"$q lost its pushdown:\n$p")
+    }
+  }
+
+  test("projection pruning: q1_agg reads only the 7 columns it needs") {
+    val scans = WarehouseQueries.q1Agg(spark, sf).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty)
+    val read = scans.head
+    assert(read == Set("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_shipdate", "l_returnflag", "l_linestatus"), s"scan reads: $read")
+  }
+
+  test("dim joins broadcast instead of shuffling the fact side") {
+    Seq(
+      ReferenceQueries.combinedView(spark, sf),
+      ReferenceQueries.locusWindow(spark, sf),
+      WarehouseQueries.q3JoinAgg(spark, sf),
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("Broadcast"), s"no broadcast in:\n$p")
+    }
+  }
+
+  test("top-k plans avoid global sorts (TakeOrderedAndProject)") {
+    Seq(
+      ReferenceQueries.topHits(spark, sf),
+      WarehouseQueries.q3JoinAgg(spark, sf),
+      PipelineQueries.entries("sim_cosine_topk")(spark, sf),
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"), s"limit not fused:\n$p")
+    }
+  }
+
+  test("aggregates partial-aggregate before shuffling (two HashAggregate phases)") {
+    Seq(
+      ReferenceQueries.chrCounts(spark, sf),
+      WarehouseQueries.skewAgg(spark, sf),
+    ).foreach { df =>
+      val p = plan(df)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    }
+  }
+
+  test("batched decode keeps a single deserialize/serialize boundary") {
+    val ds = Multimodal.decodeBatched(spark, Tables.documents(spark, sf))
+    val p = plan(ds.toDF())
+    assert(p.contains("MapPartitions"), p)
+    assert(ds.count() > 0)
+  }
+}

@@ -19,4 +19,20 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, "streaming result diverges from batch plan")
     } finally q.stop()
   }
+
+  test("stateful mapGroupsWithState totals match the batch aggregate") {
+    val dir = "/tmp/graft_stream_events"
+    graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val stream = StreamJobs.eventsStream(spark, dir)
+    val q = StreamJobs.runToMemory(
+      StreamJobs.userTotalsStream(spark, stream), "ut_test", mode = "update")
+    try {
+      val streamed = spark.table("ut_test")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.tables.Tables.events(spark, sf)
+        .groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, "stateful stream diverges from batch counts")
+    } finally q.stop()
+  }
 }
