@@ -159,9 +159,22 @@ object WarehouseQueries {
         countDistinct("l_partkey").as("exact_parts"))
       .orderBy("l_suppkey")
 
+  /** Top-3 rows per group via the custom TopKPerGroup operator
+    * (graft.plans): partial map-side k-heaps cap the shuffle at
+    * k·groups rows per partition and nothing is fully sorted — the
+    * whole-operator upgrade over the row_number window form. */
+  def topkGroup(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.topKPerGroup(
+      lineitem(s, d).select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"),
+      groupCols = Seq(col("l_suppkey")),
+      orderCols = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+      k = 3)
+      .orderBy(col("l_suppkey"), desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_distinct_count" -> distinctCount _,
     "q_approx_distinct" -> approxDistinct _,
+    "q_topk_group" -> topkGroup _,
     "q1_agg" -> q1Agg _,
     "q3_join_agg" -> q3JoinAgg _,
     "q_rollup" -> rollupAgg _,
@@ -176,6 +189,14 @@ object WarehouseQueries {
     "q_distinct_count" ->
       """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_topk_group" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,

@@ -17,6 +17,18 @@ object ExprBridge {
   def toColumn(e: Expression): Column = new Column(ExpressionColumnNode(e))
   def toExpression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
 
+  /** Build a DataFrame from a (possibly custom) logical plan. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** Register a function builder on a live session's registry. */
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession,
