@@ -171,10 +171,21 @@ object WarehouseQueries {
       k = 3)
       .orderBy(col("l_suppkey"), desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
 
+  /** Semi-structured extraction: pull typed fields out of a JSON string
+    * column (events.props). get_json_object is codegen'd and needs no
+    * schema discovery pass; a fixed schema would use from_json. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_distinct_count" -> distinctCount _,
     "q_approx_distinct" -> approxDistinct _,
     "q_topk_group" -> topkGroup _,
+    "q_json_extract" -> jsonExtract _,
     "q1_agg" -> q1Agg _,
     "q3_join_agg" -> q3JoinAgg _,
     "q_rollup" -> rollupAgg _,
@@ -189,6 +200,9 @@ object WarehouseQueries {
     "q_distinct_count" ->
       """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_topk_group" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
