@@ -38,6 +38,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: partition the corpus into `nlist` Voronoi cells
+    * (KMeans centroids), search only the `nprobe` cells closest to the
+    * query. At 100 TB the cell id becomes the table's partition column,
+    * so a query scans nprobe/nlist of the data; here the assignment is
+    * a broadcast-centroid argmin over one scan. */
+  def annIvf(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = emb.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val qRow = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("cell").as("q_cell"))
+    // cells ranked by centroid distance to the query's centroid-space
+    val qVec = feat.filter(col("vec_id") === queryId)
+      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec))
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    assigned
+      .filter(col("cell").isin(probeCells.toIndexedSeq: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qRow.select("q_emb")))
+      .select(
+        col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic ±1 hyperplane component for (table, plane, dim) —
     * a hash-derived Rademacher entry, so every executor regenerates the
     * same planes with zero driver-side state to ship. */

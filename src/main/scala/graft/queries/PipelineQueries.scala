@@ -20,6 +20,7 @@ object PipelineQueries {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDupPairs(embeddings(s, d), minCosine = 0.2)),
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(embeddings(s, d))),
+    "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(embeddings(s, d))),
     "text_langid" -> ((s, d) => TextOps.langId(documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokens(documents(s, d))),

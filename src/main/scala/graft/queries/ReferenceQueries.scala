@@ -174,6 +174,19 @@ object ReferenceQueries {
         regexp_extract(col("kgp_id"), "_([A-Z]+)$", 1).as("alt_allele"))
       .orderBy("l_orderkey", "l_linenumber", "kgp_id")
 
+  /** The plot-facet query: combined view restricted to a region AND a
+    * set of study names — `filter(name %in% input$gwas_study)`
+    * (app.R:169-176). The IN list is tiny and constant → Catalyst
+    * turns it into pushed-down OR predicates on the dim. */
+  def facetFilter(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(orders(s, d)), col("l_orderkey") === col("o_orderkey"))
+      .filter(
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("l_partkey").between(1, 100))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "o_orderpriority", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
   /** QC removal set: rows failing thresholds (info_score < 0.3 / maf
     * below floor — wrangle_data.Rmd:234,255). */
   def qcFilter(s: SparkSession, d: String): DataFrame =
@@ -228,6 +241,7 @@ object ReferenceQueries {
     "q_top_hits" -> topHits _,
     "q_id_normalize" -> idNormalize _,
     "q_qc_filter" -> qcFilter _,
+    "q_facet_filter" -> facetFilter _,
     "q_manhattan_bin" -> manhattanBin _,
     "q_referential_check" -> referentialCheck _,
     "q_window_rank" -> windowRank _,
@@ -306,6 +320,12 @@ object ReferenceQueries {
         |  regexp_extract(kgp_id, '_([A-Z]+)_', 1) AS ref_allele,
         |  regexp_extract(kgp_id, '_([A-Z]+)$', 1) AS alt_allele
         |FROM k ORDER BY l_orderkey, l_linenumber, kgp_id""".stripMargin,
+    "q_facet_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, o_orderpriority, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND l_partkey BETWEEN 1 AND 100
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
     "q_qc_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_tax FROM lineitem
         |WHERE l_quantity < 5 OR l_tax > 0.07

@@ -13,6 +13,18 @@ class BucketedJoinSpec extends SparkSpec {
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    // a previous JVM's warehouse dir survives its in-memory metastore —
+    // DROP above is then a no-op, so clear the locations too
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_extendedprice")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")

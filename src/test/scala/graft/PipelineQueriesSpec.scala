@@ -61,6 +61,21 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(cos.sameElements(cos.sortBy(-(_: Double))))
   }
 
+  test("ann ivf finds a planted near-copy of the query vector") {
+    // near-identical vectors land in the same Voronoi cell by
+    // construction; random weakly-similar data has no such guarantee
+    val base = Tables.embeddings(spark, sf)
+    // vec 499 becomes query(vec 0) + tiny per-element nudge
+    val q = base.filter(col("vec_id") === 0L)
+      .select(transform(col("embedding"), x => x + lit(0.001f)).as("near"))
+    val withPlant = base.crossJoin(broadcast(q))
+      .withColumn("embedding", when(col("vec_id") === 499L, col("near")).otherwise(col("embedding")))
+      .drop("near")
+    val ivf = Similarity.annIvf(withPlant, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.contains(499L), s"IVF missed the planted near-copy: $ivf")
+  }
+
   test("ann lsh candidates are a subset ranking consistent with brute force") {
     val ann = Similarity.annLsh(Tables.embeddings(spark, sf)).collect()
     assert(ann.nonEmpty)
