@@ -30,15 +30,13 @@ object Dedup {
       .orderBy("keep_id")
 
   /** Distinct word-k-gram shingles per document as a per-row array
-    * column `sh` (no explode — stays inside whole-stage codegen). */
+    * column `sh` — one tight loop per row via the WordShingles
+    * expression (the lambda composition it replaces was the hottest
+    * part of the minhash bench). */
   def withShingles(docs: DataFrame, k: Int): DataFrame =
     docs
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= k)
-      .withColumn(
-        "sh",
-        expr(s"array_distinct(transform(sequence(0, size(toks)-$k), i -> concat_ws(' ', slice(toks, i+1, $k))))"))
-      .drop("toks")
+      .withColumn("sh", graft.functions.WordShingles.shingles(col("text"), k))
+      .filter(size(col("sh")) > 0)
 
   /** MinHash signatures: sig_i = min over shingles of h_i(shingle),
     * one column per hash. Each shingle is string-hashed ONCE
@@ -96,16 +94,17 @@ object Dedup {
     * the shuffle carries 64 longs per doc per partition), votes packed
     * into one long. */
   def withSimhash(docs: DataFrame): DataFrame = {
+    // one vote per token OCCURRENCE — identical to pre-counting term
+    // frequencies but with a single shuffle (the 64 sums partial-agg
+    // map-side) instead of a (doc, tok) pre-aggregation
     val tokens = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("tok")))
     val bitAggs = (0 until 64).map { j =>
       sum(
-        when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-          .otherwise(-col("cnt"))).as(s"b$j")
+        when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"b$j")
     }
     val fpTerms = (0 until 64).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))

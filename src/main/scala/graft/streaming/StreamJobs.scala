@@ -58,6 +58,27 @@ object StreamJobs {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Stream-stream join: purchases joined to the same user's clicks
+    * within the preceding 30 minutes. Both sides carry watermarks so
+    * the state store can evict rows once the join window has passed —
+    * the bounded-state form of an event-correlation join. */
+  def clickToPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(
+      clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   /** Run a streaming aggregate to a named in-memory sink and block until
     * the source is drained (local smoke path). */
   def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {

@@ -81,6 +81,25 @@ class GwasOpsSpec extends SparkSpec {
     assert(got == Set("m0", "near"))
   }
 
+  test("regionQuery, markerSearch and chrCounts match the app semantics") {
+    val b37 = Seq(
+      ("1:100_A_T", 1, 100), ("1:900_G_C", 1, 900), ("2:100_A_G", 2, 100),
+      ("rs77_alias", 1, 500)
+    ).toDF("kgp_id", "chr", "pos")
+    assert(GwasOps.regionQuery(b37, chr = 1, start = 50, end = 600)
+      .select("kgp_id").as[String].collect().toSet == Set("1:100_A_T", "rs77_alias"))
+    assert(GwasOps.markerSearch(b37, "^rs").select("kgp_id").as[String]
+      .collect().sameElements(Array("rs77_alias")))
+    assert(GwasOps.chrCounts(b37).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      == Map(1 -> 3L, 2 -> 1L))
+  }
+
+  test("negLog10P matches -log10") {
+    val d = Seq(0.01, 1.0).toDF("p")
+    val got = d.select(GwasOps.negLog10P(col("p"))).as[Double].collect()
+    assert(got(0) == 2.0 && got(1) == 0.0)
+  }
+
   test("orphans finds load rows missing from b37") {
     val load = Seq(("a", 1), ("b", 1)).toDF("kgp_id", "study_id")
     val b37 = Seq(("a", 1, 1)).toDF("kgp_id", "chr", "pos")

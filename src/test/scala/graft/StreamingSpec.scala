@@ -20,6 +20,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream click→purchase join matches the batch join") {
+    val dir = "/tmp/graft_stream_events"
+    graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val q = StreamJobs.runToMemory(
+      StreamJobs.clickToPurchaseJoin(StreamJobs.eventsStream(spark, dir)),
+      "ss_join", mode = "append")
+    try {
+      val streamed = spark.table("ss_join")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = StreamJobs.clickToPurchaseJoin(graft.tables.Tables.events(spark, sf))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, "stream-stream join diverges from batch join")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState totals match the batch aggregate") {
     val dir = "/tmp/graft_stream_events"
     graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
