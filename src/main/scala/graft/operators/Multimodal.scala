@@ -10,6 +10,10 @@ case class MediaRow(doc_id: Long, payload: Array[Byte])
 case class DecodedMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                        n_frames: Int, codec: String)
 
+/** Extracted features: byte-histogram + entropy + resize-stub dims. */
+case class MediaFeatures(doc_id: Long, histogram: Array[Long],
+                         entropy: Double, resized_w: Int, resized_h: Int)
+
 /** Multimodal-column plumbing: media payloads ride as opaque `binary`
   * columns with typed metadata structs alongside. Real codec work (jpeg
   * decode, audio resample) is NOT available in this environment, so the
@@ -63,6 +67,44 @@ object Multimodal {
       rows.map { m =>
         val n = m.payload.length
         DecodedMeta(m.doc_id, n, n % 640 + 1, n % 480 + 1, (n + 255) / 256, codecName)
+      }
+    }
+  }
+
+  /** Aspect-preserving resize-to-fit arithmetic (the real part of any
+    * image resize; the pixel resampling itself would live in the
+    * decode stub). */
+  def fitWithin(w: Int, h: Int, box: Int): (Int, Int) = {
+    val m = math.max(w, h)
+    if (m <= box) (w, h)
+    else (math.max(1, w * box / m), math.max(1, h * box / m))
+  }
+
+  /** Feature extraction over payload batches — same mapPartitions
+    * batch shape as [[decodeBatched]]: a 16-bucket byte histogram,
+    * Shannon entropy of the byte distribution, and resize-stub target
+    * dims. The histogram/entropy are REAL computations over the
+    * payload bytes; only the image semantics are faked. */
+  def featureExtract(spark: SparkSession, docs: DataFrame, box: Int = 224): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val media = docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < m.payload.length) {
+          hist((m.payload(i) & 0xff) >> 4) += 1
+          i += 1
+        }
+        val n = m.payload.length.toDouble
+        var entropy = 0.0
+        hist.foreach { c =>
+          if (c > 0) { val p = c / n; entropy -= p * math.log(p) / math.log(2) }
+        }
+        val (w, h) = fitWithin(m.payload.length % 640 + 1, m.payload.length % 480 + 1, box)
+        MediaFeatures(m.doc_id, hist, entropy, w, h)
       }
     }
   }

@@ -27,6 +27,9 @@ object PipelineQueries {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(documents(s, d))),
     "text_rollhash" -> ((s, d) => TextOps.rollhash(documents(s, d))),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
+    "mm_features" -> ((s, d) => {
+      Multimodal.featureExtract(s, documents(s, d)).toDF().orderBy("doc_id")
+    }),
     "mm_framesample" -> ((s, d) => Multimodal.frameSample(documents(s, d))),
   )
 

@@ -124,6 +124,19 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(frames.map(_.getInt(2)).sum == 700)
   }
 
+  test("feature extraction: histogram covers all bytes, entropy bounded, resize fits") {
+    val feats = Multimodal.featureExtract(spark, Tables.documents(spark, sf)).collect()
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), octet_length(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    feats.foreach { f =>
+      assert(f.histogram.sum == lens(f.doc_id), s"doc ${f.doc_id} histogram incomplete")
+      assert(f.entropy >= 0.0 && f.entropy <= 4.0) // 16 buckets → ≤ 4 bits
+      assert(f.resized_w <= 224 && f.resized_h <= 224)
+      assert(f.resized_w >= 1 && f.resized_h >= 1)
+    }
+  }
+
   test("multimodal meta stub is deterministic over byte length") {
     val d = Seq((1L, "abcd")).toDF("doc_id", "text")
     val r = Multimodal.decodeMeta(d).head()
