@@ -15,10 +15,13 @@ import graft.functions.{CosineSim, DotProduct, RollingHash}
   *    and the driver-owned sessions use).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.WindowTopKRule)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -37,9 +40,17 @@ object GraftExtensions {
       (es: Seq[Expression]) => CosineSim(es.head, es(1))),
   )
 
-  /** Register the functions on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Register functions + the TopK rewrite on an already-built session
+    * (the config-time path is `spark.sql.extensions=graft.GraftExtensions`). */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (name, i, builder) =>
       org.apache.spark.sql.graftbridge.ExprBridge.registerFunction(spark, name, i, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.WindowTopKRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.WindowTopKRule
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+  }
 }

@@ -39,6 +39,32 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(plan.contains("Exchange"), s"no exchange between phases:\n$plan")
   }
 
+  test("optimizer rule rewrites the row_number idiom into TopKPerGroup") {
+    GraftExtensions.register(spark)
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    def windowForm(keepRn: Boolean) = {
+      val base = Tables.lineitem(spark, sf)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      if (keepRn) base else base.drop("rn")
+    }
+    // rn dropped → rank values are dead → rewritten
+    val rewritten = windowForm(keepRn = false)
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"),
+      s"rule did not fire:\n${rewritten.queryExecution.optimizedPlan}")
+    // rn kept → rank is observable → NOT rewritten
+    val kept = windowForm(keepRn = true)
+    assert(!kept.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"),
+      "rule fired although the rank column is referenced")
+    // same multiset either way
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    assert(rewritten.collect().map(key).sorted.toSeq ==
+      kept.drop("rn").collect().map(key).sorted.toSeq)
+  }
+
   test("returns at most k rows per group, exactly the best ones") {
     val rows = custom().collect()
     val byGroup = rows.groupBy(_.getLong(0))
