@@ -168,17 +168,24 @@ object Dedup {
   def embeddingDupPairs(emb: DataFrame, minCosine: Double = 0.95,
                         dim: Int = 64, tables: Int = 4, planes: Int = 8): DataFrame = {
     val banded = Similarity.withBuckets(emb, dim, tables, planes)
-      .select(col("vec_id"), col("embedding"), posexplode(col("bks")).as(Seq("t", "bucket")))
-    banded.as("a")
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("t", "bucket")))
+    // distinct FIRST: clustered corpora make the same pair collide in
+    // several tables — dedup ids before paying for any cosine
+    val pairs = banded.as("a")
       .join(
         banded.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("cosine"))
-      .filter(col("cosine") >= minCosine)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(broadcast(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))), "vec_a")
+      .join(broadcast(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))), "vec_b")
+      .select(
+        col("vec_a"), col("vec_b"),
+        round(Similarity.cosine(col("e_a"), col("e_b")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
       .orderBy("vec_a", "vec_b")
   }
 }

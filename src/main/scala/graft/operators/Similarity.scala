@@ -48,7 +48,7 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = emb.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(feat)
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).fit(feat)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     val qRow = assigned.filter(col("vec_id") === queryId)
@@ -75,8 +75,14 @@ object Similarity {
     * a hash-derived Rademacher entry, so every executor regenerates the
     * same planes with zero driver-side state to ship. */
   private def rademacher(t: Int, j: Int, i: Int): Double = {
-    val x = (t * 1000003L + j * 8191L + i * 131L + 0x9e3779b97f4a7c15L) * 2654435761L
-    if (((x >>> 13) & 1L) == 1L) 1.0 else -1.0
+    // splitmix64 finalizer — a plain linear congruence here leaves the
+    // planes heavily correlated (some pairs identical), collapsing the
+    // bucket space and flooding the candidate join
+    var z = t * 0x9e3779b97f4a7c15L + j * 0xbf58476d1ce4e5b9L + i * 0x94d049bb133111ebL
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= (z >>> 31)
+    if (((z >>> 13) & 1L) == 1L) 1.0 else -1.0
   }
 
   /** Attach the per-table LSH bucket array (`bks`) to an embedding
