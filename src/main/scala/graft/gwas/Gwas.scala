@@ -68,6 +68,11 @@ object GwasOps {
     * (wrangle_data.Rmd:268). */
   def stripIdSuffix(kgp: Column): Column = regexp_replace(kgp, ",[0-9]+", "")
 
+  /** Pseudo-autosomal fixup: ids loaded from chrXY files carry an `X:`
+    * prefix that must read `XY:` — the reference's
+    * `sed 's/^X:/XY:/g'` pass (wrangle_data.Rmd:321). */
+  def fixXYIds(kgp: Column): Column = regexp_replace(kgp, "^X:", "XY:")
+
   /** HWE long→wide pivot: one row per (chr, snp, a1, a2), columns per
     * test ∈ {ALL, AFF, UNAFF} (wrangle_data.Rmd:207-213, 241-245).
     * Explicit pivot values — no discovery pass, single shuffle. */

@@ -100,6 +100,25 @@ class GwasOpsSpec extends SparkSpec {
     assert(got(0) == 2.0 && got(1) == 0.0)
   }
 
+  test("fixXYIds rewrites only the X: prefix, like the reference's sed pass") {
+    val d = Seq(("X:1_A_T", "XY:1_A_T"), ("XY:2_G_C", "XY:2_G_C"), ("1:3_X:_A", "1:3_X:_A"))
+      .toDF("in", "expected")
+    assert(d.filter(GwasOps.fixXYIds(col("in")) =!= col("expected")).count() == 0)
+  }
+
+  test("salted join equals the plain join on a skewed key") {
+    import graft.operators.Joins
+    val skewed = (1 to 5000).map(i => (if (i % 10 == 0) 2L else 1L, i))
+      .toDF("k", "v") // 90% of rows share k=1
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("dk", "name")
+    val salted = Joins.saltedJoin(skewed, dim, "k", "dk")
+      .select("k", "v", "name")
+    val plain = skewed.join(dim, col("k") === col("dk")).select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.select(sum("v")).head().getLong(0) ==
+      plain.select(sum("v")).head().getLong(0))
+  }
+
   test("orphans finds load rows missing from b37") {
     val load = Seq(("a", 1), ("b", 1)).toDF("kgp_id", "study_id")
     val b37 = Seq(("a", 1, 1)).toDF("kgp_id", "chr", "pos")
