@@ -16,6 +16,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
     // untimed warmup: JIT/codegen/classloading, so the first timed query
     // measures steady-state execution rather than JVM startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

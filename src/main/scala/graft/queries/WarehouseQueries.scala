@@ -181,7 +181,30 @@ object WarehouseQueries {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  /** Exact interpolated percentiles per group — order-independent (the
+    * sort is per-group internal), so cross-engine exact modulo one
+    * interpolation ulp, absorbed by round(4). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3_price"))
+      .orderBy("l_returnflag")
+
+  /** Unpivot (melt): wide metric columns → (metric, value) rows via
+    * `stack` — the inverse of q_pivot_wide, one generator pass. */
+  def unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (metric, value)"))
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentile" -> percentiles _,
+    "q_unpivot" -> unpivot _,
     "q_distinct_count" -> distinctCount _,
     "q_approx_distinct" -> approxDistinct _,
     "q_topk_group" -> topkGroup _,
@@ -197,6 +220,20 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q3_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'disc', l_discount FROM lineitem) t
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
     "q_distinct_count" ->
       """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
