@@ -202,7 +202,46 @@ object WarehouseQueries {
         expr("stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (metric, value)"))
       .orderBy("l_orderkey", "l_linenumber", "metric", "value")
 
+  /** CUBE over two dims — all four grouping sets in one shuffle. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag").as("rflag"), col("l_linestatus").as("lstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("rflag").asc_nulls_first, col("lstatus").asc_nulls_first)
+
+  /** Running (cumulative) revenue per supplier in ship order. The
+    * window sum accumulates in DECIMAL so every prefix is exact —
+    * double prefixes would drift from the oracle one ulp at a time. */
+  def runningSum(s: SparkSession, d: String): DataFrame = {
+    // price joins the sort keys so fully-tied rows are identical and
+    // the prefix-sum multiset is engine-order-independent
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .filter(col("l_suppkey") <= 3)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6))).over(w)
+          .cast("double").as("running_rev"))
+      .orderBy("l_suppkey", "running_rev", "l_orderkey", "l_linenumber")
+  }
+
+  /** Per-user inter-event gap via lag — the feature-engineering shape
+    * (previous-row deltas) over an event stream. */
+  def lagDelta(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        (col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w)).as("gap_s"))
+      .orderBy("event_id")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> cubeAgg _,
+    "q_running_sum" -> runningSum _,
+    "q_lag_delta" -> lagDelta _,
     "q_percentile" -> percentiles _,
     "q_unpivot" -> unpivot _,
     "q_distinct_count" -> distinctCount _,
@@ -220,6 +259,25 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      s"""SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+         |  count(*) AS n, ${dsumSql("l_quantity")} AS qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY rflag ASC NULLS FIRST, lstatus ASC NULLS FIRST""".stripMargin,
+    "q_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, running_rev, l_orderkey, l_linenumber""".stripMargin,
+    "q_lag_delta" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |    - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
