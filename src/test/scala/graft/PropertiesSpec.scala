@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.gwas.GwasOps
+import graft.operators.{Dedup, Similarity}
+import graft.plans.TopK
+
+/** Property-based invariants over randomized inputs — the algebraic
+  * guarantees the operator library promises regardless of data.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Raw-ScalaCheck sampling (no scalatest bridge in the offline
+    * dependency set): draw n samples and run the property on each. */
+  private def forAll[A](g: Gen[A], n: Int = 8)(f: A => Unit): Unit = {
+    var drawn = 0
+    var attempts = 0
+    while (drawn < n && attempts < n * 20) {
+      g.sample.foreach { a => f(a); drawn += 1 }
+      attempts += 1
+    }
+    assert(drawn == n, s"generator too sparse: $drawn/$n samples")
+  }
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val genoGen = for {
+    a <- Gen.choose(0, 1000); b <- Gen.choose(0, 1000); c <- Gen.choose(0, 1000)
+    if a + b + c > 0
+  } yield s"$a/$b/$c"
+
+  test("property: mafCalc always lands in [0, 1]") {
+    forAll(Gen.listOfN(50, genoGen)) { genos =>
+      whenever(genos.nonEmpty) {
+        val bad = genos.toDF("geno")
+          .select(GwasOps.mafCalc(col("geno")).as("maf"))
+          .filter(col("maf") < 0.0 || col("maf") > 1.0 || col("maf").isNull)
+          .count()
+        assert(bad == 0)
+      }
+    }
+  }
+
+  test("property: rolling hash is a pure function of content") {
+    forAll(Gen.listOfN(20, Gen.alphaNumStr)) { texts =>
+      whenever(texts.nonEmpty) {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val h = graft.operators.TextOps.rollhash(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        texts.zipWithIndex.foreach { case (t, i) =>
+          texts.zipWithIndex.foreach { case (u, j) =>
+            if (t.toLowerCase == u.toLowerCase) assert(h(i.toLong) == h(j.toLong))
+          }
+        }
+      }
+    }
+  }
+
+  test("property: exact dedup partitions ids and keeps minimal survivors") {
+    val docGen = Gen.listOfN(30, Gen.oneOf("aa bb", "cc dd", "ee ff", "gg hh"))
+    forAll(docGen) { texts =>
+      whenever(texts.nonEmpty) {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val groups = Dedup.exact(df).collect()
+        assert(groups.map(_.getLong(1)).sum == texts.length) // partition
+        assert(groups.map(_.getLong(0)).distinct.length == groups.length)
+        groups.foreach { g => // survivor is min id of its content group
+          val content = texts(g.getLong(0).toInt)
+          val minId = texts.zipWithIndex.filter(_._1 == content).map(_._2).min
+          assert(g.getLong(0) == minId.toLong)
+        }
+      }
+    }
+  }
+
+  test("property: cosine of a vector with itself is 1, symmetric in arguments") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-10.0, 10.0)).suchThat(_.exists(_ != 0.0))
+    forAll(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val r = df.select(
+        Similarity.cosine(col("a"), col("a")).as("self"),
+        Similarity.cosine(col("a"), col("b")).as("ab"),
+        Similarity.cosine(col("b"), col("a")).as("ba")).head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getDouble(1) == r.getDouble(2))
+      assert(r.getDouble(1) >= -1.0 - 1e-12 && r.getDouble(1) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("property: TopKPerGroup equals sort-take per group on random data") {
+    val rowGen = Gen.listOfN(60,
+      for { g <- Gen.choose(0, 4); v <- Gen.choose(-1000, 1000) } yield (g, v))
+    forAll(rowGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+          .toDF("g", "v", "id")
+        val got = TopK.topKPerGroup(df, Seq(col("g")),
+            Seq(col("v").desc, col("id")), k = 2)
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+        val expect = rows.zipWithIndex
+          .map { case ((g, v), i) => (g, v, i.toLong) }
+          .groupBy(_._1).values
+          .flatMap(_.sortBy(t => (-t._2, t._3)).take(2))
+          .toSeq.sorted
+        assert(got == expect)
+      }
+    }
+  }
+}
