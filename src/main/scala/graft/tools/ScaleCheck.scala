@@ -1,0 +1,47 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.operators.Dedup
+import graft.queries.{ReferenceQueries, WarehouseQueries}
+import graft.tables.Tables
+
+/** 10x scale experiment: replicate sf0.1 inputs (ids re-keyed per copy)
+  * and compare operator runtimes against the sf0.1 baseline. */
+object ScaleCheck {
+  def t(name: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"[scale] $name%-22s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("scale")
+    val d = "/root/testdata/sf0.1"
+    val big = "/tmp/graft_sf1x"
+    // 10 copies of lineitem / documents with shifted keys
+    val li = Tables.lineitem(spark, d)
+    val docs = Tables.documents(spark, d)
+    if (!new java.io.File(s"$big/lineitem.parquet").exists()) {
+      (0 until 10).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+      (0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+      // dims unchanged
+      for (tbl <- Seq("part", "supplier", "orders", "customer", "events", "embeddings",
+                      "region", "nation"))
+        Tables.table(spark, d, tbl).write.mode("overwrite").parquet(s"$big/$tbl.parquet")
+    }
+    t("q1_agg sf0.1")(WarehouseQueries.q1Agg(spark, d).count())
+    t("q1_agg 10x")(WarehouseQueries.q1Agg(spark, big).count())
+    t("combined sf0.1")(ReferenceQueries.combinedView(spark, d).count())
+    t("combined 10x")(ReferenceQueries.combinedView(spark, big).count())
+    t("topk sf0.1")(WarehouseQueries.topkGroup(spark, d).count())
+    t("topk 10x")(WarehouseQueries.topkGroup(spark, big).count())
+    t("minhash sf0.1")(Dedup.minhashCandidates(Tables.documents(spark, d)).count())
+    t("minhash 10x")(Dedup.minhashCandidates(Tables.documents(spark, big)).count())
+    t("exact sf0.1")(Dedup.exact(Tables.documents(spark, d)).count())
+    t("exact 10x")(Dedup.exact(Tables.documents(spark, big)).count())
+    spark.stop()
+  }
+}
