@@ -142,11 +142,16 @@ object Dedup {
     * each side's per-row shingle array onto the (small) candidate list
     * and compute |A∩B| / |A∪B| with array set ops — the corpus is
     * scanned twice for arrays, the quadratic part never materializes. */
-  def ngramJaccard(docs: DataFrame, shingleK: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+  def ngramJaccard(docs: DataFrame, shingleK: Int = 2, minJaccard: Double = 0.5,
+                   cache: Boolean = true): DataFrame = {
     // shingle arrays feed both the signature path and the verify join —
-    // cache them so the corpus is shredded once, not twice
-    val shingled = withShingles(docs, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // caching shreds the corpus once. At 100 TB set cache=false: a
+    // second scan is cheaper than spilling the full shingle set, and
+    // the verify join only needs the candidate ids' arrays anyway.
+    val shingledRaw = withShingles(docs, shingleK)
+    val shingled =
+      if (cache) shingledRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shingledRaw
     val sigs = withMinhashSig(shingled, 32)
     val cands = bandedPairs(sigs, bands = 8, rowsPerBand = 4)
     val shSets = shingled.select(col("doc_id"), col("sh"))

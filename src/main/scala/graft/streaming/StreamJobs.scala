@@ -79,6 +79,16 @@ object StreamJobs {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
   }
 
+  /** Streaming dedup: drop repeated (user_id, event_type) observations
+    * arriving within the watermark horizon — the streaming counterpart
+    * of Dedup.exact with bounded state (keys older than the watermark
+    * are evicted from the state store). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+
   /** Run a streaming aggregate to a named in-memory sink and block until
     * the source is drained (local smoke path). */
   def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {

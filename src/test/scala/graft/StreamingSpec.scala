@@ -36,6 +36,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup emits each (user, event_type) key once") {
+    val dir = "/tmp/graft_stream_events"
+    graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val q = StreamJobs.runToMemory(
+      StreamJobs.dedupStream(StreamJobs.eventsStream(spark, dir)),
+      "dd_test", mode = "append")
+    try {
+      val out = spark.table("dd_test")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(out.length == out.distinct.length, "duplicate keys leaked")
+      val batchKeys = graft.tables.Tables.events(spark, sf)
+        .select("user_id", "event_type").distinct().count()
+      assert(out.length == batchKeys, "missing keys vs batch distinct")
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState totals match the batch aggregate") {
     val dir = "/tmp/graft_stream_events"
     graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
