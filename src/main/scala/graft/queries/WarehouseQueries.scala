@@ -238,7 +238,31 @@ object WarehouseQueries {
       .orderBy("event_id")
   }
 
+  /** Set operations: parts sold in both halves of the year vs only the
+    * first — INTERSECT/EXCEPT plan as aggregated semi/anti joins. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val h1 = lineitem(s, d)
+      .filter(month(col("l_shipdate")) <= 6).select("l_partkey")
+    val h2 = lineitem(s, d)
+      .filter(month(col("l_shipdate")) > 6).select("l_partkey")
+    h1.intersect(h2).withColumn("bucket", lit("both"))
+      .unionAll(h1.except(h2).withColumn("bucket", lit("h1_only")))
+      .orderBy("bucket", "l_partkey")
+  }
+
+  /** Ordered string aggregation — deterministic via sorted collect
+    * (collect_list order is partition-dependent, array_sort fixes it;
+    * the oracle's string_agg ORDER BY matches). */
+  def stringAgg(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"))
+      .orderBy("n_name")
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_ops" -> setOps _,
+    "q_string_agg" -> stringAgg _,
     "q_cube" -> cubeAgg _,
     "q_running_sum" -> runningSum _,
     "q_lag_delta" -> lagDelta _,
@@ -259,6 +283,19 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_set_ops" ->
+      """SELECT l_partkey, 'both' AS bucket FROM lineitem WHERE month(l_shipdate) <= 6
+        |INTERSECT
+        |SELECT l_partkey, 'both' FROM lineitem WHERE month(l_shipdate) > 6
+        |UNION ALL
+        |(SELECT l_partkey, 'h1_only' AS bucket FROM lineitem WHERE month(l_shipdate) <= 6
+        | EXCEPT
+        | SELECT l_partkey, 'h1_only' FROM lineitem WHERE month(l_shipdate) > 6)
+        |ORDER BY bucket, l_partkey""".stripMargin,
+    "q_string_agg" ->
+      """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_cube" ->
       s"""SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
          |  count(*) AS n, ${dsumSql("l_quantity")} AS qty
