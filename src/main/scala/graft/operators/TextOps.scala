@@ -70,6 +70,28 @@ object TextOps {
       .select(col("doc_id"), md5(lower(col("text"))).as("fp_md5"))
       .orderBy("doc_id")
 
+  /** PII scrub: redact email-shaped and long-digit-run tokens — the
+    * pre-training scrub pass, pure regexp_replace (codegen'd, global
+    * replace in both engines). */
+  def redact(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+          "[0-9]{6,}", "<NUM>").as("clean_text"))
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination: drop documents whose fingerprint
+    * appears in a blocklist (e.g., eval-set hashes) — an anti join on
+    * md5, broadcastable for realistic blocklist sizes. */
+  def decontaminate(docs: DataFrame, blocklist: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(lower(col("text"))))
+      .join(broadcast(blocklist), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+
   /** 64-bit polynomial rolling-hash fingerprint via the custom Catalyst
     * expression [[graft.functions.RollingHash]] (codegen'd). */
   def rollhash(docs: DataFrame): DataFrame =

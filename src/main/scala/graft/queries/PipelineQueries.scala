@@ -25,6 +25,14 @@ object PipelineQueries {
     "text_quality" -> ((s, d) => TextOps.quality(documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokens(documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(documents(s, d))),
+    "text_redact" -> ((s, d) => TextOps.redact(documents(s, d))),
+    "dedup_decontaminate" -> ((s, d) => {
+      // stand-in blocklist: fingerprints of the 10 lowest-id docs
+      val block = TextOps.fingerprint(documents(s, d))
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 10)
+        .select(org.apache.spark.sql.functions.col("fp_md5").as("fp"))
+      TextOps.decontaminate(documents(s, d), block)
+    }),
     "text_rollhash" -> ((s, d) => TextOps.rollhash(documents(s, d))),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
     "mm_features" -> ((s, d) => {
@@ -81,6 +89,17 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_decontaminate" ->
+      """SELECT doc_id, md5(lower(text)) AS fp FROM documents
+        |WHERE md5(lower(text)) NOT IN (
+        |  SELECT md5(lower(text)) FROM documents WHERE doc_id < 10)
+        |ORDER BY doc_id""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS INT) AS n_bytes,

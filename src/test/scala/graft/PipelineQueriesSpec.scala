@@ -137,6 +137,28 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("redaction removes emails and long digit runs, keeps ids stable") {
+    val d = Seq((1L, "mail me at a.b@x.co or call 1234567 now")).toDF("doc_id", "text")
+    val r = TextOps.redact(d).head()
+    assert(r.getString(1) == "mail me at <EMAIL> or call <NUM> now")
+  }
+
+  test("decontamination drops exactly the blocklisted fingerprints") {
+    val docs = Seq((1L, "keep one"), (2L, "drop me"), (3L, "keep two")).toDF("doc_id", "text")
+    val block = TextOps.fingerprint(Seq((99L, "drop me")).toDF("doc_id", "text"))
+      .select(col("fp_md5").as("fp"))
+    val kept = TextOps.decontaminate(docs, block).collect().map(_.getLong(0))
+    assert(kept.sameElements(Array(1L, 3L)))
+  }
+
+  test("compaction rewrites to the expected file count") {
+    val path = "/tmp/graft_compacted"
+    graft.operators.Layout.compact(Tables.lineitem(spark, sf), path, targetRowsPerFile = 2000)
+    val files = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 3, s"expected 3 files for 6000 rows @2000, got $files")
+    assert(spark.read.parquet(path).count() == Tables.lineitem(spark, sf).count())
+  }
+
   test("multimodal meta stub is deterministic over byte length") {
     val d = Seq((1L, "abcd")).toDF("doc_id", "text")
     val r = Multimodal.decodeMeta(d).head()
