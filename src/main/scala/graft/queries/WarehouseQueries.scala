@@ -260,7 +260,57 @@ object WarehouseQueries {
       .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"))
       .orderBy("n_name")
 
+  /** Explicit GROUPING SETS + grouping() markers — the generalized
+    * rollup/cube form, one shuffle for all sets. */
+  def groupingSets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).as("g_rflag"),
+        grouping(col("l_linestatus")).as("g_lstatus"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** min_by/max_by: first/last event type per user by event time —
+    * argmin/argmax without a window pass. */
+  def minmaxBy(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min_by(col("event_type"), col("ts")).as("first_type"),
+        max_by(col("event_type"), col("ts")).as("last_type"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  /** Conditional aggregation: FILTER-style counts and sums in one
+    * pass — no self-joins, no second scan. */
+  def conditionalAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_quantity") > 25).as("n_big"),
+        sum(when(col("l_quantity") > 25, col("l_extendedprice"))
+          .cast(DecimalType(18, 6))).cast("double").as("big_rev"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Vector norms via the native DotProduct expression, SQL-checkable
+    * against DuckDB's list_dot_product over DOUBLE[]. */
+  def vecNorm(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(
+        col("vec_id"),
+        round(sqrt(graft.functions.VectorFunctions.vec_dot(col("embedding"), col("embedding"))), 6).as("norm"),
+        round(array_max(col("embedding")).cast("double"), 6).as("max_elem"))
+      .orderBy("vec_id")
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_sets" -> groupingSets _,
+    "q_minmax_by" -> minmaxBy _,
+    "q_conditional_agg" -> conditionalAgg _,
+    "q_vec_norm" -> vecNorm _,
     "q_set_ops" -> setOps _,
     "q_string_agg" -> stringAgg _,
     "q_cube" -> cubeAgg _,
@@ -283,6 +333,30 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag) AS g_rflag, GROUPING(l_linestatus) AS g_lstatus,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_minmax_by" ->
+      """SELECT user_id, min_by(event_type, ts) AS first_type,
+        |  max_by(event_type, ts) AS last_type, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  CAST(SUM(CAST(CASE WHEN l_quantity > 25 THEN l_extendedprice END
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS big_rev,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_vec_norm" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[]))), 6) AS norm,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_elem
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_set_ops" ->
       """SELECT l_partkey, 'both' AS bucket FROM lineitem WHERE month(l_shipdate) <= 6
         |INTERSECT
