@@ -90,7 +90,11 @@ object GwasOps {
     * `no_gwas_result` feed. */
   def qcSplit(gwas: DataFrame, minInfo: Double = 0.3, minMaf: Double = 1e-4)
       : (DataFrame, DataFrame) = {
-    val fails = col("impute_score") < minInfo || col("maf_all") < minMaf
+    // NULL thresholds (summary-only / non-imputed studies) must not
+    // fail QC — without the coalesce, three-valued logic drops those
+    // rows from BOTH outputs
+    val fails = coalesce(col("impute_score") < minInfo, lit(false)) ||
+      coalesce(col("maf_all") < minMaf, lit(false))
     (gwas.filter(!fails), gwas.filter(fails).select("kgp_id", "study_id"))
   }
 

@@ -115,10 +115,13 @@ object Dedup {
       .select("doc_id", "fp")
   }
 
-  /** SimHash near-dup pairs: block on 4×16-bit fingerprint chunks (a
-    * pair within hamming 16 shares at least one chunk), verify with
-    * bit_count(xor). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  /** SimHash near-dup pairs: block on 4×16-bit fingerprint chunks and
+    * verify with bit_count(xor). Pigeonhole over 4 chunks guarantees a
+    * collision only when at most 3 bits differ, so the default
+    * maxHamming is 3 (recall-complete); pass a higher threshold only
+    * if best-effort recall beyond 3 is acceptable, or re-block with
+    * more/smaller chunks. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fps = withSimhash(docs).select("doc_id", "fp")
     val chunkCols = (0 until 4).map(i =>
       shiftrightunsigned(col("fp"), 16 * i).bitwiseAND(lit(0xffffL)))
@@ -184,9 +187,12 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     val vecs = emb.select(col("vec_id"), col("embedding"))
+    // no broadcast hint: the embeddings side is corpus-sized, so the
+    // planner must stay free to shuffle-join on vec_id at scale (AQE
+    // still broadcasts when the side is actually small)
     pairs
-      .join(broadcast(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"))), "vec_a")
-      .join(broadcast(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"))), "vec_b")
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
       .select(
         col("vec_a"), col("vec_b"),
         round(Similarity.cosine(col("e_a"), col("e_b")), 6).as("cosine"))

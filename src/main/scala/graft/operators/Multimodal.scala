@@ -114,6 +114,9 @@ object Multimodal {
     * produces (one row per frame, keyed by (doc_id, frame_idx)). */
   def frameSample(docs: DataFrame, frameSize: Int = 256): DataFrame =
     docs
+      // empty payloads chunk to nothing (and Spark's sequence(0, -1)
+      // would otherwise count DOWN, emitting a phantom frame -1)
+      .filter(length(col("text")) > 0)
       .withColumn("nf", ceil(length(col("text")) / lit(frameSize.toDouble)).cast("int"))
       .select(
         col("doc_id"), col("text"),

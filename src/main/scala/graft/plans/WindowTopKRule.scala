@@ -40,7 +40,7 @@ object WindowTopKRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(plist,
         Filter(cond, Window(Seq(we), part, order, wchild, _)))
-        if order.nonEmpty =>
+        if order.nonEmpty && part.nonEmpty => // ClusteredDistribution(Nil) would crash planning
       isRowNumberWindow(we) match {
         case Some(alias) =>
           val rn = alias.toAttribute

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.DecimalType
   *
   *   - double sums are order-dependent (Spark combines partial aggregates
   *     in nondeterministic partition order; DuckDB sums sequentially), so
-  *     every SUM over a double goes through an exact DECIMAL(18,4)
+  *     every SUM over a double goes through an exact DECIMAL(18,6)
   *     accumulator and is cast back to double. Oracle SQL mirrors the
   *     same cast, so both engines produce bit-identical doubles.
   *   - every query ends in a total ORDER BY over unique key columns, so

@@ -16,7 +16,9 @@ object PipelineQueries {
     "dedup_exact" -> ((s, d) => Dedup.exact(documents(s, d))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(documents(s, d))),
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d))),
+    // cache=false: driver sessions run ~60 queries back to back — a
+    // persisted shingle set would leak storage for the session lifetime
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d), cache = false)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDupPairs(embeddings(s, d), minCosine = 0.2)),
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(embeddings(s, d))),
@@ -112,7 +114,7 @@ object PipelineQueries {
       """WITH f AS (
         |  SELECT doc_id, text,
         |    unnest(generate_series(0, CAST(ceil(length(text) / 256.0) AS INT) - 1)) AS i
-        |  FROM documents)
+        |  FROM documents WHERE length(text) > 0)
         |SELECT doc_id,
         |  CAST(i AS BIGINT) AS frame_idx,
         |  CAST(least(256, length(text) - i * 256) AS INT) AS frame_len,

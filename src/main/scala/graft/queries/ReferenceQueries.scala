@@ -345,7 +345,7 @@ object ReferenceQueries {
         |WHERE rn = 1 ORDER BY l_suppkey""".stripMargin,
   ) + ("q_pivot_wide" -> {
     val cols = eventTypes.map { t =>
-      s"""CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = '$t') AS DOUBLE) AS "$t""""
+      s"""CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = '$t') AS DOUBLE) AS "$t""""
     }.mkString(",\n  ")
     s"""SELECT user_id,
        |  $cols

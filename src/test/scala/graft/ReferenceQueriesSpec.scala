@@ -16,6 +16,17 @@ class ReferenceQueriesSpec extends SparkSpec {
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
   }
 
+  test("no query key collides across the three query modules") {
+    val groups = Seq(
+      graft.queries.ReferenceQueries.entries.keySet,
+      graft.queries.WarehouseQueries.entries.keySet,
+      graft.queries.PipelineQueries.entries.keySet)
+    val total = groups.map(_.size).sum
+    assert(SparkEntry.queries.size == total,
+      s"key collision: union ${SparkEntry.queries.size} vs sum $total — " +
+        groups.combinations(2).flatMap { case Seq(a, b) => a intersect b }.toSeq)
+  }
+
   test("every reference query runs and is non-empty on sf0.001") {
     ReferenceQueries.entries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()

@@ -65,6 +65,19 @@ class TopKPerGroupSpec extends SparkSpec {
       kept.drop("rn").collect().map(key).sorted.toSeq)
   }
 
+  test("rule leaves global (no PARTITION BY) row_number top-k untouched") {
+    GraftExtensions.register(spark)
+    val w = Window.orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val df = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .drop("rn")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("TopKPerGroup"),
+      "rule must not fire without grouping (ClusteredDistribution(Nil) crashes)")
+    assert(df.count() == 5) // and the query still runs
+  }
+
   test("returns at most k rows per group, exactly the best ones") {
     val rows = custom().collect()
     val byGroup = rows.groupBy(_.getLong(0))
