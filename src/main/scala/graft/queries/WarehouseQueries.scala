@@ -306,7 +306,26 @@ object WarehouseQueries {
         round(array_max(col("embedding")).cast("double"), 6).as("max_elem"))
       .orderBy("vec_id")
 
+  /** Upsert/merge: corrections (every 10th order, repriced) replace
+    * their originals; untouched rows survive — the reference's
+    * PK-load INSERT pattern as a single declarative merge. */
+  def upsert(s: SparkSession, d: String): DataFrame = {
+    val existing = orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    // decimal-exact reprice: double*1.1 + round() straddles rounding
+    // midpoints differently per engine; decimal math never does
+    val updates = existing
+      .filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(BigDecimal("1.1")))
+          .cast("double"))
+      .withColumn("o_orderstatus", lit("R"))
+    graft.operators.Upsert.mergeByKey(existing, updates, Seq("o_orderkey"))
+      .orderBy("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_upsert" -> upsert _,
     "q_grouping_sets" -> groupingSets _,
     "q_minmax_by" -> minmaxBy _,
     "q_conditional_agg" -> conditionalAgg _,
@@ -333,6 +352,17 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey, o_custkey, o_orderstatus, o_totalprice""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  GROUPING(l_returnflag) AS g_rflag, GROUPING(l_linestatus) AS g_lstatus,

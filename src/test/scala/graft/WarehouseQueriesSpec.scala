@@ -45,6 +45,18 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("upsert: updates win on collision, row count preserved, partitions prune") {
+    import spark.implicits._
+    val existing = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 2)).toDF("k", "v", "p")
+    val updates = Seq((2L, "B", 1)).toDF("k", "v", "p")
+    val merged = graft.operators.Upsert.mergeByKey(existing, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    val (parts, scoped) = graft.operators.Upsert.mergePartitioned(existing, updates, Seq("k"), "p")
+    assert(parts == Seq(1))
+    assert(scoped.select("k").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("q3_join_agg broadcasts the filtered customer dim") {
     val plan = WarehouseQueries.q3JoinAgg(spark, sf)
       .queryExecution.executedPlan.toString
