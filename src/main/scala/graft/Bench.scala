@@ -17,13 +17,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
+    // force FULL evaluation: the noop sink consumes every output row and
+    // column, so projections/sorts/regexes are really timed. A bare
+    // count() lets Catalyst prune computed columns and the measurement
+    // degenerates to a scan count for expression-heavy queries.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // untimed warmup: JIT/codegen/classloading, so the first timed query
     // measures steady-state execution rather than JVM startup
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try run(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must not masquerade as a fast one: report -1
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { run(fn(spark, sfDir)); true }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }

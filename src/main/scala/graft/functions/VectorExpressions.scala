@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 trait VecBinaryOp extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // always nullable: mismatched lengths / null elements yield NULL (a
+  // visible failure on corrupt input, matching DuckDB's list_* semantics)
+  // rather than silently truncating to the shorter array
+  override def nullable: Boolean = true
 
   protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -34,6 +37,26 @@ trait VecBinaryOp extends BinaryExpression {
 
   protected def getElem(e: Expression, arr: ArrayData, i: Int): Double =
     if (elemIsFloat(e)) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  protected def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  /** Generated guard that nulls the result on a null element; empty
+    * when the array type statically has no null elements, so the hot
+    * loop carries no dead branch. */
+  protected def nullElemGuard(a: String, b: String, i: String, ev: ExprCode): String = {
+    val checks = Seq(
+      if (elemNullable(left)) Some(s"$a.isNullAt($i)") else None,
+      if (elemNullable(right)) Some(s"$b.isNullAt($i)") else None).flatten
+    if (checks.isEmpty) ""
+    else s"if (${checks.mkString(" || ")}) { ${ev.isNull} = true; break; }"
+  }
+
+  /** Interpreted-path guard: true when position i holds a null element. */
+  protected def hasNullElem(x: ArrayData, y: ArrayData, i: Int): Boolean =
+    (elemNullable(left) && x.isNullAt(i)) || (elemNullable(right) && y.isNullAt(i))
 }
 
 /** dot(a, b): Σ a_i * b_i in one generated loop. */
@@ -43,10 +66,15 @@ case class DotProduct(left: Expression, right: Expression) extends VecBinaryOp {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // corrupt row: visible, not truncated
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += getElem(left, x, i) * getElem(right, y, i); i += 1 }
+    while (i < n) {
+      if (hasNullElem(x, y, i)) return null
+      acc += getElem(left, x, i) * getElem(right, y, i)
+      i += 1
+    }
     acc
   }
 
@@ -56,12 +84,17 @@ case class DotProduct(left: Expression, right: Expression) extends VecBinaryOp {
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${nullElemGuard(a, b, i, ev)}
+         |    $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -76,10 +109,12 @@ case class CosineSim(left: Expression, right: Expression) extends VecBinaryOp {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // corrupt row: visible, not truncated
     var xy = 0.0; var xx = 0.0; var yy = 0.0
     var i = 0
     while (i < n) {
+      if (hasNullElem(x, y, i)) return null
       val xi = getElem(left, x, i); val yi = getElem(right, y, i)
       xy += xi * yi; xx += xi * xi; yy += yi * yi
       i += 1
@@ -97,14 +132,21 @@ case class CosineSim(left: Expression, right: Expression) extends VecBinaryOp {
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $xy = 0.0, $xx = 0.0, $yy = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = ${getter(left, a, i)};
-         |  double $yi = ${getter(right, b, i)};
-         |  $xy += $xi * $yi; $xx += $xi * $xi; $yy += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $xy = 0.0, $xx = 0.0, $yy = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${nullElemGuard(a, b, i, ev)}
+         |    double $xi = ${getter(left, a, i)};
+         |    double $yi = ${getter(right, b, i)};
+         |    $xy += $xi * $yi; $xx += $xi * $xi; $yy += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+         |  }
          |}
-         |${ev.value} = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
        """.stripMargin
     })
 

@@ -37,8 +37,17 @@ object PipelineQueries {
     }),
     "text_rollhash" -> ((s, d) => TextOps.rollhash(documents(s, d))),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
+    // histogram flattened to 16 scalar columns: the driver's pandas
+    // row-sort can't hash an array column (round-1 harness crash), and
+    // scalar columns also make the op DuckDB-oracle-checkable
     "mm_features" -> ((s, d) => {
-      Multimodal.featureExtract(s, documents(s, d)).toDF().orderBy("doc_id")
+      import org.apache.spark.sql.functions.{col, round}
+      val f = Multimodal.featureExtract(s, documents(s, d)).toDF()
+      val histCols = (0 until 16).map(i => col("histogram")(i).as(s"h$i"))
+      f.select(col("doc_id") +: histCols :+
+        round(col("entropy"), 6).as("entropy") :+
+        col("resized_w") :+ col("resized_h"): _*)
+        .orderBy("doc_id")
     }),
     "mm_framesample" -> ((s, d) => Multimodal.frameSample(documents(s, d))),
   )
@@ -110,6 +119,35 @@ object PipelineQueries {
         |  CAST(ceil(strlen(text) / 256.0) AS INT) AS n_frames,
         |  ascii(substr(text, 1, 1)) AS first_cp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // byte-bucket histogram over ASCII text: codepoint//16 == (byte&0xff)>>4.
+    // Entropy summed over present buckets only, matching the c>0 guard in
+    // Multimodal.featureExtract; round(6) absorbs summation-order ULPs.
+    "mm_features" -> {
+      val hCols = (0 until 16)
+        .map(i => s"CAST(coalesce(sum(c) FILTER (WHERE bk = $i), 0) AS BIGINT) AS h$i")
+        .mkString(",\n        |    ")
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, length(text) AS n,
+         |    unnest(generate_series(1, length(text))) AS i
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id, n, ascii(substr(text, i, 1)) // 16 AS bk, count(*) AS c
+         |  FROM pos GROUP BY doc_id, n, bk),
+         |h AS (
+         |  SELECT doc_id,
+         |    $hCols,
+         |    round(-sum((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 6) AS entropy,
+         |    max(n) AS n
+         |  FROM cnt GROUP BY doc_id),
+         |dims AS (
+         |  SELECT *, CAST(n % 640 + 1 AS INT) AS w0, CAST(n % 480 + 1 AS INT) AS hh0,
+         |    greatest(n % 640 + 1, n % 480 + 1) AS m
+         |  FROM h)
+         |SELECT doc_id, ${(0 until 16).map(i => s"h$i").mkString(", ")}, entropy,
+         |  CAST(CASE WHEN m <= 224 THEN w0 ELSE greatest(1, w0 * 224 // m) END AS INT) AS resized_w,
+         |  CAST(CASE WHEN m <= 224 THEN hh0 ELSE greatest(1, hh0 * 224 // m) END AS INT) AS resized_h
+         |FROM dims ORDER BY doc_id""".stripMargin
+    },
     "mm_framesample" ->
       """WITH f AS (
         |  SELECT doc_id, text,

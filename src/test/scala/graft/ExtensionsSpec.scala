@@ -17,6 +17,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0)
   }
 
+  test("vec_dot/vec_cosine null on corrupt input: length mismatch and null elements") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D)) AS mism,
+        |       vec_cosine(array(1.0D, 2.0D), array(3.0D, 4.0D, 5.0D)) AS mism2,
+        |       vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)) AS nel,
+        |       vec_cosine(array(1.0D, 2.0D), array(CAST(NULL AS DOUBLE), 4.0D)) AS nel2,
+        |       vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS narr""".stripMargin)
+      .head()
+    (0 until 5).foreach(i => assert(r.isNullAt(i), s"column $i should be NULL"))
+    // literals above are constant-folded (interpreted eval); force the
+    // CODEGEN path with a non-foldable column-dependent input
+    val gen = spark.range(3).selectExpr(
+      "id",
+      """CASE WHEN id = 0 THEN array(1.0D, 2.0D)
+        |     WHEN id = 1 THEN array(3.0D)
+        |     ELSE array(CAST(NULL AS DOUBLE), 4.0D) END AS a""".stripMargin,
+      "array(5.0D, 6.0D) AS b")
+      .selectExpr("id", "vec_dot(a, b) AS d", "vec_cosine(a, b) AS c")
+      .orderBy("id")
+      .collect()
+    assert(gen(0).getDouble(1) == 17.0 && !gen(0).isNullAt(2)) // well-formed
+    assert(gen(1).isNullAt(1) && gen(1).isNullAt(2))           // length mismatch
+    assert(gen(2).isNullAt(1) && gen(2).isNullAt(2))           // null element
+  }
+
   test("q_approx_distinct sketch stays within 5% of exact counts") {
     val rows = queries.WarehouseQueries.approxDistinct(spark, sf).collect()
     rows.foreach { r =>
