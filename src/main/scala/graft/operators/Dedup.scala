@@ -115,23 +115,54 @@ object Dedup {
       .select("doc_id", "fp")
   }
 
-  /** SimHash near-dup pairs: block on 4×16-bit fingerprint chunks and
-    * verify with bit_count(xor). Pigeonhole over 4 chunks guarantees a
-    * collision only when at most 3 bits differ, so the default
-    * maxHamming is 3 (recall-complete); pass a higher threshold only
-    * if best-effort recall beyond 3 is acceptable, or re-block with
-    * more/smaller chunks. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fps = withSimhash(docs).select("doc_id", "fp")
-    val chunkCols = (0 until 4).map(i =>
-      shiftrightunsigned(col("fp"), 16 * i).bitwiseAND(lit(0xffffL)))
-    val chunked = fps
-      .withColumn("chunks", array(chunkCols: _*))
-      .select(col("doc_id"), col("fp"), posexplode(col("chunks")).as(Seq("ci", "cv")))
-    chunked.as("a")
+  /** SimHash near-dup pairs, blocked on *pairs* of fingerprint chunks
+    * and verified with bit_count(xor).
+    *
+    * Recall guarantee (pigeonhole): the 64 bits are cut into
+    * m = maxHamming + 2 chunks; ≤ maxHamming flipped bits can dirty at
+    * most maxHamming chunks, leaving ≥ 2 chunks intact, so every
+    * qualifying pair collides in at least one of the C(m,2) pair
+    * tables. (Blocking on *single* chunks with m = maxHamming + 1 has
+    * the same guarantee but a far smaller key space — the round-1
+    * design's 16-bit keys cap at 65,536 buckets, which goes quadratic
+    * per bucket at 10^9+ docs.)
+    *
+    * Bucket-size bound: each pair table keys on the concatenation of
+    * two chunk values — ≥ 2·⌊64/m⌋ bits, so ≥ 2^25 buckets for the
+    * default m = 5 (13+13…12-bit chunks). SimHash outputs are
+    * near-uniform over docs that aren't near-dups, so expected bucket
+    * occupancy is N/2^25 (≈ 30 at 10^9 docs) and candidate generation
+    * stays near-linear: C(m,2)·N·E[occupancy] vs the 2^16-bucket
+    * scheme's N²/65536-per-table blowup. Cost: C(m,2) = 10 exploded
+    * rows per doc instead of 4 — each row is (doc_id, fp, 2 ints). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashPairsFromFps(withSimhash(docs), maxHamming)
+
+  /** Blocking + verify over precomputed (doc_id, fp) fingerprints —
+    * split out so recall can be spec'd on planted hamming distances. */
+  def simhashPairsFromFps(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 14,
+      s"maxHamming must be in [0, 14] (m = maxHamming + 2 chunks over 64 bits), got $maxHamming")
+    val m = maxHamming + 2
+    // chunk i covers bits [offsets(i), offsets(i) + widths(i)); the
+    // first (64 % m) chunks take the extra bit
+    val widths = Array.tabulate(m)(i => 64 / m + (if (i < 64 % m) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def chunk(i: Int): Column =
+      shiftrightunsigned(col("fp"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    // one exact (no hashing → no false negatives from key collisions
+    // mattering for recall; collisions only add verify work) key per
+    // chunk pair: cv_i concatenated above cv_j
+    val pairKeys = for { i <- 0 until m; j <- i + 1 until m }
+      yield shiftleft(chunk(i), widths(j)).cast("long") + chunk(j)
+    val fps = fingerprints.select("doc_id", "fp")
+    val keyed = fps
+      .withColumn("pks", array(pairKeys: _*))
+      .select(col("doc_id"), col("fp"), posexplode(col("pks")).as(Seq("pi", "pk")))
+    keyed.as("a")
       .join(
-        chunked.as("b"),
-        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+        keyed.as("b"),
+        col("a.pi") === col("b.pi") && col("a.pk") === col("b.pk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

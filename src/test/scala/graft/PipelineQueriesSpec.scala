@@ -44,6 +44,31 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(pairs.get((0L, 1L)).contains(0), s"identical docs not at hamming 0: $pairs")
   }
 
+  test("simhash pair-blocking recalls EVERY pair at hamming <= 3, drops hamming 4") {
+    // plant fingerprints at every hamming distance 0..3 from a base,
+    // covering worst-case bit placements (3 flips spread over 3
+    // different chunks — the case single-chunk-blocking with pairs of
+    // 4 chunks would miss); doc 99 sits at hamming 4 and must NOT pair
+    // with the base under maxHamming = 3
+    val base = 0x0123456789abcdefL
+    val rnd = new scala.util.Random(7)
+    def flip(bits: Seq[Int]): Long = bits.foldLeft(base)((f, b) => f ^ (1L << b))
+    val planted = Seq(
+      10L -> base,                        // hamming 0
+      11L -> flip(Seq(5)),                // hamming 1
+      12L -> flip(Seq(0, 63)),            // hamming 2, opposite ends
+      13L -> flip(Seq(3, 20, 40)),        // hamming 3 across 3 chunks of 5
+      14L -> flip(Seq(12, 13, 14)),       // hamming 3 straddling a chunk edge
+      99L -> flip(Seq(1, 17, 33, 50))     // hamming 4 — excluded
+    ) ++ (100L until 150L).map(i => i -> rnd.nextLong()) // background noise
+    val fps = planted.toDF("doc_id", "fp")
+    val got = Dedup.simhashPairsFromFps(fps, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (other <- Seq(11L, 12L, 13L, 14L))
+      assert(got.contains((10L, other)), s"missed planted pair (10,$other): $got")
+    assert(!got.contains((10L, 99L)), "hamming-4 pair leaked through maxHamming=3")
+  }
+
   test("ngram jaccard: identical docs score 1.0, near dups high, others absent") {
     val j = Dedup.ngramJaccard(fixture)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
