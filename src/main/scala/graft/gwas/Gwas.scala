@@ -75,14 +75,55 @@ object GwasOps {
 
   /** HWE long→wide pivot: one row per (chr, snp, a1, a2), columns per
     * test ∈ {ALL, AFF, UNAFF} (wrangle_data.Rmd:207-213, 241-245).
-    * Explicit pivot values — no discovery pass, single shuffle. */
+    * All five reference value groups — geno, o_het, e_het, p, maf
+    * (`values_from = c(geno, o_het, e_het, p, maf)`,
+    * wrangle_data.Rmd:210,316). Explicit pivot values — no discovery
+    * pass, single shuffle. */
   def pivotHwe(hweLong: DataFrame): DataFrame =
     hweLong
       .withColumn("maf", mafCalc(col("geno")))
       .groupBy("chr", "snp", "a1", "a2")
       .pivot("test", Seq("ALL", "AFF", "UNAFF"))
-      .agg(first(col("geno")).as("geno"), first(col("p")).as("hwe_p"),
-        first(col("maf")).as("maf"))
+      .agg(first(col("geno")).as("geno"),
+        first(col("o_het")).as("o_het"), first(col("e_het")).as("e_het"),
+        first(col("p")).as("hwe_p"), first(col("maf")).as("maf"))
+
+  /** Marker alias resolution — the id-normalization join every
+    * reference load runs (load_urate2020_gwas.Rmd:159-161; marker side
+    * re-derivation from :111): load rows left-join the marker alias
+    * table on (snp_id = marker_name, ref, alt) — the marker side's
+    * ref/alt re-extracted from its positional kgp_id — then rows whose
+    * `chr_pos_alleles` carries an rs/Affx name take the marker table's
+    * kgp_id while positional names keep chr_pos_alleles, and `,NNN`
+    * composite suffixes are stripped. An rs/Affx row with no marker
+    * match resolves to NULL kgp_id (the reference's NA — it feeds the
+    * orphan audit, not the gwas insert).
+    *
+    * Scale: the marker side is alias-table-sized (≪ the load fact); no
+    * broadcast hint — AQE broadcasts when it fits, else this is one
+    * shuffle on a 3-column key. Pass `chrXY = true` for chrXY loads to
+    * apply the reference's `sed s/^X:/XY:/` pass (wrangle_data.Rmd:321)
+    * to the resolved id. */
+  def resolveMarkerIds(load: DataFrame, marker: DataFrame,
+                       chrXY: Boolean = false): DataFrame = {
+    val m = marker.select(
+      col("kgp_id").as("kgp_id_marker_table"),
+      col("marker_name"),
+      refFromKgp(col("kgp_id")).as("ref_marker_table"),
+      altFromKgp(col("kgp_id")).as("alt_marker_table"))
+    val resolved =
+      when(col("chr_pos_alleles").rlike("(rs)|(Aff)"), col("kgp_id_marker_table"))
+        .otherwise(col("chr_pos_alleles"))
+    val fixed = if (chrXY) fixXYIds(stripIdSuffix(resolved)) else stripIdSuffix(resolved)
+    load
+      .join(m,
+        load("snp_id") === m("marker_name") &&
+          load("ref") === m("ref_marker_table") &&
+          load("alt") === m("alt_marker_table"),
+        "left")
+      .withColumn("kgp_id", fixed)
+      .drop("kgp_id_marker_table", "marker_name", "ref_marker_table", "alt_marker_table")
+  }
 
   /** QC split (info_score < 0.3 / maf < floor — wrangle_data.Rmd:234,
     * load_urate2020_gwas.Rmd:138): returns (kept, removed-key-pairs).

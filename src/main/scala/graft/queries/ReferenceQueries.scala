@@ -1,9 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.gwas.GwasOps
 import graft.tables.Tables._
 import Det._
 
@@ -174,6 +175,38 @@ object ReferenceQueries {
         regexp_extract(col("kgp_id"), "_([A-Z]+)$", 1).as("alt_allele"))
       .orderBy("l_orderkey", "l_linenumber", "kgp_id")
 
+  /** Marker alias resolution (load_urate2020_gwas.Rmd:159-161) on the
+    * test tables: `part` plays the marker alias table (positional
+    * kgp_id + rs name), `lineitem` plays the load fact. Rows cover all
+    * four reference branches: rs name resolved via the (marker_name,
+    * ref, alt) join, rs name unmatched (allele mismatch → NULL, the
+    * reference's NA), positional id kept as-is, and `,NNN` composite
+    * suffix stripped. The join runs through GwasOps.resolveMarkerIds —
+    * one alias-table-sized join, AQE-broadcast at this SF. */
+  def aliasResolve(s: SparkSession, d: String): DataFrame = {
+    val letters = array(lit("A"), lit("C"), lit("G"), lit("T"))
+    def refOf(k: Column) = element_at(letters, (pmod(k, lit(4)) + 1).cast("int"))
+    def altOf(k: Column) = element_at(letters, (pmod(k + 1, lit(4)) + 1).cast("int"))
+    def kgpOf(k: Column) =
+      concat(pmod(k, lit(22)) + 1, lit(":"), k, lit("_"), refOf(k), lit("_"), altOf(k))
+    val marker = part(s, d).select(
+      kgpOf(col("p_partkey")).as("kgp_id"),
+      concat(lit("rs"), col("p_partkey")).as("marker_name"))
+    val load = lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      concat(lit("rs"), col("l_partkey")).as("snp_id"),
+      when(pmod(col("l_linenumber"), lit(2)) === 0, concat(lit("rs"), col("l_partkey")))
+        .when(pmod(col("l_linenumber"), lit(3)) === 0,
+          concat(kgpOf(col("l_partkey")), lit(",123")))
+        .otherwise(kgpOf(col("l_partkey"))).as("chr_pos_alleles"),
+      when(pmod(col("l_linenumber"), lit(4)) === 2, altOf(col("l_partkey")))
+        .otherwise(refOf(col("l_partkey"))).as("ref"),
+      altOf(col("l_partkey")).as("alt"))
+    GwasOps.resolveMarkerIds(load, marker)
+      .select("l_orderkey", "l_linenumber", "snp_id", "kgp_id")
+      .orderBy("l_orderkey", "l_linenumber", "snp_id", "kgp_id")
+  }
+
   /** The plot-facet query: combined view restricted to a region AND a
     * set of study names — `filter(name %in% input$gwas_study)`
     * (app.R:169-176). The IN list is tiny and constant → Catalyst
@@ -240,6 +273,7 @@ object ReferenceQueries {
     "q_neg_log10" -> negLog10 _,
     "q_top_hits" -> topHits _,
     "q_id_normalize" -> idNormalize _,
+    "q_alias_resolve" -> aliasResolve _,
     "q_qc_filter" -> qcFilter _,
     "q_facet_filter" -> facetFilter _,
     "q_manhattan_bin" -> manhattanBin _,
@@ -320,6 +354,43 @@ object ReferenceQueries {
         |  regexp_extract(kgp_id, '_([A-Z]+)_', 1) AS ref_allele,
         |  regexp_extract(kgp_id, '_([A-Z]+)$', 1) AS alt_allele
         |FROM k ORDER BY l_orderkey, l_linenumber, kgp_id""".stripMargin,
+    "q_alias_resolve" ->
+      """WITH marker AS (
+        |  SELECT concat((p_partkey % 22) + 1, ':', p_partkey, '_',
+        |           substr('ACGT', CAST(p_partkey % 4 AS INT) + 1, 1), '_',
+        |           substr('ACGT', CAST((p_partkey + 1) % 4 AS INT) + 1, 1)) AS kgp_id,
+        |         concat('rs', p_partkey) AS marker_name
+        |  FROM part),
+        |m AS (
+        |  SELECT kgp_id AS kgp_id_m, marker_name,
+        |         regexp_extract(kgp_id, '_([ACGT]+)_', 1) AS ref_m,
+        |         regexp_extract(kgp_id, '_([ACGT]+)$', 1) AS alt_m
+        |  FROM marker),
+        |li AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
+        |         substr('ACGT', CAST(l_partkey % 4 AS INT) + 1, 1) AS ref0,
+        |         substr('ACGT', CAST((l_partkey + 1) % 4 AS INT) + 1, 1) AS alt0,
+        |         concat((l_partkey % 22) + 1, ':', l_partkey, '_',
+        |           substr('ACGT', CAST(l_partkey % 4 AS INT) + 1, 1), '_',
+        |           substr('ACGT', CAST((l_partkey + 1) % 4 AS INT) + 1, 1)) AS kgp
+        |  FROM lineitem),
+        |ld AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         concat('rs', l_partkey) AS snp_id,
+        |         CASE WHEN l_linenumber % 2 = 0 THEN concat('rs', l_partkey)
+        |              WHEN l_linenumber % 3 = 0 THEN concat(kgp, ',123')
+        |              ELSE kgp END AS chr_pos_alleles,
+        |         CASE WHEN l_linenumber % 4 = 2 THEN alt0 ELSE ref0 END AS ref,
+        |         alt0 AS alt
+        |  FROM li)
+        |SELECT l_orderkey, l_linenumber, snp_id,
+        |  regexp_replace(
+        |    CASE WHEN regexp_matches(chr_pos_alleles, '(rs)|(Aff)')
+        |         THEN kgp_id_m ELSE chr_pos_alleles END,
+        |    ',[0-9]+', '', 'g') AS kgp_id
+        |FROM ld LEFT JOIN m
+        |  ON snp_id = marker_name AND ref = ref_m AND alt = alt_m
+        |ORDER BY l_orderkey, l_linenumber, snp_id, kgp_id""".stripMargin,
     "q_facet_filter" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, o_orderpriority, l_quantity
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -32,18 +32,55 @@ class GwasOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("pivotHwe widens ALL/AFF/UNAFF rows into one row per marker") {
+  test("pivotHwe widens ALL/AFF/UNAFF rows with all five reference value groups") {
     val long = Seq(
-      (22, "rs1", "A", "T", "ALL", "10/20/70", 0.5),
-      (22, "rs1", "A", "T", "AFF", "5/10/35", 0.4),
-      (22, "rs1", "A", "T", "UNAFF", "5/10/35", 0.6)
-    ).toDF("chr", "snp", "a1", "a2", "test", "geno", "p")
+      (22, "rs1", "A", "T", "ALL", "10/20/70", 0.20, 0.18, 0.5),
+      (22, "rs1", "A", "T", "AFF", "5/10/35", 0.21, 0.19, 0.4),
+      (22, "rs1", "A", "T", "UNAFF", "5/10/35", 0.22, 0.20, 0.6)
+    ).toDF("chr", "snp", "a1", "a2", "test", "geno", "o_het", "e_het", "p")
     val wide = GwasOps.pivotHwe(long)
     assert(wide.count() == 1)
+    // the reference pivots values_from = c(geno, o_het, e_het, p, maf)
+    // (wrangle_data.Rmd:210,316) — all five groups × three tests
+    for (t <- Seq("ALL", "AFF", "UNAFF"); v <- Seq("geno", "o_het", "e_het", "hwe_p", "maf"))
+      assert(wide.columns.contains(s"${t}_$v"), s"missing pivot column ${t}_$v")
     val r = wide.head()
     assert(r.getAs[String]("ALL_geno") == "10/20/70")
+    assert(r.getAs[Double]("ALL_o_het") == 0.20)
+    assert(r.getAs[Double]("AFF_e_het") == 0.19)
     assert(r.getAs[Double]("AFF_hwe_p") == 0.4)
     assert(math.abs(r.getAs[Double]("UNAFF_maf") - 0.2) < 1e-12)
+  }
+
+  test("resolveMarkerIds prefers marker kgp_id for rs/Affx names and strips suffixes") {
+    val marker = Seq(
+      ("1:100_A_T", "rs100"),
+      ("2:200_G_C", "Affx-200")
+    ).toDF("kgp_id", "marker_name")
+    val load = Seq(
+      (1L, "rs100", "rs100", "A", "T"),          // rs, alleles match → marker kgp_id
+      (2L, "rs100", "rs100", "T", "T"),          // rs, allele mismatch → NULL (reference NA)
+      (3L, "Affx-200", "Affx-200", "G", "C"),    // Affx name resolved
+      (4L, "rs999", "3:300_C_G", "C", "G"),      // positional id kept as-is
+      (5L, "rs998", "3:301_C_G,456", "C", "G")   // ,NNN composite suffix stripped
+    ).toDF("row_id", "snp_id", "chr_pos_alleles", "ref", "alt")
+    val got = GwasOps.resolveMarkerIds(load, marker)
+      .select("row_id", "kgp_id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("1:100_A_T"))
+    assert(got(2L).isEmpty)
+    assert(got(3L).contains("2:200_G_C"))
+    assert(got(4L).contains("3:300_C_G"))
+    assert(got(5L).contains("3:301_C_G"))
+  }
+
+  test("resolveMarkerIds chrXY mode applies the X: -> XY: fixup") {
+    val marker = Seq(("X:1_A_T", "rsX")).toDF("kgp_id", "marker_name")
+    val load = Seq((1L, "rsX", "X:1_A_T", "A", "T"))
+      .toDF("row_id", "snp_id", "chr_pos_alleles", "ref", "alt")
+    val got = GwasOps.resolveMarkerIds(load, marker, chrXY = true)
+      .select("kgp_id").head().getString(0)
+    assert(got == "XY:1_A_T")
   }
 
   test("qcSplit partitions rows on info score and maf thresholds") {
