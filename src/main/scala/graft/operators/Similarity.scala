@@ -38,37 +38,28 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style ANN: partition the corpus into `nlist` Voronoi cells
-    * (KMeans centroids), search only the `nprobe` cells closest to the
-    * query. At 100 TB the cell id becomes the table's partition column,
-    * so a query scans nprobe/nlist of the data; here the assignment is
-    * a broadcast-centroid argmin over one scan. */
+  /** IVF ANN, one-shot convenience over the Ivf lifecycle: builds (or
+    * reuses, when `indexPath` points at an existing index) the
+    * partitioned index, then runs the partition-pruned query — see
+    * graft.operators.Ivf for the scale story. The ONLY corpus-wide work
+    * is the offline `Ivf.fit`; the query path is a driver-side centroid
+    * argmin plus a scan of nprobe cell partitions. */
   def annIvf(emb: DataFrame, queryId: Long = 0L, k: Int = 10,
-             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = emb.withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).fit(feat)
-    val assigned = model.transform(feat)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    val qRow = assigned.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("cell").as("q_cell"))
-    // cells ranked by centroid distance to the query's centroid-space
-    val qVec = feat.filter(col("vec_id") === queryId)
-      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
-    val probeCells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec))
-      }
-      .sortBy(_._2).take(nprobe).map(_._1)
-    assigned
-      .filter(col("cell").isin(probeCells.toIndexedSeq: _*) && col("vec_id") =!= queryId)
-      .crossJoin(broadcast(qRow.select("q_emb")))
-      .select(
-        col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
-      .orderBy(desc("cosine"), col("vec_id"))
-      .limit(k)
+             nlist: Int = 16, nprobe: Int = 4,
+             indexPath: Option[String] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val index = indexPath match {
+      case Some(p) if new java.io.File(s"$p/centroids").exists() => Ivf.load(spark, p)
+      case Some(p) => Ivf.fit(emb, p, nlist)
+      case None =>
+        Ivf.fit(emb, java.nio.file.Files.createTempDirectory("graft_ivf").toString, nlist)
+    }
+    // one point lookup for the query's embedding — the query INPUT, not
+    // part of the search plan
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Ivf.query(spark, index, qv, k, nprobe, excludeId = Some(queryId))
   }
 
   /** Deterministic ±1 hyperplane component for (table, plane, dim) —

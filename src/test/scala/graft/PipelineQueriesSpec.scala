@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Ivf, Multimodal, Similarity, TextOps}
 import graft.queries.PipelineQueries
 import graft.tables.Tables
 
@@ -99,6 +99,32 @@ class PipelineQueriesSpec extends SparkSpec {
     val ivf = Similarity.annIvf(withPlant, k = 10)
       .collect().map(_.getLong(0)).toSet
     assert(ivf.contains(499L), s"IVF missed the planted near-copy: $ivf")
+  }
+
+  test("ivf query scans only nprobe cell partitions and reloads from disk") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    val emb = Tables.embeddings(spark, sf)
+    val index = Ivf.fit(emb, tmp, nlist = 8)
+    assert(index.nlist == 8)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val q = Ivf.query(spark, index, qv, k = 5, nprobe = 3, excludeId = Some(0L))
+    // the scale property: the scan's file listing is pruned to the
+    // nprobe probed cells — nothing else is even listed, let alone read
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the query plan")
+    val scanned = scans.head.selectedPartitions.partitionCount
+    assert(scanned == 3, s"scanned $scanned cell partitions, wanted nprobe=3")
+    assert(q.count() == 5)
+    // steady-state serving path: reopen the persisted index
+    val reopened = Ivf.load(spark, tmp)
+    assert(reopened.nlist == index.nlist && reopened.dim == index.dim)
+    assert(Ivf.query(spark, reopened, qv, k = 5, nprobe = 3, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSeq ==
+      q.collect().map(_.getLong(0)).toSeq)
   }
 
   test("ann lsh candidates are a subset ranking consistent with brute force") {
