@@ -177,11 +177,15 @@ object Dedup {
     * and compute |A∩B| / |A∪B| with array set ops — the corpus is
     * scanned twice for arrays, the quadratic part never materializes. */
   def ngramJaccard(docs: DataFrame, shingleK: Int = 2, minJaccard: Double = 0.5,
-                   cache: Boolean = true): DataFrame = {
-    // shingle arrays feed both the signature path and the verify join —
-    // caching shreds the corpus once. At 100 TB set cache=false: a
-    // second scan is cheaper than spilling the full shingle set, and
-    // the verify join only needs the candidate ids' arrays anyway.
+                   cache: Boolean = false): DataFrame = {
+    // shingle arrays feed both the signature path and the verify join.
+    // cache=false is the default: the operator returns a LAZY frame, so
+    // an internal persist could never be unpersisted at the right time
+    // and would pin executor storage for the session; at 100 TB a
+    // second scan also beats spilling the full shingle set. Callers
+    // iterating on a corpus that fits in memory can opt in with
+    // cache=true and own the unpersist via
+    // spark.catalog.clearCache() when done.
     val shingledRaw = withShingles(docs, shingleK)
     val shingled =
       if (cache) shingledRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -203,10 +207,14 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs: vectors bucketed by
     * hyperplane LSH (see Similarity), pairs sharing a bucket verified
-    * with exact cosine ≥ threshold. */
+    * with exact cosine ≥ threshold. `planes <= 0` (the default) sizes
+    * the bucket space from the corpus count via
+    * [[Similarity.planesFor]] — fixed plane counts go quadratic per
+    * bucket once N outgrows 2^planes · targetOccupancy. */
   def embeddingDupPairs(emb: DataFrame, minCosine: Double = 0.95,
-                        dim: Int = 64, tables: Int = 4, planes: Int = 8): DataFrame = {
-    val banded = Similarity.withBuckets(emb, dim, tables, planes)
+                        dim: Int = 64, tables: Int = 4, planes: Int = 0): DataFrame = {
+    val p = if (planes > 0) planes else Similarity.planesFor(emb.count())
+    val banded = Similarity.withBuckets(emb, dim, tables, p)
       .select(col("vec_id"), posexplode(col("bks")).as(Seq("t", "bucket")))
     // distinct FIRST: clustered corpora make the same pair collide in
     // several tables — dedup ids before paying for any cosine

@@ -62,6 +62,20 @@ object Similarity {
     Ivf.query(spark, index, qv, k, nprobe, excludeId = Some(queryId))
   }
 
+  /** Hyperplane-count sizing: 2^planes buckets per table, so expected
+    * occupancy is N/2^planes — planes MUST grow with log₂(N) or buckets
+    * (and the bucket self-join) go quadratic in corpus size. This picks
+    * the smallest plane count keeping expected occupancy at or under
+    * `targetOccupancy` (clamped to [4, 30]; bucket ids pack into an
+    * int). At 10^9 vectors and the default target this is 24 planes —
+    * 16M buckets/table — where the round-1 fixed default of 8 planes
+    * would have left 4M vectors per bucket. */
+  def planesFor(n: Long, targetOccupancy: Long = 64L): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.min(30, math.max(4, needed))
+  }
+
   /** Deterministic ±1 hyperplane component for (table, plane, dim) —
     * a hash-derived Rademacher entry, so every executor regenerates the
     * same planes with zero driver-side state to ship. */
@@ -97,10 +111,13 @@ object Similarity {
   /** LSH-bucketed approximate nearest neighbors for `queryId`: probe the
     * query's bucket in each of `tables` hash tables, union candidates,
     * rank by exact cosine. Recall grows with `tables`, candidate count
-    * shrinks with `planes`. */
+    * shrinks with `planes`. `planes <= 0` (the default) derives the
+    * count from the corpus size via [[planesFor]] — one count() scan,
+    * amortized against the search it parameterizes. */
   def annLsh(emb: DataFrame, queryId: Long = 0L, k: Int = 10, dim: Int = 64,
-             tables: Int = 4, planes: Int = 6): DataFrame = {
-    val banded = withBuckets(emb, dim, tables, planes)
+             tables: Int = 4, planes: Int = 0): DataFrame = {
+    val p = if (planes > 0) planes else planesFor(emb.count())
+    val banded = withBuckets(emb, dim, tables, p)
       .select(col("vec_id"), col("embedding"), posexplode(col("bks")).as(Seq("t", "bucket")))
     val qb = banded.filter(col("vec_id") === queryId)
       .select(col("t").as("qt"), col("bucket").as("qbucket"), col("embedding").as("q_emb"))

@@ -134,6 +134,29 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(cos.sameElements(cos.sortBy(-(_: Double))))
   }
 
+  test("lsh plane sizing keeps bucket occupancy bounded across 10x corpus growth") {
+    val target = 64L
+    // by construction: expected occupancy n/2^planes stays at or under target
+    for (n <- Seq(2000L, 20000L, 200000L))
+      assert(n.toDouble / (1L << Similarity.planesFor(n, target)) <= target, s"n=$n")
+    // and the derived count GROWS with the corpus — the scale property a
+    // fixed plane default lacks (10x data -> ceil(log2(10)) more planes)
+    assert(Similarity.planesFor(20000) - Similarity.planesFor(2000) >= 3)
+    // empirical max occupancy on a bucketed synthetic corpus stays near
+    // the target (hyperplane signs are near-uniform on spread-out data)
+    val n = 5000
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 16).map(i =>
+        (pmod(xxhash64(col("id"), lit(i)), lit(1000L)).cast("double") / 500.0 - 1.0)
+          .cast("float")): _*).as("embedding"))
+    val occ = Similarity
+      .withBuckets(emb, dim = 16, tables = 2, planes = Similarity.planesFor(n, target))
+      .select(posexplode(col("bks")).as(Seq("t", "bucket")))
+      .groupBy("t", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(occ <= target * 8, s"max bucket occupancy $occ far above the $target target")
+  }
+
   test("language id picks the language with the most marker hits") {
     val d = Seq((1L, "el gato la casa el perro"), (2L, "the cat the dog a bird"))
       .toDF("doc_id", "text")

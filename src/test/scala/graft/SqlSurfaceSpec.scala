@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gwas.GwasViews
+import graft.queries.ReferenceQueries
+
+/** The SQL front door: registered views must serve the same results as
+  * the DataFrame API — the reference's app.R queries as one-liners. */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("oracle SQL for q_region_filter runs verbatim through the registered views") {
+    graft.tools.Sql.registerAll(spark, sf)
+    val viaSql = spark.sql(ReferenceQueries.oracles("q_region_filter")).collect()
+    val viaDf = ReferenceQueries.entries("q_region_filter")(spark, sf).collect()
+    assert(viaSql.length == viaDf.length && viaSql.nonEmpty)
+    assert(viaSql.map(_.toString).toSeq == viaDf.map(_.toString).toSeq)
+  }
+
+  test("gwasDB views serve app.R's region and marker queries as SQL") {
+    val b37 = Seq(
+      ("1:100_A_T", 1, 100, "A", "T"),
+      ("1:500_G_C", 1, 500, "G", "C"),
+      ("2:100_A_G", 2, 100, "A", "G")
+    ).toDF("kgp_id", "chr", "pos", "ref", "alt")
+    val marker = Seq(("1:100_A_T", "rs100")).toDF("kgp_id", "marker_name")
+    val study = Seq((1, "ukbb_gout", 1000L, 100L, 900L))
+      .toDF("id", "name", "n", "n_case", "n_control")
+    val gwas = Seq(
+      ("1:100_A_T", 1, 0.9, 5.5),
+      ("1:500_G_C", 1, 0.95, 2.2),
+      ("2:100_A_G", 1, 0.1, 1.0) // filtered by the view's impute QC
+    ).toDF("kgp_id", "study_id", "impute_score", "neg_log10_p")
+    GwasViews.register(spark, b37, marker, study, gwas)
+    val region = spark.sql(GwasViews.regionSql(1, 50, 600))
+      .select("kgp_id").as[String].collect().toSet
+    assert(region == Set("1:100_A_T", "1:500_G_C"))
+    val search = spark.sql(GwasViews.markerSearchSql("^1:"))
+      .select("kgp_id").as[String].collect().toSet
+    assert(search == Set("1:100_A_T", "1:500_G_C"))
+    // the combined view carries the study join like the export view
+    assert(spark.sql("SELECT DISTINCT name FROM combined WHERE name IS NOT NULL")
+      .as[String].collect().toSeq == Seq("ukbb_gout"))
+  }
+
+  test("predicates pushed through a view reach the parquet scan") {
+    graft.tools.Sql.registerAll(spark, sf)
+    val p = spark.sql(
+      "SELECT l_orderkey FROM lineitem WHERE l_suppkey = 5 AND l_partkey BETWEEN 50 AND 150")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_suppkey)"), s"no pushdown through view:\n$p")
+  }
+}
