@@ -205,6 +205,68 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise candidates into dedup CLUSTERS (keep min-id per
+    * component, drop the rest). Returns (doc_id, component) with
+    * component = the smallest doc_id reachable.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * (1) every node takes the min label over its neighbors, then
+    * (2) every node re-reads the label OF its label (comp -> comp's
+    * comp) — the doubling step that collapses chains in O(log diameter)
+    * rounds instead of O(diameter). Per round: one shuffle join on the
+    * edge list + one self-join on the label table, each keyed by id —
+    * the classic large-graph CC shape (no driver-side adjacency, no
+    * assumption the graph fits anywhere).
+    *
+    * Lineage control: each round re-reads `labels` in three places, so
+    * chaining rounds lazily would grow the logical plan ~4^rounds and
+    * stall Catalyst long before the data is the problem. Every round
+    * therefore ends in an EAGER localCheckpoint — the plan restarts
+    * from materialized partitions (on a cluster, swap in
+    * checkpoint-dir-backed checkpointing for fault tolerance);
+    * superseded round blocks are freed by the ContextCleaner as the
+    * loop drops its references. LSH dup clusters are near-cliques, so
+    * this typically converges in 2-3 rounds; a 50-node chain (max
+    * diameter) converges in 6. */
+  def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    // initial label: min(self, direct neighbors) — saves one round
+    var labels = edges.groupBy("a")
+      .agg(min("b").as("nmin"))
+      .select(col("a").as("id"), least(col("a"), col("nmin")).as("comp"))
+      .localCheckpoint(true)
+    var done = false
+    var i = 0
+    while (!done && i < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("ncomp")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("ncomp")).as("ncomp"))
+      val propagated = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // pointer jump: labels are themselves node ids, so comp's comp is
+      // a self-join — the doubling that makes long chains logarithmic
+      val next = propagated
+        .join(
+          propagated.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("comp") === col("cid"), "left")
+        .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.select(col("id"), col("comp").as("newc"))
+        .join(labels, "id")
+        .filter(col("newc") =!= col("comp"))
+        .limit(1).count() > 0
+      labels = next
+      done = !changed
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors bucketed by
     * hyperplane LSH (see Similarity), pairs sharing a bucket verified
     * with exact cosine ≥ threshold. `planes <= 0` (the default) sizes

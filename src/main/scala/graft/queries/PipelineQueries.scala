@@ -50,6 +50,21 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
     "mm_framesample" -> ((s, d) => Multimodal.frameSample(documents(s, d))),
+    // connected components over a planted chain graph: 20 chains of 50
+    // nodes, generated identically on both engines, ground truth
+    // analytic (component = id - id % 50). The ITERATIVE min-label +
+    // pointer-jump algorithm runs for real — chains of 50 are its
+    // worst case (max diameter), cliques its best — while the oracle
+    // states the closed form, making the distributed loop hash-exact
+    // checkable in DuckDB without recursion.
+    "dedup_components" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val chain = 50L
+      val pairs = s.range(999)
+        .filter(pmod(col("id"), lit(chain)) =!= lit(chain - 1))
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      Dedup.components(pairs).orderBy("doc_id")
+    }),
   )
 
   /** Portable spelling of TextOps.occ for the DuckDB side. */
@@ -148,6 +163,9 @@ object PipelineQueries {
          |  CAST(CASE WHEN m <= 224 THEN hh0 ELSE greatest(1, hh0 * 224 // m) END AS INT) AS resized_h
          |FROM dims ORDER BY doc_id""".stripMargin
     },
+    "dedup_components" ->
+      """SELECT range AS doc_id, range - (range % 50) AS component
+        |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,
     "mm_framesample" ->
       """WITH f AS (
         |  SELECT doc_id, text,

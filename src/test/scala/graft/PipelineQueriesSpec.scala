@@ -69,6 +69,28 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(!got.contains((10L, 99L)), "hamming-4 pair leaked through maxHamming=3")
   }
 
+  test("connected components collapse chains and leave separate clusters apart") {
+    val pairs = Seq(
+      (0L, 1L), (1L, 2L), (2L, 7L), // chain: {0,1,2,7} -> 0
+      (3L, 4L),                     // pair: {3,4} -> 3
+      (9L, 5L)                      // reversed-order edge: {5,9} -> 5
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 7L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 5L, 9L -> 5L))
+  }
+
+  test("components over minhash pairs cluster the duplicate fixture docs") {
+    val comps = Dedup.components(Dedup.minhashCandidates(fixture))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0/1 are exact dups, 2 a near dup -> one cluster rooted at 0;
+    // doc 3 shares no pair so it has no row (isolated = its own keeper)
+    assert(comps.get(0L).contains(0L) && comps.get(1L).contains(0L))
+    assert(comps.get(2L).contains(0L))
+    assert(!comps.contains(3L))
+  }
+
   test("ngram jaccard: identical docs score 1.0, near dups high, others absent") {
     val j = Dedup.ngramJaccard(fixture)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
@@ -231,6 +253,18 @@ class PipelineQueriesSpec extends SparkSpec {
     val files = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
     assert(files == 3, s"expected 3 files for 6000 rows @2000, got $files")
     assert(spark.read.parquet(path).count() == Tables.lineitem(spark, sf).count())
+  }
+
+  test("size-based compaction needs no counting scan and preserves rows") {
+    val li = Tables.lineitem(spark, sf)
+    val target = 100L << 10 // 100 KiB
+    val est = li.queryExecution.optimizedPlan.stats.sizeInBytes
+    val expected = math.max(1, ((est + target - 1) / target).toInt)
+    val path = "/tmp/graft_compacted_size"
+    graft.operators.Layout.compactBySize(li, path, targetBytesPerFile = target)
+    val files = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == expected, s"expected $expected files from $est est. bytes, got $files")
+    assert(spark.read.parquet(path).count() == li.count())
   }
 
   test("multimodal meta stub is deterministic over byte length") {
