@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.tables.Tables._
+
+/** Ad-hoc perf probe for bench outliers — times plan variants so a slow
+  * query's cost can be attributed (scan vs expressions vs sort vs
+  * index-build) instead of guessed at. */
+object Probe {
+  def time(tag: String)(f: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    f
+    println(f"[probe] $tag%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+  }
+
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get("graft-probe")
+    import spark.implicits._
+
+    // warmup
+    noop(lineitem(spark, d).limit(1000))
+
+    // --- q_maf_calc anatomy ---
+    val withGeno = lineitem(spark, d).withColumn(
+      "geno",
+      concat_ws("/", pmod(col("l_partkey"), lit(50)), col("l_suppkey"), col("l_linenumber")))
+    val g = split(col("geno"), "/")
+    val maf = withGeno.select(
+      col("l_orderkey"), col("l_linenumber"), col("geno"),
+      ((g.getItem(1).cast("double") + lit(2.0) * g.getItem(0).cast("double")) /
+        (lit(2.0) * (g.getItem(0).cast("double") + g.getItem(1).cast("double") +
+          g.getItem(2).cast("double")))).as("maf"))
+    time("maf: scan only")(noop(lineitem(spark, d).select("l_orderkey", "l_linenumber")))
+    time("maf: expressions, no sort")(noop(maf))
+    time("maf: + orderBy all cols")(noop(maf.orderBy("l_orderkey", "l_linenumber", "geno", "maf")))
+    time("maf: + orderBy keys only")(noop(maf.orderBy("l_orderkey", "l_linenumber")))
+
+    // --- sim_ann_ivf anatomy ---
+    val emb = embeddings(spark, d)
+    val tmp = java.nio.file.Files.createTempDirectory("probe_ivf").toString
+    time("ivf: corpus count")(emb.count())
+    var idx: graft.operators.Ivf.IvfIndex = null
+    time("ivf: fit (kmeans+write)") { idx = graft.operators.Ivf.fit(emb, tmp, nlist = 16) }
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    time("ivf: query")(noop(graft.operators.Ivf.query(spark, idx, qv, 10, 4, Some(0L))))
+    // kmeans alone
+    time("ivf: kmeans fit only") {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val feat = emb.withColumn("features", array_to_vector(col("embedding")))
+      new KMeans().setK(16).setSeed(42L).setMaxIter(10).fit(feat)
+    }
+
+    // --- q_alias_resolve anatomy ---
+    val ar = graft.queries.ReferenceQueries.entries("q_alias_resolve")
+    time("alias_resolve: full")(noop(ar(spark, d)))
+    spark.stop()
+  }
+}
