@@ -38,7 +38,12 @@ object Bench {
     // stall inflation is 10x+, so two agreeing samples are steady-state
     // with high confidence, while genuine cost reproduces and converges
     // immediately.
+    // local-iteration filter: SPARK_GRAFT_ONLY="q1_agg,q_distinct_pairs"
+    // times just those queries (driver never sets it → full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val rng = new scala.util.Random(42)
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector())

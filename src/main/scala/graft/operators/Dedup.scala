@@ -240,6 +240,9 @@ object Dedup {
       .agg(min("b").as("nmin"))
       .select(col("a").as("id"), least(col("a"), col("nmin")).as("comp"))
       .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var done = false
     var i = 0
     while (!done && i < maxIters) {
@@ -256,12 +259,16 @@ object Dedup {
           col("comp") === col("cid"), "left")
         .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
         .localCheckpoint(true)
-      val changed = next.select(col("id"), col("comp").as("newc"))
-        .join(labels, "id")
-        .filter(col("newc") =!= col("comp"))
-        .limit(1).count() > 0
+      // convergence: labels are node ids and label(x) <= x, so each
+      // round every comp is non-increasing — any change strictly
+      // decreases sum(comp). Comparing sums is one cheap aggregate
+      // over the just-checkpointed partitions, replacing the per-round
+      // labels-join + filter + count job (one fewer shuffle per round).
+      // decimal(38,0) so huge id spaces can't overflow-collide.
+      val nextSum = labelSum(next)
       labels = next
-      done = !changed
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("comp").as("component"))

@@ -151,13 +151,24 @@ object WarehouseQueries {
     * distinct's expand-shuffle is too expensive. Rows-only (sketch
     * estimates are engine-specific); the spec bounds the error vs
     * exact. */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+  def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    // Deliberately TWO single-purpose aggregates joined on the group
+    // key: mixing a distinct agg with the HLL sketch in one Aggregate
+    // makes Catalyst plan an Expand, and the partial aggregate then
+    // carries an HLL buffer per (group × distinct value) — O(G·D)
+    // ~KB-sized sketch buffers (benched 4× slower here, OOM-shaped at
+    // scale). Separately each pass keeps O(G) state and the join is
+    // group-cardinality-sized.
+    val approx = lineitem(s, d)
       .groupBy("l_suppkey")
-      .agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        countDistinct("l_partkey").as("exact_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
+    val exact = lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_partkey").as("exact_parts"))
+    approx.join(exact, Seq("l_suppkey"))
+      .select("l_suppkey", "approx_parts", "exact_parts")
       .orderBy("l_suppkey")
+  }
 
   /** Top-3 rows per group via the custom TopKPerGroup operator
     * (graft.plans): partial map-side k-heaps cap the shuffle at
