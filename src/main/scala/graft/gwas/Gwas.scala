@@ -154,14 +154,16 @@ object GwasOps {
   /** The `combined`/export view (postgres_process.Rmd:137): gwas ⟕ b37
     * ⟕ reduced study, QC'd on impute_score. Study is dimension-sized →
     * broadcast; b37 is marker-sized → shuffle join on kgp_id (bucketed
-    * by kgp_id at scale, this is co-located). */
+    * by kgp_id at scale, this is co-located). The reduced study join
+    * carries `ancestry` so app.R's `facet_grid(ancestry ~ name)` option
+    * (app.R:56-60,185-189) is answerable from the view. */
   def combinedView(gwas: DataFrame, b37: DataFrame, study: DataFrame): DataFrame =
     gwas
       .filter(col("impute_score") >= 0.3)
       .join(b37, Seq("kgp_id"), "left")
       .join(
         broadcast(study.select(
-          col("id").as("study_id"), col("name"), col("n"),
+          col("id").as("study_id"), col("name"), col("ancestry"), col("n"),
           col("n_case"), col("n_control"))),
         Seq("study_id"), "left")
 
@@ -186,6 +188,19 @@ object GwasOps {
     * (wrangle_data.Rmd:353-356, 376-381). */
   def orphans(load: DataFrame, b37: DataFrame): DataFrame =
     load.join(b37, Seq("kgp_id"), "left_anti")
+
+  /** Persist the audit feed: append removed-pair rows — qcSplit's
+    * second output and/or `orphans(...)` keys — to the stored
+    * `no_gwas_result` table, the reference's post-load audit append
+    * (wrangle_data.Rmd:376-381). Append-mode parquet: each load adds
+    * its rows; readers see the union. Pairs only — never the stats
+    * payload — so the table stays tiny relative to the fact. */
+  def appendNoGwasResult(removed: DataFrame, path: String): Unit =
+    removed.select("kgp_id", "study_id").write.mode("append").parquet(path)
+
+  /** Read the persisted audit table back (for GwasViews.register). */
+  def readNoGwasResult(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** Write the gwas fact partitioned by chromosome — the layout that
     * makes regionQuery/locusWindow partition-prune at 100 TB. */

@@ -222,26 +222,34 @@ object Dedup {
     * Lineage control: each round re-reads `labels` in three places, so
     * chaining rounds lazily would grow the logical plan ~4^rounds and
     * stall Catalyst long before the data is the problem. Every round
-    * therefore ends in an EAGER localCheckpoint — the plan restarts
-    * from materialized partitions (on a cluster, swap in
-    * checkpoint-dir-backed checkpointing for fault tolerance);
-    * superseded round blocks are freed by the ContextCleaner as the
-    * loop drops its references. LSH dup clusters are near-cliques, so
-    * this typically converges in 2-3 rounds; a 50-node chain (max
-    * diameter) converges in 6. */
-  def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs
+    * therefore ends in an EAGER checkpoint — the plan restarts from
+    * materialized partitions; superseded round blocks are freed by the
+    * ContextCleaner as the loop drops its references. By default that
+    * is a localCheckpoint (executor-memory-resident — fast, fine on
+    * local[*]); pass `checkpointDir` on a real cluster to switch to
+    * reliable dir-backed checkpointing, which survives executor loss
+    * mid-loop. LSH dup clusters are near-cliques, so this typically
+    * converges in 2-3 rounds; a 50-node chain (max diameter) converges
+    * in 6. */
+  def components(pairs: DataFrame, maxIters: Int = 25,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = snap(pairs
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     // initial label: min(self, direct neighbors) — saves one round
-    var labels = edges.groupBy("a")
+    var labels = snap(edges.groupBy("a")
       .agg(min("b").as("nmin"))
-      .select(col("a").as("id"), least(col("a"), col("nmin")).as("comp"))
-      .localCheckpoint(true)
+      .select(col("a").as("id"), least(col("a"), col("nmin")).as("comp")))
+    // coalesce to 0: an EMPTY label table (legit when the candidate
+    // generator found zero near-dup pairs) makes sum() return null,
+    // and a null BigDecimal would NPE the convergence compare
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var done = false
     var i = 0
@@ -253,12 +261,11 @@ object Dedup {
         .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // pointer jump: labels are themselves node ids, so comp's comp is
       // a self-join — the doubling that makes long chains logarithmic
-      val next = propagated
+      val next = snap(propagated
         .join(
           propagated.select(col("id").as("cid"), col("comp").as("ccomp")),
           col("comp") === col("cid"), "left")
-        .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp")))
       // convergence: labels are node ids and label(x) <= x, so each
       // round every comp is non-increasing — any change strictly
       // decreases sum(comp). Comparing sums is one cheap aggregate
@@ -279,10 +286,15 @@ object Dedup {
     * with exact cosine ≥ threshold. `planes <= 0` (the default) sizes
     * the bucket space from the corpus count via
     * [[Similarity.planesFor]] — fixed plane counts go quadratic per
-    * bucket once N outgrows 2^planes · targetOccupancy. */
+    * bucket once N outgrows 2^planes · targetOccupancy. The count is
+    * memoized per logical plan (see Similarity.corpusCount), so a
+    * pipeline running annLsh and this on one corpus pays one scan;
+    * pass a known corpus size as `n` to skip it. */
   def embeddingDupPairs(emb: DataFrame, minCosine: Double = 0.95,
-                        dim: Int = 64, tables: Int = 4, planes: Int = 0): DataFrame = {
-    val p = if (planes > 0) planes else Similarity.planesFor(emb.count())
+                        dim: Int = 64, tables: Int = 4, planes: Int = 0,
+                        n: Long = -1L): DataFrame = {
+    val p = if (planes > 0) planes
+            else Similarity.planesFor(if (n > 0) n else Similarity.corpusCount(emb))
     val banded = Similarity.withBuckets(emb, dim, tables, p)
       .select(col("vec_id"), posexplode(col("bks")).as(Seq("t", "bucket")))
     // distinct FIRST: clustered corpora make the same pair collide in

@@ -35,31 +35,57 @@ import org.apache.spark.sql.functions._
 object Percentiles {
 
   /** One row per group: for each `(name, p)` in `ps`, a column `name`
-    * holding the exact p-percentile of `valueCol` (nulls ignored,
-    * like the built-in aggregate). */
+    * holding the exact p-percentile of `valueCol`. Null values are
+    * ignored and a group whose values are ALL null still appears with a
+    * null result — both exactly like the built-in aggregate (the null
+    * rows ride through the histogram with zero weight instead of being
+    * filtered out, which would silently drop the group). */
   def exact(df: DataFrame, groupCol: String, valueCol: String,
             ps: Seq[(String, Double)]): DataFrame = {
     val hist = df
-      .filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("cnt"))
-    val byVal = Window.partitionBy(groupCol).orderBy("v")
+      .withColumn("w", when(col("v").isNotNull, col("cnt")).otherwise(lit(0L)))
+    val byVal = Window.partitionBy(groupCol).orderBy(col("v").asc_nulls_first)
     val all = Window.partitionBy(groupCol)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = hist
-      .withColumn("cum", sum("cnt").over(byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum("cnt").over(all))
+      .withColumn("cum", sum("w").over(byVal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("w").over(all))
     val aggs: Seq[Column] = ps.flatMap { case (name, p) =>
       // 1-based rank position of the p-percentile: pos = p*(n-1)+1;
-      // interpolate between the values at floor(pos) and ceil(pos)
+      // interpolate between the values at floor(pos) and ceil(pos).
+      // With n = 0 (all-null group) both rank lookups come up null and
+      // the arithmetic propagates null — the built-in's answer.
       val pos = lit(p) * (col("n") - 1) + 1
       val lo = floor(pos)
       val hi = ceil(pos)
-      val vLo = min(when(col("cum") >= lo, col("v")))
-      val vHi = min(when(col("cum") >= hi, col("v")))
+      val vLo = min(when(col("cum") >= lo && col("v").isNotNull, col("v")))
+      val vHi = min(when(col("cum") >= hi && col("v").isNotNull, col("v")))
       val frac = max(pos - lo) // group-constant
       Seq((vLo + frac * (vHi - vLo)).as(name))
     }
     cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Percentiles over SEVERAL value columns in one call: each spec is
+    * (output name, value column, p). One histogram pass per distinct
+    * value column, results joined on the group key — the join sides are
+    * one row per group, so at scale this is a group-cardinality-sized
+    * join (AQE broadcasts it when small), never a fact-sized one. The
+    * join is null-safe so a null group key survives, matching the
+    * single-aggregate form. */
+  def exactMulti(df: DataFrame, groupCol: String,
+                 specs: Seq[(String, String, Double)]): DataFrame = {
+    require(specs.nonEmpty, "at least one (name, valueCol, p) spec required")
+    val byValueCol = specs.groupBy(_._2)
+    val parts = specs.map(_._2).distinct.map { vc =>
+      exact(df, groupCol, vc, byValueCol(vc).map { case (n, _, p) => (n, p) })
+    }
+    val joined = parts.reduce { (a, b) =>
+      a.join(b.withColumnRenamed(groupCol, "__g"), col(groupCol) <=> col("__g"))
+        .drop("__g")
+    }
+    joined.select(col(groupCol) +: specs.map(sp => col(sp._1)): _*)
   }
 }

@@ -62,6 +62,23 @@ object Similarity {
     Ivf.query(spark, index, qv, k, nprobe, excludeId = Some(queryId))
   }
 
+  /** Session-scoped memo for corpus counts used only to SIZE the LSH
+    * bucket space (see [[planesFor]]): keyed by the analyzed plan's
+    * semantic hash, so `annLsh` + `embeddingDupPairs` over the same
+    * corpus pay ONE count() scan between them instead of one each. A
+    * stale hit (data rewritten under an identical plan in the same
+    * session) only skews the plane-count heuristic by a few buckets —
+    * it can never change results — and callers that know N can bypass
+    * the scan entirely via the `n` parameter. */
+  private val countMemo = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  /** Number of real count() scans taken — the spec's call-count hook. */
+  private[graft] val countScans = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def clearCountMemo(): Unit = countMemo.clear()
+  private[operators] def corpusCount(emb: DataFrame): Long =
+    countMemo.computeIfAbsent(
+      emb.queryExecution.analyzed.semanticHash(),
+      _ => { countScans.incrementAndGet(); emb.count() })
+
   /** Hyperplane-count sizing: 2^planes buckets per table, so expected
     * occupancy is N/2^planes — planes MUST grow with log₂(N) or buckets
     * (and the bucket self-join) go quadratic in corpus size. This picks
@@ -112,11 +129,13 @@ object Similarity {
     * query's bucket in each of `tables` hash tables, union candidates,
     * rank by exact cosine. Recall grows with `tables`, candidate count
     * shrinks with `planes`. `planes <= 0` (the default) derives the
-    * count from the corpus size via [[planesFor]] — one count() scan,
-    * amortized against the search it parameterizes. */
+    * count from the corpus size via [[planesFor]] — a memoized count()
+    * scan, amortized against the search it parameterizes; pass a known
+    * corpus size as `n` to skip the scan entirely. */
   def annLsh(emb: DataFrame, queryId: Long = 0L, k: Int = 10, dim: Int = 64,
-             tables: Int = 4, planes: Int = 0): DataFrame = {
-    val p = if (planes > 0) planes else planesFor(emb.count())
+             tables: Int = 4, planes: Int = 0, n: Long = -1L): DataFrame = {
+    val p = if (planes > 0) planes
+            else planesFor(if (n > 0) n else corpusCount(emb))
     val banded = withBuckets(emb, dim, tables, p)
       .select(col("vec_id"), col("embedding"), posexplode(col("bks")).as(Seq("t", "bucket")))
     val qb = banded.filter(col("vec_id") === queryId)

@@ -165,8 +165,12 @@ object WarehouseQueries {
     val exact = lineitem(s, d)
       .groupBy("l_suppkey")
       .agg(countDistinct("l_partkey").as("exact_parts"))
-    approx.join(exact, Seq("l_suppkey"))
-      .select("l_suppkey", "approx_parts", "exact_parts")
+    // null-safe join key: a null group (legal for the general operator,
+    // absent in TPC-H) appears in BOTH aggregates, and a plain equi-join
+    // would silently drop it — <=> keeps semantics identical to the
+    // single-aggregate form
+    approx.join(exact, approx("l_suppkey") <=> exact("l_suppkey"))
+      .select(approx("l_suppkey"), col("approx_parts"), col("exact_parts"))
       .orderBy("l_suppkey")
   }
 
@@ -192,16 +196,27 @@ object WarehouseQueries {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
-  /** Exact interpolated percentiles per group — order-independent (the
-    * sort is per-group internal), so cross-engine exact modulo one
-    * interpolation ulp, absorbed by round(4). */
+  /** Exact interpolated percentiles per group via the histogram-shaped
+    * Percentiles.exact — NOT the built-in `percentile` aggregate, whose
+    * value→count OpenHashMap per group ships every distinct value
+    * through the shuffle and merges a group's whole value set on one
+    * reducer (O(distinct) memory on a single task; the first casualty
+    * on a 100 TB fact with 3 groups). The histogram form's only
+    * corpus-sized shuffle is a map-side-combinable groupBy count.
+    * Same number: linear interpolation at rank p·(n-1), matching
+    * DuckDB quantile_cont modulo one ulp, absorbed by round(4). */
   def percentiles(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1_price"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3_price"))
+    graft.operators.Percentiles.exactMulti(
+      lineitem(s, d), "l_returnflag",
+      Seq(
+        ("med_qty", "l_quantity", 0.5),
+        ("q1_price", "l_extendedprice", 0.25),
+        ("q3_price", "l_extendedprice", 0.75)))
+      .select(
+        col("l_returnflag"),
+        round(col("med_qty"), 4).as("med_qty"),
+        round(col("q1_price"), 4).as("q1_price"),
+        round(col("q3_price"), 4).as("q3_price"))
       .orderBy("l_returnflag")
 
   /** Unpivot (melt): wide metric columns → (metric, value) rows via

@@ -100,13 +100,34 @@ class GwasOpsSpec extends SparkSpec {
       ("1:2_G_C", 1, 0.1, 7.0)  // filtered: impute < 0.3
     ).toDF("kgp_id", "study_id", "impute_score", "neg_log10_p")
     val b37 = Seq(("1:1_A_T", 1, 1), ("1:2_G_C", 1, 2)).toDF("kgp_id", "chr", "pos")
-    val study = Seq((1, "ukbb_gout", 332370L, 7131L, 325239L))
-      .toDF("id", "name", "n", "n_case", "n_control")
+    val study = Seq((1, "ukbb_gout", "european", 332370L, 7131L, 325239L))
+      .toDF("id", "name", "ancestry", "n", "n_case", "n_control")
     val v = GwasOps.combinedView(gwas, b37, study)
     assert(v.count() == 1)
     val r = v.head()
     assert(r.getAs[String]("name") == "ukbb_gout")
+    // ancestry rides the reduced study join — app.R's facet_grid
+    // (ancestry ~ name) needs it in the view
+    assert(r.getAs[String]("ancestry") == "european")
     assert(r.getAs[Int]("pos") == 1)
+  }
+
+  test("no_gwas_result audit feed persists removed pairs and orphans, append per load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nogwas").toString + "/no_gwas_result"
+    val g = Seq(
+      ("m1", 1, 0.9, 0.3),  // keeps
+      ("m2", 1, 0.1, 0.3),  // low info -> removed
+      ("m3", 1, 0.9, 1e-6)  // low maf -> removed
+    ).toDF("kgp_id", "study_id", "impute_score", "maf_all")
+    val (_, removed) = GwasOps.qcSplit(g)
+    GwasOps.appendNoGwasResult(removed, dir)
+    // second load: an orphan (kgp_id absent from b37) joins the feed
+    val load2 = Seq(("m9", 2), ("m1", 2)).toDF("kgp_id", "study_id")
+    val b37 = Seq(("m1", 1, 1)).toDF("kgp_id", "chr", "pos")
+    GwasOps.appendNoGwasResult(GwasOps.orphans(load2, b37), dir)
+    val stored = GwasOps.readNoGwasResult(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(stored == Set(("m2", 1), ("m3", 1), ("m9", 2)), s"stored was $stored")
   }
 
   test("locusWindow keeps only markers within the half-window on the same chr") {

@@ -81,6 +81,26 @@ class PipelineQueriesSpec extends SparkSpec {
       3L -> 3L, 4L -> 3L, 5L -> 5L, 9L -> 5L))
   }
 
+  test("components on an EMPTY pair set returns empty instead of crashing") {
+    // zero near-dup pairs is a legitimate candidate-generator output;
+    // the convergence aggregate must not NPE on the null sum
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.components(empty).count() == 0)
+  }
+
+  test("components with a reliable checkpoint dir match the localCheckpoint path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    // worst-case chain fixture (max diameter) through the dir-backed
+    // checkpoint path a real cluster uses for fault tolerance
+    val pairs = spark.range(99)
+      .filter(pmod(col("id"), lit(25L)) =!= lit(24L))
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val got = Dedup.components(pairs, checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L until 100L).map(i => i -> (i - i % 25)).toMap
+    assert(got == expected)
+  }
+
   test("components over minhash pairs cluster the duplicate fixture docs") {
     val comps = Dedup.components(Dedup.minhashCandidates(fixture))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -154,6 +174,22 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(ann.nonEmpty)
     val cos = ann.map(_.getDouble(1))
     assert(cos.sameElements(cos.sortBy(-(_: Double))))
+  }
+
+  test("LSH plane sizing pays ONE corpus count across annLsh + embeddingDupPairs") {
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.clearCountMemo()
+    val before = Similarity.countScans.get()
+    Similarity.annLsh(emb)                                  // memo miss: one scan
+    Similarity.annLsh(emb)                                  // memo hit
+    Dedup.embeddingDupPairs(Tables.embeddings(spark, sf))   // same plan → memo hit
+    assert(Similarity.countScans.get() - before == 1,
+      s"expected 1 count scan, got ${Similarity.countScans.get() - before}")
+    // a caller that knows N pays zero scans
+    Similarity.clearCountMemo()
+    val b2 = Similarity.countScans.get()
+    Similarity.annLsh(emb, n = 1000L)
+    assert(Similarity.countScans.get() == b2, "explicit n still scanned the corpus")
   }
 
   test("lsh plane sizing keeps bucket occupancy bounded across 10x corpus growth") {

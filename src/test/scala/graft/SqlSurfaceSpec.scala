@@ -25,11 +25,13 @@ class SqlSurfaceSpec extends SparkSpec {
       ("2:100_A_G", 2, 100, "A", "G")
     ).toDF("kgp_id", "chr", "pos", "ref", "alt")
     val marker = Seq(("1:100_A_T", "rs100")).toDF("kgp_id", "marker_name")
-    val study = Seq((1, "ukbb_gout", 1000L, 100L, 900L))
-      .toDF("id", "name", "n", "n_case", "n_control")
+    val study = Seq(
+      (1, "ukbb_gout", "european", 1000L, 100L, 900L),
+      (2, "kp_gout", "polynesian", 500L, 50L, 450L)
+    ).toDF("id", "name", "ancestry", "n", "n_case", "n_control")
     val gwas = Seq(
       ("1:100_A_T", 1, 0.9, 5.5),
-      ("1:500_G_C", 1, 0.95, 2.2),
+      ("1:500_G_C", 2, 0.95, 2.2),
       ("2:100_A_G", 1, 0.1, 1.0) // filtered by the view's impute QC
     ).toDF("kgp_id", "study_id", "impute_score", "neg_log10_p")
     GwasViews.register(spark, b37, marker, study, gwas)
@@ -41,7 +43,15 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(search == Set("1:100_A_T", "1:500_G_C"))
     // the combined view carries the study join like the export view
     assert(spark.sql("SELECT DISTINCT name FROM combined WHERE name IS NOT NULL")
-      .as[String].collect().toSeq == Seq("ukbb_gout"))
+      .as[String].collect().toSet == Set("ukbb_gout", "kp_gout"))
+    // app.R's facet_grid(ancestry ~ name) option: the facet dimensions
+    // must group straight off the combined view
+    val facets = spark.sql(
+      """SELECT ancestry, name, count(*) AS n_hits
+        |FROM combined GROUP BY ancestry, name ORDER BY ancestry, name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(facets == Seq(("european", "ukbb_gout", 1L), ("polynesian", "kp_gout", 1L)),
+      s"facets were $facets")
   }
 
   test("predicates pushed through a view reach the parquet scan") {

@@ -84,6 +84,52 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/p=2").exists(), "emptied partition dir survived")
   }
 
+  test("Percentiles.exact matches the built-in aggregate on ties, all-null groups, p=0/p=1") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Option(1.0)), ("a", Option(2.0)), ("a", Option(2.0)), ("a", Option(10.0)),
+      ("b", Option(5.0)),
+      ("c", Option.empty[Double]), ("c", Option.empty[Double]),
+      ("d", Option(3.0)), ("d", Option.empty[Double]), ("d", Option(7.0))
+    ).toDF("g", "v")
+    val ps = Seq(("p0", 0.0), ("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p100", 1.0))
+    val ours = graft.operators.Percentiles.exact(df, "g", "v", ps).orderBy("g").collect()
+    val builtin = df.groupBy("g")
+      .agg(ps.map { case (n, p) => expr(s"percentile(v, $p)").as(n) }.head,
+        ps.map { case (n, p) => expr(s"percentile(v, $p)").as(n) }.tail: _*)
+      .orderBy("g").collect()
+    assert(ours.length == builtin.length, "group sets differ (all-null group dropped?)")
+    ours.zip(builtin).foreach { case (o, b) =>
+      assert(o.getString(0) == b.getString(0))
+      (1 to ps.length).foreach { i =>
+        if (b.isNullAt(i)) assert(o.isNullAt(i), s"group ${o.getString(0)} col $i: expected null")
+        else assert(math.abs(o.getDouble(i) - b.getDouble(i)) < 1e-9,
+          s"group ${o.getString(0)} col $i: ${o.getDouble(i)} vs ${b.getDouble(i)}")
+      }
+    }
+  }
+
+  test("Percentiles.exactMulti spans value columns and keeps spec order") {
+    import spark.implicits._
+    val df = Seq((1, 10.0, 100.0), (1, 20.0, 200.0), (2, 5.0, 50.0))
+      .toDF("g", "x", "y")
+    val out = graft.operators.Percentiles.exactMulti(df, "g",
+      Seq(("x_med", "x", 0.5), ("y_max", "y", 1.0), ("x_min", "x", 0.0)))
+    assert(out.columns.toSeq == Seq("g", "x_med", "y_max", "x_min"))
+    val rows = out.orderBy("g").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1, 15.0, 200.0, 10.0), (2, 5.0, 50.0, 5.0)))
+  }
+
+  test("q_percentile plans the histogram shape, not the map-buffer percentile aggregate") {
+    val plan = WarehouseQueries.percentiles(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"built-in percentile aggregate back in the plan:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"object-hash (map-buffer) aggregate in the plan:\n$plan")
+  }
+
   test("q3_join_agg broadcasts the filtered customer dim") {
     val plan = WarehouseQueries.q3JoinAgg(spark, sf)
       .queryExecution.executedPlan.toString
