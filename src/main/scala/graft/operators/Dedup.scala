@@ -281,6 +281,29 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 
+  /** End-to-end near-dup removal — the composition a corpus-curation
+    * pipeline actually runs, as one operator: MinHash-LSH candidates →
+    * exact n-gram Jaccard verify → connected components → keep the
+    * min-id survivor per cluster. Returns the SURVIVOR id set: every
+    * doc that is either untouched by any verified near-dup pair or the
+    * canonical (smallest-id) member of its duplicate cluster.
+    *
+    * Scale: inherits each stage's story — banded candidate generation
+    * (near-linear), verify only on candidates, iterative CC over the
+    * (tiny relative to corpus) verified pair set, and a final anti-join
+    * keyed on id. Nothing here is corpus × corpus. */
+  def sweep(docs: DataFrame, shingleK: Int = 2, minJaccard: Double = 0.5,
+            idCol: String = "doc_id"): DataFrame = {
+    val verified = ngramJaccard(docs, shingleK, minJaccard)
+      .select("doc_a", "doc_b")
+    val losers = components(verified)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(idCol))
+    docs.select(col(idCol))
+      .join(losers, Seq(idCol), "left_anti")
+      .orderBy(idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors bucketed by
     * hyperplane LSH (see Similarity), pairs sharing a bucket verified
     * with exact cosine ≥ threshold. `planes <= 0` (the default) sizes

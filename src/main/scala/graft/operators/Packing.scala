@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: documents are concatenated in id
+  * order and chunked every `budget` tokens (the GPT-style
+  * concat-and-chunk pipeline step). Each doc's global token OFFSET
+  * determines its sequence: seq_id = offset / budget.
+  *
+  * The global exclusive prefix sum is the scale problem — a naive
+  * `Window.orderBy(id)` with no partition key runs the whole corpus
+  * through ONE reducer. This implements the classic distributed scan
+  * instead:
+  *
+  *   1. range-repartition by id (partition k holds ids below
+  *      partition k+1 — Spark's RangePartitioner, deterministic
+  *      boundaries),
+  *   2. per-partition exclusive cumsum (window partitioned by the
+  *      physical partition id — parallel across partitions),
+  *   3. per-partition token subtotals → driver (ONE ROW PER PARTITION,
+  *      the only driver-side data), prefix-scanned and broadcast back,
+  *   4. offset = partition prefix + local cumsum.
+  *
+  * The result is exact whatever the sampled range boundaries are: the
+  * prefix sum telescopes across any split of a sorted sequence.
+  */
+object Packing {
+
+  /** (id, n_tokens, offset, seq_id) for every doc: `offset` is the
+    * doc's first-token position in the id-ordered concatenation,
+    * `seq_id = offset / budget` its training sequence. */
+  def packSequences(docs: DataFrame, tokens: org.apache.spark.sql.Column,
+                    budget: Int, idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val t = docs
+      .select(col(idCol), tokens.cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .withColumn("pid", spark_partition_id())
+    val local = Window.partitionBy("pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = t.withColumn(
+      "loff", coalesce(sum("n_tokens").over(local), lit(0L)))
+    // bounded driver hop: one (pid, subtotal) row per partition
+    val subtotals = withLocal.groupBy("pid").agg(sum("n_tokens").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefixes = subtotals.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, tot)) => (pid, acc + tot)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val prefixDf = docs.sparkSession
+      .createDataFrame(prefixes).toDF("pid", "poff")
+    withLocal
+      .join(broadcast(prefixDf), "pid")
+      .select(
+        col(idCol), col("n_tokens"),
+        (col("poff") + col("loff")).as("offset"),
+        ((col("poff") + col("loff")) / budget).cast("long").as("seq_id"))
+  }
+}

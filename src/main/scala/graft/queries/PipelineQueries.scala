@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, length, lit, pmod, size, split}
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 import graft.tables.Tables._
 
 /** Training-data pipeline operators (SURVEY §2c) wired to the driver
@@ -60,6 +61,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
     "mm_framesample" -> ((s, d) => Multimodal.frameSample(documents(s, d))),
+    // exact deterministic stratified sample: 25% per text-length-mod-4
+    // stratum, md5-of-id order — reproducible and DuckDB-oracle-exact
+    "sample_stratified" -> ((s, d) => Sampling.stratified(
+      documents(s, d).select("doc_id", "text"),
+      pmod(length(col("text")), lit(4)), frac = 0.25)
+      .select("doc_id", "stratum").orderBy("doc_id")),
+    // GPT-style concat-and-chunk packing: global token offsets via the
+    // distributed prefix scan, sequences of 2048 tokens
+    "pack_sequences" -> ((s, d) => Packing.packSequences(
+      documents(s, d), size(split(col("text"), " ")), budget = 2048)
+      .select(col("doc_id"), col("n_tokens"),
+        col("offset").as("tok_offset"), col("seq_id"))
+      .orderBy("doc_id")),
+    // end-to-end near-dup removal: LSH candidates -> jaccard verify ->
+    // components -> min-id survivors (rows-only: minhash internals)
+    "dedup_sweep" -> ((s, d) => Dedup.sweep(documents(s, d))),
     // connected components over a planted chain graph: 20 chains of 50
     // nodes, generated identically on both engines, ground truth
     // analytic (component = id - id % 50). The ITERATIVE min-label +
@@ -191,6 +208,29 @@ object PipelineQueries {
     "dedup_components" ->
       """SELECT range AS doc_id, range - (range % 50) AS component
         |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,
+    // 0.25 is exact in binary AND decimal, so ceil(frac*n) can't split
+    // between DuckDB's decimal literals and Spark's doubles
+    "sample_stratified" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) % 4 AS INT) AS stratum,
+        |    row_number() OVER (PARTITION BY length(text) % 4
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY length(text) % 4) AS n
+        |  FROM documents)
+        |SELECT doc_id, stratum FROM s
+        |WHERE rk <= ceil(0.25 * n) ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  CAST(tok_offset // 2048 AS BIGINT) AS seq_id
+        |FROM o ORDER BY doc_id""".stripMargin,
     "mm_framesample" ->
       """WITH f AS (
         |  SELECT doc_id, text,

