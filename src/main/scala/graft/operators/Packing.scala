@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   *
   * The result is exact whatever the sampled range boundaries are: the
   * prefix sum telescopes across any split of a sorted sequence.
+  *
+  * Cost note: the subtotal collect and the final query each evaluate
+  * the ranged scan — two passes over a TWO-COLUMN projection (id,
+  * tokens), deliberately preferred to an internal persist the lazy
+  * return value could never safely unpersist. Callers packing the same
+  * corpus repeatedly should materialize the (id, n_tokens) projection
+  * once themselves.
   */
 object Packing {
 

@@ -72,4 +72,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), p)
     assert(ds.count() > 0)
   }
+
+  test("pack_sequences: the prefix scan never funnels through a single partition") {
+    // the naive global-order window would plan Exchange SinglePartition —
+    // the one shape that cannot survive 100 TB
+    val p = plan(PipelineQueries.entries("pack_sequences")(spark, sf))
+    assert(!p.contains("SinglePartition"), s"single-reducer exchange:\n$p")
+  }
+
+  test("sample_stratified reads only the two columns it needs") {
+    val scans = PipelineQueries.entries("sample_stratified")(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.requiredSchema.fieldNames.toSet
+      }
+    assert(scans.nonEmpty && scans.head == Set("doc_id", "text"),
+      s"scan reads: $scans")
+  }
 }
