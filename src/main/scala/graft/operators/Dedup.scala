@@ -304,6 +304,37 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** Leakage-safe train/validation split: near-duplicate documents must
+    * land on the SAME side, or the eval set silently contains training
+    * data. Every doc is assigned its cluster representative (its
+    * connected component over the near-dup pair graph; isolated docs
+    * represent themselves) and the whole cluster splits together by a
+    * deterministic, engine-portable hash rule: val iff the first four
+    * hex chars of md5(representative) sort below the valFrac threshold
+    * (lowercase hex compares monotonically with its value, so the rule
+    * is a plain string comparison any engine reproduces bit-for-bit).
+    *
+    * Granularity is 1/65536; the realized fraction converges to
+    * valFrac by cluster count, not doc count — heavy clusters make the
+    * split slightly lumpy, which is inherent to leakage-safety.
+    *
+    * Scale: components over the (corpus-sparse) pair set, one
+    * left join of ids against labels, and codegen'd hash/compare —
+    * no corpus-sized shuffle beyond the id join. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, valFrac: Double = 0.25,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(valFrac > 0.0 && valFrac < 1.0, s"valFrac must be in (0, 1), got $valFrac")
+    val threshold = f"${math.round(65536 * valFrac)}%04x"
+    docs.select(col(idCol))
+      .join(components(pairs).withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn(
+        "split",
+        when(substring(md5(col("component").cast("string")), 1, 4) < lit(threshold),
+          lit("val")).otherwise(lit("train")))
+      .select(col(idCol), col("component"), col("split"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors bucketed by
     * hyperplane LSH (see Similarity), pairs sharing a bucket verified
     * with exact cosine ≥ threshold. `planes <= 0` (the default) sizes

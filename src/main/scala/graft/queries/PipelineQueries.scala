@@ -92,6 +92,18 @@ object PipelineQueries {
         .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
       Dedup.components(pairs).orderBy("doc_id")
     }),
+    // leakage-safe split over the same planted chain graph: the cluster
+    // assignment is the oracle-exact closed form and the split rule is
+    // a portable md5-prefix comparison, so the WHOLE operator is
+    // DuckDB-checkable — including that clusters never straddle splits
+    "split_leakage_safe" -> ((s, d) => {
+      val chain = 50L
+      val pairs = s.range(999)
+        .filter(pmod(col("id"), lit(chain)) =!= lit(chain - 1))
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val docs = s.range(1000).select(col("id").as("doc_id"))
+      Dedup.leakageSafeSplit(docs, pairs, valFrac = 0.25).orderBy("doc_id")
+    }),
   )
 
   /** Cache key for per-dataset offline artifacts: SHA-256 over the
@@ -207,6 +219,11 @@ object PipelineQueries {
     },
     "dedup_components" ->
       """SELECT range AS doc_id, range - (range % 50) AS component
+        |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,
+    "split_leakage_safe" ->
+      """SELECT range AS doc_id, range - (range % 50) AS component,
+        |  CASE WHEN substr(md5(CAST(range - (range % 50) AS VARCHAR)), 1, 4) < '4000'
+        |       THEN 'val' ELSE 'train' END AS split
         |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,
     // 0.25 is exact in binary AND decimal, so ceil(frac*n) can't split
     // between DuckDB's decimal literals and Spark's doubles

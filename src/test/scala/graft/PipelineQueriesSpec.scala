@@ -118,6 +118,19 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(survivors == Set(0L, 3L), s"survivors were $survivors")
   }
 
+  test("leakage-safe split keeps every near-dup cluster on one side, covers every doc") {
+    val corpus = Tables.documents(spark, sf)
+    val split = Dedup.leakageSafeSplit(
+      corpus.select("doc_id"), Dedup.minhashCandidates(corpus))
+    val straddling = split.groupBy("component")
+      .agg(countDistinct("split").as("sides"))
+      .filter(col("sides") > 1).count()
+    assert(straddling == 0, "a near-dup cluster straddles train/val")
+    assert(split.count() == corpus.count())
+    val frac = split.filter(col("split") === "val").count().toDouble / corpus.count()
+    assert(frac > 0.05 && frac < 0.5, s"val fraction way off threshold: $frac")
+  }
+
   test("stratified sample hits the exact per-stratum quota, deterministically") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val strat = pmod(length(col("text")), lit(4))
