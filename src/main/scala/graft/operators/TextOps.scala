@@ -92,6 +92,21 @@ object TextOps {
       .select("doc_id", "fp")
       .orderBy("doc_id")
 
+  /** Vocabulary induction: corpus-wide token counts, top-k by count —
+    * the wordcount that feeds tokenizer training. Explode + two-phase
+    * count (map-side combine ships one (token, partial-count) row per
+    * token per partition) and a TakeOrderedAndProject top-k — never a
+    * full sort of the vocabulary, never a driver-side dictionary.
+    * Deterministic tie-break on the token itself. */
+  def vocab(docs: DataFrame, k: Int = 1000): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("tok"))
+      .limit(k)
+
   /** 64-bit polynomial rolling-hash fingerprint via the custom Catalyst
     * expression [[graft.functions.RollingHash]] (codegen'd). */
   def rollhash(docs: DataFrame): DataFrame =

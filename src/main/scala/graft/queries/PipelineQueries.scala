@@ -47,6 +47,7 @@ object PipelineQueries {
       TextOps.decontaminate(documents(s, d), block)
     }),
     "text_rollhash" -> ((s, d) => TextOps.rollhash(documents(s, d))),
+    "text_vocab" -> ((s, d) => TextOps.vocab(documents(s, d))),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
     // histogram flattened to 16 scalar columns: the driver's pandas
     // row-sort can't hash an array column (round-1 harness crash), and
@@ -220,6 +221,11 @@ object PipelineQueries {
     "dedup_components" ->
       """SELECT range AS doc_id, range - (range % 50) AS component
         |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,
+    "text_vocab" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 1000""".stripMargin,
     "split_leakage_safe" ->
       """SELECT range AS doc_id, range - (range % 50) AS component,
         |  CASE WHEN substr(md5(CAST(range - (range % 50) AS VARCHAR)), 1, 4) < '4000'

@@ -42,6 +42,19 @@ object ScaleCheck {
     t("minhash 10x")(Dedup.minhashCandidates(Tables.documents(spark, big)).count())
     t("exact sf0.1")(Dedup.exact(Tables.documents(spark, d)).count())
     t("exact 10x")(Dedup.exact(Tables.documents(spark, big)).count())
+    val strat = (dir: String) => graft.operators.Sampling.stratified(
+      Tables.documents(spark, dir).select("doc_id", "text"),
+      pmod(length(col("text")), lit(4)), 0.25)
+    t("stratified sf0.1")(strat(d).count())
+    t("stratified 10x")(strat(big).count())
+    val pack = (dir: String) => graft.operators.Packing.packSequences(
+      Tables.documents(spark, dir), size(split(col("text"), " ")), 2048)
+    t("pack sf0.1")(pack(d).count())
+    t("pack 10x")(pack(big).count())
+    t("vocab sf0.1")(graft.operators.TextOps.vocab(Tables.documents(spark, d)).count())
+    t("vocab 10x")(graft.operators.TextOps.vocab(Tables.documents(spark, big)).count())
+    t("sweep sf0.1")(Dedup.sweep(Tables.documents(spark, d)).count())
+    t("sweep 10x")(Dedup.sweep(Tables.documents(spark, big)).count())
     spark.stop()
   }
 }

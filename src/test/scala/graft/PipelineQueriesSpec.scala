@@ -269,6 +269,14 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(occ <= target * 8, s"max bucket occupancy $occ far above the $target target")
   }
 
+  test("vocab counts tokens corpus-wide with a deterministic tie-break") {
+    val top = TextOps.vocab(fixture, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // "again" x8 across docs 0-2; "and"/"the" tie at 6 -> token order
+    assert(top(0) == ("again" -> 8L), s"top was ${top.toSeq}")
+    assert(top(1) == ("and" -> 6L) && top(2) == ("the" -> 6L), s"ties broke wrong: ${top.toSeq}")
+  }
+
   test("language id picks the language with the most marker hits") {
     val d = Seq((1L, "el gato la casa el perro"), (2L, "the cat the dog a bird"))
       .toDF("doc_id", "text")

@@ -80,6 +80,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"single-reducer exchange:\n$p")
   }
 
+  test("text_vocab: top-k over two-phase count, never a full vocabulary sort") {
+    val p = plan(PipelineQueries.entries("text_vocab")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"vocab top-k not fused:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial count:\n$p")
+  }
+
   test("sample_stratified reads only the two columns it needs") {
     val scans = PipelineQueries.entries("sample_stratified")(spark, sf)
       .queryExecution.sparkPlan.collect {
