@@ -109,4 +109,53 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: Percentiles.exact equals the built-in aggregate on random data with nulls") {
+    val rowGen = for {
+      g <- Gen.choose(0, 3)
+      v <- Gen.option(Gen.choose(-100, 100).map(_.toDouble / 4))
+    } yield (s"g$g", v)
+    forAll(Gen.listOfN(60, rowGen), n = 5) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("g", "v")
+        val ps = Seq(("p10", 0.1), ("p50", 0.5), ("p99", 0.99))
+        val ours = graft.operators.Percentiles.exact(df, "g", "v", ps)
+          .orderBy("g").collect()
+        val builtin = df.groupBy("g")
+          .agg(expr("percentile(v, 0.1)").as("p10"),
+            expr("percentile(v, 0.5)").as("p50"),
+            expr("percentile(v, 0.99)").as("p99"))
+          .orderBy("g").collect()
+        assert(ours.length == builtin.length)
+        ours.zip(builtin).foreach { case (o, b) =>
+          assert(o.getString(0) == b.getString(0))
+          (1 to 3).foreach { i =>
+            if (b.isNullAt(i)) assert(o.isNullAt(i))
+            else assert(math.abs(o.getDouble(i) - b.getDouble(i)) < 1e-9,
+              s"${o.getString(0)} col $i: ${o.getDouble(i)} vs ${b.getDouble(i)}")
+          }
+        }
+      }
+    }
+  }
+
+  test("property: pack_sequences offsets telescope for random token counts") {
+    forAll(Gen.listOfN(40, Gen.choose(1, 300)), n = 5) { lens =>
+      whenever(lens.nonEmpty) {
+        val docs = lens.zipWithIndex
+          .map { case (n, i) => (i.toLong, ("w " * n).trim) }
+          .toDF("doc_id", "text")
+        val packed = graft.operators.Packing
+          .packSequences(docs, size(split(col("text"), " ")), budget = 128)
+          .orderBy("doc_id").collect()
+        var expect = 0L
+        packed.foreach { r =>
+          assert(r.getLong(2) == expect)
+          assert(r.getLong(3) == r.getLong(2) / 128)
+          expect += r.getLong(1)
+        }
+        assert(expect == lens.map(_.toLong).sum)
+      }
+    }
+  }
 }

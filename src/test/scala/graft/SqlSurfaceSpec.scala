@@ -54,6 +54,25 @@ class SqlSurfaceSpec extends SparkSpec {
       s"facets were $facets")
   }
 
+  test("no_gwas_result view serves the persisted QC audit feed by its reference name") {
+    import graft.gwas.GwasOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_nogwas_view").toString + "/no_gwas_result"
+    val g = Seq(
+      ("m1", 1, 0.9, 0.3), ("m2", 1, 0.1, 0.3), ("m3", 1, 0.9, 1e-6)
+    ).toDF("kgp_id", "study_id", "impute_score", "maf_all")
+    val (_, removed) = GwasOps.qcSplit(g)
+    GwasOps.appendNoGwasResult(removed, dir)
+    val b37 = Seq(("m1", 1, 1)).toDF("kgp_id", "chr", "pos")
+    val marker = Seq(("m1", "rs1")).toDF("kgp_id", "marker_name")
+    val study = Seq((1, "s", "european", 10L, 1L, 9L))
+      .toDF("id", "name", "ancestry", "n", "n_case", "n_control")
+    GwasViews.register(spark, b37, marker, study, g,
+      noGwasResult = Some(GwasOps.readNoGwasResult(spark, dir)))
+    val got = spark.sql("SELECT kgp_id, study_id FROM no_gwas_result ORDER BY kgp_id")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq(("m2", 1), ("m3", 1)), s"view served $got")
+  }
+
   test("predicates pushed through a view reach the parquet scan") {
     graft.tools.Sql.registerAll(spark, sf)
     val p = spark.sql(
