@@ -26,4 +26,45 @@ object Joins {
         saltedLeft("_salt") === saltedRight("_salt"))
       .drop("_salt")
   }
+
+  /** Binned interval-overlap (range) join: rows of `points` matched to
+    * every interval of `intervals` containing their position
+    * (`start <= pos <= end`, plus optional equi-keys) — the
+    * markers-in-gene-windows shape (reference: gwasDB/app.R:148-154
+    * generalized from one window to a whole interval table).
+    *
+    * Spark plans a bare non-equi `BETWEEN` join as
+    * BroadcastNestedLoopJoin — O(|points|·|intervals|) compares, fine
+    * only when one side broadcasts. This form synthesizes an equi-key
+    * instead: each interval explodes into the fixed-width bins it
+    * covers, each point maps to exactly ONE bin, and the join is a
+    * plain shuffled equi-join on `_bin` (+ user keys) with the exact
+    * `BETWEEN` as a post-filter. A (point, interval) pair can only
+    * meet in the point's single bin, so no dedup pass is needed.
+    *
+    * Scale: shuffle volume is |points| + Σ⌈width/binSize⌉ interval
+    * replicas; compares per bin are local. Pick binSize ≈ the typical
+    * interval width — smaller bins mean more interval replicas, larger
+    * bins mean more false candidates filtered after the join, and
+    * domain/binSize must comfortably exceed the cluster's parallelism
+    * so bins don't become skewed mega-keys. Inverted intervals
+    * (start > end) match nothing and are dropped before the explode
+    * (Spark's `sequence(a, b)` would count DOWNWARD and fabricate
+    * bins). Null positions or bounds never match, like SQL BETWEEN.
+    */
+  def rangeJoin(points: DataFrame, posCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                binSize: Long,
+                keys: Seq[(String, String)] = Nil): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    val p = points.withColumn("_bin", floor(col(posCol) / binSize))
+    val i = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("_bin",
+        explode(sequence(floor(col(startCol) / binSize), floor(col(endCol) / binSize))))
+    val base = p("_bin") === i("_bin") &&
+      p(posCol) >= i(startCol) && p(posCol) <= i(endCol)
+    val cond = keys.foldLeft(base) { case (c, (pk, ik)) => c && p(pk) === i(ik) }
+    p.join(i, cond).drop("_bin")
+  }
 }

@@ -350,7 +350,28 @@ object WarehouseQueries {
       .orderBy("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
   }
 
+  /** Interval-overlap (range) join via Joins.rangeJoin — each order's
+    * first line (a "marker" at position l_partkey) matched to every
+    * synthetic interval containing it. The binned equi-join form keeps
+    * the plan a shuffled hash/sort-merge join; a naive BETWEEN join
+    * would be a BroadcastNestedLoopJoin that dies when neither side
+    * fits in a broadcast at 100 TB. */
+  def rangeJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val pts = lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_partkey").as("pos"))
+    val istart = (col("p_partkey") * 7) % 1500
+    val iv = part(s, d).select(
+      col("p_partkey").as("interval_id"),
+      istart.as("istart"),
+      (istart + (col("p_size") % 4)).as("iend"))
+    graft.operators.Joins.rangeJoin(pts, "pos", iv, "istart", "iend", binSize = 8)
+      .select("interval_id", "l_orderkey", "pos", "istart", "iend")
+      .orderBy("interval_id", "l_orderkey", "pos", "istart", "iend")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> rangeJoinQuery _,
     "q_upsert" -> upsert _,
     "q_grouping_sets" -> groupingSets _,
     "q_minmax_by" -> minmaxBy _,
@@ -378,6 +399,17 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_partkey AS pos FROM lineitem WHERE l_linenumber = 1),
+        |iv AS (
+        |  SELECT p_partkey AS interval_id,
+        |         (p_partkey * 7) % 1500 AS istart,
+        |         (p_partkey * 7) % 1500 + (p_size % 4) AS iend
+        |  FROM part)
+        |SELECT interval_id, l_orderkey, pos, istart, iend
+        |FROM pts JOIN iv ON pos BETWEEN istart AND iend
+        |ORDER BY interval_id, l_orderkey, pos, istart, iend""".stripMargin,
     "q_upsert" ->
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,

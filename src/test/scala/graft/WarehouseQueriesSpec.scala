@@ -84,6 +84,46 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/p=2").exists(), "emptied partition dir survived")
   }
 
+  test("rangeJoin: binned equi-join equals the nested-loop join; no BNLJ in the query plan") {
+    import spark.implicits._
+    // points cover bin boundaries, negatives, and a null position
+    val pts = ((-5L +: (0L to 60L)).map(p => (Option(p), s"p$p")) :+
+      (Option.empty[Long], "pnull")).toDF("pos", "pid")
+    val ivs = Seq(
+      (1L, Option(5L), Option(5L)),   // zero-width, mid-bin
+      (2L, Option(9L), Option(10L)),  // straddles a bin boundary
+      (3L, Option(0L), Option(39L)),  // spans four bins
+      (4L, Option(20L), Option(10L)), // inverted: matches nothing
+      (5L, Option(58L), Option(70L)), // runs past the point domain
+      (6L, Option(61L), Option(99L)), // entirely outside
+      (7L, Option(30L), Option(30L)), // boundary == boundary
+      (8L, Option.empty[Long], Option(9L)), // null bound: matches nothing
+      (9L, Option(-7L), Option(-3L))  // negative coordinates
+    ).toDF("iid", "istart", "iend")
+    val binned = graft.operators.Joins.rangeJoin(pts, "pos", ivs, "istart", "iend", binSize = 10)
+    val naive = pts.crossJoin(ivs)
+      .filter(col("pos") >= col("istart") && col("pos") <= col("iend"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.select("pid", "iid").as[(String, Long)].collect().sorted.toSeq
+    val got = pairs(binned)
+    assert(got == pairs(naive))
+    assert(got.contains(("p-5", 9L)) && got.contains(("p30", 7L)))
+    assert(!got.exists(_._2 == 4L) && !got.exists(_._2 == 8L) && !got.exists(_._1 == "pnull"))
+    val plan = WarehouseQueries.rangeJoinQuery(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      "range join fell back to a nested-loop plan")
+  }
+
+  test("rangeJoin equi-keys keep chromosomes apart") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L), (2L, 5L)).toDF("chr", "pos")
+    val ivs = Seq((1L, 0L, 9L, "w1"), (2L, 0L, 9L, "w2")).toDF("ichr", "istart", "iend", "win")
+    val out = graft.operators.Joins.rangeJoin(pts, "pos", ivs, "istart", "iend", 4,
+      keys = Seq(("chr", "ichr")))
+      .select("chr", "win").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "w1"), (2L, "w2")))
+  }
+
   test("Percentiles.exact matches the built-in aggregate on ties, all-null groups, p=0/p=1") {
     import spark.implicits._
     val df = Seq(
