@@ -64,4 +64,33 @@ object Packing {
         (col("poff") + col("loff")).as("offset"),
         ((col("poff") + col("loff")) / budget).cast("long").as("seq_id"))
   }
+
+  /** Length-bucketed micro-batching: docs whose token counts fall in
+    * the same `bucketWidth`-wide bucket are grouped into batches of
+    * `batchSize`, so each batch pads only to its own max length — the
+    * standard padding-waste reducer for non-packed fine-tuning /
+    * inference batching (packSequences is the pretraining shape; this
+    * is the shape when docs must stay intact).
+    *
+    * Batch membership is deterministic and engine-portable: rows order
+    * inside each bucket by (md5(id), id) — the same portable
+    * permutation Sampling.stratified uses — and batch_in_bucket is
+    * rank/batchSize. Scale: one shuffle on the bucket key; the
+    * per-bucket window sorts on the reducer's spillable sort, nothing
+    * driver-sized. Token counts are capped in practice so bucket
+    * count is tiny; a pathologically hot bucket inherits the same
+    * salting advice as stratified sampling. */
+  def lengthBuckets(docs: DataFrame, tokens: org.apache.spark.sql.Column,
+                    bucketWidth: Int, batchSize: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val t = docs
+      .select(col(idCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("bucket", floor(col("n_tokens") / bucketWidth))
+    val w = Window.partitionBy("bucket")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    t.withColumn("batch_in_bucket",
+      ((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
 }

@@ -39,4 +39,48 @@ object Sampling {
       .filter(col("rk") <= ceil(lit(frac) * col("n")))
       .drop("rk", "n")
   }
+
+  /** Deterministic global shuffle: assigns every row a dense permuted
+    * position `shuffle_pos` ∈ [0, n) ordered by md5(salt#id) — the
+    * reproducible "shuffle the corpus once per epoch" step of a
+    * training pipeline (vary `salt` per epoch for a fresh permutation
+    * that any engine reproduces bit-for-bit).
+    *
+    * The scale problem is the dense global rank: a bare
+    * `row_number() OVER (ORDER BY key)` funnels the corpus through ONE
+    * reducer. Instead the md5 key's leading `prefixChars` hex chars
+    * form ≤16^prefixChars ORDER-PRESERVING buckets (lowercase hex
+    * sorts lexicographically = numerically, and md5 spreads rows
+    * uniformly so buckets can't skew): rank = driver prefix over the
+    * tiny bucket-count table + per-bucket window rank. One shuffle on
+    * the bucket key, one bounded driver hop (≤4096 rows at the
+    * default), never a single-reducer sort.
+    *
+    * Cost note: like packSequences, the bucket-count collect and the
+    * returned plan each evaluate the keyed scan — two passes over an
+    * (id)-projection, preferred to an internal persist the lazy return
+    * value could never safely unpersist. */
+  def deterministicShuffle(df: DataFrame, idCol: String = "doc_id",
+                           salt: String = "0", prefixChars: Int = 3): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 8,
+      s"prefixChars must be in [1, 8], got $prefixChars")
+    val keyed = df
+      .withColumn("shuffle_key",
+        md5(concat_ws("#", lit(salt), col(idCol).cast("string"))))
+      .withColumn("_bucket",
+        conv(substring(col("shuffle_key"), 1, prefixChars), 16, 10).cast("long"))
+    val w = Window.partitionBy("_bucket").orderBy(col("shuffle_key"), col(idCol))
+    val local = keyed.withColumn("_lrank", row_number().over(w).cast("long") - 1)
+    // bounded driver hop: one (bucket, count) row per OCCUPIED bucket
+    val counts = local.groupBy("_bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val prefixes = counts.scanLeft((0L, 0L)) {
+      case ((_, acc), (b, n)) => (b, acc + n)
+    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val prefixDf = df.sparkSession.createDataFrame(prefixes).toDF("_bucket", "_poff")
+    local
+      .join(broadcast(prefixDf), "_bucket")
+      .withColumn("shuffle_pos", col("_poff") + col("_lrank"))
+      .drop("_bucket", "_lrank", "_poff")
+  }
 }

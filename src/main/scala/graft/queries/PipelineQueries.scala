@@ -75,6 +75,25 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_tokens"),
         col("offset").as("tok_offset"), col("seq_id"))
       .orderBy("doc_id")),
+    // length-bucketed batching: 16-token-wide buckets, batches of 8 —
+    // the batch SUMMARY (count/seqlen/padding waste) is the checkable
+    // surface, and batch membership is the portable md5 permutation
+    "pack_length_batch" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, lit, max, sum}
+      Packing.lengthBuckets(documents(s, d), size(split(col("text"), " ")),
+        bucketWidth = 16, batchSize = 8)
+        .groupBy("bucket", "batch_in_bucket")
+        .agg(count(lit(1)).as("n_docs"), max("n_tokens").as("batch_seqlen"),
+          sum("n_tokens").as("sum_tokens"))
+        .withColumn("pad_waste",
+          col("n_docs") * col("batch_seqlen") - col("sum_tokens"))
+        .orderBy("bucket", "batch_in_bucket")
+    }),
+    // per-epoch deterministic corpus shuffle: dense permuted position
+    // via bucketed rank — never a single-reducer global row_number
+    "shuffle_deterministic" -> ((s, d) => Sampling.deterministicShuffle(
+      documents(s, d).select("doc_id"), salt = "epoch1")
+      .select("doc_id", "shuffle_key", "shuffle_pos").orderBy("doc_id")),
     // end-to-end near-dup removal: LSH candidates -> jaccard verify ->
     // components -> min-id survivors (rows-only: minhash internals)
     "dedup_sweep" -> ((s, d) => Dedup.sweep(documents(s, d))),
@@ -254,6 +273,29 @@ object PipelineQueries {
         |SELECT doc_id, n_tokens, tok_offset,
         |  CAST(tok_offset // 2048 AS BIGINT) AS seq_id
         |FROM o ORDER BY doc_id""".stripMargin,
+    "pack_length_batch" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens, CAST(floor(n_tokens / 16) AS BIGINT) AS bucket
+        |  FROM t),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM b)
+        |SELECT bucket, CAST((rn - 1) // 8 AS BIGINT) AS batch_in_bucket,
+        |  count(*) AS n_docs, max(n_tokens) AS batch_seqlen,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  count(*) * max(n_tokens) - CAST(sum(n_tokens) AS BIGINT) AS pad_waste
+        |FROM r GROUP BY 1, 2 ORDER BY bucket, batch_in_bucket""".stripMargin,
+    "shuffle_deterministic" ->
+      """SELECT doc_id,
+        |  md5('epoch1' || '#' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  row_number() OVER (
+        |    ORDER BY md5('epoch1' || '#' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_framesample" ->
       """WITH f AS (
         |  SELECT doc_id, text,

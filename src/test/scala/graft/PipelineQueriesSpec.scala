@@ -365,6 +365,58 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == li.count())
   }
 
+  test("length buckets: batches stay in one bucket, fill to batchSize, waste is non-negative") {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, sum}
+    val docs = Tables.documents(spark, sf)
+    val batched = graft.operators.Packing.lengthBuckets(
+      docs, org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(col("text"), " ")),
+      bucketWidth = 16, batchSize = 8)
+    // every doc batched exactly once
+    assert(batched.count() == docs.count())
+    val perBatch = batched.groupBy("bucket", "batch_in_bucket")
+      .agg(count(lit(1)).as("n"), max("n_tokens").as("mx"),
+        (count(lit(1)) * max("n_tokens") - sum("n_tokens")).as("waste"))
+    assert(perBatch.filter(col("n") > 8).count() == 0, "overful batch")
+    assert(perBatch.filter(col("waste") < 0).count() == 0, "negative padding waste")
+    // all but the LAST batch of each bucket are exactly full
+    val lastBatch = batched.groupBy("bucket")
+      .agg(max("batch_in_bucket").as("last_b"))
+    val partials = perBatch.join(lastBatch, "bucket")
+      .filter(col("batch_in_bucket") < col("last_b") && col("n") =!= 8)
+    assert(partials.count() == 0, "non-final batch not full")
+    // bucket really bounds the token range: max-min < bucketWidth
+    val spread = batched.groupBy("bucket")
+      .agg((max("n_tokens") - org.apache.spark.sql.functions.min("n_tokens")).as("spread"))
+      .filter(col("spread") >= 16)
+    assert(spread.count() == 0, "bucket wider than bucketWidth")
+    assert(batched.select(countDistinct("bucket")).head().getLong(0) > 1)
+  }
+
+  test("deterministic shuffle: dense permutation, portable order, no single-reducer rank") {
+    import org.apache.spark.sql.functions.{col, md5, concat_ws, lit}
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val out = graft.operators.Sampling.deterministicShuffle(docs, salt = "e1")
+    val n = docs.count()
+    // positions are exactly 0..n-1 (dense, no dup, no gap)
+    val pos = out.select("shuffle_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (0L until n).toSeq)
+    // position order IS (md5 key, id) order
+    val byPos = out.orderBy("shuffle_pos").select("doc_id").as[Long].collect().toSeq
+    val byKey = docs.withColumn("k", md5(concat_ws("#", lit("e1"), col("doc_id").cast("string"))))
+      .orderBy("k", "doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(byPos == byKey)
+    // a different salt permutes differently
+    val other = graft.operators.Sampling.deterministicShuffle(docs, salt = "e2")
+      .orderBy("shuffle_pos").select("doc_id").as[Long].collect().toSeq
+    assert(other != byPos)
+    // the rank is bucketed: no single-partition window in the plan
+    val plan = graft.operators.Sampling.deterministicShuffle(docs, salt = "e1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "global rank collapsed to a single-reducer window")
+  }
+
   test("multimodal meta stub is deterministic over byte length") {
     val d = Seq((1L, "abcd")).toDF("doc_id", "text")
     val r = Multimodal.decodeMeta(d).head()
