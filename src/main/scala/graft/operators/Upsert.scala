@@ -92,4 +92,51 @@ object Upsert {
     fs.delete(new Path(staging), true)
     parts
   }
+
+  /** SCD Type 2: apply a change batch to a versioned dimension, keeping
+    * full history. `dim` carries `valid_from`/`valid_to` (valid_to NULL
+    * = current version); `changes` carries the keys + tracked attrs.
+    * For each key whose tracked attrs actually differ, the current row
+    * closes at `effectiveDate` and a fresh open version is inserted;
+    * identical changes are no-ops; keys new to the dimension open their
+    * first version; closed history never changes.
+    *
+    * Scale shape: ONE left join of current rows to changes on the key
+    * feeds the closed/unchanged/new-version branches (Catalyst reuses
+    * the exchange across the three projections of the same join), plus
+    * one anti join for brand-new keys — broadcast-able whenever the
+    * change batch is small, which is the daily-dimension-feed case.
+    * History rows pass through untouched with no shuffle. Dates are
+    * ISO strings for engine portability. */
+  def scdType2(dim: DataFrame, changes: DataFrame, keys: Seq[String],
+               attrs: Seq[String], effectiveDate: String,
+               validFrom: String = "valid_from",
+               validTo: String = "valid_to"): DataFrame = {
+    val outCols = (keys ++ attrs).map(col) ++ Seq(col(validFrom), col(validTo))
+    val history = dim.filter(col(validTo).isNotNull).select(outCols: _*)
+    val current = dim.filter(col(validTo).isNull)
+    val chR = changes.select(
+      keys.map(col) ++ attrs.map(a => col(a).as(s"_ch_$a")) :+
+        lit(1).as("_ch_present"): _*)
+    val j = current.join(chR, keys, "left")
+    // null-safe attr compare: a null attr on either side is a real value
+    val differs = col("_ch_present").isNotNull &&
+      attrs.map(a => !(col(a) <=> col(s"_ch_$a"))).reduce(_ || _)
+    val closed = j.filter(differs).select(
+      (keys ++ attrs).map(col) ++
+        Seq(col(validFrom), lit(effectiveDate).as(validTo)): _*)
+    val unchanged = j.filter(!differs || col("_ch_present").isNull)
+      .select(outCols: _*)
+    val newVersions = j.filter(differs).select(
+      keys.map(col) ++ attrs.map(a => col(s"_ch_$a").as(a)) ++
+        Seq(lit(effectiveDate).as(validFrom),
+          lit(null).cast("string").as(validTo)): _*)
+    val brandNew = chR.join(current.select(keys.map(col): _*), keys, "left_anti")
+      .select(
+        keys.map(col) ++ attrs.map(a => col(s"_ch_$a").as(a)) ++
+          Seq(lit(effectiveDate).as(validFrom),
+            lit(null).cast("string").as(validTo)): _*)
+    history.unionByName(closed).unionByName(unchanged)
+      .unionByName(newVersions).unionByName(brandNew)
+  }
 }

@@ -370,7 +370,30 @@ object WarehouseQueries {
       .orderBy("interval_id", "l_orderkey", "pos", "istart", "iend")
   }
 
+  /** SCD Type 2 history: the repriced orders (q_upsert's change feed)
+    * applied to a versioned dimension — changed keys close their
+    * current row at the effective date and open a new version, so the
+    * table answers "what did this order look like on date X". */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .withColumn("valid_from", lit("1992-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+    val changes = orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey"),
+        lit("R").as("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(BigDecimal("1.1")))
+          .cast("double").as("o_totalprice"))
+    graft.operators.Upsert.scdType2(
+      dim, changes, Seq("o_orderkey"),
+      Seq("o_orderstatus", "o_totalprice"), effectiveDate = "1995-06-01")
+      .orderBy("o_orderkey", "valid_from")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> scd2 _,
     "q_range_join" -> rangeJoinQuery _,
     "q_upsert" -> upsert _,
     "q_grouping_sets" -> groupingSets _,
@@ -399,6 +422,34 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH dim AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         '1992-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+        |  FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey, 'R' AS o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |changed AS (
+        |  SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice, d.valid_from
+        |  FROM dim d JOIN ch c USING (o_orderkey)
+        |  WHERE d.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+        |     OR d.o_totalprice IS DISTINCT FROM c.o_totalprice)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from,
+        |       '1995-06-01' AS valid_to
+        |FROM changed
+        |UNION ALL
+        |SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice, d.valid_from, d.valid_to
+        |FROM dim d
+        |WHERE NOT EXISTS (SELECT 1 FROM changed x WHERE x.o_orderkey = d.o_orderkey)
+        |UNION ALL
+        |SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice,
+        |       '1995-06-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+        |FROM ch c
+        |WHERE EXISTS (SELECT 1 FROM changed x WHERE x.o_orderkey = c.o_orderkey)
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
     "q_range_join" ->
       """WITH pts AS (
         |  SELECT l_orderkey, l_partkey AS pos FROM lineitem WHERE l_linenumber = 1),

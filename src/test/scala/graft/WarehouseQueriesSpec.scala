@@ -84,6 +84,33 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/p=2").exists(), "emptied partition dir survived")
   }
 
+  test("scdType2: closes changed versions, no-ops identical changes, opens new keys, keeps history") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "a", "2020-01-01", "2021-01-01"), // closed history row
+      (1L, "b", "2021-01-01", null),         // current, attrs will change
+      (2L, "x", "2020-01-01", null),         // current, identical change: no-op
+      (3L, "z", "2020-01-01", null)          // current, no change row at all
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val changes = Seq((1L, "c"), (2L, "x"), (9L, "new")).toDF("k", "v")
+    val out = graft.operators.Upsert
+      .scdType2(dim, changes, Seq("k"), Seq("v"), "2022-06-01")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), Option(r.getString(3)))).toSet
+    assert(rows == Set(
+      (1L, "a", "2020-01-01", Some("2021-01-01")), // history untouched
+      (1L, "b", "2021-01-01", Some("2022-06-01")), // closed at effective date
+      (1L, "c", "2022-06-01", None),               // new open version
+      (2L, "x", "2020-01-01", None),               // no-op change: still open
+      (3L, "z", "2020-01-01", None),               // untouched key
+      (9L, "new", "2022-06-01", None)),            // brand-new key opens
+      s"got $rows")
+    // invariant: exactly one open version per key
+    val open = out.filter(col("valid_to").isNull).groupBy("k").count()
+      .filter(col("count") > 1).count()
+    assert(open == 0, "key with more than one open version")
+  }
+
   test("rangeJoin: binned equi-join equals the nested-loop join; no BNLJ in the query plan") {
     import spark.implicits._
     // points cover bin boundaries, negatives, and a null position
