@@ -417,6 +417,53 @@ class PipelineQueriesSpec extends SparkSpec {
       "global rank collapsed to a single-reducer window")
   }
 
+  test("zorder: every file covers a small rectangle of BOTH dims; single-col sort does not") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val (lo1, hi1, lo2, hi2) = {
+      val r = li.agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey")).head()
+      (r.getLong(0).toDouble, r.getLong(1).toDouble,
+        r.getLong(2).toDouble, r.getLong(3).toDouble)
+    }
+    // mean fraction of a column's global range that one FILE spans —
+    // what parquet footer min/max pruning sees
+    def coverage(path: String, c: String, lo: Double, hi: Double): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+        (r.getLong(1) - r.getLong(0)).toDouble / (hi - lo)
+      }
+      spans.sum / spans.length
+    }
+    val zPath = "/tmp/graft_zorder"
+    val sPath = "/tmp/graft_singlesort"
+    graft.operators.Layout.zorderBy(li, "l_orderkey", "l_partkey", zPath, numFiles = 8)
+    li.repartitionByRange(8, col("l_orderkey")).sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(sPath)
+    assert(spark.read.parquet(zPath).count() == li.count())
+    val zC1 = coverage(zPath, "l_orderkey", lo1, hi1)
+    val zC2 = coverage(zPath, "l_partkey", lo2, hi2)
+    val sC2 = coverage(sPath, "l_partkey", lo2, hi2)
+    // z-order skips on BOTH dims; the single-column sort leaves the
+    // second dim unskippable (every file spans ~its whole range)
+    assert(zC1 < 0.75, s"z-order file coverage on dim1 too wide: $zC1")
+    assert(zC2 < 0.75, s"z-order file coverage on dim2 too wide: $zC2")
+    assert(sC2 > 0.9, s"fixture broken: single-sort already narrow on dim2: $sC2")
+    assert(zC2 < sC2 * 0.8, s"z-order no better than single sort: $zC2 vs $sC2")
+  }
+
+  test("morton interleave round-trips bit positions") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // a = 0b101 (bits 0,2), b = 0b011 (bits 0,1) interleave to
+    // bits (2i for a): 0,4 ; (2i+1 for b): 1,3  -> 0b11011 = 27
+    val z = spark.range(1)
+      .select(graft.operators.Layout.mortonInterleave(lit(5L), lit(3L), 3).as("z"))
+      .head().getLong(0)
+    assert(z == 27L, s"expected 27, got $z")
+  }
+
   test("multimodal meta stub is deterministic over byte length") {
     val d = Seq((1L, "abcd")).toDF("doc_id", "text")
     val r = Multimodal.decodeMeta(d).head()
