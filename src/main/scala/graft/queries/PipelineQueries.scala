@@ -34,6 +34,21 @@ object PipelineQueries {
       embeddings(s, d),
       indexPath = Some(sys.props("java.io.tmpdir") +
         s"/graft_ivf_${datasetFingerprint(d)}"))),
+    // int8 embedding quantization: the quantized vector is pinned
+    // oracle-exact through integer aggregates (sum/L1/min/max) — any
+    // single-element disagreement shifts them
+    "sim_quantize" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{abs, aggregate, array_max, array_min, lit, round}
+      Similarity.quantizeInt8(embeddings(s, d))
+        .select(
+          col("vec_id"),
+          round(col("q_scale"), 6).as("q_scale"),
+          aggregate(col("qvec"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          aggregate(col("qvec"), lit(0L), (acc, x) => acc + abs(x)).as("q_l1"),
+          array_min(col("qvec")).as("q_min"),
+          array_max(col("qvec")).as("q_max"))
+        .orderBy("vec_id")
+    }),
     "text_langid" -> ((s, d) => TextOps.langId(documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.quality(documents(s, d))),
     "text_tokens" -> ((s, d) => TextOps.tokens(documents(s, d))),
@@ -273,6 +288,21 @@ object PipelineQueries {
         |SELECT doc_id, n_tokens, tok_offset,
         |  CAST(tok_offset // 2048 AS BIGINT) AS seq_id
         |FROM o ORDER BY doc_id""".stripMargin,
+    "sim_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS s,
+        |    CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, s, list_transform(e, x -> CAST(round(x / s) AS INT)) AS q
+        |  FROM q)
+        |SELECT vec_id, round(s, 6) AS q_scale,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  CAST(list_min(q) AS INT) AS q_min,
+        |  CAST(list_max(q) AS INT) AS q_max
+        |FROM qq ORDER BY vec_id""".stripMargin,
     "pack_length_batch" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -219,6 +219,21 @@ object WarehouseQueries {
         round(col("q3_price"), 4).as("q3_price"))
       .orderBy("l_returnflag")
 
+  /** Sketch percentiles (Greenwald-Khanna summaries): bounded memory
+    * per group regardless of value cardinality — the 100 TB companion
+    * to q_percentile the same way q_approx_distinct pairs with
+    * q_distinct_count. Rows-only (sketch internals are
+    * engine-specific); the spec bounds the rank error vs the exact
+    * histogram percentiles. */
+  def approxPercentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("med_qty"),
+        percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("q1_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("q3_price"))
+      .orderBy("l_returnflag")
+
   /** Unpivot (melt): wide metric columns → (metric, value) rows via
     * `stack` — the inverse of q_pivot_wide, one generator pass. */
   def unpivot(s: SparkSession, d: String): DataFrame =
@@ -406,6 +421,7 @@ object WarehouseQueries {
     "q_running_sum" -> runningSum _,
     "q_lag_delta" -> lagDelta _,
     "q_percentile" -> percentiles _,
+    "q_approx_percentile" -> approxPercentiles _,
     "q_unpivot" -> unpivot _,
     "q_distinct_count" -> distinctCount _,
     "q_approx_distinct" -> approxDistinct _,

@@ -417,6 +417,35 @@ class PipelineQueriesSpec extends SparkSpec {
       "global rank collapsed to a single-reducer window")
   }
 
+  test("int8 quantization: elements bounded, dequant error <= scale/2, cosine preserved, zero vector safe") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val emb = Tables.embeddings(spark, sf)
+    val q = graft.operators.Similarity.quantizeInt8(emb)
+      .join(emb, "vec_id")
+      .select(
+        col("vec_id"), col("q_scale"), col("qvec"),
+        col("embedding").cast("array<double>").as("e"))
+    // every quantized element in [-127, 127]
+    val outOfRange = q.filter(expr("exists(qvec, x -> x < -127 OR x > 127)")).count()
+    assert(outOfRange == 0)
+    // max |dequant - original| <= scale/2 + ulp
+    val badErr = q.filter(expr(
+      "exists(zip_with(qvec, e, (qi, xi) -> abs(qi * q_scale - xi)), d -> d > q_scale / 2 + 1e-9)"))
+      .count()
+    assert(badErr == 0, "dequantization error beyond scale/2")
+    // cosine between dequantized and original stays ~1
+    val worst = q.select(graft.operators.Similarity.cosine(
+      expr("transform(qvec, x -> CAST(x * q_scale AS DOUBLE))"), col("e")).as("c"))
+      .agg(org.apache.spark.sql.functions.min("c")).head().getDouble(0)
+    assert(worst > 0.995, s"quantization destroyed cosine: $worst")
+    // zero vector: scale 0, all-zero qvec, no NaN/null
+    import spark.implicits._
+    val z = graft.operators.Similarity
+      .quantizeInt8(Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding"))
+      .head()
+    assert(z.getDouble(1) == 0.0 && z.getSeq[Int](2) == Seq(0, 0, 0))
+  }
+
   test("zorder: every file covers a small rectangle of BOTH dims; single-col sort does not") {
     import org.apache.spark.sql.functions.{col, max, min}
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")

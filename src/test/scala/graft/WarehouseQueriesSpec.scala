@@ -111,6 +111,25 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(open == 0, "key with more than one open version")
   }
 
+  test("q_approx_percentile brackets the true rank within 1%") {
+    val approx = WarehouseQueries.approxPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val li = Tables.lineitem(spark, sf).select("l_returnflag", "l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def bracket(vals: Seq[Double], got: Double, p: Double): Unit = {
+      val below = vals.count(_ < got).toDouble / vals.size
+      val atOrBelow = vals.count(_ <= got).toDouble / vals.size
+      assert(below <= p + 0.01 && atOrBelow >= p - 0.01,
+        s"approx quantile $got misses rank $p: below=$below atOrBelow=$atOrBelow")
+    }
+    for ((flag, (med, q1, q3)) <- approx) {
+      val group = li.filter(_._1 == flag)
+      bracket(group.map(_._2).toSeq, med, 0.5)
+      bracket(group.map(_._3).toSeq, q1, 0.25)
+      bracket(group.map(_._3).toSeq, q3, 0.75)
+    }
+  }
+
   test("rangeJoin: binned equi-join equals the nested-loop join; no BNLJ in the query plan") {
     import spark.implicits._
     // points cover bin boundaries, negatives, and a null position
