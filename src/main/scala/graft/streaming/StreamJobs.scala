@@ -89,6 +89,57 @@ object StreamJobs {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** Streaming near-duplicate candidate pairs: the incremental form of
+    * Dedup.minhashCandidates. Each arriving doc computes its MinHash
+    * band signatures PER ROW (shingle → hash → per-band min, all
+    * codegen'd lambda arithmetic — no groupBy, because a streaming doc
+    * arrives whole, unlike the batch path which explodes + re-aggregates
+    * for map-side combining), then each (band, bucket) group keeps ONE
+    * state value: the first doc to claim the bucket. Later arrivals in
+    * the bucket emit a (representative, newcomer) candidate pair.
+    *
+    * The same band key on the same text yields the same bucket as the
+    * batch operator (identical hash math), so streamed pairs are a
+    * subset of batch candidates by construction — the spec asserts
+    * both that and recall of the planted near-dup.
+    *
+    * Scale: state is one long per OCCUPIED bucket, sharded by the
+    * state store on the group key; pair emission is local to a bucket.
+    * For an unbounded corpus swap NoTimeout for a processing-time
+    * timeout so idle buckets evict — the dedup horizon then matches
+    * the retention window, the same trade dropDuplicatesWithinWatermark
+    * makes. A pair surfacing through several bands is emitted once per
+    * band (batch applies a distinct; an append stream cannot without a
+    * second stateful stage) — consumers treat candidates as a multiset. */
+  def nearDupPairsStream(spark: SparkSession, docs: DataFrame,
+                         shingleK: Int = 2, bands: Int = 8,
+                         rowsPerBand: Int = 4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val withSig = docs
+      .withColumn("sh", graft.functions.WordShingles.shingles(col("text"), shingleK))
+      .filter(size(col("sh")) > 0)
+      .withColumn("h0", transform(col("sh"), s => xxhash64(s)))
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i =>
+        array_min(transform(col("h0"), h => xxhash64(lit(i), h)))): _*)
+    }
+    withSig
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bh) => (band, bh) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val ids = rows.map(_._1).toSeq.distinct.sorted
+          val rep = state.getOption.getOrElse(ids.head)
+          if (!state.exists) state.update(rep)
+          ids.filter(_ != rep)
+            .map(d => (math.min(rep, d), math.max(rep, d))).iterator
+      }
+      .toDF("doc_a", "doc_b")
+  }
+
   /** Run a streaming aggregate to a named in-memory sink and block until
     * the source is drained (local smoke path). */
   def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {

@@ -52,6 +52,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates are batch candidates and recall the planted near-dup") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again and once"),
+      (3L, "completely unrelated text about spark catalyst optimizer internals here")
+    ).toDF("doc_id", "text")
+    val dir = "/tmp/graft_stream_docs"
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = StreamJobs.runToMemory(
+      StreamJobs.nearDupPairsStream(spark, stream), "nd_test", mode = "append")
+    try {
+      val streamed = spark.table("nd_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.Dedup.minhashCandidates(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed.subsetOf(batch),
+        s"streamed pair not in batch candidates: ${streamed -- batch}")
+      assert(streamed.contains((0L, 1L)), "exact dup pair missed by the stream")
+      // every doc in a multi-doc cluster surfaces in some pair
+      assert(streamed.exists(p => p._1 == 2L || p._2 == 2L), "near dup never paired")
+      assert(!streamed.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState totals match the batch aggregate") {
     val dir = "/tmp/graft_stream_events"
     graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
