@@ -40,6 +40,30 @@ object Sampling {
       .drop("rk", "n")
   }
 
+  /** Per-stratum sampling fractions — the data-mix form of
+    * [[stratified]]: each stratum keeps its OWN fraction (upweight
+    * curated domains, downweight crawl), unlisted strata fall back to
+    * `defaultFrac`, and a fraction of 0 drops the stratum entirely.
+    * Same engine-portable md5 permutation and exact ceil(frac·n)
+    * quotas; same single shuffle on the stratum key. */
+  def weighted(df: DataFrame, stratum: Column, fracs: Map[String, Double],
+               defaultFrac: Double = 0.0, idCol: String = "doc_id"): DataFrame = {
+    require((fracs.values.toSeq :+ defaultFrac).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0, 1]: $fracs / $defaultFrac")
+    val fracCol = fracs.foldLeft(lit(defaultFrac)) { case (acc, (k, f)) =>
+      when(stratum.cast("string") === k, lit(f)).otherwise(acc)
+    }
+    val tagged = df.withColumn("stratum", stratum).withColumn("_frac", fracCol)
+    val order = Window.partitionBy("stratum")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val quota = Window.partitionBy("stratum")
+    tagged
+      .withColumn("rk", row_number().over(order))
+      .withColumn("n", count(lit(1)).over(quota))
+      .filter(col("rk") <= ceil(col("_frac") * col("n")))
+      .drop("rk", "n", "_frac")
+  }
+
   /** Deterministic global shuffle: assigns every row a dense permuted
     * position `shuffle_pos` ∈ [0, n) ordered by md5(salt#id) — the
     * reproducible "shuffle the corpus once per epoch" step of a

@@ -83,6 +83,14 @@ object PipelineQueries {
       documents(s, d).select("doc_id", "text"),
       pmod(length(col("text")), lit(4)), frac = 0.25)
       .select("doc_id", "stratum").orderBy("doc_id")),
+    // data-mix sampling: per-stratum fractions (0.5/0.25/drop/default
+    // 0.125 — all exact in binary AND decimal, see sample_stratified)
+    "sample_weighted" -> ((s, d) => Sampling.weighted(
+      documents(s, d).select("doc_id", "text"),
+      pmod(length(col("text")), lit(4)),
+      fracs = Map("0" -> 0.5, "1" -> 0.25, "2" -> 0.0),
+      defaultFrac = 0.125)
+      .select("doc_id", "stratum").orderBy("doc_id")),
     // GPT-style concat-and-chunk packing: global token offsets via the
     // distributed prefix scan, sequences of 2048 tokens
     "pack_sequences" -> ((s, d) => Packing.packSequences(
@@ -276,6 +284,17 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT doc_id, stratum FROM s
         |WHERE rk <= ceil(0.25 * n) ORDER BY doc_id""".stripMargin,
+    "sample_weighted" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) % 4 AS INT) AS stratum,
+        |    row_number() OVER (PARTITION BY length(text) % 4
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY length(text) % 4) AS n
+        |  FROM documents)
+        |SELECT doc_id, stratum FROM s
+        |WHERE rk <= ceil((CASE stratum WHEN 0 THEN 0.5 WHEN 1 THEN 0.25
+        |                  WHEN 2 THEN 0.0 ELSE 0.125 END) * n)
+        |ORDER BY doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -148,6 +148,29 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("weighted sampling: per-stratum quotas exact, zero-frac drops, uniform map equals stratified") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val strat = pmod(length(col("text")), lit(4))
+    val w = graft.operators.Sampling.weighted(
+      docs, strat, Map("0" -> 0.5, "1" -> 0.25, "2" -> 0.0), defaultFrac = 0.125)
+    val fracOf = Map(0 -> 0.5, 1 -> 0.25, 2 -> 0.0, 3 -> 0.125)
+    val quotas = docs.withColumn("stratum", strat)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getInt(0) -> math.ceil(fracOf(r.getInt(0)) * r.getLong(1)).toLong)
+      .toMap.filter(_._2 > 0)
+    val got = w.groupBy("stratum").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == quotas, s"per-stratum counts $got != quotas $quotas")
+    assert(!got.contains(2), "zero-frac stratum leaked rows")
+    // a uniform fraction map degenerates to plain stratified sampling
+    val uniform = graft.operators.Sampling.weighted(
+      docs, strat, Map.empty, defaultFrac = 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = graft.operators.Sampling.stratified(docs, strat, 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uniform == plain)
+  }
+
   test("pack_sequences offsets telescope exactly and match the single-reducer window") {
     val docs = Tables.documents(spark, sf)
     val packed = graft.operators.Packing
