@@ -95,4 +95,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans.nonEmpty && scans.head == Set("doc_id", "text"),
       s"scan reads: $scans")
   }
+
+  test("q_range_join: equi-join on the bin key, never a nested-loop plan") {
+    val p = plan(WarehouseQueries.rangeJoinQuery(spark, sf))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"range join planned a nested loop:\n$p")
+    // the BETWEEN survives as a post-join filter, the join itself is an
+    // equi-join (hash or sort-merge depending on AQE's size estimate)
+    assert(p.contains("Join") && p.contains("_bin"), s"bin key missing:\n$p")
+  }
+
+  test("q_scd2: the change feed broadcasts; history branch adds no shuffle") {
+    val p = plan(WarehouseQueries.scd2(spark, sf))
+    assert(p.contains("Broadcast"), s"change feed not broadcast:\n$p")
+  }
+
+  test("shuffle_deterministic and q_approx_percentile avoid single-reducer stages") {
+    Seq(
+      PipelineQueries.entries("shuffle_deterministic")(spark, sf),
+      WarehouseQueries.approxPercentiles(spark, sf),
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("SinglePartition") ||
+        // the tiny 3-row percentile RESULT may coalesce; the sketch
+        // aggregation itself must still be two-phase
+        "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"single-reducer stage:\n$p")
+    }
+  }
+
+  test("sim_quantize: one pruned scan, no shuffle, no UDF") {
+    val df = PipelineQueries.entries("sim_quantize")(spark, sf)
+    val p = plan(df)
+    // quantization is per-row arithmetic: the only exchange allowed is
+    // the harness-required final ORDER BY
+    assert("Exchange".r.findAllIn(p).size <= 1, s"unexpected shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"UDF in the hot path:\n$p")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty && scans.head == Set("vec_id", "embedding"), s"scan reads: $scans")
+  }
 }
