@@ -55,6 +55,16 @@ object ScaleCheck {
     t("vocab 10x")(graft.operators.TextOps.vocab(Tables.documents(spark, big)).count())
     t("sweep sf0.1")(Dedup.sweep(Tables.documents(spark, d)).count())
     t("sweep 10x")(Dedup.sweep(Tables.documents(spark, big)).count())
+    t("rangejoin sf0.1")(WarehouseQueries.rangeJoinQuery(spark, d).count())
+    t("rangejoin 10x")(WarehouseQueries.rangeJoinQuery(spark, big).count())
+    val shuf = (dir: String) => graft.operators.Sampling.deterministicShuffle(
+      Tables.documents(spark, dir).select("doc_id"))
+    t("shuffle sf0.1")(shuf(d).count())
+    t("shuffle 10x")(shuf(big).count())
+    val batch = (dir: String) => graft.operators.Packing.lengthBuckets(
+      Tables.documents(spark, dir), size(split(col("text"), " ")), 16, 8)
+    t("lenbatch sf0.1")(batch(d).count())
+    t("lenbatch 10x")(batch(big).count())
     spark.stop()
   }
 }
