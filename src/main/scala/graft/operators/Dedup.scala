@@ -48,12 +48,25 @@ object Dedup {
     * signature row per doc per partition, and the whole pipeline is
     * codegen'd (a transform/array_min lambda composition benched 20×
     * slower). */
+  /** The MinHash seed scheme: signature i re-hashes a shingle's 64-bit
+    * string hash with seed column i. The batch path (explode +
+    * min-aggregate, map-side combinable) and the streaming path
+    * (per-row array_min — StreamJobs.nearDupPairsStream) BOTH build on
+    * this one expression; so does [[bandHash]]. Any change here must
+    * keep them identical or streamed buckets stop matching batch
+    * buckets (StreamingSpec's subset assertion is the enforcement). */
+  private[graft] def seedHash(i: Int, h0: Column): Column = xxhash64(lit(i), h0)
+
+  /** Band bucket hash over `rowsPerBand` consecutive signature mins. */
+  private[graft] def bandHash(sig: Int => Column, b: Int, rowsPerBand: Int): Column =
+    xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(sig): _*)
+
   def withMinhashSig(shingled: DataFrame, numHashes: Int): DataFrame = {
     val exploded = shingled
       .select(col("doc_id"), explode(col("sh")).as("s1"))
       .withColumn("h0", xxhash64(col("s1")))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("h0"))).as(s"sig$i"))
+      min(seedHash(i, col("h0"))).as(s"sig$i"))
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -74,9 +87,8 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
 
   private def bandedPairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      xxhash64((0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}")): _*)
-    }
+    val bandCols = (0 until bands).map(b =>
+      bandHash(i => col(s"sig$i"), b, rowsPerBand))
     val banded = sigs
       .select(col("doc_id"), array(bandCols: _*).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))

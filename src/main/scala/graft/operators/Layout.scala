@@ -71,10 +71,22 @@ object Layout {
     val mm = df.agg(
       min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    if (mm.isNullAt(0) || mm.isNullAt(2)) {
+      // empty input or an all-null dimension: nothing to cluster by —
+      // write as-is instead of NPE-ing on the missing bounds
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val top = (1L << bits) - 1
+    // nulls sort to the min corner (bucket 0) — the coalesce keeps a
+    // null dimension value from silently landing in the TOP bucket
+    // (least() skips nulls), which would widen the last file's min/max
+    // span and defeat the skipping this operator exists to provide
     def norm(c: String, lo: Double, hi: Double): Column =
       if (lo >= hi) lit(0L)
-      else least(lit(top), floor((col(c).cast("double") - lo) / (hi - lo) * top)).cast("long")
+      else coalesce(
+        least(lit(top), floor((col(c).cast("double") - lo) / (hi - lo) * top)).cast("long"),
+        lit(0L))
     df.withColumn("_z", mortonInterleave(
         norm(c1, mm.getDouble(0), mm.getDouble(1)),
         norm(c2, mm.getDouble(2), mm.getDouble(3)), bits))

@@ -35,6 +35,17 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Exclusive prefix offsets over per-group subtotals — the bounded
+    * driver-side half of a distributed scan (packSequences,
+    * Sampling.deterministicShuffle). Input: one (group, subtotal) pair
+    * per group, in scan order. Output: (group, offset of the group's
+    * first element). The (seed, 0) sentinel + sliding-pairs collect is
+    * the off-by-one-prone bit — keep it in exactly one place. */
+  private[graft] def prefixOffsets[K](subtotals: Seq[(K, Long)], seed: K): Seq[(K, Long)] =
+    subtotals.scanLeft((seed, 0L)) {
+      case ((_, acc), (g, n)) => (g, acc + n)
+    }.sliding(2).collect { case Seq((_, acc), (g, _)) => (g, acc) }.toSeq
+
   /** (id, n_tokens, offset, seq_id) for every doc: `offset` is the
     * doc's first-token position in the id-ordered concatenation,
     * `seq_id = offset / budget` its training sequence. */
@@ -52,9 +63,7 @@ object Packing {
     // bounded driver hop: one (pid, subtotal) row per partition
     val subtotals = withLocal.groupBy("pid").agg(sum("n_tokens").as("tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val prefixes = subtotals.scanLeft((0, 0L)) {
-      case ((_, acc), (pid, tot)) => (pid, acc + tot)
-    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val prefixes = prefixOffsets(subtotals.toSeq, seed = 0)
     val prefixDf = docs.sparkSession
       .createDataFrame(prefixes).toDF("pid", "poff")
     withLocal

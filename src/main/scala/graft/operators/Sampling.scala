@@ -25,19 +25,12 @@ object Sampling {
 
   /** Exact deterministic stratified sample: keeps ceil(frac · |stratum|)
     * rows per stratum, chosen by md5-of-id order (ties broken by id).
-    * Output: input columns + `stratum`. */
+    * Output: input columns + `stratum`. The uniform special case of
+    * [[weighted]] (the spec pins the equivalence). */
   def stratified(df: DataFrame, stratum: Column, frac: Double,
                  idCol: String = "doc_id"): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
-    val tagged = df.withColumn("stratum", stratum)
-    val order = Window.partitionBy("stratum")
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    val quota = Window.partitionBy("stratum")
-    tagged
-      .withColumn("rk", row_number().over(order))
-      .withColumn("n", count(lit(1)).over(quota))
-      .filter(col("rk") <= ceil(lit(frac) * col("n")))
-      .drop("rk", "n")
+    weighted(df, stratum, Map.empty, defaultFrac = frac, idCol = idCol)
   }
 
   /** Per-stratum sampling fractions — the data-mix form of
@@ -98,9 +91,7 @@ object Sampling {
     // bounded driver hop: one (bucket, count) row per OCCUPIED bucket
     val counts = local.groupBy("_bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val prefixes = counts.scanLeft((0L, 0L)) {
-      case ((_, acc), (b, n)) => (b, acc + n)
-    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val prefixes = Packing.prefixOffsets(counts.toSeq, seed = 0L)
     val prefixDf = df.sparkSession.createDataFrame(prefixes).toDF("_bucket", "_poff")
     local
       .join(broadcast(prefixDf), "_bucket")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Merge/upsert semantics over immutable parquet — the reference's
@@ -115,9 +116,20 @@ object Upsert {
     val outCols = (keys ++ attrs).map(col) ++ Seq(col(validFrom), col(validTo))
     val history = dim.filter(col(validTo).isNotNull).select(outCols: _*)
     val current = dim.filter(col(validTo).isNull)
+    // a key appearing twice in one batch has no well-defined version
+    // order — the left join would fan out into duplicate closed rows
+    // and multiple open versions (silent history corruption). Fail
+    // loudly instead, like a transactional MERGE on a multi-match.
+    // The count window shuffles only the change feed (small by
+    // assumption) and evaluates lazily with the rest of the plan.
+    val dupGuard = count(lit(1)).over(Window.partitionBy(keys.map(col): _*))
     val chR = changes.select(
-      keys.map(col) ++ attrs.map(a => col(a).as(s"_ch_$a")) :+
-        lit(1).as("_ch_present"): _*)
+      keys.map(col) ++ attrs.map(a => col(a).as(s"_ch_$a")): _*)
+      .withColumn("_ch_present",
+        when(dupGuard > 1, raise_error(concat(
+          lit(s"scdType2: duplicate change rows for key (${keys.mkString(",")})=("),
+          concat_ws(",", keys.map(k => col(k).cast("string")): _*), lit(")"))))
+          .otherwise(lit(1)))
     val j = current.join(chR, keys, "left")
     // null-safe attr compare: a null attr on either side is a real value
     val differs = col("_ch_present").isNotNull &&
@@ -125,13 +137,16 @@ object Upsert {
     val closed = j.filter(differs).select(
       (keys ++ attrs).map(col) ++
         Seq(col(validFrom), lit(effectiveDate).as(validTo)): _*)
-    val unchanged = j.filter(!differs || col("_ch_present").isNull)
-      .select(outCols: _*)
+    val unchanged = j.filter(!differs).select(outCols: _*)
     val newVersions = j.filter(differs).select(
       keys.map(col) ++ attrs.map(a => col(s"_ch_$a").as(a)) ++
         Seq(lit(effectiveDate).as(validFrom),
           lit(null).cast("string").as(validTo)): _*)
+    // keep the duplicate-key guard alive in this branch too (without
+    // the filter, column pruning would drop _ch_present and with it
+    // the raise_error for duplicate BRAND-NEW keys)
     val brandNew = chR.join(current.select(keys.map(col): _*), keys, "left_anti")
+      .filter(col("_ch_present") === 1)
       .select(
         keys.map(col) ++ attrs.map(a => col(s"_ch_$a").as(a)) ++
           Seq(lit(effectiveDate).as(validFrom),

@@ -314,11 +314,13 @@ object PipelineQueries {
         |    CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings),
         |qq AS (
-        |  SELECT vec_id, s, list_transform(e, x -> CAST(round(x / s) AS INT)) AS q
+        |  SELECT vec_id, s,
+        |    list_transform(e, x -> CAST(CASE WHEN s = 0 THEN 0
+        |                                ELSE round(x / s) END AS INT)) AS q
         |  FROM q)
         |SELECT vec_id, round(s, 6) AS q_scale,
-        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
-        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+        |  CAST(coalesce(list_sum(q), 0) AS BIGINT) AS q_sum,
+        |  CAST(coalesce(list_sum(list_transform(q, x -> abs(x))), 0) AS BIGINT) AS q_l1,
         |  CAST(list_min(q) AS INT) AS q_min,
         |  CAST(list_max(q) AS INT) AS q_max
         |FROM qq ORDER BY vec_id""".stripMargin,

@@ -120,10 +120,13 @@ object StreamJobs {
       .withColumn("sh", graft.functions.WordShingles.shingles(col("text"), shingleK))
       .filter(size(col("sh")) > 0)
       .withColumn("h0", transform(col("sh"), s => xxhash64(s)))
-    val bandCols = (0 until bands).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i =>
-        array_min(transform(col("h0"), h => xxhash64(lit(i), h)))): _*)
-    }
+    // the seed + band layout comes from Dedup.seedHash/bandHash — the
+    // SAME expressions the batch path aggregates, which is what makes
+    // streamed buckets equal batch buckets
+    val bandCols = (0 until bands).map(b =>
+      graft.operators.Dedup.bandHash(
+        i => array_min(transform(col("h0"), h => graft.operators.Dedup.seedHash(i, h))),
+        b, rowsPerBand))
     withSig
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
       .as[(Long, Int, Long)]

@@ -130,6 +130,29 @@ class WarehouseQueriesSpec extends SparkSpec {
     }
   }
 
+  test("scdType2 fails loudly on duplicate keys in one change batch") {
+    import spark.implicits._
+    val dim = Seq((1L, "a", "2020-01-01", null.asInstanceOf[String]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val changes = Seq((1L, "c"), (1L, "d")).toDF("k", "v")
+    val e = intercept[Throwable] {
+      graft.operators.Upsert.scdType2(dim, changes, Seq("k"), Seq("v"), "2022-06-01").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate change rows")),
+      s"wrong failure: ${messages(e)}")
+    // duplicate BRAND-NEW keys must trip the guard too (the anti-join
+    // branch must not prune it away)
+    val dimOther = Seq((5L, "z", "2020-01-01", null.asInstanceOf[String]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val eNew = intercept[Throwable] {
+      graft.operators.Upsert.scdType2(dimOther, changes, Seq("k"), Seq("v"), "2022-06-01").collect()
+    }
+    assert(messages(eNew).exists(_.contains("duplicate change rows")),
+      s"brand-new dup slipped through: ${messages(eNew)}")
+  }
+
   test("rangeJoin: binned equi-join equals the nested-loop join; no BNLJ in the query plan") {
     import spark.implicits._
     // points cover bin boundaries, negatives, and a null position
