@@ -157,19 +157,31 @@ object Similarity {
     * the standard 4× memory cut (float32 → int8) that lets an ANN
     * corpus hold 4× more vectors per executor and ship 4× fewer
     * shuffle bytes, at a per-element error bounded by scale/2.
-    * Dequantize as q·scale. All codegen'd `transform`/`round`
-    * arithmetic, one scan, no shuffle; zero vectors quantize to all
-    * zeros with scale 0. Output: (id, q_scale, qvec array<int>). */
+    * Dequantize as q·scale. One scan, no shuffle; zero vectors
+    * quantize to all zeros with scale 0. Output: (id, q_scale,
+    * qvec array<int>).
+    *
+    * The scale lands in its OWN projection before the quantize
+    * projection: higher-order functions (`transform`/`array_max`) are
+    * CodegenFallback, so inlining the scale expression into the
+    * `when` condition and the divisor would evaluate the full-array
+    * abs+max pass up to 3× per row. CollapseProject keeps the two
+    * projections separate (the scale is non-cheap and referenced more
+    * than once — PlanAuditSpec pins a single array_max in the
+    * optimized plan). */
   def quantizeInt8(emb: DataFrame, vecCol: String = "embedding",
                    idCol: String = "vec_id"): DataFrame = {
-    val scale = array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0)
-    emb.select(
+    val scaled = emb.select(
+      col(idCol), col(vecCol).as("_vec"),
+      (array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0))
+        .as("q_scale"))
+    scaled.select(
       col(idCol),
-      scale.as("q_scale"),
-      when(scale === 0.0,
-        transform(col(vecCol), _ => lit(0)))
-        .otherwise(transform(col(vecCol),
-          x => round(x.cast("double") / scale).cast("int")))
+      col("q_scale"),
+      when(col("q_scale") === 0.0,
+        transform(col("_vec"), _ => lit(0)))
+        .otherwise(transform(col("_vec"),
+          x => round(x.cast("double") / col("q_scale")).cast("int")))
         .as("qvec"))
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Merge/upsert semantics over immutable parquet — the reference's
@@ -120,16 +119,21 @@ object Upsert {
     // order — the left join would fan out into duplicate closed rows
     // and multiple open versions (silent history corruption). Fail
     // loudly instead, like a transactional MERGE on a multi-match.
-    // The count window shuffles only the change feed (small by
-    // assumption) and evaluates lazily with the rest of the plan.
-    val dupGuard = count(lit(1)).over(Window.partitionBy(keys.map(col): _*))
+    // The check is a deliberately EAGER bounded probe (groupBy the
+    // change feed's keys, limit 1): a lazy raise_error column only
+    // fires if the optimizer happens to keep the side-effecting
+    // expression alive, which no Catalyst contract guarantees. The
+    // probe aggregates only the change feed — small by this operator's
+    // own assumption — and surfaces the offending key in the error.
+    val dup = changes.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+      .select(concat_ws(",", keys.map(k => col(k).cast("string")): _*))
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"scdType2: duplicate change rows for key (${keys.mkString(",")})=(${if (dup.isEmpty) "" else dup.head.getString(0)})")
     val chR = changes.select(
       keys.map(col) ++ attrs.map(a => col(a).as(s"_ch_$a")): _*)
-      .withColumn("_ch_present",
-        when(dupGuard > 1, raise_error(concat(
-          lit(s"scdType2: duplicate change rows for key (${keys.mkString(",")})=("),
-          concat_ws(",", keys.map(k => col(k).cast("string")): _*), lit(")"))))
-          .otherwise(lit(1)))
+      .withColumn("_ch_present", lit(1))
     val j = current.join(chR, keys, "left")
     // null-safe attr compare: a null attr on either side is a real value
     val differs = col("_ch_present").isNotNull &&
@@ -142,11 +146,7 @@ object Upsert {
       keys.map(col) ++ attrs.map(a => col(s"_ch_$a").as(a)) ++
         Seq(lit(effectiveDate).as(validFrom),
           lit(null).cast("string").as(validTo)): _*)
-    // keep the duplicate-key guard alive in this branch too (without
-    // the filter, column pruning would drop _ch_present and with it
-    // the raise_error for duplicate BRAND-NEW keys)
     val brandNew = chR.join(current.select(keys.map(col): _*), keys, "left_anti")
-      .filter(col("_ch_present") === 1)
       .select(
         keys.map(col) ++ attrs.map(a => col(s"_ch_$a").as(a)) ++
           Seq(lit(effectiveDate).as(validFrom),

@@ -135,10 +135,19 @@ object StreamJobs {
         (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
          state: org.apache.spark.sql.streaming.GroupState[Long]) =>
           val ids = rows.map(_._1).toSeq.distinct.sorted
-          val rep = state.getOption.getOrElse(ids.head)
-          if (!state.exists) state.update(rep)
-          ids.filter(_ != rep)
-            .map(d => (math.min(rep, d), math.max(rep, d))).iterator
+          if (ids.isEmpty) {
+            // timeout invocation (no new rows): evict the idle bucket
+            // and emit nothing — this is what makes the documented
+            // NoTimeout → processing-time-timeout swap safe (under a
+            // timeout the function IS called with an empty iterator)
+            if (state.hasTimedOut) state.remove()
+            Iterator.empty
+          } else {
+            val rep = state.getOption.getOrElse(ids.head)
+            if (!state.exists) state.update(rep)
+            ids.filter(_ != rep)
+              .map(d => (math.min(rep, d), math.max(rep, d))).iterator
+          }
       }
       .toDF("doc_a", "doc_b")
   }
