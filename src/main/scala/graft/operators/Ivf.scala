@@ -92,6 +92,22 @@ object Ivf {
       .limit(k)
   }
 
+  /** Recall-eval batch: run [[query]] for every id in `queryIds` (each
+    * a partition-pruned scan) and tag rows with the query id. The
+    * query-vector collect and the per-query union are bounded by |Q| —
+    * this is the eval harness for tuning nlist/nprobe (pair with
+    * Similarity.cosineTopKBatch + recallAtK), not a serving path. */
+  def queryBatch(spark: SparkSession, index: IvfIndex, emb: DataFrame,
+                 queryIds: Seq[Long], k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val qvecs = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    queryIds.map { qid =>
+      query(spark, index, qvecs(qid), k, nprobe, excludeId = Some(qid))
+        .select(lit(qid).as("qid"), col("vec_id"), col("cosine"))
+    }.reduce(_ unionAll _)
+  }
+
   private def sqdist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0

@@ -152,6 +152,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched brute-force exact top-k for a set of query ids — the
+    * ground-truth side of ANN recall evaluation. One corpus scan
+    * against the broadcast query batch (|Q| is bounded — an eval set,
+    * not a table), ranked per query by the TopKPerGroup physical
+    * operator: the shuffle carries at most k·|Q| rows per upstream
+    * partition, never the N×|Q| cosine matrix. Output:
+    * (qid, vec_id, cosine). */
+  def cosineTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cosine"))
+    graft.plans.TopK.topKPerGroup(scored,
+      groupCols = Seq(col("qid")),
+      orderCols = Seq(col("cosine").desc, col("vec_id")), k = k)
+  }
+
+  /** LSH ANN for a batch of query ids — ONE banding pass shared across
+    * the whole batch instead of |Q| separate [[annLsh]] scans. Same
+    * bucket math as [[annLsh]], so per-query results agree with the
+    * single-query operator. Output: (qid, vec_id, cosine), ≤ k rows
+    * per qid. Pair with [[cosineTopKBatch]] + [[recallAtK]] to measure
+    * the recall a (tables, planes) choice actually buys. */
+  def annLshBatch(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+                  dim: Int = 64, tables: Int = 4, planes: Int = 0,
+                  n: Long = -1L): DataFrame = {
+    val p = if (planes > 0) planes
+            else planesFor(if (n > 0) n else corpusCount(emb))
+    val banded = withBuckets(emb, dim, tables, p)
+      .select(col("vec_id"), col("embedding"), posexplode(col("bks")).as(Seq("t", "bucket")))
+    val qb = banded.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("t").as("qt"),
+        col("bucket").as("qbucket"), col("embedding").as("q_emb"))
+    val cands = banded
+      .join(broadcast(qb), col("t") === col("qt") && col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("embedding"), col("q_emb"))
+      .distinct()
+      .select(col("qid"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cosine"))
+    graft.plans.TopK.topKPerGroup(cands,
+      groupCols = Seq(col("qid")),
+      orderCols = Seq(col("cosine").desc, col("vec_id")), k = k)
+  }
+
+  /** recall@k of an approximate top-k against the exact top-k: both
+    * inputs are (qid, vec_id, …) per-query result sets; output one row
+    * per qid with |approx ∩ exact| / |exact| — the quantitative
+    * quality gate for tuning tables/planes (LSH) and nlist/nprobe
+    * (IVF). A qid with no approx rows scores 0, not a dropped row. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid"), col("vec_id")).withColumn("_hit", lit(1)),
+        Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg((sum(coalesce(col("_hit"), lit(0))).cast("double") / count(lit(1)))
+        .as("recall"))
+
   /** Symmetric int8 scalar quantization of the embedding column:
     * per-vector scale = max|x|/127, elements round to [-127, 127] —
     * the standard 4× memory cut (float32 → int8) that lets an ANN

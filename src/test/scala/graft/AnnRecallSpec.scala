@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, Similarity}
+import graft.tables.Tables
+
+/** Recall@k of the approximate-NN paths against brute-force ground
+  * truth — the quantitative quality gate a user tuning tables/planes
+  * (LSH) or nlist/nprobe (IVF) reads. Floors are set from measured
+  * values on the sf0.001 embeddings (weakly-similar random data — the
+  * HARD case for ANN; clustered production embeddings do better);
+  * measured numbers are recorded in SURVEY.md §6c.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val k = 10
+  private val qids: Seq[Long] = (0L until 20L).toSeq
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val exact = Similarity.cosineTopKBatch(emb, qids, k).cache()
+
+  private def mean(approx: DataFrame): Double =
+    Similarity.recallAtK(exact, approx).agg(avg("recall")).head().getDouble(0)
+
+  test("batched ground truth agrees with the single-query operator") {
+    val single = Similarity.cosineTopK(emb, queryId = 3L, k = k)
+      .collect().map(_.getLong(0)).toSet
+    val batched = exact.filter(col("qid") === 3L)
+      .collect().map(r => r.getAs[Long]("vec_id")).toSet
+    assert(single == batched, s"batch ground truth diverged: $single vs $batched")
+  }
+
+  test("IVF recall@10: exhaustive probe is exact, nprobe grows recall, nprobe=4 holds the floor") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_recall").toString
+    val index = Ivf.fit(emb, tmp, nlist = 16)
+    val r16 = mean(Ivf.queryBatch(spark, index, emb, qids, k, nprobe = 16))
+    val r4 = mean(Ivf.queryBatch(spark, index, emb, qids, k, nprobe = 4))
+    val r1 = mean(Ivf.queryBatch(spark, index, emb, qids, k, nprobe = 1))
+    info(f"IVF recall@10 (nlist=16): nprobe=1 $r1%.3f, nprobe=4 $r4%.3f, nprobe=16 $r16%.3f")
+    // probing every cell IS brute force — recall must be exactly 1
+    assert(r16 == 1.0, s"exhaustive nprobe=nlist recall was $r16, not 1.0")
+    assert(r4 >= r1, s"recall did not grow with nprobe: nprobe=4 $r4 < nprobe=1 $r1")
+    // measured 0.645 on this corpus (deterministic: fixed data, seed,
+    // centroids) — scanning 1/4 of a structureless corpus more than
+    // doubles the 1/4-of-corpus baseline a random probe would score
+    assert(r4 >= 0.60, s"IVF recall@10 at nprobe=4/nlist=16 below floor: $r4")
+  }
+
+  test("LSH recall@10: grows with tables, tables=4 holds the floor, matches single-query path") {
+    val n = emb.count()
+    val r2 = mean(Similarity.annLshBatch(emb, qids, k, tables = 2, n = n))
+    val r4 = mean(Similarity.annLshBatch(emb, qids, k, tables = 4, n = n))
+    val r8 = mean(Similarity.annLshBatch(emb, qids, k, tables = 8, n = n))
+    info(f"LSH recall@10 (planes=${Similarity.planesFor(n)}): tables=2 $r2%.3f, tables=4 $r4%.3f, tables=8 $r8%.3f")
+    assert(r8 >= r4 && r4 >= r2,
+      s"recall not monotone in tables: t2=$r2 t4=$r4 t8=$r8")
+    // measured 0.385 / 0.630 (deterministic planes + data). Random
+    // near-orthogonal vectors are hyperplane LSH's worst case — each
+    // extra table buys ~60% more recall here; the clustered test below
+    // shows the high-recall regime the operator is actually for
+    assert(r4 >= 0.35, s"LSH recall@10 at tables=4 below floor: $r4")
+    assert(r8 >= 0.55, s"LSH recall@10 at tables=8 below floor: $r8")
+    // the batch probe is the same bucket math as the shipped annLsh
+    val single = Similarity.annLsh(emb, queryId = 5L, k = k, n = n)
+      .collect().map(_.getLong(0)).toSet
+    val batched = Similarity.annLshBatch(emb, Seq(5L), k, n = n)
+      .collect().map(r => r.getAs[Long]("vec_id")).toSet
+    assert(single == batched, s"batch LSH diverged from annLsh: $single vs $batched")
+  }
+
+  test("clustered corpus (ANN's design regime): both paths recall >= 0.9 at default knobs") {
+    import spark.implicits._
+    // 50 planted clusters x 20 near-copies: every query's true top-10
+    // is its cluster siblings — the structure ANN indexes exploit
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(50)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val rows = for (c <- 0 until 50; i <- 0 until 20) yield {
+      val v = centers(c).map(x => (x + (rnd.nextDouble() - 0.5) * 0.1).toFloat)
+      ((c * 20 + i).toLong, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cq: Seq[Long] = (0 until 20).map(c => (c * 20).toLong)
+    val truth = Similarity.cosineTopKBatch(corpus, cq, k).cache()
+    def meanC(approx: DataFrame): Double =
+      Similarity.recallAtK(truth, approx).agg(avg("recall")).head().getDouble(0)
+    val lsh = meanC(Similarity.annLshBatch(corpus, cq, k, dim = 16, tables = 4, n = 1000L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_clustered").toString
+    val index = Ivf.fit(corpus, tmp, nlist = 16)
+    val ivf = meanC(Ivf.queryBatch(spark, index, corpus, cq, k, nprobe = 4))
+    info(f"clustered corpus recall@10: LSH(tables=4) $lsh%.3f, IVF(nprobe=4/nlist=16) $ivf%.3f")
+    assert(lsh >= 0.9, s"LSH recall@10 on clustered corpus below 0.9: $lsh")
+    assert(ivf >= 0.9, s"IVF recall@10 on clustered corpus below 0.9: $ivf")
+    truth.unpersist()
+  }
+}

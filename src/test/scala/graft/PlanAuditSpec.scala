@@ -137,5 +137,17 @@ class PlanAuditSpec extends SparkSpec {
         f.requiredSchema.fieldNames.toSet
     }
     assert(scans.nonEmpty && scans.head == Set("vec_id", "embedding"), s"scan reads: $scans")
+    // the per-vector scale must be computed ONCE: quantizeInt8 keeps it
+    // in its own projection because CollapseProject treats the
+    // HOF-based scale as non-cheap — if that Catalyst heuristic ever
+    // changes and the projections collapse, the full-array abs+max
+    // pass re-evaluates up to 3x per row (the regression the r5
+    // refactor removed). The q_max aggregate is array_max over the
+    // ALREADY-quantized vector, so "array_max(transform(" counts the
+    // scale alone.
+    val opt = df.queryExecution.optimizedPlan.toString
+    val scaleEvals = "array_max\\(transform\\(".r.findAllIn(opt).size
+    assert(scaleEvals == 1,
+      s"expected exactly 1 array_max(transform( scale evaluation, got $scaleEvals:\n$opt")
   }
 }
