@@ -47,24 +47,60 @@ object Joins {
     * interval width — smaller bins mean more interval replicas, larger
     * bins mean more false candidates filtered after the join, and
     * domain/binSize must comfortably exceed the cluster's parallelism
-    * so bins don't become skewed mega-keys. Inverted intervals
-    * (start > end) match nothing and are dropped before the explode
-    * (Spark's `sequence(a, b)` would count DOWNWARD and fabricate
-    * bins). Null positions or bounds never match, like SQL BETWEEN.
-    */
+    * so bins don't become skewed mega-keys. [[suggestedBinSize]]
+    * derives the median-width default in one bounded pre-pass.
+    * Inverted intervals (start > end) match nothing and are dropped
+    * before the explode (Spark's `sequence(a, b)` would count DOWNWARD
+    * and fabricate bins). Null positions or bounds never match, like
+    * SQL BETWEEN.
+    *
+    * `maxBinsPerInterval` guards the explode: ONE corrupt or
+    * pathologically wide interval (end − start ~1e12 against a small
+    * binSize) would otherwise throw from sequence()'s internal limit
+    * or OOM the task with an undiagnosable error. An interval over the
+    * cap fails fast with its own bounds in the message. The guard
+    * rides inside the expression the join consumes, so no optimizer
+    * rule can prune it, and it costs nothing on healthy rows. */
   def rangeJoin(points: DataFrame, posCol: String,
                 intervals: DataFrame, startCol: String, endCol: String,
                 binSize: Long,
-                keys: Seq[(String, String)] = Nil): DataFrame = {
+                keys: Seq[(String, String)] = Nil,
+                maxBinsPerInterval: Long = 1L << 16): DataFrame = {
     require(binSize > 0, s"binSize must be positive, got $binSize")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     val p = points.withColumn("_bin", floor(col(posCol) / binSize))
+    val nBins = floor(col(endCol) / binSize) - floor(col(startCol) / binSize) + 1
     val i = intervals
       .filter(col(startCol) <= col(endCol))
       .withColumn("_bin",
-        explode(sequence(floor(col(startCol) / binSize), floor(col(endCol) / binSize))))
+        explode(
+          when(nBins <= maxBinsPerInterval,
+            sequence(floor(col(startCol) / binSize), floor(col(endCol) / binSize)))
+          .otherwise(raise_error(concat(
+            lit("rangeJoin: interval ["), col(startCol).cast("string"),
+            lit(", "), col(endCol).cast("string"), lit("] spans "),
+            nBins.cast("string"),
+            lit(s" bins at binSize=$binSize, over maxBinsPerInterval=" +
+              s"$maxBinsPerInterval — raise binSize (see suggestedBinSize) " +
+              "or the cap, or filter the interval")))
+            .cast("array<bigint>"))))
     val base = p("_bin") === i("_bin") &&
       p(posCol) >= i(startCol) && p(posCol) <= i(endCol)
     val cond = keys.foldLeft(base) { case (c, (pk, ik)) => c && p(pk) === i(ik) }
     p.join(i, cond).drop("_bin")
+  }
+
+  /** One-pass binSize heuristic for [[rangeJoin]]: the approximate
+    * median interval width (inverted intervals excluded, like the join
+    * itself). A bin sized at the median width keeps interval replicas
+    * near 2× while bounding false candidates per bin — the explicit
+    * parameter stays the override for callers who know their domain. */
+  def suggestedBinSize(intervals: DataFrame, startCol: String, endCol: String): Long = {
+    val w = intervals
+      .filter(col(startCol) <= col(endCol))
+      .select((col(endCol).cast("double") - col(startCol).cast("double") + 1.0).as("_w"))
+    w.stat.approxQuantile("_w", Array(0.5), 0.01)
+      .headOption.map(m => math.max(1L, m.toLong)).getOrElse(1L)
   }
 }

@@ -17,9 +17,51 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** updates win on key collision; everything else is kept. */
-  def mergeByKey(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+  /** Primary-key audit: the key tuples of `df` that violate
+    * uniqueness, with their duplicate counts — the reference's PK
+    * constraints (gwas_ddl.sql:42-64) in detectable form. Postgres
+    * REJECTS a duplicate load at insert time; an immutable-parquet
+    * lake can only audit after the fact, so this is the standing
+    * data-quality query a PK-bearing table runs after every load.
+    * One map-side-combinable groupBy on the keys; the output is
+    * violation-sized, never table-sized. */
+  def pkViolations(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** Bounded EAGER uniqueness probe shared by the merge operators: one
+    * Spark job over the (small, by each operator's own assumption)
+    * update/change feed, surfacing the first offending key. Eager
+    * because a lazy raise_error column only fires if the optimizer
+    * happens to keep the side-effecting expression alive, which no
+    * Catalyst contract guarantees. */
+  private def requireUnique(df: DataFrame, keys: Seq[String], err: String): Unit = {
+    val dup = pkViolations(df, keys)
+      .select(concat_ws(",", keys.map(k => col(k).cast("string")): _*))
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"$err for key (${keys.mkString(",")})=" +
+        s"(${dup.headOption.map(_.getString(0)).getOrElse("")})")
+  }
+
+  /** updates win on key collision; everything else is kept.
+    *
+    * A duplicate key WITHIN `updates` has no well-defined winner — the
+    * unguarded union would silently keep both rows and the merged
+    * table would carry a duplicate primary key. By default this runs
+    * the [[pkViolations]] probe over `updates` — NOTE: an eager,
+    * bounded Spark job at DataFrame-CONSTRUCTION time, like scdType2's
+    * guard. Because the probe is a separate job from the returned
+    * plan, a non-deterministic `updates` could pass validation yet
+    * join different rows later — persist/cache `updates` first if its
+    * lineage is not deterministic. `preValidated = true` skips the
+    * probe for feeds already audited upstream. */
+  def mergeByKey(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+                 preValidated: Boolean = false): DataFrame = {
+    if (!preValidated) requireUnique(updates, keys, "mergeByKey: duplicate update rows")
     updates.unionByName(existing.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+  }
 
   /** Partition-pruned merge: returns (partitionsToRewrite, merged rows
     * for exactly those partitions) — at 100 TB you merge into the
@@ -33,7 +75,8 @@ object Upsert {
     * moved-key probe is one join of the two key columns, broadcast-able
     * whenever the updates side is. */
   def mergePartitioned(existing: DataFrame, updates: DataFrame, keys: Seq[String],
-                       partitionCol: String): (Seq[Any], DataFrame) = {
+                       partitionCol: String,
+                       preValidated: Boolean = false): (Seq[Any], DataFrame) = {
     val target = updates.select(col(partitionCol))
     val moved = existing.select((keys :+ partitionCol).map(col): _*)
       .join(
@@ -45,7 +88,7 @@ object Upsert {
     val touched = existing.filter(col(partitionCol).isin(parts: _*))
     // anti join on the keys ALONE (not key+partition): this is what
     // drops a moved key's old row from its old partition
-    (parts, mergeByKey(touched, updates, keys))
+    (parts, mergeByKey(touched, updates, keys, preValidated))
   }
 
   /** End-to-end merge into a parquet table on disk, the plain-parquet
@@ -60,11 +103,11 @@ object Upsert {
     * would replace the stage+rewrite with a commit — the partition
     * arithmetic above is unchanged. */
   def mergeInto(tablePath: String, updates: DataFrame, keys: Seq[String],
-                partitionCol: String): Seq[Any] = {
+                partitionCol: String, preValidated: Boolean = false): Seq[Any] = {
     import org.apache.hadoop.fs.Path
     val spark = updates.sparkSession
     val existing = spark.read.parquet(tablePath)
-    val (parts, merged) = mergePartitioned(existing, updates, keys, partitionCol)
+    val (parts, merged) = mergePartitioned(existing, updates, keys, partitionCol, preValidated)
     val staging = s"$tablePath.__staging"
     merged.write.mode("overwrite").partitionBy(partitionCol).parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -107,30 +150,32 @@ object Upsert {
     * one anti join for brand-new keys — broadcast-able whenever the
     * change batch is small, which is the daily-dimension-feed case.
     * History rows pass through untouched with no shuffle. Dates are
-    * ISO strings for engine portability. */
+    * ISO strings for engine portability.
+    *
+    * A key appearing twice in one batch has no well-defined version
+    * order — the left join would fan out into duplicate closed rows
+    * and multiple open versions (silent history corruption). Fail
+    * loudly instead, like a transactional MERGE on a multi-match: by
+    * default this runs the [[pkViolations]] probe over `changes`.
+    * NOTE the probe is an EAGER, bounded Spark job at
+    * DataFrame-CONSTRUCTION time (a lazy raise_error column only
+    * fires if the optimizer keeps it alive, which no Catalyst
+    * contract guarantees) — callers composing lazy pipelines should
+    * expect the action here, and a change feed with non-deterministic
+    * lineage should be persisted/cached BEFORE the call so the rows
+    * the probe validates are the rows the join later reads.
+    * `preValidated = true` skips the probe for feeds audited
+    * upstream. */
   def scdType2(dim: DataFrame, changes: DataFrame, keys: Seq[String],
                attrs: Seq[String], effectiveDate: String,
                validFrom: String = "valid_from",
-               validTo: String = "valid_to"): DataFrame = {
+               validTo: String = "valid_to",
+               preValidated: Boolean = false): DataFrame = {
     val outCols = (keys ++ attrs).map(col) ++ Seq(col(validFrom), col(validTo))
     val history = dim.filter(col(validTo).isNotNull).select(outCols: _*)
     val current = dim.filter(col(validTo).isNull)
-    // a key appearing twice in one batch has no well-defined version
-    // order — the left join would fan out into duplicate closed rows
-    // and multiple open versions (silent history corruption). Fail
-    // loudly instead, like a transactional MERGE on a multi-match.
-    // The check is a deliberately EAGER bounded probe (groupBy the
-    // change feed's keys, limit 1): a lazy raise_error column only
-    // fires if the optimizer happens to keep the side-effecting
-    // expression alive, which no Catalyst contract guarantees. The
-    // probe aggregates only the change feed — small by this operator's
-    // own assumption — and surfaces the offending key in the error.
-    val dup = changes.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 1)
-      .select(concat_ws(",", keys.map(k => col(k).cast("string")): _*))
-      .limit(1).collect()
-    require(dup.isEmpty,
-      s"scdType2: duplicate change rows for key (${keys.mkString(",")})=(${if (dup.isEmpty) "" else dup.head.getString(0)})")
+    if (!preValidated)
+      requireUnique(changes, keys, "scdType2: duplicate change rows")
     val chR = changes.select(
       keys.map(col) ++ attrs.map(a => col(a).as(s"_ch_$a")): _*)
       .withColumn("_ch_present", lit(1))

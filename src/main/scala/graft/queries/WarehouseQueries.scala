@@ -365,6 +365,19 @@ object WarehouseQueries {
       .orderBy("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
   }
 
+  /** Primary-key uniqueness audit (Upsert.pkViolations): the
+    * reference's PK constraints (gwas_ddl.sql:42-64) as the standing
+    * detection query an immutable lake runs after every load —
+    * Postgres rejects the duplicate insert, a parquet table can only
+    * find it. The fixture re-appends every 100th order, so the audit
+    * must surface exactly those keys with their counts. */
+  def pkAudit(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select("o_orderkey")
+    graft.operators.Upsert.pkViolations(
+      o.unionAll(o.filter(col("o_orderkey") % 100 === 0)), Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   /** Interval-overlap (range) join via Joins.rangeJoin — each order's
     * first line (a "marker" at position l_partkey) matched to every
     * synthetic interval containing it. The binned equi-join form keeps
@@ -411,6 +424,7 @@ object WarehouseQueries {
     "q_scd2" -> scd2 _,
     "q_range_join" -> rangeJoinQuery _,
     "q_upsert" -> upsert _,
+    "q_pk_audit" -> pkAudit _,
     "q_grouping_sets" -> groupingSets _,
     "q_minmax_by" -> minmaxBy _,
     "q_conditional_agg" -> conditionalAgg _,
@@ -477,6 +491,14 @@ object WarehouseQueries {
         |SELECT interval_id, l_orderkey, pos, istart, iend
         |FROM pts JOIN iv ON pos BETWEEN istart AND iend
         |ORDER BY interval_id, l_orderkey, pos, istart, iend""".stripMargin,
+    "q_pk_audit" ->
+      """WITH planted AS (
+        |  SELECT o_orderkey FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderkey, count(*) AS n_rows
+        |FROM planted GROUP BY o_orderkey HAVING count(*) > 1
+        |ORDER BY o_orderkey""".stripMargin,
     "q_upsert" ->
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,

@@ -108,7 +108,12 @@ object StreamJobs {
     * For an unbounded corpus swap NoTimeout for a processing-time
     * timeout so idle buckets evict — the dedup horizon then matches
     * the retention window, the same trade dropDuplicatesWithinWatermark
-    * makes. A pair surfacing through several bands is emitted once per
+    * makes. The swap needs TWO edits: the GroupStateTimeout argument,
+    * AND `state.setTimeoutDuration(...)` in the data branch after
+    * every state.update/read — GroupState timeouts are not standing
+    * registrations, they re-arm per invocation, so a bucket whose
+    * data branch never sets one is never offered the timeout callback
+    * and would still never evict. A pair surfacing through several bands is emitted once per
     * band (batch applies a distinct; an append stream cannot without a
     * second stateful stage) — consumers treat candidates as a multiset. */
   def nearDupPairsStream(spark: SparkSession, docs: DataFrame,
@@ -137,9 +142,12 @@ object StreamJobs {
           val ids = rows.map(_._1).toSeq.distinct.sorted
           if (ids.isEmpty) {
             // timeout invocation (no new rows): evict the idle bucket
-            // and emit nothing — this is what makes the documented
-            // NoTimeout → processing-time-timeout swap safe (under a
-            // timeout the function IS called with an empty iterator)
+            // and emit nothing — one of the two halves the documented
+            // NoTimeout → processing-time-timeout swap needs (under a
+            // timeout the function IS called with an empty iterator);
+            // the other half is re-arming state.setTimeoutDuration in
+            // the data branch below, without which this path is never
+            // invoked (see the operator doc)
             if (state.hasTimedOut) state.remove()
             Iterator.empty
           } else {

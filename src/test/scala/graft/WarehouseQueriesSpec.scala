@@ -111,6 +111,45 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(open == 0, "key with more than one open version")
   }
 
+  test("pkViolations finds planted duplicates and is empty on a clean table") {
+    import spark.implicits._
+    val clean = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    assert(graft.operators.Upsert.pkViolations(clean, Seq("k")).count() == 0)
+    val dirty = clean.unionAll(Seq((2L, "B"), (2L, "BB")).toDF("k", "v"))
+    val got = graft.operators.Upsert.pkViolations(dirty, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 3L), s"violations were $got")
+    // composite keys: only the full tuple counts as a violation
+    val comp = Seq((1L, 1, "x"), (1L, 2, "y"), (1L, 2, "z")).toDF("k", "sub", "v")
+    val gotComp = graft.operators.Upsert.pkViolations(comp, Seq("k", "sub"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(gotComp == Map((1L, 2) -> 2L), s"composite violations were $gotComp")
+  }
+
+  test("mergeByKey rejects a duplicate-key update feed; preValidated opts out") {
+    import spark.implicits._
+    val existing = Seq((1L, "a")).toDF("k", "v")
+    val dupUpdates = Seq((1L, "b"), (1L, "c")).toDF("k", "v")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[Throwable] {
+      graft.operators.Upsert.mergeByKey(existing, dupUpdates, Seq("k")).collect()
+    }
+    assert(messages(e).exists(m =>
+      m.contains("duplicate update rows") && m.contains("(k)=(1)")),
+      s"wrong failure: ${messages(e)}")
+    // opt-out keeps the old (caller-owns-it) behavior
+    assert(graft.operators.Upsert
+      .mergeByKey(existing, dupUpdates, Seq("k"), preValidated = true).count() == 2)
+    // scdType2's opt-out skips its probe the same way
+    val dim = Seq((1L, "a", "2020-01-01", null.asInstanceOf[String]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val cleanChanges = Seq((1L, "c")).toDF("k", "v")
+    assert(graft.operators.Upsert.scdType2(
+      dim, cleanChanges, Seq("k"), Seq("v"), "2022-06-01", preValidated = true)
+      .count() == 2)
+  }
+
   test("q_approx_percentile brackets the true rank within 1%") {
     val approx = WarehouseQueries.approxPercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
@@ -181,6 +220,29 @@ class WarehouseQueriesSpec extends SparkSpec {
     val plan = WarehouseQueries.rangeJoinQuery(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
       "range join fell back to a nested-loop plan")
+  }
+
+  test("rangeJoin: a pathologically wide interval fails fast, naming its bounds") {
+    import spark.implicits._
+    val pts = Seq((5L, "p5")).toDF("pos", "pid")
+    // 1e12-wide corrupt interval at binSize=1: unguarded, sequence()
+    // would try to materialize a trillion-element array per row
+    val ivs = Seq((1L, 3L, 7L), (2L, 0L, 1000000000000L)).toDF("iid", "istart", "iend")
+    val e = intercept[Exception] {
+      graft.operators.Joins.rangeJoin(pts, "pos", ivs, "istart", "iend", binSize = 1).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("1000000000000") && msgs.contains("maxBinsPerInterval"),
+      s"error does not name the offending interval:\n$msgs")
+    // healthy intervals under a raised cap still join fine
+    val ok = graft.operators.Joins.rangeJoin(
+      pts, "pos", ivs.filter(col("iid") === 1L), "istart", "iend", binSize = 1)
+    assert(ok.count() == 1)
+    // the heuristic derives a sane bin from the interval widths
+    val sug = graft.operators.Joins.suggestedBinSize(
+      Seq((0L, 9L), (10L, 19L), (0L, 99L)).toDF("istart", "iend"), "istart", "iend")
+    assert(sug == 10L, s"median-width binSize heuristic off: $sug")
   }
 
   test("rangeJoin equi-keys keep chromosomes apart") {
