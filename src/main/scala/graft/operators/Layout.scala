@@ -62,8 +62,8 @@ object Layout {
     * driver hop); the rewrite itself is the single full pass.
     * Min/max bucketization is value-linear — a heavily skewed
     * dimension concentrates buckets and weakens skipping on that
-    * column; swap the `norm` mapping for quantile boundaries
-    * (approxQuantile, still one bounded pre-pass) when that matters. */
+    * column; use [[zorderByQuantiles]] (equi-depth boundaries, still
+    * one bounded pre-pass) when that matters. */
   def zorderBy(df: DataFrame, c1: String, c2: String, path: String,
                numFiles: Int, bits: Int = 12): Unit = {
     require(numFiles > 0 && bits >= 1 && bits <= 20,
@@ -90,6 +90,66 @@ object Layout {
     df.withColumn("_z", mortonInterleave(
         norm(c1, mm.getDouble(0), mm.getDouble(1)),
         norm(c2, mm.getDouble(2), mm.getDouble(3)), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Balanced comparison tree mapping a value to its equi-depth bucket
+    * (= the count of `boundaries` at or below it): a binary search
+    * unrolled into nested CASE expressions — pure codegen'd column
+    * arithmetic, ~log2(buckets) compares per row, no UDF, no join. */
+  private[graft] def bucketTree(c: Column, boundaries: Array[Double],
+                                lo: Int, hi: Int): Column =
+    if (lo >= hi) lit(lo.toLong)
+    else {
+      val mid = (lo + hi) / 2
+      when(c < boundaries(mid), bucketTree(c, boundaries, lo, mid))
+        .otherwise(bucketTree(c, boundaries, mid + 1, hi))
+    }
+
+  /** Quantile-bucketized z-order write — the skew-robust variant of
+    * [[zorderBy]]. Min/max normalization is value-LINEAR: on a
+    * power-law column most rows collapse into a handful of low
+    * buckets, every file then spans the whole dense value region, and
+    * skipping decays exactly where the data lives. Equi-DEPTH buckets
+    * from approxQuantile boundaries hold ~the same row count whatever
+    * the distribution, so files stay narrow where the rows are.
+    *
+    * Pre-pass: ONE approxQuantile sketch job over both columns (the
+    * bounded-driver-hop analogue of zorderBy's 4-value agg); the
+    * bucket mapping is [[bucketTree]] — codegen'd compares, never a
+    * per-row HOF or UDF. Repeated boundaries (heavy ties) dedupe into
+    * fewer, still-ordered buckets; nulls sort to bucket 0 like
+    * zorderBy; an all-null/empty dimension degrades to a constant
+    * bucket rather than failing. The rewrite is the same single full
+    * pass. `bits` caps at 10 (1023 probes) — file-level skipping
+    * saturates far below that; 8 (256 buckets) is the default. */
+  def zorderByQuantiles(df: DataFrame, c1: String, c2: String, path: String,
+                        numFiles: Int, bits: Int = 8,
+                        relErr: Double = 0.001): Unit = {
+    require(numFiles > 0 && bits >= 1 && bits <= 10,
+      s"need numFiles > 0 and bits in [1, 10], got $numFiles / $bits")
+    val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val Array(bs1, bs2) = df
+      .select(col(c1).cast("double").as(c1), col(c2).cast("double").as(c2))
+      .stat.approxQuantile(Array(c1, c2), probes, relErr)
+      .map(_.distinct.sorted)
+    // deduped boundaries can leave far fewer than 2^bits buckets (heavy
+    // ties) — rescale to span the full bit range, or the interleave's
+    // HIGH bits would sit constant and the z-curve would discriminate
+    // on this dimension only in its low-order (intra-file) bits
+    def norm(c: String, bs: Array[Double]): Column =
+      if (bs.isEmpty) lit(0L)
+      else {
+        val scale = ((1 << bits) - 1).toDouble / bs.length
+        when(col(c).isNull, lit(0L))
+          .otherwise(floor(
+            bucketTree(col(c).cast("double"), bs, 0, bs.length) * lit(scale))
+            .cast("long"))
+      }
+    df.withColumn("_z", mortonInterleave(norm(c1, bs1), norm(c2, bs2), bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
   * tokens), deliberately preferred to an internal persist the lazy
   * return value could never safely unpersist. Callers packing the same
   * corpus repeatedly should materialize the (id, n_tokens) projection
-  * once themselves.
+  * once themselves. PRECONDITION of that two-pass design: `docs` must
+  * be a deterministic plan (file scans and pure transforms are;
+  * rand() or an unseeded sample() is not), or the collected subtotals
+  * and the final scan could disagree and misalign every downstream
+  * offset — ReEvaluationSpec pins the two-evaluation agreement.
   */
 object Packing {
 
@@ -87,19 +91,38 @@ object Packing {
     * rank/batchSize. Scale: one shuffle on the bucket key; the
     * per-bucket window sorts on the reducer's spillable sort, nothing
     * driver-sized. Token counts are capped in practice so bucket
-    * count is tiny; a pathologically hot bucket inherits the same
-    * salting advice as stratified sampling. */
+    * count is tiny; for a pathologically hot bucket pass `salts > 1`:
+    * each bucket splits into `salts` deterministic sub-streams (hash
+    * of the id), the window sorts |bucket|/salts rows per reducer,
+    * and batch ids interleave as salt + salts·k — still unique within
+    * the bucket, batches still never mix buckets, and all but at most
+    * `salts` batches per bucket (one per sub-stream) stay exactly
+    * full. */
   def lengthBuckets(docs: DataFrame, tokens: org.apache.spark.sql.Column,
                     bucketWidth: Int, batchSize: Int,
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id", salts: Int = 1): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val t = docs
       .select(col(idCol), tokens.cast("long").as("n_tokens"))
       .withColumn("bucket", floor(col("n_tokens") / bucketWidth))
-    val w = Window.partitionBy("bucket")
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    t.withColumn("batch_in_bucket",
-      ((row_number().over(w) - 1) / batchSize).cast("long"))
+    if (salts == 1) {
+      val w = Window.partitionBy("bucket")
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      t.withColumn("batch_in_bucket",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+    } else {
+      val w = Window.partitionBy("bucket", "_salt")
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      // floor BEFORE the salt arithmetic: Spark's `/` divides in
+      // double, and a fractional batch index scaled by `salts` would
+      // collide batch ids across salts
+      t.withColumn("_salt", pmod(xxhash64(col(idCol).cast("string")), lit(salts.toLong)))
+        .withColumn("batch_in_bucket",
+          (col("_salt") + lit(salts.toLong) *
+            floor((row_number().over(w) - 1) / batchSize)).cast("long"))
+        .drop("_salt")
+    }
   }
 }

@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   * Scale: one shuffle on the stratum key; the per-stratum sort is a
   * window over (stratum, md5) — rows spill, nothing driver-sized. A
   * skewed stratum sorts on one reducer's disk, not in its memory; for
-  * truly pathological strata pre-split the stratum key (salt) and take
-  * quota per split.
+  * truly pathological strata pass `salts > 1` to [[weighted]], which
+  * pre-splits each stratum and recombines exact quotas.
   */
 object Sampling {
 
@@ -38,23 +38,93 @@ object Sampling {
     * curated domains, downweight crawl), unlisted strata fall back to
     * `defaultFrac`, and a fraction of 0 drops the stratum entirely.
     * Same engine-portable md5 permutation and exact ceil(frac·n)
-    * quotas; same single shuffle on the stratum key. */
-  def weighted(df: DataFrame, stratum: Column, fracs: Map[String, Double],
-               defaultFrac: Double = 0.0, idCol: String = "doc_id"): DataFrame = {
+    * quotas; same single shuffle on the stratum key.
+    *
+    * Keys: a `String` key compares against the stratum's canonical
+    * string form (`CAST(stratum AS STRING)` — the legacy contract, so
+    * `"0"` matches an int stratum 0); any other key type compares
+    * natively against the stratum's own type (so `0.5` matches a
+    * double stratum exactly, with no string-format coupling).
+    *
+    * `salts > 1` splits every stratum into `salts` deterministic
+    * sub-strata (hash of the id), takes a per-split quota, and
+    * recombines EXACTLY to ceil(frac·n) per stratum via
+    * largest-remainder allocation over a bounded driver hop (one
+    * (stratum, salt, count) row per occupied split — strata
+    * cardinality is already caller-bounded, it parameterizes
+    * `fracs`). Use it when one stratum dominates the corpus: the
+    * per-split window sorts |stratum|/salts rows per reducer instead
+    * of the whole hot stratum on one. The selected SET differs from
+    * salts=1 (rows are ranked within splits, not globally) but is
+    * equally deterministic and hits the identical per-stratum
+    * quota. */
+  def weighted(df: DataFrame, stratum: Column, fracs: Map[Any, Double],
+               defaultFrac: Double = 0.0, idCol: String = "doc_id",
+               salts: Int = 1): DataFrame = {
     require((fracs.values.toSeq :+ defaultFrac).forall(f => f >= 0.0 && f <= 1.0),
       s"fractions must be in [0, 1]: $fracs / $defaultFrac")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val fracCol = fracs.foldLeft(lit(defaultFrac)) { case (acc, (k, f)) =>
-      when(stratum.cast("string") === k, lit(f)).otherwise(acc)
+      val cond = k match {
+        case s: String => stratum.cast("string") === lit(s)
+        case other     => stratum === lit(other)
+      }
+      when(cond, lit(f)).otherwise(acc)
     }
     val tagged = df.withColumn("stratum", stratum).withColumn("_frac", fracCol)
-    val order = Window.partitionBy("stratum")
+    if (salts == 1) {
+      val order = Window.partitionBy("stratum")
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      val quota = Window.partitionBy("stratum")
+      tagged
+        .withColumn("rk", row_number().over(order))
+        .withColumn("n", count(lit(1)).over(quota))
+        .filter(col("rk") <= ceil(col("_frac") * col("n")))
+        .drop("rk", "n", "_frac")
+    } else saltedWeighted(tagged, idCol, salts)
+  }
+
+  /** The salted quota path of [[weighted]]: per-(stratum, salt) counts
+    * collect to the driver (bounded), largest-remainder allocation
+    * splits each stratum's exact ceil(frac·n) quota across its salts
+    * (fractional shares floor, the remainder goes to the largest
+    * fractional parts, ties to the lower salt — fully deterministic),
+    * and the per-split window takes its own quota. */
+  private def saltedWeighted(tagged: DataFrame, idCol: String, salts: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = tagged.sparkSession
+    val salted = tagged.withColumn("_salt",
+      pmod(xxhash64(col(idCol).cast("string")), lit(salts.toLong)))
+    val counts = salted.groupBy("stratum", "_salt")
+      .agg(count(lit(1)).as("n"), first("_frac").as("f"))
+      .collect()
+    val quotaRows = counts.groupBy(r => r.get(0)).toSeq.flatMap { case (sv, rows) =>
+      val n = rows.map(_.getAs[Long]("n")).sum
+      val q = math.ceil(rows.head.getAs[Double]("f") * n).toLong
+      val shares = rows.map(r =>
+          (r.getAs[Long]("_salt"), q.toDouble * r.getAs[Long]("n") / n))
+        .sortBy(_._1)
+      val base = shares.map { case (s, sh) => (s, sh.toLong) }
+      val rem = (q - base.map(_._2).sum).toInt
+      val bonus = shares.map { case (s, sh) => (s, sh - math.floor(sh)) }
+        .sortBy { case (s, fr) => (-fr, s) }.take(rem).map(_._1).toSet
+      base.map { case (s, b) => Row(sv, s, b + (if (bonus(s)) 1L else 0L)) }
+    }
+    val schema = StructType(Seq(
+      tagged.schema("stratum").copy(name = "_qs"),
+      StructField("_qsalt", LongType, nullable = false),
+      StructField("_q", LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val quotaDf = spark.createDataFrame(quotaRows.asJava, schema)
+    val w = Window.partitionBy("stratum", "_salt")
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    val quota = Window.partitionBy("stratum")
-    tagged
-      .withColumn("rk", row_number().over(order))
-      .withColumn("n", count(lit(1)).over(quota))
-      .filter(col("rk") <= ceil(col("_frac") * col("n")))
-      .drop("rk", "n", "_frac")
+    salted
+      .join(broadcast(quotaDf),
+        salted("stratum") <=> quotaDf("_qs") && salted("_salt") === quotaDf("_qsalt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("_q"))
+      .drop("rk", "_q", "_qs", "_qsalt", "_salt", "_frac")
   }
 
   /** Deterministic global shuffle: assigns every row a dense permuted
@@ -76,7 +146,11 @@ object Sampling {
     * Cost note: like packSequences, the bucket-count collect and the
     * returned plan each evaluate the keyed scan — two passes over an
     * (id)-projection, preferred to an internal persist the lazy return
-    * value could never safely unpersist. */
+    * value could never safely unpersist. PRECONDITION of that
+    * two-pass design: `df` must be a deterministic plan (file scans
+    * and pure transforms are; rand() or an unseeded sample() is not),
+    * or the counted buckets and the ranked rows could disagree —
+    * ReEvaluationSpec pins the two-evaluation agreement. */
   def deterministicShuffle(df: DataFrame, idCol: String = "doc_id",
                            salt: String = "0", prefixChars: Int = 3): DataFrame = {
     require(prefixChars >= 1 && prefixChars <= 8,

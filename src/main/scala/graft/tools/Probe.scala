@@ -24,9 +24,37 @@ object Probe {
     val spark = GraftSession.get("graft-probe")
     import spark.implicits._
 
+    // no args = every section; args name the sections to run
+    def section(name: String)(body: => Unit): Unit =
+      if (args.isEmpty || args.contains(name)) body
+
     // warmup
     noop(lineitem(spark, d).limit(1000))
 
+    section("components") {
+      // --- dedup_components anatomy (r6: attribute the r3->r5
+      // 3.56->5.54s bench drift; the stall-free r6 run measures 2.23s
+      // on identical code, so the drift was host-stall noise — these
+      // stage timings are the decomposition evidence) ---
+      import org.apache.spark.sql.functions.{min => fmin}
+      val chain = 50L
+      val pairs = spark.range(999)
+        .filter(pmod(col("id"), lit(chain)) =!= lit(chain - 1))
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      time("components: pairs scan only")(noop(pairs))
+      time("components: edges + initial labels") {
+        val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b"))).distinct()
+        noop(edges.groupBy("a").agg(fmin("b")))
+      }
+      for (iters <- Seq(1, 3, 6))
+        time(s"components: capped at $iters rounds")(
+          noop(graft.operators.Dedup.components(pairs, maxIters = iters)))
+      time("components: full convergence + orderBy (the benched shape)")(
+        noop(graft.operators.Dedup.components(pairs).orderBy("doc_id")))
+    }
+
+    section("maf") {
     // --- q_maf_calc anatomy ---
     val withGeno = lineitem(spark, d).withColumn(
       "geno",
@@ -41,7 +69,9 @@ object Probe {
     time("maf: expressions, no sort")(noop(maf))
     time("maf: + orderBy all cols")(noop(maf.orderBy("l_orderkey", "l_linenumber", "geno", "maf")))
     time("maf: + orderBy keys only")(noop(maf.orderBy("l_orderkey", "l_linenumber")))
+    }
 
+    section("ivf") {
     // --- sim_ann_ivf anatomy ---
     val emb = embeddings(spark, d)
     val tmp = java.nio.file.Files.createTempDirectory("probe_ivf").toString
@@ -58,11 +88,15 @@ object Probe {
       val feat = emb.withColumn("features", array_to_vector(col("embedding")))
       new KMeans().setK(16).setSeed(42L).setMaxIter(10).fit(feat)
     }
+    }
 
+    section("alias") {
     // --- q_alias_resolve anatomy ---
     val ar = graft.queries.ReferenceQueries.entries("q_alias_resolve")
     time("alias_resolve: full")(noop(ar(spark, d)))
+    }
 
+    section("unpivot") {
     // --- q_unpivot anatomy (r3 bench regression 3.88 -> 6.81 s) ---
     val unp = lineitem(spark, d).select(
       col("l_orderkey"), col("l_linenumber"),
@@ -76,6 +110,7 @@ object Probe {
     val sorted = unp.orderBy("l_orderkey", "l_linenumber", "metric", "value")
     sorted.write.format("noop").mode("overwrite").save()
     println("[probe] unpivot final plan:\n" + sorted.queryExecution.executedPlan)
+    }
     spark.stop()
   }
 }

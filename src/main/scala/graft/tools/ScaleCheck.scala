@@ -28,10 +28,18 @@ object ScaleCheck {
         .reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$big/documents.parquet")
       // dims unchanged
-      for (tbl <- Seq("part", "supplier", "orders", "customer", "events", "embeddings",
+      for (tbl <- Seq("part", "supplier", "orders", "customer", "events",
                       "region", "nation"))
         Tables.table(spark, d, tbl).write.mode("overwrite").parquet(s"$big/$tbl.parquet")
     }
+    // embeddings replicate with re-keyed ids every run (cheap, and the
+    // layout changed in r6): each vector repeats 10x, so every query
+    // gains 9 planted exact twins ANN must surface — recall at 10x is
+    // measured against brute-force ground truth on the same corpus
+    (0 until 10).map(i => Tables.embeddings(spark, d)
+        .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
     t("q1_agg sf0.1")(WarehouseQueries.q1Agg(spark, d).count())
     t("q1_agg 10x")(WarehouseQueries.q1Agg(spark, big).count())
     t("combined sf0.1")(ReferenceQueries.combinedView(spark, d).count())
@@ -65,6 +73,41 @@ object ScaleCheck {
       Tables.documents(spark, dir), size(split(col("text"), " ")), 16, 8)
     t("lenbatch sf0.1")(batch(d).count())
     t("lenbatch 10x")(batch(big).count())
+    // r6 additions
+    val salted = (dir: String) => graft.operators.Sampling.weighted(
+      Tables.documents(spark, dir).select("doc_id", "text"),
+      pmod(length(col("text")), lit(4)),
+      Map[Any, Double]("0" -> 0.5, "1" -> 0.25), defaultFrac = 0.125, salts = 8)
+    t("salted sample sf0.1")(salted(d).count())
+    t("salted sample 10x")(salted(big).count())
+    val audit = (dir: String) => graft.operators.Upsert.pkViolations(
+      Tables.lineitem(spark, dir), Seq("l_orderkey", "l_linenumber"))
+    t("pk audit sf0.1")(audit(d).count())
+    t("pk audit 10x")(audit(big).count())
+    val zq = (dir: String, out: String) => {
+      graft.operators.Layout.zorderByQuantiles(
+        Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", out, numFiles = 32, bits = 6)
+      spark.read.parquet(out).count()
+    }
+    t("zorder quantile sf0.1")(zq(d, "/tmp/graft_zq_01"))
+    t("zorder quantile 10x")(zq(big, "/tmp/graft_zq_10x"))
+    // ANN recall at 10x: planted exact twins must dominate the top-10
+    val qids = (0L until 20L).toSeq
+    val bigEmb = Tables.embeddings(spark, big)
+    val truth = graft.operators.Similarity.cosineTopKBatch(bigEmb, qids, 10).cache()
+    truth.count()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      graft.operators.Similarity.recallAtK(truth, approx)
+        .agg(avg("recall")).head().getDouble(0)
+    val t0 = System.nanoTime()
+    val rLsh = recall(graft.operators.Similarity.annLshBatch(bigEmb, qids, 10, tables = 8))
+    println(f"[scale] lsh recall@10 10x   ${(System.nanoTime()-t0)/1e9}%8.2f s  recall=$rLsh%.3f")
+    val tmp = java.nio.file.Files.createTempDirectory("scale_ivf").toString
+    val idx = graft.operators.Ivf.fit(bigEmb, tmp, nlist = 16)
+    val t1 = System.nanoTime()
+    val rIvf = recall(graft.operators.Ivf.queryBatch(spark, idx, bigEmb, qids, 10, nprobe = 4))
+    println(f"[scale] ivf recall@10 10x   ${(System.nanoTime()-t1)/1e9}%8.2f s  recall=$rIvf%.3f")
     spark.stop()
   }
 }

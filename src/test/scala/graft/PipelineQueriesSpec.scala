@@ -171,6 +171,70 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(uniform == plain)
   }
 
+  test("salted weighted sampling: exact recombined quotas on a 90%-hot-stratum corpus") {
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      when(col("id") < 900, lit("hot")).otherwise(lit("cold")).as("s"))
+    val fracs = Map[Any, Double]("hot" -> 0.25, "cold" -> 0.5)
+    def quotas(salts: Int): Map[String, Long] =
+      graft.operators.Sampling.weighted(docs, col("s"), fracs, salts = salts)
+        .groupBy("stratum").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = Map("hot" -> 225L, "cold" -> 50L)
+    assert(quotas(1) == expected, s"unsalted quotas off: ${quotas(1)}")
+    assert(quotas(4) == expected, s"salted quotas diverged from exact: ${quotas(4)}")
+    // deterministic: two salted runs pick the identical id set
+    def ids(): Set[Long] =
+      graft.operators.Sampling.weighted(docs, col("s"), fracs, salts = 4)
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids() == ids())
+    // ragged case: quota not divisible by salts — largest-remainder
+    // allocation still recombines to exactly ceil(frac*n)
+    val docs2 = spark.range(997).select(col("id").as("doc_id"), lit("x").as("s"))
+    val q2 = graft.operators.Sampling
+      .weighted(docs2, col("s"), Map[Any, Double]("x" -> 0.33), salts = 5).count()
+    assert(q2 == math.ceil(0.33 * 997).toLong, s"ragged salted quota: $q2")
+  }
+
+  test("weighted sampling accepts typed stratum keys; string keys keep the legacy contract") {
+    // double-typed strata 0.0 / 0.5 — a string key "0.5" would also
+    // work via the canonical cast, but the typed key needs no
+    // knowledge of Spark's double-to-string format
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      (pmod(col("id"), lit(2)).cast("double") / 2.0).as("s"))
+    val got = graft.operators.Sampling
+      .weighted(docs, col("s"), Map[Any, Double](0.5 -> 0.5))
+      .groupBy("stratum").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == Map(0.5 -> 25L), s"typed-key quotas: $got")
+    val intStrata = docs.withColumn("s", pmod(col("doc_id"), lit(2)).cast("int"))
+    val gotStr = graft.operators.Sampling
+      .weighted(intStrata, col("s"), Map[Any, Double]("1" -> 0.5)).count()
+    assert(gotStr == 25L, s"string-key contract broke: $gotStr")
+  }
+
+  test("salted length buckets: batches stay in-bucket, fill up, <= salts partials per bucket") {
+    // hot fixture: 90% of docs share one length bucket
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      when(col("id") < 450, lit(20L)).otherwise(pmod(col("id"), lit(40L))).as("n"))
+    val batched = graft.operators.Packing
+      .lengthBuckets(docs, col("n"), bucketWidth = 16, batchSize = 8, salts = 4)
+    assert(batched.count() == 500, "doc lost or duplicated")
+    val perBatch = batched.groupBy("bucket", "batch_in_bucket")
+      .agg(count(lit(1)).as("cnt"),
+        (max("n_tokens") - min("n_tokens")).as("spread"))
+    assert(perBatch.filter(col("cnt") > 8).count() == 0, "overfull batch")
+    assert(perBatch.filter(col("spread") >= 16).count() == 0, "batch wider than bucket")
+    val partials = perBatch.filter(col("cnt") < 8)
+      .groupBy("bucket").count().filter(col("count") > 4)
+    assert(partials.count() == 0, "more than `salts` partial batches in one bucket")
+    // deterministic across re-runs
+    def sig(): Set[(Long, Long, Long)] = graft.operators.Packing
+      .lengthBuckets(docs, col("n"), 16, 8, salts = 4)
+      .select("doc_id", "bucket", "batch_in_bucket")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sig() == sig())
+  }
+
   test("pack_sequences offsets telescope exactly and match the single-reducer window") {
     val docs = Tables.documents(spark, sf)
     val packed = graft.operators.Packing
@@ -504,6 +568,51 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(zC2 < 0.75, s"z-order file coverage on dim2 too wide: $zC2")
     assert(sC2 > 0.9, s"fixture broken: single-sort already narrow on dim2: $sC2")
     assert(zC2 < sC2 * 0.8, s"z-order no better than single sort: $zC2 vs $sC2")
+  }
+
+  test("quantile z-order prunes the dense region of a power-law column where min/max cannot") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    // 90% of rows live in v < 100; stragglers stretch the range to 1e6.
+    // Min/max bucketization maps the whole dense region to bucket 0.
+    val skewed = spark.range(4000).select(
+      when(pmod(col("id"), lit(10)) < 9, pmod(col("id"), lit(100)))
+        .otherwise(pmod(col("id") * 7919, lit(1000000))).as("v"),
+      pmod(col("id") * 31, lit(1000)).as("u"))
+    val mPath = "/tmp/graft_zorder_minmax_skew"
+    val qPath = "/tmp/graft_zorder_quantile_skew"
+    graft.operators.Layout.zorderBy(skewed, "v", "u", mPath, numFiles = 16)
+    graft.operators.Layout.zorderByQuantiles(skewed, "v", "u", qPath, numFiles = 16, bits = 6)
+    assert(spark.read.parquet(qPath).count() == 4000, "quantile rewrite lost rows")
+    // what parquet footer pruning sees: per-file v min/max, read once
+    def spans(path: String): Seq[(Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f).agg(min(col("v")), max(col("v"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+    val (mSpans, qSpans) = (spans(mPath), spans(qPath))
+    val preds = Seq((10L, 20L), (40L, 50L), (80L, 90L))
+    def touched(ss: Seq[(Long, Long)]): Int =
+      preds.map { case (lo, hi) => ss.count(s => s._1 <= hi && s._2 >= lo) }.sum
+    val (mTouched, qTouched) = (touched(mSpans), touched(qSpans))
+    info(s"files touched by 3 dense-region predicates: minmax $mTouched, quantile $qTouched (16 files)")
+    assert(qTouched < mTouched,
+      s"quantile z-order no better than min/max on the dense region: $qTouched vs $mTouched")
+    assert(qTouched <= mTouched / 2,
+      s"quantile z-order should at least halve touched files: $qTouched vs $mTouched")
+  }
+
+  test("bucketTree assigns equi-depth buckets, nulls and ties included") {
+    import spark.implicits._
+    val bs = Array(10.0, 20.0, 30.0)
+    val got = Seq(Some(5.0), Some(10.0), Some(15.0), Some(25.0), Some(99.0), None)
+      .toDF("x")
+      .select(when(col("x").isNull, lit(0L))
+        .otherwise(graft.operators.Layout.bucketTree(col("x"), bs, 0, bs.length)).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    // boundary value 10.0 counts as AT the boundary -> bucket 1
+    assert(got == Seq(0L, 1L, 1L, 2L, 3L, 0L), s"buckets were $got")
   }
 
   test("morton interleave round-trips bit positions") {
