@@ -92,6 +92,49 @@ object TextOps {
       .select("doc_id", "fp")
       .orderBy("doc_id")
 
+  /** (id…, gram-hash) pairs for every word n-gram of `textCol`: md5
+    * over the space-joined n-word window, one output row per window.
+    * The token array lands in its OWN projection before the
+    * higher-order transform so the split runs once per row, not once
+    * per window (HOF lambdas re-evaluate non-trivial outer expressions
+    * per element — the same CollapseProject reasoning as
+    * Similarity.quantizeInt8). Docs shorter than n words emit no
+    * grams (`sequence(1, m<1)` would count DOWNWARD and fabricate
+    * windows — same guard as Joins.rangeJoin). */
+  private def explodeNgramHashes(df: DataFrame, n: Int, textCol: String,
+                                 keep: Seq[Column]): DataFrame =
+    df.withColumn("_toks", split(col(textCol), " "))
+      .select((keep :+ explode(
+        when(size(col("_toks")) >= n,
+          transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+            i => md5(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
+          .otherwise(array().cast("array<string>"))).as("g")): _*)
+
+  /** n-gram-level benchmark decontamination — the GPT-3-style 13-gram
+    * scrub: a document is contaminated if ANY of its word n-grams
+    * appears anywhere in the benchmark corpus, not only if its whole
+    * text matches. This catches eval questions quoted verbatim INSIDE
+    * larger documents, which the whole-doc fingerprint pass
+    * ([[decontaminate]]) structurally misses. Returns the surviving
+    * documents.
+    *
+    * Shape: the benchmark side shingles into DISTINCT gram hashes
+    * (eval-suite-sized — small); documents explode into (id, hash)
+    * pairs — linear in corpus tokens, 32-byte hashes on the wire, not
+    * text; one equi-join marks contaminated ids and one anti join
+    * returns survivors. No broadcast hint: AQE broadcasts the
+    * benchmark grams when they fit. */
+  def decontaminateNgrams(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val benchGrams = explodeNgramHashes(benchmark, n, textCol, Nil).distinct()
+    val contaminated = explodeNgramHashes(docs, n, textCol, Seq(col(idCol)))
+      .join(benchGrams, "g")
+      .select(idCol).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Vocabulary induction: corpus-wide token counts, top-k by count —
     * the wordcount that feeds tokenizer training. Explode + two-phase
     * count (map-side combine ships one (token, partial-count) row per

@@ -61,6 +61,19 @@ object PipelineQueries {
         .select(org.apache.spark.sql.functions.col("fp_md5").as("fp"))
       TextOps.decontaminate(documents(s, d), block)
     }),
+    // n-gram-level decontamination: the benchmark is a verbatim
+    // 13-word quote lifted from each of the first five (long-enough)
+    // docs — exactly the embedded-eval-question case the whole-doc
+    // fingerprint pass misses
+    "dedup_decontaminate_ngram" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat_ws, size, slice, split}
+      val docs = documents(s, d)
+      val bench = docs
+        .filter(col("doc_id") < 5 && size(split(col("text"), " ")) >= 15)
+        .select(concat_ws(" ", slice(split(col("text"), " "), 3, 13)).as("text"))
+      TextOps.decontaminateNgrams(docs, bench, n = 13)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "text_rollhash" -> ((s, d) => TextOps.rollhash(documents(s, d))),
     "text_vocab" -> ((s, d) => TextOps.vocab(documents(s, d))),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
@@ -260,6 +273,28 @@ object PipelineQueries {
          |  CAST(CASE WHEN m <= 224 THEN hh0 ELSE greatest(1, hh0 * 224 // m) END AS INT) AS resized_h
          |FROM dims ORDER BY doc_id""".stripMargin
     },
+    "dedup_decontaminate_ngram" ->
+      """WITH bench AS (
+        |  SELECT array_to_string(list_slice(string_split(text, ' '), 3, 15), ' ') AS btext
+        |  FROM documents
+        |  WHERE doc_id < 5 AND len(string_split(text, ' ')) >= 15),
+        |bpos AS (
+        |  SELECT string_split(btext, ' ') AS toks,
+        |    unnest(generate_series(1, greatest(len(string_split(btext, ' ')) - 12, 0))) AS i
+        |  FROM bench),
+        |bgrams AS (
+        |  SELECT DISTINCT md5(array_to_string(list_slice(toks, i, i + 12), ' ')) AS g
+        |  FROM bpos),
+        |dpos AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 12, 0))) AS i
+        |  FROM documents),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM dpos
+        |  JOIN bgrams ON md5(array_to_string(list_slice(toks, i, i + 12), ' ')) = g)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_components" ->
       """SELECT range AS doc_id, range - (range % 50) AS component
         |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,

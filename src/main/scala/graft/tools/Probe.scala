@@ -91,9 +91,17 @@ object Probe {
     }
 
     section("alias") {
-    // --- q_alias_resolve anatomy ---
+    // --- q_alias_resolve anatomy (r6: attribute the 3.8s top cost) ---
     val ar = graft.queries.ReferenceQueries.entries("q_alias_resolve")
-    time("alias_resolve: full")(noop(ar(spark, d)))
+    val full = ar(spark, d)
+    val noSort = full.queryExecution.analyzed match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(_, true, child, _) =>
+        org.apache.spark.sql.graftbridge.ExprBridge.ofRows(spark, child)
+      case _ => full
+    }
+    time("alias_resolve: exprs + join, no sort")(noop(noSort))
+    time("alias_resolve: full (with ORDER BY)")(noop(full))
+    time("alias_resolve: full again")(noop(full))
     }
 
     section("unpivot") {

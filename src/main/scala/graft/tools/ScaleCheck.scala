@@ -92,6 +92,15 @@ object ScaleCheck {
     }
     t("zorder quantile sf0.1")(zq(d, "/tmp/graft_zq_01"))
     t("zorder quantile 10x")(zq(big, "/tmp/graft_zq_10x"))
+    val decon = (dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val bench = docs
+        .filter(col("doc_id") % 100 === 0 && size(split(col("text"), " ")) >= 15)
+        .select(concat_ws(" ", slice(split(col("text"), " "), 3, 13)).as("text"))
+      graft.operators.TextOps.decontaminateNgrams(docs, bench, n = 13)
+    }
+    t("ngram decon sf0.1")(decon(d).count())
+    t("ngram decon 10x")(decon(big).count())
     // ANN recall at 10x: planted exact twins must dominate the top-10
     val qids = (0L until 20L).toSeq
     val bigEmb = Tables.embeddings(spark, big)

@@ -424,6 +424,45 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.getString(1) == "mail me at <EMAIL> or call <NUM> now")
   }
 
+  test("ngram decontamination drops docs EMBEDDING a benchmark quote; fingerprints cannot") {
+    val phrase = "alpha beta gamma delta epsilon"   // the 5-gram to hunt
+    val docs = Seq(
+      (1L, s"leading words then $phrase and plenty of trailing context here"),
+      (2L, "a completely clean document with enough words to form many grams"),
+      (3L, phrase),                                  // exact benchmark text
+      (4L, "short doc"),                             // < n words: no grams
+      (5L, s"$phrase reworded so only the head overlaps the benchmark run")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(phrase)).toDF("text")
+    val kept = TextOps.decontaminateNgrams(docs, bench, n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L), s"survivors were $kept")
+    // the whole-doc fingerprint pass keeps doc 1 and 5 — the embedded
+    // quote is exactly what the n-gram level exists to catch
+    val fpKept = TextOps.decontaminate(
+      docs, TextOps.fingerprint(bench.select(lit(9L).as("doc_id"), col("text")))
+        .select(col("fp_md5").as("fp")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(fpKept == Set(1L, 2L, 4L, 5L), s"fingerprint pass dropped too much: $fpKept")
+  }
+
+  test("embedding dedup surfaces planted exact and near twins above the cosine floor") {
+    val base = Tables.embeddings(spark, sf)
+    // vec 498 := exact copy of vec 7; vec 499 := vec 7 + tiny nudge
+    val src = base.filter(col("vec_id") === 7L).select(col("embedding").as("src"))
+    val planted = base.crossJoin(broadcast(src))
+      .withColumn("embedding",
+        when(col("vec_id") === 498L, col("src"))
+          .when(col("vec_id") === 499L, transform(col("src"), x => x + lit(0.0001f)))
+          .otherwise(col("embedding")))
+      .drop("src")
+    val pairs = Dedup.embeddingDupPairs(planted, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 498L)), s"exact twin missed: $pairs")
+    assert(pairs.contains((7L, 499L)), s"near twin missed: $pairs")
+    assert(pairs.contains((498L, 499L)), s"twin pair missed: $pairs")
+  }
+
   test("decontamination drops exactly the blocklisted fingerprints") {
     val docs = Seq((1L, "keep one"), (2L, "drop me"), (3L, "keep two")).toDF("doc_id", "text")
     val block = TextOps.fingerprint(Seq((99L, "drop me")).toDF("doc_id", "text"))

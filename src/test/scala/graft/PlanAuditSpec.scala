@@ -124,6 +124,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_pk_audit: partial-aggregates before the shuffle, scans only the key column") {
+    val df = WarehouseQueries.pkAudit(spark, sf)
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty && scans.forall(_ == Set("o_orderkey")), s"scan reads: $scans")
+  }
+
+  test("salted weighted sampling: quota join broadcasts, no single-reducer window") {
+    val docs = graft.tables.Tables.documents(spark, sf).select("doc_id", "text")
+    val p = plan(graft.operators.Sampling.weighted(
+      docs, org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")),
+        org.apache.spark.sql.functions.lit(4)),
+      Map[Any, Double]("0" -> 0.5), defaultFrac = 0.125, salts = 4))
+    assert(!p.contains("SinglePartition"), s"single-reducer stage:\n$p")
+    assert(p.contains("Broadcast"), s"quota table not broadcast:\n$p")
+  }
+
   test("sim_quantize: one pruned scan, no shuffle, no UDF") {
     val df = PipelineQueries.entries("sim_quantize")(spark, sf)
     val p = plan(df)
