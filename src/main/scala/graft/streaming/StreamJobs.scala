@@ -105,20 +105,21 @@ object StreamJobs {
     *
     * Scale: state is one long per OCCUPIED bucket, sharded by the
     * state store on the group key; pair emission is local to a bucket.
-    * For an unbounded corpus swap NoTimeout for a processing-time
-    * timeout so idle buckets evict — the dedup horizon then matches
-    * the retention window, the same trade dropDuplicatesWithinWatermark
-    * makes. The swap needs TWO edits: the GroupStateTimeout argument,
-    * AND `state.setTimeoutDuration(...)` in the data branch after
-    * every state.update/read — GroupState timeouts are not standing
-    * registrations, they re-arm per invocation, so a bucket whose
-    * data branch never sets one is never offered the timeout callback
-    * and would still never evict. A pair surfacing through several bands is emitted once per
+    * For an unbounded corpus pass `idleTimeout` (e.g. "30 minutes"):
+    * buckets idle past it evict, so the dedup horizon matches the
+    * retention window — the same trade dropDuplicatesWithinWatermark
+    * makes. Both halves of that swap live here: the
+    * ProcessingTimeTimeout mode AND the per-invocation
+    * `state.setTimeoutDuration` re-arm in the data branch — GroupState
+    * timeouts are not standing registrations, so a bucket whose data
+    * branch never re-arms is never offered the timeout callback and
+    * would never evict. A pair surfacing through several bands is emitted once per
     * band (batch applies a distinct; an append stream cannot without a
     * second stateful stage) — consumers treat candidates as a multiset. */
   def nearDupPairsStream(spark: SparkSession, docs: DataFrame,
                          shingleK: Int = 2, bands: Int = 8,
-                         rowsPerBand: Int = 4): DataFrame = {
+                         rowsPerBand: Int = 4,
+                         idleTimeout: Option[String] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val withSig = docs
@@ -132,27 +133,30 @@ object StreamJobs {
       graft.operators.Dedup.bandHash(
         i => array_min(transform(col("h0"), h => graft.operators.Dedup.seedHash(i, h))),
         b, rowsPerBand))
+    val timeoutMode =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     withSig
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
       .as[(Long, Int, Long)]
       .groupByKey { case (_, band, bh) => (band, bh) }
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutMode) {
         (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
          state: org.apache.spark.sql.streaming.GroupState[Long]) =>
           val ids = rows.map(_._1).toSeq.distinct.sorted
           if (ids.isEmpty) {
             // timeout invocation (no new rows): evict the idle bucket
-            // and emit nothing — one of the two halves the documented
-            // NoTimeout → processing-time-timeout swap needs (under a
-            // timeout the function IS called with an empty iterator);
-            // the other half is re-arming state.setTimeoutDuration in
-            // the data branch below, without which this path is never
-            // invoked (see the operator doc)
+            // and emit nothing (under a timeout the function IS called
+            // with an empty iterator)
             if (state.hasTimedOut) state.remove()
             Iterator.empty
           } else {
             val rep = state.getOption.getOrElse(ids.head)
             if (!state.exists) state.update(rep)
+            // re-arm on every data invocation — GroupState timeouts
+            // are per-invocation, not standing registrations; a bucket
+            // that never re-arms is never offered the timeout path
+            idleTimeout.foreach(state.setTimeoutDuration)
             ids.filter(_ != rep)
               .map(d => (math.min(rep, d), math.max(rep, d))).iterator
           }

@@ -79,6 +79,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup idleTimeout evicts idle buckets: a twin arriving after the horizon pairs with nothing") {
+    import spark.implicits._
+    // NOTE: with ProcessingTimeTimeout the engine keeps scheduling
+    // batches to serve due timeouts, so `processAllAvailable` never
+    // sees a quiescent stream — the test paces the trigger and POLLS
+    // the sink instead of draining it
+    val textX = "the quick brown fox jumps over the lazy dog again and again and again"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_evict").toString
+    def emit(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text").write.mode("append").parquet(dir)
+    emit((0L, textX), (1L, textX))
+    val stream = spark.readStream
+      .schema(Seq((0L, "")).toDF("doc_id", "text").schema).parquet(dir)
+    val q = StreamJobs.nearDupPairsStream(spark, stream, idleTimeout = Some("2 seconds"))
+      .writeStream.outputMode("append").format("memory").queryName("nd_evict")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    def pairs(): Set[(Long, Long)] = spark.table("nd_evict")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def await(pred: Set[(Long, Long)] => Boolean): Boolean = {
+      val end = System.currentTimeMillis + 90000
+      while (System.currentTimeMillis < end && !pred(pairs())) Thread.sleep(250)
+      pred(pairs())
+    }
+    try {
+      // dup pair arriving within one horizon is caught
+      assert(await(_.contains((0L, 1L))), s"in-horizon dup pair missed: ${pairs()}")
+      // idle past the timeout: the engine self-schedules batches, the
+      // timed-out textX buckets are invoked with empty iterators and
+      // evicted — the dedup horizon equals the retention window
+      Thread.sleep(5000)
+      // twins arriving AFTER eviction find empty buckets: 7 re-seeds
+      // as the new representative (no pair against evicted 0/1), then
+      // 8 pairs against 7 — if eviction had NOT happened, the rep
+      // would still be 0 and (7,8) could never be emitted
+      emit((7L, textX))
+      emit((8L, textX))
+      assert(await(_.contains((7L, 8L))),
+        s"re-seeded bucket did not pair 7-8 (rep leaked across the horizon?): ${pairs()}")
+      assert(!pairs().exists(p => p._2 == 7L),
+        s"doc 7 paired across the eviction horizon: ${pairs()}")
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState totals match the batch aggregate") {
     val dir = "/tmp/graft_stream_events"
     graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
