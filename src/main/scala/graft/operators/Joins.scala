@@ -91,6 +91,59 @@ object Joins {
     p.join(i, cond).drop("_bin")
   }
 
+  /** Bloom-filter semi-join reduction: prune `fact` rows whose key
+    * cannot join `dim` BEFORE the join's shuffle moves them.
+    *
+    * This is the runtime-row-level-filter technique made explicit: when
+    * the dim side is too large to broadcast exactly but its KEY SET
+    * compresses into a Bloom filter (n distinct keys at fpp=1% is
+    * ~1.2 bytes/key — 10^8 keys ≈ 120 MB, where the exact key set or
+    * the rows themselves would be many GB), the filter rides to every
+    * task and drops non-joining fact rows at scan time. At 100 TB the
+    * shuffle then carries only `|matching| + fpp·|fact|` rows instead
+    * of `|fact|`. Spark's own `runtime.bloomFilter` optimization fires
+    * on the same pattern but only when its heuristics see a selective
+    * creation-side filter; this operator is the deterministic,
+    * composable form (and the filter is reusable across queries via
+    * [[keyBloom]]).
+    *
+    * Build is one tree-aggregated pass over dim's hashed keys; the only
+    * driver-side data is the filter itself (bounded by `fpp` and the
+    * key count, never by row count — same bounded-collect contract as
+    * Ivf centroids). Both sides hash with `xxhash64`, so keys of any
+    * type work and a fact key present in dim can NEVER be dropped
+    * (identical deterministic hash ⇒ no false negatives); false
+    * positives are removed by the exact join that follows, so results
+    * are exactly the plain join's. */
+  def keyBloom(dim: DataFrame, dimKey: String,
+               expectedItems: Long = 0L, fpp: Double = 0.01): Array[Byte] = {
+    val n = if (expectedItems > 0) expectedItems else dim.count()
+    val bf = dim.select(xxhash64(col(dimKey)).as("_h"))
+      .stat.bloomFilter("_h", math.max(1L, n), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** `fact` restricted to rows whose key might join `dim` — the probe
+    * side of the reduction, usable standalone (e.g. ahead of several
+    * joins against the same dim). */
+  def bloomSemiFilter(fact: DataFrame, factKey: String,
+                      filterBytes: Array[Byte]): DataFrame =
+    fact.filter(graft.functions.BloomFunctions.bloom_might_contain(
+      xxhash64(col(factKey)), filterBytes))
+
+  /** Exact inner join with the bloom reduction applied to the fact
+    * side first: identical results to `fact.join(dim, fact(factKey) ===
+    * dim(dimKey))`, with the shuffle shrunk to the matching rows plus
+    * the fpp-bounded false-positive residue. */
+  def bloomJoin(fact: DataFrame, dim: DataFrame,
+                factKey: String, dimKey: String,
+                expectedItems: Long = 0L, fpp: Double = 0.01): DataFrame = {
+    val pruned = bloomSemiFilter(fact, factKey, keyBloom(dim, dimKey, expectedItems, fpp))
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
+  }
+
   /** One-pass binSize heuristic for [[rangeJoin]]: the approximate
     * median interval width (inverted intervals excluded, like the join
     * itself). A bin sized at the median width keeps interval replicas

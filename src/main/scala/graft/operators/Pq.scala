@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PqFunctions.{pq_adc, pq_encode}
+
+/** Product quantization (PQ) for embedding similarity at 100 TB scale.
+  *
+  * The embedding column is split into `m` subspaces; each subspace gets
+  * its own `ksub`-entry codebook (KMeans over a bounded sample), and a
+  * vector compresses to `m` small codes — 8 bytes/vector at the
+  * default m=8 against 256 bytes for a 64-dim float32 embedding, a 32×
+  * cut in what an ANN scan has to read and hold. Query-time scoring is
+  * ADC (asymmetric distance computation): the query precomputes an
+  * m×ksub lookup table of subspace distances ONCE (driver-side math,
+  * microseconds), and every coded vector scores with m array lookups —
+  * no per-row floating-point vector math at all. The ADC shortlist
+  * then re-ranks EXACTLY (true cosine over the original embeddings of
+  * shortlist ids only), so recall is governed by the shortlist size
+  * and `shortlist = N` provably recovers brute force.
+  *
+  * Vectors are L2-normalized inside [[graft.functions.PqEncode]], so
+  * squared-L2 ADC ordering equals cosine ordering (‖a−b‖² = 2−2cos on
+  * unit vectors) — the shortlist and the exact re-rank agree on the
+  * metric.
+  *
+  * Scale shape: `fit` sees at most `fitSampleRows` vectors (collected
+  * to the driver — bounded like Ivf's centroids, NOT corpus-sized);
+  * `encode` is one codegen'd linear scan; the query scan reads only
+  * (vec_id, m codes) — with IVF-style partitioning on top this is the
+  * standard IVF-PQ layout, and the two operators compose (partition
+  * the CODES by Ivf cell). Codebooks are m·ksub·dsub doubles (a few
+  * KB) riding in the expression itself.
+  */
+object Pq {
+
+  /** codebooks(j)(c) = the dsub-dim centroid for code c of subspace j;
+    * all entries are over L2-normalized vectors. */
+  case class PqModel(m: Int, ksub: Int, dsub: Int,
+                     codebooks: Array[Array[Array[Double]]])
+
+  /** Train per-subspace codebooks with seeded Lloyd's iterations over a
+    * driver-collected sample (≤ `fitSampleRows` vectors — the same
+    * bounded-collect contract as Ivf.fit's KMeans sample; at the
+    * default 100k×64 dims that is ~50 MB, constant in corpus size).
+    * Deterministic: fixed seed drives both the sample and the init. */
+  def fit(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+          fitSampleRows: Long = 100000L, seed: Long = 42L): PqModel = {
+    val n = emb.count()
+    val sampled =
+      if (n > fitSampleRows)
+        emb.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
+      else emb
+    val rows = sampled.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "PQ fit: empty sample")
+    val dim = rows.head.length
+    require(dim % m == 0, s"PQ fit: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // normalize once; all codebook math is over unit vectors
+    val unit = rows.map { v =>
+      val ss = v.map(x => x * x).sum
+      if (ss == 0.0) v else { val inv = 1.0 / math.sqrt(ss); v.map(_ * inv) }
+    }
+    val rnd = new scala.util.Random(seed)
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = unit.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      lloyd(sub, ksub, rnd)
+    }
+    PqModel(m, ksub, dsub, codebooks)
+  }
+
+  /** Plain Lloyd's: seeded-shuffle init, 10 assignment/update rounds,
+    * empty clusters re-seeded from the shuffled order. Runs on the
+    * bounded driver sample only — never on the corpus. */
+  private def lloyd(pts: Array[Array[Double]], k: Int,
+                    rnd: scala.util.Random): Array[Array[Double]] = {
+    val d = pts.head.length
+    val order = rnd.shuffle(pts.indices.toVector)
+    val centers = Array.tabulate(k)(i => pts(order(i % pts.length)).clone())
+    val assign = new Array[Int](pts.length)
+    for (_ <- 0 until 10) {
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bd = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var t = 0
+          while (t < d) { val x = pts(i)(t) - centers(c)(t); dist += x * x; t += 1 }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.fill(k, d)(0.0)
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < pts.length) {
+        val a = assign(i); counts(a) += 1
+        var t = 0
+        while (t < d) { sums(a)(t) += pts(i)(t); t += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var t = 0
+          while (t < d) { centers(c)(t) = sums(c)(t) / counts(c); t += 1 }
+        } else {
+          centers(c) = pts(order(rnd.nextInt(pts.length) % order.length)).clone()
+        }
+        c += 1
+      }
+    }
+    centers
+  }
+
+  /** (id, codes) for the corpus — ONE codegen'd scan, m·ksub·dsub
+    * distance terms per row inside whole-stage codegen, output m ints
+    * per vector. This is the compressed representation the ADC scan
+    * reads instead of the embeddings. */
+  def encode(emb: DataFrame, model: PqModel,
+             vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    emb.select(col(idCol), pq_encode(col(vecCol), model.codebooks).as("codes"))
+
+  /** The per-query ADC lookup table: lut(j)(c) = ‖q_j − codebook(j)(c)‖²
+    * over the normalized query. m·ksub entries of driver math. */
+  def lut(model: PqModel, queryVec: Array[Double]): Array[Array[Double]] = {
+    val ss = queryVec.map(x => x * x).sum
+    val q = if (ss == 0.0) queryVec
+            else { val inv = 1.0 / math.sqrt(ss); queryVec.map(_ * inv) }
+    Array.tabulate(model.m) { j =>
+      Array.tabulate(model.ksub) { c =>
+        var dist = 0.0
+        var t = 0
+        while (t < model.dsub) {
+          val x = q(j * model.dsub + t) - model.codebooks(j)(c)(t)
+          dist += x * x; t += 1
+        }
+        dist
+      }
+    }
+  }
+
+  /** ADC score column over a `codes` column for one query. */
+  def adcScore(codes: Column, model: PqModel, queryVec: Array[Double]): Column =
+    pq_adc(codes, lut(model, queryVec))
+
+  /** ANN query: ADC over the coded corpus → `shortlist` smallest
+    * distances (TakeOrderedAndProject — per-partition heaps) → exact
+    * cosine re-rank of ONLY the shortlist ids against the original
+    * embeddings → top-k. The shortlist id collect is bounded by
+    * `shortlist`; `shortlist >= N` makes the result exactly brute
+    * force. Pre-encoded codes can be passed to amortize the encode
+    * scan across queries (the fit-once/encode-once/query-many
+    * lifecycle, like Ivf). */
+  def query(emb: DataFrame, model: PqModel, queryId: Long = 0L, k: Int = 10,
+            shortlist: Int = 100, codes: Option[DataFrame] = None): DataFrame = {
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val coded = codes.getOrElse(encode(emb, model))
+    val ids = coded.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), adcScore(col("codes"), model, qv).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(shortlist)
+      .select("vec_id").collect().map(_.getLong(0))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id").isin(ids.toIndexedSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Recall-eval batch (pair with Similarity.cosineTopKBatch +
+    * recallAtK): one encode pass shared across the batch, then the
+    * per-query ADC shortlist + exact re-rank. Bounded by |Q| like
+    * Ivf.queryBatch — an eval harness, not a serving path. */
+  def queryBatch(emb: DataFrame, model: PqModel, queryIds: Seq[Long],
+                 k: Int = 10, shortlist: Int = 100): DataFrame = {
+    val coded = encode(emb, model).cache()
+    try {
+      queryIds.map { qid =>
+        query(emb, model, qid, k, shortlist, codes = Some(coded))
+          .select(lit(qid).as("qid"), col("vec_id"), col("cosine"))
+      }.reduce(_ unionAll _)
+    } finally coded.unpersist(blocking = false)
+  }
+}

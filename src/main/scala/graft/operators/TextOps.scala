@@ -135,6 +135,45 @@ object TextOps {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Repetition-based quality signals (the Gopher/MassiveText repetition
+    * rules, applied at the granularity this corpus has — words and word
+    * bigrams, since the synthetic documents carry no line or sentence
+    * structure): a document dominated by a few repeated phrases is
+    * boilerplate or spam, and these fractions are the standard filter
+    * inputs.
+    *
+    * Output per document: `n_words`, `dup_word_frac`
+    * (1 − distinct/total words — pure codegen'd array arithmetic, no
+    * shuffle), `n_2grams`, `top_2gram_frac` (occurrences of the most
+    * frequent bigram / total bigrams) and `dup_2gram_frac`
+    * (1 − distinct/total bigrams). The bigram side reuses
+    * [[explodeNgramHashes]]: one explode linear in corpus tokens with
+    * fixed-width hashes on the wire, then two partial-agg-friendly
+    * groupBys — (doc, gram) counts, then per-doc max/sum — so the
+    * shuffle carries counts, never text. Docs with fewer than 2 words
+    * keep n_2grams = 0 with null fractions (left join + nullif, same
+    * semantics both engines). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val perGram = explodeNgramHashes(docs, 2, "text", Seq(col("doc_id")))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val gramAgg = perGram.groupBy("doc_id").agg(
+      sum("c").as("n2"), max("c").as("topn"), count(lit(1)).as("ndist"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"),
+        size(array_distinct(split(col("text"), " "))).as("ndw"))
+      .join(gramAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(lit(1.0) - col("ndw") / col("n_words"), 6).as("dup_word_frac"),
+        coalesce(col("n2"), lit(0L)).as("n_2grams"),
+        round(col("topn") / nullif(col("n2"), lit(0L)), 6).as("top_2gram_frac"),
+        round(lit(1.0) - col("ndist") / nullif(col("n2"), lit(0L)), 6)
+          .as("dup_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary induction: corpus-wide token counts, top-k by count —
     * the wordcount that feeds tokenizer training. Explode + two-phase
     * count (map-side combine ships one (token, partial-count) row per

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, length, lit, pmod, size, split}
 
-import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Packing, Pq, Sampling, Similarity, TextOps}
 import graft.tables.Tables._
 
 /** Training-data pipeline operators (SURVEY §2c) wired to the driver
@@ -34,6 +34,14 @@ object PipelineQueries {
       embeddings(s, d),
       indexPath = Some(sys.props("java.io.tmpdir") +
         s"/graft_ivf_${datasetFingerprint(d)}"))),
+    // PQ ANN: 8-byte codes (32x less scan I/O than the float32
+    // embeddings), driver-side ADC lookup table, exact re-rank of the
+    // shortlist. rows-only — codebooks aren't SQL-expressible;
+    // AnnRecallSpec pins measured recall floors vs brute force
+    "sim_pq" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Pq.query(emb, Pq.fit(emb))
+    }),
     // int8 embedding quantization: the quantized vector is pinned
     // oracle-exact through integer aggregates (sum/L1/min/max) — any
     // single-element disagreement shifts them
@@ -75,6 +83,7 @@ object PipelineQueries {
         .select("doc_id").orderBy("doc_id")
     }),
     "text_rollhash" -> ((s, d) => TextOps.rollhash(documents(s, d))),
+    "text_repetition" -> ((s, d) => TextOps.repetition(documents(s, d))),
     "text_vocab" -> ((s, d) => TextOps.vocab(documents(s, d))),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
     // histogram flattened to 16 scalar columns: the driver's pandas
@@ -225,6 +234,28 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(text)) AS fp_md5 FROM documents ORDER BY doc_id",
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 1), ' ')) AS g
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        |        FROM toks)),
+        |pg AS (
+        |  SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        |ga AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, max(c) AS topn,
+        |         count(*) AS ndist
+        |  FROM pg GROUP BY doc_id)
+        |SELECT toks.doc_id,
+        |  CAST(len(t) AS INT) AS n_words,
+        |  round(1.0 - len(list_distinct(t)) / len(t), 6) AS dup_word_frac,
+        |  CAST(coalesce(n2, 0) AS BIGINT) AS n_2grams,
+        |  round(topn / nullif(n2, 0), 6) AS top_2gram_frac,
+        |  round(1.0 - ndist / nullif(n2, 0), 6) AS dup_2gram_frac
+        |FROM toks LEFT JOIN ga ON toks.doc_id = ga.doc_id
+        |ORDER BY toks.doc_id""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(

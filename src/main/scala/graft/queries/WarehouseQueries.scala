@@ -378,6 +378,25 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Bloom-filter semi-join reduction via Joins.bloomJoin: lineitems of
+    * the high-value orders (~10% of the dim). The bloom prunes ~90% of
+    * the fact scan before any shuffle; the exact join after it makes
+    * the result identical to the plain join, so the oracle is ordinary
+    * SQL — the bloom is a transparent shuffle reducer, not a semantics
+    * change. */
+  def bloomJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val hi = orders(s, d)
+      .filter(col("o_totalprice") > 450000)
+      .select("o_orderkey", "o_orderpriority")
+    graft.operators.Joins.bloomJoin(
+      lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+      hi, "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Interval-overlap (range) join via Joins.rangeJoin — each order's
     * first line (a "marker" at position l_partkey) matched to every
     * synthetic interval containing it. The binned equi-join form keeps
@@ -425,6 +444,7 @@ object WarehouseQueries {
     "q_range_join" -> rangeJoinQuery _,
     "q_upsert" -> upsert _,
     "q_pk_audit" -> pkAudit _,
+    "q_bloom_join" -> bloomJoinQuery _,
     "q_grouping_sets" -> groupingSets _,
     "q_minmax_by" -> minmaxBy _,
     "q_conditional_agg" -> conditionalAgg _,
@@ -608,6 +628,14 @@ object WarehouseQueries {
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_bloom_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_totalprice > 450000
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     "q3_join_agg" ->
       s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ivf, Similarity}
+import graft.operators.{Ivf, Pq, Similarity}
 import graft.tables.Tables
 
 /** Recall@k of the approximate-NN paths against brute-force ground
@@ -67,6 +67,21 @@ class AnnRecallSpec extends SparkSpec {
     val batched = Similarity.annLshBatch(emb, Seq(5L), k, n = n)
       .collect().map(r => r.getAs[Long]("vec_id")).toSet
     assert(single == batched, s"batch LSH diverged from annLsh: $single vs $batched")
+  }
+
+  test("PQ recall@10: exhaustive shortlist IS brute force, recall grows with shortlist") {
+    val model = Pq.fit(emb)
+    val rAll = mean(Pq.queryBatch(emb, model, qids, k, shortlist = 500))
+    val r100 = mean(Pq.queryBatch(emb, model, qids, k, shortlist = 100))
+    val r25 = mean(Pq.queryBatch(emb, model, qids, k, shortlist = 25))
+    info(f"PQ recall@10 (m=8, ksub=16): shortlist=25 $r25%.3f, 100 $r100%.3f, 500 $rAll%.3f")
+    // shortlist = N re-ranks every vector with exact cosine — brute force
+    assert(rAll == 1.0, s"exhaustive shortlist recall was $rAll, not 1.0")
+    assert(r100 >= r25, s"recall did not grow with shortlist: $r100 < $r25")
+    // measured 0.790 on this corpus (deterministic: fixed data, seed,
+    // codebooks) — a 100-of-500 shortlist through 8-byte codes recovers
+    // ~4x what a random 20% shortlist would; SURVEY §6c records the sweep
+    assert(r100 >= 0.70, s"PQ recall@10 at shortlist=100 below floor: $r100")
   }
 
   test("clustered corpus (ANN's design regime): both paths recall >= 0.9 at default knobs") {

@@ -424,6 +424,50 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.getString(1) == "mail me at <EMAIL> or call <NUM> now")
   }
 
+  test("PQ codes: m in-range ints, scale-invariant (normalization), corrupt rows null") {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sf)
+    val model = Pq.fit(emb)
+    assert(model.m == 8 && model.ksub == 16 && model.dsub == 8)
+    val codes = Pq.encode(emb, model).collect()
+    assert(codes.length == emb.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16), s"bad codes $cs")
+    }
+    // L2 normalization inside the encode: a scaled copy gets IDENTICAL
+    // codes, so magnitude never leaks into the ADC ordering
+    val twin = emb.limit(5)
+      .select(col("vec_id"), transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val orig = Pq.encode(emb.limit(5), model).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    Pq.encode(twin, model).collect().foreach { r =>
+      assert(r.getSeq[Int](1) == orig(r.getLong(0)), "scaled copy changed codes")
+    }
+    // wrong-dim vector: visible null, not a silent truncation
+    import spark.implicits._
+    val corrupt = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    assert(Pq.encode(corrupt, model).head().isNullAt(1))
+  }
+
+  test("repetition fractions match hand-computed values, incl. the sub-bigram doc") {
+    val d = Seq(
+      (1L, "spam spam spam spam"),  // 4 words (1 distinct), 3 bigrams all "spam spam"
+      (2L, "a b a b c"),            // 5 words (3 distinct); bigrams: ab, ba, ab, bc
+      (3L, "one")                   // 1 word: zero bigrams, null fractions
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetition(d).collect()
+    val byId = r.map(row => row.getLong(0) -> row).toMap
+    assert(byId(1L).getInt(1) == 4 && byId(1L).getDouble(2) == 0.75)
+    assert(byId(1L).getLong(3) == 3L && byId(1L).getDouble(4) == 1.0 &&
+      byId(1L).getDouble(5) == round6(1.0 - 1.0 / 3.0))
+    assert(byId(2L).getDouble(2) == 0.4)                       // 1 - 3/5
+    assert(byId(2L).getLong(3) == 4L && byId(2L).getDouble(4) == 0.5 &&
+      byId(2L).getDouble(5) == 0.25)                           // ab twice of 4; 3 distinct
+    assert(byId(3L).getInt(1) == 1 && byId(3L).getLong(3) == 0L &&
+      byId(3L).isNullAt(4) && byId(3L).isNullAt(5))
+  }
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
   test("ngram decontamination drops docs EMBEDDING a benchmark quote; fingerprints cannot") {
     val phrase = "alpha beta gamma delta epsilon"   // the 5-gram to hunt
     val docs = Seq(

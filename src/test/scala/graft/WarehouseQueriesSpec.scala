@@ -222,6 +222,46 @@ class WarehouseQueriesSpec extends SparkSpec {
       "range join fell back to a nested-loop plan")
   }
 
+  test("bloomJoin equals the plain join: string keys, null keys, no dropped matches") {
+    import spark.implicits._
+    val fact = Seq(("a", 1), ("b", 2), ("c", 3), (null, 4), ("d", 5), ("a", 6))
+      .toDF("fk", "fv")
+    val dim = Seq(("a", "x"), ("c", "y"), (null, "z")).toDF("dk", "dv")
+    val got = graft.operators.Joins.bloomJoin(fact, dim, "fk", "dk")
+      .select("fk", "fv", "dv").as[(String, Int, String)].collect().toSet
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "fv", "dv").as[(String, Int, String)].collect().toSet
+    assert(got == want && want == Set(("a", 1, "x"), ("a", 6, "x"), ("c", 3, "y")))
+  }
+
+  test("bloom semi filter prunes non-matching fact rows within the fpp bound, drops no match") {
+    val fact = spark.range(10000).select(col("id").as("k"))
+    val dim = spark.range(100).select((col("id") * 100).as("k"))
+    val bytes = graft.operators.Joins.keyBloom(dim, "k")
+    val kept = graft.operators.Joins.bloomSemiFilter(fact, "k", bytes)
+    // every true match survives (no false negatives by construction)...
+    assert(kept.filter(col("k") % 100 === 0).count() == 100)
+    // ...and the false-positive residue stays near fpp=1% of the 9,900
+    // non-matching rows (loose 4x headroom against hash luck)
+    val n = kept.count()
+    assert(n >= 100 && n <= 100 + 400, s"bloom kept $n of 10000 rows")
+  }
+
+  test("q_bloom_join applies the bloom probe AT the fact scan, below the join") {
+    // the reduction only pays off if the probe runs before any
+    // shuffle/join moves fact rows — the strongest form is the filter
+    // landing in the scan node's DataFilters, which also guarantees it
+    // sits under whatever exchange EnsureRequirements adds later
+    val sp = WarehouseQueries.bloomJoinQuery(spark, sf).queryExecution.sparkPlan
+    val factScans = sp.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("lineitem") => f.toString
+    }
+    assert(factScans.nonEmpty, s"no lineitem scan found:\n$sp")
+    assert(factScans.exists(_.contains("bloom_might_contain")),
+      s"bloom probe not applied at the fact scan:\n$sp")
+  }
+
   test("rangeJoin: a pathologically wide interval fails fast, naming its bounds") {
     import spark.implicits._
     val pts = Seq((5L, "p5")).toDF("pos", "pid")
