@@ -77,10 +77,7 @@ object Ivf {
     * (TakeOrderedAndProject — per-partition heaps, no global sort). */
   def query(spark: SparkSession, index: IvfIndex, queryVec: Array[Double],
             k: Int = 10, nprobe: Int = 4, excludeId: Option[Long] = None): DataFrame = {
-    val probeCells = index.centroids
-      .map { case (i, c) => (i, sqdist(c, queryVec)) }
-      .sortBy { case (i, d) => (d, i) }
-      .take(nprobe).map(_._1)
+    val probeCells = nearestCells(index, queryVec, nprobe)
     val qCol = array(queryVec.map(lit).toIndexedSeq: _*)
     val cells = spark.read.parquet(s"${index.path}/vectors")
       .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
@@ -107,6 +104,16 @@ object Ivf {
         .select(lit(qid).as("qid"), col("vec_id"), col("cosine"))
     }.reduce(_ unionAll _)
   }
+
+  /** The nprobe cells whose centroids sit closest to the query —
+    * driver math over the nlist centroid rows, shared by the IVF query
+    * path and the IVF-PQ composition (Pq.ivfQuery). */
+  private[operators] def nearestCells(index: IvfIndex, queryVec: Array[Double],
+                                      nprobe: Int): Array[Int] =
+    index.centroids
+      .map { case (i, c) => (i, sqdist(c, queryVec)) }
+      .sortBy { case (i, d) => (d, i) }
+      .take(nprobe).map(_._1)
 
   private def sqdist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0

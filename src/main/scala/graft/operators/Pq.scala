@@ -176,6 +176,65 @@ object Pq {
       .limit(k)
   }
 
+  /** Offline half of IVF-PQ: PQ-encode an Ivf index's vectors keeping
+    * the cell partition column, written as `path/codes` partitioned by
+    * cell — the standard inverted-file-of-codes layout. One scan of the
+    * already-partitioned vectors; no extra shuffle (the partitioning is
+    * inherited from the read). */
+  def encodeIvf(spark: org.apache.spark.sql.SparkSession, ivf: Ivf.IvfIndex,
+                model: PqModel): Unit =
+    spark.read.parquet(s"${ivf.path}/vectors")
+      .select(col("vec_id"),
+        graft.functions.PqFunctions.pq_encode(col("embedding"), model.codebooks).as("codes"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"${ivf.path}/codes")
+
+  /** IVF-PQ query — the 100 TB ANN shape: driver-side centroid argmin
+    * picks nprobe cells, the CODES scan partition-prunes to those cells
+    * and reads m bytes/vector (nprobe/nlist of the corpus × 32× smaller
+    * rows), ADC shortlists with m lookups/row, and the exact re-rank
+    * reads real embeddings for shortlist ids only — also partition-
+    * pruned to the probed cells. Recall factors cleanly: the IVF term
+    * (did the true neighbor's cell get probed) × the PQ term (did ADC
+    * rank it into the shortlist); AnnRecallSpec measures the product
+    * against brute force. */
+  def ivfQuery(spark: org.apache.spark.sql.SparkSession, ivf: Ivf.IvfIndex,
+               model: PqModel, queryVec: Array[Double], k: Int = 10,
+               nprobe: Int = 4, shortlist: Int = 100,
+               excludeId: Option[Long] = None): DataFrame = {
+    val probeCells = Ivf.nearestCells(ivf, queryVec, nprobe).toIndexedSeq
+    val codes0 = spark.read.parquet(s"${ivf.path}/codes")
+      .filter(col("cell").isin(probeCells: _*))
+    val codes = excludeId.fold(codes0)(id => codes0.filter(col("vec_id") =!= id))
+    val ids = codes
+      .select(col("vec_id"),
+        graft.functions.PqFunctions.pq_adc(col("codes"), lut(model, queryVec)).as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(shortlist)
+      .select("vec_id").collect().map(_.getLong(0)).toIndexedSeq
+    val qCol = array(queryVec.map(lit).toIndexedSeq: _*)
+    spark.read.parquet(s"${ivf.path}/vectors")
+      .filter(col("cell").isin(probeCells: _*) && col("vec_id").isin(ids: _*))
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), qCol), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-PQ recall-eval batch, |Q|-bounded like Ivf.queryBatch. */
+  def ivfQueryBatch(spark: org.apache.spark.sql.SparkSession, ivf: Ivf.IvfIndex,
+                    model: PqModel, emb: DataFrame, queryIds: Seq[Long],
+                    k: Int = 10, nprobe: Int = 4, shortlist: Int = 100): DataFrame = {
+    val qvecs = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    queryIds.map { qid =>
+      ivfQuery(spark, ivf, model, qvecs(qid), k, nprobe, shortlist,
+        excludeId = Some(qid))
+        .select(lit(qid).as("qid"), col("vec_id"), col("cosine"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Recall-eval batch (pair with Similarity.cosineTopKBatch +
     * recallAtK): one encode pass shared across the batch, then the
     * per-query ADC shortlist + exact re-rank. Bounded by |Q| like

@@ -101,6 +101,15 @@ object ScaleCheck {
     }
     t("ngram decon sf0.1")(decon(d).count())
     t("ngram decon 10x")(decon(big).count())
+    val rep = (dir: String) =>
+      graft.operators.TextOps.repetition(Tables.documents(spark, dir))
+    t("repetition sf0.1")(rep(d).count())
+    t("repetition 10x")(rep(big).count())
+    // 10x lineitem carries shifted keys, so only the original copy can
+    // join — the bloom probe drops the other 90% at scan time, which is
+    // exactly the reduction the operator exists for
+    t("bloom join sf0.1")(WarehouseQueries.bloomJoinQuery(spark, d).count())
+    t("bloom join 10x")(WarehouseQueries.bloomJoinQuery(spark, big).count())
     // ANN recall at 10x: planted exact twins must dominate the top-10
     val qids = (0L until 20L).toSeq
     val bigEmb = Tables.embeddings(spark, big)
@@ -117,6 +126,10 @@ object ScaleCheck {
     val t1 = System.nanoTime()
     val rIvf = recall(graft.operators.Ivf.queryBatch(spark, idx, bigEmb, qids, 10, nprobe = 4))
     println(f"[scale] ivf recall@10 10x   ${(System.nanoTime()-t1)/1e9}%8.2f s  recall=$rIvf%.3f")
+    val t2 = System.nanoTime()
+    val pqModel = graft.operators.Pq.fit(bigEmb)
+    val rPq = recall(graft.operators.Pq.queryBatch(bigEmb, pqModel, qids, 10, shortlist = 100))
+    println(f"[scale] pq recall@10 10x    ${(System.nanoTime()-t2)/1e9}%8.2f s  recall=$rPq%.3f")
     spark.stop()
   }
 }

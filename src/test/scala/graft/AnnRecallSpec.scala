@@ -84,6 +84,39 @@ class AnnRecallSpec extends SparkSpec {
     assert(r100 >= 0.70, s"PQ recall@10 at shortlist=100 below floor: $r100")
   }
 
+  test("IVF-PQ composition: pruned code scan, exhaustive knobs recover brute force exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val index = Ivf.fit(emb, tmp, nlist = 16)
+    val model = Pq.fit(emb)
+    Pq.encodeIvf(spark, index, model)
+    // the 100 TB property: the ADC scan lists only the nprobe code
+    // partitions — m-byte rows AND nprobe/nlist of the corpus
+    val codeScan = spark.read.parquet(s"$tmp/codes")
+      .filter(col("cell").isin(0, 1, 2, 3))
+    val scans = codeScan.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 4,
+      "code scan not pruned to the probed cells")
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val q = Pq.ivfQuery(spark, index, model, qv, k, nprobe = 4,
+      excludeId = Some(0L))
+    assert(q.count() == k)
+    // exhaustive knobs (probe every cell, shortlist = N) ⇒ brute force
+    val rAll = mean(Pq.ivfQueryBatch(spark, index, model, emb, qids, k,
+      nprobe = 16, shortlist = 500))
+    assert(rAll == 1.0, s"exhaustive IVF-PQ recall was $rAll, not 1.0")
+    // recall factors as IVF(nprobe) x PQ(shortlist): measured 0.645 for
+    // the IVF term alone at nprobe=4 — the PQ shortlist inside the
+    // probed cells must not lose much on top of it
+    val r = mean(Pq.ivfQueryBatch(spark, index, model, emb, qids, k,
+      nprobe = 4, shortlist = 100))
+    info(f"IVF-PQ recall@10 (nlist=16, nprobe=4, m=8, shortlist=100): $r%.3f")
+    assert(r >= 0.55, s"IVF-PQ recall@10 below floor: $r")
+  }
+
   test("clustered corpus (ANN's design regime): both paths recall >= 0.9 at default knobs") {
     import spark.implicits._
     // 50 planted clusters x 20 near-copies: every query's true top-10
