@@ -189,6 +189,27 @@ object TextOps {
       .orderBy(desc("n"), col("tok"))
       .limit(k)
 
+  /** Per-source heavy-hitter tokens with BOUNDED state: Spark 4's
+    * built-in `approx_top_k` (DataSketches frequent-items sketch).
+    * Where [[vocab]]'s exact two-phase count ships one row per distinct
+    * token per partition — fine until the vocabulary itself is huge —
+    * the sketch caps state at `maxTracked` counters per group and
+    * ships sketch BYTES through the shuffle, so a 10^9-distinct-token
+    * corpus aggregates in constant memory per group. While the group's
+    * distinct count stays ≤ maxTracked the sketch is in its exact
+    * regime (counts exact, all items retained), which is what makes the
+    * driver query DuckDB-oracle-exact on this corpus; the approximation
+    * regime (distinct ≫ maxTracked, planted heavy hitter must survive
+    * with bounded count error) is spec'd separately. */
+  def heavyHitters(docs: DataFrame, k: Int = 40, maxTracked: Int = 10000): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source")
+      .agg(expr(s"approx_top_k(tok, $k, $maxTracked)").as("top"))
+      .select(col("source"), explode(col("top")).as("t"))
+      .select(col("source"), col("t.item").as("tok"), col("t.count").as("n"))
+      .orderBy(col("source"), desc("n"), col("tok"))
+
   /** 64-bit polynomial rolling-hash fingerprint via the custom Catalyst
     * expression [[graft.functions.RollingHash]] (codegen'd). */
   def rollhash(docs: DataFrame): DataFrame =

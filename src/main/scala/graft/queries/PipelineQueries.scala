@@ -84,6 +84,10 @@ object PipelineQueries {
     }),
     "text_rollhash" -> ((s, d) => TextOps.rollhash(documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.repetition(documents(s, d))),
+    // sketch stays in its exact regime here (31 distinct tokens <<
+    // maxTracked), so the heavy-hitter output is exact group counts —
+    // oracle-checkable; the approximation regime is spec'd
+    "text_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(documents(s, d))),
     "text_vocab" -> ((s, d) => TextOps.vocab(documents(s, d))),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
     // histogram flattened to 16 scalar columns: the driver's pandas
@@ -329,6 +333,12 @@ object PipelineQueries {
     "dedup_components" ->
       """SELECT range AS doc_id, range - (range % 50) AS component
         |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,
+    "text_heavy_hitters" ->
+      """SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY source, tok
+        |ORDER BY source, n DESC, tok""".stripMargin,
     "text_vocab" ->
       """SELECT tok, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -378,6 +378,36 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Three-step ordered conversion funnel (view → click → purchase)
+    * over the event stream: a click counts only AFTER the user's first
+    * view, a purchase only after such a click — the product-analytics
+    * staple that naive per-type counts get wrong. ONE shuffle total:
+    * both cumulative windows share the user_id partitioning and the
+    * per-user + global aggregates reuse it. Time comparisons run at µs
+    * on both engines (Spark's native precision; the oracle goes through
+    * epoch_us), ties broken by event_id. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val staged = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
+          col("ts"))).over(w))
+    staged.groupBy("user_id")
+      .agg(
+        max(when(col("t_view").isNotNull, 1).otherwise(0)).as("s1"),
+        max(when(col("t_click").isNotNull, 1).otherwise(0)).as("s2"),
+        max(when(col("event_type") === "purchase" && col("ts") >= col("t_click"), 1)
+          .otherwise(0)).as("s3"))
+      .agg(
+        sum("s1").as("n_view"),
+        sum("s2").as("n_view_click"),
+        sum("s3").as("n_full_funnel"))
+      .orderBy("n_view")
+  }
+
   /** Bloom-filter semi-join reduction via Joins.bloomJoin: lineitems of
     * the high-value orders (~10% of the dim). The bloom prunes ~90% of
     * the fact scan before any shuffle; the exact join after it makes
@@ -445,6 +475,7 @@ object WarehouseQueries {
     "q_upsert" -> upsert _,
     "q_pk_audit" -> pkAudit _,
     "q_bloom_join" -> bloomJoinQuery _,
+    "q_funnel" -> funnel _,
     "q_grouping_sets" -> groupingSets _,
     "q_minmax_by" -> minmaxBy _,
     "q_conditional_agg" -> conditionalAgg _,
@@ -628,6 +659,28 @@ object WarehouseQueries {
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |v AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN tsu END)
+        |    OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS t_view
+        |  FROM e),
+        |c AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND tsu >= t_view THEN tsu END)
+        |    OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS t_click
+        |  FROM v),
+        |pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+        |    max(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+        |    max(CASE WHEN event_type = 'purchase' AND tsu >= t_click
+        |        THEN 1 ELSE 0 END) AS s3
+        |  FROM c GROUP BY user_id)
+        |SELECT CAST(sum(s1) AS BIGINT) AS n_view,
+        |  CAST(sum(s2) AS BIGINT) AS n_view_click,
+        |  CAST(sum(s3) AS BIGINT) AS n_full_funnel
+        |FROM pu""".stripMargin,
     "q_bloom_join" ->
       s"""SELECT o_orderpriority, count(*) AS n_items,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -424,6 +424,24 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.getString(1) == "mail me at <EMAIL> or call <NUM> now")
   }
 
+  test("heavy hitters: planted heavy token survives a sketch far smaller than the vocabulary") {
+    // 20k singleton tokens + one token repeated 2000x, tracked by a
+    // 256-counter sketch — the frequent-items guarantee: any item with
+    // count > ~3.5n/maxTracked (~300 here) cannot be evicted
+    val docs = spark.range(20000).select(
+      lit("s").as("source"),
+      concat_ws(" ", col("id").cast("string"),
+        when(col("id") % 10 === 0, lit("HEAVY"))).as("text"))
+    val top = TextOps.heavyHitters(docs, k = 5, maxTracked = 256).collect()
+    // the sketch reports only items it can PROVE frequent — the flood of
+    // singletons is (correctly) absent, not padded in
+    assert(top.nonEmpty && top.length <= 5)
+    val head = top.head
+    assert(head.getString(1) == "HEAVY", s"planted heavy hitter not first: ${top.toSeq}")
+    val est = head.getLong(2)
+    assert(math.abs(est - 2000L) <= 600, s"estimate $est too far from true 2000")
+  }
+
   test("PQ codes: m in-range ints, scale-invariant (normalization), corrupt rows null") {
     import graft.operators.Pq
     val emb = Tables.embeddings(spark, sf)

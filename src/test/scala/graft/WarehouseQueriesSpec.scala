@@ -222,6 +222,42 @@ class WarehouseQueriesSpec extends SparkSpec {
       "range join fell back to a nested-loop plan")
   }
 
+  test("funnel counts only ORDERED view->click->purchase progressions") {
+    import spark.implicits._
+    val ts = (s: Int) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(1), 10L, "view"), (1L, ts(2), 11L, "click"), (1L, ts(3), 12L, "purchase"),
+      // user 2: click BEFORE the first view — click must not count
+      (2L, ts(1), 20L, "click"), (2L, ts(2), 21L, "view"),
+      // user 3: purchase before any qualified click — only view counts
+      (3L, ts(1), 30L, "view"), (3L, ts(2), 31L, "purchase"), (3L, ts(3), 32L, "click"),
+      // user 4: no view at all
+      (4L, ts(1), 40L, "purchase"), (4L, ts(2), 41L, "click"),
+      // user 5: late but complete (click after 2nd view, purchase last)
+      (5L, ts(1), 50L, "click"), (5L, ts(2), 51L, "view"),
+      (5L, ts(3), 52L, "click"), (5L, ts(4), 53L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val staged = ev
+      .withColumn("t_view", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click", min(when(col("event_type") === "click" &&
+        col("ts") >= col("t_view"), col("ts"))).over(w))
+    val r = staged.groupBy("user_id")
+      .agg(
+        max(when(col("t_view").isNotNull, 1).otherwise(0)).as("s1"),
+        max(when(col("t_click").isNotNull, 1).otherwise(0)).as("s2"),
+        max(when(col("event_type") === "purchase" && col("ts") >= col("t_click"), 1)
+          .otherwise(0)).as("s3"))
+      .agg(sum("s1"), sum("s2"), sum("s3"))
+      .head()
+    // views: users 1,2,3,5 = 4; ordered clicks: 1,3,5 = 3 (user 2's
+    // click precedes its view); full funnel: 1,5 = 2 (user 3 bought
+    // before any qualified click)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 2L)))
+  }
+
   test("bloomJoin equals the plain join: string keys, null keys, no dropped matches") {
     import spark.implicits._
     val fact = Seq(("a", 1), ("b", 2), ("c", 3), (null, 4), ("d", 5), ("a", 6))
