@@ -210,6 +210,30 @@ object TextOps {
       .select(col("source"), col("t.item").as("tok"), col("t.count").as("n"))
       .orderBy(col("source"), desc("n"), col("tok"))
 
+  /** Incremental form of [[heavyHitters]] — the lakehouse rollup
+    * pattern: each ingest slice (day, batch, partition) reduces to one
+    * SKETCH row per group via `approx_top_k_accumulate`, and any set of
+    * slices answers top-k later through `approx_top_k_combine` +
+    * `_estimate` WITHOUT rescanning the token stream. Sketch rows are
+    * maxTracked-bounded binaries; combining n slices costs n sketch
+    * merges, not n corpus scans. Exact regime combines exactly
+    * (spec: two half-corpus sketches combine to the single-pass
+    * answer). */
+  def heavyHitterSketches(docs: DataFrame, maxTracked: Int = 10000): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source")
+      .agg(expr(s"approx_top_k_accumulate(tok, $maxTracked)").as("sketch"))
+
+  /** Merge per-slice sketches and report per-group top-k (same output
+    * shape as [[heavyHitters]]). */
+  def combineHeavyHitterSketches(sketches: DataFrame, k: Int = 40): DataFrame =
+    sketches.groupBy("source")
+      .agg(expr("approx_top_k_combine(sketch)").as("sketch"))
+      .select(col("source"), explode(expr(s"approx_top_k_estimate(sketch, $k)")).as("t"))
+      .select(col("source"), col("t.item").as("tok"), col("t.count").as("n"))
+      .orderBy(col("source"), desc("n"), col("tok"))
+
   /** 64-bit polynomial rolling-hash fingerprint via the custom Catalyst
     * expression [[graft.functions.RollingHash]] (codegen'd). */
   def rollhash(docs: DataFrame): DataFrame =

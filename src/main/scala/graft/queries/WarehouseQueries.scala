@@ -378,6 +378,32 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Weekly cohort retention: users grouped by the 7-day bucket of
+    * their FIRST event; for each later bucket, the fraction still
+    * active. Buckets are fixed 7-day spans from the epoch (integer µs
+    * division — identical on both engines, no calendar-week
+    * divergence). Shape: per-user min (partial-agg), one fact re-join
+    * on user_id, distinct on (cohort, offset, user) so a chatty user
+    * counts once, then a cohort-sized aggregate + window for the
+    * offset-0 denominator. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    val active = ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .distinct()
+    val counts = active.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val cohort = Window.partitionBy("cohort_week")
+    counts
+      .withColumn("retention",
+        round(col("n_active") /
+          max(when(col("week_offset") === 0, col("n_active"))).over(cohort), 6))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Three-step ordered conversion funnel (view → click → purchase)
     * over the event stream: a click counts only AFTER the user's first
     * view, a purchase only after such a click — the product-analytics
@@ -476,6 +502,7 @@ object WarehouseQueries {
     "q_pk_audit" -> pkAudit _,
     "q_bloom_join" -> bloomJoinQuery _,
     "q_funnel" -> funnel _,
+    "q_retention" -> retention _,
     "q_grouping_sets" -> groupingSets _,
     "q_minmax_by" -> minmaxBy _,
     "q_conditional_agg" -> conditionalAgg _,
@@ -659,6 +686,21 @@ object WarehouseQueries {
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, cohort_week, wk - cohort_week AS week_offset
+        |  FROM e JOIN f USING (user_id)),
+        |c AS (
+        |  SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM a GROUP BY cohort_week, week_offset)
+        |SELECT cohort_week, week_offset, n_active,
+        |  round(n_active / max(CASE WHEN week_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_week), 6) AS retention
+        |FROM c ORDER BY cohort_week, week_offset""".stripMargin,
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu FROM events),

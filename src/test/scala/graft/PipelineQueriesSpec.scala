@@ -442,6 +442,18 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(math.abs(est - 2000L) <= 600, s"estimate $est too far from true 2000")
   }
 
+  test("heavy-hitter sketches: per-slice accumulate + combine equals the single pass") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = TextOps.heavyHitterSketches(docs.filter(col("doc_id") % 2 === 0))
+    val s2 = TextOps.heavyHitterSketches(docs.filter(col("doc_id") % 2 === 1))
+    val combined = TextOps.combineHeavyHitterSketches(s1.unionAll(s2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val direct = TextOps.heavyHitters(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(combined == direct,
+      s"combined sketches diverged from the single pass: ${combined.diff(direct)} / ${direct.diff(combined)}")
+  }
+
   test("PQ codes: m in-range ints, scale-invariant (normalization), corrupt rows null") {
     import graft.operators.Pq
     val emb = Tables.embeddings(spark, sf)

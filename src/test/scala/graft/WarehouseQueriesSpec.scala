@@ -222,6 +222,30 @@ class WarehouseQueriesSpec extends SparkSpec {
       "range join fell back to a nested-loop plan")
   }
 
+  test("retention buckets users by first-seen week; chatty users count once") {
+    import spark.implicits._
+    val wk = 604800000L // ms per 7-day bucket
+    val ts = (week: Int, h: Int) => new java.sql.Timestamp(week * wk + h * 3600000L)
+    val ev = Seq(
+      (1L, ts(0, 1)), (1L, ts(0, 5)), (1L, ts(1, 2)), // cohort 0, active wk 0+1 (twice in wk0)
+      (2L, ts(0, 2)),                                  // cohort 0, wk 0 only
+      (3L, ts(1, 1)), (3L, ts(3, 1))                   // cohort 1, active offsets 0 and 2
+    ).toDF("user_id", "ts")
+    val first = ev.select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+      .groupBy("user_id").agg(min("wk").as("cohort_week"))
+    val active = ev.select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+      .join(first, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .distinct()
+    val rows = active.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
   test("funnel counts only ORDERED view->click->purchase progressions") {
     import spark.implicits._
     val ts = (s: Int) => new java.sql.Timestamp(1700000000000L + s * 1000L)
