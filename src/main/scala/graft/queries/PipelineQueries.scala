@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, length, lit, pmod, size, split}
 
-import graft.operators.{Dedup, Multimodal, Packing, Pq, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Ivf, Multimodal, Packing, Pq, Sampling, Similarity, TextOps}
 import graft.tables.Tables._
 
 /** Training-data pipeline operators (SURVEY §2c) wired to the driver
@@ -41,6 +41,25 @@ object PipelineQueries {
     "sim_pq" -> ((s, d) => {
       val emb = embeddings(s, d)
       Pq.query(emb, Pq.fit(emb))
+    }),
+    // IVF-PQ: the composed 100 TB serving shape — cell-partitioned
+    // m-byte codes, partition-pruned ADC, exact re-rank. Index + codes
+    // persist under the dataset fingerprint (offline artifacts, built
+    // once); Pq.fit is deterministic (fixed seed), so a rebuilt model
+    // always matches the persisted codes
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val path = sys.props("java.io.tmpdir") + s"/graft_ivfpq_${datasetFingerprint(d)}"
+      val index =
+        if (new java.io.File(s"$path/centroids").exists()) Ivf.load(s, path)
+        else Ivf.fit(emb, path)
+      val model = Pq.fit(emb)
+      if (!new java.io.File(s"$path/codes").exists())
+        Pq.encodeIvf(s, index, model)
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      Pq.ivfQuery(s, index, model, qv, excludeId = Some(0L))
     }),
     // int8 embedding quantization: the quantized vector is pinned
     // oracle-exact through integer aggregates (sum/L1/min/max) — any

@@ -80,6 +80,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"single-reducer exchange:\n$p")
   }
 
+  test("q_funnel: both windows and the aggregates share ONE user_id shuffle") {
+    val p = plan(WarehouseQueries.funnel(spark, sf))
+    val userShuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userShuffles == 1, s"expected 1 user_id exchange, got $userShuffles:\n$p")
+  }
+
+  test("PQ encode runs inside whole-stage codegen (native expression, not a fallback)") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = graft.operators.Pq.fit(emb)
+    val p = plan(graft.operators.Pq.encode(emb, model))
+    // the starred Project is the WholeStageCodegen span; pq_encode must
+    // sit inside one, not in an interpreted fallback Project
+    assert("\\*\\(\\d+\\) Project \\[.*pq_encode".r.findFirstIn(p).isDefined,
+      s"pq_encode not in a codegen span:\n$p")
+  }
+
   test("text_vocab: top-k over two-phase count, never a full vocabulary sort") {
     val p = plan(PipelineQueries.entries("text_vocab")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"vocab top-k not fused:\n$p")
