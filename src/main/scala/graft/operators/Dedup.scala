@@ -86,12 +86,51 @@ object Dedup {
       .select("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
 
-  private def bandedPairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** Explode a signature frame into (doc_id, band, bh) rows — the LSH
+    * bucket coordinates shared by the self-join pair path and the
+    * incremental path. */
+  private def explodeBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols = (0 until bands).map(b =>
       bandHash(i => col(s"sig$i"), b, rowsPerBand))
-    val banded = sigs
+    sigs
       .select(col("doc_id"), array(bandCols: _*).as("bands"))
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+  }
+
+  /** The corpus's banded MinHash coordinates as a PERSISTABLE artifact:
+    * (doc_id, band, bh), bands×N small rows. Write this once per
+    * corpus build; every future ingest batch dedups against the
+    * parquet with [[incrementalCandidates]] — the 100 TB corpus is
+    * never re-shingled and never self-joined again. */
+  def bandedSignatures(docs: DataFrame, shingleK: Int = 2, bands: Int = 8,
+                       rowsPerBand: Int = 4): DataFrame =
+    explodeBands(
+      withMinhashSig(withShingles(docs, shingleK), bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** Incremental near-dup candidates: a new ingest batch against the
+    * persisted corpus banding. Only the BATCH is shingled and hashed
+    * (linear in batch tokens); the corpus side is a plain scan of
+    * [[bandedSignatures]] output, and the equi-join on (band, bh)
+    * shuffles batch coordinates against bucket-matched corpus rows —
+    * never corpus × corpus. An exact re-presented document shares every
+    * band, so it is a GUARANTEED candidate; near-dups follow the same
+    * S-curve as [[minhashCandidates]] (the hash scheme is identical —
+    * seedHash/bandHash are shared code). Within-batch duplicates are
+    * [[minhashCandidates]] on the batch, by composition. Output:
+    * (new_id, corpus_id) distinct pairs. */
+  def incrementalCandidates(newDocs: DataFrame, corpusBands: DataFrame,
+                            shingleK: Int = 2, bands: Int = 8,
+                            rowsPerBand: Int = 4): DataFrame =
+    bandedSignatures(newDocs, shingleK, bands, rowsPerBand).as("a")
+      .join(corpusBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+
+  private def bandedPairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = explodeBands(sigs, bands, rowsPerBand)
     banded.as("a")
       .join(
         banded.as("b"),

@@ -21,6 +21,17 @@ object PipelineQueries {
     // persisted shingle set would leak storage for the session lifetime
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d), cache = false)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDupPairs(embeddings(s, d), minCosine = 0.2)),
+    // incremental ingest dedup: the batch re-presents five corpus docs
+    // verbatim under new ids — identical signatures share every band,
+    // so the five cross-candidates are GUARANTEED, not probabilistic
+    // (rows-only: minhash internals)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = documents(s, d)
+      val batch = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.incrementalCandidates(batch, Dedup.bandedSignatures(docs))
+        .orderBy("new_id", "corpus_id")
+    }),
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d))),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(embeddings(s, d))),
     // stable per-dataset index path: the IVF index is an OFFLINE

@@ -378,6 +378,13 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Post-load profiling audit over four lineitem measures — see
+    * graft.operators.Profile (exact mode here so DuckDB checks every
+    * number). */
+  def profileQuery(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.profile(lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   /** Weekly cohort retention: users grouped by the 7-day bucket of
     * their FIRST event; for each later bucket, the fraction still
     * active. Buckets are fixed 7-day spans from the epoch (integer µs
@@ -503,6 +510,7 @@ object WarehouseQueries {
     "q_bloom_join" -> bloomJoinQuery _,
     "q_funnel" -> funnel _,
     "q_retention" -> retention _,
+    "q_profile" -> profileQuery _,
     "q_grouping_sets" -> groupingSets _,
     "q_minmax_by" -> minmaxBy _,
     "q_conditional_agg" -> conditionalAgg _,
@@ -686,6 +694,14 @@ object WarehouseQueries {
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_profile" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS vmin, CAST(max($c) AS DOUBLE) AS vmax
+           |FROM lineitem""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "q_retention" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),

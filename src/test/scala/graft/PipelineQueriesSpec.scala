@@ -424,6 +424,25 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.getString(1) == "mail me at <EMAIL> or call <NUM> now")
   }
 
+  test("incremental dedup: batch joins the PERSISTED corpus banding; exact re-present guaranteed") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_dedup").toString
+    Dedup.bandedSignatures(fixture).write.mode("overwrite").parquet(tmp)
+    val corpusBands = spark.read.parquet(tmp)
+    import spark.implicits._
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again and again"), // = docs 0/1
+      (101L, "entirely novel content that matches nothing in the corpus at all today")
+    ).toDF("doc_id", "text")
+    val cands = Dedup.incrementalCandidates(batch, corpusBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the verbatim re-present shares every band with its corpus twins
+    assert(cands.contains((100L, 0L)) && cands.contains((100L, 1L)),
+      s"re-presented doc missed: $cands")
+    // the novel doc must not flood candidates (near-dup 2 may or may not
+    // collide with 100 — that's the S-curve — but 101 matches nothing)
+    assert(!cands.exists(_._1 == 101L), s"novel doc produced candidates: $cands")
+  }
+
   test("heavy hitters: planted heavy token survives a sketch far smaller than the vocabulary") {
     // 20k singleton tokens + one token repeated 2000x, tracked by a
     // 256-counter sketch — the frequent-items guarantee: any item with

@@ -222,6 +222,21 @@ class WarehouseQueriesSpec extends SparkSpec {
       "range join fell back to a nested-loop plan")
   }
 
+  test("profile: exact null/distinct/min/max; approx mode avoids the multi-distinct Expand") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), Some("a")), (Some(1.0), Some("b")),
+      (Some(2.0), None), (None, Some("a"))).toDF("x", "y")
+    val p = graft.operators.Profile.profile(df, Seq("x")).head()
+    assert(p.getString(0) == "x" && p.getLong(1) == 4L && p.getLong(2) == 1L &&
+      p.getLong(3) == 2L && p.getDouble(4) == 1.0 && p.getDouble(5) == 2.0)
+    val exactPlan = graft.operators.Profile.profile(df, Seq("x", "y"))
+      .queryExecution.executedPlan.toString
+    val approxPlan = graft.operators.Profile.profile(df, Seq("x", "y"), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact multi-distinct should plan Expand")
+    assert(!approxPlan.contains("Expand"), "approx mode must not replicate input via Expand")
+  }
+
   test("retention buckets users by first-seen week; chatty users count once") {
     import spark.implicits._
     val wk = 604800000L // ms per 7-day bucket
