@@ -110,6 +110,23 @@ object ScaleCheck {
     // exactly the reduction the operator exists for
     t("bloom join sf0.1")(WarehouseQueries.bloomJoinQuery(spark, d).count())
     t("bloom join 10x")(WarehouseQueries.bloomJoinQuery(spark, big).count())
+    val prof = (dir: String) => graft.operators.Profile.profile(
+      Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    t("profile sf0.1")(prof(d).count())
+    t("profile 10x")(prof(big).count())
+    // batch-vs-corpus: the batch stays constant, the corpus banding 10x —
+    // candidate work scales with bucket occupancy, not corpus self-pairs
+    val inc = (dir: String) => {
+      val docs = Tables.documents(spark, dir)
+      val batch = docs.filter(col("doc_id") % 1000000L < 5)
+        .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+      Dedup.incrementalCandidates(batch, Dedup.bandedSignatures(docs))
+    }
+    t("inc dedup sf0.1")(inc(d).count())
+    t("inc dedup 10x")(inc(big).count())
+    t("heavy hitters sf0.1")(graft.operators.TextOps.heavyHitters(Tables.documents(spark, d)).count())
+    t("heavy hitters 10x")(graft.operators.TextOps.heavyHitters(Tables.documents(spark, big)).count())
     // ANN recall at 10x: planted exact twins must dominate the top-10
     val qids = (0L until 20L).toSeq
     val bigEmb = Tables.embeddings(spark, big)

@@ -96,6 +96,16 @@ class PlanAuditSpec extends SparkSpec {
       s"pq_encode not in a codegen span:\n$p")
   }
 
+  test("text_heavy_hitters: two-phase sketch aggregate (partial sketches merge map-side)") {
+    val p = plan(PipelineQueries.entries("text_heavy_hitters")(spark, sf))
+    // TypedImperativeAggregate plans ObjectHashAggregate; the buffer is
+    // maxTracked-BOUNDED by construction (unlike the old percentile
+    // map-buffer this repo replaced), and partial + final phases mean
+    // sketch bytes cross the shuffle, not per-token rows
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"sketch aggregation not two-phase:\n$p")
+  }
+
   test("text_vocab: top-k over two-phase count, never a full vocabulary sort") {
     val p = plan(PipelineQueries.entries("text_vocab")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"vocab top-k not fused:\n$p")
