@@ -176,6 +176,29 @@ object Pq {
       .limit(k)
   }
 
+  /** Persist the codebooks next to the data they encode (one row per
+    * (subspace, code) — m·ksub rows of dsub doubles, a few KB). A
+    * saved model makes the offline-artifact contract explicit: encode
+    * once with a saved model, and any later session queries the same
+    * codes without relying on refit determinism. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: PqModel, path: String): Unit = {
+    import spark.implicits._
+    val rows = for (j <- 0 until model.m; c <- 0 until model.ksub)
+      yield (j, c, model.codebooks(j)(c).toSeq)
+    rows.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(s"$path/pq_codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { case (j, c, v) => cb(j)(c) = v }
+    PqModel(m, ksub, cb(0)(0).length, cb.map(_.toArray))
+  }
+
   /** Offline half of IVF-PQ: PQ-encode an Ivf index's vectors keeping
     * the cell partition column, written as `path/codes` partitioned by
     * cell — the standard inverted-file-of-codes layout. One scan of the

