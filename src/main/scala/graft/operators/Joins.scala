@@ -118,8 +118,16 @@ object Joins {
   def keyBloom(dim: DataFrame, dimKey: String,
                expectedItems: Long = 0L, fpp: Double = 0.01): Array[Byte] = {
     val n = if (expectedItems > 0) expectedItems else dim.count()
-    val bf = dim.select(xxhash64(col(dimKey)).as("_h"))
-      .stat.bloomFilter("_h", math.max(1L, n), fpp)
+    // Spark's stat.bloomFilter NPEs on a ZERO-ROW input (null aggregate
+    // buffer); an empty dim means nothing can join, which an empty
+    // filter expresses exactly. The isEmpty probe runs only when the
+    // caller supplied expectedItems (otherwise n already tells us) and
+    // is a bounded limit-1 scan.
+    val bf =
+      if (n == 0 || (expectedItems > 0 && dim.isEmpty))
+        org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      else dim.select(xxhash64(col(dimKey)).as("_h"))
+        .stat.bloomFilter("_h", n, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

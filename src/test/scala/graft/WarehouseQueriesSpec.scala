@@ -309,6 +309,13 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(got == want && want == Set(("a", 1, "x"), ("a", 6, "x"), ("c", 3, "y")))
   }
 
+  test("bloomJoin with an EMPTY dim returns empty without crashing") {
+    import spark.implicits._
+    val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dim = Seq((9L, "x")).toDF("dk", "dv").filter(col("dk") < 0)
+    assert(graft.operators.Joins.bloomJoin(fact, dim, "k", "dk").count() == 0)
+  }
+
   test("bloom semi filter prunes non-matching fact rows within the fpp bound, drops no match") {
     val fact = spark.range(10000).select(col("id").as("k"))
     val dim = spark.range(100).select((col("id") * 100).as("k"))
