@@ -129,6 +129,36 @@ object Dedup {
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
 
+  /** End-to-end incremental ingest gate: admit the subset of `newDocs`
+    * with NO verified near-duplicate already in the corpus. Candidates
+    * come from the persisted banding ([[incrementalCandidates]] —
+    * batch-linear); the exact-Jaccard verify then shingles the BATCH
+    * and only the corpus docs that appear as candidates (a candidate-
+    * bounded semi-join pulls their text — never a corpus-wide shingle
+    * pass). An exact re-present is a guaranteed candidate with
+    * jaccard 1.0, so it is always rejected; borderline candidates are
+    * admitted or rejected by the same `minJaccard` the batch sweep
+    * uses. Returns admitted rows of `newDocs`. */
+  def incrementalIngest(newDocs: DataFrame, corpusDocs: DataFrame,
+                        corpusBands: DataFrame, shingleK: Int = 2,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val cands = incrementalCandidates(newDocs, corpusBands, shingleK)
+    val newSh = withShingles(newDocs, shingleK)
+      .select(col("doc_id").as("new_id"), col("sh").as("sh_a"))
+    val corpusCand = corpusDocs
+      .join(cands.select(col("corpus_id").as("doc_id")).distinct(), "doc_id")
+    val corpSh = withShingles(corpusCand, shingleK)
+      .select(col("doc_id").as("corpus_id"), col("sh").as("sh_b"))
+    val rejected = cands
+      .join(newSh, "new_id")
+      .join(corpSh, "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= minJaccard)
+      .select(col("new_id").as("doc_id")).distinct()
+    newDocs.join(rejected, Seq("doc_id"), "left_anti")
+  }
+
   private def bandedPairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = explodeBands(sigs, bands, rowsPerBand)
     banded.as("a")

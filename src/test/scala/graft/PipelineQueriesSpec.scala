@@ -457,6 +457,21 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(!cands.exists(_._1 == 101L), s"novel doc produced candidates: $cands")
   }
 
+  test("incremental ingest gate: re-presents and verified near-dups rejected, novel admitted") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_gate").toString
+    Dedup.bandedSignatures(fixture).write.mode("overwrite").parquet(tmp)
+    val corpusBands = spark.read.parquet(tmp)
+    val batch = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog again and again and again"), // exact re-present
+      (201L, "the quick brown fox jumps over the lazy dog again and again and twice"), // near-dup (1 word off, jaccard ~0.85)
+      (202L, "entirely novel content that matches nothing in the corpus at all today")
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalIngest(batch, fixture, corpusBands)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(202L), s"admitted were $admitted")
+  }
+
   test("heavy hitters: planted heavy token survives a sketch far smaller than the vocabulary") {
     // 20k singleton tokens + one token repeated 2000x, tracked by a
     // 256-counter sketch — the frequent-items guarantee: any item with
