@@ -189,6 +189,26 @@ object TextOps {
       .orderBy(desc("n"), col("tok"))
       .limit(k)
 
+  /** Cross-document boilerplate detection: word n-grams appearing in at
+    * least `minDocs` DISTINCT documents — headers, footers, license
+    * blurbs, navigation chrome. (Distinct from [[decontaminateNgrams]],
+    * which hunts a KNOWN benchmark's grams; this finds unknown repeated
+    * spans from the corpus itself.) Shape: the same linear gram explode
+    * ([[explodeNgramHashes]]), per-doc distinct so in-doc repetition
+    * can't fake corpus-wide spread, then a partial-agg doc count per
+    * gram — hashes and counts on the wire, never text. Output:
+    * (gram hash, n_docs) for spans over the threshold; feed it back as
+    * a removal list or QC signal. */
+  def commonSpans(docs: DataFrame, n: Int = 5, minDocs: Int = 3): DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"bad commonSpans params n=$n minDocs=$minDocs")
+    explodeNgramHashes(docs, n, "text", Seq(col("doc_id")))
+      .select("doc_id", "g").distinct()
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(desc("n_docs"), col("g"))
+  }
+
   /** Per-source heavy-hitter tokens with BOUNDED state: Spark 4's
     * built-in `approx_top_k` (DataSketches frequent-items sketch).
     * Where [[vocab]]'s exact two-phase count ships one row per distinct

@@ -118,6 +118,7 @@ object PipelineQueries {
     // maxTracked), so the heavy-hitter output is exact group counts —
     // oracle-checkable; the approximation regime is spec'd
     "text_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(documents(s, d))),
+    "text_common_spans" -> ((s, d) => TextOps.commonSpans(documents(s, d))),
     "text_vocab" -> ((s, d) => TextOps.vocab(documents(s, d))),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
     // histogram flattened to 16 scalar columns: the driver's pandas
@@ -363,6 +364,19 @@ object PipelineQueries {
     "dedup_components" ->
       """SELECT range AS doc_id, range - (range % 50) AS component
         |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,
+    "text_common_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0))) AS i
+        |  FROM documents),
+        |dg AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS g
+        |  FROM pos)
+        |SELECT g, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM dg GROUP BY g
+        |HAVING count(*) >= 3
+        |ORDER BY n_docs DESC, g""".stripMargin,
     "text_heavy_hitters" ->
       """SELECT source, tok, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -472,6 +472,26 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(admitted == Set(202L), s"admitted were $admitted")
   }
 
+  test("common spans: planted boilerplate surfaces; in-doc repetition cannot fake spread") {
+    import spark.implicits._
+    val boiler = "copyright notice all rights reserved"
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta epsilon"),
+      (3L, s"zeta $boiler"),
+      // the same 5-gram ten times in ONE doc: per-doc distinct keeps
+      // its doc count at 1, so it must not surface
+      (4L, ("solo gram one two three " * 10).trim)
+    ).toDF("doc_id", "text")
+    val spans = TextOps.commonSpans(d, n = 5, minDocs = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val boilerHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(boiler.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(spans.get(boilerHash).contains(3L), s"boilerplate gram missing: $spans")
+    assert(spans.values.forall(_ >= 3L))
+    assert(spans.size == 1, s"unexpected extra spans: $spans")
+  }
+
   test("heavy hitters: planted heavy token survives a sketch far smaller than the vocabulary") {
     // 20k singleton tokens + one token repeated 2000x, tracked by a
     // 256-counter sketch — the frequent-items guarantee: any item with
