@@ -158,4 +158,23 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: bloom semi filter NEVER drops a true match (zero false negatives)") {
+    // the correctness contract bloomJoin rests on: whatever the keys,
+    // every fact row whose key exists in dim survives the probe
+    val keyGen = for {
+      dimKeys <- Gen.nonEmptyListOf(Gen.choose(-1000000L, 1000000L))
+      extra <- Gen.listOf(Gen.choose(-1000000L, 1000000L))
+    } yield (dimKeys.distinct, extra)
+    forAll(keyGen, n = 6) { case (dimKeys, extra) =>
+      import spark.implicits._
+      val dim = dimKeys.toDF("k")
+      val fact = (dimKeys ++ extra).toDF("k")
+      val bytes = graft.operators.Joins.keyBloom(dim, "k")
+      val kept = graft.operators.Joins.bloomSemiFilter(fact, "k", bytes)
+        .as[Long].collect().toSet
+      val missing = dimKeys.toSet.diff(kept)
+      assert(missing.isEmpty, s"bloom dropped true matches: $missing")
+    }
+  }
 }
