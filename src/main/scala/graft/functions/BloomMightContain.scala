@@ -52,8 +52,55 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** Broadcast-variable form of [[BloomMightContainLong]] for LARGE
+  * filters: the expression carries only the broadcast HANDLE (a few
+  * bytes in the task binary); the filter itself ships once per
+  * executor through the torrent broadcast and is resolved lazily into
+  * a per-operator field on first row. Use via
+  * `Joins.bloomSemiFilterBroadcast` when the filter outgrows what
+  * should ride inside every task's serialized plan (rule of thumb:
+  * a few MB — the 10^8-key / ~120 MB regime belongs here). */
+case class BloomMightContainBcast(
+    child: Expression,
+    bcast: org.apache.spark.broadcast.Broadcast[BloomFilter])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects the 64-bit key hash (LONG), got ${child.dataType}")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_bcast"
+
+  override def nullSafeEval(v: Any): Any =
+    bcast.value.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val handle = ctx.addReferenceObj("graftBloomBcast", bcast,
+      "org.apache.spark.broadcast.Broadcast")
+    val filterCls = classOf[BloomFilter].getName
+    // resolve the broadcast ONCE per operator instance, not per row
+    val cached = ctx.addMutableState(filterCls, "graftBcastFilter")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($cached == null) { $cached = ($filterCls) $handle.value(); }
+         |${ev.value} = $cached.mightContainLong($c);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainBcast =
+    copy(child = newChild)
+}
+
 object BloomFunctions {
   /** Column wrapper: does `filter` possibly contain the long in `c`? */
   def bloom_might_contain(c: Column, filterBytes: Array[Byte]): Column =
     ExprBridge.toColumn(BloomMightContainLong(ExprBridge.toExpression(c), filterBytes))
+
+  /** Broadcast-variable probe for filters too large to embed in the
+    * expression tree. */
+  def bloom_might_contain_bcast(
+      c: Column,
+      b: org.apache.spark.broadcast.Broadcast[BloomFilter]): Column =
+    ExprBridge.toColumn(BloomMightContainBcast(ExprBridge.toExpression(c), b))
 }

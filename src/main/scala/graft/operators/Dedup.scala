@@ -108,6 +108,55 @@ object Dedup {
       withMinhashSig(withShingles(docs, shingleK), bands * rowsPerBand),
       bands, rowsPerBand)
 
+  /** The parameters a banding artifact was built under. The batch side
+    * of an incremental join MUST band identically: coordinates computed
+    * under a different (shingleK, bands, rowsPerBand) hash into
+    * disjoint buckets, so the (band, bh) equi-join silently yields
+    * ~zero candidates and the dedup gate FAILS OPEN — duplicates
+    * admitted with no error. */
+  case class Banding(shingleK: Int = 2, bands: Int = 8, rowsPerBand: Int = 4)
+
+  /** A persisted corpus banding tied to its parameters — the typed
+    * handle the incremental operators take, so a batch can never join
+    * an artifact banded under different parameters. */
+  case class BandedCorpus(bands: DataFrame, banding: Banding)
+
+  /** Write the banding artifact WITH its parameters: `path/bands`
+    * holds the (doc_id, band, bh) rows, `path/banding` a one-row
+    * parquet of the parameters they were built under. */
+  def saveBandedSignatures(docs: DataFrame, path: String,
+                           banding: Banding = Banding()): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandedSignatures(docs, banding.shingleK, banding.bands, banding.rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    Seq((banding.shingleK, banding.bands, banding.rowsPerBand))
+      .toDF("shingle_k", "bands", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/banding")
+  }
+
+  /** Reopen a persisted banding with the parameters it was built
+    * under — feed the result straight to the [[BandedCorpus]]
+    * overloads of [[incrementalCandidates]]/[[incrementalIngest]]. */
+  def loadBandedSignatures(spark: org.apache.spark.sql.SparkSession,
+                           path: String): BandedCorpus = {
+    val p = spark.read.parquet(s"$path/banding").head()
+    BandedCorpus(spark.read.parquet(s"$path/bands"),
+      Banding(p.getInt(0), p.getInt(1), p.getInt(2)))
+  }
+
+  /** Typed-artifact form of [[incrementalCandidates]]: the batch is
+    * banded under the ARTIFACT's own parameters. */
+  def incrementalCandidates(newDocs: DataFrame, corpus: BandedCorpus): DataFrame =
+    incrementalCandidates(newDocs, corpus.bands, corpus.banding.shingleK,
+      corpus.banding.bands, corpus.banding.rowsPerBand)
+
+  /** Typed-artifact form of [[incrementalIngest]]. */
+  def incrementalIngest(newDocs: DataFrame, corpusDocs: DataFrame,
+                        corpus: BandedCorpus, minJaccard: Double): DataFrame =
+    incrementalIngest(newDocs, corpusDocs, corpus.bands, corpus.banding.shingleK,
+      minJaccard, corpus.banding.bands, corpus.banding.rowsPerBand)
+
   /** Incremental near-dup candidates: a new ingest batch against the
     * persisted corpus banding. Only the BATCH is shingled and hashed
     * (linear in batch tokens); the corpus side is a plain scan of
@@ -141,8 +190,9 @@ object Dedup {
     * uses. Returns admitted rows of `newDocs`. */
   def incrementalIngest(newDocs: DataFrame, corpusDocs: DataFrame,
                         corpusBands: DataFrame, shingleK: Int = 2,
-                        minJaccard: Double = 0.5): DataFrame = {
-    val cands = incrementalCandidates(newDocs, corpusBands, shingleK)
+                        minJaccard: Double = 0.5, bands: Int = 8,
+                        rowsPerBand: Int = 4): DataFrame = {
+    val cands = incrementalCandidates(newDocs, corpusBands, shingleK, bands, rowsPerBand)
     val newSh = withShingles(newDocs, shingleK)
       .select(col("doc_id").as("new_id"), col("sh").as("sh_a"))
     val corpusCand = corpusDocs

@@ -117,29 +117,57 @@ object Joins {
     * are exactly the plain join's. */
   def keyBloom(dim: DataFrame, dimKey: String,
                expectedItems: Long = 0L, fpp: Double = 0.01): Array[Byte] = {
+    val bf = keyBloomFilter(dim, dimKey, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** The filter itself (not its bytes) — the input to the BROADCAST
+    * probe path below. Supplying `expectedItems` skips the sizing
+    * `dim.count()` pass entirely — at 100 TB the key count is usually
+    * known (table stats, manifest row counts), so prefer passing it. */
+  def keyBloomFilter(dim: DataFrame, dimKey: String,
+                     expectedItems: Long = 0L, fpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter = {
     val n = if (expectedItems > 0) expectedItems else dim.count()
     // Spark's stat.bloomFilter NPEs on a ZERO-ROW input (null aggregate
     // buffer); an empty dim means nothing can join, which an empty
     // filter expresses exactly. The isEmpty probe runs only when the
     // caller supplied expectedItems (otherwise n already tells us) and
     // is a bounded limit-1 scan.
-    val bf =
-      if (n == 0 || (expectedItems > 0 && dim.isEmpty))
-        org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-      else dim.select(xxhash64(col(dimKey)).as("_h"))
-        .stat.bloomFilter("_h", n, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    bos.toByteArray
+    if (n == 0 || (expectedItems > 0 && dim.isEmpty))
+      org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+    else dim.select(xxhash64(col(dimKey)).as("_h"))
+      .stat.bloomFilter("_h", n, fpp)
   }
 
   /** `fact` restricted to rows whose key might join `dim` — the probe
     * side of the reduction, usable standalone (e.g. ahead of several
-    * joins against the same dim). */
+    * joins against the same dim).
+    *
+    * Size ceiling: the serialized filter bytes ride INSIDE the
+    * expression tree, so they re-ship with every task binary. Fine to
+    * a few MB; beyond that (the 10^8-key / ~120 MB regime) use
+    * [[bloomSemiFilterBroadcast]], which ships the filter once per
+    * executor as a broadcast variable and carries only the handle in
+    * the plan. */
   def bloomSemiFilter(fact: DataFrame, factKey: String,
                       filterBytes: Array[Byte]): DataFrame =
     fact.filter(graft.functions.BloomFunctions.bloom_might_contain(
       xxhash64(col(factKey)), filterBytes))
+
+  /** Broadcast-variable probe for LARGE filters: identical semantics to
+    * [[bloomSemiFilter]], but the filter travels the broadcast path
+    * (once per executor) instead of the task-binary path (once per
+    * task). The caller owns the broadcast's lifecycle — `destroy()` it
+    * when the last query using the filter is done. */
+  def bloomSemiFilterBroadcast(
+      fact: DataFrame, factKey: String,
+      bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      : DataFrame =
+    fact.filter(graft.functions.BloomFunctions.bloom_might_contain_bcast(
+      xxhash64(col(factKey)), bf))
 
   /** Exact inner join with the bloom reduction applied to the fact
     * side first: identical results to `fact.join(dim, fact(factKey) ===

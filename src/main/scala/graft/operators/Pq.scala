@@ -150,25 +150,30 @@ object Pq {
   /** ANN query: ADC over the coded corpus → `shortlist` smallest
     * distances (TakeOrderedAndProject — per-partition heaps) → exact
     * cosine re-rank of ONLY the shortlist ids against the original
-    * embeddings → top-k. The shortlist id collect is bounded by
-    * `shortlist`; `shortlist >= N` makes the result exactly brute
-    * force. Pre-encoded codes can be passed to amortize the encode
-    * scan across queries (the fit-once/encode-once/query-many
-    * lifecycle, like Ivf). */
+    * embeddings → top-k. The shortlist rides as a broadcast hash join
+    * on a shortlist-sized DataFrame (never a shortlist-sized IN-list
+    * literal — at shortlist=10^5 that would be a 10^5-element predicate
+    * the optimizer must fold, where the broadcast join stays O(1) in
+    * plan size and never touches the driver). Corrupt rows ADC-score
+    * null and sort LAST, so they can't consume shortlist slots.
+    * `shortlist >= N` makes the result exactly brute force.
+    * Pre-encoded codes can be passed to amortize the encode scan
+    * across queries (the fit-once/encode-once/query-many lifecycle,
+    * like Ivf). */
   def query(emb: DataFrame, model: PqModel, queryId: Long = 0L, k: Int = 10,
             shortlist: Int = 100, codes: Option[DataFrame] = None): DataFrame = {
     val qv = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
     val coded = codes.getOrElse(encode(emb, model))
-    val ids = coded.filter(col("vec_id") =!= queryId)
+    val short = coded.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), adcScore(col("codes"), model, qv).as("adc"))
-      .orderBy(col("adc"), col("vec_id"))
+      .orderBy(asc_nulls_last("adc"), col("vec_id"))
       .limit(shortlist)
-      .select("vec_id").collect().map(_.getLong(0))
+      .select("vec_id")
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    emb.filter(col("vec_id").isin(ids.toIndexedSeq: _*))
+    emb.join(broadcast(short), "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
@@ -197,6 +202,32 @@ object Pq {
     val cb = Array.ofDim[Array[Double]](m, ksub)
     rows.foreach { case (j, c, v) => cb(j)(c) = v }
     PqModel(m, ksub, cb(0)(0).length, cb.map(_.toArray))
+  }
+
+  /** Resolve the OFFLINE IVF-PQ artifacts at `path`, building whatever
+    * is missing: the Ivf index, the PQ model (persisted via
+    * [[save]]/[[load]]), and the cell-partitioned codes. The model is
+    * LOADED whenever its artifact exists — never refit against
+    * persisted codes, because refit "determinism" breaks as soon as
+    * sampling kicks in (`df.sample` is per-partition Bernoulli: a
+    * different incoming partitioning yields a different sample,
+    * different codebooks, and ADC distances silently mismatched to the
+    * codes on disk). When the model had to be (re)fit, the codes are
+    * re-encoded even if a stale codes directory exists — codes are
+    * only valid against the model that wrote them. */
+  def loadOrBuildIvfPq(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+                       path: String, m: Int = 8, ksub: Int = 16):
+      (Ivf.IvfIndex, PqModel) = {
+    val index =
+      if (new java.io.File(s"$path/centroids").exists()) Ivf.load(spark, path)
+      else Ivf.fit(emb, path)
+    val haveModel = new java.io.File(s"$path/pq_codebooks").exists()
+    val model =
+      if (haveModel) load(spark, path)
+      else { val mm = fit(emb, m, ksub); save(spark, mm, path); mm }
+    if (!haveModel || !new java.io.File(s"$path/codes").exists())
+      encodeIvf(spark, index, model)
+    (index, model)
   }
 
   /** Offline half of IVF-PQ: PQ-encode an Ivf index's vectors keeping
@@ -229,15 +260,19 @@ object Pq {
     val codes0 = spark.read.parquet(s"${ivf.path}/codes")
       .filter(col("cell").isin(probeCells: _*))
     val codes = excludeId.fold(codes0)(id => codes0.filter(col("vec_id") =!= id))
-    val ids = codes
+    // same broadcast-semi-join shortlist shape as [[query]]: nulls
+    // (corrupt codes) sort last, the re-rank joins a shortlist-sized
+    // frame instead of folding a shortlist-sized isin literal
+    val short = codes
       .select(col("vec_id"),
         graft.functions.PqFunctions.pq_adc(col("codes"), lut(model, queryVec)).as("adc"))
-      .orderBy(col("adc"), col("vec_id"))
+      .orderBy(asc_nulls_last("adc"), col("vec_id"))
       .limit(shortlist)
-      .select("vec_id").collect().map(_.getLong(0)).toIndexedSeq
+      .select("vec_id")
     val qCol = array(queryVec.map(lit).toIndexedSeq: _*)
     spark.read.parquet(s"${ivf.path}/vectors")
-      .filter(col("cell").isin(probeCells: _*) && col("vec_id").isin(ids: _*))
+      .filter(col("cell").isin(probeCells: _*))
+      .join(broadcast(short), "vec_id")
       .select(col("vec_id"),
         round(Similarity.cosine(col("embedding"), qCol), 6).as("cosine"))
       .orderBy(desc("cosine"), col("vec_id"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the ANALYZE/data-quality pass a lake runs after
@@ -16,24 +16,47 @@ import org.apache.spark.sql.functions._
   * At 100 TB-scale profiling set `exact = false`: HLL sketches
   * (approx_count_distinct) keep the plan a plain two-phase aggregate
   * with constant memory per column and no Expand.
+  *
+  * Contract: `vmin`/`vmax` are reported as DOUBLE — the profile is a
+  * numeric-measure audit; a non-numeric column profiles nulls/distinct
+  * correctly but its min/max cast to null.
   */
 object Profile {
 
+  /** Reference a column by its LITERAL name whatever characters it
+    * contains: backtick-quoted with embedded backticks doubled, so
+    * dots, spaces, hyphens or quotes never mis-parse as field access
+    * or break an interpolated identifier. */
+  private def byName(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile: no columns given")
-    val distinctOf = (c: String) =>
-      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
-    val aggExprs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      distinctOf(c).as(s"${c}__distinct"),
-      min(col(c)).cast("double").as(s"${c}__min"),
-      max(col(c)).cast("double").as(s"${c}__max")))
+    val distinctOf = (c: Column) =>
+      if (exact) countDistinct(c) else approx_count_distinct(c)
+    // generated collision-proof aliases (_p0_nulls, …): the user column
+    // name appears only as a string LITERAL in the output, never as an
+    // identifier that gets re-parsed
+    val aggExprs = count(lit(1)).as("n_rows") +:
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        sum(when(byName(c).isNull, 1L).otherwise(0L)).as(s"_p${i}_nulls"),
+        distinctOf(byName(c)).as(s"_p${i}_distinct"),
+        min(byName(c)).cast("double").as(s"_p${i}_min"),
+        max(byName(c)).cast("double").as(s"_p${i}_max"))
+      }
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
-    one.select(col("n_rows"),
-        expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, vmin, vmax)"))
-      .select("col_name", "n_rows", "n_nulls", "n_distinct", "vmin", "vmax")
+    val long = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"_p${i}_nulls").as("n_nulls"),
+        col(s"_p${i}_distinct").as("n_distinct"),
+        col(s"_p${i}_min").as("vmin"),
+        col(s"_p${i}_max").as("vmax"))
+    }: _*)
+    one.select(col("n_rows"), explode(long).as("s"))
+      .select(col("s.col_name").as("col_name"), col("n_rows"),
+        col("s.n_nulls").as("n_nulls"), col("s.n_distinct").as("n_distinct"),
+        col("s.vmin").as("vmin"), col("s.vmax").as("vmax"))
       .orderBy("col_name")
   }
 }

@@ -54,19 +54,18 @@ object PipelineQueries {
       Pq.query(emb, Pq.fit(emb))
     }),
     // IVF-PQ: the composed 100 TB serving shape — cell-partitioned
-    // m-byte codes, partition-pruned ADC, exact re-rank. Index + codes
-    // persist under the dataset fingerprint (offline artifacts, built
-    // once); Pq.fit is deterministic (fixed seed), so a rebuilt model
-    // always matches the persisted codes
+    // m-byte codes, partition-pruned ADC, exact re-rank. Index, codes
+    // AND the PQ model persist under the dataset fingerprint (offline
+    // artifacts, built once). The model is LOADED on the warm path,
+    // never refit against persisted codes: refit "determinism" breaks
+    // as soon as sampling kicks in (Pq.fit's df.sample is per-partition
+    // Bernoulli — a different incoming partitioning yields a different
+    // sample, different codebooks, and ADC distances silently
+    // mismatched to the codes on disk)
     "sim_ann_ivfpq" -> ((s, d) => {
       val emb = embeddings(s, d)
       val path = sys.props("java.io.tmpdir") + s"/graft_ivfpq_${datasetFingerprint(d)}"
-      val index =
-        if (new java.io.File(s"$path/centroids").exists()) Ivf.load(s, path)
-        else Ivf.fit(emb, path)
-      val model = Pq.fit(emb)
-      if (!new java.io.File(s"$path/codes").exists())
-        Pq.encodeIvf(s, index, model)
+      val (index, model) = Pq.loadOrBuildIvfPq(s, emb, path)
       val qv = emb.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toArray

@@ -438,6 +438,54 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(a == b, "reloaded codebooks produced different codes")
   }
 
+  test("IVF-PQ artifacts: the persisted PQ model is LOADED on the warm path, never refit") {
+    import graft.operators.{Ivf, Pq}
+    val emb = Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_warm").toString
+    val (index, m1) = Pq.loadOrBuildIvfPq(spark, emb, tmp)
+    assert(new java.io.File(s"$tmp/pq_codebooks").exists(),
+      "model not persisted beside the codes")
+    // replace the persisted model + codes with a DIFFERENT-seed build;
+    // a warm resolve must return exactly the seed-7 codebooks (load) —
+    // a refit would return the default-seed model and silently mismatch
+    // the codes on disk
+    val m7 = Pq.fit(emb, seed = 7L)
+    Pq.save(spark, m7, tmp)
+    Pq.encodeIvf(spark, index, m7)
+    val (_, m2) = Pq.loadOrBuildIvfPq(spark, emb, tmp)
+    assert(java.util.Arrays.deepEquals(
+      m2.codebooks.asInstanceOf[Array[AnyRef]], m7.codebooks.asInstanceOf[Array[AnyRef]]),
+      "warm path did not load the persisted model")
+    val _ = m1 // cold-path model; superseded by the planted rebuild
+  }
+
+  test("PQ shortlist: corrupt rows sort last (never consume slots); re-rank is a broadcast join") {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, sf)
+    val model = Pq.fit(emb)
+    val clean = Pq.encode(emb, model)
+    // five vectors with wrong-length codes: ADC scores them null; an
+    // ascending sort without nulls-last would rank them FIRST and they
+    // would fill the whole shortlist
+    val corrupted = clean.withColumn("codes",
+      when(col("vec_id").between(400, 404), array(lit(0))).otherwise(col("codes")))
+    val k = 5
+    val got = Pq.query(emb, model, queryId = 0L, k = k, shortlist = 6,
+      codes = Some(corrupted))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"re-rank shortlist is not a broadcast join:\n$plan")
+    val rows = got.collect()
+    assert(rows.length == k)
+    assert(rows.forall(r => !(400L to 404L).contains(r.getLong(0))),
+      "corrupt row surfaced in the result")
+    // slots not wasted: identical to querying with the corrupt rows absent
+    val cleanRows = Pq.query(emb, model, queryId = 0L, k = k, shortlist = 6,
+      codes = Some(clean.filter(!col("vec_id").between(400, 404)))).collect()
+    assert(rows.map(_.getLong(0)).toSeq == cleanRows.map(_.getLong(0)).toSeq,
+      "corrupt rows consumed shortlist capacity")
+  }
+
   test("incremental dedup: batch joins the PERSISTED corpus banding; exact re-present guaranteed") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_inc_dedup").toString
     Dedup.bandedSignatures(fixture).write.mode("overwrite").parquet(tmp)
@@ -470,6 +518,26 @@ class PipelineQueriesSpec extends SparkSpec {
     val admitted = Dedup.incrementalIngest(batch, fixture, corpusBands)
       .select("doc_id").as[Long].collect().toSet
     assert(admitted == Set(202L), s"admitted were $admitted")
+  }
+
+  test("incremental ingest under NON-DEFAULT banding: the typed artifact threads its own params") {
+    import spark.implicits._
+    // band the corpus under 16x2 (not the 8x4 default): with the old
+    // hard-coded defaults the batch would band 8x4, hash into disjoint
+    // buckets, find zero candidates, and ADMIT the verbatim re-present
+    val tmp = java.nio.file.Files.createTempDirectory("graft_inc_banding").toString
+    Dedup.saveBandedSignatures(fixture, tmp,
+      Dedup.Banding(shingleK = 2, bands = 16, rowsPerBand = 2))
+    val corpus = Dedup.loadBandedSignatures(spark, tmp)
+    assert(corpus.banding == Dedup.Banding(2, 16, 2), "banding params lost in round-trip")
+    val batch = Seq(
+      (300L, "the quick brown fox jumps over the lazy dog again and again and again"), // re-present
+      (301L, "entirely novel content that matches nothing in the corpus at all today")
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalIngest(batch, fixture, corpus, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(301L),
+      s"gate failed open under non-default banding: admitted $admitted")
   }
 
   test("common spans: planted boilerplate surfaces; in-doc repetition cannot fake spread") {

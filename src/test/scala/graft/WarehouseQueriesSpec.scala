@@ -329,6 +329,36 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(n >= 100 && n <= 100 + 400, s"bloom kept $n of 10000 rows")
   }
 
+  test("broadcast-variable bloom probe: identical keep-set to the embedded-bytes probe") {
+    val fact = spark.range(10000).select(col("id").as("k"))
+    val dim = spark.range(100).select((col("id") * 100).as("k"))
+    val bf = graft.operators.Joins.keyBloomFilter(dim, "k")
+    val bytes = graft.operators.Joins.keyBloom(dim, "k")
+    val bcast = spark.sparkContext.broadcast(bf)
+    try {
+      val viaBcast = graft.operators.Joins.bloomSemiFilterBroadcast(fact, "k", bcast)
+        .collect().map(_.getLong(0)).toSet
+      val viaBytes = graft.operators.Joins.bloomSemiFilter(fact, "k", bytes)
+        .collect().map(_.getLong(0)).toSet
+      assert(viaBcast == viaBytes,
+        "broadcast probe diverged from the embedded-bytes probe")
+      assert((0L until 100L).map(_ * 100).forall(viaBcast.contains),
+        "broadcast probe dropped a true match")
+    } finally bcast.destroy()
+  }
+
+  test("profile survives hostile column names (dots, spaces, hyphens, quotes, backticks)") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, 3.0, 4.0), (5.0, 6.0, 7.0, 8.0))
+      .toDF("a.b", "c d", "e-f'g", "h`i")
+    val p = graft.operators.Profile.profile(df, Seq("a.b", "c d", "e-f'g", "h`i"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(p.keySet == Set("a.b", "c d", "e-f'g", "h`i"))
+    assert(p("a.b") == ((0L, 2L, 1.0, 5.0)), s"wrong stats for dotted column: $p")
+    assert(p("h`i") == ((0L, 2L, 4.0, 8.0)), s"wrong stats for backtick column: $p")
+  }
+
   test("q_bloom_join applies the bloom probe AT the fact scan, below the join") {
     // the reduction only pays off if the probe runs before any
     // shuffle/join moves fact rows — the strongest form is the filter
