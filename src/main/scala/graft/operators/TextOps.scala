@@ -209,6 +209,55 @@ object TextOps {
       .orderBy(desc("n_docs"), col("g"))
   }
 
+  /** Positioned variant of [[explodeNgramHashes]]: one (id…, start, g)
+    * row per word n-gram window, `start` 0-based — the join-back key
+    * that lets a matched gram hash resolve to the SPAN it covers. */
+  private def explodeNgramHashesAt(df: DataFrame, n: Int, textCol: String,
+                                   keep: Seq[Column]): DataFrame =
+    df.withColumn("_toks", split(col(textCol), " "))
+      .select((keep :+ posexplode(
+        when(size(col("_toks")) >= n,
+          transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+            i => md5(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("start", "g"))): _*)
+
+  /** Boilerplate REMOVAL — the consumer of [[commonSpans]]: strip every
+    * word covered by an n-gram span shared by ≥ `minDocs` documents,
+    * and report the per-doc boilerplate fraction (the Gopher-style
+    * filter signal). Gram hashes are not invertible to text, so the
+    * resolution rides positions instead: the positioned gram explode
+    * ([[explodeNgramHashesAt]]) semi-joins the offending gram set, the
+    * matched window STARTS collect per doc (bounded by doc length),
+    * and a per-row array filter drops tokens inside any matched
+    * window. Returns (doc_id, clean_text, boilerplate_frac) for every
+    * input doc — untouched docs pass through with frac 0, fully-
+    * boilerplate docs come back empty with frac 1.
+    *
+    * Scale shape: two linear gram explodes (hashes on the wire), one
+    * equi-join against the (small) offending-gram set, one per-doc
+    * aggregate of matched starts, one id-keyed join back — never
+    * corpus × corpus, and the reconstruction is per-row array math. */
+  def stripBoilerplate(docs: DataFrame, n: Int = 5, minDocs: Int = 3): DataFrame = {
+    val spans = commonSpans(docs, n, minDocs).select("g")
+    val starts = explodeNgramHashesAt(docs, n, "text", Seq(col("doc_id")))
+      .join(spans, "g")
+      .groupBy("doc_id").agg(collect_set("start").as("_starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("_toks", split(col("text"), " "))
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<int>")))
+      // token at 0-based idx is covered iff some matched window start s
+      // (0-based) satisfies s <= idx <= s + n - 1
+      .withColumn("_kept", filter(col("_toks"), (_, idx) =>
+        !exists(col("_starts"), s => idx >= s && idx <= s + lit(n - 1))))
+      .select(col("doc_id"),
+        concat_ws(" ", col("_kept")).as("clean_text"),
+        round(lit(1.0) - size(col("_kept")) / size(col("_toks")), 6)
+          .as("boilerplate_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source heavy-hitter tokens with BOUNDED state: Spark 4's
     * built-in `approx_top_k` (DataSketches frequent-items sketch).
     * Where [[vocab]]'s exact two-phase count ships one row per distinct

@@ -118,6 +118,7 @@ object PipelineQueries {
     // oracle-checkable; the approximation regime is spec'd
     "text_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(documents(s, d))),
     "text_common_spans" -> ((s, d) => TextOps.commonSpans(documents(s, d))),
+    "text_boilerplate" -> ((s, d) => TextOps.stripBoilerplate(documents(s, d))),
     "text_vocab" -> ((s, d) => TextOps.vocab(documents(s, d))),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
     // histogram flattened to 16 scalar columns: the driver's pandas
@@ -376,6 +377,43 @@ object PipelineQueries {
         |FROM dg GROUP BY g
         |HAVING count(*) >= 3
         |ORDER BY n_docs DESC, g""".stripMargin,
+    // same 5-gram/minDocs=3 span derivation as text_common_spans, then
+    // resolved to positions: token j (1-based) is boilerplate iff some
+    // offending window start i covers it (i <= j <= i+4)
+    "text_boilerplate" ->
+      """WITH pos AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0))) AS i
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, i, md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS g
+        |  FROM pos),
+        |common AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM gr) dg
+        |  GROUP BY g HAVING count(*) >= 3),
+        |starts AS (
+        |  SELECT DISTINCT gr.doc_id, gr.i FROM gr JOIN common ON gr.g = common.g),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    unnest(generate_series(1, len(string_split(text, ' ')))) AS j
+        |  FROM documents),
+        |covered AS (
+        |  SELECT DISTINCT t.doc_id, t.j FROM tok t
+        |  JOIN starts s ON t.doc_id = s.doc_id AND t.j BETWEEN s.i AND s.i + 4),
+        |kept AS (
+        |  SELECT t.doc_id, t.j, t.tok FROM tok t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.j = c.j
+        |  WHERE c.j IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+        |         count(*) AS nk
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.clean_text, '') AS clean_text,
+        |  round(1.0 - coalesce(nk, 0) / len(string_split(d.text, ' ')), 6)
+        |    AS boilerplate_frac
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_heavy_hitters" ->
       """SELECT source, tok, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)

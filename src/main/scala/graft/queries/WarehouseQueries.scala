@@ -412,34 +412,16 @@ object WarehouseQueries {
   }
 
   /** Three-step ordered conversion funnel (view → click → purchase)
-    * over the event stream: a click counts only AFTER the user's first
-    * view, a purchase only after such a click — the product-analytics
-    * staple that naive per-type counts get wrong. ONE shuffle total:
-    * both cumulative windows share the user_id partitioning and the
-    * per-user + global aggregates reuse it. Time comparisons run at µs
-    * on both engines (Spark's native precision; the oracle goes through
-    * epoch_us), ties broken by event_id. */
-  def funnel(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val staged = events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("t_view",
-        min(when(col("event_type") === "view", col("ts"))).over(w))
-      .withColumn("t_click",
-        min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
-          col("ts"))).over(w))
-    staged.groupBy("user_id")
-      .agg(
-        max(when(col("t_view").isNotNull, 1).otherwise(0)).as("s1"),
-        max(when(col("t_click").isNotNull, 1).otherwise(0)).as("s2"),
-        max(when(col("event_type") === "purchase" && col("ts") >= col("t_click"), 1)
-          .otherwise(0)).as("s3"))
-      .agg(
-        sum("s1").as("n_view"),
-        sum("s2").as("n_view_click"),
-        sum("s3").as("n_full_funnel"))
+    * over the event stream, via the N-step operator
+    * (graft.operators.Funnel): a click counts only AFTER the user's
+    * first view, a purchase only after such a click. Time comparisons
+    * run at µs on both engines (Spark's native precision; the oracle
+    * goes through epoch_us), ties broken by event_id. */
+  def funnel(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.funnel(events(s, d), Seq("view", "click", "purchase"))
+      .select(col("n_step1").as("n_view"), col("n_step2").as("n_view_click"),
+        col("n_step3").as("n_full_funnel"))
       .orderBy("n_view")
-  }
 
   /** Bloom-filter semi-join reduction via Joins.bloomJoin: lineitems of
     * the high-value orders (~10% of the dim). The bloom prunes ~90% of

@@ -560,6 +560,27 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(spans.size == 1, s"unexpected extra spans: $spans")
   }
 
+  test("boilerplate strip: planted shared header removed from every doc, unique content intact") {
+    import spark.implicits._
+    val header = "copyright notice all rights reserved"
+    val d = Seq(
+      (1L, s"$header alpha beta gamma delta"),
+      (2L, s"epsilon $header zeta eta"),
+      (3L, s"theta iota $header"),
+      // clean doc: must pass through untouched with frac 0
+      (4L, "kappa lambda mu nu xi omicron pi rho"),
+      // a doc that is NOTHING BUT the shared header: empty survivor, frac 1
+      (5L, header)
+    ).toDF("doc_id", "text")
+    val r = TextOps.stripBoilerplate(d, n = 5, minDocs = 3)
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getDouble(2))).toMap
+    assert(r(1L) == (("alpha beta gamma delta", round6(5.0 / 9))), s"doc 1: ${r(1L)}")
+    assert(r(2L) == (("epsilon zeta eta", 0.625)), s"doc 2: ${r(2L)}")
+    assert(r(3L) == (("theta iota", round6(5.0 / 7))), s"doc 3: ${r(3L)}")
+    assert(r(4L) == (("kappa lambda mu nu xi omicron pi rho", 0.0)), s"doc 4: ${r(4L)}")
+    assert(r(5L) == (("", 1.0)), s"doc 5: ${r(5L)}")
+  }
+
   test("heavy hitters: planted heavy token survives a sketch far smaller than the vocabulary") {
     // 20k singleton tokens + one token repeated 2000x, tracked by a
     // 256-counter sketch — the frequent-items guarantee: any item with

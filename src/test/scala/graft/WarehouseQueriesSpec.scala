@@ -297,6 +297,35 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 2L)))
   }
 
+  test("N-step funnel: 4-step fixture hand-computed; 3-step form equals the inline construction") {
+    import spark.implicits._
+    val ts = (s: Int) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      // u1: the full ordered 4-step funnel
+      (1L, ts(1), 10L, "view"), (1L, ts(2), 11L, "click"),
+      (1L, ts(3), 12L, "signup"), (1L, ts(4), 13L, "purchase"),
+      // u2: purchase BEFORE signup — reaches step 3 (late signup), not 4
+      (2L, ts(1), 20L, "view"), (2L, ts(2), 21L, "click"),
+      (2L, ts(3), 22L, "purchase"), (2L, ts(4), 23L, "signup"),
+      // u3: signup precedes its qualified click — stops at step 2
+      (3L, ts(1), 30L, "signup"), (3L, ts(2), 31L, "view"),
+      (3L, ts(3), 32L, "click"), (3L, ts(4), 33L, "purchase"),
+      // u4: click with no view at all — reaches nothing
+      (4L, ts(1), 40L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = graft.operators.Funnel
+      .funnel(ev, Seq("view", "click", "signup", "purchase")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 3L, 2L, 1L)),
+      s"4-step cumulative reach wrong: $r")
+    // dropping the signup events turns u3 into a full 3-step conversion
+    // (view@2 → click@3 → purchase@4): the step list drives semantics
+    val ev3 = ev.filter(col("event_type") =!= "signup")
+    val r3 = graft.operators.Funnel.funnel(ev3, Seq("view", "click", "purchase")).head()
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) == ((3L, 3L, 3L)),
+      s"3-step reach wrong: $r3")
+  }
+
   test("bloomJoin equals the plain join: string keys, null keys, no dropped matches") {
     import spark.implicits._
     val fact = Seq(("a", 1), ("b", 2), ("c", 3), (null, 4), ("d", 5), ("a", 6))
