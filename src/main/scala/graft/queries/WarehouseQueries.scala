@@ -484,7 +484,36 @@ object WarehouseQueries {
       .orderBy("o_orderkey", "valid_from")
   }
 
+  /** Transactional-table lifecycle (graft.storage.TxLog — the
+    * manifest-commit layer): create the orders dim as v1 partitioned
+    * by priority, MERGE the repriced change feed (q_upsert's set) as
+    * one atomic v2 commit, then read BOTH versions back — time travel
+    * is the checkable surface, and the v1 rows prove the merge
+    * rewrote touched partitions without disturbing the snapshot. */
+  def txlog(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    TxLog.create(dim, path, Some("o_orderpriority"))
+    val changes = dim.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(BigDecimal("1.1")))
+          .cast("double"))
+      .withColumn("o_orderstatus", lit("R"))
+    TxLog.mergeInto(path, changes, Seq("o_orderkey"))
+    val v1 = TxLog.read(s, path, Some(1L)).withColumn("ver", lit(1))
+    val v2 = TxLog.read(s, path, Some(2L)).withColumn("ver", lit(2))
+    v1.unionByName(v2)
+      .select("ver", "o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("ver", "o_orderkey")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txlog" -> txlog _,
     "q_scd2" -> scd2 _,
     "q_range_join" -> rangeJoinQuery _,
     "q_upsert" -> upsert _,
@@ -520,6 +549,25 @@ object WarehouseQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // v1 is the raw dim; v2 is q_upsert's merged state — the parquet
+    // round trip through the TxLog snapshots must be value-exact
+    "q_txlog" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, 'R' AS o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey))
+        |SELECT CAST(1 AS INT) AS ver, o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(2 AS INT) AS ver, o_orderkey, o_orderstatus, o_totalprice
+        |FROM v2
+        |ORDER BY ver, o_orderkey""".stripMargin,
     "q_scd2" ->
       """WITH dim AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -1,0 +1,249 @@
+package graft.storage
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-based atomic table commits over plain parquet — the
+  * transaction-log pattern (what a Delta/Iceberg commit does) with no
+  * extra storage format: a TABLE is a directory whose live content is
+  * defined by the newest manifest, never by what files happen to sit
+  * in it.
+  *
+  * Layout:
+  * {{{
+  *   <table>/data/[<part>=<v>/]<commit-uuid>-part-*.parquet   immutable data files
+  *   <table>/_manifests/v<N>.json                             one manifest per version
+  * }}}
+  *
+  * A manifest lists the exact files of one table VERSION (plus the
+  * schema and optional partition column). Every write creates NEW
+  * files — staged under `_staging_<uuid>`, moved into `data/`, and
+  * made visible by ONE atomic manifest rename. Files referenced by any
+  * retained manifest are never mutated or deleted, so:
+  *
+  *  - **Snapshot isolation**: a reader resolves exactly one manifest;
+  *    it sees version N or version N+1 in full, never a mix. A
+  *    DataFrame resolved before a commit keeps reading its own
+  *    snapshot's files afterwards (they still exist until [[vacuum]]).
+  *  - **Time travel**: `read(path, Some(v))` reproduces any retained
+  *    version bit-for-bit.
+  *  - **Cheap merges**: [[mergeInto]] rewrites only touched
+  *    partitions' files; untouched partitions' files are carried into
+  *    the new manifest BY REFERENCE and stay byte-identical on disk.
+  *
+  * Commit protocol: the manifest is written to a temp name and
+  * `rename`d to `v<N+1>.json` after checking N+1 is still absent —
+  * optimistic concurrency for the single-writer/many-reader case this
+  * targets. (Object stores without atomic rename need an external
+  * commit lock, the same caveat Delta documents for S3.) Partition
+  * values must stringify to filesystem-safe directory names (the same
+  * contract as Spark's own dynamic partition overwrite).
+  *
+  * Scale shape: manifests carry file PATHS, not data — a 100 TB table
+  * at 128 MB/file is ~800k lines of JSON, driver-bounded like every
+  * other catalog artifact; reads plan from the explicit file list, so
+  * partition pruning and column pruning work exactly as on a plain
+  * parquet table (`basePath` recovers the partition column).
+  */
+object TxLog {
+
+  case class Manifest(version: Long, partitionCol: Option[String],
+                      schemaDdl: String, files: Seq[String])
+
+  private val mapper = new ObjectMapper()
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(path: String) = new Path(path, "_manifests")
+  private def dataDir(path: String) = new Path(path, "data")
+
+  private def versionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (n.startsWith("v") && n.endsWith(".json"))
+      n.substring(1, n.length - 5).toLongOption
+    else None
+  }
+
+  /** Newest committed version, or None for a non-table path. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+    val fs = fsFor(spark, path)
+    val dir = manifestDir(path)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.flatMap(s => versionOf(s.getPath)).maxOption
+  }
+
+  /** Load one manifest. */
+  def manifest(spark: SparkSession, path: String, version: Long): Manifest = {
+    val fs = fsFor(spark, path)
+    val p = new Path(manifestDir(path), s"v$version.json")
+    require(fs.exists(p), s"TxLog: no manifest v$version at $path " +
+      "(vacuumed or never committed)")
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val node = mapper.readTree(bytes)
+    val files = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
+    Manifest(node.get("version").asLong(),
+      Option(node.get("partitionCol")).filter(!_.isNull).map(_.asText()),
+      node.get("schemaDdl").asText(), files)
+  }
+
+  private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
+    val fs = fsFor(spark, path)
+    fs.mkdirs(manifestDir(path))
+    val node = mapper.createObjectNode()
+    node.put("version", m.version)
+    m.partitionCol match {
+      case Some(c) => node.put("partitionCol", c)
+      case None => node.putNull("partitionCol")
+    }
+    node.put("schemaDdl", m.schemaDdl)
+    val arr = node.putArray("files")
+    m.files.sorted.foreach(arr.add)
+    val tmp = new Path(manifestDir(path),
+      s".v${m.version}.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+    val dst = new Path(manifestDir(path), s"v${m.version}.json")
+    // optimistic concurrency: lose the race loudly, never overwrite a
+    // committed version
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"TxLog: concurrent commit detected for v${m.version} at $path")
+    }
+  }
+
+  /** Stage-write `df`, move its files into `data/` under a fresh commit
+    * uuid, and return the new files' table-relative paths. Old files
+    * are never touched. */
+  private def stageIn(df: DataFrame, path: String,
+                      partitionCol: Option[String]): Seq[String] = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, path)
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val staging = new Path(path, s"_staging_$uuid")
+    val w = df.write.mode("overwrite")
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        else if (name.endsWith(".parquet")) {
+          val relDst = (if (rel.isEmpty) "" else s"$rel/") + s"$uuid-$name"
+          val dst = new Path(dataDir(path), relDst)
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(st.getPath, dst), s"TxLog: move failed for $relDst")
+          moved += relDst
+        }
+      }
+    walk(staging, "")
+    fs.delete(staging, true)
+    moved.toSeq
+  }
+
+  /** Create a table at `path` as version 1. Fails if a table already
+    * exists there. */
+  def create(df: DataFrame, path: String,
+             partitionCol: Option[String] = None): Long = {
+    require(currentVersion(df.sparkSession, path).isEmpty,
+      s"TxLog: table already exists at $path")
+    val files = stageIn(df, path, partitionCol)
+    writeManifest(df.sparkSession, path,
+      Manifest(1L, partitionCol, df.schema.toDDL, files))
+    1L
+  }
+
+  /** Read a version (default: newest). Plans from the manifest's
+    * explicit file list with `basePath` set, so the partition column
+    * is recovered and partition/column pruning behave exactly as on a
+    * directly-written parquet table. */
+  def read(spark: SparkSession, path: String,
+           version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(m.schemaDdl))
+    else {
+      val base = dataDir(path).toString
+      spark.read.option("basePath", base)
+        .parquet(m.files.map(f => s"$base/$f"): _*)
+    }
+  }
+
+  /** Append `df` as a new version: old files carried by reference, new
+    * files added. */
+  def append(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    val files = stageIn(df, path, m.partitionCol)
+    writeManifest(spark, path, m.copy(version = v + 1, files = m.files ++ files))
+    v + 1
+  }
+
+  /** Transactional merge — the plain-parquet equivalent of a Delta
+    * MERGE, with the commit the stage+rewrite of `Upsert.mergeInto`
+    * lacks: updates win on key collision, only TOUCHED partitions get
+    * new files, untouched partitions' files ride into the new manifest
+    * by reference (byte-identical on disk), a partition emptied by a
+    * moved key simply drops out of the manifest, and concurrent
+    * readers keep their snapshot. Returns the new version. */
+  def mergeInto(path: String, updates: DataFrame, keys: Seq[String],
+                preValidated: Boolean = false): Long = {
+    val spark = updates.sparkSession
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    val partitionCol = m.partitionCol.getOrElse(throw new IllegalArgumentException(
+      "TxLog.mergeInto needs a partitioned table (create with partitionCol)"))
+    val existing = read(spark, path, Some(v))
+    val (parts, merged) = graft.operators.Upsert.mergePartitioned(
+      existing, updates, keys, partitionCol, preValidated)
+    val newFiles = stageIn(merged, path, Some(partitionCol))
+    // drop every old file of a TOUCHED partition (including partitions
+    // the merge emptied — they produce no staged files but still leave
+    // the manifest); everything else is carried by reference
+    val touchedDirs = parts.map(vv => s"$partitionCol=$vv").toSet
+    val kept = m.files.filterNot(f => touchedDirs.contains(
+      f.split('/').dropRight(1).mkString("/")))
+    writeManifest(spark, path, m.copy(version = v + 1, files = kept ++ newFiles))
+    v + 1
+  }
+
+  /** Drop files referenced by NO retained manifest, and the manifests
+    * older than the newest `keepVersions`. Time travel reaches back
+    * only as far as the oldest retained version afterwards. Returns
+    * the deleted data files' relative paths. */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, "vacuum must keep at least the current version")
+    val fs = fsFor(spark, path)
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val versions = fs.listStatus(manifestDir(path)).toSeq
+      .flatMap(s => versionOf(s.getPath)).sorted
+    val (drop, keep) = versions.partition(_ <= cur - keepVersions)
+    val live = keep.flatMap(manifest(spark, path, _).files).toSet
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(dir: Path, rel: String): Unit =
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        val r = if (rel.isEmpty) name else s"$rel/$name"
+        if (st.isDirectory) walk(st.getPath, r)
+        else if (name.endsWith(".parquet") && !live.contains(r)) {
+          fs.delete(st.getPath, false)
+          deleted += r
+        }
+      }
+    walk(dataDir(path), "")
+    drop.foreach(dv => fs.delete(new Path(manifestDir(path), s"v$dv.json"), false))
+    deleted.toSeq
+  }
+}
