@@ -63,6 +63,29 @@ object Ivf {
     IvfIndex(path, cents)
   }
 
+  /** Incremental index maintenance — the daily-ingest counterpart of
+    * Dedup.incrementalIngest: assign a new batch to the EXISTING
+    * centroids (no refit, no corpus rescan) and append its rows to the
+    * cell partitions. Assignment is the codegen'd
+    * [[graft.functions.IvfAssign]] argmin — the same
+    * nearest-center/lowest-id rule KMeans' transform applied at fit
+    * time — so appended vectors land exactly where queries will probe
+    * for them. The parquet append only ADDS part files: every
+    * pre-existing file stays byte-identical (spec-pinned), which is
+    * what lets a TxLog-style manifest carry old cells by reference.
+    * Centroids drift from the true Voronoi fit only as the corpus
+    * distribution drifts; refitting stays an offline decision. */
+  def append(spark: SparkSession, index: IvfIndex, newEmb: DataFrame): Unit =
+    newEmb
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.IvfFunctions.ivf_assign(
+          col("embedding"), centroidMatrix(index)).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"${index.path}/vectors")
+
+  /** centroids as a cell-id-indexed matrix (row i = cell i's center). */
+  private[graft] def centroidMatrix(index: IvfIndex): Array[Array[Double]] =
+    index.centroids.sortBy(_._1).map(_._2)
+
   /** Reopen a persisted index (the steady-state query-serving entry —
     * no corpus scan, just the nlist centroid rows). */
   def load(spark: SparkSession, path: String): IvfIndex = {

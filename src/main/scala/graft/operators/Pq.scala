@@ -243,6 +243,20 @@ object Pq {
         col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"${ivf.path}/codes")
 
+  /** Incremental codes maintenance (pairs with [[Ivf.append]]): encode
+    * a new batch with the EXISTING model and append to the cell
+    * partitions of the codes layout — no refit, no re-encode of old
+    * cells, old files byte-identical. One codegen'd scan doing both
+    * the PQ encode and the cell assignment. */
+  def encodeAppend(spark: org.apache.spark.sql.SparkSession, ivf: Ivf.IvfIndex,
+                   model: PqModel, newEmb: DataFrame): Unit =
+    newEmb
+      .select(col("vec_id"),
+        graft.functions.PqFunctions.pq_encode(col("embedding"), model.codebooks).as("codes"),
+        graft.functions.IvfFunctions.ivf_assign(
+          col("embedding"), Ivf.centroidMatrix(ivf)).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"${ivf.path}/codes")
+
   /** IVF-PQ query — the 100 TB ANN shape: driver-side centroid argmin
     * picks nprobe cells, the CODES scan partition-prunes to those cells
     * and reads m bytes/vector (nprobe/nlist of the corpus × 32× smaller

@@ -486,6 +486,58 @@ class PipelineQueriesSpec extends SparkSpec {
       "corrupt rows consumed shortlist capacity")
   }
 
+  private def listParquet(dir: String): Map[String, (Long, Long)] = {
+    val base = java.nio.file.Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => base.relativize(p).toString -> ((p.toFile.length, p.toFile.lastModified)))
+      .toMap
+  }
+
+  test("Ivf/Pq append: no refit, old cell files byte-identical, planted twin found by both paths") {
+    import graft.operators.{Ivf, Pq}
+    val emb = Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val index = Ivf.fit(emb, tmp)
+    // assignment consistency: the codegen'd argmin reproduces KMeans'
+    // own fit-time cell for EVERY corpus vector — appended rows land
+    // exactly where queries probe
+    val fitCells = spark.read.parquet(s"$tmp/vectors").select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val assigned = emb.select(col("vec_id"),
+      graft.functions.IvfFunctions.ivf_assign(
+        col("embedding"), Ivf.centroidMatrix(index)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned == fitCells, "ivf_assign diverged from KMeans' fit-time cells")
+    val model = Pq.fit(emb)
+    Pq.encodeIvf(spark, index, model)
+    val vBefore = listParquet(s"$tmp/vectors")
+    val cBefore = listParquet(s"$tmp/codes")
+    // append a planted twin of vector 7 under a new id — no refit
+    val twin = emb.filter(col("vec_id") === 7L)
+      .select(lit(10007L).as("vec_id"), col("embedding"))
+    Ivf.append(spark, index, twin)
+    Pq.encodeAppend(spark, index, model, twin)
+    val vAfter = listParquet(s"$tmp/vectors")
+    val cAfter = listParquet(s"$tmp/codes")
+    assert(vBefore.forall { case (f, st) => vAfter.get(f).contains(st) },
+      "append rewrote a pre-existing vectors file")
+    assert(cBefore.forall { case (f, st) => cAfter.get(f).contains(st) },
+      "encodeAppend rewrote a pre-existing codes file")
+    assert(vAfter.size > vBefore.size && cAfter.size > cBefore.size)
+    // both query paths surface the appended twin at cosine 1.0
+    val qv = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val ivfTop = Ivf.query(spark, index, qv, k = 2, excludeId = Some(7L)).collect()
+    assert(ivfTop.exists(r => r.getLong(0) == 10007L && r.getDouble(1) == 1.0),
+      s"IVF query missed the appended twin: ${ivfTop.toSeq}")
+    val pqTop = Pq.ivfQuery(spark, index, model, qv, k = 2, excludeId = Some(7L)).collect()
+    assert(pqTop.exists(r => r.getLong(0) == 10007L && r.getDouble(1) == 1.0),
+      s"IVF-PQ query missed the appended twin: ${pqTop.toSeq}")
+  }
+
   test("incremental dedup: batch joins the PERSISTED corpus banding; exact re-present guaranteed") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_inc_dedup").toString
     Dedup.bandedSignatures(fixture).write.mode("overwrite").parquet(tmp)
