@@ -47,6 +47,23 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL header parsing over a binary payload column — unlike
+    * [[decodeMeta]]'s arithmetic stub, these dimensions come from the
+    * actual bytes: PNG IHDR (big-endian u32 at 16/20), JPEG SOF via a
+    * segment walk, GIF logical screen descriptor (little-endian u16) —
+    * see [[graft.functions.ImageHeader]]. One codegen'd scan; rows
+    * that are none of the three formats report null format/dims
+    * (corrupt inputs stay visible). */
+  def imageMeta(df: DataFrame, payloadCol: String = "payload",
+                idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), octet_length(col(payloadCol)).as("n_bytes"),
+        graft.functions.ImageFunctions.image_header(col(payloadCol)).as("hdr"))
+      .select(col(idCol), col("n_bytes"),
+        col("hdr.format").as("format"),
+        col("hdr.width").as("width"),
+        col("hdr.height").as("height"))
+      .orderBy(idCol)
+
   /** Batched decode over partitions — the Scala shape of a
     * `mapInPandas` media pipeline: one decoder instantiation per
     * partition (amortized like a per-batch codec init), rows streamed

@@ -121,6 +121,16 @@ object PipelineQueries {
     "text_boilerplate" -> ((s, d) => TextOps.stripBoilerplate(documents(s, d))),
     "text_vocab" -> ((s, d) => TextOps.vocab(documents(s, d))),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
+    // REAL container parsing over crafted header bytes with known
+    // dimensions: the fixture (below) is the same on both engines, so
+    // the oracle states the ground-truth VALUES and Spark must derive
+    // them from the bytes
+    "mm_image_meta" -> ((s, d) => {
+      import s.implicits._
+      val fx = imageFixture.map { case (id, hex, _) => (id, hex) }.toDF("doc_id", "hex")
+      Multimodal.imageMeta(
+        fx.select(col("doc_id"), org.apache.spark.sql.functions.unhex(col("hex")).as("payload")))
+    }),
     // histogram flattened to 16 scalar columns: the driver's pandas
     // row-sort can't hash an array column (round-1 harness crash), and
     // scalar columns also make the op DuckDB-oracle-checkable
@@ -205,6 +215,42 @@ object PipelineQueries {
       Dedup.leakageSafeSplit(docs, pairs, valFrac = 0.25).orderBy("doc_id")
     }),
   )
+
+  /** Hex of a minimal well-formed PNG prefix: signature + IHDR with the
+    * given dims (bit depth/color/CRC bytes present but arbitrary). */
+  private[graft] def pngHex(w: Int, h: Int): String =
+    "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      f"$w%08X" + f"$h%08X" + "0806000000" + "00000000"
+
+  /** Hex of a minimal JFIF JPEG: SOI, APP0, a quantization table, SOF0
+    * with the given dims, EOI — the SOF sits BEHIND variable segments,
+    * so only a real segment walk finds it. */
+  private[graft] def jpegHex(w: Int, h: Int): String =
+    "FFD8" +
+      "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "00" + "00" +
+      "FFDB" + "0005" + "001122" +
+      "FFC0" + "000B" + "08" + f"$h%04X" + f"$w%04X" + "011100" +
+      "FFD9"
+
+  /** Hex of a GIF87a prefix: dims are LITTLE-endian u16. */
+  private[graft] def gifHex(w: Int, h: Int): String = {
+    def le16(v: Int) = f"${v & 0xff}%02X" + f"${(v >> 8) & 0xff}%02X"
+    "474946383761" + le16(w) + le16(h) + "F700" + "3B"
+  }
+
+  /** (doc_id, payload hex, expected (format, w, h) or None-for-corrupt)
+    * — shared by the mm_image_meta entry and its VALUES oracle. */
+  private[graft] def imageFixture: Seq[(Long, String, Option[(String, Int, Int)])] =
+    (0 until 12).map { i =>
+      val w = 100 + 13 * i
+      val h = 50 + 7 * i
+      i % 4 match {
+        case 0 => (i.toLong, pngHex(w, h), Some(("png", w, h)))
+        case 1 => (i.toLong, jpegHex(w, h), Some(("jpeg", w, h)))
+        case 2 => (i.toLong, gifHex(w, h), Some(("gif", w, h)))
+        case _ => (i.toLong, "DEADBEEF", None)
+      }
+    }
 
   /** Cache key for per-dataset offline artifacts: SHA-256 over the
     * dataset's absolute path plus the newest modification time under
@@ -302,6 +348,20 @@ object PipelineQueries {
         |WHERE md5(lower(text)) NOT IN (
         |  SELECT md5(lower(text)) FROM documents WHERE doc_id < 10)
         |ORDER BY doc_id""".stripMargin,
+    "mm_image_meta" -> {
+      val rows = imageFixture.map { case (id, hex, meta) =>
+        val nb = hex.length / 2
+        meta match {
+          case Some((f, w, h)) => s"($id, $nb, '$f', $w, $h)"
+          case None =>
+            s"($id, $nb, CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT))"
+        }
+      }.mkString(", ")
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bytes AS INT) AS n_bytes,
+         |  format, CAST(width AS INT) AS width, CAST(height AS INT) AS height
+         |FROM (VALUES $rows) AS t(doc_id, n_bytes, format, width, height)
+         |ORDER BY doc_id""".stripMargin
+    },
     "mm_decode_meta" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS INT) AS n_bytes,

@@ -486,6 +486,35 @@ class PipelineQueriesSpec extends SparkSpec {
       "corrupt rows consumed shortlist capacity")
   }
 
+  test("image headers: PNG/JPEG/GIF dims from real bytes; walks past EXIF and fill bytes; corrupt null") {
+    import spark.implicits._
+    val exifJpeg = // SOI, APP1 (Exif, 8 data bytes), FF fill byte, then SOF2 (progressive)
+      "FFD8" + "FFE1" + "000A" + "4578696600AABBCC" + "FF" +
+        "FFC2" + "000B" + "08" + "0140" + "0200" + "011100" + "FFD9"
+    val sosBeforeSof = "FFD8" + "FFDA" + "0004" + "0000" + "FFD9"
+    val d = Seq(
+      (1L, PipelineQueries.pngHex(640, 480)),
+      (2L, PipelineQueries.jpegHex(1024, 768)),
+      (3L, PipelineQueries.gifHex(320, 200)),
+      (4L, exifJpeg),                               // height 0x0140=320, width 0x0200=512
+      (5L, PipelineQueries.pngHex(640, 480).take(40)), // truncated mid-IHDR
+      (6L, sosBeforeSof),
+      (7L, "DEADBEEF")
+    ).toDF("doc_id", "hex")
+    val r = Multimodal.imageMeta(d.select(col("doc_id"), unhex(col("hex")).as("payload")))
+      .collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) None else Some((x.getString(2), x.getInt(3), x.getInt(4)))))
+      .toMap
+    assert(r(1L).contains(("png", 640, 480)))
+    assert(r(2L).contains(("jpeg", 1024, 768)))
+    assert(r(3L).contains(("gif", 320, 200)))
+    assert(r(4L).contains(("jpeg", 512, 320)), s"EXIF+fill walk failed: ${r(4L)}")
+    assert(r(5L).isEmpty, "truncated PNG must parse to null")
+    assert(r(6L).isEmpty, "SOS before SOF must parse to null")
+    assert(r(7L).isEmpty, "garbage must parse to null")
+  }
+
   private def listParquet(dir: String): Map[String, (Long, Long)] = {
     val base = java.nio.file.Paths.get(dir)
     import scala.jdk.CollectionConverters._
