@@ -183,6 +183,36 @@ object StreamJobs {
       .toDF("doc_a", "doc_b")
   }
 
+  /** Streaming heavy hitters — TextOps.heavyHitterSketches' lakehouse
+    * rollup running incrementally: every micro-batch reduces to ONE
+    * `approx_top_k_accumulate` sketch row per source (a
+    * maxTracked-bounded binary) appended to `sinkPath` tagged with its
+    * batch id. Any later reader answers top-k over ANY set of slices
+    * via [[heavyHittersFromSlices]] — n sketch merges, never a token
+    * rescan. State is bounded twice over: the per-batch aggregation
+    * holds maxTracked counters per group, and the stream itself keeps
+    * NO cross-batch state (the sink rows ARE the rollup), so this runs
+    * forever on an unbounded token stream. Exact-regime slices combine
+    * exactly (the batch-parity spec); the approximation regime
+    * inherits heavyHitters' frequent-items guarantees. */
+  def heavyHitterSketchStream(docs: DataFrame, sinkPath: String,
+                              maxTracked: Int = 10000): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextOps.heavyHitterSketches(batch, maxTracked)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(sinkPath)
+      }
+      .start()
+
+  /** Combine-on-read over the slice sink: per-source top-k from the
+    * accumulated sketches (same output shape as TextOps.heavyHitters). */
+  def heavyHittersFromSlices(spark: SparkSession, sinkPath: String,
+                             k: Int = 40): DataFrame =
+    graft.operators.TextOps.combineHeavyHitterSketches(
+      spark.read.parquet(sinkPath).select("source", "sketch"), k)
+
   /** Run a streaming aggregate to a named in-memory sink and block until
     * the source is drained (local smoke path). */
   def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {

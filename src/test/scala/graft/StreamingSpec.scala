@@ -141,6 +141,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: per-micro-batch sketch slices combine to the batch answer") {
+    val docs = graft.tables.Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val dir = "/tmp/graft_stream_docs"
+    // several files + maxFilesPerTrigger=1 → several micro-batches, so
+    // the combine step genuinely merges independent slices
+    docs.repartition(3).write.mode("overwrite").parquet(dir)
+    val sink = java.nio.file.Files.createTempDirectory("graft_hh_sink").toString + "/slices"
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamJobs.heavyHitterSketchStream(stream, sink)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(sink).select("batch_id").distinct().count() >= 2,
+      "expected multiple micro-batch slices")
+    val combined = StreamJobs.heavyHittersFromSlices(spark, sink)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val direct = graft.operators.TextOps.heavyHitters(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(combined == direct,
+      s"streamed slices diverged from the single pass: ${combined.diff(direct)} / ${direct.diff(combined)}")
+  }
+
   test("stateful mapGroupsWithState totals match the batch aggregate") {
     val dir = "/tmp/graft_stream_events"
     graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
