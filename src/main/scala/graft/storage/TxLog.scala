@@ -49,8 +49,12 @@ import org.apache.spark.sql.types.StructType
   */
 object TxLog {
 
+  /** `sourceBatchId` records which streaming micro-batch produced a
+    * version — the idempotency token [[appendBatch]] checks so a
+    * replayed batch after a crash cannot double-append. */
   case class Manifest(version: Long, partitionCol: Option[String],
-                      schemaDdl: String, files: Seq[String])
+                      schemaDdl: String, files: Seq[String],
+                      sourceBatchId: Option[Long] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -87,7 +91,8 @@ object TxLog {
     val files = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
     Manifest(node.get("version").asLong(),
       Option(node.get("partitionCol")).filter(!_.isNull).map(_.asText()),
-      node.get("schemaDdl").asText(), files)
+      node.get("schemaDdl").asText(), files,
+      Option(node.get("sourceBatchId")).filter(!_.isNull).map(_.asLong()))
   }
 
   private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
@@ -100,6 +105,7 @@ object TxLog {
       case None => node.putNull("partitionCol")
     }
     node.put("schemaDdl", m.schemaDdl)
+    m.sourceBatchId.foreach(b => node.put("sourceBatchId", b))
     val arr = node.putArray("files")
     m.files.sorted.foreach(arr.add)
     val tmp = new Path(manifestDir(path),
@@ -185,7 +191,71 @@ object TxLog {
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     val files = stageIn(df, path, m.partitionCol)
-    writeManifest(spark, path, m.copy(version = v + 1, files = m.files ++ files))
+    writeManifest(spark, path, m.copy(version = v + 1, files = m.files ++ files,
+      sourceBatchId = None))
+    v + 1
+  }
+
+  /** Idempotent micro-batch append — the commit [[streamAppend]]'s
+    * foreachBatch issues: the batch id rides in the manifest, and a
+    * REPLAYED batch (foreachBatch re-delivers after a crash) is
+    * detected against the latest committed id and skipped — the
+    * commit-log side of exactly-once ingest. Returns the (possibly
+    * unchanged) current version. */
+  def appendBatch(df: DataFrame, path: String, batchId: Long): Long = {
+    val spark = df.sparkSession
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    if (m.sourceBatchId.exists(_ >= batchId)) return v // replay: already committed
+    val files = stageIn(df, path, m.partitionCol)
+    writeManifest(spark, path, m.copy(version = v + 1, files = m.files ++ files,
+      sourceBatchId = Some(batchId)))
+    v + 1
+  }
+
+  /** Streaming ingest into a TxLog table (create it first): every
+    * micro-batch commits as one append version via [[appendBatch]], so
+    * readers always see whole batches (snapshot isolation) and crash
+    * replays cannot double-append. */
+  def streamAppend(docs: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, path, batchId); ()
+      }
+      .start()
+
+  /** OPTIMIZE — transactional small-file compaction: every live
+    * partition holding at least `minFilesToCompact` files is rewritten
+    * into ceil(bytes / targetBytesPerFile) new files (sized from
+    * parquet statistics — no counting scan) and the swap commits as
+    * ONE new version. Content is row-identical; only layout changes.
+    * Partitions below the threshold carry by reference; readers of
+    * older versions keep the small files until [[vacuum]]. Returns the
+    * new version, or the current one when nothing needed compacting. */
+  def compact(spark: SparkSession, path: String,
+              targetBytesPerFile: Long = 128L << 20,
+              minFilesToCompact: Int = 2): Long = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    def dirOf(f: String) = f.split('/').dropRight(1).mkString("/")
+    val todo = m.files.groupBy(dirOf).filter(_._2.size >= minFilesToCompact)
+    if (todo.isEmpty) return v
+    val base = dataDir(path).toString
+    val newFiles = todo.toSeq.sortBy(_._1).flatMap { case (_, files) =>
+      val part = spark.read.option("basePath", base)
+        .parquet(files.map(f => s"$base/$f"): _*)
+      val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
+      val n = ((bytes + BigInt(targetBytesPerFile) - 1) / targetBytesPerFile)
+        .max(1).toInt
+      stageIn(part.repartition(n), path, m.partitionCol)
+    }
+    val kept = m.files.filterNot(f => todo.contains(dirOf(f)))
+    writeManifest(spark, path, m.copy(version = v + 1, files = kept ++ newFiles,
+      sourceBatchId = None))
     v + 1
   }
 
@@ -214,7 +284,8 @@ object TxLog {
     val touchedDirs = parts.map(vv => s"$partitionCol=$vv").toSet
     val kept = m.files.filterNot(f => touchedDirs.contains(
       f.split('/').dropRight(1).mkString("/")))
-    writeManifest(spark, path, m.copy(version = v + 1, files = kept ++ newFiles))
+    writeManifest(spark, path, m.copy(version = v + 1, files = kept ++ newFiles,
+      sourceBatchId = None))
     v + 1
   }
 
