@@ -40,6 +40,13 @@ object ScaleCheck {
         .withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    // events replicate with shifted users (r7: the funnel shuffles on
+    // user_id, so a 10x check needs 10x the users, not 10x per-user
+    // history); written every run like embeddings — cheap
+    (0 until 10).map(i => Tables.events(spark, d)
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$big/events.parquet")
     t("q1_agg sf0.1")(WarehouseQueries.q1Agg(spark, d).count())
     t("q1_agg 10x")(WarehouseQueries.q1Agg(spark, big).count())
     t("combined sf0.1")(ReferenceQueries.combinedView(spark, d).count())
@@ -127,6 +134,33 @@ object ScaleCheck {
     t("inc dedup 10x")(inc(big).count())
     t("heavy hitters sf0.1")(graft.operators.TextOps.heavyHitters(Tables.documents(spark, d)).count())
     t("heavy hitters 10x")(graft.operators.TextOps.heavyHitters(Tables.documents(spark, big)).count())
+    // r7 additions
+    val boil = (dir: String) =>
+      graft.operators.TextOps.stripBoilerplate(Tables.documents(spark, dir))
+    t("boilerplate sf0.1")(boil(d).count())
+    t("boilerplate 10x")(boil(big).count())
+    t("funnel sf0.1")(WarehouseQueries.funnel(spark, d).count())
+    t("funnel 10x")(WarehouseQueries.funnel(spark, big).count())
+    // TxLog: the merge must cost ~touched/total of the create, because
+    // untouched partitions carry by reference (no data movement)
+    val txdir = "/tmp/graft_txlog_scale"
+    val txfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(txdir), spark.sparkContext.hadoopConfiguration)
+    txfs.delete(new org.apache.hadoop.fs.Path(txdir), true)
+    val liBig = Tables.lineitem(spark, big)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("part", pmod(col("l_orderkey"), lit(16L)))
+    t("txlog create 10x") {
+      graft.storage.TxLog.create(liBig, txdir, Some("part"))
+      graft.storage.TxLog.read(spark, txdir).count()
+    }
+    t("txlog merge 10x 1/16") {
+      val upd = liBig.filter(col("part") === 3L && col("l_linenumber") === 1)
+        .dropDuplicates("l_orderkey", "l_linenumber")
+        .withColumn("l_quantity", col("l_quantity") * 2)
+      graft.storage.TxLog.mergeInto(txdir, upd, Seq("l_orderkey", "l_linenumber"),
+        preValidated = true)
+    }
     // ANN recall at 10x: planted exact twins must dominate the top-10
     val qids = (0L until 20L).toSeq
     val bigEmb = Tables.embeddings(spark, big)
