@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,18 +27,29 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** `maxGap` (e.g. `"30 minutes"`) adds the conversion-window rule:
+    * step i only qualifies when it lands within `maxGap` OF the
+    * qualified step i−1 time (the "purchase within 30 minutes of the
+    * click" form) — same single shuffle, the window condition just
+    * gains an upper bound. */
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", tsCol: String = "ts",
-             typeCol: String = "event_type", tieCol: String = "event_id"): DataFrame = {
+             typeCol: String = "event_type", tieCol: String = "event_id",
+             maxGap: Option[String] = None): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
     val w = Window.partitionBy(userCol).orderBy(tsCol, tieCol)
+    def inWindow(prev: Column): Column = maxGap match {
+      case Some(g) =>
+        col(tsCol) >= prev && col(tsCol) <= prev + expr(s"INTERVAL $g")
+      case None => col(tsCol) >= prev
+    }
     var staged = events
       .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
       .withColumn("_t0",
         min(when(col(typeCol) === steps.head, col(tsCol))).over(w))
     for (i <- 1 until steps.size)
       staged = staged.withColumn(s"_t$i",
-        min(when(col(typeCol) === steps(i) && col(tsCol) >= col(s"_t${i - 1}"),
+        min(when(col(typeCol) === steps(i) && inWindow(col(s"_t${i - 1}")),
           col(tsCol))).over(w))
     val perUser = steps.indices.map(i =>
       max(when(col(s"_t$i").isNotNull, 1).otherwise(0)).as(s"_s$i"))

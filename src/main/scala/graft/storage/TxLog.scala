@@ -167,19 +167,34 @@ object TxLog {
   /** Read a version (default: newest). Plans from the manifest's
     * explicit file list with `basePath` set, so the partition column
     * is recovered and partition/column pruning behave exactly as on a
-    * directly-written parquet table. */
+    * directly-written parquet table. The result carries the version's
+    * DECLARED schema: parquet reads append partition columns LAST and
+    * infer their type from the directory names (a long partition
+    * column would come back int) — the final projection restores the
+    * manifest's column order and types, so round trips are
+    * schema-exact. */
   def read(spark: SparkSession, path: String,
            version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
+    val schema = StructType.fromDDL(m.schemaDdl)
     if (m.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType.fromDDL(m.schemaDdl))
+        schema)
     else {
       val base = dataDir(path).toString
       spark.read.option("basePath", base)
         .parquet(m.files.map(f => s"$base/$f"): _*)
+        .select(schema.fields.map { f =>
+          // backtick-quoted so dotted/spaced column names never
+          // mis-parse (same contract as Profile); the cast restores
+          // the declared partition-column type and is a no-op
+          // (optimizer-eliminated) on data columns
+          org.apache.spark.sql.functions
+            .col("`" + f.name.replace("`", "``") + "`")
+            .cast(f.dataType).as(f.name)
+        }: _*)
     }
   }
 

@@ -160,6 +160,20 @@ class TxLogSpec extends SparkSpec {
     assert(rows(TxLog.read(spark, path)) == rows(docs))
   }
 
+  test("read returns the DECLARED schema: column order and long partition type survive the round trip") {
+    val path = freshPath("schema")
+    // LONG partition column: naive parquet partition inference would
+    // read the directory names back as INT, and partition columns
+    // would migrate to the END of the schema
+    val d = Seq((1L, 10.0, 7L), (2L, 20.0, 8L)).toDF("k", "v", "bucket")
+    TxLog.create(d, path, Some("bucket"))
+    val back = TxLog.read(spark, path)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      d.schema.map(f => (f.name, f.dataType)),
+      s"schema drifted: ${back.schema.toDDL} vs ${d.schema.toDDL}")
+    assert(back.as[(Long, Double, Long)].collect().toSet == Set((1L, 10.0, 7L), (2L, 20.0, 8L)))
+  }
+
   test("a second commit of the same version fails loudly (optimistic concurrency)") {
     val path = freshPath("occ")
     TxLog.create(fixture, path, Some("part"))

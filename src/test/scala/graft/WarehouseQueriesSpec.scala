@@ -324,6 +324,18 @@ class WarehouseQueriesSpec extends SparkSpec {
     val r3 = graft.operators.Funnel.funnel(ev3, Seq("view", "click", "purchase")).head()
     assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) == ((3L, 3L, 3L)),
       s"3-step reach wrong: $r3")
+    // conversion window, events 1s apart: a 500ms gap cuts every later
+    // step; 1500ms admits the 1s hops but still cuts u1, whose purchase
+    // sits 2s after its click (the removed signup used to sit between) —
+    // the upper bound binds PER STEP against the qualified predecessor
+    val rTight = graft.operators.Funnel
+      .funnel(ev3, Seq("view", "click", "purchase"), maxGap = Some("500 milliseconds")).head()
+    assert((rTight.getLong(0), rTight.getLong(1), rTight.getLong(2)) == ((3L, 0L, 0L)),
+      s"tight-gap funnel wrong: $rTight")
+    val rLoose = graft.operators.Funnel
+      .funnel(ev3, Seq("view", "click", "purchase"), maxGap = Some("1500 milliseconds")).head()
+    assert((rLoose.getLong(0), rLoose.getLong(1), rLoose.getLong(2)) == ((3L, 3L, 2L)),
+      s"loose-gap funnel wrong: $rLoose")
   }
 
   test("bloomJoin equals the plain join: string keys, null keys, no dropped matches") {
