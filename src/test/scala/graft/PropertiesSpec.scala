@@ -159,6 +159,36 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: TxLog.mergeInto == mergeByKey semantics for arbitrary update feeds") {
+    // whatever the keys/partitions, the transactional merge's latest
+    // snapshot equals the in-memory reference semantics (updates win,
+    // moved keys leave no stale row), and v1 stays the original table
+    val tableGen = for {
+      base <- Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 30L), Gen.choose(0, 3), Gen.choose(-100, 100)))
+      upd <- Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 35L), Gen.choose(0, 3), Gen.choose(-100, 100)))
+    } yield (base.map(t => (t._1, s"p${t._2}", t._3.toDouble)).distinctBy(_._1),
+             upd.map(t => (t._1, s"p${t._2}", t._3.toDouble)).distinctBy(_._1))
+    forAll(tableGen, n = 5) { case (base, upd) =>
+      import spark.implicits._
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_txlog_prop").toString + "/tbl"
+      val baseDf = base.toDF("k", "part", "v")
+      val updDf = upd.toDF("k", "part", "v")
+      graft.storage.TxLog.create(baseDf, path, Some("part"))
+      graft.storage.TxLog.mergeInto(path, updDf, Seq("k"))
+      val got = graft.storage.TxLog.read(spark, path)
+        .as[(Long, String, Double)].collect().toSet
+      val want = graft.operators.Upsert.mergeByKey(baseDf, updDf, Seq("k"))
+        .as[(Long, String, Double)].collect().toSet
+      assert(got == want, s"merge diverged:\n got=$got\nwant=$want")
+      val v1 = graft.storage.TxLog.read(spark, path, Some(1L))
+        .as[(Long, String, Double)].collect().toSet
+      assert(v1 == base.toSet, "v1 snapshot drifted")
+    }
+  }
+
   test("property: bloom semi filter NEVER drops a true match (zero false negatives)") {
     // the correctness contract bloomJoin rests on: whatever the keys,
     // every fact row whose key exists in dim survives the probe
