@@ -45,6 +45,11 @@ object Funnel {
     }
     var staged = events
       .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      // non-step rows can never contribute to any window min or any
+      // aggregate (a user with only non-step events adds zeros), so
+      // drop them BEFORE the shuffle — on a 50-type event table a
+      // 3-step funnel ships 3 types, not 50
+      .filter(col(typeCol).isin(steps: _*))
       .withColumn("_t0",
         min(when(col(typeCol) === steps.head, col(tsCol))).over(w))
     for (i <- 1 until steps.size)

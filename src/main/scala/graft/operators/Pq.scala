@@ -218,14 +218,17 @@ object Pq {
   def loadOrBuildIvfPq(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
                        path: String, m: Int = 8, ksub: Int = 16):
       (Ivf.IvfIndex, PqModel) = {
-    val index =
-      if (new java.io.File(s"$path/centroids").exists()) Ivf.load(spark, path)
-      else Ivf.fit(emb, path)
+    val haveIndex = new java.io.File(s"$path/centroids").exists()
+    val index = if (haveIndex) Ivf.load(spark, path) else Ivf.fit(emb, path)
     val haveModel = new java.io.File(s"$path/pq_codebooks").exists()
     val model =
       if (haveModel) load(spark, path)
       else { val mm = fit(emb, m, ksub); save(spark, mm, path); mm }
-    if (!haveModel || !new java.io.File(s"$path/codes").exists())
+    // re-encode when EITHER artifact was just (re)built: codes are only
+    // valid against the model that wrote them AND the index whose cell
+    // ids they are partitioned by — a rebuilt index (partial earlier
+    // build) with surviving codes would partition-prune stale cells
+    if (!haveIndex || !haveModel || !new java.io.File(s"$path/codes").exists())
       encodeIvf(spark, index, model)
     (index, model)
   }

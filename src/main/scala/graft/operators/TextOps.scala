@@ -103,12 +103,7 @@ object TextOps {
     * windows — same guard as Joins.rangeJoin). */
   private def explodeNgramHashes(df: DataFrame, n: Int, textCol: String,
                                  keep: Seq[Column]): DataFrame =
-    df.withColumn("_toks", split(col(textCol), " "))
-      .select((keep :+ explode(
-        when(size(col("_toks")) >= n,
-          transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
-            i => md5(concat_ws(" ", slice(col("_toks"), i, lit(n))))))
-          .otherwise(array().cast("array<string>"))).as("g")): _*)
+    explodeNgramHashesAt(df, n, textCol, keep).drop("start")
 
   /** n-gram-level benchmark decontamination — the GPT-3-style 13-gram
     * scrub: a document is contaminated if ANY of its word n-grams

@@ -49,9 +49,12 @@ import org.apache.spark.sql.types.StructType
   */
 object TxLog {
 
-  /** `sourceBatchId` records which streaming micro-batch produced a
-    * version — the idempotency token [[appendBatch]] checks so a
-    * replayed batch after a crash cannot double-append. */
+  /** `sourceBatchId` is the streaming ingest WATERMARK: the highest
+    * micro-batch id committed at or before this version. Batch commits
+    * set it; every other commit (append/merge/compact) CARRIES IT
+    * FORWARD, so a maintenance commit interleaved between a batch and
+    * its crash-replay cannot defeat [[appendBatch]]'s idempotency
+    * check. */
   case class Manifest(version: Long, partitionCol: Option[String],
                       schemaDdl: String, files: Seq[String],
                       sourceBatchId: Option[Long] = None)
@@ -184,16 +187,19 @@ object TxLog {
         schema)
     else {
       val base = dataDir(path).toString
-      spark.read.option("basePath", base)
+      // the DECLARED schema rides into the reader: partition values
+      // parse from the raw directory string directly to their declared
+      // type (a string partition keeps "01" as "01" — inference alone
+      // would read INT 1 and a cast-back would corrupt it to "1")
+      spark.read.schema(schema).option("basePath", base)
         .parquet(m.files.map(f => s"$base/$f"): _*)
         .select(schema.fields.map { f =>
           // backtick-quoted so dotted/spaced column names never
-          // mis-parse (same contract as Profile); the cast restores
-          // the declared partition-column type and is a no-op
-          // (optimizer-eliminated) on data columns
+          // mis-parse (same contract as Profile); the projection
+          // restores the declared column ORDER (parquet reads append
+          // partition columns last)
           org.apache.spark.sql.functions
-            .col("`" + f.name.replace("`", "``") + "`")
-            .cast(f.dataType).as(f.name)
+            .col("`" + f.name.replace("`", "``") + "`").as(f.name)
         }: _*)
     }
   }
@@ -207,16 +213,20 @@ object TxLog {
     val m = manifest(spark, path, v)
     val files = stageIn(df, path, m.partitionCol)
     writeManifest(spark, path, m.copy(version = v + 1, files = m.files ++ files,
-      sourceBatchId = None))
+      sourceBatchId = m.sourceBatchId))
     v + 1
   }
 
   /** Idempotent micro-batch append — the commit [[streamAppend]]'s
-    * foreachBatch issues: the batch id rides in the manifest, and a
-    * REPLAYED batch (foreachBatch re-delivers after a crash) is
-    * detected against the latest committed id and skipped — the
-    * commit-log side of exactly-once ingest. Returns the (possibly
-    * unchanged) current version. */
+    * foreachBatch issues: the batch id rides in the manifest as a
+    * monotonic watermark (carried forward by every other commit), and
+    * a REPLAYED batch (foreachBatch re-delivers after a crash) is
+    * detected against it and skipped — the commit-log side of
+    * exactly-once ingest. The check assumes batch ids are monotonic
+    * for the table's lifetime: run [[streamAppend]] with a DURABLE
+    * `checkpointLocation`, or a restarted query re-numbering from 0
+    * would be silently skipped. Returns the (possibly unchanged)
+    * current version. */
   def appendBatch(df: DataFrame, path: String, batchId: Long): Long = {
     val spark = df.sparkSession
     val v = currentVersion(spark, path).getOrElse(
@@ -232,15 +242,19 @@ object TxLog {
   /** Streaming ingest into a TxLog table (create it first): every
     * micro-batch commits as one append version via [[appendBatch]], so
     * readers always see whole batches (snapshot isolation) and crash
-    * replays cannot double-append. */
-  def streamAppend(docs: DataFrame, path: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+    * replays cannot double-append. Pass a durable
+    * `checkpointLocation` in production — batch-id monotonicity across
+    * restarts is what the replay detection rides on. */
+  def streamAppend(docs: DataFrame, path: String,
+                   checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(batch, path, batchId); ()
       }
-      .start()
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
 
   /** OPTIMIZE — transactional small-file compaction: every live
     * partition holding at least `minFilesToCompact` files is rewritten
@@ -260,17 +274,23 @@ object TxLog {
     val todo = m.files.groupBy(dirOf).filter(_._2.size >= minFilesToCompact)
     if (todo.isEmpty) return v
     val base = dataDir(path).toString
-    val newFiles = todo.toSeq.sortBy(_._1).flatMap { case (_, files) =>
-      val part = spark.read.option("basePath", base)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    // statistics-sized per partition, but ONE write job for the whole
+    // OPTIMIZE: each partition's subset repartitions to its own file
+    // count and the union executes as a single Spark job — compaction
+    // cost scales with rewritten bytes, not with partition count
+    val pieces = todo.toSeq.sortBy(_._1).map { case (_, files) =>
+      val part = spark.read.schema(schema).option("basePath", base)
         .parquet(files.map(f => s"$base/$f"): _*)
       val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
       val n = ((bytes + BigInt(targetBytesPerFile) - 1) / targetBytesPerFile)
         .max(1).toInt
-      stageIn(part.repartition(n), path, m.partitionCol)
+      part.repartition(n)
     }
+    val newFiles = stageIn(pieces.reduce(_ unionByName _), path, m.partitionCol)
     val kept = m.files.filterNot(f => todo.contains(dirOf(f)))
     writeManifest(spark, path, m.copy(version = v + 1, files = kept ++ newFiles,
-      sourceBatchId = None))
+      sourceBatchId = m.sourceBatchId))
     v + 1
   }
 
@@ -289,19 +309,42 @@ object TxLog {
     val m = manifest(spark, path, v)
     val partitionCol = m.partitionCol.getOrElse(throw new IllegalArgumentException(
       "TxLog.mergeInto needs a partitioned table (create with partitionCol)"))
+    // a NULL partition value would silently corrupt the rewrite set
+    // (Upsert.mergePartitioned's isin() filter never matches null, and
+    // Spark writes nulls under __HIVE_DEFAULT_PARTITION__, which the
+    // touched-dir arithmetic below would miss) — fail loudly instead
+    require(updates.filter(org.apache.spark.sql.functions.col(partitionCol).isNull)
+      .limit(1).collect().isEmpty,
+      s"TxLog.mergeInto: null $partitionCol values are not supported — " +
+        "merge them under an explicit sentinel partition instead")
     val existing = read(spark, path, Some(v))
     val (parts, merged) = graft.operators.Upsert.mergePartitioned(
       existing, updates, keys, partitionCol, preValidated)
     val newFiles = stageIn(merged, path, Some(partitionCol))
     // drop every old file of a TOUCHED partition (including partitions
     // the merge emptied — they produce no staged files but still leave
-    // the manifest); everything else is carried by reference
-    val touchedDirs = parts.map(vv => s"$partitionCol=$vv").toSet
+    // the manifest); everything else is carried by reference. Dir
+    // names go through Spark's own path escaping so values with
+    // spaces/colons/etc. match what the writer produced.
+    val touchedDirs = parts.map(vv => partitionDirName(partitionCol, vv)).toSet
     val kept = m.files.filterNot(f => touchedDirs.contains(
       f.split('/').dropRight(1).mkString("/")))
     writeManifest(spark, path, m.copy(version = v + 1, files = kept ++ newFiles,
-      sourceBatchId = None))
+      sourceBatchId = m.sourceBatchId))
     v + 1
+  }
+
+  /** The directory name Spark's partitioned writer produces for a
+    * value — its own escaping, so the touched-set arithmetic matches
+    * the bytes on disk. (Values whose String form differs from Spark's
+    * partition formatting — e.g. raw timestamps — are outside
+    * [[mergeInto]]'s contract; use string/numeric partition columns.) */
+  private def partitionDirName(colName: String, v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val s = if (v == null) null else String.valueOf(v)
+    if (s == null || s.isEmpty)
+      s"$colName=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+    else s"$colName=${ExternalCatalogUtils.escapePathName(s)}"
   }
 
   /** Drop files referenced by NO retained manifest, and the manifests

@@ -207,11 +207,17 @@ object StreamJobs {
       .start()
 
   /** Combine-on-read over the slice sink: per-source top-k from the
-    * accumulated sketches (same output shape as TextOps.heavyHitters). */
+    * accumulated sketches (same output shape as TextOps.heavyHitters).
+    * Slices dedup on (source, batch_id) first — a micro-batch replayed
+    * after a crash lands its identical slice row twice in the
+    * append-only sink, and merging both would double-count that
+    * batch's tokens. */
   def heavyHittersFromSlices(spark: SparkSession, sinkPath: String,
                              k: Int = 40): DataFrame =
     graft.operators.TextOps.combineHeavyHitterSketches(
-      spark.read.parquet(sinkPath).select("source", "sketch"), k)
+      spark.read.parquet(sinkPath)
+        .dropDuplicates("source", "batch_id")
+        .select("source", "sketch"), k)
 
   /** Run a streaming aggregate to a named in-memory sink and block until
     * the source is drained (local smoke path). */

@@ -457,6 +457,26 @@ class PipelineQueriesSpec extends SparkSpec {
       m2.codebooks.asInstanceOf[Array[AnyRef]], m7.codebooks.asInstanceOf[Array[AnyRef]]),
       "warm path did not load the persisted model")
     val _ = m1 // cold-path model; superseded by the planted rebuild
+    // a REBUILT index (e.g. partial earlier build lost the centroids)
+    // invalidates surviving codes — their cell partitioning belongs to
+    // the old index. The resolve must re-encode, not reuse them.
+    def codesState() = {
+      val base = java.nio.file.Paths.get(s"$tmp/codes")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> p.toFile.lastModified).toMap
+    }
+    val staleCodes = codesState()
+    def deleteDir(d: String): Unit = {
+      val p = new java.io.File(d)
+      if (p.exists) { Option(p.listFiles).getOrElse(Array.empty)
+        .foreach(f => deleteDir(f.toString)); p.delete() }
+    }
+    deleteDir(s"$tmp/centroids")
+    Pq.loadOrBuildIvfPq(spark, emb, tmp)
+    assert(codesState() != staleCodes,
+      "index rebuilt but stale codes were reused (cell ids from the old index)")
   }
 
   test("PQ shortlist: corrupt rows sort last (never consume slots); re-rank is a broadcast join") {

@@ -161,6 +161,13 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(combined == direct,
       s"streamed slices diverged from the single pass: ${combined.diff(direct)} / ${direct.diff(combined)}")
+    // crash replay: the same batch's slice lands in the append-only
+    // sink twice — combine-on-read must not double-count it
+    val one = spark.read.parquet(sink).limit(1)
+    one.write.mode("append").parquet(sink)
+    val afterReplay = StreamJobs.heavyHittersFromSlices(spark, sink)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(afterReplay == direct, "replayed slice double-counted")
   }
 
   test("stateful mapGroupsWithState totals match the batch aggregate") {

@@ -174,6 +174,55 @@ class TxLogSpec extends SparkSpec {
     assert(back.as[(Long, Double, Long)].collect().toSet == Set((1L, 10.0, 7L), (2L, 20.0, 8L)))
   }
 
+  test("type-ambiguous and escaped partition VALUES survive: '01' stays '01', spaces merge cleanly") {
+    val path = freshPath("vals")
+    // "01" would partition-infer as INT 1; "a b" escapes to a%20b on disk
+    val d = Seq((1L, "01", 1.0), (2L, "a b", 2.0), (3L, "01", 3.0))
+      .toDF("k", "part", "v")
+    TxLog.create(d, path, Some("part"))
+    assert(rows(TxLog.read(spark, path)) == rows(d),
+      "partition values corrupted by the read round trip")
+    // merging into the escaped partition must drop its OLD files (the
+    // touched-dir arithmetic has to match Spark's path escaping)
+    TxLog.mergeInto(path, Seq((2L, "a b", 22.0)).toDF("k", "part", "v"), Seq("k"))
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((1L, "01", 1.0), (2L, "a b", 22.0), (3L, "01", 3.0)))
+    val m2 = TxLog.manifest(spark, path, 2L)
+    val m1 = TxLog.manifest(spark, path, 1L)
+    assert(m2.files.toSet.intersect(
+      m1.files.filter(_.startsWith("part=a%20b/")).toSet).isEmpty,
+      "escaped partition's old files survived the merge (stale rows)")
+  }
+
+  test("mergeInto fails loudly on null partition values instead of corrupting the rewrite set") {
+    val path = freshPath("nullpart")
+    TxLog.create(fixture, path, Some("part"))
+    val nullUpd = Seq((1L, null.asInstanceOf[String], 9.0)).toDF("k", "part", "v")
+    intercept[IllegalArgumentException] {
+      TxLog.mergeInto(path, nullUpd, Seq("k"))
+    }
+  }
+
+  test("batch replay detection survives interleaved maintenance commits (watermark carry)") {
+    val path = freshPath("wm")
+    TxLog.create(fixture, path, Some("part"))
+    val b7 = Seq((10L, "p1", 10.0)).toDF("k", "part", "v")
+    TxLog.appendBatch(b7, path, batchId = 7L)
+    val want = rows(TxLog.read(spark, path))
+    // maintenance commits between the batch and its crash-replay: the
+    // watermark must carry forward through both
+    (0 until 3).foreach { i =>
+      TxLog.append(Seq((20L + i, "p1", i.toDouble)).toDF("k", "part", "v"), path)
+    }
+    TxLog.compact(spark, path, targetBytesPerFile = 1L << 30)
+    val v = TxLog.currentVersion(spark, path).get
+    val wantAfter = rows(TxLog.read(spark, path))
+    assert(TxLog.appendBatch(b7, path, batchId = 7L) == v,
+      "replayed batch slipped past an interleaved maintenance commit")
+    assert(rows(TxLog.read(spark, path)) == wantAfter)
+    val _ = want
+  }
+
   test("a second commit of the same version fails loudly (optimistic concurrency)") {
     val path = freshPath("occ")
     TxLog.create(fixture, path, Some("part"))
