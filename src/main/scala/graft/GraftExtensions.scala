@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{CosineSim, DotProduct, RollingHash}
+import graft.functions.{CosineSim, DotProduct, ImageHeader, RollingHash, WordShingles}
 
 /** Session-extension entry point: makes graft's native expressions
   * callable from SQL. Two ways in:
@@ -38,6 +38,18 @@ object GraftExtensions {
     ("vec_cosine",
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two numeric arrays in double"),
       (es: Seq[Expression]) => CosineSim(es.head, es(1))),
+    ("image_header",
+      info("image_header",
+        "image_header(bin) - struct(format, width, height) parsed from real PNG/JPEG/GIF header bytes; null if unrecognized"),
+      (es: Seq[Expression]) => ImageHeader(es.head)),
+    ("word_shingles",
+      info("word_shingles",
+        "word_shingles(str, k) - distinct word k-gram shingles of str as array<string>; k must be a literal"),
+      (es: Seq[Expression]) => WordShingles(es.head, es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"word_shingles: k must be an integer literal, got $other")
+      })),
   )
 
   /** Register functions + the TopK rewrite on an already-built session

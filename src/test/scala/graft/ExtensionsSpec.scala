@@ -17,6 +17,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.0)
   }
 
+  test("r7 SQL surface: image_header parses crafted PNG bytes, word_shingles shingles") {
+    GraftExtensions.register(spark)
+    val pngHex = graft.queries.PipelineQueries.pngHex(640, 480)
+    val r = spark.sql(
+      s"""SELECT image_header(unhex('$pngHex')) AS hdr,
+         |       image_header(unhex('DEADBEEF')) AS bad,
+         |       word_shingles('a b c', 2) AS sh""".stripMargin).head()
+    val hdr = r.getStruct(0)
+    assert(hdr.getString(0) == "png" && hdr.getInt(1) == 640 && hdr.getInt(2) == 480)
+    assert(r.isNullAt(1), "garbage bytes must parse to null")
+    assert(r.getSeq[String](2).toSet == Set("a b", "b c"))
+  }
+
   test("vec_dot/vec_cosine null on corrupt input: length mismatch and null elements") {
     GraftExtensions.register(spark)
     val r = spark.sql(
