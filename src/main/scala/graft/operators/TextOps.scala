@@ -298,6 +298,57 @@ object TextOps {
       .select(col("source"), col("t.item").as("tok"), col("t.count").as("n"))
       .orderBy(col("source"), desc("n"), col("tok"))
 
+  /** Corpus-fit bigram language-model quality score — the CCNet-style
+    * "train a cheap LM, keep fluent documents" filter signal. The model
+    * IS the corpus's own bigram statistics: add-k smoothed
+    * P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V), and each document
+    * scores its mean log-probability over its bigrams (a low mean =
+    * improbable word sequences = gibberish / spam / wrong-language).
+    * Output: (doc_id, n_bigrams, avg_logprob) for every doc with ≥2
+    * tokens; shorter docs have no bigrams and no row.
+    *
+    * Scale shape: model fit is two explode + partial-agg count passes
+    * (tokens on the wire — they are the join keys); scoring re-explodes
+    * the corpus bigrams and equi-joins the two count tables (AQE
+    * broadcasts them while the vocabulary is small; at web-scale
+    * vocabularies they hash-join — either way shuffle keys are tokens,
+    * never text), then one doc_id aggregate. The vocabulary size rides
+    * a broadcast 1-row crossJoin (the anchor pattern). No driver
+    * collect, no UDF: `log`/`transform` are codegen'd.
+    *
+    * The per-doc log sum goes through DECIMAL(18,6) per term (the
+    * [[graft.queries.Det]] rationale: double addition is
+    * order-dependent and Spark's partial aggregates combine in
+    * partition order, so an exact decimal accumulator keeps the score
+    * bit-identical to a sequential-sum engine). */
+  def lmScore(docs: DataFrame, addK: Double = 0.5): DataFrame = {
+    require(addK > 0.0, s"addK must be > 0, got $addK")
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("_toks"))
+    val uni = toks.select(explode(col("_toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocabN = uni.agg(count(lit(1)).as("v"))
+    // size>=2 guard: sequence(1, 0) would count DOWNWARD and fabricate
+    // windows — same guard as explodeNgramHashesAt
+    val bi = toks.select(col("doc_id"),
+        explode(when(size(col("_toks")) >= 2,
+          transform(sequence(lit(1), size(col("_toks")) - 1),
+            i => struct(element_at(col("_toks"), i).as("w1"),
+              element_at(col("_toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val term = log((col("c2") + lit(addK)) / (col("c1") + lit(addK) * col("v")))
+    bi.join(bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2")), Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocabN))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(term.cast(DecimalType(18, 6))).cast("double").as("_lsum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("_lsum") / col("n_bigrams"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit polynomial rolling-hash fingerprint via the custom Catalyst
     * expression [[graft.functions.RollingHash]] (codegen'd). */
   def rollhash(docs: DataFrame): DataFrame =

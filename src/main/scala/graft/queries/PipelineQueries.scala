@@ -118,6 +118,10 @@ object PipelineQueries {
     // oracle-checkable; the approximation regime is spec'd
     "text_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(documents(s, d))),
     "text_common_spans" -> ((s, d) => TextOps.commonSpans(documents(s, d))),
+    // corpus-fit bigram LM quality score: the smoothed conditional
+    // probabilities are plain count arithmetic, so the whole signal is
+    // DuckDB-oracle-exact (per-term DECIMAL log sum — Det rationale)
+    "text_lm_score" -> ((s, d) => TextOps.lmScore(documents(s, d))),
     "text_boilerplate" -> ((s, d) => TextOps.stripBoilerplate(documents(s, d))),
     "text_vocab" -> ((s, d) => TextOps.vocab(documents(s, d))),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
@@ -337,6 +341,26 @@ object PipelineQueries {
         |  round(1.0 - ndist / nullif(n2, 0), 6) AS dup_2gram_frac
         |FROM toks LEFT JOIN ga ON toks.doc_id = ga.doc_id
         |ORDER BY toks.doc_id""".stripMargin,
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (
+        |  SELECT u.w1, count(*) AS c1
+        |  FROM toks, UNNEST(t) AS u(w1) GROUP BY 1),
+        |vocab AS (SELECT count(*) AS v FROM uni),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, UNNEST(range(1, len(t))) AS r(i)),
+        |bic AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(CAST(SUM(CAST(ln((bic.c2 + 0.5) / (uni.c1 + 0.5 * vocab.v))
+        |                      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |FROM bi b
+        |JOIN bic ON b.w1 = bic.w1 AND b.w2 = bic.w2
+        |JOIN uni ON b.w1 = uni.w1
+        |CROSS JOIN vocab
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(

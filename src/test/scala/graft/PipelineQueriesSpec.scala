@@ -364,6 +364,25 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(top(1) == ("and" -> 6L) && top(2) == ("the" -> 6L), s"ties broke wrong: ${top.toSeq}")
   }
 
+  test("bigram LM score matches the hand-computed smoothed log-probs") {
+    import spark.implicits._
+    // corpus: a:3 b:3 c:1 x:1 -> V=4; bigrams (a,b):3 (b,a):1 (b,c):1
+    // k=0.5: P(b|a)=(3+.5)/(3+2)=0.7, P(a|b)=P(c|b)=(1+.5)/(3+2)=0.3
+    val docs = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ln7 = -0.356675 // DECIMAL(18,6) of ln(0.7)
+    val ln3 = -1.203973 // DECIMAL(18,6) of ln(0.3)
+    assert(out.keySet == Set(0L, 1L), "single-token doc 2 must emit no row")
+    assert(out(0L)._1 == 3L && out(1L)._1 == 2L)
+    assert(math.abs(out(0L)._2 - rnd6((2 * ln7 + ln3) / 3)) < 1e-9, s"doc0: ${out(0L)}")
+    assert(math.abs(out(1L)._2 - rnd6((ln7 + ln3) / 2)) < 1e-9, s"doc1: ${out(1L)}")
+  }
+
+  private def rnd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("language id picks the language with the most marker hits") {
     val d = Seq((1L, "el gato la casa el perro"), (2L, "the cat the dog a bird"))
       .toDF("doc_id", "text")
