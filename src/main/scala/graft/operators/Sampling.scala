@@ -127,6 +127,66 @@ object Sampling {
       .drop("rk", "_q", "_qs", "_qsalt", "_salt", "_frac")
   }
 
+  /** Temperature-based domain mixture sampling — the multilingual /
+    * multi-source rebalancing rule (the mBERT/XLM exponent): domain d
+    * with n_d rows gets a share of the `targetN`-row budget
+    * proportional to n_d^alpha. alpha = 1 reproduces the corpus mix,
+    * alpha = 0 flattens toward uniform, alpha in between upweights the
+    * tail — the standard knob for keeping low-resource domains alive
+    * in a training mix.
+    *
+    * Shares resolve to EXACT integer quotas by largest-remainder
+    * allocation (floor every share, distribute the leftover to the
+    * largest fractional parts, ties to the lower domain), capped at
+    * n_d — an over-subscribed domain is exhausted, not redistributed
+    * (the realized total can undershoot targetN; document over
+    * surprise). Row selection inside a domain is the same
+    * engine-portable md5-of-id permutation as [[weighted]].
+    *
+    * Determinism across engines: n_d^alpha is rounded through
+    * DECIMAL(18,6) per domain and the normalizer is an exact decimal
+    * sum, so the floor/remainder arithmetic sees bit-identical doubles
+    * everywhere (alpha = 0.5 uses `sqrt`, correctly rounded in IEEE —
+    * `pow` is only ~1 ulp and could flip a floor at an integer
+    * boundary; prefer 0.5 when the oracle must match bit-exact).
+    *
+    * Scale: the quota table is one row per DOMAIN — its unpartitioned
+    * windows are bounded by domain cardinality (a caller-chosen small
+    * set, same contract as `fracs` in [[weighted]]), never by corpus
+    * size. The corpus sees one groupBy(domain) count, one broadcast
+    * quota join, one window rank per domain — a single data shuffle. */
+  def temperature(df: DataFrame, domain: Column, alpha: Double, targetN: Long,
+                  idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    require(targetN >= 0L, s"targetN must be >= 0, got $targetN")
+    val tagged = df.withColumn("domain", domain)
+    val raw = if (alpha == 0.5) sqrt(col("n").cast("double"))
+              else pow(col("n").cast("double"), lit(alpha))
+    val all = Window.partitionBy() // one row per domain: bounded
+    val quotas = tagged.groupBy("domain").agg(count(lit(1)).as("n"))
+      .withColumn("w", raw.cast(DecimalType(18, 6)).cast("double"))
+      .withColumn("_wsum",
+        sum(col("w").cast(DecimalType(18, 6))).over(all).cast("double"))
+      .withColumn("share", lit(targetN.toDouble) * col("w") / col("_wsum"))
+      .withColumn("base", floor(col("share")).cast("long"))
+      .withColumn("fr", col("share") - floor(col("share")))
+      .withColumn("rem", lit(targetN) - sum("base").over(all))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy().orderBy(desc("fr"), col("domain"))))
+      .withColumn("quota",
+        least(col("n"),
+          col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("domain").as("_qd"), col("quota"))
+    val w = Window.partitionBy("domain")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    tagged
+      .join(broadcast(quotas), tagged("domain") <=> quotas("_qd"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= col("quota"))
+      .drop("_rk", "quota", "_qd")
+  }
+
   /** Deterministic global shuffle: assigns every row a dense permuted
     * position `shuffle_pos` ∈ [0, n) ordered by md5(salt#id) — the
     * reproducible "shuffle the corpus once per epoch" step of a

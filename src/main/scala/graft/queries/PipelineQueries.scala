@@ -162,6 +162,13 @@ object PipelineQueries {
       fracs = Map("0" -> 0.5, "1" -> 0.25, "2" -> 0.0),
       defaultFrac = 0.125)
       .select("doc_id", "stratum").orderBy("doc_id")),
+    // temperature-based mixture sampling: alpha=0.5 (sqrt — correctly
+    // rounded in IEEE, so the floor/remainder quota arithmetic is
+    // bit-identical in DuckDB), 1000-row budget over the event domains
+    "sample_temperature" -> ((s, d) => Sampling.temperature(
+      events(s, d).select("event_id", "event_type"),
+      col("event_type"), alpha = 0.5, targetN = 1000, idCol = "event_id")
+      .select("event_id", "domain").orderBy("event_id")),
     // GPT-style concat-and-chunk packing: global token offsets via the
     // distributed prefix scan, sequences of 2048 tokens
     "pack_sequences" -> ((s, d) => Packing.packSequences(
@@ -516,6 +523,32 @@ object PipelineQueries {
         |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,
     // 0.25 is exact in binary AND decimal, so ceil(frac*n) can't split
     // between DuckDB's decimal literals and Spark's doubles
+    "sample_temperature" ->
+      """WITH c AS (SELECT event_type AS domain, count(*) AS n FROM events GROUP BY 1),
+        |w AS (SELECT domain, n,
+        |        CAST(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS w
+        |      FROM c),
+        |q0 AS (
+        |  SELECT domain, n, w,
+        |    1000.0 * w / CAST(SUM(CAST(w AS DECIMAL(18,6))) OVER () AS DOUBLE) AS share
+        |  FROM w),
+        |q1 AS (
+        |  SELECT domain, n, CAST(floor(share) AS BIGINT) AS base,
+        |    share - floor(share) AS fr,
+        |    1000 - SUM(CAST(floor(share) AS BIGINT)) OVER () AS rem,
+        |    row_number() OVER (ORDER BY share - floor(share) DESC, domain) AS rk
+        |  FROM q0),
+        |q AS (
+        |  SELECT domain,
+        |    least(n, base + CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS quota
+        |  FROM q1),
+        |sel AS (
+        |  SELECT e.event_id, e.event_type AS domain, q.quota,
+        |    row_number() OVER (PARTITION BY e.event_type
+        |      ORDER BY md5(CAST(e.event_id AS VARCHAR)), e.event_id) AS rk
+        |  FROM events e JOIN q ON e.event_type = q.domain)
+        |SELECT event_id, domain FROM sel WHERE rk <= quota
+        |ORDER BY event_id""".stripMargin,
     "sample_stratified" ->
       """WITH s AS (
         |  SELECT doc_id, CAST(length(text) % 4 AS INT) AS stratum,

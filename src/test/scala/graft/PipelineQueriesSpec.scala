@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Ivf, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Ivf, Multimodal, Sampling, Similarity, TextOps}
 import graft.queries.PipelineQueries
 import graft.tables.Tables
 
@@ -169,6 +169,31 @@ class PipelineQueriesSpec extends SparkSpec {
     val plain = graft.operators.Sampling.stratified(docs, strat, 0.25)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(uniform == plain)
+  }
+
+  test("temperature sampling: exact LR quotas, tail upweighted as alpha drops, caps bind") {
+    import spark.implicits._
+    // A: 900 rows, B: 90, C: 10 — a power-law corpus
+    val docs = spark.range(1000)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 900, "A").when(col("id") < 990, "B").otherwise("C").as("d"))
+    def quotas(alpha: Double): Map[String, Long] =
+      Sampling.temperature(docs, col("d"), alpha, targetN = 100)
+        .groupBy("domain").count().as[(String, Long)].collect().toMap
+    // alpha=1 reproduces the mix exactly: shares 90/9/1
+    assert(quotas(1.0) == Map("A" -> 90L, "B" -> 9L, "C" -> 1L))
+    // alpha=.5: sqrt weights 30/9.486833/3.162278 -> 70/22/7 base, the
+    // single remainder goes to C (largest fraction .414) — tail boosted 8x
+    assert(quotas(0.5) == Map("A" -> 70L, "B" -> 22L, "C" -> 8L))
+    // alpha=0: uniform 34/33/33, but C is exhausted at 10 (capped, not
+    // redistributed) — realized total undershoots the budget
+    assert(quotas(0.0) == Map("A" -> 34L, "B" -> 33L, "C" -> 10L))
+    // determinism: the selected SET is stable across runs
+    val a = Sampling.temperature(docs, col("d"), 0.5, 100).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val b = Sampling.temperature(docs, col("d"), 0.5, 100).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(a == b && a.size == 100)
   }
 
   test("salted weighted sampling: exact recombined quotas on a 90%-hot-stratum corpus") {
