@@ -378,6 +378,28 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The four expectation rules both DQ queries share: two that fail on
+    * real rows (quantities over 40, tax over 5%), one that holds
+    * everywhere (positive quantity), one date-ordering invariant. */
+  private def dqRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "qty_le_40" -> (col("l_quantity") <= 40),
+    "tax_le_5pct" -> (col("l_tax") <= 0.05),
+    "qty_pos" -> (col("l_quantity") > 0),
+    "flag_domain" -> col("l_returnflag").isin("A", "N", "R"))
+
+  /** Expectations audit: one-scan per-rule violation tally
+    * (graft.operators.Check.audit). */
+  def dqAudit(s: SparkSession, d: String): DataFrame =
+    graft.operators.Check.audit(lineitem(s, d), dqRules)
+
+  /** Expectations quarantine: rows failing any rule, tagged with what
+    * they violated (graft.operators.Check.quarantine). */
+  def dqQuarantine(s: SparkSession, d: String): DataFrame =
+    graft.operators.Check.quarantine(
+      lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_tax"),
+      dqRules.take(2))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_tax", "failed_rules")
+
   /** Post-load profiling audit over four lineitem measures — see
     * graft.operators.Profile (exact mode here so DuckDB checks every
     * number). */
@@ -518,6 +540,8 @@ object WarehouseQueries {
     "q_range_join" -> rangeJoinQuery _,
     "q_upsert" -> upsert _,
     "q_pk_audit" -> pkAudit _,
+    "q_dq_audit" -> dqAudit _,
+    "q_dq_quarantine" -> dqQuarantine _,
     "q_bloom_join" -> bloomJoinQuery _,
     "q_funnel" -> funnel _,
     "q_retention" -> retention _,
@@ -615,6 +639,31 @@ object WarehouseQueries {
         |SELECT o_orderkey, count(*) AS n_rows
         |FROM planted GROUP BY o_orderkey HAVING count(*) > 1
         |ORDER BY o_orderkey""".stripMargin,
+    "q_dq_audit" ->
+      """WITH v AS (
+        |  SELECT count(*) AS n_rows,
+        |    SUM(CASE WHEN NOT coalesce(l_quantity <= 40, false) THEN 1 ELSE 0 END) AS v_qty40,
+        |    SUM(CASE WHEN NOT coalesce(l_tax <= 0.05, false) THEN 1 ELSE 0 END) AS v_tax,
+        |    SUM(CASE WHEN NOT coalesce(l_quantity > 0, false) THEN 1 ELSE 0 END) AS v_qpos,
+        |    SUM(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), false) THEN 1 ELSE 0 END) AS v_flag
+        |  FROM lineitem)
+        |SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+        |  round(n_violations / n_rows, 6) AS violation_frac
+        |FROM (
+        |  SELECT 'qty_le_40' AS rule, n_rows, v_qty40 AS n_violations FROM v
+        |  UNION ALL SELECT 'tax_le_5pct', n_rows, v_tax FROM v
+        |  UNION ALL SELECT 'qty_pos', n_rows, v_qpos FROM v
+        |  UNION ALL SELECT 'flag_domain', n_rows, v_flag FROM v)
+        |ORDER BY rule""".stripMargin,
+    "q_dq_quarantine" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_tax,
+        |    concat_ws(',',
+        |      CASE WHEN NOT coalesce(l_quantity <= 40, false) THEN 'qty_le_40' END,
+        |      CASE WHEN NOT coalesce(l_tax <= 0.05, false) THEN 'tax_le_5pct' END) AS failed_rules
+        |  FROM lineitem)
+        |WHERE failed_rules <> ''
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_tax, failed_rules""".stripMargin,
     "q_upsert" ->
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,

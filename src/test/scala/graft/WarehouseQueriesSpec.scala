@@ -505,4 +505,25 @@ class WarehouseQueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"limit not fused with sort:\n$plan")
   }
+
+  test("expectations: NULL predicates count as violations, tags keep declaration order") {
+    import spark.implicits._
+    import graft.operators.Check
+    val df = Seq[(Long, java.lang.Double, String)](
+      (1L, 5.0, "ok"), (2L, null, "ok"), (3L, -1.0, null), (4L, 2.0, "ok"))
+      .toDF("id", "v", "s")
+    val rules = Seq(
+      "v_pos" -> (col("v") > 0), // null v -> NULL -> violation
+      "s_ok" -> (col("s") === "ok"))
+    val audit = Check.audit(df, rules).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(audit == Map("v_pos" -> ((4L, 2L)), "s_ok" -> ((4L, 1L))), audit.toString)
+    val q = Check.quarantine(df, rules).select("id", "failed_rules")
+      .as[(Long, String)].collect().toMap
+    // row 3 fails BOTH: tags joined in declaration order; row 1/4 absent
+    assert(q == Map(2L -> "v_pos", 3L -> "v_pos,s_ok"), q.toString)
+    // audit is one global aggregate — no shuffle-by-key stage
+    val plan = Check.audit(df, rules).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), s"audit should not shuffle by key:\n$plan")
+  }
 }
