@@ -534,8 +534,33 @@ object WarehouseQueries {
       .orderBy("ver", "o_orderkey")
   }
 
+  /** Change-data-feed over the transaction log: create → merge → delete,
+    * then emit the row-level diff v1→v3 a downstream incremental
+    * consumer would apply. The oracle derives the same diff
+    * analytically from the source table. */
+  def txlogCdf(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_cdf_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    TxLog.create(dim, path, Some("o_orderpriority"))
+    val upd = dim.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(BigDecimal("1.1")))
+          .cast("double"))
+      .withColumn("o_orderstatus", lit("R"))
+    TxLog.mergeInto(path, upd, Seq("o_orderkey"))
+    TxLog.deleteWhere(s, path, col("o_orderkey") % 1000 === 1)
+    TxLog.changes(s, path, 1L, 3L, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog" -> txlog _,
+    "q_txlog_cdf" -> txlogCdf _,
     "q_scd2" -> scd2 _,
     "q_range_join" -> rangeJoinQuery _,
     "q_upsert" -> upsert _,
@@ -592,6 +617,18 @@ object WarehouseQueries {
         |SELECT CAST(2 AS INT) AS ver, o_orderkey, o_orderstatus, o_totalprice
         |FROM v2
         |ORDER BY ver, o_orderkey""".stripMargin,
+    "q_txlog_cdf" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority, _change_type
+        |FROM (
+        |  SELECT o_orderkey, 'R' AS o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |         AS DOUBLE) AS o_totalprice,
+        |    o_orderpriority, 'update' AS _change_type
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority, 'delete'
+        |  FROM orders WHERE o_orderkey % 1000 = 1)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_scd2" ->
       """WITH dim AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -204,16 +204,62 @@ object TxLog {
     }
   }
 
+  /** Additive-only schema widening: every declared column keeps its
+    * position and type; incoming columns either match a declared
+    * column's type exactly (nullability aside) or append at the end.
+    * Narrowing/dropping/retyping fails loudly — a changed type would
+    * silently corrupt every historical file's read. */
+  private def widen(declared: StructType, incoming: StructType): StructType = {
+    val byName = declared.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      byName.get(f.name).foreach { o =>
+        require(o.dataType == f.dataType,
+          s"TxLog: type conflict on '${f.name}': table has ${o.dataType.sql}, " +
+            s"incoming has ${f.dataType.sql} — evolution is additive-only")
+      }
+    }
+    StructType(declared.fields ++
+      incoming.fields.filterNot(f => byName.contains(f.name)))
+  }
+
+  /** Reject writes whose schema would lose data silently: overlapping
+    * columns must type-match, and EXTRA incoming columns require
+    * `evolveSchema = true` (the declared-schema read would drop them
+    * without a sound). Missing declared columns are fine — old readers
+    * see nulls, the parquet contract. */
+  private def checkSchema(declared: StructType, incoming: StructType,
+                          evolveSchema: Boolean): Unit = {
+    val byName = declared.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      byName.get(f.name) match {
+        case Some(o) =>
+          require(o.dataType == f.dataType,
+            s"TxLog: type conflict on '${f.name}': table has ${o.dataType.sql}, " +
+              s"incoming has ${f.dataType.sql}")
+        case None =>
+          require(evolveSchema,
+            s"TxLog: incoming column '${f.name}' is not in the table schema — " +
+              "pass evolveSchema = true to widen, or drop it explicitly")
+      }
+    }
+  }
+
   /** Append `df` as a new version: old files carried by reference, new
-    * files added. */
-  def append(df: DataFrame, path: String): Long = {
+    * files added. With `evolveSchema` the manifest's schema WIDENS
+    * (additive-only — see [[widen]]): new columns append at the end,
+    * historical files read as null for them, and a version-pinned read
+    * of an older manifest still returns that version's own schema. */
+  def append(df: DataFrame, path: String, evolveSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
+    val declared = StructType.fromDDL(m.schemaDdl)
+    checkSchema(declared, df.schema, evolveSchema)
+    val ddl = if (evolveSchema) widen(declared, df.schema).toDDL else m.schemaDdl
     val files = stageIn(df, path, m.partitionCol)
-    writeManifest(spark, path, m.copy(version = v + 1, files = m.files ++ files,
-      sourceBatchId = m.sourceBatchId))
+    writeManifest(spark, path, m.copy(version = v + 1, schemaDdl = ddl,
+      files = m.files ++ files, sourceBatchId = m.sourceBatchId))
     v + 1
   }
 
@@ -233,6 +279,7 @@ object TxLog {
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     if (m.sourceBatchId.exists(_ >= batchId)) return v // replay: already committed
+    checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
     val files = stageIn(df, path, m.partitionCol)
     writeManifest(spark, path, m.copy(version = v + 1, files = m.files ++ files,
       sourceBatchId = Some(batchId)))
@@ -302,13 +349,24 @@ object TxLog {
     * moved key simply drops out of the manifest, and concurrent
     * readers keep their snapshot. Returns the new version. */
   def mergeInto(path: String, updates: DataFrame, keys: Seq[String],
-                preValidated: Boolean = false): Long = {
+                preValidated: Boolean = false,
+                evolveSchema: Boolean = false): Long = {
     val spark = updates.sparkSession
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     val partitionCol = m.partitionCol.getOrElse(throw new IllegalArgumentException(
       "TxLog.mergeInto needs a partitioned table (create with partitionCol)"))
+    val declared = StructType.fromDDL(m.schemaDdl)
+    checkSchema(declared, updates.schema, evolveSchema)
+    // evolution: updates must carry every declared column (a merged row
+    // has no third place to take a value from); the EXISTING snapshot
+    // pads the new columns with typed nulls before the merge
+    if (evolveSchema)
+      declared.fields.foreach(f => require(
+        updates.schema.fieldNames.contains(f.name),
+        s"TxLog.mergeInto(evolveSchema): updates must carry declared " +
+          s"column '${f.name}'"))
     // a NULL partition value would silently corrupt the rewrite set
     // (Upsert.mergePartitioned's isin() filter never matches null, and
     // Spark writes nulls under __HIVE_DEFAULT_PARTITION__, which the
@@ -317,9 +375,21 @@ object TxLog {
       .limit(1).collect().isEmpty,
       s"TxLog.mergeInto: null $partitionCol values are not supported — " +
         "merge them under an explicit sentinel partition instead")
-    val existing = read(spark, path, Some(v))
+    val widened = if (evolveSchema) widen(declared, updates.schema) else declared
+    val existing0 = read(spark, path, Some(v))
+    val existing = widened.fields.filterNot(f =>
+        declared.fieldNames.contains(f.name))
+      .foldLeft(existing0) { (df, f) =>
+        df.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+      }
+    val updatesAligned =
+      if (evolveSchema)
+        updates.select(widened.fieldNames.map(
+          org.apache.spark.sql.functions.col): _*)
+      else updates
     val (parts, merged) = graft.operators.Upsert.mergePartitioned(
-      existing, updates, keys, partitionCol, preValidated)
+      existing, updatesAligned, keys, partitionCol, preValidated)
     val newFiles = stageIn(merged, path, Some(partitionCol))
     // drop every old file of a TOUCHED partition (including partitions
     // the merge emptied — they produce no staged files but still leave
@@ -329,9 +399,108 @@ object TxLog {
     val touchedDirs = parts.map(vv => partitionDirName(partitionCol, vv)).toSet
     val kept = m.files.filterNot(f => touchedDirs.contains(
       f.split('/').dropRight(1).mkString("/")))
-    writeManifest(spark, path, m.copy(version = v + 1, files = kept ++ newFiles,
-      sourceBatchId = m.sourceBatchId))
+    writeManifest(spark, path, m.copy(version = v + 1, schemaDdl = widened.toDDL,
+      files = kept ++ newFiles, sourceBatchId = m.sourceBatchId))
     v + 1
+  }
+
+  /** Transactional DELETE — the GDPR/right-to-be-forgotten commit:
+    * rewrite every partition holding a row matching `condition` WITHOUT
+    * those rows, carry the rest by reference, commit as one version.
+    * A partition deleted empty drops out of the manifest; older
+    * versions still read the rows until [[vacuum]]. On an
+    * unpartitioned table the whole content rewrites (there is no
+    * narrower unit). Returns the new version, or the current one when
+    * nothing matched.
+    *
+    * The touched-partition set is a bounded driver hop (distinct
+    * partition values among matching rows — partition cardinality, not
+    * data). The rewrite itself is `filter(!condition)` over only those
+    * partitions' files. */
+  def deleteWhere(spark: SparkSession, path: String,
+                  condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    val snap = read(spark, path, Some(v))
+    // null-safe: a NULL condition row is NOT deleted (SQL DELETE semantics)
+    val hit = coalesce(condition, lit(false))
+    m.partitionCol match {
+      case None =>
+        if (snap.filter(hit).limit(1).collect().isEmpty) return v
+        val newFiles = stageIn(snap.filter(not(hit)), path, None)
+        writeManifest(spark, path, m.copy(version = v + 1, files = newFiles,
+          sourceBatchId = m.sourceBatchId))
+        v + 1
+      case Some(pc) =>
+        val parts = snap.filter(hit).select(col(pc)).distinct()
+          .collect().map(_.get(0)).toSeq
+        if (parts.isEmpty) return v
+        val touchedDirs = parts.map(vv => partitionDirName(pc, vv)).toSet
+        val touched = snap.filter(col(pc).isin(parts: _*))
+        val newFiles = stageIn(touched.filter(not(hit)), path, Some(pc))
+        val kept = m.files.filterNot(f => touchedDirs.contains(
+          f.split('/').dropRight(1).mkString("/")))
+        writeManifest(spark, path, m.copy(version = v + 1,
+          files = kept ++ newFiles, sourceBatchId = m.sourceBatchId))
+        v + 1
+    }
+  }
+
+  /** Change data feed between two committed versions — the row-level
+    * diff a downstream incremental consumer applies instead of
+    * re-reading the table: one row per changed key with
+    * `_change_type` ∈ insert | update | delete, carrying the NEW values
+    * for inserts/updates and the LAST values for deletes. Unchanged
+    * keys are absent. `keys` must be unique per version (the merge
+    * contract this storage layer already enforces on its writers).
+    *
+    * Works across schema evolution: both snapshots align to the NEWER
+    * version's schema (older files surface typed nulls for columns
+    * they predate), so a column added between the versions reads as a
+    * change only where a row's values actually differ.
+    *
+    * Scale: one equi-shuffle per side on `keys` into a full outer
+    * join; comparison is a null-safe struct equality over the non-key
+    * columns — no driver hop, no data-sized collect. */
+  def changes(spark: SparkSession, path: String, fromVersion: Long,
+              toVersion: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, not, struct, when}
+    require(fromVersion != toVersion,
+      s"TxLog.changes: identical versions $fromVersion")
+    require(keys.nonEmpty, "TxLog.changes needs at least one key column")
+    val target = StructType.fromDDL(
+      manifest(spark, path, math.max(fromVersion, toVersion)).schemaDdl)
+    def aligned(v: Long): DataFrame = {
+      val df = read(spark, path, Some(v))
+      target.fields.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+        .select(target.fieldNames.map(col): _*)
+    }
+    val nonKey = target.fieldNames.filterNot(keys.contains).toSeq
+    val o = aligned(fromVersion)
+      .select(keys.map(col) ++ nonKey.map(c => col(c).as(s"_o_$c"))
+        :+ lit(true).as("_o_present"): _*)
+    val n = aligned(toVersion)
+      .select(keys.map(col) ++ nonKey.map(c => col(c).as(s"_n_$c"))
+        :+ lit(true).as("_n_present"): _*)
+    val joined = o.join(n, keys, "full_outer")
+    val base =
+      when(col("_o_present").isNull, "insert")
+        .when(col("_n_present").isNull, "delete")
+    // an all-key table has no values to differ on — only insert/delete
+    val changeType =
+      if (nonKey.isEmpty) base
+      else base.when(not(struct(nonKey.map(c => col(s"_o_$c")): _*) <=>
+        struct(nonKey.map(c => col(s"_n_$c")): _*)), "update")
+    joined
+      .withColumn("_change_type", changeType)
+      .filter(col("_change_type").isNotNull)
+      .select(keys.map(col) ++ nonKey.map(c =>
+        when(col("_change_type") === "delete", col(s"_o_$c"))
+          .otherwise(col(s"_n_$c")).as(c))
+        :+ col("_change_type"): _*)
   }
 
   /** The directory name Spark's partitioned writer produces for a

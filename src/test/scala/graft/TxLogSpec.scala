@@ -230,4 +230,91 @@ class TxLogSpec extends SparkSpec {
       TxLog.create(fixture, path, Some("part"))
     }
   }
+
+  test("schema evolution: additive widen on append, typed nulls for history, pinned reads keep their schema") {
+    val path = freshPath("evolve")
+    TxLog.create(fixture, path, Some("part"))
+    val extra = Seq((7L, "p1", 70.0, "new")).toDF("k", "part", "v", "tag")
+    // extra column without opt-in = silent data loss -> loud failure
+    val e1 = intercept[IllegalArgumentException] { TxLog.append(extra, path) }
+    assert(e1.getMessage.contains("evolveSchema"))
+    assert(TxLog.append(extra, path, evolveSchema = true) == 2L)
+    val v2 = TxLog.read(spark, path)
+    assert(v2.columns.toSeq == Seq("k", "part", "v", "tag"))
+    val byK = v2.select("k", "tag").as[(Long, Option[String])].collect().toMap
+    assert(byK(7L).contains("new") && byK(1L).isEmpty,
+      "historical rows must read the new column as null")
+    // the pinned read of v1 still has v1's own schema
+    assert(TxLog.read(spark, path, Some(1L)).columns.toSeq == Seq("k", "part", "v"))
+    // retyping a column is never evolution
+    val retyped = Seq((8L, "p1", "oops")).toDF("k", "part", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.append(retyped, path, evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("type conflict"))
+    // merge can evolve too: updates carry the widened row shape
+    val up = Seq((1L, "p1", 11.0, "upd", 5L)).toDF("k", "part", "v", "tag", "extra2")
+    assert(TxLog.mergeInto(path, up, Seq("k"), evolveSchema = true) == 3L)
+    val v3 = TxLog.read(spark, path)
+    assert(v3.columns.toSeq == Seq("k", "part", "v", "tag", "extra2"))
+    val r1 = v3.filter(col("k") === 1L)
+      .select("v", "tag", "extra2").as[(Double, String, Option[Long])].head()
+    assert(r1 == ((11.0, "upd", Some(5L))))
+    assert(v3.filter(col("k") === 2L).select("extra2").as[Option[Long]].head().isEmpty)
+  }
+
+  test("deleteWhere: only matching partitions rewrite, emptied partitions drop, old versions keep the rows") {
+    val path = freshPath("delete")
+    TxLog.create(fixture, path, Some("part"))
+    val before = TxLog.manifest(spark, path, 1L).files
+    // no match -> same version, nothing written
+    assert(TxLog.deleteWhere(spark, path, col("k") === 999L) == 1L)
+    // delete one row of p1 and ALL of p3
+    assert(TxLog.deleteWhere(spark, path,
+      col("k") === 1L || col("part") === "p3") == 2L)
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((2L, "p1", 20.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
+    val m2 = TxLog.manifest(spark, path, 2L)
+    assert(!m2.files.exists(_.startsWith("part=p3/")), "emptied partition must drop")
+    // p2 untouched: files carried by reference
+    val p2files = before.filter(_.startsWith("part=p2/"))
+    assert(p2files.nonEmpty && p2files.forall(m2.files.contains))
+    // time travel still sees the deleted rows
+    assert(rows(TxLog.read(spark, path, Some(1L))) == rows(fixture))
+    // NULL condition rows are kept (SQL DELETE semantics)
+    val path2 = freshPath("delnull")
+    TxLog.create(Seq((1L, "p1", Some(1.0)), (2L, "p1", None: Option[Double]))
+      .toDF("k", "part", "v"), path2, Some("part"))
+    TxLog.deleteWhere(spark, path2, col("v") > 0.0)
+    assert(TxLog.read(spark, path2).select("k").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("changes (CDF): insert/update/delete diff between versions, aligned across evolution") {
+    val path = freshPath("cdf")
+    TxLog.create(fixture, path, Some("part"))
+    val up = Seq((2L, "p1", 99.0), (7L, "p3", 70.0)).toDF("k", "part", "v")
+    TxLog.mergeInto(path, up, Seq("k"))                    // v2: update 2, insert 7
+    TxLog.deleteWhere(spark, path, col("k") === 5L)        // v3: delete 5
+    val d12 = TxLog.changes(spark, path, 1L, 2L, Seq("k"))
+      .select("k", "part", "v", "_change_type")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(d12 == Set((2L, "p1", 99.0, "update"), (7L, "p3", 70.0, "insert")), d12.toString)
+    val d23 = TxLog.changes(spark, path, 2L, 3L, Seq("k"))
+      .select("k", "part", "v", "_change_type")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(d23 == Set((5L, "p3", 50.0, "delete")), "delete carries the LAST values")
+    // spanning versions nets out: 1 -> 3 shows all three changes at once
+    val d13 = TxLog.changes(spark, path, 1L, 3L, Seq("k"))
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(d13 == Set((2L, "update"), (7L, "insert"), (5L, "delete")))
+    // across evolution: the pre-evolution snapshot aligns to the newer
+    // schema with typed nulls, so unchanged rows (null tag on both
+    // sides) produce NO spurious updates — only the real insert shows
+    val evolved = Seq((8L, "p2", 80.0, "tagged")).toDF("k", "part", "v", "tag")
+    TxLog.append(evolved, path, evolveSchema = true)       // v4
+    val d34 = TxLog.changes(spark, path, 3L, 4L, Seq("k"))
+      .select("k", "tag", "_change_type").as[(Long, Option[String], String)]
+      .collect().toSet
+    assert(d34 == Set((8L, Some("tagged"), "insert")), d34.toString)
+  }
 }
