@@ -187,6 +187,32 @@ object Sampling {
       .drop("_rk", "quota", "_qd")
   }
 
+  /** Per-domain TOKEN-budget sampling — the unit a training mix is
+    * actually specified in ("20 B tokens of code, 5 B of forums"), not
+    * rows: walk each domain in the engine-portable md5-of-id order and
+    * keep greedy-prefix rows while the domain's running token total
+    * stays within `budget`. The first row to overflow (and everything
+    * after it) drops, so the realized total is the largest md5-prefix
+    * sum ≤ budget — deterministic on any engine, no fractional docs.
+    *
+    * Output: input columns + `domain` + `cum_tokens` (the running
+    * total INCLUDING the row — the consumer's progress meter).
+    * Token counts are integers, so the running sum is exact — no
+    * float-order caveats. One shuffle on the domain key; the running
+    * sum is a per-domain window, spill-safe like [[weighted]]. */
+  def tokenBudget(df: DataFrame, domain: Column, tokens: Column, budget: Long,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val w = Window.partitionBy("domain")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("domain", domain)
+      .withColumn("_tok", tokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("_tok")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("_tok")
+  }
+
   /** Deterministic global shuffle: assigns every row a dense permuted
     * position `shuffle_pos` ∈ [0, n) ordered by md5(salt#id) — the
     * reproducible "shuffle the corpus once per epoch" step of a

@@ -169,6 +169,12 @@ object PipelineQueries {
       events(s, d).select("event_id", "event_type"),
       col("event_type"), alpha = 0.5, targetN = 1000, idCol = "event_id")
       .select("event_id", "domain").orderBy("event_id")),
+    // token-budget sampling: 800 whitespace-tokens per source, greedy
+    // md5-order prefix — integer running sums, oracle-exact
+    "sample_token_budget" -> ((s, d) => Sampling.tokenBudget(
+      documents(s, d).select("doc_id", "source", "text"),
+      col("source"), size(split(col("text"), " ")), budget = 800)
+      .select("doc_id", "domain", "cum_tokens").orderBy("doc_id")),
     // GPT-style concat-and-chunk packing: global token offsets via the
     // distributed prefix scan, sequences of 2048 tokens
     "pack_sequences" -> ((s, d) => Packing.packSequences(
@@ -549,6 +555,15 @@ object PipelineQueries {
         |  FROM events e JOIN q ON e.event_type = q.domain)
         |SELECT event_id, domain FROM sel WHERE rk <= quota
         |ORDER BY event_id""".stripMargin,
+    "sample_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id, source AS domain,
+        |    SUM(len(string_split(text, ' '))) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM documents)
+        |SELECT doc_id, domain, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM s WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """WITH s AS (
         |  SELECT doc_id, CAST(length(text) % 4 AS INT) AS stratum,

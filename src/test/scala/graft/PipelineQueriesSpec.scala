@@ -196,6 +196,30 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(a == b && a.size == 100)
   }
 
+  test("token-budget sampling: maximal md5-prefix per domain, overflow row and tail drop") {
+    import spark.implicits._
+    val docs = spark.range(40)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, "A").otherwise("B").as("d"),
+        (col("id") % 7 + 1).as("ntok"))
+    val kept = Sampling.tokenBudget(docs, col("d"), col("ntok"), budget = 20)
+      .select("doc_id", "domain", "cum_tokens")
+      .as[(Long, String, Long)].collect()
+    // independent expectation: pure-Scala md5 ordering + greedy prefix
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = (0L until 40L).map(i => (i, if (i % 2 == 0) "A" else "B", i % 7 + 1))
+      .groupBy(_._2).flatMap { case (dom, rows) =>
+        val ordered = rows.sortBy(r => (md5hex(r._1.toString), r._1))
+        val cums = ordered.scanLeft(0L)(_ + _._3).tail
+        ordered.zip(cums).takeWhile(_._2 <= 20L)
+          .map { case (r, c) => (r._1, dom, c) }
+      }.toSet
+    assert(kept.toSet == expect, s"got ${kept.toSeq.sortBy(_._1)}")
+    assert(kept.nonEmpty && kept.size < 40, "budget must actually bind")
+  }
+
   test("salted weighted sampling: exact recombined quotas on a 90%-hot-stratum corpus") {
     val docs = spark.range(1000).select(col("id").as("doc_id"),
       when(col("id") < 900, lit("hot")).otherwise(lit("cold")).as("s"))
