@@ -221,6 +221,67 @@ object StreamJobs {
 
   /** Run a streaming aggregate to a named in-memory sink and block until
     * the source is drained (local smoke path). */
+  /** Streaming N-step ordered funnel — the incremental form of
+    * [[graft.operators.Funnel.funnel]]: per-user state is the array of
+    * earliest QUALIFIED per-step times (step i's time only set from an
+    * event at-or-after the qualified step i−1 time, within `maxGap`
+    * when given), folded over events in (micro-batch, ts, tie) order.
+    * Emits (user_id, depth) per user per batch — depth = how many
+    * funnel steps the user has completed in order so far; the reach
+    * counts are `count(depth >= i)` downstream.
+    *
+    * Parity boundary (same honesty as [[sessionCounts]]): the fold
+    * matches the batch operator exactly when per-user events arrive in
+    * timestamp order ACROSS micro-batches (in-batch disorder is sorted
+    * away locally). A step event arriving in a later batch with an
+    * earlier timestamp than an already-qualified successor cannot
+    * retro-qualify it — the price of O(steps) state per user instead
+    * of a replay buffer; the spec pins batch parity on time-sliced
+    * arrivals.
+    *
+    * Scale: state is `steps.length` longs per user, sharded by the
+    * state store on user_id; non-step events are filtered before the
+    * shuffle (the same pre-shuffle prune as the batch funnel). */
+  def funnelStream(spark: SparkSession, events: DataFrame, steps: Seq[String],
+                   maxGap: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    val gapMicros: Option[Long] = maxGap.map { g =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(g))
+      require(iv.months == 0, s"funnelStream maxGap must be sub-month, got $g")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    val stepIdx = steps.zipWithIndex.toMap
+    val unset = Long.MaxValue
+    events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) =>
+          val t = state.getOption.getOrElse(Array.fill(steps.size)(unset))
+          // in-batch disorder sorts away; ties break on event_id like
+          // the batch window's tieCol
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, et) =>
+            val i = stepIdx(et)
+            val qualifies =
+              if (i == 0) true
+              else t(i - 1) != unset && ts >= t(i - 1) &&
+                gapMicros.forall(g => ts <= t(i - 1) + g)
+            if (qualifies && ts < t(i)) t(i) = ts
+          }
+          state.update(t)
+          (user, t.takeWhile(_ != unset).length)
+      }
+      .toDF("user_id", "depth")
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {
     val q = df.writeStream
       .outputMode(mode)

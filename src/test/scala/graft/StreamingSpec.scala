@@ -170,6 +170,44 @@ class StreamingSpec extends SparkSpec {
     assert(afterReplay == direct, "replayed slice double-counted")
   }
 
+  test("streaming funnel over time-sliced micro-batches reproduces the batch reach exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val steps = Seq("view", "click", "purchase")
+    val ev = graft.tables.Tables.events(spark, sf)
+    val dir = "/tmp/graft_stream_funnel"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    // three arrival slices cut by event time: per-user ts order holds
+    // ACROSS micro-batches, the regime the state fold guarantees parity in
+    val times = ev.select(unix_micros(col("ts"))).as[Long].collect().sorted
+    val (c1, c2) = (times(times.length / 3), times(2 * times.length / 3))
+    ev.filter(unix_micros(col("ts")) < c1).write.parquet(dir)
+    val q = StreamJobs.runToMemory(
+      StreamJobs.funnelStream(spark, StreamJobs.eventsStream(spark, dir), steps),
+      "funnel_test", mode = "update")
+    try {
+      ev.filter(unix_micros(col("ts")) >= c1 && unix_micros(col("ts")) < c2)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      ev.filter(unix_micros(col("ts")) >= c2).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val sunk = spark.table("funnel_test").collect()
+      assert(sunk.length > sunk.map(_.getLong(0)).distinct.length,
+        "expected per-user updates from more than one micro-batch")
+      // latest depth per user (update-mode rows land in batch order)
+      val depth = sunk.map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val streamedReach = steps.indices.map(i =>
+        depth.values.count(_ >= i + 1).toLong)
+      val batch = graft.operators.Funnel.funnel(ev, steps).collect()(0)
+      val batchReach = steps.indices.map(batch.getLong)
+      assert(streamedReach == batchReach,
+        s"streamed $streamedReach vs batch $batchReach")
+      assert(streamedReach.head > 0)
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState totals match the batch aggregate") {
     val dir = "/tmp/graft_stream_events"
     graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
