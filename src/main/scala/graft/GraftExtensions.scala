@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{CosineSim, DotProduct, ImageHeader, RollingHash, WordShingles}
+import graft.functions.{AudioHeader, CosineSim, DotProduct, ImageHeader, RollingHash, WordShingles}
 
 /** Session-extension entry point: makes graft's native expressions
   * callable from SQL. Two ways in:
@@ -42,6 +42,10 @@ object GraftExtensions {
       info("image_header",
         "image_header(bin) - struct(format, width, height) parsed from real PNG/JPEG/GIF header bytes; null if unrecognized"),
       (es: Seq[Expression]) => ImageHeader(es.head)),
+    ("audio_header",
+      info("audio_header",
+        "audio_header(bin) - struct(format, sample_rate, channels, bits) parsed from real WAV/FLAC header bytes; null if unrecognized"),
+      (es: Seq[Expression]) => AudioHeader(es.head)),
     ("word_shingles",
       info("word_shingles",
         "word_shingles(str, k) - distinct word k-gram shingles of str as array<string>; k must be a literal"),

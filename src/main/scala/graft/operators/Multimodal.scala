@@ -64,6 +64,20 @@ object Multimodal {
         col("hdr.height").as("height"))
       .orderBy(idCol)
 
+  /** REAL audio container parsing — WAV chunk walk + FLAC STREAMINFO
+    * bit unpacking via [[graft.functions.AudioHeader]]; the audio
+    * sibling of [[imageMeta]], same null-for-corrupt contract. */
+  def audioMeta(df: DataFrame, payloadCol: String = "payload",
+                idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), octet_length(col(payloadCol)).as("n_bytes"),
+        graft.functions.AudioFunctions.audio_header(col(payloadCol)).as("hdr"))
+      .select(col(idCol), col("n_bytes"),
+        col("hdr.format").as("format"),
+        col("hdr.sample_rate").as("sample_rate"),
+        col("hdr.channels").as("channels"),
+        col("hdr.bits").as("bits"))
+      .orderBy(idCol)
+
   /** Batched decode over partitions — the Scala shape of a
     * `mapInPandas` media pipeline: one decoder instantiation per
     * partition (amortized like a per-batch codec init), rows streamed

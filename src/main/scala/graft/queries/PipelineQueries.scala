@@ -135,6 +135,14 @@ object PipelineQueries {
       Multimodal.imageMeta(
         fx.select(col("doc_id"), org.apache.spark.sql.functions.unhex(col("hex")).as("payload")))
     }),
+    // audio sibling of mm_image_meta: WAV fmt-chunk-behind-JUNK and
+    // FLAC 20-bit-packed STREAMINFO, ground-truth VALUES oracle
+    "mm_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      val fx = audioFixture.map { case (id, hex, _) => (id, hex) }.toDF("doc_id", "hex")
+      Multimodal.audioMeta(
+        fx.select(col("doc_id"), org.apache.spark.sql.functions.unhex(col("hex")).as("payload")))
+    }),
     // histogram flattened to 16 scalar columns: the driver's pandas
     // row-sort can't hash an array column (round-1 harness crash), and
     // scalar columns also make the op DuckDB-oracle-checkable
@@ -269,6 +277,44 @@ object PipelineQueries {
       }
     }
 
+  /** Hex of a minimal WAV whose "fmt " chunk sits BEHIND a JUNK chunk —
+    * only a real chunk walk finds it. */
+  private[graft] def wavHex(sr: Int, ch: Int, bits: Int): String = {
+    def le16(v: Int) = f"${v & 0xff}%02X" + f"${(v >> 8) & 0xff}%02X"
+    def le32(v: Int) = le16(v & 0xffff) + le16((v >>> 16) & 0xffff)
+    "52494646" + le32(100) + "57415645" +
+      "4A554E4B" + le32(4) + "00000000" +
+      "666D7420" + le32(16) + le16(1) + le16(ch) + le32(sr) +
+      le32(sr * ch * (bits / 8)) + le16(ch * (bits / 8)) + le16(bits)
+  }
+
+  /** Hex of a minimal FLAC: "fLaC" + a last-block STREAMINFO with the
+    * 20-bit sample rate / 3-bit channels / 5-bit bps packing. */
+  private[graft] def flacHex(sr: Int, ch: Int, bits: Int): String = {
+    def b(v: Int) = f"${v & 0xff}%02X"
+    "664C6143" + "80000022" +
+      "1000" + "1000" + "000000" + "000000" +
+      b(sr >> 12) + b(sr >> 4) +
+      b(((sr & 0xf) << 4) | ((ch - 1) << 1) | (((bits - 1) >> 4) & 1)) +
+      b(((bits - 1) & 0xf) << 4) + "00000000" + ("00" * 16)
+  }
+
+  /** (doc_id, payload hex, expected (format, sr, ch, bits) or
+    * None-for-corrupt) — shared by mm_audio_meta and its oracle. */
+  private[graft] def audioFixture: Seq[(Long, String, Option[(String, Int, Int, Int)])] =
+    (0 until 10).map { i =>
+      val sr = 8000 + 4410 * i
+      val ch = 1 + i % 3
+      val bits = 8 * (1 + i % 4)
+      i % 4 match {
+        case 0 | 2 => (i.toLong, wavHex(sr, ch, bits), Some(("wav", sr, ch, bits)))
+        case 1     => (i.toLong, flacHex(sr, ch, bits), Some(("flac", sr, ch, bits)))
+        // truncated RIFF prefix and plain garbage must both null out
+        case _ if i == 3 => (i.toLong, "52494646AABB", None)
+        case _           => (i.toLong, "DEADBEEF", None)
+      }
+    }
+
   /** Cache key for per-dataset offline artifacts: SHA-256 over the
     * dataset's absolute path plus the newest modification time under
     * its embeddings table, truncated to 16 hex chars. */
@@ -397,6 +443,22 @@ object PipelineQueries {
       s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bytes AS INT) AS n_bytes,
          |  format, CAST(width AS INT) AS width, CAST(height AS INT) AS height
          |FROM (VALUES $rows) AS t(doc_id, n_bytes, format, width, height)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "mm_audio_meta" -> {
+      val rows = audioFixture.map { case (id, hex, meta) =>
+        val nb = hex.length / 2
+        meta match {
+          case Some((f, sr, ch, bits)) => s"($id, $nb, '$f', $sr, $ch, $bits)"
+          case None =>
+            s"($id, $nb, CAST(NULL AS VARCHAR), CAST(NULL AS INT), " +
+              "CAST(NULL AS INT), CAST(NULL AS INT))"
+        }
+      }.mkString(", ")
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bytes AS INT) AS n_bytes,
+         |  format, CAST(sample_rate AS INT) AS sample_rate,
+         |  CAST(channels AS INT) AS channels, CAST(bits AS INT) AS bits
+         |FROM (VALUES $rows) AS t(doc_id, n_bytes, format, sample_rate, channels, bits)
          |ORDER BY doc_id""".stripMargin
     },
     "mm_decode_meta" ->

@@ -603,6 +603,47 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r(7L).isEmpty, "garbage must parse to null")
   }
 
+  test("audio headers: WAV walks past JUNK, odd chunks pad, FLAC unpacks 20-bit rate; corrupt null") {
+    import spark.implicits._
+    // fmt behind an ODD-sized chunk (5 bytes + pad) — word alignment matters
+    val oddChunkWav = "52494646" + "64000000" + "57415645" +
+      "62657874" + "05000000" + "AABBCCDDEE" + "00" +
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" +
+      "10B10200" + "0400" + "1000"
+    val noFmtWav = "52494646" + "10000000" + "57415645" +
+      "4A554E4B" + "04000000" + "00000000"
+    val d = Seq(
+      (1L, PipelineQueries.wavHex(44100, 2, 16)),
+      (2L, PipelineQueries.flacHex(96000, 6, 24)),
+      (3L, oddChunkWav),                              // 44100 Hz stereo 16-bit
+      (4L, noFmtWav),
+      (5L, PipelineQueries.flacHex(44100, 2, 16).take(20)), // truncated STREAMINFO
+      (6L, "DEADBEEF")
+    ).toDF("doc_id", "hex")
+    val r = Multimodal.audioMeta(d.select(col("doc_id"), unhex(col("hex")).as("payload")))
+      .collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(2)) None
+        else Some((x.getString(2), x.getInt(3), x.getInt(4), x.getInt(5)))))
+      .toMap
+    assert(r(1L).contains(("wav", 44100, 2, 16)), s"JUNK walk failed: ${r(1L)}")
+    assert(r(2L).contains(("flac", 96000, 6, 24)), s"bit unpack failed: ${r(2L)}")
+    assert(r(3L).contains(("wav", 44100, 2, 16)), s"odd-chunk pad failed: ${r(3L)}")
+    assert(r(4L).isEmpty, "a WAV without fmt must parse to null")
+    assert(r(5L).isEmpty, "truncated FLAC must parse to null")
+    assert(r(6L).isEmpty, "garbage must parse to null")
+    // SQL surface + whole-stage codegen: a non-foldable payload (the
+    // literal form constant-folds — itself proof of eval) must keep
+    // the parse inside a codegen stage
+    GraftExtensions.register(spark)
+    val hex = PipelineQueries.wavHex(8000, 1, 8)
+    val sq = spark.range(1)
+      .selectExpr(s"audio_header(unhex(if(id >= 0, '$hex', ''))).sample_rate AS sr")
+    assert(sq.head().getInt(0) == 8000)
+    assert(sq.queryExecution.executedPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined,
+      s"parse fell out of codegen:\n${sq.queryExecution.executedPlan}")
+  }
+
   private def listParquet(dir: String): Map[String, (Long, Long)] = {
     val base = java.nio.file.Paths.get(dir)
     import scala.jdk.CollectionConverters._
