@@ -82,6 +82,53 @@ object Ivf {
           col("embedding"), centroidMatrix(index)).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"${index.path}/vectors")
 
+  /** Deletion counterpart of [[append]] — the index side of a GDPR
+    * erasure (pairs with TxLog.deleteWhere on the source table): drop
+    * `ids` from the index WITHOUT refit or corpus rescan. Only cells
+    * actually holding a deleted vector rewrite (filtered through a
+    * broadcast anti-join — plan size stays O(1) however large the
+    * erasure batch); untouched cells' files are never opened. When the
+    * PQ codes sidecar (`path/codes`) exists it rewrites IN THE SAME
+    * CALL — a vector present in codes but not vectors would ADC-score
+    * into the shortlist and then silently vanish at re-rank, shrinking
+    * k without an error.
+    *
+    * Not a transactional commit: index artifacts are rebuildable
+    * offline products under the single-writer maintenance contract
+    * [[append]] already assumes (a concurrent query may glimpse a
+    * half-removed batch; re-running remove is idempotent). */
+  def remove(spark: SparkSession, index: IvfIndex, ids: Seq[Long]): Unit = {
+    require(ids.nonEmpty, "Ivf.remove: empty id batch")
+    removeFromCells(spark, s"${index.path}/vectors", ids)
+    val codes = new org.apache.hadoop.fs.Path(s"${index.path}/codes")
+    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(codes)) removeFromCells(spark, codes.toString, ids)
+  }
+
+  /** Rewrite only the cell partitions of `dir` containing an id from
+    * `ids`; a cell emptied by the removal drops its directory. */
+  private def removeFromCells(spark: SparkSession, dir: String,
+                              ids: Seq[Long]): Unit = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idsDf = broadcast(ids.toDF("_del_id"))
+    val all = spark.read.parquet(dir)
+    val touched = all.join(idsDf, col("vec_id") === col("_del_id"))
+      .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val tmp = s"${dir}_rewrite_${java.util.UUID.randomUUID().toString.take(8)}"
+    all.filter(col("cell").isin(touched: _*))
+      .join(idsDf, col("vec_id") === col("_del_id"), "left_anti")
+      .write.partitionBy("cell").parquet(tmp)
+    touched.foreach { c =>
+      fs.delete(new Path(dir, s"cell=$c"), true)
+      val src = new Path(tmp, s"cell=$c")
+      if (fs.exists(src)) fs.rename(src, new Path(dir, s"cell=$c"))
+    }
+    fs.delete(new Path(tmp), true)
+  }
+
   /** centroids as a cell-id-indexed matrix (row i = cell i's center). */
   private[graft] def centroidMatrix(index: IvfIndex): Array[Array[Double]] =
     index.centroids.sortBy(_._1).map(_._2)

@@ -696,6 +696,53 @@ class PipelineQueriesSpec extends SparkSpec {
       s"IVF-PQ query missed the appended twin: ${pqTop.toSeq}")
   }
 
+  test("Ivf.remove: only touched cells rewrite, emptied cell drops, codes stay in sync, idempotent") {
+    import graft.operators.{Ivf, Pq}
+    val emb = Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_remove").toString
+    val index = Ivf.fit(emb, tmp)
+    Pq.encodeIvf(spark, index, Pq.fit(emb))
+    val byCell = spark.read.parquet(s"$tmp/vectors").select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    // erase one whole (smallest) cell plus one vector of another
+    val (emptyCell, emptyIds) = byCell.minBy(_._2.size)
+    val (otherCell, otherIds) = byCell.filter(_._1 != emptyCell).maxBy(_._2.size)
+    val victims = emptyIds :+ otherIds.head
+    val vBefore = listParquet(s"$tmp/vectors")
+    val cBefore = listParquet(s"$tmp/codes")
+    Ivf.remove(spark, index, victims)
+    val vAfter = listParquet(s"$tmp/vectors")
+    val cAfter = listParquet(s"$tmp/codes")
+    // untouched cells byte-identical in BOTH artifacts
+    def untouched(files: Map[String, (Long, Long)]) = files.filterNot(f =>
+      f._1.startsWith(s"cell=$emptyCell/") || f._1.startsWith(s"cell=$otherCell/"))
+    assert(untouched(vBefore).forall { case (f, st) => vAfter.get(f).contains(st) },
+      "remove rewrote an untouched vectors cell")
+    assert(untouched(cBefore).forall { case (f, st) => cAfter.get(f).contains(st) },
+      "remove rewrote an untouched codes cell")
+    assert(!vAfter.keys.exists(_.startsWith(s"cell=$emptyCell/")) &&
+      !cAfter.keys.exists(_.startsWith(s"cell=$emptyCell/")),
+      "an emptied cell must drop its directory")
+    // removed ids gone from both artifacts; everything else intact
+    val liveV = spark.read.parquet(s"$tmp/vectors").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val liveC = spark.read.parquet(s"$tmp/codes").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(liveV == liveC, "vectors and codes diverged after remove")
+    assert(victims.forall(v => !liveV.contains(v)))
+    assert(liveV.size == byCell.values.map(_.size).sum - victims.size)
+    // idempotent: a replayed erasure batch is a no-op
+    Ivf.remove(spark, index, victims)
+    assert(listParquet(s"$tmp/vectors") == vAfter &&
+      listParquet(s"$tmp/codes") == cAfter, "replayed remove must not rewrite")
+    // a query near the erased whole-cell vectors no longer returns them
+    val qv = emb.filter(col("vec_id") === emptyIds.head)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val top = Ivf.query(spark, index, qv, k = 5).collect().map(_.getLong(0)).toSet
+    assert(top.intersect(victims.toSet).isEmpty, s"query surfaced erased ids: $top")
+  }
+
   test("incremental dedup: batch joins the PERSISTED corpus banding; exact re-present guaranteed") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_inc_dedup").toString
     Dedup.bandedSignatures(fixture).write.mode("overwrite").parquet(tmp)
