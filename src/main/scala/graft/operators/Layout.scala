@@ -128,7 +128,17 @@ object Layout {
     * saturates far below that; 8 (256 buckets) is the default. */
   def zorderByQuantiles(df: DataFrame, c1: String, c2: String, path: String,
                         numFiles: Int, bits: Int = 8,
-                        relErr: Double = 0.001): Unit = {
+                        relErr: Double = 0.001): Unit =
+    zorderedFrame(df, c1, c2, numFiles, bits, relErr)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** The transform behind [[zorderByQuantiles]] without the write — for
+    * writers with their own commit protocol (TxLog.compact stages and
+    * manifest-swaps the result): quantile-bucketized Morton key, range
+    * partition into `numFiles`, in-file sort, key dropped. */
+  def zorderedFrame(df: DataFrame, c1: String, c2: String,
+                    numFiles: Int, bits: Int = 8,
+                    relErr: Double = 0.001): DataFrame = {
     require(numFiles > 0 && bits >= 1 && bits <= 10,
       s"need numFiles > 0 and bits in [1, 10], got $numFiles / $bits")
     val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
@@ -153,6 +163,5 @@ object Layout {
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

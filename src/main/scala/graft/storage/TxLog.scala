@@ -311,9 +311,17 @@ object TxLog {
     * Partitions below the threshold carry by reference; readers of
     * older versions keep the small files until [[vacuum]]. Returns the
     * new version, or the current one when nothing needed compacting. */
+  /** `zorderBy = Some((c1, c2))` turns the rewrite into the Delta-style
+    * `OPTIMIZE … ZORDER BY`: each compacted partition's rows range-
+    * partition and sort on the quantile-bucketized Morton interleave
+    * of the two columns (Layout.zorderedFrame) before landing, so a
+    * post-compact range scan on either column touches few files — and
+    * the layout change commits atomically with the same snapshot
+    * guarantees as a plain compact. */
   def compact(spark: SparkSession, path: String,
               targetBytesPerFile: Long = 128L << 20,
-              minFilesToCompact: Int = 2): Long = {
+              minFilesToCompact: Int = 2,
+              zorderBy: Option[(String, String)] = None): Long = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
@@ -332,7 +340,11 @@ object TxLog {
       val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
       val n = ((bytes + BigInt(targetBytesPerFile) - 1) / targetBytesPerFile)
         .max(1).toInt
-      part.repartition(n)
+      zorderBy match {
+        case Some((c1, c2)) =>
+          graft.operators.Layout.zorderedFrame(part, c1, c2, numFiles = n)
+        case None => part.repartition(n)
+      }
     }
     val newFiles = stageIn(pieces.reduce(_ unionByName _), path, m.partitionCol)
     val kept = m.files.filterNot(f => todo.contains(dirOf(f)))

@@ -231,6 +231,34 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("compact with zorderBy: OPTIMIZE ZORDER commits atomically and localizes range scans") {
+    val path = freshPath("zopt")
+    // 64x64 grid scattered across 16 round-robin files: every file
+    // holds rows from every x-band, the layout z-order must fix
+    val grid = spark.range(4096).select(
+      col("id").as("k"), (col("id") % 64).as("x"),
+      floor(col("id") / 64).cast("long").as("y"))
+    TxLog.create(grid.repartition(16), path, None)
+    def touchedBy(v: Long): (Int, Int) = {
+      val files = TxLog.manifest(spark, path, v).files
+      (files.count(f => spark.read.parquet(s"$path/data/$f")
+        .filter(col("x") < 8).limit(1).collect().nonEmpty), files.size)
+    }
+    val (t1, n1) = touchedBy(1L)
+    assert(t1 == n1, "round-robin layout should spread the band everywhere")
+    assert(TxLog.compact(spark, path, targetBytesPerFile = 2048,
+      zorderBy = Some(("x", "y"))) == 2L)
+    // content row-identical, snapshot semantics intact
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("k", "x", "y").as[(Long, Long, Long)].collect().toSet
+    assert(key(TxLog.read(spark, path)) == key(grid))
+    assert(key(TxLog.read(spark, path, Some(1L))) == key(grid))
+    // the x < 8 band now lives in a minority of the z-ordered files
+    val (t2, n2) = touchedBy(2L)
+    assert(n2 > 2, s"fixture should compact into several files, got $n2")
+    assert(t2 * 2 <= n2, s"z-order left the band spread over $t2/$n2 files")
+  }
+
   test("schema evolution: additive widen on append, typed nulls for history, pinned reads keep their schema") {
     val path = freshPath("evolve")
     TxLog.create(fixture, path, Some("part"))
