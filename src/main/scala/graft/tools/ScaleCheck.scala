@@ -161,6 +161,30 @@ object ScaleCheck {
       graft.storage.TxLog.mergeInto(txdir, upd, Seq("l_orderkey", "l_linenumber"),
         preValidated = true)
     }
+    // r7 second wave: LM scoring (count-table joins), temperature /
+    // token-budget sampling (domain-bounded quota arithmetic), DQ gate
+    // (one-scan audit + codegen'd quarantine)
+    val lm = (dir: String) =>
+      graft.operators.TextOps.lmScore(Tables.documents(spark, dir))
+    t("lm score sf0.1")(lm(d).count())
+    t("lm score 10x")(lm(big).count())
+    val temp = (dir: String, n: Long) => graft.operators.Sampling.temperature(
+      Tables.events(spark, dir).select("event_id", "event_type"),
+      col("event_type"), alpha = 0.5, targetN = n, idCol = "event_id")
+    t("temperature sf0.1")(temp(d, 10000L).count())
+    t("temperature 10x")(temp(big, 100000L).count())
+    val tokb = (dir: String, b: Long) => graft.operators.Sampling.tokenBudget(
+      Tables.documents(spark, dir).select("doc_id", "source", "text"),
+      col("source"), size(split(col("text"), " ")), budget = b)
+    t("token budget sf0.1")(tokb(d, 8000L).count())
+    t("token budget 10x")(tokb(big, 80000L).count())
+    val dqr = Seq(
+      "qty_le_40" -> (col("l_quantity") <= 40),
+      "tax_le_5pct" -> (col("l_tax") <= 0.05))
+    t("dq audit sf0.1")(graft.operators.Check.audit(Tables.lineitem(spark, d), dqr).count())
+    t("dq audit 10x")(graft.operators.Check.audit(Tables.lineitem(spark, big), dqr).count())
+    t("dq quarantine sf0.1")(graft.operators.Check.quarantine(Tables.lineitem(spark, d), dqr).count())
+    t("dq quarantine 10x")(graft.operators.Check.quarantine(Tables.lineitem(spark, big), dqr).count())
     // ANN recall at 10x: planted exact twins must dominate the top-10
     val qids = (0L until 20L).toSeq
     val bigEmb = Tables.embeddings(spark, big)
