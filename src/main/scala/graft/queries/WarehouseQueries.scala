@@ -250,6 +250,37 @@ object WarehouseQueries {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
       .orderBy(col("rflag").asc_nulls_first, col("lstatus").asc_nulls_first)
 
+  /** Grouped correlation / covariance / stddev between quantity and
+    * price via graft.operators.Stats — decimal moment sums, one
+    * group-sized shuffle, bit-identical final doubles (the built-in
+    * corr/stddev aggregates are the everyday path; this is the
+    * reproducible audit form). */
+  def corrStats(s: SparkSession, d: String): DataFrame =
+    graft.operators.Stats.corrStats(
+      lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  /** Trailing one-hour moving average per event type — a RANGE window
+    * frame over event time (q_running_sum's ROWS frame counts rows;
+    * analytics over streams usually wants wall-clock trailing windows).
+    * Ordering on integer µs keeps the frame arithmetic and tie
+    * semantics (RANGE includes peers) identical on both engines; the
+    * windowed sum accumulates in DECIMAL for the usual reason. */
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("tsu")
+      .rangeBetween(-3600000000L, 0L)
+    events(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsu"), col("value"))
+      .select(
+        col("event_id"), col("event_type"), col("tsu"),
+        count(lit(1)).over(w).as("n_win"),
+        round(
+          sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double")
+            / count(lit(1)).over(w), 6).as("win_avg"))
+      .orderBy("event_id")
+  }
+
   /** Running (cumulative) revenue per supplier in ship order. The
     * window sum accumulates in DECIMAL so every prefix is exact —
     * double prefixes would drift from the oracle one ulp at a time. */
@@ -579,6 +610,8 @@ object WarehouseQueries {
     "q_string_agg" -> stringAgg _,
     "q_cube" -> cubeAgg _,
     "q_running_sum" -> runningSum _,
+    "q_corr_stats" -> corrStats _,
+    "q_moving_avg" -> movingAvg _,
     "q_lag_delta" -> lagDelta _,
     "q_percentile" -> percentiles _,
     "q_approx_percentile" -> approxPercentiles _,
@@ -762,6 +795,41 @@ object WarehouseQueries {
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
         |FROM lineitem WHERE l_suppkey <= 3
         |ORDER BY l_suppkey, running_rev, l_orderkey, l_linenumber""".stripMargin,
+    // the oracle spells the IDENTICAL moment sums and final double
+    // expression as the Spark side: exact decimals in, IEEE out —
+    // bit-equality is by construction, not luck (see operators.Stats).
+    // Products cast through DECIMAL(19,6): same rational values, but
+    // width 19 pushes DuckDB off its int64 multiply path (which
+    // overflows on price²) onto hugeint — Spark's (18,6)² → (37,12)
+    // is already exact
+    "q_corr_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+        |           * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+        |           * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+        |           * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr_xy,
+        |  round((n*sxy - sx*sy) / (n*(n - 1.0)), 6) AS covar_xy,
+        |  round(sqrt((n*sxx - sx*sx) / (n*(n - 1.0))), 6) AS stddev_x,
+        |  round(sqrt((n*syy - sy*sy) / (n*(n - 1.0))), 6) AS stddev_y
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT event_id, event_type, epoch_us(ts) AS tsu,
+        |  count(*) OVER w AS n_win,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |        / count(*) OVER w, 6) AS win_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_lag_delta" ->
       """SELECT event_id, user_id,
         |  CAST(floor(epoch(ts)) AS BIGINT)

@@ -45,6 +45,49 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("q_corr_stats matches the builtin corr/covar/stddev aggregates") {
+    val ours = WarehouseQueries.corrStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val builtin = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv"),
+        stddev_samp(col("l_quantity")).as("sx"),
+        stddev_samp(col("l_extendedprice")).as("sy"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(ours.keySet == builtin.keySet)
+    for ((k, (c, cv, sx, sy)) <- ours) {
+      val (bc, bcv, bsx, bsy) = builtin(k)
+      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-4 * (1.0 + math.abs(b))
+      assert(close(c, bc) && close(cv, bcv) && close(sx, bsx) && close(sy, bsy),
+        s"$k: ($c,$cv,$sx,$sy) vs builtin ($bc,$bcv,$bsx,$bsy)")
+    }
+  }
+
+  test("q_moving_avg equals the brute-force trailing-hour self-join") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsu"), col("value"))
+    val brute = ev.as("a").join(ev.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.tsu") >= col("a.tsu") - 3600000000L &&
+          col("b.tsu") <= col("a.tsu"))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("bn"), avg(col("b.value")).as("bavg"))
+    val joined = WarehouseQueries.movingAvg(spark, sf)
+      .join(brute, "event_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_win") == r.getAs[Long]("bn"),
+        s"event ${r.getAs[Long]("event_id")}: frame row count mismatch")
+      assert(math.abs(r.getAs[Double]("win_avg") - r.getAs[Double]("bavg")) <= 1e-5,
+        s"event ${r.getAs[Long]("event_id")}: avg mismatch")
+    }
+  }
+
   test("upsert: updates win on collision, row count preserved, partitions prune") {
     import spark.implicits._
     val existing = Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 2)).toDF("k", "v", "p")
