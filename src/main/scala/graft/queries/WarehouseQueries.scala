@@ -129,6 +129,23 @@ object WarehouseQueries {
       .agg(sum("pn").as("n_events"), sum("ps").cast("double").as("total"))
       .orderBy("event_type")
 
+  /** Skew-resistant JOIN (the join-side companion of q_skew_agg):
+    * events join a per-type dimension on event_type — five distinct
+    * values over the whole fact, the worst static skew a shuffled join
+    * can see (each key is one reducer). Joins.saltedJoin spreads every
+    * key over 8 salts and replicates the dim 8×, so the shuffle key is
+    * (event_type, salt) and no reducer owns a whole type. Results are
+    * identical to the plain join — the oracle IS the plain join. */
+  def skewJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = events(s, d).select(col("event_type").as("dim_type")).distinct()
+      .withColumn("type_label", upper(col("dim_type")))
+    graft.operators.Joins.saltedJoin(
+      events(s, d).select("event_id", "event_type", "value"),
+      dim, "event_type", "dim_type", salts = 8)
+      .select("event_id", "event_type", "type_label", "value")
+      .orderBy("event_id")
+  }
+
   /** Batch-parity query for the streaming windowed-count job
     * (graft.streaming.StreamJobs) — same window spec, counts only. */
   def streamWindowCounts(s: SparkSession, d: String): DataFrame =
@@ -627,6 +644,7 @@ object WarehouseQueries {
     "q_sessionize" -> sessionize _,
     "q_asof_join" -> asofJoin _,
     "q_skew_agg" -> skewAgg _,
+    "q_skew_join" -> skewJoin _,
     "stream_window_counts" -> streamWindowCounts _,
   )
 
@@ -981,6 +999,11 @@ object WarehouseQueries {
     "q_skew_agg" ->
       s"""SELECT event_type, count(*) AS n_events, ${dsumSql("value")} AS total
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the salt is a pure execution-strategy detail: the salted join's
+    // RESULT is the plain join, so the oracle is the plain join
+    "q_skew_join" ->
+      """SELECT event_id, event_type, upper(event_type) AS type_label, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "stream_window_counts" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart,
         |  event_type, count(*) AS n

@@ -177,6 +177,32 @@ class GwasOpsSpec extends SparkSpec {
       plain.select(sum("v")).head().getLong(0))
   }
 
+  test("saltedJoin shuffles on (key, salt) when the dim can't broadcast") {
+    import graft.operators.Joins
+    // force the shuffled path: at scale the dim wouldn't broadcast and
+    // the salt must be part of the partitioning or the hot key still
+    // lands on one reducer
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val skewed = (1 to 100).map(i => (1L, i)).toDF("k", "v")
+      val dim = Seq((1L, "one")).toDF("dk", "name")
+      val plan = Joins.saltedJoin(skewed, dim, "k", "dk")
+        .queryExecution.sparkPlan
+      // the equi-join keys drive EnsureRequirements' hashpartitioning:
+      // _salt among them means the shuffle spreads the hot key
+      val joinKeys = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          j.leftKeys.map(_.sql)
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+          j.leftKeys.map(_.sql)
+      }
+      assert(joinKeys.nonEmpty, s"no shuffled join in plan:\n$plan")
+      assert(joinKeys.forall(_.exists(_.contains("_salt"))),
+        s"join keys not salted: $joinKeys")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("orphans finds load rows missing from b37") {
     val load = Seq(("a", 1), ("b", 1)).toDF("kgp_id", "study_id")
     val b37 = Seq(("a", 1, 1)).toDF("kgp_id", "chr", "pos")
