@@ -349,6 +349,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BM25 keyword search: rank documents against a bag of query terms —
+    * the full-text-search shape (the reference's app IS an interactive
+    * search front end; this is its ranked generalization, and the
+    * retrieval half of a training-data curation stack next to the ANN
+    * operators). Lucene's BM25 variant: idf = ln((N − df + ½)/(df + ½)
+    * + 1) (always positive), tf saturation k1, length normalization b
+    * against the mean document length.
+    *
+    * Shape: this is the inverted-index computation expressed
+    * relationally — the (doc, term, tf) explode IS the posting list,
+    * built in one linear pass with map-side-combinable counts; df is a
+    * term-cardinality aggregate over it (query-term-sized); corpus
+    * stats (N, Σdl) ride a broadcast one-row anchor. Scoring joins
+    * postings to the tiny df/stats tables (AQE broadcasts them), one
+    * doc_id aggregate, TakeOrdered top-k — no full sort, no driver
+    * data. Terms prune at the explode, so the shuffle carries only
+    * postings of the query's terms, not the corpus vocabulary.
+    *
+    * Determinism: tf/df/dl/N are integers; Σdl goes through DECIMAL;
+    * every constant in the score is spelled as the same IEEE
+    * expression on both engines; the per-term contribution rounds
+    * through DECIMAL(18,6) before the per-doc sum (the lmScore
+    * rationale), so the DuckDB oracle is hash-exact. */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("_toks"))
+      .withColumn("dl", size(col("_toks")))
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(col("dl").cast(DecimalType(18, 6))).cast("double").as("_sdl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("_sdl") / col("_n")
+    val idf = log((col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    tf.join(df, "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(contrib.cast(DecimalType(18, 6))).cast("double").as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+  }
+
   /** 64-bit polynomial rolling-hash fingerprint via the custom Catalyst
     * expression [[graft.functions.RollingHash]] (codegen'd). */
   def rollhash(docs: DataFrame): DataFrame =

@@ -123,6 +123,11 @@ object PipelineQueries {
     // DuckDB-oracle-exact (per-term DECIMAL log sum — Det rationale)
     "text_lm_score" -> ((s, d) => TextOps.lmScore(documents(s, d))),
     "text_boilerplate" -> ((s, d) => TextOps.stripBoilerplate(documents(s, d))),
+    // BM25 ranked keyword search: one rare term ('dup', df≈25/500)
+    // against two common ones — the idf spread is what the ranking
+    // must get right; top-50 with doc_id tie-break
+    "text_bm25" -> ((s, d) => TextOps.bm25(
+      documents(s, d), Seq("dup", "vector", "join"), k = 50)),
     "text_vocab" -> ((s, d) => TextOps.vocab(documents(s, d))),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
     // REAL container parsing over crafted header bytes with known
@@ -573,6 +578,33 @@ object PipelineQueries {
         |    AS boilerplate_frac
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // same BM25 formula, spelled as the identical IEEE expression —
+    // constants appear as the same source arithmetic ((1.2 + 1.0), not
+    // 2.2: parsed-literal vs computed-sum doubles can differ one ulp),
+    // and each term contribution rounds through DECIMAL(18,6) before
+    // the per-doc sum, the lmScore pattern
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(len(t) AS DECIMAL(18,6))) AS DOUBLE) AS sdl
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(t) AS INT) AS dl, u.term, count(*) AS tf
+        |  FROM toks, UNNEST(t) AS u(term)
+        |  WHERE u.term IN ('dup', 'vector', 'join')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, count(*) AS n_terms,
+        |  CAST(SUM(CAST(
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sdl / n)))
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |FROM tf JOIN df USING (term) CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     "text_heavy_hitters" ->
       """SELECT source, tok, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -432,6 +432,30 @@ class PipelineQueriesSpec extends SparkSpec {
   private def rnd6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("bm25 matches the hand-computed formula and ranks the rare term first") {
+    import spark.implicits._
+    // N=3, dl = 4/2/4, avgdl = 10/3; terms a (df=2) and e (df=1):
+    // the rare-term doc must outrank the high-tf common-term doc
+    val docs = Seq((1L, "a b a c"), (2L, "a d"), (3L, "e f g h"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, Seq("a", "e"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def contrib(tf: Long, df: Long, dl: Int): Double = {
+      val n = 3.0; val avgdl = 10.0 / 3.0
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      rnd6(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    }
+    val expected = Seq(
+      (3L, 1L, contrib(1, 1, 4)),  // rare 'e' wins
+      (1L, 1L, contrib(2, 2, 4)),  // tf=2 of common 'a'
+      (2L, 1L, contrib(1, 2, 2)))  // short doc, tf=1
+    assert(out.map(t => (t._1, t._2)) sameElements expected.map(t => (t._1, t._2)),
+      s"ranking was ${out.toSeq}")
+    out.zip(expected).foreach { case ((_, _, got), (id, _, want)) =>
+      assert(math.abs(got - want) < 1e-9, s"doc $id: $got vs $want")
+    }
+  }
+
   test("language id picks the language with the most marker hits") {
     val d = Seq((1L, "el gato la casa el perro"), (2L, "the cat the dog a bird"))
       .toDF("doc_id", "text")
