@@ -582,6 +582,32 @@ object WarehouseQueries {
       .orderBy("ver", "o_orderkey")
   }
 
+  /** RESTORE over the transaction log: create → merge → roll back to
+    * v1 as a NEW commit. The head read after the rollback must equal
+    * the ORIGINAL table — and the restore commit moved zero data bytes
+    * (the manifest re-references v1's files; spec-pinned). The oracle
+    * is simply the original dim. */
+  def txlogRestore(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_restore_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    TxLog.create(dim, path, Some("o_orderpriority"))
+    val changes = dim.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(BigDecimal("1.1")))
+          .cast("double"))
+      .withColumn("o_orderstatus", lit("R"))
+    TxLog.mergeInto(path, changes, Seq("o_orderkey"))
+    TxLog.restore(s, path, 1L)
+    TxLog.read(s, path)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** Change-data-feed over the transaction log: create → merge → delete,
     * then emit the row-level diff v1→v3 a downstream incremental
     * consumer would apply. The oracle derives the same diff
@@ -609,6 +635,7 @@ object WarehouseQueries {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog" -> txlog _,
     "q_txlog_cdf" -> txlogCdf _,
+    "q_txlog_restore" -> txlogRestore _,
     "q_scd2" -> scd2 _,
     "q_range_join" -> rangeJoinQuery _,
     "q_upsert" -> upsert _,
@@ -668,6 +695,10 @@ object WarehouseQueries {
         |SELECT CAST(2 AS INT) AS ver, o_orderkey, o_orderstatus, o_totalprice
         |FROM v2
         |ORDER BY ver, o_orderkey""".stripMargin,
+    // after merge + restore, the head must read as the ORIGINAL dim
+    "q_txlog_restore" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_txlog_cdf" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority, _change_type
         |FROM (

@@ -515,6 +515,86 @@ object TxLog {
         :+ col("_change_type"): _*)
   }
 
+  /** RESTORE — roll the table back to a prior version AS A NEW COMMIT
+    * (the Delta `RESTORE TABLE … TO VERSION` shape): the new manifest
+    * simply references `toVersion`'s exact files and schema, so the
+    * rollback moves ZERO data bytes regardless of table size and is as
+    * atomic as any other commit. The undone versions stay readable via
+    * time travel until [[vacuum]]; the streaming-ingest watermark
+    * carries forward from the CURRENT version (not the restored one),
+    * so a replayed micro-batch is still detected after a rollback.
+    * Returns the new version. */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    require(toVersion <= cur, s"TxLog.restore: v$toVersion is not committed (head v$cur)")
+    val head = manifest(spark, path, cur)
+    val target = manifest(spark, path, toVersion)
+    writeManifest(spark, path,
+      target.copy(version = cur + 1, sourceBatchId = head.sourceBatchId))
+    cur + 1
+  }
+
+  /** Apply a change feed produced by [[changes]] to ANOTHER table —
+    * the consumer side of CDC: a replica ingests the row-level diff
+    * instead of re-reading the source. Inserts/updates merge (updates
+    * win on key collision), deletes drop their keys, and the whole
+    * feed lands as ONE atomic version with [[mergeInto]]'s economics:
+    * only partitions holding a changed or deleted key (old OR new
+    * location) rewrite; everything else carries by reference.
+    *
+    * The feed must carry one row per key (what [[changes]] emits —
+    * guarded by the same bounded eager probe as the merge operators;
+    * `preValidated = true` skips it) with the table's full column set
+    * plus `_change_type`. Applying `changes(src, a, b)` to a replica
+    * of version a reproduces version b exactly (spec-pinned). */
+  def applyChanges(path: String, feed: DataFrame, keys: Seq[String],
+                   preValidated: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.col
+    val spark = feed.sparkSession
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    val pc = m.partitionCol.getOrElse(throw new IllegalArgumentException(
+      "TxLog.applyChanges needs a partitioned table (create with partitionCol)"))
+    val declared = StructType.fromDDL(m.schemaDdl)
+    require(feed.columns.contains("_change_type"),
+      "TxLog.applyChanges: feed must carry _change_type (see TxLog.changes)")
+    declared.fieldNames.foreach(c => require(feed.columns.contains(c),
+      s"TxLog.applyChanges: feed is missing table column '$c'"))
+    if (!preValidated) {
+      val dup = graft.operators.Upsert.pkViolations(feed, keys).limit(1).collect()
+      require(dup.isEmpty,
+        s"TxLog.applyChanges: duplicate feed rows for key (${keys.mkString(",")})")
+    }
+    val upserts = feed.filter(col("_change_type").isin("insert", "update"))
+      .select(declared.fieldNames.map(col): _*)
+    require(upserts.filter(col(pc).isNull).limit(1).collect().isEmpty,
+      s"TxLog.applyChanges: null $pc values are not supported")
+    val deletes = feed.filter(col("_change_type") === "delete")
+      .select(keys.map(col): _*)
+    val existing = read(spark, path, Some(v))
+    // touched partitions: where any changed key currently LIVES (covers
+    // deletes and the old side of a moved key) ∪ where upserts LAND
+    val parts = existing
+      .join(feed.select(keys.map(col): _*), keys, "left_semi")
+      .select(col(pc))
+      .unionByName(upserts.select(col(pc)))
+      .distinct().collect().map(_.get(0)).toSeq
+    if (parts.isEmpty) return v
+    val touched = existing.filter(col(pc).isin(parts: _*))
+    val merged = graft.operators.Upsert.mergeByKey(
+      touched.join(deletes, keys, "left_anti"), upserts, keys,
+      preValidated = true)
+    val newFiles = stageIn(merged, path, Some(pc))
+    val touchedDirs = parts.map(vv => partitionDirName(pc, vv)).toSet
+    val kept = m.files.filterNot(f => touchedDirs.contains(
+      f.split('/').dropRight(1).mkString("/")))
+    writeManifest(spark, path, m.copy(version = v + 1, files = kept ++ newFiles,
+      sourceBatchId = m.sourceBatchId))
+    v + 1
+  }
+
   /** The directory name Spark's partitioned writer produces for a
     * value — its own escaping, so the touched-set arithmetic matches
     * the bytes on disk. (Values whose String form differs from Spark's

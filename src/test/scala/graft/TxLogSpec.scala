@@ -317,6 +317,54 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, path2).select("k").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("restore: zero-copy rollback commit; undone versions stay time-travelable; watermark carries") {
+    val path = freshPath("restore")
+    TxLog.create(fixture, path, Some("part"))
+    val updates = Seq((2L, "p1", 99.0), (7L, "p3", 70.0)).toDF("k", "part", "v")
+    TxLog.mergeInto(path, updates, Seq("k"))
+    // a batch append moves the streaming watermark before the rollback
+    TxLog.appendBatch(Seq((8L, "p2", 80.0)).toDF("k", "part", "v"), path, batchId = 5L)
+    assert(TxLog.restore(spark, path, 1L) == 4L)
+    // head now reads exactly v1, via v1's exact file entries (no copy)
+    assert(rows(TxLog.read(spark, path)) == rows(fixture))
+    assert(TxLog.manifest(spark, path, 4L).files.toSet ==
+      TxLog.manifest(spark, path, 1L).files.toSet, "restore copied data files")
+    // the undone merge is still pinned-readable until vacuum
+    assert(rows(TxLog.read(spark, path, Some(2L)))
+      .exists(r => r == ((2L, "p1", 99.0))))
+    // the batch watermark survived the rollback: replaying batch 5 is a no-op
+    assert(TxLog.appendBatch(Seq((9L, "p1", 90.0)).toDF("k", "part", "v"),
+      path, batchId = 5L) == 4L)
+    assert(rows(TxLog.read(spark, path)) == rows(fixture))
+  }
+
+  test("applyChanges: replaying a CDF onto a replica of v_from reproduces v_to; untouched files carry") {
+    val src = freshPath("cdc_src")
+    val rep = freshPath("cdc_rep")
+    TxLog.create(fixture, src, Some("part"))
+    // replica starts at the source's v1
+    TxLog.create(TxLog.read(spark, src, Some(1L)), rep, Some("part"))
+    val repUntouched = TxLog.manifest(spark, rep, 1L).files
+      .filterNot(_.startsWith("part=p1/"))
+    // source evolves: update k=2 (p1), insert k=7 (p1), delete k=1 (p1)
+    TxLog.mergeInto(src,
+      Seq((2L, "p1", 99.0), (7L, "p1", 70.0)).toDF("k", "part", "v"), Seq("k"))
+    TxLog.deleteWhere(spark, src, col("k") === 1L)
+    val feed = TxLog.changes(spark, src, 1L, 3L, Seq("k"))
+    assert(TxLog.applyChanges(rep, feed, Seq("k")) == 2L)
+    assert(rows(TxLog.read(spark, rep)) == rows(TxLog.read(spark, src)),
+      "replica diverged from source after CDF apply")
+    // the p2/p3 partitions held no changed key: carried by reference
+    assert(TxLog.manifest(spark, rep, 2L).files
+      .filterNot(_.startsWith("part=p1/")).toSet == repUntouched.toSet,
+      "untouched replica partitions were rewritten")
+    // a duplicate-key feed fails loudly instead of applying twice
+    val dupFeed = feed.unionByName(feed.limit(1))
+    assertThrows[IllegalArgumentException] {
+      TxLog.applyChanges(rep, dupFeed, Seq("k"))
+    }
+  }
+
   test("changes (CDF): insert/update/delete diff between versions, aligned across evolution") {
     val path = freshPath("cdf")
     TxLog.create(fixture, path, Some("part"))
