@@ -129,6 +129,32 @@ object PipelineQueries {
     "text_bm25" -> ((s, d) => TextOps.bm25(
       documents(s, d), Seq("dup", "vector", "join"), k = 50)),
     "text_vocab" -> ((s, d) => TextOps.vocab(documents(s, d))),
+    // JSONL ingest round trip with planted corruption: 200 docs export
+    // to JSON lines, three malformed lines (bad syntax, type-violating
+    // id, missing id) are appended, and the read-back GOOD side must be
+    // exactly the 200 originals — the quarantine filtered the rest
+    // (quarantine contents spec'd in SourcesSpec)
+    "ingest_jsonl" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{length, struct, to_json}
+      val path = sys.props("java.io.tmpdir") + "/graft_jsonl_query"
+      val docs = documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("source"), col("text"))
+      val corrupt = Seq(
+        "{ not json",
+        """{"doc_id":"not_a_number","source":"web","text":"type-violating id"}""",
+        """{"source":"web","text":"missing id"}""").toDF("value")
+      docs.select(to_json(struct(col("doc_id"), col("source"), col("text")))
+          .as("value"))
+        .unionAll(corrupt)
+        .write.mode("overwrite").text(path)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, source STRING, text STRING")
+      val (good, _) = graft.sources.Jsonl.readJsonl(s, path, schema,
+        required = Seq("doc_id"))
+      good.select(col("doc_id"), col("source"), length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
     "mm_decode_meta" -> ((s, d) => Multimodal.decodeMeta(documents(s, d))),
     // REAL container parsing over crafted header bytes with known
     // dimensions: the fixture (below) is the same on both engines, so
@@ -605,6 +631,11 @@ object PipelineQueries {
         |FROM tf JOIN df USING (term) CROSS JOIN stats
         |GROUP BY tf.doc_id
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    // the good side of the quarantined ingest is exactly the exported
+    // subset — corruption never reaches it
+    "ingest_jsonl" ->
+      """SELECT doc_id, source, length(text) AS n_chars
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "text_heavy_hitters" ->
       """SELECT source, tok, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
