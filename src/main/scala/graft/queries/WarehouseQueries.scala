@@ -191,6 +191,21 @@ object WarehouseQueries {
       .orderBy("l_suppkey")
   }
 
+  /** Incremental distinct-users rollup (graft.operators.Sketches): the
+    * events table slices by day into per-(day, type) HLL sketch rows,
+    * and the per-type distinct-user answer is a merge over those rows —
+    * the pattern that answers any-window distinct questions at 100 TB
+    * without rescanning events. Rows-only (sketch estimates are
+    * engine-specific); the spec pins combine ≡ single-pass exactly and
+    * brackets the error vs exact distinct. */
+  def hllRollup(s: SparkSession, d: String): DataFrame = {
+    val slices = graft.operators.Sketches.hllSlices(
+      events(s, d), expr("unix_micros(ts) div 86400000000"),
+      Seq("event_type"), "user_id")
+    graft.operators.Sketches.hllCombine(slices, Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** Top-3 rows per group via the custom TopKPerGroup operator
     * (graft.plans): partial map-side k-heaps cap the shuffle at
     * k·groups rows per partition and nothing is fully sorted — the
@@ -662,6 +677,7 @@ object WarehouseQueries {
     "q_unpivot" -> unpivot _,
     "q_distinct_count" -> distinctCount _,
     "q_approx_distinct" -> approxDistinct _,
+    "q_hll_rollup" -> hllRollup _,
     "q_topk_group" -> topkGroup _,
     "q_json_extract" -> jsonExtract _,
     "q1_agg" -> q1Agg _,

@@ -45,6 +45,30 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("q_hll_rollup: slice combine equals the single-pass sketch exactly, error <= 5% of exact") {
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, sf)
+    val slices = Sketches.hllSlices(ev,
+      expr("unix_micros(ts) div 86400000000"), Seq("event_type"), "user_id")
+    assert(slices.select(countDistinct(col("slice"))).head().getLong(0) > 1,
+      "fixture produced a single slice — combine would be trivial")
+    val combined = Sketches.hllCombine(slices, Seq("event_type")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merging the per-day sketches must give the IDENTICAL estimate as
+    // sketching the whole table in one pass — sketch unions are exact
+    // over sketch state, that is the incremental contract
+    val onePass = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(combined == onePass, s"combine diverged: $combined vs $onePass")
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    combined.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)).toDouble / exact(k) <= 0.05,
+        s"$k: estimate $est vs exact ${exact(k)}")
+    }
+  }
+
   test("q_corr_stats matches the builtin corr/covar/stddev aggregates") {
     val ours = WarehouseQueries.corrStats(spark, sf).collect()
       .map(r => r.getString(0) ->
