@@ -399,6 +399,98 @@ object TextOps {
       .limit(k)
   }
 
+  /** One greedy left-to-right BPE merge pass over a symbol array:
+    * every adjacent (a, b) becomes a+b, non-overlapping ("aaa" under
+    * (a,a) → ["aa","a"]) — after a merge the accumulator's last element
+    * is a+b, which cannot re-match `a`, so the fold IS the standard
+    * scan. A codegen'd higher-order aggregate: the corpus-wide pass
+    * stays a distributed projection. */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Byte-pair-encoding merge training (Sennrich-style, word-internal):
+    * learn `numMerges` merges from the corpus's own statistics — the
+    * tokenizer-construction step of a training-data pipeline.
+    *
+    * Distributed shape: the state is the WORD-FREQUENCY dictionary
+    * (distinct word → symbol array + count), built by one corpus
+    * explode+count — at web scale that dictionary is a 10^8-row
+    * DataFrame, which is exactly why it stays distributed here rather
+    * than collapsing to a driver hash map. Each round is (1) a pair
+    * explode + partial-agg count weighted by word frequency, (2) an
+    * argmax that collects ONE row (count desc, then lexicographic —
+    * deterministic), (3) the [[mergePair]] projection over the
+    * dictionary. Per-round lineage is cut by an eager localCheckpoint,
+    * the [[Dedup.components]] precedent. Driver data per round: one
+    * row; total rounds: `numMerges`.
+    *
+    * Stops early when no pair reaches `minPairCount` (merging
+    * singletons teaches nothing). Returns (rank, left, right,
+    * pair_count) in merge order. */
+  def bpeMerges(docs: DataFrame, numMerges: Int,
+                minPairCount: Long = 2): Seq[(Int, String, String, Long)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    var state = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(filter(split(col("w"), ""), x => x =!= "").as("syms"), col("n"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (rank <- 1 to numMerges if !done) {
+      val top = state
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy("p.a", "p.b").agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(1).collect()
+      top.headOption.filter(_.getLong(2) >= minPairCount) match {
+        case None => done = true
+        case Some(r) =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          merges += ((rank, a, b, r.getLong(2)))
+          state = state
+            .withColumn("syms", mergePair(col("syms"), a, b))
+            .localCheckpoint(true)
+      }
+    }
+    state.unpersist()
+    merges.toSeq
+  }
+
+  /** [[bpeMerges]] as a DataFrame — the driver-checkable merge table. */
+  def bpeTrain(docs: DataFrame, numMerges: Int,
+               minPairCount: Long = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeMerges(docs, numMerges, minPairCount)
+      .toDF("merge_rank", "left", "right", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** Apply learned merges to the corpus — the ENCODE side: each word
+    * splits to characters and replays the merge list in rank order
+    * (one chained [[mergePair]] projection per merge, all codegen'd,
+    * zero shuffles — a pure scan at any corpus size). Returns
+    * (doc_id, tokens, n_tokens). */
+  def bpeSegment(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val charSplit = transform(split(col("text"), " "),
+      w => filter(split(w, ""), x => x =!= ""))
+    val applied = merges.foldLeft(charSplit) { case (c, (a, b)) =>
+      transform(c, w => mergePair(w, a, b))
+    }
+    docs.select(col("doc_id"), flatten(applied).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit polynomial rolling-hash fingerprint via the custom Catalyst
     * expression [[graft.functions.RollingHash]] (codegen'd). */
   def rollhash(docs: DataFrame): DataFrame =

@@ -129,6 +129,11 @@ object PipelineQueries {
     "text_bm25" -> ((s, d) => TextOps.bm25(
       documents(s, d), Seq("dup", "vector", "join"), k = 50)),
     "text_vocab" -> ((s, d) => TextOps.vocab(documents(s, d))),
+    // BPE tokenizer training over the corpus's own statistics: 10
+    // merges from the word-frequency dictionary (rows-only: iterative
+    // argmax isn't SQL-expressible; the hand-computed fixture spec and
+    // the segment round-trip pin the algorithm)
+    "text_bpe" -> ((s, d) => TextOps.bpeTrain(documents(s, d), numMerges = 10)),
     // JSONL ingest round trip with planted corruption: 200 docs export
     // to JSON lines, three malformed lines (bad syntax, type-violating
     // id, missing id) are appended, and the read-back GOOD side must be

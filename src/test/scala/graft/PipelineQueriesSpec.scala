@@ -432,6 +432,31 @@ class PipelineQueriesSpec extends SparkSpec {
   private def rnd6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("BPE training learns the hand-computed merges in order; segment replays them") {
+    import spark.implicits._
+    // word counts: abc:3, ab:3 -> round 1 pair counts (a,b)=6, (b,c)=3
+    // -> merge (a,b); round 2 (ab,c)=3 -> merge; then nothing >= 2
+    val docs = Seq((1L, "abc abc ab"), (2L, "abc ab ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, numMerges = 10)
+    assert(merges == Seq((1, "a", "b", 6L), (2, "ab", "c", 3L)),
+      s"merges were $merges")
+    val seg = TextOps.bpeSegment(docs, merges.map(m => (m._2, m._3)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(seg(1L) == Seq("abc", "abc", "ab"))
+    assert(seg(2L) == Seq("abc", "ab", "ab"))
+    // counting is adjacency-based (3 per "aaaa", the classic stats),
+    // but the MERGE is greedy non-overlapping: "aaaa" -> [aa, aa]
+    val runs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val m1 = TextOps.bpeMerges(runs, 1)
+    assert(m1 == Seq((1, "a", "a", 6L)), s"adjacency counting: $m1")
+    val segRuns = TextOps.bpeSegment(runs, Seq(("a", "a")))
+      .collect().map(r => r.getSeq[String](1)).head
+    assert(segRuns == Seq("aa", "aa", "aa", "aa"), s"greedy merge: $segRuns")
+    // equal counts resolve lexicographically: (x,y) beats (x,z)
+    val tie = Seq((1L, "xy xz")).toDF("doc_id", "text")
+    assert(TextOps.bpeMerges(tie, 1, minPairCount = 1).head == ((1, "x", "y", 1L)))
+  }
+
   test("bm25 matches the hand-computed formula and ranks the rare term first") {
     import spark.implicits._
     // N=3, dl = 4/2/4, avgdl = 10/3; terms a (df=2) and e (df=1):
