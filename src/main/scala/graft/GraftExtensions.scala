@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{AudioHeader, CosineSim, DotProduct, ImageHeader, RollingHash, WordShingles}
+import graft.functions.{AudioHeader, CosineSim, DotProduct, ImageHeader, RollingHash, VideoHeader, WordShingles}
 
 /** Session-extension entry point: makes graft's native expressions
   * callable from SQL. Two ways in:
@@ -46,6 +46,10 @@ object GraftExtensions {
       info("audio_header",
         "audio_header(bin) - struct(format, sample_rate, channels, bits) parsed from real WAV/FLAC header bytes; null if unrecognized"),
       (es: Seq[Expression]) => AudioHeader(es.head)),
+    ("video_header",
+      info("video_header",
+        "video_header(bin) - struct(format, width, height, duration_ms) parsed from real MP4/AVI container bytes; null if unrecognized"),
+      (es: Seq[Expression]) => VideoHeader(es.head)),
     ("word_shingles",
       info("word_shingles",
         "word_shingles(str, k) - distinct word k-gram shingles of str as array<string>; k must be a literal"),

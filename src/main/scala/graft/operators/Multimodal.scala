@@ -78,6 +78,20 @@ object Multimodal {
         col("hdr.bits").as("bits"))
       .orderBy(idCol)
 
+  /** REAL video container parsing — MP4 box walk + AVI RIFF walk via
+    * [[graft.functions.VideoHeader]]; completes the header trio with
+    * [[imageMeta]]/[[audioMeta]], same null-for-corrupt contract. */
+  def videoMeta(df: DataFrame, payloadCol: String = "payload",
+                idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), octet_length(col(payloadCol)).as("n_bytes"),
+        graft.functions.VideoFunctions.video_header(col(payloadCol)).as("hdr"))
+      .select(col(idCol), col("n_bytes"),
+        col("hdr.format").as("format"),
+        col("hdr.width").as("width"),
+        col("hdr.height").as("height"),
+        col("hdr.duration_ms").as("duration_ms"))
+      .orderBy(idCol)
+
   /** Batched decode over partitions — the Scala shape of a
     * `mapInPandas` media pipeline: one decoder instantiation per
     * partition (amortized like a per-batch codec init), rows streamed

@@ -179,6 +179,15 @@ object PipelineQueries {
       Multimodal.audioMeta(
         fx.select(col("doc_id"), org.apache.spark.sql.functions.unhex(col("hex")).as("payload")))
     }),
+    // video sibling of mm_image_meta/mm_audio_meta: MP4 box walk +
+    // AVI RIFF walk over crafted container bytes, ground-truth VALUES
+    // oracle
+    "mm_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val fx = videoFixture.map { case (id, hex, _) => (id, hex) }.toDF("doc_id", "hex")
+      Multimodal.videoMeta(
+        fx.select(col("doc_id"), org.apache.spark.sql.functions.unhex(col("hex")).as("payload")))
+    }),
     // histogram flattened to 16 scalar columns: the driver's pandas
     // row-sort can't hash an array column (round-1 harness crash), and
     // scalar columns also make the op DuckDB-oracle-checkable
@@ -351,6 +360,57 @@ object PipelineQueries {
       }
     }
 
+  /** Hex of a minimal MP4: ftyp + a free box, then moov whose mvhd sits
+    * BEHIND a udta child and whose trak>tkhd carries 16.16 fixed-point
+    * dims — only a real two-level box walk finds all of it. */
+  private[graft] def mp4Hex(w: Int, h: Int, timescale: Long, duration: Long): String = {
+    def be32(v: Long) = f"${v & 0xffffffffL}%08X"
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000000"
+    val free = "0000000C" + "66726565" + "DEADBEEF"
+    val mvhd = be32(28) + "6D766864" + "00000000" + "00000000" + "00000000" +
+      be32(timescale) + be32(duration)
+    val tkhd = be32(92) + "746B6864" + "00000000" + ("00" * 72) +
+      be32(w.toLong << 16) + be32(h.toLong << 16)
+    val trak = be32(100) + "7472616B" + tkhd
+    val udta = "00000008" + "75647461"
+    val moovPayload = udta + mvhd + trak
+    ftyp + free + be32(8L + moovPayload.length / 2) + "6D6F6F76" + moovPayload
+  }
+
+  /** Hex of a minimal AVI: RIFF/AVI with a JUNK chunk before LIST/hdrl,
+    * avih carrying µs-per-frame, frame count, and dims. */
+  private[graft] def aviHex(w: Int, h: Int, uspf: Long, frames: Long): String = {
+    def le32(v: Long) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X" +
+      f"${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
+    val avih = "61766968" + le32(56) + le32(uspf) + le32(0) + le32(0) + le32(0) +
+      le32(frames) + le32(0) + le32(1) + le32(0) + le32(w.toLong) + le32(h.toLong) +
+      ("00" * 16)
+    val list = "4C495354" + le32(4L + avih.length / 2) + "6864726C" + avih
+    val junk = "4A554E4B" + le32(4) + "00000000"
+    val payload = junk + list
+    "52494646" + le32(4L + payload.length / 2) + "41564920" + payload
+  }
+
+  /** (doc_id, payload hex, expected (format, w, h, duration_ms) or
+    * None-for-corrupt) — shared by mm_video_meta and its oracle. */
+  private[graft] def videoFixture: Seq[(Long, String, Option[(String, Int, Int, Long)])] =
+    (0 until 10).map { i =>
+      val w = 320 + 16 * i
+      val h = 180 + 9 * i
+      i % 4 match {
+        case 0 | 2 =>
+          val ts = 600L + 100 * i; val dur = 3000L + 777 * i
+          (i.toLong, mp4Hex(w, h, ts, dur), Some(("mp4", w, h, dur * 1000L / ts)))
+        case 1 =>
+          val uspf = 33333L + i; val frames = 240L + 24 * i
+          (i.toLong, aviHex(w, h, uspf, frames),
+            Some(("avi", w, h, frames * uspf / 1000L)))
+        // a truncated ftyp prefix and plain garbage must both null out
+        case _ if i == 3 => (i.toLong, "000000106674797069736F6D", None)
+        case _           => (i.toLong, "DEADBEEF", None)
+      }
+    }
+
   /** Cache key for per-dataset offline artifacts: SHA-256 over the
     * dataset's absolute path plus the newest modification time under
     * its embeddings table, truncated to 16 hex chars. */
@@ -495,6 +555,22 @@ object PipelineQueries {
          |  format, CAST(sample_rate AS INT) AS sample_rate,
          |  CAST(channels AS INT) AS channels, CAST(bits AS INT) AS bits
          |FROM (VALUES $rows) AS t(doc_id, n_bytes, format, sample_rate, channels, bits)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "mm_video_meta" -> {
+      val rows = videoFixture.map { case (id, hex, meta) =>
+        val nb = hex.length / 2
+        meta match {
+          case Some((f, w, h, ms)) => s"($id, $nb, '$f', $w, $h, $ms)"
+          case None =>
+            s"($id, $nb, CAST(NULL AS VARCHAR), CAST(NULL AS INT), " +
+              "CAST(NULL AS INT), CAST(NULL AS BIGINT))"
+        }
+      }.mkString(", ")
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_bytes AS INT) AS n_bytes,
+         |  format, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+         |  CAST(duration_ms AS BIGINT) AS duration_ms
+         |FROM (VALUES $rows) AS t(doc_id, n_bytes, format, width, height, duration_ms)
          |ORDER BY doc_id""".stripMargin
     },
     "mm_decode_meta" ->

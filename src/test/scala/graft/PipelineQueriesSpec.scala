@@ -693,6 +693,39 @@ class PipelineQueriesSpec extends SparkSpec {
       s"parse fell out of codegen:\n${sq.queryExecution.executedPlan}")
   }
 
+  test("video headers: MP4 two-level box walk, 16.16 dims, AVI hdrl walk; audio-only and corrupt null") {
+    import spark.implicits._
+    // an MP4 whose only trak is AUDIO (tkhd dims 0x0) must null out —
+    // dims never invent themselves
+    val audioOnlyMp4 = PipelineQueries.mp4Hex(0, 0, 600, 3000)
+    val d = Seq(
+      (1L, PipelineQueries.mp4Hex(1920, 1080, 90000, 450000)), // 5000 ms
+      (2L, PipelineQueries.aviHex(640, 480, 33333, 300)),      // 9999 ms
+      (3L, audioOnlyMp4),
+      (4L, "000000106674797069736F6D"),                        // truncated ftyp
+      (5L, "DEADBEEF")
+    ).toDF("doc_id", "hex")
+    val r = Multimodal.videoMeta(d.select(col("doc_id"), unhex(col("hex")).as("payload")))
+      .collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(2)) None
+        else Some((x.getString(2), x.getInt(3), x.getInt(4), x.getLong(5)))))
+      .toMap
+    assert(r(1L).contains(("mp4", 1920, 1080, 5000L)), s"box walk failed: ${r(1L)}")
+    assert(r(2L).contains(("avi", 640, 480, 9999L)), s"hdrl walk failed: ${r(2L)}")
+    assert(r(3L).isEmpty, "audio-only MP4 must parse to null")
+    assert(r(4L).isEmpty, "truncated MP4 must parse to null")
+    assert(r(5L).isEmpty, "garbage must parse to null")
+    // SQL surface + codegen, the audio_header precedent
+    GraftExtensions.register(spark)
+    val hex = PipelineQueries.mp4Hex(320, 240, 1000, 12345)
+    val sq = spark.range(1)
+      .selectExpr(s"video_header(unhex(if(id >= 0, '$hex', ''))).duration_ms AS ms")
+    assert(sq.head().getLong(0) == 12345L)
+    assert(sq.queryExecution.executedPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined,
+      s"parse fell out of codegen:\n${sq.queryExecution.executedPlan}")
+  }
+
   private def listParquet(dir: String): Map[String, (Long, Long)] = {
     val base = java.nio.file.Paths.get(dir)
     import scala.jdk.CollectionConverters._
