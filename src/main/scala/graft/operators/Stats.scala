@@ -62,4 +62,27 @@ object Stats {
         round(sqrt(mxx / nn1), 6).as("stddev_x"),
         round(sqrt(myy / nn1), 6).as("stddev_y"))
   }
+
+  /** Per-row z-score standardization of `xCol` against its group's
+    * sample mean/stddev — the feature-normalization pass, from the
+    * same exact decimal moments as [[corrStats]]: one group-sized
+    * aggregate joined back onto the rows (AQE broadcasts it — group
+    * cardinality, never data), the final expression in identical IEEE
+    * doubles on both engines. Appends `zscore` (round 6); single-row
+    * or zero-variance groups hit the same division-by-zero on both
+    * engines. */
+  def zscore(df: DataFrame, groupCol: String, xCol: String): DataFrame = {
+    val x = col(xCol).cast(DecimalType(18, 6))
+    val n = col("_n"); val sx = col("_sx"); val sxx = col("_sxx")
+    val moments = df.groupBy(groupCol)
+      .agg(
+        count(lit(1)).cast("double").as("_n"),
+        sum(x).cast("double").as("_sx"),
+        sum(x * x).cast("double").as("_sxx"))
+    df.join(moments, groupCol)
+      .withColumn("zscore",
+        round((col(xCol) - sx / n) /
+          sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))), 6))
+      .drop("_n", "_sx", "_sxx")
+  }
 }

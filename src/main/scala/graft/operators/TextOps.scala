@@ -399,6 +399,27 @@ object TextOps {
       .limit(k)
   }
 
+  /** Character-distribution Shannon entropy per document — the
+    * byte-level quality signal (binary junk and single-char spam score
+    * near 0, natural text ~4 bits): H = ln(n) − (Σ c·ln c)/n over the
+    * per-character counts, all from one explode + two partial-agg
+    * passes. The c·ln c terms round through DECIMAL(18,6) before the
+    * sum (lmScore's rationale), so the DuckDB oracle is hash-exact. */
+  def entropy(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    docs
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), ""), x => x =!= "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_chars"),
+        sum((col("c") * log(col("c"))).cast(DecimalType(18, 6)))
+          .cast("double").as("_clogc"))
+      .select(col("doc_id"), col("n_chars"),
+        round(log(col("n_chars")) - col("_clogc") / col("n_chars"), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** One greedy left-to-right BPE merge pass over a symbol array:
     * every adjacent (a, b) becomes a+b, non-overlapping ("aaa" under
     * (a,a) → ["aa","a"]) — after a merge the accumulator's last element

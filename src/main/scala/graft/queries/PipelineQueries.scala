@@ -122,6 +122,7 @@ object PipelineQueries {
     // probabilities are plain count arithmetic, so the whole signal is
     // DuckDB-oracle-exact (per-term DECIMAL log sum — Det rationale)
     "text_lm_score" -> ((s, d) => TextOps.lmScore(documents(s, d))),
+    "text_entropy" -> ((s, d) => TextOps.entropy(documents(s, d))),
     "text_boilerplate" -> ((s, d) => TextOps.stripBoilerplate(documents(s, d))),
     // BM25 ranked keyword search: one rare term ('dup', df≈25/500)
     // against two common ones — the idf spread is what the ranking
@@ -516,6 +517,18 @@ object PipelineQueries {
         |JOIN uni ON b.w1 = uni.w1
         |CROSS JOIN vocab
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),
+        |c AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch <> '' GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+        |    CAST(SUM(CAST(c * ln(c) AS DECIMAL(18,6))) AS DOUBLE) AS clogc
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_chars,
+        |  round(ln(n_chars) - clogc / n_chars, 6) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(

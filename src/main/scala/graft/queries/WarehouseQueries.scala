@@ -313,6 +313,59 @@ object WarehouseQueries {
       .orderBy("event_id")
   }
 
+  /** Distribution window functions — ntile deciles, percent_rank,
+    * cume_dist — the ranking-analytics family q_window_rank's
+    * row_number doesn't cover. The window ORDER is a unique composite,
+    * so tie-dependent semantics can't diverge between engines. */
+  def distributionWindows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    lineitem(s, d)
+      .filter(col("l_suppkey") <= 3)
+      .select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+  }
+
+  /** Time-series resample: the per-(type, hour) aggregate re-gridded
+    * onto a DENSE hourly spine (the events table really has 30-50
+    * empty hours per type) — counts zero-fill, totals zero-fill, and a
+    * forward-fill (LOCF) column carries the last observed total across
+    * gaps. The spine generates from each type's own min/max hour via
+    * `sequence` — no driver hop, interval-bounded explode. */
+  def resample(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val ffill = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .select(
+        col("event_type"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total"), lit(0.0)).as("total"),
+        last(col("total"), ignoreNulls = true).over(ffill).as("ffill_total"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** Per-row feature standardization via graft.operators.Stats.zscore:
+    * group moments joined back, bit-identical doubles (q_corr_stats'
+    * per-row companion). */
+  def zscoreQuery(s: SparkSession, d: String): DataFrame =
+    graft.operators.Stats.zscore(
+      lineitem(s, d)
+        .filter(col("l_suppkey") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "zscore")
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "zscore")
+
   /** Running (cumulative) revenue per supplier in ship order. The
     * window sum accumulates in DECIMAL so every prefix is exact —
     * double prefixes would drift from the oracle one ulp at a time. */
@@ -671,6 +724,9 @@ object WarehouseQueries {
     "q_running_sum" -> runningSum _,
     "q_corr_stats" -> corrStats _,
     "q_moving_avg" -> movingAvg _,
+    "q_ntile" -> distributionWindows _,
+    "q_resample" -> resample _,
+    "q_zscore" -> zscoreQuery _,
     "q_lag_delta" -> lagDelta _,
     "q_percentile" -> percentiles _,
     "q_approx_percentile" -> approxPercentiles _,
@@ -895,6 +951,45 @@ object WarehouseQueries {
         |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q_ntile" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  ntile(10) OVER w AS decile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM lineitem WHERE l_suppkey <= 3
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
+    "q_resample" -> {
+      s"""WITH h AS (
+         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         |    count(*) AS n, ${dsumSql("value")} AS total
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM h GROUP BY 1),
+         |s AS (SELECT event_type, unnest(generate_series(mn, mx)) AS hr FROM b)
+         |SELECT s.event_type, s.hr,
+         |  coalesce(h.n, 0) AS n, coalesce(h.total, 0.0) AS total,
+         |  last_value(h.total IGNORE NULLS) OVER (
+         |    PARTITION BY s.event_type ORDER BY s.hr
+         |    ROWS UNBOUNDED PRECEDING) AS ffill_total
+         |FROM s LEFT JOIN h ON s.event_type = h.event_type AND s.hr = h.hr
+         |ORDER BY s.event_type, s.hr""".stripMargin
+    },
+    // same moment shapes as q_corr_stats (width-19 products for
+    // DuckDB's hugeint path), identical final IEEE expression
+    "q_zscore" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+        |           * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxx
+        |  FROM lineitem WHERE l_suppkey <= 3 GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        |  round((l_extendedprice - sx / n)
+        |        / sqrt((n*sxx - sx*sx) / (n*(n - 1.0))), 6) AS zscore
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |WHERE l_suppkey <= 3
+        |ORDER BY l_orderkey, l_linenumber, l.l_returnflag, zscore""".stripMargin,
     "q_lag_delta" ->
       """SELECT event_id, user_id,
         |  CAST(floor(epoch(ts)) AS BIGINT)

@@ -432,6 +432,19 @@ class PipelineQueriesSpec extends SparkSpec {
   private def rnd6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("entropy matches the hand-computed value; uniform text maxes, single-char floors at 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab"), (2L, "abcd"), (3L, "aaaa")).toDF("doc_id", "text")
+    val out = TextOps.entropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // H(aab) = ln 3 - (2 ln 2)/3 with the 2ln2 term at DECIMAL(18,6)
+    val want1 = rnd6(math.log(3) - 1.386294 / 3)
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - want1) < 1e-9, s"${out(1L)}")
+    // 4 distinct chars of 4: maximal ln 4; all-same: exactly 0
+    assert(math.abs(out(2L)._2 - rnd6(math.log(4) - 0.0 / 4)) < 1e-9, s"${out(2L)}")
+    assert(out(3L)._2 == 0.0, s"${out(3L)}")
+  }
+
   test("BPE training learns the hand-computed merges in order; segment replays them") {
     import spark.implicits._
     // word counts: abc:3, ab:3 -> round 1 pair counts (a,b)=6, (b,c)=3

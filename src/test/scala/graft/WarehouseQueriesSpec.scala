@@ -69,6 +69,36 @@ class WarehouseQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_resample: dense spine covers every hour, gaps zero-fill, forward fill carries") {
+    val r = WarehouseQueries.resample(spark, sf).collect()
+    val byType = r.groupBy(_.getString(0))
+    byType.foreach { case (t, rows) =>
+      val hrs = rows.map(_.getLong(1))
+      assert(hrs.max - hrs.min + 1 == hrs.length, s"$t: spine has holes")
+      assert(rows.exists(_.getLong(2) == 0L), s"$t: fixture has no gap hours")
+    }
+    // on a gap hour the LOCF column equals the previous hour's carry
+    r.sortBy(x => (x.getString(0), x.getLong(1)))
+      .sliding(2).foreach {
+        case Array(a, b) if a.getString(0) == b.getString(0) && b.getLong(2) == 0L =>
+          assert(b.getDouble(4) == a.getDouble(4),
+            s"${b.getString(0)} hr ${b.getLong(1)}: forward fill broke")
+        case _ =>
+      }
+  }
+
+  test("q_zscore standardizes: group mean ~0, stddev ~1, matches builtin stddev form") {
+    val stats = WarehouseQueries.zscoreQuery(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(avg("zscore").as("m"), stddev_samp(col("zscore")).as("s"))
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-6, s"${r.getString(0)}: mean ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6, s"${r.getString(0)}: sd ${r.getDouble(2)}")
+    }
+  }
+
   test("q_corr_stats matches the builtin corr/covar/stddev aggregates") {
     val ours = WarehouseQueries.corrStats(spark, sf).collect()
       .map(r => r.getString(0) ->
