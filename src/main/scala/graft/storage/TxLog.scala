@@ -181,8 +181,15 @@ object TxLog {
     val v = version.orElse(currentVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
-    val schema = StructType.fromDDL(m.schemaDdl)
-    if (m.files.isEmpty)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), m.files)
+  }
+
+  /** Plan a read over an explicit file list under this table's data
+    * dir, returning the DECLARED schema (shared by [[read]] and
+    * [[appendsSince]]). */
+  private def readFiles(spark: SparkSession, path: String,
+                        schema: StructType, files: Seq[String]): DataFrame =
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
     else {
@@ -192,7 +199,7 @@ object TxLog {
       // type (a string partition keeps "01" as "01" — inference alone
       // would read INT 1 and a cast-back would corrupt it to "1")
       spark.read.schema(schema).option("basePath", base)
-        .parquet(m.files.map(f => s"$base/$f"): _*)
+        .parquet(files.map(f => s"$base/$f"): _*)
         .select(schema.fields.map { f =>
           // backtick-quoted so dotted/spaced column names never
           // mis-parse (same contract as Profile); the projection
@@ -202,6 +209,37 @@ object TxLog {
             .col("`" + f.name.replace("`", "``") + "`").as(f.name)
         }: _*)
     }
+
+  /** Incremental consumption for append-mostly tables: the rows added
+    * between `sinceVersion` and `toVersion` (default head), read at
+    * FILE granularity — zero joins, zero diffing, just the manifests'
+    * set difference planned as a scan. This is the poll loop of a
+    * downstream ingester ("give me what's new since the version I
+    * last processed"), and with [[appendBatch]]'s watermark it closes
+    * an exactly-once relay: remember the version you consumed, ask
+    * again later.
+    *
+    * File-level increments are only row-accurate while history is
+    * append-only, so this FAILS LOUDLY if any file referenced by
+    * `sinceVersion` is gone from `toVersion` (a merge/delete/compact
+    * rewrote rows in between) — consume [[changes]] instead there.
+    * New columns from schema evolution surface as typed nulls in the
+    * pre-evolution files' rows, the usual contract. */
+  def appendsSince(spark: SparkSession, path: String, sinceVersion: Long,
+                   toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val mTo = manifest(spark, path, to)
+    val mFrom = manifest(spark, path, sinceVersion)
+    val toSet = mTo.files.toSet
+    val removed = mFrom.files.filterNot(toSet)
+    require(removed.isEmpty,
+      s"TxLog.appendsSince: ${removed.size} files of v$sinceVersion were " +
+        s"rewritten between v$sinceVersion and v$to — history is not " +
+        "append-only over this range; consume TxLog.changes instead")
+    val fromSet = mFrom.files.toSet
+    readFiles(spark, path, StructType.fromDDL(mTo.schemaDdl),
+      mTo.files.filterNot(fromSet))
   }
 
   /** Additive-only schema widening: every declared column keeps its

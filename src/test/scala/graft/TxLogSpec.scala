@@ -317,6 +317,30 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, path2).select("k").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("appendsSince: file-level increments reproduce the appends; a rewrite in range fails loudly") {
+    val path = freshPath("inc")
+    TxLog.create(fixture, path, Some("part"))
+    val a2 = Seq((7L, "p1", 70.0), (8L, "p2", 80.0)).toDF("k", "part", "v")
+    val a3 = Seq((9L, "p3", 90.0)).toDF("k", "part", "v")
+    TxLog.append(a2, path)
+    TxLog.append(a3, path)
+    // v1 -> head: exactly the two appended batches, no base rows
+    assert(rows(TxLog.appendsSince(spark, path, 1L)) == rows(a2) ++ rows(a3))
+    // v2 -> v3 pinned range: just the second batch
+    assert(rows(TxLog.appendsSince(spark, path, 2L, Some(3L))) == rows(a3))
+    // base ∪ increments == head: the relay invariant
+    assert(rows(TxLog.read(spark, path, Some(1L))) ++
+      rows(TxLog.appendsSince(spark, path, 1L)) == rows(TxLog.read(spark, path)))
+    // a merge rewrites files -> file-level increments are no longer
+    // row-accurate and the call must refuse
+    TxLog.mergeInto(path, Seq((1L, "p1", -1.0)).toDF("k", "part", "v"), Seq("k"))
+    assertThrows[IllegalArgumentException] {
+      TxLog.appendsSince(spark, path, 1L)
+    }
+    // ...but a range that stayed append-only still serves
+    assert(rows(TxLog.appendsSince(spark, path, 2L, Some(3L))) == rows(a3))
+  }
+
   test("restore: zero-copy rollback commit; undone versions stay time-travelable; watermark carries") {
     val path = freshPath("restore")
     TxLog.create(fixture, path, Some("part"))
