@@ -258,6 +258,22 @@ object PipelineQueries {
     // end-to-end near-dup removal: LSH candidates -> jaccard verify ->
     // components -> min-id survivors (rows-only: minhash internals)
     "dedup_sweep" -> ((s, d) => Dedup.sweep(documents(s, d))),
+    // PageRank over a planted 100-node cycle — a REGULAR graph, so the
+    // uniform distribution is the EXACT fixed point and stays invariant
+    // under every power iteration (each node receives exactly one
+    // full rank share): the distributed loop (per-round contribution
+    // join + dangling-mass fold) must reproduce 1/N per node to 6
+    // decimals after 5 real rounds, and the oracle states the closed
+    // form — the dedup_components planted-oracle pattern for an
+    // ITERATIVE float algorithm. Non-uniform convergence (star graph,
+    // dangling nodes) is spec'd with hand-solved fixed points.
+    "graph_pagerank" -> ((s, d) => {
+      val edges = s.range(100)
+        .select(col("id").as("src"), ((col("id") + 1) % 100).as("dst"))
+      graft.operators.Graph.pagerank(edges, iterations = 5)
+        .select(col("node"), org.apache.spark.sql.functions.round(col("pr"), 6).as("pr"))
+        .orderBy("node")
+    }),
     // connected components over a planted chain graph: 20 chains of 50
     // nodes, generated identically on both engines, ground truth
     // analytic (component = id - id % 50). The ITERATIVE min-label +
@@ -741,6 +757,9 @@ object PipelineQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |WHERE tok <> ''
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 1000""".stripMargin,
+    // the cycle is 1-regular: uniform 1/N is the exact fixed point
+    "graph_pagerank" ->
+      """SELECT range AS node, 0.01 AS pr FROM range(100) ORDER BY node""".stripMargin,
     "split_leakage_safe" ->
       """SELECT range AS doc_id, range - (range % 50) AS component,
         |  CASE WHEN substr(md5(CAST(range - (range % 50) AS VARCHAR)), 1, 4) < '4000'

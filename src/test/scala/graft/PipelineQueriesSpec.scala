@@ -432,6 +432,31 @@ class PipelineQueriesSpec extends SparkSpec {
   private def rnd6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("pagerank: star-graph fixed point matches the hand-solved values; dangling mass conserved") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // bidirectional star: center 0, leaves 1-4. Fixed point solves to
+    // PR_c = 0.132/0.2775, PR_l = 0.03 + 0.2125*PR_c
+    val star = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val pr = Graph.pagerank(star, iterations = 40).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bipartite structure: the error mode oscillates and decays as
+    // 0.85^k — 40 rounds bounds it near 1.5e-3, which is what we pin
+    val prC = 0.132 / 0.2775
+    val prL = 0.03 + 0.2125 * prC
+    assert(math.abs(pr(0L) - prC) < 2e-3, s"center ${pr(0L)} vs $prC")
+    (1L to 4L).foreach(l => assert(math.abs(pr(l) - prL) < 2e-3, s"leaf ${pr(l)} vs $prL"))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass leaked: ${pr.values.sum}")
+    // dangling node: 1 -> 2 only; hand-solved fixed point with the
+    // dangling mass redistributing uniformly
+    val dangling = Seq((1L, 2L)).toDF("src", "dst")
+    val pd = Graph.pagerank(dangling, iterations = 60).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pd(1L) - 0.350877) < 2e-3 && math.abs(pd(2L) - 0.649123) < 2e-3,
+      s"dangling fixed point: $pd")
+    assert(math.abs(pd.values.sum - 1.0) < 1e-9, s"dangling mass leaked: ${pd.values.sum}")
+  }
+
   test("entropy matches the hand-computed value; uniform text maxes, single-char floors at 0") {
     import spark.implicits._
     val docs = Seq((1L, "aab"), (2L, "abcd"), (3L, "aaaa")).toDF("doc_id", "text")
