@@ -38,7 +38,13 @@ object Jsonl {
     *    required column in declaration order.
     */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
-                required: Seq[String] = Nil): (DataFrame, DataFrame) = {
+                required: Seq[String] = Nil): (DataFrame, DataFrame) =
+    split(spark.read.text(path), schema, required)
+
+  /** The parse/split itself, over any DataFrame with a string `value`
+    * column — shared by the batch reader and the streaming ingest. */
+  def split(lines: DataFrame, schema: StructType,
+            required: Seq[String] = Nil): (DataFrame, DataFrame) = {
     required.foreach(c => require(schema.fieldNames.contains(c),
       s"Jsonl.readJsonl: required column '$c' is not in the schema"))
     // PERMISSIVE from_json does NOT return a null struct for malformed
@@ -49,7 +55,7 @@ object Jsonl {
     require(!schema.fieldNames.contains("_corrupt"),
       "Jsonl.readJsonl: '_corrupt' is reserved")
     val parseSchema = schema.add("_corrupt", org.apache.spark.sql.types.StringType)
-    val parsed = spark.read.text(path)
+    val parsed = lines
       .select(col("value").as("raw"),
         from_json(col("value"), parseSchema,
           java.util.Map.of("columnNameOfCorruptRecord", "_corrupt")).as("_rec"))
@@ -74,4 +80,41 @@ object Jsonl {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
       .write.mode("overwrite").text(path)
+
+  /** STREAMING quarantined ingest into a transactional table: watch
+    * `srcPath` for arriving JSONL files and land each micro-batch with
+    * ONE [[split]] pass — good rows commit to the TxLog table at
+    * `tablePath` via `appendBatch` (the batch id makes crash replays
+    * no-ops: the good side is EXACTLY-ONCE), quarantine rows append
+    * under `quarantinePath` tagged with the batch id (plain appends —
+    * at-least-once on replay, dedupable by (batch_id, raw); the
+    * triage side tolerates that, the table side must not).
+    *
+    * foreachBatch rather than two streaming sinks because two sinks
+    * would each re-read and re-parse the source; here every line is
+    * read once, split once, routed once. Create the TxLog table first
+    * (its declared schema is the ingest contract); pass a durable
+    * `checkpointLocation` in production — the replay detection rides
+    * on batch-id monotonicity, exactly [[graft.storage.TxLog
+    * .streamAppend]]'s caveat. */
+  def streamIngestTx(spark: SparkSession, srcPath: String, schema: StructType,
+                     required: Seq[String], tablePath: String,
+                     quarantinePath: String,
+                     checkpointLocation: Option[String] = None,
+                     maxFilesPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(srcPath)
+    val w = lines.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (good, quarantine) = split(batch, schema, required)
+        graft.storage.TxLog.appendBatch(good, tablePath, batchId)
+        quarantine.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(quarantinePath)
+        ()
+      }
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
 }

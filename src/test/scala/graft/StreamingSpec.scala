@@ -208,6 +208,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming JSONL ingest: good rows land exactly-once in the TxLog table, corruption quarantines") {
+    import graft.sources.Jsonl
+    import graft.storage.TxLog
+    val root = java.nio.file.Files.createTempDirectory("graft_jsonl_stream")
+    val src = root.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val tbl = root.resolve("tbl").toString
+    val quar = root.resolve("quar").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, source STRING, text STRING")
+    // the table (and its declared schema — the ingest contract) exists first
+    TxLog.create(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), tbl, None)
+    def file(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(src.resolve(name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    file("a.jsonl",
+      """{"doc_id":1,"source":"web","text":"one"}""",
+      """{"doc_id":2,"source":"web","text":"two"}""")
+    file("b.jsonl",
+      """{"doc_id":3,"source":"api","text":"three"}""",
+      "{ broken")
+    file("c.jsonl",
+      """{"source":"api","text":"no id"}""")
+    val q = Jsonl.streamIngestTx(spark, src.toString, schema, Seq("doc_id"),
+      tbl, quar, maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    // table == the batch reader's good side; quarantine == its bad side
+    val (bg, bq) = Jsonl.readJsonl(spark, src.toString, schema, Seq("doc_id"))
+    val streamed = TxLog.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(streamed == bg.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet)
+    assert(streamed.map(_._1) == Set(1L, 2L, 3L))
+    val quarantined = spark.read.parquet(quar).collect()
+      .map(r => r.getAs[String]("raw") -> r.getAs[String]("reason")).toSet
+    assert(quarantined == bq.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet)
+    assert(quarantined.map(_._2) == Set("unparseable", "null_required:doc_id"))
+    // one commit per micro-batch rode in; replaying an already-committed
+    // batch id is a no-op — the exactly-once half of the contract
+    val v = TxLog.currentVersion(spark, tbl).get
+    assert(v >= 3L, s"expected one commit per micro-batch, head v$v")
+    TxLog.appendBatch(TxLog.read(spark, tbl).limit(1), tbl, 0L)
+    assert(TxLog.currentVersion(spark, tbl).contains(v), "batch replay re-committed")
+  }
+
   test("stateful mapGroupsWithState totals match the batch aggregate") {
     val dir = "/tmp/graft_stream_events"
     graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
