@@ -29,6 +29,45 @@ object Dedup {
       .select("keep_id", "n_copies", "h")
       .orderBy("keep_id")
 
+  /** URL canonicalization — the web-crawl dedup key: the same page
+    * arrives under casing, tracking-parameter, default-port, www, and
+    * trailing-slash variants, and byte-level dedup misses all of them.
+    * Normalizations applied (all codegen'd regex/string ops, one scan):
+    *   1. fragment dropped (`#…` never reaches the server),
+    *   2. tracking params removed (utm_*, fbclid, gclid) with
+    *      separator repair (no dangling `?`/`&`),
+    *   3. default ports stripped — scheme-aware (`:80` only for http,
+    *      `:443` only for https; `http://x:443` is NOT default and
+    *      survives),
+    *   4. scheme+host lowercased (the path stays case-SENSITIVE),
+    *   5. leading `www.` dropped from the host,
+    *   6. trailing slash trimmed.
+    * Strings without a scheme pass through unchanged (the extract
+    * matches nothing and every later rule needs URL structure). */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*&?", "")
+    val noDangle = regexp_replace(noTrack, "[?&]+$", "")
+    val noP80 = regexp_replace(noDangle, "^(http://[^/?#:]*):80(?=[/?#]|$)", "$1")
+    val noP443 = regexp_replace(noP80, "^(https://[^/?#:]*):443(?=[/?#]|$)", "$1")
+    val schemeHost = regexp_extract(noP443, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val lowered = concat(lower(schemeHost),
+      noP443.substr(length(schemeHost) + lit(1), length(noP443)))
+    val noWww = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    regexp_replace(noWww, "/$", "")
+  }
+
+  /** Duplicate groups by canonical URL — [[exact]]'s shape keyed on
+    * [[canonicalUrl]]: (keep_id, n_copies, url_canon). */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+               idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(canonicalUrl(col(urlCol)).as("url_canon"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "url_canon")
+      .orderBy("keep_id")
+
   /** Distinct word-k-gram shingles per document as a per-row array
     * column `sh` — one tight loop per row via the WordShingles
     * expression (the lambda composition it replaces was the hottest

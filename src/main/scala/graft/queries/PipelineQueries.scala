@@ -258,6 +258,18 @@ object PipelineQueries {
     // end-to-end near-dup removal: LSH candidates -> jaccard verify ->
     // components -> min-id survivors (rows-only: minhash internals)
     "dedup_sweep" -> ((s, d) => Dedup.sweep(documents(s, d))),
+    // URL canonicalization over a crafted variant fixture: casing,
+    // tracking params, default ports, www, fragments, trailing slash —
+    // the canonical form must come out of the regex chain; the oracle
+    // states ground truth (VALUES, the mm_* pattern — a DuckDB regex
+    // re-derivation would test dialect parity, not the operator)
+    "dedup_url" -> ((s, d) => {
+      import s.implicits._
+      val fx = urlFixture.map { case (id, raw, _) => (id, raw) }.toDF("doc_id", "url")
+      fx.select(col("doc_id"),
+        graft.operators.Dedup.canonicalUrl(col("url")).as("url_canon"))
+        .orderBy("doc_id")
+    }),
     // PageRank over a planted 100-node cycle — a REGULAR graph, so the
     // uniform distribution is the EXACT fixed point and stays invariant
     // under every power iteration (each node receives exactly one
@@ -376,6 +388,22 @@ object PipelineQueries {
         case _           => (i.toLong, "DEADBEEF", None)
       }
     }
+
+  /** (doc_id, raw url, expected canonical) — shared by dedup_url and
+    * its VALUES oracle; ids 6/7 collapse to one canonical form. */
+  private[graft] def urlFixture: Seq[(Long, String, String)] = Seq(
+    (0L, "HTTPS://Example.COM/Path/Item?b=2&utm_source=x#frag",
+      "https://example.com/Path/Item?b=2"),
+    (1L, "http://example.com:80/a/", "http://example.com/a"),
+    (2L, "https://www.example.com:443/a?utm_a=1&utm_b=2", "https://example.com/a"),
+    (3L, "http://Sub.Example.com/A?fbclid=abc&x=1", "http://sub.example.com/A?x=1"),
+    (4L, "https://example.com/a?x=1&gclid=z", "https://example.com/a?x=1"),
+    (5L, "https://example.com/", "https://example.com"),
+    (6L, "https://EXAMPLE.com/p?utm_c=3", "https://example.com/p"),
+    (7L, "https://example.com/p", "https://example.com/p"),
+    // scheme-aware ports: :443 on http is NOT default and must survive
+    (8L, "http://example.com:443/a", "http://example.com:443/a"),
+    (9L, "not a url at all", "not a url at all"))
 
   /** Hex of a minimal MP4: ftyp + a free box, then moov whose mvhd sits
     * BEHIND a udta child and whose trak>tkhd carries 16.16 fixed-point
@@ -757,6 +785,14 @@ object PipelineQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |WHERE tok <> ''
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 1000""".stripMargin,
+    "dedup_url" -> {
+      val rows = urlFixture
+        .map { case (id, _, canon) => s"($id, '${canon.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, url_canon
+         |FROM (VALUES $rows) AS t(doc_id, url_canon)
+         |ORDER BY doc_id""".stripMargin
+    },
     // the cycle is 1-regular: uniform 1/N is the exact fixed point
     "graph_pagerank" ->
       """SELECT range AS node, 0.01 AS pr FROM range(100) ORDER BY node""".stripMargin,

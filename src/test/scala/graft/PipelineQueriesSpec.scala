@@ -432,6 +432,24 @@ class PipelineQueriesSpec extends SparkSpec {
   private def rnd6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("url dedup: variants collapse to one canonical group; canonicalization is idempotent") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val fx = PipelineQueries.urlFixture.map { case (id, raw, _) => (id, raw) }
+      .toDF("doc_id", "url")
+    // ids 6 and 7 are the same page under tracking/casing variants
+    val groups = Dedup.urlDedup(fx).collect()
+      .map(r => r.getString(2) -> ((r.getLong(0), r.getLong(1)))).toMap
+    assert(groups("https://example.com/p") == ((6L, 2L)),
+      s"variant group: ${groups.get("https://example.com/p")}")
+    assert(groups.values.map(_._2).sum == 10L, "every row lands in a group")
+    // canonical(canonical(x)) == canonical(x): safe to re-run over a
+    // partially-normalized corpus
+    val once = fx.select(Dedup.canonicalUrl(col("url")).as("u"))
+    val twice = once.select(Dedup.canonicalUrl(col("u")).as("u"))
+    assert(once.collect().toSeq == twice.collect().toSeq, "not idempotent")
+  }
+
   test("pagerank: star-graph fixed point matches the hand-solved values; dangling mass conserved") {
     import spark.implicits._
     import graft.operators.Graph
