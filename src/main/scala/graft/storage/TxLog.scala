@@ -54,10 +54,21 @@ object TxLog {
     * set it; every other commit (append/merge/compact) CARRIES IT
     * FORWARD, so a maintenance commit interleaved between a batch and
     * its crash-replay cannot defeat [[appendBatch]]'s idempotency
-    * check. */
+    * check.
+    *
+    * `statsCols`/`fileStats` are the DATA-SKIPPING sidecar (Delta's
+    * per-file min/max in spirit): for each tracked column, every data
+    * file records its min/max as strings (typed back via the declared
+    * schema at planning time). Stats are computed ONCE per file at
+    * commit time — by-reference carries keep their entries, rewritten
+    * files drop them — so the skip index costs one bounded aggregate
+    * per commit, never a table rescan. Files without an entry are
+    * conservatively unprunable. */
   case class Manifest(version: Long, partitionCol: Option[String],
                       schemaDdl: String, files: Seq[String],
-                      sourceBatchId: Option[Long] = None)
+                      sourceBatchId: Option[Long] = None,
+                      statsCols: Seq[String] = Nil,
+                      fileStats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -92,10 +103,26 @@ object TxLog {
     val bytes = try in.readAllBytes() finally in.close()
     val node = mapper.readTree(bytes)
     val files = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
+    val statsCols = Option(node.get("statsCols")).map(a =>
+      (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty)
+    val fileStats = Option(node.get("fileStats")).map { fsNode =>
+      val it = fsNode.fieldNames()
+      Iterator.continually(if (it.hasNext) it.next() else null)
+        .takeWhile(_ != null).map { f =>
+          val colsNode = fsNode.get(f)
+          val cit = colsNode.fieldNames()
+          f -> Iterator.continually(if (cit.hasNext) cit.next() else null)
+            .takeWhile(_ != null).map { c =>
+              val arr = colsNode.get(c)
+              c -> ((arr.get(0).asText(), arr.get(1).asText()))
+            }.toMap
+        }.toMap
+    }.getOrElse(Map.empty[String, Map[String, (String, String)]])
     Manifest(node.get("version").asLong(),
       Option(node.get("partitionCol")).filter(!_.isNull).map(_.asText()),
       node.get("schemaDdl").asText(), files,
-      Option(node.get("sourceBatchId")).filter(!_.isNull).map(_.asLong()))
+      Option(node.get("sourceBatchId")).filter(!_.isNull).map(_.asLong()),
+      statsCols, fileStats)
   }
 
   private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
@@ -111,6 +138,17 @@ object TxLog {
     m.sourceBatchId.foreach(b => node.put("sourceBatchId", b))
     val arr = node.putArray("files")
     m.files.sorted.foreach(arr.add)
+    if (m.statsCols.nonEmpty) {
+      val sc = node.putArray("statsCols")
+      m.statsCols.foreach(sc.add)
+      val fsNode = node.putObject("fileStats")
+      m.fileStats.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+        val cNode = fsNode.putObject(f)
+        cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val a = cNode.putArray(c); a.add(mn); a.add(mx)
+        }
+      }
+    }
     val tmp = new Path(manifestDir(path),
       s".v${m.version}.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, false)
@@ -155,15 +193,64 @@ object TxLog {
     moved.toSeq
   }
 
+  /** Per-file min/max for the tracked columns, computed by ONE bounded
+    * aggregate over exactly the newly staged files (grouped by
+    * input_file_name — page-cache-warm, never a table rescan). Values
+    * serialize as strings and retype via the declared schema at
+    * planning time; all-null files simply have no entry for that
+    * column (conservatively unprunable). */
+  private def collectStats(spark: SparkSession, path: String,
+                           schema: StructType, statsCols: Seq[String],
+                           files: Seq[String])
+      : Map[String, Map[String, (String, String)]] = {
+    if (statsCols.isEmpty || files.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val base = dataDir(path).toString
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"_min_$c"),
+      max(col(c)).cast("string").as(s"_max_$c")))
+    val rows = spark.read.schema(schema).option("basePath", base)
+      .parquet(files.map(f => s"$base/$f"): _*)
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val uri = r.getString(0)
+      val rel = uri.substring(uri.indexOf("/data/") + "/data/".length)
+      rel -> statsCols.flatMap { c =>
+        val mn = r.getAs[String](s"_min_$c")
+        val mx = r.getAs[String](s"_max_$c")
+        if (mn == null || mx == null) None else Some(c -> ((mn, mx)))
+      }.toMap
+    }.toMap
+  }
+
+  /** The stats sidecar after a commit: entries of carried files kept,
+    * entries of dropped files gone, new files measured. */
+  private def statsAfter(spark: SparkSession, path: String, m: Manifest,
+                         schema: StructType, kept: Seq[String],
+                         newFiles: Seq[String])
+      : Map[String, Map[String, (String, String)]] =
+    if (m.statsCols.isEmpty) Map.empty
+    else m.fileStats.view.filterKeys(kept.toSet).toMap ++
+      collectStats(spark, path, schema, m.statsCols, newFiles)
+
   /** Create a table at `path` as version 1. Fails if a table already
-    * exists there. */
+    * exists there. `statsCols` opts files into the per-file min/max
+    * skip index consumed by [[readBetween]] (partition columns are
+    * legal stat columns — each file's value is a constant). */
   def create(df: DataFrame, path: String,
-             partitionCol: Option[String] = None): Long = {
+             partitionCol: Option[String] = None,
+             statsCols: Seq[String] = Nil): Long = {
     require(currentVersion(df.sparkSession, path).isEmpty,
       s"TxLog: table already exists at $path")
+    statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"TxLog.create: stats column '$c' is not in the schema"))
     val files = stageIn(df, path, partitionCol)
+    val stats = collectStats(df.sparkSession, path, df.schema, statsCols, files)
     writeManifest(df.sparkSession, path,
-      Manifest(1L, partitionCol, df.schema.toDDL, files))
+      Manifest(1L, partitionCol, df.schema.toDDL, files,
+        statsCols = statsCols, fileStats = stats))
     1L
   }
 
@@ -209,6 +296,55 @@ object TxLog {
             .col("`" + f.name.replace("`", "``") + "`").as(f.name)
         }: _*)
     }
+
+  /** The data-skipping planner: files of a version whose tracked
+    * [min, max] could intersect [lower, upper] on `colName`. Files
+    * without a stats entry (all-null, or committed before stats were
+    * tracked) are kept — pruning is an optimization, never a filter.
+    * Numeric columns compare as exact decimals, everything else
+    * lexicographically (the parquet min/max contract). */
+  def prunedFiles(spark: SparkSession, path: String, colName: String,
+                  lower: Any, upper: Any,
+                  version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    if (!m.statsCols.contains(colName)) return m.files // not tracked: no pruning
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val numeric = schema(colName).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def overlaps(mn: String, mx: String): Boolean =
+      if (numeric) {
+        val lo = BigDecimal(String.valueOf(lower)); val hi = BigDecimal(String.valueOf(upper))
+        BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
+      } else
+        mx >= String.valueOf(lower) && mn <= String.valueOf(upper)
+    m.files.filter { f =>
+      m.fileStats.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => overlaps(mn, mx)
+        case None => true
+      }
+    }
+  }
+
+  /** Range read WITH data skipping: semantically identical to
+    * `read(...).filter(col BETWEEN lower AND upper)` — the exact
+    * filter still applies on the scan — but only the files whose
+    * stats admit a match are planned at all. On a clustered layout
+    * ([[compact]] with `zorderBy`, or naturally sorted ingest) that
+    * turns a selective range query from a table scan into a few-file
+    * scan; on an unclustered layout it degrades gracefully to the
+    * plain read. */
+  def readBetween(spark: SparkSession, path: String, colName: String,
+                  lower: Any, upper: Any,
+                  version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    val files = prunedFiles(spark, path, colName, lower, upper, Some(v))
+    import org.apache.spark.sql.functions.{col, lit}
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files)
+      .filter(col(colName).between(lit(lower), lit(upper)))
+  }
 
   /** Incremental consumption for append-mostly tables: the rows added
     * between `sinceVersion` and `toVersion` (default head), read at
@@ -297,7 +433,9 @@ object TxLog {
     val ddl = if (evolveSchema) widen(declared, df.schema).toDDL else m.schemaDdl
     val files = stageIn(df, path, m.partitionCol)
     writeManifest(spark, path, m.copy(version = v + 1, schemaDdl = ddl,
-      files = m.files ++ files, sourceBatchId = m.sourceBatchId))
+      files = m.files ++ files, sourceBatchId = m.sourceBatchId,
+      fileStats = statsAfter(spark, path, m, StructType.fromDDL(ddl),
+        m.files, files)))
     v + 1
   }
 
@@ -320,7 +458,9 @@ object TxLog {
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
     val files = stageIn(df, path, m.partitionCol)
     writeManifest(spark, path, m.copy(version = v + 1, files = m.files ++ files,
-      sourceBatchId = Some(batchId)))
+      sourceBatchId = Some(batchId),
+      fileStats = statsAfter(spark, path, m, StructType.fromDDL(m.schemaDdl),
+        m.files, files)))
     v + 1
   }
 
@@ -387,7 +527,8 @@ object TxLog {
     val newFiles = stageIn(pieces.reduce(_ unionByName _), path, m.partitionCol)
     val kept = m.files.filterNot(f => todo.contains(dirOf(f)))
     writeManifest(spark, path, m.copy(version = v + 1, files = kept ++ newFiles,
-      sourceBatchId = m.sourceBatchId))
+      sourceBatchId = m.sourceBatchId,
+      fileStats = statsAfter(spark, path, m, schema, kept, newFiles)))
     v + 1
   }
 
@@ -450,7 +591,8 @@ object TxLog {
     val kept = m.files.filterNot(f => touchedDirs.contains(
       f.split('/').dropRight(1).mkString("/")))
     writeManifest(spark, path, m.copy(version = v + 1, schemaDdl = widened.toDDL,
-      files = kept ++ newFiles, sourceBatchId = m.sourceBatchId))
+      files = kept ++ newFiles, sourceBatchId = m.sourceBatchId,
+      fileStats = statsAfter(spark, path, m, widened, kept, newFiles)))
     v + 1
   }
 
@@ -481,7 +623,9 @@ object TxLog {
         if (snap.filter(hit).limit(1).collect().isEmpty) return v
         val newFiles = stageIn(snap.filter(not(hit)), path, None)
         writeManifest(spark, path, m.copy(version = v + 1, files = newFiles,
-          sourceBatchId = m.sourceBatchId))
+          sourceBatchId = m.sourceBatchId,
+          fileStats = statsAfter(spark, path, m,
+            StructType.fromDDL(m.schemaDdl), Nil, newFiles)))
         v + 1
       case Some(pc) =>
         val parts = snap.filter(hit).select(col(pc)).distinct()
@@ -493,7 +637,9 @@ object TxLog {
         val kept = m.files.filterNot(f => touchedDirs.contains(
           f.split('/').dropRight(1).mkString("/")))
         writeManifest(spark, path, m.copy(version = v + 1,
-          files = kept ++ newFiles, sourceBatchId = m.sourceBatchId))
+          files = kept ++ newFiles, sourceBatchId = m.sourceBatchId,
+          fileStats = statsAfter(spark, path, m,
+            StructType.fromDDL(m.schemaDdl), kept, newFiles)))
         v + 1
     }
   }
@@ -629,7 +775,8 @@ object TxLog {
     val kept = m.files.filterNot(f => touchedDirs.contains(
       f.split('/').dropRight(1).mkString("/")))
     writeManifest(spark, path, m.copy(version = v + 1, files = kept ++ newFiles,
-      sourceBatchId = m.sourceBatchId))
+      sourceBatchId = m.sourceBatchId,
+      fileStats = statsAfter(spark, path, m, declared, kept, newFiles)))
     v + 1
   }
 

@@ -185,6 +185,29 @@ object ScaleCheck {
     t("dq audit 10x")(graft.operators.Check.audit(Tables.lineitem(spark, big), dqr).count())
     t("dq quarantine sf0.1")(graft.operators.Check.quarantine(Tables.lineitem(spark, d), dqr).count())
     t("dq quarantine 10x")(graft.operators.Check.quarantine(Tables.lineitem(spark, big), dqr).count())
+    // r7 third wave: BM25 (posting explode + query-term-sized joins),
+    // entropy (char explode + two partial-agg phases), corr moments
+    // (one group-sized aggregate), resample (spine explode + LOCF),
+    // PageRank (edge-linear rounds on a 10x cycle)
+    val bm = (dir: String) => graft.operators.TextOps.bm25(
+      Tables.documents(spark, dir), Seq("dup", "vector", "join"), k = 50)
+    t("bm25 sf0.1")(bm(d).count())
+    t("bm25 10x")(bm(big).count())
+    val ent = (dir: String) =>
+      graft.operators.TextOps.entropy(Tables.documents(spark, dir))
+    t("entropy sf0.1")(ent(d).count())
+    t("entropy 10x")(ent(big).count())
+    val cs = (dir: String) => graft.operators.Stats.corrStats(
+      Tables.lineitem(spark, dir), "l_returnflag", "l_quantity", "l_extendedprice")
+    t("corr stats sf0.1")(cs(d).count())
+    t("corr stats 10x")(cs(big).count())
+    t("resample sf0.1")(WarehouseQueries.resample(spark, d).count())
+    t("resample 10x")(WarehouseQueries.resample(spark, big).count())
+    val pr = (n: Long) => graft.operators.Graph.pagerank(
+      spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1) % n).as("dst")), iterations = 5).count()
+    t("pagerank 100k-cycle")(pr(100000L))
+    t("pagerank 1M-cycle")(pr(1000000L))
     // ANN recall at 10x: planted exact twins must dominate the top-10
     val qids = (0L until 20L).toSeq
     val bigEmb = Tables.embeddings(spark, big)

@@ -317,6 +317,37 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, path2).select("k").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("data skipping: range reads plan only the files whose stats admit a match") {
+    val path = freshPath("skip")
+    // range-clustered layout: 8 files with disjoint k ranges, so file
+    // stats are actually selective (the zorder/compact story's payoff)
+    val df = spark.range(8000).select(col("id").as("k"), (col("id") % 97).as("v"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    TxLog.create(df, path, None, statsCols = Seq("k"))
+    val m1 = TxLog.manifest(spark, path, 1L)
+    assert(m1.files.size == 8, s"expected 8 files, got ${m1.files.size}")
+    assert(m1.fileStats.keySet == m1.files.toSet, "every file carries stats")
+    val pruned = TxLog.prunedFiles(spark, path, "k", 1000L, 1100L)
+    assert(pruned.size <= 2, s"pruning kept ${pruned.size} of 8 files")
+    // pruned read ≡ full read + filter, exactly
+    val viaSkip = TxLog.readBetween(spark, path, "k", 1000L, 1100L)
+      .agg(count(lit(1)), sum("v")).head()
+    val viaFull = TxLog.read(spark, path).filter(col("k").between(1000L, 1100L))
+      .agg(count(lit(1)), sum("v")).head()
+    assert(viaSkip == viaFull, s"$viaSkip vs $viaFull")
+    // appends extend the skip index; carried files keep their entries
+    TxLog.append(spark.range(8000, 9000)
+      .select(col("id").as("k"), (col("id") % 97).as("v")).repartition(1), path)
+    val m2 = TxLog.manifest(spark, path, 2L)
+    assert(m2.fileStats.keySet == m2.files.toSet)
+    assert(m1.files.forall(f => m2.fileStats(f) == m1.fileStats(f)),
+      "carried files' stats changed")
+    assert(TxLog.prunedFiles(spark, path, "k", 8500L, 8600L).size == 1,
+      "the appended file alone should serve the new range")
+    // untracked column: conservative full list, never a wrong prune
+    assert(TxLog.prunedFiles(spark, path, "v", 0L, 1L).size == m2.files.size)
+  }
+
   test("appendsSince: file-level increments reproduce the appends; a rewrite in range fails loudly") {
     val path = freshPath("inc")
     TxLog.create(fixture, path, Some("part"))
