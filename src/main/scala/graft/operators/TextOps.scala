@@ -386,6 +386,14 @@ object TextOps {
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25Scored(tf, df, stats, k1, b, k)
+  }
+
+  /** The shared ranking tail: postings (doc_id, dl, term, tf) ⋈ df
+    * table ⋈ broadcast corpus stats → top-k (score desc, doc_id). */
+  private def bm25Scored(tf: DataFrame, df: DataFrame, stats: DataFrame,
+                         k1: Double, b: Double, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val avgdl = col("_sdl") / col("_n")
     val idf = log((col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val contrib = idf * (col("tf") * (lit(k1) + lit(1.0))) /
@@ -397,6 +405,60 @@ object TextOps {
         sum(contrib.cast(DecimalType(18, 6))).cast("double").as("score"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(k)
+  }
+
+  /** OFFLINE inverted index build — the [[graft.operators.Ivf]]
+    * pattern applied to text: [[bm25]] re-shingles the whole corpus
+    * per query, which is the right shape for ad-hoc exploration and
+    * the wrong one for a serving path. This pass runs the corpus
+    * explode ONCE and persists
+    *  - `postings/`: (doc_id, dl, term, tf), partitioned by a term
+    *    hash bucket,
+    *  - `terms/`: (term, df), same bucketing,
+    *  - `stats/`: one row (N, Σdl, buckets).
+    * A query then touches ≤ |query terms| bucket partitions of
+    * m-row postings — the file listing itself prunes (spec-asserted),
+    * the corpus text is never re-read. */
+  def buildTextIndex(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    import org.apache.spark.sql.types.DecimalType
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("_toks"))
+      .withColumn("dl", size(col("_toks")))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("_bucket", pmod(xxhash64(col("term")), lit(buckets)))
+    tf.write.mode("overwrite").partitionBy("_bucket").parquet(s"$path/postings")
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("_bucket", pmod(xxhash64(col("term")), lit(buckets)))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(s"$path/terms")
+    toks.agg(
+        count(lit(1)).cast("double").as("_n"),
+        sum(col("dl").cast(DecimalType(18, 6))).cast("double").as("_sdl"))
+      .withColumn("buckets", lit(buckets))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Serve BM25 from a persisted [[buildTextIndex]] artifact: results
+    * are IDENTICAL to [[bm25]] over the same corpus (same statistics,
+    * same formula — the driver gate runs both against one oracle),
+    * but the scan is the query's bucket partitions only. */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                  k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "bm25Indexed needs at least one query term")
+    val statsFull = spark.read.parquet(s"$path/stats")
+    val buckets = statsFull.select("buckets").head().getInt(0)
+    // the query terms' buckets, via the same engine hash the build used
+    val bucketIds = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    def pruned(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub")
+        .filter(col("_bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
+        .drop("_bucket")
+    bm25Scored(pruned("postings"), pruned("terms"),
+      statsFull.select("_n", "_sdl"), k1, b, k)
   }
 
   /** Character-distribution Shannon entropy per document — the

@@ -129,6 +129,17 @@ object PipelineQueries {
     // must get right; top-50 with doc_id tie-break
     "text_bm25" -> ((s, d) => TextOps.bm25(
       documents(s, d), Seq("dup", "vector", "join"), k = 50)),
+    // the SERVING path over the persisted inverted index: same
+    // statistics, same formula, same oracle as text_bm25 — but the
+    // corpus explode ran once at build time (fingerprint-cached like
+    // the ANN indexes) and the query scans only its buckets
+    "text_bm25_indexed" -> ((s, d) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_textidx_${datasetFingerprint(d, "documents.parquet")}"
+      if (!new java.io.File(s"$path/stats").exists())
+        TextOps.buildTextIndex(documents(s, d), path)
+      TextOps.bm25Indexed(s, path, Seq("dup", "vector", "join"), k = 50)
+    }),
     "text_vocab" -> ((s, d) => TextOps.vocab(documents(s, d))),
     // BPE tokenizer training over the corpus's own statistics: 10
     // merges from the word-frequency dictionary (rows-only: iterative
@@ -458,9 +469,11 @@ object PipelineQueries {
 
   /** Cache key for per-dataset offline artifacts: SHA-256 over the
     * dataset's absolute path plus the newest modification time under
-    * its embeddings table, truncated to 16 hex chars. */
-  private[graft] def datasetFingerprint(d: String): String = {
-    val root = new java.io.File(d, "embeddings.parquet")
+    * the source table (embeddings for the ANN indexes, documents for
+    * the text index), truncated to 16 hex chars. */
+  private[graft] def datasetFingerprint(
+      d: String, table: String = "embeddings.parquet"): String = {
+    val root = new java.io.File(d, table)
     def newest(f: java.io.File): Long =
       if (f.isDirectory)
         (f.lastModified +: Option(f.listFiles()).getOrElse(Array.empty).map(newest).toSeq).max
@@ -470,6 +483,36 @@ object PipelineQueries {
       .digest(seed.getBytes("UTF-8"))
       .take(8).map("%02x".format(_)).mkString
   }
+
+  // same BM25 formula, spelled as the identical IEEE expression —
+  // constants appear as the same source arithmetic ((1.2 + 1.0), not
+  // 2.2: parsed-literal vs computed-sum doubles can differ one ulp),
+  // and each term contribution rounds through DECIMAL(18,6) before
+  // the per-doc sum, the lmScore pattern. Shared by text_bm25 and
+  // text_bm25_indexed: the index changes the execution strategy, not
+  // one bit of the answer.
+  private val bm25OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(SUM(CAST(len(t) AS DECIMAL(18,6))) AS DOUBLE) AS sdl
+      |  FROM toks),
+      |tf AS (
+      |  SELECT doc_id, CAST(len(t) AS INT) AS dl, u.term, count(*) AS tf
+      |  FROM toks, UNNEST(t) AS u(term)
+      |  WHERE u.term IN ('dup', 'vector', 'join')
+      |  GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      |SELECT tf.doc_id, count(*) AS n_terms,
+      |  CAST(SUM(CAST(
+      |    ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * (1.2 + 1.0))
+      |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sdl / n)))
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS score
+      |FROM tf JOIN df USING (term) CROSS JOIN stats
+      |GROUP BY tf.doc_id
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
   /** Portable spelling of TextOps.occ for the DuckDB side. */
   private def occSql(text: String, sub: String): String =
@@ -742,33 +785,10 @@ object PipelineQueries {
         |    AS boilerplate_frac
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
-    // same BM25 formula, spelled as the identical IEEE expression —
-    // constants appear as the same source arithmetic ((1.2 + 1.0), not
-    // 2.2: parsed-literal vs computed-sum doubles can differ one ulp),
-    // and each term contribution rounds through DECIMAL(18,6) before
-    // the per-doc sum, the lmScore pattern
-    "text_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |         CAST(SUM(CAST(len(t) AS DECIMAL(18,6))) AS DOUBLE) AS sdl
-        |  FROM toks),
-        |tf AS (
-        |  SELECT doc_id, CAST(len(t) AS INT) AS dl, u.term, count(*) AS tf
-        |  FROM toks, UNNEST(t) AS u(term)
-        |  WHERE u.term IN ('dup', 'vector', 'join')
-        |  GROUP BY 1, 2, 3),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
-        |SELECT tf.doc_id, count(*) AS n_terms,
-        |  CAST(SUM(CAST(
-        |    ln((n - df + 0.5) / (df + 0.5) + 1.0)
-        |      * (tf * (1.2 + 1.0))
-        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sdl / n)))
-        |    AS DECIMAL(18,6))) AS DOUBLE) AS score
-        |FROM tf JOIN df USING (term) CROSS JOIN stats
-        |GROUP BY tf.doc_id
-        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "text_bm25" -> bm25OracleSql,
+    // the indexed serving path must produce the IDENTICAL ranking —
+    // one oracle, two execution strategies
+    "text_bm25_indexed" -> bm25OracleSql,
     // the good side of the quarantined ingest is exactly the exported
     // subset — corruption never reaches it
     "ingest_jsonl" ->

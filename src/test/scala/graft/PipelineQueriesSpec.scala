@@ -432,6 +432,26 @@ class PipelineQueriesSpec extends SparkSpec {
   private def rnd6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("indexed bm25 serves the identical ranking and scans only the query terms' buckets") {
+    val docs = Tables.documents(spark, sf)
+    val idx = java.nio.file.Files.createTempDirectory("graft_textidx").toString
+    TextOps.buildTextIndex(docs, idx, buckets = 16)
+    val terms = Seq("dup", "vector", "join")
+    val served = TextOps.bm25Indexed(spark, idx, terms, k = 50)
+    val adhoc = TextOps.bm25(docs, terms, k = 50)
+    assert(served.collect().toSeq == adhoc.collect().toSeq,
+      "index changed the answer")
+    // the scale property: the postings scan lists only the buckets the
+    // query terms hash to — the rest of the index is never touched
+    val scans = served.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the served plan")
+    val maxParts = scans.map(_.selectedPartitions.partitionCount).max
+    assert(maxParts <= terms.size,
+      s"scanned $maxParts bucket partitions for ${terms.size} terms")
+  }
+
   test("url dedup: variants collapse to one canonical group; canonicalization is idempotent") {
     import spark.implicits._
     import graft.operators.Dedup
