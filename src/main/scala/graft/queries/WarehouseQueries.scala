@@ -676,6 +676,43 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Incremental materialized-view maintenance: a per-priority revenue
+    * aggregate maintained from the table's change feed across a
+    * create → merge (with GROUP MOVES — some repriced orders also
+    * change priority, exercising the preimage subtraction) → delete
+    * history, never re-reading the table. The oracle recomputes the
+    * final aggregate analytically — maintained state must equal the
+    * recompute exactly. */
+  def txlogMv(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.{Mv, TxLog}
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_mv_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    TxLog.create(dim, path, Some("o_orderpriority"))
+    val group = Seq("o_orderpriority"); val sums = Seq("o_totalprice")
+    var mv = Mv.aggregate(TxLog.read(s, path, Some(1L)), group, sums)
+    val upd = dim.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(BigDecimal("1.1")))
+          .cast("double"))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 20 === 0, lit("1-URGENT"))
+          .otherwise(col("o_orderpriority")))
+    TxLog.mergeInto(path, upd, Seq("o_orderkey"))
+    mv = Mv.applyDelta(mv,
+      TxLog.changes(s, path, 1L, 2L, Seq("o_orderkey"), withPreimages = true),
+      group, sums)
+    TxLog.deleteWhere(s, path, col("o_orderkey") % 1000 === 1)
+    mv = Mv.applyDelta(mv,
+      TxLog.changes(s, path, 2L, 3L, Seq("o_orderkey"), withPreimages = true),
+      group, sums)
+    mv.select(col("o_orderpriority"), col("n_rows"),
+        round(col("sum_o_totalprice"), 4).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Change-data-feed over the transaction log: create → merge → delete,
     * then emit the row-level diff v1→v3 a downstream incremental
     * consumer would apply. The oracle derives the same diff
@@ -704,6 +741,7 @@ object WarehouseQueries {
     "q_txlog" -> txlog _,
     "q_txlog_cdf" -> txlogCdf _,
     "q_txlog_restore" -> txlogRestore _,
+    "q_txlog_mv" -> txlogMv _,
     "q_scd2" -> scd2 _,
     "q_range_join" -> rangeJoinQuery _,
     "q_upsert" -> upsert _,
@@ -767,6 +805,22 @@ object WarehouseQueries {
         |SELECT CAST(2 AS INT) AS ver, o_orderkey, o_orderstatus, o_totalprice
         |FROM v2
         |ORDER BY ver, o_orderkey""".stripMargin,
+    // the maintained view must equal the analytic recompute of the
+    // final table state (reprice %10, group-move %20, delete %1000=1)
+    "q_txlog_mv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 0
+        |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |                   * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+        |         ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN '1-URGENT'
+        |         ELSE o_orderpriority END AS prio
+        |  FROM orders
+        |  WHERE o_orderkey % 1000 <> 1)
+        |SELECT prio AS o_orderpriority, count(*) AS n_rows,
+        |  round(CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_price
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
     // after merge + restore, the head must read as the ORIGINAL dim
     "q_txlog_restore" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -660,9 +660,15 @@ object TxLog {
     * Scale: one equi-shuffle per side on `keys` into a full outer
     * join; comparison is a null-safe struct equality over the non-key
     * columns — no driver hop, no data-sized collect. */
+  /** With `withPreimages = true`, every updated key emits TWO rows —
+    * `update_preimage` (the old values) and `update_postimage` (the
+    * new) — instead of one `update` row: the shape an INCREMENTAL
+    * AGGREGATE consumer needs (subtract the before, add the after;
+    * see [[Mv]]), and the same contract Delta's CDF documents. */
   def changes(spark: SparkSession, path: String, fromVersion: Long,
-              toVersion: Long, keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, not, struct, when}
+              toVersion: Long, keys: Seq[String],
+              withPreimages: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, lit, not, struct, typedlit, when}
     require(fromVersion != toVersion,
       s"TxLog.changes: identical versions $fromVersion")
     require(keys.nonEmpty, "TxLog.changes needs at least one key column")
@@ -690,13 +696,30 @@ object TxLog {
       if (nonKey.isEmpty) base
       else base.when(not(struct(nonKey.map(c => col(s"_o_$c")): _*) <=>
         struct(nonKey.map(c => col(s"_n_$c")): _*)), "update")
-    joined
+    val marked = joined
       .withColumn("_change_type", changeType)
       .filter(col("_change_type").isNotNull)
-      .select(keys.map(col) ++ nonKey.map(c =>
+    // an all-key table has no update rows, so preimages change nothing
+    if (!withPreimages || nonKey.isEmpty)
+      marked.select(keys.map(col) ++ nonKey.map(c =>
         when(col("_change_type") === "delete", col(s"_o_$c"))
           .otherwise(col(s"_n_$c")).as(c))
         :+ col("_change_type"): _*)
+    else
+      // updates fan out to (preimage, postimage) via a two-element
+      // explode; inserts/deletes stay single rows — still one pass,
+      // no second join
+      marked
+        .select(keys.map(col) :+ explode(
+          when(col("_change_type") === "update", typedlit(Seq("update_preimage", "update_postimage")))
+            .otherwise(org.apache.spark.sql.functions.array(col("_change_type"))))
+          .as("_change_type")
+          :+ struct(nonKey.map(c => col(s"_o_$c").as(c)): _*).as("_o")
+          :+ struct(nonKey.map(c => col(s"_n_$c").as(c)): _*).as("_n"): _*)
+        .select(keys.map(col) ++ nonKey.map(c =>
+          when(col("_change_type").isin("delete", "update_preimage"),
+            col(s"_o.$c")).otherwise(col(s"_n.$c")).as(c))
+          :+ col("_change_type"): _*)
   }
 
   /** RESTORE — roll the table back to a prior version AS A NEW COMMIT

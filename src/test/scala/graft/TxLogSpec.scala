@@ -420,6 +420,38 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("incremental MV: maintained aggregate equals the recompute across merge with group moves and delete") {
+    import graft.storage.Mv
+    val path = freshPath("mv")
+    TxLog.create(fixture, path, Some("part"))
+    val group = Seq("part"); val sums = Seq("v")
+    var mv = Mv.aggregate(TxLog.read(spark, path, Some(1L)), group, sums)
+    // k=2 repriced in place; k=3 MOVES p2 -> p1 (preimage must subtract
+    // from p2); k=7 inserted into p3
+    val upd = Seq((2L, "p1", 99.0), (3L, "p1", 30.0), (7L, "p3", 70.0))
+      .toDF("k", "part", "v")
+    TxLog.mergeInto(path, upd, Seq("k"))
+    mv = Mv.applyDelta(mv,
+      TxLog.changes(spark, path, 1L, 2L, Seq("k"), withPreimages = true),
+      group, sums)
+    // deleting everything in p3 must DROP the group from the view
+    TxLog.deleteWhere(spark, path, col("part") === "p3")
+    mv = Mv.applyDelta(mv,
+      TxLog.changes(spark, path, 2L, 3L, Seq("k"), withPreimages = true),
+      group, sums)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = rowsOf(Mv.aggregate(TxLog.read(spark, path), group, sums))
+    assert(rowsOf(mv) == recomputed, s"maintained ${rowsOf(mv)} vs $recomputed")
+    assert(!rowsOf(mv).exists(_._1 == "p3"), "emptied group survived in the view")
+    // a new-values-only feed must be rejected, not silently mis-applied
+    val plain = TxLog.changes(spark, path, 1L, 2L, Seq("k"))
+    assertThrows[Exception] {
+      Mv.applyDelta(Mv.aggregate(TxLog.read(spark, path, Some(1L)), group, sums),
+        plain, group, sums).collect()
+    }
+  }
+
   test("changes (CDF): insert/update/delete diff between versions, aligned across evolution") {
     val path = freshPath("cdf")
     TxLog.create(fixture, path, Some("part"))
