@@ -48,6 +48,60 @@ object WarehouseQueries {
       .limit(10)
   }
 
+  /** TPC-H Q5-shaped: five-way star join — two broadcast dims chained
+    * into customer, then orders and the fact — with the region filter
+    * pruning at the smallest table and riding the broadcast up.
+    * Per-nation revenue for ASIA customers in 1996. */
+  def q5LocalVolume(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+
+  /** TPC-H Q10-shaped: returned-item revenue per customer over one
+    * quarter, top 20 — fact⋈fact on the order key, broadcast dims,
+    * TakeOrdered tail. */
+  def q10Returned(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(orders(s, d).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+
+  /** Exponentially-decayed engagement score per user (1-day half-life
+    * against the corpus's max event time — a deterministic anchor, no
+    * wall clock): the recency-weighted feature a ranking model
+    * consumes. Each term's exp() rounds through DECIMAL(18,6) before
+    * the sum (the lmScore pattern for transcendentals), so the oracle
+    * is hash-exact. */
+  def decayScore(s: SparkSession, d: String): DataFrame = {
+    val anchor = events(s, d).agg(max(expr("unix_micros(ts)")).as("_tmax"))
+    val decay = exp((expr("unix_micros(ts)") - col("_tmax")) /
+      lit(86400000000.0) * log(lit(2.0)))
+    events(s, d)
+      .crossJoin(broadcast(anchor))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("value") * decay).cast(DecimalType(18, 6)))
+          .cast("double").as("score"))
+      .orderBy("user_id")
+  }
+
   /** Hierarchical totals region→nation via ROLLUP — grouping-sets in one
     * shuffle instead of three separate aggregates. */
   def rollupAgg(s: SparkSession, d: String): DataFrame =
@@ -776,6 +830,9 @@ object WarehouseQueries {
     "q_json_extract" -> jsonExtract _,
     "q1_agg" -> q1Agg _,
     "q3_join_agg" -> q3JoinAgg _,
+    "q5_join_agg" -> q5LocalVolume _,
+    "q10_returned" -> q10Returned _,
+    "q_decay_score" -> decayScore _,
     "q_rollup" -> rollupAgg _,
     "q_time_window" -> timeWindow _,
     "q_sessionize" -> sessionize _,
@@ -1145,6 +1202,39 @@ object WarehouseQueries {
          |WHERE o_totalprice > 450000
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+    "q5_join_agg" ->
+      s"""SELECT n_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // per-term exp() through DECIMAL(18,6), identical IEEE expression
+    // (the lmScore pattern for transcendentals)
+    "q_decay_score" ->
+      """WITH a AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(value * exp((epoch_us(ts) - tmax)
+        |        / 86400000000.0 * ln(2)) AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |FROM events CROSS JOIN a
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q3_join_agg" ->
       s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue

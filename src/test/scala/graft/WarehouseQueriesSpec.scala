@@ -69,6 +69,22 @@ class WarehouseQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_decay_score replicates the hand-computed decimal-rounded decay sum for one user") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"), col("value"))
+      .collect()
+    val tmax = ev.map(_.getLong(1)).max
+    val u = ev.head.getLong(0)
+    val expected = ev.filter(_.getLong(0) == u)
+      .map(r => BigDecimal(r.getDouble(2) *
+        math.exp((r.getLong(1) - tmax) / 86400000000.0 * math.log(2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    val got = WarehouseQueries.decayScore(spark, sf)
+      .filter(col("user_id") === u).head().getDouble(2)
+    assert(math.abs(got - expected) < 1e-9, s"user $u: $got vs $expected")
+  }
+
   test("q_resample: dense spine covers every hour, gaps zero-fill, forward fill carries") {
     val r = WarehouseQueries.resample(spark, sf).collect()
     val byType = r.groupBy(_.getString(0))
