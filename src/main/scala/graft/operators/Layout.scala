@@ -164,4 +164,43 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
   }
+
+  /** Table-health audit — the advisor that tells you WHEN to run the
+    * maintenance passes above: walks a parquet table's file metadata
+    * (names and sizes only — no data read, no Spark job) and reports
+    * per-directory file count, byte totals, and the small-file
+    * fraction against `targetBytes`. The standing check a lake runs
+    * nightly; `smallFileFrac` near 1 with many files is the compact
+    * signal, and a partition directory dominating `bytes` is the
+    * skew/repartition signal. */
+  def tableHealth(spark: org.apache.spark.sql.SparkSession, path: String,
+                  targetBytes: Long = 128L << 20): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, DoubleType, StringType, StructField, StructType}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def walk(dir: org.apache.hadoop.fs.Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && !name.startsWith("_") && !name.startsWith("."))
+          walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        else if (name.endsWith(".parquet")) acc += ((rel, st.getLen))
+      }
+    walk(root, "")
+    val rows = acc.groupBy(_._1).toSeq.sortBy(_._1).map { case (dir, files) =>
+      val sizes = files.map(_._2)
+      Row(if (dir.isEmpty) "." else dir, sizes.length.toLong, sizes.sum,
+        sizes.min, sizes.max,
+        sizes.count(_ < targetBytes / 2).toDouble / sizes.length)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("dir", StringType), StructField("n_files", LongType),
+        StructField("bytes", LongType), StructField("min_bytes", LongType),
+        StructField("max_bytes", LongType),
+        StructField("small_file_frac", DoubleType))))
+  }
 }

@@ -282,6 +282,47 @@ object StreamJobs {
       .toDF("user_id", "depth")
   }
 
+  /** Streaming recency-decayed engagement score — the incremental form
+    * of WarehouseQueries.decayScore: state is TWO numbers per user
+    * (the score anchored at the user's LAST event, and that event's
+    * time). On each event the carried score decays by the elapsed gap
+    * and the value adds:
+    *   score' = score · 2^(−(ts − last)/halfLife) + value
+    * which is algebraically the batch anchor-sum re-anchored at every
+    * event — so a consumer recovers the batch number for any anchor T
+    * with one multiply: score·2^(−(T − last)/halfLife) (the parity
+    * spec does exactly that against q_decay_score). Emits
+    * (user_id, last_tsu, score) per touched user per micro-batch.
+    * In-batch disorder sorts away locally; cross-batch out-of-order
+    * events are the documented boundary (the funnelStream contract —
+    * O(1) state instead of a replay buffer). */
+  def decayScoreStream(spark: SparkSession, events: DataFrame,
+                       halfLifeDays: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(halfLifeDays > 0, s"halfLifeDays must be positive, got $halfLifeDays")
+    val hlMicros = halfLifeDays * 86400000000.0
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          var (last, score) = state.getOption.getOrElse((Long.MinValue, 0.0))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, v) =>
+            score =
+              (if (last == Long.MinValue) 0.0
+               else score * math.pow(2.0, (last - ts) / hlMicros)) + v
+            last = ts
+          }
+          state.update((last, score))
+          (user, last, score)
+      }
+      .toDF("user_id", "last_tsu", "score")
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {
     val q = df.writeStream
       .outputMode(mode)

@@ -432,6 +432,28 @@ class PipelineQueriesSpec extends SparkSpec {
   private def rnd6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("tableHealth flags a fragmented partition and clears after compaction") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_health").toString + "/tbl"
+    // p=a lands as ~40 tiny files, p=b as one
+    (1 to 2000).map(i => (i.toLong, "a")).toDF("k", "p")
+      .repartition(40).write.partitionBy("p").parquet(dir)
+    (1 to 10).map(i => (i.toLong, "b")).toDF("k", "p")
+      .repartition(1).write.mode("append").partitionBy("p").parquet(dir)
+    val h = Layout.tableHealth(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(5)))).toMap
+    assert(h("p=a")._1 == 40 && h("p=a")._2 == 1.0,
+      s"fragmented partition not flagged: ${h("p=a")}")
+    assert(h("p=b")._1 == 1)
+    // compact the fragmented partition; health must clear
+    val fixed = java.nio.file.Files.createTempDirectory("graft_health2").toString
+    Layout.compact(spark.read.parquet(s"$dir/p=a"), fixed, targetRowsPerFile = 5000)
+    val h2 = Layout.tableHealth(spark, fixed).collect()
+    assert(h2.length == 1 && h2.head.getLong(1) == 1,
+      s"compaction did not consolidate: ${h2.toSeq}")
+  }
+
   test("indexed bm25 serves the identical ranking and scans only the query terms' buckets") {
     val docs = Tables.documents(spark, sf)
     val idx = java.nio.file.Files.createTempDirectory("graft_textidx").toString

@@ -208,6 +208,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decay score: re-anchored carry state matches the batch anchor-sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = graft.tables.Tables.events(spark, sf)
+    val dir = "/tmp/graft_stream_decay"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val times = ev.select(unix_micros(col("ts"))).as[Long].collect().sorted
+    val cut = times(times.length / 2)
+    ev.filter(unix_micros(col("ts")) < cut).write.parquet(dir)
+    val q = StreamJobs.runToMemory(
+      StreamJobs.decayScoreStream(spark, StreamJobs.eventsStream(spark, dir)),
+      "decay_test", mode = "update")
+    try {
+      ev.filter(unix_micros(col("ts")) >= cut).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val sunk = spark.table("decay_test").collect()
+      assert(sunk.length > sunk.map(_.getLong(0)).distinct.length,
+        "expected per-user updates from more than one micro-batch")
+      // latest state per user, re-anchored to the corpus max event time:
+      // batch score = stream score · 2^((last − tmax)/halfLife)
+      val latest = sunk.map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val tmax = times.last
+      val batch = WarehouseQueries.decayScore(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(latest.keySet == batch.keySet)
+      latest.foreach { case (u, (last, s)) =>
+        val reanchored = s * math.pow(2.0, (last - tmax) / 86400000000.0)
+        // the batch side rounds each term through DECIMAL(18,6), so
+        // parity is to rounding tolerance, not bit-exact
+        assert(math.abs(reanchored - batch(u)) <= 1e-4 * (1 + math.abs(batch(u))),
+          s"user $u: streamed $reanchored vs batch ${batch(u)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming JSONL ingest: good rows land exactly-once in the TxLog table, corruption quarantines") {
     import graft.sources.Jsonl
     import graft.storage.TxLog
