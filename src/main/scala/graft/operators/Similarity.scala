@@ -125,6 +125,37 @@ object Similarity {
     array(perTable: _*)
   }
 
+  /** Cross-corpus approximate similarity JOIN: candidate (left, right)
+    * pairs whose exact cosine clears `minCosine` — the two-TABLE form
+    * the single-corpus operators don't cover (align a new batch
+    * against a reference corpus, match scraped docs to a curated set,
+    * link records across sources). Both sides bucket under the SAME
+    * deterministic hyperplanes (plane count from the larger corpus),
+    * candidates meet in a (table, bucket) equi-join — never a cross
+    * product — ids dedup BEFORE any vector math, and the exact-cosine
+    * verify joins each side's vectors back by id (shuffle keys are
+    * ids + bucket ints; full vectors move only for verified
+    * candidates). Same recall economics as annLsh: recall grows with
+    * `tables`, candidates shrink with `planes`. */
+  def annJoin(left: DataFrame, right: DataFrame, minCosine: Double = 0.95,
+              dim: Int = 64, tables: Int = 4, planes: Int = 0): DataFrame = {
+    val p = if (planes > 0) planes
+            else planesFor(math.max(corpusCount(left), corpusCount(right)))
+    def banded(df: DataFrame, idAs: String) =
+      withBuckets(df, dim, tables, p)
+        .select(col("vec_id").as(idAs), posexplode(col("bks")).as(Seq("t", "bucket")))
+    val pairs = banded(left, "left_id")
+      .join(banded(right, "right_id"), Seq("t", "bucket"))
+      .select("left_id", "right_id").distinct()
+    pairs
+      .join(left.select(col("vec_id").as("left_id"), col("embedding").as("e_l")), "left_id")
+      .join(right.select(col("vec_id").as("right_id"), col("embedding").as("e_r")), "right_id")
+      .select(col("left_id"), col("right_id"),
+        round(cosine(col("e_l"), col("e_r")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy("left_id", "right_id")
+  }
+
   /** LSH-bucketed approximate nearest neighbors for `queryId`: probe the
     * query's bucket in each of `tables` hash tables, union candidates,
     * rank by exact cosine. Recall grows with `tables`, candidate count

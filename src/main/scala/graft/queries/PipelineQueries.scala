@@ -33,6 +33,15 @@ object PipelineQueries {
         .orderBy("new_id", "corpus_id")
     }),
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d))),
+    // cross-corpus similarity join: even vec_ids as the reference
+    // corpus, odd as the incoming batch (rows-only: LSH internals;
+    // planted-twin recall spec'd)
+    "sim_ann_join" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.annJoin(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), minCosine = 0.2)
+    }),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(embeddings(s, d))),
     // stable per-dataset index path: the IVF index is an OFFLINE
     // artifact (fit once, query many) — keying it by the input's

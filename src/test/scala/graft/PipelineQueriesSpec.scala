@@ -432,6 +432,27 @@ class PipelineQueriesSpec extends SparkSpec {
   private def rnd6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("annJoin surfaces planted cross-corpus twins; candidates are verified, sides never self-pair") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val left = emb.filter(col("vec_id") % 2 === 0)
+    // the batch: exact twins of three reference vectors under new ids,
+    // plus genuine odd-id vectors as distractors
+    val twins = left.filter(col("vec_id") <= 4)
+      .select((col("vec_id") + 1000001L).as("vec_id"), col("embedding"))
+    val right = emb.filter(col("vec_id") % 2 === 1).unionByName(twins)
+    val out = Similarity.annJoin(left, right, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val found = out.filter(_._2 > 1000000L).map(p => p._1 -> p._2).toSet
+    assert(Set(0L, 2L, 4L).forall(i => found.contains(i -> (i + 1000001L))),
+      s"planted twins missed: $found")
+    out.filter(_._2 > 1000000L).foreach { case (a, b, c) =>
+      if (b == a + 1000001L) assert(c >= 0.999999, s"twin ($a,$b) cosine $c")
+    }
+    // every pair crosses the corpora: left ids even, right ids odd/new
+    assert(out.forall(p => p._1 % 2 == 0 && (p._2 % 2 == 1 || p._2 > 1000000L)))
+  }
+
   test("tableHealth flags a fragmented partition and clears after compaction") {
     import spark.implicits._
     import graft.operators.Layout
