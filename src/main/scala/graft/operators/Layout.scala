@@ -165,6 +165,52 @@ object Layout {
       .drop("_z")
   }
 
+  /** Morton interleave across N dimensions: bit i of dimension d lands
+    * at position i·N + d — the [[mortonInterleave]] generalization,
+    * still pure shift/and/or codegen'd arithmetic. Total bits (N·bits)
+    * must fit a long. */
+  private[graft] def mortonInterleaveN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n * bits <= 63, s"$n dims × $bits bits overflow a long")
+    dims.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, d)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(shiftleft(c.bitwiseAND(lit(1L << i)), i * (n - 1) + d))
+      }
+    }
+  }
+
+  /** N-column z-order clustering write — [[zorderByQuantiles]] beyond
+    * two dimensions (region × date × size, chr × pos × maf): every
+    * output file covers a small N-box of the clustered space, so
+    * min/max skipping serves predicates on ANY tracked column. Bits
+    * split the long across N dims (⌊63/N⌋ capped at `bits`); each
+    * dimension buckets by equi-depth quantiles (one sketch pre-pass
+    * total — approxQuantile batches all N columns). More dims spread
+    * the same bit budget thinner, so cluster on the columns queries
+    * actually constrain — 2-4 in practice. */
+  def zorderedFrameN(df: DataFrame, cols: Seq[String], numFiles: Int,
+                     bits: Int = 8, buckets: Int = 64): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 cluster columns, got ${cols.size}")
+    val b = math.min(bits, 63 / cols.size)
+    val top = (1L << b) - 1
+    val bs = df.stat.approxQuantile(cols.toArray,
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+    def norm(c: String, boundaries: Array[Double]): Column =
+      if (boundaries.isEmpty || boundaries.head == boundaries.last) lit(0L)
+      else {
+        val scale = top.toDouble / boundaries.length
+        when(col(c).isNull, lit(0L))
+          .otherwise(floor(
+            bucketTree(col(c).cast("double"), boundaries, 0, boundaries.length)
+              * lit(scale)).cast("long"))
+      }
+    df.withColumn("_z",
+        mortonInterleaveN(cols.zip(bs).map { case (c, bnd) => norm(c, bnd) }, b))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
+
   /** Table-health audit — the advisor that tells you WHEN to run the
     * maintenance passes above: walks a parquet table's file metadata
     * (names and sizes only — no data read, no Spark job) and reports

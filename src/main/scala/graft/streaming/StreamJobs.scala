@@ -323,6 +323,31 @@ object StreamJobs {
       .toDF("user_id", "last_tsu", "score")
   }
 
+  /** Maintain a streaming aggregate as a QUERYABLE TxLog table: each
+    * update-mode micro-batch (the changed groups only) lands as one
+    * transactional MERGE — readers see whole batches (snapshot
+    * isolation), any version is time-travelable, and downstream
+    * consumers read a plain table instead of holding a streaming
+    * query open. Replay safety here is by IDEMPOTENCE rather than the
+    * appendBatch watermark: re-merging an identical update batch
+    * produces the identical table (merges are idempotent in content),
+    * which is exactly the guarantee update-mode re-delivery needs.
+    * `aggUpdates`' group keys must be unique per batch (aggregate
+    * output always is — `preValidated` rides on that). Create the
+    * TxLog table first with the aggregate's schema, partitioned. */
+  def aggMergeStream(aggUpdates: DataFrame, tablePath: String,
+                     keys: Seq[String],
+                     checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = aggUpdates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.storage.TxLog.mergeInto(tablePath, batch, keys, preValidated = true)
+        ()
+      }
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {
     val q = df.writeStream
       .outputMode(mode)

@@ -453,6 +453,35 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(out.forall(p => p._1 % 2 == 0 && (p._2 % 2 == 1 || p._2 > 1000000L)))
   }
 
+  test("3-column z-order: every dimension's per-file span shrinks vs a single-column sort") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val n = 27000
+    val df = spark.range(n).select(
+      (hash(col("id"), lit(1)).cast("double") % 1000).as("x"),
+      (hash(col("id"), lit(2)).cast("double") % 1000).as("y"),
+      (hash(col("id"), lit(3)).cast("double") % 1000).as("z"))
+    def spans(d: org.apache.spark.sql.DataFrame, path: String): Map[String, Double] = {
+      d.write.mode("overwrite").parquet(path)
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(max("x") - min("x"), max("y") - min("y"), max("z") - min("z"))
+        .agg(avg(col("(max(x) - min(x))")), avg(col("(max(y) - min(y))")),
+          avg(col("(max(z) - min(z))"))).head()
+      Map("x" -> perFile.getDouble(0), "y" -> perFile.getDouble(1),
+        "z" -> perFile.getDouble(2))
+    }
+    val zo = spans(Layout.zorderedFrameN(df, Seq("x", "y", "z"), numFiles = 27),
+      "/tmp/graft_zn_zo")
+    val sorted = spans(df.repartitionByRange(27, col("x")).sortWithinPartitions("x"),
+      "/tmp/graft_zn_sx")
+    // the x-sort skips perfectly on x and not at all on y/z; the
+    // z-order must shrink EVERY dimension's file spans meaningfully
+    assert(zo.values.forall(_ < 1400.0), s"z-order spans too wide: $zo")
+    assert(zo("y") < sorted("y") * 0.8 && zo("z") < sorted("z") * 0.8,
+      s"no pruning gain over single-column sort: $zo vs $sorted")
+  }
+
   test("tableHealth flags a fragmented partition and clears after compaction") {
     import spark.implicits._
     import graft.operators.Layout

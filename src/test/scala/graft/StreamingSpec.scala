@@ -208,6 +208,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming aggregate merged into a TxLog table equals the batch aggregate; versions accrue per batch") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import graft.storage.TxLog
+    val ev = graft.tables.Tables.events(spark, sf)
+    val dir = "/tmp/graft_stream_aggmerge"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val tbl = java.nio.file.Files.createTempDirectory("graft_aggtbl").toString + "/t"
+    import spark.implicits._
+    val times = ev.select(unix_micros(col("ts"))).as[Long].collect().sorted
+    val cut = times(times.length / 2)
+    ev.filter(unix_micros(col("ts")) < cut).write.parquet(dir)
+    // table exists first, with the aggregate's schema
+    TxLog.create(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "wstart BIGINT, event_type STRING, n BIGINT")),
+      tbl, Some("event_type"))
+    val q = StreamJobs.aggMergeStream(
+      StreamJobs.windowCounts(StreamJobs.eventsStream(spark, dir)),
+      tbl, Seq("wstart", "event_type"))
+    try {
+      q.processAllAvailable()
+      ev.filter(unix_micros(col("ts")) >= cut).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val merged = TxLog.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.queries.WarehouseQueries.streamWindowCounts(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(merged == batch,
+      s"missing ${batch.diff(merged).take(3)}, extra ${merged.diff(batch).take(3)}")
+    // one transactional version per non-empty micro-batch, plus create
+    assert(TxLog.currentVersion(spark, tbl).exists(_ >= 3L))
+  }
+
   test("streaming decay score: re-anchored carry state matches the batch anchor-sum") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
