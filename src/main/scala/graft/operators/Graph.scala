@@ -63,4 +63,54 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts over an undirected graph given as (src,
+    * dst) edge rows — the clustering/cohesion signal (community
+    * tightness, link-spam detection, co-occurrence strength) and the
+    * third graph primitive next to components and pagerank.
+    *
+    * Algorithm: degree orientation ("compact-forward"). Edges are
+    * canonicalized to an undirected set, then each edge is DIRECTED
+    * from its lower-(degree, id) endpoint to the higher one. That
+    * yields an acyclic orientation whose max out-degree is O(√m)
+    * regardless of how skewed the raw degree distribution is — a
+    * celebrity node with 10^7 neighbors receives almost all its edges
+    * INBOUND, so the wedge join below never builds its neighbor list
+    * squared. Wedges a→b→c close into a triangle iff the a→c edge
+    * exists (orientation is a total order, so a<b<c guarantees the
+    * closing edge is oriented a→c); every triangle is counted exactly
+    * once. Three shuffles on edge keys, all equi-joins, no cross
+    * product; intermediate wedge count is Σ outdeg² ≤ m·√m.
+    *
+    * Returns (node, n_triangles) for every node in ≥1 triangle —
+    * orientation relabeling never changes the triangle SET, so the
+    * counts are identical to the naive id-ordered enumeration an
+    * oracle runs. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val lowerFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(lowerFirst, col("u")).otherwise(col("v")).as("a"),
+        when(lowerFirst, col("v")).otherwise(col("u")).as("b"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tri = wedges.as("w")
+      .join(oriented.as("e3"),
+        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
+      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -299,6 +299,43 @@ object PipelineQueries {
     // form — the dedup_components planted-oracle pattern for an
     // ITERATIVE float algorithm. Non-uniform convergence (star graph,
     // dangling nodes) is spec'd with hand-solved fixed points.
+    // triangle counting on the co-purchase graph (parts sharing an
+    // order): degree-oriented wedge enumeration in Spark, naive
+    // id-ordered 3-way self-join in DuckDB — the triangle SET is
+    // orientation-invariant, so the per-node counts must hash-match
+    // exactly. Top-20 by (count desc, node).
+    "graph_triangles" -> ((s, d) => {
+      import org.apache.spark.sql.functions.desc
+      val items = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = items.as("a")
+        .join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      graft.operators.Graph.triangles(edges)
+        .orderBy(desc("n_triangles"), col("node"))
+        .limit(20)
+    }),
+    // hybrid retrieval: BM25 keyword ranks fused with ANN cosine ranks
+    // by reciprocal-rank fusion in INTEGER arithmetic (scale div
+    // (k0+rank)) — the fused score is exact on any engine. Both input
+    // lists are bounded top-50s; the single-partition rank windows run
+    // on ≤50 rows (post-limit), never the corpus.
+    "text_hybrid_search" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{desc, row_number}
+      val bm = TextOps.bm25(documents(s, d), Seq("dup", "vector", "join"), k = 50)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(desc("score"), col("doc_id"))).as("r"))
+      val cos = Similarity.cosineTopK(embeddings(s, d), k = 50)
+        .select(col("vec_id").as("doc_id"),
+          row_number().over(Window.orderBy(desc("cosine"), col("vec_id"))).as("r"))
+      graft.operators.Search.rrfFuse(Seq("bm25" -> bm, "cosine" -> cos))
+        .orderBy(desc("rrf"), col("doc_id"))
+        .limit(20)
+    }),
     "graph_pagerank" -> ((s, d) => {
       val edges = s.range(100)
         .select(col("id").as("src"), ((col("id") + 1) % 100).as("dst"))
@@ -795,6 +832,49 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "text_bm25" -> bm25OracleSql,
+    // RRF fusion of the bm25 CTE chain and the cosine ranking; ranks
+    // are row_numbers over the same (score desc, id) orders both
+    // engines produce bit-identically, and the fused score is integer
+    // division — nothing float crosses the engines
+    "text_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(SUM(CAST(len(t) AS DECIMAL(18,6))) AS DOUBLE) AS sdl
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(t) AS INT) AS dl, u.term, count(*) AS tf
+        |  FROM toks, UNNEST(t) AS u(term)
+        |  WHERE u.term IN ('dup', 'vector', 'join')
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |bmscore AS (
+        |  SELECT tf.doc_id,
+        |    CAST(SUM(CAST(
+        |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
+        |        * (tf * (1.2 + 1.0))
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sdl / n)))
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |bm AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |  FROM bmscore ORDER BY score DESC, doc_id LIMIT 50),
+        |cosred AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |  FROM embeddings WHERE vec_id <> 0),
+        |cs AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+        |  FROM cosred ORDER BY cosine DESC, doc_id LIMIT 50)
+        |SELECT COALESCE(bm.doc_id, cs.doc_id) AS doc_id,
+        |  COALESCE(1000000 // (60 + bm.r), 0)
+        |    + COALESCE(1000000 // (60 + cs.r), 0) AS rrf,
+        |  bm.r AS bm25_rank, cs.r AS cosine_rank
+        |FROM bm FULL JOIN cs ON bm.doc_id = cs.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     // the indexed serving path must produce the IDENTICAL ranking —
     // one oracle, two execution strategies
     "text_bm25_indexed" -> bm25OracleSql,
@@ -825,6 +905,24 @@ object PipelineQueries {
     // the cycle is 1-regular: uniform 1/N is the exact fixed point
     "graph_pagerank" ->
       """SELECT range AS node, 0.01 AS pr FROM range(100) ORDER BY node""".stripMargin,
+    // naive id-ordered enumeration: canonical a<b edges, wedge join,
+    // closing-edge join — orientation-free, so it checks the Spark
+    // side's degree-oriented plan by triangle-set equality
+    "graph_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        |       JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY node ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin,
     "split_leakage_safe" ->
       """SELECT range AS doc_id, range - (range % 50) AS component,
         |  CASE WHEN substr(md5(CAST(range - (range % 50) AS VARCHAR)), 1, 4) < '4000'

@@ -146,6 +146,61 @@ object WarehouseQueries {
       .orderBy("user_id", "sess")
   }
 
+  /** Multi-touch attribution: every purchase credits the FIRST and the
+    * LAST non-purchase event the same user emitted before it (the
+    * first-touch / last-touch marketing models). One window pass over
+    * events (single user_id shuffle), then the two credit assignments
+    * unpivot through a 2-element explode so ONE aggregation produces
+    * both models — no second pass over the fact. Per-channel output is
+    * channel-cardinality-sized. */
+  def attribution(s: SparkSession, d: String): DataFrame =
+    attributionOf(events(s, d))
+
+  private[graft] def attributionOf(ev: DataFrame): DataFrame = {
+    val before = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val channel = when(col("event_type") =!= "purchase", col("event_type"))
+    val credited = ev
+      .withColumn("first_ch", first(channel, ignoreNulls = true).over(before))
+      .withColumn("last_ch", last(channel, ignoreNulls = true).over(before))
+      .filter(col("event_type") === "purchase" && col("first_ch").isNotNull)
+    credited
+      .select(explode(array(
+        struct(col("first_ch").as("channel"), lit(1).as("is_first"), col("value")),
+        struct(col("last_ch").as("channel"), lit(0).as("is_first"), col("value"))))
+        .as("t"))
+      .select("t.*")
+      .groupBy("channel")
+      .agg(
+        count(when(col("is_first") === 1, lit(1))).as("n_first"),
+        coalesce(dsum(when(col("is_first") === 1, col("value"))), lit(0.0))
+          .as("rev_first"),
+        count(when(col("is_first") === 0, lit(1))).as("n_last"),
+        coalesce(dsum(when(col("is_first") === 0, col("value"))), lit(0.0))
+          .as("rev_last"))
+      .orderBy("channel")
+  }
+
+  /** Debounce dedup: drop an event arriving within `gap` of the
+    * previous event with the same (user_id, event_type) — the
+    * double-click / retry / at-least-once-delivery cleaner that exact
+    * dedup (different event_ids) cannot express. One shuffle on the
+    * key, a lag window, a filter; gap compares in MICROSECONDS so both
+    * engines decide borderline rows identically. */
+  def debounce(s: SparkSession, d: String): DataFrame =
+    debounceOf(events(s, d), 1800L * 1000000L) // 30 min
+
+  private[graft] def debounceOf(ev: DataFrame, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ev
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= gapUs)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** As-of join: for every `error` event, the most recent `signup` by
     * the same user at ts <= error ts. Implemented as the union+window
     * trick: tag both sides, one shuffle on user_id, carry the last
@@ -836,6 +891,8 @@ object WarehouseQueries {
     "q_rollup" -> rollupAgg _,
     "q_time_window" -> timeWindow _,
     "q_sessionize" -> sessionize _,
+    "q_attribution" -> attribution _,
+    "q_debounce" -> debounce _,
     "q_asof_join" -> asofJoin _,
     "q_skew_agg" -> skewAgg _,
     "q_skew_join" -> skewJoin _,
@@ -1258,6 +1315,42 @@ object WarehouseQueries {
       s"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart,
          |  event_type, count(*) AS n, ${dsumSql("value")} AS total
          |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    // structurally the same single-pass conditional aggregation as the
+    // Spark side (UNION ALL ≡ the 2-element explode), so a channel
+    // missing from one credit model can never produce a full-join-NULL
+    // vs zero-count divergence between the engines
+    "q_attribution" ->
+      s"""WITH att AS (
+         |  SELECT event_type, value,
+         |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_ch,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch
+         |  FROM events),
+         |p AS (SELECT * FROM att
+         |      WHERE event_type = 'purchase' AND first_ch IS NOT NULL),
+         |long AS (
+         |  SELECT first_ch AS channel, 1 AS is_first, value FROM p
+         |  UNION ALL
+         |  SELECT last_ch AS channel, 0 AS is_first, value FROM p)
+         |SELECT channel,
+         |  count(CASE WHEN is_first = 1 THEN 1 END) AS n_first,
+         |  COALESCE(${dsumSql("CASE WHEN is_first = 1 THEN value END")}, 0.0) AS rev_first,
+         |  count(CASE WHEN is_first = 0 THEN 1 END) AS n_last,
+         |  COALESCE(${dsumSql("CASE WHEN is_first = 0 THEN value END")}, 0.0) AS rev_last
+         |FROM long GROUP BY channel ORDER BY channel""".stripMargin,
+    "q_debounce" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, event_type, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+        |FROM g
+        |WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |ORDER BY event_id""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,

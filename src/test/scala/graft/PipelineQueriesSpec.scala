@@ -1390,4 +1390,46 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.getInt(3) == 5)          // height
     assert(r.getInt(4) == 1)          // frames
   }
+
+  test("triangles: K4 + pendant, duplicate and reversed edges canonicalize") {
+    // K4 on 1..4 has exactly 4 triangles, each node in 3; the pendant
+    // edge 4-5 joins no triangle so node 5 must be absent. Edges are
+    // fed in mixed orientation with a duplicate to exercise the
+    // canonicalization.
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L),
+      (3L, 2L), (2L, 4L), (3L, 4L), (5L, 4L))
+      .toDF("src", "dst")
+    val out = graft.operators.Graph.triangles(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), out.toString)
+  }
+
+  test("triangles: degree orientation matches id orientation on a skewed star+rim") {
+    // hub 0 connects to rim 1..10, rim is a cycle: triangles are the
+    // 10 (hub, i, i+1) fans. Hub degree 10 vs rim degree 3 — the
+    // degree orientation points INTO the hub, which is exactly the
+    // skew-defense; counts must still be the plain mathematical ones:
+    // hub in 10 triangles, every rim node in 2 (one per adjacent fan...
+    // rim node i sits in fans (i-1,i) and (i,i+1) -> 2, plus no rim-only
+    // triangle since the cycle has length 10 > 3.
+    val hub = (1 to 10).map(i => (0L, i.toLong))
+    val rim = (1 to 10).map(i => (i.toLong, (i % 10 + 1).toLong))
+    val out = graft.operators.Graph.triangles((hub ++ rim).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 10L, out.toString)
+    (1 to 10).foreach(i => assert(out(i.toLong) == 2L, out.toString))
+  }
+
+  test("rrfFuse: integer-exact fusion, absent ranks contribute zero") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "r")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "r")
+    val out = graft.operators.Search.rrfFuse(Seq("a" -> a, "b" -> b))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    // 1000000 div 61 = 16393, div 62 = 16129
+    assert(out(1L) == ((16393L, Some(1L), None)), out.toString)
+    assert(out(2L) == ((16129L + 16393L, Some(2L), Some(1L))), out.toString)
+    assert(out(3L) == ((16129L, None, Some(2L))), out.toString)
+  }
 }

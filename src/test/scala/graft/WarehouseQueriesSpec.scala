@@ -639,4 +639,63 @@ class WarehouseQueriesSpec extends SparkSpec {
     val plan = Check.audit(df, rules).queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning"), s"audit should not shuffle by key:\n$plan")
   }
+
+  test("q_attribution credits first and last preceding touch, hand fixture") {
+    import spark.implicits._
+    val ts = (s: Int) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // user 1: view -> click -> purchase(10) -> purchase(20)
+    //   first touch both purchases: view; last touch: click for both
+    // user 2: purchase with no preceding event -> unattributed, dropped
+    // user 3: signup -> purchase(5): signup is both first and last
+    val ev = Seq(
+      (1L, ts(1), 1L, "view", 0.0), (2L, ts(2), 1L, "click", 0.0),
+      (3L, ts(3), 1L, "purchase", 10.0), (4L, ts(4), 1L, "purchase", 20.0),
+      (5L, ts(1), 2L, "purchase", 99.0),
+      (6L, ts(1), 3L, "signup", 0.0), (7L, ts(2), 3L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.queries.WarehouseQueries.attributionOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      "view" -> ((2L, 30.0, 0L, 0.0)),
+      "click" -> ((0L, 0.0, 2L, 30.0)),
+      "signup" -> ((1L, 5.0, 1L, 5.0))), out.toString)
+  }
+
+  test("q_attribution models agree on totals (sf0.001)") {
+    val out = WarehouseQueries.attribution(spark, sf)
+    val t = out.agg(sum("n_first"), sum("n_last"),
+      sum("rev_first"), sum("rev_last")).head()
+    // every attributed purchase is credited once under EACH model
+    assert(t.getLong(0) == t.getLong(1))
+    assert(math.abs(t.getDouble(2) - t.getDouble(3)) < 1e-6)
+    assert(!out.select("channel").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().contains("purchase"))
+  }
+
+  test("q_debounce keeps the first of a burst and re-admits after the gap") {
+    import spark.implicits._
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val gapUs = 60L * 1000000L // 1 min for the fixture
+    // user 1 clicks at 0s, 30s (dropped), 59s (dropped: 59s after the
+    // PREVIOUS event at 30s is 29s — lag semantics, not anchor), 120s
+    // (kept); a view at 10s is its own key and survives
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 0.0), (2L, ts(30), 1L, "click", 0.0),
+      (3L, ts(59), 1L, "click", 0.0), (4L, ts(120), 1L, "click", 0.0),
+      (5L, ts(10), 1L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val kept = graft.queries.WarehouseQueries.debounceOf(ev, gapUs)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L), kept.toString)
+  }
+
+  test("q_debounce output is a subset and keeps one row per (user,type)") {
+    val ev = Tables.events(spark, sf)
+    val out = WarehouseQueries.debounce(spark, sf)
+    assert(out.count() <= ev.count())
+    // at least the first event of every (user, event_type) key survives
+    val keys = ev.select("user_id", "event_type").distinct().count()
+    assert(out.select("user_id", "event_type").distinct().count() == keys)
+  }
 }
