@@ -375,6 +375,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Blocked edit-distance (Levenshtein) near-dup pairs — the fuzzy
+    * entity-resolution / record-linkage primitive for SHORT strings
+    * (names, titles, product labels) where shingle Jaccard is too
+    * coarse. Every pair sharing a caller-supplied blocking key is
+    * verified with exact `levenshtein`; pairs at distance ≤ `maxDist`
+    * come back as (id_a, id_b, dist) with id_a < id_b.
+    *
+    * The blocking key IS the scale contract (standard record-linkage
+    * practice): comparisons are quadratic only within a block, and the
+    * self-join shuffles both sides once on the key, so block-size × key
+    * cardinality is the knob the caller owns — first token, sorted-char
+    * signature, phonetic code, (prefix, length-band) all work. A
+    * degenerate block (one giant key) degrades to the quadratic the
+    * caller asked for; this operator never builds corpus². */
+  def editPairs(df: DataFrame, blockKey: Column, maxDist: Int = 2,
+                idCol: String = "id", textCol: String = "name"): DataFrame = {
+    val p = df.select(col(idCol).as("id"), col(textCol).as("txt"), blockKey.as("blk"))
+    p.as("a")
+      .join(p.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.txt"), col("b.txt")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Connected components over near-dup pairs — the step that turns
     * pairwise candidates into dedup CLUSTERS (keep min-id per
     * component, drop the rest). Returns (doc_id, component) with

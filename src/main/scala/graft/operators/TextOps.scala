@@ -64,6 +64,38 @@ object TextOps {
         size(array_distinct(split(col("text"), " "))).as("distinct_tokens"))
       .orderBy("doc_id")
 
+  /** Overlapping token-window chunking — the context-window splitter
+    * every RAG / pre-training pipeline runs before embedding or
+    * packing. Chunk starts are multiples of `stride`; a start is kept
+    * iff it is 0 or the PREVIOUS start's window did not already reach
+    * the end (`start - stride + size < n`), so the tail is covered
+    * exactly once and no chunk is a suffix of its predecessor. Output
+    * (doc_id, chunk_start, n_tokens, chunk_text), one row per chunk.
+    *
+    * Scale shape: pure per-row array arithmetic (split → sequence →
+    * filter → posexplode → slice), zero shuffles before the harness
+    * sort; output size is corpus tokens × size/stride — the explode
+    * multiplies rows by ~n/stride, never by n². */
+  def chunk(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+    require(stride >= 1 && size >= stride,
+      s"need size >= stride >= 1, got size=$size stride=$stride")
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), toks.as("toks"),
+        org.apache.spark.sql.functions.size(toks).cast("long").as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(filter(
+          sequence(lit(0L), col("n") - 1L, lit(stride.toLong)),
+          s => s === 0L || s - stride + size < col("n"))).as(Seq("i", "chunk_start")))
+      .select(
+        col("doc_id"),
+        col("chunk_start"),
+        least(lit(size.toLong), col("n") - col("chunk_start")).as("n_tokens"),
+        array_join(slice(col("toks"), (col("chunk_start") + 1L).cast("int"), lit(size)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
   /** Content fingerprint: md5 of the lowercased text (oracle-checkable). */
   def fingerprint(docs: DataFrame): DataFrame =
     docs

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, length, lit, pmod, size, split}
+import org.apache.spark.sql.functions.{col, element_at, length, lit, pmod, round, size, split}
 
 import graft.operators.{Dedup, Ivf, Multimodal, Packing, Pq, Sampling, Similarity, TextOps}
 import graft.tables.Tables._
@@ -303,20 +303,61 @@ object PipelineQueries {
     // order): degree-oriented wedge enumeration in Spark, naive
     // id-ordered 3-way self-join in DuckDB — the triangle SET is
     // orientation-invariant, so the per-node counts must hash-match
-    // exactly. Top-20 by (count desc, node).
+    // exactly. Support ≥2 (parts co-bought in at least two orders)
+    // sparsifies the random co-occurrence flood — the raw graph at
+    // sf0.1 has 1.2M edges and a 28 s wedge phase; the repeat-purchase
+    // graph has ~3.5k edges at any sf, and the support aggregation is
+    // the same single (u,v) shuffle that built the edge set anyway.
+    // Top-20 by (count desc, node).
     "graph_triangles" -> ((s, d) => {
-      import org.apache.spark.sql.functions.desc
+      import org.apache.spark.sql.functions.{count, desc, lit}
       val items = lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val edges = items.as("a")
         .join(items.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-        .distinct()
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .drop("sup")
       graft.operators.Graph.triangles(edges)
         .orderBy(desc("n_triangles"), col("node"))
         .limit(20)
+    }),
+    // overlapping token-window chunking, oracle-exact: both engines
+    // compute the same start-multiples-of-stride + tail-kept-once rule
+    "text_chunk" -> ((s, d) => TextOps.chunk(documents(s, d))),
+    // blocked Levenshtein near-dup over part names (block = first
+    // token, the color word): record-linkage on short strings,
+    // oracle-exact — DuckDB and Spark both implement classic
+    // unit-cost edit distance. Compared on DISTINCT names (the
+    // standard linkage trick): the name domain is vocab-bounded (64
+    // at every sf) while id-level pairs grow quadratically with the
+    // rows sharing a name — 25M comparisons and a multi-million-row
+    // answer at sf0.1. Joining matched names back to ids is a cheap
+    // follow-up equi-join users compose themselves.
+    "dedup_edit" -> ((s, d) => Dedup.editPairs(
+      part(s, d).select(col("p_name")).distinct()
+        .select(col("p_name").as("id"), col("p_name").as("name")),
+      blockKey = element_at(split(col("name"), " "), 1),
+      maxDist = 4, textCol = "name")
+      .withColumnRenamed("id_a", "name_a").withColumnRenamed("id_b", "name_b")),
+    // PCA projection of the embedding corpus to 4 dims (rows-only:
+    // eigensolve isn't SQL-expressible; PcaSpec pins orthonormality,
+    // planted-rank recovery, partitioning-independence). Decimal-exact
+    // moment sums make the model — and so this output — deterministic.
+    "emb_pca" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val m = graft.operators.Embeddings.pcaFitCached(emb, k = 4,
+        cacheKey = datasetFingerprint(d))
+      graft.operators.Embeddings.pcaProject(emb, m)
+        .select(col("vec_id"),
+          round(element_at(col("proj"), 1), 6).as("pc0"),
+          round(element_at(col("proj"), 2), 6).as("pc1"),
+          round(element_at(col("proj"), 3), 6).as("pc2"),
+          round(element_at(col("proj"), 4), 6).as("pc3"))
+        .orderBy("vec_id")
     }),
     // hybrid retrieval: BM25 keyword ranks fused with ANN cosine ranks
     // by reciprocal-rank fusion in INTEGER arithmetic (scale div
@@ -832,6 +873,31 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "text_bm25" -> bm25OracleSql,
+    // same start-multiples-of-stride rule: a start survives iff it is
+    // 0 or the previous window stopped short of the end
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, CAST(u.s AS BIGINT) AS chunk_start,
+        |    array_to_string(list_slice(toks, CAST(u.s AS BIGINT) + 1,
+        |                               CAST(u.s AS BIGINT) + 32), ' ') AS chunk_text
+        |  FROM t, UNNEST(range(0, n, 24)) AS u(s)
+        |  WHERE u.s = 0 OR u.s - 24 + 32 < n)
+        |SELECT doc_id, chunk_start,
+        |  CAST(least(32, n - chunk_start) AS BIGINT) AS n_tokens, chunk_text
+        |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
+    "dedup_edit" ->
+      """WITH p AS (
+        |  SELECT DISTINCT p_name AS name FROM part),
+        |b AS (SELECT name, string_split(name, ' ')[1] AS blk FROM p)
+        |SELECT a.name AS name_a, b2.name AS name_b,
+        |  CAST(levenshtein(a.name, b2.name) AS BIGINT) AS dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.name < b2.name
+        |WHERE levenshtein(a.name, b2.name) <= 4
+        |ORDER BY name_a, name_b""".stripMargin,
     // RRF fusion of the bm25 CTE chain and the cosine ranking; ranks
     // are row_numbers over the same (score desc, id) orders both
     // engines produce bit-identically, and the fused score is integer
@@ -912,8 +978,9 @@ object PipelineQueries {
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |edges AS (
-        |  SELECT DISTINCT a.pk AS u, b.pk AS v
-        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |tri AS (
         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
         |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u

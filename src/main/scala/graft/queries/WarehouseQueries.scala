@@ -201,6 +201,30 @@ object WarehouseQueries {
       .orderBy("event_id")
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: counts and probabilities of event_type → next
+    * event_type, the session-flow / next-action model behind path
+    * analysis and anomalous-sequence detection. One user_id shuffle
+    * for the lead window, then a transition-cardinality-sized
+    * aggregate (|types|² rows). The probability ships as integer PPM
+    * (`n * 1e6 div total`) — exact on any engine, no decimal-division
+    * scale rules to reconcile. */
+  def transitions(s: SparkSession, d: String): DataFrame =
+    transitionsOf(events(s, d))
+
+  private[graft] def transitionsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("cur")))
+      .select(col("cur"), col("nxt"), col("n"),
+        expr("CAST(n * 1000000 div tot AS BIGINT)").as("p_ppm"))
+      .orderBy("cur", "nxt")
+  }
+
   /** As-of join: for every `error` event, the most recent `signup` by
     * the same user at ts <= error ts. Implemented as the union+window
     * trick: tag both sides, one shuffle on user_id, carry the last
@@ -893,6 +917,7 @@ object WarehouseQueries {
     "q_sessionize" -> sessionize _,
     "q_attribution" -> attribution _,
     "q_debounce" -> debounce _,
+    "q_transitions" -> transitions _,
     "q_asof_join" -> asofJoin _,
     "q_skew_agg" -> skewAgg _,
     "q_skew_join" -> skewJoin _,
@@ -1351,6 +1376,19 @@ object WarehouseQueries {
         |FROM g
         |WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
         |ORDER BY event_id""".stripMargin,
+    // integer-PPM probability: 1000000 * n // tot is one number on any
+    // engine, unlike decimal division whose result-scale rules differ
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (
+        |  SELECT cur, nxt, count(*) AS n FROM seq
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        |  CAST(1000000 * n // sum(n) OVER (PARTITION BY cur) AS BIGINT) AS p_ppm
+        |FROM c ORDER BY cur, nxt""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts,

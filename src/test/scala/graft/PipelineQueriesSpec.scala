@@ -1421,6 +1421,47 @@ class PipelineQueriesSpec extends SparkSpec {
     (1 to 10).foreach(i => assert(out(i.toLong) == 2L, out.toString))
   }
 
+  test("chunk: overlap, tail kept once, short doc is one chunk") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // 7 tokens: starts 0,2,4 (6 dropped: window at 4 reaches the end)
+      (2L, "a b c d e f g h"), // 8 tokens: starts 0,2,4,6 (6 kept: prev window ends at 7 < 8)
+      (3L, "x y"))             // shorter than size: single chunk
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.chunk(docs, size = 3, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 3L, "a b c"), (1L, 2L, 3L, "c d e"), (1L, 4L, 3L, "e f g"),
+      (2L, 0L, 3L, "a b c"), (2L, 2L, 3L, "c d e"), (2L, 4L, 3L, "e f g"),
+      (2L, 6L, 2L, "g h"),
+      (3L, 0L, 2L, "x y")), out.mkString(", "))
+    // invariant on real data: chunks cover every token exactly
+    // ceil-wise — total chunk tokens >= doc tokens, and the first
+    // chunk of every doc starts at 0
+    val real = graft.operators.TextOps.chunk(
+      graft.tables.Tables.documents(spark, sf))
+    val firsts = real.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.min("chunk_start").as("m"))
+      .filter($"m" =!= 0L).count()
+    assert(firsts == 0L)
+  }
+
+  test("editPairs: blocked levenshtein with exact distances") {
+    val df = Seq(
+      (1L, "red widget"), (2L, "red widget"),  // dist 0
+      (3L, "red widgets"),                     // dist 1 from "red widget"
+      (4L, "red gadget"),                      // dist 2 from "red widget" (w→g, i→a); dist 3 from "red widgets" — cut
+      (5L, "blue widget"))                     // different block, never compared
+      .toDF("id", "name")
+    val out = graft.operators.Dedup.editPairs(
+      df, org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.split($"name", " "), 1),
+      maxDist = 2, textCol = "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 0L), (1L, 3L, 1L), (1L, 4L, 2L),
+      (2L, 3L, 1L), (2L, 4L, 2L)), out.mkString(", "))
+  }
+
   test("rrfFuse: integer-exact fusion, absent ranks contribute zero") {
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "r")
     val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "r")

@@ -690,6 +690,35 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L), kept.toString)
   }
 
+  test("q_transitions: hand fixture counts and integer-ppm rows") {
+    import spark.implicits._
+    val ts = (s: Int) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // user 1: view -> click -> view; user 2: view -> click
+    // transitions: view->click ×2, click->view ×1
+    val ev = Seq(
+      (1L, ts(1), 1L, "view", 0.0), (2L, ts(2), 1L, "click", 0.0),
+      (3L, ts(3), 1L, "view", 0.0),
+      (4L, ts(1), 2L, "view", 0.0), (5L, ts(2), 2L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.queries.WarehouseQueries.transitionsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("click", "view", 1L, 1000000L),
+      ("view", "click", 2L, 1000000L)), out.mkString(", "))
+  }
+
+  test("q_transitions rows are per-cur ppm partitions of ~1e6 (sf0.001)") {
+    val out = WarehouseQueries.transitions(spark, sf)
+    // per-cur ppm sums land within |types| of 1e6 (floor-division slack)
+    val sums = out.groupBy("cur")
+      .agg(sum("p_ppm").as("s"), count(org.apache.spark.sql.functions.lit(1)).as("k"))
+      .collect()
+    sums.foreach { r =>
+      val s = r.getLong(1); val k = r.getLong(2)
+      assert(s <= 1000000L && s > 1000000L - k, s"cur=${r.getString(0)} s=$s k=$k")
+    }
+  }
+
   test("q_debounce output is a subset and keeps one row per (user,type)") {
     val ev = Tables.events(spark, sf)
     val out = WarehouseQueries.debounce(spark, sf)
