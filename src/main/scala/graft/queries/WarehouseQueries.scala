@@ -279,6 +279,28 @@ object WarehouseQueries {
       .orderBy("event_id")
   }
 
+  /** Fact⋈fact join over BUCKETED layouts: lineitem and orders land
+    * once as 16-bucket tables hashed on the order key, and the join
+    * between them plans with no exchange on either side — the write-
+    * once/join-many co-location the 100 TB recurring-ETL join needs
+    * (BucketedJoinSpec pins the zero-Exchange, SelectedBucketsCount
+    * plan facts). The RESULT is the plain join, so the oracle is the
+    * plain join+agg. */
+  def bucketJoin(s: SparkSession, d: String): DataFrame = {
+    val fp = PipelineQueries.datasetFingerprint(d, "lineitem.parquet")
+    val tmp = sys.props("java.io.tmpdir")
+    val li = graft.storage.Bucketed.ensure(s, s"graft_li_bucketed_$fp",
+      lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+      "l_orderkey", 16, s"$tmp/graft_bucket_li_$fp")
+    val ord = graft.storage.Bucketed.ensure(s, s"graft_ord_bucketed_$fp",
+      orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "o_orderkey", 16, s"$tmp/graft_bucket_ord_$fp")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Batch-parity query for the streaming windowed-count job
     * (graft.streaming.StreamJobs) — same window spec, counts only. */
   def streamWindowCounts(s: SparkSession, d: String): DataFrame =
@@ -921,6 +943,7 @@ object WarehouseQueries {
     "q_asof_join" -> asofJoin _,
     "q_skew_agg" -> skewAgg _,
     "q_skew_join" -> skewJoin _,
+    "q_bucket_join" -> bucketJoin _,
     "stream_window_counts" -> streamWindowCounts _,
   )
 
@@ -1421,6 +1444,13 @@ object WarehouseQueries {
     "q_skew_join" ->
       """SELECT event_id, event_type, upper(event_type) AS type_label, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // bucketing is a pure layout/execution detail — the oracle is the
+    // plain join+agg over the unbucketed tables
+    "q_bucket_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |  ${dsumSql("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_window_counts" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart,
         |  event_type, count(*) AS n

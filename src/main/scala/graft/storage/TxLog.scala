@@ -159,15 +159,114 @@ object TxLog {
     // committed version
     if (fs.exists(dst) || !fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new VersionRaceException(
         s"TxLog: concurrent commit detected for v${m.version} at $path")
     }
+  }
+
+  /** Internal: a writer lost the rename race for its target version.
+    * Recoverable — [[commitRebase]] retries against the new head when
+    * the conflict rules allow. */
+  private final class VersionRaceException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** A concurrent commit invalidated this writer's read set — the
+    * write must be RECOMPUTED against the new snapshot, not merely
+    * re-pointed at it. Thrown by every data-changing commit that loses
+    * its race to an overlapping writer. */
+  final class CommitConflictException(msg: String)
+    extends IllegalStateException(msg)
+
+  private def dirOf(f: String): String =
+    f.split('/').dropRight(1).mkString("/")
+
+  /** Optimistic-concurrency commit with logical conflict detection —
+    * the Delta-style rule set that makes concurrent writers safe over
+    * the same rename-based log:
+    *
+    *  - the caller staged `newFiles` against the `base` manifest and
+    *    wants them committed with every file under `rewriteDirs`
+    *    dropped (its rewrite set) and the rest carried by reference;
+    *  - `readSet` declares what the caller's computation DEPENDED on:
+    *    `Some(dirs)` = only those partitions' files (∅ for a blind
+    *    append), `None` = the whole table (merges and deletes discover
+    *    key locations by reading everything, so any interleaved change
+    *    could invalidate them);
+    *  - losing the version race triggers a REBASE: reload the head,
+    *    and if nothing in the read set changed since `base` (file sets
+    *    compared dir-by-dir; schema and partition layout must be
+    *    untouched), re-point the commit at the head and try again —
+    *    so blind appends never conflict with each other, and a
+    *    compaction never conflicts with appends to other partitions
+    *    (the OPTIMIZE-vs-ingest guarantee);
+    *  - a read-set overlap throws [[CommitConflictException]]: the
+    *    caller must recompute from the new snapshot (correctness over
+    *    convenience — re-pointing a merge whose inputs moved would
+    *    silently drop the winner's rows).
+    *
+    * `batchId` threads [[appendBatch]]'s idempotency watermark through
+    * the loop: a rebase re-checks it against the new head, so a
+    * replayed micro-batch that loses a race to its own earlier replay
+    * still commits exactly once. New files' skip-index stats are
+    * measured ONCE; carried entries re-derive from whichever head the
+    * commit finally lands on. */
+  private[storage] def commitRebase(spark: SparkSession, path: String, base: Manifest,
+                           rewriteDirs: Set[String], newFiles: Seq[String],
+                           schemaDdl: String, batchId: Option[Long],
+                           readSet: Option[Set[String]],
+                           maxRetries: Int = 10): Long = {
+    val newStats =
+      if (base.statsCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
+      else collectStats(spark, path, StructType.fromDDL(schemaDdl),
+        base.statsCols, newFiles)
+    var attempt = base
+    var retries = 0
+    while (true) {
+      if (batchId.exists(b => attempt.sourceBatchId.exists(_ >= b)))
+        return attempt.version // replayed micro-batch: already committed
+      val kept = attempt.files.filterNot(f => rewriteDirs.contains(dirOf(f)))
+      val stats =
+        if (attempt.statsCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
+        else attempt.fileStats.view.filterKeys(kept.toSet).toMap ++ newStats
+      try {
+        writeManifest(spark, path, attempt.copy(
+          version = attempt.version + 1, schemaDdl = schemaDdl,
+          files = kept ++ newFiles,
+          sourceBatchId = batchId.orElse(attempt.sourceBatchId),
+          fileStats = stats))
+        return attempt.version + 1
+      } catch {
+        case e: VersionRaceException =>
+          retries += 1
+          if (retries > maxRetries) throw e
+          val latest = manifest(spark, path, currentVersion(spark, path).get)
+          if (latest.schemaDdl != base.schemaDdl ||
+              latest.partitionCol != base.partitionCol)
+            throw new CommitConflictException(
+              s"TxLog: concurrent schema/layout change at $path " +
+                s"(v${base.version} -> v${latest.version}) — recompute " +
+                "against the new snapshot")
+          def under(m: Manifest, dirs: Set[String]) =
+            m.files.filter(f => dirs.contains(dirOf(f))).toSet
+          val overlapped = readSet match {
+            case Some(dirs) => under(latest, dirs) != under(base, dirs)
+            case None => latest.files.toSet != base.files.toSet
+          }
+          if (overlapped)
+            throw new CommitConflictException(
+              s"TxLog: concurrent commit v${latest.version} at $path " +
+                "changed files this write depends on — recompute against " +
+                "the new snapshot")
+          attempt = latest
+      }
+    }
+    -1L // unreachable
   }
 
   /** Stage-write `df`, move its files into `data/` under a fresh commit
     * uuid, and return the new files' table-relative paths. Old files
     * are never touched. */
-  private def stageIn(df: DataFrame, path: String,
+  private[storage] def stageIn(df: DataFrame, path: String,
                       partitionCol: Option[String]): Seq[String] = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
@@ -224,16 +323,6 @@ object TxLog {
       }.toMap
     }.toMap
   }
-
-  /** The stats sidecar after a commit: entries of carried files kept,
-    * entries of dropped files gone, new files measured. */
-  private def statsAfter(spark: SparkSession, path: String, m: Manifest,
-                         schema: StructType, kept: Seq[String],
-                         newFiles: Seq[String])
-      : Map[String, Map[String, (String, String)]] =
-    if (m.statsCols.isEmpty) Map.empty
-    else m.fileStats.view.filterKeys(kept.toSet).toMap ++
-      collectStats(spark, path, schema, m.statsCols, newFiles)
 
   /** Create a table at `path` as version 1. Fails if a table already
     * exists there. `statsCols` opts files into the per-file min/max
@@ -432,11 +521,10 @@ object TxLog {
     checkSchema(declared, df.schema, evolveSchema)
     val ddl = if (evolveSchema) widen(declared, df.schema).toDDL else m.schemaDdl
     val files = stageIn(df, path, m.partitionCol)
-    writeManifest(spark, path, m.copy(version = v + 1, schemaDdl = ddl,
-      files = m.files ++ files, sourceBatchId = m.sourceBatchId,
-      fileStats = statsAfter(spark, path, m, StructType.fromDDL(ddl),
-        m.files, files)))
-    v + 1
+    // a blind append depends on nothing it read — it rebases over any
+    // interleaved commit (appends never conflict with appends)
+    commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
+      schemaDdl = ddl, batchId = None, readSet = Some(Set.empty))
   }
 
   /** Idempotent micro-batch append — the commit [[streamAppend]]'s
@@ -457,11 +545,9 @@ object TxLog {
     if (m.sourceBatchId.exists(_ >= batchId)) return v // replay: already committed
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
     val files = stageIn(df, path, m.partitionCol)
-    writeManifest(spark, path, m.copy(version = v + 1, files = m.files ++ files,
-      sourceBatchId = Some(batchId),
-      fileStats = statsAfter(spark, path, m, StructType.fromDDL(m.schemaDdl),
-        m.files, files)))
-    v + 1
+    commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
+      schemaDdl = m.schemaDdl, batchId = Some(batchId),
+      readSet = Some(Set.empty))
   }
 
   /** Streaming ingest into a TxLog table (create it first): every
@@ -503,7 +589,6 @@ object TxLog {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
-    def dirOf(f: String) = f.split('/').dropRight(1).mkString("/")
     val todo = m.files.groupBy(dirOf).filter(_._2.size >= minFilesToCompact)
     if (todo.isEmpty) return v
     val base = dataDir(path).toString
@@ -525,11 +610,12 @@ object TxLog {
       }
     }
     val newFiles = stageIn(pieces.reduce(_ unionByName _), path, m.partitionCol)
-    val kept = m.files.filterNot(f => todo.contains(dirOf(f)))
-    writeManifest(spark, path, m.copy(version = v + 1, files = kept ++ newFiles,
-      sourceBatchId = m.sourceBatchId,
-      fileStats = statsAfter(spark, path, m, schema, kept, newFiles)))
-    v + 1
+    // a compaction reads exactly the partitions it rewrites: it rebases
+    // over appends/merges to OTHER partitions (the OPTIMIZE-vs-ingest
+    // guarantee) and conflicts only when ITS partitions moved under it
+    commitRebase(spark, path, m, rewriteDirs = todo.keySet,
+      newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
+      readSet = Some(todo.keySet))
   }
 
   /** Transactional merge — the plain-parquet equivalent of a Delta
@@ -588,12 +674,13 @@ object TxLog {
     // names go through Spark's own path escaping so values with
     // spaces/colons/etc. match what the writer produced.
     val touchedDirs = parts.map(vv => partitionDirName(partitionCol, vv)).toSet
-    val kept = m.files.filterNot(f => touchedDirs.contains(
-      f.split('/').dropRight(1).mkString("/")))
-    writeManifest(spark, path, m.copy(version = v + 1, schemaDdl = widened.toDDL,
-      files = kept ++ newFiles, sourceBatchId = m.sourceBatchId,
-      fileStats = statsAfter(spark, path, m, widened, kept, newFiles)))
-    v + 1
+    // a merge discovers key locations by reading the WHOLE snapshot, so
+    // any interleaved change invalidates it (readSet = None): it throws
+    // CommitConflictException rather than silently dropping the
+    // winner's rows — recompute and re-merge
+    commitRebase(spark, path, m, rewriteDirs = touchedDirs,
+      newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
+      readSet = None)
   }
 
   /** Transactional DELETE — the GDPR/right-to-be-forgotten commit:
@@ -622,11 +709,10 @@ object TxLog {
       case None =>
         if (snap.filter(hit).limit(1).collect().isEmpty) return v
         val newFiles = stageIn(snap.filter(not(hit)), path, None)
-        writeManifest(spark, path, m.copy(version = v + 1, files = newFiles,
-          sourceBatchId = m.sourceBatchId,
-          fileStats = statsAfter(spark, path, m,
-            StructType.fromDDL(m.schemaDdl), Nil, newFiles)))
-        v + 1
+        // whole-table rewrite: every live file sits in the data root
+        commitRebase(spark, path, m,
+          rewriteDirs = m.files.map(dirOf).toSet, newFiles = newFiles,
+          schemaDdl = m.schemaDdl, batchId = None, readSet = None)
       case Some(pc) =>
         val parts = snap.filter(hit).select(col(pc)).distinct()
           .collect().map(_.get(0)).toSeq
@@ -634,13 +720,11 @@ object TxLog {
         val touchedDirs = parts.map(vv => partitionDirName(pc, vv)).toSet
         val touched = snap.filter(col(pc).isin(parts: _*))
         val newFiles = stageIn(touched.filter(not(hit)), path, Some(pc))
-        val kept = m.files.filterNot(f => touchedDirs.contains(
-          f.split('/').dropRight(1).mkString("/")))
-        writeManifest(spark, path, m.copy(version = v + 1,
-          files = kept ++ newFiles, sourceBatchId = m.sourceBatchId,
-          fileStats = statsAfter(spark, path, m,
-            StructType.fromDDL(m.schemaDdl), kept, newFiles)))
-        v + 1
+        // like mergeInto: the matching-partition discovery read the
+        // whole snapshot — conflict loudly on any interleaved change
+        commitRebase(spark, path, m, rewriteDirs = touchedDirs,
+          newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
+          readSet = None)
     }
   }
 
@@ -795,12 +879,9 @@ object TxLog {
       preValidated = true)
     val newFiles = stageIn(merged, path, Some(pc))
     val touchedDirs = parts.map(vv => partitionDirName(pc, vv)).toSet
-    val kept = m.files.filterNot(f => touchedDirs.contains(
-      f.split('/').dropRight(1).mkString("/")))
-    writeManifest(spark, path, m.copy(version = v + 1, files = kept ++ newFiles,
-      sourceBatchId = m.sourceBatchId,
-      fileStats = statsAfter(spark, path, m, declared, kept, newFiles)))
-    v + 1
+    commitRebase(spark, path, m, rewriteDirs = touchedDirs,
+      newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
+      readSet = None)
   }
 
   /** The directory name Spark's partitioned writer produces for a
