@@ -63,6 +63,92 @@ object Stats {
         round(sqrt(myy / nn1), 6).as("stddev_y"))
   }
 
+  /** Per-group ordinary-least-squares fit of y on x — slope /
+    * intercept / R², the regression companion of [[corrStats]] built
+    * from the SAME exact decimal moment sums (one shuffle, map-side
+    * combinable, group-sized output). Spark 4 ships `regr_slope`
+    * etc., but like `corr` they accumulate in partition-order-
+    * dependent doubles; the moment form is bit-reproducible across
+    * engines and layouts. Degenerate groups (n < 2 or zero x
+    * variance) hit the same IEEE 0/0 on both engines. */
+  def olsRegression(df: DataFrame, groupCol: String, xCol: String,
+                    yCol: String): DataFrame = {
+    val x = col(xCol).cast(DecimalType(18, 6))
+    val y = col(yCol).cast(DecimalType(18, 6))
+    val n = col("_n"); val sx = col("_sx"); val sy = col("_sy")
+    val sxy = col("_sxy"); val sxx = col("_sxx"); val syy = col("_syy")
+    val mxy = n * sxy - sx * sy
+    val mxx = n * sxx - sx * sx
+    val myy = n * syy - sy * sy
+    df.groupBy(groupCol)
+      .agg(
+        count(lit(1)).cast("double").as("_n"),
+        sum(x).cast("double").as("_sx"),
+        sum(y).cast("double").as("_sy"),
+        sum(x * y).cast("double").as("_sxy"),
+        sum(x * x).cast("double").as("_sxx"),
+        sum(y * y).cast("double").as("_syy"))
+      .select(
+        col(groupCol),
+        n.cast("long").as("n"),
+        round(mxy / mxx, 6).as("slope"),
+        round((sy - mxy / mxx * sx) / n, 6).as("intercept"),
+        round(mxy * mxy / (mxx * myy), 6).as("r2"))
+  }
+
+  /** Retrieval-quality metrics — NDCG@k / MRR@k / precision@k per
+    * query, the evaluation loop every ranking operator here (BM25,
+    * ANN, hybrid RRF) feeds into. `pred` carries one row per
+    * (query, item) with a 1-based `rank`; `truth` carries graded
+    * relevance `rel ≥ 0` (missing pairs are irrelevant).
+    *
+    * Shapes: predictions at rank ≤ k LEFT-join the truth on
+    * (query, item) — one equi-join, truth side usually the smaller
+    * (AQE broadcasts it); the ideal DCG is a window top-k over the
+    * truth alone. Both sides reduce to one row per query before the
+    * final group-sized join.
+    *
+    * Determinism: each DCG term ((2^rel − 1) / log2(rank + 1)) rounds
+    * through DECIMAL(18,6) before the sum (the lmScore pattern), so
+    * partial-agg order and engine libm differences cannot wiggle the
+    * total; log2 is spelled ln(r+1)/ln(2) with the SAME operand shapes
+    * on both engines. */
+  def rankEval(pred: DataFrame, truth: DataFrame, k: Int,
+               queryCol: String = "query_id", itemCol: String = "item_id",
+               rankCol: String = "rank", relCol: String = "rel"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ln2 = log(lit(2.0))
+    def dcgTerm(rel: Column, rank: Column): Column =
+      ((pow(lit(2.0), rel.cast("double")) - lit(1.0)) /
+        (log(rank.cast("double") + lit(1.0)) / ln2))
+        .cast(DecimalType(18, 6))
+    val hits = pred.filter(col(rankCol) <= k)
+      .join(truth.select(col(queryCol), col(itemCol),
+        col(relCol).as("_rel")), Seq(queryCol, itemCol), "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(0)))
+    val got = hits.groupBy(queryCol).agg(
+      sum(dcgTerm(col("_rel"), col(rankCol))).cast("double").as("_dcg"),
+      min(when(col("_rel") > 0, col(rankCol))).as("_first_rel"),
+      count(when(col("_rel") > 0, lit(1))).as("_n_rel"))
+    // ideal ordering: rel desc; ties broken by item id — tie order
+    // cannot change the DCG value, only make row_number deterministic
+    val iw = Window.partitionBy(queryCol)
+      .orderBy(col(relCol).desc, col(itemCol))
+    val ideal = truth.filter(col(relCol) > 0)
+      .withColumn("_ir", row_number().over(iw))
+      .filter(col("_ir") <= k)
+      .groupBy(queryCol)
+      .agg(sum(dcgTerm(col(relCol), col("_ir"))).cast("double").as("_idcg"))
+    got.join(ideal, Seq(queryCol), "left")
+      .select(
+        col(queryCol),
+        round(when(col("_idcg").isNull || col("_idcg") === 0.0, 0.0)
+          .otherwise(col("_dcg") / col("_idcg")), 6).as("ndcg"),
+        round(coalesce(lit(1.0) / col("_first_rel").cast("double"), lit(0.0)), 6)
+          .as("mrr"),
+        round(col("_n_rel").cast("double") / lit(k.toDouble), 6).as("p_at_k"))
+  }
+
   /** Per-row z-score standardization of `xCol` against its group's
     * sample mean/stddev — the feature-normalization pass, from the
     * same exact decimal moments as [[corrStats]]: one group-sized

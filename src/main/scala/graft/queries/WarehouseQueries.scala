@@ -447,6 +447,59 @@ object WarehouseQueries {
       lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice")
       .orderBy("l_returnflag")
 
+  /** Grouped OLS fit of price on quantity — q_corr_stats' regression
+    * companion from the same exact decimal moments. */
+  def regression(s: SparkSession, d: String): DataFrame =
+    graft.operators.Stats.olsRegression(
+      lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  /** Market-basket association rules over order baskets: which parts
+    * co-occur in an order beyond chance. The within-basket pair join
+    * is quadratic in BASKET size only (TPC-H orders hold ≤ 7 lines);
+    * everything else is partial-aggregable counts. All metrics are
+    * ratios of exact int64 counts — bit-identical cross-engine. */
+  def assocRules(s: SparkSession, d: String): DataFrame =
+    graft.operators.Assoc.rules(
+      lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minPairSupport = 2L)
+      .orderBy(desc("lift"), col("antecedent"), col("consequent"))
+      .limit(50)
+
+  /** Pareto frontier of the part catalog — cheapest part for its
+    * size. The oracle states the quadratic NOT EXISTS definition; the
+    * Spark plan runs the linear staircase prune + small exact verify
+    * (see [[graft.operators.Skyline]]) and must produce the identical
+    * frontier. */
+  def skylineQuery(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skyline.skyline2(
+      part(s, d).select(col("p_partkey"), col("p_name"),
+        col("p_retailprice"), col("p_size")),
+      "p_retailprice", "p_size")
+      .orderBy("p_retailprice", "p_partkey")
+
+  /** Retrieval-metric evaluation (NDCG@10 / MRR / P@10) of a
+    * deterministic ranking against graded account-balance relevance,
+    * per nation — the eval loop for every ranking operator here,
+    * exercised on inputs both engines can derive exactly: the
+    * "retrieval run" is the md5 permutation of each nation's
+    * customers, the truth grades acctbal > 7500 as 2 and > 0 as 1. */
+  def rankEvalQuery(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .select(col("c_nationkey").as("query_id"),
+        col("c_custkey").as("item_id"), col("c_acctbal"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(md5(concat_ws("#", col("query_id"), col("item_id"))),
+        col("item_id"))
+    val pred = c.withColumn("rank", row_number().over(w))
+      .select("query_id", "item_id", "rank")
+    val truth = c.filter(col("c_acctbal") > 0)
+      .select(col("query_id"), col("item_id"),
+        when(col("c_acctbal") > 7500, lit(2)).otherwise(lit(1)).as("rel"))
+    graft.operators.Stats.rankEval(pred, truth, k = 10)
+      .orderBy("query_id")
+  }
+
   /** Trailing one-hour moving average per event type — a RANGE window
     * frame over event time (q_running_sum's ROWS frame counts rows;
     * analytics over streams usually wants wall-clock trailing windows).
@@ -916,6 +969,10 @@ object WarehouseQueries {
     "q_cube" -> cubeAgg _,
     "q_running_sum" -> runningSum _,
     "q_corr_stats" -> corrStats _,
+    "q_regression" -> regression _,
+    "q_assoc_rules" -> assocRules _,
+    "q_skyline" -> skylineQuery _,
+    "eval_rank" -> rankEvalQuery _,
     "q_moving_avg" -> movingAvg _,
     "q_ntile" -> distributionWindows _,
     "q_resample" -> resample _,
@@ -1158,6 +1215,92 @@ object WarehouseQueries {
         |  round(sqrt((n*sxx - sx*sx) / (n*(n - 1.0))), 6) AS stddev_x,
         |  round(sqrt((n*syy - sy*sy) / (n*(n - 1.0))), 6) AS stddev_y
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+        |           * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+        |           * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+        |           * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept,
+        |  round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT b) AS n FROM items),
+        |ic AS (SELECT i, COUNT(*) AS c FROM items GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS x, b.i AS y, COUNT(*) AS cxy
+        |  FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY a.i, b.i HAVING COUNT(*) >= 2),
+        |d AS (SELECT x AS antecedent, y AS consequent, cxy FROM p
+        |      UNION ALL SELECT y, x, cxy FROM p)
+        |SELECT antecedent, consequent, cxy AS pair_n,
+        |  round(CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+        |  round(CAST(cxy AS DOUBLE) / CAST(ca.c AS DOUBLE), 6) AS confidence,
+        |  round(CAST(cxy * n AS DOUBLE) / CAST(ca.c * cc.c AS DOUBLE), 6) AS lift
+        |FROM d
+        |JOIN ic ca ON d.antecedent = ca.i
+        |JOIN ic cc ON d.consequent = cc.i
+        |CROSS JOIN nb
+        |ORDER BY lift DESC, antecedent, consequent LIMIT 50""".stripMargin,
+    "q_skyline" ->
+      """SELECT p_partkey, p_name, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
+    "eval_rank" ->
+      """WITH pred AS (
+        |  SELECT c_nationkey AS query_id, c_custkey AS item_id,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY md5(concat_ws('#', c_nationkey, c_custkey)), c_custkey)
+        |      AS rank
+        |  FROM customer),
+        |truth AS (
+        |  SELECT c_nationkey AS query_id, c_custkey AS item_id,
+        |    CASE WHEN c_acctbal > 7500 THEN 2 ELSE 1 END AS rel
+        |  FROM customer WHERE c_acctbal > 0),
+        |hits AS (
+        |  SELECT p.query_id, p.rank, COALESCE(t.rel, 0) AS rel
+        |  FROM pred p LEFT JOIN truth t USING (query_id, item_id)
+        |  WHERE p.rank <= 10),
+        |got AS (
+        |  SELECT query_id,
+        |    CAST(SUM(CAST((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |          / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+        |        AS DECIMAL(18,6))) AS DOUBLE) AS dcg,
+        |    MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+        |    COUNT(CASE WHEN rel > 0 THEN 1 END) AS n_rel
+        |  FROM hits GROUP BY query_id),
+        |ideal AS (
+        |  SELECT query_id,
+        |    CAST(SUM(CAST((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |          / (ln(CAST(ir AS DOUBLE) + 1.0) / ln(2.0))
+        |        AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+        |  FROM (SELECT query_id, item_id, rel,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY rel DESC, item_id) AS ir
+        |        FROM truth) WHERE ir <= 10
+        |  GROUP BY query_id)
+        |SELECT g.query_id,
+        |  round(CASE WHEN i.idcg IS NULL OR i.idcg = 0 THEN 0.0
+        |             ELSE g.dcg / i.idcg END, 6) AS ndcg,
+        |  round(COALESCE(1.0 / CAST(first_rel AS DOUBLE), 0.0), 6) AS mrr,
+        |  round(CAST(n_rel AS DOUBLE) / 10.0, 6) AS p_at_k
+        |FROM got g LEFT JOIN ideal i USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     "q_moving_avg" ->
       """SELECT event_id, event_type, epoch_us(ts) AS tsu,
         |  count(*) OVER w AS n_win,

@@ -1,8 +1,8 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated star schema.
   *
@@ -11,8 +11,20 @@ import org.apache.spark.sql.types.LongType
   * declarative for the scan to narrow itself.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Plain parquet scan, with one normalization: the generator writes
+    * naive `timestamp[us]` columns, which Spark reads as TIMESTAMP_NTZ
+    * — a type `window()`/`unix_micros`/numeric casts all reject. The
+    * session time zone is pinned to UTC, so the NTZ→LTZ cast is
+    * value-preserving (the same micros DuckDB reads), and every
+    * downstream operator keeps working against plain TimestampType.
+    * The cast is a scan-side projection; pushdown/pruning are
+    * unaffected. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(raw)((df, f) =>
+        df.withColumn(f.name, col(f.name).cast(TimestampType)))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

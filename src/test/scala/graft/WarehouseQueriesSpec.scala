@@ -719,6 +719,100 @@ class WarehouseQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_regression matches the builtin regr_slope/regr_intercept/regr_r2") {
+    val ours = WarehouseQueries.regression(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val builtin = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("s"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("i"),
+        regr_r2(col("l_extendedprice"), col("l_quantity")).as("r"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(ours.keySet == builtin.keySet)
+    for ((k, (s, i, r2)) <- ours) {
+      val (bs, bi, br) = builtin(k)
+      def close(a: Double, b: Double) = math.abs(a - b) <= 1e-4 * (1.0 + math.abs(b))
+      assert(close(s, bs) && close(i, bi) && close(r2, br),
+        s"$k: ($s,$i,$r2) vs builtin ($bs,$bi,$br)")
+    }
+  }
+
+  test("assoc rules on a hand-computed basket fixture") {
+    import spark.implicits._
+    // baskets: {A,B,C} {A,B} {A,C} {B,C} {A} — pairs: AB=2 AC=2 BC=2;
+    // item counts: A=4 B=3 C=3; N=5
+    val baskets = Seq(
+      (1, "A"), (1, "B"), (1, "C"),
+      (2, "A"), (2, "B"),
+      (3, "A"), (3, "C"),
+      (4, "B"), (4, "C"),
+      (5, "A")).toDF("b", "i")
+    val out = graft.operators.Assoc.rules(baskets, "b", "i", minPairSupport = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.size == 6) // both directions of AB, AC, BC
+    // conf(A→B) = 2/4 = 0.5; lift = 5*2/(4*3) = 0.833333
+    assert(out(("A", "B")) == ((2L, 0.4, 0.5, 0.833333)))
+    // conf(B→A) = 2/3; same lift (symmetric)
+    assert(out(("B", "A")) == ((2L, 0.4, 0.666667, 0.833333)))
+    // conf(B→C) = 2/3; lift = 5*2/(3*3) = 1.111111
+    assert(out(("B", "C")) == ((2L, 0.4, 0.666667, 1.111111)))
+  }
+
+  test("skyline2 equals the brute-force NOT EXISTS frontier") {
+    val in = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val ours = WarehouseQueries.skylineQuery(spark, sf)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val p = in.as("p"); val q = in.as("q")
+    val brute = p.join(q,
+        col("q.p_retailprice") <= col("p.p_retailprice") &&
+          col("q.p_size") >= col("p.p_size") &&
+          (col("q.p_retailprice") < col("p.p_retailprice") ||
+            col("q.p_size") > col("p.p_size")),
+        "left_anti")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(ours == brute, s"skyline mismatch: ours ${ours.size} brute ${brute.size}")
+    assert(ours.nonEmpty)
+    // frontier sanity: paying more must buy more — sorted by price,
+    // size strictly increases (price ties can only co-exist at equal
+    // size, else the smaller is dominated at the same price)
+    val front = WarehouseQueries.skylineQuery(spark, sf)
+      .select("p_retailprice", "p_size").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    front.sliding(2).foreach {
+      case Array((pr1, s1), (pr2, s2)) =>
+        assert(pr1 <= pr2 && (if (pr1 == pr2) s1 == s2 else s1 < s2),
+          s"staircase violated: ($pr1,$s1) then ($pr2,$s2)")
+      case _ =>
+    }
+  }
+
+  test("rankEval on a hand-computed fixture") {
+    import spark.implicits._
+    // query 1: items ranked a,b,c,d; rels a=2 (rank1), c=1 (rank3).
+    // dcg = (2^2-1)/log2(2) + (2^1-1)/log2(4) = 3/1 + 1/2 = 3.5
+    // ideal order: a(2), c(1): idcg = 3/1 + 1/log2(3) = 3 + 0.630930
+    // ndcg = 3.5/3.630930 = 0.963940 ; mrr = 1 ; p@3 = 2/3
+    val pred = Seq((1, "a", 1), (1, "b", 2), (1, "c", 3), (1, "d", 4))
+      .toDF("query_id", "item_id", "rank")
+    val truth = Seq((1, "a", 2), (1, "c", 1))
+      .toDF("query_id", "item_id", "rel")
+    val r = graft.operators.Stats.rankEval(pred, truth, k = 3).collect()(0)
+    assert(math.abs(r.getDouble(1) - 0.963940) < 1e-5, s"ndcg ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 1.0)
+    assert(math.abs(r.getDouble(3) - 0.666667) < 1e-6)
+    // query with no relevant items at all: ndcg 0, mrr 0, p 0
+    val pred2 = Seq((2, "x", 1)).toDF("query_id", "item_id", "rank")
+    val truth2 = Seq((1, "x", 1)).toDF("query_id", "item_id", "rel")
+    val r2 = graft.operators.Stats.rankEval(pred2, truth2, k = 3).collect()(0)
+    assert(r2.getDouble(1) == 0.0 && r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
+  }
+
   test("q_debounce output is a subset and keeps one row per (user,type)") {
     val ev = Tables.events(spark, sf)
     val out = WarehouseQueries.debounce(spark, sf)
