@@ -530,6 +530,51 @@ object Dedup {
       .select(col(idCol), col("component"), col("split"))
   }
 
+  /** Global LINE-level exact dedup — the CommonCrawl/CCNet pass that
+    * byte- and near-dup document dedup both miss: boilerplate lines
+    * (nav bars, cookie banners, footers) repeat across millions of
+    * pages whose documents are otherwise unique. Every line keeps its
+    * GLOBALLY FIRST occurrence (ordered by (doc_id, position) — a
+    * deterministic total order) and every later occurrence, including
+    * repeats inside the same document, is dropped; documents are then
+    * reassembled from their surviving lines in original order.
+    *
+    * Scale shape: the corpus-wide shuffle carries (doc_id, pos,
+    * md5(line)) — 16-byte hashes, never line text; first-occurrence
+    * election is one row_number window partitioned by the hash.
+    * Reassembly joins each doc's (bounded, doc-length-sized) kept-
+    * position list back and re-slices the original text in a
+    * codegen'd projection — text never shuffles at all. One hash
+    * shuffle + one doc_id shuffle, both linear.
+    *
+    * Returns (doc_id, text_dedup, n_kept, n_orig); a document whose
+    * every line lost its election comes back as the empty string with
+    * n_kept = 0. Input needs (doc_id, text); `sep` is a literal
+    * separator (default newline). */
+  def dedupLines(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lineArr = split(col("text"), java.util.regex.Pattern.quote(sep))
+    val lines = docs
+      .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"), md5(col("line")).as("lh"))
+    val w = Window.partitionBy("lh").orderBy("doc_id", "pos")
+    val kept = lines
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("_kp"))
+    docs.join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("_kp").isNull, lit(""))
+          .otherwise(array_join(
+            transform(col("_kp"), p => element_at(lineArr, p + lit(1))), sep))
+          .as("text_dedup"),
+        when(col("_kp").isNull, lit(0L))
+          .otherwise(size(col("_kp")).cast("long")).as("n_kept"),
+        size(lineArr).cast("long").as("n_orig"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors bucketed by
     * hyperplane LSH (see Similarity), pairs sharing a bucket verified
     * with exact cosine ≥ threshold. `planes <= 0` (the default) sizes

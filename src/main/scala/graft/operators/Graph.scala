@@ -64,6 +64,57 @@ object Graph {
     ranks
   }
 
+  /** The k-core of an undirected graph — the maximal subgraph in which
+    * every node keeps degree ≥ k. The standard cohesion filter: spam
+    * farms and boilerplate link rings survive high k, incidental links
+    * don't; in dedup graphs the k-core separates dense near-dup
+    * cliques from chance pair collisions.
+    *
+    * Algorithm: synchronous peeling. Each round computes degrees over
+    * the SURVIVING edge set (one groupBy) and drops every node below k
+    * (one semi-join each side); removing a node can push its
+    * neighbors below k, so the loop repeats until a fixpoint — the
+    * round count is bounded by the peeling depth (≤ degeneracy-order
+    * layers, logarithmic-ish on real graphs, never corpus-sized). The
+    * edge set SHRINKS monotonically, so per-round cost falls; lineage
+    * is cut per round with an eager localCheckpoint (the components/
+    * pagerank precedent), keeping the plan constant-size. The
+    * fixpoint test rides the same count() that sizes the round —
+    * no extra job.
+    *
+    * Returns (node, degree) of the k-core — degree measured INSIDE
+    * the core (so every returned degree is ≥ k). Empty when no k-core
+    * exists. */
+  def kcore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"kcore: k must be >= 1, got $k")
+    var und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = und.count()
+    var done = nEdges == 0L
+    while (!done) {
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val pruned = und
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+      val m = pruned.count()
+      done = m == nEdges || m == 0L
+      und = pruned
+      nEdges = m
+    }
+    und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
+
   /** Per-node triangle counts over an undirected graph given as (src,
     * dst) edge rows — the clustering/cohesion signal (community
     * tightness, link-spam detection, co-occurrence strength) and the

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, element_at, length, lit, pmod, round, size, split}
+import org.apache.spark.sql.functions.{array_join, col, element_at, explode, floor, length, lit, pmod, round, sequence, size, slice, split, transform}
 
 import graft.operators.{Dedup, Ivf, Multimodal, Packing, Pq, Sampling, Similarity, TextOps}
 import graft.tables.Tables._
@@ -283,6 +283,21 @@ object PipelineQueries {
     // the canonical form must come out of the regex chain; the oracle
     // states ground truth (VALUES, the mm_* pattern — a DuckDB regex
     // re-derivation would test dialect parity, not the operator)
+    // global line-level exact dedup (the CommonCrawl boilerplate-line
+    // pass): the corpus has no newlines, so both engines derive the
+    // SAME deterministic multi-line form first — tokens regrouped 8 to
+    // a line — then every line keeps only its globally-first
+    // occurrence and docs reassemble from the survivors
+    "dedup_lines" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nl = floor((size(toks) + lit(7)) / lit(8)).cast("int")
+      val lined = documents(s, d).select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), nl - lit(1)),
+            j => array_join(slice(toks, j * lit(8) + lit(1), lit(8)), " ")),
+          "\n").as("text"))
+      Dedup.dedupLines(lined).orderBy("doc_id")
+    }),
     "dedup_url" -> ((s, d) => {
       import s.implicits._
       val fx = urlFixture.map { case (id, raw, _) => (id, raw) }.toDF("doc_id", "url")
@@ -382,6 +397,24 @@ object PipelineQueries {
         .select(col("id").as("src"), ((col("id") + 1) % 100).as("dst"))
       graft.operators.Graph.pagerank(edges, iterations = 5)
         .select(col("node"), org.apache.spark.sql.functions.round(col("pr"), 6).as("pr"))
+        .orderBy("node")
+    }),
+    // k-core on a planted graph with a closed-form answer: a 10-clique
+    // (every node degree 9) bridged to a 30-node chain (degrees ≤ 2).
+    // At k=3 the REAL iterative peeling must dissolve the chain end-in
+    // (≈15 rounds — the worst case, each round only exposes the next
+    // node) and then drop the bridge, leaving exactly the clique with
+    // its internal degrees; the oracle states the closed form.
+    "graph_kcore" -> ((s, d) => {
+      val clique = s.range(9)
+        .select(col("id").as("src"),
+          explode(sequence(col("id") + 1, lit(9))).as("dst"))
+      val chain = s.range(29)
+        .select((col("id") + 100).as("src"), (col("id") + 101).as("dst"))
+      val bridge = s.range(1)
+        .select(lit(0L).as("src"), lit(100L).as("dst"))
+      graft.operators.Graph.kcore(
+        clique.unionAll(chain).unionAll(bridge), k = 3)
         .orderBy("node")
     }),
     // connected components over a planted chain graph: 20 chains of 50
@@ -971,6 +1004,39 @@ object PipelineQueries {
     // the cycle is 1-regular: uniform 1/N is the exact fixed point
     "graph_pagerank" ->
       """SELECT range AS node, 0.01 AS pr FROM range(100) ORDER BY node""".stripMargin,
+    // closed form: the chain and bridge peel away, the 10-clique stays
+    // with every internal degree 9
+    "graph_kcore" ->
+      """SELECT range AS node, CAST(9 AS BIGINT) AS degree FROM range(10)
+        |ORDER BY node""".stripMargin,
+    // same deterministic line construction (tokens regrouped 8/line),
+    // then: first global occurrence per line hash wins, docs
+    // reassemble from surviving positions
+    "dedup_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(u.s AS BIGINT) // 8 AS pos,
+        |    array_to_string(list_slice(toks, CAST(u.s AS BIGINT) + 1,
+        |                               CAST(u.s AS BIGINT) + 8), ' ') AS line
+        |  FROM t, UNNEST(range(0, n, 8)) AS u(s)),
+        |kept AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+        |  FROM lines),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+        |         COUNT(*) AS n_kept
+        |  FROM kept WHERE rn = 1 GROUP BY doc_id),
+        |orig AS (SELECT doc_id, COUNT(*) AS n_orig FROM lines GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.text_dedup, '') AS text_dedup,
+        |  COALESCE(a.n_kept, 0) AS n_kept, o.n_orig
+        |FROM documents d
+        |JOIN orig o USING (doc_id)
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // naive id-ordered enumeration: canonical a<b edges, wedge join,
     // closing-edge join — orientation-free, so it checks the Spark
     // side's degree-oriented plan by triangle-set equality

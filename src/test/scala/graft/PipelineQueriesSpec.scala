@@ -567,6 +567,49 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(math.abs(pd.values.sum - 1.0) < 1e-9, s"dangling mass leaked: ${pd.values.sum}")
   }
 
+  test("kcore: bridged cliques survive k=3, dissolve at k=4; chains peel end-in") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // two 4-cliques joined by a bridge 3-10: at k=3 NOTHING prunes
+    // (bridge endpoints have degree 4), so the core is the whole graph
+    val clique = (for (a <- 0L to 3L; b <- a + 1 to 3L) yield (a, b)) ++
+      (for (a <- 10L to 13L; b <- a + 1 to 13L) yield (a, b)) :+ ((3L, 10L))
+    val edges = clique.toDF("src", "dst")
+    val k3 = Graph.kcore(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k3.keySet == (0L to 3L).toSet ++ (10L to 13L).toSet)
+    assert(k3(3L) == 4 && k3(10L) == 4, s"bridge endpoints: $k3")
+    assert((Set(0L, 1L, 2L, 11L, 12L, 13L) forall (k3(_) == 3)), s"$k3")
+    // k=4: only the bridge endpoints have degree >= 4; after pruning
+    // the rest they hold a single edge — the core is empty
+    assert(Graph.kcore(edges, 4).isEmpty)
+    // a 5-chain at k=2 peels END-IN: each round only exposes the next
+    // node, so this exercises the iteration, not just one pass
+    val chain = (0L to 3L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(Graph.kcore(chain, 2).isEmpty)
+    // ... while a 5-cycle at k=2 is exactly itself
+    val cycle = (0L to 4L).map(i => (i, (i + 1) % 5)).toDF("src", "dst")
+    val c2 = Graph.kcore(cycle, 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2.keySet == (0L to 4L).toSet && c2.values.forall(_ == 2), s"$c2")
+  }
+
+  test("dedupLines: first global occurrence wins, docs reassemble, empty docs surface") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "header\nunique one\nfooter"),
+      (2L, "header\nunique two\nfooter\nunique two"),
+      (3L, "header\nfooter")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 owns the first occurrence of all three of its lines
+    assert(out(1L) == (("header\nunique one\nfooter", 3L, 3L)))
+    // doc 2: header/footer lost to doc 1; its OWN repeat of "unique
+    // two" also drops (in-doc repeats are later occurrences too)
+    assert(out(2L) == (("unique two", 1L, 4L)))
+    // doc 3 is pure boilerplate: comes back empty, not missing
+    assert(out(3L) == (("", 0L, 2L)))
+  }
+
   test("entropy matches the hand-computed value; uniform text maxes, single-char floors at 0") {
     import spark.implicits._
     val docs = Seq((1L, "aab"), (2L, "abcd"), (3L, "aaaa")).toDF("doc_id", "text")
