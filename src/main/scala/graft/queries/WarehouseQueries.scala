@@ -884,6 +884,31 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Point lookup through the Bloom-filter file index: the table is
+    * committed with min/max stats + per-file Bloom sidecars on the
+    * key, then three needle reads go through `readByKey` — which
+    * plans only the sidecar-admitted files — and must equal a plain
+    * IN-filter over the raw table. The skipping itself (1-2 files of
+    * many planned) is spec-pinned in TxLogSpec; this gates the
+    * SEMANTICS end to end. */
+  def txlogPoint(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_point_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    TxLog.create(dim, path, statsCols = Seq("o_orderkey"))
+    TxLog.buildBloomIndex(s, path, "o_orderkey")
+    // the three smallest keys — a bounded, deterministic driver hop
+    val ks = dim.orderBy("o_orderkey").limit(3)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    ks.map(k => TxLog.readByKey(s, path, "o_orderkey", k))
+      .reduce(_ unionByName _)
+      .orderBy("o_orderkey")
+  }
+
   /** Incremental materialized-view maintenance: a per-priority revenue
     * aggregate maintained from the table's change feed across a
     * create → merge (with GROUP MOVES — some repriced orders also
@@ -947,6 +972,7 @@ object WarehouseQueries {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog" -> txlog _,
+    "q_txlog_point" -> txlogPoint _,
     "q_txlog_cdf" -> txlogCdf _,
     "q_txlog_restore" -> txlogRestore _,
     "q_txlog_mv" -> txlogMv _,
@@ -1024,6 +1050,12 @@ object WarehouseQueries {
         |SELECT CAST(2 AS INT) AS ver, o_orderkey, o_orderstatus, o_totalprice
         |FROM v2
         |ORDER BY ver, o_orderkey""".stripMargin,
+    // needle reads through the Bloom index ≡ a plain IN-filter
+    "q_txlog_point" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey IN
+        |  (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
+        |ORDER BY o_orderkey""".stripMargin,
     // the maintained view must equal the analytic recompute of the
     // final table state (reprice %10, group-move %20, delete %1000=1)
     "q_txlog_mv" ->

@@ -177,8 +177,31 @@ object TxLog {
   final class CommitConflictException(msg: String)
     extends IllegalStateException(msg)
 
+  /** Is this manifest entry a BY-REFERENCE absolute path (a shallow
+    * [[clone]]'s pointer into another table's data dir) rather than a
+    * path relative to this table's own `data/`? */
+  private def isAbsEntry(f: String): Boolean =
+    f.startsWith("/") || f.contains("://")
+
+  /** The entry's path relative to its owning data root — identity for
+    * relative entries; for absolute by-reference entries, the part
+    * after the LAST `/data/` (so a clone's carried file still reports
+    * its `part=v` partition directory). */
+  private def relEntry(f: String): String =
+    if (!isAbsEntry(f)) f
+    else {
+      val i = f.lastIndexOf("/data/")
+      if (i >= 0) f.substring(i + "/data/".length)
+      else f.split('/').last
+    }
+
+  /** The entry's PARTITION directory ("part=v", "" for root files) —
+    * the unit every rewrite set is expressed in. Computed from the
+    * data-root-relative form, so a shallow clone's absolute reference
+    * into partition `part=v` matches a rewrite of that partition
+    * exactly like a local file would. */
   private def dirOf(f: String): String =
-    f.split('/').dropRight(1).mkString("/")
+    relEntry(f).split('/').dropRight(1).mkString("/")
 
   /** Optimistic-concurrency commit with logical conflict detection —
     * the Delta-style rule set that makes concurrent writers safe over
@@ -370,12 +393,28 @@ object TxLog {
         schema)
     else {
       val base = dataDir(path).toString
+      // files group by their data ROOT: the table's own data dir for
+      // relative entries, the SOURCE table's data dir for a shallow
+      // clone's absolute references. Each root reads with its own
+      // basePath (so partition values still parse from the directory
+      // names they actually sit under) and the groups union — a
+      // plain-relative table stays a single scan.
+      val groups = files.groupBy { f =>
+        if (!isAbsEntry(f)) base
+        else {
+          val i = f.lastIndexOf("/data/")
+          if (i >= 0) f.substring(0, i + "/data".length)
+          else f.split('/').dropRight(1).mkString("/")
+        }
+      }
       // the DECLARED schema rides into the reader: partition values
       // parse from the raw directory string directly to their declared
       // type (a string partition keeps "01" as "01" — inference alone
       // would read INT 1 and a cast-back would corrupt it to "1")
-      spark.read.schema(schema).option("basePath", base)
-        .parquet(files.map(f => s"$base/$f"): _*)
+      groups.toSeq.sortBy(_._1).map { case (root, fs) =>
+        spark.read.schema(schema).option("basePath", root)
+          .parquet(fs.map(f => if (isAbsEntry(f)) f else s"$root/$f"): _*)
+      }.reduce(_ unionByName _)
         .select(schema.fields.map { f =>
           // backtick-quoted so dotted/spaced column names never
           // mis-parse (same contract as Profile); the projection
@@ -591,15 +630,13 @@ object TxLog {
     val m = manifest(spark, path, v)
     val todo = m.files.groupBy(dirOf).filter(_._2.size >= minFilesToCompact)
     if (todo.isEmpty) return v
-    val base = dataDir(path).toString
     val schema = StructType.fromDDL(m.schemaDdl)
     // statistics-sized per partition, but ONE write job for the whole
     // OPTIMIZE: each partition's subset repartitions to its own file
     // count and the union executes as a single Spark job — compaction
     // cost scales with rewritten bytes, not with partition count
     val pieces = todo.toSeq.sortBy(_._1).map { case (_, files) =>
-      val part = spark.read.schema(schema).option("basePath", base)
-        .parquet(files.map(f => s"$base/$f"): _*)
+      val part = readFiles(spark, path, schema, files)
       val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
       val n = ((bytes + BigInt(targetBytesPerFile) - 1) / targetBytesPerFile)
         .max(1).toInt
@@ -922,7 +959,226 @@ object TxLog {
         }
       }
     walk(dataDir(path), "")
+    // bloom sidecars of files no retained manifest references: the
+    // sidecar name is md5(entry), so the live sidecar set is derivable
+    // without inverting anything
+    val bloomRoot = new Path(path, "_index/bloom")
+    if (fs.exists(bloomRoot)) {
+      val liveNames = keep.flatMap(manifest(spark, path, _).files)
+        .map(f => sidecarName(f)).toSet
+      fs.listStatus(bloomRoot).filter(_.isDirectory).foreach { colDir =>
+        fs.listStatus(colDir.getPath).foreach { st =>
+          if (st.getPath.getName.endsWith(".bloom") &&
+              !liveNames.contains(st.getPath.getName))
+            fs.delete(st.getPath, false)
+        }
+      }
+    }
     drop.foreach(dv => fs.delete(new Path(manifestDir(path), s"v$dv.json"), false))
     deleted.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // Shallow / deep clone
+  // ------------------------------------------------------------------
+
+  /** CLONE — create a new table at `target` whose version 1 is the
+    * content of `source` at `version` (default head).
+    *
+    * Shallow (default): a METADATA-ONLY commit — the new manifest
+    * references the source's data files by absolute path, copying
+    * nothing. The instant dev/test copy of a production table: reads,
+    * time travel, appends, merges, deletes, compaction all work on the
+    * clone, and every WRITE lands new files under the clone's own
+    * directory — the source is never touched (a merge that rewrites a
+    * partition simply drops the by-reference entries for it). Skip-
+    * index stats carry over keyed by the new entries.
+    *
+    * The Delta-documented caveat applies verbatim: the source's
+    * [[vacuum]] does not know about clones, so vacuuming the source
+    * past the cloned version breaks the clone's by-reference files —
+    * retain the source version, or take `deep = true`.
+    *
+    * Deep: the files COPY into the clone's data dir (one per-file
+    * copy, no Spark job, layout byte-identical) and the clone is fully
+    * self-contained. */
+  def clone(spark: SparkSession, source: String, target: String,
+            version: Option[Long] = None, deep: Boolean = false): Long = {
+    require(currentVersion(spark, target).isEmpty,
+      s"TxLog: table already exists at $target")
+    val v = version.orElse(currentVersion(spark, source)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $source"))
+    val m = manifest(spark, source, v)
+    def abs(f: String): String =
+      if (isAbsEntry(f)) f else new Path(dataDir(source), f).toString
+    val (entries, stats) =
+      if (!deep) {
+        val es = m.files.map(abs)
+        (es, m.fileStats.map { case (k, cols) => abs(k) -> cols })
+      } else {
+        val srcFs = fsFor(spark, source)
+        val dstFs = fsFor(spark, target)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val copied = m.files.map { f =>
+          val rel = relEntry(f)
+          val dst = new Path(dataDir(target), rel)
+          dstFs.mkdirs(dst.getParent)
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            srcFs, new Path(abs(f)), dstFs, dst, false, conf),
+            s"TxLog.clone: copy failed for $f")
+          f -> rel
+        }.toMap
+        (m.files.map(copied),
+          m.fileStats.flatMap { case (k, cols) => copied.get(k).map(_ -> cols) })
+      }
+    writeManifest(spark, target, Manifest(1L, m.partitionCol, m.schemaDdl,
+      entries, sourceBatchId = None, statsCols = m.statsCols,
+      fileStats = stats))
+    1L
+  }
+
+  // ------------------------------------------------------------------
+  // Bloom-filter file index (point-lookup data skipping)
+  // ------------------------------------------------------------------
+
+  private def bloomDir(path: String, colName: String) =
+    new Path(path, s"_index/bloom/$colName")
+
+  /** Sidecar file name for a manifest entry — md5 of the ENTRY STRING,
+    * so absolute by-reference entries (clones) index cleanly and no
+    * path nesting leaks into the index dir. */
+  private def sidecarName(f: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(f.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString + ".bloom"
+  }
+
+  /** The driver-side twin of the executor-side `xxhash64(cast(col as
+    * string))` the index builder hashes with: values canonicalize
+    * through their string form, so one sidecar serves any type that
+    * prints the same (the min/max stats contract). */
+  private def keyHash(value: Any): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(value)),
+        org.apache.spark.sql.types.StringType)),
+      42L).eval(null).asInstanceOf[Long]
+
+  /** Build (or extend) the per-file Bloom-filter index on `colName` —
+    * the point-lookup complement of the min/max skip index: min/max
+    * prunes RANGE predicates on clustered layouts, a Bloom sidecar
+    * prunes `col = value` lookups on ANY layout (an id column scattered
+    * uniformly across files has useless min/max but a near-perfect
+    * Bloom answer).
+    *
+    * Delta stores Bloom indexes as per-file sidecars rather than log
+    * entries for a reason this follows: filter bytes scale with file
+    * row counts (~1.2 MB/million rows at fpp 0.01) and would bloat
+    * every manifest; as sidecars they load lazily, only for files that
+    * survive manifest+stats pruning. Layout:
+    * `<table>/_index/bloom/<col>/<md5(entry)>.bloom`.
+    *
+    * INCREMENTAL and idempotent: each call indexes only head files
+    * missing a sidecar (data files are immutable, so a sidecar never
+    * goes stale; [[vacuum]] GCs sidecars of dropped files). The build
+    * is one Spark pass over exactly the missing files: a per-file
+    * count sizes each filter exactly, then a streaming groupByKey
+    * inserts `xxhash64(string form)` per row — constant memory per
+    * task, filter bytes (not rows) to the driver, bounded by the new-
+    * file count like every other catalog artifact. Returns the number
+    * of sidecars written. */
+  def buildBloomIndex(spark: SparkSession, path: String, colName: String,
+                      fpp: Double = 0.01): Int = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    require(schema.fieldNames.contains(colName),
+      s"TxLog.buildBloomIndex: no column '$colName' in ${m.schemaDdl}")
+    require(!m.partitionCol.contains(colName),
+      "TxLog.buildBloomIndex: the partition column is pruned by " +
+        "directory, it needs no Bloom index")
+    val fs = fsFor(spark, path)
+    val dir = bloomDir(path, colName)
+    fs.mkdirs(dir)
+    val missing = m.files.filterNot(f =>
+      fs.exists(new Path(dir, sidecarName(f))))
+    if (missing.isEmpty) return 0
+    import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+    import spark.implicits._
+    // input_file_name URIs map back to manifest entries by their
+    // data-root-relative suffix (scheme-independent)
+    val bySuffix = missing.map(f => relEntry(f) -> f).toMap
+    def entryOf(uri: String): String = {
+      val i = uri.lastIndexOf("/data/")
+      bySuffix(uri.substring(i + "/data/".length))
+    }
+    val hashed = readFiles(spark, path, schema, missing)
+      .select(input_file_name().as("_f"),
+        xxhash64(col(colName).cast("string")).as("_h"))
+    // pass 1: exact per-file row counts, to size each filter
+    val counts = hashed.groupBy("_f").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bCounts = spark.sparkContext.broadcast(counts)
+    // pass 2: stream rows into exactly-sized filters, ship bytes only
+    val blooms = hashed.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(bCounts.value(f), 1L), fpp)
+        it.foreach { case (_, h) => bf.putLong(h) }
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (f, bos.toByteArray)
+      }
+      .collect()
+    blooms.foreach { case (uri, bytes) =>
+      val out = fs.create(new Path(dir, sidecarName(entryOf(uri))), true)
+      try out.write(bytes) finally out.close()
+    }
+    blooms.length
+  }
+
+  /** Files of a version that might hold `colName = value`: min/max
+    * stats prune first (free — they ride the manifest), then each
+    * surviving file's Bloom sidecar votes. Files without a sidecar are
+    * conservatively kept, so the index is always an optimization,
+    * never a filter; false positives only cost a file read. */
+  def prunedFilesByKey(spark: SparkSession, path: String, colName: String,
+                       value: Any, version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val byStats = prunedFiles(spark, path, colName, value, value, Some(v))
+    val fs = fsFor(spark, path)
+    val dir = bloomDir(path, colName)
+    if (!fs.exists(dir)) return byStats
+    val h = keyHash(value)
+    byStats.filter { f =>
+      val p = new Path(dir, sidecarName(f))
+      if (!fs.exists(p)) true
+      else {
+        val in = fs.open(p)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          .mightContainLong(h)
+        finally in.close()
+      }
+    }
+  }
+
+  /** Point lookup WITH Bloom + stats skipping: semantically identical
+    * to `read(...).filter(col === value)` — the exact predicate still
+    * applies on the scan — but only files whose stats and Bloom
+    * sidecar admit the key are planned at all. On an id-keyed ingest
+    * that turns a needle lookup over a wide table into a one-file
+    * scan. */
+  def readByKey(spark: SparkSession, path: String, colName: String,
+                value: Any, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    val files = prunedFilesByKey(spark, path, colName, value, Some(v))
+    import org.apache.spark.sql.functions.{col, lit}
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files)
+      .filter(col(colName) === lit(value))
   }
 }

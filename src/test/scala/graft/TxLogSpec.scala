@@ -480,4 +480,101 @@ class TxLogSpec extends SparkSpec {
       .collect().toSet
     assert(d34 == Set((8L, Some("tagged"), "insert")), d34.toString)
   }
+
+  test("shallow clone: zero-copy read, writes diverge, source untouched, merges drop carried refs") {
+    val src = freshPath("clonesrc")
+    TxLog.create(fixture, src, Some("part"))
+    val tgt = freshPath("clonetgt")
+    assert(TxLog.clone(spark, src, tgt) == 1L)
+    // metadata-only: the clone's data dir holds NO parquet at all
+    val tgtData = new java.io.File(s"$tgt/data")
+    def parquetUnder(d: java.io.File): Seq[java.io.File] =
+      if (!d.exists) Nil
+      else d.listFiles.toSeq.flatMap(f =>
+        if (f.isDirectory) parquetUnder(f) else Seq(f).filter(_.getName.endsWith(".parquet")))
+    assert(parquetUnder(tgtData).isEmpty, "shallow clone copied data")
+    assert(rows(TxLog.read(spark, tgt)) == rows(fixture))
+    // append to the clone: clone advances, source does not
+    TxLog.append(Seq((7L, "p1", 70.0)).toDF("k", "part", "v"), tgt)
+    assert(rows(TxLog.read(spark, tgt)) == rows(fixture) + ((7L, "p1", 70.0)))
+    assert(TxLog.currentVersion(spark, src).contains(1L))
+    assert(rows(TxLog.read(spark, src)) == rows(fixture))
+    // merge into the clone: the touched partition's BY-REFERENCE
+    // entries must drop (replaced by clone-local files) while other
+    // partitions keep referencing the source byte-identically
+    TxLog.mergeInto(tgt, Seq((2L, "p1", 99.0)).toDF("k", "part", "v"), Seq("k"))
+    val mTgt = TxLog.manifest(spark, tgt,
+      TxLog.currentVersion(spark, tgt).get)
+    val (carried, local) = mTgt.files.partition(_.startsWith("/"))
+    assert(carried.forall(!_.contains("part=p1")), s"stale p1 refs: $carried")
+    assert(carried.exists(_.contains("part=p2")) && carried.exists(_.contains("part=p3")),
+      s"untouched partitions should still reference the source: $carried")
+    assert(local.nonEmpty)
+    val want = rows(fixture).filterNot(_._1 == 2L) ++
+      Set((2L, "p1", 99.0), (7L, "p1", 70.0))
+    assert(rows(TxLog.read(spark, tgt)) == want)
+    // source data files all still exist (nothing under src was touched)
+    assert(rows(TxLog.read(spark, src)) == rows(fixture))
+    // the clone's vacuum never reaches outside its own directory:
+    // drop the clone's history, then re-read both tables in full
+    TxLog.vacuum(spark, tgt, keepVersions = 1)
+    assert(rows(TxLog.read(spark, tgt)) == want)
+    assert(rows(TxLog.read(spark, src)) == rows(fixture))
+  }
+
+  test("deep clone is self-contained: source deletion leaves it readable") {
+    val src = freshPath("deepsrc")
+    TxLog.create(fixture, src, Some("part"))
+    val tgt = freshPath("deeptgt")
+    TxLog.clone(spark, src, tgt, deep = true)
+    val m = TxLog.manifest(spark, tgt, 1L)
+    assert(m.files.forall(!_.startsWith("/")), s"deep clone left refs: ${m.files}")
+    assert(rows(TxLog.read(spark, tgt)) == rows(fixture))
+    // obliterate the source — the deep clone must not notice
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(src).getParentFile)
+    assert(rows(TxLog.read(spark, tgt)) == rows(fixture))
+  }
+
+  test("bloom index: point lookup plans only the sidecar-admitted files; append extends incrementally") {
+    val path = freshPath("bloom")
+    // 8 files with disjoint id ranges but INTERLEAVED layout: ids are
+    // bit-reversed so every file's (min,max) spans nearly the whole
+    // domain — min/max stats cannot prune a point lookup, only the
+    // Bloom sidecars can
+    val ids = (0L until 512L).map(i =>
+      java.lang.Long.reverse(i) >>> 55) // 9-bit reversal, values 0..511
+    val df = ids.zipWithIndex
+      .map { case (id, i) => (id, s"doc$id", i % 8) }
+      .toDF("id", "body", "bucket")
+      .repartitionByRange(8, col("bucket")).drop("bucket")
+    TxLog.create(df, path, statsCols = Seq("id"))
+    assert(TxLog.buildBloomIndex(spark, path, "id") == 8)
+    // idempotent: nothing new to index
+    assert(TxLog.buildBloomIndex(spark, path, "id") == 0)
+    val m1 = TxLog.manifest(spark, path, 1L)
+    val planned = TxLog.prunedFilesByKey(spark, path, "id", 137L)
+    assert(planned.size < m1.files.size,
+      s"bloom pruned nothing: ${planned.size} of ${m1.files.size}")
+    val got = TxLog.readByKey(spark, path, "id", 137L)
+      .select("id", "body").as[(Long, String)].collect().toSeq
+    assert(got == Seq((137L, "doc137")))
+    // a key that is nowhere: usually zero files plan (false positives
+    // allowed), and the result is exactly empty either way
+    assert(TxLog.readByKey(spark, path, "id", 100000L).isEmpty)
+    // append a batch WITHOUT sidecars: its files are conservatively
+    // kept until the next index build — never wrong, just unpruned
+    TxLog.append(Seq((100000L, "new")).toDF("id", "body"), path)
+    val gotNew = TxLog.readByKey(spark, path, "id", 100000L)
+      .select("id", "body").as[(Long, String)].collect().toSeq
+    assert(gotNew == Seq((100000L, "new")))
+    // incremental: only the appended file gets a new sidecar
+    assert(TxLog.buildBloomIndex(spark, path, "id") == 1)
+    val all = TxLog.readByKey(spark, path, "id", 100000L)
+      .select("id").as[Long].collect().toSeq
+    assert(all == Seq(100000L))
+  }
 }
