@@ -64,6 +64,49 @@ object Graph {
     ranks
   }
 
+  /** Flatten a parent-pointer hierarchy (org chart, category tree,
+    * thread replies) to (node, root, depth) — what a recursive CTE
+    * computes row-at-a-time, done here in O(log depth) DISTRIBUTED
+    * rounds by pointer doubling: each round every node's ancestor
+    * pointer jumps to its ancestor's ancestor and the hop counts add,
+    * so a depth-10^6 chain resolves in ~20 self-joins instead of 10^6
+    * sequential steps. A pre-round count detects the fixpoint (no
+    * pointer left pointing below a root) before paying for a no-op
+    * round; lineage cuts per round via eager localCheckpoint (the
+    * components precedent).
+    *
+    * Input: (node, parent) with parent NULL marking roots; forests are
+    * fine, and every non-null parent must itself appear as a node (the
+    * jump is an inner join — a dangling parent would silently drop its
+    * subtree, so feed complete closures). Cycles never converge — the
+    * `maxRounds` guard throws rather than looping forever (2^64 depth
+    * is unreachable, so hitting the guard means a cycle). */
+  def flattenHierarchy(nodes: DataFrame, maxRounds: Int = 64): DataFrame = {
+    var st = nodes.select(
+        col("node"),
+        coalesce(col("parent"), col("node")).as("anc"),
+        when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("depth"))
+      .localCheckpoint(true)
+    var rounds = 0
+    while ({
+      val live = st.as("a")
+        .join(st.as("b"), col("a.anc") === col("b.node"))
+        .filter(col("b.depth") > 0).limit(1).count()
+      live > 0
+    }) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"flattenHierarchy: no fixpoint after $maxRounds doubling rounds " +
+          "— the parent pointers contain a cycle")
+      st = st.as("a")
+        .join(st.as("b"), col("a.anc") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.anc").as("anc"),
+          (col("a.depth") + col("b.depth")).as("depth"))
+        .localCheckpoint(true)
+    }
+    st.select(col("node"), col("anc").as("root"), col("depth"))
+  }
+
   /** The k-core of an undirected graph — the maximal subgraph in which
     * every node keeps degree ≥ k. The standard cohesion filter: spam
     * farms and boilerplate link rings survive high k, incidental links

@@ -149,6 +149,61 @@ object Stats {
         round(col("_n_rel").cast("double") / lit(k.toDouble), 6).as("p_at_k"))
   }
 
+  /** Robust per-group outlier accounting via the median absolute
+    * deviation — the outlier detector that, unlike [[zscore]], a few
+    * huge outliers cannot blind (they drag the mean and inflate the
+    * stddev; the median barely moves). Two exact-percentile passes
+    * (the [[Percentiles]] histogram plan — no per-group value maps on
+    * the shuffle) and one counting aggregate: median, MAD, and how
+    * many rows sit beyond `k` MADs. The group-sized medians join back
+    * onto the rows (AQE broadcasts them); every comparison is the
+    * same IEEE arithmetic on both engines. */
+  def madOutliers(df: DataFrame, groupCol: String, xCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val med = Percentiles.exact(df, groupCol, xCol, Seq(("_med", 0.5)))
+    val withDev = df.join(med, Seq(groupCol))
+      .withColumn("_absdev", abs(col(xCol) - col("_med")))
+    val mad = Percentiles.exact(withDev, groupCol, "_absdev", Seq(("_mad", 0.5)))
+    withDev.join(mad, Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        round(max(col("_med")), 6).as("median"),
+        round(max(col("_mad")), 6).as("mad"),
+        count(when(col("_absdev") > lit(k) * col("_mad"), lit(1)))
+          .as("n_outliers"))
+  }
+
+  /** Chi-square contingency decomposition of two categorical columns —
+    * the feature-association test behind "does return flag depend on
+    * line status" and categorical-feature selection. One cell per
+    * (a, b) pair with observed count, expected-under-independence
+    * count e = rowTotal·colTotal/N, and the cell's χ² contribution
+    * (o−e)²/e; Σ contrib is the statistic.
+    *
+    * One corpus shuffle (the cell counts, partial-aggregable); row
+    * and column totals re-aggregate from the CELLS (category-sized,
+    * not corpus-sized) and join back group-sized; N rides a broadcast
+    * one-row anchor. Everything is a ratio of exact int64 counts cast
+    * to double at the end — bit-identical cross-engine. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("_o"))
+    val rowT = cells.groupBy(col(aCol)).agg(sum(col("_o")).as("_ra"))
+    val colT = cells.groupBy(col(bCol)).agg(sum(col("_o")).as("_cb"))
+    val n = cells.agg(sum(col("_o")).as("_n"))
+    val e = (col("_ra") * col("_cb")).cast("double") / col("_n").cast("double")
+    val o = col("_o").cast("double")
+    cells
+      .join(rowT, Seq(aCol))
+      .join(colT, Seq(bCol))
+      .crossJoin(broadcast(n))
+      .select(
+        col(aCol), col(bCol), col("_o").as("observed"),
+        round(e, 6).as("expected"),
+        round((o - e) * (o - e) / e, 6).as("chi2_contrib"))
+  }
+
   /** Per-row z-score standardization of `xCol` against its group's
     * sample mean/stddev — the feature-normalization pass, from the
     * same exact decimal moments as [[corrStats]]: one group-sized

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array_join, col, element_at, explode, floor, length, lit, pmod, round, sequence, size, slice, split, transform}
+import org.apache.spark.sql.functions.{array_join, col, element_at, explode, floor, length, lit, pmod, round, sequence, size, slice, split, transform, when}
 
 import graft.operators.{Dedup, Ivf, Multimodal, Packing, Pq, Sampling, Similarity, TextOps}
 import graft.tables.Tables._
@@ -416,6 +416,18 @@ object PipelineQueries {
       graft.operators.Graph.kcore(
         clique.unionAll(chain).unionAll(bridge), k = 3)
         .orderBy("node")
+    }),
+    // hierarchy flattening vs a genuine RECURSIVE CTE oracle: a
+    // 127-node binary tree (parent = (i-1)/2) resolved to
+    // (node, root, depth) by O(log depth) pointer-doubling rounds —
+    // DuckDB walks it row-recursively, the distributed plan must land
+    // on the identical closure
+    "graph_hierarchy" -> ((s, d) => {
+      val nodes = s.range(127).select(
+        col("id").as("node"),
+        when(col("id") === 0, lit(null).cast("long"))
+          .otherwise(floor((col("id") - 1) / lit(2)).cast("long")).as("parent"))
+      graft.operators.Graph.flattenHierarchy(nodes).orderBy("node")
     }),
     // connected components over a planted chain graph: 20 chains of 50
     // nodes, generated identically on both engines, ground truth
@@ -1004,6 +1016,17 @@ object PipelineQueries {
     // the cycle is 1-regular: uniform 1/N is the exact fixed point
     "graph_pagerank" ->
       """SELECT range AS node, 0.01 AS pr FROM range(100) ORDER BY node""".stripMargin,
+    // a real recursive CTE against the pointer-doubling plan
+    "graph_hierarchy" ->
+      """WITH RECURSIVE h(node, root, depth) AS (
+        |  SELECT range AS node, range AS root, CAST(0 AS BIGINT) AS depth
+        |  FROM range(127) WHERE range = 0
+        |  UNION ALL
+        |  SELECT c.node, h.root, h.depth + 1
+        |  FROM (SELECT range AS node, (range - 1) // 2 AS parent
+        |        FROM range(127) WHERE range > 0) c
+        |  JOIN h ON c.parent = h.node)
+        |SELECT node, root, depth FROM h ORDER BY node""".stripMargin,
     // closed form: the chain and bridge peel away, the 10-clique stays
     // with every internal degree 9
     "graph_kcore" ->

@@ -500,6 +500,21 @@ object WarehouseQueries {
       .orderBy("query_id")
   }
 
+  /** Robust outlier accounting per return flag: median / MAD /
+    * beyond-3-MADs count of the price column — [[Stats.madOutliers]]
+    * over the proven exact-percentile histogram plan. */
+  def madOutliers(s: SparkSession, d: String): DataFrame =
+    graft.operators.Stats.madOutliers(
+      lineitem(s, d), "l_returnflag", "l_extendedprice", k = 3.0)
+      .orderBy("l_returnflag")
+
+  /** Chi-square contingency cells of return flag × line status — the
+    * categorical-association audit, all cells from exact counts. */
+  def chiSquare(s: SparkSession, d: String): DataFrame =
+    graft.operators.Stats.chiSquare(
+      lineitem(s, d), "l_returnflag", "l_linestatus")
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** Trailing one-hour moving average per event type — a RANGE window
     * frame over event time (q_running_sum's ROWS frame counts rows;
     * analytics over streams usually wants wall-clock trailing windows).
@@ -996,6 +1011,8 @@ object WarehouseQueries {
     "q_running_sum" -> runningSum _,
     "q_corr_stats" -> corrStats _,
     "q_regression" -> regression _,
+    "q_mad" -> madOutliers _,
+    "q_chi2" -> chiSquare _,
     "q_assoc_rules" -> assocRules _,
     "q_skyline" -> skylineQuery _,
     "eval_rank" -> rankEvalQuery _,
@@ -1266,6 +1283,40 @@ object WarehouseQueries {
         |  round((n*sxy - sx*sy) * (n*sxy - sx*sy)
         |        / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+        |  FROM lineitem GROUP BY l_returnflag),
+        |dev AS (
+        |  SELECT l.l_returnflag, m.m,
+        |         abs(l.l_extendedprice - m.m) AS ad
+        |  FROM lineitem l JOIN med m USING (l_returnflag)),
+        |mad AS (
+        |  SELECT l_returnflag, quantile_cont(ad, 0.5) AS md
+        |  FROM dev GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, COUNT(*) AS n,
+        |  round(max(d.m), 6) AS median,
+        |  round(max(ma.md), 6) AS mad,
+        |  COUNT(CASE WHEN d.ad > 3.0 * ma.md THEN 1 END) AS n_outliers
+        |FROM dev d JOIN mad ma USING (l_returnflag)
+        |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+    "q_chi2" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS o
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |rt AS (SELECT l_returnflag, SUM(o) AS ra FROM cells GROUP BY l_returnflag),
+        |ct AS (SELECT l_linestatus, SUM(o) AS cb FROM cells GROUP BY l_linestatus),
+        |nn AS (SELECT SUM(o) AS n FROM cells)
+        |SELECT c.l_returnflag, c.l_linestatus, c.o AS observed,
+        |  round(CAST(rt.ra * ct.cb AS DOUBLE) / CAST(nn.n AS DOUBLE), 6) AS expected,
+        |  round((CAST(c.o AS DOUBLE) - CAST(rt.ra * ct.cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |      * (CAST(c.o AS DOUBLE) - CAST(rt.ra * ct.cb AS DOUBLE) / CAST(nn.n AS DOUBLE))
+        |      / (CAST(rt.ra * ct.cb AS DOUBLE) / CAST(nn.n AS DOUBLE)), 6) AS chi2_contrib
+        |FROM cells c
+        |JOIN rt USING (l_returnflag)
+        |JOIN ct USING (l_linestatus)
+        |CROSS JOIN nn
+        |ORDER BY c.l_returnflag, c.l_linestatus""".stripMargin,
     "q_assoc_rules" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),

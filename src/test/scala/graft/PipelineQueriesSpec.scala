@@ -593,6 +593,29 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(c2.keySet == (0L to 4L).toSet && c2.values.forall(_ == 2), s"$c2")
   }
 
+  test("flattenHierarchy: forest resolves roots/depths in log rounds, cycles throw") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // forest: tree A (0 <- 1 <- 2 <- 3, a depth-3 chain) + tree B
+    // (10 <- 11, 10 <- 12) — chain depth 3 needs TWO doubling rounds
+    val nodes = Seq(
+      (0L, None), (1L, Some(0L)), (2L, Some(1L)), (3L, Some(2L)),
+      (10L, None), (11L, Some(10L)), (12L, Some(10L)))
+      .toDF("node", "parent")
+    val out = Graph.flattenHierarchy(nodes).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      0L -> ((0L, 0L)), 1L -> ((0L, 1L)), 2L -> ((0L, 2L)), 3L -> ((0L, 3L)),
+      10L -> ((10L, 0L)), 11L -> ((10L, 1L)), 12L -> ((10L, 1L))), out.toString)
+    // a 3-cycle has no fixpoint: the guard must throw, not spin
+    val cyc = Seq((1L, Some(2L)), (2L, Some(3L)), (3L, Some(1L)))
+      .toDF("node", "parent")
+    val e = intercept[IllegalArgumentException] {
+      Graph.flattenHierarchy(cyc, maxRounds = 8).collect()
+    }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
+
   test("dedupLines: first global occurrence wins, docs reassemble, empty docs surface") {
     import spark.implicits._
     val docs = Seq(

@@ -813,6 +813,52 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(r2.getDouble(1) == 0.0 && r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
   }
 
+  test("q_mad matches the builtin percentile median/MAD") {
+    val li = Tables.lineitem(spark, sf)
+    val medB = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("m"))
+    val ours = WarehouseQueries.madOutliers(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    val builtinMed = medB.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ours.keySet == builtinMed.keySet)
+    for ((k, (m, mad, nOut)) <- ours) {
+      assert(math.abs(m - builtinMed(k)) < 1e-6, s"$k: median $m vs ${builtinMed(k)}")
+      // MAD cross-check against the builtin percentile of |x - med|
+      val madB = li.filter(col("l_returnflag") === k)
+        .select(abs(col("l_extendedprice") - lit(builtinMed(k))).as("ad"))
+        .agg(expr("percentile(ad, 0.5)")).head().getDouble(0)
+      assert(math.abs(mad - madB) < 1e-6, s"$k: mad $mad vs $madB")
+      // brute-force the beyond-k-MADs count with the cross-checked
+      // median/MAD (uniform-ish prices may legitimately have zero)
+      val nOutB = li.filter(col("l_returnflag") === k)
+        .filter(abs(col("l_extendedprice") - lit(builtinMed(k))) > lit(3.0 * madB))
+        .count()
+      assert(nOut == nOutB, s"$k: n_outliers $nOut vs brute $nOutB")
+    }
+  }
+
+  test("chiSquare on a hand-computed 2x2 fixture") {
+    import spark.implicits._
+    // 2x2: (a,x)=30 (a,y)=10 (b,x)=10 (b,y)=50; N=100
+    // row a=40, b=60; col x=40, y=60
+    // e(a,x)=16 -> contrib (30-16)^2/16 = 12.25
+    // e(a,y)=24 -> (10-24)^2/24 = 8.166667
+    // e(b,x)=24 -> (10-24)^2/24 = 8.166667
+    // e(b,y)=36 -> (50-36)^2/36 = 5.444444
+    val rows =
+      Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(50)(("b", "y"))
+    val out = graft.operators.Stats.chiSquare(rows.toDF("f", "s"), "f", "s")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(("a", "x")) == ((30L, 16.0, 12.25)))
+    assert(out(("a", "y")) == ((10L, 24.0, 8.166667)))
+    assert(out(("b", "x")) == ((10L, 24.0, 8.166667)))
+    assert(out(("b", "y")) == ((50L, 36.0, 5.444444)))
+  }
+
   test("q_debounce output is a subset and keeps one row per (user,type)") {
     val ev = Tables.events(spark, sf)
     val out = WarehouseQueries.debounce(spark, sf)
