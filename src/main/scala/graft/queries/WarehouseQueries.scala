@@ -515,6 +515,42 @@ object WarehouseQueries {
       lineitem(s, d), "l_returnflag", "l_linestatus")
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Winsorization — clip each row's price into its group's
+    * [p05, p95] band (the standard heavy-tail taming transform before
+    * averaging or training). Bounds come from the exact-percentile
+    * histogram plan, join back group-sized, and the clip itself is a
+    * codegen'd least/greatest projection — the corpus never shuffles
+    * for the transform, only for the bounds' histogram. */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val bounds = graft.operators.Percentiles.exactMulti(
+      lineitem(s, d), "l_returnflag",
+      Seq(("_lo", "l_extendedprice", 0.05), ("_hi", "l_extendedprice", 0.95)))
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      .join(bounds, Seq("l_returnflag"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"),
+        round(least(greatest(col("l_extendedprice"), col("_lo")), col("_hi")), 6)
+          .as("price_w"))
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice", "price_w")
+  }
+
+  /** Percent-of-total: each return flag's share of corpus revenue —
+    * the everyday composition metric. Group revenue and the total are
+    * both exact decimal sums; the total rides a broadcast one-row
+    * anchor (never a single-reducer window). */
+  def revenueShare(s: SparkSession, d: String): DataFrame = {
+    val rev = dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val byFlag = lineitem(s, d).groupBy("l_returnflag").agg(rev.as("revenue"))
+    val total = lineitem(s, d).agg(rev.as("_total"))
+    byFlag.crossJoin(broadcast(total))
+      .select(col("l_returnflag"), col("revenue"),
+        round(col("revenue") / col("_total"), 6).as("share"))
+      .orderBy("l_returnflag")
+  }
+
   /** Trailing one-hour moving average per event type — a RANGE window
     * frame over event time (q_running_sum's ROWS frame counts rows;
     * analytics over streams usually wants wall-clock trailing windows).
@@ -1013,6 +1049,8 @@ object WarehouseQueries {
     "q_regression" -> regression _,
     "q_mad" -> madOutliers _,
     "q_chi2" -> chiSquare _,
+    "q_winsorize" -> winsorize _,
+    "q_share" -> revenueShare _,
     "q_assoc_rules" -> assocRules _,
     "q_skyline" -> skylineQuery _,
     "eval_rank" -> rankEvalQuery _,
@@ -1300,6 +1338,27 @@ object WarehouseQueries {
         |  COUNT(CASE WHEN d.ad > 3.0 * ma.md THEN 1 END) AS n_outliers
         |FROM dev d JOIN mad ma USING (l_returnflag)
         |GROUP BY d.l_returnflag ORDER BY d.l_returnflag""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+        |  round(least(greatest(l.l_extendedprice, b.lo), b.hi), 6) AS price_w
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag,
+        |  l_extendedprice, price_w""".stripMargin,
+    "q_share" ->
+      s"""WITH f AS (
+        |  SELECT l_returnflag,
+        |    ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        |  FROM lineitem GROUP BY l_returnflag),
+        |t AS (
+        |  SELECT ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total
+        |  FROM lineitem)
+        |SELECT l_returnflag, revenue, round(revenue / total, 6) AS share
+        |FROM f CROSS JOIN t ORDER BY l_returnflag""".stripMargin,
     "q_chi2" ->
       """WITH cells AS (
         |  SELECT l_returnflag, l_linestatus, COUNT(*) AS o

@@ -348,6 +348,43 @@ object StreamJobs {
     checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
   }
 
+  /** Streaming CDC relay — keep a REPLICA table following a source's
+    * change-data feed as the changes arrive: each micro-batch of CDF
+    * rows (insert / update / delete, the `TxLog.changes` shape)
+    * applies to the replica as ONE `applyChanges` commit. This is the
+    * continuous form of the batch CDC consumer (26af): the primary
+    * publishes `changes(vN, vN+1)` rows to a feed directory as they
+    * commit; the replica tails the directory and stays
+    * versions-behind-bounded without ever re-reading the primary.
+    *
+    * Semantics ride entirely on applyChanges: inserts/updates merge,
+    * deletes drop, only partitions holding a changed key rewrite. One
+    * commit per micro-batch = snapshot isolation per batch; a batch
+    * that carries several keys' changes applies atomically. The feed
+    * must be key-unique per micro-batch (the CDF contract per version
+    * pair); `update_preimage` rows are metadata for aggregate
+    * consumers and are filtered out here — the postimage carries the
+    * row. */
+  def cdcRelayStream(feed: DataFrame, replicaPath: String,
+                     keys: Seq[String],
+                     checkpointLocation: Option[String] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val w = feed.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.filter(col("_change_type") =!= "update_preimage")
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.when(
+              col("_change_type") === "update_postimage", "update")
+              .otherwise(col("_change_type")))
+        if (!rows.isEmpty)
+          graft.storage.TxLog.applyChanges(replicaPath, rows, keys,
+            preValidated = true)
+        ()
+      }
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {
     val q = df.writeStream
       .outputMode(mode)

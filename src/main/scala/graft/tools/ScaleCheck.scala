@@ -208,6 +208,64 @@ object ScaleCheck {
         ((col("id") + 1) % n).as("dst")), iterations = 5).count()
     t("pagerank 100k-cycle")(pr(100000L))
     t("pagerank 1M-cycle")(pr(1000000L))
+    // r7 wave-9/10 operators against the same 10x fact sides
+    t("regression sf0.1")(WarehouseQueries.regression(spark, d).count())
+    t("regression 10x")(WarehouseQueries.regression(spark, big).count())
+    t("mad sf0.1")(WarehouseQueries.madOutliers(spark, d).count())
+    t("mad 10x")(WarehouseQueries.madOutliers(spark, big).count())
+    t("chi2 10x")(WarehouseQueries.chiSquare(spark, big).count())
+    t("assoc rules sf0.1")(WarehouseQueries.assocRules(spark, d).count())
+    t("assoc rules 10x")(WarehouseQueries.assocRules(spark, big).count())
+    // skyline over the 10x FACT side (6M points): the staircase prune
+    // must keep the exact-verify survivor set tiny
+    val sky = (dir: String) => graft.operators.Skyline.skyline2(
+      Tables.lineitem(spark, dir)
+        .select(col("l_extendedprice"), col("l_quantity")),
+      "l_extendedprice", "l_quantity").count()
+    t("skyline sf0.1")(sky(d))
+    t("skyline 10x")(sky(big))
+    t("dedup lines sf0.1")(graft.queries.PipelineQueries
+      .entries("dedup_lines")(spark, d).count())
+    t("dedup lines 10x")(graft.queries.PipelineQueries
+      .entries("dedup_lines")(spark, big).count())
+    // k-core: 200k-node cycle with 200k pendant leaves — one peel
+    // round kills every leaf, the fixpoint check stops the loop
+    t("kcore 400k-node") {
+      val n = 200000L
+      val cyc = spark.range(n).select(col("id").as("src"),
+        ((col("id") + 1) % n).as("dst"))
+      val pend = spark.range(n).select(col("id").as("src"),
+        (col("id") + n).as("dst"))
+      graft.operators.Graph.kcore(cyc.unionAll(pend), 2).count()
+    }
+    // hierarchy: a 100k-DEEP chain — 17 pointer-doubling rounds
+    t("hierarchy 100k-deep") {
+      val n = 100000L
+      val nodes = spark.range(n).select(col("id").as("node"),
+        when(col("id") === 0, lit(null).cast("long"))
+          .otherwise(col("id") - 1).as("parent"))
+      graft.operators.Graph.flattenHierarchy(nodes, maxRounds = 64).count()
+    }
+    // bloom index over the 10x txlog table: build once, the needle
+    // read must stay file-pruned
+    t("bloom build 10x") {
+      val p = "/tmp/graft_scale_bloom"
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p), true)
+      graft.storage.TxLog.create(
+        Tables.lineitem(spark, big).select("l_orderkey", "l_partkey",
+          "l_extendedprice").repartition(32), p,
+        statsCols = Seq("l_orderkey"))
+      graft.storage.TxLog.buildBloomIndex(spark, p, "l_orderkey").toLong
+    }
+    t("bloom point lookup 10x") {
+      val p = "/tmp/graft_scale_bloom"
+      val planned = graft.storage.TxLog.prunedFilesByKey(
+        spark, p, "l_orderkey", 7L)
+      println(s"[scale]   bloom planned files: ${planned.size} of 32")
+      graft.storage.TxLog.readByKey(spark, p, "l_orderkey", 7L).count()
+    }
     // ANN recall at 10x: planted exact twins must dominate the top-10
     val qids = (0L until 20L).toSeq
     val bigEmb = Tables.embeddings(spark, big)

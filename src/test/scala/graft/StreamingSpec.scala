@@ -245,6 +245,43 @@ class StreamingSpec extends SparkSpec {
     assert(TxLog.currentVersion(spark, tbl).exists(_ >= 3L))
   }
 
+  test("streaming CDC relay: a replica follows the primary's change feed batch by batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.storage.TxLog
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcrelay").toString
+    val primary = s"$root/primary"; val replica = s"$root/replica"
+    val feedDir = s"$root/feed"
+    val base = Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0),
+      (5L, "p3", 50.0)).toDF("k", "part", "v")
+    TxLog.create(base, primary, Some("part"))
+    TxLog.mergeInto(primary,
+      Seq((2L, "p1", 99.0), (7L, "p3", 70.0)).toDF("k", "part", "v"),
+      Seq("k"))                                          // v2
+    TxLog.deleteWhere(spark, primary, col("k") === 5L)   // v3
+    // replica bootstraps from v1 (a snapshot copy)
+    TxLog.create(TxLog.read(spark, primary, Some(1L)), replica, Some("part"))
+    // the feed arrives as files: changes(1,2) now, changes(2,3) later
+    val c12 = TxLog.changes(spark, primary, 1L, 2L, Seq("k"))
+    c12.write.parquet(feedDir)
+    val feed = spark.readStream.schema(c12.schema).parquet(feedDir)
+    val q = StreamJobs.cdcRelayStream(feed, replica, Seq("k"))
+    def replicaRows = TxLog.read(spark, replica)
+      .select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+    def primaryRows(v: Long) = TxLog.read(spark, primary, Some(v))
+      .select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+    try {
+      q.processAllAvailable()
+      assert(replicaRows == primaryRows(2L), "replica should be at v2")
+      TxLog.changes(spark, primary, 2L, 3L, Seq("k"))
+        .write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+      assert(replicaRows == primaryRows(3L), "replica should follow to v3")
+    } finally q.stop()
+    // one applyChanges commit per non-empty micro-batch, plus create
+    assert(TxLog.currentVersion(spark, replica).exists(_ >= 3L))
+  }
+
   test("streaming decay score: re-anchored carry state matches the batch anchor-sum") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}

@@ -838,6 +838,31 @@ class WarehouseQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_winsorize clips into the exact percentile band and leaves the interior alone") {
+    val out = WarehouseQueries.winsorize(spark, sf)
+    val bounds = graft.operators.Percentiles.exactMulti(
+      Tables.lineitem(spark, sf), "l_returnflag",
+      Seq(("lo", "l_extendedprice", 0.05), ("hi", "l_extendedprice", 0.95)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getString(2))
+      val x = r.getDouble(3); val w = r.getDouble(4)
+      assert(w >= math.min(lo, x) - 1e-6 && w <= math.max(hi, x) + 1e-6)
+      if (x >= lo && x <= hi)
+        assert(w == math.round(x * 1e6) / 1e6, s"interior value moved: $x -> $w")
+      else assert(w == math.round(math.max(lo, math.min(hi, x)) * 1e6) / 1e6)
+    }
+  }
+
+  test("q_share sums to exactly 1 across groups") {
+    val shares = WarehouseQueries.revenueShare(spark, sf).collect()
+    assert(shares.length == 3)
+    val total = shares.map(_.getDouble(2)).sum
+    assert(math.abs(total - 1.0) < 1e-5, s"shares sum to $total")
+  }
+
   test("chiSquare on a hand-computed 2x2 fixture") {
     import spark.implicits._
     // 2x2: (a,x)=30 (a,y)=10 (b,x)=10 (b,y)=50; N=100
