@@ -213,6 +213,35 @@ object Sampling {
       .drop("_tok")
   }
 
+  /** Weight-proportional sampling WITHOUT replacement (the
+    * Efraimidis–Spirakis key trick), made deterministic: each row
+    * draws u ∈ (0, 1] from its own id's md5 (first 8 hex chars parsed
+    * as an integer — the engine-portable pseudo-random the whole
+    * sampling family rides) and the k rows with smallest
+    * key = −ln(u)/w win, which is exactly a weight-proportional
+    * without-replacement draw. Upweighting a document multiplies its
+    * inclusion odds without ever duplicating rows — the "prefer
+    * curated, keep some of everything" mix step that per-stratum
+    * fractions ([[weighted]]) can't express when the weight is a
+    * continuous per-row score.
+    *
+    * Shapes: one scan computes keys (pure codegen arithmetic), then a
+    * TakeOrderedAndProject top-k — never a full sort. Determinism:
+    * keys round through 6 decimals with ties broken by id, so the
+    * selected SET is stable cross-engine even where ln() differs in
+    * the last ulp. Weights must be strictly positive. */
+  def weightProportional(df: DataFrame, weight: Column, k: Int,
+                         idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967296.0)
+    df.withColumn("_w", weight.cast("double"))
+      .withColumn("samp_key", round(-log(u) / col("_w"), 6))
+      .drop("_w")
+      .orderBy(col("samp_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic global shuffle: assigns every row a dense permuted
     * position `shuffle_pos` ∈ [0, n) ordered by md5(salt#id) — the
     * reproducible "shuffle the corpus once per epoch" step of a

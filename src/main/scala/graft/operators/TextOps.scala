@@ -216,6 +216,31 @@ object TextOps {
       .orderBy(desc("n"), col("tok"))
       .limit(k)
 
+  /** Feature hashing ("the hashing trick") — fixed-dimension token
+    * count features with NO vocabulary pass, the ML-prep step that
+    * works at any vocabulary size because the feature space never
+    * grows: bucket = md5(token) mod `dim`. Output is the SPARSE (COO)
+    * form — one (doc_id, bucket, n) row per occupied bucket — which is
+    * both the representation a 10^9-doc feature matrix actually ships
+    * in and value-comparable cross-engine (a dense array column would
+    * dodge the oracle's cell compare).
+    *
+    * One explode + one partial-aggregable groupBy; the bucket rides
+    * the first 8 md5 hex chars parsed as an integer — Spark `conv` and
+    * DuckDB `'0x…'::BIGINT` agree exactly, so the bucketing is
+    * engine-portable (the [[Sampling]] md5-permutation rationale). */
+  def featureHash(docs: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim >= 2, s"featureHash: dim must be >= 2, got $dim")
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cross-document boilerplate detection: word n-grams appearing in at
     * least `minDocs` DISTINCT documents — headers, footers, license
     * blurbs, navigation chrome. (Distinct from [[decontaminateNgrams]],

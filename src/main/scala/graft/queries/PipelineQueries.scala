@@ -298,6 +298,19 @@ object PipelineQueries {
           "\n").as("text"))
       Dedup.dedupLines(lined).orderBy("doc_id")
     }),
+    // feature hashing: fixed-dim token-count features with no
+    // vocabulary pass, emitted in sparse COO form (doc, bucket, n) —
+    // the md5-prefix bucket parses identically in both engines
+    "text_feature_hash" -> ((s, d) =>
+      TextOps.featureHash(documents(s, d), dim = 16)
+        .orderBy("doc_id", "bucket")),
+    // weight-proportional sampling without replacement
+    // (Efraimidis–Spirakis keys off deterministic md5 uniforms):
+    // longer docs win proportionally more of the 100 slots
+    "sample_prop" -> ((s, d) =>
+      graft.operators.Sampling.weightProportional(
+        documents(s, d).select("doc_id", "n_chars"),
+        col("n_chars"), k = 100)),
     "dedup_url" -> ((s, d) => {
       import s.implicits._
       val fx = urlFixture.map { case (id, raw, _) => (id, raw) }.toDF("doc_id", "url")
@@ -1016,6 +1029,23 @@ object PipelineQueries {
     // the cycle is 1-regular: uniform 1/N is the exact fixed point
     "graph_pagerank" ->
       """SELECT range AS node, 0.01 AS pr FROM range(100) ORDER BY node""".stripMargin,
+    "text_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |tok AS (
+        |  SELECT doc_id, u.term AS tok
+        |  FROM toks, UNNEST(t) AS u(term) WHERE len(u.term) > 0)
+        |SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS bucket,
+        |  COUNT(*) AS n
+        |FROM tok GROUP BY doc_id, bucket
+        |ORDER BY doc_id, bucket""".stripMargin,
+    "sample_prop" ->
+      """SELECT doc_id, n_chars,
+        |  round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |             + 1.0) / 4294967296.0)
+        |        / CAST(n_chars AS DOUBLE), 6) AS samp_key
+        |FROM documents ORDER BY samp_key, doc_id LIMIT 100""".stripMargin,
     // a real recursive CTE against the pointer-doubling plan
     "graph_hierarchy" ->
       """WITH RECURSIVE h(node, root, depth) AS (

@@ -978,6 +978,39 @@ object TxLog {
     deleted.toSeq
   }
 
+  /** DESCRIBE HISTORY — one row per retained version, metadata only
+    * (no data read, no Spark job): version, file count, total bytes,
+    * how many files the version added and dropped vs its predecessor
+    * (a quick read on what kind of commit it was: append adds only,
+    * merge adds+drops, restore re-points), and the streaming batch
+    * watermark. Bytes come from the filesystem's file statuses —
+    * file-count-bounded driver work, the same class as every other
+    * catalog walk here; by-reference clone entries resolve against
+    * their source root. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    val dir = manifestDir(path)
+    require(fs.exists(dir), s"TxLog: no table at $path")
+    val versions = fs.listStatus(dir).toSeq
+      .flatMap(s => versionOf(s.getPath)).sorted
+    val manifests = versions.map(v => v -> manifest(spark, path, v))
+    def sizeOf(f: String): Long = {
+      val p = if (isAbsEntry(f)) new Path(f) else new Path(dataDir(path), f)
+      try fs.getFileStatus(p).getLen catch { case _: java.io.IOException => 0L }
+    }
+    val rows = manifests.zipWithIndex.map { case ((v, m), i) =>
+      val prev: Set[String] =
+        if (i == 0) Set.empty else manifests(i - 1)._2.files.toSet
+      (v, m.files.size.toLong, m.files.map(sizeOf).sum,
+        m.files.count(f => !prev.contains(f)).toLong,
+        prev.diff(m.files.toSet).size.toLong,
+        m.sourceBatchId)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_files", "total_bytes",
+      "files_added", "files_removed", "source_batch_id")
+  }
+
   // ------------------------------------------------------------------
   // Shallow / deep clone
   // ------------------------------------------------------------------

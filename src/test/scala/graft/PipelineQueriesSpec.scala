@@ -593,6 +593,38 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(c2.keySet == (0L to 4L).toSet && c2.values.forall(_ == 2), s"$c2")
   }
 
+  test("featureHash: counts conserve tokens, buckets stay in range, same token same bucket") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "a d")).toDF("doc_id", "text")
+    val out = TextOps.featureHash(docs, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum == 6, "token mass must be conserved")
+    assert(out.forall(r => r._2 >= 0 && r._2 < 16))
+    // 'a' hashes to ONE bucket: doc 1 carries it with count >= 2 and
+    // doc 2 shares that bucket
+    val aBucket = TextOps.featureHash(Seq((9L, "a")).toDF("doc_id", "text"), 16)
+      .head().getLong(1)
+    assert(out.filter(r => r._1 == 1L && r._2 == aBucket).map(_._3).sum >= 2)
+    assert(out.exists(r => r._1 == 2L && r._2 == aBucket))
+  }
+
+  test("weightProportional: heavy weights dominate, zero-weight rows never win, deterministic") {
+    import spark.implicits._
+    // 50 heavy docs (weight 1000) vs 950 light docs (weight 1):
+    // a k=40 draw should be nearly all heavy
+    val docs = (0L until 1000L)
+      .map(i => (i, if (i < 50) 1000.0 else 1.0)).toDF("doc_id", "w")
+    val picked = graft.operators.Sampling
+      .weightProportional(docs, col("w"), k = 40)
+      .collect().map(_.getLong(0))
+    assert(picked.count(_ < 50L) >= 35, s"heavy fraction: ${picked.count(_ < 50L)}/40")
+    // determinism: the same call yields the same set in the same order
+    val again = graft.operators.Sampling
+      .weightProportional(docs, col("w"), k = 40)
+      .collect().map(_.getLong(0))
+    assert(picked.toSeq == again.toSeq)
+  }
+
   test("flattenHierarchy: forest resolves roots/depths in log rounds, cycles throw") {
     import spark.implicits._
     import graft.operators.Graph

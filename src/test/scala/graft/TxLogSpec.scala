@@ -481,6 +481,25 @@ class TxLogSpec extends SparkSpec {
     assert(d34 == Set((8L, Some("tagged"), "insert")), d34.toString)
   }
 
+  test("history: one metadata row per version, add/remove counts tell the commit kind") {
+    val path = freshPath("hist")
+    TxLog.create(fixture, path, Some("part"))                       // v1
+    TxLog.append(Seq((7L, "p1", 70.0)).toDF("k", "part", "v"), path) // v2
+    TxLog.mergeInto(path,
+      Seq((2L, "p1", 99.0)).toDF("k", "part", "v"), Seq("k"))        // v3
+    val h = TxLog.history(spark, path).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(h.keySet == Set(1L, 2L, 3L))
+    val (n1, b1, a1, r1) = h(1L)
+    assert(a1 == n1 && r1 == 0 && b1 > 0, s"create row: ${h(1L)}")
+    val (n2, _, a2, r2) = h(2L)
+    assert(n2 == n1 + a2 && r2 == 0 && a2 >= 1, s"append row: ${h(2L)}")
+    // the merge rewrote partition p1: it must both add and remove
+    val (_, _, a3, r3) = h(3L)
+    assert(a3 >= 1 && r3 >= 1, s"merge row should add AND drop: ${h(3L)}")
+  }
+
   test("shallow clone: zero-copy read, writes diverge, source untouched, merges drop carried refs") {
     val src = freshPath("clonesrc")
     TxLog.create(fixture, src, Some("part"))
