@@ -530,6 +530,67 @@ object Dedup {
       .select(col(idCol), col("component"), col("split"))
   }
 
+  /** EXACT all-pairs token-set Jaccard join above a threshold, by
+    * PREFIX FILTERING (the PPJoin family) — the deterministic
+    * complement of MinHash: no probabilistic recall, every qualifying
+    * pair is found, no non-qualifying pair survives. Where
+    * [[minhashCandidates]] trades exactness for a fixed banding cost,
+    * this trades a frequency-ordering pass for a guarantee.
+    *
+    * The filter: order all tokens by ascending corpus frequency (rare
+    * first — a total order), keep each doc's first
+    * |x| − ⌈t·|x|⌉ + 1 tokens as its PREFIX; two sets with Jaccard ≥ t
+    * MUST share a prefix token (pigeonhole on the sorted lists), so
+    * candidates meet in an equi-join on prefix tokens. Because
+    * prefixes keep each doc's RAREST tokens, the join key distribution
+    * is anti-skewed by construction — the hot stop-words that would
+    * flood a naive token join never enter a prefix.
+    *
+    * Shapes: token-frequency ranks are one partial-agg count + one
+    * window over the (vocab-sized) token table; prefixes are a
+    * window + filter; candidates a (rare-)token equi-join deduped
+    * BEFORE verification; the exact verify joins candidate pairs back
+    * to token sets — intersection counts over candidate-bounded work,
+    * never corpus². Returns (doc_a, doc_b, jaccard ≥ threshold). */
+  def jaccardJoin(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccardJoin: threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // rare-first TOTAL order = (corpus frequency, token) — used as a
+    // compound sort key directly, so no global rank window (a dense
+    // vocabulary row_number would be a single-reducer sort at scale)
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("_df"))
+    val pos = Window.partitionBy("doc_id").orderBy(col("_df"), col("tok"))
+    val prefixes = toks.join(freq, "tok")
+      .withColumn("_pos", row_number().over(pos))
+      .join(sizes, "doc_id")
+      .filter(col("_pos") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select(col("doc_id"), col("tok"))
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = candidates
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("_sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("_sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("_inter").cast("double") /
+          (col("_sa") + col("_sb") - col("_inter")).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Global LINE-level exact dedup — the CommonCrawl/CCNet pass that
     * byte- and near-dup document dedup both miss: boilerplate lines
     * (nav bars, cookie banners, footers) repeat across millions of

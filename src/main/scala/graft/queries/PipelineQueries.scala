@@ -298,6 +298,19 @@ object PipelineQueries {
           "\n").as("text"))
       Dedup.dedupLines(lined).orderBy("doc_id")
     }),
+    // EXACT Jaccard similarity join via prefix filtering (PPJoin-lite)
+    // over the DISTINCT part-name token sets (the dedup_edit blocking
+    // rationale: the name domain is vocab-bounded while id-level pairs
+    // grow quadratically). Every pair >= 0.3 must surface — the oracle
+    // computes the unfiltered token-join ground truth.
+    "dedup_jaccard_join" -> ((s, d) => {
+      val names = part(s, d).select(col("p_name")).distinct()
+        .select(col("p_name").as("doc_id"), col("p_name").as("text"))
+      Dedup.jaccardJoin(names, threshold = 0.3)
+        .withColumnRenamed("doc_a", "name_a")
+        .withColumnRenamed("doc_b", "name_b")
+        .orderBy("name_a", "name_b")
+    }),
     // feature hashing: fixed-dim token-count features with no
     // vocabulary pass, emitted in sparse COO form (doc, bucket, n) —
     // the md5-prefix bucket parses identically in both engines
@@ -1029,6 +1042,28 @@ object PipelineQueries {
     // the cycle is 1-regular: uniform 1/N is the exact fixed point
     "graph_pagerank" ->
       """SELECT range AS node, 0.01 AS pr FROM range(100) ORDER BY node""".stripMargin,
+    // ground truth = the unfiltered token equi-join: intersection
+    // counts per name pair, jaccard from set sizes — the prefix filter
+    // must lose nothing above the threshold and admit nothing below
+    "dedup_jaccard_join" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |toks AS (
+        |  SELECT DISTINCT p_name AS doc_id, u.term AS tok
+        |  FROM (SELECT p_name, string_split(p_name, ' ') AS t FROM names),
+        |       UNNEST(t) AS u(term) WHERE len(u.term) > 0),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS name_a, b.doc_id AS name_b, COUNT(*) AS i
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT name_a, name_b, jaccard FROM (
+        |  SELECT name_a, name_b,
+        |    round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6)
+        |      AS jaccard
+        |  FROM inter
+        |  JOIN sz sa ON name_a = sa.doc_id
+        |  JOIN sz sb ON name_b = sb.doc_id)
+        |WHERE jaccard >= 0.3 ORDER BY name_a, name_b""".stripMargin,
     "text_feature_hash" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

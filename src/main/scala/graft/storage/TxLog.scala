@@ -68,7 +68,8 @@ object TxLog {
                       schemaDdl: String, files: Seq[String],
                       sourceBatchId: Option[Long] = None,
                       statsCols: Seq[String] = Nil,
-                      fileStats: Map[String, Map[String, (String, String)]] = Map.empty)
+                      fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
+                      fileRows: Map[String, Long] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -118,11 +119,16 @@ object TxLog {
             }.toMap
         }.toMap
     }.getOrElse(Map.empty[String, Map[String, (String, String)]])
+    val fileRows = Option(node.get("fileRows")).map { rNode =>
+      val it = rNode.fieldNames()
+      Iterator.continually(if (it.hasNext) it.next() else null)
+        .takeWhile(_ != null).map(f => f -> rNode.get(f).asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     Manifest(node.get("version").asLong(),
       Option(node.get("partitionCol")).filter(!_.isNull).map(_.asText()),
       node.get("schemaDdl").asText(), files,
       Option(node.get("sourceBatchId")).filter(!_.isNull).map(_.asLong()),
-      statsCols, fileStats)
+      statsCols, fileStats, fileRows)
   }
 
   private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
@@ -148,6 +154,10 @@ object TxLog {
           val a = cNode.putArray(c); a.add(mn); a.add(mx)
         }
       }
+    }
+    if (m.fileRows.nonEmpty) {
+      val rNode = node.putObject("fileRows")
+      m.fileRows.toSeq.sortBy(_._1).foreach { case (f, n) => rNode.put(f, n) }
     }
     val tmp = new Path(manifestDir(path),
       s".v${m.version}.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
@@ -238,10 +248,8 @@ object TxLog {
                            schemaDdl: String, batchId: Option[Long],
                            readSet: Option[Set[String]],
                            maxRetries: Int = 10): Long = {
-    val newStats =
-      if (base.statsCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
-      else collectStats(spark, path, StructType.fromDDL(schemaDdl),
-        base.statsCols, newFiles)
+    val (newStats, newRows) = collectStats(spark, path,
+      StructType.fromDDL(schemaDdl), base.statsCols, newFiles)
     var attempt = base
     var retries = 0
     while (true) {
@@ -251,12 +259,14 @@ object TxLog {
       val stats =
         if (attempt.statsCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
         else attempt.fileStats.view.filterKeys(kept.toSet).toMap ++ newStats
+      val rowCounts =
+        attempt.fileRows.view.filterKeys(kept.toSet).toMap ++ newRows
       try {
         writeManifest(spark, path, attempt.copy(
           version = attempt.version + 1, schemaDdl = schemaDdl,
           files = kept ++ newFiles,
           sourceBatchId = batchId.orElse(attempt.sourceBatchId),
-          fileStats = stats))
+          fileStats = stats, fileRows = rowCounts))
         return attempt.version + 1
       } catch {
         case e: VersionRaceException =>
@@ -315,36 +325,43 @@ object TxLog {
     moved.toSeq
   }
 
-  /** Per-file min/max for the tracked columns, computed by ONE bounded
-    * aggregate over exactly the newly staged files (grouped by
-    * input_file_name — page-cache-warm, never a table rescan). Values
-    * serialize as strings and retype via the declared schema at
-    * planning time; all-null files simply have no entry for that
-    * column (conservatively unprunable). */
+  /** Per-file min/max for the tracked columns PLUS per-file row
+    * counts, computed by ONE bounded aggregate over exactly the newly
+    * staged files (grouped by input_file_name — page-cache-warm, never
+    * a table rescan). Min/max values serialize as strings and retype
+    * via the declared schema at planning time; all-null files simply
+    * have no entry for that column (conservatively unprunable). Row
+    * counts are ALWAYS measured (Delta's numRecords in spirit) — they
+    * power [[fastCount]]'s metadata-only COUNT(*) — and the counting
+    * projection is empty, so a stats-less table pays a column-pruned
+    * pass, not a data read. */
   private def collectStats(spark: SparkSession, path: String,
                            schema: StructType, statsCols: Seq[String],
                            files: Seq[String])
-      : Map[String, Map[String, (String, String)]] = {
-    if (statsCols.isEmpty || files.isEmpty) return Map.empty
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      : (Map[String, Map[String, (String, String)]], Map[String, Long]) = {
+    if (files.isEmpty) return (Map.empty, Map.empty)
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val base = dataDir(path).toString
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"_min_$c"),
-      max(col(c)).cast("string").as(s"_max_$c")))
+      max(col(c)).cast("string").as(s"_max_$c"))) :+
+      count(lit(1)).as("_rows")
     val rows = spark.read.schema(schema).option("basePath", base)
       .parquet(files.map(f => s"$base/$f"): _*)
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    rows.map { r =>
+    val pairs = rows.map { r =>
       val uri = r.getString(0)
       val rel = uri.substring(uri.indexOf("/data/") + "/data/".length)
-      rel -> statsCols.flatMap { c =>
+      val st = statsCols.flatMap { c =>
         val mn = r.getAs[String](s"_min_$c")
         val mx = r.getAs[String](s"_max_$c")
         if (mn == null || mx == null) None else Some(c -> ((mn, mx)))
       }.toMap
-    }.toMap
+      (rel, st, r.getAs[Long]("_rows"))
+    }
+    (pairs.map(p => p._1 -> p._2).toMap, pairs.map(p => p._1 -> p._3).toMap)
   }
 
   /** Create a table at `path` as version 1. Fails if a table already
@@ -359,10 +376,11 @@ object TxLog {
     statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"TxLog.create: stats column '$c' is not in the schema"))
     val files = stageIn(df, path, partitionCol)
-    val stats = collectStats(df.sparkSession, path, df.schema, statsCols, files)
+    val (stats, rowCounts) =
+      collectStats(df.sparkSession, path, df.schema, statsCols, files)
     writeManifest(df.sparkSession, path,
       Manifest(1L, partitionCol, df.schema.toDDL, files,
-        statsCols = statsCols, fileStats = stats))
+        statsCols = statsCols, fileStats = stats, fileRows = rowCounts))
     1L
   }
 
@@ -1011,6 +1029,22 @@ object TxLog {
       "files_added", "files_removed", "source_batch_id")
   }
 
+  /** Metadata-only COUNT(*) — every commit records each new file's row
+    * count in the manifest (Delta's numRecords in spirit), so a full-
+    * table count is a sum over the manifest, zero Spark jobs, zero
+    * file reads. Returns None when any file of the version predates
+    * row-count tracking (committed by an older build) — the caller
+    * falls back to `read(...).count()`; never guesses. */
+  def fastCount(spark: SparkSession, path: String,
+                version: Option[Long] = None): Option[Long] = {
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    if (m.files.forall(m.fileRows.contains))
+      Some(m.files.map(m.fileRows).sum)
+    else None
+  }
+
   // ------------------------------------------------------------------
   // Shallow / deep clone
   // ------------------------------------------------------------------
@@ -1044,10 +1078,11 @@ object TxLog {
     val m = manifest(spark, source, v)
     def abs(f: String): String =
       if (isAbsEntry(f)) f else new Path(dataDir(source), f).toString
-    val (entries, stats) =
+    val (entries, stats, rowCounts) =
       if (!deep) {
         val es = m.files.map(abs)
-        (es, m.fileStats.map { case (k, cols) => abs(k) -> cols })
+        (es, m.fileStats.map { case (k, cols) => abs(k) -> cols },
+          m.fileRows.map { case (k, n) => abs(k) -> n })
       } else {
         val srcFs = fsFor(spark, source)
         val dstFs = fsFor(spark, target)
@@ -1062,11 +1097,12 @@ object TxLog {
           f -> rel
         }.toMap
         (m.files.map(copied),
-          m.fileStats.flatMap { case (k, cols) => copied.get(k).map(_ -> cols) })
+          m.fileStats.flatMap { case (k, cols) => copied.get(k).map(_ -> cols) },
+          m.fileRows.flatMap { case (k, n) => copied.get(k).map(_ -> n) })
       }
     writeManifest(spark, target, Manifest(1L, m.partitionCol, m.schemaDdl,
       entries, sourceBatchId = None, statsCols = m.statsCols,
-      fileStats = stats))
+      fileStats = stats, fileRows = rowCounts))
     1L
   }
 

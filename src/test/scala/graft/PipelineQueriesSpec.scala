@@ -593,6 +593,41 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(c2.keySet == (0L to 4L).toSet && c2.values.forall(_ == 2), s"$c2")
   }
 
+  test("jaccardJoin: equals the brute-force token join; hand fixture; nothing below threshold") {
+    import spark.implicits._
+    // hand fixture: A∩B = {a,b,c,d}, |A∪B| = 6 → 0.666667 ≥ 0.6;
+    // A∩C = {a} of 9 → below; B∩C likewise
+    val fx = Seq(
+      ("A", "a b c d e"), ("B", "a b c d f"), ("C", "a x y z w"))
+      .toDF("doc_id", "text")
+    val out = Dedup.jaccardJoin(fx, threshold = 0.6).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("A", "B", 0.666667)), out.mkString(","))
+    // brute-force equality on a messier corpus: 40 docs over a tiny
+    // vocab so near-identical sets abound
+    val docs = (0 until 40).map { i =>
+      val words = (0 until 6).map(j => s"w${(i * 7 + j * 3) % 9}").mkString(" ")
+      (s"d$i", words)
+    }.toDF("doc_id", "text")
+    val t = 0.7
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+    val ours = Dedup.jaccardJoin(docs, t).collect().map(key).toSet
+    // brute force: unfiltered token join (no prefix), same verify
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok")).distinct()
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val brute = toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .filter(col("i").cast("double") / (col("sa") + col("sb") - col("i")) >= t)
+      .select("doc_a", "doc_b").collect().map(key).toSet
+    assert(ours == brute,
+      s"missing ${brute.diff(ours).take(3)}, extra ${ours.diff(brute).take(3)}")
+  }
+
   test("featureHash: counts conserve tokens, buckets stay in range, same token same bucket") {
     import spark.implicits._
     val docs = Seq((1L, "a b a c"), (2L, "a d")).toDF("doc_id", "text")

@@ -500,6 +500,36 @@ class TxLogSpec extends SparkSpec {
     assert(a3 >= 1 && r3 >= 1, s"merge row should add AND drop: ${h(3L)}")
   }
 
+  test("fastCount: metadata-only COUNT tracks create/append/merge/delete, zero jobs") {
+    val path = freshPath("fastcount")
+    TxLog.create(fixture, path, Some("part"))
+    assert(TxLog.fastCount(spark, path).contains(6L))
+    TxLog.append(Seq((7L, "p1", 70.0)).toDF("k", "part", "v"), path)
+    assert(TxLog.fastCount(spark, path).contains(7L))
+    TxLog.mergeInto(path,
+      Seq((2L, "p1", 99.0), (8L, "p2", 80.0)).toDF("k", "part", "v"), Seq("k"))
+    assert(TxLog.fastCount(spark, path).contains(8L))
+    TxLog.deleteWhere(spark, path, col("k") === 1L)
+    assert(TxLog.fastCount(spark, path).contains(7L))
+    // version-pinned counts reach back through history
+    assert(TxLog.fastCount(spark, path, Some(1L)).contains(6L))
+    // metadata-only: no Spark job may run for the count
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = TxLog.fastCount(spark, path)
+      Thread.sleep(500) // let any (unexpected) job-start events drain
+      assert(n.contains(7L) && jobs == 0, s"fastCount ran $jobs jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the sum must equal the real count
+    assert(TxLog.read(spark, path).count() == 7L)
+  }
+
   test("shallow clone: zero-copy read, writes diverge, source untouched, merges drop carried refs") {
     val src = freshPath("clonesrc")
     TxLog.create(fixture, src, Some("part"))
