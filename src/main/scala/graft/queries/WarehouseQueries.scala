@@ -146,6 +146,65 @@ object WarehouseQueries {
       .orderBy("user_id", "sess")
   }
 
+  /** Top navigation paths: the 20 most common session-opening
+    * event-type sequences (first 5 steps per session) — the product-
+    * analytics "how do users actually move" query. Reuses the
+    * q_sessionize construction; the path assembles per session from a
+    * sorted struct collect (session-bounded arrays, never corpus
+    * state) and the final top-k is a TakeOrderedAndProject over the
+    * path counts. */
+  def topPaths(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapped = events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn(
+        "new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1)
+          .otherwise(0))
+      .withColumn("sess", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wSess = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    gapped
+      .withColumn("_pos", row_number().over(wSess))
+      .filter(col("_pos") <= 5)
+      .groupBy("user_id", "sess")
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("_pos"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+      .limit(20)
+  }
+
+  /** Funnel latency: view → purchase conversion time distribution
+    * (median / p90 in integer microseconds) over users whose first
+    * purchase follows their first view. Two user-sized aggregates +
+    * one group-sized percentile histogram — integer µs latencies make
+    * the interpolation arithmetic identical cross-engine. */
+  def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("vus"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"))
+      .join(firstView, "user_id")
+      .filter(col("pus") >= col("vus"))
+      .groupBy("user_id")
+      .agg((min(col("pus")) - min(col("vus"))).as("lat_us"))
+    graft.operators.Percentiles.exact(
+      lat.withColumn("_g", lit(1)), "_g", "lat_us",
+      Seq(("p50_us", 0.5), ("p90_us", 0.9)))
+      .crossJoin(broadcast(lat.agg(count(lit(1)).as("n_converted"))))
+      .select(col("n_converted"),
+        // round to ONE decimal µs: interpolated doubles at 1e11
+        // magnitude carry ~1e-4 ulp — 6-decimal rounding can't absorb
+        // engine evaluation-order differences there, 1-decimal does
+        round(col("p50_us"), 1).as("p50_us"),
+        round(col("p90_us"), 1).as("p90_us"))
+  }
+
   /** Multi-touch attribution: every purchase credits the FIRST and the
     * LAST non-purchase event the same user emitted before it (the
     * first-touch / last-touch marketing models). One window pass over
@@ -1075,6 +1134,8 @@ object WarehouseQueries {
     "q_rollup" -> rollupAgg _,
     "q_time_window" -> timeWindow _,
     "q_sessionize" -> sessionize _,
+    "q_top_paths" -> topPaths _,
+    "q_funnel_latency" -> funnelLatency _,
     "q_attribution" -> attribution _,
     "q_debounce" -> debounce _,
     "q_transitions" -> transitions _,
@@ -1713,6 +1774,42 @@ object WarehouseQueries {
         |  CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
         |  CAST(floor(epoch(max(ts))) AS BIGINT) AS sess_end
         |FROM numbered GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "q_top_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM flagged),
+        |stepped AS (
+        |  SELECT user_id, sess, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sess
+        |      ORDER BY ts, event_id) AS pos
+        |  FROM numbered),
+        |paths AS (
+        |  SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY pos) AS path
+        |  FROM stepped WHERE pos <= 5 GROUP BY user_id, sess)
+        |SELECT path, COUNT(*) AS n FROM paths
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH fv AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS vus
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |lat AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) - MIN(fv.vus) AS lat_us
+        |  FROM events e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.vus
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM lat) AS n_converted,
+        |  round(quantile_cont(lat_us, 0.5), 1) AS p50_us,
+        |  round(quantile_cont(lat_us, 0.9), 1) AS p90_us
+        |FROM lat""".stripMargin,
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id,
         |  CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,

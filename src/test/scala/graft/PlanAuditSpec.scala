@@ -199,4 +199,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(scaleEvals == 1,
       s"expected exactly 1 array_max(transform( scale evaluation, got $scaleEvals:\n$opt")
   }
+
+  test("jaccardJoin: no cartesian product, no vocabulary-wide single-reducer window") {
+    import spark.implicits._
+    val docs = Seq(("A", "a b c"), ("B", "a b d")).toDF("doc_id", "text")
+    val p = plan(graft.operators.Dedup.jaccardJoin(docs, 0.5))
+    assert(!p.contains("CartesianProduct"), s"cartesian in jaccardJoin:\n$p")
+    // the rare-first order is a compound SORT KEY, never a global
+    // row_number over the vocabulary — only doc-partitioned windows
+    assert(!p.contains("SinglePartition"), s"single-reducer stage:\n$p")
+  }
+
+  test("q_skyline: the quadratic step runs only on pruned candidates (broadcast), corpus stays linear") {
+    val p = plan(WarehouseQueries.skylineQuery(spark, sf))
+    // exactly one nested-loop is expected — the survivor²-sized exact
+    // verify — and it must be the BROADCAST form (survivors are tiny),
+    // never a shuffle-based cartesian over the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), s"verify stage missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus-sized cartesian:\n$p")
+  }
+
+  test("q_assoc_rules: pair join is an equi-join on the basket key, totals broadcast") {
+    val p = plan(WarehouseQueries.assocRules(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      // the only nested-loop admissible is the broadcast 1-row basket
+      // total; a non-broadcast one would be a corpus cross product
+      !p.contains("ShuffledNestedLoop"), s"bad join shape:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 should avoid a global sort:\n$p")
+  }
+
+  test("dedup_lines: election shuffles hashes, reassembly joins on doc_id") {
+    val df = PipelineQueries.entries("dedup_lines")(spark, sf)
+    val p = plan(df)
+    // no single-reducer stage: the first-occurrence window partitions
+    // by the line hash, never globally
+    assert(!p.contains("SinglePartition"), s"single-reducer stage:\n$p")
+  }
 }

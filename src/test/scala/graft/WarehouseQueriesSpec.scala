@@ -884,6 +884,31 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(out(("b", "y")) == ((50L, 36.0, 5.444444)))
   }
 
+  test("q_top_paths: paths cap at 5 steps, counts descend, step labels are event types") {
+    val out = WarehouseQueries.topPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.nonEmpty && out.length <= 20)
+    val types = Tables.events(spark, sf).select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    out.foreach { case (path, _) =>
+      val steps = path.split(">")
+      assert(steps.length <= 5, s"path too long: $path")
+      assert(steps.forall(types), s"unknown step in: $path")
+    }
+    assert(out.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      "counts must be non-increasing")
+  }
+
+  test("q_funnel_latency: percentiles ordered, converters bounded by purchase users") {
+    val r = WarehouseQueries.funnelLatency(spark, sf).collect()(0)
+    val n = r.getLong(0); val p50 = r.getDouble(1); val p90 = r.getDouble(2)
+    val purchasers = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(n > 0 && n <= purchasers)
+    assert(p50 >= 0.0 && p90 >= p50, s"p50 $p50 p90 $p90")
+  }
+
   test("q_debounce output is a subset and keeps one row per (user,type)") {
     val ev = Tables.events(spark, sf)
     val out = WarehouseQueries.debounce(spark, sf)
