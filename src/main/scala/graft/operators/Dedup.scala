@@ -530,6 +530,27 @@ object Dedup {
       .select(col(idCol), col("component"), col("split"))
   }
 
+  /** Survivor ELECTION by quality — the "keep best, not keep first"
+    * form of dedup cluster resolution: [[sweep]] keeps the min-id doc
+    * per near-dup cluster (deterministic but arbitrary); pipelines
+    * curating for quality keep the LONGEST / highest-scored instead.
+    * Given near-dup `pairs` and a per-doc `quality` frame, each
+    * connected component elects its max-quality member (ties to the
+    * smaller id — still a total order, still deterministic).
+    *
+    * One components() run (pointer jumping, O(log d) rounds) + a
+    * component-partitioned window over cluster-sized groups. */
+  def electBest(pairs: DataFrame, quality: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("component")
+      .orderBy(desc("quality"), col("doc_id"))
+    components(pairs)
+      .join(quality, "doc_id")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("component"), col("doc_id").as("survivor"), col("quality"))
+  }
+
   /** EXACT all-pairs token-set Jaccard join above a threshold, by
     * PREFIX FILTERING (the PPJoin family) — the deterministic
     * complement of MinHash: no probabilistic recall, every qualifying

@@ -158,12 +158,25 @@ object Stats {
     * many rows sit beyond `k` MADs. The group-sized medians join back
     * onto the rows (AQE broadcasts them); every comparison is the
     * same IEEE arithmetic on both engines. */
+  /** `exact = false` swaps both median passes for
+    * `approx_percentile` sketches (constant memory per group — the
+    * 100 TB default): on a mostly-unique column like money amounts the
+    * exact histogram's distinct-value set grows with the corpus (the
+    * documented Percentiles regime), while the sketch stays flat at a
+    * bounded relative rank error. The outlier COUNT against the
+    * approximate median/MAD is itself exact arithmetic — only the two
+    * center statistics carry sketch error. */
   def madOutliers(df: DataFrame, groupCol: String, xCol: String,
-                  k: Double = 3.0): DataFrame = {
-    val med = Percentiles.exact(df, groupCol, xCol, Seq(("_med", 0.5)))
+                  k: Double = 3.0, exact: Boolean = true): DataFrame = {
+    def median(in: DataFrame, c: String, out: String): DataFrame =
+      if (exact) Percentiles.exact(in, groupCol, c, Seq((out, 0.5)))
+      else in.groupBy(groupCol)
+        .agg(expr(s"approx_percentile($c, 0.5, 10000)")
+          .cast("double").as(out))
+    val med = median(df, xCol, "_med")
     val withDev = df.join(med, Seq(groupCol))
       .withColumn("_absdev", abs(col(xCol) - col("_med")))
-    val mad = Percentiles.exact(withDev, groupCol, "_absdev", Seq(("_mad", 0.5)))
+    val mad = median(withDev, "_absdev", "_mad")
     withDev.join(mad, Seq(groupCol))
       .groupBy(groupCol)
       .agg(

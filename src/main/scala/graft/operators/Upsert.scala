@@ -199,4 +199,26 @@ object Upsert {
     history.unionByName(closed).unionByName(unchanged)
       .unionByName(newVersions).unionByName(brandNew)
   }
+
+  /** AS-OF lookup against an SCD Type 2 dimension — the read side of
+    * [[scdType2]]: for each fact row, the dimension VERSION that was
+    * valid at the fact's `asOfCol` instant (valid_from ≤ asOf <
+    * valid_to, open-ended current rows matching everything after their
+    * valid_from). Facts with no valid version at their instant keep
+    * NULL attributes (left semantics — the fact is never dropped).
+    *
+    * Scale shape: an EQUI-join on the dimension keys with the validity
+    * window as a residual predicate — hash/sort-merge join territory,
+    * never a nested loop; the history side is |keys| × versions, the
+    * usual broadcast candidate. ISO-date strings compare correctly
+    * lexicographically (the scdType2 storage contract). */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+                 asOfCol: String, validFrom: String = "valid_from",
+                 validTo: String = "valid_to"): DataFrame = {
+    val window = col(asOfCol) >= col(validFrom) &&
+      (col(validTo).isNull || col(asOfCol) < col(validTo))
+    val joined = facts.join(dim,
+      keys.map(k => facts(k) === dim(k)).reduce(_ && _) && window, "left")
+    keys.foldLeft(joined)((df, k) => df.drop(dim(k)))
+  }
 }

@@ -462,6 +462,20 @@ object PipelineQueries {
     // worst case (max diameter), cliques its best — while the oracle
     // states the closed form, making the distributed loop hash-exact
     // checkable in DuckDB without recursion.
+    // survivor election by QUALITY over the planted chain graph:
+    // clusters are the closed-form components, quality is the
+    // engine-portable (id·37) mod 101, so the whole keep-best rule —
+    // including the real distributed components run — is oracle-exact
+    "dedup_keep_best" -> ((s, d) => {
+      import org.apache.spark.sql.functions.pmod
+      val chain = 50L
+      val pairs = s.range(999)
+        .filter(pmod(col("id"), lit(chain)) =!= lit(chain - 1))
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val quality = s.range(1000)
+        .select(col("id").as("doc_id"), ((col("id") * 37) % 101).as("quality"))
+      Dedup.electBest(pairs, quality).orderBy("component")
+    }),
     "dedup_components" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, lit, pmod}
       val chain = 50L
@@ -893,6 +907,19 @@ object PipelineQueries {
     "dedup_components" ->
       """SELECT range AS doc_id, range - (range % 50) AS component
         |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,
+    // closed-form clusters + portable quality ⇒ the argmax is stated
+    // analytically; ties (quality repeats mod 101 within a 50-chain
+    // only if aligned — the id tiebreak settles them) break low-id
+    "dedup_keep_best" ->
+      """WITH m AS (
+        |  SELECT range AS id, range - (range % 50) AS comp,
+        |         (range * 37) % 101 AS q
+        |  FROM range(0, 1000)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY comp
+        |    ORDER BY q DESC, id) AS rn FROM m)
+        |SELECT comp AS component, id AS survivor, q AS quality
+        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
     "text_common_spans" ->
       """WITH pos AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

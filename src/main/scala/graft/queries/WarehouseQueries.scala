@@ -940,6 +940,36 @@ object WarehouseQueries {
       .orderBy("o_orderkey", "valid_from")
   }
 
+  /** AS-OF lookup against the q_scd2 history: each changed order
+    * probed at a pre-change and a post-change date must resolve to its
+    * original and repriced version respectively — the read side every
+    * SCD2 dimension exists for ("what did this order look like on
+    * date X"), planned as an equi-join with the validity window as a
+    * residual predicate. */
+  def scd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .withColumn("valid_from", lit("1992-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+    val changes = orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey"),
+        lit("R").as("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(BigDecimal("1.1")))
+          .cast("double").as("o_totalprice"))
+    val scd = graft.operators.Upsert.scdType2(
+      dim, changes, Seq("o_orderkey"),
+      Seq("o_orderstatus", "o_totalprice"), effectiveDate = "1995-06-01")
+    val probes = orders(s, d)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        explode(array(lit("1994-01-01"), lit("1996-01-01"))).as("as_of"))
+    graft.operators.Upsert.scd2Lookup(probes, scd, Seq("o_orderkey"), "as_of")
+      .select("o_orderkey", "as_of", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey", "as_of")
+  }
+
   /** Transactional-table lifecycle (graft.storage.TxLog — the
     * manifest-commit layer): create the orders dim as v1 partitioned
     * by priority, MERGE the repriced change feed (q_upsert's set) as
@@ -1087,6 +1117,7 @@ object WarehouseQueries {
     "q_txlog_restore" -> txlogRestore _,
     "q_txlog_mv" -> txlogMv _,
     "q_scd2" -> scd2 _,
+    "q_scd2_lookup" -> scd2Lookup _,
     "q_range_join" -> rangeJoinQuery _,
     "q_upsert" -> upsert _,
     "q_pk_audit" -> pkAudit _,
@@ -1232,6 +1263,46 @@ object WarehouseQueries {
         |FROM ch c
         |WHERE EXISTS (SELECT 1 FROM changed x WHERE x.o_orderkey = c.o_orderkey)
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+    // the scd CTE replays q_scd2's construction; every probe must land
+    // in exactly one validity window
+    "q_scd2_lookup" ->
+      """WITH dim AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         '1992-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+        |  FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey, 'R' AS o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |changed AS (
+        |  SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice, d.valid_from
+        |  FROM dim d JOIN ch c USING (o_orderkey)
+        |  WHERE d.o_orderstatus IS DISTINCT FROM c.o_orderstatus
+        |     OR d.o_totalprice IS DISTINCT FROM c.o_totalprice),
+        |scd AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from,
+        |         '1995-06-01' AS valid_to
+        |  FROM changed
+        |  UNION ALL
+        |  SELECT d.o_orderkey, d.o_orderstatus, d.o_totalprice, d.valid_from, d.valid_to
+        |  FROM dim d
+        |  WHERE NOT EXISTS (SELECT 1 FROM changed x WHERE x.o_orderkey = d.o_orderkey)
+        |  UNION ALL
+        |  SELECT c.o_orderkey, c.o_orderstatus, c.o_totalprice,
+        |         '1995-06-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+        |  FROM ch c
+        |  WHERE EXISTS (SELECT 1 FROM changed x WHERE x.o_orderkey = c.o_orderkey)),
+        |probes AS (
+        |  SELECT o_orderkey, u.d AS as_of
+        |  FROM orders, UNNEST(['1994-01-01', '1996-01-01']) AS u(d)
+        |  WHERE o_orderkey % 10 = 0)
+        |SELECT p.o_orderkey, p.as_of, s.o_orderstatus, s.o_totalprice
+        |FROM probes p
+        |LEFT JOIN scd s ON p.o_orderkey = s.o_orderkey
+        |  AND p.as_of >= s.valid_from
+        |  AND (s.valid_to IS NULL OR p.as_of < s.valid_to)
+        |ORDER BY p.o_orderkey, p.as_of""".stripMargin,
     "q_range_join" ->
       """WITH pts AS (
         |  SELECT l_orderkey, l_partkey AS pos FROM lineitem WHERE l_linenumber = 1),

@@ -593,6 +593,18 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(c2.keySet == (0L to 4L).toSet && c2.values.forall(_ == 2), s"$c2")
   }
 
+  test("electBest: max-quality survivor per cluster, id tiebreak, singleton-free pairs input") {
+    import spark.implicits._
+    // two clusters: {1,2,3} quality (5, 9, 9) -> survivor 2 (tie 9 at
+    // ids 2,3 breaks LOW); {10,11} quality (1, 7) -> survivor 11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 1L), (11L, 7L))
+      .toDF("doc_id", "quality")
+    val out = Dedup.electBest(pairs, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((2L, 9L)), 10L -> ((11L, 7L))), out.toString)
+  }
+
   test("jaccardJoin: equals the brute-force token join; hand fixture; nothing below threshold") {
     import spark.implicits._
     // hand fixture: A∩B = {a,b,c,d}, |A∪B| = 6 → 0.666667 ≥ 0.6;

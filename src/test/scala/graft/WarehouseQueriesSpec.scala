@@ -863,6 +863,51 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-5, s"shares sum to $total")
   }
 
+  test("madOutliers approx mode tracks exact within sketch tolerance, different plan") {
+    val exact = graft.operators.Stats.madOutliers(
+      Tables.lineitem(spark, sf), "l_returnflag", "l_extendedprice")
+    val approx = graft.operators.Stats.madOutliers(
+      Tables.lineitem(spark, sf), "l_returnflag", "l_extendedprice",
+      exact = false)
+    val e = exact.collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val a = approx.collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(e.keySet == a.keySet)
+    for ((k, (em, emad)) <- e) {
+      val (am, amad) = a(k)
+      assert(math.abs(am - em) <= 0.01 * em, s"$k median: $am vs $em")
+      assert(math.abs(amad - emad) <= 0.05 * emad, s"$k mad: $amad vs $emad")
+    }
+    // the scale path must actually be the sketch, not the histogram
+    val ap = approx.queryExecution.executedPlan.toString
+    assert(ap.contains("approx_percentile"), s"approx mode lost the sketch:\n$ap")
+    val ep = exact.queryExecution.executedPlan.toString
+    assert(!ep.contains("approx_percentile"))
+  }
+
+  test("scd2Lookup resolves each probe to exactly one validity window") {
+    val out = WarehouseQueries.scd2Lookup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getString(2), r.getDouble(3))))
+    // two probes per changed key, each matched exactly once (no dup
+    // rows from overlapping windows, no dropped probes)
+    val keys = out.map(_._1)
+    assert(keys.distinct.length == keys.length, "a probe matched 2+ versions")
+    val byKey = out.toMap
+    val changed = keys.map(_._1).distinct
+    assert(changed.nonEmpty)
+    changed.foreach { k =>
+      val (preS, _) = byKey((k, "1994-01-01"))
+      val (postS, _) = byKey((k, "1996-01-01"))
+      assert(postS == "R", s"$k post-change status $postS")
+      // pre-change rows keep the ORIGINAL status (may legitimately be
+      // R already for some orders; the price check is the sharp one)
+      val (_, prePrice) = byKey((k, "1994-01-01"))
+      val (_, postPrice) = byKey((k, "1996-01-01"))
+      assert(math.abs(postPrice - prePrice * 1.1) < 0.02 ||
+        postPrice == prePrice, s"$k: $prePrice -> $postPrice")
+      assert(preS != null)
+    }
+  }
+
   test("chiSquare on a hand-computed 2x2 fixture") {
     import spark.implicits._
     // 2x2: (a,x)=30 (a,y)=10 (b,x)=10 (b,y)=50; N=100
