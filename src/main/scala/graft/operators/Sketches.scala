@@ -35,4 +35,38 @@ object Sketches {
   def hllCombine(slices: DataFrame, groupCols: Seq[String]): DataFrame =
     slices.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("hll"))).as("approx_distinct"))
+
+  /** Approximate audience OVERLAP between two cohorts by
+    * inclusion–exclusion over HLL sketches: |A∩B| ≈ |A| + |B| − |A∪B|,
+    * where all three cardinalities come from the SAME two sketches
+    * (the union is a sketch merge, not a data pass). This is the
+    * segment-overlap / cross-campaign-reach estimator: exact distinct
+    * intersection needs both cohorts' full id sets on one shuffle;
+    * the sketch form ships KB per cohort and answers any pairwise
+    * overlap after the fact.
+    *
+    * One aggregate per cohort (map-side combinable), one driver-sized
+    * combine. Intersection error compounds: it is the DIFFERENCE of
+    * ~1.6% estimates, so small true overlaps disappear into noise —
+    * the spec pins behavior on planted 50% and 0% overlaps where the
+    * signal dominates. Returns one row: est_a, est_b, est_union,
+    * est_intersection (clamped at 0). */
+  def hllOverlap(a: DataFrame, b: DataFrame, valueCol: String,
+                 lgK: Int = 12): DataFrame = {
+    val sa = a.agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"))
+      .withColumn("_side", lit("a"))
+    val sb = b.agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"))
+      .withColumn("_side", lit("b"))
+    sa.unionByName(sb)
+      .agg(
+        max(when(col("_side") === "a",
+          hll_sketch_estimate(col("hll")))).as("est_a"),
+        max(when(col("_side") === "b",
+          hll_sketch_estimate(col("hll")))).as("est_b"),
+        hll_sketch_estimate(hll_union_agg(col("hll"))).as("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0L),
+          col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersection"))
+  }
 }

@@ -205,6 +205,52 @@ object WarehouseQueries {
         round(col("p90_us"), 1).as("p90_us"))
   }
 
+  /** Audience overlap between the viewer and purchaser cohorts by HLL
+    * inclusion–exclusion — KB-sized sketches instead of shuffling both
+    * cohorts' id sets (rows-only: sketch estimates; the ≤5%-of-exact
+    * and planted-overlap invariants are spec'd). */
+  def hllOverlapQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    graft.operators.Sketches.hllOverlap(
+      ev.filter(col("event_type") === "view").select("user_id"),
+      ev.filter(col("event_type") === "purchase").select("user_id"),
+      "user_id")
+  }
+
+  /** Seasonal-naive forecast backtest: predict the LAST day's hourly
+    * event counts per type from the prior days' same-hour totals
+    * (count/D — zeros included via the dense 24-hour spine) and score
+    * the mean absolute error. The simplest honest baseline every
+    * forecasting pipeline starts from; all arithmetic is ratios and
+    * differences of exact integer counts with per-term decimal
+    * rounding. The train/test day split rides a one-scalar driver
+    * anchor (bounded, like every other anchor here). */
+  def forecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
+    val dMax = ev.agg(max("day")).head().getLong(0)
+    val counts = ev.groupBy("event_type", "day", "hod")
+      .agg(count(lit(1)).as("c"))
+    val prior = counts.filter(col("day") < dMax)
+      .groupBy("event_type", "hod").agg(sum("c").as("c_prior"))
+    val actual = counts.filter(col("day") === dMax)
+      .select(col("event_type"), col("hod"), col("c").as("c_actual"))
+    val spine = ev.select("event_type").distinct()
+      .select(col("event_type"), explode(sequence(lit(0L), lit(23L))).as("hod"))
+    val scored = spine
+      .join(prior, Seq("event_type", "hod"), "left")
+      .join(actual, Seq("event_type", "hod"), "left")
+      .select(col("event_type"),
+        abs(coalesce(col("c_actual"), lit(0L)).cast("double") -
+          coalesce(col("c_prior"), lit(0L)).cast("double") / lit(dMax.toDouble))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("ae"))
+    scored.groupBy("event_type")
+      .agg(round(sum(col("ae")).cast("double") / lit(24.0), 6).as("mae"))
+      .orderBy("event_type")
+  }
+
   /** Multi-touch attribution: every purchase credits the FIRST and the
     * LAST non-purchase event the same user emitted before it (the
     * first-touch / last-touch marketing models). One window pass over
@@ -1167,6 +1213,8 @@ object WarehouseQueries {
     "q_sessionize" -> sessionize _,
     "q_top_paths" -> topPaths _,
     "q_funnel_latency" -> funnelLatency _,
+    "q_forecast" -> forecastBacktest _,
+    "q_hll_overlap" -> hllOverlapQuery _,
     "q_attribution" -> attribution _,
     "q_debounce" -> debounce _,
     "q_transitions" -> transitions _,
@@ -1868,6 +1916,36 @@ object WarehouseQueries {
         |  FROM stepped WHERE pos <= 5 GROUP BY user_id, sess)
         |SELECT path, COUNT(*) AS n FROM paths
         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_forecast" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod
+        |  FROM events),
+        |dmax AS (SELECT MAX(day) AS d FROM ev),
+        |counts AS (
+        |  SELECT event_type, day, hod, COUNT(*) AS c
+        |  FROM ev GROUP BY 1, 2, 3),
+        |prior AS (
+        |  SELECT event_type, hod, SUM(c) AS c_prior
+        |  FROM counts, dmax WHERE day < d GROUP BY 1, 2),
+        |actual AS (
+        |  SELECT event_type, hod, c AS c_actual
+        |  FROM counts, dmax WHERE day = d),
+        |spine AS (
+        |  SELECT event_type, CAST(u.h AS BIGINT) AS hod
+        |  FROM (SELECT DISTINCT event_type FROM ev), UNNEST(range(0, 24)) AS u(h)),
+        |scored AS (
+        |  SELECT s.event_type,
+        |    CAST(abs(CAST(COALESCE(a.c_actual, 0) AS DOUBLE)
+        |             - CAST(COALESCE(p.c_prior, 0) AS DOUBLE)
+        |               / CAST((SELECT d FROM dmax) AS DOUBLE))
+        |      AS DECIMAL(18,6)) AS ae
+        |  FROM spine s
+        |  LEFT JOIN prior p USING (event_type, hod)
+        |  LEFT JOIN actual a USING (event_type, hod))
+        |SELECT event_type, round(CAST(SUM(ae) AS DOUBLE) / 24.0, 6) AS mae
+        |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_funnel_latency" ->
       """WITH fv AS (
         |  SELECT user_id, MIN(epoch_us(ts)) AS vus

@@ -385,6 +385,27 @@ object StreamJobs {
     checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
   }
 
+  /** Streaming ANN index ingest — the vector-side of the incremental
+    * story: each arriving micro-batch of embeddings assigns to the
+    * EXISTING IVF centroids and appends to the cell partitions
+    * (Ivf.append — no refit, no corpus rescan, pre-existing files
+    * byte-identical), so the index follows the stream and a query
+    * issued between batches finds everything ingested so far. Pair
+    * with Ivf.remove for the erasure side; refitting centroids stays
+    * an offline decision as the distribution drifts. */
+  def annIngestStream(vectors: DataFrame,
+                      index: graft.operators.Ivf.IvfIndex,
+                      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Ivf.append(batch.sparkSession, index, batch)
+        ()
+      }
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: String = "complete"): StreamingQuery = {
     val q = df.writeStream
       .outputMode(mode)

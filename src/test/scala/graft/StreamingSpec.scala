@@ -245,6 +245,41 @@ class StreamingSpec extends SparkSpec {
     assert(TxLog.currentVersion(spark, tbl).exists(_ >= 3L))
   }
 
+  test("streaming ANN ingest: batches append to the existing index, planted twin found between batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Ivf, Similarity}
+    val root = java.nio.file.Files.createTempDirectory("graft_annstream").toString
+    val emb = graft.tables.Tables.embeddings(spark, sf)
+    val idxPath = s"$root/idx"
+    val idx = Ivf.fit(emb, idxPath, nlist = 8)
+    // stream source: two batches of NEW vectors — the second plants an
+    // exact twin of corpus vector 3 under a fresh id
+    val feedDir = s"$root/feed"
+    val twin = emb.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val batch1 = emb.filter(col("vec_id") < 5L)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+    batch1.write.parquet(feedDir)
+    val stream = spark.readStream.schema(batch1.schema).parquet(feedDir)
+    val q = StreamJobs.annIngestStream(stream, idx)
+    try {
+      q.processAllAvailable()
+      twin.write.mode("append").parquet(feedDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // exhaustive probe (nprobe = nlist) is exact brute force over the
+    // ingested index: the planted twin must rank at the top for its
+    // original's query vector (cosine 1.0 up to float noise)
+    val qv = emb.filter(col("vec_id") === 3L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val hits = Ivf.query(spark, idx, qv, k = 3, nprobe = 8,
+      excludeId = Some(3L)).collect().map(_.getLong(0))
+    assert(hits.contains(900003L),
+      s"planted twin missing from post-stream index: ${hits.mkString(",")}")
+  }
+
   test("streaming CDC relay: a replica follows the primary's change feed batch by batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -863,6 +863,38 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-5, s"shares sum to $total")
   }
 
+  test("hllOverlap: planted 50% and 0% overlaps resolve, estimates within 5% of exact") {
+    import spark.implicits._
+    // A = 0..9999, B = 5000..14999: |A∩B| = 5000 exactly
+    val a = (0L until 10000L).toDF("id")
+    val b = (5000L until 15000L).toDF("id")
+    val r = graft.operators.Sketches.hllOverlap(a, b, "id").collect()(0)
+    val (ea, eb, eu, ei) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(math.abs(ea - 10000) <= 500 && math.abs(eb - 10000) <= 500)
+    assert(math.abs(eu - 15000) <= 750, s"union $eu")
+    // intersection error compounds (difference of estimates): 15%
+    assert(math.abs(ei - 5000) <= 750, s"intersection $ei")
+    // disjoint cohorts: intersection estimate collapses toward 0
+    val c = (100000L until 110000L).toDF("id")
+    val r0 = graft.operators.Sketches.hllOverlap(a, c, "id").collect()(0)
+    assert(r0.getLong(3) <= 1000, s"disjoint overlap ${r0.getLong(3)}")
+  }
+
+  test("q_forecast: per-type MAE present, bounded by the day's peak hourly count") {
+    val out = WarehouseQueries.forecastBacktest(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(out.size == types)
+    out.values.foreach(m => assert(m >= 0.0))
+    // the seasonal-naive baseline cannot be worse than predicting the
+    // whole day's events into one hour
+    val maxHourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      .count().agg(max("count")).head().getLong(0)
+    out.values.foreach(m => assert(m <= maxHourly.toDouble))
+  }
+
   test("madOutliers approx mode tracks exact within sketch tolerance, different plan") {
     val exact = graft.operators.Stats.madOutliers(
       Tables.lineitem(spark, sf), "l_returnflag", "l_extendedprice")
