@@ -298,6 +298,36 @@ object PipelineQueries {
           "\n").as("text"))
       Dedup.dedupLines(lined).orderBy("doc_id")
     }),
+    // END-TO-END curation funnel: quality gate → exact dedup → pack,
+    // reported as a per-stage (docs, tokens) funnel — the composition
+    // query that shows the operators chaining into a real pipeline,
+    // with every stage's counts independently SQL-derivable
+    "curation_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, countDistinct, sum}
+      val docs = documents(s, d)
+      val toks = size(split(col("text"), " "))
+      val withTok = docs.select(col("doc_id"), col("text"), toks.as("n_tokens"))
+      val gated = withTok
+        .join(TextOps.quality(docs).select("doc_id", "n_words"), "doc_id")
+        .filter(col("n_words") >= 56)
+        .select("doc_id", "text", "n_tokens")
+      val survivors = Dedup.exact(gated)
+        .select(col("keep_id").as("doc_id"))
+      val deduped = gated.join(survivors, "doc_id")
+      val packed = graft.operators.Packing.packSequences(
+        deduped, col("n_tokens"), budget = 256)
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage("1_raw", withTok)
+        .unionAll(stage("2_quality", gated))
+        .unionAll(stage("3_dedup", deduped))
+        .unionAll(packed.agg(
+          countDistinct(col("seq_id")).as("n_docs"),
+          sum("n_tokens").as("n_tokens"))
+          .select(lit("4_packed").as("stage"), col("n_docs"), col("n_tokens")))
+        .orderBy("stage")
+    }),
     // EXACT Jaccard similarity join via prefix filtering (PPJoin-lite)
     // over the DISTINCT part-name token sets (the dedup_edit blocking
     // rationale: the name domain is vocab-bounded while id-level pairs
@@ -1069,6 +1099,31 @@ object PipelineQueries {
     // the cycle is 1-regular: uniform 1/N is the exact fixed point
     "graph_pagerank" ->
       """SELECT range AS node, 0.01 AS pr FROM range(100) ORDER BY node""".stripMargin,
+    // each stage recomputed analytically; packing's seq count is the
+    // distinct floor(offset/budget) over the doc_id-ordered prefix sum
+    "curation_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT * FROM t WHERE n_tokens >= 56),
+        |surv AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+        |dedup AS (SELECT q.* FROM q JOIN surv USING (doc_id)),
+        |ord AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tokens AS off
+        |  FROM dedup),
+        |packed AS (
+        |  SELECT COUNT(DISTINCT off // 256) AS n,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS tok
+        |  FROM ord)
+        |SELECT '1_raw' AS stage, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM t
+        |UNION ALL SELECT '2_quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM q
+        |UNION ALL SELECT '3_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM dedup
+        |UNION ALL SELECT '4_packed', n, tok FROM packed
+        |ORDER BY stage""".stripMargin,
     // ground truth = the unfiltered token equi-join: intersection
     // counts per name pair, jaccard from set sizes — the prefix filter
     // must lose nothing above the threshold and admit nothing below
