@@ -41,10 +41,21 @@ object Percentiles {
     * rows ride through the histogram with zero weight instead of being
     * filtered out, which would silently drop the group). */
   def exact(df: DataFrame, groupCol: String, valueCol: String,
-            ps: Seq[(String, Double)]): DataFrame = {
-    val hist = df
-      .groupBy(col(groupCol), col(valueCol).cast("double").as("v"))
-      .agg(count(lit(1)).as("cnt"))
+            ps: Seq[(String, Double)]): DataFrame =
+    exactFromHistogram(
+      df.groupBy(col(groupCol), col(valueCol).cast("double").as("v"))
+        .agg(count(lit(1)).as("cnt")),
+      groupCol, ps)
+
+  /** The rank-selection core over an ALREADY-BUILT value histogram —
+    * (group, v, cnt) rows, `v` nullable. Exposed so derived statistics
+    * (e.g. [[Stats.madOutliers]]'s absolute-deviation median) can
+    * re-aggregate one corpus histogram instead of paying a second
+    * corpus scan: a |v − median| histogram is HISTOGRAM-sized work,
+    * the percentile machinery on top is identical. */
+  private[operators] def exactFromHistogram(hist0: DataFrame, groupCol: String,
+                                            ps: Seq[(String, Double)]): DataFrame = {
+    val hist = hist0
       .withColumn("w", when(col("v").isNotNull, col("cnt")).otherwise(lit(0L)))
     val byVal = Window.partitionBy(groupCol).orderBy(col("v").asc_nulls_first)
     val all = Window.partitionBy(groupCol)

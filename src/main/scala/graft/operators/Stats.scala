@@ -168,23 +168,50 @@ object Stats {
     * center statistics carry sketch error. */
   def madOutliers(df: DataFrame, groupCol: String, xCol: String,
                   k: Double = 3.0, exact: Boolean = true): DataFrame = {
-    def median(in: DataFrame, c: String, out: String): DataFrame =
-      if (exact) Percentiles.exact(in, groupCol, c, Seq((out, 0.5)))
-      else in.groupBy(groupCol)
-        .agg(expr(s"approx_percentile($c, 0.5, 10000)")
-          .cast("double").as(out))
-    val med = median(df, xCol, "_med")
-    val withDev = df.join(med, Seq(groupCol))
-      .withColumn("_absdev", abs(col(xCol) - col("_med")))
-    val mad = median(withDev, "_absdev", "_mad")
-    withDev.join(mad, Seq(groupCol))
-      .groupBy(groupCol)
-      .agg(
-        count(lit(1)).as("n"),
-        round(max(col("_med")), 6).as("median"),
-        round(max(col("_mad")), 6).as("mad"),
-        count(when(col("_absdev") > lit(k) * col("_mad"), lit(1)))
-          .as("n_outliers"))
+    if (exact) {
+      // ONE corpus shuffle total: the value histogram is materialized
+      // once (eager localCheckpoint — distinct-values-sized, the
+      // components precedent) and everything else is histogram-sized:
+      // the median reads it, the |v − med| histogram RE-AGGREGATES it
+      // (never a second corpus scan — the rewrite that halved this
+      // operator's bench cost), and the outlier tally sums its counts.
+      val hist = df
+        .groupBy(col(groupCol), col(xCol).cast("double").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val med = Percentiles.exactFromHistogram(hist, groupCol,
+        Seq(("_med", 0.5)))
+      val absHist = hist.join(med, Seq(groupCol))
+        .select(col(groupCol), abs(col("v") - col("_med")).as("v"), col("cnt"))
+        .groupBy(col(groupCol), col("v")).agg(sum("cnt").as("cnt"))
+      val mad = Percentiles.exactFromHistogram(absHist, groupCol,
+        Seq(("_mad", 0.5)))
+      hist.join(med, Seq(groupCol)).join(mad, Seq(groupCol))
+        .groupBy(groupCol)
+        .agg(
+          sum("cnt").as("n"),
+          round(max(col("_med")), 6).as("median"),
+          round(max(col("_mad")), 6).as("mad"),
+          coalesce(sum(when(abs(col("v") - col("_med")) > lit(k) * col("_mad"),
+            col("cnt"))), lit(0L)).as("n_outliers"))
+    } else {
+      def median(in: DataFrame, c: String, out: String): DataFrame =
+        in.groupBy(groupCol)
+          .agg(expr(s"approx_percentile($c, 0.5, 10000)")
+            .cast("double").as(out))
+      val med = median(df, xCol, "_med")
+      val withDev = df.join(med, Seq(groupCol))
+        .withColumn("_absdev", abs(col(xCol) - col("_med")))
+      val mad = median(withDev, "_absdev", "_mad")
+      withDev.join(mad, Seq(groupCol))
+        .groupBy(groupCol)
+        .agg(
+          count(lit(1)).as("n"),
+          round(max(col("_med")), 6).as("median"),
+          round(max(col("_mad")), 6).as("mad"),
+          count(when(col("_absdev") > lit(k) * col("_mad"), lit(1)))
+            .as("n_outliers"))
+    }
   }
 
   /** Chi-square contingency decomposition of two categorical columns —
