@@ -530,6 +530,26 @@ object Dedup {
       .select(col(idCol), col("component"), col("split"))
   }
 
+  /** Leakage-safe K-FOLD assignment — [[leakageSafeSplit]] generalized
+    * from one train/val cut to cross-validation: every doc gets a fold
+    * in [0, k) decided by its near-dup CLUSTER (md5 of the component
+    * id, first 8 hex chars parsed as an integer, mod k — the
+    * engine-portable hash the sampling family rides), so near-dups can
+    * never sit in different folds and leak across a CV boundary.
+    * Singletons (docs in no pair) are their own cluster. One
+    * components() run + a codegen'd fold projection. */
+  def kfoldSplit(docs: DataFrame, pairs: DataFrame, k: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    require(k >= 2, s"kfoldSplit: k must be >= 2, got $k")
+    docs.select(col(idCol))
+      .join(components(pairs).withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("fold",
+        pmod(conv(substring(md5(col("component").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(k.toLong)))
+      .select(col(idCol), col("component"), col("fold"))
+  }
+
   /** Survivor ELECTION by quality — the "keep best, not keep first"
     * form of dedup cluster resolution: [[sweep]] keeps the min-id doc
     * per near-dup cluster (deterministic but arbitrary); pipelines

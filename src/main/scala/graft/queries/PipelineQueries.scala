@@ -492,6 +492,18 @@ object PipelineQueries {
     // worst case (max diameter), cliques its best — while the oracle
     // states the closed form, making the distributed loop hash-exact
     // checkable in DuckDB without recursion.
+    // leakage-safe K-FOLD CV assignment over the planted chain graph:
+    // closed-form clusters + the portable md5-prefix fold hash make
+    // the whole rule — including the real components run — oracle-exact
+    "split_kfold" -> ((s, d) => {
+      import org.apache.spark.sql.functions.pmod
+      val chain = 50L
+      val pairs = s.range(999)
+        .filter(pmod(col("id"), lit(chain)) =!= lit(chain - 1))
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val docs = s.range(1000).select(col("id").as("doc_id"))
+      Dedup.kfoldSplit(docs, pairs, k = 5).orderBy("doc_id")
+    }),
     // survivor election by QUALITY over the planted chain graph:
     // clusters are the closed-form components, quality is the
     // engine-portable (id·37) mod 101, so the whole keep-best rule —
@@ -936,6 +948,12 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
     "dedup_components" ->
       """SELECT range AS doc_id, range - (range % 50) AS component
+        |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,
+    // component closed-form; fold = md5-prefix of the component mod 5
+    "split_kfold" ->
+      """SELECT range AS doc_id, range - (range % 50) AS component,
+        |  ('0x' || substr(md5(CAST(range - (range % 50) AS VARCHAR)), 1, 8))::BIGINT
+        |    % 5 AS fold
         |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,
     // closed-form clusters + portable quality ⇒ the argmax is stated
     // analytically; ties (quality repeats mod 101 within a 50-chain

@@ -593,6 +593,23 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(c2.keySet == (0L to 4L).toSet && c2.values.forall(_ == 2), s"$c2")
   }
 
+  test("kfoldSplit: clusters never straddle folds, all folds populated, singletons handled") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val docs = ((1L to 3L) ++ Seq(10L, 11L) ++ (100L to 140L)).toDF("doc_id")
+    val out = Dedup.kfoldSplit(docs, pairs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc assigned, folds in range
+    assert(out.length == docs.count())
+    assert(out.forall(r => r._3 >= 0 && r._3 < 3))
+    // one fold per component — near-dups can never cross a CV boundary
+    out.groupBy(_._2).foreach { case (comp, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"component $comp straddles folds")
+    }
+    // with 43 clusters (2 multi + 41 singletons), every fold gets members
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("electBest: max-quality survivor per cluster, id tiebreak, singleton-free pairs input") {
     import spark.implicits._
     // two clusters: {1,2,3} quality (5, 9, 9) -> survivor 2 (tie 9 at

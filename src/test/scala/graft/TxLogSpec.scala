@@ -530,6 +530,42 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, path).count() == 7L)
   }
 
+  test("bloom index survives OPTIMIZE: rebuild after compact restores pruning, vacuum GCs stale sidecars") {
+    val path = freshPath("bloomopt")
+    // many tiny files so compact has work; ids interleaved as in the
+    // bloom spec so only sidecars can prune a point lookup
+    val ids = (0L until 256L).map(i => java.lang.Long.reverse(i) >>> 56)
+    import spark.implicits._
+    val df = ids.zipWithIndex.map { case (id, i) => (id, i % 16) }
+      .toDF("id", "bucket").repartitionByRange(16, col("bucket")).drop("bucket")
+    TxLog.create(df, path, statsCols = Seq("id"))
+    assert(TxLog.buildBloomIndex(spark, path, "id") == 16)
+    val before = TxLog.prunedFilesByKey(spark, path, "id", 77L)
+    assert(before.size < 16)
+    // OPTIMIZE rewrites everything into fewer files: the NEW files
+    // have no sidecars yet, so pruning degrades to conservative-keep
+    // (correct, just unpruned) until the incremental rebuild runs
+    TxLog.compact(spark, path, targetBytesPerFile = 1L << 30)
+    val n2 = TxLog.manifest(spark, path,
+      TxLog.currentVersion(spark, path).get).files.size
+    assert(n2 < 16, s"compact should shrink the file count, got $n2")
+    val mid = TxLog.readByKey(spark, path, "id", 77L)
+      .select("id").as[Long].collect().toSeq
+    assert(mid == Seq(77L), "unindexed files must still answer correctly")
+    // incremental rebuild indexes exactly the compacted files; vacuum
+    // then drops the old files AND their now-dead sidecars
+    assert(TxLog.buildBloomIndex(spark, path, "id") == n2)
+    TxLog.vacuum(spark, path, keepVersions = 1)
+    val after = TxLog.prunedFilesByKey(spark, path, "id", 77L)
+    assert(after.size <= n2)
+    val got = TxLog.readByKey(spark, path, "id", 77L)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(77L))
+    val sidecars = new java.io.File(s"$path/_index/bloom/id")
+      .listFiles.count(_.getName.endsWith(".bloom"))
+    assert(sidecars == n2, s"vacuum left $sidecars sidecars for $n2 files")
+  }
+
   test("shallow clone: zero-copy read, writes diverge, source untouched, merges drop carried refs") {
     val src = freshPath("clonesrc")
     TxLog.create(fixture, src, Some("part"))
