@@ -189,6 +189,84 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: dedupLines is idempotent and only ever drops later occurrences") {
+    // a deduped corpus has globally-unique lines, so a second pass
+    // must keep EVERYTHING; and per doc the kept lines are an
+    // order-preserving subsequence of the originals
+    val docGen = Gen.listOfN(6,
+      Gen.listOfN(5, Gen.oneOf("alpha", "beta", "gamma", "delta", "x y z"))
+        .map(_.mkString("\n")))
+    forAll(docGen, n = 6) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = Dedup.dedupLines(docs).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // order-preserving subsequence check
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val orig = t.split("\n")
+        val kept = once(i.toLong).split("\n").filter(_.nonEmpty)
+        var j = 0
+        kept.foreach { line =>
+          j = orig.indexOf(line, j)
+          assert(j >= 0, s"doc $i: '$line' out of order or missing")
+          j += 1
+        }
+      }
+      // idempotence on the non-empty survivors
+      val survivors = once.toSeq.filter(_._2.nonEmpty)
+        .map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+      val twice = Dedup.dedupLines(survivors).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      survivors.collect().foreach { r =>
+        assert(twice(r.getLong(0)) == r.getString(1),
+          s"second pass changed doc ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("property: skyline equals brute force on random point sets") {
+    val ptsGen = Gen.listOfN(60, for {
+      x <- Gen.choose(0, 40); y <- Gen.choose(0, 40)
+    } yield (x.toDouble, y))
+    forAll(ptsGen, n = 6) { pts =>
+      import spark.implicits._
+      val df = pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "price", "size")
+      val ours = graft.operators.Skyline.skyline2(df, "price", "size", buckets = 8)
+        .select("id").as[Long].collect().toSet
+      val brute = pts.zipWithIndex.filterNot { case ((px, py), _) =>
+        pts.exists { case (qx, qy) =>
+          qx <= px && qy >= py && (qx < px || qy > py)
+        }
+      }.map(_._2.toLong).toSet
+      assert(ours == brute, s"ours ${ours.size} vs brute ${brute.size}")
+    }
+  }
+
+  test("property: jaccardJoin equals the unfiltered join on random corpora") {
+    val corpusGen = Gen.listOfN(20,
+      Gen.listOfN(6, Gen.choose(0, 8).map(i => s"w$i")).map(_.mkString(" ")))
+    forAll(corpusGen, n = 5) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (s"d$i", t) }
+        .toDF("doc_id", "text")
+      val t = 0.6
+      val ours = Dedup.jaccardJoin(docs, t).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      // brute force over distinct token sets
+      val sets = texts.zipWithIndex
+        .map { case (txt, i) => s"d$i" -> txt.split(" ").toSet }
+      val brute = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= t
+      } yield (a, b)).toSet
+      assert(ours == brute,
+        s"missing ${brute.diff(ours).take(3)}, extra ${ours.diff(brute).take(3)}")
+    }
+  }
+
   test("property: bloom semi filter NEVER drops a true match (zero false negatives)") {
     // the correctness contract bloomJoin rests on: whatever the keys,
     // every fact row whose key exists in dim survives the probe
