@@ -559,13 +559,17 @@ object Dedup {
     * smaller id — still a total order, still deterministic).
     *
     * One components() run (pointer jumping, O(log d) rounds) + a
-    * component-partitioned window over cluster-sized groups. */
+    * component-partitioned window over cluster-sized groups. Members
+    * MISSING a quality row still stand for election (LEFT join, null
+    * quality ranks last) — an inner join would silently erase them,
+    * and a cluster whose every member lacked quality would vanish
+    * entirely instead of electing its min-id member. */
   def electBest(pairs: DataFrame, quality: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("component")
-      .orderBy(desc("quality"), col("doc_id"))
+      .orderBy(desc_nulls_last("quality"), col("doc_id"))
     components(pairs)
-      .join(quality, "doc_id")
+      .join(quality, Seq("doc_id"), "left")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col("component"), col("doc_id").as("survivor"), col("quality"))

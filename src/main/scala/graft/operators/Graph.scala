@@ -81,19 +81,28 @@ object Graph {
     * subtree, so feed complete closures). Cycles never converge — the
     * `maxRounds` guard throws rather than looping forever (2^64 depth
     * is unreachable, so hitting the guard means a cycle). */
-  def flattenHierarchy(nodes: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def flattenHierarchy(nodes: DataFrame, maxRounds: Int = 60): DataFrame = {
+    // maxRounds caps BELOW long-overflow territory: in a cycle depths
+    // double per round (2^60 by round 60), and a wrapped sum could
+    // fake an unchanged total — the guard must fire first
+    require(maxRounds <= 60,
+      s"flattenHierarchy: maxRounds > 60 risks depth overflow, got $maxRounds")
     var st = nodes.select(
         col("node"),
         coalesce(col("parent"), col("node")).as("anc"),
         when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("depth"))
       .localCheckpoint(true)
+    // fixpoint detection rides the TOTAL depth: each round every
+    // non-converged node's depth strictly grows, so an unchanged sum
+    // means every pointer reached a root. One self-join per round
+    // (jump + checkpoint), one cheap aggregate on the checkpointed
+    // state — not a second probe join (review finding).
+    def totalDepth(df: DataFrame): Long =
+      df.agg(coalesce(sum("depth"), lit(0L))).head().getLong(0)
+    var total = totalDepth(st)
     var rounds = 0
-    while ({
-      val live = st.as("a")
-        .join(st.as("b"), col("a.anc") === col("b.node"))
-        .filter(col("b.depth") > 0).limit(1).count()
-      live > 0
-    }) {
+    var done = st.isEmpty
+    while (!done) {
       rounds += 1
       require(rounds <= maxRounds,
         s"flattenHierarchy: no fixpoint after $maxRounds doubling rounds " +
@@ -103,6 +112,9 @@ object Graph {
         .select(col("a.node").as("node"), col("b.anc").as("anc"),
           (col("a.depth") + col("b.depth")).as("depth"))
         .localCheckpoint(true)
+      val t = totalDepth(st)
+      done = t == total
+      total = t
     }
     st.select(col("node"), col("anc").as("root"), col("depth"))
   }

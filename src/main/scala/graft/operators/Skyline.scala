@@ -34,9 +34,17 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** Skyline of `df` minimizing `minCol` and maximizing `maxCol`
-    * (both numeric). Returns the input rows of the frontier. */
+    * (both numeric). Returns the input rows of the frontier.
+    *
+    * `maxCandidates` is the guard on the exact-verify stage: when the
+    * staircase prune is ineffective (a constant or heavily-bottom-
+    * concentrated minimized column leaves ~the whole corpus as
+    * candidates) the broadcast nested-loop would be corpus² — the
+    * operator REFUSES loudly instead of dying slowly, telling the
+    * caller to raise `buckets` or pre-aggregate the dominated mass.
+    * The check is one bounded count over the pruned set. */
   def skyline2(df: DataFrame, minCol: String, maxCol: String,
-               buckets: Int = 64): DataFrame = {
+               buckets: Int = 64, maxCandidates: Long = 4000000L): DataFrame = {
     require(buckets >= 1, "skyline2: buckets must be >= 1")
     val in = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
     val bounds: Row = in.agg(
@@ -67,6 +75,13 @@ object Skyline {
       .join(broadcast(stairDf), Seq("_skb"), "left")
       .filter(col(maxCol).cast("double") > col("_best"))
       .drop("_best")
+    val nCand = candidates.count()
+    require(nCand <= maxCandidates,
+      s"skyline2: staircase prune left $nCand candidates " +
+        s"(> maxCandidates=$maxCandidates) — the minimized column is " +
+        "too concentrated for equi-width cells; raise `buckets`, " +
+        "pre-deduplicate dominated rows, or raise maxCandidates " +
+        "knowingly (the verify stage is candidates²)")
     val q = candidates
       .select(col(minCol).as("_qmin"), col(maxCol).as("_qmax"))
     candidates.join(broadcast(q),

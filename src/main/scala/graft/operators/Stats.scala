@@ -139,14 +139,20 @@ object Stats {
       .filter(col("_ir") <= k)
       .groupBy(queryCol)
       .agg(sum(dcgTerm(col(relCol), col("_ir"))).cast("double").as("_idcg"))
-    got.join(ideal, Seq(queryCol), "left")
+    // FULL OUTER: a query with relevant truth but NO predictions at
+    // rank ≤ k must surface with zeros, not vanish — dropping it would
+    // silently inflate any averaged metric by excluding exactly the
+    // worst-failing queries (review finding)
+    got.join(ideal, Seq(queryCol), "full_outer")
       .select(
         col(queryCol),
-        round(when(col("_idcg").isNull || col("_idcg") === 0.0, 0.0)
+        round(when(col("_idcg").isNull || col("_idcg") === 0.0 ||
+            col("_dcg").isNull, 0.0)
           .otherwise(col("_dcg") / col("_idcg")), 6).as("ndcg"),
         round(coalesce(lit(1.0) / col("_first_rel").cast("double"), lit(0.0)), 6)
           .as("mrr"),
-        round(col("_n_rel").cast("double") / lit(k.toDouble), 6).as("p_at_k"))
+        round(coalesce(col("_n_rel").cast("double"), lit(0.0)) / lit(k.toDouble), 6)
+          .as("p_at_k"))
   }
 
   /** Robust per-group outlier accounting via the median absolute

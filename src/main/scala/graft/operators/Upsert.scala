@@ -215,8 +215,11 @@ object Upsert {
   def scd2Lookup(facts: DataFrame, dim: DataFrame, keys: Seq[String],
                  asOfCol: String, validFrom: String = "valid_from",
                  validTo: String = "valid_to"): DataFrame = {
-    val window = col(asOfCol) >= col(validFrom) &&
-      (col(validTo).isNull || col(asOfCol) < col(validTo))
+    // side-QUALIFIED references: a facts frame carrying its own
+    // valid_from/valid_to (e.g. one derived from another SCD table)
+    // must not make these ambiguous
+    val window = facts(asOfCol) >= dim(validFrom) &&
+      (dim(validTo).isNull || facts(asOfCol) < dim(validTo))
     val joined = facts.join(dim,
       keys.map(k => facts(k) === dim(k)).reduce(_ && _) && window, "left")
     keys.foldLeft(joined)((df, k) => df.drop(dim(k)))

@@ -231,6 +231,12 @@ object WarehouseQueries {
       expr("unix_micros(ts) div 86400000000").as("day"),
       expr("(unix_micros(ts) div 3600000000) % 24").as("hod"))
     val dMax = ev.agg(max("day")).head().getLong(0)
+    // the DENOMINATOR is the number of distinct training days, not the
+    // absolute epoch-day index (an earlier cut divided by dMax ≈ 19750
+    // and predicted ~0 everywhere — a shared Spark/oracle bug the
+    // parity gate is structurally blind to; caught in review)
+    val nPrior = ev.filter(col("day") < dMax)
+      .select(countDistinct("day")).head().getLong(0)
     val counts = ev.groupBy("event_type", "day", "hod")
       .agg(count(lit(1)).as("c"))
     val prior = counts.filter(col("day") < dMax)
@@ -244,7 +250,7 @@ object WarehouseQueries {
       .join(actual, Seq("event_type", "hod"), "left")
       .select(col("event_type"),
         abs(coalesce(col("c_actual"), lit(0L)).cast("double") -
-          coalesce(col("c_prior"), lit(0L)).cast("double") / lit(dMax.toDouble))
+          coalesce(col("c_prior"), lit(0L)).cast("double") / lit(nPrior.toDouble))
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("ae"))
     scored.groupBy("event_type")
       .agg(round(sum(col("ae")).cast("double") / lit(24.0), 6).as("mae"))
@@ -1616,12 +1622,12 @@ object WarehouseQueries {
         |            ORDER BY rel DESC, item_id) AS ir
         |        FROM truth) WHERE ir <= 10
         |  GROUP BY query_id)
-        |SELECT g.query_id,
-        |  round(CASE WHEN i.idcg IS NULL OR i.idcg = 0 THEN 0.0
-        |             ELSE g.dcg / i.idcg END, 6) AS ndcg,
+        |SELECT query_id,
+        |  round(CASE WHEN i.idcg IS NULL OR i.idcg = 0 OR g.dcg IS NULL
+        |             THEN 0.0 ELSE g.dcg / i.idcg END, 6) AS ndcg,
         |  round(COALESCE(1.0 / CAST(first_rel AS DOUBLE), 0.0), 6) AS mrr,
-        |  round(CAST(n_rel AS DOUBLE) / 10.0, 6) AS p_at_k
-        |FROM got g LEFT JOIN ideal i USING (query_id)
+        |  round(COALESCE(CAST(n_rel AS DOUBLE), 0.0) / 10.0, 6) AS p_at_k
+        |FROM got g FULL OUTER JOIN ideal i USING (query_id)
         |ORDER BY query_id""".stripMargin,
     "q_moving_avg" ->
       """SELECT event_id, event_type, epoch_us(ts) AS tsu,
@@ -1923,6 +1929,8 @@ object WarehouseQueries {
         |    (epoch_us(ts) // 3600000000) % 24 AS hod
         |  FROM events),
         |dmax AS (SELECT MAX(day) AS d FROM ev),
+        |nprior AS (
+        |  SELECT COUNT(DISTINCT day) AS np FROM ev, dmax WHERE day < d),
         |counts AS (
         |  SELECT event_type, day, hod, COUNT(*) AS c
         |  FROM ev GROUP BY 1, 2, 3),
@@ -1939,7 +1947,7 @@ object WarehouseQueries {
         |  SELECT s.event_type,
         |    CAST(abs(CAST(COALESCE(a.c_actual, 0) AS DOUBLE)
         |             - CAST(COALESCE(p.c_prior, 0) AS DOUBLE)
-        |               / CAST((SELECT d FROM dmax) AS DOUBLE))
+        |               / CAST((SELECT np FROM nprior) AS DOUBLE))
         |      AS DECIMAL(18,6)) AS ae
         |  FROM spine s
         |  LEFT JOIN prior p USING (event_type, hod)

@@ -353,7 +353,10 @@ object TxLog {
       .collect()
     val pairs = rows.map { r =>
       val uri = r.getString(0)
-      val rel = uri.substring(uri.indexOf("/data/") + "/data/".length)
+      // LAST '/data/': a table rooted under a path that itself
+      // contains '/data/' must not key its stats off the outer
+      // segment (same convention as relEntry/readFiles)
+      val rel = uri.substring(uri.lastIndexOf("/data/") + "/data/".length)
       val st = statsCols.flatMap { c =>
         val mn = r.getAs[String](s"_min_$c")
         val mx = r.getAs[String](s"_max_$c")
@@ -1150,12 +1153,14 @@ object TxLog {
     * INCREMENTAL and idempotent: each call indexes only head files
     * missing a sidecar (data files are immutable, so a sidecar never
     * goes stale; [[vacuum]] GCs sidecars of dropped files). The build
-    * is one Spark pass over exactly the missing files: a per-file
-    * count sizes each filter exactly, then a streaming groupByKey
-    * inserts `xxhash64(string form)` per row — constant memory per
-    * task, filter bytes (not rows) to the driver, bounded by the new-
-    * file count like every other catalog artifact. Returns the number
-    * of sidecars written. */
+    * is ONE Spark pass over exactly the missing files: filters size
+    * from the manifest's per-file row counts (free — every commit
+    * records them); only files predating row-count tracking pay a
+    * dedicated counting pre-pass. A streaming groupByKey then inserts
+    * `xxhash64(string form)` per row — constant memory per task,
+    * filter bytes (not rows) to the driver, bounded by the new-file
+    * count like every other catalog artifact. Returns the number of
+    * sidecars written. */
   def buildBloomIndex(spark: SparkSession, path: String, colName: String,
                       fpp: Double = 0.01): Int = {
     val v = currentVersion(spark, path).getOrElse(
@@ -1176,25 +1181,54 @@ object TxLog {
     import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
     import spark.implicits._
     // input_file_name URIs map back to manifest entries by their
-    // data-root-relative suffix (scheme-independent)
+    // data-root-relative suffix. input_file_name returns the
+    // URL-ENCODED form while manifest entries are raw filesystem
+    // names, so lookups try the raw suffix first and fall back to its
+    // decoded form; an unresolvable suffix fails LOUDLY rather than
+    // with a bare NoSuchElementException (review finding).
     val bySuffix = missing.map(f => relEntry(f) -> f).toMap
     def entryOf(uri: String): String = {
       val i = uri.lastIndexOf("/data/")
-      bySuffix(uri.substring(i + "/data/".length))
+      val suffix = uri.substring(i + "/data/".length)
+      bySuffix.get(suffix)
+        .orElse(bySuffix.get(
+          java.net.URLDecoder.decode(suffix, "UTF-8")))
+        .getOrElse(throw new IllegalStateException(
+          s"TxLog.buildBloomIndex: scan file '$uri' does not map back " +
+            "to any manifest entry — partition value encoding mismatch"))
     }
     val hashed = readFiles(spark, path, schema, missing)
       .select(input_file_name().as("_f"),
         xxhash64(col(colName).cast("string")).as("_h"))
-    // pass 1: exact per-file row counts, to size each filter
-    val counts = hashed.groupBy("_f").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bCounts = spark.sparkContext.broadcast(counts)
+    // filter sizing: the manifest's per-commit row counts cover most
+    // files for free; only files that predate fileRows tracking pay a
+    // dedicated counting pass
+    val known = missing.flatMap(f => m.fileRows.get(f).map(f -> _)).toMap
+    val counts: Map[String, Long] =
+      if (known.size == missing.size) Map.empty
+      else hashed.groupBy("_f").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-URI expected sizes resolve on the driver (file-count-bounded
+    // maps) and ride the task closure
+    val sizeOfUri: Map[String, Long] =
+      if (counts.nonEmpty) counts
+      else Map.empty
+    val sizeOfEntry = known
     // pass 2: stream rows into exactly-sized filters, ship bytes only
+    val localBySuffix = bySuffix
     val blooms = hashed.as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (f, it) =>
+        val expected = sizeOfUri.getOrElse(f, {
+          val i = f.lastIndexOf("/data/")
+          val suffix = f.substring(i + "/data/".length)
+          val entry = localBySuffix.get(suffix)
+            .orElse(localBySuffix.get(
+              java.net.URLDecoder.decode(suffix, "UTF-8")))
+          entry.flatMap(sizeOfEntry.get).getOrElse(1L)
+        })
         val bf = org.apache.spark.util.sketch.BloomFilter
-          .create(math.max(bCounts.value(f), 1L), fpp)
+          .create(math.max(expected, 1L), fpp)
         it.foreach { case (_, h) => bf.putLong(h) }
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)

@@ -620,6 +620,15 @@ class PipelineQueriesSpec extends SparkSpec {
     val out = Dedup.electBest(pairs, quality).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out == Map(1L -> ((2L, 9L)), 10L -> ((11L, 7L))), out.toString)
+    // members MISSING a quality row still stand (null ranks last):
+    // cluster {20,21} has quality only for 21 -> 21 wins; cluster
+    // {30,31} has NO quality rows -> min-id 30 wins with null quality
+    val pairs2 = Seq((20L, 21L), (30L, 31L)).toDF("doc_a", "doc_b")
+    val quality2 = Seq((21L, 4L)).toDF("doc_id", "quality")
+    val out2 = Dedup.electBest(pairs2, quality2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out2 == Map(20L -> ((21L, 4L)), 30L -> ((30L, -1L))), out2.toString)
   }
 
   test("jaccardJoin: equals the brute-force token join; hand fixture; nothing below threshold") {

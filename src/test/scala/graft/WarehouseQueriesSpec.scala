@@ -806,11 +806,17 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 0.963940) < 1e-5, s"ndcg ${r.getDouble(1)}")
     assert(r.getDouble(2) == 1.0)
     assert(math.abs(r.getDouble(3) - 0.666667) < 1e-6)
-    // query with no relevant items at all: ndcg 0, mrr 0, p 0
+    // query with no relevant items at all: ndcg 0, mrr 0, p 0 — and
+    // the truth-only query 1 (no predictions) must SURFACE with zeros
+    // rather than vanish (dropping it would inflate averaged metrics)
     val pred2 = Seq((2, "x", 1)).toDF("query_id", "item_id", "rank")
     val truth2 = Seq((1, "x", 1)).toDF("query_id", "item_id", "rel")
-    val r2 = graft.operators.Stats.rankEval(pred2, truth2, k = 3).collect()(0)
-    assert(r2.getDouble(1) == 0.0 && r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
+    val rows2 = graft.operators.Stats.rankEval(pred2, truth2, k = 3).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(rows2.keySet == Set(1, 2), s"queries missing: $rows2")
+    assert(rows2(2) == ((0.0, 0.0, 0.0)))
+    assert(rows2(1) == ((0.0, 0.0, 0.0)), "truth-only query must score zeros")
   }
 
   test("q_mad matches the builtin percentile median/MAD") {
