@@ -244,7 +244,7 @@ object ScaleCheck {
       val nodes = spark.range(n).select(col("id").as("node"),
         when(col("id") === 0, lit(null).cast("long"))
           .otherwise(col("id") - 1).as("parent"))
-      graft.operators.Graph.flattenHierarchy(nodes, maxRounds = 64).count()
+      graft.operators.Graph.flattenHierarchy(nodes).count()
     }
     // bloom index over the 10x txlog table: build once, the needle
     // read must stay file-pruned
