@@ -82,9 +82,9 @@ object Graph {
     * `maxRounds` guard throws rather than looping forever (2^64 depth
     * is unreachable, so hitting the guard means a cycle). */
   def flattenHierarchy(nodes: DataFrame, maxRounds: Int = 60): DataFrame = {
-    // maxRounds caps BELOW long-overflow territory: in a cycle depths
-    // double per round (2^60 by round 60), and a wrapped sum could
-    // fake an unchanged total — the guard must fire first
+    // maxRounds caps BELOW per-row long-overflow territory: in a cycle
+    // each row's depth doubles per round (2^60 by round 60) and the
+    // per-row Long must stay exact for the guard to mean anything
     require(maxRounds <= 60,
       s"flattenHierarchy: maxRounds > 60 risks depth overflow, got $maxRounds")
     var st = nodes.select(
@@ -96,9 +96,15 @@ object Graph {
     // non-converged node's depth strictly grows, so an unchanged sum
     // means every pointer reached a root. One self-join per round
     // (jump + checkpoint), one cheap aggregate on the checkpointed
-    // state — not a second probe join (review finding).
-    def totalDepth(df: DataFrame): Long =
-      df.agg(coalesce(sum("depth"), lit(0L))).head().getLong(0)
+    // state — not a second probe join (review finding). The sum runs
+    // as DECIMAL(38,0): a Long SUM wraps mod 2^64, and in a cycle
+    // whose node count divides 2^k the wrapped total can repeat
+    // across rounds and fake convergence before the maxRounds guard
+    // fires (review finding) — n·2^60 ≲ 10^36 never wraps a
+    // 38-digit decimal
+    def totalDepth(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("depth").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var total = totalDepth(st)
     var rounds = 0
     var done = st.isEmpty
@@ -113,7 +119,7 @@ object Graph {
           (col("a.depth") + col("b.depth")).as("depth"))
         .localCheckpoint(true)
       val t = totalDepth(st)
-      done = t == total
+      done = t.compareTo(total) == 0
       total = t
     }
     st.select(col("node"), col("anc").as("root"), col("depth"))

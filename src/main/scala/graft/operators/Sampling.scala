@@ -235,8 +235,17 @@ object Sampling {
     require(k > 0, s"k must be positive, got $k")
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(1.0)) / lit(4294967296.0)
+    // the documented "strictly positive" contract is ENFORCED in the
+    // plan: a zero/negative/null weight would otherwise yield an
+    // Infinity/negative/null key that deterministically wins (or
+    // poisons) the top-k instead of failing (review finding)
+    val checked = when(col("_w").isNull || col("_w") <= 0.0,
+      raise_error(concat(
+        lit("Sampling.weightProportional: weight must be strictly positive, got "),
+        coalesce(col("_w").cast("string"), lit("null")))).cast("double"))
+      .otherwise(col("_w"))
     df.withColumn("_w", weight.cast("double"))
-      .withColumn("samp_key", round(-log(u) / col("_w"), 6))
+      .withColumn("samp_key", round(-log(u) / checked, 6))
       .drop("_w")
       .orderBy(col("samp_key"), col(idCol))
       .limit(k)

@@ -351,12 +351,27 @@ object TxLog {
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+    // input_file_name returns the URL-ENCODED URI while the staged
+    // entries are raw filesystem names: a %-escaped partition value
+    // would otherwise key stats/rows under a name no manifest entry
+    // matches, silently disabling fastCount and skip pruning for the
+    // file — same fallback as buildBloomIndex.entryOf (review finding)
+    val entrySet = files.toSet
     val pairs = rows.map { r =>
       val uri = r.getString(0)
       // LAST '/data/': a table rooted under a path that itself
       // contains '/data/' must not key its stats off the outer
       // segment (same convention as relEntry/readFiles)
-      val rel = uri.substring(uri.lastIndexOf("/data/") + "/data/".length)
+      val suffix = uri.substring(uri.lastIndexOf("/data/") + "/data/".length)
+      val rel =
+        if (entrySet.contains(suffix)) suffix
+        else {
+          val dec = java.net.URLDecoder.decode(suffix, "UTF-8")
+          if (entrySet.contains(dec)) dec
+          else throw new IllegalStateException(
+            s"TxLog.collectStats: scan file '$uri' does not map back to " +
+              "any staged entry — partition value encoding mismatch")
+        }
       val st = statsCols.flatMap { c =>
         val mn = r.getAs[String](s"_min_$c")
         val mx = r.getAs[String](s"_max_$c")
@@ -1017,7 +1032,15 @@ object TxLog {
     val manifests = versions.map(v => v -> manifest(spark, path, v))
     def sizeOf(f: String): Long = {
       val p = if (isAbsEntry(f)) new Path(f) else new Path(dataDir(path), f)
-      try fs.getFileStatus(p).getLen catch { case _: java.io.IOException => 0L }
+      // by-reference clone entries can live on a DIFFERENT scheme than
+      // the clone table — resolve each path against its own FileSystem
+      // (the table's fs would throw Wrong FS as IllegalArgumentException,
+      // which an IOException-only catch does not absorb; review finding)
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+      catch {
+        case _: java.io.IOException | _: IllegalArgumentException => 0L
+      }
     }
     val rows = manifests.zipWithIndex.map { case ((v, m), i) =>
       val prev: Set[String] =

@@ -360,26 +360,44 @@ object StreamJobs {
     * Semantics ride entirely on applyChanges: inserts/updates merge,
     * deletes drop, only partitions holding a changed key rewrite. One
     * commit per micro-batch = snapshot isolation per batch; a batch
-    * that carries several keys' changes applies atomically. The feed
-    * must be key-unique per micro-batch (the CDF contract per version
-    * pair); `update_preimage` rows are metadata for aggregate
-    * consumers and are filtered out here — the postimage carries the
-    * row. */
+    * that carries several keys' changes applies atomically.
+    * `update_preimage` rows are metadata for aggregate consumers and
+    * are filtered out here — the postimage carries the row.
+    *
+    * A file-tailed feed can deliver SEVERAL published version-pairs
+    * in one micro-batch, and a key changed in more than one pair
+    * would then reach applyChanges twice with a nondeterministic
+    * survivor (review finding). Publish the pair's upper version in a
+    * column and pass it as `versionCol`: the batch collapses to the
+    * LAST change per key ordered by that version before applying —
+    * correct because applyChanges upserts insert/update uniformly
+    * against current replica state and a trailing delete of a
+    * never-applied insert is a no-op. Without `versionCol` the
+    * duplicate-key guard runs and a multi-pair batch FAILS LOUDLY
+    * instead of corrupting the replica. */
   def cdcRelayStream(feed: DataFrame, replicaPath: String,
                      keys: Seq[String],
+                     versionCol: Option[String] = None,
                      checkpointLocation: Option[String] = None): StreamingQuery = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, row_number, when}
     val w = feed.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.filter(col("_change_type") =!= "update_preimage")
+        val normalized = batch.filter(col("_change_type") =!= "update_preimage")
           .withColumn("_change_type",
-            org.apache.spark.sql.functions.when(
-              col("_change_type") === "update_postimage", "update")
+            when(col("_change_type") === "update_postimage", "update")
               .otherwise(col("_change_type")))
+        val (rows, validated) = versionCol match {
+          case Some(vc) =>
+            val byKey = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*).orderBy(col(vc).desc)
+            (normalized.withColumn("_rn", row_number().over(byKey))
+              .filter(col("_rn") === 1).drop("_rn", vc), true)
+          case None => (normalized, false)
+        }
         if (!rows.isEmpty)
           graft.storage.TxLog.applyChanges(replicaPath, rows, keys,
-            preValidated = true)
+            preValidated = validated)
         ()
       }
     checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()

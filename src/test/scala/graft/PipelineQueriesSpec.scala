@@ -696,6 +696,19 @@ class PipelineQueriesSpec extends SparkSpec {
       .weightProportional(docs, col("w"), k = 40)
       .collect().map(_.getLong(0))
     assert(picked.toSeq == again.toSeq)
+    // the strictly-positive contract is enforced, not just documented:
+    // a zero weight fails loudly instead of deterministically winning
+    // with key -ln(u)/0 = -Infinity (review finding)
+    val withZero = (0L until 10L)
+      .map(i => (i, if (i == 7L) 0.0 else 1.0)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      graft.operators.Sampling.weightProportional(withZero, col("w"), k = 3)
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(Option(t.getMessage).getOrElse(""))
+    assert((e.getMessage + rootMsg(e)).contains("strictly positive"),
+      e.getMessage)
   }
 
   test("flattenHierarchy: forest resolves roots/depths in log rounds, cycles throw") {

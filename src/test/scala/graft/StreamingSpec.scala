@@ -317,6 +317,46 @@ class StreamingSpec extends SparkSpec {
     assert(TxLog.currentVersion(spark, replica).exists(_ >= 3L))
   }
 
+  test("streaming CDC relay: several version-pairs in ONE micro-batch collapse to last-change-per-key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.storage.TxLog
+    val root = java.nio.file.Files.createTempDirectory("graft_cdcrelay2").toString
+    val primary = s"$root/primary"; val replica = s"$root/replica"
+    val feedDir = s"$root/feed"
+    val base = Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0))
+      .toDF("k", "part", "v")
+    TxLog.create(base, primary, Some("part"))
+    // v2: update k=2, insert k=7; v3: update k=2 AGAIN and delete k=7 —
+    // keys 2 and 7 both change in BOTH pairs, the exact shape a
+    // file-tailed feed delivers in one micro-batch when the replica
+    // lags (review finding)
+    TxLog.mergeInto(primary,
+      Seq((2L, "p1", 99.0), (7L, "p3", 70.0)).toDF("k", "part", "v"),
+      Seq("k"))                                           // v2
+    TxLog.mergeInto(primary,
+      Seq((2L, "p1", 111.0)).toDF("k", "part", "v"), Seq("k"))
+    TxLog.deleteWhere(spark, primary, col("k") === 7L)    // v3, v4
+    TxLog.create(TxLog.read(spark, primary, Some(1L)), replica, Some("part"))
+    // publish all three pairs BEFORE the stream starts: one micro-batch
+    val head = TxLog.currentVersion(spark, primary).get
+    val pairs = (1L until head).map(v =>
+      TxLog.changes(spark, primary, v, v + 1, Seq("k"))
+        .withColumn("_src_version", lit(v + 1)))
+    pairs.reduce(_ unionByName _).write.parquet(feedDir)
+    val feed = spark.readStream.schema(pairs.head.schema).parquet(feedDir)
+    val q = StreamJobs.cdcRelayStream(feed, replica, Seq("k"),
+      versionCol = Some("_src_version"))
+    try {
+      q.processAllAvailable()
+      val got = TxLog.read(spark, replica)
+        .select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+      val want = TxLog.read(spark, primary)
+        .select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+      assert(got == want, s"replica $got != primary head $want")
+    } finally q.stop()
+  }
+
   test("streaming decay score: re-anchored carry state matches the batch anchor-sum") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}

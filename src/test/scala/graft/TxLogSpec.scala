@@ -530,6 +530,24 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, path).count() == 7L)
   }
 
+  test("fastCount + stats survive %-escaped partition values (URI decode fallback)") {
+    // ':' is Hive-escaped to %3A in the partition dir name; the scan's
+    // input_file_name re-encodes '%' as %25, so without the decode
+    // fallback collectStats keys rows/stats under a name no manifest
+    // entry matches — silently disabling fastCount and skip pruning
+    // for the file (review finding)
+    val path = freshPath("escpart")
+    val rows = Seq((1L, "a:b", 10.0), (2L, "a:b", 20.0), (3L, "plain", 30.0))
+      .toDF("k", "part", "v")
+    TxLog.create(rows, path, Some("part"), statsCols = Seq("k"))
+    assert(TxLog.fastCount(spark, path).contains(3L),
+      "row counts must key back to the escaped manifest entries")
+    val m = TxLog.manifest(spark, path, 1L)
+    assert(m.files.nonEmpty && m.files.forall(m.fileStats.contains),
+      s"every file must carry stats, got ${m.fileStats.keySet} for ${m.files}")
+    assert(TxLog.read(spark, path).count() == 3L)
+  }
+
   test("bloom index survives OPTIMIZE: rebuild after compact restores pruning, vacuum GCs stale sidecars") {
     val path = freshPath("bloomopt")
     // many tiny files so compact has work; ids interleaved as in the
