@@ -14,14 +14,43 @@ import org.apache.spark.sql.types.StructType
   * Layout:
   * {{{
   *   <table>/data/[<part>=<v>/]<commit-uuid>-part-*.parquet   immutable data files
-  *   <table>/_manifests/v<N>.json                             one manifest per version
+  *   <table>/_manifests/v<N>.json                             one commit per version
+  *   <table>/_manifests/v<K>.ckpt/                            parquet checkpoint of the
+  *                                                            resolved state at version K
   * }}}
   *
-  * A manifest lists the exact files of one table VERSION (plus the
-  * schema and optional partition column). Every write creates NEW
-  * files — staged under `_staging_<uuid>`, moved into `data/`, and
-  * made visible by ONE atomic manifest rename. Files referenced by any
-  * retained manifest are never mutated or deleted, so:
+  * A commit file defines one table VERSION. Three shapes, all carrying
+  * the version's RESOLVED metadata (schema, partition column, stats
+  * columns, streaming watermark) so any commit is metadata-
+  * self-describing:
+  *
+  *  - **full** — the explicit file list (+ per-file stats/rows).
+  *    Written by [[create]] and [[clone]], where every file is new
+  *    anyway.
+  *  - **delta** — `removeDirs` (partition dirs whose pre-existing
+  *    files drop) + `add` (new entries with their stats/rows). Written
+  *    by every data commit: the JSON is O(files CHANGED), never
+  *    O(files in table) — at the 100 TB scale (10^5-10^6 live files) a
+  *    commit serializes kilobytes, not a 100 MB file enumeration.
+  *  - **ref** — `baseRef: M`: this version's files are exactly
+  *    version M's ([[restore]]'s zero-data rollback, now also
+  *    zero-metadata).
+  *
+  * Readers RESOLVE a snapshot by walking back from the requested
+  * version to the nearest resolved base — an LRU-cached snapshot, a
+  * parquet checkpoint, or a full commit — then applying the delta
+  * chain forward (bounded by the checkpoint interval, default every
+  * 10 commits, `graft.txlog.checkpointInterval`). Checkpoints are
+  * COLUMNAR (a parquet enumeration of file/rows/stats written by a
+  * distributed job and renamed into place), so the full file list is
+  * never parsed through one JSON tree; they are an optimization only —
+  * deleting one merely lengthens the replay, exactly Delta's
+  * checkpoint contract.
+  *
+  * Every write creates NEW files — staged under `_staging_<uuid>`,
+  * moved into `data/`, and made visible by ONE atomic commit-file
+  * rename. Files referenced by any retained commit are never mutated
+  * or deleted, so:
   *
   *  - **Snapshot isolation**: a reader resolves exactly one manifest;
   *    it sees version N or version N+1 in full, never a mix. A
@@ -41,11 +70,12 @@ import org.apache.spark.sql.types.StructType
   * values must stringify to filesystem-safe directory names (the same
   * contract as Spark's own dynamic partition overwrite).
   *
-  * Scale shape: manifests carry file PATHS, not data — a 100 TB table
-  * at 128 MB/file is ~800k lines of JSON, driver-bounded like every
-  * other catalog artifact; reads plan from the explicit file list, so
-  * partition pruning and column pruning work exactly as on a plain
-  * parquet table (`basePath` recovers the partition column).
+  * Scale shape: commits are O(changed files); snapshot resolution is
+  * one columnar checkpoint read plus ≤interval small deltas, cached
+  * per (table, version) after the first resolution. Reads plan from
+  * the explicit resolved file list, so partition pruning and column
+  * pruning work exactly as on a plain parquet table (`basePath`
+  * recovers the partition column).
   */
 object TxLog {
 
@@ -94,18 +124,66 @@ object TxLog {
     else fs.listStatus(dir).toSeq.flatMap(s => versionOf(s.getPath)).maxOption
   }
 
-  /** Load one manifest. */
-  def manifest(spark: SparkSession, path: String, version: Long): Manifest = {
+  // ------------------------------------------------------------------
+  // Snapshot resolution: cache + checkpoints + delta replay
+  // ------------------------------------------------------------------
+
+  private def ckptDir(path: String, v: Long): Path =
+    new Path(manifestDir(path), s"v$v.ckpt")
+
+  /** Resolved-snapshot LRU, keyed `path@version`. A version's content
+    * is immutable once its commit file renames into place, so entries
+    * never go stale — except when a table is DROPPED AND RECREATED at
+    * the same path or vacuumed ([[create]]/[[clone]]/[[vacuum]]
+    * invalidate the path). Capacity is small on purpose: a resolved
+    * snapshot of a big table is O(files) driver memory, and one warm
+    * head entry is what the commit/read hot path needs. */
+  private val snapCache = new java.util.LinkedHashMap[String, Manifest](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, Manifest]): Boolean = size > 8
+  }
+  private def cacheGet(path: String, v: Long): Option[Manifest] =
+    snapCache.synchronized(Option(snapCache.get(s"$path@$v")))
+  private def cachePut(path: String, m: Manifest): Unit =
+    snapCache.synchronized { snapCache.put(s"$path@${m.version}", m); () }
+  private def cacheInvalidate(path: String): Unit =
+    snapCache.synchronized {
+      val it = snapCache.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(path + "@")) it.remove()
+    }
+
+  /** Test/diagnostics hook: drop every cached snapshot (forces cold
+    * resolution — what a fresh driver pays). */
+  private[graft] def flushSnapshotCacheForTesting(): Unit =
+    snapCache.synchronized(snapCache.clear())
+
+  private def readCommitNode(spark: SparkSession, path: String,
+                             version: Long): com.fasterxml.jackson.databind.JsonNode = {
     val fs = fsFor(spark, path)
     val p = new Path(manifestDir(path), s"v$version.json")
     require(fs.exists(p), s"TxLog: no manifest v$version at $path " +
       "(vacuumed or never committed)")
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
-    val node = mapper.readTree(bytes)
+    mapper.readTree(bytes)
+  }
+
+  /** The resolved metadata every commit shape carries:
+    * (version, partitionCol, schemaDdl, sourceBatchId, statsCols). */
+  private def nodeMeta(node: com.fasterxml.jackson.databind.JsonNode)
+      : (Long, Option[String], String, Option[Long], Seq[String]) = (
+    node.get("version").asLong(),
+    Option(node.get("partitionCol")).filter(!_.isNull).map(_.asText()),
+    node.get("schemaDdl").asText(),
+    Option(node.get("sourceBatchId")).filter(!_.isNull).map(_.asLong()),
+    Option(node.get("statsCols")).map(a =>
+      (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty))
+
+  /** Parse a FULL commit (create/clone, and every pre-delta-format
+    * manifest — the legacy one-JSON-per-version shape stays readable). */
+  private def parseFull(node: com.fasterxml.jackson.databind.JsonNode): Manifest = {
+    val (v, pc, ddl, batch, statsCols) = nodeMeta(node)
     val files = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
-    val statsCols = Option(node.get("statsCols")).map(a =>
-      (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty)
     val fileStats = Option(node.get("fileStats")).map { fsNode =>
       val it = fsNode.fieldNames()
       Iterator.continually(if (it.hasNext) it.next() else null)
@@ -124,29 +202,213 @@ object TxLog {
       Iterator.continually(if (it.hasNext) it.next() else null)
         .takeWhile(_ != null).map(f => f -> rNode.get(f).asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
-    Manifest(node.get("version").asLong(),
-      Option(node.get("partitionCol")).filter(!_.isNull).map(_.asText()),
-      node.get("schemaDdl").asText(), files,
-      Option(node.get("sourceBatchId")).filter(!_.isNull).map(_.asLong()),
-      statsCols, fileStats, fileRows)
+    Manifest(v, pc, ddl, files, batch, statsCols, fileStats, fileRows)
   }
 
-  private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
+  /** Apply one DELTA commit to its predecessor's resolved state —
+    * exactly the transition [[commitRebase]] computed when it wrote
+    * the delta: files under `removeDirs` drop (with their stats/rows
+    * entries), `add` entries append with theirs, metadata comes from
+    * the delta's stored RESOLVED values. */
+  private def applyDelta(state: Manifest,
+                         node: com.fasterxml.jackson.databind.JsonNode): Manifest = {
+    val (v, pc, ddl, batch, statsCols) = nodeMeta(node)
+    val rm = Option(node.get("removeDirs")).map(a =>
+      (0 until a.size()).map(a.get(_).asText()).toSet).getOrElse(Set.empty[String])
+    val addsN = node.get("add")
+    val adds = (0 until addsN.size()).map(addsN.get)
+    val addFiles = adds.map(_.get("f").asText())
+    val addRows = adds.flatMap(e =>
+      Option(e.get("rows")).map(r => e.get("f").asText() -> r.asLong())).toMap
+    val addStats = adds.flatMap { e =>
+      Option(e.get("stats")).map { s =>
+        val cit = s.fieldNames()
+        e.get("f").asText() -> Iterator
+          .continually(if (cit.hasNext) cit.next() else null)
+          .takeWhile(_ != null).map { c =>
+            val arr = s.get(c)
+            c -> ((arr.get(0).asText(), arr.get(1).asText()))
+          }.toMap
+      }
+    }.toMap
+    val kept =
+      if (rm.isEmpty) state.files
+      else state.files.filterNot(f => rm.contains(dirOf(f)))
+    val keptSet = kept.toSet
+    Manifest(v, pc, ddl, kept ++ addFiles, batch, statsCols,
+      if (statsCols.isEmpty) Map.empty
+      else state.fileStats.view.filterKeys(keptSet).toMap ++ addStats,
+      state.fileRows.view.filterKeys(keptSet).toMap ++ addRows)
+  }
+
+  /** Load a checkpoint's file enumeration (columnar — never one JSON
+    * tree) and marry it to the commit file's resolved metadata. */
+  private def fromCheckpoint(spark: SparkSession, path: String, v: Long): Manifest = {
+    val (ver, pc, ddl, batch, statsCols) = nodeMeta(readCommitNode(spark, path, v))
+    val rows = spark.read.schema(ckptSchema).parquet(ckptDir(path, v).toString).collect()
+    val files = rows.map(_.getString(0)).toSeq.sorted
+    val fileRows = rows.flatMap(r =>
+      if (r.isNullAt(1)) None else Some(r.getString(0) -> r.getLong(1))).toMap
+    val fileStats = rows.flatMap { r =>
+      if (r.isNullAt(2)) None
+      else Some(r.getString(0) ->
+        r.getAs[scala.collection.Map[String, scala.collection.Seq[String]]](2)
+          .map { case (c, a) => c -> ((a(0), a(1))) }.toMap)
+    }.toMap
+    Manifest(ver, pc, ddl, files, batch, statsCols, fileStats, fileRows)
+  }
+
+  /** Resolve the snapshot at `version`: walk back to the nearest
+    * resolved base (cached snapshot, checkpoint, full commit, or a
+    * ref's target), then apply the collected delta chain forward. The
+    * walk is bounded by the checkpoint interval once the table has
+    * one; with a warm cache (every commit caches the head it just
+    * produced) the common case is zero filesystem reads. */
+  private def resolveSnapshot(spark: SparkSession, path: String,
+                              version: Long): Manifest = {
+    val fs = fsFor(spark, path)
+    var chain = List.empty[com.fasterxml.jackson.databind.JsonNode]
+    var t = version
+    var base: Option[Manifest] = None
+    while (base.isEmpty) {
+      base = cacheGet(path, t)
+      if (base.isEmpty) {
+        if (fs.exists(ckptDir(path, t))) base = Some(fromCheckpoint(spark, path, t))
+        else {
+          val node = readCommitNode(spark, path, t)
+          if (node.has("files")) base = Some(parseFull(node))
+          else if (node.has("baseRef")) {
+            val (v, _, _, batch, _) = nodeMeta(node)
+            base = Some(manifest(spark, path, node.get("baseRef").asLong())
+              .copy(version = v, sourceBatchId = batch))
+          } else {
+            chain ::= node
+            t -= 1
+            require(t >= 1,
+              s"TxLog: delta chain for v$version at $path has no base commit")
+          }
+        }
+      }
+    }
+    chain.foldLeft(base.get)(applyDelta)
+  }
+
+  /** Load one version's RESOLVED manifest (cached). */
+  def manifest(spark: SparkSession, path: String, version: Long): Manifest =
+    cacheGet(path, version).getOrElse {
+      val m = resolveSnapshot(spark, path, version)
+      cachePut(path, m)
+      m
+    }
+
+  // ------------------------------------------------------------------
+  // Checkpoints
+  // ------------------------------------------------------------------
+
+  private val ckptSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("f",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("stats",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false),
+        valueContainsNull = false), nullable = true)))
+
+  /** Commits between checkpoints (`graft.txlog.checkpointInterval`,
+    * default 10; ≤0 disables). Bounds delta-replay length for cold
+    * readers; each checkpoint is one distributed parquet write of the
+    * resolved file enumeration, amortized over the interval. */
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.getOption("graft.txlog.checkpointInterval").map(_.toInt).getOrElse(10)
+
+  private def maybeCheckpoint(spark: SparkSession, path: String, m: Manifest): Unit = {
+    val k = checkpointInterval(spark)
+    if (k > 0 && m.version % k == 0 &&
+        !fsFor(spark, path).exists(ckptDir(path, m.version)))
+      writeCheckpoint(spark, path, m)
+  }
+
+  /** Write the resolved state at `m.version` as a parquet directory —
+    * a DISTRIBUTED write (partitioned at ~100k entries/task), renamed
+    * into place; losing a concurrent-checkpoint race just drops the
+    * duplicate (content is identical by construction). Crash-safe: an
+    * un-renamed temp dir is invisible to resolution. Checkpoints are
+    * an optimization only — deleting one lengthens replay, never
+    * changes results. */
+  private[storage] def writeCheckpoint(spark: SparkSession, path: String,
+                                       m: Manifest): Unit = {
+    val fs = fsFor(spark, path)
+    val rows: Seq[org.apache.spark.sql.Row] = m.files.map { f =>
+      org.apache.spark.sql.Row(f,
+        m.fileRows.get(f).map(java.lang.Long.valueOf).orNull,
+        m.fileStats.get(f)
+          .map(_.map { case (c, (mn, mx)) => c -> Seq(mn, mx) }).orNull)
+    }
+    val parts = math.max(1, math.min(64, rows.size / 100000))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts), ckptSchema)
+    val tmp = new Path(manifestDir(path),
+      s".ckpt_v${m.version}_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, ckptDir(path, m.version))) fs.delete(tmp, true)
+  }
+
+  /** Atomically land one commit JSON as `v<version>.json`: temp write
+    * + rename, losing the race loudly — never overwriting a committed
+    * version. Shared by all three commit shapes. */
+  private def commitAtomic(spark: SparkSession, path: String, version: Long,
+                           node: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
     val fs = fsFor(spark, path)
     fs.mkdirs(manifestDir(path))
+    val tmp = new Path(manifestDir(path),
+      s".v$version.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+    val dst = new Path(manifestDir(path), s"v$version.json")
+    // optimistic concurrency: lose the race loudly, never overwrite a
+    // committed version
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new VersionRaceException(
+        s"TxLog: concurrent commit detected for v$version at $path")
+    }
+  }
+
+  /** Shared metadata header for every commit shape (resolved values —
+    * any single commit file fully describes its version's schema,
+    * layout and watermark). */
+  private def metaNode(version: Long, partitionCol: Option[String],
+                       schemaDdl: String, sourceBatchId: Option[Long],
+                       statsCols: Seq[String])
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = mapper.createObjectNode()
-    node.put("version", m.version)
-    m.partitionCol match {
+    node.put("version", version)
+    partitionCol match {
       case Some(c) => node.put("partitionCol", c)
       case None => node.putNull("partitionCol")
     }
-    node.put("schemaDdl", m.schemaDdl)
-    m.sourceBatchId.foreach(b => node.put("sourceBatchId", b))
+    node.put("schemaDdl", schemaDdl)
+    sourceBatchId.foreach(b => node.put("sourceBatchId", b))
+    if (statsCols.nonEmpty) {
+      val sc = node.putArray("statsCols")
+      statsCols.foreach(sc.add)
+    }
+    node
+  }
+
+  /** Write a FULL commit — the explicit file enumeration. Used where
+    * every file is new anyway ([[create]], [[clone]]); data commits
+    * write O(changed)-sized deltas via [[writeDelta]]. */
+  private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
+    val node = metaNode(m.version, m.partitionCol, m.schemaDdl,
+      m.sourceBatchId, m.statsCols)
     val arr = node.putArray("files")
     m.files.sorted.foreach(arr.add)
     if (m.statsCols.nonEmpty) {
-      val sc = node.putArray("statsCols")
-      m.statsCols.foreach(sc.add)
       val fsNode = node.putObject("fileStats")
       m.fileStats.toSeq.sortBy(_._1).foreach { case (f, cols) =>
         val cNode = fsNode.putObject(f)
@@ -159,19 +421,46 @@ object TxLog {
       val rNode = node.putObject("fileRows")
       m.fileRows.toSeq.sortBy(_._1).foreach { case (f, n) => rNode.put(f, n) }
     }
-    val tmp = new Path(manifestDir(path),
-      s".v${m.version}.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
-    finally out.close()
-    val dst = new Path(manifestDir(path), s"v${m.version}.json")
-    // optimistic concurrency: lose the race loudly, never overwrite a
-    // committed version
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new VersionRaceException(
-        s"TxLog: concurrent commit detected for v${m.version} at $path")
+    commitAtomic(spark, path, m.version, node)
+  }
+
+  /** Write a DELTA commit: `removeDirs` + `add` entries with their
+    * stats/rows. O(files changed) bytes — the shape every data commit
+    * takes, so committing to a 10^6-file table serializes kilobytes. */
+  private def writeDelta(spark: SparkSession, path: String, version: Long,
+                         partitionCol: Option[String], schemaDdl: String,
+                         sourceBatchId: Option[Long], statsCols: Seq[String],
+                         removeDirs: Set[String], addFiles: Seq[String],
+                         addStats: Map[String, Map[String, (String, String)]],
+                         addRows: Map[String, Long]): Unit = {
+    val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId, statsCols)
+    val rmArr = node.putArray("removeDirs")
+    removeDirs.toSeq.sorted.foreach(rmArr.add)
+    val addArr = node.putArray("add")
+    addFiles.sorted.foreach { f =>
+      val e = addArr.addObject()
+      e.put("f", f)
+      addRows.get(f).foreach(n => e.put("rows", n))
+      addStats.get(f).filter(_.nonEmpty).foreach { cols =>
+        val s = e.putObject("stats")
+        cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val a = s.putArray(c); a.add(mn); a.add(mx)
+        }
+      }
     }
+    commitAtomic(spark, path, version, node)
+  }
+
+  /** Write a REF commit: this version's files are exactly
+    * `baseRef`'s — [[restore]]'s zero-data rollback stays
+    * zero-metadata too (O(1) bytes at any table size). */
+  private def writeRef(spark: SparkSession, path: String, version: Long,
+                       partitionCol: Option[String], schemaDdl: String,
+                       sourceBatchId: Option[Long], statsCols: Seq[String],
+                       baseRef: Long): Unit = {
+    val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId, statsCols)
+    node.put("baseRef", baseRef)
+    commitAtomic(spark, path, version, node)
   }
 
   /** Internal: a writer lost the rename race for its target version.
@@ -255,18 +544,27 @@ object TxLog {
     while (true) {
       if (batchId.exists(b => attempt.sourceBatchId.exists(_ >= b)))
         return attempt.version // replayed micro-batch: already committed
-      val kept = attempt.files.filterNot(f => rewriteDirs.contains(dirOf(f)))
-      val stats =
-        if (attempt.statsCols.isEmpty) Map.empty[String, Map[String, (String, String)]]
-        else attempt.fileStats.view.filterKeys(kept.toSet).toMap ++ newStats
-      val rowCounts =
-        attempt.fileRows.view.filterKeys(kept.toSet).toMap ++ newRows
       try {
-        writeManifest(spark, path, attempt.copy(
-          version = attempt.version + 1, schemaDdl = schemaDdl,
-          files = kept ++ newFiles,
-          sourceBatchId = batchId.orElse(attempt.sourceBatchId),
-          fileStats = stats, fileRows = rowCounts))
+        val resolvedBatch = batchId.orElse(attempt.sourceBatchId)
+        // the commit file is a DELTA — O(files changed) bytes; the
+        // race is still one atomic v<N+1>.json rename
+        writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
+          schemaDdl, resolvedBatch, attempt.statsCols,
+          rewriteDirs, newFiles, newStats, newRows)
+        // resolve the state this delta produced (same transition
+        // applyDelta replays) — warms the cache for the next
+        // commit/read and feeds the periodic checkpoint
+        val kept = attempt.files.filterNot(f => rewriteDirs.contains(dirOf(f)))
+        val keptSet = kept.toSet
+        // newFiles sorted: byte-identical to what applyDelta replays
+        // from the JSON (writeDelta emits adds sorted)
+        val resolved = Manifest(attempt.version + 1, attempt.partitionCol,
+          schemaDdl, kept ++ newFiles.sorted, resolvedBatch, attempt.statsCols,
+          if (attempt.statsCols.isEmpty) Map.empty
+          else attempt.fileStats.view.filterKeys(keptSet).toMap ++ newStats,
+          attempt.fileRows.view.filterKeys(keptSet).toMap ++ newRows)
+        cachePut(path, resolved)
+        maybeCheckpoint(spark, path, resolved)
         return attempt.version + 1
       } catch {
         case e: VersionRaceException =>
@@ -396,9 +694,13 @@ object TxLog {
     val files = stageIn(df, path, partitionCol)
     val (stats, rowCounts) =
       collectStats(df.sparkSession, path, df.schema, statsCols, files)
-    writeManifest(df.sparkSession, path,
-      Manifest(1L, partitionCol, df.schema.toDDL, files,
-        statsCols = statsCols, fileStats = stats, fileRows = rowCounts))
+    // a dead table recreated at this path must not serve the old
+    // incarnation's cached snapshots
+    cacheInvalidate(path)
+    val m = Manifest(1L, partitionCol, df.schema.toDDL, files.sorted,
+      statsCols = statsCols, fileStats = stats, fileRows = rowCounts)
+    writeManifest(df.sparkSession, path, m)
+    cachePut(path, m)
     1L
   }
 
@@ -894,8 +1196,13 @@ object TxLog {
     require(toVersion <= cur, s"TxLog.restore: v$toVersion is not committed (head v$cur)")
     val head = manifest(spark, path, cur)
     val target = manifest(spark, path, toVersion)
-    writeManifest(spark, path,
-      target.copy(version = cur + 1, sourceBatchId = head.sourceBatchId))
+    // a REF commit: O(1) bytes — the rollback moves zero data AND
+    // zero metadata regardless of table size
+    writeRef(spark, path, cur + 1, target.partitionCol, target.schemaDdl,
+      head.sourceBatchId, target.statsCols, baseRef = toVersion)
+    val resolved = target.copy(version = cur + 1, sourceBatchId = head.sourceBatchId)
+    cachePut(path, resolved)
+    maybeCheckpoint(spark, path, resolved)
     cur + 1
   }
 
@@ -983,6 +1290,29 @@ object TxLog {
       .flatMap(s => versionOf(s.getPath)).sorted
     val (drop, keep) = versions.partition(_ <= cur - keepVersions)
     val live = keep.flatMap(manifest(spark, path, _).files).toSet
+    // metadata-chain integrity BEFORE dropping old commits: every kept
+    // version must resolve from kept artifacts alone. Walking kept
+    // versions ascending, a version is self-resolvable if it is a full
+    // commit, has a checkpoint, is a delta whose predecessor resolved,
+    // or a ref whose target is a resolvable kept version; anything
+    // else (a delta chained below the cut, a ref into the dropped
+    // range) gets a checkpoint written NOW, while its chain is intact.
+    if (drop.nonEmpty) {
+      val fsDir = fsFor(spark, path)
+      val resolvable = scala.collection.mutable.Set.empty[Long]
+      keep.sorted.foreach { t =>
+        val selfOk =
+          if (fsDir.exists(ckptDir(path, t))) true
+          else {
+            val node = readCommitNode(spark, path, t)
+            if (node.has("files")) true
+            else if (node.has("baseRef")) resolvable.contains(node.get("baseRef").asLong())
+            else resolvable.contains(t - 1)
+          }
+        if (!selfOk) writeCheckpoint(spark, path, manifest(spark, path, t))
+        resolvable += t
+      }
+    }
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(dir: Path, rel: String): Unit =
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
@@ -1010,7 +1340,18 @@ object TxLog {
         }
       }
     }
-    drop.foreach(dv => fs.delete(new Path(manifestDir(path), s"v$dv.json"), false))
+    drop.foreach { dv =>
+      fs.delete(new Path(manifestDir(path), s"v$dv.json"), false)
+      fs.delete(ckptDir(path, dv), true)
+    }
+    // orphaned checkpoint temp dirs (a crashed writer's un-renamed
+    // staging) are invisible to resolution — sweep them here
+    if (fs.exists(manifestDir(path)))
+      fs.listStatus(manifestDir(path))
+        .filter(_.getPath.getName.startsWith(".ckpt_"))
+        .foreach(st => fs.delete(st.getPath, true))
+    // dropped versions must now FAIL resolution, not serve from cache
+    cacheInvalidate(path)
     deleted.toSeq
   }
 
@@ -1126,9 +1467,12 @@ object TxLog {
           m.fileStats.flatMap { case (k, cols) => copied.get(k).map(_ -> cols) },
           m.fileRows.flatMap { case (k, n) => copied.get(k).map(_ -> n) })
       }
-    writeManifest(spark, target, Manifest(1L, m.partitionCol, m.schemaDdl,
-      entries, sourceBatchId = None, statsCols = m.statsCols,
-      fileStats = stats, fileRows = rowCounts))
+    cacheInvalidate(target)
+    val cloneM = Manifest(1L, m.partitionCol, m.schemaDdl,
+      entries.sorted, sourceBatchId = None, statsCols = m.statsCols,
+      fileStats = stats, fileRows = rowCounts)
+    writeManifest(spark, target, cloneM)
+    cachePut(target, cloneM)
     1L
   }
 

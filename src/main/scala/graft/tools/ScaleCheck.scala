@@ -161,6 +161,37 @@ object ScaleCheck {
       graft.storage.TxLog.mergeInto(txdir, upd, Seq("l_orderkey", "l_linenumber"),
         preValidated = true)
     }
+    // r8: manifest scale — commit cost must be O(files CHANGED), not
+    // O(files in table). Two tables, 128 vs 8192 files; the same
+    // 1-file append must cost the same on both (delta commits), and a
+    // cold head resolution on the big table rides the parquet
+    // checkpoint + short delta chain, never one 8192-entry JSON tree.
+    def mkManyFiles(dir: String, nFiles: Int): Unit = {
+      val f = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(dir), true)
+      graft.storage.TxLog.create(
+        spark.range(0, 1L << 20).toDF("id").repartition(nFiles), dir)
+    }
+    val (small, bigTx) = ("/tmp/graft_mani_small", "/tmp/graft_mani_big")
+    t("manifest create 128f") { mkManyFiles(small, 128); 128L }
+    t("manifest create 8192f") { mkManyFiles(bigTx, 8192); 8192L }
+    def appendN(dir: String, n: Int): Long = {
+      (0 until n).foreach(i =>
+        graft.storage.TxLog.append(spark.range(i, i + 1).toDF("id"), dir))
+      n.toLong
+    }
+    t("10 appends @128f")(appendN(small, 10))
+    t("10 appends @8192f")(appendN(bigTx, 10))
+    def jsonKb(dir: String, v: Long): Long =
+      new java.io.File(s"$dir/_manifests/v$v.json").length() / 1024
+    println(s"[scale] commit bytes @8192f: v1 full=${jsonKb(bigTx, 1)} KB, " +
+      s"v11 delta=${new java.io.File(s"$bigTx/_manifests/v11.json").length()} B")
+    graft.storage.TxLog.flushSnapshotCacheForTesting()
+    t("cold head resolve 8192f (ckpt)") {
+      graft.storage.TxLog.manifest(spark,
+        bigTx, graft.storage.TxLog.currentVersion(spark, bigTx).get).files.size.toLong
+    }
     // r7 second wave: LM scoring (count-table joins), temperature /
     // token-budget sampling (domain-bounded quota arithmetic), DQ gate
     // (one-scan audit + codegen'd quarantine)

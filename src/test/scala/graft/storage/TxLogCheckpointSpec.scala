@@ -1,0 +1,189 @@
+package graft.storage
+
+import graft.SparkSpec
+
+/** The scalable metadata layer: delta commits (O(files changed) JSON),
+  * ref commits (O(1) restore), periodic parquet checkpoints, and the
+  * resolved-snapshot cache. These specs pin the STORAGE CONTRACT —
+  * what lands on disk per commit kind and that resolution reproduces
+  * every version exactly with and without its checkpoints.
+  */
+class TxLogCheckpointSpec extends SparkSpec {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_ckpt_$tag"
+    val f = new java.io.File(d)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete()
+    }
+    if (f.exists()) rm(f)
+    d
+  }
+
+  private def commitJson(path: String, v: Long) =
+    mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_manifests/v$v.json")))
+
+  test("data commits are deltas, not file enumerations: commit bytes stay flat as the table grows") {
+    import spark.implicits._
+    val path = freshDir("delta_commits")
+    TxLog.create(Seq((0L, "p0", 0.0)).toDF("k", "part", "v"), path, Some("part"))
+    (1 to 15).foreach { i =>
+      TxLog.append(Seq((i.toLong, s"p$i", i.toDouble)).toDF("k", "part", "v"), path)
+    }
+    // v1 is FULL (creation — every file is new anyway); every data
+    // commit after it is a DELTA carrying only its own adds
+    assert(commitJson(path, 1L).has("files"))
+    (2L to 16L).foreach { v =>
+      val node = commitJson(path, v)
+      assert(!node.has("files") && node.has("add"),
+        s"v$v should be a delta commit")
+    }
+    // the whole point: commit size does NOT grow with table size. The
+    // one-partition append at v16 (15 partitions live) serializes the
+    // same bytes as the one at v3 (2 live) to within noise
+    def size(v: Long) = new java.io.File(s"$path/_manifests/v$v.json").length()
+    assert(size(16L) <= size(3L) * 2,
+      s"delta at v16 (${size(16L)}B) should not outgrow v3 (${size(3L)}B)")
+    // and every version still resolves exactly
+    (1L to 16L).foreach { v =>
+      val ks = TxLog.read(spark, path, Some(v))
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(ks == (0L until v).toSet, s"v$v resolved wrong: $ks")
+    }
+  }
+
+  test("checkpoints land on the interval, and deleting one only lengthens replay — never changes results") {
+    import spark.implicits._
+    val path = freshDir("ckpt_replay")
+    TxLog.create(Seq((0L, "p0", 0.0)).toDF("k", "part", "v"), path, Some("part"))
+    (1 to 21).foreach { i =>
+      TxLog.append(Seq((i.toLong, s"p${i % 4}", i.toDouble)).toDF("k", "part", "v"), path)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def ckpt(v: Long) = new org.apache.hadoop.fs.Path(s"$path/_manifests/v$v.ckpt")
+    assert(fs.exists(ckpt(10L)) && fs.exists(ckpt(20L)),
+      "checkpoints expected at the default interval (10)")
+    val headRows = TxLog.read(spark, path)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val v15Rows = TxLog.read(spark, path, Some(15L))
+      .select("k").collect().map(_.getLong(0)).toSet
+    // a cold reader (cache flushed) resolves v22 from ckpt(20) + 2
+    // deltas; with BOTH checkpoints gone it replays the full delta
+    // chain from the v1 full commit — identical results either way
+    TxLog.flushSnapshotCacheForTesting()
+    assert(TxLog.read(spark, path).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet == headRows)
+    fs.delete(ckpt(10L), true); fs.delete(ckpt(20L), true)
+    TxLog.flushSnapshotCacheForTesting()
+    assert(TxLog.read(spark, path).select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet == headRows,
+      "full delta replay must reproduce the head")
+    assert(TxLog.read(spark, path, Some(15L))
+      .select("k").collect().map(_.getLong(0)).toSet == v15Rows,
+      "time travel must survive checkpoint loss")
+  }
+
+  test("checkpoint carries stats and row counts: fastCount and skip pruning work from a cold checkpoint read") {
+    import spark.implicits._
+    val path = freshDir("ckpt_stats")
+    TxLog.create((0L until 20L).map(i => (i, s"p${i % 2}", i * 1.0))
+      .toDF("k", "part", "v"), path, Some("part"), statsCols = Seq("k"))
+    (1 to 9).foreach { i =>
+      TxLog.append(Seq((100L + i, s"p${i % 2}", 0.0)).toDF("k", "part", "v"), path)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifests/v10.ckpt")))
+    TxLog.flushSnapshotCacheForTesting()
+    // the resolution path is now checkpoint-first: stats/rows must
+    // round-trip through the columnar form, not just the JSON
+    assert(TxLog.fastCount(spark, path).contains(29L))
+    val pruned = TxLog.prunedFiles(spark, path, "k", 105L, 106L)
+    val all = TxLog.manifest(spark, path, 10L).files
+    assert(pruned.size < all.size,
+      s"stats must prune from a checkpoint-resolved snapshot (${pruned.size}/${all.size})")
+    val hit = TxLog.readBetween(spark, path, "k", 105L, 106L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(105L, 106L))
+  }
+
+  test("restore is a ref commit: O(1) metadata at any table size, still resolves exactly") {
+    import spark.implicits._
+    val path = freshDir("ref_restore")
+    TxLog.create((0L until 12L).map(i => (i, s"p${i % 6}", i * 1.0))
+      .toDF("k", "part", "v"), path, Some("part"))
+    TxLog.deleteWhere(spark, path, org.apache.spark.sql.functions.col("k") < 6L) // v2
+    val v3 = TxLog.restore(spark, path, 1L)
+    assert(v3 == 3L)
+    val node = commitJson(path, 3L)
+    assert(node.has("baseRef") && node.get("baseRef").asLong() == 1L &&
+      !node.has("files") && !node.has("add"),
+      "restore must write a ref commit")
+    TxLog.flushSnapshotCacheForTesting()
+    assert(TxLog.read(spark, path).count() == 12L)
+    // and a delta on top of a ref replays cleanly
+    TxLog.append(Seq((99L, "p0", 9.0)).toDF("k", "part", "v"), path) // v4
+    TxLog.flushSnapshotCacheForTesting()
+    assert(TxLog.read(spark, path).count() == 13L)
+  }
+
+  test("vacuum keeps every retained version resolvable: a delta at the cut gets a checkpoint, a ref below the cut survives") {
+    import spark.implicits._
+    val path = freshDir("vacuum_chain")
+    TxLog.create(Seq((0L, "p0", 0.0)).toDF("k", "part", "v"), path, Some("part"))
+    (1 to 6).foreach { i =>
+      TxLog.append(Seq((i.toLong, s"p$i", i.toDouble)).toDF("k", "part", "v"), path)
+    }                                     // v7 head; v5/v6/v7 kept below
+    TxLog.vacuum(spark, path, keepVersions = 3)
+    // v5 is a delta whose predecessor was dropped: vacuum must have
+    // checkpointed it so the chain still grounds
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifests/v5.ckpt")),
+      "vacuum must checkpoint the oldest kept delta")
+    TxLog.flushSnapshotCacheForTesting()
+    (5L to 7L).foreach { v =>
+      assert(TxLog.read(spark, path, Some(v)).count() == v,
+        s"kept v$v must stay readable after vacuum")
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.read(spark, path, Some(3L)).count()
+    }
+
+    // ref-below-the-cut: restore to v5, advance, vacuum past v5 — the
+    // kept ref's target is gone, so the ref version itself needs (and
+    // gets) a checkpoint
+    TxLog.restore(spark, path, 5L)        // v8 = ref(5)
+    (1 to 2).foreach { i =>
+      TxLog.append(Seq((80L + i, "p0", 0.0)).toDF("k", "part", "v"), path)
+    }                                     // v9, v10
+    TxLog.vacuum(spark, path, keepVersions = 3) // keeps v8/v9/v10; drops ≤7
+    TxLog.flushSnapshotCacheForTesting()
+    assert(TxLog.read(spark, path, Some(8L)).count() == 5L,
+      "a kept ref whose target was vacuumed must resolve via its checkpoint")
+    assert(TxLog.read(spark, path).count() == 7L)
+  }
+
+  test("a table recreated at the same path never serves the dead incarnation's cached snapshots") {
+    import spark.implicits._
+    val path = freshDir("recreate")
+    TxLog.create(Seq((1L, "old")).toDF("k", "tag"), path)
+    assert(TxLog.read(spark, path).select("tag").head().getString(0) == "old")
+    // drop the table OUT FROM UNDER the log (what a test harness or an
+    // external cleaner does), then recreate at the same path
+    val f = new java.io.File(path)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete()
+    }
+    rm(f)
+    TxLog.create(Seq((1L, "new")).toDF("k", "tag"), path)
+    assert(TxLog.read(spark, path).select("tag").head().getString(0) == "new",
+      "create must invalidate the path's snapshot cache")
+  }
+}
