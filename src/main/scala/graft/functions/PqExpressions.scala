@@ -139,6 +139,137 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
+/** RESIDUAL PQ encode — the standard IVF-PQ formulation (Jégou et
+  * al.): the code quantizes `v̂ − centroid(cell)` instead of v̂
+  * itself. The residual concentrates around the origin with far less
+  * variance than the raw vector, so the same m codes quantize much
+  * finer; within a cell ADC distances are EXACT in the offset
+  * (‖(q̂−c)−(v̂−c)‖² = ‖q̂−v̂‖²), so correctness is untouched and only
+  * quantization error shrinks. The residual is NOT re-normalized —
+  * that would destroy the identity. Children: (embedding, cell id);
+  * `centroids` is the cell-indexed matrix riding the expression like
+  * the codebooks. Null on null/corrupt input or an out-of-range cell.
+  */
+case class PqEncodeResidual(left: Expression, right: Expression,
+                            centroids: Array[Array[Double]],
+                            codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def m: Int = codebooks.length
+  private def ksub: Int = codebooks(0).length
+  private def dsub: Int = codebooks(0)(0).length
+
+  private def elemIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def getter(arr: String, i: String): String =
+    if (elemIsFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+  private def getElem(arr: ArrayData, i: Int): Double =
+    if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+  private def elemNullable: Boolean = left.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_residual"
+
+  override def nullSafeEval(vec: Any, cellAny: Any): Any = {
+    val a = vec.asInstanceOf[ArrayData]
+    val cell = cellAny.asInstanceOf[Int]
+    val dim = m * dsub
+    if (a.numElements() != dim || cell < 0 || cell >= centroids.length) return null
+    var ss = 0.0
+    var i = 0
+    while (i < dim) {
+      if (elemNullable && a.isNullAt(i)) return null
+      val v = getElem(a, i); ss += v * v; i += 1
+    }
+    val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    val cent = centroids(cell)
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bd = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val idx = j * dsub + t
+          val diff = getElem(a, idx) * inv - cent(idx) - codebooks(j)(c)(t)
+          d += diff * diff; t += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      codes(j) = best; j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    val cm = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, (a, cell) => {
+      val ss = ctx.freshName("ss")
+      val inv = ctx.freshName("inv")
+      val cent = ctx.freshName("cent")
+      val codes = ctx.freshName("codes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val t = ctx.freshName("t")
+      val d = ctx.freshName("d")
+      val bd = ctx.freshName("bd")
+      val best = ctx.freshName("best")
+      val diff = ctx.freshName("diff")
+      val nullElem =
+        if (elemNullable) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |if ($a.numElements() != ${m * dsub} || $cell < 0 || $cell >= $cm.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $ss = 0.0;
+         |  for (int $i = 0; $i < ${m * dsub}; $i++) {
+         |    $nullElem
+         |    double $d = ${getter(a, i)};
+         |    $ss += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $inv = $ss == 0.0 ? 0.0 : 1.0 / java.lang.Math.sqrt($ss);
+         |    double[] $cent = $cm[$cell];
+         |    int[] $codes = new int[$m];
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      int $best = 0;
+         |      double $bd = Double.POSITIVE_INFINITY;
+         |      for (int $c = 0; $c < $ksub; $c++) {
+         |        double $d = 0.0;
+         |        for (int $t = 0; $t < $dsub; $t++) {
+         |          double $diff = ${getter(a, s"$j * $dsub + $t")} * $inv
+         |            - $cent[$j * $dsub + $t] - $cb[$j][$c][$t];
+         |          $d += $diff * $diff;
+         |        }
+         |        if ($d < $bd) { $bd = $d; $best = $c; }
+         |      }
+         |      $codes[$j] = $best;
+         |    }
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |      .fromPrimitiveArray($codes);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeResidual =
+    copy(left = newLeft, right = newRight)
+}
+
 /** ADC probe: Σ_j lut(j)(codes(j)) — the approximate squared L2
   * distance between the query and a PQ-coded vector, m array lookups
   * per row. Null on a wrong-length code array or an out-of-range code
@@ -192,6 +323,12 @@ case class PqAdc(child: Expression, lut: Array[Array[Double]])
 object PqFunctions {
   def pq_encode(c: Column, codebooks: Array[Array[Array[Double]]]): Column =
     ExprBridge.toColumn(PqEncode(ExprBridge.toExpression(c), codebooks))
+
+  def pq_encode_residual(vec: Column, cell: Column,
+                         centroids: Array[Array[Double]],
+                         codebooks: Array[Array[Array[Double]]]): Column =
+    ExprBridge.toColumn(PqEncodeResidual(ExprBridge.toExpression(vec),
+      ExprBridge.toExpression(cell), centroids, codebooks))
 
   def pq_adc(c: Column, lut: Array[Array[Double]]): Column =
     ExprBridge.toColumn(PqAdc(ExprBridge.toExpression(c), lut))

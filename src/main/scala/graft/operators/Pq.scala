@@ -71,6 +71,49 @@ object Pq {
     PqModel(m, ksub, dsub, codebooks)
   }
 
+  /** Train per-subspace codebooks over RESIDUALS `v̂ − centroid(cell)`
+    * of a fitted Ivf index — the standard IVF-PQ formulation (Jégou et
+    * al.). The residual concentrates near the origin with far less
+    * variance than the raw vector, so the same m·log2(ksub) bits
+    * quantize much finer; within a cell the offset cancels exactly in
+    * ADC (‖(q̂−c)−(v̂−c)‖² = ‖q̂−v̂‖²), so this strictly reduces
+    * quantization error vs raw-vector codes. Samples from the index's
+    * own cell-partitioned vectors (same bounded-collect contract as
+    * [[fit]]); a residual model is only valid against the index whose
+    * centroids defined it — [[loadOrBuildIvfPq]] enforces the
+    * coupling. */
+  def fitResidual(spark: org.apache.spark.sql.SparkSession, ivf: Ivf.IvfIndex,
+                  m: Int = 8, ksub: Int = 64,
+                  fitSampleRows: Long = 100000L, seed: Long = 42L): PqModel = {
+    val vecs = spark.read.parquet(s"${ivf.path}/vectors")
+      .select(col("embedding").cast("array<double>"), col("cell"))
+    val n = vecs.count()
+    val sampled =
+      if (n > fitSampleRows)
+        vecs.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
+      else vecs
+    val rows = sampled.collect()
+      .map(r => (r.getSeq[Double](0).toArray, r.getInt(1)))
+    require(rows.nonEmpty, "PQ fitResidual: empty sample")
+    val dim = rows.head._1.length
+    require(dim % m == 0, s"PQ fitResidual: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val cm = Ivf.centroidMatrix(ivf)
+    val residuals = rows.map { case (v, cell) =>
+      val ss = v.map(x => x * x).sum
+      val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+      val cent = cm(cell)
+      Array.tabulate(dim)(i => v(i) * inv - cent(i))
+    }
+    val rnd = new scala.util.Random(seed)
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      lloyd(sub, ksub, rnd)
+    }
+    PqModel(m, ksub, dsub, codebooks)
+  }
+
   /** Plain Lloyd's: seeded-shuffle init, 10 assignment/update rounds,
     * empty clusters re-seeded from the shuffled order. Runs on the
     * bounded driver sample only — never on the corpus. */
@@ -147,6 +190,28 @@ object Pq {
   def adcScore(codes: Column, model: PqModel, queryVec: Array[Double]): Column =
     pq_adc(codes, lut(model, queryVec))
 
+  /** Per-CELL ADC table for residual codes: lut(j)(c) =
+    * ‖(q̂ − centroid)_j − codebook(j)(c)‖². The query's residual
+    * against one probed cell's centroid — m·ksub driver doubles per
+    * probed cell, nprobe tables per query. */
+  def lutResidual(model: PqModel, queryVec: Array[Double],
+                  centroid: Array[Double]): Array[Array[Double]] = {
+    val ss = queryVec.map(x => x * x).sum
+    val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    Array.tabulate(model.m) { j =>
+      Array.tabulate(model.ksub) { c =>
+        var dist = 0.0
+        var t = 0
+        while (t < model.dsub) {
+          val idx = j * model.dsub + t
+          val x = queryVec(idx) * inv - centroid(idx) - model.codebooks(j)(c)(t)
+          dist += x * x; t += 1
+        }
+        dist
+      }
+    }
+  }
+
   /** ANN query: ADC over the coded corpus → `shortlist` smallest
     * distances (TakeOrderedAndProject — per-partition heaps) → exact
     * cosine re-rank of ONLY the shortlist ids against the original
@@ -216,14 +281,17 @@ object Pq {
     * re-encoded even if a stale codes directory exists — codes are
     * only valid against the model that wrote them. */
   def loadOrBuildIvfPq(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
-                       path: String, m: Int = 8, ksub: Int = 16):
+                       path: String, m: Int = 8, ksub: Int = 64):
       (Ivf.IvfIndex, PqModel) = {
     val haveIndex = new java.io.File(s"$path/centroids").exists()
     val index = if (haveIndex) Ivf.load(spark, path) else Ivf.fit(emb, path)
     val haveModel = new java.io.File(s"$path/pq_codebooks").exists()
+    // a RESIDUAL model is only valid against the index whose centroids
+    // defined its residuals: a rebuilt index invalidates a surviving
+    // model just as surely as it invalidates surviving codes
     val model =
-      if (haveModel) load(spark, path)
-      else { val mm = fit(emb, m, ksub); save(spark, mm, path); mm }
+      if (haveModel && haveIndex) load(spark, path)
+      else { val mm = fitResidual(spark, index, m, ksub); save(spark, mm, path); mm }
     // re-encode when EITHER artifact was just (re)built: codes are only
     // valid against the model that wrote them AND the index whose cell
     // ids they are partitioned by — a rebuilt index (partial earlier
@@ -233,32 +301,39 @@ object Pq {
     (index, model)
   }
 
-  /** Offline half of IVF-PQ: PQ-encode an Ivf index's vectors keeping
-    * the cell partition column, written as `path/codes` partitioned by
-    * cell — the standard inverted-file-of-codes layout. One scan of the
-    * already-partitioned vectors; no extra shuffle (the partitioning is
+  /** Offline half of IVF-PQ: RESIDUAL-encode an Ivf index's vectors
+    * (codes quantize `v̂ − centroid(cell)`, the [[fitResidual]]
+    * contract) keeping the cell partition column, written as
+    * `path/codes` partitioned by cell — the standard
+    * inverted-file-of-codes layout. One scan of the already-
+    * partitioned vectors; no extra shuffle (the partitioning is
     * inherited from the read). */
   def encodeIvf(spark: org.apache.spark.sql.SparkSession, ivf: Ivf.IvfIndex,
                 model: PqModel): Unit =
     spark.read.parquet(s"${ivf.path}/vectors")
       .select(col("vec_id"),
-        graft.functions.PqFunctions.pq_encode(col("embedding"), model.codebooks).as("codes"),
+        graft.functions.PqFunctions.pq_encode_residual(col("embedding"),
+          col("cell"), Ivf.centroidMatrix(ivf), model.codebooks).as("codes"),
         col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"${ivf.path}/codes")
 
   /** Incremental codes maintenance (pairs with [[Ivf.append]]): encode
     * a new batch with the EXISTING model and append to the cell
     * partitions of the codes layout — no refit, no re-encode of old
-    * cells, old files byte-identical. One codegen'd scan doing both
-    * the PQ encode and the cell assignment. */
+    * cells, old files byte-identical. One codegen'd scan doing the
+    * cell assignment and the residual encode against that cell. */
   def encodeAppend(spark: org.apache.spark.sql.SparkSession, ivf: Ivf.IvfIndex,
-                   model: PqModel, newEmb: DataFrame): Unit =
+                   model: PqModel, newEmb: DataFrame): Unit = {
+    val cm = Ivf.centroidMatrix(ivf)
     newEmb
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.IvfFunctions.ivf_assign(col("embedding"), cm).as("cell"))
       .select(col("vec_id"),
-        graft.functions.PqFunctions.pq_encode(col("embedding"), model.codebooks).as("codes"),
-        graft.functions.IvfFunctions.ivf_assign(
-          col("embedding"), Ivf.centroidMatrix(ivf)).as("cell"))
+        graft.functions.PqFunctions.pq_encode_residual(col("embedding"),
+          col("cell"), cm, model.codebooks).as("codes"),
+        col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"${ivf.path}/codes")
+  }
 
   /** IVF-PQ query — the 100 TB ANN shape: driver-side centroid argmin
     * picks nprobe cells, the CODES scan partition-prunes to those cells
@@ -274,15 +349,22 @@ object Pq {
                nprobe: Int = 4, shortlist: Int = 100,
                excludeId: Option[Long] = None): DataFrame = {
     val probeCells = Ivf.nearestCells(ivf, queryVec, nprobe).toIndexedSeq
-    val codes0 = spark.read.parquet(s"${ivf.path}/codes")
-      .filter(col("cell").isin(probeCells: _*))
-    val codes = excludeId.fold(codes0)(id => codes0.filter(col("vec_id") =!= id))
-    // same broadcast-semi-join shortlist shape as [[query]]: nulls
-    // (corrupt codes) sort last, the re-rank joins a shortlist-sized
-    // frame instead of folding a shortlist-sized isin literal
-    val short = codes
-      .select(col("vec_id"),
-        graft.functions.PqFunctions.pq_adc(col("codes"), lut(model, queryVec)).as("adc"))
+    val centroidOf = ivf.centroids.toMap
+    // residual codes take a PER-CELL ADC table (the query's residual
+    // against each probed centroid): one partition-pruned branch per
+    // probed cell, unioned — nprobe branches, each scanning exactly
+    // its own cell partition of m-byte rows. Same broadcast-semi-join
+    // shortlist shape as [[query]]: nulls (corrupt codes) sort last,
+    // the re-rank joins a shortlist-sized frame instead of folding a
+    // shortlist-sized isin literal.
+    val allCodes = spark.read.parquet(s"${ivf.path}/codes")
+    val short = probeCells.map { pc =>
+      val codes0 = allCodes.filter(col("cell") === pc)
+      val codes = excludeId.fold(codes0)(id => codes0.filter(col("vec_id") =!= id))
+      codes.select(col("vec_id"),
+        graft.functions.PqFunctions.pq_adc(col("codes"),
+          lutResidual(model, queryVec, centroidOf(pc))).as("adc"))
+    }.reduce(_ unionAll _)
       .orderBy(asc_nulls_last("adc"), col("vec_id"))
       .limit(shortlist)
       .select("vec_id")

@@ -73,7 +73,10 @@ object PipelineQueries {
     // mismatched to the codes on disk)
     "sim_ann_ivfpq" -> ((s, d) => {
       val emb = embeddings(s, d)
-      val path = sys.props("java.io.tmpdir") + s"/graft_ivfpq_${datasetFingerprint(d)}"
+      // "ivfpq2": the residual-encoding format (r8) — artifacts from
+      // the raw-encoding era are invalid against lutResidual and must
+      // not warm-load
+      val path = sys.props("java.io.tmpdir") + s"/graft_ivfpq2_${datasetFingerprint(d)}"
       val (index, model) = Pq.loadOrBuildIvfPq(s, emb, path)
       val qv = emb.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))

@@ -898,7 +898,7 @@ class PipelineQueriesSpec extends SparkSpec {
     // a warm resolve must return exactly the seed-7 codebooks (load) —
     // a refit would return the default-seed model and silently mismatch
     // the codes on disk
-    val m7 = Pq.fit(emb, seed = 7L)
+    val m7 = Pq.fitResidual(spark, index, seed = 7L)
     Pq.save(spark, m7, tmp)
     Pq.encodeIvf(spark, index, m7)
     val (_, m2) = Pq.loadOrBuildIvfPq(spark, emb, tmp)
@@ -1082,7 +1082,7 @@ class PipelineQueriesSpec extends SparkSpec {
         col("embedding"), Ivf.centroidMatrix(index)).as("cell"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(assigned == fitCells, "ivf_assign diverged from KMeans' fit-time cells")
-    val model = Pq.fit(emb)
+    val model = Pq.fitResidual(spark, index)
     Pq.encodeIvf(spark, index, model)
     val vBefore = listParquet(s"$tmp/vectors")
     val cBefore = listParquet(s"$tmp/codes")
@@ -1115,7 +1115,7 @@ class PipelineQueriesSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf)
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_remove").toString
     val index = Ivf.fit(emb, tmp)
-    Pq.encodeIvf(spark, index, Pq.fit(emb))
+    Pq.encodeIvf(spark, index, Pq.fitResidual(spark, index))
     val byCell = spark.read.parquet(s"$tmp/vectors").select("vec_id", "cell")
       .collect().map(r => (r.getLong(0), r.getInt(1)))
       .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
