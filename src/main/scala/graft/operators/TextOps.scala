@@ -605,12 +605,121 @@ object TextOps {
     merges.toSeq
   }
 
-  /** [[bpeMerges]] as a DataFrame — the driver-checkable merge table. */
+  /** One greedy scan applying a whole SYMBOL-DISJOINT merge batch: each
+    * symbol is the left of at most one pair and the right of at most
+    * one, so at any adjacency at most one merge can fire and no merge
+    * can consume a symbol another needs — a single left-to-right pass
+    * is order-equivalent to chaining [[mergePair]] per merge, without
+    * the O(batch)-deep lambda nesting. Lookup is two flat map literals
+    * (left → expected right, left → merged symbol); created symbols
+    * are concatenations, never map keys, so they cannot re-fire. */
+  private def mergeBatchDisjoint(syms: Column, batch: Seq[(String, String)]): Column = {
+    val expectR = map(batch.flatMap { case (a, b) => Seq(lit(a), lit(b)) }: _*)
+    val mergedV = map(batch.flatMap { case (a, b) => Seq(lit(a), lit(a + b)) }: _*)
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(expectR, element_at(acc, -1)) === x,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(element_at(mergedV, element_at(acc, -1)))))
+        .otherwise(concat(acc, array(x))))
+  }
+
+  /** Batched BPE training: learn the SAME merge sequence as
+    * [[bpeMerges]] in O(numMerges / batch) distributed rounds instead
+    * of one round per merge — the difference between hours and days at
+    * a real tokenizer's 32k-100k merges.
+    *
+    * Per round: ONE pair-count pass, fetch the top `window` candidates
+    * sorted by (count desc, pair lex — the sequential tie-break), then
+    * accept a prefix that is pairwise SYMBOL-DISJOINT, stopping at the
+    * first candidate that shares a symbol with the accepted set, and
+    * trim to counts strictly above that stop candidate's count.
+    *
+    * Why the batch is provably order-equivalent to sequential BPE:
+    *  - Disjoint merges cannot change each other's pair counts: merging
+    *    (a,b) only changes counts of pairs of the form (·,a), (b,·) or
+    *    (a,b) itself — all share a symbol with it.
+    *  - Any pair whose count a batch merge can change therefore shares
+    *    a symbol with an accepted pair, so it was never accepted and
+    *    ranks at-or-after the stop point: its count <= cStop.
+    *  - A merge of (a,b) only CREATES pairs (x,ab)/(ab,y) whose counts
+    *    are bounded by the feeding pairs (x,a)/(b,y) — which share a
+    *    symbol with (a,b), so every created pair's count <= cStop too.
+    *  - Every kept candidate's count is strictly > cStop, so at each
+    *    intermediate sequential step the kept candidate still strictly
+    *    dominates all changed and created pairs, and dominates-or-
+    *    lex-precedes every unchanged one. Sequential BPE's next |kept|
+    *    picks are exactly the kept prefix, in order.
+    * When the window comes back conflict-free, unseen candidates (count
+    * <= the last fetched count) play the cStop role; when the candidate
+    * table is exhausted conflict-free, the whole batch is kept (pairs
+    * below `minPairCount` can only feed created pairs below it). The
+    * top candidate is always kept — it is sequential's next pick by
+    * definition — so every round makes progress.
+    *
+    * Returns (merges in rank order, distributed rounds used). */
+  def bpeMergesBatched(docs: DataFrame, numMerges: Int,
+                       minPairCount: Long = 2,
+                       window: Int = 64): (Seq[(Int, String, String, Long)], Int) = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    require(window >= 2, s"window must be >= 2, got $window")
+    var state = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(filter(split(col("w"), ""), x => x =!= "").as("syms"), col("n"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rounds = 0
+    var done = false
+    while (!done && merges.size < numMerges) {
+      val top = state
+        .filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy("p.a", "p.b").agg(sum("n").as("cnt"))
+        .filter(col("cnt") >= minPairCount)
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(window).collect()
+      rounds += 1
+      if (top.isEmpty) done = true
+      else {
+        val cands = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val touched = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        // cStop = best count a pair the batch may perturb could still
+        // hold: the first symbol-sharing candidate, else the window
+        // tail, else (exhausted table) nothing — MinValue keeps all.
+        var cStop = if (cands.length < window) Long.MinValue else cands.last._3
+        var stopped = false
+        for (c @ (a, b, cnt) <- cands if !stopped) {
+          if (touched(a) || touched(b)) { cStop = cnt; stopped = true }
+          else { accepted += c; touched += a; touched += b }
+        }
+        val kept = accepted.take(1) ++ accepted.drop(1).takeWhile(_._3 > cStop)
+        val batch = kept.take(numMerges - merges.size)
+        batch.foreach { case (a, b, cnt) =>
+          merges += ((merges.size + 1, a, b, cnt))
+        }
+        state = state
+          .withColumn("syms",
+            mergeBatchDisjoint(col("syms"), batch.toSeq.map(t => (t._1, t._2))))
+          .localCheckpoint(true)
+      }
+    }
+    state.unpersist()
+    (merges.toSeq, rounds)
+  }
+
+  /** [[bpeMergesBatched]] as a DataFrame — the driver-checkable merge
+    * table (identical to the sequential [[bpeMerges]] sequence by the
+    * batching proof; the equivalence is additionally spec-pinned). */
   def bpeTrain(docs: DataFrame, numMerges: Int,
                minPairCount: Long = 2): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeMerges(docs, numMerges, minPairCount)
+    bpeMergesBatched(docs, numMerges, minPairCount)._1
       .toDF("merge_rank", "left", "right", "pair_count")
       .orderBy("merge_rank")
   }

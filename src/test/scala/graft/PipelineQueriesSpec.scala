@@ -789,6 +789,53 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(TextOps.bpeMerges(tie, 1, minPairCount = 1).head == ((1, "x", "y", 1L)))
   }
 
+  test("batched BPE is merge-for-merge identical to sequential at every window") {
+    import spark.implicits._
+    val fixture = Seq((1L, "abc abc ab"), (2L, "abc ab ab")).toDF("doc_id", "text")
+    val seqFix = TextOps.bpeMerges(fixture, 10)
+    assert(TextOps.bpeMergesBatched(fixture, 10)._1 == seqFix)
+    // adversarial corpus: a 5-letter alphabet makes nearly every top
+    // candidate share a symbol with the next — the regime where a
+    // wrong batching rule diverges from sequential immediately
+    val rng = new scala.util.Random(42)
+    val words = Seq.fill(200)(
+      Seq.fill(3 + rng.nextInt(6))(('a' + rng.nextInt(5)).toChar).mkString)
+    val docs = words.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val sequential = TextOps.bpeMerges(docs, 30, minPairCount = 1)
+    assert(sequential.size == 30, s"fixture too small: ${sequential.size} merges")
+    for (w <- Seq(2, 8, 64)) {
+      val (batched, rounds) = TextOps.bpeMergesBatched(docs, 30, minPairCount = 1, window = w)
+      assert(batched == sequential,
+        s"window=$w diverged:\n  batched   =$batched\n  sequential=$sequential")
+      info(s"window=$w: 30 merges in $rounds rounds")
+    }
+  }
+
+  test("batched BPE: 1000 merges complete in bounded distributed rounds") {
+    import spark.implicits._
+    // 1000 symbol-disjoint two-char words (CJK block — all BMP, so
+    // split("") is one code unit per symbol) with strictly decreasing
+    // frequencies: the whole candidate table is conflict-free, so each
+    // round absorbs ~window merges
+    val pairs = (0 until 1000).map { i =>
+      ((0x4E00 + 2 * i).toChar.toString, (0x4E00 + 2 * i + 1).toChar.toString, 1002L - i)
+    }
+    val docs = pairs.zipWithIndex.map { case ((a, b, n), i) =>
+      (i.toLong, Seq.fill(n.toInt)(a + b).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (merges, rounds) = TextOps.bpeMergesBatched(docs, 1000, window = 256)
+    assert(merges.size == 1000, s"only ${merges.size} merges learned")
+    assert(rounds <= 6, s"1000 merges took $rounds rounds — batching is not batching")
+    // merge order must be exactly descending frequency
+    val expected = pairs.sortBy(-_._3).zipWithIndex
+      .map { case ((a, b, n), i) => (i + 1, a, b, n) }
+    assert(merges == expected,
+      s"order diverged at ${merges.zip(expected).indexWhere(t => t._1 != t._2)}")
+    info(s"1000 merges in $rounds distributed rounds (window=256)")
+  }
+
   test("bm25 matches the hand-computed formula and ranks the rare term first") {
     import spark.implicits._
     // N=3, dl = 4/2/4, avgdl = 10/3; terms a (df=2) and e (df=1):
