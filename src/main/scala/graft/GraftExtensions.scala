@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.descriptors.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    graft.functions.TableFunctions.descriptors.foreach { case (name, info, builder) =>
+      e.injectTableFunction((FunctionIdentifier(name), info, builder))
+    }
     e.injectOptimizerRule(_ => graft.plans.WindowTopKRule)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
@@ -65,6 +68,10 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (name, i, builder) =>
       org.apache.spark.sql.graftbridge.ExprBridge.registerFunction(spark, name, i, builder)
+    }
+    graft.functions.TableFunctions.descriptors.foreach { case (name, i, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(
+        FunctionIdentifier(name), i, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.WindowTopKRule))
       spark.experimental.extraOptimizations =

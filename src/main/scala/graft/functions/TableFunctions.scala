@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graftbridge.ExprBridge
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import graft.operators.{Dedup, Funnel, TextOps}
+import graft.storage.TxLog
+
+/** Table-valued SQL functions over the flagship operators — the SQL
+  * surface the reference's interactive app shape implies (gwasDB
+  * app.R:82-176 drives everything through SQL strings against
+  * Postgres; here the same front door reaches graft's operator
+  * library): `SELECT * FROM graft_funnel('events', 'view,cart', ...)`.
+  *
+  * Each builder resolves its literal arguments at analysis time, runs
+  * the corresponding Scala operator to obtain a logical plan, and
+  * splices that plan into the outer query — so the SQL path IS the
+  * Scala path (same plan, same pushdown, same results; spec-pinned by
+  * SqlSurfaceSpec). Table arguments are view/table NAMES resolved
+  * against the session catalog, TxLog arguments are table paths —
+  * time travel is an optional version argument, the DataFrame API's
+  * exact contract.
+  */
+object TableFunctions {
+
+  private def active: SparkSession = SparkSession.active
+
+  private def litStr(fn: String, what: String, e: Expression): String = e match {
+    case l: Literal if l.dataType == StringType && l.value != null => l.value.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a non-null string literal, got $other")
+  }
+
+  private def litLong(fn: String, what: String, e: Expression): Long = e match {
+    case l: Literal if l.dataType == IntegerType && l.value != null =>
+      l.value.asInstanceOf[Int].toLong
+    case l: Literal if l.dataType == LongType && l.value != null =>
+      l.value.asInstanceOf[Long]
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
+  }
+
+  private def csv(s: String): Seq[String] = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    ExprBridge.logicalPlan(df)
+
+  private def arity(fn: String, es: Seq[Expression], allowed: Range): Unit =
+    require(allowed.contains(es.size),
+      s"$fn takes ${allowed.start}" +
+        (if (allowed.size > 1) s"..${allowed.last}" else "") +
+        s" arguments, got ${es.size}")
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  /** (name, info, builder) triples for
+    * `SparkSessionExtensions.injectTableFunction` and the live-session
+    * registry path in [[graft.GraftExtensions.register]]. */
+  val descriptors: Seq[(String, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    ("graft_funnel",
+      info("graft_funnel",
+        "graft_funnel(table, steps_csv[, max_gap]) - ordered-step funnel over table(user_id, ts, event_type, event_id); max_gap like '30 minutes'"),
+      (es: Seq[Expression]) => {
+        arity("graft_funnel", es, 2 to 3)
+        val tbl = litStr("graft_funnel", "table", es.head)
+        val steps = csv(litStr("graft_funnel", "steps_csv", es(1)))
+        val gap = es.lift(2).map(litStr("graft_funnel", "max_gap", _))
+        plan(Funnel.funnel(active.table(tbl), steps, maxGap = gap))
+      }),
+    ("graft_bm25",
+      info("graft_bm25",
+        "graft_bm25(table, terms_csv, k) - BM25 top-k of table(doc_id, text) for the query terms"),
+      (es: Seq[Expression]) => {
+        arity("graft_bm25", es, 3 to 3)
+        plan(TextOps.bm25(active.table(litStr("graft_bm25", "table", es.head)),
+          csv(litStr("graft_bm25", "terms_csv", es(1))),
+          k = litLong("graft_bm25", "k", es(2)).toInt))
+      }),
+    ("graft_dedup_survivors",
+      info("graft_dedup_survivors",
+        "graft_dedup_survivors(table) - exact-dedup survivor set (keep_id, n_copies, h) of table(doc_id, text)"),
+      (es: Seq[Expression]) => {
+        arity("graft_dedup_survivors", es, 1 to 1)
+        plan(Dedup.exact(active.table(litStr("graft_dedup_survivors", "table", es.head))))
+      }),
+    ("graft_langid",
+      info("graft_langid",
+        "graft_langid(table) - n-gram language id over table(doc_id, text)"),
+      (es: Seq[Expression]) => {
+        arity("graft_langid", es, 1 to 1)
+        plan(TextOps.langId(active.table(litStr("graft_langid", "table", es.head))))
+      }),
+    ("graft_text_quality",
+      info("graft_text_quality",
+        "graft_text_quality(table) - quality metrics over table(doc_id, text)"),
+      (es: Seq[Expression]) => {
+        arity("graft_text_quality", es, 1 to 1)
+        plan(TextOps.quality(active.table(litStr("graft_text_quality", "table", es.head))))
+      }),
+    ("graft_txlog",
+      info("graft_txlog",
+        "graft_txlog(path[, version]) - snapshot read of the TxLog table at path; version time-travels"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog", es, 1 to 2)
+        plan(TxLog.read(active, litStr("graft_txlog", "path", es.head),
+          es.lift(1).map(litLong("graft_txlog", "version", _))))
+      }),
+    ("graft_txlog_history",
+      info("graft_txlog_history",
+        "graft_txlog_history(path) - commit history of the TxLog table at path"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_history", es, 1 to 1)
+        plan(TxLog.history(active, litStr("graft_txlog_history", "path", es.head)))
+      }),
+    ("graft_txlog_cdf",
+      info("graft_txlog_cdf",
+        "graft_txlog_cdf(path, from_version, to_version, keys_csv) - change-data feed between two versions"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_cdf", es, 4 to 4)
+        plan(TxLog.changes(active, litStr("graft_txlog_cdf", "path", es.head),
+          litLong("graft_txlog_cdf", "from_version", es(1)),
+          litLong("graft_txlog_cdf", "to_version", es(2)),
+          csv(litStr("graft_txlog_cdf", "keys_csv", es(3)))))
+      }),
+  )
+}

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.GraftSession
 import graft.tables.Tables
@@ -16,8 +16,45 @@ import graft.tables.Tables
   * each `SparkEntry.oracleSql` query (ANSI SQL) runs here verbatim.
   * The same `registerAll` + `spark.sql` pair is what a long-running
   * SQL endpoint (Spark Connect / Thrift) would serve per request.
+  *
+  * Beyond plain SQL, [[exec]] adds the TXLOG write verbs (reads are
+  * already pure SQL via the `graft_txlog*` table functions —
+  * [[graft.functions.TableFunctions]]):
+  *
+  *   TXLOG CREATE '<path>' [PARTITION BY <col>] AS <select>
+  *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>
+  *   TXLOG RESTORE '<path>' TO VERSION <n>
+  *
+  * — the delegating-dispatcher pattern a transactional layer uses
+  * before it owns a parser extension: anything that isn't a TXLOG verb
+  * goes to `spark.sql` verbatim. Each verb returns a one-row
+  * (version BIGINT) result, the committed version.
   */
 object Sql {
+
+  private val CreateRe =
+    """(?is)\s*TXLOG\s+CREATE\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+)\s+)?AS\s+(.+)""".r
+  private val MergeRe =
+    """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+(.+)""".r
+  private val RestoreRe =
+    """(?is)\s*TXLOG\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
+
+  /** Run one statement: a TXLOG verb or plain SQL. */
+  def exec(spark: SparkSession, sql: String): DataFrame = {
+    import spark.implicits._
+    def asDf(v: Long): DataFrame = Seq(v).toDF("version")
+    sql match {
+      case CreateRe(path, part, select) =>
+        asDf(graft.storage.TxLog.create(spark.sql(select), path,
+          partitionCol = Option(part)))
+      case MergeRe(path, keys, select) =>
+        asDf(graft.storage.TxLog.mergeInto(path, spark.sql(select),
+          keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      case RestoreRe(path, v) =>
+        asDf(graft.storage.TxLog.restore(spark, path, v.toLong))
+      case plain => spark.sql(plain)
+    }
+  }
 
   val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -39,7 +76,7 @@ object Sql {
     val sql = args.drop(1).mkString(" ")
     val spark = GraftSession.get("graft-sql")
     registerAll(spark, sfDir)
-    if (sql.nonEmpty) spark.sql(sql).show(100, truncate = false)
+    if (sql.nonEmpty) exec(spark, sql).show(100, truncate = false)
     else tableNames.foreach(t => println(s"view: $t"))
     spark.stop()
   }

@@ -73,6 +73,75 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got == Seq(("m2", 1), ("m3", 1)), s"view served $got")
   }
 
+  private def sameAs(sql: String, api: org.apache.spark.sql.DataFrame,
+                     name: String): Unit = {
+    val viaSql = spark.sql(sql).collect().map(_.toString).toSeq
+    val viaApi = api.collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty, s"$name: SQL path returned no rows")
+    assert(viaSql == viaApi,
+      s"$name diverged: SQL ${viaSql.take(3)}... vs API ${viaApi.take(3)}...")
+  }
+
+  test("table functions serve the flagship operators as pure SQL, identical to the Scala API") {
+    import graft.operators.{Dedup, Funnel, TextOps}
+    import graft.tables.Tables
+    graft.tools.Sql.registerAll(spark, sf)
+    val events = Tables.events(spark, sf)
+    val documents = Tables.table(spark, sf, "documents")
+    sameAs("SELECT * FROM graft_funnel('events', 'view,click,purchase')",
+      Funnel.funnel(events, Seq("view", "click", "purchase")), "graft_funnel")
+    sameAs("SELECT * FROM graft_funnel('events', 'view,purchase', '2 hours')",
+      Funnel.funnel(events, Seq("view", "purchase"), maxGap = Some("2 hours")),
+      "graft_funnel(max_gap)")
+    sameAs("SELECT * FROM graft_bm25('documents', 'data,model', 5)",
+      TextOps.bm25(documents, Seq("data", "model"), k = 5), "graft_bm25")
+    sameAs("SELECT * FROM graft_dedup_survivors('documents')",
+      Dedup.exact(documents), "graft_dedup_survivors")
+    sameAs("SELECT * FROM graft_langid('documents')",
+      TextOps.langId(documents), "graft_langid")
+    sameAs("SELECT * FROM graft_text_quality('documents')",
+      TextOps.quality(documents), "graft_text_quality")
+    // the TVF result is a real plan fragment: joins/filters compose around it
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM graft_bm25('documents', 'data,model', 5) b
+        |JOIN documents d ON b.doc_id = d.doc_id WHERE b.score > 0""".stripMargin)
+      .head().getLong(0)
+    assert(n > 0 && n <= 5, s"composed TVF join returned $n rows")
+  }
+
+  test("TXLOG verbs + time-travel TVFs close the transactional loop through SQL strings") {
+    import graft.storage.TxLog
+    import graft.tools.Sql
+    graft.tools.Sql.registerAll(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_txlog").toString + "/t"
+    val v1 = Sql.exec(spark,
+      s"TXLOG CREATE '$dir' PARTITION BY r_regionkey AS " +
+        "SELECT r_regionkey, r_name FROM region").head().getLong(0)
+    assert(v1 == 1L, s"create committed v$v1")
+    val v2 = Sql.exec(spark,
+      s"TXLOG MERGE INTO '$dir' ON r_regionkey USING " +
+        "SELECT r_regionkey, concat(r_name, '_m') AS r_name FROM region WHERE r_regionkey < 2")
+      .head().getLong(0)
+    assert(v2 == 2L, s"merge committed v$v2")
+    // pure-SQL time travel ≡ the Scala snapshot reads
+    sameAs(s"SELECT * FROM graft_txlog('$dir', 1) ORDER BY r_regionkey",
+      TxLog.read(spark, dir, Some(1L)).orderBy("r_regionkey"), "graft_txlog@v1")
+    sameAs(s"SELECT * FROM graft_txlog('$dir') ORDER BY r_regionkey",
+      TxLog.read(spark, dir).orderBy("r_regionkey"), "graft_txlog@head")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_txlog('$dir') WHERE r_name LIKE '%\\_m'")
+      .head().getLong(0) == 2L, "merged rows not visible through SQL")
+    sameAs(s"SELECT * FROM graft_txlog_history('$dir')",
+      TxLog.history(spark, dir), "graft_txlog_history")
+    sameAs(s"SELECT * FROM graft_txlog_cdf('$dir', 1, 2, 'r_regionkey') ORDER BY r_regionkey",
+      TxLog.changes(spark, dir, 1L, 2L, Seq("r_regionkey")).orderBy("r_regionkey"),
+      "graft_txlog_cdf")
+    val v3 = Sql.exec(spark, s"TXLOG RESTORE '$dir' TO VERSION 1").head().getLong(0)
+    assert(v3 == 3L, s"restore committed v$v3")
+    sameAs(s"SELECT * FROM graft_txlog('$dir') ORDER BY r_regionkey",
+      TxLog.read(spark, dir, Some(1L)).orderBy("r_regionkey"), "post-restore head ≡ v1")
+  }
+
   test("predicates pushed through a view reach the parquet scan") {
     graft.tools.Sql.registerAll(spark, sf)
     val p = spark.sql(
