@@ -162,9 +162,23 @@ object Similarity {
     * shrinks with `planes`. `planes <= 0` (the default) derives the
     * count from the corpus size via [[planesFor]] — a memoized count()
     * scan, amortized against the search it parameterizes; pass a known
-    * corpus size as `n` to skip the scan entirely. */
+    * corpus size as `n` to skip the scan entirely.
+    *
+    * Knob economics, measured on the sf0.01 test corpus (AnnRecallSpec;
+    * deterministic planes + data): recall@10 is 0.195 at tables=2,
+    * 0.385 at tables=4, 0.630 at tables=8 — each doubling of `tables`
+    * roughly doubles both recall and banding cost (cost is linear in
+    * `tables`: one more hash + one more bucket probe per table, the
+    * exact-cosine re-rank stays candidate-sized). The default is
+    * tables=8, the smallest count clearing a 0.6 recall floor here.
+    * For SERVING top-k at high recall prefer [[annIvf]] (recall 0.97 at
+    * nprobe=4 on the same corpus, and the index prunes the scan instead
+    * of re-hashing the corpus); random-hyperplane LSH shines as the
+    * shared-nothing CANDIDATE GENERATOR — [[annJoin]] /
+    * Dedup.embeddingDupPairs — where a downstream exact verify makes
+    * missed candidates the only cost. */
   def annLsh(emb: DataFrame, queryId: Long = 0L, k: Int = 10, dim: Int = 64,
-             tables: Int = 4, planes: Int = 0, n: Long = -1L): DataFrame = {
+             tables: Int = 8, planes: Int = 0, n: Long = -1L): DataFrame = {
     val p = if (planes > 0) planes
             else planesFor(if (n > 0) n else corpusCount(emb))
     val banded = withBuckets(emb, dim, tables, p)
@@ -207,9 +221,11 @@ object Similarity {
     * bucket math as [[annLsh]], so per-query results agree with the
     * single-query operator. Output: (qid, vec_id, cosine), ≤ k rows
     * per qid. Pair with [[cosineTopKBatch]] + [[recallAtK]] to measure
-    * the recall a (tables, planes) choice actually buys. */
+    * the recall a (tables, planes) choice actually buys — see
+    * [[annLsh]] for the measured tables→recall curve behind the
+    * tables=8 default. */
   def annLshBatch(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
-                  dim: Int = 64, tables: Int = 4, planes: Int = 0,
+                  dim: Int = 64, tables: Int = 8, planes: Int = 0,
                   n: Long = -1L): DataFrame = {
     val p = if (planes > 0) planes
             else planesFor(if (n > 0) n else corpusCount(emb))

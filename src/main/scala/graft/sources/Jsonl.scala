@@ -84,18 +84,21 @@ object Jsonl {
   /** STREAMING quarantined ingest into a transactional table: watch
     * `srcPath` for arriving JSONL files and land each micro-batch with
     * ONE [[split]] pass — good rows commit to the TxLog table at
-    * `tablePath` via `appendBatch` (the batch id makes crash replays
-    * no-ops: the good side is EXACTLY-ONCE), quarantine rows append
-    * under `quarantinePath` tagged with the batch id (plain appends —
-    * at-least-once on replay, dedupable by (batch_id, raw); the
-    * triage side tolerates that, the table side must not).
+    * `tablePath` via `appendBatch`, quarantine rows commit to a second
+    * TxLog table at `quarantinePath` (created here on first start,
+    * schema `raw STRING, reason STRING, batch_id BIGINT`) via the SAME
+    * batch-id watermark. Both sides are EXACTLY-ONCE: a crash between
+    * the two commits replays the batch, and whichever side already
+    * recorded that batch id skips while the other catches up — the
+    * watermark is per-table, so the two tables converge independently
+    * without ever double-applying.
     *
     * foreachBatch rather than two streaming sinks because two sinks
     * would each re-read and re-parse the source; here every line is
-    * read once, split once, routed once. Create the TxLog table first
-    * (its declared schema is the ingest contract); pass a durable
-    * `checkpointLocation` in production — the replay detection rides
-    * on batch-id monotonicity, exactly [[graft.storage.TxLog
+    * read once, split once, routed once. Create the good-side TxLog
+    * table first (its declared schema is the ingest contract); pass a
+    * durable `checkpointLocation` in production — the replay detection
+    * rides on batch-id monotonicity, exactly [[graft.storage.TxLog
     * .streamAppend]]'s caveat. */
   def streamIngestTx(spark: SparkSession, srcPath: String, schema: StructType,
                      required: Seq[String], tablePath: String,
@@ -103,6 +106,13 @@ object Jsonl {
                      checkpointLocation: Option[String] = None,
                      maxFilesPerTrigger: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.storage.TxLog
+    val quarSchema = StructType.fromDDL(
+      "raw STRING, reason STRING, batch_id BIGINT")
+    if (TxLog.currentVersion(spark, quarantinePath).isEmpty)
+      TxLog.create(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], quarSchema),
+        quarantinePath)
     val lines = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(srcPath)
@@ -110,9 +120,9 @@ object Jsonl {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (good, quarantine) = split(batch, schema, required)
-        graft.storage.TxLog.appendBatch(good, tablePath, batchId)
-        quarantine.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(quarantinePath)
+        TxLog.appendBatch(good, tablePath, batchId)
+        TxLog.appendBatch(quarantine.withColumn("batch_id", lit(batchId)),
+          quarantinePath, batchId)
         ()
       }
     checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()

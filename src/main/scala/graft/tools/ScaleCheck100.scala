@@ -1,0 +1,137 @@
+package graft.tools
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.operators.Dedup
+import graft.tables.Tables
+
+/** 100x scale experiment for the flagship paths — two orders of
+  * magnitude over sf0.1, because a 10x run can hide super-linear terms
+  * (an O(n^1.3) stage reads as "a bit slow" at 10x and as a wall at
+  * 100x). Each path is timed at 1x / 10x / 100x with the SAME data
+  * shape per tier, so the two successive ratios give a direct
+  * flat / linear / super-linear reading:
+  *
+  *  - `jaccard_join`: documents replicated with per-copy-SALTED tokens
+  *    (every copy is a distinct mini-corpus) — the honest "100x more
+  *    data" shape. Un-salted replication would plant 100-cliques of
+  *    identical docs and measure the data pathology (copies^2 output),
+  *    not the operator.
+  *  - `dedup_components`: synthetic chain-forests with FIXED chain
+  *    length (64) and 100x the chains — diameter constant, edge count
+  *    scales, so rounds stay put and per-round cost must track edges.
+  *  - `bm25_indexed`: documents replicated UN-salted (shifted ids,
+  *    same text) — query-term postings genuinely grow 100x, which is
+  *    exactly what serving must stay proportional to (never corpus
+  *    text). Build is corpus-linear by design; serving must track
+  *    postings-of-query-terms, reading only their bucket partitions.
+  *  - `txlog merge`: 100x lineitem into a 16-partition table, then a
+  *    1/16-partition merge — merge cost must track the TOUCHED
+  *    partition (~1/16 of a tier's create), not the table.
+  */
+object ScaleCheck100 {
+  private def t(name: String)(f: => Long): Double = {
+    val t0 = System.nanoTime()
+    val n = f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[scale100] $name%-28s $s%8.2f s  rows=$n")
+    s
+  }
+
+  /** copies docs `factor`x with shifted ids; `salt` appends the copy id
+    * to every token so copies share no vocabulary. */
+  private def replicateDocs(docs: DataFrame, factor: Int, salt: Boolean,
+                            out: String): Unit = {
+    if (new java.io.File(out).exists()) return
+    (0 until factor).map { i =>
+      val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+      if (salt && i > 0)
+        shifted.withColumn("text",
+          regexp_replace(col("text"), lit(" "), lit(s"_$i ")))
+      else shifted
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(out)
+  }
+
+  private def chainForest(spark: SparkSession, chains: Long,
+                          len: Long): DataFrame =
+    // chain c holds nodes [c*len, (c+1)*len); edge i -> i+1 within it
+    spark.range(chains * len)
+      .filter((col("id") + 1) % len =!= 0)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("scale100")
+    val d = "/root/testdata/sf0.1"
+    val root = "/tmp/graft_sf100x"
+    val docs = Tables.documents(spark, d)
+
+    // ---- jaccard_join: salted replication, three tiers ----
+    replicateDocs(docs, 10, salt = true, s"$root/docs_salted_10x")
+    replicateDocs(docs, 100, salt = true, s"$root/docs_salted_100x")
+    def jj(path: Option[String]): Long = {
+      val in = path.fold(docs)(p => spark.read.parquet(p))
+      Dedup.jaccardJoin(in.select("doc_id", "text")).count()
+    }
+    val j1 = t("jaccard_join 1x")(jj(None))
+    val j10 = t("jaccard_join 10x")(jj(Some(s"$root/docs_salted_10x")))
+    val j100 = t("jaccard_join 100x")(jj(Some(s"$root/docs_salted_100x")))
+    println(f"[scale100] jaccard ratios: 10x/1x ${j10 / j1}%.1f, 100x/10x ${j100 / j10}%.1f")
+
+    // ---- dedup_components: constant diameter, 1M/10M/100M edges ----
+    def cc(chains: Long): Long =
+      Dedup.components(chainForest(spark, chains, 64L)).select("comp")
+        .distinct().count()
+    val c1 = t("components 1M edges")(cc(16000L))
+    val c10 = t("components 10M edges")(cc(160000L))
+    val c100 = t("components 100M edges")(cc(1600000L))
+    println(f"[scale100] components ratios: 10x/1x ${c10 / c1}%.1f, 100x/10x ${c100 / c10}%.1f")
+
+    // ---- bm25_indexed: un-salted replication, build + serve ----
+    replicateDocs(docs, 10, salt = false, s"$root/docs_plain_10x")
+    replicateDocs(docs, 100, salt = false, s"$root/docs_plain_100x")
+    val terms = Seq("dup", "vector", "join")
+    def buildAndServe(tag: String, src: Option[String]): Unit = {
+      val in = src.fold(docs)(p => spark.read.parquet(p))
+      val idx = s"$root/bm25_$tag"
+      t(s"bm25 index build $tag") {
+        graft.operators.TextOps.buildTextIndex(in, idx); 1L
+      }
+      t(s"bm25 serve $tag") {
+        graft.operators.TextOps.bm25Indexed(spark, idx, terms, k = 50).count()
+      }
+    }
+    buildAndServe("1x", None)
+    buildAndServe("10x", Some(s"$root/docs_plain_10x"))
+    buildAndServe("100x", Some(s"$root/docs_plain_100x"))
+
+    // ---- txlog merge: 100x lineitem, 16 partitions, 1/16 merge ----
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    def txTier(tag: String, factor: Int): Unit = {
+      val dir = s"$root/txlog_$tag"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val tiered = (0 until factor).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+        .reduce(_ unionAll _)
+        .withColumn("part", pmod(col("l_orderkey"), lit(16L)))
+      t(s"txlog create $tag") {
+        graft.storage.TxLog.create(tiered, dir, Some("part"))
+        graft.storage.TxLog.read(spark, dir).count()
+      }
+      t(s"txlog merge $tag 1/16") {
+        val upd = tiered.filter(col("part") === 3L && col("l_linenumber") === 1)
+          .dropDuplicates("l_orderkey", "l_linenumber")
+          .withColumn("l_quantity", col("l_quantity") * 2)
+        graft.storage.TxLog.mergeInto(dir, upd,
+          Seq("l_orderkey", "l_linenumber"), preValidated = true)
+      }
+    }
+    txTier("1x", 1)
+    txTier("10x", 10)
+    txTier("100x", 100)
+    spark.stop()
+  }
+}

@@ -47,20 +47,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(r4 >= 0.60, s"IVF recall@10 at nprobe=4/nlist=16 below floor: $r4")
   }
 
-  test("LSH recall@10: grows with tables, tables=4 holds the floor, matches single-query path") {
+  test("LSH recall@10: grows with tables, DEFAULT knobs hold a 0.6 floor, matches single-query path") {
     val n = emb.count()
     val r2 = mean(Similarity.annLshBatch(emb, qids, k, tables = 2, n = n))
     val r4 = mean(Similarity.annLshBatch(emb, qids, k, tables = 4, n = n))
-    val r8 = mean(Similarity.annLshBatch(emb, qids, k, tables = 8, n = n))
-    info(f"LSH recall@10 (planes=${Similarity.planesFor(n)}): tables=2 $r2%.3f, tables=4 $r4%.3f, tables=8 $r8%.3f")
-    assert(r8 >= r4 && r4 >= r2,
-      s"recall not monotone in tables: t2=$r2 t4=$r4 t8=$r8")
+    val rDefault = mean(Similarity.annLshBatch(emb, qids, k, n = n))
+    info(f"LSH recall@10 (planes=${Similarity.planesFor(n)}): tables=2 $r2%.3f, tables=4 $r4%.3f, default(tables=8) $rDefault%.3f")
+    assert(rDefault >= r4 && r4 >= r2,
+      s"recall not monotone in tables: t2=$r2 t4=$r4 t8=$rDefault")
     // measured 0.385 / 0.630 (deterministic planes + data). Random
     // near-orthogonal vectors are hyperplane LSH's worst case — each
     // extra table buys ~60% more recall here; the clustered test below
-    // shows the high-recall regime the operator is actually for
+    // shows the high-recall regime the operator is actually for. The
+    // DEFAULT knobs (tables=8, sized planes) must clear 0.6 — the
+    // scaladoc's documented contract for out-of-the-box serving; the
+    // higher-recall serving path remains IVF (0.97 at nprobe=4 above).
     assert(r4 >= 0.35, s"LSH recall@10 at tables=4 below floor: $r4")
-    assert(r8 >= 0.55, s"LSH recall@10 at tables=8 below floor: $r8")
+    assert(rDefault >= 0.60,
+      s"LSH recall@10 at DEFAULT knobs below documented floor: $rDefault")
     // the batch probe is the same bucket math as the shipped annLsh
     val single = Similarity.annLsh(emb, queryId = 5L, k = k, n = n)
       .collect().map(_.getLong(0)).toSet

@@ -427,17 +427,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == bg.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet)
     assert(streamed.map(_._1) == Set(1L, 2L, 3L))
-    val quarantined = spark.read.parquet(quar).collect()
+    // quarantine is a TxLog table too, riding the SAME batch-id watermark
+    val quarRows = TxLog.read(spark, quar)
+    val quarantined = quarRows.collect()
       .map(r => r.getAs[String]("raw") -> r.getAs[String]("reason")).toSet
     assert(quarantined == bq.collect()
       .map(r => (r.getString(0), r.getString(1))).toSet)
     assert(quarantined.map(_._2) == Set("unparseable", "null_required:doc_id"))
     // one commit per micro-batch rode in; replaying an already-committed
-    // batch id is a no-op — the exactly-once half of the contract
+    // batch id is a no-op on BOTH sides — the exactly-once contract
     val v = TxLog.currentVersion(spark, tbl).get
     assert(v >= 3L, s"expected one commit per micro-batch, head v$v")
     TxLog.appendBatch(TxLog.read(spark, tbl).limit(1), tbl, 0L)
     assert(TxLog.currentVersion(spark, tbl).contains(v), "batch replay re-committed")
+    val qv = TxLog.currentVersion(spark, quar).get
+    val qCount = quarRows.count()
+    TxLog.appendBatch(TxLog.read(spark, quar).limit(1), quar, 0L)
+    assert(TxLog.currentVersion(spark, quar).contains(qv),
+      "quarantine batch replay re-committed")
+    assert(TxLog.read(spark, quar).count() == qCount,
+      "quarantine batch replay added rows")
   }
 
   test("stateful mapGroupsWithState totals match the batch aggregate") {

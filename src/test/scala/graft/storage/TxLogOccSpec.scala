@@ -113,6 +113,97 @@ class TxLogOccSpec extends SparkSpec {
     }
   }
 
+  // retry-on-conflict is the documented caller contract for merge-shaped
+  // commits: mergeInto re-reads the snapshot on every attempt, so the
+  // loop IS the recompute. Bounded so a livelock fails the test loudly.
+  private def mergeRetry(path: String,
+                         updates: org.apache.spark.sql.DataFrame,
+                         keys: Seq[String]): Long = {
+    var attempts = 0
+    var v = -1L
+    while (v < 0) {
+      try v = TxLog.mergeInto(path, updates, keys)
+      catch {
+        case _: TxLog.CommitConflictException =>
+          attempts += 1
+          assert(attempts < 64, "merge retry livelock")
+      }
+    }
+    v
+  }
+
+  test("concurrent mergeInto writers on OVERLAPPING partitions: no lost update, serializable outcome") {
+    import spark.implicits._
+    val path = freshDir("merge_threads_overlap")
+    // ids 1..8 over partitions p = id % 4; every writer touches the
+    // contested key id=1 AND its own keys AND inserts a fresh key —
+    // updates, collisions, and inserts all race at once
+    val base = (1 to 8).map(i => (i.toLong, (i % 4), s"base$i"))
+    TxLog.create(base.toDF("id", "p", "v"), path, partitionCol = Some("p"))
+    val writers = 1 to 4
+    val frames = writers.map { w =>
+      w -> Seq(
+        (1L, 1, s"contested_w$w"),              // same key, same partition, all writers
+        (w.toLong + 4L, (w + 4) % 4, s"own_w$w"), // writer-owned update
+        (100L + w, w % 4, s"ins_w$w")           // fresh insert
+      ).toDF("id", "p", "v")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val versions: Map[Int, Long] =
+      try {
+        val futures = frames.map { case (w, df) =>
+          w -> pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = mergeRetry(path, df, Seq("id"))
+          })
+        }
+        futures.map { case (w, f) =>
+          w -> f.get(180, java.util.concurrent.TimeUnit.SECONDS)
+        }.toMap
+      } finally pool.shutdown()
+    // every writer committed a DISTINCT version: four serial merges
+    assert(versions.values.toSet.size == 4, versions.toString)
+    val rows = TxLog.read(spark, path).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // no lost update: every writer's own update and insert survived
+    writers.foreach { w =>
+      assert(rows(w.toLong + 4L) == s"own_w$w", s"writer $w update lost")
+      assert(rows(100L + w) == s"ins_w$w", s"writer $w insert lost")
+    }
+    // serializable: the contested key holds the LAST committer's value
+    // (merges applied in version order, updates win on collision)
+    val lastWriter = versions.maxBy(_._2)._1
+    assert(rows(1L) == s"contested_w$lastWriter",
+      s"contested key ${rows(1L)} vs last committer w$lastWriter ($versions)")
+    // untouched base rows intact; cardinality = 8 base + 4 inserts
+    assert(rows(2L) == "base2" && rows(3L) == "base3")
+    assert(rows.size == 12, rows.toString)
+  }
+
+  test("concurrent mergeInto writers on DISJOINT partitions both land intact") {
+    import spark.implicits._
+    val path = freshDir("merge_threads_disjoint")
+    TxLog.create(Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "p", "v"),
+      path, partitionCol = Some("p"))
+    // disjoint write sets — still merge-shaped (whole-snapshot read), so
+    // the loser must conflict+retry rather than silently interleave
+    val u1 = Seq((1L, 1, "a2"), (11L, 1, "n1")).toDF("id", "p", "v")
+    val u2 = Seq((2L, 2, "b2"), (22L, 2, "n2")).toDF("id", "p", "v")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = mergeRetry(path, u1, Seq("id")) })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = mergeRetry(path, u2, Seq("id")) })
+      val (v1, v2) = (f1.get(180, java.util.concurrent.TimeUnit.SECONDS),
+        f2.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      assert(Set(v1, v2) == Set(2L, 3L), s"versions $v1/$v2")
+    } finally pool.shutdown()
+    val rows = TxLog.read(spark, path).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "a2", 2L -> "b2", 11L -> "n1", 22L -> "n2"),
+      rows.toString)
+  }
+
   test("replayed micro-batch that loses its race is still committed exactly once") {
     import spark.implicits._
     val path = freshDir("batch_replay")
