@@ -159,6 +159,22 @@ case class PqEncodeResidual(left: Expression, right: Expression,
   private def ksub: Int = codebooks(0).length
   private def dsub: Int = codebooks(0)(0).length
 
+  // an un-validated LongType cell would compile-error the generated
+  // `centroids[cell]` index (forcing interpreted fallback) and then
+  // ClassCastException mid-scan — make it an analysis-time error
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    left.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        if (right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects an INT cell id, got ${right.dataType}")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float|double>, got $other")
+    }
+  }
+
   private def elemIsFloat: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

@@ -251,22 +251,36 @@ object Pq {
     * saved model makes the offline-artifact contract explicit: encode
     * once with a saved model, and any later session queries the same
     * codes without relying on refit determinism. */
-  def save(spark: org.apache.spark.sql.SparkSession, model: PqModel, path: String): Unit = {
+  def save(spark: org.apache.spark.sql.SparkSession, model: PqModel,
+           path: String, encoding: String = "raw"): Unit = {
     import spark.implicits._
     val rows = for (j <- 0 until model.m; c <- 0 until model.ksub)
-      yield (j, c, model.codebooks(j)(c).toSeq)
-    rows.toDF("subspace", "code", "centroid")
+      yield (j, c, model.codebooks(j)(c).toSeq, encoding)
+    rows.toDF("subspace", "code", "centroid", "encoding")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, path: String): PqModel = {
     val rows = spark.read.parquet(s"$path/pq_codebooks")
+      .select("subspace", "code", "centroid")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     val m = rows.map(_._1).max + 1
     val ksub = rows.map(_._2).max + 1
     val cb = Array.ofDim[Array[Double]](m, ksub)
     rows.foreach { case (j, c, v) => cb(j)(c) = v }
     PqModel(m, ksub, cb(0)(0).length, cb.map(_.toArray))
+  }
+
+  /** The encoding space a persisted model's codes live in: "residual"
+    * (v − centroid, written by [[loadOrBuildIvfPq]]) or "raw" (the
+    * plain-PQ space, and the default stamped by pre-marker artifacts —
+    * an artifact directory without the marker column predates residual
+    * encoding and MUST be treated as raw). ADC distances computed in
+    * the wrong space are silent garbage, so loaders gate on this. */
+  def savedEncoding(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val df = spark.read.parquet(s"$path/pq_codebooks")
+    if (df.columns.contains("encoding")) df.select("encoding").head().getString(0)
+    else "raw"
   }
 
   /** Resolve the OFFLINE IVF-PQ artifacts at `path`, building whatever
@@ -285,13 +299,19 @@ object Pq {
       (Ivf.IvfIndex, PqModel) = {
     val haveIndex = new java.io.File(s"$path/centroids").exists()
     val index = if (haveIndex) Ivf.load(spark, path) else Ivf.fit(emb, path)
-    val haveModel = new java.io.File(s"$path/pq_codebooks").exists()
-    // a RESIDUAL model is only valid against the index whose centroids
-    // defined its residuals: a rebuilt index invalidates a surviving
-    // model just as surely as it invalidates surviving codes
+    // a surviving model is valid only if (a) the index it residuals
+    // against also survived AND (b) its marker says residual — an
+    // artifact from the raw-encoding era (or a plain-PQ save) would
+    // ADC-score residual LUTs against raw-space codes: silent garbage,
+    // not an error. Anything else refits and re-encodes.
+    val haveModel = new java.io.File(s"$path/pq_codebooks").exists() &&
+      haveIndex && savedEncoding(spark, path) == "residual"
     val model =
-      if (haveModel && haveIndex) load(spark, path)
-      else { val mm = fitResidual(spark, index, m, ksub); save(spark, mm, path); mm }
+      if (haveModel) load(spark, path)
+      else {
+        val mm = fitResidual(spark, index, m, ksub)
+        save(spark, mm, path, encoding = "residual"); mm
+      }
     // re-encode when EITHER artifact was just (re)built: codes are only
     // valid against the model that wrote them AND the index whose cell
     // ids they are partitioned by — a rebuilt index (partial earlier
@@ -343,10 +363,21 @@ object Pq {
     * pruned to the probed cells. Recall factors cleanly: the IVF term
     * (did the true neighbor's cell get probed) × the PQ term (did ADC
     * rank it into the shortlist); AnnRecallSpec measures the product
-    * against brute force. */
+    * against brute force.
+    *
+    * Knob economics, measured on the test corpus (AnnRecallSpec;
+    * deterministic data + codebooks): residual codes make the PQ term
+    * near-lossless (0.95 at shortlist=100 with every cell probed), so
+    * serving recall ≈ the IVF term — 0.645 at nprobe=4/nlist=16, 0.825
+    * at nprobe=8. The default is nprobe=8, the smallest probe count
+    * clearing a 0.8 recall floor there; cost is linear in nprobe (one
+    * more m-byte cell partition scanned per probe — still
+    * nprobe/nlist of the corpus at 32× smaller rows). At production
+    * nlist (thousands of cells), the same nprobe is a far smaller
+    * corpus fraction. */
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, ivf: Ivf.IvfIndex,
                model: PqModel, queryVec: Array[Double], k: Int = 10,
-               nprobe: Int = 4, shortlist: Int = 100,
+               nprobe: Int = 8, shortlist: Int = 100,
                excludeId: Option[Long] = None): DataFrame = {
     val probeCells = Ivf.nearestCells(ivf, queryVec, nprobe).toIndexedSeq
     val centroidOf = ivf.centroids.toMap
@@ -378,10 +409,11 @@ object Pq {
       .limit(k)
   }
 
-  /** IVF-PQ recall-eval batch, |Q|-bounded like Ivf.queryBatch. */
+  /** IVF-PQ recall-eval batch, |Q|-bounded like Ivf.queryBatch — same
+    * nprobe=8 serving default as [[ivfQuery]]. */
   def ivfQueryBatch(spark: org.apache.spark.sql.SparkSession, ivf: Ivf.IvfIndex,
                     model: PqModel, emb: DataFrame, queryIds: Seq[Long],
-                    k: Int = 10, nprobe: Int = 4, shortlist: Int = 100): DataFrame = {
+                    k: Int = 10, nprobe: Int = 8, shortlist: Int = 100): DataFrame = {
     val qvecs = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap

@@ -236,10 +236,12 @@ object Sampling {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(1.0)) / lit(4294967296.0)
     // the documented "strictly positive" contract is ENFORCED in the
-    // plan: a zero/negative/null weight would otherwise yield an
-    // Infinity/negative/null key that deterministically wins (or
-    // poisons) the top-k instead of failing (review finding)
-    val checked = when(col("_w").isNull || col("_w") <= 0.0,
+    // plan: a zero/negative/null/NaN weight would otherwise yield an
+    // Infinity/negative/null/NaN key that deterministically wins (or
+    // poisons, or silently excludes — NaN compares greater than any
+    // number in Spark, so `<= 0` alone misses it and the NaN key sorts
+    // last forever) the top-k instead of failing (review findings)
+    val checked = when(col("_w").isNull || isnan(col("_w")) || col("_w") <= 0.0,
       raise_error(concat(
         lit("Sampling.weightProportional: weight must be strictly positive, got "),
         coalesce(col("_w").cast("string"), lit("null")))).cast("double"))

@@ -687,6 +687,7 @@ object TextOps {
       else {
         val cands = top.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         val touched = scala.collection.mutable.Set.empty[String]
+        val created = scala.collection.mutable.Set.empty[String]
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         // cStop = best count a pair the batch may perturb could still
         // hold: the first symbol-sharing candidate, else the window
@@ -694,8 +695,18 @@ object TextOps {
         var cStop = if (cands.length < window) Long.MinValue else cands.last._3
         var stopped = false
         for (c @ (a, b, cnt) <- cands if !stopped) {
-          if (touched(a) || touched(b)) { cStop = cnt; stopped = true }
-          else { accepted += c; touched += a; touched += b }
+          // Disjointness is on symbol STRINGS, and a merge's created
+          // symbol is itself a string that can collide with another
+          // candidate's input (e.g. (ab,c) creating "abc" while (a,bc)
+          // is also in the window): accept only if the candidate's
+          // inputs avoid both the accepted inputs AND the accepted
+          // created strings, and its own created string avoids the
+          // accepted inputs — otherwise one pass could cascade a
+          // created symbol into a second merge, which sequential BPE
+          // would only do after a recount.
+          if (touched(a) || touched(b) || created(a) || created(b) ||
+              touched(a + b)) { cStop = cnt; stopped = true }
+          else { accepted += c; touched += a; touched += b; created += (a + b) }
         }
         val kept = accepted.take(1) ++ accepted.drop(1).takeWhile(_._3 > cStop)
         val batch = kept.take(numMerges - merges.size)

@@ -109,10 +109,24 @@ object Jsonl {
     import graft.storage.TxLog
     val quarSchema = StructType.fromDDL(
       "raw STRING, reason STRING, batch_id BIGINT")
-    if (TxLog.currentVersion(spark, quarantinePath).isEmpty)
+    if (TxLog.currentVersion(spark, quarantinePath).isEmpty) {
+      // a NON-EMPTY non-table directory here is a legacy plain-parquet
+      // quarantine (pre-exactly-once deployments): silently creating a
+      // TxLog table over it would strand every already-quarantined row
+      // outside the documented read path — fail loudly instead of
+      // losing the audit trail
+      val qp = new org.apache.hadoop.fs.Path(quarantinePath)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        qp.toUri, spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(qp) || fs.listStatus(qp).isEmpty,
+        s"Jsonl.streamIngestTx: $quarantinePath holds existing non-table " +
+          "data (a legacy plain-parquet quarantine?) — migrate it into a " +
+          "TxLog table (TxLog.create from spark.read.parquet over it) or " +
+          "point quarantinePath somewhere fresh")
       TxLog.create(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], quarSchema),
         quarantinePath)
+    }
     val lines = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(srcPath)

@@ -142,14 +142,24 @@ object TxLog {
     override def removeEldestEntry(
         e: java.util.Map.Entry[String, Manifest]): Boolean = size > 8
   }
-  private def cacheGet(path: String, v: Long): Option[Manifest] =
-    snapCache.synchronized(Option(snapCache.get(s"$path@$v")))
-  private def cachePut(path: String, m: Manifest): Unit =
-    snapCache.synchronized { snapCache.put(s"$path@${m.version}", m); () }
-  private def cacheInvalidate(path: String): Unit =
+  /** Cache keys are the FULLY-QUALIFIED path ("file:/tmp/t" and
+    * "/tmp/t" are the same table; a raw-string key would let a
+    * create/vacuum through one spelling leave the other spelling's
+    * stale snapshots alive — planning reads over deleted files). */
+  private def cacheKey(spark: SparkSession, path: String): String =
+    try fsFor(spark, path).makeQualified(new Path(path)).toString
+    catch { case scala.util.control.NonFatal(_) => path }
+  private def cacheGet(spark: SparkSession, path: String, v: Long): Option[Manifest] =
+    snapCache.synchronized(Option(snapCache.get(s"${cacheKey(spark, path)}@$v")))
+  private def cachePut(spark: SparkSession, path: String, m: Manifest): Unit =
     snapCache.synchronized {
+      snapCache.put(s"${cacheKey(spark, path)}@${m.version}", m); ()
+    }
+  private def cacheInvalidate(spark: SparkSession, path: String): Unit =
+    snapCache.synchronized {
+      val prefix = cacheKey(spark, path) + "@"
       val it = snapCache.keySet().iterator()
-      while (it.hasNext) if (it.next().startsWith(path + "@")) it.remove()
+      while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
     }
 
   /** Test/diagnostics hook: drop every cached snapshot (forces cold
@@ -271,7 +281,7 @@ object TxLog {
     var t = version
     var base: Option[Manifest] = None
     while (base.isEmpty) {
-      base = cacheGet(path, t)
+      base = cacheGet(spark, path, t)
       if (base.isEmpty) {
         if (fs.exists(ckptDir(path, t))) base = Some(fromCheckpoint(spark, path, t))
         else {
@@ -295,9 +305,9 @@ object TxLog {
 
   /** Load one version's RESOLVED manifest (cached). */
   def manifest(spark: SparkSession, path: String, version: Long): Manifest =
-    cacheGet(path, version).getOrElse {
+    cacheGet(spark, path, version).getOrElse {
       val m = resolveSnapshot(spark, path, version)
-      cachePut(path, m)
+      cachePut(spark, path, m)
       m
     }
 
@@ -324,12 +334,27 @@ object TxLog {
   private def checkpointInterval(spark: SparkSession): Int =
     spark.conf.getOption("graft.txlog.checkpointInterval").map(_.toInt).getOrElse(10)
 
-  private def maybeCheckpoint(spark: SparkSession, path: String, m: Manifest): Unit = {
-    val k = checkpointInterval(spark)
-    if (k > 0 && m.version % k == 0 &&
-        !fsFor(spark, path).exists(ckptDir(path, m.version)))
-      writeCheckpoint(spark, path, m)
-  }
+  private def maybeCheckpoint(spark: SparkSession, path: String, m: Manifest): Unit =
+    // runs AFTER the commit JSON has renamed into place — the commit is
+    // already durable, so a checkpoint failure (disk full, executor
+    // loss, a concurrent vacuum sweeping the temp dir) must NOT surface
+    // as a commit failure: the caller would retry a commit that landed,
+    // and append-shaped commits have no idempotency watermark to absorb
+    // the double-apply. Checkpoints are an optimization only (a missing
+    // one lengthens delta replay, never changes results), so swallow
+    // and warn.
+    try {
+      val k = checkpointInterval(spark)
+      if (k > 0 && m.version % k == 0 &&
+          !fsFor(spark, path).exists(ckptDir(path, m.version)))
+        writeCheckpoint(spark, path, m)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"TxLog: checkpoint at $path v${m.version} failed after the " +
+            s"commit landed (${e.getClass.getSimpleName}: ${e.getMessage}) " +
+            "— continuing; the next interval commit will retry")
+    }
 
   /** Write the resolved state at `m.version` as a parquet directory —
     * a DISTRIBUTED write (partitioned at ~100k entries/task), renamed
@@ -563,7 +588,7 @@ object TxLog {
           if (attempt.statsCols.isEmpty) Map.empty
           else attempt.fileStats.view.filterKeys(keptSet).toMap ++ newStats,
           attempt.fileRows.view.filterKeys(keptSet).toMap ++ newRows)
-        cachePut(path, resolved)
+        cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return attempt.version + 1
       } catch {
@@ -696,11 +721,11 @@ object TxLog {
       collectStats(df.sparkSession, path, df.schema, statsCols, files)
     // a dead table recreated at this path must not serve the old
     // incarnation's cached snapshots
-    cacheInvalidate(path)
+    cacheInvalidate(df.sparkSession, path)
     val m = Manifest(1L, partitionCol, df.schema.toDDL, files.sorted,
       statsCols = statsCols, fileStats = stats, fileRows = rowCounts)
     writeManifest(df.sparkSession, path, m)
-    cachePut(path, m)
+    cachePut(df.sparkSession, path, m)
     1L
   }
 
@@ -1201,7 +1226,7 @@ object TxLog {
     writeRef(spark, path, cur + 1, target.partitionCol, target.schemaDdl,
       head.sourceBatchId, target.statsCols, baseRef = toVersion)
     val resolved = target.copy(version = cur + 1, sourceBatchId = head.sourceBatchId)
-    cachePut(path, resolved)
+    cachePut(spark, path, resolved)
     maybeCheckpoint(spark, path, resolved)
     cur + 1
   }
@@ -1351,7 +1376,7 @@ object TxLog {
         .filter(_.getPath.getName.startsWith(".ckpt_"))
         .foreach(st => fs.delete(st.getPath, true))
     // dropped versions must now FAIL resolution, not serve from cache
-    cacheInvalidate(path)
+    cacheInvalidate(spark, path)
     deleted.toSeq
   }
 
@@ -1467,12 +1492,12 @@ object TxLog {
           m.fileStats.flatMap { case (k, cols) => copied.get(k).map(_ -> cols) },
           m.fileRows.flatMap { case (k, n) => copied.get(k).map(_ -> n) })
       }
-    cacheInvalidate(target)
+    cacheInvalidate(spark, target)
     val cloneM = Manifest(1L, m.partitionCol, m.schemaDdl,
       entries.sorted, sourceBatchId = None, statsCols = m.statsCols,
       fileStats = stats, fileRows = rowCounts)
     writeManifest(spark, target, cloneM)
-    cachePut(target, cloneM)
+    cachePut(spark, target, cloneM)
     1L
   }
 

@@ -12,11 +12,16 @@ import graft.tables.Tables
   * shape per tier, so the two successive ratios give a direct
   * flat / linear / super-linear reading:
   *
-  *  - `jaccard_join`: documents replicated with per-copy-SALTED tokens
-  *    (every copy is a distinct mini-corpus) — the honest "100x more
-  *    data" shape. Un-salted replication would plant 100-cliques of
-  *    identical docs and measure the data pathology (copies^2 output),
-  *    not the operator.
+  *  - `jaccard_join`: a SYNTHETIC controlled-overlap corpus (30 unique
+  *    tokens per doc; every 10th doc gets a twin sharing 27 of 30 —
+  *    jaccard 27/33 ≈ 0.82) scaled 1x/10x/100x by doc count. The sf0.1
+  *    documents table is unusable for a scale reading here: its
+  *    planted near-dup cliques are thousands of docs wide, so the
+  *    qualifying OUTPUT is ~5M pairs at 5k docs (measured) — the
+  *    count would time clique-quadratic pair materialization, a data
+  *    pathology, not the operator. The synthetic shape keeps output
+  *    linear (n/10 pairs) so the reading is candidate generation +
+  *    verification, which is what must scale.
   *  - `dedup_components`: synthetic chain-forests with FIXED chain
   *    length (64) and 100x the chains — diameter constant, edge count
   *    scales, so rounds stay put and per-round cost must track edges.
@@ -38,18 +43,13 @@ object ScaleCheck100 {
     s
   }
 
-  /** copies docs `factor`x with shifted ids; `salt` appends the copy id
-    * to every token so copies share no vocabulary. */
-  private def replicateDocs(docs: DataFrame, factor: Int, salt: Boolean,
-                            out: String): Unit = {
+  /** copies docs `factor`x with shifted ids (same text — the bm25
+    * shape, where duplicate text is exactly what grows the postings). */
+  private def replicateDocs(docs: DataFrame, factor: Int, out: String): Unit = {
     if (new java.io.File(out).exists()) return
-    (0 until factor).map { i =>
-      val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-      if (salt && i > 0)
-        shifted.withColumn("text",
-          regexp_replace(col("text"), lit(" "), lit(s"_$i ")))
-      else shifted
-    }.reduce(_ unionAll _)
+    (0 until factor)
+      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(out)
   }
 
@@ -66,16 +66,24 @@ object ScaleCheck100 {
     val root = "/tmp/graft_sf100x"
     val docs = Tables.documents(spark, d)
 
-    // ---- jaccard_join: salted replication, three tiers ----
-    replicateDocs(docs, 10, salt = true, s"$root/docs_salted_10x")
-    replicateDocs(docs, 100, salt = true, s"$root/docs_salted_100x")
-    def jj(path: Option[String]): Long = {
-      val in = path.fold(docs)(p => spark.read.parquet(p))
-      Dedup.jaccardJoin(in.select("doc_id", "text")).count()
+    // ---- jaccard_join: synthetic controlled-overlap corpus ----
+    // doc d's tokens: w(d*37+j), j in 0..29 (stride 37 > 29: no
+    // accidental cross-doc overlap); d % 10 == 1 copies 27 of its
+    // predecessor's tokens — exactly one planted pair per 10 docs
+    def jjCorpus(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(29)), j =>
+        concat(lit("w"),
+          when(col("id") % 10 === 1 && j < 27, (col("id") - 1) * 37 + j)
+            .otherwise(col("id") * 37 + j)))).as("text"))
+    def jj(n: Long): Long = {
+      val got = Dedup.jaccardJoin(jjCorpus(n)).count()
+      assert(got == n / 10, s"expected ${n / 10} planted pairs, got $got")
+      got
     }
-    val j1 = t("jaccard_join 1x")(jj(None))
-    val j10 = t("jaccard_join 10x")(jj(Some(s"$root/docs_salted_10x")))
-    val j100 = t("jaccard_join 100x")(jj(Some(s"$root/docs_salted_100x")))
+    val j1 = t("jaccard_join 40k docs")(jj(40000L))
+    val j10 = t("jaccard_join 400k docs")(jj(400000L))
+    val j100 = t("jaccard_join 4M docs")(jj(4000000L))
     println(f"[scale100] jaccard ratios: 10x/1x ${j10 / j1}%.1f, 100x/10x ${j100 / j10}%.1f")
 
     // ---- dedup_components: constant diameter, 1M/10M/100M edges ----
@@ -88,8 +96,8 @@ object ScaleCheck100 {
     println(f"[scale100] components ratios: 10x/1x ${c10 / c1}%.1f, 100x/10x ${c100 / c10}%.1f")
 
     // ---- bm25_indexed: un-salted replication, build + serve ----
-    replicateDocs(docs, 10, salt = false, s"$root/docs_plain_10x")
-    replicateDocs(docs, 100, salt = false, s"$root/docs_plain_100x")
+    replicateDocs(docs, 10, s"$root/docs_plain_10x")
+    replicateDocs(docs, 100, s"$root/docs_plain_100x")
     val terms = Seq("dup", "vector", "join")
     def buildAndServe(tag: String, src: Option[String]): Unit = {
       val in = src.fold(docs)(p => spark.read.parquet(p))

@@ -132,10 +132,13 @@ class AnnRecallSpec extends SparkSpec {
     info(f"IVF-PQ recall@10 (nlist=16, nprobe=4, m=8, shortlist=100): $r%.3f (IVF cap $rIvf4%.3f)")
     assert(r >= rIvf4 - 0.05,
       s"PQ shortlist lost more than 0.05 off the IVF cap: $r vs $rIvf4")
-    val r8 = mean(Pq.ivfQueryBatch(spark, index, model, emb, qids, k,
-      nprobe = 8, shortlist = 100))
-    info(f"IVF-PQ recall@10 at nprobe=8: $r8%.3f")
-    assert(r8 >= 0.75, s"IVF-PQ recall@10 at nprobe=8 below floor: $r8")
+    // DEFAULT serving knobs (nprobe=8, shortlist=100 — the scaladoc's
+    // contract): residual codes hand back essentially the whole IVF
+    // term, so the default must clear 0.8 (measured 0.825)
+    val rDefault = mean(Pq.ivfQueryBatch(spark, index, model, emb, qids, k))
+    info(f"IVF-PQ recall@10 at DEFAULT knobs (nprobe=8): $rDefault%.3f")
+    assert(rDefault >= 0.80,
+      s"IVF-PQ recall@10 at DEFAULT knobs below documented floor: $rDefault")
   }
 
   test("clustered corpus (ANN's design regime): both paths recall >= 0.9 at default knobs") {

@@ -709,6 +709,17 @@ class PipelineQueriesSpec extends SparkSpec {
       Option(t.getCause).map(rootMsg).getOrElse(Option(t.getMessage).getOrElse(""))
     assert((e.getMessage + rootMsg(e)).contains("strictly positive"),
       e.getMessage)
+    // NaN is the guard's blind spot if written as `<= 0` alone: NaN
+    // compares GREATER than any number in Spark, so a NaN weight would
+    // silently never sample instead of failing (review finding)
+    val withNan = (0L until 10L)
+      .map(i => (i, if (i == 3L) Double.NaN else 1.0)).toDF("doc_id", "w")
+    val en = intercept[Exception] {
+      graft.operators.Sampling.weightProportional(withNan, col("w"), k = 3)
+        .collect()
+    }
+    assert((en.getMessage + rootMsg(en)).contains("strictly positive"),
+      en.getMessage)
   }
 
   test("flattenHierarchy: forest resolves roots/depths in log rounds, cycles throw") {
@@ -810,6 +821,27 @@ class PipelineQueriesSpec extends SparkSpec {
       assert(batched == sequential,
         s"window=$w diverged:\n  batched   =$batched\n  sequential=$sequential")
       info(s"window=$w: 30 merges in $rounds rounds")
+    }
+    // 2-letter alphabet: the maximal-ambiguity regime where a merge's
+    // CREATED STRING collides with other candidates' inputs (e.g.
+    // "aba" reachable as a+ba and ab+a) — the case the disjointness
+    // rule must reject, or one batched pass cascades a created symbol
+    // into a second merge that sequential BPE only makes after a
+    // recount
+    val rng2 = new scala.util.Random(7)
+    val words2 = Seq.fill(300)(
+      Seq.fill(2 + rng2.nextInt(8))(('a' + rng2.nextInt(2)).toChar).mkString)
+    val docs2 = words2.grouped(25).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val seq2 = TextOps.bpeMerges(docs2, 40, minPairCount = 1)
+    assert(seq2.size == 40, s"ambiguity fixture too small: ${seq2.size}")
+    for (w <- Seq(4, 16, 64)) {
+      val (batched2, rounds2) =
+        TextOps.bpeMergesBatched(docs2, 40, minPairCount = 1, window = w)
+      assert(batched2 == seq2,
+        s"2-letter alphabet, window=$w diverged:\n  batched   =$batched2\n  sequential=$seq2")
+      info(s"2-letter alphabet, window=$w: 40 merges in $rounds2 rounds")
     }
   }
 
@@ -946,7 +978,7 @@ class PipelineQueriesSpec extends SparkSpec {
     // a refit would return the default-seed model and silently mismatch
     // the codes on disk
     val m7 = Pq.fitResidual(spark, index, seed = 7L)
-    Pq.save(spark, m7, tmp)
+    Pq.save(spark, m7, tmp, encoding = "residual")
     Pq.encodeIvf(spark, index, m7)
     val (_, m2) = Pq.loadOrBuildIvfPq(spark, emb, tmp)
     assert(java.util.Arrays.deepEquals(
@@ -973,6 +1005,35 @@ class PipelineQueriesSpec extends SparkSpec {
     Pq.loadOrBuildIvfPq(spark, emb, tmp)
     assert(codesState() != staleCodes,
       "index rebuilt but stale codes were reused (cell ids from the old index)")
+  }
+
+  test("IVF-PQ artifacts: a raw-encoding (or pre-marker) model forces refit, never warm-loads") {
+    import graft.operators.{Ivf, Pq}
+    val emb = Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_fmt").toString
+    val index = Ivf.fit(emb, tmp)
+    // plant a RAW-space model at the artifact path (what a pre-residual
+    // deployment left behind, and what Pq.save stamps by default):
+    // warm-loading it would ADC-score residual LUTs against raw-space
+    // codes — silent garbage — so the resolve must refit instead
+    val raw = Pq.fit(emb)
+    Pq.save(spark, raw, tmp) // default encoding = "raw"
+    assert(Pq.savedEncoding(spark, tmp) == "raw")
+    val (_, m) = Pq.loadOrBuildIvfPq(spark, emb, tmp)
+    assert(!java.util.Arrays.deepEquals(
+      m.codebooks.asInstanceOf[Array[AnyRef]], raw.codebooks.asInstanceOf[Array[AnyRef]]),
+      "raw-encoded artifact was warm-loaded into the residual path")
+    assert(Pq.savedEncoding(spark, tmp) == "residual",
+      "refit did not stamp the residual marker")
+    // a pre-marker artifact (no encoding column at all) reads as raw
+    val legacy = java.nio.file.Files.createTempDirectory("graft_pq_legacy").toString
+    import spark.implicits._
+    val rows = for (j <- 0 until raw.m; c <- 0 until raw.ksub)
+      yield (j, c, raw.codebooks(j)(c).toSeq)
+    rows.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$legacy/pq_codebooks")
+    assert(Pq.savedEncoding(spark, legacy) == "raw",
+      "marker-less legacy artifact must read as raw")
   }
 
   test("PQ shortlist: corrupt rows sort last (never consume slots); re-rank is a broadcast join") {

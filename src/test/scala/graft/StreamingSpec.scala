@@ -447,6 +447,16 @@ class StreamingSpec extends SparkSpec {
       "quarantine batch replay re-committed")
     assert(TxLog.read(spark, quar).count() == qCount,
       "quarantine batch replay added rows")
+    // a LEGACY plain-parquet quarantine dir (pre-exactly-once deploys)
+    // must fail loudly, not be silently shadowed by a fresh table that
+    // strands the old audit rows outside the documented read path
+    val legacy = root.resolve("quar_legacy").toString
+    spark.range(3).toDF("old").write.parquet(legacy)
+    val eLegacy = intercept[IllegalArgumentException] {
+      Jsonl.streamIngestTx(spark, src.toString, schema, Seq("doc_id"),
+        tbl, legacy)
+    }
+    assert(eLegacy.getMessage.contains("legacy"), eLegacy.getMessage)
   }
 
   test("stateful mapGroupsWithState totals match the batch aggregate") {

@@ -186,4 +186,49 @@ class TxLogCheckpointSpec extends SparkSpec {
     assert(TxLog.read(spark, path).select("tag").head().getString(0) == "new",
       "create must invalidate the path's snapshot cache")
   }
+
+  test("cache keys are path-canonical: recreate through one spelling invalidates the other") {
+    import spark.implicits._
+    val path = freshDir("spellings")
+    val qualified = s"file:$path" // same table, different spelling
+    TxLog.create(Seq((1L, "old")).toDF("k", "tag"), path)
+    // warm the cache through the QUALIFIED spelling
+    assert(TxLog.read(spark, qualified).select("tag").head().getString(0) == "old")
+    val f = new java.io.File(path)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete()
+    }
+    rm(f)
+    // recreate through the BARE spelling — a raw-string cache key
+    // would leave "file:/…@1" alive and serve the dead incarnation
+    TxLog.create(Seq((1L, "new")).toDF("k", "tag"), path)
+    assert(TxLog.read(spark, qualified).select("tag").head().getString(0) == "new",
+      "create through '/p' must invalidate cached snapshots keyed 'file:/p'")
+  }
+
+  test("a checkpoint failure after the commit landed is swallowed — the commit must not re-run") {
+    import spark.implicits._
+    val path = freshDir("ckpt_fail")
+    TxLog.create(Seq((0L, "seed")).toDF("k", "tag"), path)
+    // force maybeCheckpoint itself to throw: a malformed interval conf
+    // (NumberFormatException inside the checkpoint path) stands in for
+    // disk-full/executor-loss — any of them must NOT surface as a
+    // commit failure, because the delta JSON already renamed into
+    // place and a retrying caller would double-apply a plain append
+    spark.conf.set("graft.txlog.checkpointInterval", "not-a-number")
+    try {
+      val v = (1 to 10).map(i =>
+        TxLog.append(Seq((i.toLong, s"w$i")).toDF("k", "tag"), path)).last
+      assert(v == 11L, s"appends did not all land: head $v")
+      assert(TxLog.read(spark, path).count() == 11L)
+      // and no checkpoint landed (the failure was real, not skipped)
+      assert(!new java.io.File(s"$path/_manifests/v10.ckpt").exists())
+    } finally spark.conf.unset("graft.txlog.checkpointInterval")
+    // with the conf healed, the next interval commit checkpoints again
+    (11 to 20).foreach(i =>
+      TxLog.append(Seq((i.toLong, s"w$i")).toDF("k", "tag"), path))
+    assert(new java.io.File(s"$path/_manifests/v20.ckpt").exists(),
+      "interval checkpointing did not recover after the conf was fixed")
+  }
 }
