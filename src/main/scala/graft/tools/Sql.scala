@@ -22,22 +22,35 @@ import graft.tables.Tables
   * [[graft.functions.TableFunctions]]):
   *
   *   TXLOG CREATE '<path>' [PARTITION BY <col>] AS <select>
+  *   TXLOG APPEND INTO '<path>' <select>
   *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>
+  *   TXLOG DELETE FROM '<path>' WHERE <condition>
   *   TXLOG RESTORE '<path>' TO VERSION <n>
+  *   TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>, <c2>]
+  *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS]
   *
   * — the delegating-dispatcher pattern a transactional layer uses
   * before it owns a parser extension: anything that isn't a TXLOG verb
   * goes to `spark.sql` verbatim. Each verb returns a one-row
-  * (version BIGINT) result, the committed version.
+  * (version BIGINT) result, the committed version (VACUUM returns
+  * (deleted_files BIGINT) — it frees storage, it does not commit).
   */
 object Sql {
 
   private val CreateRe =
     """(?is)\s*TXLOG\s+CREATE\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+)\s+)?AS\s+(.+)""".r
+  private val AppendRe =
+    """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+(.+)""".r
   private val MergeRe =
     """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+(.+)""".r
+  private val DeleteRe =
+    """(?is)\s*TXLOG\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+)""".r
   private val RestoreRe =
     """(?is)\s*TXLOG\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*TXLOG\s+OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s+(\w+)\s*,\s*(\w+))?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*TXLOG\s+VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
 
   /** Run one statement: a TXLOG verb or plain SQL. */
   def exec(spark: SparkSession, sql: String): DataFrame = {
@@ -47,11 +60,23 @@ object Sql {
       case CreateRe(path, part, select) =>
         asDf(graft.storage.TxLog.create(spark.sql(select), path,
           partitionCol = Option(part)))
+      case AppendRe(path, select) =>
+        asDf(graft.storage.TxLog.append(spark.sql(select), path))
       case MergeRe(path, keys, select) =>
         asDf(graft.storage.TxLog.mergeInto(path, spark.sql(select),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      case DeleteRe(path, cond) =>
+        asDf(graft.storage.TxLog.deleteWhere(spark, path,
+          org.apache.spark.sql.functions.expr(cond)))
       case RestoreRe(path, v) =>
         asDf(graft.storage.TxLog.restore(spark, path, v.toLong))
+      case OptimizeRe(path, zc1, zc2) =>
+        asDf(graft.storage.TxLog.compact(spark, path,
+          zorderBy = Option(zc1).map(c1 => (c1, zc2))))
+      case VacuumRe(path, keep) =>
+        Seq(graft.storage.TxLog.vacuum(spark, path,
+          keepVersions = Option(keep).map(_.toInt).getOrElse(1)).size.toLong)
+          .toDF("deleted_files")
       case plain => spark.sql(plain)
     }
   }

@@ -142,6 +142,37 @@ class SqlSurfaceSpec extends SparkSpec {
       TxLog.read(spark, dir, Some(1L)).orderBy("r_regionkey"), "post-restore head ≡ v1")
   }
 
+  test("TXLOG maintenance verbs: APPEND, DELETE, OPTIMIZE, VACUUM through SQL strings") {
+    import graft.storage.TxLog
+    import graft.tools.Sql
+    Sql.registerAll(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_txmaint").toString + "/t"
+    Sql.exec(spark,
+      s"TXLOG CREATE '$dir' PARTITION BY r_regionkey AS " +
+        "SELECT r_regionkey, r_name FROM region")
+    val v2 = Sql.exec(spark,
+      s"TXLOG APPEND INTO '$dir' " +
+        "SELECT CAST(r_regionkey + 100 AS INT) AS r_regionkey, " +
+        "upper(r_name) AS r_name FROM region")
+      .head().getLong(0)
+    assert(v2 == 2L && TxLog.read(spark, dir).count() == 10L, "append did not land")
+    val v3 = Sql.exec(spark,
+      s"TXLOG DELETE FROM '$dir' WHERE r_regionkey >= 103").head().getLong(0)
+    assert(v3 == 3L && TxLog.read(spark, dir).count() == 8L, "delete did not land")
+    // several small commits left 1-file partitions; optimize is a no-op
+    // below minFilesToCompact, so split one partition into two files
+    // first via a second append into it
+    Sql.exec(spark,
+      s"TXLOG APPEND INTO '$dir' SELECT CAST(0 AS INT) AS r_regionkey, 'x' AS r_name")
+    val vOpt = Sql.exec(spark, s"TXLOG OPTIMIZE '$dir'").head().getLong(0)
+    assert(vOpt == 5L, s"optimize committed v$vOpt")
+    assert(TxLog.read(spark, dir).count() == 9L, "optimize changed content")
+    val freed = Sql.exec(spark, s"TXLOG VACUUM '$dir' RETAIN 1 VERSIONS")
+      .head().getLong(0)
+    assert(freed > 0L, "vacuum freed nothing after an optimize rewrite")
+    assert(TxLog.read(spark, dir).count() == 9L, "vacuum broke the live snapshot")
+  }
+
   test("predicates pushed through a view reach the parquet scan") {
     graft.tools.Sql.registerAll(spark, sf)
     val p = spark.sql(
