@@ -1,0 +1,167 @@
+package graft.storage
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.SparkSpec
+
+/** TxLog as a first-class Structured Streaming source (graft-txlog):
+  * offsets are commit versions, batches derive from the immutable
+  * manifest log. Pins the delivery contract — initial snapshot +
+  * exactly-once appends, checkpoint-resume without re-delivery,
+  * change-feed rows ≡ TxLog.changes, loud failure on non-append
+  * history in append mode, and version-granular rate limiting. */
+class TxLogStreamSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_txstream_$tag"
+    val f = new java.io.File(d)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete()
+    }
+    if (f.exists()) rm(f)
+    d
+  }
+
+  private def stream(path: String, opts: (String, String)*) =
+    opts.foldLeft(spark.readStream.format("graft-txlog").option("path", path)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
+  private def keyed(rows: Seq[(Long, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("k", "cat", "v")
+  }
+
+  test("append mode: initial snapshot, then each append exactly once") {
+    val path = freshDir("appends")
+    TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0))), path)
+    val q = stream(path).writeStream.format("memory")
+      .queryName("txs_appends").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got = spark.table("txs_appends").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toList.sorted
+      assert(got == List((1L, "a", 1.0), (2L, "b", 2.0)),
+        "first batch must be the full snapshot")
+      TxLog.append(keyed(Seq((3L, "c", 3.0))), path)
+      TxLog.append(keyed(Seq((4L, "d", 4.0))), path)
+      q.processAllAvailable()
+      assert(got == List((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0)),
+        "appends must arrive exactly once, no re-delivery of the snapshot")
+    } finally q.stop()
+  }
+
+  test("sinceVersion=latest skips existing content; checkpoint restart resumes without re-delivery") {
+    val path = freshDir("resume")
+    val ckpt = freshDir("resume_ckpt")
+    TxLog.create(keyed(Seq((1L, "a", 1.0))), path)
+    val delivered = ArrayBuffer.empty[Row]
+    def run() = stream(path, "sinceVersion" -> "latest").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        delivered.synchronized { delivered ++= df.collect() }; ()
+      }.start()
+
+    val q1 = run()
+    try {
+      q1.processAllAvailable()
+      assert(delivered.isEmpty, "sinceVersion=latest must not deliver the existing snapshot")
+      TxLog.append(keyed(Seq((2L, "b", 2.0))), path)
+      q1.processAllAvailable()
+      assert(delivered.map(_.getLong(0)).toList == List(2L))
+    } finally q1.stop()
+
+    // offline commits + restart from the checkpoint: only the new
+    // versions flow, nothing replays
+    TxLog.append(keyed(Seq((3L, "c", 3.0))), path)
+    val q2 = run()
+    try {
+      q2.processAllAvailable()
+      assert(delivered.map(_.getLong(0)).toList.sorted == List(2L, 3L),
+        "restart must resume at the checkpointed version — no duplicates, no gaps")
+    } finally q2.stop()
+  }
+
+  test("change-feed mode: merge and delete emit the same rows as TxLog.changes") {
+    val path = freshDir("cdf")
+    TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0))), path, Some("cat"))
+    val q = stream(path, "readChangeFeed" -> "true", "keys" -> "k",
+      "sinceVersion" -> "latest").writeStream
+      .format("memory").queryName("txs_cdf").outputMode("append").start()
+    try {
+      TxLog.mergeInto(path, keyed(Seq((2L, "b", 20.0), (3L, "c", 3.0))), Seq("k"))
+      q.processAllAvailable()
+      def got = spark.table("txs_cdf").collect()
+        .map(r => (r.getLong(0), r.getString(3), r.getDouble(2))).toSet
+      assert(got == Set((2L, "update", 20.0), (3L, "insert", 3.0)),
+        s"merge must surface as update+insert, got $got")
+      TxLog.deleteWhere(spark, path, org.apache.spark.sql.functions.col("k") === 1L)
+      q.processAllAvailable()
+      assert(got == Set((2L, "update", 20.0), (3L, "insert", 3.0), (1L, "delete", 1.0)))
+      // the streamed feed ≡ the batch diff over the same range
+      val batch = TxLog.changes(spark, path, 1L, 3L, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getString(3), r.getDouble(2))).toSet
+      assert(got == batch, "streamed change feed diverges from TxLog.changes")
+    } finally q.stop()
+  }
+
+  test("append mode fails LOUDLY when the range contains a rewrite") {
+    val path = freshDir("loud")
+    TxLog.create(keyed(Seq((1L, "a", 1.0))), path, Some("cat"))
+    val q = stream(path, "sinceVersion" -> "latest").writeStream
+      .format("memory").queryName("txs_loud").outputMode("append").start()
+    try {
+      TxLog.mergeInto(path, keyed(Seq((1L, "a", 10.0))), Seq("k"))
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def messages(t: Throwable): List[String] =
+        if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("append-only")),
+        "the appendsSince refusal must surface, not a silent wrong batch")
+    } finally q.stop()
+  }
+
+  test("CDC replica in ONE streaming job: change-feed source → applyChanges keeps replica ≡ primary") {
+    val primary = freshDir("cdc_primary")
+    val replica = freshDir("cdc_replica")
+    TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0))), primary, Some("cat"))
+    // replica bootstraps from the primary's current snapshot
+    TxLog.create(TxLog.read(spark, primary), replica, Some("cat"))
+    val q = stream(primary, "readChangeFeed" -> "true", "keys" -> "k",
+      "sinceVersion" -> "latest").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        TxLog.applyChanges(replica, df, Seq("k")); ()
+      }.start()
+    try {
+      TxLog.mergeInto(primary, keyed(Seq((2L, "b", 20.0), (3L, "c", 3.0))), Seq("k"))
+      q.processAllAvailable()
+      TxLog.deleteWhere(spark, primary, org.apache.spark.sql.functions.col("k") === 1L)
+      q.processAllAvailable()
+      def snap(p: String) = TxLog.read(spark, p).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(snap(replica) == snap(primary), "replica diverged from primary head")
+      assert(snap(replica) == Set((2L, "b", 20.0), (3L, "c", 3.0)))
+    } finally q.stop()
+  }
+
+  test("maxVersionsPerBatch=1 splits a backlog into version-granular batches") {
+    val path = freshDir("rate")
+    TxLog.create(keyed(Seq((1L, "a", 1.0))), path)
+    TxLog.append(keyed(Seq((2L, "b", 2.0))), path)
+    TxLog.append(keyed(Seq((3L, "c", 3.0))), path)
+    val batches = ArrayBuffer.empty[Int]
+    val q = stream(path, "maxVersionsPerBatch" -> "1").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count().toInt }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // (0,1] snapshot, then (1,2], (2,3] — one version each
+      assert(batches.count(_ > 0) == 3, s"expected 3 non-empty batches, got $batches")
+      assert(batches.sum == 3)
+    } finally q.stop()
+  }
+}
