@@ -167,6 +167,14 @@ object TxLog {
   private[graft] def flushSnapshotCacheForTesting(): Unit =
     snapCache.synchronized(snapCache.clear())
 
+  /** The commit-format protocol this build writes and the highest it
+    * can read. Every commit records its writer's protocol; a reader
+    * that encounters a HIGHER one refuses loudly (Delta's
+    * minReaderVersion contract) — a future format change must never
+    * be half-parsed into a silently wrong snapshot. Absent field =
+    * protocol 1 (the pre-field commits). */
+  val ProtocolVersion = 1
+
   private def readCommitNode(spark: SparkSession, path: String,
                              version: Long): com.fasterxml.jackson.databind.JsonNode = {
     val fs = fsFor(spark, path)
@@ -175,7 +183,14 @@ object TxLog {
       "(vacuumed or never committed)")
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
-    mapper.readTree(bytes)
+    val node = mapper.readTree(bytes)
+    val proto = Option(node.get("protocol")).map(_.asInt()).getOrElse(1)
+    if (proto > ProtocolVersion)
+      throw new UnsupportedOperationException(
+        s"TxLog: commit v$version at $path uses protocol $proto; this build " +
+          s"reads up to protocol $ProtocolVersion — upgrade the library to " +
+          "read this table")
+    node
   }
 
   /** The resolved metadata every commit shape carries:
@@ -411,6 +426,7 @@ object TxLog {
                        statsCols: Seq[String])
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = mapper.createObjectNode()
+    node.put("protocol", ProtocolVersion)
     node.put("version", version)
     partitionCol match {
       case Some(c) => node.put("partitionCol", c)

@@ -27,6 +27,33 @@ class TxLogCheckpointSpec extends SparkSpec {
     mapper.readTree(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$path/_manifests/v$v.json")))
 
+  test("protocol guard: commits record protocol 1; a future-protocol commit refuses to load") {
+    import spark.implicits._
+    val path = freshDir("protocol")
+    TxLog.create(Seq((1L, "a")).toDF("k", "part"), path, Some("part"))
+    TxLog.append(Seq((2L, "b")).toDF("k", "part"), path)
+    assert(commitJson(path, 1L).get("protocol").asInt() == 1)
+    assert(commitJson(path, 2L).get("protocol").asInt() == 1)
+    // hand-write a v3 commit claiming a newer format: every read of v3
+    // (including head resolution) must refuse with an upgrade message,
+    // while the protocol-1 history stays readable
+    val node = mapper.createObjectNode()
+    node.put("protocol", 99)
+    node.put("version", 3L)
+    node.putNull("partitionCol")
+    node.put("schemaDdl", "k BIGINT")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_manifests/v3.json"),
+      mapper.writeValueAsBytes(node))
+    TxLog.flushSnapshotCacheForTesting()
+    val e = intercept[UnsupportedOperationException] {
+      TxLog.read(spark, path).collect()
+    }
+    assert(e.getMessage.contains("protocol 99"))
+    assert(TxLog.read(spark, path, Some(2L)).count() == 2L,
+      "older protocol-1 versions must stay readable")
+  }
+
   test("data commits are deltas, not file enumerations: commit bytes stay flat as the table grows") {
     import spark.implicits._
     val path = freshDir("delta_commits")
