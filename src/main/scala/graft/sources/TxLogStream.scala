@@ -54,6 +54,14 @@ import graft.storage.TxLog
   * schema evolution mid-stream fails the batch loudly with a
   * restart-the-stream message instead of silently dropping the new
   * columns.
+  *
+  * Scale note: offsets are VERSION-granular, so the initial full
+  * snapshot of a table created in one commit arrives as one batch.
+  * On a 100 TB table, bootstrap the consumer with a BATCH read of the
+  * snapshot and start the stream with `sinceVersion=latest` (the
+  * pattern TxLogStreamSpec's CDC-replica test pins) — then every
+  * micro-batch is commit-sized, and `maxVersionsPerBatch` bounds
+  * catch-up after downtime.
   */
 class TxLogStream extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-txlog"
@@ -81,7 +89,7 @@ object TxLogStream {
                         withPreimages: Boolean, since: Option[String],
                         maxVersionsPerBatch: Option[Long]) {
     since.foreach { s =>
-      require(s == "latest" || s.forall(_.isDigit),
+      require(s == "latest" || (s.nonEmpty && s.forall(_.isDigit)),
         s"graft-txlog: sinceVersion must be 'latest' or a version number, got '$s'")
     }
     maxVersionsPerBatch.foreach(m =>
@@ -129,10 +137,20 @@ object TxLogStream {
         case None => 0L
       }
       fs.mkdirs(p.getParent)
-      val out = fs.create(p, false) // fail if raced — one driver writes it
-      try out.write(base.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      base
+      try {
+        val out = fs.create(p, false)
+        try out.write(base.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        base
+      } catch {
+        // lost a create race (e.g. a recovery retry of the same
+        // query): the first writer's base is THE base — read it back
+        case _: java.io.IOException if fs.exists(p) =>
+          val in = fs.open(p)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+      }
     }
   }
 

@@ -77,6 +77,20 @@ object Sql {
         Seq(graft.storage.TxLog.vacuum(spark, path,
           keepVersions = Option(keep).map(_.toInt).getOrElse(1)).size.toLong)
           .toDF("deleted_files")
+      // a statement that CLAIMS to be a TXLOG verb but parses as none
+      // must fail loudly here — falling through to spark.sql would
+      // surface a baffling ANSI-parser error for what is really a
+      // typo in a TXLOG statement
+      case txlog if txlog.trim.toUpperCase.startsWith("TXLOG") =>
+        throw new IllegalArgumentException(
+          "Sql.exec: unrecognized TXLOG statement; supported verbs:\n" +
+            "  TXLOG CREATE '<path>' [PARTITION BY <col>] AS <select>\n" +
+            "  TXLOG APPEND INTO '<path>' <select>\n" +
+            "  TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>\n" +
+            "  TXLOG DELETE FROM '<path>' WHERE <condition>\n" +
+            "  TXLOG RESTORE '<path>' TO VERSION <n>\n" +
+            "  TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>, <c2>]\n" +
+            "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS]")
       case plain => spark.sql(plain)
     }
   }

@@ -173,6 +173,13 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(TxLog.read(spark, dir).count() == 9L, "vacuum broke the live snapshot")
   }
 
+  test("a malformed TXLOG statement refuses loudly instead of falling through to the ANSI parser") {
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.Sql.exec(spark, "TXLOG OPTIMIZE '/tmp/nowhere' ZORDER BY onlyonecol")
+    }
+    assert(e.getMessage.contains("supported verbs"), e.getMessage)
+  }
+
   test("predicates pushed through a view reach the parquet scan") {
     graft.tools.Sql.registerAll(spark, sf)
     val p = spark.sql(
