@@ -43,6 +43,15 @@ object TableFunctions {
       s"$fn: $what must be an integer literal, got $other")
   }
 
+  /** Any non-null literal, unwrapped to its external value (strings
+    * arrive as UTF8String — converted; numerics pass through). */
+  private def litAny(fn: String, what: String, e: Expression): Any = e match {
+    case l: Literal if l.value != null =>
+      if (l.dataType == StringType) l.value.toString else l.value
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a non-null literal, got $other")
+  }
+
   private def csv(s: String): Seq[String] = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
@@ -115,6 +124,41 @@ object TableFunctions {
       (es: Seq[Expression]) => {
         arity("graft_txlog_history", es, 1 to 1)
         plan(TxLog.history(active, litStr("graft_txlog_history", "path", es.head)))
+      }),
+    ("graft_topk",
+      info("graft_topk",
+        "graft_topk(table, group_cols_csv, order_col, k[, 'desc'|'asc']) - top-k rows per group via the native TopKPerGroup operator (default desc)"),
+      (es: Seq[Expression]) => {
+        arity("graft_topk", es, 4 to 5)
+        val fn = "graft_topk"
+        val tbl = active.table(litStr(fn, "table", es.head))
+        val groups = csv(litStr(fn, "group_cols_csv", es(1))).map(tbl(_))
+        val oc = tbl(litStr(fn, "order_col", es(2)))
+        val dir = es.lift(4).map(litStr(fn, "direction", _)).getOrElse("desc")
+        require(dir == "desc" || dir == "asc", s"$fn: direction must be 'desc' or 'asc'")
+        plan(graft.plans.TopK.topKPerGroup(tbl, groups,
+          Seq(if (dir == "desc") oc.desc else oc.asc),
+          litLong(fn, "k", es(3)).toInt))
+      }),
+    ("graft_txlog_appends",
+      info("graft_txlog_appends",
+        "graft_txlog_appends(path, since_version[, to_version]) - rows appended after since_version (append-only ranges; use graft_txlog_cdf otherwise)"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_appends", es, 2 to 3)
+        plan(TxLog.appendsSince(active,
+          litStr("graft_txlog_appends", "path", es.head),
+          litLong("graft_txlog_appends", "since_version", es(1)),
+          es.lift(2).map(litLong("graft_txlog_appends", "to_version", _))))
+      }),
+    ("graft_txlog_between",
+      info("graft_txlog_between",
+        "graft_txlog_between(path, col, lo, hi[, version]) - range read with per-file stats skipping: only files whose [min,max] admit a match are planned"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_between", es, 4 to 5)
+        val fn = "graft_txlog_between"
+        plan(TxLog.readBetween(active, litStr(fn, "path", es.head),
+          litStr(fn, "col", es(1)), litAny(fn, "lo", es(2)), litAny(fn, "hi", es(3)),
+          es.lift(4).map(litLong(fn, "version", _))))
       }),
     ("graft_txlog_cdf",
       info("graft_txlog_cdf",

@@ -173,6 +173,35 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(TxLog.read(spark, dir).count() == 9L, "vacuum broke the live snapshot")
   }
 
+  test("graft_topk, graft_txlog_appends, graft_txlog_between: the operator TVF set widens") {
+    import graft.storage.TxLog
+    import graft.tables.Tables
+    graft.tools.Sql.registerAll(spark, sf)
+    // the custom physical operator through pure SQL ≡ the Scala API
+    val li = Tables.table(spark, sf, "lineitem")
+    sameAs(
+      "SELECT * FROM graft_topk('lineitem', 'l_suppkey', 'l_extendedprice', 2) " +
+        "ORDER BY l_suppkey, l_extendedprice, l_orderkey, l_linenumber, l_partkey",
+      graft.plans.TopK.topKPerGroup(li, Seq(li("l_suppkey")),
+        Seq(li("l_extendedprice").desc), 2)
+        .orderBy("l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber", "l_partkey"),
+      "graft_topk")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_tvf2").toString + "/t"
+    graft.tools.Sql.exec(spark,
+      s"TXLOG CREATE '$dir' PARTITION BY r_regionkey AS " +
+        "SELECT r_regionkey, r_name FROM region")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG APPEND INTO '$dir' SELECT CAST(90 AS INT) AS r_regionkey, 'z' AS r_name")
+    sameAs(s"SELECT * FROM graft_txlog_appends('$dir', 1) ORDER BY r_regionkey",
+      TxLog.appendsSince(spark, dir, 1L).orderBy("r_regionkey"),
+      "graft_txlog_appends")
+    sameAs(s"SELECT * FROM graft_txlog_between('$dir', 'r_regionkey', 1, 3) ORDER BY r_regionkey",
+      TxLog.readBetween(spark, dir, "r_regionkey", 1, 3).orderBy("r_regionkey"),
+      "graft_txlog_between")
+    assert(spark.sql(s"SELECT * FROM graft_txlog_between('$dir', 'r_regionkey', 90, 95)")
+      .head().getString(1) == "z", "range read missed the appended row")
+  }
+
   test("a malformed TXLOG statement refuses loudly instead of falling through to the ANSI parser") {
     val e = intercept[IllegalArgumentException] {
       graft.tools.Sql.exec(spark, "TXLOG OPTIMIZE '/tmp/nowhere' ZORDER BY onlyonecol")
