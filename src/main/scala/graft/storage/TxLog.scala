@@ -116,12 +116,51 @@ object TxLog {
     else None
   }
 
+  /** Best-effort head HINT (`_manifests/_head`), the `_last_checkpoint`
+    * pattern: every commit overwrites it after its rename lands, so
+    * head resolution is one small read + a forward probe instead of
+    * listing an O(versions) directory — the difference between a
+    * streaming source polling a long-lived table every trigger and a
+    * directory scan per poll. The hint is only ever trusted as a
+    * LOWER bound (writes are best-effort and racing committers can
+    * interleave overwrites backwards), and a hint whose version file
+    * is missing or unparseable falls back to the full listing. */
+  private def headHintPath(path: String) = new Path(manifestDir(path), "_head")
+
+  private[storage] def writeHeadHint(fs: FileSystem, path: String,
+                                     version: Long): Unit =
+    try {
+      val out = fs.create(headHintPath(path), true)
+      try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () } // an optimization, never a failure
+
   /** Newest committed version, or None for a non-table path. */
   def currentVersion(spark: SparkSession, path: String): Option[Long] = {
     val fs = fsFor(spark, path)
     val dir = manifestDir(path)
-    if (!fs.exists(dir)) None
-    else fs.listStatus(dir).toSeq.flatMap(s => versionOf(s.getPath)).maxOption
+    if (!fs.exists(dir)) return None
+    val hinted: Option[Long] =
+      try {
+        val hp = headHintPath(path)
+        if (!fs.exists(hp)) None
+        else {
+          val in = fs.open(hp)
+          val s = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+          s.toLongOption.filter(v => fs.exists(new Path(dir, s"v$v.json")))
+        }
+      } catch { case _: java.io.IOException => None }
+    hinted match {
+      case Some(n) =>
+        // lower bound: probe forward for commits the hint missed
+        var v = n
+        while (fs.exists(new Path(dir, s"v${v + 1}.json"))) v += 1
+        Some(v)
+      case None =>
+        fs.listStatus(dir).toSeq.flatMap(s => versionOf(s.getPath)).maxOption
+    }
   }
 
   // ------------------------------------------------------------------
@@ -399,6 +438,18 @@ object TxLog {
   /** Atomically land one commit JSON as `v<version>.json`: temp write
     * + rename, losing the race loudly — never overwriting a committed
     * version. Shared by all three commit shapes. */
+  /** Per-table locks serializing the exists+rename publish step for
+    * writers in THIS JVM. The filesystem's rename is the cross-process
+    * arbiter only where it refuses an existing destination (HDFS);
+    * POSIX local rename OVERWRITES, so two same-version renames can
+    * both "succeed" — a lost update the in-JVM lock closes for
+    * threaded writers (the Delta LogStore contract: dev filesystems
+    * get a JVM lock, HDFS gets atomic rename, plain object stores are
+    * documented out). Keyed by canonical path; entries are tiny and
+    * tables few — no eviction. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def commitAtomic(spark: SparkSession, path: String, version: Long,
                            node: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
     val fs = fsFor(spark, path)
@@ -411,11 +462,16 @@ object TxLog {
     val dst = new Path(manifestDir(path), s"v$version.json")
     // optimistic concurrency: lose the race loudly, never overwrite a
     // committed version
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+    val lock = commitLocks.computeIfAbsent(cacheKey(spark, path), _ => new Object)
+    val won = lock.synchronized {
+      !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+    if (!won) {
       fs.delete(tmp, false)
       throw new VersionRaceException(
         s"TxLog: concurrent commit detected for v$version at $path")
     }
+    writeHeadHint(fs, path, version)
   }
 
   /** Shared metadata header for every commit shape (resolved values —

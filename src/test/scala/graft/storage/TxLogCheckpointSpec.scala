@@ -54,6 +54,30 @@ class TxLogCheckpointSpec extends SparkSpec {
       "older protocol-1 versions must stay readable")
   }
 
+  test("head hint: commits maintain _head; stale, missing or corrupt hints never mis-resolve the head") {
+    import spark.implicits._
+    val path = freshDir("head_hint")
+    TxLog.create(Seq((1L, "a")).toDF("k", "part"), path, Some("part"))
+    TxLog.append(Seq((2L, "b")).toDF("k", "part"), path)
+    TxLog.append(Seq((3L, "c")).toDF("k", "part"), path)
+    val hint = java.nio.file.Paths.get(s"$path/_manifests/_head")
+    assert(new String(java.nio.file.Files.readAllBytes(hint)).trim == "3",
+      "every commit must refresh the hint")
+    // stale hint (a crashed writer's leftover) is a lower bound: the
+    // forward probe still finds the true head
+    java.nio.file.Files.write(hint, "1".getBytes)
+    assert(TxLog.currentVersion(spark, path).contains(3L), "stale hint mis-resolved")
+    // corrupt hint falls back to the listing
+    java.nio.file.Files.write(hint, "garbage".getBytes)
+    assert(TxLog.currentVersion(spark, path).contains(3L), "corrupt hint mis-resolved")
+    // missing hint (legacy table) falls back to the listing
+    java.nio.file.Files.delete(hint)
+    assert(TxLog.currentVersion(spark, path).contains(3L), "missing hint mis-resolved")
+    // and the next commit restores it
+    TxLog.append(Seq((4L, "d")).toDF("k", "part"), path)
+    assert(new String(java.nio.file.Files.readAllBytes(hint)).trim == "4")
+  }
+
   test("data commits are deltas, not file enumerations: commit bytes stay flat as the table grows") {
     import spark.implicits._
     val path = freshDir("delta_commits")
