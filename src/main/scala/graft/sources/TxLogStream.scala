@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftbridge.StreamBridge
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -16,18 +15,19 @@ import graft.storage.TxLog
   *
   *   spark.readStream.format("graft-txlog")
   *     .option("path", tableDir)
-  *     .option("sinceVersion", "latest")      // or a version, or absent = full snapshot first
-  *     .option("maxVersionsPerBatch", "10")   // optional rate limit
+  *     .option("sinceVersion", "latest")      // or a version, or absent = snapshot first
+  *     .option("maxFilesPerBatch", "1000")    // rate limit in FILES (splits the snapshot too)
+  *     .option("maxVersionsPerBatch", "10")   // rate limit in commits
   *     .load()
   *
   * Two modes:
-  *   - **append mode** (default): each micro-batch is the rows of the
-  *     versions newly committed in `(start, end]`, planned at FILE
-  *     granularity from the manifests' set difference
-  *     ([[TxLog.appendsSince]] — zero joins, zero diffing). A
-  *     merge/delete/compact inside a batch range fails the stream
-  *     LOUDLY (file-level increments are only row-accurate while
-  *     history is append-only) — consume the change feed instead.
+  *   - **append mode** (default): the stream opens with the table's
+  *     SNAPSHOT as of stream start (pre-stream history may contain
+  *     merges/compactions — a snapshot doesn't care), then tails each
+  *     commit's added files. A rewrite AFTER the stream's start
+  *     version fails the tail LOUDLY (file-level increments are only
+  *     row-accurate while history is append-only) — consume the
+  *     change feed instead.
   *   - **change-feed mode** (`readChangeFeed=true`, `keys=k1,k2`):
   *     each micro-batch is [[TxLog.changes]] over the version range —
   *     net row-level insert/update/delete between the two endpoint
@@ -36,32 +36,26 @@ import graft.storage.TxLog
   *     closing the CDC-replica loop in ONE streaming job with no
   *     intermediate file relay.
   *
-  * Offsets ARE committed versions (a `LongOffset` of the version
-  * number): monotonic, total-ordered, and — because manifests are
-  * immutable once committed — every batch is exactly REPLAYABLE after
-  * a restart (same offset pair, same files, same rows), which is the
-  * property exactly-once sinks need from a source. The checkpointed
-  * version must survive [[TxLog.vacuum]] (`keepVersions` ≥ stream
-  * lag), the same retention contract as Delta's.
+  * Offsets are `(version, filesConsumedWithinIt)` pairs, so even the
+  * initial snapshot of a 10^5-file table arrives as bounded batches
+  * under `maxFilesPerBatch` — and because manifests are immutable
+  * once committed, every batch is exactly REPLAYABLE after a restart
+  * (same offset pair, same files, same rows), the property
+  * exactly-once sinks need from a source. The checkpointed version
+  * must survive [[TxLog.vacuum]] (`keepVersions` ≥ stream lag), the
+  * same retention contract as Delta's.
   *
-  * `sinceVersion` is the EXCLUSIVE base: rows committed at versions
-  * strictly above it flow through the stream. Absent or `0`, the
-  * first batch is the full table snapshot at the then-current head
-  * (one multi-version batch, like Delta's initial snapshot);
-  * `latest` starts from the head at stream start — new commits only.
+  * `sinceVersion` semantics — resolved ONCE and persisted in the
+  * query's source-metadata dir (re-resolving `latest` on a restart
+  * would silently skip whatever committed while the query was down):
+  * absent or `0` = snapshot of the head at first start, then the
+  * tail; `latest` = tail only, from the head at first start;
+  * an explicit `n` = tail only, rows committed after version n.
   *
   * Schema is pinned at stream start from the head manifest; additive
   * schema evolution mid-stream fails the batch loudly with a
   * restart-the-stream message instead of silently dropping the new
   * columns.
-  *
-  * Scale note: offsets are VERSION-granular, so the initial full
-  * snapshot of a table created in one commit arrives as one batch.
-  * On a 100 TB table, bootstrap the consumer with a BATCH read of the
-  * snapshot and start the stream with `sinceVersion=latest` (the
-  * pattern TxLogStreamSpec's CDC-replica test pins) — then every
-  * micro-batch is commit-sized, and `maxVersionsPerBatch` bounds
-  * catch-up after downtime.
   */
 class TxLogStream extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-txlog"
@@ -78,25 +72,60 @@ class TxLogStream extends StreamSourceProvider with DataSourceRegister {
     val spark = sqlContext.sparkSession
     val opts = TxLogStream.Opts(parameters)
     new TxLogSource(spark, opts,
-      TxLogStream.resolveBase(spark, opts, metadataPath))
+      TxLogStream.resolveStart(spark, opts, metadataPath))
   }
 }
 
 object TxLogStream {
 
+  /** A stream position: every version before `v` is fully consumed,
+    * plus the first `files` entries of `v`'s file list (the SNAPSHOT
+    * list for the start version, the ADDED list for tail versions).
+    * `files == -1` marks `v` fully consumed without knowing its size
+    * (the tail-only start cursor — its predecessor manifests may be
+    * vacuumed, so the size is deliberately never computed). */
+  final case class TxOffset(v: Long, files: Int) extends Offset {
+    override val json: String = s"""{"v":$v,"files":$files}"""
+  }
+
+  object TxOffset {
+    def parse(o: Offset): TxOffset = o match {
+      case t: TxOffset => t
+      case other => // engine-restored offsets arrive serialized
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(other.json)
+        TxOffset(node.get("v").asLong(), node.get("files").asInt())
+    }
+  }
+
+  /** The stream's start state: `snapshotV` is the version whose FULL
+    * file list opens the stream; `consumed=true` means it is already
+    * behind us (tail-only modes). */
+  final case class Start(snapshotV: Long, consumed: Boolean) {
+    def cursor: TxOffset = TxOffset(snapshotV, if (consumed) -1 else 0)
+  }
+
   /** Parsed, validated source options (keys case-insensitive). */
   final case class Opts(path: String, cdf: Boolean, keys: Seq[String],
                         withPreimages: Boolean, since: Option[String],
-                        maxVersionsPerBatch: Option[Long]) {
+                        maxVersionsPerBatch: Option[Long],
+                        maxFilesPerBatch: Option[Int]) {
     since.foreach { s =>
       require(s == "latest" || (s.nonEmpty && s.forall(_.isDigit)),
         s"graft-txlog: sinceVersion must be 'latest' or a version number, got '$s'")
     }
     maxVersionsPerBatch.foreach(m =>
       require(m > 0, s"graft-txlog: maxVersionsPerBatch must be positive, got $m"))
-    if (cdf) require(keys.nonEmpty,
-      "graft-txlog: readChangeFeed=true needs keys=<k1,k2,...> (the row identity " +
-        "the change diff joins on)")
+    maxFilesPerBatch.foreach(m =>
+      require(m > 0, s"graft-txlog: maxFilesPerBatch must be positive, got $m"))
+    if (cdf) {
+      require(keys.nonEmpty,
+        "graft-txlog: readChangeFeed=true needs keys=<k1,k2,...> (the row identity " +
+          "the change diff joins on)")
+      require(maxFilesPerBatch.isEmpty,
+        "graft-txlog: maxFilesPerBatch applies to append mode only — the change " +
+          "feed diffs whole version snapshots; use maxVersionsPerBatch")
+    }
   }
 
   object Opts {
@@ -110,46 +139,46 @@ object TxLogStream {
           .getOrElse(Nil),
         withPreimages = p.get("withpreimages").exists(_.toBoolean),
         since = p.get("sinceversion"),
-        maxVersionsPerBatch = p.get("maxversionsperbatch").map(_.toLong))
+        maxVersionsPerBatch = p.get("maxversionsperbatch").map(_.toLong),
+        maxFilesPerBatch = p.get("maxfilesperbatch").map(_.toInt))
     }
   }
 
-  /** Resolve the stream's EXCLUSIVE base version — and make it stable
-    * across restarts. `sinceVersion=latest` means the head at FIRST
-    * start, not at every start: re-resolving "latest" on a restart
-    * would skip whatever committed while the query was down (silent
-    * data loss between the checkpointed offset and the new head). So
-    * the resolved base persists into the query's source-metadata dir
-    * on first creation and reads back on every restart — the same
-    * contract file-based v1 sources keep there. */
-  def resolveBase(spark: SparkSession, opts: Opts, metadataPath: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-txlog-base")
+  /** Resolve the stream's start — and make it stable across restarts
+    * by persisting it into the query's source-metadata dir on first
+    * creation (the contract file-based v1 sources keep there).
+    * Re-resolving `latest`/head on a restart would skip whatever
+    * committed while the query was down — silent data loss between
+    * the checkpointed offset and the new head. */
+  def resolveStart(spark: SparkSession, opts: Opts, metadataPath: String): Start = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-txlog-start")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) {
+    def read(): Start = {
       val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      val node = try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(in.readAllBytes())
       finally in.close()
-    } else {
-      val base = opts.since match {
-        case Some("latest") => TxLog.currentVersion(spark, opts.path).getOrElse(0L)
-        case Some(n) => n.toLong
-        case None => 0L
+      Start(node.get("v").asLong(), node.get("consumed").asBoolean())
+    }
+    if (fs.exists(p)) read()
+    else {
+      def head: Long = TxLog.currentVersion(spark, opts.path).getOrElse(0L)
+      val start = opts.since match {
+        case Some("latest") => Start(head, consumed = true)
+        case Some(n) if n.toLong > 0L => Start(n.toLong, consumed = true)
+        case _ => Start(head, consumed = false) // absent or 0: snapshot first
       }
       fs.mkdirs(p.getParent)
       try {
         val out = fs.create(p, false)
-        try out.write(base.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try out.write(s"""{"v":${start.snapshotV},"consumed":${start.consumed}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        base
+        start
       } catch {
-        // lost a create race (e.g. a recovery retry of the same
-        // query): the first writer's base is THE base — read it back
-        case _: java.io.IOException if fs.exists(p) =>
-          val in = fs.open(p)
-          try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
+        // lost a create race (a recovery retry of the same query):
+        // the first writer's start is THE start — read it back
+        case _: java.io.IOException if fs.exists(p) => read()
       }
     }
   }
@@ -169,10 +198,11 @@ object TxLogStream {
 }
 
 /** The per-query source instance. Stateless beyond the rate-limit
-  * cursor: offsets map to manifest versions, so batch contents derive
+  * cursor: offsets map to manifest state, so batch contents derive
   * entirely from the immutable commit log. */
-class TxLogSource(spark: SparkSession, opts: TxLogStream.Opts, base: Long)
-    extends Source {
+class TxLogSource(spark: SparkSession, opts: TxLogStream.Opts,
+                  start: TxLogStream.Start) extends Source {
+  import TxLogStream.TxOffset
   import org.apache.spark.sql.functions.{col, lit}
 
   private val path = opts.path
@@ -182,48 +212,106 @@ class TxLogSource(spark: SparkSession, opts: TxLogStream.Opts, base: Long)
   private val tableCols: Seq[String] =
     (if (opts.cdf) schema.fields.dropRight(1) else schema.fields).map(_.name).toSeq
 
-  /** The rate-limit cursor: highest version the ENGINE is known to
-    * have planned or committed. Starts at the persisted base and
-    * syncs from every getBatch/commit the engine makes — including
-    * the ones it makes while RECOVERING a checkpointed query (a
-    * committed last batch replays as commit(), an uncommitted one as
-    * getBatch()), so a restart resumes exactly where the offset log
-    * says, never where this instance guesses. Correctness never
-    * depends on it — offsets the engine already committed are simply
-    * ignored when re-announced. */
-  @volatile private var lastSeen: Long = base
+  /** The file list a cursor at version `w` indexes: the full snapshot
+    * for the start version, the commit's ADDED files for the tail
+    * (loud refusal on rewrites, checked per version pair). Append
+    * mode only — the change feed never plans at file granularity. */
+  private def filesOf(w: Long): Seq[String] =
+    if (w == start.snapshotV) TxLog.manifest(spark, path, w).files
+    else TxLog.addedFiles(spark, path, w)
 
-  private def longOf(o: Offset): Long = o.json.trim.toLong
+  /** Version sizes are immutable once committed — memoized so the
+    * per-trigger offset walk costs one manifest diff per NEW version,
+    * not per poll. */
+  private val sizeCache = scala.collection.mutable.HashMap.empty[Long, Int]
+  private def sizeOf(w: Long): Int = sizeCache.getOrElseUpdate(w, filesOf(w).size)
+
+  /** Rate-limit cursor: the highest offset the ENGINE is known to
+    * have planned or committed. Starts at the resolved start and
+    * syncs from every getBatch/commit — including the ones the engine
+    * makes while RECOVERING a checkpointed query (a committed last
+    * batch replays as commit(), an uncommitted one as getBatch()), so
+    * a restart resumes exactly where the offset log says, never where
+    * this instance guesses. Correctness never depends on it — offsets
+    * the engine already committed are simply ignored on re-announce. */
+  @volatile private var lastSeen: TxOffset = start.cursor
+
+  private def geq(a: TxOffset, b: TxOffset): Boolean =
+    a.v > b.v || (a.v == b.v && (a.files == -1 || (b.files != -1 && a.files >= b.files)))
 
   override def getOffset: Option[Offset] = {
     val head = TxLog.currentVersion(spark, path).getOrElse(return None)
-    val capped = opts.maxVersionsPerBatch
-      .fold(head)(m => math.min(head, lastSeen + m))
-    if (capped > lastSeen) Some(LongOffset(capped)) else None
+    val cur = lastSeen
+    if (opts.cdf) {
+      // version-granular only: the change feed diffs whole snapshots
+      // and exists precisely for rewrite history, so the file walk
+      // (which refuses rewrites) never runs here. files == 0 marks
+      // the initial snapshot still pending at cur.v.
+      val cap = opts.maxVersionsPerBatch
+        .fold(head)(m => math.min(head, cur.v + m))
+      if (cap > cur.v || (cap == cur.v && cur.files == 0))
+        Some(TxOffset(cap, -1))
+      else None
+    } else {
+      var v = cur.v
+      // -1 = fully consumed: advance past it without computing its size
+      var f = cur.files
+      var fileBudget = opts.maxFilesPerBatch.getOrElse(Int.MaxValue)
+      var versionBudget = opts.maxVersionsPerBatch.getOrElse(Long.MaxValue)
+      var advanced = false
+      var done = false
+      while (!done && fileBudget > 0) {
+        val remaining = if (f == -1) 0 else {
+          val size = sizeOf(v)
+          if (f >= size) 0 else size - f
+        }
+        if (remaining > 0) {
+          val take = math.min(remaining, fileBudget)
+          f += take; fileBudget -= take
+          advanced = true
+        } else if (v < head && versionBudget > 0) {
+          v += 1; f = 0; versionBudget -= 1
+          // entering a fresh EMPTY version still advances the offset
+          advanced = advanced || sizeOf(v) == 0
+        } else done = true
+      }
+      val next = TxOffset(v, f)
+      if (advanced && !geq(cur, next)) Some(next) else None
+    }
   }
 
-  override def commit(end: Offset): Unit =
-    lastSeen = math.max(lastSeen, longOf(end))
+  override def commit(end: Offset): Unit = {
+    val o = TxOffset.parse(end)
+    if (!geq(lastSeen, o)) lastSeen = o
+  }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(longOf).getOrElse(base)
-    val to = longOf(end)
-    lastSeen = math.max(lastSeen, to)
-    if (from >= to) return StreamBridge.emptyStreaming(spark, schema)
+  override def getBatch(startO: Option[Offset], end: Offset): DataFrame = {
+    val from = startO.map(TxOffset.parse).getOrElse(start.cursor)
+    val to = TxOffset.parse(end)
+    if (!geq(lastSeen, to)) lastSeen = to
+    if (geq(from, to)) return StreamBridge.emptyStreaming(spark, schema)
     val batch: DataFrame =
       if (!opts.cdf) {
-        // (0, to] = the initial full snapshot; later ranges = manifest diff
-        val df = if (from == 0L) TxLog.read(spark, path, Some(to))
-                 else TxLog.appendsSince(spark, path, from, Some(to))
-        checkNoDrift(df, to)
+        val files = (from.v to to.v).flatMap { w =>
+          val all = filesOf(w)
+          val lo = if (w == from.v) (if (from.files == -1) all.size else from.files) else 0
+          val hi = if (w == to.v) (if (to.files == -1) all.size else to.files) else all.size
+          all.slice(lo, hi)
+        }
+        if (files.isEmpty) return StreamBridge.emptyStreaming(spark, schema)
+        val df = TxLog.readFileList(spark, path, to.v, files)
+        checkNoDrift(df, to.v)
         df.select(tableCols.map(col): _*)
       } else {
-        val df = if (from == 0L)
-          TxLog.read(spark, path, Some(to))
+        // files == 0 marks the pending initial snapshot: deliver the
+        // state at to.v as inserts (covers any extra versions folded
+        // into the same first batch — net state IS the initial load)
+        val df = if (from.files == 0)
+          TxLog.read(spark, path, Some(to.v))
             .withColumn("_change_type", lit("insert"))
-        else TxLog.changes(spark, path, from, to, opts.keys,
+        else TxLog.changes(spark, path, from.v, to.v, opts.keys,
           withPreimages = opts.withPreimages)
-        checkNoDrift(df.drop("_change_type"), to)
+        checkNoDrift(df.drop("_change_type"), to.v)
         df.select((tableCols :+ "_change_type").map(col): _*)
       }
     StreamBridge.asStreamingLeaf(batch)
@@ -245,5 +333,6 @@ class TxLogSource(spark: SparkSession, opts: TxLogStream.Opts, base: Long)
   override def stop(): Unit = ()
 
   override def toString: String =
-    s"TxLogSource[$path, ${if (opts.cdf) "changeFeed" else "appends"}, base=v$base]"
+    s"TxLogSource[$path, ${if (opts.cdf) "changeFeed" else "appends"}, " +
+      s"start=${start.cursor.json}]"
 }

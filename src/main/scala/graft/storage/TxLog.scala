@@ -941,6 +941,30 @@ object TxLog {
       mTo.files.filterNot(fromSet))
   }
 
+  /** Files ADDED by version `v` over its predecessor — the
+    * per-version unit the streaming source slices. Loud refusal on
+    * rewrites, [[appendsSince]]'s contract at single-version grain. */
+  private[graft] def addedFiles(spark: SparkSession, path: String,
+                                v: Long): Seq[String] = {
+    val m = manifest(spark, path, v)
+    val prev = manifest(spark, path, v - 1)
+    val cur = m.files.toSet
+    val removed = prev.files.filterNot(cur)
+    require(removed.isEmpty,
+      s"TxLog: ${removed.size} files of v${v - 1} were rewritten by v$v — " +
+        "history is not append-only over this range; consume TxLog.changes instead")
+    val prevSet = prev.files.toSet
+    m.files.filterNot(prevSet)
+  }
+
+  /** Plan a read over an explicit subset of `version`'s files with
+    * that version's declared schema — the streaming source's
+    * file-sliced batch read. */
+  private[graft] def readFileList(spark: SparkSession, path: String,
+                                  version: Long, files: Seq[String]): DataFrame =
+    readFiles(spark, path,
+      StructType.fromDDL(manifest(spark, path, version).schemaDdl), files)
+
   /** Additive-only schema widening: every declared column keeps its
     * position and type; incoming columns either match a declared
     * column's type exactly (nullability aside) or append at the end.

@@ -147,11 +147,9 @@ class TxLogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("maxVersionsPerBatch=1 splits a backlog into version-granular batches") {
+  test("maxVersionsPerBatch=1: snapshot first, then one commit per batch") {
     val path = freshDir("rate")
     TxLog.create(keyed(Seq((1L, "a", 1.0))), path)
-    TxLog.append(keyed(Seq((2L, "b", 2.0))), path)
-    TxLog.append(keyed(Seq((3L, "c", 3.0))), path)
     val batches = ArrayBuffer.empty[Int]
     val q = stream(path, "maxVersionsPerBatch" -> "1").writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -159,9 +157,56 @@ class TxLogStreamSpec extends SparkSpec {
       }.start()
     try {
       q.processAllAvailable()
-      // (0,1] snapshot, then (1,2], (2,3] — one version each
+      TxLog.append(keyed(Seq((2L, "b", 2.0))), path)
+      TxLog.append(keyed(Seq((3L, "c", 3.0))), path)
+      q.processAllAvailable()
       assert(batches.count(_ > 0) == 3, s"expected 3 non-empty batches, got $batches")
       assert(batches.sum == 3)
+    } finally q.stop()
+  }
+
+  test("maxFilesPerBatch bounds every batch — including the initial snapshot — at file granularity") {
+    val path = freshDir("filerate")
+    // partitioned by cat → one file per distinct cat, one row each:
+    // a 4-file snapshot + a 2-file append must arrive as 6
+    // single-file batches, nothing lost, nothing duplicated
+    TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0))), path, Some("cat"))
+    val batches = ArrayBuffer.empty[Array[Long]]
+    val q = stream(path, "maxFilesPerBatch" -> "1").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.collect().map(_.getLong(0)) }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      TxLog.append(keyed(Seq((5L, "e", 5.0), (6L, "f", 6.0))), path)
+      q.processAllAvailable()
+      val nonEmpty = batches.filter(_.nonEmpty)
+      assert(nonEmpty.forall(_.length == 1),
+        s"every batch must be one file's rows: ${nonEmpty.map(_.toList)}")
+      assert(nonEmpty.flatten.sorted.toList == List(1L, 2L, 3L, 4L, 5L, 6L),
+        "file-sliced delivery lost or duplicated rows")
+    } finally q.stop()
+  }
+
+  test("pre-stream rewrite history: the opening snapshot doesn't care that the table was merged before the stream started") {
+    val path = freshDir("prehistory")
+    TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0))), path, Some("cat"))
+    TxLog.mergeInto(path, keyed(Seq((2L, "b", 20.0), (3L, "c", 3.0))), Seq("k"))
+    // default start = snapshot of the CURRENT head — a version walk
+    // from v1 would trip over the merge; the snapshot must not
+    val q = stream(path).writeStream.format("memory")
+      .queryName("txs_prehist").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("txs_prehist").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSet
+      assert(got == Set((1L, 1.0), (2L, 20.0), (3L, 3.0)),
+        s"snapshot after pre-stream merge diverged: $got")
+      // and the tail still works after the snapshot
+      TxLog.append(keyed(Seq((9L, "z", 9.0))), path)
+      q.processAllAvailable()
+      assert(spark.table("txs_prehist").count() == 4L)
     } finally q.stop()
   }
 }
