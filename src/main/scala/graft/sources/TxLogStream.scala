@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.graftbridge.StreamBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.storage.TxLog
@@ -18,7 +18,14 @@ import graft.storage.TxLog
   *     .option("sinceVersion", "latest")      // or a version, or absent = snapshot first
   *     .option("maxFilesPerBatch", "1000")    // rate limit in FILES (splits the snapshot too)
   *     .option("maxVersionsPerBatch", "10")   // rate limit in commits
+  *     .option("skipRewriteCommits", "true")  // tail survives OPTIMIZE (see filesOf caveat)
   *     .load()
+  *
+  * ...and the SINK side of the same format closes the loop: a
+  * table-to-table incremental pipeline is
+  * `readStream.format("graft-txlog") → transforms →
+  * writeStream.format("graft-txlog")`, exactly-once on BOTH ends
+  * (replayable offsets here, appendBatch's batch-id watermark there).
   *
   * Two modes:
   *   - **append mode** (default): the stream opens with the table's
@@ -57,7 +64,8 @@ import graft.storage.TxLog
   * restart-the-stream message instead of silently dropping the new
   * columns.
   */
-class TxLogStream extends StreamSourceProvider with DataSourceRegister {
+class TxLogStream extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-txlog"
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -74,6 +82,45 @@ class TxLogStream extends StreamSourceProvider with DataSourceRegister {
     new TxLogSource(spark, opts,
       TxLogStream.resolveStart(spark, opts, metadataPath))
   }
+
+  /** `df.writeStream.format("graft-txlog")` — the sink side of the
+    * symmetry: every micro-batch commits as one append version via
+    * [[TxLog.appendBatch]], whose batch-id watermark makes crash
+    * replays no-ops (exactly-once on top of the engine's checkpoint).
+    * The table auto-creates EMPTY on first use (partition column from
+    * `.partitionBy(col)`), then the first batch flows through the
+    * same watermarked path — so a crash between create and first
+    * commit replays cleanly too. Append output mode only. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-txlog sink supports Append output mode only, got $outputMode " +
+        "(a TxLog append version per micro-batch IS append semantics)")
+    require(partitionColumns.size <= 1,
+      s"graft-txlog sink: TxLog tables partition by at most one column, " +
+        s"got ${partitionColumns.mkString(", ")}")
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    new TxLogSink(sqlContext.sparkSession,
+      p.getOrElse("path", throw new IllegalArgumentException(
+        "graft-txlog sink: option 'path' (the TxLog table directory) is required")),
+      partitionColumns.headOption)
+  }
+}
+
+/** The per-query sink instance (see [[TxLogStream.createSink]]). */
+class TxLogSink(spark: SparkSession, path: String,
+                partitionCol: Option[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = StreamBridge.asBatchLeaf(data)
+    if (TxLog.currentVersion(spark, path).isEmpty)
+      TxLog.create(batch.limit(0), path, partitionCol)
+    TxLog.appendBatch(batch, path, batchId)
+  }
+  override def toString: String = s"TxLogSink[$path]"
 }
 
 object TxLogStream {
@@ -109,7 +156,8 @@ object TxLogStream {
   final case class Opts(path: String, cdf: Boolean, keys: Seq[String],
                         withPreimages: Boolean, since: Option[String],
                         maxVersionsPerBatch: Option[Long],
-                        maxFilesPerBatch: Option[Int]) {
+                        maxFilesPerBatch: Option[Int],
+                        skipRewriteCommits: Boolean) {
     since.foreach { s =>
       require(s == "latest" || (s.nonEmpty && s.forall(_.isDigit)),
         s"graft-txlog: sinceVersion must be 'latest' or a version number, got '$s'")
@@ -125,6 +173,9 @@ object TxLogStream {
       require(maxFilesPerBatch.isEmpty,
         "graft-txlog: maxFilesPerBatch applies to append mode only — the change " +
           "feed diffs whole version snapshots; use maxVersionsPerBatch")
+      require(!skipRewriteCommits,
+        "graft-txlog: skipRewriteCommits applies to append mode only — the " +
+          "change feed handles rewrite history by design")
     }
   }
 
@@ -140,7 +191,8 @@ object TxLogStream {
         withPreimages = p.get("withpreimages").exists(_.toBoolean),
         since = p.get("sinceversion"),
         maxVersionsPerBatch = p.get("maxversionsperbatch").map(_.toLong),
-        maxFilesPerBatch = p.get("maxfilesperbatch").map(_.toInt))
+        maxFilesPerBatch = p.get("maxfilesperbatch").map(_.toInt),
+        skipRewriteCommits = p.get("skiprewritecommits").exists(_.toBoolean))
     }
   }
 
@@ -214,11 +266,27 @@ class TxLogSource(spark: SparkSession, opts: TxLogStream.Opts,
 
   /** The file list a cursor at version `w` indexes: the full snapshot
     * for the start version, the commit's ADDED files for the tail
-    * (loud refusal on rewrites, checked per version pair). Append
-    * mode only — the change feed never plans at file granularity. */
+    * (loud refusal on rewrites, checked per version pair). With
+    * `skipRewriteCommits=true` a rewriting commit (OPTIMIZE / merge /
+    * delete) is SKIPPED whole instead — lossless for compactions,
+    * whose adds only re-house already-delivered rows, but a skipped
+    * MERGE also drops its genuinely-new rows (the same caveat Delta
+    * documents for skipChangeCommits; use the change feed when merges
+    * carry data the consumer needs). Append mode only — the change
+    * feed never plans at file granularity. */
   private def filesOf(w: Long): Seq[String] =
     if (w == start.snapshotV) TxLog.manifest(spark, path, w).files
-    else TxLog.addedFiles(spark, path, w)
+    else if (!opts.skipRewriteCommits) TxLog.addedFiles(spark, path, w)
+    else {
+      val cur = TxLog.manifest(spark, path, w)
+      val prev = TxLog.manifest(spark, path, w - 1)
+      val curSet = cur.files.toSet
+      if (prev.files.exists(f => !curSet.contains(f))) Nil // rewrite: skip
+      else {
+        val prevSet = prev.files.toSet
+        cur.files.filterNot(prevSet)
+      }
+    }
 
   /** Version sizes are immutable once committed — memoized so the
     * per-trigger offset walk costs one manifest diff per NEW version,

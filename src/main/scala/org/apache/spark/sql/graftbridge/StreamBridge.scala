@@ -38,6 +38,20 @@ object StreamBridge {
       LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = true)(spark))
   }
 
+  /** The sink-side counterpart of [[asStreamingLeaf]]: the DataFrame a
+    * v1 `Sink.addBatch` receives still carries streaming relations in
+    * its LOGICAL plan, so feeding it to any batch writer would re-plan
+    * and hit "streaming sources must be executed with
+    * writeStream.start()". The batch's PHYSICAL plan is already
+    * incremental-executed, though — wrap its RDD as a plain batch
+    * leaf and write that. */
+  def asBatchLeaf(df: DataFrame): DataFrame = {
+    val classic = org.apache.spark.sql.classic.ClassicConversions.castToImpl(df)
+    val qe = classic.queryExecution
+    ExprBridge.ofRows(classic.sparkSession,
+      LogicalRDD(qe.analyzed.output, qe.toRdd)(classic.sparkSession))
+  }
+
   /** An empty DataFrame of `schema` whose plan is already streaming —
     * the zero-rows micro-batch. */
   def emptyStreaming(spark: SparkSession, schema: StructType): DataFrame =

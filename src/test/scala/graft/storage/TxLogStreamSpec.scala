@@ -189,6 +189,75 @@ class TxLogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sink: writeStream.format(graft-txlog) auto-creates, commits one version per batch, replays are no-ops") {
+    val src = freshDir("sink_src")
+    val out = freshDir("sink_out")
+    val ckpt = freshDir("sink_ckpt")
+    TxLog.create(keyed(Seq((1L, "a", 1.0))), src)
+    def run() = stream(src).writeStream
+      .format("graft-txlog").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = run()
+    try {
+      q1.processAllAvailable()
+      TxLog.append(keyed(Seq((2L, "b", 2.0))), src)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def outRows = TxLog.read(spark, out).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(outRows == Set((1L, 1.0), (2L, 2.0)))
+    // restart from the same checkpoint: the engine re-offers the last
+    // batch; the sink's batch-id watermark must swallow it
+    TxLog.append(keyed(Seq((3L, "c", 3.0))), src)
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(outRows == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      "sink must be exactly-once across restarts")
+  }
+
+  test("end-to-end incremental ETL: txlog source → transform → txlog sink, exactly-once on both ends") {
+    val src = freshDir("e2e_src")
+    val out = freshDir("e2e_out")
+    TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0))), src)
+    val pipeline = stream(src)
+      .filter(org.apache.spark.sql.functions.col("v") > 1.0)
+      .withColumn("v2", org.apache.spark.sql.functions.col("v") * 10)
+    val q = pipeline.writeStream.format("graft-txlog").option("path", out)
+      .option("checkpointLocation", freshDir("e2e_ckpt")).start()
+    try {
+      q.processAllAvailable()
+      TxLog.append(keyed(Seq((3L, "c", 3.0), (4L, "d", 0.5))), src)
+      q.processAllAvailable()
+      val got = TxLog.read(spark, out).collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toSet
+      assert(got == Set((2L, 20.0), (3L, 30.0)),
+        s"derived table diverged from the incremental transform: $got")
+      // one append version per delivered micro-batch, snapshot-isolated
+      assert(TxLog.currentVersion(spark, out).exists(_ >= 2L))
+    } finally q.stop()
+  }
+
+  test("skipRewriteCommits: an OPTIMIZE mid-stream is skipped losslessly; appends keep flowing") {
+    val path = freshDir("skiprw")
+    TxLog.create(keyed(Seq((1L, "a", 1.0))), path)
+    val q = stream(path, "sinceVersion" -> "latest", "skipRewriteCommits" -> "true")
+      .writeStream.format("memory").queryName("txs_skiprw")
+      .outputMode("append").start()
+    try {
+      TxLog.append(keyed(Seq((2L, "b", 2.0))), path)
+      TxLog.append(keyed(Seq((3L, "c", 3.0))), path)
+      q.processAllAvailable()
+      // compaction rewrites every row it touches — already delivered
+      val vOpt = TxLog.compact(spark, path, minFilesToCompact = 2)
+      assert(vOpt == 4L, s"compact should commit v4, got v$vOpt")
+      TxLog.append(keyed(Seq((5L, "e", 5.0))), path)
+      q.processAllAvailable()
+      val got = spark.table("txs_skiprw").collect().map(_.getLong(0)).sorted.toList
+      assert(got == List(2L, 3L, 5L),
+        s"tail must skip the compaction and keep flowing, no dups: $got")
+    } finally q.stop()
+  }
+
   test("pre-stream rewrite history: the opening snapshot doesn't care that the table was merged before the stream started") {
     val path = freshDir("prehistory")
     TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0))), path, Some("cat"))
