@@ -258,6 +258,36 @@ class TxLogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVM: the change-feed stream maintains Mv exactly equal to a full recompute") {
+    val path = freshDir("ivm")
+    TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0))),
+      path, Some("cat"))
+    // view state carried across micro-batches; localCheckpoint cuts
+    // the growing lineage the same way Mv's batch driver query does
+    var view = Mv.aggregate(TxLog.read(spark, path), Seq("cat"), Seq("v"))
+      .localCheckpoint(true)
+    val q = stream(path, "readChangeFeed" -> "true", "keys" -> "k",
+      "withPreimages" -> "true", "sinceVersion" -> "latest").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        view = Mv.applyDelta(view, batch, Seq("cat"), Seq("v")).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      // an update that MOVES a row between groups (b→a), an insert, a delete
+      TxLog.mergeInto(path, keyed(Seq((2L, "a", 20.0), (9L, "c", 9.0))), Seq("k"))
+      q.processAllAvailable()
+      TxLog.deleteWhere(spark, path, org.apache.spark.sql.functions.col("k") === 3L)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val recomputed = rows(Mv.aggregate(TxLog.read(spark, path), Seq("cat"), Seq("v")))
+      assert(rows(view) == recomputed,
+        s"maintained view ${rows(view)} diverged from recompute $recomputed")
+      assert(recomputed == Set(("a", 2L, 21.0), ("c", 1L, 9.0)),
+        s"unexpected head state: $recomputed")
+    } finally q.stop()
+  }
+
   test("pre-stream rewrite history: the opening snapshot doesn't care that the table was merged before the stream started") {
     val path = freshDir("prehistory")
     TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0))), path, Some("cat"))
