@@ -1192,6 +1192,43 @@ object TxLog {
     * partition values among matching rows — partition cardinality, not
     * data). The rewrite itself is `filter(!condition)` over only those
     * partitions' files. */
+  /** INSERT OVERWRITE of whole partitions as ONE commit — Delta's
+    * `replaceWhere` at partition granularity, the daily re-load
+    * shape: yesterday's partition is atomically replaced while the
+    * other 364 carry by reference (zero data movement, O(changed)
+    * commit metadata). Every row of `df` must fall inside
+    * `partitionVals` — a row outside would silently land in a
+    * partition this commit does NOT claim to rewrite, so it fails
+    * loudly instead. Listing a partition with no matching `df` rows
+    * empties it (that is what replace means). Readers of older
+    * versions keep the replaced files until [[vacuum]]. */
+  def replacePartitions(df: DataFrame, path: String,
+                        partitionVals: Seq[Any]): Long = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    require(partitionVals.nonEmpty,
+      "TxLog.replacePartitions: name at least one partition value")
+    val spark = df.sparkSession
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    val pc = m.partitionCol.getOrElse(throw new IllegalArgumentException(
+      "TxLog.replacePartitions needs a partitioned table (create with partitionCol)"))
+    checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
+    // NULL partition values never match isin — catch them explicitly
+    // or they'd silently land in the default partition unclaimed
+    val stray = df.filter(col(pc).isNull
+        .or(not(col(pc).isin(partitionVals.map(lit): _*))))
+      .select(col(pc)).limit(1).collect()
+    require(stray.isEmpty,
+      s"TxLog.replacePartitions: df contains rows outside the named " +
+        s"partitions (found $pc=${stray.headOption.map(_.get(0)).orNull}); " +
+        "either add that value to partitionVals or filter the frame")
+    val newFiles = stageIn(df, path, Some(pc))
+    val dirs = partitionVals.map(partitionDirName(pc, _)).toSet
+    commitRebase(spark, path, m, rewriteDirs = dirs, newFiles = newFiles,
+      schemaDdl = m.schemaDdl, batchId = None, readSet = Some(dirs))
+  }
+
   def deleteWhere(spark: SparkSession, path: String,
                   condition: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}

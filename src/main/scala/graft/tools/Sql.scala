@@ -25,6 +25,7 @@ import graft.tables.Tables
   *   TXLOG APPEND INTO '<path>' <select>
   *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>
   *   TXLOG DELETE FROM '<path>' WHERE <condition>
+  *   TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>
   *   TXLOG RESTORE '<path>' TO VERSION <n>
   *   TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>, <c2>]
   *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS]
@@ -45,6 +46,8 @@ object Sql {
     """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+(.+)""".r
   private val DeleteRe =
     """(?is)\s*TXLOG\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+)""".r
+  private val ReplaceRe =
+    """(?is)\s*TXLOG\s+REPLACE\s+INTO\s+'([^']+)'\s+PARTITIONS\s*\(([^)]+)\)\s+(.+)""".r
   private val RestoreRe =
     """(?is)\s*TXLOG\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val OptimizeRe =
@@ -68,6 +71,10 @@ object Sql {
       case DeleteRe(path, cond) =>
         asDf(graft.storage.TxLog.deleteWhere(spark, path,
           org.apache.spark.sql.functions.expr(cond)))
+      case ReplaceRe(path, vals, select) =>
+        asDf(graft.storage.TxLog.replacePartitions(spark.sql(select), path,
+          vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+            .filter(_.nonEmpty).toSeq))
       case RestoreRe(path, v) =>
         asDf(graft.storage.TxLog.restore(spark, path, v.toLong))
       case OptimizeRe(path, zc1, zc2) =>
@@ -88,6 +95,7 @@ object Sql {
             "  TXLOG APPEND INTO '<path>' <select>\n" +
             "  TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>\n" +
             "  TXLOG DELETE FROM '<path>' WHERE <condition>\n" +
+            "  TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>\n" +
             "  TXLOG RESTORE '<path>' TO VERSION <n>\n" +
             "  TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>, <c2>]\n" +
             "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS]")

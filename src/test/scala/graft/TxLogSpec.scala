@@ -452,6 +452,48 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("replacePartitions: atomic partition overwrite; untouched partitions carry by reference; strays refuse") {
+    val path = freshPath("replace")
+    TxLog.create(fixture, path, Some("part"))
+    val m1 = TxLog.manifest(spark, path, 1L)
+    // replace p1 (2 rows → 1 new row) and EMPTY p3 in the same commit
+    val v2 = TxLog.replacePartitions(
+      Seq((8L, "p1", 80.0)).toDF("k", "part", "v"), path, Seq("p1", "p3"))
+    assert(v2 == 2L)
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((8L, "p1", 80.0), (3L, "p2", 30.0), (4L, "p2", 40.0)),
+      "p1 replaced, p3 emptied, p2 untouched")
+    // untouched partition files are the SAME entries, not rewrites
+    val m2 = TxLog.manifest(spark, path, 2L)
+    val p2files = (m: TxLog.Manifest) => m.files.filter(_.startsWith("part=p2/")).toSet
+    assert(p2files(m2) == p2files(m1), "p2 must carry by reference")
+    // time travel still serves the pre-replace content
+    assert(rows(TxLog.read(spark, path, Some(1L))) == rows(fixture))
+    // a row outside the named partitions refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TxLog.replacePartitions(
+        Seq((9L, "p2", 90.0)).toDF("k", "part", "v"), path, Seq("p1"))
+    }
+    assert(e.getMessage.contains("outside the named"), e.getMessage)
+    // NULL partition values can't sneak into the default partition
+    val eNull = intercept[IllegalArgumentException] {
+      TxLog.replacePartitions(
+        Seq((10L, null.asInstanceOf[String], 1.0)).toDF("k", "part", "v"),
+        path, Seq("p1"))
+    }
+    assert(eNull.getMessage.contains("outside the named"), eNull.getMessage)
+    // the SQL verb drives the same path
+    spark.sql("SELECT 11 AS k, 'p2' AS part, 1.5 AS v")
+      .createOrReplaceTempView("repl_src")
+    val v3 = graft.tools.Sql.exec(spark,
+      s"TXLOG REPLACE INTO '$path' PARTITIONS ('p2') " +
+        "SELECT CAST(k AS BIGINT) AS k, part, CAST(v AS DOUBLE) AS v FROM repl_src")
+      .head().getLong(0)
+    assert(v3 == 3L)
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((8L, "p1", 80.0), (11L, "p2", 1.5)))
+  }
+
   test("changes (CDF): insert/update/delete diff between versions, aligned across evolution") {
     val path = freshPath("cdf")
     TxLog.create(fixture, path, Some("part"))
