@@ -160,6 +160,15 @@ object TableFunctions {
           litStr(fn, "col", es(1)), litAny(fn, "lo", es(2)), litAny(fn, "hi", es(3)),
           es.lift(4).map(litLong(fn, "version", _))))
       }),
+    ("graft_txlog_point",
+      info("graft_txlog_point",
+        "graft_txlog_point(path, col, value) - point lookup with Bloom-sidecar file skipping: only files whose filter admits the key are planned"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_point", es, 3 to 3)
+        val fn = "graft_txlog_point"
+        plan(TxLog.readByKey(active, litStr(fn, "path", es.head),
+          litStr(fn, "col", es(1)), litAny(fn, "value", es(2))))
+      }),
     ("graft_txlog_cdf",
       info("graft_txlog_cdf",
         "graft_txlog_cdf(path, from_version, to_version, keys_csv) - change-data feed between two versions"),

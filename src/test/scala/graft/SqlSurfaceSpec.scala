@@ -200,6 +200,10 @@ class SqlSurfaceSpec extends SparkSpec {
       "graft_txlog_between")
     assert(spark.sql(s"SELECT * FROM graft_txlog_between('$dir', 'r_regionkey', 90, 95)")
       .head().getString(1) == "z", "range read missed the appended row")
+    // Bloom point-lookup read through SQL ≡ the Scala API
+    TxLog.buildBloomIndex(spark, dir, "r_name")
+    sameAs(s"SELECT * FROM graft_txlog_point('$dir', 'r_name', 'z')",
+      TxLog.readByKey(spark, dir, "r_name", "z"), "graft_txlog_point")
   }
 
   test("a malformed TXLOG statement refuses loudly instead of falling through to the ANSI parser") {
