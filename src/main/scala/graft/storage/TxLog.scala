@@ -435,9 +435,6 @@ object TxLog {
     if (!fs.rename(tmp, ckptDir(path, m.version))) fs.delete(tmp, true)
   }
 
-  /** Atomically land one commit JSON as `v<version>.json`: temp write
-    * + rename, losing the race loudly — never overwriting a committed
-    * version. Shared by all three commit shapes. */
   /** Per-table locks serializing the exists+rename publish step for
     * writers in THIS JVM. The filesystem's rename is the cross-process
     * arbiter only where it refuses an existing destination (HDFS);
@@ -450,6 +447,9 @@ object TxLog {
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Atomically land one commit JSON as `v<version>.json`: temp write
+    * + rename, losing the race loudly — never overwriting a committed
+    * version. Shared by all three commit shapes. */
   private def commitAtomic(spark: SparkSession, path: String, version: Long,
                            node: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
     val fs = fsFor(spark, path)
@@ -1179,19 +1179,6 @@ object TxLog {
       readSet = None)
   }
 
-  /** Transactional DELETE — the GDPR/right-to-be-forgotten commit:
-    * rewrite every partition holding a row matching `condition` WITHOUT
-    * those rows, carry the rest by reference, commit as one version.
-    * A partition deleted empty drops out of the manifest; older
-    * versions still read the rows until [[vacuum]]. On an
-    * unpartitioned table the whole content rewrites (there is no
-    * narrower unit). Returns the new version, or the current one when
-    * nothing matched.
-    *
-    * The touched-partition set is a bounded driver hop (distinct
-    * partition values among matching rows — partition cardinality, not
-    * data). The rewrite itself is `filter(!condition)` over only those
-    * partitions' files. */
   /** INSERT OVERWRITE of whole partitions as ONE commit — Delta's
     * `replaceWhere` at partition granularity, the daily re-load
     * shape: yesterday's partition is atomically replaced while the
@@ -1229,6 +1216,19 @@ object TxLog {
       schemaDdl = m.schemaDdl, batchId = None, readSet = Some(dirs))
   }
 
+  /** Transactional DELETE — the GDPR/right-to-be-forgotten commit:
+    * rewrite every partition holding a row matching `condition` WITHOUT
+    * those rows, carry the rest by reference, commit as one version.
+    * A partition deleted empty drops out of the manifest; older
+    * versions still read the rows until [[vacuum]]. On an
+    * unpartitioned table the whole content rewrites (there is no
+    * narrower unit). Returns the new version, or the current one when
+    * nothing matched.
+    *
+    * The touched-partition set is a bounded driver hop (distinct
+    * partition values among matching rows — partition cardinality, not
+    * data). The rewrite itself is `filter(!condition)` over only those
+    * partitions' files. */
   def deleteWhere(spark: SparkSession, path: String,
                   condition: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
