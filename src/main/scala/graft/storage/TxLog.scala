@@ -1073,17 +1073,19 @@ object TxLog {
     * Partitions below the threshold carry by reference; readers of
     * older versions keep the small files until [[vacuum]]. Returns the
     * new version, or the current one when nothing needed compacting. */
-  /** `zorderBy = Some((c1, c2))` turns the rewrite into the Delta-style
-    * `OPTIMIZE … ZORDER BY`: each compacted partition's rows range-
-    * partition and sort on the quantile-bucketized Morton interleave
-    * of the two columns (Layout.zorderedFrame) before landing, so a
-    * post-compact range scan on either column touches few files — and
-    * the layout change commits atomically with the same snapshot
-    * guarantees as a plain compact. */
+  /** A non-empty `zorderBy` turns the rewrite into the Delta-style
+    * `OPTIMIZE … ZORDER BY c1[, c2, ...]`: each compacted partition's
+    * rows range-partition and sort on the quantile-bucketized Morton
+    * interleave of the named columns before landing (two columns take
+    * Layout.zorderedFrame, three or more the N-dimensional
+    * generalization, one a plain range-cluster sort), so a
+    * post-compact range scan on any clustered column touches few
+    * files — and the layout change commits atomically with the same
+    * snapshot guarantees as a plain compact. */
   def compact(spark: SparkSession, path: String,
               targetBytesPerFile: Long = 128L << 20,
               minFilesToCompact: Int = 2,
-              zorderBy: Option[(String, String)] = None): Long = {
+              zorderBy: Seq[String] = Nil): Long = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
@@ -1100,9 +1102,14 @@ object TxLog {
       val n = ((bytes + BigInt(targetBytesPerFile) - 1) / targetBytesPerFile)
         .max(1).toInt
       zorderBy match {
-        case Some((c1, c2)) =>
+        case Seq() => part.repartition(n)
+        case Seq(c1) => // one column: range-cluster + sort IS the z-order
+          part.repartitionByRange(n, org.apache.spark.sql.functions.col(c1))
+            .sortWithinPartitions(c1)
+        case Seq(c1, c2) =>
           graft.operators.Layout.zorderedFrame(part, c1, c2, numFiles = n)
-        case None => part.repartition(n)
+        case cols =>
+          graft.operators.Layout.zorderedFrameN(part, cols, numFiles = n)
       }
     }
     val newFiles = stageIn(pieces.reduce(_ unionByName _), path, m.partitionCol)

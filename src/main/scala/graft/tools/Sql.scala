@@ -27,7 +27,7 @@ import graft.tables.Tables
   *   TXLOG DELETE FROM '<path>' WHERE <condition>
   *   TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>
   *   TXLOG RESTORE '<path>' TO VERSION <n>
-  *   TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>, <c2>]
+  *   TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>[, <c2>, ...]]
   *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS]
   *
   * — the delegating-dispatcher pattern a transactional layer uses
@@ -51,7 +51,7 @@ object Sql {
   private val RestoreRe =
     """(?is)\s*TXLOG\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val OptimizeRe =
-    """(?is)\s*TXLOG\s+OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s+(\w+)\s*,\s*(\w+))?\s*""".r
+    """(?is)\s*TXLOG\s+OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*""".r
   private val VacuumRe =
     """(?is)\s*TXLOG\s+VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
 
@@ -77,9 +77,10 @@ object Sql {
             .filter(_.nonEmpty).toSeq))
       case RestoreRe(path, v) =>
         asDf(graft.storage.TxLog.restore(spark, path, v.toLong))
-      case OptimizeRe(path, zc1, zc2) =>
+      case OptimizeRe(path, zcols) =>
         asDf(graft.storage.TxLog.compact(spark, path,
-          zorderBy = Option(zc1).map(c1 => (c1, zc2))))
+          zorderBy = Option(zcols).toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))))
       case VacuumRe(path, keep) =>
         Seq(graft.storage.TxLog.vacuum(spark, path,
           keepVersions = Option(keep).map(_.toInt).getOrElse(1)).size.toLong)
@@ -97,7 +98,7 @@ object Sql {
             "  TXLOG DELETE FROM '<path>' WHERE <condition>\n" +
             "  TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>\n" +
             "  TXLOG RESTORE '<path>' TO VERSION <n>\n" +
-            "  TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>, <c2>]\n" +
+            "  TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>[, <c2>, ...]]\n" +
             "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS]")
       case plain => spark.sql(plain)
     }

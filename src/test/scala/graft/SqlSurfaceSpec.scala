@@ -208,7 +208,7 @@ class SqlSurfaceSpec extends SparkSpec {
 
   test("a malformed TXLOG statement refuses loudly instead of falling through to the ANSI parser") {
     val e = intercept[IllegalArgumentException] {
-      graft.tools.Sql.exec(spark, "TXLOG OPTIMIZE '/tmp/nowhere' ZORDER BY onlyonecol")
+      graft.tools.Sql.exec(spark, "TXLOG OPTIMISE '/tmp/nowhere'") // misspelled verb
     }
     assert(e.getMessage.contains("supported verbs"), e.getMessage)
   }

@@ -247,7 +247,7 @@ class TxLogSpec extends SparkSpec {
     val (t1, n1) = touchedBy(1L)
     assert(t1 == n1, "round-robin layout should spread the band everywhere")
     assert(TxLog.compact(spark, path, targetBytesPerFile = 2048,
-      zorderBy = Some(("x", "y"))) == 2L)
+      zorderBy = Seq("x", "y")) == 2L)
     // content row-identical, snapshot semantics intact
     val key = (df: org.apache.spark.sql.DataFrame) =>
       df.select("k", "x", "y").as[(Long, Long, Long)].collect().toSet
@@ -257,6 +257,13 @@ class TxLogSpec extends SparkSpec {
     val (t2, n2) = touchedBy(2L)
     assert(n2 > 2, s"fixture should compact into several files, got $n2")
     assert(t2 * 2 <= n2, s"z-order left the band spread over $t2/$n2 files")
+    // THREE-column ZORDER: the SQL verb parses the list and the N-dim
+    // generalization executes — content identical, commit lands.
+    // (Clustering QUALITY per dimension is zorderedFrameN's own spec.)
+    val v3 = graft.tools.Sql.exec(spark,
+      s"TXLOG OPTIMIZE '$path' ZORDER BY x, y, k").head().getLong(0)
+    assert(v3 == 3L, s"3-col ZORDER committed v$v3")
+    assert(key(TxLog.read(spark, path)) == key(grid), "3-col zorder changed content")
   }
 
   test("schema evolution: additive widen on append, typed nulls for history, pinned reads keep their schema") {
