@@ -169,6 +169,24 @@ object TableFunctions {
         plan(TxLog.readByKey(active, litStr(fn, "path", es.head),
           litStr(fn, "col", es(1)), litAny(fn, "value", es(2))))
       }),
+    ("graft_txlog_constraints",
+      info("graft_txlog_constraints",
+        "graft_txlog_constraints(path[, version]) - CHECK constraints in force at a version (name, check), declaration order"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_constraints", es, 1 to 2)
+        val fn = "graft_txlog_constraints"
+        val cs = TxLog.constraintsOf(active, litStr(fn, "path", es.head),
+          es.lift(1).map(litLong(fn, "version", _)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(
+            cs.map(c => org.apache.spark.sql.Row(c._1, c._2)): _*)
+        plan(active.createDataFrame(rows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("name", StringType,
+              nullable = false),
+            org.apache.spark.sql.types.StructField("check", StringType,
+              nullable = false)))))
+      }),
     ("graft_txlog_cdf",
       info("graft_txlog_cdf",
         "graft_txlog_cdf(path, from_version, to_version, keys_csv) - change-data feed between two versions"),

@@ -217,7 +217,14 @@ object TxLogStream {
       def head: Long = TxLog.currentVersion(spark, opts.path).getOrElse(0L)
       val start = opts.since match {
         case Some("latest") => Start(head, consumed = true)
-        case Some(n) if n.toLong > 0L => Start(n.toLong, consumed = true)
+        case Some(n) if n.toLong > 0L =>
+          // a start beyond the head would silently swallow every commit
+          // up to it — the user almost certainly meant 'latest' or typo'd
+          require(n.toLong <= head,
+            s"graft-txlog: sinceVersion=$n is beyond the table head (v$head) " +
+              "— commits made after the stream starts flow automatically; " +
+              "use sinceVersion=latest to start at the head")
+          Start(n.toLong, consumed = true)
         case _ => Start(head, consumed = false) // absent or 0: snapshot first
       }
       fs.mkdirs(p.getParent)
@@ -361,10 +368,16 @@ class TxLogSource(spark: SparkSession, opts: TxLogStream.Opts,
     val batch: DataFrame =
       if (!opts.cdf) {
         val files = (from.v to to.v).flatMap { w =>
-          val all = filesOf(w)
-          val lo = if (w == from.v) (if (from.files == -1) all.size else from.files) else 0
-          val hi = if (w == to.v) (if (to.files == -1) all.size else to.files) else all.size
-          all.slice(lo, hi)
+          // a fully-consumed start version contributes nothing — and in
+          // tail-only mode its manifest may already be vacuumed, so it
+          // must not even be READ
+          if (w == from.v && from.files == -1) Nil
+          else {
+            val all = filesOf(w)
+            val lo = if (w == from.v) from.files else 0
+            val hi = if (w == to.v) (if (to.files == -1) all.size else to.files) else all.size
+            all.slice(lo, hi)
+          }
         }
         if (files.isEmpty) return StreamBridge.emptyStreaming(spark, schema)
         val df = TxLog.readFileList(spark, path, to.v, files)

@@ -99,7 +99,8 @@ object TxLog {
                       sourceBatchId: Option[Long] = None,
                       statsCols: Seq[String] = Nil,
                       fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
-                      fileRows: Map[String, Long] = Map.empty)
+                      fileRows: Map[String, Long] = Map.empty,
+                      constraints: Seq[(String, String)] = Nil)
 
   private val mapper = new ObjectMapper()
 
@@ -232,21 +233,28 @@ object TxLog {
     node
   }
 
-  /** The resolved metadata every commit shape carries:
-    * (version, partitionCol, schemaDdl, sourceBatchId, statsCols). */
+  /** The resolved metadata every commit shape carries: (version,
+    * partitionCol, schemaDdl, sourceBatchId, statsCols, constraints).
+    * Absent `constraints` = none (pre-constraint commits). */
   private def nodeMeta(node: com.fasterxml.jackson.databind.JsonNode)
-      : (Long, Option[String], String, Option[Long], Seq[String]) = (
+      : (Long, Option[String], String, Option[Long], Seq[String],
+         Seq[(String, String)]) = (
     node.get("version").asLong(),
     Option(node.get("partitionCol")).filter(!_.isNull).map(_.asText()),
     node.get("schemaDdl").asText(),
     Option(node.get("sourceBatchId")).filter(!_.isNull).map(_.asLong()),
     Option(node.get("statsCols")).map(a =>
-      (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty))
+      (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty),
+    Option(node.get("constraints")).map(a =>
+      (0 until a.size()).map { i =>
+        val e = a.get(i)
+        e.get("name").asText() -> e.get("check").asText()
+      }).getOrElse(Seq.empty))
 
   /** Parse a FULL commit (create/clone, and every pre-delta-format
     * manifest — the legacy one-JSON-per-version shape stays readable). */
   private def parseFull(node: com.fasterxml.jackson.databind.JsonNode): Manifest = {
-    val (v, pc, ddl, batch, statsCols) = nodeMeta(node)
+    val (v, pc, ddl, batch, statsCols, constraints) = nodeMeta(node)
     val files = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
     val fileStats = Option(node.get("fileStats")).map { fsNode =>
       val it = fsNode.fieldNames()
@@ -266,7 +274,8 @@ object TxLog {
       Iterator.continually(if (it.hasNext) it.next() else null)
         .takeWhile(_ != null).map(f => f -> rNode.get(f).asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
-    Manifest(v, pc, ddl, files, batch, statsCols, fileStats, fileRows)
+    Manifest(v, pc, ddl, files, batch, statsCols, fileStats, fileRows,
+      constraints)
   }
 
   /** Apply one DELTA commit to its predecessor's resolved state —
@@ -276,7 +285,7 @@ object TxLog {
     * the delta's stored RESOLVED values. */
   private def applyDelta(state: Manifest,
                          node: com.fasterxml.jackson.databind.JsonNode): Manifest = {
-    val (v, pc, ddl, batch, statsCols) = nodeMeta(node)
+    val (v, pc, ddl, batch, statsCols, constraints) = nodeMeta(node)
     val rm = Option(node.get("removeDirs")).map(a =>
       (0 until a.size()).map(a.get(_).asText()).toSet).getOrElse(Set.empty[String])
     val addsN = node.get("add")
@@ -302,13 +311,15 @@ object TxLog {
     Manifest(v, pc, ddl, kept ++ addFiles, batch, statsCols,
       if (statsCols.isEmpty) Map.empty
       else state.fileStats.view.filterKeys(keptSet).toMap ++ addStats,
-      state.fileRows.view.filterKeys(keptSet).toMap ++ addRows)
+      state.fileRows.view.filterKeys(keptSet).toMap ++ addRows,
+      constraints)
   }
 
   /** Load a checkpoint's file enumeration (columnar — never one JSON
     * tree) and marry it to the commit file's resolved metadata. */
   private def fromCheckpoint(spark: SparkSession, path: String, v: Long): Manifest = {
-    val (ver, pc, ddl, batch, statsCols) = nodeMeta(readCommitNode(spark, path, v))
+    val (ver, pc, ddl, batch, statsCols, constraints) =
+      nodeMeta(readCommitNode(spark, path, v))
     val rows = spark.read.schema(ckptSchema).parquet(ckptDir(path, v).toString).collect()
     val files = rows.map(_.getString(0)).toSeq.sorted
     val fileRows = rows.flatMap(r =>
@@ -319,7 +330,8 @@ object TxLog {
         r.getAs[scala.collection.Map[String, scala.collection.Seq[String]]](2)
           .map { case (c, a) => c -> ((a(0), a(1))) }.toMap)
     }.toMap
-    Manifest(ver, pc, ddl, files, batch, statsCols, fileStats, fileRows)
+    Manifest(ver, pc, ddl, files, batch, statsCols, fileStats, fileRows,
+      constraints)
   }
 
   /** Resolve the snapshot at `version`: walk back to the nearest
@@ -342,7 +354,7 @@ object TxLog {
           val node = readCommitNode(spark, path, t)
           if (node.has("files")) base = Some(parseFull(node))
           else if (node.has("baseRef")) {
-            val (v, _, _, batch, _) = nodeMeta(node)
+            val (v, _, _, batch, _, _) = nodeMeta(node)
             base = Some(manifest(spark, path, node.get("baseRef").asLong())
               .copy(version = v, sourceBatchId = batch))
           } else {
@@ -479,7 +491,8 @@ object TxLog {
     * layout and watermark). */
   private def metaNode(version: Long, partitionCol: Option[String],
                        schemaDdl: String, sourceBatchId: Option[Long],
-                       statsCols: Seq[String])
+                       statsCols: Seq[String],
+                       constraints: Seq[(String, String)])
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = mapper.createObjectNode()
     node.put("protocol", ProtocolVersion)
@@ -494,6 +507,12 @@ object TxLog {
       val sc = node.putArray("statsCols")
       statsCols.foreach(sc.add)
     }
+    if (constraints.nonEmpty) {
+      val ca = node.putArray("constraints")
+      constraints.foreach { case (n, c) =>
+        val e = ca.addObject(); e.put("name", n); e.put("check", c)
+      }
+    }
     node
   }
 
@@ -502,7 +521,7 @@ object TxLog {
     * write O(changed)-sized deltas via [[writeDelta]]. */
   private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
     val node = metaNode(m.version, m.partitionCol, m.schemaDdl,
-      m.sourceBatchId, m.statsCols)
+      m.sourceBatchId, m.statsCols, m.constraints)
     val arr = node.putArray("files")
     m.files.sorted.foreach(arr.add)
     if (m.statsCols.nonEmpty) {
@@ -527,10 +546,12 @@ object TxLog {
   private def writeDelta(spark: SparkSession, path: String, version: Long,
                          partitionCol: Option[String], schemaDdl: String,
                          sourceBatchId: Option[Long], statsCols: Seq[String],
+                         constraints: Seq[(String, String)],
                          removeDirs: Set[String], addFiles: Seq[String],
                          addStats: Map[String, Map[String, (String, String)]],
                          addRows: Map[String, Long]): Unit = {
-    val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId, statsCols)
+    val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId,
+      statsCols, constraints)
     val rmArr = node.putArray("removeDirs")
     removeDirs.toSeq.sorted.foreach(rmArr.add)
     val addArr = node.putArray("add")
@@ -554,8 +575,10 @@ object TxLog {
   private def writeRef(spark: SparkSession, path: String, version: Long,
                        partitionCol: Option[String], schemaDdl: String,
                        sourceBatchId: Option[Long], statsCols: Seq[String],
+                       constraints: Seq[(String, String)],
                        baseRef: Long): Unit = {
-    val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId, statsCols)
+    val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId,
+      statsCols, constraints)
     node.put("baseRef", baseRef)
     commitAtomic(spark, path, version, node)
   }
@@ -646,7 +669,7 @@ object TxLog {
         // the commit file is a DELTA — O(files changed) bytes; the
         // race is still one atomic v<N+1>.json rename
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
-          schemaDdl, resolvedBatch, attempt.statsCols,
+          schemaDdl, resolvedBatch, attempt.statsCols, attempt.constraints,
           rewriteDirs, newFiles, newStats, newRows)
         // resolve the state this delta produced (same transition
         // applyDelta replays) — warms the cache for the next
@@ -659,7 +682,8 @@ object TxLog {
           schemaDdl, kept ++ newFiles.sorted, resolvedBatch, attempt.statsCols,
           if (attempt.statsCols.isEmpty) Map.empty
           else attempt.fileStats.view.filterKeys(keptSet).toMap ++ newStats,
-          attempt.fileRows.view.filterKeys(keptSet).toMap ++ newRows)
+          attempt.fileRows.view.filterKeys(keptSet).toMap ++ newRows,
+          attempt.constraints)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return attempt.version + 1
@@ -674,6 +698,13 @@ object TxLog {
               s"TxLog: concurrent schema/layout change at $path " +
                 s"(v${base.version} -> v${latest.version}) — recompute " +
                 "against the new snapshot")
+          // rows were validated under base's constraint set — an
+          // interleaved ADD/DROP CONSTRAINT means they must re-validate
+          if (latest.constraints != base.constraints)
+            throw new CommitConflictException(
+              s"TxLog: concurrent constraint change at $path " +
+                s"(v${base.version} -> v${latest.version}) — re-validate " +
+                "and recompute against the new snapshot")
           def under(m: Manifest, dirs: Set[String]) =
             m.files.filter(f => dirs.contains(dirOf(f))).toSet
           val overlapped = readSet match {
@@ -1005,6 +1036,147 @@ object TxLog {
     }
   }
 
+  // ------------------------------------------------------------------
+  // CHECK constraints (Delta's ALTER TABLE ... ADD CONSTRAINT shape)
+  // ------------------------------------------------------------------
+
+  /** A commit was refused because incoming rows violate a table CHECK
+    * constraint. Nothing was committed — the table is unchanged. */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Probe `df` against the table's CHECK constraints with SQL
+    * semantics: a row violates only when an expression evaluates to
+    * FALSE — NULL is unknown, and unknown is not a violation (the same
+    * `coalesce(check, true)` rule [[graft.operators.Check]] documents
+    * for the opposite direction on its audit side). One job, all
+    * constraints at once, first violating row reported with every
+    * constraint it fails. Runs BEFORE [[stageIn]], so a refused commit
+    * stages nothing. */
+  private def enforceConstraints(df: DataFrame,
+                                 constraints: Seq[(String, String)],
+                                 op: String): Unit = {
+    if (constraints.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, struct}
+    val flags = constraints.zipWithIndex.map { case ((_, c), i) =>
+      not(coalesce(expr(c), lit(true))).as(s"_viol_$i")
+    }
+    val anyViol = flags.indices
+      .map(i => org.apache.spark.sql.functions.col(s"_viol_$i"))
+      .reduce(_ || _)
+    val hit = df
+      .select(struct(df.columns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*).as("_row") +: flags: _*)
+      .filter(anyViol).limit(1).collect()
+    hit.headOption.foreach { r =>
+      val failed = constraints.zipWithIndex.collect {
+        case ((n, c), i) if r.getBoolean(i + 1) => s"$n CHECK ($c)"
+      }
+      val row = r.getStruct(0).toString.take(300)
+      throw new ConstraintViolationException(
+        s"TxLog: $op violates constraint${if (failed.size > 1) "s" else ""} " +
+          s"${failed.mkString("; ")} — first violating row: $row. " +
+          "Nothing was committed.")
+    }
+  }
+
+  /** The CHECK constraints in force at `version` (default: head) as
+    * (name, check) pairs, declaration order. */
+  def constraintsOf(spark: SparkSession, path: String,
+                    version: Option[Long] = None): Seq[(String, String)] = {
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    manifest(spark, path, v).constraints
+  }
+
+  /** Commit a METADATA-ONLY version that transforms the constraint
+    * set: a delta with no file changes. OCC like any commit — on a
+    * lost race the caller-supplied `revalidate` runs against the NEW
+    * head before retrying (an interleaved append could have landed
+    * rows the new constraint must vet), so the published guarantee
+    * ("every row of every version ≥ this one satisfies the set") holds
+    * under races too. */
+  private def commitConstraints(spark: SparkSession, path: String,
+                                update: Seq[(String, String)] => Seq[(String, String)],
+                                revalidate: Manifest => Unit,
+                                maxRetries: Int = 10): Long = {
+    var retries = 0
+    while (true) {
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"TxLog: no table at $path"))
+      val attempt = manifest(spark, path, v)
+      revalidate(attempt)
+      val next = update(attempt.constraints)
+      try {
+        writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
+          attempt.schemaDdl, attempt.sourceBatchId, attempt.statsCols, next,
+          removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
+          addRows = Map.empty)
+        val resolved = attempt.copy(version = attempt.version + 1,
+          constraints = next)
+        cachePut(spark, path, resolved)
+        maybeCheckpoint(spark, path, resolved)
+        return resolved.version
+      } catch {
+        case e: VersionRaceException =>
+          retries += 1
+          if (retries > maxRetries) throw e
+        // loop: re-read the head, re-validate, retry
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) — from this
+    * version on, every data-adding commit ([[append]],
+    * [[appendBatch]]/the streaming sink, [[mergeInto]],
+    * [[replacePartitions]], [[applyChanges]]) refuses rows for which
+    * `check` evaluates to FALSE (NULL passes — SQL CHECK semantics).
+    * EXISTING data must already satisfy the constraint, exactly like
+    * Delta: the add itself scans the current snapshot once and refuses
+    * if any live row fails. Enforcement travels with the table —
+    * constraints persist in every commit's metadata, survive
+    * checkpoints, ride [[clone]], and [[restore]] reverts them to the
+    * target version's set (a restore is a full table-STATE rollback,
+    * constraints included). Returns the committed metadata version. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+                    check: String): Long = {
+    require(name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_'),
+      s"TxLog.addConstraint: constraint name must be [A-Za-z0-9_]+, got '$name'")
+    commitConstraints(spark, path,
+      update = { cur =>
+        require(!cur.exists(_._1 == name),
+          s"TxLog.addConstraint: constraint '$name' already exists on $path " +
+            s"(CHECK (${cur.find(_._1 == name).get._2}))")
+        cur :+ (name -> check)
+      },
+      revalidate = { m =>
+        val snap = read(spark, path, Some(m.version))
+        // the expression must resolve against the declared schema and
+        // be boolean — analysis here fails fast with Spark's own error
+        val t = snap.select(org.apache.spark.sql.functions.expr(check))
+          .schema.head.dataType
+        require(t == org.apache.spark.sql.types.BooleanType,
+          s"TxLog.addConstraint: CHECK must be a boolean expression, " +
+            s"'$check' is $t")
+        enforceConstraints(snap, Seq(name -> check),
+          s"ADD CONSTRAINT $name: existing data at v${m.version}")
+      })
+  }
+
+  /** ALTER TABLE ... DROP CONSTRAINT name. Time travel still sees the
+    * constraint on historical versions' metadata; it simply stops
+    * binding future commits. */
+  def dropConstraint(spark: SparkSession, path: String, name: String): Long =
+    commitConstraints(spark, path,
+      update = { cur =>
+        require(cur.exists(_._1 == name),
+          s"TxLog.dropConstraint: no constraint '$name' on $path " +
+            s"(have: ${if (cur.isEmpty) "none" else cur.map(_._1).mkString(", ")})")
+        cur.filterNot(_._1 == name)
+      },
+      revalidate = _ => ())
+
   /** Append `df` as a new version: old files carried by reference, new
     * files added. With `evolveSchema` the manifest's schema WIDENS
     * (additive-only — see [[widen]]): new columns append at the end,
@@ -1017,6 +1189,7 @@ object TxLog {
     val m = manifest(spark, path, v)
     val declared = StructType.fromDDL(m.schemaDdl)
     checkSchema(declared, df.schema, evolveSchema)
+    enforceConstraints(df, m.constraints, "append")
     val ddl = if (evolveSchema) widen(declared, df.schema).toDDL else m.schemaDdl
     val files = stageIn(df, path, m.partitionCol)
     // a blind append depends on nothing it read — it rebases over any
@@ -1042,6 +1215,7 @@ object TxLog {
     val m = manifest(spark, path, v)
     if (m.sourceBatchId.exists(_ >= batchId)) return v // replay: already committed
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
+    enforceConstraints(df, m.constraints, s"appendBatch(batch $batchId)")
     val files = stageIn(df, path, m.partitionCol)
     commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
       schemaDdl = m.schemaDdl, batchId = Some(batchId),
@@ -1168,6 +1342,9 @@ object TxLog {
         updates.select(widened.fieldNames.map(
           org.apache.spark.sql.functions.col): _*)
       else updates
+    // only the incoming side needs vetting: untouched rows passed at
+    // their own commit, and a merge never changes them
+    enforceConstraints(updatesAligned, m.constraints, "mergeInto updates")
     val (parts, merged) = graft.operators.Upsert.mergePartitioned(
       existing, updatesAligned, keys, partitionCol, preValidated)
     val newFiles = stageIn(merged, path, Some(partitionCol))
@@ -1208,6 +1385,7 @@ object TxLog {
     val pc = m.partitionCol.getOrElse(throw new IllegalArgumentException(
       "TxLog.replacePartitions needs a partitioned table (create with partitionCol)"))
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
+    enforceConstraints(df, m.constraints, "replacePartitions")
     // NULL partition values never match isin — catch them explicitly
     // or they'd silently land in the default partition unclaimed
     val stray = df.filter(col(pc).isNull
@@ -1364,7 +1542,8 @@ object TxLog {
     // a REF commit: O(1) bytes — the rollback moves zero data AND
     // zero metadata regardless of table size
     writeRef(spark, path, cur + 1, target.partitionCol, target.schemaDdl,
-      head.sourceBatchId, target.statsCols, baseRef = toVersion)
+      head.sourceBatchId, target.statsCols, target.constraints,
+      baseRef = toVersion)
     val resolved = target.copy(version = cur + 1, sourceBatchId = head.sourceBatchId)
     cachePut(spark, path, resolved)
     maybeCheckpoint(spark, path, resolved)
@@ -1405,6 +1584,7 @@ object TxLog {
     }
     val upserts = feed.filter(col("_change_type").isin("insert", "update"))
       .select(declared.fieldNames.map(col): _*)
+    enforceConstraints(upserts, m.constraints, "applyChanges upserts")
     require(upserts.filter(col(pc).isNull).limit(1).collect().isEmpty,
       s"TxLog.applyChanges: null $pc values are not supported")
     val deletes = feed.filter(col("_change_type") === "delete")
@@ -1635,7 +1815,7 @@ object TxLog {
     cacheInvalidate(spark, target)
     val cloneM = Manifest(1L, m.partitionCol, m.schemaDdl,
       entries.sorted, sourceBatchId = None, statsCols = m.statsCols,
-      fileStats = stats, fileRows = rowCounts)
+      fileStats = stats, fileRows = rowCounts, constraints = m.constraints)
     writeManifest(spark, target, cloneM)
     cachePut(spark, target, cloneM)
     1L

@@ -27,6 +27,8 @@ import graft.tables.Tables
   *   TXLOG DELETE FROM '<path>' WHERE <condition>
   *   TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>
   *   TXLOG RESTORE '<path>' TO VERSION <n>
+  *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
+  *   TXLOG ALTER '<path>' DROP CONSTRAINT <name>
   *   TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>[, <c2>, ...]]
   *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS]
   *
@@ -50,6 +52,10 @@ object Sql {
     """(?is)\s*TXLOG\s+REPLACE\s+INTO\s+'([^']+)'\s+PARTITIONS\s*\(([^)]+)\)\s+(.+)""".r
   private val RestoreRe =
     """(?is)\s*TXLOG\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
+  private val AlterAddRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
+  private val AlterDropRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
   private val OptimizeRe =
     """(?is)\s*TXLOG\s+OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*""".r
   private val VacuumRe =
@@ -77,6 +83,10 @@ object Sql {
             .filter(_.nonEmpty).toSeq))
       case RestoreRe(path, v) =>
         asDf(graft.storage.TxLog.restore(spark, path, v.toLong))
+      case AlterAddRe(path, name, check) =>
+        asDf(graft.storage.TxLog.addConstraint(spark, path, name, check))
+      case AlterDropRe(path, name) =>
+        asDf(graft.storage.TxLog.dropConstraint(spark, path, name))
       case OptimizeRe(path, zcols) =>
         asDf(graft.storage.TxLog.compact(spark, path,
           zorderBy = Option(zcols).toSeq
@@ -98,6 +108,8 @@ object Sql {
             "  TXLOG DELETE FROM '<path>' WHERE <condition>\n" +
             "  TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>\n" +
             "  TXLOG RESTORE '<path>' TO VERSION <n>\n" +
+            "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)\n" +
+            "  TXLOG ALTER '<path>' DROP CONSTRAINT <name>\n" +
             "  TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>[, <c2>, ...]]\n" +
             "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS]")
       case plain => spark.sql(plain)

@@ -1,0 +1,193 @@
+package graft.storage
+
+import graft.SparkSpec
+
+/** Table CHECK constraints — Delta's `ALTER TABLE ... ADD CONSTRAINT`
+  * shape: named boolean expressions persisted in every commit's
+  * metadata and enforced on every data-adding commit. These specs pin
+  * the ENFORCEMENT contract (a violating commit is refused atomically
+  * — version unchanged, nothing staged), SQL NULL semantics (unknown
+  * is not a violation), and that constraints travel with table state
+  * (checkpoint, clone, restore) exactly like the schema does.
+  */
+class TxLogConstraintSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_constraint_$tag"
+    val f = new java.io.File(d)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete()
+    }
+    if (f.exists()) rm(f)
+    d
+  }
+
+  private def dataFileCount(path: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(s"$path/data"))
+  }
+
+  test("a violating append is refused atomically: named error, version unchanged, nothing staged") {
+    import spark.implicits._
+    val path = freshDir("refuse")
+    TxLog.create(Seq((1L, 10.0, "a"), (2L, 20.0, "a")).toDF("k", "amt", "part"),
+      path, Some("part"))
+    val v = TxLog.addConstraint(spark, path, "amt_positive", "amt > 0")
+    assert(v == 2L, "constraint add commits a metadata version")
+    assert(TxLog.constraintsOf(spark, path) ==
+      Seq("amt_positive" -> "amt > 0"))
+    val filesBefore = dataFileCount(path)
+    val e = intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq((3L, -5.0, "a")).toDF("k", "amt", "part"), path)
+    }
+    assert(e.getMessage.contains("amt_positive"), s"name the constraint: ${e.getMessage}")
+    assert(e.getMessage.contains("amt > 0"), "include the CHECK expression")
+    assert(TxLog.currentVersion(spark, path).contains(2L),
+      "refused commit must not advance the version")
+    assert(dataFileCount(path) == filesBefore,
+      "refusal happens BEFORE staging — no orphan data files")
+    // a passing append still flows
+    assert(TxLog.append(Seq((3L, 5.0, "a")).toDF("k", "amt", "part"), path) == 3L)
+    assert(TxLog.read(spark, path).count() == 3L)
+  }
+
+  test("NULL is not a violation (SQL CHECK semantics), and multiple constraints all bind") {
+    import spark.implicits._
+    val path = freshDir("nulls")
+    TxLog.create(
+      Seq((1L, Some(10.0), "a")).toDF("k", "amt", "part"), path, Some("part"))
+    TxLog.addConstraint(spark, path, "amt_positive", "amt > 0")
+    TxLog.addConstraint(spark, path, "k_nonzero", "k <> 0")
+    // NULL amt evaluates the check to NULL -> passes (unknown, not false)
+    TxLog.append(Seq((2L, Option.empty[Double], "a")).toDF("k", "amt", "part"), path)
+    assert(TxLog.read(spark, path).count() == 2L)
+    // a row violating only the SECOND constraint is still refused
+    val e = intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq((0L, Some(1.0), "a")).toDF("k", "amt", "part"), path)
+    }
+    assert(e.getMessage.contains("k_nonzero") && !e.getMessage.contains("amt_positive"),
+      s"report exactly the failed constraint: ${e.getMessage}")
+  }
+
+  test("adding a constraint validates EXISTING data; dropConstraint lifts enforcement") {
+    import spark.implicits._
+    val path = freshDir("existing")
+    TxLog.create(Seq((1L, -1.0, "a")).toDF("k", "amt", "part"), path, Some("part"))
+    val e = intercept[TxLog.ConstraintViolationException] {
+      TxLog.addConstraint(spark, path, "amt_positive", "amt > 0")
+    }
+    assert(e.getMessage.contains("existing data"), e.getMessage)
+    assert(TxLog.constraintsOf(spark, path).isEmpty,
+      "failed add must not register the constraint")
+    // delete the offending row, add succeeds, then drop re-opens the gate
+    TxLog.deleteWhere(spark, path, org.apache.spark.sql.functions.expr("amt < 0"))
+    TxLog.addConstraint(spark, path, "amt_positive", "amt > 0")
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq((2L, -2.0, "a")).toDF("k", "amt", "part"), path)
+    }
+    TxLog.dropConstraint(spark, path, "amt_positive")
+    TxLog.append(Seq((2L, -2.0, "a")).toDF("k", "amt", "part"), path)
+    assert(TxLog.constraintsOf(spark, path).isEmpty)
+    intercept[IllegalArgumentException] {
+      TxLog.dropConstraint(spark, path, "amt_positive") // already gone
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, path, "bad name!", "amt > 0") // bad identifier
+    }
+  }
+
+  test("mergeInto and appendBatch vet the incoming side; the streaming sink inherits the gate") {
+    import spark.implicits._
+    val path = freshDir("merge")
+    TxLog.create(Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "amt", "part"),
+      path, Some("part"))
+    TxLog.addConstraint(spark, path, "amt_positive", "amt > 0")
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.mergeInto(path, Seq((1L, -10.0, "a")).toDF("k", "amt", "part"),
+        keys = Seq("k"))
+    }
+    // a passing merge updates in place
+    TxLog.mergeInto(path, Seq((1L, 11.0, "a")).toDF("k", "amt", "part"),
+      keys = Seq("k"))
+    assert(TxLog.read(spark, path).filter("k = 1").select("amt")
+      .collect().head.getDouble(0) == 11.0)
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.appendBatch(Seq((9L, -1.0, "a")).toDF("k", "amt", "part"), path, 0L)
+    }
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.replacePartitions(Seq((7L, -3.0, "b")).toDF("k", "amt", "part"),
+        path, Seq("b"))
+    }
+    // applyChanges vets upserts; deletes of "bad" rows still flow
+    val feed = Seq((2L, -20.0, "b", "update")).toDF("k", "amt", "part", "_change_type")
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.applyChanges(path, feed, keys = Seq("k"))
+    }
+    val delFeed = Seq((2L, 20.0, "b", "delete")).toDF("k", "amt", "part", "_change_type")
+    TxLog.applyChanges(path, delFeed, keys = Seq("k"))
+    assert(TxLog.read(spark, path).count() == 1L)
+  }
+
+  test("constraints travel with table state: checkpoint round-trip, clone, and restore reverting the set") {
+    import spark.implicits._
+    val path = freshDir("travel")
+    spark.conf.set("graft.txlog.checkpointInterval", "2")
+    try {
+      TxLog.create(Seq((1L, 10.0, "a")).toDF("k", "amt", "part"), path, Some("part"))
+      val vAdd = TxLog.addConstraint(spark, path, "amt_positive", "amt > 0") // v2 (+ checkpoint)
+      TxLog.append(Seq((2L, 5.0, "a")).toDF("k", "amt", "part"), path) // v3
+      // cold read (cache flushed) resolves through the checkpoint at v2;
+      // constraints must come back from the commit metadata
+      TxLog.flushSnapshotCacheForTesting()
+      assert(TxLog.constraintsOf(spark, path) == Seq("amt_positive" -> "amt > 0"))
+      intercept[TxLog.ConstraintViolationException] {
+        TxLog.append(Seq((3L, -1.0, "a")).toDF("k", "amt", "part"), path)
+      }
+      // clone carries the constraint set to the new table
+      val cloneDir = freshDir("travel_clone")
+      TxLog.clone(spark, path, cloneDir)
+      assert(TxLog.constraintsOf(spark, cloneDir) == Seq("amt_positive" -> "amt > 0"))
+      intercept[TxLog.ConstraintViolationException] {
+        TxLog.append(Seq((9L, -9.0, "a")).toDF("k", "amt", "part"), cloneDir)
+      }
+      // restore to BEFORE the add reverts the constraint set with the data
+      TxLog.restore(spark, path, vAdd - 1)
+      assert(TxLog.constraintsOf(spark, path).isEmpty,
+        "restore is a full table-state rollback — constraints included")
+      TxLog.append(Seq((4L, -4.0, "a")).toDF("k", "amt", "part"), path)
+      // historical versions still report the set that was in force
+      assert(TxLog.constraintsOf(spark, path, Some(vAdd)) ==
+        Seq("amt_positive" -> "amt > 0"))
+    } finally spark.conf.unset("graft.txlog.checkpointInterval")
+  }
+
+  test("SQL surface: ALTER ADD/DROP CONSTRAINT verbs and the graft_txlog_constraints TVF") {
+    val path = freshDir("sql")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG CREATE '$path' PARTITION BY part AS " +
+        "SELECT 1L AS k, CAST(10.0 AS DOUBLE) AS amt, 'a' AS part")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG ALTER '$path' ADD CONSTRAINT amt_positive CHECK (amt > 0)")
+    val listed = spark.sql(
+      s"SELECT * FROM graft_txlog_constraints('$path')").collect()
+    assert(listed.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("amt_positive", "amt > 0")))
+    intercept[TxLog.ConstraintViolationException] {
+      graft.tools.Sql.exec(spark,
+        s"TXLOG APPEND INTO '$path' SELECT 2L AS k, CAST(-1.0 AS DOUBLE) AS amt, 'a' AS part")
+    }
+    graft.tools.Sql.exec(spark,
+      s"TXLOG ALTER '$path' DROP CONSTRAINT amt_positive")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG APPEND INTO '$path' SELECT 2L AS k, CAST(-1.0 AS DOUBLE) AS amt, 'a' AS part")
+    assert(TxLog.read(spark, path).count() == 2L)
+    assert(spark.sql(s"SELECT * FROM graft_txlog_constraints('$path')").isEmpty)
+    // the version argument reaches back to when the constraint held
+    assert(spark.sql(s"SELECT * FROM graft_txlog_constraints('$path', 2)")
+      .count() == 1L)
+  }
+}
