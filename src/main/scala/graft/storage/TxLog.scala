@@ -492,11 +492,15 @@ object TxLog {
   private def metaNode(version: Long, partitionCol: Option[String],
                        schemaDdl: String, sourceBatchId: Option[Long],
                        statsCols: Seq[String],
-                       constraints: Seq[(String, String)])
+                       constraints: Seq[(String, String)],
+                       operation: String)
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = mapper.createObjectNode()
     node.put("protocol", ProtocolVersion)
     node.put("version", version)
+    // provenance, not state: resolution never reads it, DESCRIBE
+    // HISTORY surfaces it (Delta's commitInfo.operation shape)
+    node.put("operation", operation)
     partitionCol match {
       case Some(c) => node.put("partitionCol", c)
       case None => node.putNull("partitionCol")
@@ -519,9 +523,10 @@ object TxLog {
   /** Write a FULL commit — the explicit file enumeration. Used where
     * every file is new anyway ([[create]], [[clone]]); data commits
     * write O(changed)-sized deltas via [[writeDelta]]. */
-  private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
+  private def writeManifest(spark: SparkSession, path: String, m: Manifest,
+                            operation: String): Unit = {
     val node = metaNode(m.version, m.partitionCol, m.schemaDdl,
-      m.sourceBatchId, m.statsCols, m.constraints)
+      m.sourceBatchId, m.statsCols, m.constraints, operation)
     val arr = node.putArray("files")
     m.files.sorted.foreach(arr.add)
     if (m.statsCols.nonEmpty) {
@@ -547,11 +552,12 @@ object TxLog {
                          partitionCol: Option[String], schemaDdl: String,
                          sourceBatchId: Option[Long], statsCols: Seq[String],
                          constraints: Seq[(String, String)],
+                         operation: String,
                          removeDirs: Set[String], addFiles: Seq[String],
                          addStats: Map[String, Map[String, (String, String)]],
                          addRows: Map[String, Long]): Unit = {
     val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId,
-      statsCols, constraints)
+      statsCols, constraints, operation)
     val rmArr = node.putArray("removeDirs")
     removeDirs.toSeq.sorted.foreach(rmArr.add)
     val addArr = node.putArray("add")
@@ -576,9 +582,10 @@ object TxLog {
                        partitionCol: Option[String], schemaDdl: String,
                        sourceBatchId: Option[Long], statsCols: Seq[String],
                        constraints: Seq[(String, String)],
+                       operation: String,
                        baseRef: Long): Unit = {
     val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId,
-      statsCols, constraints)
+      statsCols, constraints, operation)
     node.put("baseRef", baseRef)
     commitAtomic(spark, path, version, node)
   }
@@ -656,6 +663,7 @@ object TxLog {
                            rewriteDirs: Set[String], newFiles: Seq[String],
                            schemaDdl: String, batchId: Option[Long],
                            readSet: Option[Set[String]],
+                           operation: String,
                            maxRetries: Int = 10): Long = {
     val (newStats, newRows) = collectStats(spark, path,
       StructType.fromDDL(schemaDdl), base.statsCols, newFiles)
@@ -670,7 +678,7 @@ object TxLog {
         // race is still one atomic v<N+1>.json rename
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
           schemaDdl, resolvedBatch, attempt.statsCols, attempt.constraints,
-          rewriteDirs, newFiles, newStats, newRows)
+          operation, rewriteDirs, newFiles, newStats, newRows)
         // resolve the state this delta produced (same transition
         // applyDelta replays) — warms the cache for the next
         // commit/read and feeds the periodic checkpoint
@@ -827,7 +835,7 @@ object TxLog {
     cacheInvalidate(df.sparkSession, path)
     val m = Manifest(1L, partitionCol, df.schema.toDDL, files.sorted,
       statsCols = statsCols, fileStats = stats, fileRows = rowCounts)
-    writeManifest(df.sparkSession, path, m)
+    writeManifest(df.sparkSession, path, m, operation = "CREATE")
     cachePut(df.sparkSession, path, m)
     1L
   }
@@ -1099,6 +1107,7 @@ object TxLog {
   private def commitConstraints(spark: SparkSession, path: String,
                                 update: Seq[(String, String)] => Seq[(String, String)],
                                 revalidate: Manifest => Unit,
+                                operation: String,
                                 maxRetries: Int = 10): Long = {
     var retries = 0
     while (true) {
@@ -1110,8 +1119,8 @@ object TxLog {
       try {
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
           attempt.schemaDdl, attempt.sourceBatchId, attempt.statsCols, next,
-          removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
-          addRows = Map.empty)
+          operation, removeDirs = Set.empty, addFiles = Nil,
+          addStats = Map.empty, addRows = Map.empty)
         val resolved = attempt.copy(version = attempt.version + 1,
           constraints = next)
         cachePut(spark, path, resolved)
@@ -1150,6 +1159,7 @@ object TxLog {
             s"(CHECK (${cur.find(_._1 == name).get._2}))")
         cur :+ (name -> check)
       },
+      operation = s"ADD CONSTRAINT $name",
       revalidate = { m =>
         val snap = read(spark, path, Some(m.version))
         // the expression must resolve against the declared schema and
@@ -1175,6 +1185,7 @@ object TxLog {
             s"(have: ${if (cur.isEmpty) "none" else cur.map(_._1).mkString(", ")})")
         cur.filterNot(_._1 == name)
       },
+      operation = s"DROP CONSTRAINT $name",
       revalidate = _ => ())
 
   /** Append `df` as a new version: old files carried by reference, new
@@ -1195,7 +1206,8 @@ object TxLog {
     // a blind append depends on nothing it read — it rebases over any
     // interleaved commit (appends never conflict with appends)
     commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
-      schemaDdl = ddl, batchId = None, readSet = Some(Set.empty))
+      schemaDdl = ddl, batchId = None, readSet = Some(Set.empty),
+      operation = "APPEND")
   }
 
   /** Idempotent micro-batch append — the commit [[streamAppend]]'s
@@ -1219,7 +1231,7 @@ object TxLog {
     val files = stageIn(df, path, m.partitionCol)
     commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
       schemaDdl = m.schemaDdl, batchId = Some(batchId),
-      readSet = Some(Set.empty))
+      readSet = Some(Set.empty), operation = "STREAMING APPEND")
   }
 
   /** Streaming ingest into a TxLog table (create it first): every
@@ -1292,7 +1304,9 @@ object TxLog {
     // guarantee) and conflicts only when ITS partitions moved under it
     commitRebase(spark, path, m, rewriteDirs = todo.keySet,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
-      readSet = Some(todo.keySet))
+      readSet = Some(todo.keySet),
+      operation = if (zorderBy.isEmpty) "OPTIMIZE"
+        else s"OPTIMIZE ZORDER BY ${zorderBy.mkString(", ")}")
   }
 
   /** Transactional merge — the plain-parquet equivalent of a Delta
@@ -1360,7 +1374,7 @@ object TxLog {
     // winner's rows — recompute and re-merge
     commitRebase(spark, path, m, rewriteDirs = touchedDirs,
       newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
-      readSet = None)
+      readSet = None, operation = "MERGE")
   }
 
   /** INSERT OVERWRITE of whole partitions as ONE commit — Delta's
@@ -1398,7 +1412,8 @@ object TxLog {
     val newFiles = stageIn(df, path, Some(pc))
     val dirs = partitionVals.map(partitionDirName(pc, _)).toSet
     commitRebase(spark, path, m, rewriteDirs = dirs, newFiles = newFiles,
-      schemaDdl = m.schemaDdl, batchId = None, readSet = Some(dirs))
+      schemaDdl = m.schemaDdl, batchId = None, readSet = Some(dirs),
+      operation = "REPLACE")
   }
 
   /** Transactional DELETE — the GDPR/right-to-be-forgotten commit:
@@ -1430,7 +1445,8 @@ object TxLog {
         // whole-table rewrite: every live file sits in the data root
         commitRebase(spark, path, m,
           rewriteDirs = m.files.map(dirOf).toSet, newFiles = newFiles,
-          schemaDdl = m.schemaDdl, batchId = None, readSet = None)
+          schemaDdl = m.schemaDdl, batchId = None, readSet = None,
+          operation = "DELETE")
       case Some(pc) =>
         val parts = snap.filter(hit).select(col(pc)).distinct()
           .collect().map(_.get(0)).toSeq
@@ -1442,7 +1458,7 @@ object TxLog {
         // whole snapshot — conflict loudly on any interleaved change
         commitRebase(spark, path, m, rewriteDirs = touchedDirs,
           newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
-          readSet = None)
+          readSet = None, operation = "DELETE")
     }
   }
 
@@ -1543,7 +1559,7 @@ object TxLog {
     // zero metadata regardless of table size
     writeRef(spark, path, cur + 1, target.partitionCol, target.schemaDdl,
       head.sourceBatchId, target.statsCols, target.constraints,
-      baseRef = toVersion)
+      operation = s"RESTORE TO v$toVersion", baseRef = toVersion)
     val resolved = target.copy(version = cur + 1, sourceBatchId = head.sourceBatchId)
     cachePut(spark, path, resolved)
     maybeCheckpoint(spark, path, resolved)
@@ -1606,7 +1622,7 @@ object TxLog {
     val touchedDirs = parts.map(vv => partitionDirName(pc, vv)).toSet
     commitRebase(spark, path, m, rewriteDirs = touchedDirs,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
-      readSet = None)
+      readSet = None, operation = "APPLY CHANGES")
   }
 
   /** The directory name Spark's partitioned writer produces for a
@@ -1731,14 +1747,18 @@ object TxLog {
     val rows = manifests.zipWithIndex.map { case ((v, m), i) =>
       val prev: Set[String] =
         if (i == 0) Set.empty else manifests(i - 1)._2.files.toSet
+      // provenance from the commit node itself (resolution never needs
+      // it); absent on pre-provenance commits -> null
+      val op = Option(readCommitNode(spark, path, v).get("operation"))
+        .map(_.asText()).orNull
       (v, m.files.size.toLong, m.files.map(sizeOf).sum,
         m.files.count(f => !prev.contains(f)).toLong,
         prev.diff(m.files.toSet).size.toLong,
-        m.sourceBatchId)
+        m.sourceBatchId, op)
     }
     import spark.implicits._
     rows.toDF("version", "n_files", "total_bytes",
-      "files_added", "files_removed", "source_batch_id")
+      "files_added", "files_removed", "source_batch_id", "operation")
   }
 
   /** Metadata-only COUNT(*) — every commit records each new file's row
@@ -1816,7 +1836,8 @@ object TxLog {
     val cloneM = Manifest(1L, m.partitionCol, m.schemaDdl,
       entries.sorted, sourceBatchId = None, statsCols = m.statsCols,
       fileStats = stats, fileRows = rowCounts, constraints = m.constraints)
-    writeManifest(spark, target, cloneM)
+    writeManifest(spark, target, cloneM,
+      operation = s"CLONE${if (deep) " DEEP" else ""} $source v$v")
     cachePut(spark, target, cloneM)
     1L
   }

@@ -27,6 +27,7 @@ import graft.tables.Tables
   *   TXLOG DELETE FROM '<path>' WHERE <condition>
   *   TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>
   *   TXLOG RESTORE '<path>' TO VERSION <n>
+  *   TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   TXLOG ALTER '<path>' DROP CONSTRAINT <name>
   *   TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>[, <c2>, ...]]
@@ -52,6 +53,8 @@ object Sql {
     """(?is)\s*TXLOG\s+REPLACE\s+INTO\s+'([^']+)'\s+PARTITIONS\s*\(([^)]+)\)\s+(.+)""".r
   private val RestoreRe =
     """(?is)\s*TXLOG\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
+  private val CloneRe =
+    """(?is)\s*TXLOG\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(\s+DEEP)?(?:\s+VERSION\s+(\d+))?\s*""".r
   private val AlterAddRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
   private val AlterDropRe =
@@ -83,6 +86,9 @@ object Sql {
             .filter(_.nonEmpty).toSeq))
       case RestoreRe(path, v) =>
         asDf(graft.storage.TxLog.restore(spark, path, v.toLong))
+      case CloneRe(src, dst, deep, ver) =>
+        asDf(graft.storage.TxLog.clone(spark, src, dst,
+          version = Option(ver).map(_.toLong), deep = deep != null))
       case AlterAddRe(path, name, check) =>
         asDf(graft.storage.TxLog.addConstraint(spark, path, name, check))
       case AlterDropRe(path, name) =>
@@ -108,6 +114,7 @@ object Sql {
             "  TXLOG DELETE FROM '<path>' WHERE <condition>\n" +
             "  TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>\n" +
             "  TXLOG RESTORE '<path>' TO VERSION <n>\n" +
+            "  TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]\n" +
             "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)\n" +
             "  TXLOG ALTER '<path>' DROP CONSTRAINT <name>\n" +
             "  TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>[, <c2>, ...]]\n" +

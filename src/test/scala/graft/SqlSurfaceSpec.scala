@@ -173,6 +173,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(TxLog.read(spark, dir).count() == 9L, "vacuum broke the live snapshot")
   }
 
+  test("TXLOG CLONE verb: shallow head clone and deep version-pinned clone through SQL") {
+    import graft.storage.TxLog
+    import graft.tools.Sql
+    Sql.registerAll(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_sql_clone").toString
+    val src = s"$base/src"
+    Sql.exec(spark,
+      s"TXLOG CREATE '$src' PARTITION BY r_regionkey AS " +
+        "SELECT r_regionkey, r_name FROM region")
+    Sql.exec(spark,
+      s"TXLOG APPEND INTO '$src' " +
+        "SELECT CAST(r_regionkey + 100 AS INT) AS r_regionkey, " +
+        "upper(r_name) AS r_name FROM region")
+    // shallow clone of the head: same content, by-reference (no data dir copy)
+    assert(Sql.exec(spark, s"TXLOG CLONE '$src' TO '$base/shallow'")
+      .head().getLong(0) == 1L)
+    assert(TxLog.read(spark, s"$base/shallow").count() == 10L)
+    // deep clone pinned at v1: v1's content, physically copied
+    assert(Sql.exec(spark, s"TXLOG CLONE '$src' TO '$base/deep' DEEP VERSION 1")
+      .head().getLong(0) == 1L)
+    assert(TxLog.read(spark, s"$base/deep").count() == 5L)
+    assert(new java.io.File(s"$base/deep/data").exists(),
+      "DEEP must materialize its own data directory")
+  }
+
   test("graft_topk, graft_txlog_appends, graft_txlog_between: the operator TVF set widens") {
     import graft.storage.TxLog
     import graft.tables.Tables

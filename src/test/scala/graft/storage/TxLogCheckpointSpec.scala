@@ -282,4 +282,39 @@ class TxLogCheckpointSpec extends SparkSpec {
     assert(new java.io.File(s"$path/_manifests/v20.ckpt").exists(),
       "interval checkpointing did not recover after the conf was fixed")
   }
+
+  test("commit provenance: every commit records its operation; history surfaces it, pre-provenance commits read null") {
+    import spark.implicits._
+    val path = freshDir("provenance")
+    TxLog.create(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "part", "v"),
+      path, Some("part"))                                               // v1
+    TxLog.append(Seq((3L, "a", 3.0)).toDF("k", "part", "v"), path)      // v2
+    TxLog.mergeInto(path, Seq((1L, "a", 9.0)).toDF("k", "part", "v"),
+      Seq("k"))                                                         // v3
+    TxLog.addConstraint(spark, path, "v_pos", "v > 0")                  // v4
+    TxLog.restore(spark, path, 2L)                                      // v5
+    val ops = TxLog.history(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(ops(1L) == "CREATE" && ops(2L) == "APPEND" && ops(3L) == "MERGE",
+      ops.toString)
+    assert(ops(4L) == "ADD CONSTRAINT v_pos" && ops(5L) == "RESTORE TO v2",
+      ops.toString)
+    // a clone's first commit names its source and version
+    val cloneDir = freshDir("provenance_clone")
+    TxLog.clone(spark, path, cloneDir)
+    val cloneOp = TxLog.history(spark, cloneDir).collect().head.getString(6)
+    assert(cloneOp.startsWith("CLONE ") && cloneOp.endsWith(" v5"), cloneOp)
+    // strip the field from v2's commit (a pre-provenance writer's
+    // commit): history must read null, never fail
+    val p = java.nio.file.Paths.get(s"$path/_manifests/v2.json")
+    val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("operation")
+    java.nio.file.Files.write(p, mapper.writeValueAsBytes(node))
+    // the local FS keeps a checksum sidecar the nio rewrite bypasses
+    new java.io.File(s"$path/_manifests/.v2.json.crc").delete()
+    val ops2 = TxLog.history(spark, path).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(6))).toMap
+    assert(ops2(2L).isEmpty && ops2(3L).contains("MERGE"), ops2.toString)
+  }
 }

@@ -36,7 +36,7 @@ class TxLogOccSpec extends SparkSpec {
     // A's commit targets v2, loses, rebases onto the new head, lands v3
     val v = TxLog.commitRebase(spark, path, base, rewriteDirs = Set.empty,
       newFiles = aFiles, schemaDdl = base.schemaDdl, batchId = None,
-      readSet = Some(Set.empty))
+      readSet = Some(Set.empty), operation = "TEST")
     assert(v == 3L)
     val ids = TxLog.read(spark, path).select("id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 3L), ids.toString)
@@ -74,7 +74,7 @@ class TxLogOccSpec extends SparkSpec {
     val e = intercept[TxLog.CommitConflictException] {
       TxLog.commitRebase(spark, path, base, rewriteDirs = Set("p=1"),
         newFiles = staged, schemaDdl = base.schemaDdl, batchId = None,
-        readSet = None)
+        readSet = None, operation = "TEST")
     }
     assert(e.getMessage.contains("recompute"), e.getMessage)
     // the loser left no manifest: head is still the winner's commit
@@ -94,7 +94,7 @@ class TxLogOccSpec extends SparkSpec {
     TxLog.append(Seq((9L, 3, "z")).toDF("id", "p", "v"), path)
     val v = TxLog.commitRebase(spark, path, base, rewriteDirs = Set("p=1"),
       newFiles = staged, schemaDdl = base.schemaDdl, batchId = None,
-      readSet = Some(Set("p=1")))
+      readSet = Some(Set("p=1")), operation = "TEST")
     assert(v == 3L)
     val rows = TxLog.read(spark, path).select("id", "p").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet
@@ -109,7 +109,7 @@ class TxLogOccSpec extends SparkSpec {
     intercept[TxLog.CommitConflictException] {
       TxLog.commitRebase(spark, path, base2, rewriteDirs = Set("p=2"),
         newFiles = staged2, schemaDdl = base2.schemaDdl, batchId = None,
-        readSet = Some(Set("p=2")))
+        readSet = Some(Set("p=2")), operation = "TEST")
     }
   }
 
@@ -214,7 +214,7 @@ class TxLogOccSpec extends SparkSpec {
     val staged = TxLog.stageIn(Seq((1L, "b1")).toDF("id", "v"), path, None)
     val v = TxLog.commitRebase(spark, path, base, rewriteDirs = Set.empty,
       newFiles = staged, schemaDdl = base.schemaDdl, batchId = Some(1L),
-      readSet = Some(Set.empty))
+      readSet = Some(Set.empty), operation = "TEST")
     assert(v == 2L) // detected at rebase time: no third version
     assert(TxLog.currentVersion(spark, path).contains(2L))
     assert(TxLog.read(spark, path).count() == 2L)
