@@ -30,37 +30,87 @@ object Ivf {
 
   /** Handle to a persisted index: `path/vectors` (parquet, partitioned
     * by cell) + `path/centroids` (nlist rows). Centroids ride on the
-    * driver — nlist ≈ √N doubles·dim is a few MB even at 10^9 vectors. */
-  case class IvfIndex(path: String, centroids: Array[(Int, Array[Double])]) {
+    * driver — nlist ≈ √N doubles·dim is a few MB even at 10^9 vectors.
+    * `spill` > 1 means every vector is stored in its `spill` nearest
+    * cells (multi-assignment). */
+  case class IvfIndex(path: String, centroids: Array[(Int, Array[Double])],
+                      spill: Int = 1) {
     def nlist: Int = centroids.length
     def dim: Int = centroids.head._2.length
   }
 
   /** Offline index build. `nlist <= 0` derives ~√N (min 4); the KMeans
     * fit sees at most `fitSampleRows` vectors regardless of corpus
-    * size. */
+    * size.
+    *
+    * `spill` > 1 is MULTI-ASSIGNMENT (spilled IVF): each vector lands
+    * in its `spill` nearest cells, so a fixed-nprobe query also finds
+    * boundary vectors whose own cell was not probed but whose
+    * second-nearest was. The trade is explicit: storage and per-cell
+    * scan size grow ×spill while the probe count stays put — on
+    * near-random embeddings (neighbors scatter across Voronoi
+    * boundaries, the ANN worst case) this buys more recall per scanned
+    * byte than raising nprobe (§6c ledger). Queries on a spilled index
+    * dedupe by vec_id before top-k, so results stay exact-over-probed
+    * and exhaustive probing is still brute-force-identical. */
   def fit(emb: DataFrame, path: String, nlist: Int = 0,
-          fitSampleRows: Long = 200000L, seed: Long = 42L): IvfIndex = {
+          fitSampleRows: Long = 200000L, seed: Long = 42L,
+          spill: Int = 1): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(spill >= 1, s"Ivf.fit: spill must be >= 1, got $spill")
     val n = emb.count()
     val k = if (nlist > 0) nlist else math.max(4, math.sqrt(n.toDouble).toInt)
+    require(spill <= k, s"Ivf.fit: spill ($spill) cannot exceed nlist ($k)")
     val feat = emb.withColumn("features", array_to_vector(col("embedding")))
     val fitOn =
       if (n > fitSampleRows) feat.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
       else feat
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(fitOn)
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    val matrix = cents.sortBy(_._1).map(_._2)
     // one linear assignment pass; the partitioned write is what buys
-    // every query its partition pruning
-    model.transform(feat)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // every query its partition pruning. The codegen'd argmin applies
+    // KMeans' own nearest/lowest-id rule, so spill=1 ≡ model.transform
+    val assigned =
+      if (spill == 1)
+        emb.select(col("vec_id"), col("embedding"),
+          graft.functions.IvfFunctions.ivf_assign(
+            col("embedding"), matrix).as("cell"))
+      else
+        emb.select(col("vec_id"), col("embedding"),
+          explode(graft.functions.IvfFunctions.ivf_assign_multi(
+            col("embedding"), matrix, spill)).as("cell"))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     val spark = emb.sparkSession
     import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
     cents.toIndexedSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    IvfIndex(path, cents)
+    writeMeta(spark, path, spill)
+    IvfIndex(path, cents, spill)
+  }
+
+  /** Index metadata sidecar (`path/meta.json`) — currently just the
+    * spill factor; absent means 1 (pre-spill indexes). */
+  private def writeMeta(spark: SparkSession, path: String, spill: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"spill":$spill}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 1
+    val in = fs.open(p)
+    val s = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(s).get("spill").asInt(1)
   }
 
   /** Incremental index maintenance — the daily-ingest counterpart of
@@ -75,12 +125,19 @@ object Ivf {
     * what lets a TxLog-style manifest carry old cells by reference.
     * Centroids drift from the true Voronoi fit only as the corpus
     * distribution drifts; refitting stays an offline decision. */
-  def append(spark: SparkSession, index: IvfIndex, newEmb: DataFrame): Unit =
-    newEmb
-      .select(col("vec_id"), col("embedding"),
-        graft.functions.IvfFunctions.ivf_assign(
-          col("embedding"), centroidMatrix(index)).as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"${index.path}/vectors")
+  def append(spark: SparkSession, index: IvfIndex, newEmb: DataFrame): Unit = {
+    val assigned =
+      if (index.spill == 1)
+        newEmb.select(col("vec_id"), col("embedding"),
+          graft.functions.IvfFunctions.ivf_assign(
+            col("embedding"), centroidMatrix(index)).as("cell"))
+      else // a spilled index keeps its multi-assignment rule on ingest
+        newEmb.select(col("vec_id"), col("embedding"),
+          explode(graft.functions.IvfFunctions.ivf_assign_multi(
+            col("embedding"), centroidMatrix(index), index.spill)).as("cell"))
+    assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"${index.path}/vectors")
+  }
 
   /** Deletion counterpart of [[append]] — the index side of a GDPR
     * erasure (pairs with TxLog.deleteWhere on the source table): drop
@@ -139,7 +196,7 @@ object Ivf {
     val cents = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    IvfIndex(path, cents)
+    IvfIndex(path, cents, readMeta(spark, path))
   }
 
   /** ANN query: driver-side centroid argmin → partition-pruned scan of
@@ -151,10 +208,15 @@ object Ivf {
     val qCol = array(queryVec.map(lit).toIndexedSeq: _*)
     val cells = spark.read.parquet(s"${index.path}/vectors")
       .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
-    excludeId.fold(cells)(id => cells.filter(col("vec_id") =!= id))
+    val scored = excludeId.fold(cells)(id => cells.filter(col("vec_id") =!= id))
       .select(
         col("vec_id"),
         round(Similarity.cosine(col("embedding"), qCol), 6).as("cosine"))
+    // a spilled index can surface a vector from two probed cells — its
+    // copies score identically, so any-survivor dedup is exact
+    val unique =
+      if (index.spill > 1) scored.dropDuplicates("vec_id") else scored
+    unique
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
   }

@@ -329,13 +329,23 @@ object Pq {
     * partitioned vectors; no extra shuffle (the partitioning is
     * inherited from the read). */
   def encodeIvf(spark: org.apache.spark.sql.SparkSession, ivf: Ivf.IvfIndex,
-                model: PqModel): Unit =
+                model: PqModel): Unit = {
+    // a spilled index stores a vector in several cells: its codes would
+    // ADC-score into the shortlist once per probed home and the re-rank
+    // join would duplicate ids inside top-k. The compositions target
+    // different knobs anyway — spill lifts plain-IVF recall, residual
+    // PQ lifts the code path — so refuse loudly rather than mix them.
+    require(ivf.spill == 1,
+      s"Pq.encodeIvf: IVF-PQ requires a single-assignment index " +
+        s"(spill=1), got spill=${ivf.spill} — fit the IVF index without " +
+        "spill for the PQ serving path")
     spark.read.parquet(s"${ivf.path}/vectors")
       .select(col("vec_id"),
         graft.functions.PqFunctions.pq_encode_residual(col("embedding"),
           col("cell"), Ivf.centroidMatrix(ivf), model.codebooks).as("codes"),
         col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"${ivf.path}/codes")
+  }
 
   /** Incremental codes maintenance (pairs with [[Ivf.append]]): encode
     * a new batch with the EXISTING model and append to the cell
