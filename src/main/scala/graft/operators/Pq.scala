@@ -329,23 +329,16 @@ object Pq {
     * partitioned vectors; no extra shuffle (the partitioning is
     * inherited from the read). */
   def encodeIvf(spark: org.apache.spark.sql.SparkSession, ivf: Ivf.IvfIndex,
-                model: PqModel): Unit = {
-    // a spilled index stores a vector in several cells: its codes would
-    // ADC-score into the shortlist once per probed home and the re-rank
-    // join would duplicate ids inside top-k. The compositions target
-    // different knobs anyway — spill lifts plain-IVF recall, residual
-    // PQ lifts the code path — so refuse loudly rather than mix them.
-    require(ivf.spill == 1,
-      s"Pq.encodeIvf: IVF-PQ requires a single-assignment index " +
-        s"(spill=1), got spill=${ivf.spill} — fit the IVF index without " +
-        "spill for the PQ serving path")
+                model: PqModel): Unit =
+    // a spilled index works here unchanged: each stored COPY residuals
+    // against ITS OWN cell's centroid (the per-cell LUT contract), and
+    // the query side collapses duplicate ids to their best ADC score
     spark.read.parquet(s"${ivf.path}/vectors")
       .select(col("vec_id"),
         graft.functions.PqFunctions.pq_encode_residual(col("embedding"),
           col("cell"), Ivf.centroidMatrix(ivf), model.codebooks).as("codes"),
         col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"${ivf.path}/codes")
-  }
 
   /** Incremental codes maintenance (pairs with [[Ivf.append]]): encode
     * a new batch with the EXISTING model and append to the cell
@@ -399,22 +392,34 @@ object Pq {
     // the re-rank joins a shortlist-sized frame instead of folding a
     // shortlist-sized isin literal.
     val allCodes = spark.read.parquet(s"${ivf.path}/codes")
-    val short = probeCells.map { pc =>
+    val scored = probeCells.map { pc =>
       val codes0 = allCodes.filter(col("cell") === pc)
       val codes = excludeId.fold(codes0)(id => codes0.filter(col("vec_id") =!= id))
       codes.select(col("vec_id"),
         graft.functions.PqFunctions.pq_adc(col("codes"),
           lutResidual(model, queryVec, centroidOf(pc))).as("adc"))
     }.reduce(_ unionAll _)
+    // a spilled index can score the same id from several probed homes
+    // (each copy against its own cell's LUT): keep the BEST (smallest)
+    // distance per id so duplicates can't eat shortlist slots. min()
+    // drops null (corrupt) scores unless every copy is corrupt, which
+    // then still sorts last. spill=1 keeps the plain shortlist plan.
+    val collapsed =
+      if (ivf.spill > 1) scored.groupBy("vec_id").agg(min("adc").as("adc"))
+      else scored
+    val short = collapsed
       .orderBy(asc_nulls_last("adc"), col("vec_id"))
       .limit(shortlist)
       .select("vec_id")
     val qCol = array(queryVec.map(lit).toIndexedSeq: _*)
-    spark.read.parquet(s"${ivf.path}/vectors")
+    val reranked = spark.read.parquet(s"${ivf.path}/vectors")
       .filter(col("cell").isin(probeCells: _*))
       .join(broadcast(short), "vec_id")
       .select(col("vec_id"),
         round(Similarity.cosine(col("embedding"), qCol), 6).as("cosine"))
+    // the vectors layout also duplicates ids under spill — copies score
+    // the same exact cosine, so any-survivor dedup is exact
+    (if (ivf.spill > 1) reranked.dropDuplicates("vec_id") else reranked)
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
   }

@@ -1164,11 +1164,18 @@ object TxLog {
         val snap = read(spark, path, Some(m.version))
         // the expression must resolve against the declared schema and
         // be boolean — analysis here fails fast with Spark's own error
-        val t = snap.select(org.apache.spark.sql.functions.expr(check))
-          .schema.head.dataType
+        val analyzed = org.apache.spark.sql.classic.ClassicConversions
+          .castToImpl(snap.select(org.apache.spark.sql.functions.expr(check)))
+          .queryExecution.analyzed
+        val t = analyzed.schema.head.dataType
         require(t == org.apache.spark.sql.types.BooleanType,
           s"TxLog.addConstraint: CHECK must be a boolean expression, " +
             s"'$check' is $t")
+        // a nondeterministic CHECK (rand(), shuffle(), uuid()) would
+        // pass the add-time probe and then arbitrarily refuse or admit
+        // the same rows later — meaningless as a table invariant
+        require(analyzed.expressions.forall(_.deterministic),
+          s"TxLog.addConstraint: CHECK must be deterministic, '$check' is not")
         enforceConstraints(snap, Seq(name -> check),
           s"ADD CONSTRAINT $name: existing data at v${m.version}")
       })

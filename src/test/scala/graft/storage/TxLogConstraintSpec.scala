@@ -98,6 +98,9 @@ class TxLogConstraintSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TxLog.addConstraint(spark, path, "bad name!", "amt > 0") // bad identifier
     }
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, path, "coin_flip", "rand() > 0.5") // nondeterministic
+    }
   }
 
   test("mergeInto and appendBatch vet the incoming side; the streaming sink inherits the gate") {
