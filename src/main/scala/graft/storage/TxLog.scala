@@ -1195,6 +1195,53 @@ object TxLog {
       operation = s"DROP CONSTRAINT $name",
       revalidate = _ => ())
 
+  /** Change the tracked data-skipping column set WITHOUT recreating
+    * the table — the gap a table created before its query patterns
+    * were known hits: statsCols was fixed at [[create]] time. A
+    * metadata-only commit swaps the declared set; files written from
+    * then on carry min/max for the NEW set, files written before keep
+    * their old entries (still valid — a superset never mis-prunes) and
+    * read as "no stats" for newly tracked columns, which
+    * [[prunedFiles]] treats as unprunable (conservative, never wrong).
+    * To BACKFILL stats for existing files, run
+    * `compact(minFilesToCompact = 1)` after this: the rewrite
+    * re-collects stats under the new set. Columns must exist in the
+    * declared schema. */
+  def setStatsCols(spark: SparkSession, path: String,
+                   cols: Seq[String], maxRetries: Int = 10): Long = {
+    var retries = 0
+    while (true) {
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"TxLog: no table at $path"))
+      val attempt = manifest(spark, path, v)
+      val declared = StructType.fromDDL(attempt.schemaDdl).fieldNames.toSet
+      cols.foreach(c => require(declared.contains(c),
+        s"TxLog.setStatsCols: column '$c' is not in the table schema " +
+          s"(${declared.toSeq.sorted.mkString(", ")})"))
+      try {
+        writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
+          attempt.schemaDdl, attempt.sourceBatchId, cols, attempt.constraints,
+          operation = s"SET STATS COLS ${cols.mkString(", ")}",
+          removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
+          addRows = Map.empty)
+        // cols = Nil disables skipping: drop the entries exactly like
+        // applyDelta's replay of this commit would
+        val resolved = attempt.copy(version = attempt.version + 1,
+          statsCols = cols,
+          fileStats = if (cols.isEmpty) Map.empty else attempt.fileStats)
+        cachePut(spark, path, resolved)
+        maybeCheckpoint(spark, path, resolved)
+        return resolved.version
+      } catch {
+        case e: VersionRaceException =>
+          retries += 1
+          if (retries > maxRetries) throw e
+        // loop: re-read the head and retry
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Append `df` as a new version: old files carried by reference, new
     * files added. With `evolveSchema` the manifest's schema WIDENS
     * (additive-only — see [[widen]]): new columns append at the end,
@@ -1275,14 +1322,32 @@ object TxLog {
     * post-compact range scan on any clustered column touches few
     * files — and the layout change commits atomically with the same
     * snapshot guarantees as a plain compact. */
+  /** A non-empty `partitions` scopes the OPTIMIZE to the named
+    * partition values (Delta's `OPTIMIZE ... WHERE`): on a
+    * 10^5-partition table the nightly maintenance pass rewrites
+    * yesterday's partition, not the world — candidate selection,
+    * rewrite, readSet, and conflict surface all shrink to the named
+    * set. Within the scope the `minFilesToCompact` threshold still
+    * applies. */
   def compact(spark: SparkSession, path: String,
               targetBytesPerFile: Long = 128L << 20,
               minFilesToCompact: Int = 2,
-              zorderBy: Seq[String] = Nil): Long = {
+              zorderBy: Seq[String] = Nil,
+              partitions: Seq[Any] = Nil): Long = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
-    val todo = m.files.groupBy(dirOf).filter(_._2.size >= minFilesToCompact)
+    val scope: Option[Set[String]] =
+      if (partitions.isEmpty) None
+      else {
+        val pc = m.partitionCol.getOrElse(throw new IllegalArgumentException(
+          "TxLog.compact(partitions=...) needs a partitioned table"))
+        Some(partitions.map(partitionDirName(pc, _)).toSet)
+      }
+    val todo = m.files.groupBy(dirOf)
+      .filter { case (dir, files) =>
+        files.size >= minFilesToCompact && scope.forall(_.contains(dir))
+      }
     if (todo.isEmpty) return v
     val schema = StructType.fromDDL(m.schemaDdl)
     // statistics-sized per partition, but ONE write job for the whole

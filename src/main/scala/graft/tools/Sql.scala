@@ -30,7 +30,7 @@ import graft.tables.Tables
   *   TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   TXLOG ALTER '<path>' DROP CONSTRAINT <name>
-  *   TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>[, <c2>, ...]]
+  *   TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]
   *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS]
   *
   * — the delegating-dispatcher pattern a transactional layer uses
@@ -60,7 +60,7 @@ object Sql {
   private val AlterDropRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
   private val OptimizeRe =
-    """(?is)\s*TXLOG\s+OPTIMIZE\s+'([^']+)'\s*(?:ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*""".r
+    """(?is)\s*TXLOG\s+OPTIMIZE\s+'([^']+)'\s*(?:PARTITIONS\s*\(([^)]+)\)\s*)?(?:ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*""".r
   private val VacuumRe =
     """(?is)\s*TXLOG\s+VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
 
@@ -93,10 +93,13 @@ object Sql {
         asDf(graft.storage.TxLog.addConstraint(spark, path, name, check))
       case AlterDropRe(path, name) =>
         asDf(graft.storage.TxLog.dropConstraint(spark, path, name))
-      case OptimizeRe(path, zcols) =>
+      case OptimizeRe(path, parts, zcols) =>
         asDf(graft.storage.TxLog.compact(spark, path,
           zorderBy = Option(zcols).toSeq
-            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))))
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+          partitions = Option(parts).toSeq
+            .flatMap(_.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+              .filter(_.nonEmpty))))
       case VacuumRe(path, keep) =>
         Seq(graft.storage.TxLog.vacuum(spark, path,
           keepVersions = Option(keep).map(_.toInt).getOrElse(1)).size.toLong)
@@ -117,7 +120,7 @@ object Sql {
             "  TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]\n" +
             "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)\n" +
             "  TXLOG ALTER '<path>' DROP CONSTRAINT <name>\n" +
-            "  TXLOG OPTIMIZE '<path>' [ZORDER BY <c1>[, <c2>, ...]]\n" +
+            "  TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]\n" +
             "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS]")
       case plain => spark.sql(plain)
     }

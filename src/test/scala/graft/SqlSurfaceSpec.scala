@@ -173,6 +173,33 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(TxLog.read(spark, dir).count() == 9L, "vacuum broke the live snapshot")
   }
 
+  test("TXLOG OPTIMIZE PARTITIONS: the scoped compact rewrites only the named partition") {
+    import graft.storage.TxLog
+    import graft.tools.Sql
+    Sql.registerAll(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_optpart").toString + "/t"
+    // two appends per partition -> every partition holds >= 2 files
+    Sql.exec(spark,
+      s"TXLOG CREATE '$dir' PARTITION BY r_regionkey AS " +
+        "SELECT r_regionkey, r_name FROM region")
+    Sql.exec(spark,
+      s"TXLOG APPEND INTO '$dir' SELECT r_regionkey, lower(r_name) AS r_name FROM region")
+    def filesPerDir(): Map[String, Int] = {
+      val m = TxLog.manifest(spark, dir, TxLog.currentVersion(spark, dir).get)
+      m.files.groupBy(_.split('/').head).view.mapValues(_.size).toMap
+    }
+    val before = filesPerDir()
+    assert(before.values.forall(_ >= 2), s"setup: $before")
+    Sql.exec(spark, s"TXLOG OPTIMIZE '$dir' PARTITIONS ('1')")
+    val after = filesPerDir()
+    assert(after("r_regionkey=1") == 1,
+      s"named partition did not compact: $after")
+    assert(before.filterNot(_._1 == "r_regionkey=1") ==
+      after.filterNot(_._1 == "r_regionkey=1"),
+      s"unnamed partitions must stay untouched: $before -> $after")
+    assert(TxLog.read(spark, dir).count() == 10L, "content changed")
+  }
+
   test("TXLOG CLONE verb: shallow head clone and deep version-pinned clone through SQL") {
     import graft.storage.TxLog
     import graft.tools.Sql

@@ -283,6 +283,43 @@ class TxLogCheckpointSpec extends SparkSpec {
       "interval checkpointing did not recover after the conf was fixed")
   }
 
+  test("setStatsCols: skipping starts with new files, old files stay conservative, OPTIMIZE backfills") {
+    import spark.implicits._
+    val path = freshDir("set_stats")
+    // created WITHOUT stats tracking — the before-query-patterns table
+    TxLog.create(Seq((1L, "a"), (2L, "a")).toDF("k", "part"), path, Some("part"))
+    assert(TxLog.prunedFiles(spark, path, "k", 100L, 200L).nonEmpty,
+      "untracked column must not prune at all")
+    intercept[IllegalArgumentException] {
+      TxLog.setStatsCols(spark, path, Seq("nope"))
+    }
+    val v2 = TxLog.setStatsCols(spark, path, Seq("k"))
+    TxLog.append(Seq((100L, "a"), (200L, "a")).toDF("k", "part"), path) // v3: has k stats
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(m.statsCols == Seq("k"))
+    // pre-change file has no k entry -> conservatively kept; the range
+    // [500, 900] excludes the new file's [100, 200] -> exactly the old
+    // file(s) survive the prune
+    val pruned = TxLog.prunedFiles(spark, path, "k", 500L, 900L)
+    val withStats = m.files.filter(f => m.fileStats.get(f).exists(_.contains("k")))
+    assert(withStats.nonEmpty, "appended file must carry k stats")
+    assert(pruned.toSet == (m.files.toSet -- withStats),
+      s"expected only stat-less files kept, got $pruned")
+    // the documented backfill: a full rewrite re-collects under the new set
+    TxLog.compact(spark, path, minFilesToCompact = 1)
+    val m2 = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(m2.files.forall(f => m2.fileStats.get(f).exists(_.contains("k"))),
+      "compact must backfill stats for every rewritten file")
+    val ops = TxLog.history(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(ops(v2) == "SET STATS COLS k", ops.toString)
+    // disabling clears entries (resolved state ≡ a replay of the delta)
+    TxLog.setStatsCols(spark, path, Nil)
+    TxLog.flushSnapshotCacheForTesting()
+    val m3 = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(m3.statsCols.isEmpty && m3.fileStats.isEmpty)
+  }
+
   test("commit provenance: every commit records its operation; history surfaces it, pre-provenance commits read null") {
     import spark.implicits._
     val path = freshDir("provenance")
