@@ -169,6 +169,26 @@ object TableFunctions {
         plan(TxLog.readByKey(active, litStr(fn, "path", es.head),
           litStr(fn, "col", es(1)), litAny(fn, "value", es(2))))
       }),
+    ("graft_txlog_count",
+      info("graft_txlog_count",
+        "graft_txlog_count(path[, version]) - row count; metadata_only=true means zero data files were read (every file's rows in the manifest)"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_count", es, 1 to 2)
+        val fn = "graft_txlog_count"
+        val p = litStr(fn, "path", es.head)
+        val ver = es.lift(1).map(litLong(fn, "version", _))
+        val (n, metaOnly) = TxLog.fastCount(active, p, ver) match {
+          case Some(c) => (c, true)
+          case None => (TxLog.read(active, p, ver).count(), false)
+        }
+        plan(active.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(n, metaOnly)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("rows",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("metadata_only",
+              org.apache.spark.sql.types.BooleanType, nullable = false)))))
+      }),
     ("graft_txlog_constraints",
       info("graft_txlog_constraints",
         "graft_txlog_constraints(path[, version]) - CHECK constraints in force at a version (name, check), declaration order"),

@@ -1714,7 +1714,11 @@ object TxLog {
     * older than the newest `keepVersions`. Time travel reaches back
     * only as far as the oldest retained version afterwards. Returns
     * the deleted data files' relative paths. */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Seq[String] = {
+  /** `dryRun = true` reports the data files vacuum WOULD delete and
+    * changes nothing — no deletions, no chain-integrity checkpoints,
+    * no cache invalidation (Delta's `VACUUM ... DRY RUN`). */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+             dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, "vacuum must keep at least the current version")
     val fs = fsFor(spark, path)
     val cur = currentVersion(spark, path).getOrElse(
@@ -1723,6 +1727,18 @@ object TxLog {
       .flatMap(s => versionOf(s.getPath)).sorted
     val (drop, keep) = versions.partition(_ <= cur - keepVersions)
     val live = keep.flatMap(manifest(spark, path, _).files).toSet
+    if (dryRun) {
+      val wouldDelete = scala.collection.mutable.ArrayBuffer.empty[String]
+      def scan(dir: Path, rel: String): Unit =
+        if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          val r = if (rel.isEmpty) name else s"$rel/$name"
+          if (st.isDirectory) scan(st.getPath, r)
+          else if (name.endsWith(".parquet") && !live.contains(r)) wouldDelete += r
+        }
+      scan(dataDir(path), "")
+      return wouldDelete.toSeq
+    }
     // metadata-chain integrity BEFORE dropping old commits: every kept
     // version must resolve from kept artifacts alone. Walking kept
     // versions ascending, a version is self-resolvable if it is a full

@@ -31,7 +31,7 @@ import graft.tables.Tables
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   TXLOG ALTER '<path>' DROP CONSTRAINT <name>
   *   TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]
-  *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS]
+  *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]
   *
   * — the delegating-dispatcher pattern a transactional layer uses
   * before it owns a parser extension: anything that isn't a TXLOG verb
@@ -62,7 +62,7 @@ object Sql {
   private val OptimizeRe =
     """(?is)\s*TXLOG\s+OPTIMIZE\s+'([^']+)'\s*(?:PARTITIONS\s*\(([^)]+)\)\s*)?(?:ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*""".r
   private val VacuumRe =
-    """(?is)\s*TXLOG\s+VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
+    """(?is)\s*TXLOG\s+VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*""".r
 
   /** Run one statement: a TXLOG verb or plain SQL. */
   def exec(spark: SparkSession, sql: String): DataFrame = {
@@ -100,10 +100,13 @@ object Sql {
           partitions = Option(parts).toSeq
             .flatMap(_.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
               .filter(_.nonEmpty))))
-      case VacuumRe(path, keep) =>
-        Seq(graft.storage.TxLog.vacuum(spark, path,
-          keepVersions = Option(keep).map(_.toInt).getOrElse(1)).size.toLong)
-          .toDF("deleted_files")
+      case VacuumRe(path, keep, dry) =>
+        val files = graft.storage.TxLog.vacuum(spark, path,
+          keepVersions = Option(keep).map(_.toInt).getOrElse(1),
+          dryRun = dry != null)
+        // DRY RUN lists what WOULD go; the real vacuum reports a count
+        if (dry != null) files.toDF("would_delete")
+        else Seq(files.size.toLong).toDF("deleted_files")
       // a statement that CLAIMS to be a TXLOG verb but parses as none
       // must fail loudly here — falling through to spark.sql would
       // surface a baffling ANSI-parser error for what is really a
@@ -121,7 +124,7 @@ object Sql {
             "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)\n" +
             "  TXLOG ALTER '<path>' DROP CONSTRAINT <name>\n" +
             "  TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]\n" +
-            "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS]")
+            "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]")
       case plain => spark.sql(plain)
     }
   }

@@ -173,6 +173,33 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(TxLog.read(spark, dir).count() == 9L, "vacuum broke the live snapshot")
   }
 
+  test("VACUUM DRY RUN previews without deleting; graft_txlog_count is metadata-only") {
+    import graft.storage.TxLog
+    import graft.tools.Sql
+    Sql.registerAll(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_vacdry").toString + "/t"
+    Sql.exec(spark,
+      s"TXLOG CREATE '$dir' PARTITION BY r_regionkey AS " +
+        "SELECT r_regionkey, r_name FROM region")
+    Sql.exec(spark,
+      s"TXLOG APPEND INTO '$dir' SELECT r_regionkey, upper(r_name) AS r_name FROM region")
+    Sql.exec(spark, s"TXLOG OPTIMIZE '$dir'") // leaves pre-optimize files dead at RETAIN 1
+    val cnt = spark.sql(s"SELECT * FROM graft_txlog_count('$dir')").head()
+    assert(cnt.getLong(0) == 10L && cnt.getBoolean(1),
+      s"count must come from metadata alone: $cnt")
+    assert(spark.sql(s"SELECT * FROM graft_txlog_count('$dir', 1)").head().getLong(0) == 5L)
+    val preview = Sql.exec(spark, s"TXLOG VACUUM '$dir' RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0)).toSet
+    assert(preview.nonEmpty, "optimize left no dead files?")
+    // nothing was touched: version 1 still reads in full
+    assert(TxLog.read(spark, dir, Some(1L)).count() == 5L,
+      "DRY RUN must not delete anything")
+    val freed = Sql.exec(spark, s"TXLOG VACUUM '$dir' RETAIN 1 VERSIONS")
+      .head().getLong(0)
+    assert(freed == preview.size.toLong,
+      s"real vacuum deleted $freed files, dry run predicted ${preview.size}")
+  }
+
   test("TXLOG OPTIMIZE PARTITIONS: the scoped compact rewrites only the named partition") {
     import graft.storage.TxLog
     import graft.tools.Sql
