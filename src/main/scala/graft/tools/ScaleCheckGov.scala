@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.storage.TxLog
+
+/** Scale evidence for the write-time governance layer (CHECK
+  * constraints): the enforcement probe runs over the INCOMING batch
+  * only — one codegen'd filter evaluating every constraint in a
+  * single job — so its cost must be
+  *
+  *  1. TABLE-SIZE-INVARIANT: appending the same batch to a 10× bigger
+  *     constrained table costs the same (enforcement never reads the
+  *     table — only `addConstraint` itself scans existing data, once).
+  *  2. BATCH-LINEAR: a 10× bigger batch costs ~10× (one pass).
+  *  3. CONSTRAINT-COUNT-CHEAP: 8 constraints vs 1 in the same probe
+  *     job cost nearly the same (all flags fuse into one codegen'd
+  *     projection over one scan).
+  *
+  * Timings print per append; the commit (stage + rename) dominates the
+  * absolute number, so each tier also times the pure probe via a
+  * refused commit (violating batch — probe runs, nothing stages).
+  */
+object ScaleCheckGov {
+
+  private def time[A](name: String)(f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[scale-gov] $name%-52s $s%8.2f s")
+    s
+  }
+
+  private def rmrf(d: String): Unit = {
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete()
+    }
+    rm(new java.io.File(d))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("scale-gov")
+    import spark.implicits._
+    val root = "/tmp/graft_scalegov"
+    rmrf(root)
+
+    def mk(n: Long) = spark.range(n)
+      .select(col("id").as("k"), (col("id") % 16).cast("string").as("part"),
+        (col("id") % 1000 + 1).cast("double").as("v"))
+    // exactly ONE violating row, planted last — the probe's limit(1)
+    // cannot short-circuit, so the timing is the honest full pass
+    def bad(n: Long) = mk(n)
+      .withColumn("v", when(col("k") === (n - 1), lit(-1.0)).otherwise(col("v")))
+
+    // tables at 1x (0.6M rows) and 10x (6M rows), same constraint set
+    val t1 = s"$root/t1"; val t10 = s"$root/t10"
+    TxLog.create(mk(600000L), t1, Some("part"))
+    TxLog.create(mk(6000000L), t10, Some("part"))
+    Seq(t1, t10).foreach { p =>
+      TxLog.addConstraint(spark, p, "v_pos", "v > 0")
+      TxLog.addConstraint(spark, p, "k_set", "k IS NOT NULL")
+    }
+
+    def probeOnly(path: String, batch: org.apache.spark.sql.DataFrame): Unit =
+      try { TxLog.append(batch, path); sys.error("batch should have refused") }
+      catch { case _: TxLog.ConstraintViolationException => () }
+
+    // 1. table-size invariance: same 100k batch, 1x vs 10x table
+    val b100k = bad(100000L).cache(); b100k.count()
+    time("probe 100k batch on 0.6M-row table") { probeOnly(t1, b100k) }
+    time("probe 100k batch on 6M-row table (must be flat)") { probeOnly(t10, b100k) }
+
+    // 2. batch linearity: 100k vs 1M batch on the same table
+    val b1m = bad(1000000L).cache(); b1m.count()
+    time("probe 1M batch on 0.6M-row table (~linear)") { probeOnly(t1, b1m) }
+
+    // 3. constraint-count cost: 8 rules vs 2, same 1M batch, one job
+    (1 to 6).foreach(i =>
+      TxLog.addConstraint(spark, t1, s"extra_$i", s"v <> ${-i - 1}"))
+    time("probe 1M batch under 8 constraints (flat vs 2)") { probeOnly(t1, b1m) }
+
+    // 4. the full passing append for context (commit cost dominates)
+    val good = mk(100000L).cache(); good.count()
+    time("passing 100k append incl. commit, 6M-row table") {
+      TxLog.append(good, t10)
+    }
+    spark.stop()
+  }
+}
