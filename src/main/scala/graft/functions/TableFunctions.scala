@@ -191,20 +191,26 @@ object TableFunctions {
       }),
     ("graft_txlog_constraints",
       info("graft_txlog_constraints",
-        "graft_txlog_constraints(path[, version]) - CHECK constraints in force at a version (name, check), declaration order"),
+        "graft_txlog_constraints(path[, version]) - constraints in force at a version: (name, type CHECK|UNIQUE, definition), declaration order"),
       (es: Seq[Expression]) => {
         arity("graft_txlog_constraints", es, 1 to 2)
         val fn = "graft_txlog_constraints"
-        val cs = TxLog.constraintsOf(active, litStr(fn, "path", es.head),
-          es.lift(1).map(litLong(fn, "version", _)))
+        val p = litStr(fn, "path", es.head)
+        val ver = es.lift(1).map(litLong(fn, "version", _))
         val rows: java.util.List[org.apache.spark.sql.Row] =
           java.util.Arrays.asList(
-            cs.map(c => org.apache.spark.sql.Row(c._1, c._2)): _*)
+            (TxLog.constraintsOf(active, p, ver).map(c =>
+              org.apache.spark.sql.Row(c._1, "CHECK", c._2)) ++
+             TxLog.uniquesOf(active, p, ver).map(u =>
+              org.apache.spark.sql.Row(u._1, "UNIQUE",
+                u._2.mkString(", ")))): _*)
         plan(active.createDataFrame(rows,
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("name", StringType,
               nullable = false),
-            org.apache.spark.sql.types.StructField("check", StringType,
+            org.apache.spark.sql.types.StructField("type", StringType,
+              nullable = false),
+            org.apache.spark.sql.types.StructField("definition", StringType,
               nullable = false)))))
       }),
     ("graft_txlog_cdf",

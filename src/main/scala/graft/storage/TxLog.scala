@@ -100,7 +100,8 @@ object TxLog {
                       statsCols: Seq[String] = Nil,
                       fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
                       fileRows: Map[String, Long] = Map.empty,
-                      constraints: Seq[(String, String)] = Nil)
+                      constraints: Seq[(String, String)] = Nil,
+                      uniques: Seq[(String, Seq[String])] = Nil)
 
   private val mapper = new ObjectMapper()
 
@@ -234,11 +235,12 @@ object TxLog {
   }
 
   /** The resolved metadata every commit shape carries: (version,
-    * partitionCol, schemaDdl, sourceBatchId, statsCols, constraints).
-    * Absent `constraints` = none (pre-constraint commits). */
+    * partitionCol, schemaDdl, sourceBatchId, statsCols, constraints,
+    * uniques). Absent `constraints`/`uniqueConstraints` = none
+    * (pre-constraint commits). */
   private def nodeMeta(node: com.fasterxml.jackson.databind.JsonNode)
       : (Long, Option[String], String, Option[Long], Seq[String],
-         Seq[(String, String)]) = (
+         Seq[(String, String)], Seq[(String, Seq[String])]) = (
     node.get("version").asLong(),
     Option(node.get("partitionCol")).filter(!_.isNull).map(_.asText()),
     node.get("schemaDdl").asText(),
@@ -249,12 +251,19 @@ object TxLog {
       (0 until a.size()).map { i =>
         val e = a.get(i)
         e.get("name").asText() -> e.get("check").asText()
+      }).getOrElse(Seq.empty),
+    Option(node.get("uniqueConstraints")).map(a =>
+      (0 until a.size()).map { i =>
+        val e = a.get(i)
+        val cols = e.get("cols")
+        e.get("name").asText() ->
+          (0 until cols.size()).map(cols.get(_).asText())
       }).getOrElse(Seq.empty))
 
   /** Parse a FULL commit (create/clone, and every pre-delta-format
     * manifest — the legacy one-JSON-per-version shape stays readable). */
   private def parseFull(node: com.fasterxml.jackson.databind.JsonNode): Manifest = {
-    val (v, pc, ddl, batch, statsCols, constraints) = nodeMeta(node)
+    val (v, pc, ddl, batch, statsCols, constraints, uniques) = nodeMeta(node)
     val files = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
     val fileStats = Option(node.get("fileStats")).map { fsNode =>
       val it = fsNode.fieldNames()
@@ -275,7 +284,7 @@ object TxLog {
         .takeWhile(_ != null).map(f => f -> rNode.get(f).asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
     Manifest(v, pc, ddl, files, batch, statsCols, fileStats, fileRows,
-      constraints)
+      constraints, uniques)
   }
 
   /** Apply one DELTA commit to its predecessor's resolved state —
@@ -285,7 +294,7 @@ object TxLog {
     * the delta's stored RESOLVED values. */
   private def applyDelta(state: Manifest,
                          node: com.fasterxml.jackson.databind.JsonNode): Manifest = {
-    val (v, pc, ddl, batch, statsCols, constraints) = nodeMeta(node)
+    val (v, pc, ddl, batch, statsCols, constraints, uniques) = nodeMeta(node)
     val rm = Option(node.get("removeDirs")).map(a =>
       (0 until a.size()).map(a.get(_).asText()).toSet).getOrElse(Set.empty[String])
     val addsN = node.get("add")
@@ -312,13 +321,13 @@ object TxLog {
       if (statsCols.isEmpty) Map.empty
       else state.fileStats.view.filterKeys(keptSet).toMap ++ addStats,
       state.fileRows.view.filterKeys(keptSet).toMap ++ addRows,
-      constraints)
+      constraints, uniques)
   }
 
   /** Load a checkpoint's file enumeration (columnar — never one JSON
     * tree) and marry it to the commit file's resolved metadata. */
   private def fromCheckpoint(spark: SparkSession, path: String, v: Long): Manifest = {
-    val (ver, pc, ddl, batch, statsCols, constraints) =
+    val (ver, pc, ddl, batch, statsCols, constraints, uniques) =
       nodeMeta(readCommitNode(spark, path, v))
     val rows = spark.read.schema(ckptSchema).parquet(ckptDir(path, v).toString).collect()
     val files = rows.map(_.getString(0)).toSeq.sorted
@@ -331,7 +340,7 @@ object TxLog {
           .map { case (c, a) => c -> ((a(0), a(1))) }.toMap)
     }.toMap
     Manifest(ver, pc, ddl, files, batch, statsCols, fileStats, fileRows,
-      constraints)
+      constraints, uniques)
   }
 
   /** Resolve the snapshot at `version`: walk back to the nearest
@@ -354,7 +363,7 @@ object TxLog {
           val node = readCommitNode(spark, path, t)
           if (node.has("files")) base = Some(parseFull(node))
           else if (node.has("baseRef")) {
-            val (v, _, _, batch, _, _) = nodeMeta(node)
+            val (v, _, _, batch, _, _, _) = nodeMeta(node)
             base = Some(manifest(spark, path, node.get("baseRef").asLong())
               .copy(version = v, sourceBatchId = batch))
           } else {
@@ -493,6 +502,7 @@ object TxLog {
                        schemaDdl: String, sourceBatchId: Option[Long],
                        statsCols: Seq[String],
                        constraints: Seq[(String, String)],
+                       uniques: Seq[(String, Seq[String])],
                        operation: String)
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = mapper.createObjectNode()
@@ -517,6 +527,13 @@ object TxLog {
         val e = ca.addObject(); e.put("name", n); e.put("check", c)
       }
     }
+    if (uniques.nonEmpty) {
+      val ua = node.putArray("uniqueConstraints")
+      uniques.foreach { case (n, cols) =>
+        val e = ua.addObject(); e.put("name", n)
+        val arr = e.putArray("cols"); cols.foreach(arr.add)
+      }
+    }
     node
   }
 
@@ -526,7 +543,7 @@ object TxLog {
   private def writeManifest(spark: SparkSession, path: String, m: Manifest,
                             operation: String): Unit = {
     val node = metaNode(m.version, m.partitionCol, m.schemaDdl,
-      m.sourceBatchId, m.statsCols, m.constraints, operation)
+      m.sourceBatchId, m.statsCols, m.constraints, m.uniques, operation)
     val arr = node.putArray("files")
     m.files.sorted.foreach(arr.add)
     if (m.statsCols.nonEmpty) {
@@ -552,12 +569,13 @@ object TxLog {
                          partitionCol: Option[String], schemaDdl: String,
                          sourceBatchId: Option[Long], statsCols: Seq[String],
                          constraints: Seq[(String, String)],
+                         uniques: Seq[(String, Seq[String])],
                          operation: String,
                          removeDirs: Set[String], addFiles: Seq[String],
                          addStats: Map[String, Map[String, (String, String)]],
                          addRows: Map[String, Long]): Unit = {
     val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId,
-      statsCols, constraints, operation)
+      statsCols, constraints, uniques, operation)
     val rmArr = node.putArray("removeDirs")
     removeDirs.toSeq.sorted.foreach(rmArr.add)
     val addArr = node.putArray("add")
@@ -582,10 +600,11 @@ object TxLog {
                        partitionCol: Option[String], schemaDdl: String,
                        sourceBatchId: Option[Long], statsCols: Seq[String],
                        constraints: Seq[(String, String)],
+                       uniques: Seq[(String, Seq[String])],
                        operation: String,
                        baseRef: Long): Unit = {
     val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId,
-      statsCols, constraints, operation)
+      statsCols, constraints, uniques, operation)
     node.put("baseRef", baseRef)
     commitAtomic(spark, path, version, node)
   }
@@ -678,7 +697,7 @@ object TxLog {
         // race is still one atomic v<N+1>.json rename
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
           schemaDdl, resolvedBatch, attempt.statsCols, attempt.constraints,
-          operation, rewriteDirs, newFiles, newStats, newRows)
+          attempt.uniques, operation, rewriteDirs, newFiles, newStats, newRows)
         // resolve the state this delta produced (same transition
         // applyDelta replays) — warms the cache for the next
         // commit/read and feeds the periodic checkpoint
@@ -691,7 +710,7 @@ object TxLog {
           if (attempt.statsCols.isEmpty) Map.empty
           else attempt.fileStats.view.filterKeys(keptSet).toMap ++ newStats,
           attempt.fileRows.view.filterKeys(keptSet).toMap ++ newRows,
-          attempt.constraints)
+          attempt.constraints, attempt.uniques)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return attempt.version + 1
@@ -708,7 +727,8 @@ object TxLog {
                 "against the new snapshot")
           // rows were validated under base's constraint set — an
           // interleaved ADD/DROP CONSTRAINT means they must re-validate
-          if (latest.constraints != base.constraints)
+          if (latest.constraints != base.constraints ||
+              latest.uniques != base.uniques)
             throw new CommitConflictException(
               s"TxLog: concurrent constraint change at $path " +
                 s"(v${base.version} -> v${latest.version}) — re-validate " +
@@ -1105,7 +1125,8 @@ object TxLog {
     * ("every row of every version ≥ this one satisfies the set") holds
     * under races too. */
   private def commitConstraints(spark: SparkSession, path: String,
-                                update: Seq[(String, String)] => Seq[(String, String)],
+                                update: Manifest => (Seq[(String, String)],
+                                                     Seq[(String, Seq[String])]),
                                 revalidate: Manifest => Unit,
                                 operation: String,
                                 maxRetries: Int = 10): Long = {
@@ -1115,14 +1136,15 @@ object TxLog {
         throw new IllegalArgumentException(s"TxLog: no table at $path"))
       val attempt = manifest(spark, path, v)
       revalidate(attempt)
-      val next = update(attempt.constraints)
+      val (nextChecks, nextUniques) = update(attempt)
       try {
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
-          attempt.schemaDdl, attempt.sourceBatchId, attempt.statsCols, next,
-          operation, removeDirs = Set.empty, addFiles = Nil,
+          attempt.schemaDdl, attempt.sourceBatchId, attempt.statsCols,
+          nextChecks, nextUniques, operation,
+          removeDirs = Set.empty, addFiles = Nil,
           addStats = Map.empty, addRows = Map.empty)
         val resolved = attempt.copy(version = attempt.version + 1,
-          constraints = next)
+          constraints = nextChecks, uniques = nextUniques)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return resolved.version
@@ -1153,11 +1175,11 @@ object TxLog {
     require(name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_'),
       s"TxLog.addConstraint: constraint name must be [A-Za-z0-9_]+, got '$name'")
     commitConstraints(spark, path,
-      update = { cur =>
-        require(!cur.exists(_._1 == name),
-          s"TxLog.addConstraint: constraint '$name' already exists on $path " +
-            s"(CHECK (${cur.find(_._1 == name).get._2}))")
-        cur :+ (name -> check)
+      update = { m =>
+        require(!m.constraints.exists(_._1 == name) &&
+            !m.uniques.exists(_._1 == name),
+          s"TxLog.addConstraint: constraint '$name' already exists on $path")
+        (m.constraints :+ (name -> check), m.uniques)
       },
       operation = s"ADD CONSTRAINT $name",
       revalidate = { m =>
@@ -1181,19 +1203,106 @@ object TxLog {
       })
   }
 
-  /** ALTER TABLE ... DROP CONSTRAINT name. Time travel still sees the
-    * constraint on historical versions' metadata; it simply stops
-    * binding future commits. */
+  /** ALTER TABLE ... DROP CONSTRAINT name — CHECK or UNIQUE, looked up
+    * by name. Time travel still sees the constraint on historical
+    * versions' metadata; it simply stops binding future commits. */
   def dropConstraint(spark: SparkSession, path: String, name: String): Long =
     commitConstraints(spark, path,
-      update = { cur =>
-        require(cur.exists(_._1 == name),
+      update = { m =>
+        val known = m.constraints.map(_._1) ++ m.uniques.map(_._1)
+        require(known.contains(name),
           s"TxLog.dropConstraint: no constraint '$name' on $path " +
-            s"(have: ${if (cur.isEmpty) "none" else cur.map(_._1).mkString(", ")})")
-        cur.filterNot(_._1 == name)
+            s"(have: ${if (known.isEmpty) "none" else known.mkString(", ")})")
+        (m.constraints.filterNot(_._1 == name),
+          m.uniques.filterNot(_._1 == name))
       },
       operation = s"DROP CONSTRAINT $name",
       revalidate = _ => ())
+
+  /** ALTER TABLE ... ADD CONSTRAINT name UNIQUE (cols) — the write-time
+    * PRIMARY-KEY gate the reference's Postgres schema enforces on
+    * insert (gwas_ddl.sql:42-64: `gwas` is PK (kgp_id, study_id)) and
+    * an audit-after-load lake does not. From this version on the
+    * INSERT-shaped commits ([[append]], [[appendBatch]]/streaming
+    * sink, [[replacePartitions]]) refuse a batch that repeats a key
+    * within itself OR collides with a key already in the table.
+    *
+    * Cost model is the honest difference from CHECK: the within-batch
+    * probe is one batch aggregation, but the vs-table probe is a
+    * LEFT SEMI join of the table's key columns against the
+    * (broadcast-sized) incoming keys — a key-column scan of the table
+    * per commit (column-pruned; Parquet reads just the keys). Opt in
+    * for dimension-shaped tables, exactly where PKs live. The
+    * UPSERT-shaped commits ([[mergeInto]], [[applyChanges]]) enforce
+    * only within-batch key uniqueness — when their merge keys equal
+    * the unique columns they preserve uniqueness by construction
+    * (update-in-place), and when they don't, write-time enforcement
+    * would need the same table probe each retry; run [[graft.operators.Upsert.pkViolations]]
+    * as the post-audit there. Existing data must already be unique —
+    * the add itself probes the snapshot once and refuses if not. */
+  def addUniqueConstraint(spark: SparkSession, path: String, name: String,
+                          cols: Seq[String]): Long = {
+    require(name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_'),
+      s"TxLog.addUniqueConstraint: constraint name must be [A-Za-z0-9_]+, got '$name'")
+    require(cols.nonEmpty, "TxLog.addUniqueConstraint: name at least one column")
+    commitConstraints(spark, path,
+      update = { m =>
+        require(!m.constraints.exists(_._1 == name) &&
+            !m.uniques.exists(_._1 == name),
+          s"TxLog.addUniqueConstraint: constraint '$name' already exists on $path")
+        (m.constraints, m.uniques :+ (name -> cols))
+      },
+      operation = s"ADD UNIQUE $name",
+      revalidate = { m =>
+        val declared = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+        cols.foreach(c => require(declared.contains(c),
+          s"TxLog.addUniqueConstraint: column '$c' is not in the table schema"))
+        val dup = graft.operators.Upsert.pkViolations(
+          read(spark, path, Some(m.version)), cols).limit(1).collect()
+        if (dup.nonEmpty)
+          throw new ConstraintViolationException(
+            s"TxLog: ADD UNIQUE $name(${cols.mkString(", ")}): existing data " +
+              s"at v${m.version} repeats key ${dup.head.toString.take(200)} — " +
+              "deduplicate first. Nothing was committed.")
+      })
+  }
+
+  /** The UNIQUE constraints in force at `version` (default: head). */
+  def uniquesOf(spark: SparkSession, path: String,
+                version: Option[Long] = None): Seq[(String, Seq[String])] = {
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    manifest(spark, path, v).uniques
+  }
+
+  /** INSERT-shaped enforcement of the UNIQUE set: the incoming batch
+    * must not repeat a key internally nor collide with `existing`
+    * (the current snapshot, minus whatever this commit replaces).
+    * Runs BEFORE [[stageIn]] — a refused commit stages nothing. */
+  private def enforceUniques(df: DataFrame, existing: => DataFrame,
+                             uniques: Seq[(String, Seq[String])],
+                             op: String): Unit = {
+    if (uniques.isEmpty) return
+    import org.apache.spark.sql.functions.col
+    uniques.foreach { case (name, cols) =>
+      val inBatch = graft.operators.Upsert.pkViolations(df, cols)
+        .limit(1).collect()
+      if (inBatch.nonEmpty)
+        throw new ConstraintViolationException(
+          s"TxLog: $op repeats UNIQUE $name(${cols.mkString(", ")}) key " +
+            s"within the batch: ${inBatch.head.toString.take(200)}. " +
+            "Nothing was committed.")
+      val collide = existing.select(cols.map(col): _*)
+        .join(org.apache.spark.sql.functions.broadcast(
+          df.select(cols.map(col): _*).distinct()), cols, "left_semi")
+        .limit(1).collect()
+      if (collide.nonEmpty)
+        throw new ConstraintViolationException(
+          s"TxLog: $op violates UNIQUE $name(${cols.mkString(", ")}) — key " +
+            s"${collide.head.toString.take(200)} already exists in the table. " +
+            "Nothing was committed.")
+    }
+  }
 
   /** Change the tracked data-skipping column set WITHOUT recreating
     * the table — the gap a table created before its query patterns
@@ -1221,7 +1330,7 @@ object TxLog {
       try {
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
           attempt.schemaDdl, attempt.sourceBatchId, cols, attempt.constraints,
-          operation = s"SET STATS COLS ${cols.mkString(", ")}",
+          attempt.uniques, operation = s"SET STATS COLS ${cols.mkString(", ")}",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty)
         // cols = Nil disables skipping: drop the entries exactly like
@@ -1255,6 +1364,7 @@ object TxLog {
     val declared = StructType.fromDDL(m.schemaDdl)
     checkSchema(declared, df.schema, evolveSchema)
     enforceConstraints(df, m.constraints, "append")
+    enforceUniques(df, read(spark, path, Some(v)), m.uniques, "append")
     val ddl = if (evolveSchema) widen(declared, df.schema).toDDL else m.schemaDdl
     val files = stageIn(df, path, m.partitionCol)
     // a blind append depends on nothing it read — it rebases over any
@@ -1282,6 +1392,8 @@ object TxLog {
     if (m.sourceBatchId.exists(_ >= batchId)) return v // replay: already committed
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
     enforceConstraints(df, m.constraints, s"appendBatch(batch $batchId)")
+    enforceUniques(df, read(spark, path, Some(v)), m.uniques,
+      s"appendBatch(batch $batchId)")
     val files = stageIn(df, path, m.partitionCol)
     commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
       schemaDdl = m.schemaDdl, batchId = Some(batchId),
@@ -1431,6 +1543,10 @@ object TxLog {
     // only the incoming side needs vetting: untouched rows passed at
     // their own commit, and a merge never changes them
     enforceConstraints(updatesAligned, m.constraints, "mergeInto updates")
+    // upsert shape: within-batch key uniqueness only (see
+    // addUniqueConstraint's cost-model scaladoc)
+    enforceUniques(updatesAligned, updatesAligned.limit(0), m.uniques,
+      "mergeInto updates (within-batch)")
     val (parts, merged) = graft.operators.Upsert.mergePartitioned(
       existing, updatesAligned, keys, partitionCol, preValidated)
     val newFiles = stageIn(merged, path, Some(partitionCol))
@@ -1472,6 +1588,15 @@ object TxLog {
       "TxLog.replacePartitions needs a partitioned table (create with partitionCol)"))
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
     enforceConstraints(df, m.constraints, "replacePartitions")
+    // collision check against what SURVIVES the replace: rows of the
+    // named partitions are leaving, so they cannot collide (null
+    // partition values stay in the existing set via the coalesce)
+    enforceUniques(df,
+      read(spark, path, Some(v)).filter(
+        org.apache.spark.sql.functions.coalesce(
+          not(col(m.partitionCol.get).isin(partitionVals.map(lit): _*)),
+          lit(true))),
+      m.uniques, "replacePartitions")
     // NULL partition values never match isin — catch them explicitly
     // or they'd silently land in the default partition unclaimed
     val stray = df.filter(col(pc).isNull
@@ -1631,7 +1756,8 @@ object TxLog {
     // zero metadata regardless of table size
     writeRef(spark, path, cur + 1, target.partitionCol, target.schemaDdl,
       head.sourceBatchId, target.statsCols, target.constraints,
-      operation = s"RESTORE TO v$toVersion", baseRef = toVersion)
+      target.uniques, operation = s"RESTORE TO v$toVersion",
+      baseRef = toVersion)
     val resolved = target.copy(version = cur + 1, sourceBatchId = head.sourceBatchId)
     cachePut(spark, path, resolved)
     maybeCheckpoint(spark, path, resolved)
@@ -1673,6 +1799,8 @@ object TxLog {
     val upserts = feed.filter(col("_change_type").isin("insert", "update"))
       .select(declared.fieldNames.map(col): _*)
     enforceConstraints(upserts, m.constraints, "applyChanges upserts")
+    enforceUniques(upserts, upserts.limit(0), m.uniques,
+      "applyChanges upserts (within-batch)")
     require(upserts.filter(col(pc).isNull).limit(1).collect().isEmpty,
       s"TxLog.applyChanges: null $pc values are not supported")
     val deletes = feed.filter(col("_change_type") === "delete")
@@ -1923,7 +2051,8 @@ object TxLog {
     cacheInvalidate(spark, target)
     val cloneM = Manifest(1L, m.partitionCol, m.schemaDdl,
       entries.sorted, sourceBatchId = None, statsCols = m.statsCols,
-      fileStats = stats, fileRows = rowCounts, constraints = m.constraints)
+      fileStats = stats, fileRows = rowCounts, constraints = m.constraints,
+      uniques = m.uniques)
     writeManifest(spark, target, cloneM,
       operation = s"CLONE${if (deep) " DEEP" else ""} $source v$v")
     cachePut(spark, target, cloneM)

@@ -29,6 +29,7 @@ import graft.tables.Tables
   *   TXLOG RESTORE '<path>' TO VERSION <n>
   *   TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
+  *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> UNIQUE (<k1[,k2...]>)
   *   TXLOG ALTER '<path>' DROP CONSTRAINT <name>
   *   TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]
   *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]
@@ -55,6 +56,8 @@ object Sql {
     """(?is)\s*TXLOG\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val CloneRe =
     """(?is)\s*TXLOG\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(\s+DEEP)?(?:\s+VERSION\s+(\d+))?\s*""".r
+  private val AlterAddUniqueRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+UNIQUE\s*\(([^)]+)\)\s*""".r
   private val AlterAddRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
   private val AlterDropRe =
@@ -89,6 +92,9 @@ object Sql {
       case CloneRe(src, dst, deep, ver) =>
         asDf(graft.storage.TxLog.clone(spark, src, dst,
           version = Option(ver).map(_.toLong), deep = deep != null))
+      case AlterAddUniqueRe(path, name, cols) =>
+        asDf(graft.storage.TxLog.addUniqueConstraint(spark, path, name,
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       case AlterAddRe(path, name, check) =>
         asDf(graft.storage.TxLog.addConstraint(spark, path, name, check))
       case AlterDropRe(path, name) =>
@@ -122,6 +128,7 @@ object Sql {
             "  TXLOG RESTORE '<path>' TO VERSION <n>\n" +
             "  TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]\n" +
             "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)\n" +
+            "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> UNIQUE (<k1[,k2...]>)\n" +
             "  TXLOG ALTER '<path>' DROP CONSTRAINT <name>\n" +
             "  TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]\n" +
             "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]")

@@ -177,8 +177,8 @@ class TxLogConstraintSpec extends SparkSpec {
       s"TXLOG ALTER '$path' ADD CONSTRAINT amt_positive CHECK (amt > 0)")
     val listed = spark.sql(
       s"SELECT * FROM graft_txlog_constraints('$path')").collect()
-    assert(listed.map(r => (r.getString(0), r.getString(1))).toSeq ==
-      Seq(("amt_positive", "amt > 0")))
+    assert(listed.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("amt_positive", "CHECK", "amt > 0")))
     intercept[TxLog.ConstraintViolationException] {
       graft.tools.Sql.exec(spark,
         s"TXLOG APPEND INTO '$path' SELECT 2L AS k, CAST(-1.0 AS DOUBLE) AS amt, 'a' AS part")
@@ -192,5 +192,78 @@ class TxLogConstraintSpec extends SparkSpec {
     // the version argument reaches back to when the constraint held
     assert(spark.sql(s"SELECT * FROM graft_txlog_constraints('$path', 2)")
       .count() == 1L)
+  }
+
+  test("UNIQUE constraint: the write-time PK gate — in-batch dups, table collisions, existing dups all refuse") {
+    import spark.implicits._
+    val path = freshDir("unique")
+    TxLog.create(Seq((1L, 10L, "a", 1.0), (1L, 20L, "a", 2.0), (2L, 10L, "b", 3.0))
+      .toDF("kgp", "study", "part", "v"), path, Some("part"))
+    // composite key, the reference's gwas PK shape (kgp_id, study_id)
+    TxLog.addUniqueConstraint(spark, path, "pk_gwas", Seq("kgp", "study"))
+    assert(TxLog.uniquesOf(spark, path) == Seq("pk_gwas" -> Seq("kgp", "study")))
+    val vBefore = TxLog.currentVersion(spark, path).get
+    // in-batch duplicate
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq((5L, 5L, "a", 1.0), (5L, 5L, "b", 2.0))
+        .toDF("kgp", "study", "part", "v"), path)
+    }
+    // collision with a key already in the table
+    val e = intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq((1L, 20L, "b", 9.0)).toDF("kgp", "study", "part", "v"), path)
+    }
+    assert(e.getMessage.contains("pk_gwas") &&
+      e.getMessage.contains("already exists"), e.getMessage)
+    assert(TxLog.currentVersion(spark, path).contains(vBefore),
+      "refused commits must not advance the version")
+    // fresh keys flow
+    TxLog.append(Seq((3L, 10L, "a", 4.0)).toDF("kgp", "study", "part", "v"), path)
+    assert(TxLog.read(spark, path).count() == 4L)
+    // merge (upsert shape) may UPDATE an existing key in place...
+    TxLog.mergeInto(path, Seq((1L, 10L, "a", 99.0)).toDF("kgp", "study", "part", "v"),
+      keys = Seq("kgp", "study"))
+    assert(TxLog.read(spark, path)
+      .filter("kgp = 1 AND study = 10").head().getDouble(3) == 99.0)
+    // ...but an update batch repeating the unique key within itself refuses
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.mergeInto(path,
+        Seq((7L, 7L, "a", 1.0), (7L, 7L, "a", 2.0))
+          .toDF("kgp", "study", "part", "v"),
+        keys = Seq("kgp", "study"), preValidated = true)
+    }
+    // shared DROP lifts it
+    TxLog.dropConstraint(spark, path, "pk_gwas")
+    TxLog.append(Seq((1L, 20L, "b", 9.0)).toDF("kgp", "study", "part", "v"), path)
+    // re-add must now refuse: the table holds a duplicate
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.addUniqueConstraint(spark, path, "pk_gwas", Seq("kgp", "study"))
+    }
+    assert(TxLog.uniquesOf(spark, path).isEmpty)
+  }
+
+  test("UNIQUE via SQL: ALTER ADD ... UNIQUE verb, TVF listing with types, replace-scope collision exemption") {
+    import spark.implicits._
+    val path = freshDir("unique_sql")
+    TxLog.create(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "part", "v"),
+      path, Some("part"))
+    graft.tools.Sql.exec(spark,
+      s"TXLOG ALTER '$path' ADD CONSTRAINT pk_k UNIQUE (k)")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG ALTER '$path' ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val listed = spark.sql(s"SELECT * FROM graft_txlog_constraints('$path')")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(listed == Set(("pk_k", "UNIQUE", "k"), ("v_pos", "CHECK", "v > 0")),
+      listed.toString)
+    // replacePartitions: replacing partition a with a row whose key k=1
+    // currently lives ONLY in partition a is NOT a collision (that row
+    // is leaving in the same commit)
+    TxLog.replacePartitions(Seq((1L, "a", 5.0)).toDF("k", "part", "v"),
+      path, Seq("a"))
+    assert(TxLog.read(spark, path).filter("k = 1").head().getDouble(2) == 5.0)
+    // but replacing partition a with partition B's key IS one
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.replacePartitions(Seq((2L, "a", 7.0)).toDF("k", "part", "v"),
+        path, Seq("a"))
+    }
   }
 }
