@@ -213,7 +213,17 @@ object TxLog {
     * that encounters a HIGHER one refuses loudly (Delta's
     * minReaderVersion contract) — a future format change must never
     * be half-parsed into a silently wrong snapshot. Absent field =
-    * protocol 1 (the pre-field commits). */
+    * protocol 1 (the pre-field commits).
+    *
+    * Evolution stance for the governance fields (`constraints`,
+    * `uniqueConstraints`, `operation`, `statsCols`): they are
+    * ADDITIVE under protocol 1 — an older protocol-1 build reads such
+    * a table correctly but does not ENFORCE the newer fields when
+    * writing (the same bootstrap caveat Delta's pre-invariant writers
+    * had: a guard can only bind builds that already know the rule).
+    * Any future change where non-enforcement would CORRUPT rather
+    * than merely under-check must bump ProtocolVersion, refusing old
+    * readers and writers both. */
   val ProtocolVersion = 1
 
   private def readCommitNode(spark: SparkSession, path: String,
