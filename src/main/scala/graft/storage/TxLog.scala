@@ -870,6 +870,52 @@ object TxLog {
     1L
   }
 
+  /** CREATE OR REPLACE — redefine the table as one commit while
+    * KEEPING its history (Delta's `REPLACE TABLE`): the new version is
+    * a FULL commit (its file list is wholly new anyway) with the
+    * incoming frame's schema, the given partition column, and the
+    * given stats set — all three may DIFFER from the old definition;
+    * version-pinned reads of older versions keep their own schema and
+    * layout, exactly like schema evolution. Constraints RESET (a
+    * replace is a new table definition — historical versions still
+    * show theirs). A race with a concurrent writer retries against
+    * the new head; on a path with no table this is exactly [[create]]. */
+  def createOrReplace(df: DataFrame, path: String,
+                      partitionCol: Option[String] = None,
+                      statsCols: Seq[String] = Nil,
+                      maxRetries: Int = 10): Long = {
+    val spark = df.sparkSession
+    if (currentVersion(spark, path).isEmpty)
+      return create(df, path, partitionCol, statsCols)
+    statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"TxLog.createOrReplace: stats column '$c' is not in the schema"))
+    val files = stageIn(df, path, partitionCol)
+    val (stats, rowCounts) =
+      collectStats(spark, path, df.schema, statsCols, files)
+    var retries = 0
+    while (true) {
+      val v = currentVersion(spark, path).get
+      val m = Manifest(v + 1, partitionCol, df.schema.toDDL, files.sorted,
+        statsCols = statsCols, fileStats = stats, fileRows = rowCounts,
+        // the batch watermark carries forward — a replace must not
+        // reopen the door to a replayed streaming batch
+        sourceBatchId = manifest(spark, path, v).sourceBatchId)
+      try {
+        writeManifest(spark, path, m, operation = "CREATE OR REPLACE")
+        cachePut(spark, path, m)
+        maybeCheckpoint(spark, path, m)
+        return m.version
+      } catch {
+        case e: VersionRaceException =>
+          retries += 1
+          if (retries > maxRetries) throw e
+        // loop: re-read the head and retry — the staged files are
+        // version-agnostic, only the version number moves
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Read a version (default: newest). Plans from the manifest's
     * explicit file list with `basePath` set, so the partition column
     * is recovered and partition/column pruning behave exactly as on a

@@ -21,7 +21,7 @@ import graft.tables.Tables
   * already pure SQL via the `graft_txlog*` table functions —
   * [[graft.functions.TableFunctions]]):
   *
-  *   TXLOG CREATE '<path>' [PARTITION BY <col>] AS <select>
+  *   TXLOG CREATE [OR REPLACE] '<path>' [PARTITION BY <col>] AS <select>
   *   TXLOG APPEND INTO '<path>' <select>
   *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>
   *   TXLOG DELETE FROM '<path>' WHERE <condition>
@@ -42,6 +42,8 @@ import graft.tables.Tables
   */
 object Sql {
 
+  private val CreateOrReplaceRe =
+    """(?is)\s*TXLOG\s+CREATE\s+OR\s+REPLACE\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+)\s+)?AS\s+(.+)""".r
   private val CreateRe =
     """(?is)\s*TXLOG\s+CREATE\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+)\s+)?AS\s+(.+)""".r
   private val AppendRe =
@@ -72,6 +74,9 @@ object Sql {
     import spark.implicits._
     def asDf(v: Long): DataFrame = Seq(v).toDF("version")
     sql match {
+      case CreateOrReplaceRe(path, part, select) =>
+        asDf(graft.storage.TxLog.createOrReplace(spark.sql(select), path,
+          partitionCol = Option(part)))
       case CreateRe(path, part, select) =>
         asDf(graft.storage.TxLog.create(spark.sql(select), path,
           partitionCol = Option(part)))
@@ -120,7 +125,7 @@ object Sql {
       case txlog if txlog.trim.toUpperCase.startsWith("TXLOG") =>
         throw new IllegalArgumentException(
           "Sql.exec: unrecognized TXLOG statement; supported verbs:\n" +
-            "  TXLOG CREATE '<path>' [PARTITION BY <col>] AS <select>\n" +
+            "  TXLOG CREATE [OR REPLACE] '<path>' [PARTITION BY <col>] AS <select>\n" +
             "  TXLOG APPEND INTO '<path>' <select>\n" +
             "  TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>\n" +
             "  TXLOG DELETE FROM '<path>' WHERE <condition>\n" +

@@ -320,6 +320,45 @@ class TxLogCheckpointSpec extends SparkSpec {
     assert(m3.statsCols.isEmpty && m3.fileStats.isEmpty)
   }
 
+  test("CREATE OR REPLACE: full redefinition in one commit — new schema/partitioning/stats, history kept, constraints reset") {
+    import spark.implicits._
+    val path = freshDir("replace_tbl")
+    TxLog.create(Seq((1L, "a", 1.0)).toDF("k", "part", "v"), path, Some("part"))
+    TxLog.addConstraint(spark, path, "v_pos", "v > 0")        // v2
+    // redefine: different columns, different partition col, stats on
+    val vNew = TxLog.createOrReplace(
+      Seq((10L, "x", "2026-01-01"), (20L, "y", "2026-01-02"))
+        .toDF("id", "name", "day"),
+      path, partitionCol = Some("day"), statsCols = Seq("id"))
+    assert(vNew == 3L)
+    val head = TxLog.read(spark, path)
+    assert(head.columns.toSeq == Seq("id", "name", "day") && head.count() == 2L)
+    // old versions keep their own schema and content exactly
+    val old = TxLog.read(spark, path, Some(1L))
+    assert(old.columns.toSeq == Seq("k", "part", "v") && old.count() == 1L)
+    // constraints reset with the new definition; history still shows them
+    assert(TxLog.constraintsOf(spark, path).isEmpty)
+    assert(TxLog.constraintsOf(spark, path, Some(2L)) == Seq("v_pos" -> "v > 0"))
+    TxLog.append(Seq((30L, "z", "2026-01-01")).toDF("id", "name", "day"), path)
+    assert(TxLog.read(spark, path).count() == 3L)
+    // the new stats set is live: a disjoint range prunes everything
+    assert(TxLog.prunedFiles(spark, path, "id", 500L, 900L).isEmpty)
+    val ops = TxLog.history(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(ops(3L) == "CREATE OR REPLACE", ops.toString)
+    // the replace commit is FULL (its file list is wholly new)
+    assert(commitJson(path, 3L).has("files"))
+    // SQL verb round-trips (and plain CREATE still refuses an existing table)
+    intercept[IllegalArgumentException] {
+      graft.tools.Sql.exec(spark, s"TXLOG CREATE '$path' AS SELECT 1 AS a")
+    }
+    graft.tools.Sql.exec(spark,
+      s"TXLOG CREATE OR REPLACE '$path' AS SELECT CAST(7 AS BIGINT) AS only_col")
+    assert(TxLog.read(spark, path).columns.toSeq == Seq("only_col"))
+    assert(TxLog.read(spark, path, Some(1L)).columns.toSeq == Seq("k", "part", "v"),
+      "history must survive repeated replaces")
+  }
+
   test("commit provenance: every commit records its operation; history surfaces it, pre-provenance commits read null") {
     import spark.implicits._
     val path = freshDir("provenance")
