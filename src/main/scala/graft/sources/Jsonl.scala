@@ -45,6 +45,18 @@ object Jsonl {
     * column — shared by the batch reader and the streaming ingest. */
   def split(lines: DataFrame, schema: StructType,
             required: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val (goodRaw, quarantine) = splitKeepRaw(lines, schema, required)
+    (goodRaw.drop("_raw"), quarantine)
+  }
+
+  /** [[split]] with the good side keeping its original line as
+    * `_raw` — what the constraint-quarantine route needs: a row that
+    * parses fine but violates a table CHECK must quarantine as its
+    * ORIGINAL line, not a re-serialization. */
+  private[graft] def splitKeepRaw(lines: DataFrame, schema: StructType,
+                                  required: Seq[String]): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_raw"),
+      "Jsonl.readJsonl: '_raw' is reserved")
     required.foreach(c => require(schema.fieldNames.contains(c),
       s"Jsonl.readJsonl: required column '$c' is not in the schema"))
     // PERMISSIVE from_json does NOT return a null struct for malformed
@@ -68,7 +80,8 @@ object Jsonl {
     val reason = when(col("_rec").isNull || col("_rec._corrupt").isNotNull ||
       trim(col("raw")) === "null", "unparseable").otherwise(nullReq)
     val good = parsed.filter(reason.isNull)
-      .select(schema.fieldNames.map(c => col(s"_rec.$c")): _*)
+      .select(col("raw").as("_raw") +:
+        schema.fieldNames.map(c => col(s"_rec.$c")): _*)
     val quarantine = parsed.filter(reason.isNotNull)
       .select(col("raw"), reason.as("reason"))
     (good, quarantine)
@@ -100,11 +113,26 @@ object Jsonl {
     * durable `checkpointLocation` in production — the replay detection
     * rides on batch-id monotonicity, exactly [[graft.storage.TxLog
     * .streamAppend]]'s caveat. */
+  /** `quarantineViolations = true` composes the table's CHECK
+    * constraints into the routing: a line that PARSES fine but
+    * violates a CHECK quarantines as its original raw line with
+    * reason `check:<name>` instead of failing the whole micro-batch —
+    * the production posture for dirty feeds into a governed table.
+    * Constraints re-resolve from the table head each batch, so an
+    * `ALTER ... ADD CONSTRAINT` mid-stream starts quarantining on the
+    * next trigger. UNIQUE constraints stay batch-refusing (a key
+    * collision is relational, not row-local). One caveat, stated
+    * honestly: if a constraint changes between a crash and that
+    * batch's replay, the quarantine side recomputes under the NEW set
+    * while the already-committed good side keeps the old split — the
+    * good table stays exact, the audit trail for that one batch can
+    * over- or under-count. */
   def streamIngestTx(spark: SparkSession, srcPath: String, schema: StructType,
                      required: Seq[String], tablePath: String,
                      quarantinePath: String,
                      checkpointLocation: Option[String] = None,
-                     maxFilesPerTrigger: Int = 1)
+                     maxFilesPerTrigger: Int = 1,
+                     quarantineViolations: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.storage.TxLog
     val quarSchema = StructType.fromDDL(
@@ -133,7 +161,16 @@ object Jsonl {
     val w = lines.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (good, quarantine) = split(batch, schema, required)
+        val (goodRaw, parseQuarantine) = splitKeepRaw(batch, schema, required)
+        val checks =
+          if (quarantineViolations) TxLog.constraintsOf(spark, tablePath)
+          else Nil
+        val reason = TxLog.constraintViolationReason(checks)
+        val good = goodRaw.filter(reason.isNull)
+          .select(schema.fieldNames.map(col): _*)
+        val quarantine = parseQuarantine.unionByName(
+          goodRaw.filter(reason.isNotNull)
+            .select(col("_raw").as("raw"), reason.as("reason")))
         TxLog.appendBatch(good, tablePath, batchId)
         TxLog.appendBatch(quarantine.withColumn("batch_id", lit(batchId)),
           quarantinePath, batchId)

@@ -1164,6 +1164,20 @@ object TxLog {
     }
   }
 
+  /** The row-level CHECK-violation REASON under `constraints`: null
+    * for a passing row, `check:<name>` of the FIRST violated
+    * constraint otherwise — the same `coalesce(check, true) = false`
+    * rule [[enforceConstraints]] probes with, exposed as a column so
+    * ingest paths can ROUTE violating rows (quarantine) instead of
+    * refusing whole batches. */
+  def constraintViolationReason(constraints: Seq[(String, String)])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, when}
+    constraints.foldLeft(lit(null).cast("string")) { case (acc, (n, c)) =>
+      coalesce(acc, when(not(coalesce(expr(c), lit(true))), lit(s"check:$n")))
+    }
+  }
+
   /** The CHECK constraints in force at `version` (default: head) as
     * (name, check) pairs, declaration order. */
   def constraintsOf(spark: SparkSession, path: String,

@@ -459,6 +459,52 @@ class StreamingSpec extends SparkSpec {
     assert(eLegacy.getMessage.contains("legacy"), eLegacy.getMessage)
   }
 
+  test("streaming JSONL ingest routes CHECK violations to quarantine as the ORIGINAL raw line") {
+    import graft.sources.Jsonl
+    import graft.storage.TxLog
+    val root = java.nio.file.Files.createTempDirectory("graft_jsonl_gov")
+    val src = root.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val tbl = root.resolve("tbl").toString
+    val quar = root.resolve("quar").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, score DOUBLE, text STRING")
+    TxLog.create(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), tbl, None)
+    TxLog.addConstraint(spark, tbl, "score_pos", "score > 0")
+    val badLine = """{"doc_id":2,"score":-0.5,"text":"toxic"}"""
+    java.nio.file.Files.write(src.resolve("a.jsonl"), Seq(
+      """{"doc_id":1,"score":0.9,"text":"fine"}""",
+      badLine,
+      "{ broken",
+      """{"doc_id":3,"score":null,"text":"null passes CHECK"}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val q = Jsonl.streamIngestTx(spark, src.toString, schema, Seq("doc_id"),
+      tbl, quar, quarantineViolations = true)
+    try q.processAllAvailable() finally q.stop()
+    // good: the passing row AND the null-score row (SQL CHECK semantics)
+    val got = TxLog.read(spark, tbl).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), s"governed table got $got")
+    // quarantine: the parse failure AND the CHECK violation, the latter
+    // as its ORIGINAL line with the constraint named
+    val quarantined = TxLog.read(spark, quar).collect()
+      .map(r => r.getAs[String]("raw") -> r.getAs[String]("reason")).toSet
+    assert(quarantined == Set("{ broken" -> "unparseable",
+      badLine -> "check:score_pos"), quarantined.toString)
+    // without the flag, the same feed FAILS the batch loudly instead
+    val tbl2 = root.resolve("tbl2").toString
+    TxLog.create(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), tbl2, None)
+    TxLog.addConstraint(spark, tbl2, "score_pos", "score > 0")
+    val q2 = Jsonl.streamIngestTx(spark, src.toString, schema, Seq("doc_id"),
+      tbl2, root.resolve("quar2").toString)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).map(x => x +: chain(x.getCause)).getOrElse(Nil)
+    assert(chain(e).exists(_.isInstanceOf[TxLog.ConstraintViolationException]), e.toString)
+  }
+
   test("stateful mapGroupsWithState totals match the batch aggregate") {
     val dir = "/tmp/graft_stream_events"
     graft.tables.Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
