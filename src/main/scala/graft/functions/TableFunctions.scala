@@ -169,6 +169,15 @@ object TableFunctions {
         plan(TxLog.readByKey(active, litStr(fn, "path", es.head),
           litStr(fn, "col", es(1)), litAny(fn, "value", es(2))))
       }),
+    ("graft_txlog_asof",
+      info("graft_txlog_asof",
+        "graft_txlog_asof(path, ts) - snapshot AS OF a wall-clock instant (ISO-8601 or 'yyyy-MM-dd HH:mm:ss')"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_asof", es, 2 to 2)
+        val fn = "graft_txlog_asof"
+        plan(TxLog.readAsOf(active, litStr(fn, "path", es.head),
+          TxLog.parseTsMillis(litStr(fn, "ts", es(1)))))
+      }),
     ("graft_txlog_count",
       info("graft_txlog_count",
         "graft_txlog_count(path[, version]) - row count; metadata_only=true means zero data files were read (every file's rows in the manifest)"),

@@ -521,6 +521,11 @@ object TxLog {
     // provenance, not state: resolution never reads it, DESCRIBE
     // HISTORY surfaces it (Delta's commitInfo.operation shape)
     node.put("operation", operation)
+    // wall-clock commit time (millis) — drives AS OF TIMESTAMP
+    // resolution and the history column; never read by snapshot
+    // resolution, so skew between writers can only blur time travel,
+    // not correctness (the documented Delta caveat)
+    node.put("ts", System.currentTimeMillis())
     partitionCol match {
       case Some(c) => node.put("partitionCol", c)
       case None => node.putNull("partitionCol")
@@ -2035,17 +2040,55 @@ object TxLog {
         if (i == 0) Set.empty else manifests(i - 1)._2.files.toSet
       // provenance from the commit node itself (resolution never needs
       // it); absent on pre-provenance commits -> null
-      val op = Option(readCommitNode(spark, path, v).get("operation"))
-        .map(_.asText()).orNull
+      val node = readCommitNode(spark, path, v)
+      val op = Option(node.get("operation")).map(_.asText()).orNull
+      val ts = Option(node.get("ts"))
+        .map(t => new java.sql.Timestamp(t.asLong())).orNull
       (v, m.files.size.toLong, m.files.map(sizeOf).sum,
         m.files.count(f => !prev.contains(f)).toLong,
         prev.diff(m.files.toSet).size.toLong,
-        m.sourceBatchId, op)
+        m.sourceBatchId, op, ts)
     }
     import spark.implicits._
     rows.toDF("version", "n_files", "total_bytes",
-      "files_added", "files_removed", "source_batch_id", "operation")
+      "files_added", "files_removed", "source_batch_id", "operation",
+      "commit_ts")
   }
+
+  /** The newest version committed AT OR BEFORE `tsMillis` — the
+    * `AS OF TIMESTAMP` resolver. O(versions) small metadata reads
+    * (rare interactive operation); commits predating timestamp
+    * tracking are treated as older than any query time. Loud when the
+    * whole retained history is newer than the asked-for instant. */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val fs = fsFor(spark, path)
+    val dir = manifestDir(path)
+    require(fs.exists(dir), s"TxLog: no table at $path")
+    val versions = fs.listStatus(dir).toSeq
+      .flatMap(s => versionOf(s.getPath)).sorted
+    val at = versions.filter { v =>
+      Option(readCommitNode(spark, path, v).get("ts"))
+        .forall(_.asLong() <= tsMillis)
+    }
+    require(at.nonEmpty,
+      s"TxLog: no version of $path existed at ${new java.sql.Timestamp(tsMillis)} " +
+        s"(earliest retained commit: v${versions.min})")
+    at.max
+  }
+
+  /** Snapshot read AS OF a wall-clock instant (epoch millis). */
+  def readAsOf(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAt(spark, path, tsMillis)))
+
+  /** Parse the SQL surface's timestamp literal: ISO-8601 instant
+    * (`2026-08-14T10:00:00Z`) or SQL timestamp (`2026-08-14 10:00:00`,
+    * session-local). */
+  private[graft] def parseTsMillis(s: String): Long =
+    try java.time.Instant.parse(s).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.sql.Timestamp.valueOf(s).getTime
+    }
 
   /** Metadata-only COUNT(*) — every commit records each new file's row
     * count in the manifest (Delta's numRecords in spirit), so a full-

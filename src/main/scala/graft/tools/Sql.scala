@@ -26,7 +26,7 @@ import graft.tables.Tables
   *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>
   *   TXLOG DELETE FROM '<path>' WHERE <condition>
   *   TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>
-  *   TXLOG RESTORE '<path>' TO VERSION <n>
+  *   TXLOG RESTORE '<path>' TO VERSION <n> | TO TIMESTAMP '<ts>'
   *   TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> UNIQUE (<k1[,k2...]>)
@@ -56,6 +56,8 @@ object Sql {
     """(?is)\s*TXLOG\s+REPLACE\s+INTO\s+'([^']+)'\s+PARTITIONS\s*\(([^)]+)\)\s+(.+)""".r
   private val RestoreRe =
     """(?is)\s*TXLOG\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
+  private val RestoreTsRe =
+    """(?is)\s*TXLOG\s+RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+'([^']+)'\s*""".r
   private val CloneRe =
     """(?is)\s*TXLOG\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(\s+DEEP)?(?:\s+VERSION\s+(\d+))?\s*""".r
   private val AlterAddUniqueRe =
@@ -94,6 +96,10 @@ object Sql {
             .filter(_.nonEmpty).toSeq))
       case RestoreRe(path, v) =>
         asDf(graft.storage.TxLog.restore(spark, path, v.toLong))
+      case RestoreTsRe(path, ts) =>
+        asDf(graft.storage.TxLog.restore(spark, path,
+          graft.storage.TxLog.versionAt(spark, path,
+            graft.storage.TxLog.parseTsMillis(ts))))
       case CloneRe(src, dst, deep, ver) =>
         asDf(graft.storage.TxLog.clone(spark, src, dst,
           version = Option(ver).map(_.toLong), deep = deep != null))
@@ -130,7 +136,7 @@ object Sql {
             "  TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>\n" +
             "  TXLOG DELETE FROM '<path>' WHERE <condition>\n" +
             "  TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>\n" +
-            "  TXLOG RESTORE '<path>' TO VERSION <n>\n" +
+            "  TXLOG RESTORE '<path>' TO VERSION <n> | TO TIMESTAMP '<ts>'\n" +
             "  TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]\n" +
             "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)\n" +
             "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> UNIQUE (<k1[,k2...]>)\n" +

@@ -320,6 +320,35 @@ class TxLogCheckpointSpec extends SparkSpec {
     assert(m3.statsCols.isEmpty && m3.fileStats.isEmpty)
   }
 
+  test("AS OF TIMESTAMP: commit times drive versionAt/readAsOf, the TVF, and RESTORE TO TIMESTAMP") {
+    import spark.implicits._
+    val path = freshDir("asof")
+    val t0 = System.currentTimeMillis() - 1
+    TxLog.create(Seq((1L, "a")).toDF("k", "part"), path, Some("part")) // v1
+    Thread.sleep(25)
+    val betweenV1V2 = System.currentTimeMillis()
+    Thread.sleep(25)
+    TxLog.append(Seq((2L, "b")).toDF("k", "part"), path)               // v2
+    assert(TxLog.versionAt(spark, path, betweenV1V2) == 1L)
+    assert(TxLog.versionAt(spark, path, System.currentTimeMillis()) == 2L)
+    intercept[IllegalArgumentException] {
+      TxLog.versionAt(spark, path, t0) // before the table existed
+    }
+    assert(TxLog.readAsOf(spark, path, betweenV1V2).count() == 1L)
+    // history carries monotone commit timestamps
+    val ts = TxLog.history(spark, path).collect()
+      .sortBy(_.getLong(0)).map(_.getTimestamp(7))
+    assert(ts.forall(_ != null) && !ts(1).before(ts(0)), ts.mkString(", "))
+    // SQL: the AS-OF TVF and the timestamped restore agree with the API
+    val iso = java.time.Instant.ofEpochMilli(betweenV1V2).toString
+    assert(spark.sql(s"SELECT * FROM graft_txlog_asof('$path', '$iso')")
+      .count() == 1L)
+    graft.tools.Sql.exec(spark, s"TXLOG RESTORE '$path' TO TIMESTAMP '$iso'")
+    assert(TxLog.read(spark, path).count() == 1L,
+      "timestamped restore must land the v1 snapshot")
+    assert(TxLog.currentVersion(spark, path).contains(3L))
+  }
+
   test("CREATE OR REPLACE: full redefinition in one commit — new schema/partitioning/stats, history kept, constraints reset") {
     import spark.implicits._
     val path = freshDir("replace_tbl")
