@@ -169,6 +169,13 @@ object TableFunctions {
         plan(TxLog.readByKey(active, litStr(fn, "path", es.head),
           litStr(fn, "col", es(1)), litAny(fn, "value", es(2))))
       }),
+    ("graft_txlog_detail",
+      info("graft_txlog_detail",
+        "graft_txlog_detail(path) - one-row table summary: version, layout, size, metadata row count, constraint counts, schema"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_detail", es, 1 to 1)
+        plan(TxLog.detail(active, litStr("graft_txlog_detail", "path", es.head)))
+      }),
     ("graft_txlog_asof",
       info("graft_txlog_asof",
         "graft_txlog_asof(path, ts) - snapshot AS OF a wall-clock instant (ISO-8601 or 'yyyy-MM-dd HH:mm:ss')"),

@@ -2055,6 +2055,31 @@ object TxLog {
       "commit_ts")
   }
 
+  /** DESCRIBE DETAIL — the one-row table summary (Delta's shape):
+    * head version, layout, size, metadata-only row count (null when
+    * any file predates row tracking), skip columns, constraint
+    * counts, and the declared schema. Metadata + file stats only; no
+    * data is read. */
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    def sizeOf(f: String): Long = {
+      val p = if (isAbsEntry(f)) new Path(f) else new Path(dataDir(path), f)
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+      catch { case _: java.io.IOException | _: IllegalArgumentException => 0L }
+    }
+    import spark.implicits._
+    Seq((path, v, m.partitionCol.orNull, m.files.size.toLong,
+      m.files.map(sizeOf).sum, fastCount(spark, path),
+      m.statsCols.mkString(", "), m.constraints.size, m.uniques.size,
+      m.schemaDdl))
+      .toDF("path", "version", "partition_col", "num_files", "total_bytes",
+        "rows", "stats_cols", "n_check_constraints", "n_unique_constraints",
+        "schema_ddl")
+  }
+
   /** The newest version committed AT OR BEFORE `tsMillis` — the
     * `AS OF TIMESTAMP` resolver. O(versions) small metadata reads
     * (rare interactive operation); commits predating timestamp

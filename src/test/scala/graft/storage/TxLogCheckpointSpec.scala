@@ -320,6 +320,25 @@ class TxLogCheckpointSpec extends SparkSpec {
     assert(m3.statsCols.isEmpty && m3.fileStats.isEmpty)
   }
 
+  test("DESCRIBE DETAIL: one-row metadata summary, no data read") {
+    import spark.implicits._
+    val path = freshDir("detail")
+    TxLog.create(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "part", "v"),
+      path, Some("part"), statsCols = Seq("k"))
+    TxLog.addConstraint(spark, path, "v_pos", "v > 0")
+    TxLog.addUniqueConstraint(spark, path, "pk_k", Seq("k"))
+    val d = TxLog.detail(spark, path).head()
+    assert(d.getString(0) == path && d.getLong(1) == 3L)
+    assert(d.getString(2) == "part" && d.getLong(3) == 2L)
+    assert(d.getLong(4) > 0L, "total_bytes should sum real file sizes")
+    assert(d.getLong(5) == 2L, "metadata row count")
+    assert(d.getString(6) == "k" && d.getInt(7) == 1 && d.getInt(8) == 1)
+    assert(d.getString(9).contains("part"), d.getString(9))
+    // ...and as SQL
+    assert(spark.sql(s"SELECT version FROM graft_txlog_detail('$path')")
+      .head().getLong(0) == 3L)
+  }
+
   test("AS OF TIMESTAMP: commit times drive versionAt/readAsOf, the TVF, and RESTORE TO TIMESTAMP") {
     import spark.implicits._
     val path = freshDir("asof")
