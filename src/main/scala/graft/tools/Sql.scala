@@ -31,6 +31,7 @@ import graft.tables.Tables
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> UNIQUE (<k1[,k2...]>)
   *   TXLOG ALTER '<path>' DROP CONSTRAINT <name>
+  *   TXLOG ALTER '<path>' SET STATS COLS (<c1[,c2...]>)  -- () disables
   *   TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]
   *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]
   *
@@ -64,6 +65,8 @@ object Sql {
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+UNIQUE\s*\(([^)]+)\)\s*""".r
   private val AlterAddRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
+  private val AlterStatsRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+SET\s+STATS\s+COLS\s*\(([^)]*)\)\s*""".r
   private val AlterDropRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
   private val OptimizeRe =
@@ -108,6 +111,9 @@ object Sql {
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       case AlterAddRe(path, name, check) =>
         asDf(graft.storage.TxLog.addConstraint(spark, path, name, check))
+      case AlterStatsRe(path, cols) =>
+        asDf(graft.storage.TxLog.setStatsCols(spark, path,
+          cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       case AlterDropRe(path, name) =>
         asDf(graft.storage.TxLog.dropConstraint(spark, path, name))
       case OptimizeRe(path, parts, zcols) =>
@@ -141,6 +147,7 @@ object Sql {
             "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)\n" +
             "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> UNIQUE (<k1[,k2...]>)\n" +
             "  TXLOG ALTER '<path>' DROP CONSTRAINT <name>\n" +
+            "  TXLOG ALTER '<path>' SET STATS COLS (<c1[,c2...]>)\n" +
             "  TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]\n" +
             "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]")
       case plain => spark.sql(plain)

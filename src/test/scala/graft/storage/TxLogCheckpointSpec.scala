@@ -318,6 +318,10 @@ class TxLogCheckpointSpec extends SparkSpec {
     TxLog.flushSnapshotCacheForTesting()
     val m3 = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
     assert(m3.statsCols.isEmpty && m3.fileStats.isEmpty)
+    // ...and back on through the SQL verb
+    graft.tools.Sql.exec(spark, s"TXLOG ALTER '$path' SET STATS COLS (k)")
+    assert(TxLog.manifest(spark, path,
+      TxLog.currentVersion(spark, path).get).statsCols == Seq("k"))
   }
 
   test("DESCRIBE DETAIL: one-row metadata summary, no data read") {
