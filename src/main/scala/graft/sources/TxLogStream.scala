@@ -16,6 +16,7 @@ import graft.storage.TxLog
   *   spark.readStream.format("graft-txlog")
   *     .option("path", tableDir)
   *     .option("sinceVersion", "latest")      // or a version, or absent = snapshot first
+  *     .option("sinceTimestamp", "2026-08-14T10:00:00Z") // tail after that instant
   *     .option("maxFilesPerBatch", "1000")    // rate limit in FILES (splits the snapshot too)
   *     .option("maxVersionsPerBatch", "10")   // rate limit in commits
   *     .option("skipRewriteCommits", "true")  // tail survives OPTIMIZE (see filesOf caveat)
@@ -155,6 +156,7 @@ object TxLogStream {
   /** Parsed, validated source options (keys case-insensitive). */
   final case class Opts(path: String, cdf: Boolean, keys: Seq[String],
                         withPreimages: Boolean, since: Option[String],
+                        sinceTs: Option[String],
                         maxVersionsPerBatch: Option[Long],
                         maxFilesPerBatch: Option[Int],
                         skipRewriteCommits: Boolean) {
@@ -162,6 +164,8 @@ object TxLogStream {
       require(s == "latest" || (s.nonEmpty && s.forall(_.isDigit)),
         s"graft-txlog: sinceVersion must be 'latest' or a version number, got '$s'")
     }
+    require(since.isEmpty || sinceTs.isEmpty,
+      "graft-txlog: pass sinceVersion OR sinceTimestamp, not both")
     maxVersionsPerBatch.foreach(m =>
       require(m > 0, s"graft-txlog: maxVersionsPerBatch must be positive, got $m"))
     maxFilesPerBatch.foreach(m =>
@@ -190,6 +194,7 @@ object TxLogStream {
           .getOrElse(Nil),
         withPreimages = p.get("withpreimages").exists(_.toBoolean),
         since = p.get("sinceversion"),
+        sinceTs = p.get("sincetimestamp"),
         maxVersionsPerBatch = p.get("maxversionsperbatch").map(_.toLong),
         maxFilesPerBatch = p.get("maxfilesperbatch").map(_.toInt),
         skipRewriteCommits = p.get("skiprewritecommits").exists(_.toBoolean))
@@ -215,7 +220,15 @@ object TxLogStream {
     if (fs.exists(p)) read()
     else {
       def head: Long = TxLog.currentVersion(spark, opts.path).getOrElse(0L)
-      val start = opts.since match {
+      // sinceTimestamp resolves to "tail after the version live at that
+      // instant" — rows committed AFTER the instant flow, the snapshot
+      // as of it does not (the tail-only contract, time-addressed).
+      // Like every start mode, resolved ONCE and persisted below.
+      val sinceResolved: Option[String] = opts.sinceTs
+        .map(ts => TxLog.versionAt(spark, opts.path,
+          TxLog.parseTsMillis(ts)).toString)
+        .orElse(opts.since)
+      val start = sinceResolved match {
         case Some("latest") => Start(head, consumed = true)
         case Some(n) if n.toLong > 0L =>
           // a start beyond the head would silently swallow every commit

@@ -109,6 +109,27 @@ class TxLogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sinceTimestamp: the tail starts after the version live at that instant") {
+    val path = freshDir("since_ts")
+    TxLog.create(keyed(Seq((1L, "a", 1.0))), path)          // v1
+    Thread.sleep(25)
+    val instant = java.time.Instant.now().toString
+    Thread.sleep(25)
+    TxLog.append(keyed(Seq((2L, "b", 2.0))), path)          // v2, after the instant
+    val got = ArrayBuffer.empty[Long]
+    val q = stream(path, "sinceTimestamp" -> instant).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(_.getLong(0)); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      TxLog.append(keyed(Seq((3L, "c", 3.0))), path)        // v3, mid-stream
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == Set(2L, 3L),
+      s"expected only post-instant commits, got $got")
+  }
+
   test("append mode fails LOUDLY when the range contains a rewrite") {
     val path = freshDir("loud")
     TxLog.create(keyed(Seq((1L, "a", 1.0))), path, Some("cat"))
