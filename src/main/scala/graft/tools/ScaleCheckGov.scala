@@ -81,11 +81,32 @@ object ScaleCheckGov {
       TxLog.addConstraint(spark, t1, s"extra_$i", s"v <> ${-i - 1}"))
     time("probe 1M batch under 8 constraints (flat vs 2)") { probeOnly(t1, b1m) }
 
-    // 4. the full passing append for context (commit cost dominates)
-    val good = mk(100000L).cache(); good.count()
+    // 4. the full passing append for context (commit cost dominates).
+    // Fresh keys, so the table stays duplicate-free for the UNIQUE
+    // constraint added in step 5
+    def freshKeys0(lo: Long, n: Long) = spark.range(lo, lo + n)
+      .select(col("id").as("k"), (col("id") % 16).cast("string").as("part"),
+        lit(1.0).as("v"))
+    val good = freshKeys0(300000000L, 100000L).cache(); good.count()
     time("passing 100k append incl. commit, 6M-row table") {
       TxLog.append(good, t10)
     }
+
+    // 5. the UNIQUE probe — the ONE governance check that reads the
+    // table (a column-pruned key scan + broadcast semi-join per insert
+    // commit, the documented dimension-table trade): measure it scale
+    // LINEARLY in table KEY bytes, not table width, and refuse fast
+    Seq(t1, t10).foreach(p => TxLog.addUniqueConstraint(spark, p, "pk_k", Seq("k")))
+    def freshKeys(lo: Long, n: Long) = freshKeys0(lo, n)
+    val f1 = freshKeys(100000000L, 100000L).cache(); f1.count()
+    val a = time("UNIQUE probe + append 100k fresh keys, 0.6M-row table") {
+      TxLog.append(f1, t1)
+    }
+    val f2 = freshKeys(200000000L, 100000L).cache(); f2.count()
+    val b = time("UNIQUE probe + append 100k fresh keys, 6M-row table (~linear in table keys)") {
+      TxLog.append(f2, t10)
+    }
+    println(f"[scale-gov] unique-probe 10x-table ratio                    ${b / a}%8.2f x")
     spark.stop()
   }
 }
