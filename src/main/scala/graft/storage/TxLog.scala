@@ -1332,8 +1332,18 @@ object TxLog {
         val declared = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
         cols.foreach(c => require(declared.contains(c),
           s"TxLog.addUniqueConstraint: column '$c' is not in the table schema"))
-        val dup = graft.operators.Upsert.pkViolations(
-          read(spark, path, Some(m.version)), cols).limit(1).collect()
+        val snap = read(spark, path, Some(m.version))
+        val nullKey = snap.filter(cols.map(
+          org.apache.spark.sql.functions.col(_).isNull).reduce(_ || _))
+          .limit(1).collect()
+        if (nullKey.nonEmpty)
+          throw new ConstraintViolationException(
+            s"TxLog: ADD UNIQUE $name(${cols.mkString(", ")}): existing data " +
+              s"at v${m.version} holds a NULL key (PRIMARY-KEY semantics " +
+              s"require non-null): ${nullKey.head.toString.take(200)}. " +
+              "Nothing was committed.")
+        val dup = graft.operators.Upsert.pkViolations(snap, cols)
+          .limit(1).collect()
         if (dup.nonEmpty)
           throw new ConstraintViolationException(
             s"TxLog: ADD UNIQUE $name(${cols.mkString(", ")}): existing data " +
@@ -1360,6 +1370,20 @@ object TxLog {
     if (uniques.isEmpty) return
     import org.apache.spark.sql.functions.col
     uniques.foreach { case (name, cols) =>
+      // PRIMARY KEY semantics, not bare SQL UNIQUE: a NULL key is
+      // refused outright. SQL's "null is not comparable" would make
+      // the gate asymmetric here — the in-batch groupBy probe lumps
+      // nulls together while the vs-table join can never match them —
+      // so nullable keys would be half-checked; the reference's PK
+      // columns are NOT NULL anyway (gwas_ddl.sql)
+      val nullKey = df.filter(cols.map(col(_).isNull).reduce(_ || _))
+        .limit(1).collect()
+      if (nullKey.nonEmpty)
+        throw new ConstraintViolationException(
+          s"TxLog: $op carries a NULL key for UNIQUE $name" +
+            s"(${cols.mkString(", ")}) — unique keys are PRIMARY-KEY " +
+            s"semantics, non-null: ${nullKey.head.toString.take(200)}. " +
+            "Nothing was committed.")
       val inBatch = graft.operators.Upsert.pkViolations(df, cols)
         .limit(1).collect()
       if (inBatch.nonEmpty)

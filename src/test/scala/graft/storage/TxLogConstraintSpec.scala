@@ -216,6 +216,13 @@ class TxLogConstraintSpec extends SparkSpec {
       e.getMessage.contains("already exists"), e.getMessage)
     assert(TxLog.currentVersion(spark, path).contains(vBefore),
       "refused commits must not advance the version")
+    // NULL keys refuse outright: PRIMARY-KEY semantics, not bare UNIQUE
+    // (SQL's null-incomparability would leave nulls half-checked here)
+    val eNull = intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq((Option.empty[Long], 9L, "a", 1.0))
+        .toDF("kgp", "study", "part", "v"), path)
+    }
+    assert(eNull.getMessage.contains("NULL key"), eNull.getMessage)
     // fresh keys flow
     TxLog.append(Seq((3L, 10L, "a", 4.0)).toDF("kgp", "study", "part", "v"), path)
     assert(TxLog.read(spark, path).count() == 4L)
