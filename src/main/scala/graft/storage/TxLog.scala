@@ -101,7 +101,9 @@ object TxLog {
                       fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
                       fileRows: Map[String, Long] = Map.empty,
                       constraints: Seq[(String, String)] = Nil,
-                      uniques: Seq[(String, Seq[String])] = Nil)
+                      uniques: Seq[(String, Seq[String])] = Nil,
+                      ts: Option[Long] = None,
+                      minWriter: Int = 1)
 
   private val mapper = new ObjectMapper()
 
@@ -223,8 +225,40 @@ object TxLog {
     * had: a guard can only bind builds that already know the rule).
     * Any future change where non-enforcement would CORRUPT rather
     * than merely under-check must bump ProtocolVersion, refusing old
-    * readers and writers both. */
-  val ProtocolVersion = 1
+    * readers and writers both.
+    *
+    * Protocol 2 (reader-gating, per-COMMIT): a delta commit may carry
+    * `removeFiles` — individual manifest entries dropped by a
+    * file-granular MERGE/DELETE rewrite. A protocol-1 reader replaying
+    * such a delta would silently KEEP the removed files (resurrected
+    * rows — corruption), so exactly those commits are stamped
+    * protocol 2 and refuse old readers; every other commit stays
+    * protocol 1, and a post-removeFiles CHECKPOINT heals old readers
+    * for the versions at or after it (resolution from a checkpoint
+    * never replays the protocol-2 delta). */
+  val ProtocolVersion = 2
+
+  /** The writer-feature generation this build implements, and the
+    * gate [[Manifest.minWriter]] checks against (Delta's
+    * minWriterVersion): a table whose head demands a NEWER writer
+    * refuses every write from this build rather than half-enforcing
+    * invariants it does not know. Generation 2 = write-time CHECK +
+    * UNIQUE constraint enforcement: the first ADD CONSTRAINT raises
+    * the table's `minWriter` to 2, so any FUTURE build that only
+    * implements generation 1 refuses to append un-vetted rows instead
+    * of silently admitting violations. (Builds that predate the field
+    * check nothing — the documented bootstrap caveat; the guard binds
+    * every build that knows the rule.) Reads are ungated by this:
+    * constraint metadata is advisory to a reader. */
+  val WriterVersion = 2
+
+  /** Refuse writes demanded-newer than this build (never gates reads). */
+  private def requireWritable(m: Manifest, path: String): Unit =
+    if (m.minWriter > WriterVersion)
+      throw new UnsupportedOperationException(
+        s"TxLog: table at $path requires writer generation ${m.minWriter}; " +
+          s"this build implements $WriterVersion — upgrade the library to " +
+          "write this table (reads still work)")
 
   private def readCommitNode(spark: SparkSession, path: String,
                              version: Long): com.fasterxml.jackson.databind.JsonNode = {
@@ -244,13 +278,17 @@ object TxLog {
     node
   }
 
-  /** The resolved metadata every commit shape carries: (version,
-    * partitionCol, schemaDdl, sourceBatchId, statsCols, constraints,
-    * uniques). Absent `constraints`/`uniqueConstraints` = none
-    * (pre-constraint commits). */
-  private def nodeMeta(node: com.fasterxml.jackson.databind.JsonNode)
-      : (Long, Option[String], String, Option[Long], Seq[String],
-         Seq[(String, String)], Seq[(String, Seq[String])]) = (
+  /** The resolved metadata every commit shape carries. Absent
+    * `constraints`/`uniqueConstraints` = none, absent `minWriter` = 1,
+    * absent `ts` = untracked (pre-field commits). */
+  private case class CMeta(version: Long, partitionCol: Option[String],
+                           schemaDdl: String, sourceBatchId: Option[Long],
+                           statsCols: Seq[String],
+                           constraints: Seq[(String, String)],
+                           uniques: Seq[(String, Seq[String])],
+                           ts: Option[Long], minWriter: Int)
+
+  private def nodeMeta(node: com.fasterxml.jackson.databind.JsonNode): CMeta = CMeta(
     node.get("version").asLong(),
     Option(node.get("partitionCol")).filter(!_.isNull).map(_.asText()),
     node.get("schemaDdl").asText(),
@@ -268,12 +306,14 @@ object TxLog {
         val cols = e.get("cols")
         e.get("name").asText() ->
           (0 until cols.size()).map(cols.get(_).asText())
-      }).getOrElse(Seq.empty))
+      }).getOrElse(Seq.empty),
+    Option(node.get("ts")).map(_.asLong()),
+    Option(node.get("minWriter")).map(_.asInt()).getOrElse(1))
 
   /** Parse a FULL commit (create/clone, and every pre-delta-format
     * manifest — the legacy one-JSON-per-version shape stays readable). */
   private def parseFull(node: com.fasterxml.jackson.databind.JsonNode): Manifest = {
-    val (v, pc, ddl, batch, statsCols, constraints, uniques) = nodeMeta(node)
+    val c = nodeMeta(node)
     val files = (0 until node.get("files").size()).map(node.get("files").get(_).asText())
     val fileStats = Option(node.get("fileStats")).map { fsNode =>
       val it = fsNode.fieldNames()
@@ -293,8 +333,9 @@ object TxLog {
       Iterator.continually(if (it.hasNext) it.next() else null)
         .takeWhile(_ != null).map(f => f -> rNode.get(f).asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
-    Manifest(v, pc, ddl, files, batch, statsCols, fileStats, fileRows,
-      constraints, uniques)
+    Manifest(c.version, c.partitionCol, c.schemaDdl, files, c.sourceBatchId,
+      c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
+      c.minWriter)
   }
 
   /** Apply one DELTA commit to its predecessor's resolved state —
@@ -304,8 +345,12 @@ object TxLog {
     * the delta's stored RESOLVED values. */
   private def applyDelta(state: Manifest,
                          node: com.fasterxml.jackson.databind.JsonNode): Manifest = {
-    val (v, pc, ddl, batch, statsCols, constraints, uniques) = nodeMeta(node)
+    val c = nodeMeta(node)
     val rm = Option(node.get("removeDirs")).map(a =>
+      (0 until a.size()).map(a.get(_).asText()).toSet).getOrElse(Set.empty[String])
+    // file-granular rewrite sets (protocol-2 commits): individual
+    // entries dropped by a stats-pruned MERGE/DELETE
+    val rmFiles = Option(node.get("removeFiles")).map(a =>
       (0 until a.size()).map(a.get(_).asText()).toSet).getOrElse(Set.empty[String])
     val addsN = node.get("add")
     val adds = (0 until addsN.size()).map(addsN.get)
@@ -324,21 +369,21 @@ object TxLog {
       }
     }.toMap
     val kept =
-      if (rm.isEmpty) state.files
-      else state.files.filterNot(f => rm.contains(dirOf(f)))
+      if (rm.isEmpty && rmFiles.isEmpty) state.files
+      else state.files.filterNot(f => rm.contains(dirOf(f)) || rmFiles.contains(f))
     val keptSet = kept.toSet
-    Manifest(v, pc, ddl, kept ++ addFiles, batch, statsCols,
-      if (statsCols.isEmpty) Map.empty
+    Manifest(c.version, c.partitionCol, c.schemaDdl, kept ++ addFiles,
+      c.sourceBatchId, c.statsCols,
+      if (c.statsCols.isEmpty) Map.empty
       else state.fileStats.view.filterKeys(keptSet).toMap ++ addStats,
       state.fileRows.view.filterKeys(keptSet).toMap ++ addRows,
-      constraints, uniques)
+      c.constraints, c.uniques, c.ts, c.minWriter)
   }
 
   /** Load a checkpoint's file enumeration (columnar — never one JSON
     * tree) and marry it to the commit file's resolved metadata. */
   private def fromCheckpoint(spark: SparkSession, path: String, v: Long): Manifest = {
-    val (ver, pc, ddl, batch, statsCols, constraints, uniques) =
-      nodeMeta(readCommitNode(spark, path, v))
+    val c = nodeMeta(readCommitNode(spark, path, v))
     val rows = spark.read.schema(ckptSchema).parquet(ckptDir(path, v).toString).collect()
     val files = rows.map(_.getString(0)).toSeq.sorted
     val fileRows = rows.flatMap(r =>
@@ -349,8 +394,9 @@ object TxLog {
         r.getAs[scala.collection.Map[String, scala.collection.Seq[String]]](2)
           .map { case (c, a) => c -> ((a(0), a(1))) }.toMap)
     }.toMap
-    Manifest(ver, pc, ddl, files, batch, statsCols, fileStats, fileRows,
-      constraints, uniques)
+    Manifest(c.version, c.partitionCol, c.schemaDdl, files, c.sourceBatchId,
+      c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
+      c.minWriter)
   }
 
   /** Resolve the snapshot at `version`: walk back to the nearest
@@ -373,9 +419,14 @@ object TxLog {
           val node = readCommitNode(spark, path, t)
           if (node.has("files")) base = Some(parseFull(node))
           else if (node.has("baseRef")) {
-            val (v, _, _, batch, _, _, _) = nodeMeta(node)
+            val c = nodeMeta(node)
+            // files/stats/rows from the target; METADATA from the ref
+            // commit itself (it stores the resolved values it committed)
             base = Some(manifest(spark, path, node.get("baseRef").asLong())
-              .copy(version = v, sourceBatchId = batch))
+              .copy(version = c.version, sourceBatchId = c.sourceBatchId,
+                partitionCol = c.partitionCol, schemaDdl = c.schemaDdl,
+                statsCols = c.statsCols, constraints = c.constraints,
+                uniques = c.uniques, ts = c.ts, minWriter = c.minWriter))
           } else {
             chain ::= node
             t -= 1
@@ -508,24 +559,34 @@ object TxLog {
   /** Shared metadata header for every commit shape (resolved values —
     * any single commit file fully describes its version's schema,
     * layout and watermark). */
+  /** Commit timestamp with the monotonicity CLAMP (Delta's adjusted
+    * timestamps): never behind the predecessor's ts + 1, so version
+    * order and timestamp order always agree and AS OF TIMESTAMP can
+    * never resolve a snapshot that includes commits stamped after the
+    * requested instant — even across writers with skewed clocks. */
+  private def clampedTs(prev: Manifest): Long =
+    math.max(System.currentTimeMillis(),
+      prev.ts.map(_ + 1L).getOrElse(Long.MinValue))
+
   private def metaNode(version: Long, partitionCol: Option[String],
                        schemaDdl: String, sourceBatchId: Option[Long],
                        statsCols: Seq[String],
                        constraints: Seq[(String, String)],
                        uniques: Seq[(String, Seq[String])],
-                       operation: String)
+                       operation: String, ts: Long, minWriter: Int,
+                       protocol: Int = 1)
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = mapper.createObjectNode()
-    node.put("protocol", ProtocolVersion)
+    node.put("protocol", protocol)
     node.put("version", version)
     // provenance, not state: resolution never reads it, DESCRIBE
     // HISTORY surfaces it (Delta's commitInfo.operation shape)
     node.put("operation", operation)
-    // wall-clock commit time (millis) — drives AS OF TIMESTAMP
-    // resolution and the history column; never read by snapshot
-    // resolution, so skew between writers can only blur time travel,
-    // not correctness (the documented Delta caveat)
-    node.put("ts", System.currentTimeMillis())
+    // wall-clock commit time (millis), clamped monotonic by the
+    // caller via [[clampedTs]] — drives AS OF TIMESTAMP resolution
+    // and the history column; never read by snapshot resolution
+    node.put("ts", ts)
+    if (minWriter > 1) node.put("minWriter", minWriter)
     partitionCol match {
       case Some(c) => node.put("partitionCol", c)
       case None => node.putNull("partitionCol")
@@ -558,7 +619,8 @@ object TxLog {
   private def writeManifest(spark: SparkSession, path: String, m: Manifest,
                             operation: String): Unit = {
     val node = metaNode(m.version, m.partitionCol, m.schemaDdl,
-      m.sourceBatchId, m.statsCols, m.constraints, m.uniques, operation)
+      m.sourceBatchId, m.statsCols, m.constraints, m.uniques, operation,
+      m.ts.getOrElse(System.currentTimeMillis()), m.minWriter)
     val arr = node.putArray("files")
     m.files.sorted.foreach(arr.add)
     if (m.statsCols.nonEmpty) {
@@ -588,11 +650,21 @@ object TxLog {
                          operation: String,
                          removeDirs: Set[String], addFiles: Seq[String],
                          addStats: Map[String, Map[String, (String, String)]],
-                         addRows: Map[String, Long]): Unit = {
+                         addRows: Map[String, Long],
+                         ts: Long, minWriter: Int,
+                         removeFiles: Set[String] = Set.empty): Unit = {
+    // a protocol-1 reader replaying a removeFiles delta would KEEP the
+    // removed files (resurrected rows) — exactly those commits are
+    // stamped protocol 2 and refuse old readers
     val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId,
-      statsCols, constraints, uniques, operation)
+      statsCols, constraints, uniques, operation, ts, minWriter,
+      protocol = if (removeFiles.isEmpty) 1 else 2)
     val rmArr = node.putArray("removeDirs")
     removeDirs.toSeq.sorted.foreach(rmArr.add)
+    if (removeFiles.nonEmpty) {
+      val rfArr = node.putArray("removeFiles")
+      removeFiles.toSeq.sorted.foreach(rfArr.add)
+    }
     val addArr = node.putArray("add")
     addFiles.sorted.foreach { f =>
       val e = addArr.addObject()
@@ -617,9 +689,9 @@ object TxLog {
                        constraints: Seq[(String, String)],
                        uniques: Seq[(String, Seq[String])],
                        operation: String,
-                       baseRef: Long): Unit = {
+                       baseRef: Long, ts: Long, minWriter: Int): Unit = {
     val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId,
-      statsCols, constraints, uniques, operation)
+      statsCols, constraints, uniques, operation, ts, minWriter)
     node.put("baseRef", baseRef)
     commitAtomic(spark, path, version, node)
   }
@@ -663,6 +735,26 @@ object TxLog {
   private def dirOf(f: String): String =
     relEntry(f).split('/').dropRight(1).mkString("/")
 
+  /** Map scan URIs (`input_file_name`) back to manifest entries by
+    * their data-root-relative suffix — raw form first,
+    * URL-decoded fallback (input_file_name returns the ENCODED URI
+    * while entries are raw filesystem names), loud failure on a
+    * suffix no entry owns. Shared by the file-granular rewrite
+    * discovery, stats collection, and the Bloom index builder. */
+  private def entryResolver(entries: Seq[String]): String => String = {
+    val bySuffix = entries.map(f => relEntry(f) -> f).toMap
+    uri => {
+      val i = uri.lastIndexOf("/data/")
+      val suffix =
+        if (i >= 0) uri.substring(i + "/data/".length) else uri.split('/').last
+      bySuffix.get(suffix)
+        .orElse(bySuffix.get(java.net.URLDecoder.decode(suffix, "UTF-8")))
+        .getOrElse(throw new IllegalStateException(
+          s"TxLog: scan file '$uri' does not map back to any manifest " +
+            "entry — partition value encoding mismatch"))
+    }
+  }
+
   /** Optimistic-concurrency commit with logical conflict detection —
     * the Delta-style rule set that makes concurrent writers safe over
     * the same rename-based log:
@@ -698,7 +790,10 @@ object TxLog {
                            schemaDdl: String, batchId: Option[Long],
                            readSet: Option[Set[String]],
                            operation: String,
-                           maxRetries: Int = 10): Long = {
+                           maxRetries: Int = 10,
+                           removeFiles: Set[String] = Set.empty,
+                           revalidate: Manifest => Unit = _ => ()): Long = {
+    requireWritable(base, path)
     val (newStats, newRows) = collectStats(spark, path,
       StructType.fromDDL(schemaDdl), base.statsCols, newFiles)
     var attempt = base
@@ -710,13 +805,16 @@ object TxLog {
         val resolvedBatch = batchId.orElse(attempt.sourceBatchId)
         // the commit file is a DELTA — O(files changed) bytes; the
         // race is still one atomic v<N+1>.json rename
+        val ts = clampedTs(attempt)
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
           schemaDdl, resolvedBatch, attempt.statsCols, attempt.constraints,
-          attempt.uniques, operation, rewriteDirs, newFiles, newStats, newRows)
+          attempt.uniques, operation, rewriteDirs, newFiles, newStats, newRows,
+          ts, attempt.minWriter, removeFiles)
         // resolve the state this delta produced (same transition
         // applyDelta replays) — warms the cache for the next
         // commit/read and feeds the periodic checkpoint
-        val kept = attempt.files.filterNot(f => rewriteDirs.contains(dirOf(f)))
+        val kept = attempt.files.filterNot(f =>
+          rewriteDirs.contains(dirOf(f)) || removeFiles.contains(f))
         val keptSet = kept.toSet
         // newFiles sorted: byte-identical to what applyDelta replays
         // from the JSON (writeDelta emits adds sorted)
@@ -725,7 +823,7 @@ object TxLog {
           if (attempt.statsCols.isEmpty) Map.empty
           else attempt.fileStats.view.filterKeys(keptSet).toMap ++ newStats,
           attempt.fileRows.view.filterKeys(keptSet).toMap ++ newRows,
-          attempt.constraints, attempt.uniques)
+          attempt.constraints, attempt.uniques, Some(ts), attempt.minWriter)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return attempt.version + 1
@@ -759,6 +857,11 @@ object TxLog {
               s"TxLog: concurrent commit v${latest.version} at $path " +
                 "changed files this write depends on — recompute against " +
                 "the new snapshot")
+          // caller-supplied semantic re-validation against the rebased
+          // head (the UNIQUE gate probes keys that landed since `base`
+          // here — without it two racing appends of the same key would
+          // both pass their snapshot probes and both commit)
+          revalidate(latest)
           attempt = latest
       }
     }
@@ -869,7 +972,8 @@ object TxLog {
     // incarnation's cached snapshots
     cacheInvalidate(df.sparkSession, path)
     val m = Manifest(1L, partitionCol, df.schema.toDDL, files.sorted,
-      statsCols = statsCols, fileStats = stats, fileRows = rowCounts)
+      statsCols = statsCols, fileStats = stats, fileRows = rowCounts,
+      ts = Some(System.currentTimeMillis()))
     writeManifest(df.sparkSession, path, m, operation = "CREATE")
     cachePut(df.sparkSession, path, m)
     1L
@@ -900,11 +1004,17 @@ object TxLog {
     var retries = 0
     while (true) {
       val v = currentVersion(spark, path).get
+      val prev = manifest(spark, path, v)
+      requireWritable(prev, path)
       val m = Manifest(v + 1, partitionCol, df.schema.toDDL, files.sorted,
         statsCols = statsCols, fileStats = stats, fileRows = rowCounts,
         // the batch watermark carries forward — a replace must not
         // reopen the door to a replayed streaming batch
-        sourceBatchId = manifest(spark, path, v).sourceBatchId)
+        sourceBatchId = prev.sourceBatchId,
+        ts = Some(clampedTs(prev)),
+        // writer-generation demands never downgrade (Delta's contract):
+        // a replace resets constraints but keeps the gate sticky
+        minWriter = prev.minWriter)
       try {
         writeManifest(spark, path, m, operation = "CREATE OR REPLACE")
         cachePut(spark, path, m)
@@ -993,7 +1103,18 @@ object TxLog {
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     if (!m.statsCols.contains(colName)) return m.files // not tracked: no pruning
-    val schema = StructType.fromDDL(m.schemaDdl)
+    pruneByRange(m, StructType.fromDDL(m.schemaDdl), m.files, colName,
+      lower, upper)
+  }
+
+  /** [[prunedFiles]]'s min/max overlap rule over an ARBITRARY
+    * candidate subset — numeric columns compare as exact decimals,
+    * everything else lexicographically; stats-less files are
+    * conservatively kept. The caller guarantees `colName` is a
+    * tracked stats column. */
+  private def pruneByRange(m: Manifest, schema: StructType,
+                           files: Seq[String], colName: String,
+                           lower: Any, upper: Any): Seq[String] = {
     val numeric = schema(colName).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     def overlaps(mn: String, mx: String): Boolean =
       if (numeric) {
@@ -1001,7 +1122,7 @@ object TxLog {
         BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
       } else
         mx >= String.valueOf(lower) && mn <= String.valueOf(upper)
-    m.files.filter { f =>
+    files.filter { f =>
       m.fileStats.get(f).flatMap(_.get(colName)) match {
         case Some((mn, mx)) => overlaps(mn, mx)
         case None => true
@@ -1210,16 +1331,28 @@ object TxLog {
       val v = currentVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"TxLog: no table at $path"))
       val attempt = manifest(spark, path, v)
+      requireWritable(attempt, path)
       revalidate(attempt)
       val (nextChecks, nextUniques) = update(attempt)
+      // the first constraint RAISES the writer gate to generation 2:
+      // a future generation-1 build must refuse to append un-vetted
+      // rows rather than silently admit violations (ADVICE r8, medium).
+      // Never lowered — dropping the last constraint keeps the gate.
+      val nextMinWriter =
+        if (nextChecks.nonEmpty || nextUniques.nonEmpty)
+          math.max(attempt.minWriter, 2)
+        else attempt.minWriter
       try {
+        val ts = clampedTs(attempt)
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
           attempt.schemaDdl, attempt.sourceBatchId, attempt.statsCols,
           nextChecks, nextUniques, operation,
           removeDirs = Set.empty, addFiles = Nil,
-          addStats = Map.empty, addRows = Map.empty)
+          addStats = Map.empty, addRows = Map.empty,
+          ts = ts, minWriter = nextMinWriter)
         val resolved = attempt.copy(version = attempt.version + 1,
-          constraints = nextChecks, uniques = nextUniques)
+          constraints = nextChecks, uniques = nextUniques,
+          ts = Some(ts), minWriter = nextMinWriter)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return resolved.version
@@ -1361,46 +1494,105 @@ object TxLog {
   }
 
   /** INSERT-shaped enforcement of the UNIQUE set: the incoming batch
-    * must not repeat a key internally nor collide with `existing`
-    * (the current snapshot, minus whatever this commit replaces).
-    * Runs BEFORE [[stageIn]] — a refused commit stages nothing. */
-  private def enforceUniques(df: DataFrame, existing: => DataFrame,
-                             uniques: Seq[(String, Seq[String])],
-                             op: String): Unit = {
-    if (uniques.isEmpty) return
-    import org.apache.spark.sql.functions.col
-    uniques.foreach { case (name, cols) =>
-      // PRIMARY KEY semantics, not bare SQL UNIQUE: a NULL key is
-      // refused outright. SQL's "null is not comparable" would make
-      // the gate asymmetric here — the in-batch groupBy probe lumps
-      // nulls together while the vs-table join can never match them —
-      // so nullable keys would be half-checked; the reference's PK
-      // columns are NOT NULL anyway (gwas_ddl.sql)
-      val nullKey = df.filter(cols.map(col(_).isNull).reduce(_ || _))
-        .limit(1).collect()
-      if (nullKey.nonEmpty)
-        throw new ConstraintViolationException(
-          s"TxLog: $op carries a NULL key for UNIQUE $name" +
-            s"(${cols.mkString(", ")}) — unique keys are PRIMARY-KEY " +
-            s"semantics, non-null: ${nullKey.head.toString.take(200)}. " +
-            "Nothing was committed.")
-      val inBatch = graft.operators.Upsert.pkViolations(df, cols)
-        .limit(1).collect()
-      if (inBatch.nonEmpty)
-        throw new ConstraintViolationException(
-          s"TxLog: $op repeats UNIQUE $name(${cols.mkString(", ")}) key " +
-            s"within the batch: ${inBatch.head.toString.take(200)}. " +
-            "Nothing was committed.")
-      val collide = existing.select(cols.map(col): _*)
-        .join(org.apache.spark.sql.functions.broadcast(
-          df.select(cols.map(col): _*).distinct()), cols, "left_semi")
-        .limit(1).collect()
-      if (collide.nonEmpty)
-        throw new ConstraintViolationException(
-          s"TxLog: $op violates UNIQUE $name(${cols.mkString(", ")}) — key " +
-            s"${collide.head.toString.take(200)} already exists in the table. " +
-            "Nothing was committed.")
+    * must not repeat a key internally nor collide with the table rows
+    * that SURVIVE this commit, planned as `existingFiles` (the current
+    * snapshot's entries, minus whatever the commit replaces). Runs
+    * BEFORE [[stageIn]] — a refused commit stages nothing.
+    *
+    * The vs-table probe is FILE-PRUNED when the key column rides the
+    * skip index: one tiny aggregate takes the batch's key bounds, and
+    * only files whose min/max admit that range are scanned at all —
+    * on a key-clustered dimension table the per-insert probe reads a
+    * few files, not the table (ScaleCheckGov prices this). The
+    * semi-join carries no broadcast hint: AQE broadcasts a small batch
+    * side on its own, and a 10^6-key bulk load must NOT be forced
+    * driver-side (ADVICE r8, low).
+    *
+    * `batchChecked = true` skips the batch-side probes (null-key,
+    * within-batch) — the rebase-revalidation path re-probes only
+    * against files that LANDED since the base snapshot. */
+  private def enforceUniques(df: DataFrame, spark: SparkSession, path: String,
+                             schema: StructType, existingFiles: Seq[String],
+                             m: Manifest, op: String,
+                             batchChecked: Boolean = false): Unit = {
+    if (m.uniques.isEmpty) return
+    import org.apache.spark.sql.functions.{col, max, min}
+    m.uniques.foreach { case (name, cols) =>
+      cols.foreach(c =>
+        if (!df.columns.contains(c))
+          throw new ConstraintViolationException(
+            s"TxLog: $op omits UNIQUE $name key column '$c' — every key " +
+              "column must be present and non-null. Nothing was committed."))
+      if (!batchChecked) {
+        // PRIMARY KEY semantics, not bare SQL UNIQUE: a NULL key is
+        // refused outright. SQL's "null is not comparable" would make
+        // the gate asymmetric here — the in-batch groupBy probe lumps
+        // nulls together while the vs-table join can never match them —
+        // so nullable keys would be half-checked; the reference's PK
+        // columns are NOT NULL anyway (gwas_ddl.sql)
+        val nullKey = df.filter(cols.map(col(_).isNull).reduce(_ || _))
+          .limit(1).collect()
+        if (nullKey.nonEmpty)
+          throw new ConstraintViolationException(
+            s"TxLog: $op carries a NULL key for UNIQUE $name" +
+              s"(${cols.mkString(", ")}) — unique keys are PRIMARY-KEY " +
+              s"semantics, non-null: ${nullKey.head.toString.take(200)}. " +
+              "Nothing was committed.")
+        val inBatch = graft.operators.Upsert.pkViolations(df, cols)
+          .limit(1).collect()
+        if (inBatch.nonEmpty)
+          throw new ConstraintViolationException(
+            s"TxLog: $op repeats UNIQUE $name(${cols.mkString(", ")}) key " +
+              s"within the batch: ${inBatch.head.toString.take(200)}. " +
+              "Nothing was committed.")
+      }
+      if (existingFiles.nonEmpty) {
+        val candidates =
+          if (cols.size == 1 && m.statsCols.contains(cols.head)) {
+            val k = cols.head
+            val bounds = df.agg(min(col(k)).cast("string"),
+              max(col(k)).cast("string")).head()
+            if (bounds.isNullAt(0)) Nil // empty batch: nothing can collide
+            else pruneByRange(m, schema, existingFiles, k,
+              bounds.getString(0), bounds.getString(1))
+          } else existingFiles
+        if (candidates.nonEmpty) {
+          val collide = readFiles(spark, path, schema, candidates)
+            .select(cols.map(col): _*)
+            .join(df.select(cols.map(col): _*).distinct(), cols, "left_semi")
+            .limit(1).collect()
+          if (collide.nonEmpty)
+            throw new ConstraintViolationException(
+              s"TxLog: $op violates UNIQUE $name(${cols.mkString(", ")}) — key " +
+                s"${collide.head.toString.take(200)} already exists in the table. " +
+                "Nothing was committed.")
+        }
+      }
     }
+  }
+
+  /** The UPSERT-shaped commits preserve a UNIQUE constraint by
+    * construction ONLY when their merge keys cover its columns
+    * (update-in-place); a merge on a narrower key can INSERT a row
+    * whose unique key already exists elsewhere. Write-time
+    * enforcement there would re-pay the table probe on every rebase
+    * retry, so the documented trade stands — but the dangerous
+    * configuration is now flagged LOUDLY at call time instead of only
+    * in scaladoc (ADVICE r8, low): run
+    * [[graft.operators.Upsert.pkViolations]] as the post-audit. */
+  private def warnUncoveredUniques(m: Manifest, mergeKeys: Seq[String],
+                                   op: String): Unit = {
+    val keySet = mergeKeys.toSet
+    m.uniques.filterNot { case (_, cols) => cols.toSet.subsetOf(keySet) }
+      .foreach { case (name, cols) =>
+        System.err.println(
+          s"TxLog WARNING: $op merge keys (${mergeKeys.mkString(", ")}) do " +
+            s"not cover UNIQUE $name(${cols.mkString(", ")}) — write-time " +
+            "enforcement here is within-batch only, so an insert can " +
+            "silently duplicate an existing unique key. Audit with " +
+            s"Upsert.pkViolations(TxLog.read(...), Seq(${cols.map("\"" + _ + "\"").mkString(", ")})) " +
+            "after the commit.")
+      }
   }
 
   /** Change the tracked data-skipping column set WITHOUT recreating
@@ -1422,21 +1614,24 @@ object TxLog {
       val v = currentVersion(spark, path).getOrElse(
         throw new IllegalArgumentException(s"TxLog: no table at $path"))
       val attempt = manifest(spark, path, v)
+      requireWritable(attempt, path)
       val declared = StructType.fromDDL(attempt.schemaDdl).fieldNames.toSet
       cols.foreach(c => require(declared.contains(c),
         s"TxLog.setStatsCols: column '$c' is not in the table schema " +
           s"(${declared.toSeq.sorted.mkString(", ")})"))
       try {
+        val ts = clampedTs(attempt)
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
           attempt.schemaDdl, attempt.sourceBatchId, cols, attempt.constraints,
           attempt.uniques, operation = s"SET STATS COLS ${cols.mkString(", ")}",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
-          addRows = Map.empty)
+          addRows = Map.empty, ts = ts, minWriter = attempt.minWriter)
         // cols = Nil disables skipping: drop the entries exactly like
         // applyDelta's replay of this commit would
         val resolved = attempt.copy(version = attempt.version + 1,
           statsCols = cols,
-          fileStats = if (cols.isEmpty) Map.empty else attempt.fileStats)
+          fileStats = if (cols.isEmpty) Map.empty else attempt.fileStats,
+          ts = Some(ts))
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return resolved.version
@@ -1460,18 +1655,42 @@ object TxLog {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
+    requireWritable(m, path)
     val declared = StructType.fromDDL(m.schemaDdl)
     checkSchema(declared, df.schema, evolveSchema)
     enforceConstraints(df, m.constraints, "append")
-    enforceUniques(df, read(spark, path, Some(v)), m.uniques, "append")
+    enforceUniques(df, spark, path, declared, m.files, m, "append")
     val ddl = if (evolveSchema) widen(declared, df.schema).toDDL else m.schemaDdl
     val files = stageIn(df, path, m.partitionCol)
     // a blind append depends on nothing it read — it rebases over any
-    // interleaved commit (appends never conflict with appends)
+    // interleaved commit (appends never conflict with appends). Under
+    // a UNIQUE set the rebase RE-PROBES the incoming keys against
+    // exactly the files that landed since this append's snapshot:
+    // without it, two racing appends of the same key would each pass
+    // their own snapshot probe and both commit (ADVICE r8, high).
     commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
       schemaDdl = ddl, batchId = None, readSet = Some(Set.empty),
-      operation = "APPEND")
+      operation = "APPEND",
+      revalidate = uniqueRebaseProbe(df, spark, path, m, "append"))
   }
+
+  /** The rebase-revalidation closure shared by the INSERT-shaped
+    * commits: probe the batch's keys against files ADDED since `base`
+    * (interleaved commits' new files — carried files were already
+    * probed at `base`, and removals cannot introduce collisions).
+    * No-op for unconstrained tables. */
+  private def uniqueRebaseProbe(df: DataFrame, spark: SparkSession,
+                                path: String, base: Manifest,
+                                op: String): Manifest => Unit =
+    if (base.uniques.isEmpty) _ => ()
+    else { latest =>
+      val baseSet = base.files.toSet
+      val added = latest.files.filterNot(baseSet)
+      if (added.nonEmpty)
+        enforceUniques(df, spark, path, StructType.fromDDL(latest.schemaDdl),
+          added, latest, s"$op (rebased over v${latest.version})",
+          batchChecked = true)
+    }
 
   /** Idempotent micro-batch append — the commit [[streamAppend]]'s
     * foreachBatch issues: the batch id rides in the manifest as a
@@ -1489,14 +1708,17 @@ object TxLog {
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     if (m.sourceBatchId.exists(_ >= batchId)) return v // replay: already committed
+    requireWritable(m, path)
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
     enforceConstraints(df, m.constraints, s"appendBatch(batch $batchId)")
-    enforceUniques(df, read(spark, path, Some(v)), m.uniques,
-      s"appendBatch(batch $batchId)")
+    enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl), m.files,
+      m, s"appendBatch(batch $batchId)")
     val files = stageIn(df, path, m.partitionCol)
     commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
       schemaDdl = m.schemaDdl, batchId = Some(batchId),
-      readSet = Some(Set.empty), operation = "STREAMING APPEND")
+      readSet = Some(Set.empty), operation = "STREAMING APPEND",
+      revalidate = uniqueRebaseProbe(df, spark, path, m,
+        s"appendBatch(batch $batchId)"))
   }
 
   /** Streaming ingest into a TxLog table (create it first): every
@@ -1593,75 +1815,143 @@ object TxLog {
   }
 
   /** Transactional merge — the plain-parquet equivalent of a Delta
-    * MERGE, with the commit the stage+rewrite of `Upsert.mergeInto`
-    * lacks: updates win on key collision, only TOUCHED partitions get
-    * new files, untouched partitions' files ride into the new manifest
-    * by reference (byte-identical on disk), a partition emptied by a
-    * moved key simply drops out of the manifest, and concurrent
-    * readers keep their snapshot. Returns the new version. */
+    * MERGE, with Delta's FILE-granular write economics: updates win on
+    * key collision, and the rewrite set is exactly the FILES that hold
+    * a matched key — every other file, including the rest of a hot
+    * partition, carries into the new manifest by reference and stays
+    * byte-identical on disk. A one-key merge into a date partition
+    * holding N files rewrites the one file whose stats admit the key,
+    * not the partition (r8's single biggest write-amplification gap).
+    *
+    * Discovery is three-stage, cheapest first:
+    *  1. min/max SKIP-INDEX prune (free — stats ride the manifest):
+    *     when the single merge key is a tracked stats column, only
+    *     files whose range admits the batch's key bounds are scanned;
+    *  2. Bloom-sidecar vote: for a bounded key set (≤1024 distinct),
+    *     each surviving file's point-lookup filter votes — an
+    *     id-scattered layout where min/max is useless still prunes;
+    *  3. exact membership: one key-column-pruned semi-join scan over
+    *     the surviving files collects which FILES actually hold a
+    *     matched key (file-count-bounded driver set, never data).
+    * Stats make the probe read small; exactness makes the WRITE set
+    * minimal. Inserts (keys matching nothing) land as new files in
+    * their partitions. The commit is a protocol-2 `removeFiles` delta
+    * — see [[ProtocolVersion]]. Returns the new version. */
   def mergeInto(path: String, updates: DataFrame, keys: Seq[String],
                 preValidated: Boolean = false,
                 evolveSchema: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
     val spark = updates.sparkSession
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
+    requireWritable(m, path)
     val partitionCol = m.partitionCol.getOrElse(throw new IllegalArgumentException(
       "TxLog.mergeInto needs a partitioned table (create with partitionCol)"))
     val declared = StructType.fromDDL(m.schemaDdl)
     checkSchema(declared, updates.schema, evolveSchema)
     // evolution: updates must carry every declared column (a merged row
-    // has no third place to take a value from); the EXISTING snapshot
-    // pads the new columns with typed nulls before the merge
+    // has no third place to take a value from); the EXISTING rows pad
+    // the new columns with typed nulls before the merge
     if (evolveSchema)
       declared.fields.foreach(f => require(
         updates.schema.fieldNames.contains(f.name),
         s"TxLog.mergeInto(evolveSchema): updates must carry declared " +
           s"column '${f.name}'"))
-    // a NULL partition value would silently corrupt the rewrite set
-    // (Upsert.mergePartitioned's isin() filter never matches null, and
-    // Spark writes nulls under __HIVE_DEFAULT_PARTITION__, which the
-    // touched-dir arithmetic below would miss) — fail loudly instead
-    require(updates.filter(org.apache.spark.sql.functions.col(partitionCol).isNull)
+    // a NULL partition value would land under __HIVE_DEFAULT_PARTITION__
+    // — outside this operator's layout contract; fail loudly instead
+    require(updates.filter(col(partitionCol).isNull)
       .limit(1).collect().isEmpty,
       s"TxLog.mergeInto: null $partitionCol values are not supported — " +
         "merge them under an explicit sentinel partition instead")
     val widened = if (evolveSchema) widen(declared, updates.schema) else declared
-    val existing0 = read(spark, path, Some(v))
-    val existing = widened.fields.filterNot(f =>
-        declared.fieldNames.contains(f.name))
-      .foldLeft(existing0) { (df, f) =>
-        df.withColumn(f.name,
-          org.apache.spark.sql.functions.lit(null).cast(f.dataType))
-      }
+    def padNewCols(df: DataFrame): DataFrame =
+      widened.fields.filterNot(f => declared.fieldNames.contains(f.name))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
     val updatesAligned =
-      if (evolveSchema)
-        updates.select(widened.fieldNames.map(
-          org.apache.spark.sql.functions.col): _*)
+      if (evolveSchema) updates.select(widened.fieldNames.map(col): _*)
       else updates
     // only the incoming side needs vetting: untouched rows passed at
     // their own commit, and a merge never changes them
     enforceConstraints(updatesAligned, m.constraints, "mergeInto updates")
     // upsert shape: within-batch key uniqueness only (see
     // addUniqueConstraint's cost-model scaladoc)
-    enforceUniques(updatesAligned, updatesAligned.limit(0), m.uniques,
+    enforceUniques(updatesAligned, spark, path, widened, Nil, m,
       "mergeInto updates (within-batch)")
-    val (parts, merged) = graft.operators.Upsert.mergePartitioned(
-      existing, updatesAligned, keys, partitionCol, preValidated)
+    warnUncoveredUniques(m, keys, "mergeInto")
+    // ---- discovery stage 1+2: stats range prune, then Bloom vote ----
+    val discoveryFiles: Seq[String] =
+      if (keys.size == 1 && m.statsCols.contains(keys.head)) {
+        val k = keys.head
+        val bounds = updatesAligned.agg(min(col(k)).cast("string"),
+          max(col(k)).cast("string")).head()
+        if (bounds.isNullAt(0)) Nil // empty batch: nothing matches
+        else {
+          val byStats = pruneByRange(m, widened, m.files, k,
+            bounds.getString(0), bounds.getString(1))
+          bloomPruneByKeys(spark, path, k,
+            boundedDistinct(updatesAligned, k, 1024), byStats)
+        }
+      } else m.files
+    // ---- discovery stage 3: exact — which files HOLD a matched key ----
+    val updKeys = updatesAligned.select(keys.map(col): _*).distinct()
+    val hitUris: Array[String] =
+      if (discoveryFiles.isEmpty) Array.empty
+      else padNewCols(readFiles(spark, path, declared, discoveryFiles))
+        .select(keys.map(col) :+ input_file_name().as("_gf"): _*)
+        .join(updKeys, keys, "left_semi")
+        .select("_gf").distinct().collect().map(_.getString(0))
+    val resolve = entryResolver(m.files)
+    val hitFiles = hitUris.map(resolve).toSet
+    // merge = rows of the hit files with updates applied (updates win),
+    // plus inserts; staged per-partition so moved keys land right
+    val hitRows = padNewCols(readFiles(spark, path, declared, hitFiles.toSeq))
+    val merged = graft.operators.Upsert.mergeByKey(
+      hitRows, updatesAligned, keys, preValidated)
     val newFiles = stageIn(merged, path, Some(partitionCol))
-    // drop every old file of a TOUCHED partition (including partitions
-    // the merge emptied — they produce no staged files but still leave
-    // the manifest); everything else is carried by reference. Dir
-    // names go through Spark's own path escaping so values with
-    // spaces/colons/etc. match what the writer produced.
-    val touchedDirs = parts.map(vv => partitionDirName(partitionCol, vv)).toSet
-    // a merge discovers key locations by reading the WHOLE snapshot, so
-    // any interleaved change invalidates it (readSet = None): it throws
+    // the key discovery read the snapshot's membership, so any
+    // interleaved change invalidates it (readSet = None): it throws
     // CommitConflictException rather than silently dropping the
     // winner's rows — recompute and re-merge
-    commitRebase(spark, path, m, rewriteDirs = touchedDirs,
+    commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
-      readSet = None, operation = "MERGE")
+      readSet = None, operation = "MERGE", removeFiles = hitFiles)
+  }
+
+  /** Up to `limit` distinct values of `colName` in `df`, or Nil when
+    * there are more — the bounded driver hop the Bloom vote rides
+    * (an unbounded key set skips the vote, never collects). */
+  private def boundedDistinct(df: DataFrame, colName: String,
+                              limit: Int): Seq[Any] = {
+    val vals = df.select(org.apache.spark.sql.functions.col(colName))
+      .distinct().limit(limit + 1).collect().map(_.get(0)).toSeq
+    if (vals.size > limit) Nil else vals
+  }
+
+  /** Bloom-sidecar vote over a candidate set for a BOUNDED key set:
+    * keep files whose sidecar might contain ANY of the values; files
+    * without a sidecar (or an empty/unbounded key set) stay —
+    * always an optimization, never a filter. */
+  private def bloomPruneByKeys(spark: SparkSession, path: String,
+                               colName: String, values: Seq[Any],
+                               files: Seq[String]): Seq[String] = {
+    if (values.isEmpty) return files
+    val fs = fsFor(spark, path)
+    val dir = bloomDir(path, colName)
+    if (!fs.exists(dir)) return files
+    val hashes = values.map(keyHash)
+    files.filter { f =>
+      val p = new Path(dir, sidecarName(f))
+      if (!fs.exists(p)) true
+      else {
+        val in = fs.open(p)
+        try {
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          hashes.exists(bf.mightContainLong)
+        } finally in.close()
+      }
+    }
   }
 
   /** INSERT OVERWRITE of whole partitions as ONE commit — Delta's
@@ -1687,15 +1977,14 @@ object TxLog {
       "TxLog.replacePartitions needs a partitioned table (create with partitionCol)"))
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
     enforceConstraints(df, m.constraints, "replacePartitions")
-    // collision check against what SURVIVES the replace: rows of the
-    // named partitions are leaving, so they cannot collide (null
-    // partition values stay in the existing set via the coalesce)
-    enforceUniques(df,
-      read(spark, path, Some(v)).filter(
-        org.apache.spark.sql.functions.coalesce(
-          not(col(m.partitionCol.get).isin(partitionVals.map(lit): _*)),
-          lit(true))),
-      m.uniques, "replacePartitions")
+    // collision check against what SURVIVES the replace: the named
+    // partitions' files are leaving, so only the other files' rows can
+    // collide — expressed at FILE level (dirs are exact, no null
+    // caveats) and stats-pruned like every other insert probe
+    val replaceDirs = partitionVals.map(partitionDirName(pc, _)).toSet
+    enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl),
+      m.files.filterNot(f => replaceDirs.contains(dirOf(f))), m,
+      "replacePartitions")
     // NULL partition values never match isin — catch them explicitly
     // or they'd silently land in the default partition unclaimed
     val stray = df.filter(col(pc).isNull
@@ -1706,56 +1995,58 @@ object TxLog {
         s"partitions (found $pc=${stray.headOption.map(_.get(0)).orNull}); " +
         "either add that value to partitionVals or filter the frame")
     val newFiles = stageIn(df, path, Some(pc))
-    val dirs = partitionVals.map(partitionDirName(pc, _)).toSet
-    commitRebase(spark, path, m, rewriteDirs = dirs, newFiles = newFiles,
-      schemaDdl = m.schemaDdl, batchId = None, readSet = Some(dirs),
-      operation = "REPLACE")
+    // interleaved appends into the REPLACED partitions conflict via the
+    // readSet; appends elsewhere rebase, so the UNIQUE probe re-runs
+    // against exactly those landed files (all outside the replace set)
+    commitRebase(spark, path, m, rewriteDirs = replaceDirs,
+      newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
+      readSet = Some(replaceDirs), operation = "REPLACE",
+      revalidate = uniqueRebaseProbe(df, spark, path, m, "replacePartitions"))
   }
 
-  /** Transactional DELETE — the GDPR/right-to-be-forgotten commit:
-    * rewrite every partition holding a row matching `condition` WITHOUT
-    * those rows, carry the rest by reference, commit as one version.
-    * A partition deleted empty drops out of the manifest; older
-    * versions still read the rows until [[vacuum]]. On an
-    * unpartitioned table the whole content rewrites (there is no
-    * narrower unit). Returns the new version, or the current one when
-    * nothing matched.
+  /** Transactional DELETE — the GDPR/right-to-be-forgotten commit,
+    * with FILE-granular rewrite economics (Delta's actual MERGE/DELETE
+    * shape): one column-pruned discovery scan evaluates `condition`
+    * and collects the distinct FILES holding a matching row
+    * (file-count-bounded driver set, never data); exactly those files
+    * rewrite without their matching rows, every other file — including
+    * the rest of the same partition — carries by reference and stays
+    * byte-identical on disk. A one-key delete into a partition holding
+    * N files rewrites one file, not the partition. Older versions
+    * still read the rows until [[vacuum]]. Returns the new version, or
+    * the current one when nothing matched.
     *
-    * The touched-partition set is a bounded driver hop (distinct
-    * partition values among matching rows — partition cardinality, not
-    * data). The rewrite itself is `filter(!condition)` over only those
-    * partitions' files. */
+    * The commit is a protocol-2 delta (`removeFiles`) — see
+    * [[ProtocolVersion]]: a reader that would silently resurrect the
+    * removed files refuses instead. Works identically on partitioned
+    * and unpartitioned tables (the rewrite unit is the file either
+    * way). */
   def deleteWhere(spark: SparkSession, path: String,
                   condition: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
+    requireWritable(m, path)
+    val schema = StructType.fromDDL(m.schemaDdl)
     val snap = read(spark, path, Some(v))
     // null-safe: a NULL condition row is NOT deleted (SQL DELETE semantics)
     val hit = coalesce(condition, lit(false))
-    m.partitionCol match {
-      case None =>
-        if (snap.filter(hit).limit(1).collect().isEmpty) return v
-        val newFiles = stageIn(snap.filter(not(hit)), path, None)
-        // whole-table rewrite: every live file sits in the data root
-        commitRebase(spark, path, m,
-          rewriteDirs = m.files.map(dirOf).toSet, newFiles = newFiles,
-          schemaDdl = m.schemaDdl, batchId = None, readSet = None,
-          operation = "DELETE")
-      case Some(pc) =>
-        val parts = snap.filter(hit).select(col(pc)).distinct()
-          .collect().map(_.get(0)).toSeq
-        if (parts.isEmpty) return v
-        val touchedDirs = parts.map(vv => partitionDirName(pc, vv)).toSet
-        val touched = snap.filter(col(pc).isin(parts: _*))
-        val newFiles = stageIn(touched.filter(not(hit)), path, Some(pc))
-        // like mergeInto: the matching-partition discovery read the
-        // whole snapshot — conflict loudly on any interleaved change
-        commitRebase(spark, path, m, rewriteDirs = touchedDirs,
-          newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
-          readSet = None, operation = "DELETE")
-    }
+    // exact hit-file discovery: the scan prunes to the condition's
+    // columns; the collected set is bounded by the live file count
+    val uris = snap.filter(hit).select(input_file_name().as("_f"))
+      .distinct().collect().map(_.getString(0))
+    if (uris.isEmpty) return v
+    val resolve = entryResolver(m.files)
+    val hitFiles = uris.map(resolve).toSet
+    val newFiles = stageIn(
+      readFiles(spark, path, schema, hitFiles.toSeq).filter(not(hit)),
+      path, m.partitionCol)
+    // the discovery read the whole snapshot — conflict loudly on any
+    // interleaved change (readSet = None)
+    commitRebase(spark, path, m, rewriteDirs = Set.empty,
+      newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
+      readSet = None, operation = "DELETE", removeFiles = hitFiles)
   }
 
   /** Change data feed between two committed versions — the row-level
@@ -1850,14 +2141,20 @@ object TxLog {
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     require(toVersion <= cur, s"TxLog.restore: v$toVersion is not committed (head v$cur)")
     val head = manifest(spark, path, cur)
+    requireWritable(head, path)
     val target = manifest(spark, path, toVersion)
+    val ts = clampedTs(head)
+    // restoring a constrained version re-raises the gate; never lowered
+    val minWriter = math.max(head.minWriter,
+      if (target.constraints.nonEmpty || target.uniques.nonEmpty) 2 else 1)
     // a REF commit: O(1) bytes — the rollback moves zero data AND
     // zero metadata regardless of table size
     writeRef(spark, path, cur + 1, target.partitionCol, target.schemaDdl,
       head.sourceBatchId, target.statsCols, target.constraints,
       target.uniques, operation = s"RESTORE TO v$toVersion",
-      baseRef = toVersion)
-    val resolved = target.copy(version = cur + 1, sourceBatchId = head.sourceBatchId)
+      baseRef = toVersion, ts = ts, minWriter = minWriter)
+    val resolved = target.copy(version = cur + 1,
+      sourceBatchId = head.sourceBatchId, ts = Some(ts), minWriter = minWriter)
     cachePut(spark, path, resolved)
     maybeCheckpoint(spark, path, resolved)
     cur + 1
@@ -1898,30 +2195,34 @@ object TxLog {
     val upserts = feed.filter(col("_change_type").isin("insert", "update"))
       .select(declared.fieldNames.map(col): _*)
     enforceConstraints(upserts, m.constraints, "applyChanges upserts")
-    enforceUniques(upserts, upserts.limit(0), m.uniques,
+    enforceUniques(upserts, spark, path, declared, Nil, m,
       "applyChanges upserts (within-batch)")
+    warnUncoveredUniques(m, keys, "applyChanges")
     require(upserts.filter(col(pc).isNull).limit(1).collect().isEmpty,
       s"TxLog.applyChanges: null $pc values are not supported")
     val deletes = feed.filter(col("_change_type") === "delete")
       .select(keys.map(col): _*)
-    val existing = read(spark, path, Some(v))
-    // touched partitions: where any changed key currently LIVES (covers
-    // deletes and the old side of a moved key) ∪ where upserts LAND
-    val parts = existing
-      .join(feed.select(keys.map(col): _*), keys, "left_semi")
-      .select(col(pc))
-      .unionByName(upserts.select(col(pc)))
-      .distinct().collect().map(_.get(0)).toSeq
-    if (parts.isEmpty) return v
-    val touched = existing.filter(col(pc).isin(parts: _*))
+    // file-granular like [[mergeInto]]: the rewrite set is exactly the
+    // FILES currently holding a changed key (covers deletes and the
+    // old side of a moved key); upsert rows for keys the table lacks
+    // simply land as new files. One key-pruned semi-join scan.
+    val feedKeys = feed.select(keys.map(col): _*).distinct()
+    val hitUris = read(spark, path, Some(v))
+      .select(keys.map(col) :+
+        org.apache.spark.sql.functions.input_file_name().as("_gf"): _*)
+      .join(feedKeys, keys, "left_semi")
+      .select("_gf").distinct().collect().map(_.getString(0))
+    val resolve = entryResolver(m.files)
+    val hitFiles = hitUris.map(resolve).toSet
+    if (hitFiles.isEmpty && upserts.limit(1).collect().isEmpty) return v
+    val hitRows = readFiles(spark, path, declared, hitFiles.toSeq)
     val merged = graft.operators.Upsert.mergeByKey(
-      touched.join(deletes, keys, "left_anti"), upserts, keys,
+      hitRows.join(deletes, keys, "left_anti"), upserts, keys,
       preValidated = true)
     val newFiles = stageIn(merged, path, Some(pc))
-    val touchedDirs = parts.map(vv => partitionDirName(pc, vv)).toSet
-    commitRebase(spark, path, m, rewriteDirs = touchedDirs,
+    commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
-      readSet = None, operation = "APPLY CHANGES")
+      readSet = None, operation = "APPLY CHANGES", removeFiles = hitFiles)
   }
 
   /** The directory name Spark's partitioned writer produces for a
@@ -2214,7 +2515,8 @@ object TxLog {
     val cloneM = Manifest(1L, m.partitionCol, m.schemaDdl,
       entries.sorted, sourceBatchId = None, statsCols = m.statsCols,
       fileStats = stats, fileRows = rowCounts, constraints = m.constraints,
-      uniques = m.uniques)
+      uniques = m.uniques, ts = Some(System.currentTimeMillis()),
+      minWriter = m.minWriter)
     writeManifest(spark, target, cloneM,
       operation = s"CLONE${if (deep) " DEEP" else ""} $source v$v")
     cachePut(spark, target, cloneM)

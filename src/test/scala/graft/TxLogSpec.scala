@@ -49,7 +49,7 @@ class TxLogSpec extends SparkSpec {
     assert(rows(TxLog.read(spark, path)) == want2)
   }
 
-  test("mergeInto carries untouched partitions by reference: files byte-identical") {
+  test("mergeInto rewrites only the FILES holding a matched key: everything else byte-identical") {
     val path = freshPath("ref")
     TxLog.create(fixture, path, Some("part"))
     val m1 = TxLog.manifest(spark, path, 1L)
@@ -57,20 +57,65 @@ class TxLogSpec extends SparkSpec {
       val f = new java.io.File(s"$path/data/$rel")
       (f.length, f.lastModified)
     }
-    val untouched1 = m1.files.filterNot(_.startsWith("part=p1/"))
-    val before = untouched1.map(f => f -> fileState(f)).toMap
+    val before = m1.files.map(f => f -> fileState(f)).toMap
     val updates = Seq((2L, "p1", 99.0)).toDF("k", "part", "v")
     TxLog.mergeInto(path, updates, Seq("k"))
     val m2 = TxLog.manifest(spark, path, 2L)
-    // p2/p3 file ENTRIES are identical across manifests (by reference)...
-    assert(m2.files.filterNot(_.startsWith("part=p1/")).toSet == untouched1.toSet,
-      "untouched partition files were rewritten")
-    // ...and the bytes on disk never moved
-    untouched1.foreach(f => assert(fileState(f) == before(f), s"$f changed on disk"))
-    // touched partition got NEW files; v1's p1 files still exist for time travel
-    assert(m2.files.filter(_.startsWith("part=p1/")).toSet
-      .intersect(m1.files.filter(_.startsWith("part=p1/")).toSet).isEmpty)
+    val carried = m2.files.toSet.intersect(m1.files.toSet)
+    val removed = m1.files.toSet.diff(m2.files.toSet)
+    // FILE-granular: only files actually holding key 2 leave the
+    // manifest — never a whole partition
+    assert(removed.nonEmpty && removed.forall(_.startsWith("part=p1/")),
+      s"non-p1 files rewritten: $removed")
+    removed.foreach { f =>
+      val hasKey = spark.read.parquet(s"$path/data/$f")
+        .filter(col("k") === 2L).limit(1).count() == 1
+      assert(hasKey, s"$f was rewritten but holds no matched key")
+    }
+    // every other file — p2/p3 AND any p1 file without the key —
+    // carries by reference, bytes never move
+    assert(m1.files.toSet.diff(removed) == carried, "carried set wrong")
+    carried.foreach(f => assert(fileState(f) == before(f), s"$f changed on disk"))
+    // v1's files all still exist for time travel
     m1.files.foreach(f => assert(new java.io.File(s"$path/data/$f").exists, s"$f deleted"))
+  }
+
+  test("file-granular merge: 1-key merge into a partition of stat-disjoint files rewrites exactly the admitting file") {
+    val path = freshPath("fgm")
+    // one partition, two files with DISJOINT k ranges via two appends
+    TxLog.create(Seq((1L, "p1", 1.0), (2L, "p1", 2.0)).toDF("k", "part", "v")
+      .coalesce(1), path, Some("part"), statsCols = Seq("k"))
+    TxLog.append(Seq((100L, "p1", 100.0), (200L, "p1", 200.0))
+      .toDF("k", "part", "v").coalesce(1), path)
+    val m2 = TxLog.manifest(spark, path, 2L)
+    assert(m2.files.size == 2 && m2.files.forall(_.startsWith("part=p1/")))
+    val lowFile = m2.files.find(f =>
+      m2.fileStats(f)("k")._1.toDouble <= 1.0).get
+    val highFile = m2.files.filterNot(_ == lowFile).head
+    val highState = {
+      val f = new java.io.File(s"$path/data/$highFile"); (f.length, f.lastModified)
+    }
+    // merge key 1 — stats admit only lowFile
+    TxLog.mergeInto(path, Seq((1L, "p1", -1.0)).toDF("k", "part", "v"), Seq("k"))
+    val m3 = TxLog.manifest(spark, path, 3L)
+    assert(!m3.files.contains(lowFile), "admitting file not rewritten")
+    assert(m3.files.contains(highFile), "stat-disjoint sibling was rewritten")
+    val f = new java.io.File(s"$path/data/$highFile")
+    assert((f.length, f.lastModified) == highState, "sibling bytes moved")
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((1L, "p1", -1.0), (2L, "p1", 2.0), (100L, "p1", 100.0), (200L, "p1", 200.0)))
+    // deleteWhere is file-granular through the same machinery
+    TxLog.deleteWhere(spark, path, col("k") === 200L)
+    val m4 = TxLog.manifest(spark, path, 4L)
+    assert(m4.files.exists(f0 => spark.read.parquet(s"$path/data/$f0")
+      .filter(col("k") === 2L).count() == 1))
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((1L, "p1", -1.0), (2L, "p1", 2.0), (100L, "p1", 100.0)))
+    // the file holding only keys 1,2 (already rewritten at v3) is
+    // NOT part of the delete's rewrite set
+    val v3LowNew = m3.files.filterNot(_ == highFile)
+    v3LowNew.foreach(f0 => assert(m4.files.contains(f0),
+      s"delete of k=200 rewrote unrelated file $f0"))
   }
 
   test("a key MOVING partitions leaves no stale row; an emptied partition drops out") {
@@ -103,10 +148,12 @@ class TxLogSpec extends SparkSpec {
     val updates = Seq((2L, "p1", 99.0)).toDF("k", "part", "v")
     TxLog.mergeInto(path, updates, Seq("k"))
     val want = rows(TxLog.read(spark, path))
-    val m1p1 = TxLog.manifest(spark, path, 1L).files.filter(_.startsWith("part=p1/"))
+    // exactly the files the (file-granular) merge superseded die —
+    // nothing the live manifest holds
+    val superseded = TxLog.manifest(spark, path, 1L).files.toSet
+      .diff(TxLog.manifest(spark, path, 2L).files.toSet)
     val deleted = TxLog.vacuum(spark, path, keepVersions = 1)
-    // exactly v1's superseded p1 files die — nothing the live manifest holds
-    assert(deleted.toSet == m1p1.toSet, s"vacuum deleted $deleted, expected $m1p1")
+    assert(deleted.toSet == superseded, s"vacuum deleted $deleted, expected $superseded")
     assert(rows(TxLog.read(spark, path)) == want, "latest version damaged by vacuum")
     intercept[IllegalArgumentException] { TxLog.read(spark, path, Some(1L)).collect() }
   }
@@ -651,14 +698,22 @@ class TxLogSpec extends SparkSpec {
     assert(rows(TxLog.read(spark, tgt)) == rows(fixture) + ((7L, "p1", 70.0)))
     assert(TxLog.currentVersion(spark, src).contains(1L))
     assert(rows(TxLog.read(spark, src)) == rows(fixture))
-    // merge into the clone: the touched partition's BY-REFERENCE
-    // entries must drop (replaced by clone-local files) while other
-    // partitions keep referencing the source byte-identically
+    // merge into the clone: exactly the BY-REFERENCE entries holding
+    // the matched key drop (replaced by clone-local files) while every
+    // other carried ref keeps pointing at the source byte-identically
+    val mPre = TxLog.manifest(spark, tgt, TxLog.currentVersion(spark, tgt).get)
     TxLog.mergeInto(tgt, Seq((2L, "p1", 99.0)).toDF("k", "part", "v"), Seq("k"))
     val mTgt = TxLog.manifest(spark, tgt,
       TxLog.currentVersion(spark, tgt).get)
+    val dropped = mPre.files.toSet.diff(mTgt.files.toSet)
+    assert(dropped.nonEmpty && dropped.forall(f =>
+        f.startsWith("/") && f.contains("part=p1")),
+      s"merge should drop only carried p1 refs holding the key: $dropped")
+    dropped.foreach { f =>
+      assert(spark.read.parquet(f).filter(col("k") === 2L).count() == 1,
+        s"dropped carried ref $f holds no matched key")
+    }
     val (carried, local) = mTgt.files.partition(_.startsWith("/"))
-    assert(carried.forall(!_.contains("part=p1")), s"stale p1 refs: $carried")
     assert(carried.exists(_.contains("part=p2")) && carried.exists(_.contains("part=p3")),
       s"untouched partitions should still reference the source: $carried")
     assert(local.nonEmpty)

@@ -445,4 +445,36 @@ class TxLogCheckpointSpec extends SparkSpec {
       .map(r => r.getLong(0) -> Option(r.getString(6))).toMap
     assert(ops2(2L).isEmpty && ops2(3L).contains("MERGE"), ops2.toString)
   }
+
+  test("commit timestamps are clamped MONOTONIC: version order and time order always agree") {
+    import spark.implicits._
+    val path = freshDir("monotonic_ts")
+    TxLog.create(Seq((1L, "a", 1.0)).toDF("k", "part", "v"), path, Some("part"))
+    // rapid-fire commits land within the same millisecond without the
+    // clamp; and a skewed writer (commit ts forced into the future)
+    // must not let a LATER version carry an EARLIER stamp — versionAt
+    // would otherwise resolve a snapshot that includes commits stamped
+    // after the requested instant (ADVICE r8, low)
+    (0 until 5).foreach(i =>
+      TxLog.append(Seq((10L + i, "a", i.toDouble)).toDF("k", "part", "v"), path))
+    // simulate a future-skewed writer: restamp the head commit +1h
+    val head = TxLog.currentVersion(spark, path).get
+    val p = java.nio.file.Paths.get(s"$path/_manifests/v$head.json")
+    val node = mapper.readTree(java.nio.file.Files.readAllBytes(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val skewed = node.get("ts").asLong() + 3600L * 1000
+    node.put("ts", skewed)
+    java.nio.file.Files.write(p, mapper.writeValueAsBytes(node))
+    new java.io.File(s"$path/_manifests/.v$head.json.crc").delete()
+    TxLog.flushSnapshotCacheForTesting()
+    // the next commit clamps AHEAD of the skewed stamp instead of
+    // falling behind it
+    TxLog.append(Seq((99L, "a", 9.0)).toDF("k", "part", "v"), path)
+    val ts = TxLog.history(spark, path).collect()
+      .sortBy(_.getLong(0)).map(_.getTimestamp(7).getTime)
+    ts.sliding(2).foreach { case Array(a, b) =>
+      assert(a < b, s"non-monotonic commit ts: $a >= $b in ${ts.toSeq}")
+    }
+    assert(ts.last > skewed, "clamp must ride past the skewed predecessor")
+  }
 }

@@ -273,4 +273,80 @@ class TxLogConstraintSpec extends SparkSpec {
         path, Seq("a"))
     }
   }
+
+  test("UNIQUE gate holds under CONCURRENT appends: racing same-key writers admit exactly one") {
+    import spark.implicits._
+    val path = freshDir("unique_race")
+    TxLog.create(Seq((1L, "a", 1.0)).toDF("k", "part", "v"), path, Some("part"))
+    TxLog.addUniqueConstraint(spark, path, "pk_k", Seq("k"))
+    // four threads all try to append key 42. Each passes its own
+    // snapshot probe (they start before anyone commits); the rename
+    // race serializes them, and the REBASE REVALIDATION must catch the
+    // key the winner landed — without it every thread would commit and
+    // the table would silently hold four rows for a declared-unique key
+    // (ADVICE r8, high).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] = {
+          gate.await()
+          try Right(TxLog.append(
+            Seq((42L, "a", i.toDouble)).toDF("k", "part", "v"), path))
+          catch { case t: Throwable => Left(t) }
+        }
+      })
+    }
+    gate.countDown()
+    val outcomes = results.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val wins = outcomes.collect { case Right(v) => v }
+    val losses = outcomes.collect { case Left(t) => t }
+    assert(wins.size == 1, s"expected exactly one winner, got $outcomes")
+    losses.foreach(t => assert(
+      t.isInstanceOf[TxLog.ConstraintViolationException] ||
+        t.isInstanceOf[TxLog.CommitConflictException],
+      s"loser failed with ${t.getClass}: ${t.getMessage}"))
+    assert(losses.exists(_.isInstanceOf[TxLog.ConstraintViolationException]),
+      "at least one racer should be caught by the rebase revalidation " +
+        s"(got ${losses.map(_.getClass.getSimpleName)})")
+    val k42 = TxLog.read(spark, path).filter("k = 42").count()
+    assert(k42 == 1L, s"declared-unique key admitted $k42 times")
+  }
+
+  test("minWriter gates stale writers: constraints raise the demand to 2; a higher demand refuses writes, reads still work") {
+    import spark.implicits._
+    val path = freshDir("minwriter")
+    TxLog.create(Seq((1L, "a", 1.0)).toDF("k", "part", "v"), path, Some("part"))
+    assert(TxLog.manifest(spark, path, 1L).minWriter == 1)
+    TxLog.addConstraint(spark, path, "v_pos", "v > 0")
+    // the first constraint raises the writer gate (Delta's
+    // minWriterVersion contract): a future generation-1 build must
+    // refuse to append un-vetted rows, not half-enforce
+    assert(TxLog.manifest(spark, path, 2L).minWriter == 2)
+    // sticky across data commits AND across dropping the constraint
+    TxLog.append(Seq((2L, "a", 2.0)).toDF("k", "part", "v"), path)
+    assert(TxLog.manifest(spark, path, 3L).minWriter == 2)
+    TxLog.dropConstraint(spark, path, "v_pos")
+    assert(TxLog.manifest(spark, path,
+      TxLog.currentVersion(spark, path).get).minWriter == 2)
+    // a table demanding a NEWER writer generation than this build:
+    // writes refuse loudly, reads are untouched
+    val head = TxLog.currentVersion(spark, path).get
+    val commit = new java.io.File(s"$path/_manifests/v$head.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(commit.toPath), "UTF-8")
+    val doctored =
+      if (txt.contains("\"minWriter\""))
+        txt.replaceFirst("\"minWriter\"\\s*:\\s*\\d+", "\"minWriter\" : 99")
+      else txt.replaceFirst("\"version\"", "\"minWriter\" : 99, \"version\"")
+    java.nio.file.Files.write(commit.toPath, doctored.getBytes("UTF-8"))
+    // the local FS keeps a checksum sidecar the nio rewrite bypasses
+    new java.io.File(s"$path/_manifests/.v$head.json.crc").delete()
+    TxLog.flushSnapshotCacheForTesting()
+    val e = intercept[UnsupportedOperationException] {
+      TxLog.append(Seq((9L, "a", 9.0)).toDF("k", "part", "v"), path)
+    }
+    assert(e.getMessage.contains("writer generation 99"), e.getMessage)
+    assert(TxLog.read(spark, path).count() == 2L, "reads must stay ungated")
+  }
 }
