@@ -94,7 +94,7 @@ object TxLog {
     * files drop them — so the skip index costs one bounded aggregate
     * per commit, never a table rescan. Files without an entry are
     * conservatively unprunable. */
-  case class Manifest(version: Long, partitionCol: Option[String],
+  case class Manifest(version: Long, partitionCols: Seq[String],
                       schemaDdl: String, files: Seq[String],
                       sourceBatchId: Option[Long] = None,
                       statsCols: Seq[String] = Nil,
@@ -281,7 +281,7 @@ object TxLog {
   /** The resolved metadata every commit shape carries. Absent
     * `constraints`/`uniqueConstraints` = none, absent `minWriter` = 1,
     * absent `ts` = untracked (pre-field commits). */
-  private case class CMeta(version: Long, partitionCol: Option[String],
+  private case class CMeta(version: Long, partitionCols: Seq[String],
                            schemaDdl: String, sourceBatchId: Option[Long],
                            statsCols: Seq[String],
                            constraints: Seq[(String, String)],
@@ -290,7 +290,13 @@ object TxLog {
 
   private def nodeMeta(node: com.fasterxml.jackson.databind.JsonNode): CMeta = CMeta(
     node.get("version").asLong(),
-    Option(node.get("partitionCol")).filter(!_.isNull).map(_.asText()),
+    // multi-column layouts write a `partitionCols` ARRAY (and null the
+    // legacy scalar); single-column tables keep the legacy field so
+    // pre-field readers stay compatible
+    Option(node.get("partitionCols")).map(a =>
+        (0 until a.size()).map(a.get(_).asText()).toSeq)
+      .getOrElse(Option(node.get("partitionCol")).filter(!_.isNull)
+        .map(_.asText()).toSeq),
     node.get("schemaDdl").asText(),
     Option(node.get("sourceBatchId")).filter(!_.isNull).map(_.asLong()),
     Option(node.get("statsCols")).map(a =>
@@ -333,7 +339,7 @@ object TxLog {
       Iterator.continually(if (it.hasNext) it.next() else null)
         .takeWhile(_ != null).map(f => f -> rNode.get(f).asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
-    Manifest(c.version, c.partitionCol, c.schemaDdl, files, c.sourceBatchId,
+    Manifest(c.version, c.partitionCols, c.schemaDdl, files, c.sourceBatchId,
       c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
       c.minWriter)
   }
@@ -372,7 +378,7 @@ object TxLog {
       if (rm.isEmpty && rmFiles.isEmpty) state.files
       else state.files.filterNot(f => rm.contains(dirOf(f)) || rmFiles.contains(f))
     val keptSet = kept.toSet
-    Manifest(c.version, c.partitionCol, c.schemaDdl, kept ++ addFiles,
+    Manifest(c.version, c.partitionCols, c.schemaDdl, kept ++ addFiles,
       c.sourceBatchId, c.statsCols,
       if (c.statsCols.isEmpty) Map.empty
       else state.fileStats.view.filterKeys(keptSet).toMap ++ addStats,
@@ -394,7 +400,7 @@ object TxLog {
         r.getAs[scala.collection.Map[String, scala.collection.Seq[String]]](2)
           .map { case (c, a) => c -> ((a(0), a(1))) }.toMap)
     }.toMap
-    Manifest(c.version, c.partitionCol, c.schemaDdl, files, c.sourceBatchId,
+    Manifest(c.version, c.partitionCols, c.schemaDdl, files, c.sourceBatchId,
       c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
       c.minWriter)
   }
@@ -424,7 +430,7 @@ object TxLog {
             // commit itself (it stores the resolved values it committed)
             base = Some(manifest(spark, path, node.get("baseRef").asLong())
               .copy(version = c.version, sourceBatchId = c.sourceBatchId,
-                partitionCol = c.partitionCol, schemaDdl = c.schemaDdl,
+                partitionCols = c.partitionCols, schemaDdl = c.schemaDdl,
                 statsCols = c.statsCols, constraints = c.constraints,
                 uniques = c.uniques, ts = c.ts, minWriter = c.minWriter))
           } else {
@@ -568,7 +574,7 @@ object TxLog {
     math.max(System.currentTimeMillis(),
       prev.ts.map(_ + 1L).getOrElse(Long.MinValue))
 
-  private def metaNode(version: Long, partitionCol: Option[String],
+  private def metaNode(version: Long, partitionCols: Seq[String],
                        schemaDdl: String, sourceBatchId: Option[Long],
                        statsCols: Seq[String],
                        constraints: Seq[(String, String)],
@@ -587,9 +593,13 @@ object TxLog {
     // and the history column; never read by snapshot resolution
     node.put("ts", ts)
     if (minWriter > 1) node.put("minWriter", minWriter)
-    partitionCol match {
-      case Some(c) => node.put("partitionCol", c)
-      case None => node.putNull("partitionCol")
+    partitionCols match {
+      case Seq(c) => node.put("partitionCol", c) // legacy-compatible scalar
+      case Seq() => node.putNull("partitionCol")
+      case cs => // multi-column: array form; old readers see no layout
+        node.putNull("partitionCol")
+        val arr = node.putArray("partitionCols")
+        cs.foreach(arr.add)
     }
     node.put("schemaDdl", schemaDdl)
     sourceBatchId.foreach(b => node.put("sourceBatchId", b))
@@ -618,7 +628,7 @@ object TxLog {
     * write O(changed)-sized deltas via [[writeDelta]]. */
   private def writeManifest(spark: SparkSession, path: String, m: Manifest,
                             operation: String): Unit = {
-    val node = metaNode(m.version, m.partitionCol, m.schemaDdl,
+    val node = metaNode(m.version, m.partitionCols, m.schemaDdl,
       m.sourceBatchId, m.statsCols, m.constraints, m.uniques, operation,
       m.ts.getOrElse(System.currentTimeMillis()), m.minWriter)
     val arr = node.putArray("files")
@@ -643,7 +653,7 @@ object TxLog {
     * stats/rows. O(files changed) bytes — the shape every data commit
     * takes, so committing to a 10^6-file table serializes kilobytes. */
   private def writeDelta(spark: SparkSession, path: String, version: Long,
-                         partitionCol: Option[String], schemaDdl: String,
+                         partitionCols: Seq[String], schemaDdl: String,
                          sourceBatchId: Option[Long], statsCols: Seq[String],
                          constraints: Seq[(String, String)],
                          uniques: Seq[(String, Seq[String])],
@@ -656,7 +666,7 @@ object TxLog {
     // a protocol-1 reader replaying a removeFiles delta would KEEP the
     // removed files (resurrected rows) — exactly those commits are
     // stamped protocol 2 and refuse old readers
-    val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId,
+    val node = metaNode(version, partitionCols, schemaDdl, sourceBatchId,
       statsCols, constraints, uniques, operation, ts, minWriter,
       protocol = if (removeFiles.isEmpty) 1 else 2)
     val rmArr = node.putArray("removeDirs")
@@ -684,13 +694,13 @@ object TxLog {
     * `baseRef`'s — [[restore]]'s zero-data rollback stays
     * zero-metadata too (O(1) bytes at any table size). */
   private def writeRef(spark: SparkSession, path: String, version: Long,
-                       partitionCol: Option[String], schemaDdl: String,
+                       partitionCols: Seq[String], schemaDdl: String,
                        sourceBatchId: Option[Long], statsCols: Seq[String],
                        constraints: Seq[(String, String)],
                        uniques: Seq[(String, Seq[String])],
                        operation: String,
                        baseRef: Long, ts: Long, minWriter: Int): Unit = {
-    val node = metaNode(version, partitionCol, schemaDdl, sourceBatchId,
+    val node = metaNode(version, partitionCols, schemaDdl, sourceBatchId,
       statsCols, constraints, uniques, operation, ts, minWriter)
     node.put("baseRef", baseRef)
     commitAtomic(spark, path, version, node)
@@ -806,7 +816,7 @@ object TxLog {
         // the commit file is a DELTA — O(files changed) bytes; the
         // race is still one atomic v<N+1>.json rename
         val ts = clampedTs(attempt)
-        writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
+        writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
           schemaDdl, resolvedBatch, attempt.statsCols, attempt.constraints,
           attempt.uniques, operation, rewriteDirs, newFiles, newStats, newRows,
           ts, attempt.minWriter, removeFiles)
@@ -818,7 +828,7 @@ object TxLog {
         val keptSet = kept.toSet
         // newFiles sorted: byte-identical to what applyDelta replays
         // from the JSON (writeDelta emits adds sorted)
-        val resolved = Manifest(attempt.version + 1, attempt.partitionCol,
+        val resolved = Manifest(attempt.version + 1, attempt.partitionCols,
           schemaDdl, kept ++ newFiles.sorted, resolvedBatch, attempt.statsCols,
           if (attempt.statsCols.isEmpty) Map.empty
           else attempt.fileStats.view.filterKeys(keptSet).toMap ++ newStats,
@@ -833,7 +843,7 @@ object TxLog {
           if (retries > maxRetries) throw e
           val latest = manifest(spark, path, currentVersion(spark, path).get)
           if (latest.schemaDdl != base.schemaDdl ||
-              latest.partitionCol != base.partitionCol)
+              latest.partitionCols != base.partitionCols)
             throw new CommitConflictException(
               s"TxLog: concurrent schema/layout change at $path " +
                 s"(v${base.version} -> v${latest.version}) — recompute " +
@@ -872,13 +882,14 @@ object TxLog {
     * uuid, and return the new files' table-relative paths. Old files
     * are never touched. */
   private[storage] def stageIn(df: DataFrame, path: String,
-                      partitionCol: Option[String]): Seq[String] = {
+                      partitionCols: Seq[String]): Seq[String] = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val uuid = java.util.UUID.randomUUID().toString.take(12)
     val staging = new Path(path, s"_staging_$uuid")
     val w = df.write.mode("overwrite")
-    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(staging.toString)
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(staging.toString)
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(dir: Path, rel: String): Unit =
       fs.listStatus(dir).foreach { st =>
@@ -957,23 +968,37 @@ object TxLog {
   /** Create a table at `path` as version 1. Fails if a table already
     * exists there. `statsCols` opts files into the per-file min/max
     * skip index consumed by [[readBetween]] (partition columns are
-    * legal stat columns — each file's value is a constant). */
+    * legal stat columns — each file's value is a constant).
+    *
+    * Layout: `partitionCol` keeps the one-column convenience shape;
+    * `partitionCols` takes a MULTI-column layout — nested Hive dirs
+    * `a=1/b=2/...` in the given order, the (date, hour) / (chr, study)
+    * shape real lakes use. Multi-column tables demand writer
+    * generation 2 ([[WriterVersion]]): a build that would stage rows
+    * ignoring the nested layout must refuse instead. */
   def create(df: DataFrame, path: String,
              partitionCol: Option[String] = None,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             partitionCols: Seq[String] = Nil): Long = {
+    require(partitionCol.isEmpty || partitionCols.isEmpty,
+      "TxLog.create: pass partitionCol OR partitionCols, not both")
+    val layout = if (partitionCols.nonEmpty) partitionCols else partitionCol.toSeq
+    layout.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"TxLog.create: partition column '$c' is not in the schema"))
     require(currentVersion(df.sparkSession, path).isEmpty,
       s"TxLog: table already exists at $path")
     statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"TxLog.create: stats column '$c' is not in the schema"))
-    val files = stageIn(df, path, partitionCol)
+    val files = stageIn(df, path, layout)
     val (stats, rowCounts) =
       collectStats(df.sparkSession, path, df.schema, statsCols, files)
     // a dead table recreated at this path must not serve the old
     // incarnation's cached snapshots
     cacheInvalidate(df.sparkSession, path)
-    val m = Manifest(1L, partitionCol, df.schema.toDDL, files.sorted,
+    val m = Manifest(1L, layout, df.schema.toDDL, files.sorted,
       statsCols = statsCols, fileStats = stats, fileRows = rowCounts,
-      ts = Some(System.currentTimeMillis()))
+      ts = Some(System.currentTimeMillis()),
+      minWriter = if (layout.size >= 2) 2 else 1)
     writeManifest(df.sparkSession, path, m, operation = "CREATE")
     cachePut(df.sparkSession, path, m)
     1L
@@ -992,13 +1017,19 @@ object TxLog {
   def createOrReplace(df: DataFrame, path: String,
                       partitionCol: Option[String] = None,
                       statsCols: Seq[String] = Nil,
-                      maxRetries: Int = 10): Long = {
+                      maxRetries: Int = 10,
+                      partitionCols: Seq[String] = Nil): Long = {
+    require(partitionCol.isEmpty || partitionCols.isEmpty,
+      "TxLog.createOrReplace: pass partitionCol OR partitionCols, not both")
+    val layout = if (partitionCols.nonEmpty) partitionCols else partitionCol.toSeq
     val spark = df.sparkSession
     if (currentVersion(spark, path).isEmpty)
-      return create(df, path, partitionCol, statsCols)
+      return create(df, path, None, statsCols, layout)
     statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"TxLog.createOrReplace: stats column '$c' is not in the schema"))
-    val files = stageIn(df, path, partitionCol)
+    layout.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"TxLog.createOrReplace: partition column '$c' is not in the schema"))
+    val files = stageIn(df, path, layout)
     val (stats, rowCounts) =
       collectStats(spark, path, df.schema, statsCols, files)
     var retries = 0
@@ -1006,7 +1037,7 @@ object TxLog {
       val v = currentVersion(spark, path).get
       val prev = manifest(spark, path, v)
       requireWritable(prev, path)
-      val m = Manifest(v + 1, partitionCol, df.schema.toDDL, files.sorted,
+      val m = Manifest(v + 1, layout, df.schema.toDDL, files.sorted,
         statsCols = statsCols, fileStats = stats, fileRows = rowCounts,
         // the batch watermark carries forward — a replace must not
         // reopen the door to a replayed streaming batch
@@ -1014,7 +1045,7 @@ object TxLog {
         ts = Some(clampedTs(prev)),
         // writer-generation demands never downgrade (Delta's contract):
         // a replace resets constraints but keeps the gate sticky
-        minWriter = prev.minWriter)
+        minWriter = math.max(prev.minWriter, if (layout.size >= 2) 2 else 1))
       try {
         writeManifest(spark, path, m, operation = "CREATE OR REPLACE")
         cachePut(spark, path, m)
@@ -1344,7 +1375,7 @@ object TxLog {
         else attempt.minWriter
       try {
         val ts = clampedTs(attempt)
-        writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
+        writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
           attempt.schemaDdl, attempt.sourceBatchId, attempt.statsCols,
           nextChecks, nextUniques, operation,
           removeDirs = Set.empty, addFiles = Nil,
@@ -1621,7 +1652,7 @@ object TxLog {
           s"(${declared.toSeq.sorted.mkString(", ")})"))
       try {
         val ts = clampedTs(attempt)
-        writeDelta(spark, path, attempt.version + 1, attempt.partitionCol,
+        writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
           attempt.schemaDdl, attempt.sourceBatchId, cols, attempt.constraints,
           attempt.uniques, operation = s"SET STATS COLS ${cols.mkString(", ")}",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
@@ -1661,7 +1692,7 @@ object TxLog {
     enforceConstraints(df, m.constraints, "append")
     enforceUniques(df, spark, path, declared, m.files, m, "append")
     val ddl = if (evolveSchema) widen(declared, df.schema).toDDL else m.schemaDdl
-    val files = stageIn(df, path, m.partitionCol)
+    val files = stageIn(df, path, m.partitionCols)
     // a blind append depends on nothing it read — it rebases over any
     // interleaved commit (appends never conflict with appends). Under
     // a UNIQUE set the rebase RE-PROBES the incoming keys against
@@ -1713,7 +1744,7 @@ object TxLog {
     enforceConstraints(df, m.constraints, s"appendBatch(batch $batchId)")
     enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl), m.files,
       m, s"appendBatch(batch $batchId)")
-    val files = stageIn(df, path, m.partitionCol)
+    val files = stageIn(df, path, m.partitionCols)
     commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
       schemaDdl = m.schemaDdl, batchId = Some(batchId),
       readSet = Some(Set.empty), operation = "STREAMING APPEND",
@@ -1773,9 +1804,10 @@ object TxLog {
     val scope: Option[Set[String]] =
       if (partitions.isEmpty) None
       else {
-        val pc = m.partitionCol.getOrElse(throw new IllegalArgumentException(
-          "TxLog.compact(partitions=...) needs a partitioned table"))
-        Some(partitions.map(partitionDirName(pc, _)).toSet)
+        require(m.partitionCols.nonEmpty,
+          "TxLog.compact(partitions=...) needs a partitioned table")
+        Some(partitions.map(p => partitionDirPath(m.partitionCols,
+          asPartitionTuple(m.partitionCols, p))).toSet)
       }
     val todo = m.files.groupBy(dirOf)
       .filter { case (dir, files) =>
@@ -1803,7 +1835,7 @@ object TxLog {
           graft.operators.Layout.zorderedFrameN(part, cols, numFiles = n)
       }
     }
-    val newFiles = stageIn(pieces.reduce(_ unionByName _), path, m.partitionCol)
+    val newFiles = stageIn(pieces.reduce(_ unionByName _), path, m.partitionCols)
     // a compaction reads exactly the partitions it rewrites: it rebases
     // over appends/merges to OTHER partitions (the OPTIMIZE-vs-ingest
     // guarantee) and conflicts only when ITS partitions moved under it
@@ -1846,8 +1878,9 @@ object TxLog {
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     requireWritable(m, path)
-    val partitionCol = m.partitionCol.getOrElse(throw new IllegalArgumentException(
-      "TxLog.mergeInto needs a partitioned table (create with partitionCol)"))
+    val pcs = m.partitionCols
+    require(pcs.nonEmpty,
+      "TxLog.mergeInto needs a partitioned table (create with partitionCol[s])")
     val declared = StructType.fromDDL(m.schemaDdl)
     checkSchema(declared, updates.schema, evolveSchema)
     // evolution: updates must carry every declared column (a merged row
@@ -1860,9 +1893,9 @@ object TxLog {
           s"column '${f.name}'"))
     // a NULL partition value would land under __HIVE_DEFAULT_PARTITION__
     // — outside this operator's layout contract; fail loudly instead
-    require(updates.filter(col(partitionCol).isNull)
+    require(updates.filter(pcs.map(col(_).isNull).reduce(_ || _))
       .limit(1).collect().isEmpty,
-      s"TxLog.mergeInto: null $partitionCol values are not supported — " +
+      s"TxLog.mergeInto: null ${pcs.mkString("/")} values are not supported — " +
         "merge them under an explicit sentinel partition instead")
     val widened = if (evolveSchema) widen(declared, updates.schema) else declared
     def padNewCols(df: DataFrame): DataFrame =
@@ -1909,7 +1942,7 @@ object TxLog {
     val hitRows = padNewCols(readFiles(spark, path, declared, hitFiles.toSeq))
     val merged = graft.operators.Upsert.mergeByKey(
       hitRows, updatesAligned, keys, preValidated)
-    val newFiles = stageIn(merged, path, Some(partitionCol))
+    val newFiles = stageIn(merged, path, pcs)
     // the key discovery read the snapshot's membership, so any
     // interleaved change invalidates it (readSet = None): it throws
     // CommitConflictException rather than silently dropping the
@@ -1973,28 +2006,35 @@ object TxLog {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
-    val pc = m.partitionCol.getOrElse(throw new IllegalArgumentException(
-      "TxLog.replacePartitions needs a partitioned table (create with partitionCol)"))
+    val pcs = m.partitionCols
+    require(pcs.nonEmpty,
+      "TxLog.replacePartitions needs a partitioned table (create with partitionCol[s])")
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
     enforceConstraints(df, m.constraints, "replacePartitions")
+    // multi-column layouts name partitions as Seq/tuple values in
+    // layout order; single-column keeps the scalar shape
+    val tuples = partitionVals.map(asPartitionTuple(pcs, _))
+    val replaceDirs = tuples.map(partitionDirPath(pcs, _)).toSet
     // collision check against what SURVIVES the replace: the named
     // partitions' files are leaving, so only the other files' rows can
     // collide — expressed at FILE level (dirs are exact, no null
     // caveats) and stats-pruned like every other insert probe
-    val replaceDirs = partitionVals.map(partitionDirName(pc, _)).toSet
     enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl),
       m.files.filterNot(f => replaceDirs.contains(dirOf(f))), m,
       "replacePartitions")
-    // NULL partition values never match isin — catch them explicitly
-    // or they'd silently land in the default partition unclaimed
-    val stray = df.filter(col(pc).isNull
-        .or(not(col(pc).isin(partitionVals.map(lit): _*))))
-      .select(col(pc)).limit(1).collect()
+    // null-safe tuple membership: a NULL partition value never matches,
+    // so it surfaces as a stray instead of silently landing in the
+    // default partition unclaimed
+    val allowed = tuples.map(t =>
+        pcs.zip(t).map { case (c, vv) => col(c) <=> lit(vv) }.reduce(_ && _))
+      .reduce(_ || _)
+    val stray = df.filter(not(allowed)).select(pcs.map(col): _*)
+      .limit(1).collect()
     require(stray.isEmpty,
       s"TxLog.replacePartitions: df contains rows outside the named " +
-        s"partitions (found $pc=${stray.headOption.map(_.get(0)).orNull}); " +
+        s"partitions (found ${pcs.mkString("/")}=${stray.headOption.orNull}); " +
         "either add that value to partitionVals or filter the frame")
-    val newFiles = stageIn(df, path, Some(pc))
+    val newFiles = stageIn(df, path, pcs)
     // interleaved appends into the REPLACED partitions conflict via the
     // readSet; appends elsewhere rebase, so the UNIQUE probe re-runs
     // against exactly those landed files (all outside the replace set)
@@ -2041,7 +2081,7 @@ object TxLog {
     val hitFiles = uris.map(resolve).toSet
     val newFiles = stageIn(
       readFiles(spark, path, schema, hitFiles.toSeq).filter(not(hit)),
-      path, m.partitionCol)
+      path, m.partitionCols)
     // the discovery read the whole snapshot — conflict loudly on any
     // interleaved change (readSet = None)
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
@@ -2149,7 +2189,7 @@ object TxLog {
       if (target.constraints.nonEmpty || target.uniques.nonEmpty) 2 else 1)
     // a REF commit: O(1) bytes — the rollback moves zero data AND
     // zero metadata regardless of table size
-    writeRef(spark, path, cur + 1, target.partitionCol, target.schemaDdl,
+    writeRef(spark, path, cur + 1, target.partitionCols, target.schemaDdl,
       head.sourceBatchId, target.statsCols, target.constraints,
       target.uniques, operation = s"RESTORE TO v$toVersion",
       baseRef = toVersion, ts = ts, minWriter = minWriter)
@@ -2180,8 +2220,9 @@ object TxLog {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
-    val pc = m.partitionCol.getOrElse(throw new IllegalArgumentException(
-      "TxLog.applyChanges needs a partitioned table (create with partitionCol)"))
+    val pcs = m.partitionCols
+    require(pcs.nonEmpty,
+      "TxLog.applyChanges needs a partitioned table (create with partitionCol[s])")
     val declared = StructType.fromDDL(m.schemaDdl)
     require(feed.columns.contains("_change_type"),
       "TxLog.applyChanges: feed must carry _change_type (see TxLog.changes)")
@@ -2198,8 +2239,9 @@ object TxLog {
     enforceUniques(upserts, spark, path, declared, Nil, m,
       "applyChanges upserts (within-batch)")
     warnUncoveredUniques(m, keys, "applyChanges")
-    require(upserts.filter(col(pc).isNull).limit(1).collect().isEmpty,
-      s"TxLog.applyChanges: null $pc values are not supported")
+    require(upserts.filter(pcs.map(col(_).isNull).reduce(_ || _))
+      .limit(1).collect().isEmpty,
+      s"TxLog.applyChanges: null ${pcs.mkString("/")} values are not supported")
     val deletes = feed.filter(col("_change_type") === "delete")
       .select(keys.map(col): _*)
     // file-granular like [[mergeInto]]: the rewrite set is exactly the
@@ -2219,7 +2261,7 @@ object TxLog {
     val merged = graft.operators.Upsert.mergeByKey(
       hitRows.join(deletes, keys, "left_anti"), upserts, keys,
       preValidated = true)
-    val newFiles = stageIn(merged, path, Some(pc))
+    val newFiles = stageIn(merged, path, pcs)
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
       readSet = None, operation = "APPLY CHANGES", removeFiles = hitFiles)
@@ -2236,6 +2278,25 @@ object TxLog {
     if (s == null || s.isEmpty)
       s"$colName=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
     else s"$colName=${ExternalCatalogUtils.escapePathName(s)}"
+  }
+
+  /** The nested directory path Spark produces for a multi-column
+    * partition tuple ("a=1/b=2"), in declared layout order. */
+  private def partitionDirPath(cols: Seq[String], vals: Seq[Any]): String = {
+    require(cols.size == vals.size,
+      s"TxLog: partition value (${vals.mkString(", ")}) does not match the " +
+        s"table's ${cols.size}-column layout (${cols.mkString(", ")})")
+    cols.zip(vals).map { case (c, v) => partitionDirName(c, v) }.mkString("/")
+  }
+
+  /** Normalize a user-supplied partition value for an N-column layout:
+    * single-column tables take the scalar; multi-column take a Seq or
+    * a tuple, in layout order. */
+  private def asPartitionTuple(cols: Seq[String], v: Any): Seq[Any] = v match {
+    case s: scala.collection.Seq[_] => s.toSeq
+    case p: Product if cols.size > 1 && p.productArity == cols.size =>
+      p.productIterator.toSeq
+    case x => Seq(x)
   }
 
   /** Drop files referenced by NO retained manifest, and the manifests
@@ -2396,7 +2457,9 @@ object TxLog {
       catch { case _: java.io.IOException | _: IllegalArgumentException => 0L }
     }
     import spark.implicits._
-    Seq((path, v, m.partitionCol.orNull, m.files.size.toLong,
+    Seq((path, v,
+      if (m.partitionCols.isEmpty) null else m.partitionCols.mkString(", "),
+      m.files.size.toLong,
       m.files.map(sizeOf).sum, fastCount(spark, path),
       m.statsCols.mkString(", "), m.constraints.size, m.uniques.size,
       m.schemaDdl))
@@ -2512,7 +2575,7 @@ object TxLog {
           m.fileRows.flatMap { case (k, n) => copied.get(k).map(_ -> n) })
       }
     cacheInvalidate(spark, target)
-    val cloneM = Manifest(1L, m.partitionCol, m.schemaDdl,
+    val cloneM = Manifest(1L, m.partitionCols, m.schemaDdl,
       entries.sorted, sourceBatchId = None, statsCols = m.statsCols,
       fileStats = stats, fileRows = rowCounts, constraints = m.constraints,
       uniques = m.uniques, ts = Some(System.currentTimeMillis()),
@@ -2583,7 +2646,7 @@ object TxLog {
     val schema = StructType.fromDDL(m.schemaDdl)
     require(schema.fieldNames.contains(colName),
       s"TxLog.buildBloomIndex: no column '$colName' in ${m.schemaDdl}")
-    require(!m.partitionCol.contains(colName),
+    require(!m.partitionCols.contains(colName),
       "TxLog.buildBloomIndex: the partition column is pruned by " +
         "directory, it needs no Bloom index")
     val fs = fsFor(spark, path)

@@ -132,6 +132,90 @@ class TxLogSpec extends SparkSpec {
     assert(rows(TxLog.read(spark, path, Some(1L))) == rows(d))
   }
 
+  test("multi-column partitioning: (date, hour) lifecycle — create/append/merge/delete/replace/compact/CDF/clone") {
+    val path = freshPath("twocol")
+    val d0 = Seq(
+      ("d1", 0, 1L, 1.0), ("d1", 1, 2L, 2.0),
+      ("d2", 0, 3L, 3.0), ("d2", 1, 4L, 4.0)
+    ).toDF("date", "hour", "k", "v")
+    TxLog.create(d0, path, partitionCols = Seq("date", "hour"))
+    val m1 = TxLog.manifest(spark, path, 1L)
+    assert(m1.partitionCols == Seq("date", "hour"))
+    // nested Hive layout on disk, demanded-writer generation 2
+    assert(m1.files.forall(f => f.matches("date=[^/]+/hour=[^/]+/.*\\.parquet")),
+      m1.files.toString)
+    assert(m1.minWriter == 2, "multi-column layout must demand writer gen 2")
+    def all(): Set[(String, Int, Long, Double)] =
+      TxLog.read(spark, path).select("date", "hour", "k", "v")
+        .as[(String, Int, Long, Double)].collect().toSet
+    assert(all() == Set(("d1", 0, 1L, 1.0), ("d1", 1, 2L, 2.0),
+      ("d2", 0, 3L, 3.0), ("d2", 1, 4L, 4.0)))
+    // append + merge (update one key, insert one) + delete
+    TxLog.append(Seq(("d3", 0, 5L, 5.0)).toDF("date", "hour", "k", "v"), path)
+    TxLog.mergeInto(path,
+      Seq(("d1", 0, 1L, -1.0), ("d3", 1, 6L, 6.0)).toDF("date", "hour", "k", "v"),
+      Seq("k"))
+    TxLog.deleteWhere(spark, path, col("k") === 4L)
+    assert(all() == Set(("d1", 0, 1L, -1.0), ("d1", 1, 2L, 2.0),
+      ("d2", 0, 3L, 3.0), ("d3", 0, 5L, 5.0), ("d3", 1, 6L, 6.0)))
+    // replacePartitions names leaf partitions as tuples
+    TxLog.replacePartitions(
+      Seq(("d1", 0, 10L, 10.0)).toDF("date", "hour", "k", "v"),
+      path, Seq(Seq("d1", 0)))
+    assert(all() == Set(("d1", 0, 10L, 10.0), ("d1", 1, 2L, 2.0),
+      ("d2", 0, 3L, 3.0), ("d3", 0, 5L, 5.0), ("d3", 1, 6L, 6.0)))
+    // a row outside the named leaf refuses
+    intercept[IllegalArgumentException] {
+      TxLog.replacePartitions(
+        Seq(("d1", 1, 11L, 11.0)).toDF("date", "hour", "k", "v"),
+        path, Seq(Seq("d1", 0)))
+    }
+    // scoped OPTIMIZE on one leaf partition only
+    TxLog.append(Seq(("d1", 0, 12L, 12.0)).toDF("date", "hour", "k", "v"), path)
+    val vPre = TxLog.currentVersion(spark, path).get
+    val preOther = TxLog.manifest(spark, path, vPre).files
+      .filterNot(_.startsWith("date=d1/hour=0/")).toSet
+    TxLog.compact(spark, path, partitions = Seq(Seq("d1", 0)))
+    val vPost = TxLog.currentVersion(spark, path).get
+    assert(vPost == vPre + 1)
+    assert(TxLog.manifest(spark, path, vPost).files
+      .filterNot(_.startsWith("date=d1/hour=0/")).toSet == preOther,
+      "scoped compact touched files outside its leaf")
+    assert(TxLog.manifest(spark, path, vPost).files
+      .count(_.startsWith("date=d1/hour=0/")) == 1)
+    // CDF across the replace reports exactly the changed keys
+    val cdf = TxLog.changes(spark, path, vPre, vPost, Seq("k"))
+    assert(cdf.count() == 0, "compaction is layout-only: CDF must be empty")
+    // time travel + clone carry the two-column layout
+    assert(TxLog.read(spark, path, Some(1L)).count() == 4)
+    val tgt = freshPath("twocol_clone")
+    TxLog.clone(spark, path, tgt)
+    assert(TxLog.manifest(spark, tgt, 1L).partitionCols == Seq("date", "hour"))
+    assert(TxLog.read(spark, tgt).count() == TxLog.read(spark, path).count())
+  }
+
+  test("multi-column partition pruning: a (date, hour) filter plans only the matching leaf dir's files") {
+    val path = freshPath("twocol_prune")
+    val rows = for (d <- 1 to 4; h <- 0 until 6) yield (s"d$d", h, (d * 10 + h).toLong)
+    TxLog.create(rows.toDF("date", "hour", "k").repartition(4),
+      path, partitionCols = Seq("date", "hour"))
+    val q = TxLog.read(spark, path)
+      .filter(col("date") === "d2" && col("hour") === 3)
+    assert(q.select("k").as[Long].collect().toSeq == Seq(23L))
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val leafFiles = TxLog.manifest(spark, path, 1L).files
+      .count(_.startsWith("date=d2/hour=3/"))
+    val planned = scans.map(_.selectedPartitions.totalNumberOfFiles).sum
+    assert(planned == leafFiles,
+      s"planned $planned files, leaf dir holds $leafFiles — partition pruning lost")
+    // and the partition filters actually reached the scan
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "no partition filters pushed to the scan")
+  }
+
   test("append adds files without touching old ones") {
     val path = freshPath("app")
     TxLog.create(fixture, path, Some("part"))

@@ -30,7 +30,7 @@ class TxLogOccSpec extends SparkSpec {
     TxLog.create(Seq((1L, "a")).toDF("id", "v"), path)
     val base = TxLog.manifest(spark, path, 1L)
     // writer A stages its files against v1 but has not committed yet
-    val aFiles = TxLog.stageIn(Seq((2L, "b")).toDF("id", "v"), path, None)
+    val aFiles = TxLog.stageIn(Seq((2L, "b")).toDF("id", "v"), path, Nil)
     // writer B commits first and takes v2
     TxLog.append(Seq((3L, "c")).toDF("id", "v"), path)
     // A's commit targets v2, loses, rebases onto the new head, lands v3
@@ -69,7 +69,7 @@ class TxLogOccSpec extends SparkSpec {
       partitionCol = Some("p"))
     val base = TxLog.manifest(spark, path, 1L)
     val staged = TxLog.stageIn(Seq((1L, 1, "a2")).toDF("id", "p", "v"),
-      path, Some("p"))
+      path, Seq("p"))
     TxLog.append(Seq((9L, 3, "z")).toDF("id", "p", "v"), path) // interleaves as v2
     val e = intercept[TxLog.CommitConflictException] {
       TxLog.commitRebase(spark, path, base, rewriteDirs = Set("p=1"),
@@ -89,7 +89,7 @@ class TxLogOccSpec extends SparkSpec {
     val base = TxLog.manifest(spark, path, 1L)
     // a compaction-shaped rewrite of p=1, computed against v1
     val staged = TxLog.stageIn(Seq((1L, 1, "a")).toDF("id", "p", "v"),
-      path, Some("p"))
+      path, Seq("p"))
     // ingest lands rows in p=3 first (v2)
     TxLog.append(Seq((9L, 3, "z")).toDF("id", "p", "v"), path)
     val v = TxLog.commitRebase(spark, path, base, rewriteDirs = Set("p=1"),
@@ -104,7 +104,7 @@ class TxLogOccSpec extends SparkSpec {
     // real conflict — rebasing would silently drop the appended file
     val base2 = TxLog.manifest(spark, path, 3L)
     val staged2 = TxLog.stageIn(Seq((2L, 2, "b")).toDF("id", "p", "v"),
-      path, Some("p"))
+      path, Seq("p"))
     TxLog.append(Seq((21L, 2, "x")).toDF("id", "p", "v"), path) // lands in p=2
     intercept[TxLog.CommitConflictException] {
       TxLog.commitRebase(spark, path, base2, rewriteDirs = Set("p=2"),
@@ -211,7 +211,7 @@ class TxLogOccSpec extends SparkSpec {
     TxLog.appendBatch(Seq((1L, "b1")).toDF("id", "v"), path, batchId = 1L) // v2
     // a crash-replay of batch 1, staged against the STALE v1 manifest
     val base = TxLog.manifest(spark, path, 1L)
-    val staged = TxLog.stageIn(Seq((1L, "b1")).toDF("id", "v"), path, None)
+    val staged = TxLog.stageIn(Seq((1L, "b1")).toDF("id", "v"), path, Nil)
     val v = TxLog.commitRebase(spark, path, base, rewriteDirs = Set.empty,
       newFiles = staged, schemaDdl = base.schemaDdl, batchId = Some(1L),
       readSet = Some(Set.empty), operation = "TEST")
