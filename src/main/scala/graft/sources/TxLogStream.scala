@@ -66,8 +66,78 @@ import graft.storage.TxLog
   * columns.
   */
 class TxLogStream extends StreamSourceProvider with StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
   override def shortName(): String = "graft-txlog"
+
+  /** The BATCH half of the format (the streaming provider above made
+    * `graft-txlog` a registered source; this makes it a TABLE):
+    *
+    *   spark.read.format("graft-txlog")
+    *     .option("path", dir)
+    *     .option("versionAsOf", "3")          // or timestampAsOf
+    *     .load()
+    *
+    * and `CREATE TABLE t USING graft-txlog OPTIONS (path '...')` for
+    * BI tools and notebooks that speak SQL, not the Scala API. The
+    * relation is Spark's own `HadoopFsRelation` over
+    * [[TxLogFileIndex]] — vectorized parquet, codegen, filter/column
+    * pushdown all stock; the index contributes the manifest file list
+    * (snapshot isolation + time travel), partition pruning, and
+    * min/max data skipping. */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val (path, m) = TxLogBatch.resolve(spark, parameters)
+    val declared = StructType.fromDDL(m.schemaDdl)
+    val partitionSchema = StructType(m.partitionCols.map(declared.apply))
+    val dataSchema =
+      StructType(declared.filterNot(f => m.partitionCols.contains(f.name)))
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new TxLogFileIndex(spark, path, m),
+      partitionSchema = partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = parameters)(spark)
+  }
+
+  /** `df.write.format("graft-txlog").mode(...)` — batch writes map to
+    * the transactional verbs: Append → [[TxLog.append]], Overwrite →
+    * [[TxLog.createOrReplace]] (history kept); a first write to an
+    * empty path creates the table (`partitionBy` columns honored). */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = p.getOrElse("path", throw new IllegalArgumentException(
+      "graft-txlog: option 'path' (the TxLog table directory) is required"))
+    val partCols = p.get("partitioncolumns").orElse(p.get("__partition_columns"))
+      .map(s => s.replaceAll("[\\[\\]\" ]", "").split(',').filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val exists = TxLog.currentVersion(spark, path).isDefined
+    mode match {
+      case SaveMode.Append =>
+        if (!exists) TxLog.create(data, path, partitionCols = partCols)
+        else TxLog.append(data, path)
+      case SaveMode.Overwrite =>
+        TxLog.createOrReplace(data, path, partitionCols = partCols)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft-txlog: table already exists at $path (mode ErrorIfExists)")
+        TxLog.create(data, path, partitionCols = partCols)
+      case SaveMode.Ignore =>
+        if (!exists) TxLog.create(data, path, partitionCols = partCols)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
@@ -100,25 +170,22 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft-txlog sink supports Append output mode only, got $outputMode " +
         "(a TxLog append version per micro-batch IS append semantics)")
-    require(partitionColumns.size <= 1,
-      s"graft-txlog sink: TxLog tables partition by at most one column, " +
-        s"got ${partitionColumns.mkString(", ")}")
     val p = parameters.map { case (k, v) => k.toLowerCase -> v }
     new TxLogSink(sqlContext.sparkSession,
       p.getOrElse("path", throw new IllegalArgumentException(
         "graft-txlog sink: option 'path' (the TxLog table directory) is required")),
-      partitionColumns.headOption)
+      partitionColumns)
   }
 }
 
 /** The per-query sink instance (see [[TxLogStream.createSink]]). */
 class TxLogSink(spark: SparkSession, path: String,
-                partitionCol: Option[String])
+                partitionCols: Seq[String])
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = StreamBridge.asBatchLeaf(data)
     if (TxLog.currentVersion(spark, path).isEmpty)
-      TxLog.create(batch.limit(0), path, partitionCol)
+      TxLog.create(batch.limit(0), path, partitionCols = partitionCols)
     TxLog.appendBatch(batch, path, batchId)
   }
   override def toString: String = s"TxLogSink[$path]"

@@ -1,0 +1,133 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The batch half of the `graft-txlog` format: `spark.read.format`
+  * parity with [[TxLog.read]] (rows, time travel), pushdown reaching
+  * the parquet scan (partition pruning, data filters, column pruning),
+  * manifest-stats data skipping at PLAN time, SQL `CREATE TABLE ...
+  * USING graft-txlog`, and the batch write verbs.
+  */
+class TxLogBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_batch_$tag").toString + "/tbl"
+
+  private def scansOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+
+  test("format reader parity: rows and schema match TxLog.read, versionAsOf time-travels") {
+    val path = freshPath("parity")
+    val d = Seq((1L, "p1", 1.0), (2L, "p1", 2.0), (3L, "p2", 3.0))
+      .toDF("k", "part", "v")
+    TxLog.create(d, path, Some("part"))
+    TxLog.mergeInto(path, Seq((2L, "p1", 99.0), (4L, "p2", 4.0))
+      .toDF("k", "part", "v"), Seq("k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+    val viaFormat = spark.read.format("graft-txlog").option("path", path).load()
+    assert(rows(viaFormat) == rows(TxLog.read(spark, path)))
+    assert(viaFormat.columns.toSet == Set("k", "part", "v"))
+    // the partition column's declared type survives (string stays string)
+    assert(viaFormat.schema("part").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val v1 = spark.read.format("graft-txlog").option("path", path)
+      .option("versionAsOf", "1").load()
+    assert(rows(v1) == rows(d))
+    // timestampAsOf resolves through the same commit clock
+    val ts = TxLog.history(spark, path).filter(col("version") === 1L)
+      .head().getTimestamp(7)
+    val atTs = spark.read.format("graft-txlog").option("path", path)
+      .option("timestampAsOf", ts.toInstant.toString).load()
+    assert(rows(atTs) == rows(d))
+  }
+
+  test("pushdown reaches the scan: partition pruning, data filters, column pruning") {
+    val path = freshPath("pushdown")
+    val d = (1 to 40).map(i => (i.toLong, s"p${i % 4}", i * 1.0))
+      .toDF("k", "part", "v")
+    TxLog.create(d, path, Some("part"))
+    val q = spark.read.format("graft-txlog").option("path", path).load()
+      .filter(col("part") === "p1" && col("v") > 5.0)
+      .select("k")
+    assert(q.as[Long].collect().toSet ==
+      (1 to 40).filter(i => i % 4 == 1 && i > 5).map(_.toLong).toSet)
+    val scans = scansOf(q)
+    assert(scans.nonEmpty)
+    // partition filter evaluated against the manifest dirs at plan time
+    val m = TxLog.manifest(spark, path, 1L)
+    val p1Files = m.files.count(_.startsWith("part=p1/"))
+    assert(scans.map(_.selectedPartitions.totalNumberOfFiles).sum == p1Files,
+      "partition pruning did not reach the file index")
+    assert(scans.exists(_.partitionFilters.nonEmpty))
+    // the data filter pushes into the parquet reader
+    assert(scans.exists(_.dataFilters.nonEmpty), "no data filters on the scan")
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      "no pushed filters in the physical plan")
+    // column pruning: only the needed columns are read
+    assert(scans.head.requiredSchema.fieldNames.toSet.subsetOf(Set("k", "v")),
+      s"scan reads ${scans.head.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("manifest-stats data skipping: a selective k filter plans only the admitting files") {
+    val path = freshPath("skip")
+    // four stat-disjoint files via coalesced appends
+    TxLog.create(spark.range(0, 100).select(col("id").as("k"),
+      lit("a").as("part")).coalesce(1), path, Some("part"), statsCols = Seq("k"))
+    Seq(100L, 200L, 300L).foreach(lo =>
+      TxLog.append(spark.range(lo, lo + 100).select(col("id").as("k"),
+        lit("a").as("part")).coalesce(1), path))
+    assert(TxLog.manifest(spark, path, 4L).files.size == 4)
+    val q = spark.read.format("graft-txlog").option("path", path).load()
+      .filter(col("k") === 250L)
+    assert(q.count() == 1)
+    val planned = scansOf(q).map(_.selectedPartitions.totalNumberOfFiles).sum
+    assert(planned == 1,
+      s"stats skipping lost: planned $planned of 4 files for a 1-file key")
+    // a range predicate prunes too
+    val r = spark.read.format("graft-txlog").option("path", path).load()
+      .filter(col("k") >= 150L && col("k") < 250L)
+    assert(r.count() == 100)
+    assert(scansOf(r).map(_.selectedPartitions.totalNumberOfFiles).sum == 2)
+  }
+
+  test("SQL surface: CREATE TABLE ... USING graft-txlog reads back, time travel via option") {
+    val path = freshPath("sql")
+    TxLog.create(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    spark.sql("DROP TABLE IF EXISTS graft_batch_tbl")
+    spark.sql(
+      s"CREATE TABLE graft_batch_tbl USING `graft-txlog` OPTIONS (path '$path')")
+    try {
+      assert(spark.sql("SELECT sum(k) FROM graft_batch_tbl").head().getLong(0) == 3L)
+      // new commits are visible to a fresh query through the same table
+      TxLog.append(Seq((10L, "c")).toDF("k", "v"), path)
+      spark.sql("REFRESH TABLE graft_batch_tbl")
+      assert(spark.sql("SELECT sum(k) FROM graft_batch_tbl").head().getLong(0) == 13L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_batch_tbl")
+  }
+
+  test("batch writes: Append and Overwrite map to the transactional verbs, partitionBy honored") {
+    val path = freshPath("write")
+    Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("k", "part", "v")
+      .write.format("graft-txlog").partitionBy("part")
+      .option("path", path).mode("append").save()
+    assert(TxLog.currentVersion(spark, path).contains(1L))
+    assert(TxLog.manifest(spark, path, 1L).partitionCols == Seq("part"))
+    Seq((3L, "p1", 3.0)).toDF("k", "part", "v")
+      .write.format("graft-txlog").option("path", path).mode("append").save()
+    assert(TxLog.currentVersion(spark, path).contains(2L))
+    assert(TxLog.read(spark, path).count() == 3)
+    // Overwrite = CREATE OR REPLACE: one commit, history kept
+    Seq((9L, "px", 9.0)).toDF("k", "part", "v")
+      .write.format("graft-txlog").partitionBy("part")
+      .option("path", path).mode("overwrite").save()
+    assert(TxLog.currentVersion(spark, path).contains(3L))
+    assert(TxLog.read(spark, path).count() == 1)
+    assert(TxLog.read(spark, path, Some(2L)).count() == 3, "history lost")
+  }
+}
