@@ -719,4 +719,87 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** EXACT repeated-substring dedup — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * pass the pipeline's other dedup families don't cover: remove any
+    * span of ≥ `k` consecutive TOKENS that also appears in another
+    * document, keeping the occurrence in the EARLIEST doc (min id) and
+    * cutting it everywhere else. Line-level, 13-gram-scrub, MinHash
+    * and Jaccard-join dedup all operate at doc or line grain; this one
+    * removes the 50-token boilerplate paragraph pasted into thousands
+    * of otherwise-distinct pages.
+    *
+    * Distributed shape (suffix-array semantics without the suffix
+    * array):
+    *  1. every position's k-token window hashes to ONE 64-bit gram
+    *     (xxhash64 of the joined window) — hashes ride the shuffle,
+    *     never text;
+    *  2. a gram repeated across docs ⇔ its (min doc, max doc) differ —
+    *     one map-side-combinable groupBy, no distinct-count pass;
+    *  3. every non-keeper occurrence marks its k token positions
+    *     (bounded k× fan-out of DUPLICATED grams only);
+    *  4. affected docs rebuild from their surviving tokens in order;
+    *     untouched docs pass through VERBATIM (no whitespace
+    *     normalization on the untouched path).
+    *
+    * Overlapping shared windows union into full spans automatically
+    * (every k-window inside a longer shared span matches), so a
+    * 200-token duplicate paragraph is removed whole. "Exact" is
+    * modulo 64-bit window-hash collisions (~n²·2⁻⁶⁴ — the same trade
+    * the fingerprint/scrub operators document). Affected docs'
+    * surviving text re-joins with single spaces (token grain is the
+    * operator's unit, as in the reference implementation).
+    *
+    * Returns (idCol, textCol, removed_tokens) — `removed_tokens` = 0
+    * rows are the untouched majority. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          k: Int = 50): DataFrame = {
+    require(k >= 2, s"Dedup.removeRepeatedSpans: k must be >= 2, got $k")
+    val toks = docs.select(col(idCol), col(textCol),
+      split(trim(col(textCol)), "\\s+").as("_toks"))
+    // 1. gram hash per window position (docs shorter than k emit none)
+    val grams = toks
+      .filter(size(col("_toks")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(_toks) - $k), " +
+          s"i -> xxhash64(concat_ws(' ', slice(_toks, i + 1, $k))))"))
+        .as(Seq("_pos", "_gh")))
+    // 2. duplicated grams + their keeper: min(id) != max(id) ⇔ the
+    // window appears in ≥2 docs — one combinable aggregate
+    val owners = grams.groupBy("_gh")
+      .agg(min(col(idCol)).as("_keeper"), max(col(idCol)).as("_maxid"))
+      .filter(col("_keeper") =!= col("_maxid"))
+      .select(col("_gh"), col("_keeper"))
+    // 3. non-keeper occurrences fan out to their k covered positions
+    val covered = grams.join(owners, "_gh")
+      .filter(col(idCol) =!= col("_keeper"))
+      .select(col(idCol),
+        explode(expr(s"sequence(_pos, _pos + ${k - 1})")).as("_cut"))
+      .distinct()
+    // 4. rebuild ONLY affected docs; everything else passes verbatim
+    val affectedIds = covered.select(col(idCol)).distinct()
+    val untouched = docs.join(affectedIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col(textCol), lit(0L).as("removed_tokens"))
+    val rebuilt = toks.join(affectedIds, Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(col("_toks")).as(Seq("_idx", "_tok")))
+      .join(covered.withColumnRenamed("_cut", "_idx"), Seq(idCol, "_idx"),
+        "left_anti")
+      .groupBy(idCol)
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(_idx, _tok))), s -> s._tok)"))
+          .as(textCol),
+        count(lit(1)).as("_kept"))
+    // left_outer + coalesce: a doc whose EVERY token was covered
+    // (fully duplicated content) survives as an empty string, not a
+    // dropped row
+    val withCounts = toks.join(affectedIds, Seq(idCol), "left_semi")
+      .select(col(idCol), size(col("_toks")).cast("long").as("_total"))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol),
+        (col("_total") - coalesce(col("_kept"), lit(0L))).as("removed_tokens"))
+    untouched.unionByName(withCounts)
+  }
 }

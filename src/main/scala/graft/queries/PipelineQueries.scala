@@ -301,6 +301,22 @@ object PipelineQueries {
           "\n").as("text"))
       Dedup.dedupLines(lined).orderBy("doc_id")
     }),
+    // EXACT repeated-substring dedup (Lee et al.): 30 planted copies
+    // (prefix + verbatim corpus text under new ids) guarantee shared
+    // ≥20-token spans; every span is cut from the LATER doc, original
+    // and singleton text pass through verbatim. Oracle-exact: the SQL
+    // twin matches windows by CONTENT where Spark matches by the
+    // window's 64-bit hash — identical semantics, collision-free at
+    // this scale
+    "dedup_spans" -> ((s, d) => {
+      import org.apache.spark.sql.functions.concat
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(lit("planted copy marker "), col("text")).as("text"))
+      Dedup.removeRepeatedSpans(docs.unionByName(planted), k = 20)
+        .orderBy("doc_id")
+    }),
     // END-TO-END curation funnel: quality gate → exact dedup → pack,
     // reported as a per-stage (docs, tokens) funnel — the composition
     // query that shows the operators chaining into a real pipeline,
@@ -741,6 +757,54 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, sha256(text) AS h
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    // repeated-substring dedup: the SQL twin matches 20-token windows
+    // by CONTENT (Spark matches their xxhash64 — same semantics,
+    // collision-free at this scale); keeper = min doc_id, every
+    // non-keeper occurrence cuts its covered token positions, affected
+    // docs rebuild from survivors, the rest pass through verbatim
+    "dedup_spans" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, 'planted copy marker ' || text
+        |  FROM documents WHERE doc_id < 30),
+        |t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM src),
+        |g AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+        |         array_to_string(list_slice(toks, CAST(u.i AS BIGINT) + 1,
+        |                                    CAST(u.i AS BIGINT) + 20), ' ') AS w
+        |  FROM t, UNNEST(range(0, n - 19)) AS u(i)
+        |  WHERE n >= 20),
+        |own AS (
+        |  SELECT w, min(doc_id) AS keeper FROM g GROUP BY w
+        |  HAVING min(doc_id) <> max(doc_id)),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + CAST(u.j AS BIGINT) AS idx
+        |  FROM g JOIN own ON g.w = own.w AND g.doc_id <> own.keeper,
+        |       UNNEST(range(0, 20)) AS u(j)),
+        |aff AS (SELECT DISTINCT doc_id FROM cov),
+        |kept AS (
+        |  SELECT t.doc_id, CAST(u.i AS BIGINT) AS idx,
+        |         list_extract(t.toks, CAST(u.i AS BIGINT) + 1) AS tok
+        |  FROM t, UNNEST(range(0, n)) AS u(i)
+        |  WHERE t.doc_id IN (SELECT doc_id FROM aff)
+        |    AND NOT EXISTS (SELECT 1 FROM cov
+        |                    WHERE cov.doc_id = t.doc_id
+        |                      AND cov.idx = CAST(u.i AS BIGINT))),
+        |reb AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text,
+        |         CAST(count(*) AS BIGINT) AS kept_n
+        |  FROM kept GROUP BY doc_id)
+        |SELECT doc_id, text, CAST(0 AS BIGINT) AS removed_tokens
+        |FROM src WHERE doc_id NOT IN (SELECT doc_id FROM aff)
+        |UNION ALL
+        |SELECT a.doc_id, coalesce(r.text, '') AS text,
+        |       t2.n - coalesce(r.kept_n, 0) AS removed_tokens
+        |FROM aff a JOIN t t2 USING (doc_id) LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "sim_cosine_topk" ->
       """SELECT vec_id,
         |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -192,6 +192,14 @@ object TxLogBatch {
       .orElse(TxLog.currentVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(
         s"graft-txlog: no table at $path"))
-    (path, TxLog.manifest(spark, path, version))
+    val m = TxLog.manifest(spark, path, version)
+    // column-mapped (renamed) tables need the read-side alias layer;
+    // HadoopFsRelation reads parquet columns by their file names, so it
+    // would silently surface nulls for a renamed column — refuse loudly
+    require(m.colMap.isEmpty,
+      s"graft-txlog: table at $path uses column mapping (renamed columns); " +
+        "the batch relation does not alias physical names yet — read via " +
+        "TxLog.read")
+    (path, m)
   }
 }

@@ -103,7 +103,40 @@ object TxLog {
                       constraints: Seq[(String, String)] = Nil,
                       uniques: Seq[(String, Seq[String])] = Nil,
                       ts: Option[Long] = None,
-                      minWriter: Int = 1)
+                      minWriter: Int = 1,
+                      colMap: Seq[(String, String)] = Nil)
+
+  /** Column mapping: the PHYSICAL name a logical column's data lives
+    * under in the files. Identity for never-renamed columns;
+    * [[renameColumn]] adds (newLogical -> originalPhysical) entries so
+    * a rename is a METADATA commit — zero file rewrites, old versions
+    * keep their own names, CDF matches rows across the rename by
+    * physical identity. Stats keys, Bloom sidecar dirs, and partition
+    * directory names are all expressed in PHYSICAL names (they live
+    * next to the files and never change). */
+  private def physOf(m: Manifest, logical: String): String =
+    m.colMap.find(_._1 == logical).map(_._2).getOrElse(logical)
+
+  /** The schema as the FILES spell it (logical schema with renamed
+    * fields back at their physical names). */
+  private def physicalize(schema: StructType,
+                          colMap: Seq[(String, String)]): StructType =
+    if (colMap.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      colMap.find(_._1 == f.name).map(e => f.copy(name = e._2)).getOrElse(f)
+    })
+
+  /** Rename a logical-named frame to physical names before staging —
+    * files always spell the PHYSICAL schema. */
+  private def toPhysical(df: DataFrame,
+                         colMap: Seq[(String, String)]): DataFrame =
+    colMap.foldLeft(df) { case (d, (l, p)) =>
+      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d
+    }
+
+  /** The partition columns as the DIRECTORIES spell them. */
+  private def physPartCols(m: Manifest): Seq[String] =
+    m.partitionCols.map(c => physOf(m, c))
 
   private val mapper = new ObjectMapper()
 
@@ -286,7 +319,8 @@ object TxLog {
                            statsCols: Seq[String],
                            constraints: Seq[(String, String)],
                            uniques: Seq[(String, Seq[String])],
-                           ts: Option[Long], minWriter: Int)
+                           ts: Option[Long], minWriter: Int,
+                           colMap: Seq[(String, String)])
 
   private def nodeMeta(node: com.fasterxml.jackson.databind.JsonNode): CMeta = CMeta(
     node.get("version").asLong(),
@@ -314,7 +348,12 @@ object TxLog {
           (0 until cols.size()).map(cols.get(_).asText())
       }).getOrElse(Seq.empty),
     Option(node.get("ts")).map(_.asLong()),
-    Option(node.get("minWriter")).map(_.asInt()).getOrElse(1))
+    Option(node.get("minWriter")).map(_.asInt()).getOrElse(1),
+    Option(node.get("colMap")).map(a =>
+      (0 until a.size()).map { i =>
+        val e = a.get(i)
+        e.get("l").asText() -> e.get("p").asText()
+      }).getOrElse(Seq.empty))
 
   /** Parse a FULL commit (create/clone, and every pre-delta-format
     * manifest — the legacy one-JSON-per-version shape stays readable). */
@@ -341,7 +380,7 @@ object TxLog {
     }.getOrElse(Map.empty[String, Long])
     Manifest(c.version, c.partitionCols, c.schemaDdl, files, c.sourceBatchId,
       c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
-      c.minWriter)
+      c.minWriter, c.colMap)
   }
 
   /** Apply one DELTA commit to its predecessor's resolved state —
@@ -383,7 +422,7 @@ object TxLog {
       if (c.statsCols.isEmpty) Map.empty
       else state.fileStats.view.filterKeys(keptSet).toMap ++ addStats,
       state.fileRows.view.filterKeys(keptSet).toMap ++ addRows,
-      c.constraints, c.uniques, c.ts, c.minWriter)
+      c.constraints, c.uniques, c.ts, c.minWriter, c.colMap)
   }
 
   /** Load a checkpoint's file enumeration (columnar — never one JSON
@@ -402,7 +441,7 @@ object TxLog {
     }.toMap
     Manifest(c.version, c.partitionCols, c.schemaDdl, files, c.sourceBatchId,
       c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
-      c.minWriter)
+      c.minWriter, c.colMap)
   }
 
   /** Resolve the snapshot at `version`: walk back to the nearest
@@ -432,7 +471,8 @@ object TxLog {
               .copy(version = c.version, sourceBatchId = c.sourceBatchId,
                 partitionCols = c.partitionCols, schemaDdl = c.schemaDdl,
                 statsCols = c.statsCols, constraints = c.constraints,
-                uniques = c.uniques, ts = c.ts, minWriter = c.minWriter))
+                uniques = c.uniques, ts = c.ts, minWriter = c.minWriter,
+                colMap = c.colMap))
           } else {
             chain ::= node
             t -= 1
@@ -580,10 +620,21 @@ object TxLog {
                        constraints: Seq[(String, String)],
                        uniques: Seq[(String, Seq[String])],
                        operation: String, ts: Long, minWriter: Int,
-                       protocol: Int = 1)
+                       protocol: Int = 1,
+                       colMap: Seq[(String, String)] = Nil)
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = mapper.createObjectNode()
-    node.put("protocol", protocol)
+    // a column mapping gates READERS too (protocol 2): a pre-mapping
+    // build would resolve fine but surface PHYSICAL column names —
+    // silently wrong results for any query naming the renamed column
+    node.put("protocol",
+      if (colMap.nonEmpty) math.max(protocol, 2) else protocol)
+    if (colMap.nonEmpty) {
+      val arr = node.putArray("colMap")
+      colMap.foreach { case (l, p) =>
+        val e = arr.addObject(); e.put("l", l); e.put("p", p)
+      }
+    }
     node.put("version", version)
     // provenance, not state: resolution never reads it, DESCRIBE
     // HISTORY surfaces it (Delta's commitInfo.operation shape)
@@ -630,7 +681,8 @@ object TxLog {
                             operation: String): Unit = {
     val node = metaNode(m.version, m.partitionCols, m.schemaDdl,
       m.sourceBatchId, m.statsCols, m.constraints, m.uniques, operation,
-      m.ts.getOrElse(System.currentTimeMillis()), m.minWriter)
+      m.ts.getOrElse(System.currentTimeMillis()), m.minWriter,
+      colMap = m.colMap)
     val arr = node.putArray("files")
     m.files.sorted.foreach(arr.add)
     if (m.statsCols.nonEmpty) {
@@ -662,13 +714,14 @@ object TxLog {
                          addStats: Map[String, Map[String, (String, String)]],
                          addRows: Map[String, Long],
                          ts: Long, minWriter: Int,
-                         removeFiles: Set[String] = Set.empty): Unit = {
+                         removeFiles: Set[String] = Set.empty,
+                         colMap: Seq[(String, String)] = Nil): Unit = {
     // a protocol-1 reader replaying a removeFiles delta would KEEP the
     // removed files (resurrected rows) — exactly those commits are
     // stamped protocol 2 and refuse old readers
     val node = metaNode(version, partitionCols, schemaDdl, sourceBatchId,
       statsCols, constraints, uniques, operation, ts, minWriter,
-      protocol = if (removeFiles.isEmpty) 1 else 2)
+      protocol = if (removeFiles.isEmpty) 1 else 2, colMap = colMap)
     val rmArr = node.putArray("removeDirs")
     removeDirs.toSeq.sorted.foreach(rmArr.add)
     if (removeFiles.nonEmpty) {
@@ -699,9 +752,10 @@ object TxLog {
                        constraints: Seq[(String, String)],
                        uniques: Seq[(String, Seq[String])],
                        operation: String,
-                       baseRef: Long, ts: Long, minWriter: Int): Unit = {
+                       baseRef: Long, ts: Long, minWriter: Int,
+                       colMap: Seq[(String, String)] = Nil): Unit = {
     val node = metaNode(version, partitionCols, schemaDdl, sourceBatchId,
-      statsCols, constraints, uniques, operation, ts, minWriter)
+      statsCols, constraints, uniques, operation, ts, minWriter, colMap = colMap)
     node.put("baseRef", baseRef)
     commitAtomic(spark, path, version, node)
   }
@@ -805,7 +859,8 @@ object TxLog {
                            revalidate: Manifest => Unit = _ => ()): Long = {
     requireWritable(base, path)
     val (newStats, newRows) = collectStats(spark, path,
-      StructType.fromDDL(schemaDdl), base.statsCols, newFiles)
+      physicalize(StructType.fromDDL(schemaDdl), base.colMap),
+      base.statsCols, newFiles)
     var attempt = base
     var retries = 0
     while (true) {
@@ -819,7 +874,7 @@ object TxLog {
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
           schemaDdl, resolvedBatch, attempt.statsCols, attempt.constraints,
           attempt.uniques, operation, rewriteDirs, newFiles, newStats, newRows,
-          ts, attempt.minWriter, removeFiles)
+          ts, attempt.minWriter, removeFiles, attempt.colMap)
         // resolve the state this delta produced (same transition
         // applyDelta replays) — warms the cache for the next
         // commit/read and feeds the periodic checkpoint
@@ -833,7 +888,8 @@ object TxLog {
           if (attempt.statsCols.isEmpty) Map.empty
           else attempt.fileStats.view.filterKeys(keptSet).toMap ++ newStats,
           attempt.fileRows.view.filterKeys(keptSet).toMap ++ newRows,
-          attempt.constraints, attempt.uniques, Some(ts), attempt.minWriter)
+          attempt.constraints, attempt.uniques, Some(ts), attempt.minWriter,
+          attempt.colMap)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return attempt.version + 1
@@ -1076,18 +1132,24 @@ object TxLog {
     val v = version.orElse(currentVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
-    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), m.files)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), m.files, m.colMap)
   }
 
   /** Plan a read over an explicit file list under this table's data
     * dir, returning the DECLARED schema (shared by [[read]] and
     * [[appendsSince]]). */
+  /** `schema` is the LOGICAL schema to return; `colMap` maps renamed
+    * logical columns to the physical names the files spell — the scan
+    * reads physical, the final projection aliases back to logical, so
+    * a rename is invisible to every caller downstream. */
   private def readFiles(spark: SparkSession, path: String,
-                        schema: StructType, files: Seq[String]): DataFrame =
+                        schema: StructType, files: Seq[String],
+                        colMap: Seq[(String, String)] = Nil): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
     else {
+      val physical = physicalize(schema, colMap)
       val base = dataDir(path).toString
       // files group by their data ROOT: the table's own data dir for
       // relative entries, the SOURCE table's data dir for a shallow
@@ -1108,16 +1170,18 @@ object TxLog {
       // type (a string partition keeps "01" as "01" — inference alone
       // would read INT 1 and a cast-back would corrupt it to "1")
       groups.toSeq.sortBy(_._1).map { case (root, fs) =>
-        spark.read.schema(schema).option("basePath", root)
+        spark.read.schema(physical).option("basePath", root)
           .parquet(fs.map(f => if (isAbsEntry(f)) f else s"$root/$f"): _*)
       }.reduce(_ unionByName _)
         .select(schema.fields.map { f =>
           // backtick-quoted so dotted/spaced column names never
           // mis-parse (same contract as Profile); the projection
           // restores the declared column ORDER (parquet reads append
-          // partition columns last)
+          // partition columns last) AND the LOGICAL names (renamed
+          // columns read from their physical name)
+          val phys = colMap.find(_._1 == f.name).map(_._2).getOrElse(f.name)
           org.apache.spark.sql.functions
-            .col("`" + f.name.replace("`", "``") + "`").as(f.name)
+            .col("`" + phys.replace("`", "``") + "`").as(f.name)
         }: _*)
     }
 
@@ -1133,7 +1197,7 @@ object TxLog {
     val v = version.orElse(currentVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
-    if (!m.statsCols.contains(colName)) return m.files // not tracked: no pruning
+    if (!m.statsCols.contains(physOf(m, colName))) return m.files // not tracked: no pruning
     pruneByRange(m, StructType.fromDDL(m.schemaDdl), m.files, colName,
       lower, upper)
   }
@@ -1147,6 +1211,8 @@ object TxLog {
                            files: Seq[String], colName: String,
                            lower: Any, upper: Any): Seq[String] = {
     val numeric = schema(colName).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // stats are keyed by PHYSICAL name (stable across renames)
+    val statsKey = physOf(m, colName)
     def overlaps(mn: String, mx: String): Boolean =
       if (numeric) {
         val lo = BigDecimal(String.valueOf(lower)); val hi = BigDecimal(String.valueOf(upper))
@@ -1154,7 +1220,7 @@ object TxLog {
       } else
         mx >= String.valueOf(lower) && mn <= String.valueOf(upper)
     files.filter { f =>
-      m.fileStats.get(f).flatMap(_.get(colName)) match {
+      m.fileStats.get(f).flatMap(_.get(statsKey)) match {
         case Some((mn, mx)) => overlaps(mn, mx)
         case None => true
       }
@@ -1177,7 +1243,7 @@ object TxLog {
     val m = manifest(spark, path, v)
     val files = prunedFiles(spark, path, colName, lower, upper, Some(v))
     import org.apache.spark.sql.functions.{col, lit}
-    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap)
       .filter(col(colName).between(lit(lower), lit(upper)))
   }
 
@@ -1210,7 +1276,7 @@ object TxLog {
         "append-only over this range; consume TxLog.changes instead")
     val fromSet = mFrom.files.toSet
     readFiles(spark, path, StructType.fromDDL(mTo.schemaDdl),
-      mTo.files.filterNot(fromSet))
+      mTo.files.filterNot(fromSet), mTo.colMap)
   }
 
   /** Files ADDED by version `v` over its predecessor — the
@@ -1233,9 +1299,10 @@ object TxLog {
     * that version's declared schema — the streaming source's
     * file-sliced batch read. */
   private[graft] def readFileList(spark: SparkSession, path: String,
-                                  version: Long, files: Seq[String]): DataFrame =
-    readFiles(spark, path,
-      StructType.fromDDL(manifest(spark, path, version).schemaDdl), files)
+                                  version: Long, files: Seq[String]): DataFrame = {
+    val m = manifest(spark, path, version)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap)
+  }
 
   /** Additive-only schema widening: every declared column keeps its
     * position and type; incoming columns either match a declared
@@ -1380,7 +1447,7 @@ object TxLog {
           nextChecks, nextUniques, operation,
           removeDirs = Set.empty, addFiles = Nil,
           addStats = Map.empty, addRows = Map.empty,
-          ts = ts, minWriter = nextMinWriter)
+          ts = ts, minWriter = nextMinWriter, colMap = attempt.colMap)
         val resolved = attempt.copy(version = attempt.version + 1,
           constraints = nextChecks, uniques = nextUniques,
           ts = Some(ts), minWriter = nextMinWriter)
@@ -1579,7 +1646,7 @@ object TxLog {
       }
       if (existingFiles.nonEmpty) {
         val candidates =
-          if (cols.size == 1 && m.statsCols.contains(cols.head)) {
+          if (cols.size == 1 && m.statsCols.contains(physOf(m, cols.head))) {
             val k = cols.head
             val bounds = df.agg(min(col(k)).cast("string"),
               max(col(k)).cast("string")).head()
@@ -1588,7 +1655,7 @@ object TxLog {
               bounds.getString(0), bounds.getString(1))
           } else existingFiles
         if (candidates.nonEmpty) {
-          val collide = readFiles(spark, path, schema, candidates)
+          val collide = readFiles(spark, path, schema, candidates, m.colMap)
             .select(cols.map(col): _*)
             .join(df.select(cols.map(col): _*).distinct(), cols, "left_semi")
             .limit(1).collect()
@@ -1650,19 +1717,97 @@ object TxLog {
       cols.foreach(c => require(declared.contains(c),
         s"TxLog.setStatsCols: column '$c' is not in the table schema " +
           s"(${declared.toSeq.sorted.mkString(", ")})"))
+      // stored PHYSICAL (the key the files' stats entries use)
+      val physCols = cols.map(c => physOf(attempt, c))
       try {
         val ts = clampedTs(attempt)
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
-          attempt.schemaDdl, attempt.sourceBatchId, cols, attempt.constraints,
+          attempt.schemaDdl, attempt.sourceBatchId, physCols, attempt.constraints,
           attempt.uniques, operation = s"SET STATS COLS ${cols.mkString(", ")}",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
-          addRows = Map.empty, ts = ts, minWriter = attempt.minWriter)
+          addRows = Map.empty, ts = ts, minWriter = attempt.minWriter,
+          colMap = attempt.colMap)
         // cols = Nil disables skipping: drop the entries exactly like
         // applyDelta's replay of this commit would
         val resolved = attempt.copy(version = attempt.version + 1,
-          statsCols = cols,
+          statsCols = physCols,
           fileStats = if (cols.isEmpty) Map.empty else attempt.fileStats,
           ts = Some(ts))
+        cachePut(spark, path, resolved)
+        maybeCheckpoint(spark, path, resolved)
+        return resolved.version
+      } catch {
+        case e: VersionRaceException =>
+          retries += 1
+          if (retries > maxRetries) throw e
+        // loop: re-read the head and retry
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN old TO new — a METADATA-ONLY commit
+    * via column mapping (Delta's name-mapping mode): the files keep
+    * spelling the column's original PHYSICAL name forever; the
+    * manifest records (newLogical -> physical) and every read aliases
+    * back. Zero data rewrites at any table size. Version-pinned reads
+    * of OLDER versions keep their own names (each version carries its
+    * own schema + mapping), and [[changes]] matches rows across the
+    * rename by physical identity — zero spurious updates.
+    *
+    * Commits from the rename onward are PROTOCOL 2: a pre-mapping
+    * reader would resolve files fine but surface physical names —
+    * silently wrong results for queries naming the renamed column —
+    * so it must refuse instead (the same reader-gating Delta applies
+    * to column mapping). Renaming a column referenced by a CHECK
+    * constraint refuses (the expression text would dangle); UNIQUE
+    * column lists and the partition layout follow the rename. */
+  def renameColumn(spark: SparkSession, path: String,
+                   oldName: String, newName: String,
+                   maxRetries: Int = 10): Long = {
+    require(oldName != newName, "TxLog.renameColumn: names are identical")
+    var retries = 0
+    while (true) {
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"TxLog: no table at $path"))
+      val attempt = manifest(spark, path, v)
+      requireWritable(attempt, path)
+      val declared = StructType.fromDDL(attempt.schemaDdl)
+      require(declared.fieldNames.contains(oldName),
+        s"TxLog.renameColumn: no column '$oldName' in ${attempt.schemaDdl}")
+      require(!declared.fieldNames.contains(newName),
+        s"TxLog.renameColumn: column '$newName' already exists")
+      val word = ("\\b" + java.util.regex.Pattern.quote(oldName) + "\\b").r
+      attempt.constraints.foreach { case (n, check) =>
+        require(word.findFirstIn(check).isEmpty,
+          s"TxLog.renameColumn: CHECK constraint '$n' ($check) references " +
+            s"'$oldName' — drop it first, rename, re-add against the new name")
+      }
+      val newSchema = StructType(declared.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      // physical anchor: whatever the files ALREADY spell for oldName
+      val phys = physOf(attempt, oldName)
+      val newColMap = attempt.colMap.filterNot(_._1 == oldName) ++
+        (if (phys == newName) Nil else Seq(newName -> phys))
+      val newUniques = attempt.uniques.map { case (n, cols) =>
+        n -> cols.map(c => if (c == oldName) newName else c)
+      }
+      val newPartCols = attempt.partitionCols.map(c =>
+        if (c == oldName) newName else c)
+      val nextMinWriter = math.max(attempt.minWriter, 2)
+      try {
+        val ts = clampedTs(attempt)
+        writeDelta(spark, path, attempt.version + 1, newPartCols,
+          newSchema.toDDL, attempt.sourceBatchId, attempt.statsCols,
+          attempt.constraints, newUniques,
+          operation = s"RENAME COLUMN $oldName TO $newName",
+          removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
+          addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
+          colMap = newColMap)
+        val resolved = attempt.copy(version = attempt.version + 1,
+          partitionCols = newPartCols, schemaDdl = newSchema.toDDL,
+          uniques = newUniques, ts = Some(ts), minWriter = nextMinWriter,
+          colMap = newColMap)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return resolved.version
@@ -1689,10 +1834,18 @@ object TxLog {
     requireWritable(m, path)
     val declared = StructType.fromDDL(m.schemaDdl)
     checkSchema(declared, df.schema, evolveSchema)
+    // an evolution-added column's physical name IS its logical name —
+    // it must not collide with the physical slot of a renamed column
+    // (two columns would read from one physical name)
+    if (evolveSchema)
+      df.schema.fieldNames.filterNot(declared.fieldNames.contains).foreach(n =>
+        require(!m.colMap.exists(_._2 == n),
+          s"TxLog.append: new column '$n' collides with the physical name " +
+            s"of renamed column '${m.colMap.find(_._2 == n).map(_._1).getOrElse("")}'"))
     enforceConstraints(df, m.constraints, "append")
     enforceUniques(df, spark, path, declared, m.files, m, "append")
     val ddl = if (evolveSchema) widen(declared, df.schema).toDDL else m.schemaDdl
-    val files = stageIn(df, path, m.partitionCols)
+    val files = stageIn(toPhysical(df, m.colMap), path, physPartCols(m))
     // a blind append depends on nothing it read — it rebases over any
     // interleaved commit (appends never conflict with appends). Under
     // a UNIQUE set the rebase RE-PROBES the incoming keys against
@@ -1744,7 +1897,7 @@ object TxLog {
     enforceConstraints(df, m.constraints, s"appendBatch(batch $batchId)")
     enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl), m.files,
       m, s"appendBatch(batch $batchId)")
-    val files = stageIn(df, path, m.partitionCols)
+    val files = stageIn(toPhysical(df, m.colMap), path, physPartCols(m))
     commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
       schemaDdl = m.schemaDdl, batchId = Some(batchId),
       readSet = Some(Set.empty), operation = "STREAMING APPEND",
@@ -1806,7 +1959,7 @@ object TxLog {
       else {
         require(m.partitionCols.nonEmpty,
           "TxLog.compact(partitions=...) needs a partitioned table")
-        Some(partitions.map(p => partitionDirPath(m.partitionCols,
+        Some(partitions.map(p => partitionDirPath(physPartCols(m),
           asPartitionTuple(m.partitionCols, p))).toSet)
       }
     val todo = m.files.groupBy(dirOf)
@@ -1820,7 +1973,7 @@ object TxLog {
     // count and the union executes as a single Spark job — compaction
     // cost scales with rewritten bytes, not with partition count
     val pieces = todo.toSeq.sortBy(_._1).map { case (_, files) =>
-      val part = readFiles(spark, path, schema, files)
+      val part = readFiles(spark, path, schema, files, m.colMap)
       val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
       val n = ((bytes + BigInt(targetBytesPerFile) - 1) / targetBytesPerFile)
         .max(1).toInt
@@ -1835,7 +1988,8 @@ object TxLog {
           graft.operators.Layout.zorderedFrameN(part, cols, numFiles = n)
       }
     }
-    val newFiles = stageIn(pieces.reduce(_ unionByName _), path, m.partitionCols)
+    val newFiles = stageIn(toPhysical(pieces.reduce(_ unionByName _), m.colMap),
+      path, physPartCols(m))
     // a compaction reads exactly the partitions it rewrites: it rebases
     // over appends/merges to OTHER partitions (the OPTIMIZE-vs-ingest
     // guarantee) and conflicts only when ITS partitions moved under it
@@ -1886,11 +2040,16 @@ object TxLog {
     // evolution: updates must carry every declared column (a merged row
     // has no third place to take a value from); the EXISTING rows pad
     // the new columns with typed nulls before the merge
-    if (evolveSchema)
+    if (evolveSchema) {
       declared.fields.foreach(f => require(
         updates.schema.fieldNames.contains(f.name),
         s"TxLog.mergeInto(evolveSchema): updates must carry declared " +
           s"column '${f.name}'"))
+      updates.schema.fieldNames.filterNot(declared.fieldNames.contains)
+        .foreach(n => require(!m.colMap.exists(_._2 == n),
+          s"TxLog.mergeInto: new column '$n' collides with the physical " +
+            "name of a renamed column"))
+    }
     // a NULL partition value would land under __HIVE_DEFAULT_PARTITION__
     // — outside this operator's layout contract; fail loudly instead
     require(updates.filter(pcs.map(col(_).isNull).reduce(_ || _))
@@ -1915,7 +2074,7 @@ object TxLog {
     warnUncoveredUniques(m, keys, "mergeInto")
     // ---- discovery stage 1+2: stats range prune, then Bloom vote ----
     val discoveryFiles: Seq[String] =
-      if (keys.size == 1 && m.statsCols.contains(keys.head)) {
+      if (keys.size == 1 && m.statsCols.contains(physOf(m, keys.head))) {
         val k = keys.head
         val bounds = updatesAligned.agg(min(col(k)).cast("string"),
           max(col(k)).cast("string")).head()
@@ -1923,7 +2082,7 @@ object TxLog {
         else {
           val byStats = pruneByRange(m, widened, m.files, k,
             bounds.getString(0), bounds.getString(1))
-          bloomPruneByKeys(spark, path, k,
+          bloomPruneByKeys(spark, path, physOf(m, k),
             boundedDistinct(updatesAligned, k, 1024), byStats)
         }
       } else m.files
@@ -1931,7 +2090,7 @@ object TxLog {
     val updKeys = updatesAligned.select(keys.map(col): _*).distinct()
     val hitUris: Array[String] =
       if (discoveryFiles.isEmpty) Array.empty
-      else padNewCols(readFiles(spark, path, declared, discoveryFiles))
+      else padNewCols(readFiles(spark, path, declared, discoveryFiles, m.colMap))
         .select(keys.map(col) :+ input_file_name().as("_gf"): _*)
         .join(updKeys, keys, "left_semi")
         .select("_gf").distinct().collect().map(_.getString(0))
@@ -1939,10 +2098,10 @@ object TxLog {
     val hitFiles = hitUris.map(resolve).toSet
     // merge = rows of the hit files with updates applied (updates win),
     // plus inserts; staged per-partition so moved keys land right
-    val hitRows = padNewCols(readFiles(spark, path, declared, hitFiles.toSeq))
+    val hitRows = padNewCols(readFiles(spark, path, declared, hitFiles.toSeq, m.colMap))
     val merged = graft.operators.Upsert.mergeByKey(
       hitRows, updatesAligned, keys, preValidated)
-    val newFiles = stageIn(merged, path, pcs)
+    val newFiles = stageIn(toPhysical(merged, m.colMap), path, physPartCols(m))
     // the key discovery read the snapshot's membership, so any
     // interleaved change invalidates it (readSet = None): it throws
     // CommitConflictException rather than silently dropping the
@@ -2014,7 +2173,7 @@ object TxLog {
     // multi-column layouts name partitions as Seq/tuple values in
     // layout order; single-column keeps the scalar shape
     val tuples = partitionVals.map(asPartitionTuple(pcs, _))
-    val replaceDirs = tuples.map(partitionDirPath(pcs, _)).toSet
+    val replaceDirs = tuples.map(partitionDirPath(physPartCols(m), _)).toSet
     // collision check against what SURVIVES the replace: the named
     // partitions' files are leaving, so only the other files' rows can
     // collide — expressed at FILE level (dirs are exact, no null
@@ -2034,7 +2193,7 @@ object TxLog {
       s"TxLog.replacePartitions: df contains rows outside the named " +
         s"partitions (found ${pcs.mkString("/")}=${stray.headOption.orNull}); " +
         "either add that value to partitionVals or filter the frame")
-    val newFiles = stageIn(df, path, pcs)
+    val newFiles = stageIn(toPhysical(df, m.colMap), path, physPartCols(m))
     // interleaved appends into the REPLACED partitions conflict via the
     // readSet; appends elsewhere rebase, so the UNIQUE probe re-runs
     // against exactly those landed files (all outside the replace set)
@@ -2080,8 +2239,9 @@ object TxLog {
     val resolve = entryResolver(m.files)
     val hitFiles = uris.map(resolve).toSet
     val newFiles = stageIn(
-      readFiles(spark, path, schema, hitFiles.toSeq).filter(not(hit)),
-      path, m.partitionCols)
+      toPhysical(readFiles(spark, path, schema, hitFiles.toSeq, m.colMap)
+        .filter(not(hit)), m.colMap),
+      path, physPartCols(m))
     // the discovery read the whole snapshot — conflict loudly on any
     // interleaved change (readSet = None)
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
@@ -2117,13 +2277,20 @@ object TxLog {
     require(fromVersion != toVersion,
       s"TxLog.changes: identical versions $fromVersion")
     require(keys.nonEmpty, "TxLog.changes needs at least one key column")
-    val target = StructType.fromDDL(
-      manifest(spark, path, math.max(fromVersion, toVersion)).schemaDdl)
+    val mTarget = manifest(spark, path, math.max(fromVersion, toVersion))
+    val target = StructType.fromDDL(mTarget.schemaDdl)
+    // columns match across versions by PHYSICAL identity, so a rename
+    // between the endpoints produces ZERO spurious updates: the data
+    // never moved, only its logical name did
     def aligned(v: Long): DataFrame = {
+      val mv = manifest(spark, path, v)
       val df = read(spark, path, Some(v))
-      target.fields.filterNot(f => df.columns.contains(f.name))
-        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
-        .select(target.fieldNames.map(col): _*)
+      df.select(target.fields.map { tf =>
+        val phys = physOf(mTarget, tf.name)
+        val vLogical = mv.colMap.find(_._2 == phys).map(_._1).getOrElse(phys)
+        if (df.columns.contains(vLogical)) col(vLogical).as(tf.name)
+        else lit(null).cast(tf.dataType).as(tf.name)
+      }.toIndexedSeq: _*)
     }
     val nonKey = target.fieldNames.filterNot(keys.contains).toSeq
     val o = aligned(fromVersion)
@@ -2192,7 +2359,8 @@ object TxLog {
     writeRef(spark, path, cur + 1, target.partitionCols, target.schemaDdl,
       head.sourceBatchId, target.statsCols, target.constraints,
       target.uniques, operation = s"RESTORE TO v$toVersion",
-      baseRef = toVersion, ts = ts, minWriter = minWriter)
+      baseRef = toVersion, ts = ts, minWriter = minWriter,
+      colMap = target.colMap)
     val resolved = target.copy(version = cur + 1,
       sourceBatchId = head.sourceBatchId, ts = Some(ts), minWriter = minWriter)
     cachePut(spark, path, resolved)
@@ -2257,11 +2425,11 @@ object TxLog {
     val resolve = entryResolver(m.files)
     val hitFiles = hitUris.map(resolve).toSet
     if (hitFiles.isEmpty && upserts.limit(1).collect().isEmpty) return v
-    val hitRows = readFiles(spark, path, declared, hitFiles.toSeq)
+    val hitRows = readFiles(spark, path, declared, hitFiles.toSeq, m.colMap)
     val merged = graft.operators.Upsert.mergeByKey(
       hitRows.join(deletes, keys, "left_anti"), upserts, keys,
       preValidated = true)
-    val newFiles = stageIn(merged, path, pcs)
+    val newFiles = stageIn(toPhysical(merged, m.colMap), path, physPartCols(m))
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
       readSet = None, operation = "APPLY CHANGES", removeFiles = hitFiles)
@@ -2579,7 +2747,7 @@ object TxLog {
       entries.sorted, sourceBatchId = None, statsCols = m.statsCols,
       fileStats = stats, fileRows = rowCounts, constraints = m.constraints,
       uniques = m.uniques, ts = Some(System.currentTimeMillis()),
-      minWriter = m.minWriter)
+      minWriter = m.minWriter, colMap = m.colMap)
     writeManifest(spark, target, cloneM,
       operation = s"CLONE${if (deep) " DEEP" else ""} $source v$v")
     cachePut(spark, target, cloneM)
@@ -2650,7 +2818,8 @@ object TxLog {
       "TxLog.buildBloomIndex: the partition column is pruned by " +
         "directory, it needs no Bloom index")
     val fs = fsFor(spark, path)
-    val dir = bloomDir(path, colName)
+    // sidecar dirs are keyed by PHYSICAL name (stable across renames)
+    val dir = bloomDir(path, physOf(m, colName))
     fs.mkdirs(dir)
     val missing = m.files.filterNot(f =>
       fs.exists(new Path(dir, sidecarName(f))))
@@ -2674,7 +2843,7 @@ object TxLog {
           s"TxLog.buildBloomIndex: scan file '$uri' does not map back " +
             "to any manifest entry — partition value encoding mismatch"))
     }
-    val hashed = readFiles(spark, path, schema, missing)
+    val hashed = readFiles(spark, path, schema, missing, m.colMap)
       .select(input_file_name().as("_f"),
         xxhash64(col(colName).cast("string")).as("_h"))
     // filter sizing: the manifest's per-commit row counts cover most
@@ -2730,7 +2899,7 @@ object TxLog {
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val byStats = prunedFiles(spark, path, colName, value, value, Some(v))
     val fs = fsFor(spark, path)
-    val dir = bloomDir(path, colName)
+    val dir = bloomDir(path, physOf(manifest(spark, path, v), colName))
     if (!fs.exists(dir)) return byStats
     val h = keyHash(value)
     byStats.filter { f =>
@@ -2758,7 +2927,7 @@ object TxLog {
     val m = manifest(spark, path, v)
     val files = prunedFilesByKey(spark, path, colName, value, Some(v))
     import org.apache.spark.sql.functions.{col, lit}
-    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap)
       .filter(col(colName) === lit(value))
   }
 }

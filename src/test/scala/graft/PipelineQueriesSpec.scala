@@ -1765,4 +1765,42 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(out(2L) == ((16129L + 16393L, Some(2L), Some(1L))), out.toString)
     assert(out(3L) == ((16129L, None, Some(2L))), out.toString)
   }
+
+  test("removeRepeatedSpans: planted shared span cut from the LATER doc only, singleton text verbatim") {
+    import graft.operators.Dedup
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val span = words("shared", 60) // the planted 60-token span
+    val docs = Seq(
+      (1L, s"${words("a", 10)} $span ${words("atail", 5)}"),  // keeper (earliest)
+      (2L, s"${words("b", 7)} $span ${words("btail", 9)}"),   // later: span cut
+      (3L, words("solo", 80)),                                 // singleton: verbatim
+      (4L, words("tiny", 20))                                  // shorter than k
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, k = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // the keeper keeps its full text (token-identical; it was affected
+    // by nothing, so it is byte-verbatim too)
+    assert(out(1L)._1 == s"${words("a", 10)} $span ${words("atail", 5)}")
+    assert(out(1L)._2 == 0L)
+    // the later doc loses EXACTLY the 60 shared tokens, context kept
+    assert(out(2L)._1 == s"${words("b", 7)} ${words("btail", 9)}", out(2L)._1)
+    assert(out(2L)._2 == 60L)
+    // untouched docs pass through verbatim
+    assert(out(3L) == ((words("solo", 80), 0L)))
+    assert(out(4L) == ((words("tiny", 20), 0L)))
+
+    // a doc that IS the span (plus nothing) empties rather than drops
+    val docs2 = Seq((1L, span), (2L, span)).toDF("doc_id", "text")
+    val out2 = Dedup.removeRepeatedSpans(docs2, k = 50)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out2(1L) == ((span, 0L)), "keeper must keep the only copy")
+    assert(out2(2L) == (("", 60L)), "fully-duplicated doc empties, not drops")
+
+    // within-doc repetition alone is NOT cut (cross-doc semantics)
+    val docs3 = Seq((1L, s"$span $span")).toDF("doc_id", "text")
+    val out3 = Dedup.removeRepeatedSpans(docs3, k = 50).collect()
+    assert(out3.length == 1 && out3.head.getLong(2) == 0L,
+      "single-doc repetition must not self-trigger")
+  }
 }
