@@ -431,10 +431,17 @@ object Dedup {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    // pre-partitioned on the JOIN key before the one-time checkpoint:
+    // a checkpoint materializes with its physical partitioning, so
+    // every round's edges-side of the label join arrives co-located —
+    // the EDGE-sized shuffle (the term that made the 100M-edge
+    // ScaleCheck hop spill-bound) happens once here, never per round;
+    // only label-sized exchanges remain in the loop
     val edges = snap(pairs
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .distinct())
+      .distinct()
+      .repartition(col("b")))
     // initial label: min(self, direct neighbors) — saves one round
     var labels = snap(edges.groupBy("a")
       .agg(min("b").as("nmin"))
@@ -449,11 +456,15 @@ object Dedup {
     var done = false
     var i = 0
     while (!done && i < maxIters) {
-      val viaNeighbors = edges
+      // min over (self label ∪ neighbor labels) as ONE union+aggregate:
+      // the r8 shape computed neighbor-min with a groupBy, then joined
+      // labels back for the self term — a whole join stage this fusion
+      // removes (the self row rides the union into the same combiner)
+      val propagated = edges
         .join(labels.select(col("id").as("b"), col("comp").as("ncomp")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("ncomp")).as("ncomp"))
-      val propagated = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .select(col("a").as("id"), col("ncomp"))
+        .unionByName(labels.select(col("id"), col("comp").as("ncomp")))
+        .groupBy("id").agg(min(col("ncomp")).as("comp"))
       // pointer jump: labels are themselves node ids, so comp's comp is
       // a self-join — the doubling that makes long chains logarithmic
       val next = snap(propagated

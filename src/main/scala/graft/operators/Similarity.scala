@@ -136,7 +136,18 @@ object Similarity {
     * verify joins each side's vectors back by id (shuffle keys are
     * ids + bucket ints; full vectors move only for verified
     * candidates). Same recall economics as annLsh: recall grows with
-    * `tables`, candidates shrink with `planes`. */
+    * `tables`, candidates shrink with `planes`.
+    *
+    * Default-knob contract (`tables = 4`, deliberately HALF the
+    * serving paths' 8): this is a candidate GENERATOR — the exact
+    * cosine verify makes precision 1.0 by construction, so missed
+    * pairs are the only failure mode and the knob trades recall for
+    * banding cost. Measured pair recall on AnnRecallSpec's
+    * near-the-bar planted-twin ledger (selective 12-plane buckets):
+    * **0.700 at tables=4, 0.882 at tables=8** — floors pinned in the
+    * spec. Dedup sweeps that must not miss pairs should pass
+    * `tables = 8`; alignment joins where a second pass or a human
+    * review follows keep the cheaper default. */
   def annJoin(left: DataFrame, right: DataFrame, minCosine: Double = 0.95,
               dim: Int = 64, tables: Int = 4, planes: Int = 0): DataFrame = {
     val p = if (planes > 0) planes

@@ -104,7 +104,23 @@ object TxLog {
                       uniques: Seq[(String, Seq[String])] = Nil,
                       ts: Option[Long] = None,
                       minWriter: Int = 1,
-                      colMap: Seq[(String, String)] = Nil)
+                      colMap: Seq[(String, String)] = Nil,
+                      dv: Seq[(String, Map[String, Long])] = Nil)
+
+  /** Deletion-vector state: each element is one DV parquet file
+    * (relative to `<table>/_dv/`) holding (file-key, row_index) rows,
+    * with the per-target-entry deleted-row counts. A DV DELETE
+    * commits this metadata instead of rewriting the matched files —
+    * zero data movement for a needle delete; reads anti-join the
+    * (broadcast-sized) DV rows; OPTIMIZE materializes (its rewrite
+    * reads through the filtered view, and entries whose target file
+    * left the manifest prune out of the carried state, so the list is
+    * self-maintaining and bounded by un-materialized deletes). */
+  private def dvLiveFor(dv: Seq[(String, Map[String, Long])],
+                        liveFiles: Set[String]): Seq[(String, Map[String, Long])] =
+    dv.map { case (f, entries) =>
+      f -> entries.view.filterKeys(liveFiles).toMap
+    }.filter(_._2.nonEmpty)
 
   /** Column mapping: the PHYSICAL name a logical column's data lives
     * under in the files. Identity for never-renamed columns;
@@ -320,7 +336,8 @@ object TxLog {
                            constraints: Seq[(String, String)],
                            uniques: Seq[(String, Seq[String])],
                            ts: Option[Long], minWriter: Int,
-                           colMap: Seq[(String, String)])
+                           colMap: Seq[(String, String)],
+                           dv: Seq[(String, Map[String, Long])])
 
   private def nodeMeta(node: com.fasterxml.jackson.databind.JsonNode): CMeta = CMeta(
     node.get("version").asLong(),
@@ -353,6 +370,15 @@ object TxLog {
       (0 until a.size()).map { i =>
         val e = a.get(i)
         e.get("l").asText() -> e.get("p").asText()
+      }).getOrElse(Seq.empty),
+    Option(node.get("dv")).map(a =>
+      (0 until a.size()).map { i =>
+        val e = a.get(i)
+        val ent = e.get("entries")
+        val it = ent.fieldNames()
+        e.get("file").asText() ->
+          Iterator.continually(if (it.hasNext) it.next() else null)
+            .takeWhile(_ != null).map(k => k -> ent.get(k).asLong()).toMap
       }).getOrElse(Seq.empty))
 
   /** Parse a FULL commit (create/clone, and every pre-delta-format
@@ -380,7 +406,7 @@ object TxLog {
     }.getOrElse(Map.empty[String, Long])
     Manifest(c.version, c.partitionCols, c.schemaDdl, files, c.sourceBatchId,
       c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
-      c.minWriter, c.colMap)
+      c.minWriter, c.colMap, c.dv)
   }
 
   /** Apply one DELTA commit to its predecessor's resolved state —
@@ -422,7 +448,7 @@ object TxLog {
       if (c.statsCols.isEmpty) Map.empty
       else state.fileStats.view.filterKeys(keptSet).toMap ++ addStats,
       state.fileRows.view.filterKeys(keptSet).toMap ++ addRows,
-      c.constraints, c.uniques, c.ts, c.minWriter, c.colMap)
+      c.constraints, c.uniques, c.ts, c.minWriter, c.colMap, c.dv)
   }
 
   /** Load a checkpoint's file enumeration (columnar — never one JSON
@@ -441,7 +467,7 @@ object TxLog {
     }.toMap
     Manifest(c.version, c.partitionCols, c.schemaDdl, files, c.sourceBatchId,
       c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
-      c.minWriter, c.colMap)
+      c.minWriter, c.colMap, c.dv)
   }
 
   /** Resolve the snapshot at `version`: walk back to the nearest
@@ -472,7 +498,7 @@ object TxLog {
                 partitionCols = c.partitionCols, schemaDdl = c.schemaDdl,
                 statsCols = c.statsCols, constraints = c.constraints,
                 uniques = c.uniques, ts = c.ts, minWriter = c.minWriter,
-                colMap = c.colMap))
+                colMap = c.colMap, dv = c.dv))
           } else {
             chain ::= node
             t -= 1
@@ -621,18 +647,29 @@ object TxLog {
                        uniques: Seq[(String, Seq[String])],
                        operation: String, ts: Long, minWriter: Int,
                        protocol: Int = 1,
-                       colMap: Seq[(String, String)] = Nil)
+                       colMap: Seq[(String, String)] = Nil,
+                       dv: Seq[(String, Map[String, Long])] = Nil)
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = mapper.createObjectNode()
     // a column mapping gates READERS too (protocol 2): a pre-mapping
     // build would resolve fine but surface PHYSICAL column names —
-    // silently wrong results for any query naming the renamed column
+    // silently wrong results for any query naming the renamed column.
+    // Deletion vectors gate readers for the same reason: a pre-DV
+    // build would RESURRECT the deleted rows.
     node.put("protocol",
-      if (colMap.nonEmpty) math.max(protocol, 2) else protocol)
+      if (colMap.nonEmpty || dv.nonEmpty) math.max(protocol, 2) else protocol)
     if (colMap.nonEmpty) {
       val arr = node.putArray("colMap")
       colMap.foreach { case (l, p) =>
         val e = arr.addObject(); e.put("l", l); e.put("p", p)
+      }
+    }
+    if (dv.nonEmpty) {
+      val arr = node.putArray("dv")
+      dv.foreach { case (f, entries) =>
+        val e = arr.addObject(); e.put("file", f)
+        val ent = e.putObject("entries")
+        entries.toSeq.sortBy(_._1).foreach { case (k, n) => ent.put(k, n) }
       }
     }
     node.put("version", version)
@@ -682,7 +719,7 @@ object TxLog {
     val node = metaNode(m.version, m.partitionCols, m.schemaDdl,
       m.sourceBatchId, m.statsCols, m.constraints, m.uniques, operation,
       m.ts.getOrElse(System.currentTimeMillis()), m.minWriter,
-      colMap = m.colMap)
+      colMap = m.colMap, dv = m.dv)
     val arr = node.putArray("files")
     m.files.sorted.foreach(arr.add)
     if (m.statsCols.nonEmpty) {
@@ -715,13 +752,14 @@ object TxLog {
                          addRows: Map[String, Long],
                          ts: Long, minWriter: Int,
                          removeFiles: Set[String] = Set.empty,
-                         colMap: Seq[(String, String)] = Nil): Unit = {
+                         colMap: Seq[(String, String)] = Nil,
+                         dv: Seq[(String, Map[String, Long])] = Nil): Unit = {
     // a protocol-1 reader replaying a removeFiles delta would KEEP the
     // removed files (resurrected rows) — exactly those commits are
     // stamped protocol 2 and refuse old readers
     val node = metaNode(version, partitionCols, schemaDdl, sourceBatchId,
       statsCols, constraints, uniques, operation, ts, minWriter,
-      protocol = if (removeFiles.isEmpty) 1 else 2, colMap = colMap)
+      protocol = if (removeFiles.isEmpty) 1 else 2, colMap = colMap, dv = dv)
     val rmArr = node.putArray("removeDirs")
     removeDirs.toSeq.sorted.foreach(rmArr.add)
     if (removeFiles.nonEmpty) {
@@ -753,9 +791,10 @@ object TxLog {
                        uniques: Seq[(String, Seq[String])],
                        operation: String,
                        baseRef: Long, ts: Long, minWriter: Int,
-                       colMap: Seq[(String, String)] = Nil): Unit = {
+                       colMap: Seq[(String, String)] = Nil,
+                       dv: Seq[(String, Map[String, Long])] = Nil): Unit = {
     val node = metaNode(version, partitionCols, schemaDdl, sourceBatchId,
-      statsCols, constraints, uniques, operation, ts, minWriter, colMap = colMap)
+      statsCols, constraints, uniques, operation, ts, minWriter, colMap = colMap, dv = dv)
     node.put("baseRef", baseRef)
     commitAtomic(spark, path, version, node)
   }
@@ -809,8 +848,9 @@ object TxLog {
     val bySuffix = entries.map(f => relEntry(f) -> f).toMap
     uri => {
       val i = uri.lastIndexOf("/data/")
-      val suffix =
-        if (i >= 0) uri.substring(i + "/data/".length) else uri.split('/').last
+      // no '/data/' ⇒ the input already IS the data-root-relative
+      // suffix (the _dv_key column readFiles computes)
+      val suffix = if (i >= 0) uri.substring(i + "/data/".length) else uri
       bySuffix.get(suffix)
         .orElse(bySuffix.get(java.net.URLDecoder.decode(suffix, "UTF-8")))
         .getOrElse(throw new IllegalStateException(
@@ -856,7 +896,8 @@ object TxLog {
                            operation: String,
                            maxRetries: Int = 10,
                            removeFiles: Set[String] = Set.empty,
-                           revalidate: Manifest => Unit = _ => ()): Long = {
+                           revalidate: Manifest => Unit = _ => (),
+                           addDv: Seq[(String, Map[String, Long])] = Nil): Long = {
     requireWritable(base, path)
     val (newStats, newRows) = collectStats(spark, path,
       physicalize(StructType.fromDDL(schemaDdl), base.colMap),
@@ -871,16 +912,21 @@ object TxLog {
         // the commit file is a DELTA — O(files changed) bytes; the
         // race is still one atomic v<N+1>.json rename
         val ts = clampedTs(attempt)
-        writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
-          schemaDdl, resolvedBatch, attempt.statsCols, attempt.constraints,
-          attempt.uniques, operation, rewriteDirs, newFiles, newStats, newRows,
-          ts, attempt.minWriter, removeFiles, attempt.colMap)
-        // resolve the state this delta produced (same transition
-        // applyDelta replays) — warms the cache for the next
-        // commit/read and feeds the periodic checkpoint
         val kept = attempt.files.filterNot(f =>
           rewriteDirs.contains(dirOf(f)) || removeFiles.contains(f))
         val keptSet = kept.toSet
+        // DV entries whose target file leaves the manifest prune out —
+        // a rewrite materialized those deletes (it read through the
+        // filtered view), so the carried DV state stays bounded by
+        // un-materialized deletes
+        val dvKept = dvLiveFor(attempt.dv ++ addDv, keptSet)
+        writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
+          schemaDdl, resolvedBatch, attempt.statsCols, attempt.constraints,
+          attempt.uniques, operation, rewriteDirs, newFiles, newStats, newRows,
+          ts, attempt.minWriter, removeFiles, attempt.colMap, dvKept)
+        // resolve the state this delta produced (same transition
+        // applyDelta replays) — warms the cache for the next
+        // commit/read and feeds the periodic checkpoint
         // newFiles sorted: byte-identical to what applyDelta replays
         // from the JSON (writeDelta emits adds sorted)
         val resolved = Manifest(attempt.version + 1, attempt.partitionCols,
@@ -889,7 +935,7 @@ object TxLog {
           else attempt.fileStats.view.filterKeys(keptSet).toMap ++ newStats,
           attempt.fileRows.view.filterKeys(keptSet).toMap ++ newRows,
           attempt.constraints, attempt.uniques, Some(ts), attempt.minWriter,
-          attempt.colMap)
+          attempt.colMap, dvKept)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return attempt.version + 1
@@ -1132,7 +1178,7 @@ object TxLog {
     val v = version.orElse(currentVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
-    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), m.files, m.colMap)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), m.files, m.colMap, m.dv)
   }
 
   /** Plan a read over an explicit file list under this table's data
@@ -1141,16 +1187,27 @@ object TxLog {
   /** `schema` is the LOGICAL schema to return; `colMap` maps renamed
     * logical columns to the physical names the files spell — the scan
     * reads physical, the final projection aliases back to logical, so
-    * a rename is invisible to every caller downstream. */
+    * a rename is invisible to every caller downstream. `dv` is the
+    * version's deletion-vector state: rows listed in a DV anti-join
+    * away before the final projection, so EVERY consumer of a
+    * DV-bearing snapshot (reads, merges, probes, CDF, compaction)
+    * sees the post-delete view through this one seam. */
   private def readFiles(spark: SparkSession, path: String,
                         schema: StructType, files: Seq[String],
-                        colMap: Seq[(String, String)] = Nil): DataFrame =
+                        colMap: Seq[(String, String)] = Nil,
+                        dv: Seq[(String, Map[String, Long])] = Nil,
+                        keepDvKey: Boolean = false): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
     else {
       val physical = physicalize(schema, colMap)
       val base = dataDir(path).toString
+      // DVs relevant to THIS file subset only; a DV-free read stays
+      // the plain scan (no metadata columns, no join)
+      val fileSet = files.toSet
+      val dvRelevant = dv.filter(_._2.keys.exists(fileSet))
+      val needKey = dvRelevant.nonEmpty || keepDvKey
       // files group by their data ROOT: the table's own data dir for
       // relative entries, the SOURCE table's data dir for a shallow
       // clone's absolute references. Each root reads with its own
@@ -1169,21 +1226,50 @@ object TxLog {
       // parse from the raw directory string directly to their declared
       // type (a string partition keeps "01" as "01" — inference alone
       // would read INT 1 and a cast-back would corrupt it to "1")
-      groups.toSeq.sortBy(_._1).map { case (root, fs) =>
-        spark.read.schema(physical).option("basePath", root)
+      val scanned = groups.toSeq.sortBy(_._1).map { case (root, fs) =>
+        val scan = spark.read.schema(physical).option("basePath", root)
           .parquet(fs.map(f => if (isAbsEntry(f)) f else s"$root/$f"): _*)
+        if (!needKey) scan
+        else scan
+          // the same file key the DV writer computed: data-root-relative
+          // suffix (identical for relative entries and clone refs) —
+          // resolved per scan group, where _metadata still binds
+          .withColumn("_dv_key", org.apache.spark.sql.functions.expr(
+            "substring_index(input_file_name(), '/data/', -1)"))
+          .withColumn("_dv_idx",
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
       }.reduce(_ unionByName _)
-        .select(schema.fields.map { f =>
-          // backtick-quoted so dotted/spaced column names never
-          // mis-parse (same contract as Profile); the projection
-          // restores the declared column ORDER (parquet reads append
-          // partition columns last) AND the LOGICAL names (renamed
-          // columns read from their physical name)
-          val phys = colMap.find(_._1 == f.name).map(_._2).getOrElse(f.name)
-          org.apache.spark.sql.functions
-            .col("`" + phys.replace("`", "``") + "`").as(f.name)
-        }: _*)
+      val filtered =
+        if (dvRelevant.isEmpty) scanned
+        else {
+          val dvDf = spark.read
+            .parquet(dvRelevant.map { case (f, _) => dvPath(path, f) }: _*)
+            .select(org.apache.spark.sql.functions.col("f").as("_dv_key"),
+              org.apache.spark.sql.functions.col("row_index").as("_dv_idx"))
+          // DV rows are delete-sized: AQE broadcasts the anti-join side
+          scanned.join(dvDf, Seq("_dv_key", "_dv_idx"), "left_anti")
+        }
+      val projection = schema.fields.map { f =>
+        // backtick-quoted so dotted/spaced column names never
+        // mis-parse (same contract as Profile); the projection
+        // restores the declared column ORDER (parquet reads append
+        // partition columns last) AND the LOGICAL names (renamed
+        // columns read from their physical name)
+        val phys = colMap.find(_._1 == f.name).map(_._2).getOrElse(f.name)
+        org.apache.spark.sql.functions
+          .col("`" + phys.replace("`", "``") + "`").as(f.name)
+      }
+      filtered.select((projection ++ (if (keepDvKey)
+        Seq(org.apache.spark.sql.functions.col("_dv_key"),
+          org.apache.spark.sql.functions.col("_dv_idx"))
+        else Nil)).toIndexedSeq: _*)
     }
+
+  /** A DV file reference resolves like a data entry: table-relative
+    * under `_dv/`, or absolute (a shallow clone's pointer into the
+    * source's DV dir). */
+  private def dvPath(path: String, f: String): String =
+    if (isAbsEntry(f)) f else new Path(new Path(path, "_dv"), f).toString
 
   /** The data-skipping planner: files of a version whose tracked
     * [min, max] could intersect [lower, upper] on `colName`. Files
@@ -1243,7 +1329,7 @@ object TxLog {
     val m = manifest(spark, path, v)
     val files = prunedFiles(spark, path, colName, lower, upper, Some(v))
     import org.apache.spark.sql.functions.{col, lit}
-    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap, m.dv)
       .filter(col(colName).between(lit(lower), lit(upper)))
   }
 
@@ -1274,9 +1360,15 @@ object TxLog {
       s"TxLog.appendsSince: ${removed.size} files of v$sinceVersion were " +
         s"rewritten between v$sinceVersion and v$to — history is not " +
         "append-only over this range; consume TxLog.changes instead")
+    // a DV delete changes ROWS without changing the file set — the
+    // file-level increment would silently miss it; same loud contract
+    require(mFrom.dv == mTo.dv,
+      s"TxLog.appendsSince: deletion vectors changed between " +
+        s"v$sinceVersion and v$to — history is not append-only over " +
+        "this range; consume TxLog.changes instead")
     val fromSet = mFrom.files.toSet
     readFiles(spark, path, StructType.fromDDL(mTo.schemaDdl),
-      mTo.files.filterNot(fromSet), mTo.colMap)
+      mTo.files.filterNot(fromSet), mTo.colMap, mTo.dv)
   }
 
   /** Files ADDED by version `v` over its predecessor — the
@@ -1291,6 +1383,9 @@ object TxLog {
     require(removed.isEmpty,
       s"TxLog: ${removed.size} files of v${v - 1} were rewritten by v$v — " +
         "history is not append-only over this range; consume TxLog.changes instead")
+    require(prev.dv == m.dv,
+      s"TxLog: deletion vectors changed at v$v — history is not " +
+        "append-only here; consume TxLog.changes instead")
     val prevSet = prev.files.toSet
     m.files.filterNot(prevSet)
   }
@@ -1301,7 +1396,7 @@ object TxLog {
   private[graft] def readFileList(spark: SparkSession, path: String,
                                   version: Long, files: Seq[String]): DataFrame = {
     val m = manifest(spark, path, version)
-    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap, m.dv)
   }
 
   /** Additive-only schema widening: every declared column keeps its
@@ -1447,7 +1542,8 @@ object TxLog {
           nextChecks, nextUniques, operation,
           removeDirs = Set.empty, addFiles = Nil,
           addStats = Map.empty, addRows = Map.empty,
-          ts = ts, minWriter = nextMinWriter, colMap = attempt.colMap)
+          ts = ts, minWriter = nextMinWriter, colMap = attempt.colMap,
+          dv = attempt.dv)
         val resolved = attempt.copy(version = attempt.version + 1,
           constraints = nextChecks, uniques = nextUniques,
           ts = Some(ts), minWriter = nextMinWriter)
@@ -1655,7 +1751,7 @@ object TxLog {
               bounds.getString(0), bounds.getString(1))
           } else existingFiles
         if (candidates.nonEmpty) {
-          val collide = readFiles(spark, path, schema, candidates, m.colMap)
+          val collide = readFiles(spark, path, schema, candidates, m.colMap, m.dv)
             .select(cols.map(col): _*)
             .join(df.select(cols.map(col): _*).distinct(), cols, "left_semi")
             .limit(1).collect()
@@ -1726,7 +1822,7 @@ object TxLog {
           attempt.uniques, operation = s"SET STATS COLS ${cols.mkString(", ")}",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty, ts = ts, minWriter = attempt.minWriter,
-          colMap = attempt.colMap)
+          colMap = attempt.colMap, dv = attempt.dv)
         // cols = Nil disables skipping: drop the entries exactly like
         // applyDelta's replay of this commit would
         val resolved = attempt.copy(version = attempt.version + 1,
@@ -1803,7 +1899,7 @@ object TxLog {
           operation = s"RENAME COLUMN $oldName TO $newName",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
-          colMap = newColMap)
+          colMap = newColMap, dv = attempt.dv)
         val resolved = attempt.copy(version = attempt.version + 1,
           partitionCols = newPartCols, schemaDdl = newSchema.toDDL,
           uniques = newUniques, ts = Some(ts), minWriter = nextMinWriter,
@@ -1973,7 +2069,7 @@ object TxLog {
     // count and the union executes as a single Spark job — compaction
     // cost scales with rewritten bytes, not with partition count
     val pieces = todo.toSeq.sortBy(_._1).map { case (_, files) =>
-      val part = readFiles(spark, path, schema, files, m.colMap)
+      val part = readFiles(spark, path, schema, files, m.colMap, m.dv)
       val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
       val n = ((bytes + BigInt(targetBytesPerFile) - 1) / targetBytesPerFile)
         .max(1).toInt
@@ -2088,17 +2184,21 @@ object TxLog {
       } else m.files
     // ---- discovery stage 3: exact — which files HOLD a matched key ----
     val updKeys = updatesAligned.select(keys.map(col): _*).distinct()
+    // the file key is the _dv_key column, not input_file_name():
+    // computed inside each single-source scan, it survives the DV
+    // anti-join a deletion-vector-bearing snapshot adds to the plan
     val hitUris: Array[String] =
       if (discoveryFiles.isEmpty) Array.empty
-      else padNewCols(readFiles(spark, path, declared, discoveryFiles, m.colMap))
-        .select(keys.map(col) :+ input_file_name().as("_gf"): _*)
+      else padNewCols(readFiles(spark, path, declared, discoveryFiles,
+          m.colMap, m.dv, keepDvKey = true))
+        .select(keys.map(col) :+ col("_dv_key").as("_gf"): _*)
         .join(updKeys, keys, "left_semi")
         .select("_gf").distinct().collect().map(_.getString(0))
     val resolve = entryResolver(m.files)
     val hitFiles = hitUris.map(resolve).toSet
     // merge = rows of the hit files with updates applied (updates win),
     // plus inserts; staged per-partition so moved keys land right
-    val hitRows = padNewCols(readFiles(spark, path, declared, hitFiles.toSeq, m.colMap))
+    val hitRows = padNewCols(readFiles(spark, path, declared, hitFiles.toSeq, m.colMap, m.dv))
     val merged = graft.operators.Upsert.mergeByKey(
       hitRows, updatesAligned, keys, preValidated)
     val newFiles = stageIn(toPhysical(merged, m.colMap), path, physPartCols(m))
@@ -2220,33 +2320,79 @@ object TxLog {
     * removed files refuses instead. Works identically on partitioned
     * and unpartitioned tables (the rewrite unit is the file either
     * way). */
+  /** `deletionVectors = true` switches the commit from file rewrites
+    * to a DELETION VECTOR (Delta's DVs): the matched rows' (file,
+    * row_index) pairs land as one small parquet sidecar under `_dv/`
+    * and the commit is METADATA-ONLY — a needle delete on a 100 GB
+    * file costs kilobytes instead of rewriting the file. Reads
+    * anti-join the (delete-sized, AQE-broadcast) DV rows; every
+    * snapshot consumer — merges, probes, CDF, compaction — sees the
+    * post-delete view through the same seam. OPTIMIZE materializes:
+    * its rewrite reads the filtered view, and DV entries whose target
+    * file left the manifest prune out of the carried state. DV
+    * commits are protocol 2 (a pre-DV reader would resurrect the
+    * rows); [[appendsSince]] and the streaming tail refuse across a
+    * DV commit (rows changed without a file change — consume the
+    * change feed). The rewrite mode stays the default: DVs trade
+    * write amplification for a per-read filter, the right trade for
+    * SMALL deletes on BIG files. */
   def deleteWhere(spark: SparkSession, path: String,
-                  condition: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+                  condition: org.apache.spark.sql.Column,
+                  deletionVectors: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     requireWritable(m, path)
     val schema = StructType.fromDDL(m.schemaDdl)
-    val snap = read(spark, path, Some(v))
     // null-safe: a NULL condition row is NOT deleted (SQL DELETE semantics)
     val hit = coalesce(condition, lit(false))
-    // exact hit-file discovery: the scan prunes to the condition's
-    // columns; the collected set is bounded by the live file count
-    val uris = snap.filter(hit).select(input_file_name().as("_f"))
-      .distinct().collect().map(_.getString(0))
-    if (uris.isEmpty) return v
-    val resolve = entryResolver(m.files)
-    val hitFiles = uris.map(resolve).toSet
-    val newFiles = stageIn(
-      toPhysical(readFiles(spark, path, schema, hitFiles.toSeq, m.colMap)
-        .filter(not(hit)), m.colMap),
-      path, physPartCols(m))
-    // the discovery read the whole snapshot — conflict loudly on any
-    // interleaved change (readSet = None)
-    commitRebase(spark, path, m, rewriteDirs = Set.empty,
-      newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
-      readSet = None, operation = "DELETE", removeFiles = hitFiles)
+    if (deletionVectors) {
+      // rows to delete, keyed exactly as reads key them — existing DVs
+      // already filtered, so a row can never be deleted twice
+      val newDel = readFiles(spark, path, schema, m.files, m.colMap, m.dv,
+        keepDvKey = true)
+        .filter(hit)
+        .select(col("_dv_key").as("f"), col("_dv_idx").cast("long").as("row_index"))
+      val perKey = newDel.groupBy("f")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      if (perKey.isEmpty) return v
+      // suffix keys → manifest entries (raw first, URL-decoded fallback)
+      val bySuffix = m.files.map(f => relEntry(f) -> f).toMap
+      val counts = perKey.map { case (suffix, n) =>
+        bySuffix.get(suffix)
+          .orElse(bySuffix.get(java.net.URLDecoder.decode(suffix, "UTF-8")))
+          .getOrElse(throw new IllegalStateException(
+            s"TxLog.deleteWhere(dv): scan key '$suffix' does not map back " +
+              "to any manifest entry")) -> n
+      }.toMap
+      val dvName = java.util.UUID.randomUUID().toString.take(12) + ".dv"
+      newDel.write.parquet(dvPath(path, dvName))
+      commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = Nil,
+        schemaDdl = m.schemaDdl, batchId = None, readSet = None,
+        operation = "DELETE (DV)", addDv = Seq(dvName -> counts))
+    } else {
+      // exact hit-file discovery: the scan prunes to the condition's
+      // columns; the collected set is bounded by the live file count
+      // (_dv_key, not input_file_name — it survives the DV anti-join)
+      val uris = readFiles(spark, path, schema, m.files, m.colMap, m.dv,
+          keepDvKey = true)
+        .filter(hit).select(col("_dv_key").as("_f"))
+        .distinct().collect().map(_.getString(0))
+      if (uris.isEmpty) return v
+      val resolve = entryResolver(m.files)
+      val hitFiles = uris.map(resolve).toSet
+      val newFiles = stageIn(
+        toPhysical(readFiles(spark, path, schema, hitFiles.toSeq, m.colMap, m.dv)
+          .filter(not(hit)), m.colMap),
+        path, physPartCols(m))
+      // the discovery read the whole snapshot — conflict loudly on any
+      // interleaved change (readSet = None)
+      commitRebase(spark, path, m, rewriteDirs = Set.empty,
+        newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
+        readSet = None, operation = "DELETE", removeFiles = hitFiles)
+    }
   }
 
   /** Change data feed between two committed versions — the row-level
@@ -2360,7 +2506,7 @@ object TxLog {
       head.sourceBatchId, target.statsCols, target.constraints,
       target.uniques, operation = s"RESTORE TO v$toVersion",
       baseRef = toVersion, ts = ts, minWriter = minWriter,
-      colMap = target.colMap)
+      colMap = target.colMap, dv = target.dv)
     val resolved = target.copy(version = cur + 1,
       sourceBatchId = head.sourceBatchId, ts = Some(ts), minWriter = minWriter)
     cachePut(spark, path, resolved)
@@ -2417,15 +2563,15 @@ object TxLog {
     // old side of a moved key); upsert rows for keys the table lacks
     // simply land as new files. One key-pruned semi-join scan.
     val feedKeys = feed.select(keys.map(col): _*).distinct()
-    val hitUris = read(spark, path, Some(v))
-      .select(keys.map(col) :+
-        org.apache.spark.sql.functions.input_file_name().as("_gf"): _*)
+    val hitUris = readFiles(spark, path, declared, m.files, m.colMap, m.dv,
+        keepDvKey = true)
+      .select(keys.map(col) :+ col("_dv_key").as("_gf"): _*)
       .join(feedKeys, keys, "left_semi")
       .select("_gf").distinct().collect().map(_.getString(0))
     val resolve = entryResolver(m.files)
     val hitFiles = hitUris.map(resolve).toSet
     if (hitFiles.isEmpty && upserts.limit(1).collect().isEmpty) return v
-    val hitRows = readFiles(spark, path, declared, hitFiles.toSeq, m.colMap)
+    val hitRows = readFiles(spark, path, declared, hitFiles.toSeq, m.colMap, m.dv)
     val merged = graft.operators.Upsert.mergeByKey(
       hitRows.join(deletes, keys, "left_anti"), upserts, keys,
       preValidated = true)
@@ -2544,6 +2690,17 @@ object TxLog {
               !liveNames.contains(st.getPath.getName))
             fs.delete(st.getPath, false)
         }
+      }
+    }
+    // deletion-vector sidecars referenced by NO retained manifest
+    // (materialized by OPTIMIZE, superseded, or orphaned by a lost
+    // commit race) — delete-sized parquet dirs under _dv/
+    val dvRoot = new Path(path, "_dv")
+    if (fs.exists(dvRoot)) {
+      val liveDv = keep.flatMap(kv => manifest(spark, path, kv).dv.map(_._1))
+        .filterNot(isAbsEntry).toSet
+      fs.listStatus(dvRoot).foreach { st =>
+        if (!liveDv.contains(st.getPath.getName)) fs.delete(st.getPath, true)
       }
     }
     drop.foreach { dv =>
@@ -2683,7 +2840,9 @@ object TxLog {
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     if (m.files.forall(m.fileRows.contains))
-      Some(m.files.map(m.fileRows).sum)
+      // DV-deleted rows subtract from the metadata count (every carried
+      // DV entry references a live file — stale entries prune at commit)
+      Some(m.files.map(m.fileRows).sum - m.dv.flatMap(_._2.values).sum)
     else None
   }
 
@@ -2720,11 +2879,19 @@ object TxLog {
     val m = manifest(spark, source, v)
     def abs(f: String): String =
       if (isAbsEntry(f)) f else new Path(dataDir(source), f).toString
-    val (entries, stats, rowCounts) =
+    def absDv(f: String): String =
+      if (isAbsEntry(f)) f else new Path(new Path(source, "_dv"), f).toString
+    val (entries, stats, rowCounts, dvState) =
       if (!deep) {
         val es = m.files.map(abs)
         (es, m.fileStats.map { case (k, cols) => abs(k) -> cols },
-          m.fileRows.map { case (k, n) => abs(k) -> n })
+          m.fileRows.map { case (k, n) => abs(k) -> n },
+          // DV refs and their target-entry keys both go absolute: the
+          // parquet's (suffix, row_index) content stays valid because
+          // an absolute entry's suffix equals the relative form's
+          m.dv.map { case (f, e) =>
+            absDv(f) -> e.map { case (k, n) => abs(k) -> n }
+          })
       } else {
         val srcFs = fsFor(spark, source)
         val dstFs = fsFor(spark, target)
@@ -2738,16 +2905,28 @@ object TxLog {
             s"TxLog.clone: copy failed for $f")
           f -> rel
         }.toMap
+        // deep clone copies the DV parquet dirs too — fully
+        // self-contained, like the data files
+        val dvCopied = m.dv.map { case (f, e) =>
+          val rel = if (isAbsEntry(f)) f.split('/').last else f
+          val dst = new Path(new Path(target, "_dv"), rel)
+          dstFs.mkdirs(dst.getParent)
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            srcFs, new Path(absDv(f)), dstFs, dst, false, conf),
+            s"TxLog.clone: DV copy failed for $f")
+          rel -> e.map { case (k, n) => copied.getOrElse(k, relEntry(k)) -> n }
+        }
         (m.files.map(copied),
           m.fileStats.flatMap { case (k, cols) => copied.get(k).map(_ -> cols) },
-          m.fileRows.flatMap { case (k, n) => copied.get(k).map(_ -> n) })
+          m.fileRows.flatMap { case (k, n) => copied.get(k).map(_ -> n) },
+          dvCopied)
       }
     cacheInvalidate(spark, target)
     val cloneM = Manifest(1L, m.partitionCols, m.schemaDdl,
       entries.sorted, sourceBatchId = None, statsCols = m.statsCols,
       fileStats = stats, fileRows = rowCounts, constraints = m.constraints,
       uniques = m.uniques, ts = Some(System.currentTimeMillis()),
-      minWriter = m.minWriter, colMap = m.colMap)
+      minWriter = m.minWriter, colMap = m.colMap, dv = dvState)
     writeManifest(spark, target, cloneM,
       operation = s"CLONE${if (deep) " DEEP" else ""} $source v$v")
     cachePut(spark, target, cloneM)
@@ -2843,7 +3022,7 @@ object TxLog {
           s"TxLog.buildBloomIndex: scan file '$uri' does not map back " +
             "to any manifest entry — partition value encoding mismatch"))
     }
-    val hashed = readFiles(spark, path, schema, missing, m.colMap)
+    val hashed = readFiles(spark, path, schema, missing, m.colMap, m.dv)
       .select(input_file_name().as("_f"),
         xxhash64(col(colName).cast("string")).as("_h"))
     // filter sizing: the manifest's per-commit row counts cover most
@@ -2927,7 +3106,7 @@ object TxLog {
     val m = manifest(spark, path, v)
     val files = prunedFilesByKey(spark, path, colName, value, Some(v))
     import org.apache.spark.sql.functions.{col, lit}
-    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap, m.dv)
       .filter(col(colName) === lit(value))
   }
 }

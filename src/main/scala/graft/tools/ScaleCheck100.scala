@@ -87,9 +87,16 @@ object ScaleCheck100 {
     println(f"[scale100] jaccard ratios: 10x/1x ${j10 / j1}%.1f, 100x/10x ${j100 / j10}%.1f")
 
     // ---- dedup_components: constant diameter, 1M/10M/100M edges ----
-    def cc(chains: Long): Long =
-      Dedup.components(chainForest(spark, chains, 64L)).select("comp")
-        .distinct().count()
+    // dir-backed checkpoints (the documented cluster path): the 100M
+    // tier's 2x10^8-row label/edge materializations belong on disk,
+    // not in the driver-heap value store localCheckpoint uses
+    def cc(chains: Long): Long = {
+      val got = Dedup.components(chainForest(spark, chains, 64L),
+          checkpointDir = Some(s"$root/cc_ckpt"))
+        .select("component").distinct().count()
+      assert(got == chains, s"expected $chains components, got $got")
+      got
+    }
     val c1 = t("components 1M edges")(cc(16000L))
     val c10 = t("components 10M edges")(cc(160000L))
     val c100 = t("components 100M edges")(cc(1600000L))

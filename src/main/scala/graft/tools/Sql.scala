@@ -21,16 +21,17 @@ import graft.tables.Tables
   * already pure SQL via the `graft_txlog*` table functions —
   * [[graft.functions.TableFunctions]]):
   *
-  *   TXLOG CREATE [OR REPLACE] '<path>' [PARTITION BY <col>] AS <select>
+  *   TXLOG CREATE [OR REPLACE] '<path>' [PARTITION BY <c1[,c2...]>] AS <select>
   *   TXLOG APPEND INTO '<path>' <select>
   *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>
-  *   TXLOG DELETE FROM '<path>' WHERE <condition>
+  *   TXLOG DELETE FROM '<path>' WHERE <condition> [USING DELETION VECTORS]
   *   TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>
   *   TXLOG RESTORE '<path>' TO VERSION <n> | TO TIMESTAMP '<ts>'
   *   TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> UNIQUE (<k1[,k2...]>)
   *   TXLOG ALTER '<path>' DROP CONSTRAINT <name>
+  *   TXLOG ALTER '<path>' RENAME COLUMN <old> TO <new>
   *   TXLOG ALTER '<path>' SET STATS COLS (<c1[,c2...]>)  -- () disables
   *   TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]
   *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]
@@ -44,13 +45,15 @@ import graft.tables.Tables
 object Sql {
 
   private val CreateOrReplaceRe =
-    """(?is)\s*TXLOG\s+CREATE\s+OR\s+REPLACE\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+)\s+)?AS\s+(.+)""".r
+    """(?is)\s*TXLOG\s+CREATE\s+OR\s+REPLACE\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*)\s+)?AS\s+(.+)""".r
   private val CreateRe =
-    """(?is)\s*TXLOG\s+CREATE\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+)\s+)?AS\s+(.+)""".r
+    """(?is)\s*TXLOG\s+CREATE\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*)\s+)?AS\s+(.+)""".r
   private val AppendRe =
     """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+(.+)""".r
   private val MergeRe =
     """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+(.+)""".r
+  private val DeleteDvRe =
+    """(?is)\s*TXLOG\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s+USING\s+DELETION\s+VECTORS\s*""".r
   private val DeleteRe =
     """(?is)\s*TXLOG\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+)""".r
   private val ReplaceRe =
@@ -69,6 +72,8 @@ object Sql {
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+SET\s+STATS\s+COLS\s*\(([^)]*)\)\s*""".r
   private val AlterDropRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+  private val AlterRenameRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
   private val OptimizeRe =
     """(?is)\s*TXLOG\s+OPTIMIZE\s+'([^']+)'\s*(?:PARTITIONS\s*\(([^)]+)\)\s*)?(?:ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*""".r
   private val VacuumRe =
@@ -81,15 +86,20 @@ object Sql {
     sql match {
       case CreateOrReplaceRe(path, part, select) =>
         asDf(graft.storage.TxLog.createOrReplace(spark.sql(select), path,
-          partitionCol = Option(part)))
+          partitionCols = Option(part).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
       case CreateRe(path, part, select) =>
         asDf(graft.storage.TxLog.create(spark.sql(select), path,
-          partitionCol = Option(part)))
+          partitionCols = Option(part).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
       case AppendRe(path, select) =>
         asDf(graft.storage.TxLog.append(spark.sql(select), path))
       case MergeRe(path, keys, select) =>
         asDf(graft.storage.TxLog.mergeInto(path, spark.sql(select),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      case DeleteDvRe(path, cond) =>
+        asDf(graft.storage.TxLog.deleteWhere(spark, path,
+          org.apache.spark.sql.functions.expr(cond), deletionVectors = true))
       case DeleteRe(path, cond) =>
         asDf(graft.storage.TxLog.deleteWhere(spark, path,
           org.apache.spark.sql.functions.expr(cond)))
@@ -116,6 +126,8 @@ object Sql {
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       case AlterDropRe(path, name) =>
         asDf(graft.storage.TxLog.dropConstraint(spark, path, name))
+      case AlterRenameRe(path, oldName, newName) =>
+        asDf(graft.storage.TxLog.renameColumn(spark, path, oldName, newName))
       case OptimizeRe(path, parts, zcols) =>
         asDf(graft.storage.TxLog.compact(spark, path,
           zorderBy = Option(zcols).toSeq

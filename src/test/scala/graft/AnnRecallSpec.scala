@@ -221,4 +221,49 @@ class AnnRecallSpec extends SparkSpec {
     assert(ivf >= 0.9, s"IVF recall@10 on clustered corpus below 0.9: $ivf")
     truth.unpersist()
   }
+
+  test("annJoin pair recall ledger: tables=4 vs 8 measured, DEFAULT knob contract pinned") {
+    import spark.implicits._
+    // 200 left vectors, each with a perturbed twin on the right
+    // (cosine ~0.99): ground truth = EVERY cross pair clearing the
+    // cosine bar, computed brute-force
+    val rnd = new scala.util.Random(7)
+    val leftRows = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)))
+    // heavy perturbation puts the true pairs NEAR the bar — the
+    // adversarial regime where bucket-sign agreement is not a given
+    val rightRows = leftRows.map { case (i, v) =>
+      (1000L + i, v.map(x => (x + (rnd.nextDouble() - 0.5) * 0.7).toFloat))
+    }
+    val left = leftRows.toDF("vec_id", "embedding")
+    val right = rightRows.toDF("vec_id", "embedding")
+    val bar = 0.80
+    val truth = left.select(col("vec_id").as("left_id"), col("embedding").as("e_l"))
+      .crossJoin(right.select(col("vec_id").as("right_id"), col("embedding").as("e_r")))
+      .filter(Similarity.cosine(col("e_l"), col("e_r")) >= bar)
+      .select("left_id", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 100, s"fixture degenerate: only ${truth.size} true pairs")
+    def found(tables: Int): Set[(Long, Long)] =
+      Similarity.annJoin(left, right, minCosine = bar, dim = 16, tables = tables,
+          planes = 12)
+        .select("left_id", "right_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f4 = found(4); val f8 = found(8)
+    // exact-verify downstream: NO false pairs at any knob
+    assert(f4.subsetOf(truth) && f8.subsetOf(truth),
+      "annJoin emitted a pair below the cosine bar")
+    val r4 = f4.size.toDouble / truth.size
+    val r8 = f8.size.toDouble / truth.size
+    info(f"annJoin pair recall (planted twins, bar=$bar): tables=4 $r4%.3f, tables=8 $r8%.3f")
+    assert(r8 >= r4 - 1e-9, s"recall not monotone in tables: t4=$r4 t8=$r8")
+    // measured 0.700 / 0.882 (deterministic: seeded fixture, fixed
+    // planes) — the DEFAULT (tables=4) contract the scaladoc now
+    // documents: a candidate GENERATOR with exact verify downstream,
+    // so precision is 1.0 by construction and missed pairs are the
+    // only failure mode; doubling `tables` buys ~26% more recall for
+    // 2x banding cost here
+    assert(r4 >= 0.65, s"annJoin default-knob recall below documented floor: $r4")
+    assert(r8 >= 0.80, s"annJoin tables=8 recall below documented floor: $r8")
+  }
 }

@@ -285,6 +285,21 @@ class SqlSurfaceSpec extends SparkSpec {
       TxLog.readByKey(spark, dir, "r_name", "z"), "graft_txlog_point")
   }
 
+  test("TXLOG RENAME COLUMN verb and multi-column PARTITION BY through SQL strings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_rename").toString + "/tbl"
+    Seq((1L, "d1", 0, 1.0), (2L, "d2", 1, 2.0)).toDF("k", "d", "h", "v")
+      .createOrReplaceTempView("sql_rename_src")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG CREATE '$dir' PARTITION BY d, h AS SELECT * FROM sql_rename_src")
+    assert(graft.storage.TxLog.manifest(spark, dir, 1L).partitionCols == Seq("d", "h"))
+    graft.tools.Sql.exec(spark,
+      s"TXLOG ALTER '$dir' RENAME COLUMN v TO score")
+    val head = graft.storage.TxLog.read(spark, dir)
+    assert(head.columns.contains("score") && !head.columns.contains("v"))
+    assert(head.selectExpr("sum(score)").head().getDouble(0) == 3.0)
+  }
+
   test("a malformed TXLOG statement refuses loudly instead of falling through to the ANSI parser") {
     val e = intercept[IllegalArgumentException] {
       graft.tools.Sql.exec(spark, "TXLOG OPTIMISE '/tmp/nowhere'") // misspelled verb

@@ -1,0 +1,159 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deletion vectors — `deleteWhere(deletionVectors = true)`: a delete
+  * as METADATA + a delete-sized sidecar, zero data-file changes. These
+  * specs pin the economics (files byte-identical), the single read
+  * seam (merges/probes/CDF/compaction all see the post-delete view),
+  * materialization via OPTIMIZE, accumulation across deletes,
+  * fastCount arithmetic, the append-tail refusal, protocol-2 reader
+  * gating, and vacuum GC of superseded sidecars.
+  */
+class TxLogDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_dv_$tag").toString + "/tbl"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double)] =
+    df.select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+
+  private def fixture = Seq(
+    (1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0), (4L, "p2", 40.0)
+  ).toDF("k", "part", "v")
+
+  test("DV delete: zero file changes, rows gone, fastCount exact, time travel intact, deletes accumulate") {
+    val path = freshPath("basic")
+    TxLog.create(fixture, path, Some("part"))
+    val m1 = TxLog.manifest(spark, path, 1L)
+    def fileState(rel: String): (Long, Long) = {
+      val f = new java.io.File(s"$path/data/$rel"); (f.length, f.lastModified)
+    }
+    val before = m1.files.map(f => f -> fileState(f)).toMap
+    val v2 = TxLog.deleteWhere(spark, path, col("k") === 2L,
+      deletionVectors = true)
+    assert(v2 == 2L)
+    val m2 = TxLog.manifest(spark, path, 2L)
+    // the whole point: the FILE SET is untouched, bytes never move
+    assert(m2.files == m1.files, "DV delete must not change the file set")
+    m1.files.foreach(f => assert(fileState(f) == before(f), s"$f moved"))
+    assert(m2.dv.size == 1 && m2.dv.head._2.values.sum == 1L, m2.dv.toString)
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((1L, "p1", 10.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
+    // metadata-only count subtracts the DV rows
+    assert(TxLog.fastCount(spark, path).contains(3L))
+    // time travel: the pre-delete version still reads the row
+    assert(rows(TxLog.read(spark, path, Some(1L))) == rows(fixture))
+    // a second DV delete accumulates (and cannot re-delete the same row)
+    TxLog.deleteWhere(spark, path, col("k") <= 3L, deletionVectors = true)
+    val m3 = TxLog.manifest(spark, path, 3L)
+    assert(m3.dv.flatMap(_._2.values).sum == 3L, m3.dv.toString)
+    assert(rows(TxLog.read(spark, path)) == Set((4L, "p2", 40.0)))
+    assert(TxLog.fastCount(spark, path).contains(1L))
+    // history records the DV commit kind
+    val ops = TxLog.history(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(ops(2L) == "DELETE (DV)", ops.toString)
+  }
+
+  test("one read seam: merge, UNIQUE probe, CDF and compaction all see the post-delete view") {
+    val path = freshPath("seam")
+    TxLog.create(fixture, path, Some("part"))
+    TxLog.deleteWhere(spark, path, col("k") === 2L, deletionVectors = true)
+    // a merge re-inserting the DV-deleted key: the anti-join side
+    // (hit rows) must NOT contain the deleted row, so the new row wins
+    // cleanly and the deleted one stays gone
+    TxLog.mergeInto(path, Seq((2L, "p1", -2.0)).toDF("k", "part", "v"), Seq("k"))
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((1L, "p1", 10.0), (2L, "p1", -2.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
+    // CDF across the DV delete: exactly one delete row
+    val feed = TxLog.changes(spark, path, 1L, 2L, Seq("k"))
+    val byKey = feed.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("_change_type")).toMap
+    assert(byKey == Map(2L -> "delete"), byKey.toString)
+    // UNIQUE gate: inserting a key that only a DV-deleted row held is
+    // NOT a collision
+    val path2 = freshPath("seam_unique")
+    TxLog.create(fixture, path2, Some("part"))
+    TxLog.addUniqueConstraint(spark, path2, "pk_k", Seq("k"))
+    TxLog.deleteWhere(spark, path2, col("k") === 3L, deletionVectors = true)
+    TxLog.append(Seq((3L, "p2", 33.0)).toDF("k", "part", "v"), path2)
+    assert(TxLog.read(spark, path2).filter("k = 3").head().getDouble(2) == 33.0)
+    // ...and a key still live DOES collide
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq((1L, "p1", 0.0)).toDF("k", "part", "v"), path2)
+    }
+  }
+
+  test("OPTIMIZE materializes DVs: state prunes to empty, rows stay gone, vacuum GCs the sidecar") {
+    val path = freshPath("optimize")
+    TxLog.create(fixture, path, Some("part"))
+    TxLog.deleteWhere(spark, path, col("k") === 2L, deletionVectors = true)
+    assert(TxLog.manifest(spark, path, 2L).dv.nonEmpty)
+    // rewrite every partition (threshold 1): the compaction reads the
+    // filtered view, so the rewritten files exclude the deleted row and
+    // the carried DV state prunes to empty
+    val v3 = TxLog.compact(spark, path, minFilesToCompact = 1)
+    val m3 = TxLog.manifest(spark, path, v3)
+    assert(m3.dv.isEmpty, s"DV state should materialize away: ${m3.dv}")
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((1L, "p1", 10.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
+    assert(TxLog.fastCount(spark, path).contains(3L))
+    // the sidecar survives while v2 is retained...
+    val dvDirs = Option(new java.io.File(s"$path/_dv").listFiles())
+      .getOrElse(Array.empty)
+    assert(dvDirs.nonEmpty, "sidecar gone while v2 still retained")
+    // ...and vacuums away with it
+    TxLog.vacuum(spark, path, keepVersions = 1)
+    val after = Option(new java.io.File(s"$path/_dv").listFiles())
+      .getOrElse(Array.empty)
+    assert(after.isEmpty, s"vacuum left DV sidecars: ${after.mkString(",")}")
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((1L, "p1", 10.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
+  }
+
+  test("DV commits gate old readers (protocol 2) and refuse the file-level append tail") {
+    val path = freshPath("gate")
+    TxLog.create(fixture, path, Some("part"))
+    TxLog.deleteWhere(spark, path, col("k") === 1L, deletionVectors = true)
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_manifests/v2.json")), "UTF-8")
+    assert(txt.contains("\"protocol\" : 2"),
+      "a pre-DV reader would resurrect deleted rows — must refuse")
+    // file-level increments are row-inaccurate across a DV commit
+    val e = intercept[IllegalArgumentException] {
+      TxLog.appendsSince(spark, path, 1L)
+    }
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // but appends AFTER the DV commit tail fine from v2
+    TxLog.append(Seq((9L, "p1", 90.0)).toDF("k", "part", "v"), path)
+    assert(TxLog.appendsSince(spark, path, 2L).count() == 1)
+  }
+
+  test("shallow clone carries DV state by reference; deep clone is self-contained") {
+    val src = freshPath("clone_src")
+    TxLog.create(fixture, src, Some("part"))
+    TxLog.deleteWhere(spark, src, col("k") === 2L, deletionVectors = true)
+    val shallow = freshPath("clone_shallow")
+    TxLog.clone(spark, src, shallow)
+    assert(rows(TxLog.read(spark, shallow)) ==
+      Set((1L, "p1", 10.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
+    assert(TxLog.fastCount(spark, shallow).contains(3L))
+    val deep = freshPath("clone_deep")
+    TxLog.clone(spark, src, deep, deep = true)
+    assert(rows(TxLog.read(spark, deep)) ==
+      Set((1L, "p1", 10.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
+    // deep clone survives source deletion entirely
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete()
+    }
+    rm(new java.io.File(src).getParentFile)
+    TxLog.flushSnapshotCacheForTesting()
+    assert(rows(TxLog.read(spark, deep)) ==
+      Set((1L, "p1", 10.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
+  }
+}
