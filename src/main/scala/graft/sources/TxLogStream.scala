@@ -359,7 +359,11 @@ class TxLogSource(spark: SparkSession, opts: TxLogStream.Opts,
     * whose adds only re-house already-delivered rows, but a skipped
     * MERGE also drops its genuinely-new rows (the same caveat Delta
     * documents for skipChangeCommits; use the change feed when merges
-    * carry data the consumer needs). Append mode only — the change
+    * carry data the consumer needs). A DELETION-VECTOR commit changes
+    * rows without touching files: the tail refuses it loudly
+    * (addedFiles' DV guard), and under skipRewriteCommits it
+    * contributes no files — skipped like any other row-changing
+    * commit, same caveat. Append mode only — the change
     * feed never plans at file granularity. */
   private def filesOf(w: Long): Seq[String] =
     if (w == start.snapshotV) TxLog.manifest(spark, path, w).files
