@@ -200,6 +200,14 @@ object TxLogBatch {
       s"graft-txlog: table at $path uses column mapping (renamed columns); " +
         "the batch relation does not alias physical names yet — read via " +
         "TxLog.read")
+    // a deletion-vector-bearing snapshot needs the DV anti-join seam;
+    // a plain file scan would RESURRECT the deleted rows — the one
+    // thing a relation must never do silently. Materialize first
+    // (OPTIMIZE) or read via TxLog.read.
+    require(m.dv.isEmpty,
+      s"graft-txlog: version ${m.version} at $path carries deletion " +
+        "vectors; the batch relation cannot apply them — run " +
+        "TxLog.compact to materialize, or read via TxLog.read")
     (path, m)
   }
 }

@@ -128,6 +128,15 @@ class TxLogDvSpec extends SparkSpec {
       TxLog.appendsSince(spark, path, 1L)
     }
     assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // the batch relation cannot apply DVs — a plain file scan would
+    // resurrect the deleted row, so it must refuse, not serve
+    val eb = intercept[IllegalArgumentException] {
+      spark.read.format("graft-txlog").option("path", path).load()
+    }
+    assert(eb.getMessage.contains("deletion vectors"), eb.getMessage)
+    // the version BEFORE the DV commit still serves through the format
+    assert(spark.read.format("graft-txlog").option("path", path)
+      .option("versionAsOf", "1").load().count() == 4)
     // but appends AFTER the DV commit tail fine from v2
     TxLog.append(Seq((9L, "p1", 90.0)).toDF("k", "part", "v"), path)
     assert(TxLog.appendsSince(spark, path, 2L).count() == 1)
