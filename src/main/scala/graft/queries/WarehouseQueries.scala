@@ -1050,6 +1050,28 @@ object WarehouseQueries {
       .orderBy("ver", "o_orderkey")
   }
 
+  /** DELETE via DELETION VECTORS: create → DV-delete a key slice →
+    * read the head. The commit moved ZERO data files (the matched
+    * rows' (file, row_index) pairs land as one delete-sized sidecar;
+    * TxLogDvSpec pins the byte-identical file set) and the filtered
+    * read must be row-exact against a plain SQL filter — the driver
+    * gate proves the anti-join seam, not just the economics. */
+  def txlogDv(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_dv_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    TxLog.create(dim, path, Some("o_orderpriority"))
+    TxLog.deleteWhere(s, path, col("o_orderkey") % 7 === 0,
+      deletionVectors = true)
+    TxLog.read(s, path)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** RESTORE over the transaction log: create → merge → roll back to
     * v1 as a NEW commit. The head read after the rollback must equal
     * the ORIGINAL table — and the restore commit moved zero data bytes
@@ -1164,6 +1186,7 @@ object WarehouseQueries {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog" -> txlog _,
+    "q_txlog_dv" -> txlogDv _,
     "q_txlog_point" -> txlogPoint _,
     "q_txlog_cdf" -> txlogCdf _,
     "q_txlog_restore" -> txlogRestore _,
@@ -1251,6 +1274,10 @@ object WarehouseQueries {
         |SELECT CAST(2 AS INT) AS ver, o_orderkey, o_orderstatus, o_totalprice
         |FROM v2
         |ORDER BY ver, o_orderkey""".stripMargin,
+    // a deletion-vector delete ≡ a plain filter, row-exact
+    "q_txlog_dv" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin,
     // needle reads through the Bloom index ≡ a plain IN-filter
     "q_txlog_point" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -2119,9 +2119,19 @@ object TxLog {
     * minimal. Inserts (keys matching nothing) land as new files in
     * their partitions. The commit is a protocol-2 `removeFiles` delta
     * — see [[ProtocolVersion]]. Returns the new version. */
+  /** `deletionVectors = true` switches the merge to MERGE-ON-READ
+    * (Delta's DV-based merge): instead of rewriting the files holding
+    * matched keys, the matched OLD rows' positions land as a
+    * delete-sized DV sidecar and the updates (new versions + inserts)
+    * append as new files — write cost is matched ROWS + update bytes,
+    * not matched FILES. The winner when a few keys update inside big
+    * files; OPTIMIZE later materializes. Same DV trade as
+    * [[deleteWhere]]: per-read anti-join until materialized,
+    * protocol-2 commits, append-tail refusal. */
   def mergeInto(path: String, updates: DataFrame, keys: Seq[String],
                 preValidated: Boolean = false,
-                evolveSchema: Boolean = false): Long = {
+                evolveSchema: Boolean = false,
+                deletionVectors: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
     val spark = updates.sparkSession
     val v = currentVersion(spark, path).getOrElse(
@@ -2184,6 +2194,50 @@ object TxLog {
       } else m.files
     // ---- discovery stage 3: exact — which files HOLD a matched key ----
     val updKeys = updatesAligned.select(keys.map(col): _*).distinct()
+    if (deletionVectors) {
+      // MERGE-ON-READ: the matched OLD rows' positions become a DV;
+      // the updates append whole. Within-batch key uniqueness still
+      // binds (two update rows for one key would BOTH land).
+      if (!preValidated) {
+        val dup = graft.operators.Upsert.pkViolations(updatesAligned, keys)
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"TxLog.mergeInto: duplicate update rows for key (${keys.mkString(",")})")
+      }
+      val matched =
+        if (discoveryFiles.isEmpty)
+          spark.emptyDataFrame.select(lit("").as("f"), lit(0L).as("row_index"))
+            .limit(0)
+        else padNewCols(readFiles(spark, path, declared, discoveryFiles,
+            m.colMap, m.dv, keepDvKey = true))
+          .select(keys.map(col) :+ col("_dv_key") :+ col("_dv_idx"): _*)
+          .join(updKeys, keys, "left_semi")
+          .select(col("_dv_key").as("f"),
+            col("_dv_idx").cast("long").as("row_index"))
+      val perKey = matched.groupBy("f")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val addDv =
+        if (perKey.isEmpty) Nil // pure insert
+        else {
+          val bySuffix = m.files.map(f => relEntry(f) -> f).toMap
+          val counts = perKey.map { case (suffix, n) =>
+            bySuffix.get(suffix)
+              .orElse(bySuffix.get(java.net.URLDecoder.decode(suffix, "UTF-8")))
+              .getOrElse(throw new IllegalStateException(
+                s"TxLog.mergeInto(dv): scan key '$suffix' does not map " +
+                  "back to any manifest entry")) -> n
+          }.toMap
+          val dvName = java.util.UUID.randomUUID().toString.take(12) + ".dv"
+          matched.write.parquet(dvPath(path, dvName))
+          Seq(dvName -> counts)
+        }
+      val newFiles = stageIn(toPhysical(updatesAligned, m.colMap), path,
+        physPartCols(m))
+      return commitRebase(spark, path, m, rewriteDirs = Set.empty,
+        newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
+        readSet = None, operation = "MERGE (DV)", addDv = addDv)
+    }
     // the file key is the _dv_key column, not input_file_name():
     // computed inside each single-source scan, it survives the DV
     // anti-join a deletion-vector-bearing snapshot adds to the plan

@@ -115,6 +115,49 @@ class TxLogDvSpec extends SparkSpec {
       Set((1L, "p1", 10.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
   }
 
+  test("MERGE-ON-READ: DV merge leaves old files untouched, updates win, inserts land, OPTIMIZE materializes") {
+    val path = freshPath("merge")
+    TxLog.create(fixture, path, Some("part"))
+    val m1 = TxLog.manifest(spark, path, 1L)
+    def fileState(rel: String): (Long, Long) = {
+      val f = new java.io.File(s"$path/data/$rel"); (f.length, f.lastModified)
+    }
+    val before = m1.files.map(f => f -> fileState(f)).toMap
+    // update key 2 + insert key 9, as a DV merge
+    TxLog.mergeInto(path,
+      Seq((2L, "p1", -2.0), (9L, "p2", 90.0)).toDF("k", "part", "v"),
+      Seq("k"), deletionVectors = true)
+    val m2 = TxLog.manifest(spark, path, 2L)
+    // every ORIGINAL file still in the manifest, byte-identical; the
+    // update+insert appended as new files
+    assert(m1.files.toSet.subsetOf(m2.files.toSet),
+      "DV merge must not drop original files")
+    m1.files.foreach(f => assert(fileState(f) == before(f), s"$f moved"))
+    assert(m2.dv.flatMap(_._2.values).sum == 1L, m2.dv.toString)
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((1L, "p1", 10.0), (2L, "p1", -2.0), (3L, "p2", 30.0),
+        (4L, "p2", 40.0), (9L, "p2", 90.0)))
+    assert(TxLog.fastCount(spark, path).contains(5L))
+    // a pure-insert DV merge writes no sidecar at all
+    TxLog.mergeInto(path, Seq((10L, "p1", 100.0)).toDF("k", "part", "v"),
+      Seq("k"), deletionVectors = true)
+    assert(TxLog.manifest(spark, path, 3L).dv.flatMap(_._2.values).sum == 1L)
+    // CDF across the DV merge: one update, one insert
+    val feed = TxLog.changes(spark, path, 1L, 2L, Seq("k"))
+    val byKey = feed.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("_change_type")).toMap
+    assert(byKey == Map(2L -> "update", 9L -> "insert"), byKey.toString)
+    // materialize: DV state drains, result identical
+    val want = rows(TxLog.read(spark, path))
+    TxLog.compact(spark, path, minFilesToCompact = 1)
+    val head = TxLog.currentVersion(spark, path).get
+    assert(TxLog.manifest(spark, path, head).dv.isEmpty)
+    assert(rows(TxLog.read(spark, path)) == want)
+    val ops = TxLog.history(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(ops(2L) == "MERGE (DV)", ops.toString)
+  }
+
   test("DV commits gate old readers (protocol 2) and refuse the file-level append tail") {
     val path = freshPath("gate")
     TxLog.create(fixture, path, Some("part"))
