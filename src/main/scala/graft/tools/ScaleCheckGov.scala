@@ -130,6 +130,28 @@ object ScaleCheckGov {
       s"$partFiles files in the touched partition " +
       s"(partition-granular would rewrite all $partFiles)")
 
+    // 7. DELETION VECTORS vs rewrite: the same 1-key delete, both
+    // modes, same 6M-row table — the DV commit must cost METADATA
+    // (one delete-sized sidecar), the rewrite mode one file's bytes
+    time("1-key DELETE, rewrite mode (1 admitting file)") {
+      TxLog.deleteWhere(spark, t10, col("k") === 200L)
+    }
+    val mMid = TxLog.manifest(spark, t10,
+      TxLog.currentVersion(spark, t10).get)
+    time("1-key DELETE, deletion-vector mode (zero file changes)") {
+      TxLog.deleteWhere(spark, t10, col("k") === 300L, deletionVectors = true)
+    }
+    val mDv = TxLog.manifest(spark, t10,
+      TxLog.currentVersion(spark, t10).get)
+    println(s"[scale-gov] DV delete changed ${
+      mMid.files.toSet.diff(mDv.files.toSet).size} files " +
+      s"(rewrite mode rewrote ${
+        if (mMid.files.toSet == mDv.files.toSet) "1 file earlier" else "?"}), " +
+      s"dv rows ${mDv.dv.flatMap(_._2.values).sum}")
+    time("full read AFTER the DV delete (anti-join seam cost)") {
+      TxLog.read(spark, t10).count()
+    }
+
     // 5b. the degraded bound: same probe with the skip index dropped —
     // the full column-pruned key scan an unclustered layout pays
     TxLog.setStatsCols(spark, t10, Nil)

@@ -24,6 +24,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dedup_spans: hash-keyed equi-joins only, partial aggregation on the gram ownership pass") {
+    val p = plan(PipelineQueries.entries("dedup_spans")(spark, sf))
+    // the duplicated-gram ownership and the token reassembly are all
+    // (gram-hash / doc-id)-keyed equi-joins — a cartesian over
+    // positions would be corpus² at scale
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"non-equi join in dedup_spans:\n${p.take(4000)}")
+    // the min/max ownership aggregate must combine map-side: gram rows
+    // shrink to one per hash BEFORE the shuffle
+    assert("partial_min|partial_max".r.findFirstIn(p).isDefined ||
+      "HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation on gram ownership:\n${p.take(4000)}")
+  }
+
   test("projection pruning: q1_agg reads only the 7 columns it needs") {
     val scans = WarehouseQueries.q1Agg(spark, sf).queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f.requiredSchema.fieldNames.toSet
