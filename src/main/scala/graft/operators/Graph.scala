@@ -33,7 +33,14 @@ object Graph {
                d: Double = 0.85): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
     import org.apache.spark.sql.types.DecimalType
+    // pre-partitioned on the per-iteration JOIN key and materialized
+    // once: the checkpoint keeps its physical partitioning, so none of
+    // the 20 iterations re-shuffles (or re-reads) the EDGE table — only
+    // rank-sized exchanges remain in the loop (the Dedup.components
+    // r9 rework, same reasoning)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
@@ -48,10 +55,14 @@ object Graph {
       val danglingMass = withDeg.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("pr").cast(DecimalType(28, 20))), lit(0)))
         .head().getDecimal(0).doubleValue()
+      // fresh aliases per join: nodes/outdeg/e all descend from the one
+      // checkpointed edge RDD, so dataset-qualified refs (e("src"))
+      // would be ambiguous self-join columns
       val contribs = withDeg.filter(col("outdeg").isNotNull)
         .select(col("node").as("csrc"), (col("pr") / col("outdeg")).as("w"))
-        .join(e, col("csrc") === e("src"))
-        .groupBy(e("dst").as("node"))
+        .join(e.select(col("src").as("esrc"), col("dst").as("edst")),
+          col("csrc") === col("esrc"))
+        .groupBy(col("edst").as("node"))
         .agg(sum(col("w").cast(DecimalType(28, 20))).cast("double").as("contrib"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
