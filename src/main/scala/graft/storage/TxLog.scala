@@ -2204,33 +2204,35 @@ object TxLog {
         require(dup.isEmpty,
           s"TxLog.mergeInto: duplicate update rows for key (${keys.mkString(",")})")
       }
-      val matched =
-        if (discoveryFiles.isEmpty)
-          spark.emptyDataFrame.select(lit("").as("f"), lit(0L).as("row_index"))
-            .limit(0)
-        else padNewCols(readFiles(spark, path, declared, discoveryFiles,
-            m.colMap, m.dv, keepDvKey = true))
-          .select(keys.map(col) :+ col("_dv_key") :+ col("_dv_idx"): _*)
-          .join(updKeys, keys, "left_semi")
-          .select(col("_dv_key").as("f"),
-            col("_dv_idx").cast("long").as("row_index"))
-      val perKey = matched.groupBy("f")
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1))
+      // write FIRST, count from the written sidecar (one discovery
+      // scan total — the deleteWhere(dv) pattern)
+      val dvName = java.util.UUID.randomUUID().toString.take(12) + ".dv"
       val addDv =
-        if (perKey.isEmpty) Nil // pure insert
+        if (discoveryFiles.isEmpty) Nil // pure insert
         else {
-          val bySuffix = m.files.map(f => relEntry(f) -> f).toMap
-          val counts = perKey.map { case (suffix, n) =>
-            bySuffix.get(suffix)
-              .orElse(bySuffix.get(java.net.URLDecoder.decode(suffix, "UTF-8")))
-              .getOrElse(throw new IllegalStateException(
-                s"TxLog.mergeInto(dv): scan key '$suffix' does not map " +
-                  "back to any manifest entry")) -> n
-          }.toMap
-          val dvName = java.util.UUID.randomUUID().toString.take(12) + ".dv"
-          matched.write.parquet(dvPath(path, dvName))
-          Seq(dvName -> counts)
+          padNewCols(readFiles(spark, path, declared, discoveryFiles,
+              m.colMap, m.dv, keepDvKey = true))
+            .select(keys.map(col) :+ col("_dv_key") :+ col("_dv_idx"): _*)
+            .join(updKeys, keys, "left_semi")
+            .select(col("_dv_key").as("f"),
+              col("_dv_idx").cast("long").as("row_index"))
+            .write.parquet(dvPath(path, dvName))
+          val perKey = spark.read.parquet(dvPath(path, dvName)).groupBy("f")
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+          if (perKey.isEmpty) {
+            fsFor(spark, path).delete(new Path(dvPath(path, dvName)), true)
+            Nil // updates matched nothing: pure insert
+          } else {
+            val bySuffix = m.files.map(f => relEntry(f) -> f).toMap
+            Seq(dvName -> perKey.map { case (suffix, n) =>
+              bySuffix.get(suffix)
+                .orElse(bySuffix.get(java.net.URLDecoder.decode(suffix, "UTF-8")))
+                .getOrElse(throw new IllegalStateException(
+                  s"TxLog.mergeInto(dv): scan key '$suffix' does not map " +
+                    "back to any manifest entry")) -> n
+            }.toMap)
+          }
         }
       val newFiles = stageIn(toPhysical(updatesAligned, m.colMap), path,
         physPartCols(m))
@@ -2408,10 +2410,18 @@ object TxLog {
         keepDvKey = true)
         .filter(hit)
         .select(col("_dv_key").as("f"), col("_dv_idx").cast("long").as("row_index"))
-      val perKey = newDel.groupBy("f")
+      // write FIRST, count from the written sidecar: one table-sized
+      // scan total, and the committed counts describe exactly the
+      // bytes on disk even under a non-deterministic condition
+      val dvName = java.util.UUID.randomUUID().toString.take(12) + ".dv"
+      newDel.write.parquet(dvPath(path, dvName))
+      val perKey = spark.read.parquet(dvPath(path, dvName)).groupBy("f")
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1))
-      if (perKey.isEmpty) return v
+      if (perKey.isEmpty) {
+        fsFor(spark, path).delete(new Path(dvPath(path, dvName)), true)
+        return v
+      }
       // suffix keys → manifest entries (raw first, URL-decoded fallback)
       val bySuffix = m.files.map(f => relEntry(f) -> f).toMap
       val counts = perKey.map { case (suffix, n) =>
@@ -2421,8 +2431,6 @@ object TxLog {
             s"TxLog.deleteWhere(dv): scan key '$suffix' does not map back " +
               "to any manifest entry")) -> n
       }.toMap
-      val dvName = java.util.UUID.randomUUID().toString.take(12) + ".dv"
-      newDel.write.parquet(dvPath(path, dvName))
       commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = Nil,
         schemaDdl = m.schemaDdl, batchId = None, readSet = None,
         operation = "DELETE (DV)", addDv = Seq(dvName -> counts))
