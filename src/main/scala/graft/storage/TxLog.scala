@@ -2849,10 +2849,13 @@ object TxLog {
       m.files.size.toLong,
       m.files.map(sizeOf).sum, fastCount(spark, path),
       m.statsCols.mkString(", "), m.constraints.size, m.uniques.size,
+      // outstanding (un-materialized) deletion-vector rows — the "run
+      // OPTIMIZE to materialize" advisory signal
+      m.dv.flatMap(_._2.values).sum,
       m.schemaDdl))
       .toDF("path", "version", "partition_col", "num_files", "total_bytes",
         "rows", "stats_cols", "n_check_constraints", "n_unique_constraints",
-        "schema_ddl")
+        "n_dv_rows", "schema_ddl")
   }
 
   /** The newest version committed AT OR BEFORE `tsMillis` — the

@@ -337,10 +337,17 @@ class TxLogCheckpointSpec extends SparkSpec {
     assert(d.getLong(4) > 0L, "total_bytes should sum real file sizes")
     assert(d.getLong(5) == 2L, "metadata row count")
     assert(d.getString(6) == "k" && d.getInt(7) == 1 && d.getInt(8) == 1)
-    assert(d.getString(9).contains("part"), d.getString(9))
+    assert(d.getLong(9) == 0L, "no outstanding DV rows yet")
+    assert(d.getString(10).contains("part"), d.getString(10))
+    // a DV delete surfaces as outstanding rows — the OPTIMIZE advisory
+    TxLog.deleteWhere(spark, path,
+      org.apache.spark.sql.functions.col("k") === 2L, deletionVectors = true)
+    val d2 = TxLog.detail(spark, path).head()
+    assert(d2.getLong(9) == 1L && d2.getLong(5) == 1L, d2.toString)
     // ...and as SQL
-    assert(spark.sql(s"SELECT version FROM graft_txlog_detail('$path')")
-      .head().getLong(0) == 3L)
+    assert(spark.sql(
+      s"SELECT version, n_dv_rows FROM graft_txlog_detail('$path')")
+      .head().getLong(0) == 4L)
   }
 
   test("AS OF TIMESTAMP: commit times drive versionAt/readAsOf, the TVF, and RESTORE TO TIMESTAMP") {
