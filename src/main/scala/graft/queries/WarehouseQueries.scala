@@ -1072,6 +1072,70 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The BATCH half of the `graft-txlog` format through the driver
+    * gate: create → `spark.read.format("graft-txlog")` → selective
+    * filter. The relation plans from the manifest FileIndex (stats
+    * skipping + pushdown pinned in TxLogBatchSpec); here the GATE
+    * checks the rows that come back are exactly the SQL filter's. */
+  def txlogBatch(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_batch_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    TxLog.create(dim, path, Some("o_orderpriority"),
+      statsCols = Seq("o_orderkey"))
+    s.read.format("graft-txlog").option("path", path).load()
+      .filter(col("o_orderkey") <= 1000L)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** RENAME COLUMN through the driver gate: create → rename →
+    * read. Metadata-only (zero file rewrites, spec-pinned); the gate
+    * checks values surface under the NEW name, row-exact. */
+  def txlogRename(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_rename_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    TxLog.create(dim, path, Some("o_orderpriority"))
+    TxLog.renameColumn(s, path, "o_totalprice", "price")
+    TxLog.read(s, path)
+      .select("o_orderkey", "o_orderstatus", "price")
+      .orderBy("o_orderkey")
+  }
+
+  /** MULTI-COLUMN partitioning + file-granular merge through the
+    * driver gate: a (priority, status) nested layout takes the same
+    * update stream as q_txlog; the gate checks the merged head
+    * row-exactly (same oracle arithmetic, one snapshot). */
+  def txlogMulticol(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_multicol_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    TxLog.create(dim, path,
+      partitionCols = Seq("o_orderpriority", "o_orderstatus"))
+    val changes = dim.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(BigDecimal("1.1")))
+          .cast("double"))
+      .withColumn("o_orderstatus", lit("R"))
+    TxLog.mergeInto(path, changes, Seq("o_orderkey"))
+    TxLog.read(s, path)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** RESTORE over the transaction log: create → merge → roll back to
     * v1 as a NEW commit. The head read after the rollback must equal
     * the ORIGINAL table — and the restore commit moved zero data bytes
@@ -1187,6 +1251,9 @@ object WarehouseQueries {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog" -> txlog _,
     "q_txlog_dv" -> txlogDv _,
+    "q_txlog_batch" -> txlogBatch _,
+    "q_txlog_rename" -> txlogRename _,
+    "q_txlog_multicol" -> txlogMulticol _,
     "q_txlog_point" -> txlogPoint _,
     "q_txlog_cdf" -> txlogCdf _,
     "q_txlog_restore" -> txlogRestore _,
@@ -1278,6 +1345,27 @@ object WarehouseQueries {
     "q_txlog_dv" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin,
+    // the batch format's manifest-planned scan ≡ a plain filter
+    "q_txlog_batch" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
+    // a metadata-only rename ≡ an alias
+    "q_txlog_rename" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    // the (priority, status) nested layout takes q_txlog's update
+    // stream; the merged head is the same v2 arithmetic
+    "q_txlog_multicol" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, 'R' AS o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     // needle reads through the Bloom index ≡ a plain IN-filter
     "q_txlog_point" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
