@@ -81,7 +81,7 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
         ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
       if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
       else Cast(Literal(ExternalCatalogUtils.unescapePathName(raw)),
-        field.dataType).eval(null)
+        field.dataType, Some("UTC")).eval(null) // tz: date/ts partition values
     })
   }
 
