@@ -37,6 +37,7 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
                      m: TxLog.Manifest) extends FileIndex {
 
   private val declared = StructType.fromDDL(m.schemaDdl)
+  private val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
   override val partitionSchema: StructType =
     StructType(m.partitionCols.map(declared.apply))
 
@@ -80,8 +81,12 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
       val raw = byName.getOrElse(field.name,
         ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
       if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      // SESSION tz, not UTC: stageIn's partitionBy writer formats
+      // timestamp partition values in the session timezone, so the
+      // cast back must use the same zone or the relation would surface
+      // shifted instants (and prune against the wrong ones)
       else Cast(Literal(ExternalCatalogUtils.unescapePathName(raw)),
-        field.dataType, Some("UTC")).eval(null) // tz: date/ts partition values
+        field.dataType, Some(sessionTz)).eval(null)
     })
   }
 
@@ -111,11 +116,15 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
     * decimals, everything else lexicographically (the stats contract).
     */
   private def rangeOf(e: Expression): Option[(String, Option[String], Option[String])] = {
+    // Encode the literal EXACTLY like collectStats encodes the file
+    // bounds — Cast-to-string in the session timezone — so a DATE or
+    // TIMESTAMP literal compares as '2021-01-02', never as its raw
+    // Catalyst days/micros value (which would lexicographically
+    // mis-prune every file and silently lose rows).
     def lit(l: Literal): Option[String] =
-      Option(l.value).map(v => Literal.create(v, l.dataType).eval(null) match {
-        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-        case x => String.valueOf(x)
-      })
+      Option(l.value).flatMap(_ =>
+        Option(Cast(l, org.apache.spark.sql.types.StringType,
+          Some(sessionTz)).eval(null)).map(_.toString))
     e match {
       case EqualTo(a: AttributeReference, l: Literal) =>
         lit(l).map(v => (a.name, Some(v), Some(v)))
@@ -150,14 +159,34 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
       case Some((mn, mx)) =>
         val numeric = declared(colName).dataType.isInstanceOf[NumericType]
         def geq(a: String, b: String) = // a >= b under the stats encoding
-          if (numeric) BigDecimal(a) >= BigDecimal(b) else a >= b
+          if (numeric)
+            // NaN/Infinity bounds (a double file's min/max casts to
+            // 'NaN'/'Infinity') don't parse as decimals — keep the
+            // file; pruning is an optimization, never a filter
+            scala.util.Try(BigDecimal(a) >= BigDecimal(b)).getOrElse(true)
+          else a >= b
         lo.forall(l => geq(mx, l)) && hi.forall(h => geq(h, mn))
+    }
+
+  /** Only types whose Cast-to-string encoding is ORDER-PRESERVING may
+    * vote: numeric (compared as decimals), string (identity), and
+    * date/timestamp ('yyyy-MM-dd[ HH:mm:ss[.f…]]' — zero-padded, so
+    * lexicographic IS chronological, under the session-tz write/read
+    * contract the partition values already rely on). Everything else (binary,
+    * boolean, intervals) is conservatively unprunable. */
+  private def votableType(colName: String): Boolean =
+    declared(colName).dataType match {
+      case _: NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case _ => false
     }
 
   private def skipByStats(files: Seq[(String, FileStatus)],
                           dataFilters: Seq[Expression]) = {
     val votes = dataFilters.flatMap(rangeOf)
-      .filter { case (c, _, _) => m.statsCols.contains(c) }
+      .filter { case (c, _, _) => m.statsCols.contains(c) && votableType(c) }
     if (votes.isEmpty) files
     else files.filter { case (entry, _) =>
       votes.forall { case (c, lo, hi) => admits(entry, c, lo, hi) }

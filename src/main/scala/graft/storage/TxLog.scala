@@ -958,6 +958,20 @@ object TxLog {
               s"TxLog: concurrent constraint change at $path " +
                 s"(v${base.version} -> v${latest.version}) — re-validate " +
                 "and recompute against the new snapshot")
+          // a deletion-vector commit changes ROWS without changing
+          // FILES — invisible to the file-set comparison below. A
+          // rewrite staged from the pre-DV snapshot read rows the DV
+          // has since deleted (and dvLiveFor would prune the DV
+          // entries for the files it removes), so rebasing it would
+          // RESURRECT the concurrently-deleted rows; racing DV adds
+          // would double-carry delete counts. Any commit that
+          // rewrites/removes files or adds DV state must recompute.
+          if (latest.dv != base.dv &&
+              (rewriteDirs.nonEmpty || removeFiles.nonEmpty || addDv.nonEmpty))
+            throw new CommitConflictException(
+              s"TxLog: concurrent deletion-vector change at $path " +
+                s"(v${base.version} -> v${latest.version}) — recompute " +
+                "against the new snapshot")
           def under(m: Manifest, dirs: Set[String]) =
             m.files.filter(f => dirs.contains(dirOf(f))).toSet
           val overlapped = readSet match {
@@ -2058,9 +2072,16 @@ object TxLog {
         Some(partitions.map(p => partitionDirPath(physPartCols(m),
           asPartitionTuple(m.partitionCols, p))).toSet)
       }
+    // dirs whose files carry outstanding DV entries compact even below
+    // the file-count threshold: compaction is the advertised remedy
+    // that MATERIALIZES deletion vectors (the batch relation's refusal
+    // message, DESCRIBE DETAIL) — a single-file dir would otherwise
+    // never materialize and the table would stay batch-unreadable
+    val dvDirs = m.dv.flatMap(_._2.keys).map(dirOf).toSet
     val todo = m.files.groupBy(dirOf)
       .filter { case (dir, files) =>
-        files.size >= minFilesToCompact && scope.forall(_.contains(dir))
+        (files.size >= minFilesToCompact || dvDirs.contains(dir)) &&
+          scope.forall(_.contains(dir))
       }
     if (todo.isEmpty) return v
     val schema = StructType.fromDDL(m.schemaDdl)

@@ -96,6 +96,70 @@ class TxLogBatchSpec extends SparkSpec {
     assert(scansOf(r).map(_.selectedPartitions.totalNumberOfFiles).sum == 2)
   }
 
+  test("date/timestamp stats skipping: literals encode like the stats — no silent mis-prune, pruning stays exact") {
+    // r9 advice (high): a date literal stringified via its Catalyst
+    // internal value ('18629') compares lexicographically against
+    // stats written as '2021-01-02' and wrongly prunes EVERY file
+    val path = freshPath("datestats")
+    def day(s: String) = java.sql.Date.valueOf(s)
+    TxLog.create(Seq((1L, day("2021-01-01")), (2L, day("2021-01-02")))
+      .toDF("k", "d").coalesce(1), path, statsCols = Seq("d"))
+    TxLog.append(Seq((3L, day("2021-02-01")), (4L, day("2021-02-02")))
+      .toDF("k", "d").coalesce(1), path)
+    val q = spark.read.format("graft-txlog").option("path", path).load()
+      .filter(col("d") === day("2021-01-02"))
+    assert(q.select("k").as[Long].collect().toSet == Set(2L),
+      "date-literal stats vote lost rows")
+    // and the vote still PRUNES (exactly the one admitting file)
+    assert(scansOf(q).map(_.selectedPartitions.totalNumberOfFiles).sum == 1)
+    // timestamp range: correct rows, one file planned
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val tpath = freshPath("tsstats")
+    TxLog.create(Seq((1L, ts("2021-01-01 00:00:00")), (2L, ts("2021-01-02 12:00:00")))
+      .toDF("k", "t").coalesce(1), tpath, statsCols = Seq("t"))
+    TxLog.append(Seq((3L, ts("2021-03-01 00:00:00"))).toDF("k", "t").coalesce(1), tpath)
+    val tq = spark.read.format("graft-txlog").option("path", tpath).load()
+      .filter(col("t") >= ts("2021-02-01 00:00:00"))
+    assert(tq.select("k").as[Long].collect().toSet == Set(3L))
+    assert(scansOf(tq).map(_.selectedPartitions.totalNumberOfFiles).sum == 1)
+  }
+
+  test("NaN/Infinity stats bounds keep the file instead of failing planning") {
+    // r9 advice (low): BigDecimal('NaN') threw at plan time, failing
+    // the whole query — a malformed bound must fail OPEN (keep file)
+    val path = freshPath("nanstats")
+    TxLog.create(Seq((1L, 1.0), (2L, Double.NaN)).toDF("k", "v").coalesce(1),
+      path, statsCols = Seq("v"))
+    TxLog.append(Seq((3L, 3.0), (4L, Double.PositiveInfinity))
+      .toDF("k", "v").coalesce(1), path)
+    val q = spark.read.format("graft-txlog").option("path", path).load()
+      .filter(col("v") > 2.0).select("k")
+    // planning didn't throw; NaN sorts above every double in Spark SQL
+    assert(q.as[Long].collect().toSet == Set(2L, 3L, 4L))
+  }
+
+  test("timestamp partition values round-trip in the session timezone") {
+    // r9 advice (medium): the writer formats timestamp partition dirs
+    // in the SESSION tz; a hardcoded UTC cast-back shifts every value
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val path = freshPath("tspart")
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val d = Seq((1L, ts("2021-06-01 10:00:00")), (2L, ts("2021-06-02 11:30:00")))
+        .toDF("k", "t")
+      TxLog.create(d, path, Some("t"))
+      val viaFormat = spark.read.format("graft-txlog").option("path", path).load()
+      assert(viaFormat.select("k", "t").as[(Long, java.sql.Timestamp)].collect().toSet ==
+        Set((1L, ts("2021-06-01 10:00:00")), (2L, ts("2021-06-02 11:30:00"))),
+        "timestamp partition values shifted across the relation")
+      // partition pruning evaluates against the right instants
+      val q = viaFormat.filter(col("t") === ts("2021-06-02 11:30:00"))
+      assert(q.count() == 1)
+      assert(scansOf(q).map(_.selectedPartitions.totalNumberOfFiles).sum == 1)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("SQL surface: CREATE TABLE ... USING graft-txlog reads back, time travel via option") {
     val path = freshPath("sql")
     TxLog.create(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)

@@ -115,6 +115,65 @@ class TxLogDvSpec extends SparkSpec {
       Set((1L, "p1", 10.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
   }
 
+  test("rebase refuses across a concurrent DV change: pre-DV rewrites and racing DV adds recompute") {
+    // a DV delete changes ROWS without changing FILES — the file-set
+    // rebase comparison alone would wave a stale rewrite through and
+    // RESURRECT the concurrently-deleted rows (r9 advice, high)
+    val path = freshPath("dvrace")
+    TxLog.create(fixture, path, Some("part"))
+    val base = TxLog.manifest(spark, path, 1L)
+    // the rewrite stages its files from the PRE-DV snapshot...
+    val staged = TxLog.stageIn(
+      TxLog.read(spark, path, Some(1L)).filter(col("part") === "p1"),
+      path, Seq("part"))
+    // ...then a DV delete lands first (v2): no files changed, one row gone
+    TxLog.deleteWhere(spark, path, col("k") === 1L, deletionVectors = true)
+    // the stale rewrite must NOT rebase cleanly — it would carry k=1 back
+    intercept[TxLog.CommitConflictException] {
+      TxLog.commitRebase(spark, path, base, rewriteDirs = Set("part=p1"),
+        newFiles = staged, schemaDdl = base.schemaDdl, batchId = None,
+        readSet = Some(Set("part=p1")), operation = "OPTIMIZE")
+    }
+    // racing DV adds conflict too (double-carried delete counts otherwise)
+    intercept[TxLog.CommitConflictException] {
+      TxLog.commitRebase(spark, path, base, rewriteDirs = Set.empty,
+        newFiles = Nil, schemaDdl = base.schemaDdl, batchId = None,
+        readSet = None, operation = "DELETE (DV)",
+        addDv = Seq("phantom.dv" -> Map(base.files.head -> 1L)))
+    }
+    // a blind APPEND staged pre-DV is still safe to rebase: it touches
+    // no existing file and carries no DV state
+    val appended = TxLog.stageIn(
+      Seq((8L, "p1", 80.0)).toDF("k", "part", "v"), path, Seq("part"))
+    val v3 = TxLog.commitRebase(spark, path, base, rewriteDirs = Set.empty,
+      newFiles = appended, schemaDdl = base.schemaDdl, batchId = None,
+      readSet = Some(Set.empty), operation = "APPEND")
+    assert(v3 == 3L)
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((2L, "p1", 20.0), (3L, "p2", 30.0), (4L, "p2", 40.0), (8L, "p1", 80.0)))
+  }
+
+  test("compact materializes DVs in single-file directories: the advertised remedy is never a no-op") {
+    // the batch relation's refusal message says "run TxLog.compact to
+    // materialize" — that must hold even when the DV's target dir is
+    // below the minFilesToCompact threshold (r9 advice, low)
+    val path = freshPath("dvsingle")
+    TxLog.create(fixture.coalesce(1), path) // ONE file, unpartitioned
+    assert(TxLog.manifest(spark, path, 1L).files.size == 1)
+    TxLog.deleteWhere(spark, path, col("k") === 2L, deletionVectors = true)
+    assert(TxLog.manifest(spark, path, 2L).dv.nonEmpty)
+    val v3 = TxLog.compact(spark, path) // default threshold (2) — still compacts
+    assert(v3 == 3L, "compact was a no-op on a DV-bearing single-file dir")
+    val m3 = TxLog.manifest(spark, path, v3)
+    assert(m3.dv.isEmpty, s"DV state should materialize away: ${m3.dv}")
+    assert(rows(TxLog.read(spark, path)) ==
+      Set((1L, "p1", 10.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
+    // and the batch relation now mounts the table
+    val viaFormat = spark.read.format("graft-txlog").option("path", path).load()
+    assert(rows(viaFormat) ==
+      Set((1L, "p1", 10.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
+  }
+
   test("MERGE-ON-READ: DV merge leaves old files untouched, updates win, inserts land, OPTIMIZE materializes") {
     val path = freshPath("merge")
     TxLog.create(fixture, path, Some("part"))
