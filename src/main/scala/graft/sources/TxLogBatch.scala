@@ -206,7 +206,109 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
 }
 
+/** DV-aware parquet format: the seam that makes MERGE-ON-READ tables
+  * batch-mountable. Same trick Delta uses — append Spark's TEMPORARY
+  * ROW-INDEX column to the required schema (the parquet readers
+  * generate it split- and pushdown-safely from the file's row-group
+  * offsets), drop rows whose (file, row_index) is in the snapshot's
+  * deletion vectors, then strip the column back out. Everything else
+  * is stock ParquetFileFormat: filter pushdown, column pruning and
+  * split planning all still apply (a pruned row group just never
+  * surfaces its indexes — the DV filter only ever REMOVES rows, so
+  * skipping is unaffected).
+  *
+  * Row-based delivery ([[supportBatch]] = false): DV filtering is
+  * per-row, and a DV-bearing snapshot is transitional by design —
+  * OPTIMIZE/compact materializes the deletes and the relation goes
+  * back to the plain columnar format.
+  *
+  * The DV map (file-key → sorted deleted row indexes) is
+  * DELETE-SIZED, loaded once driver-side and broadcast — the same
+  * budget TxLog.read's anti-join already spends, minus the join. */
+class TxLogDvParquetFileFormat(
+    val tablePath: String, val dvFiles: Seq[String],
+    dvBySuffix: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
+  extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
+
+  import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat => PFF}
+
+  override def supportBatch(sparkSession: SparkSession,
+                            schema: StructType): Boolean = false
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[InternalRow] = {
+    val tmpName = PFF.ROW_INDEX_TEMPORARY_COLUMN_NAME
+    // the scan may ALREADY request row indexes (_metadata.row_index);
+    // reuse its column instead of requesting a duplicate
+    val hasIdx = requiredSchema.fieldNames.contains(tmpName)
+    val readSchema =
+      if (hasIdx) requiredSchema
+      else StructType(requiredSchema.fields :+
+        org.apache.spark.sql.types.StructField(tmpName,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val base = super.buildReaderWithPartitionValues(sparkSession, dataSchema,
+      partitionSchema, readSchema, filters, options, hadoopConf)
+    val idxOrd = readSchema.fieldIndex(tmpName)
+    // the reader's row layout: required fields then partition values
+    val outFields = readSchema.fields ++ partitionSchema.fields
+    val dv = dvBySuffix
+    file => {
+      // the same key the DV writer computed (input_file_name's
+      // encoding): data-root-relative suffix after the last '/data/'
+      val url = file.urlEncodedPath
+      val i = url.lastIndexOf("/data/")
+      val key = if (i >= 0) url.substring(i + "/data/".length)
+                else url.substring(url.lastIndexOf('/') + 1)
+      val deleted = dv.value.getOrElse(key, null)
+      val rows0 = base(file)
+      val rows =
+        if (deleted == null) rows0
+        else rows0.filter(r =>
+          java.util.Arrays.binarySearch(deleted, r.getLong(idxOrd)) < 0)
+      if (hasIdx) rows // the scan asked for the index column — keep it
+      else {
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(outFields.indices.filterNot(_ == idxOrd).map(j =>
+            BoundReference(j, outFields(j).dataType, outFields(j).nullable)))
+        rows.map(proj)
+      }
+    }
+  }
+
+  // distinct DV states must never plan-cache/exchange-reuse as equal
+  // (stock ParquetFileFormat.equals treats ALL instances as equal)
+  override def equals(other: Any): Boolean = other match {
+    case o: TxLogDvParquetFileFormat =>
+      o.tablePath == tablePath && o.dvFiles == dvFiles
+    case _ => false
+  }
+  override def hashCode(): Int = (tablePath, dvFiles).hashCode()
+  override def toString: String = s"GraftTxLogParquet+DV(${dvFiles.size})"
+}
+
 object TxLogBatch {
+  /** Driver-side load of a snapshot's deletion vectors into
+    * (file-key → SORTED deleted row indexes) — delete-sized, the same
+    * rows [[TxLog.read]]'s anti-join streams, collected once and
+    * broadcast so every scan task probes a local array. */
+  def loadDvMap(spark: SparkSession, tablePath: String,
+                m: TxLog.Manifest): Map[String, Array[Long]] =
+    spark.read
+      .parquet(m.dv.map { case (f, _) => TxLog.dvPath(tablePath, f) }: _*)
+      .select("f", "row_index").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        val a = rows.map(_.getLong(1)); java.util.Arrays.sort(a); k -> a
+      }
+
   /** Resolve the (path, version) a batch read targets from the
     * reader options: `versionAsOf` (a version number) or
     * `timestampAsOf` (ISO instant / SQL timestamp) — absent = head. */
@@ -229,14 +331,6 @@ object TxLogBatch {
       s"graft-txlog: table at $path uses column mapping (renamed columns); " +
         "the batch relation does not alias physical names yet — read via " +
         "TxLog.read")
-    // a deletion-vector-bearing snapshot needs the DV anti-join seam;
-    // a plain file scan would RESURRECT the deleted rows — the one
-    // thing a relation must never do silently. Materialize first
-    // (OPTIMIZE) or read via TxLog.read.
-    require(m.dv.isEmpty,
-      s"graft-txlog: version ${m.version} at $path carries deletion " +
-        "vectors; the batch relation cannot apply them — run " +
-        "TxLog.compact to materialize, or read via TxLog.read")
     (path, m)
   }
 }

@@ -100,8 +100,14 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
       partitionSchema = partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
+      // a DV-bearing snapshot reads through the DV-aware format (rows
+      // in a deletion vector filtered out per file at scan time);
+      // DV-free snapshots keep the stock columnar parquet path
       fileFormat =
-        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        if (m.dv.isEmpty)
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        else new TxLogDvParquetFileFormat(path, m.dv.map(_._1),
+          spark.sparkContext.broadcast(TxLogBatch.loadDvMap(spark, path, m))),
       options = parameters)(spark)
   }
 

@@ -1282,7 +1282,7 @@ object TxLog {
   /** A DV file reference resolves like a data entry: table-relative
     * under `_dv/`, or absolute (a shallow clone's pointer into the
     * source's DV dir). */
-  private def dvPath(path: String, f: String): String =
+  private[graft] def dvPath(path: String, f: String): String =
     if (isAbsEntry(f)) f else new Path(new Path(path, "_dv"), f).toString
 
   /** The data-skipping planner: files of a version whose tracked

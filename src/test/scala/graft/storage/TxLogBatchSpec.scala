@@ -160,6 +160,61 @@ class TxLogBatchSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("DV-aware batch relation: merge-on-read snapshots mount with deletes applied") {
+    val path = freshPath("dv")
+    val d = (1 to 40).map(i => (i.toLong, s"p${i % 4}", i * 1.0))
+      .toDF("k", "part", "v")
+    TxLog.create(d, path, Some("part"))
+    // DV delete: rows vanish, files don't
+    TxLog.deleteWhere(spark, path, col("k") % 10L === 0L, deletionVectors = true)
+    assert(TxLog.manifest(spark, path, 2L).dv.nonEmpty)
+    val viaFormat = spark.read.format("graft-txlog").option("path", path).load()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+    assert(rows(viaFormat) == rows(TxLog.read(spark, path)))
+    assert(viaFormat.count() == 36)
+    assert(!rows(viaFormat).exists(_._1 % 10 == 0))
+    // a DV MERGE (updates via DV + inserts) reads correctly too
+    TxLog.mergeInto(path, Seq((1L, "p1", 111.0), (41L, "p1", 41.0))
+      .toDF("k", "part", "v"), Seq("k"), deletionVectors = true)
+    val afterMerge = spark.read.format("graft-txlog").option("path", path).load()
+    assert(rows(afterMerge) == rows(TxLog.read(spark, path)))
+    assert(rows(afterMerge).contains((1L, "p1", 111.0)) &&
+      rows(afterMerge).contains((41L, "p1", 41.0)))
+    // time travel BACK to the DV-delete version still applies ITS DVs
+    val v2 = spark.read.format("graft-txlog").option("path", path)
+      .option("versionAsOf", "2").load()
+    assert(v2.count() == 36 && rows(v2).contains((1L, "p1", 1.0)))
+    // ...and v1 (pre-delete) shows everything
+    assert(spark.read.format("graft-txlog").option("path", path)
+      .option("versionAsOf", "1").load().count() == 40)
+  }
+
+  test("DV-aware relation keeps pushdown: partition pruning, data filters, stats skipping") {
+    val path = freshPath("dvpush")
+    TxLog.create(spark.range(0, 100).select(col("id").as("k"),
+      lit("a").as("part")).coalesce(1), path, Some("part"), statsCols = Seq("k"))
+    Seq(100L, 200L, 300L).foreach(lo =>
+      TxLog.append(spark.range(lo, lo + 100).select(col("id").as("k"),
+        lit("a").as("part")).coalesce(1), path))
+    TxLog.deleteWhere(spark, path, col("k") === 250L, deletionVectors = true)
+    val df = spark.read.format("graft-txlog").option("path", path).load()
+    // the deleted row is gone; its neighbors are not
+    val q = df.filter(col("k") >= 249L && col("k") <= 251L)
+    assert(q.select("k").as[Long].collect().toSet == Set(249L, 251L))
+    // manifest-stats skipping still plans only the admitting file
+    assert(scansOf(q).map(_.selectedPartitions.totalNumberOfFiles).sum == 1)
+    // filters still push into the parquet reader under the DV format
+    assert(scansOf(q).exists(_.dataFilters.nonEmpty))
+    // aggregates over the DV view are post-delete
+    assert(df.count() == 399)
+    assert(df.agg(sum("k")).as[Long].head() == (0L until 400L).sum - 250L)
+    // compaction materializes; the relation flips back to plain parquet
+    TxLog.compact(spark, path)
+    val compacted = spark.read.format("graft-txlog").option("path", path).load()
+    assert(compacted.count() == 399)
+  }
+
   test("SQL surface: CREATE TABLE ... USING graft-txlog reads back, time travel via option") {
     val path = freshPath("sql")
     TxLog.create(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
