@@ -1093,6 +1093,37 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** MERGE-ON-READ through the BATCH FORMAT: create → DV-delete →
+    * DV-merge → `spark.read.format("graft-txlog")` on the DV-bearing
+    * head. The mount applies the deletion vectors at scan time (the
+    * DV-aware parquet format; specs pin pushdown + stats skipping
+    * survive it) and the gate proves the mounted rows are exactly the
+    * SQL recompute — specs alone let this feature ship broken once. */
+  def txlogDvBatch(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_dv_batch_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    TxLog.create(dim, path, Some("o_orderpriority"),
+      statsCols = Seq("o_orderkey"))
+    TxLog.deleteWhere(s, path, col("o_orderkey") % 7 === 0,
+      deletionVectors = true)
+    // DV merge: repriced %10 keys update in place (deleted multiples of
+    // 70 re-insert — they are absent from the merge target view)
+    val upd = dim.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(BigDecimal("1.1")))
+          .cast("double"))
+      .withColumn("o_orderstatus", lit("R"))
+    TxLog.mergeInto(path, upd, Seq("o_orderkey"), deletionVectors = true)
+    s.read.format("graft-txlog").option("path", path).load()
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** RENAME COLUMN through the driver gate: create → rename →
     * read. Metadata-only (zero file rewrites, spec-pinned); the gate
     * checks values surface under the NEW name, row-exact. */
@@ -1251,6 +1282,7 @@ object WarehouseQueries {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog" -> txlog _,
     "q_txlog_dv" -> txlogDv _,
+    "q_txlog_dv_batch" -> txlogDvBatch _,
     "q_txlog_batch" -> txlogBatch _,
     "q_txlog_rename" -> txlogRename _,
     "q_txlog_multicol" -> txlogMulticol _,
@@ -1345,6 +1377,20 @@ object WarehouseQueries {
     "q_txlog_dv" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin,
+    // the DV-aware batch mount ≡ delete-filter + merge recompute:
+    // %10 keys repriced (deleted multiples of 70 re-insert via the
+    // merge), other %7 multiples stay deleted, the rest untouched
+    "q_txlog_dv_batch" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, 'R' AS o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
     // the batch format's manifest-planned scan ≡ a plain filter
     "q_txlog_batch" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

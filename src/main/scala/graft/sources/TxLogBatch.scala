@@ -252,8 +252,14 @@ class TxLogDvParquetFileFormat(
     val readSchema =
       if (hasIdx) requiredSchema
       else StructType(requiredSchema.fields :+
+        // NULLABLE is load-bearing: the vectorized reader only routes a
+        // requested-but-absent column into its row-index synthesis when
+        // checkColumn classifies it as missing-and-optional — a required
+        // missing column fails the scan before the name is ever matched
+        // (VectorizedParquetRecordReader.checkColumn → missingColumns →
+        // ParquetColumnVector's isRowIndexColumn branch)
         org.apache.spark.sql.types.StructField(tmpName,
-          org.apache.spark.sql.types.LongType, nullable = false))
+          org.apache.spark.sql.types.LongType, nullable = true))
     val base = super.buildReaderWithPartitionValues(sparkSession, dataSchema,
       partitionSchema, readSchema, filters, options, hadoopConf)
     val idxOrd = readSchema.fieldIndex(tmpName)
@@ -265,8 +271,11 @@ class TxLogDvParquetFileFormat(
       // encoding): data-root-relative suffix after the last '/data/'
       val url = file.urlEncodedPath
       val i = url.lastIndexOf("/data/")
-      val key = if (i >= 0) url.substring(i + "/data/".length)
-                else url.substring(url.lastIndexOf('/') + 1)
+      // mirror the writer EXACTLY: substring_index(url, '/data/', -1)
+      // returns the WHOLE url when '/data/' is absent — a bare-filename
+      // fallback here would never match such DV entries and deleted
+      // rows would silently resurrect
+      val key = if (i >= 0) url.substring(i + "/data/".length) else url
       val deleted = dv.value.getOrElse(key, null)
       val rows0 = base(file)
       val rows =

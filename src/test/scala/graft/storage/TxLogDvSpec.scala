@@ -230,12 +230,12 @@ class TxLogDvSpec extends SparkSpec {
       TxLog.appendsSince(spark, path, 1L)
     }
     assert(e.getMessage.contains("deletion vectors"), e.getMessage)
-    // the batch relation cannot apply DVs — a plain file scan would
-    // resurrect the deleted row, so it must refuse, not serve
-    val eb = intercept[IllegalArgumentException] {
-      spark.read.format("graft-txlog").option("path", path).load()
-    }
-    assert(eb.getMessage.contains("deletion vectors"), eb.getMessage)
+    // the batch relation applies DVs at scan time (the DV-aware format)
+    // — a mount of the DV-bearing head serves the post-delete view,
+    // row-for-row with TxLog.read, never the resurrected plain scan
+    val mounted = spark.read.format("graft-txlog").option("path", path).load()
+    assert(rows(mounted) == rows(TxLog.read(spark, path)))
+    assert(mounted.count() == 3)
     // the version BEFORE the DV commit still serves through the format
     assert(spark.read.format("graft-txlog").option("path", path)
       .option("versionAsOf", "1").load().count() == 4)

@@ -329,4 +329,36 @@ class TxLogStreamSpec extends SparkSpec {
       assert(spark.table("txs_prehist").count() == 4L)
     } finally q.stop()
   }
+
+  test("DV-bearing snapshot streams with deletes applied; a DV commit mid-tail fails loudly") {
+    val path = freshDir("dv")
+    TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))), path)
+    // pre-stream DV delete: the opening snapshot is MERGE-ON-READ and
+    // must serve the post-delete view, never the resurrected plain scan
+    TxLog.deleteWhere(spark, path,
+      org.apache.spark.sql.functions.col("k") === 2L, deletionVectors = true)
+    val q = stream(path).writeStream.format("memory")
+      .queryName("txs_dv").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got = spark.table("txs_dv").collect().map(_.getLong(0)).toList.sorted
+      assert(got == List(1L, 3L),
+        s"snapshot must apply deletion vectors, got $got")
+      // plain appends after the DV commit tail fine
+      TxLog.append(keyed(Seq((4L, "d", 4.0))), path)
+      q.processAllAvailable()
+      assert(got == List(1L, 3L, 4L))
+      // a DV delete MID-TAIL changes rows without adding files — the
+      // file-granular tail must fail LOUDLY (silently continuing would
+      // never retract the deleted row downstream)
+      TxLog.deleteWhere(spark, path,
+        org.apache.spark.sql.functions.col("k") === 1L, deletionVectors = true)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("deletion vectors"))),
+        s"expected the DV tail refusal, got: ${e.getMessage}")
+    } finally q.stop()
+  }
 }
