@@ -38,6 +38,12 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
 
   private val declared = StructType.fromDDL(m.schemaDdl)
   private val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
+  /** Logical → physical name (identity when never renamed): partition
+    * DIRECTORIES and stats keys live next to the files and spell
+    * physical names; the relation's schema and the scan's filters
+    * spell logical ones. */
+  private def physName(l: String): String =
+    m.colMap.find(_._1 == l).map(_._2).getOrElse(l)
   override val partitionSchema: StructType =
     StructType(m.partitionCols.map(declared.apply))
 
@@ -78,7 +84,8 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
       seg.substring(0, i) -> seg.substring(i + 1)
     }.toMap
     InternalRow.fromSeq(partitionSchema.map { field =>
-      val raw = byName.getOrElse(field.name,
+      // the directory spells the PHYSICAL name (renames never move files)
+      val raw = byName.getOrElse(physName(field.name),
         ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
       if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
       // SESSION tz, not UTC: stageIn's partitionBy writer formats
@@ -117,14 +124,19 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
     */
   private def rangeOf(e: Expression): Option[(String, Option[String], Option[String])] = {
     // Encode the literal EXACTLY like collectStats encodes the file
-    // bounds — Cast-to-string in the session timezone — so a DATE or
-    // TIMESTAMP literal compares as '2021-01-02', never as its raw
-    // Catalyst days/micros value (which would lexicographically
-    // mis-prune every file and silently lose rows).
+    // bounds: TIMESTAMP literals as `us:<epoch micros>` (the stats-v2
+    // timezone-free encoding — a Catalyst timestamp literal's value IS
+    // micros, so no zone ever enters the comparison), everything else
+    // Cast-to-string in the session timezone — so a DATE literal
+    // compares as '2021-01-02', never as its raw Catalyst days value
+    // (which would lexicographically mis-prune and silently lose rows).
     def lit(l: Literal): Option[String] =
-      Option(l.value).flatMap(_ =>
-        Option(Cast(l, org.apache.spark.sql.types.StringType,
-          Some(sessionTz)).eval(null)).map(_.toString))
+      Option(l.value).flatMap { v =>
+        if (l.dataType == org.apache.spark.sql.types.TimestampType)
+          Some(TxLog.TsStatsPrefix + v.toString)
+        else Option(Cast(l, org.apache.spark.sql.types.StringType,
+          Some(sessionTz)).eval(null)).map(_.toString)
+      }
     e match {
       case EqualTo(a: AttributeReference, l: Literal) =>
         lit(l).map(v => (a.name, Some(v), Some(v)))
@@ -154,26 +166,36 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
 
   private def admits(entry: String, colName: String,
                      lo: Option[String], hi: Option[String]): Boolean =
-    m.fileStats.get(entry).flatMap(_.get(colName)) match {
+    m.fileStats.get(entry).flatMap(_.get(physName(colName))) match {
       case None => true // no stats: conservatively kept
       case Some((mn, mx)) =>
-        val numeric = declared(colName).dataType.isInstanceOf[NumericType]
-        def geq(a: String, b: String) = // a >= b under the stats encoding
-          if (numeric)
+        declared(colName).dataType match {
+          case _: NumericType =>
             // NaN/Infinity bounds (a double file's min/max casts to
             // 'NaN'/'Infinity') don't parse as decimals — keep the
             // file; pruning is an optimization, never a filter
-            scala.util.Try(BigDecimal(a) >= BigDecimal(b)).getOrElse(true)
-          else a >= b
-        lo.forall(l => geq(mx, l)) && hi.forall(h => geq(h, mn))
+            def geq(a: String, b: String) =
+              scala.util.Try(BigDecimal(a) >= BigDecimal(b)).getOrElse(true)
+            lo.forall(l => geq(mx, l)) && hi.forall(h => geq(h, mn))
+          case org.apache.spark.sql.types.TimestampType =>
+            // stats-v2 `us:`-micros compare numerically; a LEGACY
+            // (session-tz-string) entry never votes — per-entry
+            // fail-open keeps mixed-era tables exact
+            def geq(a: String, b: String) =
+              (for { x <- TxLog.tsStatsDecode(a); y <- TxLog.tsStatsDecode(b) }
+                yield x >= y).getOrElse(true)
+            lo.forall(l => geq(mx, l)) && hi.forall(h => geq(h, mn))
+          case _ =>
+            lo.forall(l => mx >= l) && hi.forall(h => h >= mn)
+        }
     }
 
-  /** Only types whose Cast-to-string encoding is ORDER-PRESERVING may
-    * vote: numeric (compared as decimals), string (identity), and
-    * date/timestamp ('yyyy-MM-dd[ HH:mm:ss[.f…]]' — zero-padded, so
-    * lexicographic IS chronological, under the session-tz write/read
-    * contract the partition values already rely on). Everything else (binary,
-    * boolean, intervals) is conservatively unprunable. */
+  /** Only types whose stats encoding is ORDER-PRESERVING may vote:
+    * numeric and timestamp (compared as decimals — timestamps ride the
+    * stats-v2 `us:`-micros encoding, timezone-free), string (identity)
+    * and date ('yyyy-MM-dd' — zero-padded, so lexicographic IS
+    * chronological and no zone enters a date's rendering). Everything
+    * else (binary, boolean, intervals) is conservatively unprunable. */
   private def votableType(colName: String): Boolean =
     declared(colName).dataType match {
       case _: NumericType => true
@@ -186,7 +208,8 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
   private def skipByStats(files: Seq[(String, FileStatus)],
                           dataFilters: Seq[Expression]) = {
     val votes = dataFilters.flatMap(rangeOf)
-      .filter { case (c, _, _) => m.statsCols.contains(c) && votableType(c) }
+      .filter { case (c, _, _) =>
+        m.statsCols.contains(physName(c)) && votableType(c) }
     if (votes.isEmpty) files
     else files.filter { case (entry, _) =>
       votes.forall { case (c, lo, hi) => admits(entry, c, lo, hi) }
@@ -206,34 +229,90 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
 }
 
-/** DV-aware parquet format: the seam that makes MERGE-ON-READ tables
-  * batch-mountable. Same trick Delta uses — append Spark's TEMPORARY
-  * ROW-INDEX column to the required schema (the parquet readers
-  * generate it split- and pushdown-safely from the file's row-group
-  * offsets), drop rows whose (file, row_index) is in the snapshot's
-  * deletion vectors, then strip the column back out. Everything else
-  * is stock ParquetFileFormat: filter pushdown, column pruning and
+/** The table's parquet format: stock `ParquetFileFormat` plus the two
+  * manifest-driven concerns a TxLog snapshot adds —
+  *
+  * **Column mapping** (`colMap` nonEmpty): a renamed column's data
+  * still lives under its ORIGINAL physical name in every file, so the
+  * required schema and the pushed filters translate logical→physical
+  * before reaching the reader. `InternalRow`s are positional — the
+  * translation is purely schema-level, zero per-row work, and
+  * vectorized/columnar delivery is untouched.
+  *
+  * **Deletion vectors** (`dvFiles` nonEmpty): the seam that makes
+  * MERGE-ON-READ tables batch-mountable. Same trick Delta uses —
+  * append Spark's TEMPORARY ROW-INDEX column to the required schema
+  * (the parquet readers generate it split- and pushdown-safely from
+  * the file's row-group offsets), drop rows whose (file, row_index)
+  * is in the snapshot's deletion vectors, then strip the column back
+  * out. Everything else is stock: filter pushdown, column pruning and
   * split planning all still apply (a pruned row group just never
   * surfaces its indexes — the DV filter only ever REMOVES rows, so
   * skipping is unaffected).
   *
-  * Row-based delivery ([[supportBatch]] = false): DV filtering is
-  * per-row, and a DV-bearing snapshot is transitional by design —
-  * OPTIMIZE/compact materializes the deletes and the relation goes
-  * back to the plain columnar format.
+  * Row-based delivery ([[supportBatch]] = false) only under DVs: DV
+  * filtering is per-row, and a DV-bearing snapshot is transitional by
+  * design — OPTIMIZE/compact materializes the deletes and the
+  * relation goes back to columnar.
   *
   * The DV map (file-key → sorted deleted row indexes) is
   * DELETE-SIZED, loaded once driver-side and broadcast — the same
-  * budget TxLog.read's anti-join already spends, minus the join. */
-class TxLogDvParquetFileFormat(
-    val tablePath: String, val dvFiles: Seq[String],
+  * budget TxLog.read's anti-join already spends, minus the join
+  * (above [[TxLogBatch.dvBroadcastMaxRows]] the relation falls back
+  * to the anti-join seam instead; see [[TxLogJoinRelation]]). */
+class TxLogParquetFileFormat(
+    val tablePath: String,
+    val colMap: Seq[(String, String)],
+    val dvFiles: Seq[String],
     dvBySuffix: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
   extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
 
   import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat => PFF}
+  import org.apache.spark.sql.sources
 
   override def supportBatch(sparkSession: SparkSession,
-                            schema: StructType): Boolean = false
+                            schema: StructType): Boolean =
+    dvFiles.isEmpty && super.supportBatch(sparkSession, schema)
+
+  /** Logical → physical for a (possibly dotted) pushed-filter or
+    * schema name; only top-level columns rename, nested paths keep
+    * their tail. */
+  private def physName(n: String): String =
+    colMap.find(_._1 == n).map(_._2).getOrElse {
+      val dot = n.indexOf('.')
+      if (dot < 0) n
+      else colMap.find(_._1 == n.substring(0, dot))
+        .map(_._2 + n.substring(dot)).getOrElse(n)
+    }
+
+  private def physFilter(f: sources.Filter): Option[sources.Filter] = f match {
+    case sources.EqualTo(a, v) => Some(sources.EqualTo(physName(a), v))
+    case sources.EqualNullSafe(a, v) => Some(sources.EqualNullSafe(physName(a), v))
+    case sources.GreaterThan(a, v) => Some(sources.GreaterThan(physName(a), v))
+    case sources.GreaterThanOrEqual(a, v) =>
+      Some(sources.GreaterThanOrEqual(physName(a), v))
+    case sources.LessThan(a, v) => Some(sources.LessThan(physName(a), v))
+    case sources.LessThanOrEqual(a, v) =>
+      Some(sources.LessThanOrEqual(physName(a), v))
+    case sources.In(a, vs) => Some(sources.In(physName(a), vs))
+    case sources.IsNull(a) => Some(sources.IsNull(physName(a)))
+    case sources.IsNotNull(a) => Some(sources.IsNotNull(physName(a)))
+    case sources.StringStartsWith(a, v) =>
+      Some(sources.StringStartsWith(physName(a), v))
+    case sources.StringEndsWith(a, v) =>
+      Some(sources.StringEndsWith(physName(a), v))
+    case sources.StringContains(a, v) =>
+      Some(sources.StringContains(physName(a), v))
+    case sources.And(l, r) =>
+      for { x <- physFilter(l); y <- physFilter(r) } yield sources.And(x, y)
+    case sources.Or(l, r) =>
+      for { x <- physFilter(l); y <- physFilter(r) } yield sources.Or(x, y)
+    case sources.Not(c) => physFilter(c).map(sources.Not)
+    // an unrecognized filter shape could smuggle a logical name past
+    // the rename — drop it (pushdown is an optimization; the scan's
+    // Filter node still evaluates the exact predicate)
+    case _ => None
+  }
 
   override def buildReaderWithPartitionValues(
       sparkSession: SparkSession,
@@ -245,13 +324,22 @@ class TxLogDvParquetFileFormat(
       hadoopConf: org.apache.hadoop.conf.Configuration)
       : org.apache.spark.sql.execution.datasources.PartitionedFile =>
         Iterator[InternalRow] = {
+    // ---- column mapping: rename schemas + filters, positions stay ----
+    val physData = StructType(dataSchema.fields.map(f => f.copy(name = physName(f.name))))
+    val physRequired0 = StructType(requiredSchema.fields.map(f => f.copy(name = physName(f.name))))
+    val physFilters =
+      if (colMap.isEmpty) filters else filters.flatMap(physFilter)
+    if (dvFiles.isEmpty)
+      return super.buildReaderWithPartitionValues(sparkSession, physData,
+        partitionSchema, physRequired0, physFilters, options, hadoopConf)
+    // ---- deletion vectors: row-index column + per-file anti-filter ----
     val tmpName = PFF.ROW_INDEX_TEMPORARY_COLUMN_NAME
     // the scan may ALREADY request row indexes (_metadata.row_index);
     // reuse its column instead of requesting a duplicate
-    val hasIdx = requiredSchema.fieldNames.contains(tmpName)
+    val hasIdx = physRequired0.fieldNames.contains(tmpName)
     val readSchema =
-      if (hasIdx) requiredSchema
-      else StructType(requiredSchema.fields :+
+      if (hasIdx) physRequired0
+      else StructType(physRequired0.fields :+
         // NULLABLE is load-bearing: the vectorized reader only routes a
         // requested-but-absent column into its row-index synthesis when
         // checkColumn classifies it as missing-and-optional — a required
@@ -260,8 +348,8 @@ class TxLogDvParquetFileFormat(
         // ParquetColumnVector's isRowIndexColumn branch)
         org.apache.spark.sql.types.StructField(tmpName,
           org.apache.spark.sql.types.LongType, nullable = true))
-    val base = super.buildReaderWithPartitionValues(sparkSession, dataSchema,
-      partitionSchema, readSchema, filters, options, hadoopConf)
+    val base = super.buildReaderWithPartitionValues(sparkSession, physData,
+      partitionSchema, readSchema, physFilters, options, hadoopConf)
     val idxOrd = readSchema.fieldIndex(tmpName)
     // the reader's row layout: required fields then partition values
     val outFields = readSchema.fields ++ partitionSchema.fields
@@ -292,15 +380,16 @@ class TxLogDvParquetFileFormat(
     }
   }
 
-  // distinct DV states must never plan-cache/exchange-reuse as equal
-  // (stock ParquetFileFormat.equals treats ALL instances as equal)
+  // distinct DV/rename states must never plan-cache/exchange-reuse as
+  // equal (stock ParquetFileFormat.equals treats ALL instances as equal)
   override def equals(other: Any): Boolean = other match {
-    case o: TxLogDvParquetFileFormat =>
-      o.tablePath == tablePath && o.dvFiles == dvFiles
+    case o: TxLogParquetFileFormat =>
+      o.tablePath == tablePath && o.colMap == colMap && o.dvFiles == dvFiles
     case _ => false
   }
-  override def hashCode(): Int = (tablePath, dvFiles).hashCode()
-  override def toString: String = s"GraftTxLogParquet+DV(${dvFiles.size})"
+  override def hashCode(): Int = (tablePath, colMap, dvFiles).hashCode()
+  override def toString: String =
+    s"GraftTxLogParquet(renames=${colMap.size}, dv=${dvFiles.size})"
 }
 
 object TxLogBatch {

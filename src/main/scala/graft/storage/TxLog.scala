@@ -1042,8 +1042,8 @@ object TxLog {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val base = dataDir(path).toString
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"_min_$c"),
-      max(col(c)).cast("string").as(s"_max_$c"))) :+
+      statsEncode(schema(c).dataType, min(col(c))).as(s"_min_$c"),
+      statsEncode(schema(c).dataType, max(col(c))).as(s"_max_$c"))) :+
       count(lit(1)).as("_rows")
     val rows = spark.read.schema(schema).option("basePath", base)
       .parquet(files.map(f => s"$base/$f"): _*)
@@ -1299,26 +1299,100 @@ object TxLog {
     val m = manifest(spark, path, v)
     if (!m.statsCols.contains(physOf(m, colName))) return m.files // not tracked: no pruning
     pruneByRange(m, StructType.fromDDL(m.schemaDdl), m.files, colName,
-      lower, upper)
+      lower, upper, spark.sessionState.conf.sessionLocalTimeZone)
+  }
+
+  /** Stats-encoding contract (v2). Per tracked column, file min/max
+    * serialize as strings:
+    *  - TimestampType: `us:<epoch micros>` — exact and TIMEZONE-FREE.
+    *    The previous Cast-to-string encoding rendered in the WRITING
+    *    session's timezone, so a table written under one tz and read
+    *    under another silently mis-pruned. Legacy (un-prefixed)
+    *    timestamp entries never vote — per-entry fail-open, so mixed
+    *    tables stay correct and merely lose pruning on old files.
+    *  - NumericType: plain decimal string, compared as BigDecimal
+    *    (NaN/Infinity bounds fail open).
+    *  - DateType/StringType: Cast-to-string — zero-padded ISO dates
+    *    and identity strings, where lexicographic IS the value order.
+    *  - everything else (boolean, binary, intervals): recorded but
+    *    never voted — no order-preserving string encoding. */
+  private[graft] val TsStatsPrefix = "us:"
+
+  /** The column expression that produces a value's stats-v2 string. */
+  private def statsEncode(dt: org.apache.spark.sql.types.DataType,
+                          c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, lit, unix_micros}
+    dt match {
+      case org.apache.spark.sql.types.TimestampType =>
+        concat(lit(TsStatsPrefix), unix_micros(c).cast("string"))
+      case _ => c.cast("string")
+    }
+  }
+
+  /** Decode a stats-v2 timestamp bound; None = legacy/foreign encoding
+    * (the entry must not vote). */
+  private[graft] def tsStatsDecode(s: String): Option[BigDecimal] =
+    if (s != null && s.startsWith(TsStatsPrefix))
+      scala.util.Try(BigDecimal(s.substring(TsStatsPrefix.length))).toOption
+    else None
+
+  /** Encode a QUERY bound the way [[statsEncode]] encoded the file
+    * bounds, so comparisons are exact: timestamps to `us:` micros
+    * (strings already in stats encoding pass through; other values
+    * cast to timestamp under the session tz first), everything else
+    * Cast-to-string under the session tz. None = unencodable —
+    * the caller must fail OPEN (keep the file). */
+  private def statsEncodeBound(dt: org.apache.spark.sql.types.DataType,
+                               tz: String, v: Any): Option[String] = v match {
+    case s: String if dt == org.apache.spark.sql.types.TimestampType &&
+      s.startsWith(TsStatsPrefix) => Some(s)
+    case _ => scala.util.Try {
+      val l = org.apache.spark.sql.catalyst.expressions.Literal(v)
+      dt match {
+        case org.apache.spark.sql.types.TimestampType =>
+          val micros =
+            if (l.dataType == org.apache.spark.sql.types.TimestampType) l.value
+            else Cast(l, org.apache.spark.sql.types.TimestampType, Some(tz)).eval(null)
+          Option(micros).map(TsStatsPrefix + _)
+        case _ =>
+          Option(Cast(l, org.apache.spark.sql.types.StringType, Some(tz))
+            .eval(null)).map(_.toString)
+      }
+    }.toOption.flatten
   }
 
   /** [[prunedFiles]]'s min/max overlap rule over an ARBITRARY
-    * candidate subset — numeric columns compare as exact decimals,
-    * everything else lexicographically; stats-less files are
-    * conservatively kept. The caller guarantees `colName` is a
-    * tracked stats column. */
+    * candidate subset under the stats-v2 encoding contract (see
+    * [[statsEncode]]); stats-less files, unencodable bounds and
+    * non-order-preserving types are all conservatively kept — pruning
+    * is an optimization, never a filter. The caller guarantees
+    * `colName` is a tracked stats column. */
   private def pruneByRange(m: Manifest, schema: StructType,
                            files: Seq[String], colName: String,
-                           lower: Any, upper: Any): Seq[String] = {
-    val numeric = schema(colName).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+                           lower: Any, upper: Any, tz: String): Seq[String] = {
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampType}
+    val dt = schema(colName).dataType
     // stats are keyed by PHYSICAL name (stable across renames)
     val statsKey = physOf(m, colName)
-    def overlaps(mn: String, mx: String): Boolean =
-      if (numeric) {
-        val lo = BigDecimal(String.valueOf(lower)); val hi = BigDecimal(String.valueOf(upper))
-        BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
-      } else
-        mx >= String.valueOf(lower) && mn <= String.valueOf(upper)
+    def dec(s: String): Option[BigDecimal] = scala.util.Try(BigDecimal(s)).toOption
+    val loEnc = statsEncodeBound(dt, tz, lower)
+    val hiEnc = statsEncodeBound(dt, tz, upper)
+    def overlaps(mn: String, mx: String): Boolean = dt match {
+      case _: NumericType =>
+        // NaN/Infinity bounds don't parse as decimals — fail OPEN
+        (for { lo <- loEnc.flatMap(dec); hi <- hiEnc.flatMap(dec)
+               a <- dec(mn); b <- dec(mx) } yield b >= lo && a <= hi)
+          .getOrElse(true)
+      case TimestampType =>
+        (for { lo <- loEnc.flatMap(tsStatsDecode); hi <- hiEnc.flatMap(tsStatsDecode)
+               a <- tsStatsDecode(mn); b <- tsStatsDecode(mx) } yield b >= lo && a <= hi)
+          .getOrElse(true)
+      case DateType | StringType =>
+        // zero-padded ISO / identity: lexicographic IS the value order
+        (for { lo <- loEnc; hi <- hiEnc } yield mx >= lo && mn <= hi)
+          .getOrElse(true)
+      case _ => true // no order-preserving string encoding: never vote
+    }
     files.filter { f =>
       m.fileStats.get(f).flatMap(_.get(statsKey)) match {
         case Some((mn, mx)) => overlaps(mn, mx)
@@ -1758,11 +1832,14 @@ object TxLog {
         val candidates =
           if (cols.size == 1 && m.statsCols.contains(physOf(m, cols.head))) {
             val k = cols.head
-            val bounds = df.agg(min(col(k)).cast("string"),
-              max(col(k)).cast("string")).head()
+            // bounds in the STATS encoding (timestamps as us:-micros)
+            // so the prune compares exactly what collectStats wrote
+            val bounds = df.agg(statsEncode(schema(k).dataType, min(col(k))),
+              statsEncode(schema(k).dataType, max(col(k)))).head()
             if (bounds.isNullAt(0)) Nil // empty batch: nothing can collide
             else pruneByRange(m, schema, existingFiles, k,
-              bounds.getString(0), bounds.getString(1))
+              bounds.getString(0), bounds.getString(1),
+              spark.sessionState.conf.sessionLocalTimeZone)
           } else existingFiles
         if (candidates.nonEmpty) {
           val collide = readFiles(spark, path, schema, candidates, m.colMap, m.dv)
@@ -2203,12 +2280,14 @@ object TxLog {
     val discoveryFiles: Seq[String] =
       if (keys.size == 1 && m.statsCols.contains(physOf(m, keys.head))) {
         val k = keys.head
-        val bounds = updatesAligned.agg(min(col(k)).cast("string"),
-          max(col(k)).cast("string")).head()
+        // bounds in the STATS encoding (timestamps as us:-micros)
+        val bounds = updatesAligned.agg(statsEncode(widened(k).dataType, min(col(k))),
+          statsEncode(widened(k).dataType, max(col(k)))).head()
         if (bounds.isNullAt(0)) Nil // empty batch: nothing matches
         else {
           val byStats = pruneByRange(m, widened, m.files, k,
-            bounds.getString(0), bounds.getString(1))
+            bounds.getString(0), bounds.getString(1),
+            spark.sessionState.conf.sessionLocalTimeZone)
           bloomPruneByKeys(spark, path, physOf(m, k),
             boundedDistinct(updatesAligned, k, 1024), byStats)
         }

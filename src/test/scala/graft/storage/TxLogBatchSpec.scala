@@ -124,6 +124,65 @@ class TxLogBatchSpec extends SparkSpec {
     assert(scansOf(tq).map(_.selectedPartitions.totalNumberOfFiles).sum == 1)
   }
 
+  test("timestamp stats are timezone-free: write under one session tz, prune exactly under another") {
+    // r10 advice (medium): the old Cast-to-string stats encoding
+    // rendered timestamps in the WRITING session's tz while the read
+    // side encoded literals under the READING session's tz — a tz
+    // change between write and read silently mis-pruned. Stats-v2
+    // encodes timestamps as us:-micros, so no zone enters either side.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val path = freshPath("tzfree")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      TxLog.create(Seq((1L, ts("2021-01-01 00:00:00")), (2L, ts("2021-01-02 12:00:00")))
+        .toDF("k", "t").coalesce(1), path, statsCols = Seq("t"))
+      TxLog.append(Seq((3L, ts("2021-03-01 00:00:00"))).toDF("k", "t").coalesce(1), path)
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val q = spark.read.format("graft-txlog").option("path", path).load()
+        .filter(col("t") >= ts("2021-02-01 00:00:00"))
+      assert(q.select("k").as[Long].collect().toSet == Set(3L),
+        "cross-tz read lost rows (stats mis-prune)")
+      assert(scansOf(q).map(_.selectedPartitions.totalNumberOfFiles).sum == 1,
+        "cross-tz pruning lost (timestamp stats stopped voting)")
+      // the sibling skip planner prunes identically, and stays exact
+      assert(TxLog.prunedFiles(spark, path, "t",
+        ts("2021-02-01 00:00:00"), ts("2021-12-31 00:00:00")).size == 1)
+      assert(TxLog.readBetween(spark, path, "t",
+        ts("2021-02-01 00:00:00"), ts("2021-12-31 00:00:00"))
+        .select("k").as[Long].collect().toSet == Set(3L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("legacy (pre-v2) timestamp stats entries fail OPEN: kept, never mis-pruned") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val path = freshPath("tslegacy")
+    TxLog.create(Seq((1L, ts("2021-01-01 00:00:00")), (2L, ts("2021-01-02 12:00:00")))
+      .toDF("k", "t").coalesce(1), path, statsCols = Seq("t"))
+    TxLog.append(Seq((3L, ts("2021-03-01 00:00:00"))).toDF("k", "t").coalesce(1), path)
+    // rewrite the committed us:-micros bounds into the PRE-v2 shape
+    // (session-tz strings) — exactly what a table written by an older
+    // build carries
+    Seq("v1.json", "v2.json").foreach { f =>
+      val p = java.nio.file.Paths.get(s"$path/_manifests/$f")
+      java.nio.file.Files.writeString(p, java.nio.file.Files.readString(p)
+        .replaceAll("us:-?\\d+", "2021-06-15 00:00:00"))
+    }
+    TxLog.flushSnapshotCacheForTesting()
+    // the legacy strings claim every file sits at June 15 — trusting
+    // them under the new contract would prune EVERYTHING for a March
+    // filter; the vote must abstain instead (all files planned)
+    val q = spark.read.format("graft-txlog").option("path", path).load()
+      .filter(col("t") >= ts("2021-02-01 00:00:00"))
+    assert(q.select("k").as[Long].collect().toSet == Set(3L),
+      "legacy stats entry voted and lost rows")
+    assert(scansOf(q).map(_.selectedPartitions.totalNumberOfFiles).sum == 2,
+      "legacy entries must abstain from pruning")
+    assert(TxLog.readBetween(spark, path, "t",
+      ts("2021-02-01 00:00:00"), ts("2021-12-31 00:00:00"))
+      .select("k").as[Long].collect().toSet == Set(3L))
+  }
+
   test("NaN/Infinity stats bounds keep the file instead of failing planning") {
     // r9 advice (low): BigDecimal('NaN') threw at plan time, failing
     // the whole query — a malformed bound must fail OPEN (keep file)
