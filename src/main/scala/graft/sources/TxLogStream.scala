@@ -106,7 +106,7 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
       fileFormat =
         if (m.dv.isEmpty)
           new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-        else new TxLogDvParquetFileFormat(path, m.dv.map(_._1),
+        else new TxLogParquetFileFormat(path, m.colMap, m.dv.map(_._1),
           spark.sparkContext.broadcast(TxLogBatch.loadDvMap(spark, path, m))),
       options = parameters)(spark)
   }

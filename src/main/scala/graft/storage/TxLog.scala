@@ -1352,10 +1352,12 @@ object TxLog {
         case org.apache.spark.sql.types.TimestampType =>
           val micros =
             if (l.dataType == org.apache.spark.sql.types.TimestampType) l.value
-            else Cast(l, org.apache.spark.sql.types.TimestampType, Some(tz)).eval(null)
+            else org.apache.spark.sql.catalyst.expressions
+              .Cast(l, org.apache.spark.sql.types.TimestampType, Some(tz)).eval(null)
           Option(micros).map(TsStatsPrefix + _)
         case _ =>
-          Option(Cast(l, org.apache.spark.sql.types.StringType, Some(tz))
+          Option(org.apache.spark.sql.catalyst.expressions
+            .Cast(l, org.apache.spark.sql.types.StringType, Some(tz))
             .eval(null)).map(_.toString)
       }
     }.toOption.flatten
