@@ -167,6 +167,10 @@ class TxLogBatchSpec extends SparkSpec {
       val p = java.nio.file.Paths.get(s"$path/_manifests/$f")
       java.nio.file.Files.writeString(p, java.nio.file.Files.readString(p)
         .replaceAll("us:-?\\d+", "2021-06-15 00:00:00"))
+      // the rewrite invalidates Hadoop's checksum sidecar — drop it so
+      // the local FS doesn't reject the mutated manifest on read
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$path/_manifests/.$f.crc"))
     }
     TxLog.flushSnapshotCacheForTesting()
     // the legacy strings claim every file sits at June 15 — trusting
