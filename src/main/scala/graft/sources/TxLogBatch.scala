@@ -35,6 +35,7 @@ import graft.storage.TxLog
   */
 class TxLogFileIndex(spark: SparkSession, tablePath: String,
                      m: TxLog.Manifest) extends FileIndex {
+  import TxLogFileIndex.{admitsTagged, dirPartOfEntry, partitionValuesOf}
 
   private val declared = StructType.fromDDL(m.schemaDdl)
   private val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
@@ -46,26 +47,39 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
     m.colMap.find(_._1 == l).map(_._2).getOrElse(l)
   override val partitionSchema: StructType =
     StructType(m.partitionCols.map(declared.apply))
+  /** Physical name per partition field, aligned to [[partitionSchema]]. */
+  private val physPartNames: Seq[String] =
+    partitionSchema.map(f => physName(f.name)).toSeq
 
   private def isAbs(f: String): Boolean = f.startsWith("/") || f.contains("://")
   private def absPath(f: String): Path =
     if (isAbs(f)) new Path(f) else new Path(new Path(tablePath, "data"), f)
-  /** Data-root-relative form (clone refs resolve through their own
-    * `/data/`), the key the manifest's stats are expressed in. */
-  private def dirPartOf(f: String): String = {
-    val rel =
-      if (!isAbs(f)) f
-      else {
-        val i = f.lastIndexOf("/data/")
-        if (i >= 0) f.substring(i + "/data/".length) else f.split('/').last
-      }
-    rel.split('/').dropRight(1).mkString("/")
-  }
+  private def dirPartOf(f: String): String = dirPartOfEntry(f)
 
-  /** One FileStatus per manifest entry — resolved once at index
-    * construction (file-count-bounded driver work, same class as every
-    * manifest walk) so repeated planning never re-stats. */
-  private val statuses: Seq[(String, FileStatus)] = {
+  /** Manifest entry count above which planning runs as a SPARK JOB
+    * over the columnar checkpoint instead of a driver-side walk
+    * (`graft.txlog.distributedIndexThreshold`). Below it the driver
+    * walk wins — no job-launch latency on small tables; above it the
+    * driver handles SURVIVORS only: a 10^6-file manifest never costs
+    * 10^6 driver stat RPCs or a 10^6-entry driver filter loop at every
+    * query's planning. */
+  private val distributedThreshold: Long =
+    spark.conf.getOption("graft.txlog.distributedIndexThreshold")
+      .map(_.toLong).getOrElse(100000L)
+  /** Distributed mode needs the columnar enumeration; an on-demand
+    * checkpoint write (one distributed job, idempotent, amortized over
+    * every later planning) covers versions between interval
+    * checkpoints. A failed write degrades to the driver walk. */
+  private lazy val distributed: Boolean =
+    m.files.size >= distributedThreshold &&
+      TxLog.ensureCheckpoint(spark, tablePath, m)
+
+  /** One FileStatus per manifest entry — resolved once at first
+    * DRIVER-path planning (file-count-bounded driver work, same class
+    * as every manifest walk) so repeated planning never re-stats.
+    * Never touched in distributed mode: len/mtime ride the checkpoint
+    * rows there. */
+  private lazy val statuses: Seq[(String, FileStatus)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     m.files.map { f =>
       val p = absPath(f)
@@ -76,45 +90,32 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
   /** Partition-dir string → typed InternalRow of the partition values
     * (unescaped, `__HIVE_DEFAULT_PARTITION__` → null, cast via the
     * declared schema exactly like [[TxLog.read]]'s contract). */
-  private def valuesOf(dir: String): InternalRow = {
-    if (partitionSchema.isEmpty) return InternalRow.empty
-    val byName = dir.split('/').filter(_.nonEmpty).map { seg =>
-      val i = seg.indexOf('=')
-      require(i > 0, s"TxLogFileIndex: malformed partition dir '$dir'")
-      seg.substring(0, i) -> seg.substring(i + 1)
-    }.toMap
-    InternalRow.fromSeq(partitionSchema.map { field =>
-      // the directory spells the PHYSICAL name (renames never move files)
-      val raw = byName.getOrElse(physName(field.name),
-        ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
-      // SESSION tz, not UTC: stageIn's partitionBy writer formats
-      // timestamp partition values in the session timezone, so the
-      // cast back must use the same zone or the relation would surface
-      // shifted instants (and prune against the wrong ones)
-      else Cast(Literal(ExternalCatalogUtils.unescapePathName(raw)),
-        field.dataType, Some(sessionTz)).eval(null)
-    })
-  }
+  private def valuesOf(dir: String): InternalRow =
+    partitionValuesOf(dir, partitionSchema, physPartNames, sessionTz)
 
-  private val byDir: Seq[(String, InternalRow, Seq[(String, FileStatus)])] =
+  private lazy val byDir: Seq[(String, InternalRow, Seq[(String, FileStatus)])] =
     statuses.groupBy { case (f, _) => dirPartOf(f) }.toSeq.sortBy(_._1)
       .map { case (dir, fs) => (dir, valuesOf(dir), fs) }
 
   /** Bind by NAME against the partition schema — the filters arrive
     * referencing the relation's attributes. */
+  private def boundPartPredicate(partitionFilters: Seq[Expression])
+      : Option[Expression] =
+    if (partitionFilters.isEmpty || partitionSchema.isEmpty) None
+    else Some(partitionFilters.reduce(And).transform {
+      case a: AttributeReference =>
+        val i = partitionSchema.fieldIndex(a.name)
+        BoundReference(i, partitionSchema(i).dataType, nullable = true)
+    })
+
   private def pruneDirs(dirs: Seq[(String, InternalRow, Seq[(String, FileStatus)])],
                         partitionFilters: Seq[Expression]) =
-    if (partitionFilters.isEmpty || partitionSchema.isEmpty) dirs
-    else {
-      val bound = partitionFilters.reduce(And).transform {
-        case a: AttributeReference =>
-          val i = partitionSchema.fieldIndex(a.name)
-          BoundReference(i, partitionSchema(i).dataType, nullable = true)
-      }
-      val pred = Predicate.createInterpreted(bound)
-      pred.initialize(0)
-      dirs.filter { case (_, values, _) => pred.eval(values) }
+    boundPartPredicate(partitionFilters) match {
+      case None => dirs
+      case Some(bound) =>
+        val pred = Predicate.createInterpreted(bound)
+        pred.initialize(0)
+        dirs.filter { case (_, values, _) => pred.eval(values) }
     }
 
   /** Min/max skip vote for ONE simple comparison on a stats-tracked
@@ -164,32 +165,6 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
     }
   }
 
-  private def admits(entry: String, colName: String,
-                     lo: Option[String], hi: Option[String]): Boolean =
-    m.fileStats.get(entry).flatMap(_.get(physName(colName))) match {
-      case None => true // no stats: conservatively kept
-      case Some((mn, mx)) =>
-        declared(colName).dataType match {
-          case _: NumericType =>
-            // NaN/Infinity bounds (a double file's min/max casts to
-            // 'NaN'/'Infinity') don't parse as decimals — keep the
-            // file; pruning is an optimization, never a filter
-            def geq(a: String, b: String) =
-              scala.util.Try(BigDecimal(a) >= BigDecimal(b)).getOrElse(true)
-            lo.forall(l => geq(mx, l)) && hi.forall(h => geq(h, mn))
-          case org.apache.spark.sql.types.TimestampType =>
-            // stats-v2 `us:`-micros compare numerically; a LEGACY
-            // (session-tz-string) entry never votes — per-entry
-            // fail-open keeps mixed-era tables exact
-            def geq(a: String, b: String) =
-              (for { x <- TxLog.tsStatsDecode(a); y <- TxLog.tsStatsDecode(b) }
-                yield x >= y).getOrElse(true)
-            lo.forall(l => geq(mx, l)) && hi.forall(h => geq(h, mn))
-          case _ =>
-            lo.forall(l => mx >= l) && hi.forall(h => h >= mn)
-        }
-    }
-
   /** Only types whose stats encoding is ORDER-PRESERVING may vote:
     * numeric and timestamp (compared as decimals — timestamps ride the
     * stats-v2 `us:`-micros encoding, timezone-free), string (identity)
@@ -205,28 +180,175 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
       case _ => false
     }
 
-  private def skipByStats(files: Seq[(String, FileStatus)],
-                          dataFilters: Seq[Expression]) = {
-    val votes = dataFilters.flatMap(rangeOf)
+  /** Skip votes resolved to their serializable form: (PHYSICAL stats
+    * key, comparison tag, lo, hi) — everything an executor needs to
+    * run [[TxLogFileIndex.admitsTagged]], the SAME function the driver
+    * walk runs (prune parity by construction). */
+  private def voteSpecs(dataFilters: Seq[Expression])
+      : Seq[(String, Int, Option[String], Option[String])] =
+    dataFilters.flatMap(rangeOf)
       .filter { case (c, _, _) =>
         m.statsCols.contains(physName(c)) && votableType(c) }
+      .map { case (c, lo, hi) =>
+        val tag = declared(c).dataType match {
+          case _: NumericType => 0
+          case org.apache.spark.sql.types.TimestampType => 1
+          case _ => 2
+        }
+        (physName(c), tag, lo, hi)
+      }
+
+  private def skipByStats(files: Seq[(String, FileStatus)],
+                          dataFilters: Seq[Expression]) = {
+    val votes = voteSpecs(dataFilters)
     if (votes.isEmpty) files
     else files.filter { case (entry, _) =>
-      votes.forall { case (c, lo, hi) => admits(entry, c, lo, hi) }
+      votes.forall { case (k, tag, lo, hi) =>
+        admitsTagged(m.fileStats.get(entry).flatMap(_.get(k)), tag, lo, hi) }
     }
   }
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    pruneDirs(byDir, partitionFilters).map { case (_, values, fs) =>
+    if (distributed) listFilesDistributed(partitionFilters, dataFilters)
+    else pruneDirs(byDir, partitionFilters).map { case (_, values, fs) =>
       PartitionDirectory(values, skipByStats(fs, dataFilters).map(_._2).toArray)
     }
 
+  /** The driver walk as a SPARK JOB over the columnar checkpoint: each
+    * task evaluates the bound partition predicate (per-dir memoized)
+    * and the stats votes over its slice of the enumeration and ships
+    * back SURVIVORS ONLY — driver memory and work scale with the
+    * query's selectivity, not the table's file count. FileStatuses
+    * build from the checkpoint's len/mtime (statted distributed at
+    * checkpoint-write time); a pre-r12 checkpoint row (null len)
+    * falls back to one driver stat — survivor-bounded. */
+  private def listFilesDistributed(partitionFilters: Seq[Expression],
+                                   dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val votes = voteSpecs(dataFilters)
+    val bound = boundPartPredicate(partitionFilters)
+    val pSchema = partitionSchema
+    val physNames = physPartNames
+    val tz = sessionTz
+    val survivors: Array[(String, Long, Long)] = spark.read
+      .schema(TxLog.checkpointSchema)
+      .parquet(TxLog.checkpointDir(tablePath, m.version).toString)
+      .rdd.mapPartitions { it =>
+        val pred = bound.map(Predicate.createInterpreted)
+        pred.foreach(_.initialize(0))
+        val dirOk = scala.collection.mutable.HashMap.empty[String, Boolean]
+        it.flatMap { r =>
+          val f = r.getString(0)
+          val dir = dirPartOfEntry(f)
+          val ok = pred.forall(p => dirOk.getOrElseUpdate(dir,
+              p.eval(partitionValuesOf(dir, pSchema, physNames, tz)))) &&
+            (votes.isEmpty || {
+              val stats: Option[Map[String, (String, String)]] =
+                if (r.isNullAt(2)) None
+                else Some(r.getAs[scala.collection.Map[
+                    String, scala.collection.Seq[String]]](2)
+                  .map { case (c, a) => c -> ((a(0), a(1))) }.toMap)
+              votes.forall { case (k, tag, lo, hi) =>
+                admitsTagged(stats.flatMap(_.get(k)), tag, lo, hi) }
+            })
+          if (!ok) None
+          else Some((f, if (r.isNullAt(3)) -1L else r.getLong(3),
+            if (r.isNullAt(4)) 0L else r.getLong(4)))
+        }
+      }.collect()
+    val conf = spark.sparkContext.hadoopConfiguration
+    survivors.groupBy(s => dirPartOf(s._1)).toSeq.sortBy(_._1)
+      .map { case (dir, fs) =>
+        PartitionDirectory(valuesOf(dir), fs.map { case (f, len, mtime) =>
+          val p = absPath(f)
+          if (len >= 0L) new FileStatus(len, false, 1, 134217728L, mtime, p)
+          else p.getFileSystem(conf).getFileStatus(p)
+        })
+      }
+  }
+
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
   override def inputFiles: Array[String] =
-    statuses.map(_._2.getPath.toString).toArray
+    m.files.map(absPath(_).toString).toArray
   override def refresh(): Unit = () // a manifest snapshot is immutable
-  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+  override lazy val sizeInBytes: Long =
+    if (distributed) {
+      import org.apache.spark.sql.functions.{coalesce, lit, sum, col}
+      val r = spark.read.schema(TxLog.checkpointSchema)
+        .parquet(TxLog.checkpointDir(tablePath, m.version).toString)
+        .agg(sum(coalesce(col("len"), lit(0L)))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    } else statuses.map(_._2.getLen).sum
+}
+
+object TxLogFileIndex {
+  /** Data-root-relative dir of a manifest entry (clone refs resolve
+    * through their own `/data/`) — the partition-dir key the
+    * manifest's stats and directories are expressed in. */
+  private[sources] def dirPartOfEntry(f: String): String = {
+    val abs = f.startsWith("/") || f.contains("://")
+    val rel =
+      if (!abs) f
+      else {
+        val i = f.lastIndexOf("/data/")
+        if (i >= 0) f.substring(i + "/data/".length) else f.split('/').last
+      }
+    rel.split('/').dropRight(1).mkString("/")
+  }
+
+  /** Partition-dir string → typed InternalRow of the partition values
+    * (unescaped, `__HIVE_DEFAULT_PARTITION__` → null, cast via the
+    * declared schema in the SESSION tz exactly like [[TxLog.read]]'s
+    * contract — stageIn's writer formats timestamp partition values in
+    * the session timezone, so a UTC cast-back would shift instants).
+    * `physNames` is the physical name per partition field (the
+    * directories spell physical names — renames never move files). */
+  private[sources] def partitionValuesOf(dir: String, partitionSchema: StructType,
+                                         physNames: Seq[String],
+                                         tz: String): InternalRow = {
+    if (partitionSchema.isEmpty) return InternalRow.empty
+    val byName = dir.split('/').filter(_.nonEmpty).map { seg =>
+      val i = seg.indexOf('=')
+      require(i > 0, s"TxLogFileIndex: malformed partition dir '$dir'")
+      seg.substring(0, i) -> seg.substring(i + 1)
+    }.toMap
+    InternalRow.fromSeq(partitionSchema.zipWithIndex.map { case (field, i) =>
+      val raw = byName.getOrElse(physNames(i),
+        ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else Cast(Literal(ExternalCatalogUtils.unescapePathName(raw)),
+        field.dataType, Some(tz)).eval(null)
+    })
+  }
+
+  /** The min/max skip vote over ONE file's stats entry — shared
+    * VERBATIM by the driver walk and the distributed checkpoint prune,
+    * so the two paths cannot diverge. Tags: 0 numeric (exact decimal
+    * compare; NaN/Infinity bounds fail OPEN), 1 timestamp (stats-v2
+    * `us:`-micros; a legacy session-tz-string entry never votes), 2
+    * lexicographic (string identity / zero-padded ISO dates). A
+    * stats-less entry is conservatively kept — pruning is an
+    * optimization, never a filter. */
+  private[sources] def admitsTagged(stat: Option[(String, String)], tag: Int,
+                                    lo: Option[String],
+                                    hi: Option[String]): Boolean =
+    stat match {
+      case None => true
+      case Some((mn, mx)) => tag match {
+        case 0 =>
+          def geq(a: String, b: String) =
+            scala.util.Try(BigDecimal(a) >= BigDecimal(b)).getOrElse(true)
+          lo.forall(l => geq(mx, l)) && hi.forall(h => geq(h, mn))
+        case 1 =>
+          def geq(a: String, b: String) =
+            (for { x <- TxLog.tsStatsDecode(a); y <- TxLog.tsStatsDecode(b) }
+              yield x >= y).getOrElse(true)
+          lo.forall(l => geq(mx, l)) && hi.forall(h => geq(h, mn))
+        case _ =>
+          lo.forall(l => mx >= l) && hi.forall(h => h >= mn)
+      }
+    }
 }
 
 /** The table's parquet format: stock `ParquetFileFormat` plus the two
@@ -264,7 +386,7 @@ class TxLogParquetFileFormat(
     val tablePath: String,
     val colMap: Seq[(String, String)],
     val dvFiles: Seq[String],
-    dvBySuffix: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
+    val dvBySuffix: org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]])
   extends org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat {
 
   import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat => PFF}
@@ -396,7 +518,10 @@ object TxLogBatch {
   /** Driver-side load of a snapshot's deletion vectors into
     * (file-key → SORTED deleted row indexes) — delete-sized, the same
     * rows [[TxLog.read]]'s anti-join streams, collected once and
-    * broadcast so every scan task probes a local array. */
+    * broadcast so every scan task probes a local array. Callers gate
+    * on [[dvBroadcastMaxRows]] BEFORE invoking (the manifest's
+    * per-entry counts price the collect without reading a byte);
+    * over-budget snapshots mount through [[TxLogJoinRelation]]. */
   def loadDvMap(spark: SparkSession, tablePath: String,
                 m: TxLog.Manifest): Map[String, Array[Long]] =
     spark.read
@@ -406,6 +531,55 @@ object TxLogBatch {
       .map { case (k, rows) =>
         val a = rows.map(_.getLong(1)); java.util.Arrays.sort(a); k -> a
       }
+
+  /** Deleted-row budget for the broadcast DV map, overridable via
+    * `graft.txlog.dvBroadcastMaxRows`. 4M (row_index longs + file-key
+    * strings ≈ tens of MB broadcast) is comfortably inside a default
+    * driver/executor budget; above it the mount serves through the
+    * distributed anti-join seam instead of a driver-side collect. */
+  val DvBroadcastMaxRowsDefault: Long = 4000000L
+  def dvBroadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption("graft.txlog.dvBroadcastMaxRows").map(_.toLong)
+      .getOrElse(DvBroadcastMaxRowsDefault)
+
+  /** Total deleted rows a snapshot carries — priced from the
+    * manifest's per-entry counts alone, zero I/O. */
+  def dvRowCount(m: TxLog.Manifest): Long =
+    m.dv.iterator.map(_._2.valuesIterator.sum).sum
+
+  /** Per-snapshot DV broadcast cache: repeated `.load()`s of the same
+    * (table, version) reuse ONE broadcast instead of leaking one per
+    * mount — a BI tool re-resolving per query would otherwise grow
+    * driver memory for the session's lifetime. Evicted entries
+    * unpersist lazily (a straggler query still holding the handle
+    * refetches from the driver — an efficiency event, never a
+    * correctness one). */
+  private val dvBcastCacheMax = 64
+  private val dvBcastCache = new java.util.LinkedHashMap[
+      String, org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String,
+          org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]])
+        : Boolean =
+      if (size > dvBcastCacheMax) { e.getValue.unpersist(false); true }
+      else false
+  }
+  def dvBroadcastFor(spark: SparkSession, tablePath: String, m: TxLog.Manifest)
+      : org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]] =
+    dvBcastCache.synchronized {
+      val key = s"${spark.sparkContext.applicationId}|$tablePath|${m.version}|" +
+        m.dv.map(_._1).mkString(",")
+      val cached = dvBcastCache.get(key)
+      if (cached != null) cached
+      else {
+        val b = spark.sparkContext.broadcast(
+          if (m.dv.isEmpty) Map.empty[String, Array[Long]]
+          else loadDvMap(spark, tablePath, m))
+        dvBcastCache.put(key, b)
+        b
+      }
+    }
 
   /** Resolve the (path, version) a batch read targets from the
     * reader options: `versionAsOf` (a version number) or
@@ -421,14 +595,65 @@ object TxLogBatch {
       .orElse(TxLog.currentVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(
         s"graft-txlog: no table at $path"))
-    val m = TxLog.manifest(spark, path, version)
-    // column-mapped (renamed) tables need the read-side alias layer;
-    // HadoopFsRelation reads parquet columns by their file names, so it
-    // would silently surface nulls for a renamed column — refuse loudly
-    require(m.colMap.isEmpty,
-      s"graft-txlog: table at $path uses column mapping (renamed columns); " +
-        "the batch relation does not alias physical names yet — read via " +
-        "TxLog.read")
-    (path, m)
+    (path, TxLog.manifest(spark, path, version))
   }
+}
+
+/** Fallback mount for snapshots whose deletion vectors exceed
+  * [[TxLogBatch.dvBroadcastMaxRows]]: serves through [[TxLog.read]]'s
+  * DISTRIBUTED anti-join seam instead of a driver-collected broadcast
+  * map, so a huge MERGE-ON-READ delete never OOMs the driver at mount
+  * time. Column pruning and every translatable filter still reach the
+  * underlying parquet scan through the inner DataFrame's own planner;
+  * Spark re-evaluates all filters above the relation (the default
+  * `unhandledFilters` contract), so a partially-translated predicate
+  * stays exact. Row-based by construction — the transitional state a
+  * compact/OPTIMIZE resolves back to the columnar mount. */
+class TxLogJoinRelation(spark: SparkSession, path: String, m: TxLog.Manifest)
+  extends org.apache.spark.sql.sources.BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.{functions => F, sources, Column, SQLContext}
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = StructType.fromDDL(m.schemaDdl)
+  override def sizeInBytes: Long = spark.sessionState.conf.defaultSizeInBytes
+
+  private def colOf(n: String): Column =
+    F.col("`" + n.replace("`", "``") + "`")
+  /** sources.Filter → Column for the shapes worth pushing; None drops
+    * the filter here (Spark still evaluates it above — optimization,
+    * never a correctness gate). */
+  private def translate(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(colOf(a) === F.lit(v))
+    case sources.EqualNullSafe(a, v) => Some(colOf(a) <=> F.lit(v))
+    case sources.GreaterThan(a, v) => Some(colOf(a) > F.lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(colOf(a) >= F.lit(v))
+    case sources.LessThan(a, v) => Some(colOf(a) < F.lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(colOf(a) <= F.lit(v))
+    case sources.In(a, vs) => Some(colOf(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(colOf(a).isNull)
+    case sources.IsNotNull(a) => Some(colOf(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(colOf(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(colOf(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(colOf(a).contains(v))
+    case sources.And(l, r) =>
+      for { x <- translate(l); y <- translate(r) } yield x && y
+    case sources.Or(l, r) =>
+      for { x <- translate(l); y <- translate(r) } yield x || y
+    case sources.Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val base = TxLog.read(spark, path, Some(m.version))
+    val filtered = filters.flatMap(translate)
+      .foldLeft(base)((df, c) => df.filter(c))
+    // empty requiredColumns (count-style scans) → zero-column rows
+    filtered.select(requiredColumns.map(colOf).toIndexedSeq: _*).rdd
+  }
+
+  override def toString: String =
+    s"GraftTxLogJoinRelation($path@v${m.version}, dvRows=${TxLogBatch.dvRowCount(m)})"
 }

@@ -91,6 +91,11 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
       : org.apache.spark.sql.sources.BaseRelation = {
     val spark = sqlContext.sparkSession
     val (path, m) = TxLogBatch.resolve(spark, parameters)
+    // a huge-delete snapshot (DV rows above the broadcast budget —
+    // priced from manifest counts, zero I/O) mounts through the
+    // distributed anti-join seam instead of a driver-side collect
+    if (TxLogBatch.dvRowCount(m) > TxLogBatch.dvBroadcastMaxRows(spark))
+      return new TxLogJoinRelation(spark, path, m)
     val declared = StructType.fromDDL(m.schemaDdl)
     val partitionSchema = StructType(m.partitionCols.map(declared.apply))
     val dataSchema =
@@ -100,14 +105,15 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
       partitionSchema = partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      // a DV-bearing snapshot reads through the DV-aware format (rows
-      // in a deletion vector filtered out per file at scan time);
-      // DV-free snapshots keep the stock columnar parquet path
+      // DV-bearing or column-mapped snapshots read through the
+      // manifest-aware format (DV rows filtered per file at scan time;
+      // logical→physical rename translation on schemas and pushed
+      // filters); plain snapshots keep the stock columnar parquet path
       fileFormat =
-        if (m.dv.isEmpty)
+        if (m.dv.isEmpty && m.colMap.isEmpty)
           new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
         else new TxLogParquetFileFormat(path, m.colMap, m.dv.map(_._1),
-          spark.sparkContext.broadcast(TxLogBatch.loadDvMap(spark, path, m))),
+          TxLogBatch.dvBroadcastFor(spark, path, m)),
       options = parameters)(spark)
   }
 

@@ -523,6 +523,11 @@ object TxLog {
   // Checkpoints
   // ------------------------------------------------------------------
 
+  /** Checkpoint row shape. `len`/`mtime` (nullable, added r12) are the
+    * file's size and modification time statted DISTRIBUTED at
+    * checkpoint-write time, so a large-manifest planner never pays one
+    * driver RPC per file; pre-r12 checkpoints read back with nulls
+    * (explicit-schema read) and the consumer falls back to a stat. */
   private val ckptSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("f",
       org.apache.spark.sql.types.StringType, nullable = false),
@@ -533,7 +538,37 @@ object TxLog {
         org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.StringType, containsNull = false),
-        valueContainsNull = false), nullable = true)))
+        valueContainsNull = false), nullable = true),
+    org.apache.spark.sql.types.StructField("len",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("mtime",
+      org.apache.spark.sql.types.LongType, nullable = true)))
+
+  private[graft] def checkpointSchema: org.apache.spark.sql.types.StructType =
+    ckptSchema
+  private[graft] def checkpointDir(path: String, v: Long): Path = ckptDir(path, v)
+
+  /** Make sure a checkpoint exists at `m.version`, writing one on
+    * demand (a distributed job, idempotent — losing a concurrent race
+    * drops the duplicate). Returns whether one is readable; `false`
+    * sends the caller down the checkpoint-free path. Used by the
+    * batch planner's distributed-prune mode: a 10^6-file manifest
+    * wants the columnar enumeration even between interval
+    * checkpoints. */
+  private[graft] def ensureCheckpoint(spark: SparkSession, path: String,
+                                      m: Manifest): Boolean =
+    try {
+      val fs = fsFor(spark, path)
+      if (!fs.exists(ckptDir(path, m.version))) writeCheckpoint(spark, path, m)
+      fs.exists(ckptDir(path, m.version))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"TxLog: on-demand checkpoint at $path v${m.version} failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — planning " +
+            "falls back to the driver-side file walk")
+        false
+    }
 
   /** Commits between checkpoints (`graft.txlog.checkpointInterval`,
     * default 10; ≤0 disables). Bounds delta-replay length for cold
@@ -581,8 +616,26 @@ object TxLog {
           .map(_.map { case (c, (mn, mx)) => c -> Seq(mn, mx) }).orNull)
     }
     val parts = math.max(1, math.min(64, rows.size / 100000))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, parts), ckptSchema)
+    // len/mtime stat IN THE TASKS (one RPC per file, parallelized) —
+    // the whole point of carrying them is that no later planner pays
+    // this walk driver-side; a file that disappears mid-stat (a racing
+    // vacuum) records nulls and the consumer re-stats or drops it
+    val dataRoot = dataDir(path).toString
+    val hconf = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val statted = spark.sparkContext.parallelize(rows, parts).mapPartitions { it =>
+      val conf = hconf.value
+      it.map { r =>
+        val f = r.getString(0)
+        val p = if (f.startsWith("/") || f.contains("://")) new Path(f)
+                else new Path(new Path(dataRoot), f)
+        val st = scala.util.Try(p.getFileSystem(conf).getFileStatus(p)).toOption
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2),
+          st.map(s => java.lang.Long.valueOf(s.getLen)).orNull,
+          st.map(s => java.lang.Long.valueOf(s.getModificationTime)).orNull)
+      }
+    }
+    val df = spark.createDataFrame(statted, ckptSchema)
     val tmp = new Path(manifestDir(path),
       s".ckpt_v${m.version}_${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(tmp.toString)
@@ -2153,9 +2206,9 @@ object TxLog {
       }
     // dirs whose files carry outstanding DV entries compact even below
     // the file-count threshold: compaction is the advertised remedy
-    // that MATERIALIZES deletion vectors (the batch relation's refusal
-    // message, DESCRIBE DETAIL) — a single-file dir would otherwise
-    // never materialize and the table would stay batch-unreadable
+    // (DESCRIBE DETAIL) that MATERIALIZES deletion vectors — a
+    // single-file dir would otherwise never materialize and its reads
+    // would pay the per-row DV filter forever
     val dvDirs = m.dv.flatMap(_._2.keys).map(dirOf).toSet
     val todo = m.files.groupBy(dirOf)
       .filter { case (dir, files) =>

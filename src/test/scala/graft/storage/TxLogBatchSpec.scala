@@ -312,4 +312,170 @@ class TxLogBatchSpec extends SparkSpec {
     assert(TxLog.read(spark, path).count() == 1)
     assert(TxLog.read(spark, path, Some(2L)).count() == 3, "history lost")
   }
+
+  test("over-budget deletion vectors mount through the distributed anti-join fallback, row-exact") {
+    val path = freshPath("dvbig")
+    TxLog.create(spark.range(0, 100).select(col("id").as("k"),
+      (col("id") % 4).cast("string").as("part"), (col("id") * 1.0).as("v"))
+      .coalesce(2), path, Some("part"))
+    TxLog.deleteWhere(spark, path, col("k") % 10 === 0L, deletionVectors = true)
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(graft.sources.TxLogBatch.dvRowCount(m) == 10L)
+    val prev = spark.conf.getOption("graft.txlog.dvBroadcastMaxRows")
+    spark.conf.set("graft.txlog.dvBroadcastMaxRows", "5") // force fallback
+    try {
+      val q = spark.read.format("graft-txlog").option("path", path).load()
+      // the plan IS the join relation (no broadcast map was collected)
+      val rels = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation
+      }
+      assert(rels.exists(_.isInstanceOf[graft.sources.TxLogJoinRelation]),
+        s"expected the anti-join fallback, got ${rels.map(_.getClass.getName)}")
+      // row-exact vs the library read, filters and pruning still exact
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "part", "v").as[(Long, String, Double)].collect().toSet
+      assert(rows(q) == rows(TxLog.read(spark, path)))
+      assert(q.count() == 90)
+      assert(q.filter(col("part") === "1" && col("v") > 5.0)
+        .select("k").as[Long].collect().toSet ==
+        (0 until 100).filter(i => i % 4 == 1 && i > 5 && i % 10 != 0)
+          .map(_.toLong).toSet)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.txlog.dvBroadcastMaxRows", v)
+        case None => spark.conf.unset("graft.txlog.dvBroadcastMaxRows")
+      }
+    }
+    // under the default budget the same snapshot mounts columnar-free
+    // through the broadcast DV format again
+    val back = spark.read.format("graft-txlog").option("path", path).load()
+    assert(back.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+    }.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation]))
+    assert(back.count() == 90)
+  }
+
+  test("repeated mounts of the same DV snapshot reuse ONE broadcast (no per-mount leak)") {
+    val path = freshPath("dvreuse")
+    TxLog.create(spark.range(0, 50).select(col("id").as("k"),
+      (col("id") * 1.0).as("v")).coalesce(1), path)
+    TxLog.deleteWhere(spark, path, col("k") === 7L, deletionVectors = true)
+    def bcastIdOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation
+      }.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          r.fileFormat.asInstanceOf[graft.sources.TxLogParquetFileFormat]
+            .dvBySuffix.id
+      }.get
+    val a = bcastIdOf(
+      spark.read.format("graft-txlog").option("path", path).load())
+    val b = bcastIdOf(
+      spark.read.format("graft-txlog").option("path", path).load())
+    assert(a == b, s"each mount broadcast a fresh DV map: $a vs $b")
+    // a NEW version (different DV state) gets its own broadcast
+    TxLog.deleteWhere(spark, path, col("k") === 8L, deletionVectors = true)
+    val c = bcastIdOf(
+      spark.read.format("graft-txlog").option("path", path).load())
+    assert(c != a, "distinct snapshots must not share a DV broadcast")
+  }
+
+  test("distributed manifest pruning: the checkpoint-job planner plans EXACTLY the driver walk's files") {
+    val path = freshPath("dist")
+    // 3 partitions × 4 stat-disjoint files, interval checkpoints off so
+    // the distributed path exercises the ON-DEMAND checkpoint write
+    val prevK = spark.conf.getOption("graft.txlog.checkpointInterval")
+    spark.conf.set("graft.txlog.checkpointInterval", "0")
+    try {
+      TxLog.create(spark.range(0, 90).select(col("id").as("k"),
+        (col("id") % 3).cast("string").as("part")).coalesce(1),
+        path, Some("part"), statsCols = Seq("k"))
+      Seq(100L, 200L, 300L).foreach(lo =>
+        TxLog.append(spark.range(lo, lo + 90).select(col("id").as("k"),
+          (col("id") % 3).cast("string").as("part")).coalesce(1), path))
+    } finally prevK match {
+      case Some(v) => spark.conf.set("graft.txlog.checkpointInterval", v)
+      case None => spark.conf.unset("graft.txlog.checkpointInterval")
+    }
+    assert(!new java.io.File(s"$path/_manifests/v4.ckpt").exists,
+      "precondition: no interval checkpoint yet")
+    def planned(df: org.apache.spark.sql.DataFrame) = {
+      val scans = scansOf(df)
+      (scans.map(_.selectedPartitions.totalNumberOfFiles).sum,
+        df.collect().map(_.toString).sorted.toSeq)
+    }
+    def query() = {
+      val t = spark.read.format("graft-txlog").option("path", path).load()
+      Seq(
+        t,                                                    // full scan
+        t.filter(col("part") === "1"),                        // partition prune
+        t.filter(col("k") >= 110L && col("k") < 190L),        // stats skip
+        t.filter(col("part") === "2" && col("k") === 250L))   // both
+    }
+    val driver = query().map(planned)
+    val prevT = spark.conf.getOption("graft.txlog.distributedIndexThreshold")
+    spark.conf.set("graft.txlog.distributedIndexThreshold", "1")
+    try {
+      val dist = query().map(planned)
+      // identical FILE SETS planned and identical rows, query by query
+      driver.zip(dist).zipWithIndex.foreach { case ((d, x), i) =>
+        assert(x._1 == d._1, s"query $i planned ${x._1} files, driver ${d._1}")
+        assert(x._2 == d._2, s"query $i rows diverged")
+      }
+      // the on-demand checkpoint landed and carries len/mtime
+      assert(new java.io.File(s"$path/_manifests/v4.ckpt").exists,
+        "distributed mode should have written the on-demand checkpoint")
+      val ck = spark.read.parquet(s"$path/_manifests/v4.ckpt")
+      assert(ck.columns.toSet == Set("f", "rows", "stats", "len", "mtime"))
+      assert(ck.filter(col("len").isNull).count() == 0,
+        "checkpoint len must be statted for every live file")
+      // sizeInBytes agrees with the driver walk's stat sum
+      spark.conf.unset("graft.txlog.distributedIndexThreshold")
+      val sizeDriver = spark.read.format("graft-txlog").option("path", path)
+        .load().queryExecution.optimizedPlan.stats.sizeInBytes
+      spark.conf.set("graft.txlog.distributedIndexThreshold", "1")
+      val sizeDist = spark.read.format("graft-txlog").option("path", path)
+        .load().queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(sizeDist == sizeDriver,
+        s"sizeInBytes diverged: dist $sizeDist vs driver $sizeDriver")
+    } finally prevT match {
+      case Some(v) => spark.conf.set("graft.txlog.distributedIndexThreshold", v)
+      case None => spark.conf.unset("graft.txlog.distributedIndexThreshold")
+    }
+  }
+
+  test("distributed pruning composes with renames and deletion vectors") {
+    val path = freshPath("distdvren")
+    TxLog.create(spark.range(0, 100).select(col("id").as("k"),
+      (col("id") % 4).cast("string").as("part"), (col("id") * 1.0).as("score"))
+      .coalesce(2), path, Some("part"), statsCols = Seq("k"))
+    TxLog.renameColumn(spark, path, "score", "quality")
+    TxLog.renameColumn(spark, path, "part", "bucket")
+    TxLog.deleteWhere(spark, path, col("k") % 10 === 0L, deletionVectors = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "bucket", "quality").as[(Long, String, Double)]
+        .collect().toSet
+    val expect = rows(TxLog.read(spark, path))
+    val prevT = spark.conf.getOption("graft.txlog.distributedIndexThreshold")
+    spark.conf.set("graft.txlog.distributedIndexThreshold", "1")
+    try {
+      val q = spark.read.format("graft-txlog").option("path", path).load()
+      assert(rows(q) == expect)
+      // renamed-partition pruning through the distributed planner
+      val sel = q.filter(col("bucket") === "2")
+      assert(sel.select("k").as[Long].collect().toSet ==
+        (0 until 100).filter(i => i % 4 == 2 && i % 10 != 0).map(_.toLong).toSet)
+      val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+      val p2Files = m.files.count(_.startsWith("part=2/"))
+      assert(scansOf(sel).map(_.selectedPartitions.totalNumberOfFiles).sum
+        == p2Files, "renamed partition pruning lost in distributed mode")
+    } finally prevT match {
+      case Some(v) => spark.conf.set("graft.txlog.distributedIndexThreshold", v)
+      case None => spark.conf.unset("graft.txlog.distributedIndexThreshold")
+    }
+  }
 }

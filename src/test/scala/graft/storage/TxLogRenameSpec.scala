@@ -115,10 +115,63 @@ class TxLogRenameSpec extends SparkSpec {
         .toDF("key_id", "part", "v", "k"), path, evolveSchema = true)
     }
     assert(e2.getMessage.contains("physical"), e2.getMessage)
-    // the batch relation refuses column-mapped tables loudly
-    val e3 = intercept[IllegalArgumentException] {
-      spark.read.format("graft-txlog").option("path", path).load()
-    }
-    assert(e3.getMessage.contains("column mapping"), e3.getMessage)
+    // the batch relation mounts column-mapped tables (logical names;
+    // the HadoopFsRelation mount orders partition columns last)
+    assert(spark.read.format("graft-txlog").option("path", path).load()
+      .columns.toSet == Set("key_id", "part", "v"))
+  }
+
+  test("batch format reads a renamed table: logical names, exact values, pushdown on renamed columns") {
+    val path = freshPath("fmt")
+    TxLog.create(spark.range(0, 100).select(col("id").as("k"),
+      (col("id") % 4).cast("string").as("part"), (col("id") * 1.0).as("score"))
+      .coalesce(1), path, Some("part"), statsCols = Seq("k"))
+    Seq(100L, 200L).foreach(lo =>
+      TxLog.append(spark.range(lo, lo + 100).select(col("id").as("k"),
+        (col("id") % 4).cast("string").as("part"), (col("id") * 1.0).as("score"))
+        .coalesce(1), path))
+    TxLog.renameColumn(spark, path, "score", "quality")
+    TxLog.renameColumn(spark, path, "k", "key_id")
+    TxLog.renameColumn(spark, path, "part", "bucket")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("key_id", "bucket", "quality")
+        .as[(Long, String, Double)].collect().toSet
+    val viaFormat = spark.read.format("graft-txlog").option("path", path).load()
+    // format mount ≡ TxLog.read, values under LOGICAL names (the
+    // HadoopFsRelation mount orders partition columns last)
+    assert(viaFormat.columns.toSet == Set("key_id", "bucket", "quality"))
+    assert(rows(viaFormat) == rows(TxLog.read(spark, path)))
+    def scansOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    // partition pruning through the renamed partition column: the
+    // dirs spell the PHYSICAL name, the filter spells the logical one
+    val q = viaFormat.filter(col("bucket") === "1" && col("quality") > 5.0)
+      .select("key_id")
+    assert(q.as[Long].collect().toSet ==
+      (0 until 300).filter(i => i % 4 == 1 && i > 5).map(_.toLong).toSet)
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    val p1Files = m.files.count(_.startsWith("part=1/"))
+    assert(scansOf(q).map(_.selectedPartitions.totalNumberOfFiles).sum == p1Files,
+      "partition pruning lost across the rename")
+    // the data filter on a renamed column is still PUSHED (the scan
+    // metadata spells the logical name; the format translates it to
+    // the physical name before the parquet reader — value-pinned above)
+    val pushed = q.queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") && pushed.contains("quality"),
+      s"renamed data filter not pushed: ${pushed.take(500)}")
+    // manifest-stats skipping keyed physical still prunes via logical:
+    // partition pruning leaves part=2's three files (k ranges 0-99,
+    // 100-199, 200-299); the k stats admit exactly the third
+    val sel = spark.read.format("graft-txlog").option("path", path).load()
+      .filter(col("key_id") === 250L && col("bucket") === "2")
+    assert(sel.count() == 1)
+    assert(scansOf(sel).map(_.selectedPartitions.totalNumberOfFiles).sum == 1,
+      "stats skipping lost across the rename")
+    // time travel to the pre-rename version keeps the OLD names
+    assert(spark.read.format("graft-txlog").option("path", path)
+      .option("versionAsOf", "1").load().columns.toSet ==
+      Set("k", "part", "score"))
   }
 }
