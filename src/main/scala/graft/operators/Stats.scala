@@ -175,16 +175,17 @@ object Stats {
   def madOutliers(df: DataFrame, groupCol: String, xCol: String,
                   k: Double = 3.0, exact: Boolean = true): DataFrame = {
     if (exact) {
-      // ONE corpus shuffle total: the value histogram is materialized
-      // once (eager localCheckpoint — distinct-values-sized, the
-      // components precedent) and everything else is histogram-sized:
-      // the median reads it, the |v − med| histogram RE-AGGREGATES it
-      // (never a second corpus scan — the rewrite that halved this
-      // operator's bench cost), and the outlier tally sums its counts.
+      // ONE corpus shuffle total: the histogram subtree appears three
+      // times in the final plan (median, |v − med| histogram, outlier
+      // tally) but canonicalizes identically, so Spark's exchange
+      // reuse computes the corpus-sized shuffle ONCE and the other
+      // consumers read the same shuffle files (ReusedExchange —
+      // cheaper than an eager localCheckpoint, which pays a full
+      // storage write + a pipeline barrier for the same sharing).
+      // Everything downstream is histogram-sized.
       val hist = df
         .groupBy(col(groupCol), col(xCol).cast("double").as("v"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
       val med = Percentiles.exactFromHistogram(hist, groupCol,
         Seq(("_med", 0.5)))
       val absHist = hist.join(med, Seq(groupCol))
