@@ -1167,6 +1167,34 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** HIDDEN partitioning through the driver gate: create with
+    * `bucket(16, o_custkey)` (an Iceberg-style transform — the bucket
+    * lives only in directory names, queries keep filtering raw
+    * columns), merge-reprice, delete, then read the head through the
+    * batch format (whose index translates raw predicates into bucket
+    * votes; spec-pinned). The gate proves the full lifecycle over a
+    * DERIVED layout is row-exact against the SQL recompute. */
+  def txlogHidden(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_hidden_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    TxLog.create(dim, path, hiddenPartitions = Seq("bucket(16, o_custkey)"))
+    val upd = dim.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(BigDecimal("1.1")))
+          .cast("double"))
+      .withColumn("o_orderstatus", lit("R"))
+    TxLog.mergeInto(path, upd, Seq("o_orderkey"))
+    TxLog.deleteWhere(s, path, col("o_orderkey") % 97 === 0)
+    s.read.format("graft-txlog").option("path", path).load()
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** RESTORE over the transaction log: create → merge → roll back to
     * v1 as a NEW commit. The head read after the rollback must equal
     * the ORIGINAL table — and the restore commit moved zero data bytes
@@ -1286,6 +1314,7 @@ object WarehouseQueries {
     "q_txlog_batch" -> txlogBatch _,
     "q_txlog_rename" -> txlogRename _,
     "q_txlog_multicol" -> txlogMulticol _,
+    "q_txlog_hidden" -> txlogHidden _,
     "q_txlog_point" -> txlogPoint _,
     "q_txlog_cdf" -> txlogCdf _,
     "q_txlog_restore" -> txlogRestore _,
@@ -1411,6 +1440,23 @@ object WarehouseQueries {
         |UNION ALL
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    // a hidden bucket(16, o_custkey) layout takes q_txlog's update
+    // stream plus a delete; the head is the same arithmetic — the
+    // DERIVED layout must be invisible to results
+    "q_txlog_hidden" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM upd
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey))
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM merged
+        |WHERE o_orderkey % 97 <> 0
         |ORDER BY o_orderkey""".stripMargin,
     // needle reads through the Bloom index ≡ a plain IN-filter
     "q_txlog_point" ->

@@ -45,8 +45,17 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
     * spell logical ones. */
   private def physName(l: String): String =
     m.colMap.find(_._1 == l).map(_._2).getOrElse(l)
+  /** Hidden partition transforms (empty for plain tables): the dirs
+    * spell DERIVED values, the relation's schema spells only raw
+    * columns, and raw-space data filters translate into dir votes. */
+  private val hiddenSpec: Seq[graft.storage.PartitionTransforms.Transform] =
+    graft.storage.PartitionTransforms.parseAll(m.partitionSpec, declared)
+  /** HIDDEN layouts surface NO partition columns — their derived dir
+    * values are not schema columns, so every predicate arrives as a
+    * data filter and prunes through the transform translation. */
   override val partitionSchema: StructType =
-    StructType(m.partitionCols.map(declared.apply))
+    if (m.partitionSpec.nonEmpty) new StructType()
+    else StructType(m.partitionCols.map(declared.apply))
   /** Physical name per partition field, aligned to [[partitionSchema]]. */
   private val physPartNames: Seq[String] =
     partitionSchema.map(f => physName(f.name)).toSeq
@@ -208,11 +217,60 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
     }
   }
 
+  /** Raw-literal variant of [[rangeOf]] for hidden-transform pruning:
+    * (column, lo, hi) as CATALYST literal values — the transform needs
+    * the typed value (micros, days, the hash input), not the stats
+    * string encoding. Null literals never vote. */
+  private def rawRangeOf(e: Expression)
+      : Option[(String, Option[Any], Option[Any])] = e match {
+    case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+      Some((a.name, Some(l.value), Some(l.value)))
+    case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+      Some((a.name, Some(l.value), Some(l.value)))
+    case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+      Some((a.name, Some(l.value), Some(l.value)))
+    case GreaterThan(a: AttributeReference, l: Literal) if l.value != null =>
+      Some((a.name, Some(l.value), None))
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+      Some((a.name, Some(l.value), None))
+    case LessThan(a: AttributeReference, l: Literal) if l.value != null =>
+      Some((a.name, None, Some(l.value)))
+    case LessThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+      Some((a.name, None, Some(l.value)))
+    case GreaterThan(l: Literal, a: AttributeReference) if l.value != null =>
+      Some((a.name, None, Some(l.value)))
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+      Some((a.name, None, Some(l.value)))
+    case LessThan(l: Literal, a: AttributeReference) if l.value != null =>
+      Some((a.name, Some(l.value), None))
+    case LessThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+      Some((a.name, Some(l.value), None))
+    case _ => None
+  }
+
+  /** Data filters on a transform's SOURCE column → dir-value votes. */
+  private def hiddenVotesOf(dataFilters: Seq[Expression])
+      : Seq[graft.storage.PartitionTransforms.HiddenVote] =
+    if (hiddenSpec.isEmpty) Nil
+    else dataFilters.flatMap(rawRangeOf).flatMap { case (c, lo, hi) =>
+      if (!declared.fieldNames.contains(c)) Nil
+      else hiddenSpec.filter(_.src == c)
+        .flatMap(_.voteFor(declared(c).dataType, lo, hi))
+    }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
     if (distributed) listFilesDistributed(partitionFilters, dataFilters)
-    else pruneDirs(byDir, partitionFilters).map { case (_, values, fs) =>
-      PartitionDirectory(values, skipByStats(fs, dataFilters).map(_._2).toArray)
+    else {
+      val hv = hiddenVotesOf(dataFilters)
+      val dirs0 = pruneDirs(byDir, partitionFilters)
+      val dirs =
+        if (hv.isEmpty) dirs0
+        else dirs0.filter { case (d, _, _) =>
+          graft.storage.PartitionTransforms.admitDir(d, hv) }
+      dirs.map { case (_, values, fs) =>
+        PartitionDirectory(values, skipByStats(fs, dataFilters).map(_._2).toArray)
+      }
     }
 
   /** The driver walk as a SPARK JOB over the columnar checkpoint: each
@@ -227,6 +285,7 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
                                    dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
     val votes = voteSpecs(dataFilters)
+    val hv = hiddenVotesOf(dataFilters)
     val bound = boundPartPredicate(partitionFilters)
     val pSchema = partitionSchema
     val physNames = physPartNames
@@ -243,6 +302,8 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
           val dir = dirPartOfEntry(f)
           val ok = pred.forall(p => dirOk.getOrElseUpdate(dir,
               p.eval(partitionValuesOf(dir, pSchema, physNames, tz)))) &&
+            (hv.isEmpty ||
+              graft.storage.PartitionTransforms.admitDir(dir, hv)) &&
             (votes.isEmpty || {
               val stats: Option[Map[String, (String, String)]] =
                 if (r.isNullAt(2)) None

@@ -97,9 +97,15 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
     if (TxLogBatch.dvRowCount(m) > TxLogBatch.dvBroadcastMaxRows(spark))
       return new TxLogJoinRelation(spark, path, m)
     val declared = StructType.fromDDL(m.schemaDdl)
-    val partitionSchema = StructType(m.partitionCols.map(declared.apply))
+    // HIDDEN layouts surface no partition columns: the dirs spell
+    // derived transform values, the raw data is complete in the files,
+    // and pruning rides the index's transform translation
+    val partitionSchema =
+      if (m.partitionSpec.nonEmpty) new StructType()
+      else StructType(m.partitionCols.map(declared.apply))
     val dataSchema =
-      StructType(declared.filterNot(f => m.partitionCols.contains(f.name)))
+      if (m.partitionSpec.nonEmpty) declared
+      else StructType(declared.filterNot(f => m.partitionCols.contains(f.name)))
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       new TxLogFileIndex(spark, path, m),
       partitionSchema = partitionSchema,

@@ -105,7 +105,8 @@ object TxLog {
                       ts: Option[Long] = None,
                       minWriter: Int = 1,
                       colMap: Seq[(String, String)] = Nil,
-                      dv: Seq[(String, Map[String, Long])] = Nil)
+                      dv: Seq[(String, Map[String, Long])] = Nil,
+                      partitionSpec: Seq[String] = Nil)
 
   /** Deletion-vector state: each element is one DV parquet file
     * (relative to `<table>/_dv/`) holding (file-key, row_index) rows,
@@ -151,6 +152,14 @@ object TxLog {
     }
 
   /** The partition columns as the DIRECTORIES spell them. */
+  /** The manifest's hidden partition transforms, parsed against its
+    * declared schema (empty for plain tables). Every write path stages
+    * through these so rewritten files land back in their derived
+    * directories. */
+  private def transformsOf(m: Manifest): Seq[PartitionTransforms.Transform] =
+    PartitionTransforms.parseAll(m.partitionSpec,
+      StructType.fromDDL(m.schemaDdl))
+
   private def physPartCols(m: Manifest): Seq[String] =
     m.partitionCols.map(c => physOf(m, c))
 
@@ -337,7 +346,8 @@ object TxLog {
                            uniques: Seq[(String, Seq[String])],
                            ts: Option[Long], minWriter: Int,
                            colMap: Seq[(String, String)],
-                           dv: Seq[(String, Map[String, Long])])
+                           dv: Seq[(String, Map[String, Long])],
+                           partitionSpec: Seq[String])
 
   private def nodeMeta(node: com.fasterxml.jackson.databind.JsonNode): CMeta = CMeta(
     node.get("version").asLong(),
@@ -379,7 +389,9 @@ object TxLog {
         e.get("file").asText() ->
           Iterator.continually(if (it.hasNext) it.next() else null)
             .takeWhile(_ != null).map(k => k -> ent.get(k).asLong()).toMap
-      }).getOrElse(Seq.empty))
+      }).getOrElse(Seq.empty),
+    Option(node.get("partitionSpec")).map(a =>
+      (0 until a.size()).map(a.get(_).asText()).toSeq).getOrElse(Seq.empty))
 
   /** Parse a FULL commit (create/clone, and every pre-delta-format
     * manifest — the legacy one-JSON-per-version shape stays readable). */
@@ -406,7 +418,7 @@ object TxLog {
     }.getOrElse(Map.empty[String, Long])
     Manifest(c.version, c.partitionCols, c.schemaDdl, files, c.sourceBatchId,
       c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
-      c.minWriter, c.colMap, c.dv)
+      c.minWriter, c.colMap, c.dv, c.partitionSpec)
   }
 
   /** Apply one DELTA commit to its predecessor's resolved state —
@@ -448,7 +460,8 @@ object TxLog {
       if (c.statsCols.isEmpty) Map.empty
       else state.fileStats.view.filterKeys(keptSet).toMap ++ addStats,
       state.fileRows.view.filterKeys(keptSet).toMap ++ addRows,
-      c.constraints, c.uniques, c.ts, c.minWriter, c.colMap, c.dv)
+      c.constraints, c.uniques, c.ts, c.minWriter, c.colMap, c.dv,
+      c.partitionSpec)
   }
 
   /** Load a checkpoint's file enumeration (columnar — never one JSON
@@ -467,7 +480,7 @@ object TxLog {
     }.toMap
     Manifest(c.version, c.partitionCols, c.schemaDdl, files, c.sourceBatchId,
       c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
-      c.minWriter, c.colMap, c.dv)
+      c.minWriter, c.colMap, c.dv, c.partitionSpec)
   }
 
   /** Resolve the snapshot at `version`: walk back to the nearest
@@ -498,7 +511,7 @@ object TxLog {
                 partitionCols = c.partitionCols, schemaDdl = c.schemaDdl,
                 statsCols = c.statsCols, constraints = c.constraints,
                 uniques = c.uniques, ts = c.ts, minWriter = c.minWriter,
-                colMap = c.colMap, dv = c.dv))
+                colMap = c.colMap, dv = c.dv, partitionSpec = c.partitionSpec))
           } else {
             chain ::= node
             t -= 1
@@ -701,16 +714,25 @@ object TxLog {
                        operation: String, ts: Long, minWriter: Int,
                        protocol: Int = 1,
                        colMap: Seq[(String, String)] = Nil,
-                       dv: Seq[(String, Map[String, Long])] = Nil)
+                       dv: Seq[(String, Map[String, Long])] = Nil,
+                       partitionSpec: Seq[String] = Nil)
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = mapper.createObjectNode()
     // a column mapping gates READERS too (protocol 2): a pre-mapping
     // build would resolve fine but surface PHYSICAL column names —
     // silently wrong results for any query naming the renamed column.
     // Deletion vectors gate readers for the same reason: a pre-DV
-    // build would RESURRECT the deleted rows.
+    // build would RESURRECT the deleted rows. Hidden partition specs
+    // gate readers too: a pre-spec build would look the derived dir
+    // columns up in the schema and fail confusingly — or worse.
     node.put("protocol",
-      if (colMap.nonEmpty || dv.nonEmpty) math.max(protocol, 2) else protocol)
+      if (colMap.nonEmpty || dv.nonEmpty || partitionSpec.nonEmpty)
+        math.max(protocol, 2)
+      else protocol)
+    if (partitionSpec.nonEmpty) {
+      val arr = node.putArray("partitionSpec")
+      partitionSpec.foreach(arr.add)
+    }
     if (colMap.nonEmpty) {
       val arr = node.putArray("colMap")
       colMap.foreach { case (l, p) =>
@@ -772,7 +794,7 @@ object TxLog {
     val node = metaNode(m.version, m.partitionCols, m.schemaDdl,
       m.sourceBatchId, m.statsCols, m.constraints, m.uniques, operation,
       m.ts.getOrElse(System.currentTimeMillis()), m.minWriter,
-      colMap = m.colMap, dv = m.dv)
+      colMap = m.colMap, dv = m.dv, partitionSpec = m.partitionSpec)
     val arr = node.putArray("files")
     m.files.sorted.foreach(arr.add)
     if (m.statsCols.nonEmpty) {
@@ -806,13 +828,15 @@ object TxLog {
                          ts: Long, minWriter: Int,
                          removeFiles: Set[String] = Set.empty,
                          colMap: Seq[(String, String)] = Nil,
-                         dv: Seq[(String, Map[String, Long])] = Nil): Unit = {
+                         dv: Seq[(String, Map[String, Long])] = Nil,
+                         partitionSpec: Seq[String] = Nil): Unit = {
     // a protocol-1 reader replaying a removeFiles delta would KEEP the
     // removed files (resurrected rows) — exactly those commits are
     // stamped protocol 2 and refuse old readers
     val node = metaNode(version, partitionCols, schemaDdl, sourceBatchId,
       statsCols, constraints, uniques, operation, ts, minWriter,
-      protocol = if (removeFiles.isEmpty) 1 else 2, colMap = colMap, dv = dv)
+      protocol = if (removeFiles.isEmpty) 1 else 2, colMap = colMap, dv = dv,
+      partitionSpec = partitionSpec)
     val rmArr = node.putArray("removeDirs")
     removeDirs.toSeq.sorted.foreach(rmArr.add)
     if (removeFiles.nonEmpty) {
@@ -845,9 +869,11 @@ object TxLog {
                        operation: String,
                        baseRef: Long, ts: Long, minWriter: Int,
                        colMap: Seq[(String, String)] = Nil,
-                       dv: Seq[(String, Map[String, Long])] = Nil): Unit = {
+                       dv: Seq[(String, Map[String, Long])] = Nil,
+                       partitionSpec: Seq[String] = Nil): Unit = {
     val node = metaNode(version, partitionCols, schemaDdl, sourceBatchId,
-      statsCols, constraints, uniques, operation, ts, minWriter, colMap = colMap, dv = dv)
+      statsCols, constraints, uniques, operation, ts, minWriter,
+      colMap = colMap, dv = dv, partitionSpec = partitionSpec)
     node.put("baseRef", baseRef)
     commitAtomic(spark, path, version, node)
   }
@@ -954,7 +980,8 @@ object TxLog {
     requireWritable(base, path)
     val (newStats, newRows) = collectStats(spark, path,
       physicalize(StructType.fromDDL(schemaDdl), base.colMap),
-      base.statsCols, newFiles)
+      base.statsCols, newFiles,
+      recoverPartitions = base.partitionSpec.isEmpty)
     var attempt = base
     var retries = 0
     while (true) {
@@ -976,7 +1003,8 @@ object TxLog {
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
           schemaDdl, resolvedBatch, attempt.statsCols, attempt.constraints,
           attempt.uniques, operation, rewriteDirs, newFiles, newStats, newRows,
-          ts, attempt.minWriter, removeFiles, attempt.colMap, dvKept)
+          ts, attempt.minWriter, removeFiles, attempt.colMap, dvKept,
+          attempt.partitionSpec)
         // resolve the state this delta produced (same transition
         // applyDelta replays) — warms the cache for the next
         // commit/read and feeds the periodic checkpoint
@@ -988,7 +1016,7 @@ object TxLog {
           else attempt.fileStats.view.filterKeys(keptSet).toMap ++ newStats,
           attempt.fileRows.view.filterKeys(keptSet).toMap ++ newRows,
           attempt.constraints, attempt.uniques, Some(ts), attempt.minWriter,
-          attempt.colMap, dvKept)
+          attempt.colMap, dvKept, attempt.partitionSpec)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return attempt.version + 1
@@ -1049,14 +1077,26 @@ object TxLog {
 
   /** Stage-write `df`, move its files into `data/` under a fresh commit
     * uuid, and return the new files' table-relative paths. Old files
-    * are never touched. */
+    * are never touched.
+    *
+    * `transforms` (hidden partitioning): the derived dir columns are
+    * added HERE, right before the partitioned write — they live only
+    * in directory names (partitionBy strips them from the data files),
+    * so the staged files carry the full RAW schema and reads never
+    * need partition-value recovery. */
   private[storage] def stageIn(df: DataFrame, path: String,
-                      partitionCols: Seq[String]): Seq[String] = {
+                      partitionCols: Seq[String],
+                      transforms: Seq[PartitionTransforms.Transform] = Nil)
+      : Seq[String] = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val uuid = java.util.UUID.randomUUID().toString.take(12)
     val staging = new Path(path, s"_staging_$uuid")
-    val w = df.write.mode("overwrite")
+    val staged = transforms.foldLeft(df)((d, t) =>
+      d.withColumn(t.dirName,
+        t.derive(org.apache.spark.sql.functions.col(
+          "`" + t.src.replace("`", "``") + "`"))))
+    val w = staged.write.mode("overwrite")
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(staging.toString)
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1089,7 +1129,8 @@ object TxLog {
     * pass, not a data read. */
   private def collectStats(spark: SparkSession, path: String,
                            schema: StructType, statsCols: Seq[String],
-                           files: Seq[String])
+                           files: Seq[String],
+                           recoverPartitions: Boolean = true)
       : (Map[String, Map[String, (String, String)]], Map[String, Long]) = {
     if (files.isEmpty) return (Map.empty, Map.empty)
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
@@ -1098,7 +1139,12 @@ object TxLog {
       statsEncode(schema(c).dataType, min(col(c))).as(s"_min_$c"),
       statsEncode(schema(c).dataType, max(col(c))).as(s"_max_$c"))) :+
       count(lit(1)).as("_rows")
-    val rows = spark.read.schema(schema).option("basePath", base)
+    // hidden-partitioned tables skip basePath: the dirs spell DERIVED
+    // values that are not schema columns (the raw data is complete in
+    // the files), and partition recovery would trip over them
+    val reader0 = spark.read.schema(schema)
+    val reader = if (recoverPartitions) reader0.option("basePath", base) else reader0
+    val rows = reader
       .parquet(files.map(f => s"$base/$f"): _*)
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1148,26 +1194,48 @@ object TxLog {
   def create(df: DataFrame, path: String,
              partitionCol: Option[String] = None,
              statsCols: Seq[String] = Nil,
-             partitionCols: Seq[String] = Nil): Long = {
+             partitionCols: Seq[String] = Nil,
+             hiddenPartitions: Seq[String] = Nil): Long = {
     require(partitionCol.isEmpty || partitionCols.isEmpty,
       "TxLog.create: pass partitionCol OR partitionCols, not both")
-    val layout = if (partitionCols.nonEmpty) partitionCols else partitionCol.toSeq
-    layout.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"TxLog.create: partition column '$c' is not in the schema"))
+    require(hiddenPartitions.isEmpty ||
+        (partitionCol.isEmpty && partitionCols.isEmpty),
+      "TxLog.create: hiddenPartitions and explicit partition columns are " +
+        "mutually exclusive — a hidden layout derives its directories")
+    // hidden partitioning: the layout columns are DERIVED (days/hours/
+    // bucket/truncate of a source column), live only in directory
+    // names, and queries keep filtering the raw column — the planner
+    // translates (Iceberg's transform semantics, timezone-free)
+    val transforms =
+      PartitionTransforms.parseAll(hiddenPartitions, df.schema)
+    transforms.foreach(t => require(!df.schema.fieldNames.contains(t.dirName),
+      s"TxLog.create: derived partition name '${t.dirName}' collides with " +
+        "a schema column"))
+    require(transforms.map(_.dirName).distinct.size == transforms.size,
+      "TxLog.create: duplicate hidden partition transforms on one column")
+    val layout =
+      if (transforms.nonEmpty) transforms.map(_.dirName)
+      else if (partitionCols.nonEmpty) partitionCols else partitionCol.toSeq
+    if (transforms.isEmpty)
+      layout.foreach(c => require(df.schema.fieldNames.contains(c),
+        s"TxLog.create: partition column '$c' is not in the schema"))
     require(currentVersion(df.sparkSession, path).isEmpty,
       s"TxLog: table already exists at $path")
     statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"TxLog.create: stats column '$c' is not in the schema"))
-    val files = stageIn(df, path, layout)
+    val files = stageIn(df, path, layout, transforms)
     val (stats, rowCounts) =
-      collectStats(df.sparkSession, path, df.schema, statsCols, files)
+      collectStats(df.sparkSession, path, df.schema, statsCols, files,
+        recoverPartitions = transforms.isEmpty)
     // a dead table recreated at this path must not serve the old
     // incarnation's cached snapshots
     cacheInvalidate(df.sparkSession, path)
     val m = Manifest(1L, layout, df.schema.toDDL, files.sorted,
       statsCols = statsCols, fileStats = stats, fileRows = rowCounts,
       ts = Some(System.currentTimeMillis()),
-      minWriter = if (layout.size >= 2) 2 else 1)
+      minWriter =
+        if (layout.size >= 2 || transforms.nonEmpty) 2 else 1,
+      partitionSpec = transforms.map(_.spec))
     writeManifest(df.sparkSession, path, m, operation = "CREATE")
     cachePut(df.sparkSession, path, m)
     1L
@@ -1245,7 +1313,7 @@ object TxLog {
     val v = version.orElse(currentVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
-    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), m.files, m.colMap, m.dv)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), m.files, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
   }
 
   /** Plan a read over an explicit file list under this table's data
@@ -1263,7 +1331,8 @@ object TxLog {
                         schema: StructType, files: Seq[String],
                         colMap: Seq[(String, String)] = Nil,
                         dv: Seq[(String, Map[String, Long])] = Nil,
-                        keepDvKey: Boolean = false): DataFrame =
+                        keepDvKey: Boolean = false,
+                        recoverPartitions: Boolean = true): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
@@ -1294,7 +1363,13 @@ object TxLog {
       // type (a string partition keeps "01" as "01" — inference alone
       // would read INT 1 and a cast-back would corrupt it to "1")
       val scanned = groups.toSeq.sortBy(_._1).map { case (root, fs) =>
-        val scan = spark.read.schema(physical).option("basePath", root)
+        // hidden-partitioned tables skip basePath: the dirs spell
+        // DERIVED transform values (not schema columns) and the raw
+        // data is complete in the files — nothing to recover
+        val reader0 = spark.read.schema(physical)
+        val reader =
+          if (recoverPartitions) reader0.option("basePath", root) else reader0
+        val scan = reader
           .parquet(fs.map(f => if (isAbsEntry(f)) f else s"$root/$f"): _*)
         if (!needKey) scan
         else scan
@@ -1472,7 +1547,7 @@ object TxLog {
     val m = manifest(spark, path, v)
     val files = prunedFiles(spark, path, colName, lower, upper, Some(v))
     import org.apache.spark.sql.functions.{col, lit}
-    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap, m.dv)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
       .filter(col(colName).between(lit(lower), lit(upper)))
   }
 
@@ -1511,7 +1586,8 @@ object TxLog {
         "this range; consume TxLog.changes instead")
     val fromSet = mFrom.files.toSet
     readFiles(spark, path, StructType.fromDDL(mTo.schemaDdl),
-      mTo.files.filterNot(fromSet), mTo.colMap, mTo.dv)
+      mTo.files.filterNot(fromSet), mTo.colMap, mTo.dv,
+      recoverPartitions = mTo.partitionSpec.isEmpty)
   }
 
   /** Files ADDED by version `v` over its predecessor — the
@@ -1539,7 +1615,7 @@ object TxLog {
   private[graft] def readFileList(spark: SparkSession, path: String,
                                   version: Long, files: Seq[String]): DataFrame = {
     val m = manifest(spark, path, version)
-    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap, m.dv)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
   }
 
   /** Additive-only schema widening: every declared column keeps its
@@ -1686,7 +1762,7 @@ object TxLog {
           removeDirs = Set.empty, addFiles = Nil,
           addStats = Map.empty, addRows = Map.empty,
           ts = ts, minWriter = nextMinWriter, colMap = attempt.colMap,
-          dv = attempt.dv)
+          dv = attempt.dv, partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
           constraints = nextChecks, uniques = nextUniques,
           ts = Some(ts), minWriter = nextMinWriter)
@@ -1897,7 +1973,7 @@ object TxLog {
               spark.sessionState.conf.sessionLocalTimeZone)
           } else existingFiles
         if (candidates.nonEmpty) {
-          val collide = readFiles(spark, path, schema, candidates, m.colMap, m.dv)
+          val collide = readFiles(spark, path, schema, candidates, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
             .select(cols.map(col): _*)
             .join(df.select(cols.map(col): _*).distinct(), cols, "left_semi")
             .limit(1).collect()
@@ -1968,7 +2044,8 @@ object TxLog {
           attempt.uniques, operation = s"SET STATS COLS ${cols.mkString(", ")}",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty, ts = ts, minWriter = attempt.minWriter,
-          colMap = attempt.colMap, dv = attempt.dv)
+          colMap = attempt.colMap, dv = attempt.dv,
+          partitionSpec = attempt.partitionSpec)
         // cols = Nil disables skipping: drop the entries exactly like
         // applyDelta's replay of this commit would
         val resolved = attempt.copy(version = attempt.version + 1,
@@ -2025,6 +2102,11 @@ object TxLog {
           s"TxLog.renameColumn: CHECK constraint '$n' ($check) references " +
             s"'$oldName' — drop it first, rename, re-add against the new name")
       }
+      // a hidden partition transform derives directories from its
+      // source column BY NAME (the spec text is the manifest contract)
+      transformsOf(attempt).foreach(t => require(t.src != oldName,
+        s"TxLog.renameColumn: '$oldName' is the source of hidden " +
+          s"partition transform ${t.spec} — the layout derives from it"))
       val newSchema = StructType(declared.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
       // physical anchor: whatever the files ALREADY spell for oldName
@@ -2045,7 +2127,8 @@ object TxLog {
           operation = s"RENAME COLUMN $oldName TO $newName",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
-          colMap = newColMap, dv = attempt.dv)
+          colMap = newColMap, dv = attempt.dv,
+          partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
           partitionCols = newPartCols, schemaDdl = newSchema.toDDL,
           uniques = newUniques, ts = Some(ts), minWriter = nextMinWriter,
@@ -2080,14 +2163,18 @@ object TxLog {
     // it must not collide with the physical slot of a renamed column
     // (two columns would read from one physical name)
     if (evolveSchema)
-      df.schema.fieldNames.filterNot(declared.fieldNames.contains).foreach(n =>
+      df.schema.fieldNames.filterNot(declared.fieldNames.contains).foreach { n =>
         require(!m.colMap.exists(_._2 == n),
           s"TxLog.append: new column '$n' collides with the physical name " +
-            s"of renamed column '${m.colMap.find(_._2 == n).map(_._1).getOrElse("")}'"))
+            s"of renamed column '${m.colMap.find(_._2 == n).map(_._1).getOrElse("")}'")
+        require(!m.partitionCols.contains(n),
+          s"TxLog.append: new column '$n' collides with a derived hidden " +
+            "partition directory name")
+      }
     enforceConstraints(df, m.constraints, "append")
     enforceUniques(df, spark, path, declared, m.files, m, "append")
     val ddl = if (evolveSchema) widen(declared, df.schema).toDDL else m.schemaDdl
-    val files = stageIn(toPhysical(df, m.colMap), path, physPartCols(m))
+    val files = stageIn(toPhysical(df, m.colMap), path, physPartCols(m), transformsOf(m))
     // a blind append depends on nothing it read — it rebases over any
     // interleaved commit (appends never conflict with appends). Under
     // a UNIQUE set the rebase RE-PROBES the incoming keys against
@@ -2139,7 +2226,7 @@ object TxLog {
     enforceConstraints(df, m.constraints, s"appendBatch(batch $batchId)")
     enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl), m.files,
       m, s"appendBatch(batch $batchId)")
-    val files = stageIn(toPhysical(df, m.colMap), path, physPartCols(m))
+    val files = stageIn(toPhysical(df, m.colMap), path, physPartCols(m), transformsOf(m))
     commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
       schemaDdl = m.schemaDdl, batchId = Some(batchId),
       readSet = Some(Set.empty), operation = "STREAMING APPEND",
@@ -2201,6 +2288,10 @@ object TxLog {
       else {
         require(m.partitionCols.nonEmpty,
           "TxLog.compact(partitions=...) needs a partitioned table")
+        require(m.partitionSpec.isEmpty,
+          "TxLog.compact(partitions=...): this table uses HIDDEN " +
+            "partitioning — partitions have no user-facing names; run a " +
+            "full compact instead")
         Some(partitions.map(p => partitionDirPath(physPartCols(m),
           asPartitionTuple(m.partitionCols, p))).toSet)
       }
@@ -2222,7 +2313,7 @@ object TxLog {
     // count and the union executes as a single Spark job — compaction
     // cost scales with rewritten bytes, not with partition count
     val pieces = todo.toSeq.sortBy(_._1).map { case (_, files) =>
-      val part = readFiles(spark, path, schema, files, m.colMap, m.dv)
+      val part = readFiles(spark, path, schema, files, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
       val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
       val n = ((bytes + BigInt(targetBytesPerFile) - 1) / targetBytesPerFile)
         .max(1).toInt
@@ -2238,7 +2329,7 @@ object TxLog {
       }
     }
     val newFiles = stageIn(toPhysical(pieces.reduce(_ unionByName _), m.colMap),
-      path, physPartCols(m))
+      path, physPartCols(m), transformsOf(m))
     // a compaction reads exactly the partitions it rewrites: it rebases
     // over appends/merges to OTHER partitions (the OPTIMIZE-vs-ingest
     // guarantee) and conflicts only when ITS partitions moved under it
@@ -2310,11 +2401,15 @@ object TxLog {
             "name of a renamed column"))
     }
     // a NULL partition value would land under __HIVE_DEFAULT_PARTITION__
-    // — outside this operator's layout contract; fail loudly instead
-    require(updates.filter(pcs.map(col(_).isNull).reduce(_ || _))
+    // — outside this operator's layout contract; fail loudly instead.
+    // Hidden layouts check the TRANSFORM SOURCE columns (the derived
+    // dir value of a null source is null too)
+    val partNullCols =
+      if (m.partitionSpec.isEmpty) pcs else transformsOf(m).map(_.src)
+    require(updates.filter(partNullCols.map(col(_).isNull).reduce(_ || _))
       .limit(1).collect().isEmpty,
-      s"TxLog.mergeInto: null ${pcs.mkString("/")} values are not supported — " +
-        "merge them under an explicit sentinel partition instead")
+      s"TxLog.mergeInto: null ${partNullCols.mkString("/")} values are not " +
+        "supported — merge them under an explicit sentinel partition instead")
     val widened = if (evolveSchema) widen(declared, updates.schema) else declared
     def padNewCols(df: DataFrame): DataFrame =
       widened.fields.filterNot(f => declared.fieldNames.contains(f.name))
@@ -2366,7 +2461,8 @@ object TxLog {
         if (discoveryFiles.isEmpty) Nil // pure insert
         else {
           padNewCols(readFiles(spark, path, declared, discoveryFiles,
-              m.colMap, m.dv, keepDvKey = true))
+              m.colMap, m.dv, keepDvKey = true,
+              recoverPartitions = m.partitionSpec.isEmpty))
             .select(keys.map(col) :+ col("_dv_key") :+ col("_dv_idx"): _*)
             .join(updKeys, keys, "left_semi")
             .select(col("_dv_key").as("f"),
@@ -2390,7 +2486,7 @@ object TxLog {
           }
         }
       val newFiles = stageIn(toPhysical(updatesAligned, m.colMap), path,
-        physPartCols(m))
+        physPartCols(m), transformsOf(m))
       return commitRebase(spark, path, m, rewriteDirs = Set.empty,
         newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
         readSet = None, operation = "MERGE (DV)", addDv = addDv)
@@ -2401,7 +2497,8 @@ object TxLog {
     val hitUris: Array[String] =
       if (discoveryFiles.isEmpty) Array.empty
       else padNewCols(readFiles(spark, path, declared, discoveryFiles,
-          m.colMap, m.dv, keepDvKey = true))
+          m.colMap, m.dv, keepDvKey = true,
+          recoverPartitions = m.partitionSpec.isEmpty))
         .select(keys.map(col) :+ col("_dv_key").as("_gf"): _*)
         .join(updKeys, keys, "left_semi")
         .select("_gf").distinct().collect().map(_.getString(0))
@@ -2409,10 +2506,10 @@ object TxLog {
     val hitFiles = hitUris.map(resolve).toSet
     // merge = rows of the hit files with updates applied (updates win),
     // plus inserts; staged per-partition so moved keys land right
-    val hitRows = padNewCols(readFiles(spark, path, declared, hitFiles.toSeq, m.colMap, m.dv))
+    val hitRows = padNewCols(readFiles(spark, path, declared, hitFiles.toSeq, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty))
     val merged = graft.operators.Upsert.mergeByKey(
       hitRows, updatesAligned, keys, preValidated)
-    val newFiles = stageIn(toPhysical(merged, m.colMap), path, physPartCols(m))
+    val newFiles = stageIn(toPhysical(merged, m.colMap), path, physPartCols(m), transformsOf(m))
     // the key discovery read the snapshot's membership, so any
     // interleaved change invalidates it (readSet = None): it throws
     // CommitConflictException rather than silently dropping the
@@ -2479,6 +2576,10 @@ object TxLog {
     val pcs = m.partitionCols
     require(pcs.nonEmpty,
       "TxLog.replacePartitions needs a partitioned table (create with partitionCol[s])")
+    require(m.partitionSpec.isEmpty,
+      "TxLog.replacePartitions: this table uses HIDDEN partitioning " +
+        s"(${m.partitionSpec.mkString(", ")}) — partitions have no " +
+        "user-facing names; use deleteWhere + append, or mergeInto")
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
     enforceConstraints(df, m.constraints, "replacePartitions")
     // multi-column layouts name partitions as Seq/tuple values in
@@ -2504,7 +2605,7 @@ object TxLog {
       s"TxLog.replacePartitions: df contains rows outside the named " +
         s"partitions (found ${pcs.mkString("/")}=${stray.headOption.orNull}); " +
         "either add that value to partitionVals or filter the frame")
-    val newFiles = stageIn(toPhysical(df, m.colMap), path, physPartCols(m))
+    val newFiles = stageIn(toPhysical(df, m.colMap), path, physPartCols(m), transformsOf(m))
     // interleaved appends into the REPLACED partitions conflict via the
     // readSet; appends elsewhere rebase, so the UNIQUE probe re-runs
     // against exactly those landed files (all outside the replace set)
@@ -2562,7 +2663,7 @@ object TxLog {
       // rows to delete, keyed exactly as reads key them — existing DVs
       // already filtered, so a row can never be deleted twice
       val newDel = readFiles(spark, path, schema, m.files, m.colMap, m.dv,
-        keepDvKey = true)
+        keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
         .filter(hit)
         .select(col("_dv_key").as("f"), col("_dv_idx").cast("long").as("row_index"))
       // write FIRST, count from the written sidecar: one table-sized
@@ -2594,16 +2695,16 @@ object TxLog {
       // columns; the collected set is bounded by the live file count
       // (_dv_key, not input_file_name — it survives the DV anti-join)
       val uris = readFiles(spark, path, schema, m.files, m.colMap, m.dv,
-          keepDvKey = true)
+          keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
         .filter(hit).select(col("_dv_key").as("_f"))
         .distinct().collect().map(_.getString(0))
       if (uris.isEmpty) return v
       val resolve = entryResolver(m.files)
       val hitFiles = uris.map(resolve).toSet
       val newFiles = stageIn(
-        toPhysical(readFiles(spark, path, schema, hitFiles.toSeq, m.colMap, m.dv)
+        toPhysical(readFiles(spark, path, schema, hitFiles.toSeq, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
           .filter(not(hit)), m.colMap),
-        path, physPartCols(m))
+        path, physPartCols(m), transformsOf(m))
       // the discovery read the whole snapshot — conflict loudly on any
       // interleaved change (readSet = None)
       commitRebase(spark, path, m, rewriteDirs = Set.empty,
@@ -2723,7 +2824,8 @@ object TxLog {
       head.sourceBatchId, target.statsCols, target.constraints,
       target.uniques, operation = s"RESTORE TO v$toVersion",
       baseRef = toVersion, ts = ts, minWriter = minWriter,
-      colMap = target.colMap, dv = target.dv)
+      colMap = target.colMap, dv = target.dv,
+      partitionSpec = target.partitionSpec)
     val resolved = target.copy(version = cur + 1,
       sourceBatchId = head.sourceBatchId, ts = Some(ts), minWriter = minWriter)
     cachePut(spark, path, resolved)
@@ -2781,18 +2883,18 @@ object TxLog {
     // simply land as new files. One key-pruned semi-join scan.
     val feedKeys = feed.select(keys.map(col): _*).distinct()
     val hitUris = readFiles(spark, path, declared, m.files, m.colMap, m.dv,
-        keepDvKey = true)
+        keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
       .select(keys.map(col) :+ col("_dv_key").as("_gf"): _*)
       .join(feedKeys, keys, "left_semi")
       .select("_gf").distinct().collect().map(_.getString(0))
     val resolve = entryResolver(m.files)
     val hitFiles = hitUris.map(resolve).toSet
     if (hitFiles.isEmpty && upserts.limit(1).collect().isEmpty) return v
-    val hitRows = readFiles(spark, path, declared, hitFiles.toSeq, m.colMap, m.dv)
+    val hitRows = readFiles(spark, path, declared, hitFiles.toSeq, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
     val merged = graft.operators.Upsert.mergeByKey(
       hitRows.join(deletes, keys, "left_anti"), upserts, keys,
       preValidated = true)
-    val newFiles = stageIn(toPhysical(merged, m.colMap), path, physPartCols(m))
+    val newFiles = stageIn(toPhysical(merged, m.colMap), path, physPartCols(m), transformsOf(m))
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
       readSet = None, operation = "APPLY CHANGES", removeFiles = hitFiles)
@@ -3242,7 +3344,7 @@ object TxLog {
           s"TxLog.buildBloomIndex: scan file '$uri' does not map back " +
             "to any manifest entry — partition value encoding mismatch"))
     }
-    val hashed = readFiles(spark, path, schema, missing, m.colMap, m.dv)
+    val hashed = readFiles(spark, path, schema, missing, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
       .select(input_file_name().as("_f"),
         xxhash64(col(colName).cast("string")).as("_h"))
     // filter sizing: the manifest's per-commit row counts cover most
@@ -3326,7 +3428,7 @@ object TxLog {
     val m = manifest(spark, path, v)
     val files = prunedFilesByKey(spark, path, colName, value, Some(v))
     import org.apache.spark.sql.functions.{col, lit}
-    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap, m.dv)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
       .filter(col(colName) === lit(value))
   }
 }

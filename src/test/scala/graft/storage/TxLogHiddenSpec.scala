@@ -1,0 +1,227 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hidden partitioning (Iceberg-style transforms): the table
+  * partitions on `days(ts)` / `bucket(n, k)` / `truncate(n, s)` /
+  * `hours(ts)` — derived values living only in directory names — and
+  * queries keep filtering the RAW column; the planner translates.
+  * Everything is timezone-free by construction (epoch arithmetic, the
+  * stats-v2 lesson), so write-tz ≠ read-tz can never mis-prune.
+  */
+class TxLogHiddenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_hidden_$tag").toString + "/tbl"
+
+  private def scansOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+    scansOf(df).map(_.selectedPartitions.totalNumberOfFiles).sum
+
+  private def tsOfHour(h: Long) =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L))
+
+  test("days(ts): derived dirs, raw schema, format mount prunes raw-range filters, cross-tz exact") {
+    val path = freshPath("days")
+    // 72 hourly rows = 3 epoch days; one file per day per commit
+    val d = spark.range(0, 72).select(
+      timestamp_micros(col("id") * 3600000000L).as("ts"), col("id").as("k"))
+    TxLog.create(d.coalesce(1), path, hiddenPartitions = Seq("days(ts)"))
+    // the layout derived: _days_ts=0/1/2 dirs, schema stays RAW
+    val m1 = TxLog.manifest(spark, path, 1L)
+    assert(m1.partitionSpec == Seq("days(ts)"))
+    assert(m1.partitionCols == Seq("_days_ts"))
+    assert(m1.files.size == 3, m1.files.mkString(","))
+    assert(m1.files.forall(_.startsWith("_days_ts=")), m1.files.mkString(","))
+    // reads: full raw schema, no derived column, values exact
+    val head = TxLog.read(spark, path)
+    assert(head.columns.toSeq == Seq("ts", "k"))
+    assert(head.select("k").as[Long].collect().toSet == (0L until 72L).toSet)
+    // the format mount surfaces NO partition columns either
+    val viaFormat = spark.read.format("graft-txlog").option("path", path).load()
+    assert(viaFormat.columns.toSeq == Seq("ts", "k"))
+    assert(viaFormat.count() == 72)
+    // a RAW timestamp range filter prunes the derived day dirs: ts >=
+    // hour 36 admits days 1 and 2 only (2 of 3 files planned)
+    val q = viaFormat.filter(col("ts") >= lit(tsOfHour(36)))
+    assert(q.select("k").as[Long].collect().toSet == (36L until 72L).toSet)
+    assert(plannedFiles(q) == 2, s"expected 2 of 3 files, got ${plannedFiles(q)}")
+    // equality on one instant plans exactly its day
+    val e = viaFormat.filter(col("ts") === lit(tsOfHour(25)))
+    assert(e.select("k").as[Long].collect().toSet == Set(25L))
+    assert(plannedFiles(e) == 1)
+    // cross-tz: repeat the range query under a different session tz —
+    // epoch arithmetic can't shift, rows and pruning identical
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+    try {
+      val q2 = spark.read.format("graft-txlog").option("path", path).load()
+        .filter(col("ts") >= lit(tsOfHour(36)))
+      assert(q2.select("k").as[Long].collect().toSet == (36L until 72L).toSet)
+      assert(plannedFiles(q2) == 2, "cross-tz hidden pruning lost")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // appends flow to the derived dirs of THEIR rows
+    TxLog.append(spark.range(72, 96).select(
+      timestamp_micros(col("id") * 3600000000L).as("ts"), col("id").as("k"))
+      .coalesce(1), path)
+    val m2 = TxLog.manifest(spark, path, 2L)
+    assert(m2.files.size == 4)
+    assert(m2.files.count(_.startsWith("_days_ts=3/")) == 1)
+    assert(TxLog.read(spark, path).count() == 96)
+  }
+
+  test("bucket(8, k): raw equality prunes to one bucket dir; ranges fail open") {
+    val path = freshPath("bucket")
+    val d = spark.range(0, 100).select(col("id").as("k"),
+      (col("id") * 1.0).as("v"))
+    TxLog.create(d.coalesce(1), path, hiddenPartitions = Seq("bucket(8, k)"))
+    val m = TxLog.manifest(spark, path, 1L)
+    assert(m.files.size == 8, s"expected 8 bucket files: ${m.files.size}")
+    val t = spark.read.format("graft-txlog").option("path", path).load()
+    // equality: exactly one bucket dir planned, value exact
+    val q = t.filter(col("k") === 37L)
+    assert(q.select("v").as[Double].collect().toSeq == Seq(37.0))
+    assert(plannedFiles(q) == 1, s"bucket pruning lost: ${plannedFiles(q)}")
+    // the dir the planner picked is the bucket functions.hash picks —
+    // pinned through the manifest (one file per bucket, so the single
+    // planned file IS that bucket's file)
+    val expectBucket = d.filter(col("k") === 37L)
+      .select(pmod(hash(col("k")), lit(8))).head().getInt(0)
+    assert(m.files.exists(_.startsWith(s"_bucket_k=$expectBucket/")))
+    // a RANGE on k scatters across buckets — fail open (all planned)
+    val r = t.filter(col("k") >= 90L)
+    assert(r.count() == 10)
+    assert(plannedFiles(r) == 8, "a range must not bucket-prune")
+  }
+
+  test("hours(ts) and truncate transforms derive and prune; string truncate prunes prefix ranges") {
+    val path = freshPath("trunc")
+    val d = spark.range(0, 100).select(
+      concat(lit("user"), format_string("%03d", col("id"))).as("name"),
+      col("id").as("k"))
+    TxLog.create(d.coalesce(1), path, hiddenPartitions = Seq("truncate(6, name)"))
+    val m = TxLog.manifest(spark, path, 1L)
+    // user000..user099 → width-6 prefixes user00..user09: 10 dirs
+    assert(m.files.size == 10 && m.files.forall(_.startsWith("_trunc_name=")))
+    val t = spark.read.format("graft-txlog").option("path", path).load()
+    val q = t.filter(col("name") === "user042")
+    assert(q.select("k").as[Long].head() == 42L)
+    assert(plannedFiles(q) == 1)
+    val r = t.filter(col("name") >= "user080")
+    assert(r.count() == 20)
+    assert(plannedFiles(r) == 2, "prefix-range truncate pruning lost")
+    // hours on timestamps
+    val path2 = freshPath("hours")
+    TxLog.create(spark.range(0, 6).select(
+      timestamp_micros(col("id") * 3600000000L).as("ts"), col("id").as("k"))
+      .coalesce(1), path2, hiddenPartitions = Seq("hours(ts)"))
+    val t2 = spark.read.format("graft-txlog").option("path", path2).load()
+    val q2 = t2.filter(col("ts") === lit(tsOfHour(4)))
+    assert(q2.select("k").as[Long].head() == 4L)
+    assert(plannedFiles(q2) == 1,
+      s"hour pruning lost: ${plannedFiles(q2)} of 6")
+    // integral truncate
+    val path3 = freshPath("trunci")
+    TxLog.create(spark.range(0, 100).select(col("id").as("k"))
+      .coalesce(1), path3, hiddenPartitions = Seq("truncate(25, k)"))
+    val t3 = spark.read.format("graft-txlog").option("path", path3).load()
+    val q3 = t3.filter(col("k") >= 80L)
+    assert(q3.count() == 20)
+    assert(plannedFiles(q3) == 1, "integral truncate range pruning lost")
+  }
+
+  test("merge and DV delete on a hidden table: rows exact, rewrites land back in derived dirs") {
+    val path = freshPath("dml")
+    TxLog.create(spark.range(0, 48).select(
+      timestamp_micros(col("id") * 3600000000L).as("ts"), col("id").as("k"),
+      lit(1.0).as("v")).coalesce(1), path,
+      hiddenPartitions = Seq("days(ts)"))
+    // merge: update one row, insert one — the rewrite restages through
+    // the transforms, so every file stays under a derived dir
+    TxLog.mergeInto(path, Seq(
+        (tsOfHour(5), 5L, 99.0), (tsOfHour(50), 50L, 2.0))
+      .toDF("ts", "k", "v"), Seq("k"))
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(m.files.forall(_.startsWith("_days_ts=")), m.files.mkString(","))
+    val r = TxLog.read(spark, path)
+    assert(r.count() == 49)
+    assert(r.filter(col("k") === 5L).select("v").as[Double].head() == 99.0)
+    assert(r.filter(col("k") === 50L).select("v").as[Double].head() == 2.0)
+    // deleteWhere (rewrite form)
+    TxLog.deleteWhere(spark, path, col("k") < 3L)
+    assert(TxLog.read(spark, path).count() == 46)
+    // DV delete composes too
+    TxLog.deleteWhere(spark, path, col("k") === 10L, deletionVectors = true)
+    assert(TxLog.read(spark, path).count() == 45)
+    assert(spark.read.format("graft-txlog").option("path", path).load()
+      .count() == 45)
+  }
+
+  test("distributed planner composes with hidden pruning (same plan as the driver walk)") {
+    val path = freshPath("dist")
+    TxLog.create(spark.range(0, 72).select(
+      timestamp_micros(col("id") * 3600000000L).as("ts"), col("id").as("k"))
+      .coalesce(1), path, hiddenPartitions = Seq("days(ts)"))
+    def q() = spark.read.format("graft-txlog").option("path", path).load()
+      .filter(col("ts") >= lit(tsOfHour(36)))
+    val (pDriver, rowsDriver) = (plannedFiles(q()),
+      q().select("k").as[Long].collect().toSet)
+    val prev = spark.conf.getOption("graft.txlog.distributedIndexThreshold")
+    spark.conf.set("graft.txlog.distributedIndexThreshold", "1")
+    try {
+      assert(plannedFiles(q()) == pDriver,
+        "distributed hidden pruning diverged from the driver walk")
+      assert(q().select("k").as[Long].collect().toSet == rowsDriver)
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.txlog.distributedIndexThreshold", v)
+      case None => spark.conf.unset("graft.txlog.distributedIndexThreshold")
+    }
+  }
+
+  test("guard rails: bad specs refuse, transform-source rename refuses, replacePartitions refuses, protocol 2 stamped") {
+    val path = freshPath("guards")
+    val d = spark.range(0, 10).select(
+      timestamp_micros(col("id") * 3600000000L).as("ts"), col("id").as("k"))
+    // unsupported spec / wrong type / unknown column refuse at CREATE
+    intercept[IllegalArgumentException] {
+      TxLog.create(d, path, hiddenPartitions = Seq("months(ts)"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.create(d, path, hiddenPartitions = Seq("days(k)"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.create(d, path, hiddenPartitions = Seq("days(nope)"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.create(d, path, partitionCol = Some("k"),
+        hiddenPartitions = Seq("days(ts)"))
+    }
+    TxLog.create(d.coalesce(1), path, hiddenPartitions = Seq("days(ts)"))
+    // the commit gates old readers (a pre-spec build would look the
+    // derived dir column up in the schema) and old writers
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_manifests/v1.json")), "UTF-8")
+    assert(txt.contains("\"protocol\" : 2"), txt.take(300))
+    assert(TxLog.manifest(spark, path, 1L).minWriter == 2)
+    // renaming the transform's source column refuses (the spec text is
+    // the manifest contract)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, path, "ts", "event_ts")
+    }
+    assert(e.getMessage.contains("days(ts)"), e.getMessage)
+    // non-source columns still rename fine
+    TxLog.renameColumn(spark, path, "k", "key_id")
+    assert(TxLog.read(spark, path).columns.toSeq == Seq("ts", "key_id"))
+    // replacePartitions has no raw-space name for a derived partition
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.replacePartitions(d.toDF("ts", "key_id"), path, Seq(0L))
+    }
+    assert(e2.getMessage.contains("HIDDEN"), e2.getMessage)
+  }
+}
