@@ -642,6 +642,33 @@ object TxLogBatch {
       }
     }
 
+  /** Spark's bucket-file id shape (`..._00003.c000.snappy.parquet`) —
+    * the same pattern `BucketingUtils.getBucketId` parses. */
+  private val BucketFileRe = """.*_(\d+)(?:\..*)?$""".r
+
+  /** A real `BucketSpec` for snapshots hidden-partitioned by
+    * `bucket(n, c)`: the transform's derivation IS Spark's bucket id
+    * (`pmod(murmur3(c), n)` = `HashPartitioning.partitionIdExpression`)
+    * and [[graft.storage.TxLog.stageIn]] embeds it in the staged file
+    * names, so the mount reports `HashPartitioning(c, n)` and
+    * equi-joins / aggregations on `c` plan WITHOUT a shuffle — the
+    * co-located-join story at lake scale. Only offered when EVERY
+    * manifest entry carries a parseable id (a table created before
+    * this naming scheme degrades to a plain scan — never an error). */
+  def bucketSpecOf(m: TxLog.Manifest)
+      : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = {
+    if (m.partitionSpec.isEmpty) return None
+    graft.storage.PartitionTransforms
+      .parseAll(m.partitionSpec, StructType.fromDDL(m.schemaDdl))
+      .collectFirst { case b: graft.storage.PartitionTransforms.Bucket => b }
+      .filter(_ => m.files.forall(f => f.split('/').last match {
+        case BucketFileRe(_) => true
+        case _ => false
+      }))
+      .map(b => org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        b.n, Seq(b.src), Nil))
+  }
+
   /** Resolve the (path, version) a batch read targets from the
     * reader options: `versionAsOf` (a version number) or
     * `timestampAsOf` (ISO instant / SQL timestamp) — absent = head. */

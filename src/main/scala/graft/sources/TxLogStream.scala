@@ -110,7 +110,9 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
       new TxLogFileIndex(spark, path, m),
       partitionSchema = partitionSchema,
       dataSchema = dataSchema,
-      bucketSpec = None,
+      // bucket(n, c) hidden layouts mount as REAL bucketed relations:
+      // joins/aggs on c plan shuffle-free (see TxLogBatch.bucketSpecOf)
+      bucketSpec = TxLogBatch.bucketSpecOf(m),
       // DV-bearing or column-mapped snapshots read through the
       // manifest-aware format (DV rows filtered per file at scan time;
       // logical→physical rename translation on schemas and pushed

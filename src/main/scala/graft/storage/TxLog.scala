@@ -1099,13 +1099,34 @@ object TxLog {
     val w = staged.write.mode("overwrite")
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(staging.toString)
+    // a bucket transform's derivation IS Spark's own bucket id
+    // (pmod(murmur3, n) — HashPartitioning.partitionIdExpression), so
+    // staged names embed the id in Spark's `_%05d` bucket-file shape:
+    // the batch mount can then declare a real BucketSpec and equi-joins
+    // / aggregations on the source column plan WITHOUT a shuffle
+    val bucketDirName: Option[String] = transforms.collectFirst {
+      case b: PartitionTransforms.Bucket => b.dirName }
+    def bucketSuffixed(base: String, rel: String): String =
+      bucketDirName.flatMap { bd =>
+        rel.split('/').collectFirst {
+          case seg if seg.startsWith(bd + "=") =>
+            scala.util.Try(seg.substring(bd.length + 1).toInt).toOption
+        }.flatten
+      } match {
+        case None => base
+        case Some(id) =>
+          val dot = base.indexOf('.')
+          if (dot < 0) f"${base}_$id%05d"
+          else f"${base.substring(0, dot)}_$id%05d${base.substring(dot)}"
+      }
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(dir: Path, rel: String): Unit =
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
         else if (name.endsWith(".parquet")) {
-          val relDst = (if (rel.isEmpty) "" else s"$rel/") + s"$uuid-$name"
+          val relDst = (if (rel.isEmpty) "" else s"$rel/") +
+            bucketSuffixed(s"$uuid-$name", rel)
           val dst = new Path(dataDir(path), relDst)
           fs.mkdirs(dst.getParent)
           require(fs.rename(st.getPath, dst), s"TxLog: move failed for $relDst")

@@ -184,6 +184,47 @@ class TxLogHiddenSpec extends SparkSpec {
     }
   }
 
+  test("bucket mounts are REAL bucketed relations: equi-join and groupBy on the raw key plan shuffle-free") {
+    val pathA = freshPath("bja")
+    val pathB = freshPath("bjb")
+    TxLog.create(spark.range(0, 200).select(col("id").as("k"),
+      (col("id") * 1.0).as("va")).coalesce(1), pathA,
+      hiddenPartitions = Seq("bucket(8, k)"))
+    TxLog.create(spark.range(100, 300).select(col("id").as("k"),
+      (col("id") * 2.0).as("vb")).coalesce(1), pathB,
+      hiddenPartitions = Seq("bucket(8, k)"))
+    def mount(p: String) =
+      spark.read.format("graft-txlog").option("path", p).load()
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = mount(pathA).join(mount(pathB), "k")
+        .select(col("k"), (col("va") + col("vb")).as("s"))
+      assert(j.as[(Long, Double)].collect().toSet ==
+        (100L until 200L).map(k => (k, k * 3.0)).toSet)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed equi-join still shuffles:\n${plan.take(2000)}")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"scan is not bucketed:\n${plan.take(2000)}")
+      // single-side: groupBy on the bucket source aggregates in place
+      val g = mount(pathA).groupBy("k").agg(sum("va").as("s"))
+      assert(g.count() == 200)
+      assert(!g.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "bucketed groupBy still shuffles")
+      // appends keep the bucket contract (new files carry ids too)
+      TxLog.append(spark.range(200, 208).select(col("id").as("k"),
+        (col("id") * 1.0).as("va")).coalesce(1), pathA)
+      val j2 = mount(pathA).join(mount(pathB), "k")
+      assert(j2.count() == 108)
+      assert(!j2.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "bucketed join shuffles after an append")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("guard rails: bad specs refuse, transform-source rename refuses, replacePartitions refuses, protocol 2 stamped") {
     val path = freshPath("guards")
     val d = spark.range(0, 10).select(
