@@ -1180,8 +1180,11 @@ object WarehouseQueries {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // 4 staging tasks × 16 bucket dirs bounds the lifecycle's file
+    // count (32 tasks would write 4× the files for the same rows)
     val dim = orders(s, d)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .coalesce(4)
     TxLog.create(dim, path, hiddenPartitions = Seq("bucket(16, o_custkey)"))
     val upd = dim.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_totalprice",
