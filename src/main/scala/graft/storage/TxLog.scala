@@ -1276,20 +1276,35 @@ object TxLog {
                       partitionCol: Option[String] = None,
                       statsCols: Seq[String] = Nil,
                       maxRetries: Int = 10,
-                      partitionCols: Seq[String] = Nil): Long = {
+                      partitionCols: Seq[String] = Nil,
+                      hiddenPartitions: Seq[String] = Nil): Long = {
     require(partitionCol.isEmpty || partitionCols.isEmpty,
       "TxLog.createOrReplace: pass partitionCol OR partitionCols, not both")
-    val layout = if (partitionCols.nonEmpty) partitionCols else partitionCol.toSeq
+    require(hiddenPartitions.isEmpty ||
+        (partitionCol.isEmpty && partitionCols.isEmpty),
+      "TxLog.createOrReplace: hiddenPartitions and explicit partition " +
+        "columns are mutually exclusive")
+    val transforms =
+      PartitionTransforms.parseAll(hiddenPartitions, df.schema)
+    transforms.foreach(t => require(!df.schema.fieldNames.contains(t.dirName),
+      s"TxLog.createOrReplace: derived partition name '${t.dirName}' " +
+        "collides with a schema column"))
+    val layout =
+      if (transforms.nonEmpty) transforms.map(_.dirName)
+      else if (partitionCols.nonEmpty) partitionCols else partitionCol.toSeq
     val spark = df.sparkSession
     if (currentVersion(spark, path).isEmpty)
-      return create(df, path, None, statsCols, layout)
+      return create(df, path, None, statsCols,
+        if (transforms.nonEmpty) Nil else layout, hiddenPartitions)
     statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"TxLog.createOrReplace: stats column '$c' is not in the schema"))
-    layout.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"TxLog.createOrReplace: partition column '$c' is not in the schema"))
-    val files = stageIn(df, path, layout)
+    if (transforms.isEmpty)
+      layout.foreach(c => require(df.schema.fieldNames.contains(c),
+        s"TxLog.createOrReplace: partition column '$c' is not in the schema"))
+    val files = stageIn(df, path, layout, transforms)
     val (stats, rowCounts) =
-      collectStats(spark, path, df.schema, statsCols, files)
+      collectStats(spark, path, df.schema, statsCols, files,
+        recoverPartitions = transforms.isEmpty)
     var retries = 0
     while (true) {
       val v = currentVersion(spark, path).get
@@ -1303,7 +1318,9 @@ object TxLog {
         ts = Some(clampedTs(prev)),
         // writer-generation demands never downgrade (Delta's contract):
         // a replace resets constraints but keeps the gate sticky
-        minWriter = math.max(prev.minWriter, if (layout.size >= 2) 2 else 1))
+        minWriter = math.max(prev.minWriter,
+          if (layout.size >= 2 || transforms.nonEmpty) 2 else 1),
+        partitionSpec = transforms.map(_.spec))
       try {
         writeManifest(spark, path, m, operation = "CREATE OR REPLACE")
         cachePut(spark, path, m)
@@ -3123,7 +3140,10 @@ object TxLog {
     }
     import spark.implicits._
     Seq((path, v,
-      if (m.partitionCols.isEmpty) null else m.partitionCols.mkString(", "),
+      // hidden layouts show the TRANSFORM SPEC (days(ts), ...) — the
+      // derived dir names are an implementation detail
+      if (m.partitionSpec.nonEmpty) m.partitionSpec.mkString(", ")
+      else if (m.partitionCols.isEmpty) null else m.partitionCols.mkString(", "),
       m.files.size.toLong,
       m.files.map(sizeOf).sum, fastCount(spark, path),
       m.statsCols.mkString(", "), m.constraints.size, m.uniques.size,

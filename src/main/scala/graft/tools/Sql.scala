@@ -22,6 +22,7 @@ import graft.tables.Tables
   * [[graft.functions.TableFunctions]]):
   *
   *   TXLOG CREATE [OR REPLACE] '<path>' [PARTITION BY <c1[,c2...]>] AS <select>
+  *   TXLOG CREATE '<path>' HIDDEN PARTITION BY <days(ts)|bucket(n,c)|...> AS <select>
   *   TXLOG APPEND INTO '<path>' <select>
   *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>
   *   TXLOG DELETE FROM '<path>' WHERE <condition> [USING DELETION VECTORS]
@@ -46,6 +47,8 @@ object Sql {
 
   private val CreateOrReplaceRe =
     """(?is)\s*TXLOG\s+CREATE\s+OR\s+REPLACE\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*)\s+)?AS\s+(.+)""".r
+  private val CreateHiddenRe =
+    """(?is)\s*TXLOG\s+CREATE\s+'([^']+)'\s+HIDDEN\s+PARTITION\s+BY\s+(.+?)\s+AS\s+(.+)""".r
   private val CreateRe =
     """(?is)\s*TXLOG\s+CREATE\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*)\s+)?AS\s+(.+)""".r
   private val AppendRe =
@@ -88,6 +91,11 @@ object Sql {
         asDf(graft.storage.TxLog.createOrReplace(spark.sql(select), path,
           partitionCols = Option(part).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
+      case CreateHiddenRe(path, specs, select) =>
+        // split on commas OUTSIDE parens: bucket(16, k) keeps its own
+        asDf(graft.storage.TxLog.create(spark.sql(select), path,
+          hiddenPartitions = specs.split(",(?![^(]*\\))").map(_.trim)
+            .filter(_.nonEmpty).toSeq))
       case CreateRe(path, part, select) =>
         asDf(graft.storage.TxLog.create(spark.sql(select), path,
           partitionCols = Option(part).toSeq

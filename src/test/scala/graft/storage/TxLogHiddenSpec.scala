@@ -225,6 +225,37 @@ class TxLogHiddenSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("SQL verb, createOrReplace and DESCRIBE DETAIL speak hidden layouts") {
+    val path = freshPath("sqlv")
+    spark.range(0, 40).select(col("id").as("k"), (col("id") * 1.0).as("v"))
+      .createOrReplaceTempView("hidden_src")
+    try {
+      // TXLOG CREATE ... HIDDEN PARTITION BY (comma inside bucket(...)
+      // must not split the spec list)
+      graft.tools.Sql.exec(spark,
+        s"TXLOG CREATE '$path' HIDDEN PARTITION BY bucket(4, k) AS " +
+          "SELECT * FROM hidden_src")
+      val m = TxLog.manifest(spark, path, 1L)
+      assert(m.partitionSpec == Seq("bucket(4, k)"))
+      assert(TxLog.read(spark, path).count() == 40)
+      // DESCRIBE DETAIL shows the SPEC, not the derived dir name
+      val det = TxLog.detail(spark, path).head()
+      assert(det.getAs[String]("partition_col") == "bucket(4, k)",
+        det.toString)
+      // createOrReplace redefines the layout (plain -> hidden and back)
+      TxLog.createOrReplace(
+        spark.range(0, 10).select(col("id").as("k"), lit(0.0).as("v")),
+        path, hiddenPartitions = Seq("truncate(2, k)"))
+      val m2 = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+      assert(m2.partitionSpec == Seq("truncate(2, k)"))
+      assert(m2.files.forall(_.startsWith("_trunc_k=")))
+      assert(TxLog.read(spark, path).count() == 10)
+      // pinned old version keeps ITS layout
+      assert(TxLog.manifest(spark, path, 1L).partitionSpec ==
+        Seq("bucket(4, k)"))
+    } finally spark.catalog.dropTempView("hidden_src")
+  }
+
   test("guard rails: bad specs refuse, transform-source rename refuses, replacePartitions refuses, protocol 2 stamped") {
     val path = freshPath("guards")
     val d = spark.range(0, 10).select(
