@@ -1096,7 +1096,20 @@ object TxLog {
       d.withColumn(t.dirName,
         t.derive(org.apache.spark.sql.functions.col(
           "`" + t.src.replace("`", "``") + "`"))))
-    val w = staged.write.mode("overwrite")
+    // optimized write (`graft.txlog.optimizedWrite`, default off —
+    // Delta's optimizeWrite in spirit): shuffle rows to their partition
+    // dir BEFORE writing, so a commit lands ~one file per dir instead
+    // of (tasks × dirs) small files. The at-scale default for
+    // partitioned ingest; costs one hash shuffle and serializes a hot
+    // dir into one task (salt or leave off for skewed layouts).
+    val optimized = partitionCols.nonEmpty &&
+      spark.conf.getOption("graft.txlog.optimizedWrite").exists(_.toBoolean)
+    val toWrite =
+      if (!optimized) staged
+      else staged.repartition(partitionCols.map(c =>
+        org.apache.spark.sql.functions.col(
+          "`" + c.replace("`", "``") + "`")): _*)
+    val w = toWrite.write.mode("overwrite")
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(staging.toString)
     // a bucket transform's derivation IS Spark's own bucket id

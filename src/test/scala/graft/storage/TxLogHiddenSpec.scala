@@ -225,6 +225,73 @@ class TxLogHiddenSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("days(date): a DATE source derives day ordinals and prunes raw date ranges") {
+    val path = freshPath("ddate")
+    TxLog.create(spark.range(0, 30).select(
+      date_add(lit("2021-01-01").cast("date"), col("id").cast("int")).as("d"),
+      col("id").as("k")).coalesce(1), path,
+      hiddenPartitions = Seq("days(d)"))
+    val m = TxLog.manifest(spark, path, 1L)
+    assert(m.files.size == 30 && m.files.forall(_.startsWith("_days_d=")))
+    val t = spark.read.format("graft-txlog").option("path", path).load()
+    val q = t.filter(col("d") >= lit("2021-01-25").cast("date"))
+    assert(q.select("k").as[Long].collect().toSet == (24L until 30L).toSet)
+    assert(plannedFiles(q) == 6, s"date-range pruning lost: ${plannedFiles(q)}")
+  }
+
+  test("optimized write: repartition-to-dir before staging lands ~one file per partition dir") {
+    val path = freshPath("optw")
+    val pathOff = freshPath("optwoff")
+    // 8-way input × 3 days: default staging writes up to 24 files,
+    // optimized writes exactly 3 (one per dir)
+    val d = spark.range(0, 72).select(
+      timestamp_micros(col("id") * 3600000000L).as("ts"), col("id").as("k"))
+      .repartition(8)
+    TxLog.create(d, pathOff, hiddenPartitions = Seq("days(ts)"))
+    val filesOff = TxLog.manifest(spark, pathOff, 1L).files.size
+    assert(filesOff > 3, s"precondition: unoptimized staging wrote $filesOff")
+    spark.conf.set("graft.txlog.optimizedWrite", "true")
+    try {
+      TxLog.create(d, path, hiddenPartitions = Seq("days(ts)"))
+      val m = TxLog.manifest(spark, path, 1L)
+      assert(m.files.size == 3,
+        s"optimized write should land 1 file/dir: ${m.files.mkString(",")}")
+      assert(TxLog.read(spark, path).select("k").as[Long].collect().toSet ==
+        (0L until 72L).toSet)
+      // plain (non-hidden) partitioned tables compact the same way
+      val path2 = freshPath("optw2")
+      TxLog.create(spark.range(0, 90).select(col("id").as("k"),
+        (col("id") % 3).cast("string").as("part")).repartition(8),
+        path2, Some("part"))
+      assert(TxLog.manifest(spark, path2, 1L).files.size == 3)
+    } finally spark.conf.unset("graft.txlog.optimizedWrite")
+  }
+
+  test("streaming sink into a hidden table: appended batches land in derived dirs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val out = freshPath("ssink")
+    TxLog.create(spark.range(0, 2).select(
+      timestamp_micros(col("id") * 3600000000L).as("ts"), col("id").as("k"))
+      .coalesce(1), out, hiddenPartitions = Seq("days(ts)"))
+    val ms = MemoryStream[(Long, Long)](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hidden_ckpt").toString
+    val q = ms.toDF().select(
+        timestamp_micros(col("_1") * 3600000000L).as("ts"), col("_2").as("k"))
+      .writeStream.format("graft-txlog").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData((30L, 30L), (50L, 50L)) // days 1 and 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = TxLog.manifest(spark, out, TxLog.currentVersion(spark, out).get)
+    assert(m.files.forall(_.startsWith("_days_ts=")), m.files.mkString(","))
+    assert(m.files.exists(_.startsWith("_days_ts=1/")) &&
+      m.files.exists(_.startsWith("_days_ts=2/")), m.files.mkString(","))
+    assert(TxLog.read(spark, out).select("k").as[Long].collect().toSet ==
+      Set(0L, 1L, 30L, 50L))
+  }
+
   test("SQL verb, createOrReplace and DESCRIBE DETAIL speak hidden layouts") {
     val path = freshPath("sqlv")
     spark.range(0, 40).select(col("id").as("k"), (col("id") * 1.0).as("v"))
