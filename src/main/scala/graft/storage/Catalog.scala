@@ -1,0 +1,161 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal NAMED-TABLE catalog over TxLog paths — the glue that
+  * turns a directory full of table dirs into something a SQL user can
+  * address by name:
+  *
+  *   spark.conf.set("graft.catalog.warehouse", "/data/lake")
+  *   Catalog.create(spark, "events", df, hiddenPartitions = Seq("days(ts)"))
+  *   Catalog.table(spark, "events")            // DataFrame, full pushdown
+  *   Catalog.attach(spark)                     // SQL: SELECT * FROM events
+  *   TXLOG APPEND INTO 'events' ...            // verbs accept names too
+  *
+  * The registry is ONE json file (`<warehouse>/_catalog.json`,
+  * name → table path) rewritten atomically (temp + rename under a
+  * per-warehouse JVM lock — the same durability class as TxLog's
+  * commit files; concurrent writers from SEPARATE processes are
+  * last-writer-wins on the REGISTRY, never on table data, which TxLog
+  * itself serializes). Deliberately not a Spark V2 `TableCatalog`:
+  * the engine's relation is Spark's own `HadoopFsRelation` (that is
+  * what buys stock vectorized parquet, codegen and pushdown), and the
+  * V2 catalog API cannot return a V1 relation outside the session
+  * catalog — so names resolve HERE and mount through the same
+  * `graft-txlog` format every other entry point uses.
+  * [[attach]] bridges to plain SQL by registering each name in the
+  * SESSION catalog (`CREATE TABLE name USING graft-txlog`), where the
+  * V1 fallback is first-class. */
+object Catalog {
+
+  private val NameRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def warehouse(spark: SparkSession): String =
+    spark.conf.getOption("graft.catalog.warehouse").getOrElse(
+      throw new IllegalStateException(
+        "graft.catalog.warehouse is not set — point it at the directory " +
+          "that holds (or will hold) the lake's table dirs"))
+
+  private def catPath(w: String) = new Path(w, "_catalog.json")
+  private def fs(spark: SparkSession, w: String) =
+    catPath(w).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readAll(spark: SparkSession, w: String): Map[String, String] = {
+    val f = fs(spark, w)
+    if (!f.exists(catPath(w))) Map.empty
+    else {
+      val in = f.open(catPath(w))
+      val bytes = try in.readAllBytes() finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      val it = node.fieldNames()
+      Iterator.continually(if (it.hasNext) it.next() else null)
+        .takeWhile(_ != null).map(n => n -> node.get(n).asText()).toMap
+    }
+  }
+
+  private def writeAll(spark: SparkSession, w: String,
+                       entries: Map[String, String]): Unit = {
+    val f = fs(spark, w)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    entries.toSeq.sortBy(_._1).foreach { case (n, p) => node.put(n, p) }
+    f.mkdirs(new Path(w))
+    val tmp = new Path(w, s"._catalog.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+    // POSIX rename overwrites — exactly what a registry update wants
+    f.delete(catPath(w), false)
+    require(f.rename(tmp, catPath(w)), s"Catalog: rename failed at $w")
+  }
+
+  private def mutate(spark: SparkSession,
+                     f: Map[String, String] => Map[String, String]): Unit = {
+    val w = warehouse(spark)
+    val lock = locks.computeIfAbsent(w, _ => new Object)
+    lock.synchronized { writeAll(spark, w, f(readAll(spark, w))) }
+  }
+
+  /** Register an EXISTING table dir under a name. */
+  def register(spark: SparkSession, name: String, path: String): Unit = {
+    require(NameRe.findFirstIn(name).isDefined,
+      s"Catalog: invalid table name '$name' (want [A-Za-z_][A-Za-z0-9_]*)")
+    require(TxLog.currentVersion(spark, path).isDefined,
+      s"Catalog: no TxLog table at $path — create it first")
+    mutate(spark, m => m + (name -> path))
+  }
+
+  /** Create a table AT `<warehouse>/<name>` and register it. */
+  def create(spark: SparkSession, name: String, df: DataFrame,
+             partitionCol: Option[String] = None,
+             statsCols: Seq[String] = Nil,
+             partitionCols: Seq[String] = Nil,
+             hiddenPartitions: Seq[String] = Nil): String = {
+    require(NameRe.findFirstIn(name).isDefined,
+      s"Catalog: invalid table name '$name' (want [A-Za-z_][A-Za-z0-9_]*)")
+    val path = new Path(warehouse(spark), name).toString
+    TxLog.create(df, path, partitionCol, statsCols, partitionCols,
+      hiddenPartitions)
+    mutate(spark, m => m + (name -> path))
+    path
+  }
+
+  /** Name → table path; loud on unknown names, listing what exists. */
+  def resolve(spark: SparkSession, name: String): String = {
+    val all = readAll(spark, warehouse(spark))
+    all.getOrElse(name, throw new IllegalArgumentException(
+      s"Catalog: no table '$name' — known: ${all.keys.toSeq.sorted.mkString(", ")}"))
+  }
+
+  /** Drop the NAME (the table dir is untouched — vacuum/delete it
+    * separately; a registry must never be the thing that deletes
+    * data). */
+  def drop(spark: SparkSession, name: String): Unit =
+    mutate(spark, m => m - name)
+
+  /** Mount a named table — same relation as
+    * `spark.read.format("graft-txlog")`, full pushdown. */
+  def table(spark: SparkSession, name: String): DataFrame =
+    spark.read.format("graft-txlog")
+      .option("path", resolve(spark, name)).load()
+
+  /** One row per registered table: name, path, head version, files,
+    * metadata-only row count. */
+  def tables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    readAll(spark, warehouse(spark)).toSeq.sortBy(_._1).map { case (n, p) =>
+      val v = TxLog.currentVersion(spark, p)
+      val m = v.map(TxLog.manifest(spark, p, _))
+      (n, p, v.getOrElse(-1L), m.map(_.files.size.toLong).getOrElse(0L),
+        v.flatMap(_ => TxLog.fastCount(spark, p)).getOrElse(-1L))
+    }.toDF("name", "path", "version", "num_files", "rows")
+  }
+
+  /** Register every cataloged name in the SESSION catalog so plain
+    * `spark.sql("SELECT ... FROM name")` works (the V1-source bridge:
+    * `CREATE TABLE name USING graft-txlog`). Idempotent; names already
+    * taken by a different definition refuse loudly rather than
+    * shadowing. */
+  def attach(spark: SparkSession): Unit =
+    readAll(spark, warehouse(spark)).toSeq.sortBy(_._1).foreach {
+      case (n, p) =>
+        if (!spark.catalog.tableExists(n))
+          spark.sql(s"CREATE TABLE $n USING `graft-txlog` " +
+            s"OPTIONS (path '${p.replace("'", "''")}')")
+    }
+
+  /** Is this TXLOG-verb target a catalog NAME (no separators) rather
+    * than a filesystem path? */
+  private[graft] def isName(target: String): Boolean =
+    NameRe.findFirstIn(target).isDefined
+
+  /** Resolve a verb target: bare names go through the catalog (when a
+    * warehouse is configured), anything path-shaped passes through. */
+  private[graft] def resolveTarget(spark: SparkSession, target: String): String =
+    if (isName(target) && spark.conf.getOption("graft.catalog.warehouse").isDefined)
+      resolve(spark, target)
+    else target
+}

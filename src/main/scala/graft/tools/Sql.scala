@@ -82,69 +82,89 @@ object Sql {
   private val VacuumRe =
     """(?is)\s*TXLOG\s+VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*""".r
 
-  /** Run one statement: a TXLOG verb or plain SQL. */
+  /** Run one statement: a TXLOG verb or plain SQL. Verb targets may
+    * be filesystem paths OR bare catalog NAMES (when
+    * `graft.catalog.warehouse` is set): reads/writes resolve through
+    * [[graft.storage.Catalog]], and a CREATE with a name lands the
+    * table at `<warehouse>/<name>` and registers it. */
   def exec(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
     def asDf(v: Long): DataFrame = Seq(v).toDF("version")
+    def rt(p: String): String = graft.storage.Catalog.resolveTarget(spark, p)
+    // CREATE targets: a bare name materializes under the warehouse and
+    // registers AFTER the create commits
+    def createTarget(p: String): (String, () => Unit) =
+      if (graft.storage.Catalog.isName(p) &&
+          spark.conf.getOption("graft.catalog.warehouse").isDefined) {
+        val dir = new org.apache.hadoop.fs.Path(
+          spark.conf.get("graft.catalog.warehouse"), p).toString
+        (dir, () => graft.storage.Catalog.register(spark, p, dir))
+      } else (p, () => ())
     sql match {
       case CreateOrReplaceRe(path, part, select) =>
-        asDf(graft.storage.TxLog.createOrReplace(spark.sql(select), path,
+        val (dir, reg) = createTarget(path)
+        val v = graft.storage.TxLog.createOrReplace(spark.sql(select), dir,
           partitionCols = Option(part).toSeq
-            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+        reg(); asDf(v)
       case CreateHiddenRe(path, specs, select) =>
         // split on commas OUTSIDE parens: bucket(16, k) keeps its own
-        asDf(graft.storage.TxLog.create(spark.sql(select), path,
+        val (dir, reg) = createTarget(path)
+        val v = graft.storage.TxLog.create(spark.sql(select), dir,
           hiddenPartitions = specs.split(",(?![^(]*\\))").map(_.trim)
-            .filter(_.nonEmpty).toSeq))
+            .filter(_.nonEmpty).toSeq)
+        reg(); asDf(v)
       case CreateRe(path, part, select) =>
-        asDf(graft.storage.TxLog.create(spark.sql(select), path,
+        val (dir, reg) = createTarget(path)
+        val v = graft.storage.TxLog.create(spark.sql(select), dir,
           partitionCols = Option(part).toSeq
-            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+        reg(); asDf(v)
       case AppendRe(path, select) =>
-        asDf(graft.storage.TxLog.append(spark.sql(select), path))
+        asDf(graft.storage.TxLog.append(spark.sql(select), rt(path)))
       case MergeRe(path, keys, select) =>
-        asDf(graft.storage.TxLog.mergeInto(path, spark.sql(select),
+        asDf(graft.storage.TxLog.mergeInto(rt(path), spark.sql(select),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       case DeleteDvRe(path, cond) =>
-        asDf(graft.storage.TxLog.deleteWhere(spark, path,
+        asDf(graft.storage.TxLog.deleteWhere(spark, rt(path),
           org.apache.spark.sql.functions.expr(cond), deletionVectors = true))
       case DeleteRe(path, cond) =>
-        asDf(graft.storage.TxLog.deleteWhere(spark, path,
+        asDf(graft.storage.TxLog.deleteWhere(spark, rt(path),
           org.apache.spark.sql.functions.expr(cond)))
       case ReplaceRe(path, vals, select) =>
-        asDf(graft.storage.TxLog.replacePartitions(spark.sql(select), path,
+        asDf(graft.storage.TxLog.replacePartitions(spark.sql(select), rt(path),
           vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
             .filter(_.nonEmpty).toSeq))
       case RestoreRe(path, v) =>
-        asDf(graft.storage.TxLog.restore(spark, path, v.toLong))
+        asDf(graft.storage.TxLog.restore(spark, rt(path), v.toLong))
       case RestoreTsRe(path, ts) =>
-        asDf(graft.storage.TxLog.restore(spark, path,
-          graft.storage.TxLog.versionAt(spark, path,
+        asDf(graft.storage.TxLog.restore(spark, rt(path),
+          graft.storage.TxLog.versionAt(spark, rt(path),
             graft.storage.TxLog.parseTsMillis(ts))))
       case CloneRe(src, dst, deep, ver) =>
-        asDf(graft.storage.TxLog.clone(spark, src, dst,
+        asDf(graft.storage.TxLog.clone(spark, rt(src), dst,
           version = Option(ver).map(_.toLong), deep = deep != null))
       case AlterAddUniqueRe(path, name, cols) =>
-        asDf(graft.storage.TxLog.addUniqueConstraint(spark, path, name,
+        asDf(graft.storage.TxLog.addUniqueConstraint(spark, rt(path), name,
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       case AlterAddRe(path, name, check) =>
-        asDf(graft.storage.TxLog.addConstraint(spark, path, name, check))
+        asDf(graft.storage.TxLog.addConstraint(spark, rt(path), name, check))
       case AlterStatsRe(path, cols) =>
-        asDf(graft.storage.TxLog.setStatsCols(spark, path,
+        asDf(graft.storage.TxLog.setStatsCols(spark, rt(path),
           cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       case AlterDropRe(path, name) =>
-        asDf(graft.storage.TxLog.dropConstraint(spark, path, name))
+        asDf(graft.storage.TxLog.dropConstraint(spark, rt(path), name))
       case AlterRenameRe(path, oldName, newName) =>
-        asDf(graft.storage.TxLog.renameColumn(spark, path, oldName, newName))
+        asDf(graft.storage.TxLog.renameColumn(spark, rt(path), oldName, newName))
       case OptimizeRe(path, parts, zcols) =>
-        asDf(graft.storage.TxLog.compact(spark, path,
+        asDf(graft.storage.TxLog.compact(spark, rt(path),
           zorderBy = Option(zcols).toSeq
             .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
           partitions = Option(parts).toSeq
             .flatMap(_.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
               .filter(_.nonEmpty))))
       case VacuumRe(path, keep, dry) =>
-        val files = graft.storage.TxLog.vacuum(spark, path,
+        val files = graft.storage.TxLog.vacuum(spark, rt(path),
           keepVersions = Option(keep).map(_.toInt).getOrElse(1),
           dryRun = dry != null)
         // DRY RUN lists what WOULD go; the real vacuum reports a count
