@@ -1198,6 +1198,29 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Hidden `days(ts)` through the driver gate: the events stream
+    * lands in a day-derived layout (30 dirs, zero user-visible
+    * partition columns), and a RAW timestamp range + aggregate reads
+    * back through the batch mount — the planner prunes day dirs from
+    * the raw predicate (spec-pinned); the gate proves the pruned
+    * result is row-exact against SQL over the original parquet. */
+  def txlogHiddenDays(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_hidden_days_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    TxLog.create(events(s, d)
+      .select("event_id", "user_id", "event_type", "ts", "value").coalesce(4),
+      path, hiddenPartitions = Seq("days(ts)"))
+    s.read.format("graft-txlog").option("path", path).load()
+      .filter(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy("event_type")
+  }
+
   /** RESTORE over the transaction log: create → merge → roll back to
     * v1 as a NEW commit. The head read after the rollback must equal
     * the ORIGINAL table — and the restore commit moved zero data bytes
@@ -1318,6 +1341,7 @@ object WarehouseQueries {
     "q_txlog_rename" -> txlogRename _,
     "q_txlog_multicol" -> txlogMulticol _,
     "q_txlog_hidden" -> txlogHidden _,
+    "q_txlog_hidden_days" -> txlogHiddenDays _,
     "q_txlog_point" -> txlogPoint _,
     "q_txlog_cdf" -> txlogCdf _,
     "q_txlog_restore" -> txlogRestore _,
@@ -1461,6 +1485,14 @@ object WarehouseQueries {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM merged
         |WHERE o_orderkey % 97 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    // raw-timestamp range over the day-derived layout ≡ the same
+    // range + aggregate on the original rows (pruning is invisible)
+    "q_txlog_hidden_days" ->
+      s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS total
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // needle reads through the Bloom index ≡ a plain IN-filter
     "q_txlog_point" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -292,6 +292,41 @@ class TxLogHiddenSpec extends SparkSpec {
       Set(0L, 1L, 30L, 50L))
   }
 
+  test("multi-transform layout (days + bucket nested): combined pruning, CDF, compact and vacuum all compose") {
+    val path = freshPath("multi")
+    TxLog.create(spark.range(0, 96).select(
+      timestamp_micros(col("id") * 3600000000L).as("ts"), col("id").as("k"),
+      lit(1.0).as("v")).coalesce(2), path,
+      hiddenPartitions = Seq("days(ts)", "bucket(4, k)"))
+    val m1 = TxLog.manifest(spark, path, 1L)
+    assert(m1.partitionCols == Seq("_days_ts", "_bucket_k"))
+    assert(m1.files.forall(f =>
+      f.startsWith("_days_ts=") && f.contains("/_bucket_k=")), m1.files.take(3))
+    val t = spark.read.format("graft-txlog").option("path", path).load()
+    // BOTH transforms vote: day range × key equality plans one dir
+    val q = t.filter(col("ts") >= lit(tsOfHour(48)) && col("k") === 50L)
+    assert(q.select("v").as[Double].collect().toSeq == Seq(1.0))
+    assert(plannedFiles(q) <= 2, // day 2's matching bucket only
+      s"combined pruning lost: ${plannedFiles(q)}")
+    // CDF across a hidden-table merge: exactly the changed keys
+    TxLog.mergeInto(path, Seq((tsOfHour(10), 10L, 9.0))
+      .toDF("ts", "k", "v"), Seq("k"))
+    val feed = TxLog.changes(spark, path, 1L, 2L, Seq("k"))
+    val byKey = feed.collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("_change_type")).toMap
+    assert(byKey == Map(10L -> "update"), byKey.toString)
+    // compact keeps rows and the derived layout
+    TxLog.compact(spark, path, minFilesToCompact = 1)
+    val mc = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(mc.files.forall(f =>
+      f.startsWith("_days_ts=") && f.contains("/_bucket_k=")))
+    assert(TxLog.read(spark, path).count() == 96)
+    // vacuum GCs superseded files without touching the live set
+    val deleted = TxLog.vacuum(spark, path, keepVersions = 1)
+    assert(deleted.nonEmpty, "compact must have superseded files")
+    assert(TxLog.read(spark, path).count() == 96)
+  }
+
   test("SQL verb, createOrReplace and DESCRIBE DETAIL speak hidden layouts") {
     val path = freshPath("sqlv")
     spark.range(0, 40).select(col("id").as("k"), (col("id") * 1.0).as("v"))
