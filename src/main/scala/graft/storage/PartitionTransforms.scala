@@ -117,9 +117,12 @@ object PartitionTransforms {
     def voteFor(dt: DataType, lo: Option[Any], hi: Option[Any]): Option[HiddenVote] =
       (lo, hi) match {
         case (Some(a), Some(b)) if a == b =>
-          // EXACTLY functions.hash: Murmur3, seed 42, internal repr
+          // EXACTLY functions.hash: Murmur3, seed 42. The Literal
+          // CONSTRUCTOR (not .create) — `a` is already the Catalyst
+          // internal value (UTF8String / micros Long / days Int), and
+          // .create's converter would reject e.g. a raw timestamp Long
           val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
-            Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(a, dt)),
+            Seq(org.apache.spark.sql.catalyst.expressions.Literal(a, dt)),
             42).eval(null).asInstanceOf[Int]
           val b0 = ((h % n) + n) % n
           Some(HiddenVote(dirName, Some(b0.toString), Some(b0.toString),
@@ -237,7 +240,15 @@ object PartitionTransforms {
               case Some(x) =>
                 v.lo.forall(l => x >= l.toLong) && v.hi.forall(h => x <= h.toLong)
             }
-          else v.lo.forall(raw >= _) && v.hi.forall(raw <= _)
+          else {
+            // dir segments are PATH-ESCAPED (space → %20, ...); the
+            // vote bounds are raw values — unescape before comparing
+            // or an escapable char would reorder lexicographically and
+            // mis-prune (lost rows, not just a missed optimization)
+            val dec = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(raw)
+            v.lo.forall(dec >= _) && v.hi.forall(dec <= _)
+          }
       }
     }
   }

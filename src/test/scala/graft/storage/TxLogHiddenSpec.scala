@@ -327,6 +327,33 @@ class TxLogHiddenSpec extends SparkSpec {
     assert(TxLog.read(spark, path).count() == 96)
   }
 
+  test("escaped string dirs and timestamp buckets: votes stay exact (no mis-prune, no throw)") {
+    // string values with PATH-ESCAPED chars: the dir spells 'a%20b...';
+    // the vote must compare unescaped or lexicographic order flips
+    val path = freshPath("esc")
+    TxLog.create(Seq(("a b0", 1L), ("a b1", 2L), ("z z9", 3L))
+      .toDF("s", "k").coalesce(1), path,
+      hiddenPartitions = Seq("truncate(3, s)"))
+    val t = spark.read.format("graft-txlog").option("path", path).load()
+    val q = t.filter(col("s") === "a b0")
+    assert(q.select("k").as[Long].collect().toSet == Set(1L),
+      "escaped-dir equality lost rows")
+    assert(plannedFiles(q) == 1, s"escaped-dir pruning: ${plannedFiles(q)}")
+    val r = t.filter(col("s") >= "z")
+    assert(r.select("k").as[Long].collect().toSet == Set(3L))
+    assert(plannedFiles(r) == 1)
+    // bucket on a TIMESTAMP column: the vote hashes the internal
+    // micros value — must neither throw nor mis-bucket
+    val p2 = freshPath("bts")
+    TxLog.create(spark.range(0, 24).select(
+      timestamp_micros(col("id") * 3600000000L).as("ts"), col("id").as("k"))
+      .coalesce(1), p2, hiddenPartitions = Seq("bucket(4, ts)"))
+    val t2 = spark.read.format("graft-txlog").option("path", p2).load()
+    val q2 = t2.filter(col("ts") === lit(tsOfHour(7)))
+    assert(q2.select("k").as[Long].collect().toSet == Set(7L))
+    assert(plannedFiles(q2) == 1, s"ts-bucket pruning: ${plannedFiles(q2)}")
+  }
+
   test("SQL verb, createOrReplace and DESCRIBE DETAIL speak hidden layouts") {
     val path = freshPath("sqlv")
     spark.range(0, 40).select(col("id").as("k"), (col("id") * 1.0).as("v"))
