@@ -213,6 +213,66 @@ object Sampling {
       .drop("_tok")
   }
 
+  /** Explicit DATA-MIXTURE sampling with repetition-capped
+    * up-sampling — the recipe step behind "web 0.6, books 0.2, code
+    * 0.15, wiki 0.05 for this run": domain d's token target is
+    * `budget × weight(d)` (weights normalize), and a domain with
+    * FEWER tokens than its target REPEATS — whole epochs first, then a
+    * deterministic md5-order prefix of one partial epoch — but never
+    * beyond `maxRepeat` total epochs (past that, up-sampling stops
+    * paying; the capped domain under-fills its slice and the output's
+    * per-domain totals make that visible to the caller). Domains
+    * without a weight are excluded (weight zero).
+    *
+    * Output: one row per (document, epoch) — `domain`, `epoch`
+    * (0-based), `cum_tokens` (the running md5-order total inside the
+    * domain, same meter as [[tokenBudget]]). Epoch replication
+    * multiplies METADATA rows only; downstream joins fetch text by id
+    * per epoch, the corpus itself never duplicates on the shuffle.
+    *
+    * Plan: one domain-cardinality aggregate (availability, broadcast
+    * back), one per-domain window cumsum, one `sequence` explode for
+    * the epochs — the corpus shuffles once, on the domain key. All
+    * arithmetic is integer (targets truncate), so engine parity is
+    * exact. */
+  def mixture(df: DataFrame, domain: Column, tokens: Column,
+              weights: Map[String, Double], budget: Long,
+              maxRepeat: Int = 4, idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0) &&
+      weights.values.sum > 0.0, "weights must be non-negative, not all zero")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wsum = weights.values.sum
+    val wDf = weights.toSeq.map { case (d, wt) => (d, wt / wsum) }
+      .toDF("domain", "_wt")
+    val base = df.withColumn("domain", domain)
+      .withColumn("_tok", tokens.cast("long"))
+    val plan = base.groupBy("domain").agg(sum("_tok").as("_av"))
+      .join(wDf, Seq("domain"))
+      .withColumn("_target", floor(lit(budget.toDouble) * col("_wt")).cast("long"))
+      // whole epochs the target affords, capped; the partial-epoch
+      // remainder is zero exactly when the cap bound (no more repeats)
+      .withColumn("_full", least(expr("_target div _av"), lit(maxRepeat.toLong)))
+      .withColumn("_rem", when(expr("_target div _av") >= maxRepeat, lit(0L))
+        .otherwise(col("_target") - col("_full") * col("_av")))
+      .select("domain", "_full", "_rem")
+    val w = Window.partitionBy("domain")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("cum_tokens", sum(col("_tok")).over(w))
+      .join(broadcast(plan), Seq("domain"))
+      .withColumn("_epochs", col("_full") +
+        when(col("cum_tokens") <= col("_rem"), 1L).otherwise(0L))
+      // sequence(0, -1) would DESCEND — zero-epoch rows need an
+      // explicit empty array, not a reversed range
+      .withColumn("epoch", explode(when(col("_epochs") > 0L,
+        sequence(lit(0L), col("_epochs") - 1L))
+        .otherwise(array().cast("array<bigint>"))))
+      .drop("_tok", "_full", "_rem", "_epochs")
+  }
+
   /** Weight-proportional sampling WITHOUT replacement (the
     * Efraimidis–Spirakis key trick), made deterministic: each row
     * draws u ∈ (0, 1] from its own id's md5 (first 8 hex chars parsed

@@ -248,6 +248,17 @@ object PipelineQueries {
       .select("event_id", "domain").orderBy("event_id")),
     // token-budget sampling: 800 whitespace-tokens per source, greedy
     // md5-order prefix — integer running sums, oracle-exact
+    // explicit mixture weights + repetition-capped up-sampling: the
+    // llama-style recipe step; weights chosen binary-exact (0.25/0.125)
+    // so the double arithmetic is bit-identical on both engines
+    "sample_mixture" -> ((s, d) => Sampling.mixture(
+      documents(s, d).select("doc_id", "lang", "n_chars"),
+      col("lang"), col("n_chars"),
+      Map("en" -> 0.25, "de" -> 0.25, "es" -> 0.25,
+        "fr" -> 0.125, "zh" -> 0.125),
+      budget = 120000L, maxRepeat = 4)
+      .select(col("doc_id"), col("domain"), col("epoch"), col("cum_tokens"))
+      .orderBy("domain", "epoch", "doc_id")),
     "sample_token_budget" -> ((s, d) => Sampling.tokenBudget(
       documents(s, d).select("doc_id", "source", "text"),
       col("source"), size(split(col("text"), " ")), budget = 800)
@@ -1344,6 +1355,36 @@ object PipelineQueries {
         |  FROM events e JOIN q ON e.event_type = q.domain)
         |SELECT event_id, domain FROM sel WHERE rk <= quota
         |ORDER BY event_id""".stripMargin,
+    // mirror mixture(): availability aggregate, integer epoch plan,
+    // md5-prefix partial epoch — all-integer comparisons, exact parity
+    "sample_mixture" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang AS domain, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM documents),
+        |w(domain, wt) AS (VALUES
+        |  ('en', CAST(0.25 AS DOUBLE)), ('de', CAST(0.25 AS DOUBLE)),
+        |  ('es', CAST(0.25 AS DOUBLE)), ('fr', CAST(0.125 AS DOUBLE)),
+        |  ('zh', CAST(0.125 AS DOUBLE))),
+        |plan AS (
+        |  SELECT a.domain,
+        |    LEAST(CAST(floor(120000 * wt) AS BIGINT) // av, 4) AS full_e,
+        |    CASE WHEN CAST(floor(120000 * wt) AS BIGINT) // av >= 4 THEN 0
+        |         ELSE CAST(floor(120000 * wt) AS BIGINT)
+        |              - LEAST(CAST(floor(120000 * wt) AS BIGINT) // av, 4) * av
+        |    END AS rem
+        |  FROM (SELECT lang AS domain, SUM(n_chars) AS av
+        |        FROM documents GROUP BY 1) a
+        |  JOIN w USING (domain)),
+        |n(i) AS (VALUES (0), (1), (2), (3))
+        |SELECT b.doc_id, b.domain, CAST(n.i AS BIGINT) AS epoch,
+        |  CAST(b.cum_tokens AS BIGINT) AS cum_tokens
+        |FROM base b JOIN plan p USING (domain)
+        |JOIN n ON n.i < p.full_e
+        |  + CASE WHEN b.cum_tokens <= p.rem THEN 1 ELSE 0 END
+        |ORDER BY domain, epoch, doc_id""".stripMargin,
     "sample_token_budget" ->
       """WITH s AS (
         |  SELECT doc_id, source AS domain,

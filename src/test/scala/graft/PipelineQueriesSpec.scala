@@ -220,6 +220,43 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < 40, "budget must actually bind")
   }
 
+  test("mixture sampling: weighted targets, whole+partial epochs for scarce domains, repeat cap binds, unweighted domains drop") {
+    import spark.implicits._
+    // A: 10 docs × 10 tok = 100 avail; B: 4 × 5 = 20 avail; C: unweighted
+    val docs = spark.range(14).select(col("id").as("doc_id"),
+      when(col("id") < 10, "A").otherwise("B").as("d"),
+      when(col("id") < 10, 10L).otherwise(5L).as("ntok"))
+      .union(Seq((99L, "C", 7L)).toDF("doc_id", "d", "ntok"))
+    // budget 200, A 0.5 → target 100 = exactly 1 full epoch, no partial;
+    // B 0.5 → target 100 over 20 avail = 5 epochs, CAPPED at 3, rem 0
+    val out = Sampling.mixture(docs, col("d"), col("ntok"),
+      Map("A" -> 0.5, "B" -> 0.5), budget = 200L, maxRepeat = 3)
+      .select("doc_id", "domain", "epoch").as[(Long, String, Long)].collect()
+    val byDom = out.groupBy(_._2)
+    assert(!byDom.contains("C"), "unweighted domain must drop")
+    // A: every doc exactly once (epoch 0)
+    assert(byDom("A").map(_._3).toSet == Set(0L))
+    assert(byDom("A").length == 10)
+    // B: every doc exactly 3 times (cap), epochs 0,1,2 — and NOT 5
+    assert(byDom("B").map(_._3).toSet == Set(0L, 1L, 2L))
+    assert(byDom("B").length == 12)
+    // partial epoch: budget 230 → A target 115 = 1 full + 15-token
+    // md5-prefix of epoch 1 (first doc 10, second would hit 20 > 15)
+    val out2 = Sampling.mixture(docs, col("d"), col("ntok"),
+      Map("A" -> 1.0), budget = 115L, maxRepeat = 3)
+      .select("doc_id", "domain", "epoch", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out2.count(_._3 == 0L) == 10)
+    val partial = out2.filter(_._3 == 1L)
+    assert(partial.length == 1, partial.mkString(","))
+    assert(partial.head._4 == 10L, "partial epoch must be the md5 prefix")
+    // the md5-first doc is the same one tokenBudget would pick
+    val firstByBudget = Sampling.tokenBudget(
+      docs.filter(col("d") === "A"), col("d"), col("ntok"), budget = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(firstByBudget == Set(partial.head._1))
+  }
+
   test("salted weighted sampling: exact recombined quotas on a 90%-hot-stratum corpus") {
     val docs = spark.range(1000).select(col("id").as("doc_id"),
       when(col("id") < 900, lit("hot")).otherwise(lit("cold")).as("s"))
