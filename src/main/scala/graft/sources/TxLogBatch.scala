@@ -666,7 +666,11 @@ object TxLogBatch {
         case _ => false
       }))
       .map(b => org.apache.spark.sql.catalyst.catalog.BucketSpec(
-        b.n, Seq(b.src), Nil))
+        // the writer sorts every bucket file by the source key, so the
+        // spec declares it; Spark trusts the ordering only when a
+        // bucket holds ONE file (optimizedWrite / post-OPTIMIZE state)
+        // and sorts otherwise — correctness never depends on this
+        b.n, Seq(b.src), Seq(b.src)))
   }
 
   /** Resolve the (path, version) a batch read targets from the

@@ -1104,9 +1104,22 @@ object TxLog {
     // dir into one task (salt or leave off for skewed layouts).
     val optimized = partitionCols.nonEmpty &&
       spark.conf.getOption("graft.txlog.optimizedWrite").exists(_.toBoolean)
-    val toWrite =
+    val toWrite0 =
       if (!optimized) staged
       else staged.repartition(partitionCols.map(c =>
+        org.apache.spark.sql.functions.col(
+          "`" + c.replace("`", "``") + "`")): _*)
+    // bucket layouts write each file SORTED by the bucket source (an
+    // in-task sort — the dynamic-partition writer already sorts by the
+    // dir columns; the source key rides as a secondary). With one file
+    // per bucket (optimizedWrite, or after OPTIMIZE) the mount then
+    // declares the sort and a merge join elides BOTH the exchange and
+    // the per-bucket sort.
+    val sortCols = partitionCols ++
+      transforms.collectFirst { case b: PartitionTransforms.Bucket => b.src }
+    val toWrite =
+      if (sortCols.size == partitionCols.size) toWrite0
+      else toWrite0.sortWithinPartitions(sortCols.map(c =>
         org.apache.spark.sql.functions.col(
           "`" + c.replace("`", "``") + "`")): _*)
     val w = toWrite.write.mode("overwrite")

@@ -207,6 +207,23 @@ class TxLogHiddenSpec extends SparkSpec {
         s"bucketed equi-join still shuffles:\n${plan.take(2000)}")
       assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
         s"scan is not bucketed:\n${plan.take(2000)}")
+      // bucket files are written SORTED by the key: with Spark's
+      // sorted-bucket-scan conf (and one file per bucket) the merge
+      // join consumes the scans directly — zero Exchange, ZERO SORT —
+      // and stays row-exact (an unsorted file behind the claim would
+      // silently drop matches, so the row assertion is load-bearing)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      try {
+        val js = mount(pathA).join(mount(pathB), "k")
+          .select(col("k"), (col("va") + col("vb")).as("s"))
+        assert(js.as[(Long, Double)].collect().toSet ==
+          (100L until 200L).map(k => (k, k * 3.0)).toSet)
+        val plan = js.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning") &&
+          !plan.contains("Sort ["),
+          s"sorted-bucket join still sorts:\n${plan.take(1500)}")
+      } finally spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
       // single-side: groupBy on the bucket source aggregates in place
       val g = mount(pathA).groupBy("k").agg(sum("va").as("s"))
       assert(g.count() == 200)
