@@ -250,6 +250,10 @@ object Sampling {
     val base = df.withColumn("domain", domain)
       .withColumn("_tok", tokens.cast("long"))
     val plan = base.groupBy("domain").agg(sum("_tok").as("_av"))
+      // a zero-token domain contributes nothing to a token budget and
+      // must not ride the epoch arithmetic (div-by-zero nulls would
+      // otherwise silently up-sample it to the repeat cap)
+      .filter(col("_av") > 0L)
       .join(wDf, Seq("domain"))
       .withColumn("_target", floor(lit(budget.toDouble) * col("_wt")).cast("long"))
       // whole epochs the target affords, capped; the partial-epoch

@@ -234,6 +234,13 @@ class PipelineQueriesSpec extends SparkSpec {
       .select("doc_id", "domain", "epoch").as[(Long, String, Long)].collect()
     val byDom = out.groupBy(_._2)
     assert(!byDom.contains("C"), "unweighted domain must drop")
+    // a weighted but ZERO-TOKEN domain must drop too (its epoch
+    // arithmetic would otherwise div-by-zero into the repeat cap)
+    val zt = docs.union(Seq((500L, "Z", 0L)).toDF("doc_id", "d", "ntok"))
+    val outZ = Sampling.mixture(zt, col("d"), col("ntok"),
+      Map("A" -> 0.5, "Z" -> 0.5), budget = 200L, maxRepeat = 3)
+      .select("domain").as[String].collect()
+    assert(!outZ.contains("Z"), "zero-token domain must not up-sample")
     // A: every doc exactly once (epoch 0)
     assert(byDom("A").map(_._3).toSet == Set(0L))
     assert(byDom("A").length == 10)
