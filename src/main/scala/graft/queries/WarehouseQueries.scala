@@ -1142,6 +1142,28 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** SCHEMA EVOLUTION through the driver gate: create → ADD COLUMN
+    * (metadata-only; pre-add rows read NULL) → append rows that carry
+    * the new column → DROP COLUMN (tombstoned, spec-pinned against
+    * resurrection) → read the head. The gate checks the full
+    * evolved-lifecycle result row-exactly against plain SQL. */
+  def txlogEvolve(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_evolve_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val p = part(s, d).select("p_partkey", "p_brand", "p_retailprice")
+    TxLog.create(p.filter(col("p_partkey") % 3 === 0), path)
+    TxLog.addColumn(s, path, "discounted", "double")
+    TxLog.append(p.filter(col("p_partkey") % 3 === 1)
+      .withColumn("discounted", col("p_retailprice") * lit(0.9)), path)
+    TxLog.dropColumn(s, path, "p_brand")
+    TxLog.read(s, path)
+      .select("p_partkey", "p_retailprice", "discounted")
+      .orderBy("p_partkey")
+  }
+
   /** MULTI-COLUMN partitioning + file-granular merge through the
     * driver gate: a (priority, status) nested layout takes the same
     * update stream as q_txlog; the gate checks the merged head
@@ -1339,6 +1361,7 @@ object WarehouseQueries {
     "q_txlog_dv_batch" -> txlogDvBatch _,
     "q_txlog_batch" -> txlogBatch _,
     "q_txlog_rename" -> txlogRename _,
+    "q_txlog_evolve" -> txlogEvolve _,
     "q_txlog_multicol" -> txlogMulticol _,
     "q_txlog_hidden" -> txlogHidden _,
     "q_txlog_hidden_days" -> txlogHiddenDays _,
@@ -1455,6 +1478,17 @@ object WarehouseQueries {
     "q_txlog_rename" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice AS price FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    // add-column + append + drop-column lifecycle ≡ a union where the
+    // pre-add slice reads NULL for the added column and the dropped
+    // column never appears
+    "q_txlog_evolve" ->
+      """SELECT p_partkey, p_retailprice, CAST(NULL AS DOUBLE) AS discounted
+        |FROM part WHERE p_partkey % 3 = 0
+        |UNION ALL
+        |SELECT p_partkey, p_retailprice,
+        |       p_retailprice * CAST(0.9 AS DOUBLE) AS discounted
+        |FROM part WHERE p_partkey % 3 = 1
+        |ORDER BY p_partkey""".stripMargin,
     // the (priority, status) nested layout takes q_txlog's update
     // stream; the merged head is the same v2 arithmetic
     "q_txlog_multicol" ->

@@ -2210,6 +2210,168 @@ object TxLog {
     -1L // unreachable
   }
 
+  /** A dropped column's colMap tombstone: its physical slot stays
+    * reserved under a logical name no real column can spell (`#` is
+    * not an identifier character), so a LATER column re-using the
+    * name maps to a FRESH physical slot and never reads the dropped
+    * data back (Delta requires column mapping for DROP COLUMN for
+    * exactly this resurrection hazard). Every colMap consumer looks
+    * entries up by LOGICAL name — schema fields, filter translation,
+    * the read projection — so tombstones are inert everywhere except
+    * the physical-slot collision checks, which is the point. */
+  private val DroppedPrefix = "#dropped:"
+
+  private def tombstoneOf(e: (String, String)): Option[String] =
+    if (e._1.startsWith(DroppedPrefix)) Some(e._2) else None
+
+  /** ALTER TABLE ... ADD COLUMN — a METADATA-ONLY commit: the schema
+    * widens by one nullable field, historical files read NULL for it
+    * (the parquet missing-column contract), later writes carry it.
+    * Zero data rewrites at any table size.
+    *
+    * If the name's physical slot is already taken — by a renamed
+    * column's original data or by a DROPPED column's remains — the
+    * new column maps to a fresh physical name via column mapping, so
+    * it starts life empty instead of resurrecting old bytes. */
+  def addColumn(spark: SparkSession, path: String,
+                name: String, ddlType: String,
+                maxRetries: Int = 10): Long = {
+    val dataType = org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+    var retries = 0
+    while (true) {
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"TxLog: no table at $path"))
+      val attempt = manifest(spark, path, v)
+      requireWritable(attempt, path)
+      val declared = StructType.fromDDL(attempt.schemaDdl)
+      require(!declared.fieldNames.contains(name),
+        s"TxLog.addColumn: column '$name' already exists")
+      require(!attempt.partitionCols.contains(name),
+        s"TxLog.addColumn: '$name' collides with a partition directory name")
+      // physical slots the files may already spell: every live
+      // column's physical name plus every colMap target (renames AND
+      // drop tombstones)
+      val taken = physicalize(declared, attempt.colMap).fieldNames.toSet ++
+        attempt.colMap.map(_._2)
+      val phys =
+        if (!taken.contains(name)) name
+        else {
+          var cand = s"${name}_v${attempt.version + 1}"
+          var i = 0
+          while (taken.contains(cand)) { i += 1; cand = s"${cand}_$i" }
+          cand
+        }
+      val newSchema = StructType(declared.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+      val newColMap = attempt.colMap ++
+        (if (phys == name) Nil else Seq(name -> phys))
+      val nextMinWriter =
+        if (newColMap == attempt.colMap) attempt.minWriter
+        else math.max(attempt.minWriter, 2)
+      try {
+        val ts = clampedTs(attempt)
+        writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
+          newSchema.toDDL, attempt.sourceBatchId, attempt.statsCols,
+          attempt.constraints, attempt.uniques,
+          operation = s"ADD COLUMN $name $ddlType",
+          removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
+          addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
+          colMap = newColMap, dv = attempt.dv,
+          partitionSpec = attempt.partitionSpec)
+        val resolved = attempt.copy(version = attempt.version + 1,
+          schemaDdl = newSchema.toDDL, ts = Some(ts),
+          minWriter = nextMinWriter, colMap = newColMap)
+        cachePut(spark, path, resolved)
+        maybeCheckpoint(spark, path, resolved)
+        return resolved.version
+      } catch {
+        case e: VersionRaceException =>
+          retries += 1
+          if (retries > maxRetries) throw e
+        // loop: re-read the head and retry
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** ALTER TABLE ... DROP COLUMN — a METADATA-ONLY commit via column
+    * mapping: the field leaves the schema, the files keep its bytes,
+    * and a tombstone entry reserves the physical slot so a later
+    * column with the same name never reads the dropped data (see
+    * [[DroppedPrefix]]). Version-pinned reads of OLDER versions still
+    * surface the column (each version carries its own schema), and
+    * the next OPTIMIZE rewrite physically purges the bytes (its
+    * rewrite reads through the post-drop logical schema — Delta's
+    * REORG ... PURGE in spirit).
+    *
+    * Refuses when the layout or a constraint depends on the column:
+    * partition column, hidden-transform source, CHECK-referenced, or
+    * part of a UNIQUE key — drop the constraint first. */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+                 maxRetries: Int = 10): Long = {
+    var retries = 0
+    while (true) {
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"TxLog: no table at $path"))
+      val attempt = manifest(spark, path, v)
+      requireWritable(attempt, path)
+      val declared = StructType.fromDDL(attempt.schemaDdl)
+      require(declared.fieldNames.contains(name),
+        s"TxLog.dropColumn: no column '$name' in ${attempt.schemaDdl}")
+      require(declared.fields.length > 1,
+        s"TxLog.dropColumn: '$name' is the table's only column")
+      require(!attempt.partitionCols.contains(name),
+        s"TxLog.dropColumn: '$name' is a partition column — the layout " +
+          "derives from it")
+      transformsOf(attempt).foreach(t => require(t.src != name,
+        s"TxLog.dropColumn: '$name' is the source of hidden partition " +
+          s"transform ${t.spec} — the layout derives from it"))
+      val word = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      attempt.constraints.foreach { case (n, check) =>
+        require(word.findFirstIn(check).isEmpty,
+          s"TxLog.dropColumn: CHECK constraint '$n' ($check) references " +
+            s"'$name' — drop the constraint first")
+      }
+      attempt.uniques.foreach { case (n, cols) =>
+        require(!cols.contains(name),
+          s"TxLog.dropColumn: UNIQUE constraint '$n' keys on '$name' — " +
+            "drop the constraint first")
+      }
+      val phys = physOf(attempt, name)
+      val newColMap = attempt.colMap.filterNot(_._1 == name) :+
+        (DroppedPrefix + phys -> phys)
+      val newSchema = StructType(declared.fields.filterNot(_.name == name))
+      val newStats = attempt.statsCols.filterNot(_ == phys)
+      val nextMinWriter = math.max(attempt.minWriter, 2)
+      try {
+        val ts = clampedTs(attempt)
+        writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
+          newSchema.toDDL, attempt.sourceBatchId, newStats,
+          attempt.constraints, attempt.uniques,
+          operation = s"DROP COLUMN $name",
+          removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
+          addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
+          colMap = newColMap, dv = attempt.dv,
+          partitionSpec = attempt.partitionSpec)
+        val resolved = attempt.copy(version = attempt.version + 1,
+          schemaDdl = newSchema.toDDL, statsCols = newStats,
+          // mirror applyDelta's replay: an emptied skip-column set
+          // drops the per-file entries with it
+          fileStats = if (newStats.isEmpty) Map.empty else attempt.fileStats,
+          ts = Some(ts), minWriter = nextMinWriter, colMap = newColMap)
+        cachePut(spark, path, resolved)
+        maybeCheckpoint(spark, path, resolved)
+        return resolved.version
+      } catch {
+        case e: VersionRaceException =>
+          retries += 1
+          if (retries > maxRetries) throw e
+        // loop: re-read the head and retry
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Append `df` as a new version: old files carried by reference, new
     * files added. With `evolveSchema` the manifest's schema WIDENS
     * (additive-only — see [[widen]]): new columns append at the end,
@@ -2229,8 +2391,15 @@ object TxLog {
     if (evolveSchema)
       df.schema.fieldNames.filterNot(declared.fieldNames.contains).foreach { n =>
         require(!m.colMap.exists(_._2 == n),
-          s"TxLog.append: new column '$n' collides with the physical name " +
-            s"of renamed column '${m.colMap.find(_._2 == n).map(_._1).getOrElse("")}'")
+          m.colMap.find(_._2 == n) match {
+            case Some(e) if tombstoneOf(e).isDefined =>
+              s"TxLog.append: new column '$n' re-uses a DROPPED column's " +
+                "physical slot — add it via TxLog.addColumn (which maps it " +
+                "to a fresh slot), then append"
+            case e =>
+              s"TxLog.append: new column '$n' collides with the physical " +
+                s"name of renamed column '${e.map(_._1).getOrElse("")}'"
+          })
         require(!m.partitionCols.contains(n),
           s"TxLog.append: new column '$n' collides with a derived hidden " +
             "partition directory name")

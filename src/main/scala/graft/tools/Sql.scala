@@ -33,6 +33,8 @@ import graft.tables.Tables
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> UNIQUE (<k1[,k2...]>)
   *   TXLOG ALTER '<path>' DROP CONSTRAINT <name>
   *   TXLOG ALTER '<path>' RENAME COLUMN <old> TO <new>
+  *   TXLOG ALTER '<path>' ADD COLUMN <name> <type>
+  *   TXLOG ALTER '<path>' DROP COLUMN <name>
   *   TXLOG ALTER '<path>' SET STATS COLS (<c1[,c2...]>)  -- () disables
   *   TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]
   *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]
@@ -77,6 +79,10 @@ object Sql {
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
   private val AlterRenameRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val AlterAddColRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
+  private val AlterDropColRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*""".r
   private val OptimizeRe =
     """(?is)\s*TXLOG\s+OPTIMIZE\s+'([^']+)'\s*(?:PARTITIONS\s*\(([^)]+)\)\s*)?(?:ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*""".r
   private val VacuumRe =
@@ -156,6 +162,10 @@ object Sql {
         asDf(graft.storage.TxLog.dropConstraint(spark, rt(path), name))
       case AlterRenameRe(path, oldName, newName) =>
         asDf(graft.storage.TxLog.renameColumn(spark, rt(path), oldName, newName))
+      case AlterAddColRe(path, name, ddlType) =>
+        asDf(graft.storage.TxLog.addColumn(spark, rt(path), name, ddlType))
+      case AlterDropColRe(path, name) =>
+        asDf(graft.storage.TxLog.dropColumn(spark, rt(path), name))
       case OptimizeRe(path, parts, zcols) =>
         asDf(graft.storage.TxLog.compact(spark, rt(path),
           zorderBy = Option(zcols).toSeq
@@ -187,6 +197,9 @@ object Sql {
             "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)\n" +
             "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> UNIQUE (<k1[,k2...]>)\n" +
             "  TXLOG ALTER '<path>' DROP CONSTRAINT <name>\n" +
+            "  TXLOG ALTER '<path>' RENAME COLUMN <old> TO <new>\n" +
+            "  TXLOG ALTER '<path>' ADD COLUMN <name> <type>\n" +
+            "  TXLOG ALTER '<path>' DROP COLUMN <name>\n" +
             "  TXLOG ALTER '<path>' SET STATS COLS (<c1[,c2...]>)\n" +
             "  TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]\n" +
             "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]")
