@@ -125,6 +125,14 @@ object TableFunctions {
         arity("graft_txlog_history", es, 1 to 1)
         plan(TxLog.history(active, litStr("graft_txlog_history", "path", es.head)))
       }),
+    ("graft_txlog_files",
+      info("graft_txlog_files",
+        "graft_txlog_files(path[, version]) - per-file metadata inventory of the TxLog snapshot (partition dir, rows, size, DV-deleted rows, skip stats)"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_files", es, 1 to 2)
+        plan(TxLog.files(active, litStr("graft_txlog_files", "path", es.head),
+          es.lift(1).map(litLong("graft_txlog_files", "version", _))))
+      }),
     ("graft_topk",
       info("graft_topk",
         "graft_topk(table, group_cols_csv, order_col, k[, 'desc'|'asc']) - top-k rows per group via the native TopKPerGroup operator (default desc)"),

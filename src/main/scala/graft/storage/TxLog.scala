@@ -3351,6 +3351,84 @@ object TxLog {
         "n_dv_rows", "schema_ddl")
   }
 
+  /** The FILES metadata table (Delta's per-file inventory at file
+    * grain): one row per live data file of the snapshot — partition
+    * directory, metadata row count, size/mtime where known,
+    * outstanding DV-deleted rows, and the skip-stats entries with
+    * keys translated to LOGICAL column names (renamed columns show
+    * their current name; dropped columns' lingering entries filter
+    * out). Metadata only — no data file is read.
+    *
+    * Scale: at/above `graft.txlog.distributedIndexThreshold` (default
+    * 100k entries) the enumeration serves from the COLUMNAR checkpoint
+    * (written on demand by a distributed job that also stats
+    * size/mtime in tasks), so a 10^6-file listing is a parquet scan,
+    * never a driver materialization; below it the manifest already
+    * sits resolved in driver memory and converts directly (size/mtime
+    * null — stat-ing every file is the checkpoint job's business). */
+  def files(spark: SparkSession, path: String,
+            version: Option[Long] = None): DataFrame = {
+    val pinned = version
+    import org.apache.spark.sql.functions._
+    val v = pinned.getOrElse(currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path")))
+    val m = manifest(spark, path, v)
+    val threshold = spark.conf
+      .getOption("graft.txlog.distributedIndexThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    val base: DataFrame =
+      if (m.files.size >= threshold && ensureCheckpoint(spark, path, m))
+        spark.read.schema(ckptSchema).parquet(ckptDir(path, m.version).toString)
+      else {
+        val rows = m.files.map { f =>
+          org.apache.spark.sql.Row(f,
+            m.fileRows.get(f).map(java.lang.Long.valueOf).orNull,
+            m.fileStats.get(f)
+              .map(_.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }).orNull,
+            null, null)
+        }
+        spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, ckptSchema)
+      }
+    // per-file outstanding DV rows: sums the resolved per-target counts
+    // the manifest already carries — delete-sized, broadcast join
+    val dvCounts = m.dv.flatMap(_._2).groupMapReduce(_._1)(_._2)(_ + _)
+    val withDv =
+      if (dvCounts.isEmpty) base.withColumn("dv_deleted_rows", lit(0L))
+      else {
+        import spark.implicits._
+        base.join(broadcast(dvCounts.toSeq.toDF("f", "_dvn")), Seq("f"), "left")
+          .withColumn("dv_deleted_rows", coalesce(col("_dvn"), lit(0L)))
+          .drop("_dvn")
+      }
+    // stats keys are PHYSICAL (stable next to the files); surface them
+    // under the LOGICAL names a user queries by, dropping tombstoned
+    // slots (a dropped column's lingering entries are not a column)
+    val renames = m.colMap.filterNot(_._1.startsWith(DroppedPrefix))
+      .filter { case (l, p) => l != p }
+    val tombstoned = m.colMap.collect {
+      case (l, p) if l.startsWith(DroppedPrefix) => p
+    }.toSet
+    val statsCol0 =
+      if (tombstoned.isEmpty) col("stats")
+      else map_filter(col("stats"), (k, _) => !k.isin(tombstoned.toSeq: _*))
+    val statsCol =
+      if (renames.isEmpty) statsCol0
+      else {
+        val lut = map(renames.flatMap { case (l, p) => Seq(lit(p), lit(l)) }: _*)
+        transform_keys(statsCol0, (k, _) => coalesce(element_at(lut, k), k))
+      }
+    withDv.select(
+      col("f").as("file"),
+      when(col("f").contains("/"),
+        regexp_extract(col("f"), "^(.*)/[^/]*$", 1)).as("partition_dir"),
+      col("rows"),
+      col("len").as("size_bytes"),
+      col("mtime"),
+      col("dv_deleted_rows"),
+      statsCol.as("stats"))
+  }
+
   /** The newest version committed AT OR BEFORE `tsMillis` — the
     * `AS OF TIMESTAMP` resolver. O(versions) small metadata reads
     * (rare interactive operation); commits predating timestamp
