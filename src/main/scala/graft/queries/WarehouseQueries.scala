@@ -1164,6 +1164,28 @@ object WarehouseQueries {
       .orderBy("p_partkey")
   }
 
+  /** CONVERT through the driver gate: a PLAIN partitioned parquet
+    * directory (written by stock Spark, no TxLog) adopts in place —
+    * files rename under data/, v1 commits the inventory — then takes
+    * a transactional delete. The gate checks the adopted table's
+    * post-delete head row-exactly against plain SQL. */
+  def txlogConvert(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_convert_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.partitionBy("o_orderpriority").parquet(path)
+    TxLog.convert(s, path, partitionCols = Seq("o_orderpriority"),
+      statsCols = Seq("o_orderkey"))
+    TxLog.deleteWhere(s, path, col("o_orderkey") % 7 === 0)
+    TxLog.read(s, path)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** MULTI-COLUMN partitioning + file-granular merge through the
     * driver gate: a (priority, status) nested layout takes the same
     * update stream as q_txlog; the gate checks the merged head
@@ -1362,6 +1384,7 @@ object WarehouseQueries {
     "q_txlog_batch" -> txlogBatch _,
     "q_txlog_rename" -> txlogRename _,
     "q_txlog_evolve" -> txlogEvolve _,
+    "q_txlog_convert" -> txlogConvert _,
     "q_txlog_multicol" -> txlogMulticol _,
     "q_txlog_hidden" -> txlogHidden _,
     "q_txlog_hidden_days" -> txlogHiddenDays _,
@@ -1470,6 +1493,11 @@ object WarehouseQueries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    // in-place adoption of a plain parquet dir + a transactional
+    // delete ≡ the filtered source
+    "q_txlog_convert" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin,
     // the batch format's manifest-planned scan ≡ a plain filter
     "q_txlog_batch" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -1288,6 +1288,104 @@ object TxLog {
     1L
   }
 
+  /** CONVERT — adopt an existing parquet directory as a TxLog table
+    * IN PLACE (Delta's `CONVERT TO DELTA`): every data file RENAMES
+    * under `<dir>/data/` keeping its partition subpath — O(files)
+    * filesystem METADATA operations, zero bytes rewritten on
+    * posix/HDFS (an object-store rename is a server-side copy; still
+    * no download, no decode) — then version 1 commits with the
+    * inventory, per-file row counts, and optional skip stats (the
+    * same single aggregate pass CREATE pays). The result is a
+    * FIRST-CLASS table: every verb (append/merge/DV delete/compact/
+    * clone/constraints/evolution) works exactly as on a created
+    * table, because the adopted layout IS the created layout — no
+    * by-reference special case haunting a dozen code paths.
+    *
+    * Hive-partitioned sources pass `partitionCols` in directory
+    * order; every file's subpath must spell exactly those
+    * `name=value` dirs (validated, loud). Partition column TYPES
+    * come from Spark's partition inference over the directory names.
+    *
+    * Restartable: a crash mid-move leaves no manifest (the dir is
+    * not yet a table); re-running adopts files already under `data/`
+    * plus the remainder. */
+  def convert(spark: SparkSession, dir: String,
+              partitionCols: Seq[String] = Nil,
+              statsCols: Seq[String] = Nil): Long = {
+    require(currentVersion(spark, dir).isEmpty,
+      s"TxLog.convert: a table already exists at $dir")
+    val fs = fsFor(spark, dir)
+    val root = new Path(dir)
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"TxLog.convert: $dir is not a directory")
+    val dataRoot = dataDir(dir)
+    def relUnder(base: Path, p: Path): String = {
+      // listings return fully-qualified URIs (file:/..., hdfs://...);
+      // qualify the base the same way before prefix-stripping
+      val b = fs.makeQualified(base).toString.stripSuffix("/") + "/"
+      val s = fs.makeQualified(p).toString
+      require(s.startsWith(b), s"TxLog.convert: $p escapes $base")
+      s.substring(b.length)
+    }
+    def listDataFiles(base: Path): Seq[String] = {
+      if (!fs.exists(base)) return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(base, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = relUnder(base, st.getPath)
+        val comps = rel.split('/')
+        val hidden = comps.exists(c => c.startsWith("_") || c.startsWith("."))
+        // listing the source root skips the data/ subtree — those are
+        // files a previous (interrupted) convert already adopted
+        if (st.isFile && rel.endsWith(".parquet") && !hidden &&
+            !(base == root && comps.head == "data"))
+          out += rel
+      }
+      out.toSeq
+    }
+    val pending = listDataFiles(root)
+    val already = listDataFiles(dataRoot)
+    require(pending.nonEmpty || already.nonEmpty,
+      s"TxLog.convert: no parquet data files under $dir")
+    (pending ++ already).foreach { rel =>
+      val dirs = rel.split('/').dropRight(1)
+      require(dirs.length == partitionCols.length &&
+        dirs.zip(partitionCols).forall { case (d, c) => d.startsWith(c + "=") },
+        s"TxLog.convert: '$rel' does not match the declared layout " +
+          (if (partitionCols.isEmpty) "(unpartitioned)"
+           else partitionCols.mkString("(", "/", "=...)")))
+    }
+    pending.foreach { rel =>
+      val to = new Path(dataRoot, rel)
+      fs.mkdirs(to.getParent)
+      val from = new Path(root, rel)
+      require(fs.rename(from, to), s"TxLog.convert: rename $from -> $to failed")
+    }
+    // prune now-empty source partition dirs (cosmetic; a non-empty or
+    // shared dir simply stays)
+    pending.map(r => new Path(root, r).getParent).distinct
+      .filter(_ != root)
+      .foreach(p => scala.util.Try(fs.delete(p, false)))
+    val files = (pending ++ already).distinct.sorted
+    val base = dataRoot.toString
+    val schema = spark.read.option("basePath", base)
+      .parquet(files.map(f => s"$base/$f"): _*).schema
+    partitionCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"TxLog.convert: partition column '$c' did not recover from the layout"))
+    statsCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"TxLog.convert: stats column '$c' is not in the schema"))
+    val (stats, rowCounts) = collectStats(spark, dir, schema, statsCols, files)
+    cacheInvalidate(spark, dir)
+    val m = Manifest(1L, partitionCols, schema.toDDL, files,
+      statsCols = statsCols, fileStats = stats, fileRows = rowCounts,
+      ts = Some(System.currentTimeMillis()),
+      minWriter = if (partitionCols.size >= 2) 2 else 1)
+    writeManifest(spark, dir, m, operation = "CONVERT")
+    cachePut(spark, dir, m)
+    1L
+  }
+
   /** CREATE OR REPLACE — redefine the table as one commit while
     * KEEPING its history (Delta's `REPLACE TABLE`): the new version is
     * a FULL commit (its file list is wholly new anyway) with the

@@ -38,6 +38,7 @@ import graft.tables.Tables
   *   TXLOG ALTER '<path>' SET STATS COLS (<c1[,c2...]>)  -- () disables
   *   TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]
   *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]
+  *   TXLOG CONVERT '<dir>' [PARTITION BY <c1[,c2...]>] [STATS COLS (<c1[,c2...]>)]
   *
   * — the delegating-dispatcher pattern a transactional layer uses
   * before it owns a parser extension: anything that isn't a TXLOG verb
@@ -87,6 +88,8 @@ object Sql {
     """(?is)\s*TXLOG\s+OPTIMIZE\s+'([^']+)'\s*(?:PARTITIONS\s*\(([^)]+)\)\s*)?(?:ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*""".r
   private val VacuumRe =
     """(?is)\s*TXLOG\s+VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*""".r
+  private val ConvertRe =
+    """(?is)\s*TXLOG\s+CONVERT\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*(?:STATS\s+COLS\s*\(([^)]*)\))?\s*""".r
 
   /** Run one statement: a TXLOG verb or plain SQL. Verb targets may
     * be filesystem paths OR bare catalog NAMES (when
@@ -173,6 +176,12 @@ object Sql {
           partitions = Option(parts).toSeq
             .flatMap(_.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
               .filter(_.nonEmpty))))
+      case ConvertRe(path, part, statsCols) =>
+        asDf(graft.storage.TxLog.convert(spark, rt(path),
+          partitionCols = Option(part).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+          statsCols = Option(statsCols).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
       case VacuumRe(path, keep, dry) =>
         val files = graft.storage.TxLog.vacuum(spark, rt(path),
           keepVersions = Option(keep).map(_.toInt).getOrElse(1),
