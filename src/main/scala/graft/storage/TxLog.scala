@@ -1356,7 +1356,37 @@ object TxLog {
           (if (partitionCols.isEmpty) "(unpartitioned)"
            else partitionCols.mkString("(", "/", "=...)")))
     }
-    pending.foreach { rel =>
+    // the move: one rename per file. Above the distributed-index
+    // threshold the renames run IN TASKS (a 10^6-file adoption must
+    // not serialize 10^6 driver RPCs); below it the driver loop wins
+    // (no job-launch latency). Both paths are restartable: a rename
+    // that lost a race to a prior partial run finds its source gone
+    // and its destination present — already adopted, not a failure.
+    val moveThreshold = spark.conf
+      .getOption("graft.txlog.distributedIndexThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    if (pending.size >= moveThreshold) {
+      val hconf = new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration)
+      val rootStr = root.toString
+      val dataStr = dataRoot.toString
+      val parts = math.max(1, math.min(64, pending.size / 1000 + 1))
+      val failed = spark.sparkContext.parallelize(pending, parts)
+        .mapPartitions { it =>
+          val conf = hconf.value
+          val tfs = new Path(rootStr).getFileSystem(conf)
+          it.flatMap { rel =>
+            val to = new Path(dataStr, rel)
+            tfs.mkdirs(to.getParent)
+            val ok = tfs.rename(new Path(rootStr, rel), to) ||
+              (!tfs.exists(new Path(rootStr, rel)) && tfs.exists(to))
+            if (ok) None else Some(rel)
+          }
+        }.collect()
+      require(failed.isEmpty,
+        s"TxLog.convert: ${failed.length} renames failed " +
+          s"(first: ${failed.headOption.getOrElse("")})")
+    } else pending.foreach { rel =>
       val to = new Path(dataRoot, rel)
       fs.mkdirs(to.getParent)
       val from = new Path(root, rel)

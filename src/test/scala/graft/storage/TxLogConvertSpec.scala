@@ -77,6 +77,25 @@ class TxLogConvertSpec extends SparkSpec {
     assert(TxLog.manifest(spark, dir, 1L).files.size == 4)
   }
 
+  test("distributed move path (threshold pinned low) adopts identically") {
+    val dir = freshDir("dist")
+    (1L to 60L).map(i => (i, s"p${i % 2}", i * 1.0)).toDF("k", "part", "score")
+      .repartition(6).write.partitionBy("part").parquet(dir)
+    val old = spark.conf.getOption("graft.txlog.distributedIndexThreshold")
+    try {
+      spark.conf.set("graft.txlog.distributedIndexThreshold", "1")
+      TxLog.convert(spark, dir, partitionCols = Seq("part"))
+    } finally {
+      old match {
+        case Some(s) => spark.conf.set("graft.txlog.distributedIndexThreshold", s)
+        case None => spark.conf.unset("graft.txlog.distributedIndexThreshold")
+      }
+    }
+    assert(TxLog.read(spark, dir).count() == 60)
+    assert(TxLog.read(spark, dir).filter(col("part") === "p1").count() == 30)
+    assert(TxLog.fastCount(spark, dir).contains(60L))
+  }
+
   test("refusals: existing table, mismatched layout, empty dir") {
     val dir = freshDir("refuse")
     Seq((1L, "a")).toDF("k", "v").write.parquet(dir)
