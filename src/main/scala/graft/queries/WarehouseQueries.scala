@@ -1164,6 +1164,29 @@ object WarehouseQueries {
       .orderBy("p_partkey")
   }
 
+  /** UPDATE through the driver gate: create → file-granular
+    * `updateWhere` (reprice + restatus every 10th key) → read. The
+    * gate checks the updated head row-exactly against a CASE-WHEN
+    * recompute. */
+  def txlogUpdate(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_update_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    TxLog.create(dim, path, Some("o_orderpriority"))
+    TxLog.updateWhere(s, path, Seq(
+      "o_totalprice" -> ("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * " +
+        "CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)"),
+      "o_orderstatus" -> "'R'"),
+      col("o_orderkey") % 10 === 0)
+    TxLog.read(s, path)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** CONVERT through the driver gate: a PLAIN partitioned parquet
     * directory (written by stock Spark, no TxLog) adopts in place —
     * files rename under data/, v1 commits the inventory — then takes
@@ -1385,6 +1408,7 @@ object WarehouseQueries {
     "q_txlog_rename" -> txlogRename _,
     "q_txlog_evolve" -> txlogEvolve _,
     "q_txlog_convert" -> txlogConvert _,
+    "q_txlog_update" -> txlogUpdate _,
     "q_txlog_multicol" -> txlogMulticol _,
     "q_txlog_hidden" -> txlogHidden _,
     "q_txlog_hidden_days" -> txlogHiddenDays _,
@@ -1493,6 +1517,16 @@ object WarehouseQueries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    // a file-granular UPDATE ≡ a CASE-WHEN recompute over the source
+    "q_txlog_update" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN 'R'
+        |            ELSE o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN o_orderkey % 10 = 0
+        |            THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |                      CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+        |            ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // in-place adoption of a plain parquet dir + a transactional
     // delete ≡ the filtered source
     "q_txlog_convert" ->

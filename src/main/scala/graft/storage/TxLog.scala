@@ -3074,6 +3074,124 @@ object TxLog {
     }
   }
 
+  /** UPDATE ... SET ... WHERE — a FILE-GRANULAR rewrite (Delta's
+    * UPDATE): discovery prunes to the files that actually admit a
+    * matching row (one snapshot scan through the shared readFiles
+    * seam, so DVs and renames apply), ONLY those files rewrite —
+    * unmatched rows carry verbatim, matched rows take the SET
+    * expressions — and the commit removes exactly the hit files.
+    * `set` maps column name → SQL expression over the table's LOGICAL
+    * schema; each assignment CASTS to the column's declared type.
+    * A NULL condition leaves its row un-updated (SQL semantics).
+    * CHECK constraints re-probe the updated row images before any
+    * file stages; updating a UNIQUE key column refuses (key identity
+    * changes belong to MERGE/applyChanges, which own the collision
+    * story). Updated partition / hidden-transform source columns are
+    * fine — rewrites restage through the layout, so relocated rows
+    * land in their new directories like any other write.
+    *
+    * With `deletionVectors = true` the update is MERGE-ON-READ: the
+    * matched rows DV away (kilobytes of metadata, zero rewrites of
+    * the admitting files) and their updated images APPEND — write
+    * cost = matched ROWS, never matched files. The matched set
+    * MATERIALIZES once (a matched-rows-sized temp parquet) and both
+    * the DV sidecar and the appended images derive from it, so a
+    * non-deterministic condition can never delete one row set and
+    * append another. */
+  def updateWhere(spark: SparkSession, path: String,
+                  set: Seq[(String, String)],
+                  condition: org.apache.spark.sql.Column,
+                  deletionVectors: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, not, when}
+    require(set.nonEmpty, "TxLog.updateWhere: empty SET list")
+    require(set.map(_._1).distinct.size == set.size,
+      s"TxLog.updateWhere: duplicate assignment in ${set.map(_._1).mkString(", ")}")
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    requireWritable(m, path)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    set.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"TxLog.updateWhere: no column '$c' in ${m.schemaDdl}")
+      m.uniques.foreach { case (n, cols) =>
+        require(!cols.contains(c),
+          s"TxLog.updateWhere: '$c' is part of UNIQUE constraint '$n' — " +
+            "key identity changes go through mergeInto/applyChanges")
+      }
+    }
+    val setMap = set.toMap
+    val hit = coalesce(condition, lit(false))
+    def assigned(df: DataFrame, everyRowMatched: Boolean): DataFrame =
+      df.select(schema.fields.map { f =>
+        setMap.get(f.name) match {
+          case Some(e) =>
+            val image = expr(e).cast(f.dataType)
+            (if (everyRowMatched) image
+             else when(hit, image).otherwise(col(f.name))).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+    if (deletionVectors) {
+      // ONE materialization of the matched rows (keys + values): the
+      // DV sidecar and the appended images must describe the SAME set
+      val tmp = new Path(path,
+        s"_tmp_update_${java.util.UUID.randomUUID().toString.take(12)}")
+      val fs = fsFor(spark, path)
+      try {
+        readFiles(spark, path, schema, m.files, m.colMap, m.dv,
+          keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
+          .filter(hit).write.parquet(tmp.toString)
+        val matched = spark.read.parquet(tmp.toString)
+        if (matched.isEmpty) return v
+        val images = assigned(
+          matched.select(schema.fieldNames.map(col).toIndexedSeq: _*),
+          everyRowMatched = true)
+        enforceConstraints(images, m.constraints, "updateWhere")
+        val dvName = java.util.UUID.randomUUID().toString.take(12) + ".dv"
+        matched
+          .select(col("_dv_key").as("f"), col("_dv_idx").cast("long").as("row_index"))
+          .write.parquet(dvPath(path, dvName))
+        val perKey = spark.read.parquet(dvPath(path, dvName)).groupBy("f")
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val bySuffix = m.files.map(f => relEntry(f) -> f).toMap
+        val counts = perKey.map { case (suffix, n) =>
+          bySuffix.get(suffix)
+            .orElse(bySuffix.get(java.net.URLDecoder.decode(suffix, "UTF-8")))
+            .getOrElse(throw new IllegalStateException(
+              s"TxLog.updateWhere(dv): scan key '$suffix' does not map back " +
+                "to any manifest entry")) -> n
+        }.toMap
+        val staged = stageIn(toPhysical(images, m.colMap), path,
+          physPartCols(m), transformsOf(m))
+        commitRebase(spark, path, m, rewriteDirs = Set.empty,
+          newFiles = staged, schemaDdl = m.schemaDdl, batchId = None,
+          readSet = None, operation = "UPDATE (DV)",
+          addDv = Seq(dvName -> counts))
+      } finally fs.delete(tmp, true)
+    } else {
+      // exact hit-file discovery, identical to DELETE's
+      val uris = readFiles(spark, path, schema, m.files, m.colMap, m.dv,
+          keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
+        .filter(hit).select(col("_dv_key").as("_f"))
+        .distinct().collect().map(_.getString(0))
+      if (uris.isEmpty) return v
+      val resolve = entryResolver(m.files)
+      val hitFiles = uris.map(resolve).toSet
+      val snap = readFiles(spark, path, schema, hitFiles.toSeq, m.colMap,
+        m.dv, recoverPartitions = m.partitionSpec.isEmpty)
+      enforceConstraints(assigned(snap.filter(hit), everyRowMatched = true),
+        m.constraints, "updateWhere")
+      val newFiles = stageIn(
+        toPhysical(assigned(snap, everyRowMatched = false), m.colMap),
+        path, physPartCols(m), transformsOf(m))
+      commitRebase(spark, path, m, rewriteDirs = Set.empty,
+        newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
+        readSet = None, operation = "UPDATE", removeFiles = hitFiles)
+    }
+  }
+
   /** Change data feed between two committed versions — the row-level
     * diff a downstream incremental consumer applies instead of
     * re-reading the table: one row per changed key with

@@ -26,6 +26,7 @@ import graft.tables.Tables
   *   TXLOG APPEND INTO '<path>' <select>
   *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>
   *   TXLOG DELETE FROM '<path>' WHERE <condition> [USING DELETION VECTORS]
+  *   TXLOG UPDATE '<path>' SET <c1> = <expr1>[, <c2> = <expr2>...] WHERE <condition> [USING DELETION VECTORS]
   *   TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>
   *   TXLOG RESTORE '<path>' TO VERSION <n> | TO TIMESTAMP '<ts>'
   *   TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]
@@ -62,6 +63,10 @@ object Sql {
     """(?is)\s*TXLOG\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s+USING\s+DELETION\s+VECTORS\s*""".r
   private val DeleteRe =
     """(?is)\s*TXLOG\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+)""".r
+  private val UpdateDvRe =
+    """(?is)\s*TXLOG\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s+USING\s+DELETION\s+VECTORS\s*""".r
+  private val UpdateRe =
+    """(?is)\s*TXLOG\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+)""".r
   private val ReplaceRe =
     """(?is)\s*TXLOG\s+REPLACE\s+INTO\s+'([^']+)'\s+PARTITIONS\s*\(([^)]+)\)\s+(.+)""".r
   private val RestoreRe =
@@ -90,6 +95,16 @@ object Sql {
     """(?is)\s*TXLOG\s+VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*""".r
   private val ConvertRe =
     """(?is)\s*TXLOG\s+CONVERT\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*(?:STATS\s+COLS\s*\(([^)]*)\))?\s*""".r
+
+  /** `a = expr, b = expr` → assignment pairs: split on commas OUTSIDE
+    * parentheses (a CASE/function expression keeps its own), then on
+    * each item's FIRST '=' (the expression may contain more). */
+  private def parseSets(s: String): Seq[(String, String)] =
+    s.split(",(?![^(]*\\))").toSeq.map(_.trim).filter(_.nonEmpty).map { item =>
+      val i = item.indexOf('=')
+      require(i > 0, s"Sql: malformed SET item '$item' — expected col = expr")
+      (item.substring(0, i).trim, item.substring(i + 1).trim)
+    }
 
   /** Run one statement: a TXLOG verb or plain SQL. Verb targets may
     * be filesystem paths OR bare catalog NAMES (when
@@ -134,6 +149,12 @@ object Sql {
       case MergeRe(path, keys, select) =>
         asDf(graft.storage.TxLog.mergeInto(rt(path), spark.sql(select),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      case UpdateDvRe(path, sets, cond) =>
+        asDf(graft.storage.TxLog.updateWhere(spark, rt(path), parseSets(sets),
+          org.apache.spark.sql.functions.expr(cond), deletionVectors = true))
+      case UpdateRe(path, sets, cond) =>
+        asDf(graft.storage.TxLog.updateWhere(spark, rt(path), parseSets(sets),
+          org.apache.spark.sql.functions.expr(cond)))
       case DeleteDvRe(path, cond) =>
         asDf(graft.storage.TxLog.deleteWhere(spark, rt(path),
           org.apache.spark.sql.functions.expr(cond), deletionVectors = true))
