@@ -684,6 +684,11 @@ object TxLogBatch {
     val version = p.get("versionasof").map(_.toLong)
       .orElse(p.get("timestampasof").map(ts =>
         TxLog.versionAt(spark, path, TxLog.parseTsMillis(ts))))
+      .orElse(p.get("tagasof").map { t =>
+        TxLog.tags(spark, path).getOrElse(t,
+          throw new IllegalArgumentException(
+            s"graft-txlog: no tag '$t' at $path"))
+      })
       .orElse(TxLog.currentVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(
         s"graft-txlog: no table at $path"))

@@ -3419,14 +3419,29 @@ object TxLog {
     * changes nothing — no deletions, no chain-integrity checkpoints,
     * no cache invalidation (Delta's `VACUUM ... DRY RUN`). */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
-             dryRun: Boolean = false): Seq[String] = {
+             dryRun: Boolean = false,
+             keepHours: Option[Double] = None): Seq[String] = {
     require(keepVersions >= 1, "vacuum must keep at least the current version")
+    keepHours.foreach(h => require(h >= 0, "vacuum: negative retention"))
     val fs = fsFor(spark, path)
     val cur = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val versions = fs.listStatus(manifestDir(path)).toSeq
       .flatMap(s => versionOf(s.getPath)).sorted
-    val (drop, keep) = versions.partition(_ <= cur - keepVersions)
+    // time-based retention EXTENDS the version window (Delta's
+    // retention period in spirit): a version drops only when it is
+    // both below the version cut AND provably older than the horizon —
+    // commits without a timestamp (legacy) never drop on time alone
+    val horizon = keepHours.map(h =>
+      System.currentTimeMillis() - (h * 3600 * 1000).toLong)
+    def olderThanHorizon(v: Long): Boolean = horizon.forall(c =>
+      Option(readCommitNode(spark, path, v).get("ts")).exists(_.asLong() < c))
+    // tagged versions are PINNED: a tag is the caller's promise that
+    // the snapshot stays reproducible — retention cuts route around it
+    val pinnedByTag = tags(spark, path).values.toSet
+    val (drop, keep) = versions.partition(v =>
+      v <= cur - keepVersions && olderThanHorizon(v) &&
+        !pinnedByTag.contains(v))
     val live = keep.flatMap(manifest(spark, path, _).files).toSet
     if (dryRun) {
       val wouldDelete = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -3511,9 +3526,113 @@ object TxLog {
       fs.listStatus(manifestDir(path))
         .filter(_.getPath.getName.startsWith(".ckpt_"))
         .foreach(st => fs.delete(st.getPath, true))
+    // a crashed DV-mode UPDATE's matched-set materialization (its
+    // finally-cleanup never ran) — same class of invisible garbage
+    fs.listStatus(new Path(path))
+      .filter(_.getPath.getName.startsWith("_tmp_update_"))
+      .foreach(st => fs.delete(st.getPath, true))
     // dropped versions must now FAIL resolution, not serve from cache
     cacheInvalidate(spark, path)
     deleted.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // Tags — named, retention-pinned snapshots (Iceberg tags in spirit)
+  // ------------------------------------------------------------------
+
+  /** Tags live in `_manifests/tags.json` (`{"name": version}`): a tag
+    * is a NAME for a committed version, never a commit itself —
+    * creating or dropping one moves no data and bumps no version.
+    * [[vacuum]] treats tagged versions as RETAINED: the manifest, its
+    * chain grounding, and its files survive any version/time cut
+    * until the tag drops — the durable pin for "the snapshot training
+    * run X consumed". Writable BRANCHES are deliberately not a
+    * separate mechanism: a zero-copy shallow [[clone]] IS a branch
+    * (own commit history, by-reference files); a tag is the immutable
+    * half. Updates are temp+rename under the per-table JVM lock;
+    * cross-process tag updates are last-writer-wins on the NAME map
+    * (data safety never depends on it — versions are immutable). */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val fs = fsFor(spark, path)
+    val f = tagsFile(path)
+    if (!fs.exists(f)) Map.empty
+    else {
+      val in = fs.open(f)
+      try {
+        val node = mapper.readTree(in)
+        val it = node.fieldNames()
+        Iterator.continually(if (it.hasNext) it.next() else null)
+          .takeWhile(_ != null).map(n => n -> node.get(n).asLong()).toMap
+      } finally in.close()
+    }
+  }
+
+  private def tagsFile(path: String) = new Path(manifestDir(path), "tags.json")
+
+  private def writeTags(spark: SparkSession, path: String,
+                        m: Map[String, Long]): Unit = {
+    val fs = fsFor(spark, path)
+    val tmp = new Path(manifestDir(path),
+      s".tags_${java.util.UUID.randomUUID().toString.take(8)}.json.tmp")
+    val node = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (n, v) => node.put(n, v) }
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+    fs.delete(tagsFile(path), false)
+    if (!fs.rename(tmp, tagsFile(path))) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"TxLog.tag: could not publish tags at $path")
+    }
+  }
+
+  /** Name a committed version (default: the head). Refuses an
+    * existing name — re-pointing a pin is an explicit
+    * [[untag]] + [[tag]], never a silent move. Returns the tagged
+    * version. */
+  def tag(spark: SparkSession, path: String, name: String,
+          version: Option[Long] = None): Long = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"TxLog.tag: tag name must be [A-Za-z0-9_.-]+, got '$name'")
+    val cur = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val v = version.getOrElse(cur)
+    // the version must be a retained commit (resolvable ⇒ taggable)
+    manifest(spark, path, v)
+    val lock = commitLocks.computeIfAbsent(
+      fsFor(spark, path).makeQualified(new Path(path)).toString,
+      _ => new Object)
+    lock.synchronized {
+      val cur = tags(spark, path)
+      require(!cur.contains(name),
+        s"TxLog.tag: tag '$name' already points at v${cur(name)} — untag first")
+      writeTags(spark, path, cur + (name -> v))
+    }
+    v
+  }
+
+  /** Drop a tag (the NAME only; the version stays committed and
+    * becomes vacuumable like any other). */
+  def untag(spark: SparkSession, path: String, name: String): Unit = {
+    val lock = commitLocks.computeIfAbsent(
+      fsFor(spark, path).makeQualified(new Path(path)).toString,
+      _ => new Object)
+    lock.synchronized {
+      val cur = tags(spark, path)
+      require(cur.contains(name), s"TxLog.untag: no tag '$name' at $path " +
+        s"(have: ${cur.keys.toSeq.sorted.mkString(", ")})")
+      writeTags(spark, path, cur - name)
+    }
+  }
+
+  /** Snapshot read AT a tag. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame = {
+    val t = tags(spark, path)
+    read(spark, path, Some(t.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"TxLog.readTag: no tag '$name' at $path " +
+          s"(have: ${t.keys.toSeq.sorted.mkString(", ")})"))))
   }
 
   /** DESCRIBE HISTORY — one row per retained version, metadata only

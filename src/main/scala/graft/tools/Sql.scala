@@ -38,8 +38,11 @@ import graft.tables.Tables
   *   TXLOG ALTER '<path>' DROP COLUMN <name>
   *   TXLOG ALTER '<path>' SET STATS COLS (<c1[,c2...]>)  -- () disables
   *   TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]
-  *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]
+  *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [RETAIN <h> HOURS] [DRY RUN]
   *   TXLOG CONVERT '<dir>' [PARTITION BY <c1[,c2...]>] [STATS COLS (<c1[,c2...]>)]
+  *   TXLOG TAG '<path>' <name> [VERSION <n>]   -- retention-pinned named snapshot
+  *   TXLOG UNTAG '<path>' <name>
+  *   TXLOG TAGS '<path>'
   *
   * — the delegating-dispatcher pattern a transactional layer uses
   * before it owns a parser extension: anything that isn't a TXLOG verb
@@ -92,7 +95,13 @@ object Sql {
   private val OptimizeRe =
     """(?is)\s*TXLOG\s+OPTIMIZE\s+'([^']+)'\s*(?:PARTITIONS\s*\(([^)]+)\)\s*)?(?:ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*""".r
   private val VacuumRe =
-    """(?is)\s*TXLOG\s+VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*""".r
+    """(?is)\s*TXLOG\s+VACUUM\s+'([^']+)'\s*(?:RETAIN\s+(\d+)\s+VERSIONS)?\s*(?:RETAIN\s+([\d.]+)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
+  private val TagRe =
+    """(?is)\s*TXLOG\s+TAG\s+'([^']+)'\s+([\w.\-]+)\s*(?:VERSION\s+(\d+))?\s*""".r
+  private val UntagRe =
+    """(?is)\s*TXLOG\s+UNTAG\s+'([^']+)'\s+([\w.\-]+)\s*""".r
+  private val TagsRe =
+    """(?is)\s*TXLOG\s+TAGS\s+'([^']+)'\s*""".r
   private val ConvertRe =
     """(?is)\s*TXLOG\s+CONVERT\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*(?:STATS\s+COLS\s*\(([^)]*)\))?\s*""".r
 
@@ -197,16 +206,26 @@ object Sql {
           partitions = Option(parts).toSeq
             .flatMap(_.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
               .filter(_.nonEmpty))))
+      case TagRe(path, name, ver) =>
+        asDf(graft.storage.TxLog.tag(spark, rt(path), name,
+          Option(ver).map(_.toLong)))
+      case UntagRe(path, name) =>
+        graft.storage.TxLog.untag(spark, rt(path), name)
+        Seq(name).toDF("untagged")
+      case TagsRe(path) =>
+        graft.storage.TxLog.tags(spark, rt(path)).toSeq.sortBy(_._1)
+          .toDF("tag", "version")
       case ConvertRe(path, part, statsCols) =>
         asDf(graft.storage.TxLog.convert(spark, rt(path),
           partitionCols = Option(part).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
           statsCols = Option(statsCols).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
-      case VacuumRe(path, keep, dry) =>
+      case VacuumRe(path, keep, hours, dry) =>
         val files = graft.storage.TxLog.vacuum(spark, rt(path),
           keepVersions = Option(keep).map(_.toInt).getOrElse(1),
-          dryRun = dry != null)
+          dryRun = dry != null,
+          keepHours = Option(hours).map(_.toDouble))
         // DRY RUN lists what WOULD go; the real vacuum reports a count
         if (dry != null) files.toDF("would_delete")
         else Seq(files.size.toLong).toDF("deleted_files")

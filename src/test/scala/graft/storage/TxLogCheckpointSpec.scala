@@ -484,4 +484,35 @@ class TxLogCheckpointSpec extends SparkSpec {
     }
     assert(ts.last > skewed, "clamp must ride past the skewed predecessor")
   }
+
+  test("time-based retention: RETAIN HOURS keeps recent versions the version cut would drop") {
+    import spark.implicits._
+    val path = freshDir("vacuum_hours")
+    TxLog.create(Seq((1L, "p0", 1.0), (2L, "p0", 2.0))
+      .toDF("k", "part", "v"), path, Some("part"))          // v1
+    // the rewrite strands v1's file: vacuumable once v1 leaves retention
+    TxLog.deleteWhere(spark, path,
+      org.apache.spark.sql.functions.col("k") === 1L)       // v2
+    TxLog.append(Seq((3L, "p0", 3.0)).toDF("k", "part", "v"), path) // v3
+    // everything committed seconds ago: a 24h horizon must drop NOTHING
+    val kept = TxLog.vacuum(spark, path, keepVersions = 1,
+      keepHours = Some(24.0))
+    assert(kept.isEmpty, s"recent versions must survive the time horizon: $kept")
+    TxLog.flushSnapshotCacheForTesting()
+    assert(TxLog.read(spark, path, Some(1L)).count() == 2,
+      "v1 must stay time-travelable under the horizon")
+    assert(TxLog.read(spark, path).count() == 2)
+    // a zero-hour horizon degrades to the pure version cut
+    TxLog.vacuum(spark, path, keepVersions = 1, keepHours = Some(0.0))
+    TxLog.flushSnapshotCacheForTesting()
+    intercept[Exception] { TxLog.read(spark, path, Some(1L)).count() }
+    assert(TxLog.read(spark, path).count() == 2)
+    // SQL verb: both retention clauses parse together
+    val path2 = freshDir("vacuum_hours_sql")
+    TxLog.create(Seq((1L, "p0", 1.0)).toDF("k", "part", "v"), path2, Some("part"))
+    TxLog.append(Seq((2L, "p0", 2.0)).toDF("k", "part", "v"), path2)
+    val out = graft.tools.Sql.exec(spark,
+      s"TXLOG VACUUM '$path2' RETAIN 1 VERSIONS RETAIN 24 HOURS DRY RUN")
+    assert(out.columns.toSeq == Seq("would_delete"))
+  }
 }
