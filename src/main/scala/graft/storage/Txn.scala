@@ -1,0 +1,198 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Multi-table transactions — ATOMIC OUTCOME via a journaled saga,
+  * the honest scope for a storage layer whose tables commit
+  * independently (Delta has no multi-table transactions at all;
+  * Iceberg's need a catalog that owns every table pointer):
+  *
+  *  1. an INTENT journal lands first (`<journalRoot>/_txn/<id>.json`:
+  *     every target table and its head version at start);
+  *  2. the ops execute in order, the journal re-publishing after
+  *     every table commit (temp+rename, crash-durable);
+  *  3. failure compensates in REVERSE — each committed table RESTOREs
+  *     to its pre-transaction head (a ref commit, zero data movement)
+  *     — and rethrows with the compensation report;
+  *  4. success deletes the journal.
+  *
+  * A crash leaves the journal behind; [[Txn.recover]] replays step 3
+  * for every orphan. Compensation and recovery REFUSE to touch a
+  * table whose head moved past this transaction's own commit (an
+  * interleaved writer landed on top — rolling back would discard
+  * THEIR commit): those surface loudly for manual resolution instead
+  * of guessing.
+  *
+  * What this is NOT (documented, not hidden): cross-table SNAPSHOT
+  * ISOLATION. A reader between steps sees table A committed and table
+  * B not yet — the outcome is all-or-nothing, the visibility is not.
+  * Per-table reads keep their usual snapshot isolation throughout.
+  */
+object Txn {
+
+  sealed trait Op { def path: String }
+  final case class Append(path: String, df: DataFrame) extends Op
+  final case class Merge(path: String, updates: DataFrame,
+                         keys: Seq[String]) extends Op
+  final case class Delete(path: String, condition: Column) extends Op
+  final case class Update(path: String, set: Seq[(String, String)],
+                          condition: Column) extends Op
+
+  final class TxnFailedException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def txnDir(journalRoot: String) = new Path(journalRoot, "_txn")
+
+  private def fsFor(spark: SparkSession, p: String) =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(p),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** One journal state: per table, the head at transaction start and
+    * (once landed) the version this transaction committed. */
+  private case class Entry(path: String, headBefore: Option[Long],
+                           committed: Option[Long])
+
+  private def publish(spark: SparkSession, journalRoot: String, id: String,
+                      entries: Seq[Entry]): Unit = {
+    val fs = fsFor(spark, journalRoot)
+    fs.mkdirs(txnDir(journalRoot))
+    val node = mapper.createObjectNode()
+    node.put("id", id)
+    node.put("ts", System.currentTimeMillis())
+    val arr = node.putArray("entries")
+    entries.foreach { e =>
+      val en = arr.addObject()
+      en.put("path", e.path)
+      e.headBefore.foreach(en.put("headBefore", _))
+      e.committed.foreach(en.put("committed", _))
+    }
+    val tmp = new Path(txnDir(journalRoot), s".$id.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
+    val dst = new Path(txnDir(journalRoot), s"$id.json")
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"Txn: could not publish journal $dst")
+  }
+
+  private def readJournal(spark: SparkSession, f: Path): (String, Seq[Entry]) = {
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(f)
+    val node = try mapper.readTree(in) finally in.close()
+    val arr = node.get("entries")
+    val entries = (0 until arr.size()).map { i =>
+      val e = arr.get(i)
+      Entry(e.get("path").asText(),
+        Option(e.get("headBefore")).map(_.asLong()),
+        Option(e.get("committed")).map(_.asLong()))
+    }
+    (node.get("id").asText(), entries)
+  }
+
+  /** Compensate every committed entry in reverse: restore each table
+    * to its pre-transaction head — UNLESS its current head is no
+    * longer this transaction's own commit (an interleaved writer
+    * landed; rolling back would discard their work). Returns
+    * (restored tables, conflicted tables). */
+  private def compensate(spark: SparkSession,
+                         entries: Seq[Entry]): (Seq[String], Seq[String]) = {
+    val restored = scala.collection.mutable.ArrayBuffer.empty[String]
+    val conflicted = scala.collection.mutable.ArrayBuffer.empty[String]
+    entries.reverse.foreach { e =>
+      (e.committed, e.headBefore) match {
+        case (Some(c), Some(hb)) =>
+          val cur = TxLog.currentVersion(spark, e.path)
+          if (!cur.contains(c)) conflicted += e.path
+          else {
+            TxLog.restore(spark, e.path, hb)
+            restored += e.path
+          }
+        case _ => // never committed: nothing to undo
+      }
+    }
+    (restored.toSeq, conflicted.toSeq)
+  }
+
+  /** Run `ops` as one transaction against `journalRoot` (the catalog
+    * warehouse is the natural home). Returns the committed version
+    * per op, in order. On failure every committed table restores to
+    * its pre-transaction head and [[TxnFailedException]] rethrows
+    * with the compensation report. */
+  def transact(spark: SparkSession, journalRoot: String,
+               ops: Seq[Op]): Seq[Long] = {
+    require(ops.nonEmpty, "Txn.transact: no operations")
+    val id = java.util.UUID.randomUUID().toString.take(16)
+    // intent: heads at start, FIRST occurrence per table (a later op
+    // on the same table compensates to the transaction's entry state)
+    var entries: Seq[Entry] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      ops.flatMap { op =>
+        if (seen.add(op.path))
+          Some(Entry(op.path, TxLog.currentVersion(spark, op.path), None))
+        else None
+      }
+    }
+    publish(spark, journalRoot, id, entries)
+    val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      ops.foreach { op =>
+        val v = op match {
+          case Append(p, df) => TxLog.append(df, p)
+          case Merge(p, u, k) => TxLog.mergeInto(p, u, k)
+          case Delete(p, c) => TxLog.deleteWhere(spark, p, c)
+          case Update(p, s, c) => TxLog.updateWhere(spark, p, s, c)
+        }
+        versions += v
+        entries = entries.map(e =>
+          if (e.path == op.path) e.copy(committed = Some(v)) else e)
+        publish(spark, journalRoot, id, entries)
+      }
+      fsFor(spark, journalRoot)
+        .delete(new Path(txnDir(journalRoot), s"$id.json"), false)
+      versions.toSeq
+    } catch {
+      case scala.util.control.NonFatal(cause) =>
+        val (restored, conflicted) = compensate(spark, entries)
+        if (conflicted.isEmpty)
+          fsFor(spark, journalRoot)
+            .delete(new Path(txnDir(journalRoot), s"$id.json"), false)
+        throw new TxnFailedException(
+          s"Txn $id failed and compensated: restored " +
+            s"[${restored.mkString(", ")}]" +
+            (if (conflicted.nonEmpty)
+              s"; CONFLICTED (interleaved writer, left as-is, journal kept) " +
+                s"[${conflicted.mkString(", ")}]"
+             else ""), cause)
+    }
+  }
+
+  /** Recover orphaned transactions after a crash: compensate each
+    * journal under `<journalRoot>/_txn/` exactly as a live failure
+    * would, deleting journals whose compensation completed. Returns
+    * one row per journal: (txn id, restored tables, conflicted
+    * tables). Safe to re-run: compensation only ever restores a table
+    * whose head IS this transaction's own commit. A journal that
+    * crashed after its compensation but before its deletion therefore
+    * re-reports those tables as conflicted (the head moved — by the
+    * compensation itself) and keeps the journal for inspection: loud
+    * and idle, never a second rollback. */
+  def recover(spark: SparkSession, journalRoot: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsFor(spark, journalRoot)
+    val dir = txnDir(journalRoot)
+    val rows =
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+        .map { st =>
+          val (id, entries) = readJournal(spark, st.getPath)
+          val (restored, conflicted) = compensate(spark, entries)
+          if (conflicted.isEmpty) fs.delete(st.getPath, false)
+          (id, restored, conflicted)
+        }
+    rows.toDF("txn", "restored", "conflicted")
+  }
+}
