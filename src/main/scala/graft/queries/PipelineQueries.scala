@@ -163,6 +163,25 @@ object PipelineQueries {
     // id, missing id) are appended, and the read-back GOOD side must be
     // exactly the 200 originals — the quarantine filtered the rest
     // (quarantine contents spec'd in SourcesSpec)
+    // WARC round trip: the documents table writes as Common-Crawl-
+    // style response records (HTTP block, Content-Length framing,
+    // gzip members) and the distributed parser must hand back exactly
+    // the original (doc_id, text) pairs — the gate proves byte-exact
+    // framing, not just plausible parsing
+    "ingest_warc" -> ((s, d) => {
+      val dir = sys.props("java.io.tmpdir") + "/graft_warc_query"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      graft.sources.Warc.write(
+        documents(s, d).select("doc_id", "text"), dir, compress = true)
+      graft.sources.Warc.read(s, dir + "/*.warc.gz")
+        .select(
+          org.apache.spark.sql.functions.regexp_extract(
+            col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("payload").as("text"))
+        .orderBy("doc_id")
+    }),
     "ingest_jsonl" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions.{length, struct, to_json}
@@ -1168,6 +1187,9 @@ object PipelineQueries {
     // the indexed serving path must produce the IDENTICAL ranking —
     // one oracle, two execution strategies
     "text_bm25_indexed" -> bm25OracleSql,
+    // the WARC round trip hands back exactly the original pairs
+    "ingest_warc" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
     // the good side of the quarantined ingest is exactly the exported
     // subset — corruption never reaches it
     "ingest_jsonl" ->
