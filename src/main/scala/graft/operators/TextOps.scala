@@ -19,6 +19,35 @@ object TextOps {
 
   private def padded: Column = concat(lit(" "), col("text"), lit(" "))
 
+  /** HTML → text extraction — the step between a WARC response body
+    * and every text operator (langid/quality/dedup all want prose,
+    * not markup): `<script>/<style>/<noscript>` blocks and HTML
+    * comments drop WITH their content, remaining tags become spaces
+    * (so `a</p><p>b` keeps its word boundary), the common entities
+    * decode (`&amp;` LAST — `&amp;lt;` must surface as the literal
+    * `&lt;`, never double-decode to `<`), and whitespace collapses.
+    * A pure codegen'd `regexp_replace` chain — no UDF, no per-row JVM
+    * call, scales like any other projection. Heuristic BY DESIGN
+    * (real HTML is adversarial — attributes can smuggle `>`): the
+    * contract is WET-style extraction of ordinary markup, not a
+    * conforming DOM parse. */
+  def htmlExtract(docs: DataFrame, htmlCol: String = "html",
+                  out: String = "text"): DataFrame = {
+    val noBlocks = regexp_replace(col(htmlCol),
+      "(?is)<(script|style|noscript)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)<[^>]*>", " ")
+    // order matters: named/numeric entities first, the ampersand LAST
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (e, (k, v)) =>
+        regexp_replace(e, java.util.regex.Pattern.quote(k),
+          java.util.regex.Matcher.quoteReplacement(v))
+      }
+    docs.withColumn(out, trim(regexp_replace(decoded, "\\s+", " ")))
+  }
+
   /** Stopword-profile language heuristic: per-language marker-word hit
     * counts, argmax with a fixed priority tie-break. */
   def langId(docs: DataFrame): DataFrame = {

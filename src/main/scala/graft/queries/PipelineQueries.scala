@@ -163,6 +163,18 @@ object PipelineQueries {
     // id, missing id) are appended, and the read-back GOOD side must be
     // exactly the 200 originals — the quarantine filtered the rest
     // (quarantine contents spec'd in SourcesSpec)
+    // HTML wrap → extract round trip: the extractor must hand back
+    // exactly the prose that went into the markup (tags, script/style
+    // blocks, comments, and entities all die on the way out)
+    "text_html_extract" -> ((s, d) => {
+      import org.apache.spark.sql.functions.concat
+      val wrapped = documents(s, d).select(col("doc_id"),
+        concat(lit("<html><head><style>p{color:red}</style></head><body>" +
+          "<!-- boilerplate --><p>"), col("text"),
+          lit("</p><script>var x = 1;</script></body></html>")).as("html"))
+      graft.operators.TextOps.htmlExtract(wrapped)
+        .select("doc_id", "text").orderBy("doc_id")
+    }),
     // WARC round trip: the documents table writes as Common-Crawl-
     // style response records (HTTP block, Content-Length framing,
     // gzip members) and the distributed parser must hand back exactly
@@ -1189,6 +1201,9 @@ object PipelineQueries {
     "text_bm25_indexed" -> bm25OracleSql,
     // the WARC round trip hands back exactly the original pairs
     "ingest_warc" ->
+      "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    // wrap-then-extract is the identity on tag-free prose
+    "text_html_extract" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
     // the good side of the quarantined ingest is exactly the exported
     // subset — corruption never reaches it

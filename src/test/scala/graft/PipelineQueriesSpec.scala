@@ -1847,4 +1847,20 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(out3.length == 1 && out3.head.getLong(2) == 0L,
       "single-doc repetition must not self-trigger")
   }
+
+  test("htmlExtract: blocks drop with content, tags become boundaries, entities decode once") {
+    import graft.operators.TextOps
+    val html = Seq((1L,
+      "<html><head><style>p{x:1}</style></head><body>" +
+        "<!-- secret comment --><p>alpha</p><p>beta &amp;lt; &lt;gamma&gt;" +
+        " &quot;d&quot; &#39;e&#39; &nbsp;f &amp; g</p>" +
+        "<script>var WARC = \"</p>nope\";</script></body></html>"))
+      .toDF("doc_id", "html")
+    val got = TextOps.htmlExtract(html).select("text").head().getString(0)
+    assert(got == "alpha beta &lt; <gamma> \"d\" 'e' f & g",
+      s"got: $got")
+    // tag removal must insert a word boundary, never glue words
+    val glued = Seq((1L, "<p>one</p><p>two</p>")).toDF("doc_id", "html")
+    assert(TextOps.htmlExtract(glued).select("text").head().getString(0) == "one two")
+  }
 }
