@@ -66,6 +66,33 @@ object Warc {
         r._6, r._7, r._8)), schema)
   }
 
+  /** The STREAMING half: parse records out of a frame shaped like the
+    * stock `binaryFile` source (`path`, `content`) — so
+    * `spark.readStream.format("binaryFile")` over an arriving crawl
+    * directory feeds `foreachBatch { Warc.parse(_) ... appendBatch }`
+    * for exactly-once WARC → TxLog ingest. Same record walk, same
+    * soft-tail contract as [[read]]; the binaryFile source already
+    * materializes `content`, so parsing streams off the byte array. */
+  def parse(files: DataFrame, maxPayloadBytes: Int = 1 << 20): DataFrame = {
+    val spark = files.sparkSession
+    val schema = files.select("path", "content").schema
+    require(schema.fields.map(_.name).toSeq == Seq("path", "content"),
+      "Warc.parse: expected binaryFile-source columns (path, content)")
+    import spark.implicits._
+    files.select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val raw = new java.io.ByteArrayInputStream(bytes)
+        val in: java.io.InputStream =
+          if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+          else raw
+        recordIterator(file, in, maxPayloadBytes).map(r =>
+          (r._1, r._2, r._3, r._4, r._5, r._6,
+            Option(r._7).map(_.intValue), r._8))
+      }
+      .toDF("warc_file", "record_type", "target_uri", "warc_date",
+        "content_type", "content_length", "http_status", "payload")
+  }
+
   // ---- streaming record walk -----------------------------------------
 
   /** Read one CRLF-terminated header line; None at clean EOF. */
