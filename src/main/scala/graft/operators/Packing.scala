@@ -125,4 +125,53 @@ object Packing {
         .drop("_salt")
     }
   }
+
+  /** Chat-template formatting — the step between a conversation table
+    * and a training sequence: each conversation's turns concatenate in
+    * order as `<|role|>content<|end|>` segments, and the spans a loss
+    * mask should COVER (the content of `maskRoles` turns, tag bytes
+    * excluded) come back as [start, end) character offsets into the
+    * formatted text.
+    *
+    * Scale shape: one shuffle (the per-conversation window) + one
+    * partial-aggregated groupBy; the offset arithmetic runs INSIDE a
+    * codegen'd `aggregate` higher-order function over the collected
+    * turn array — no UDF, no driver loop, conversations distribute
+    * freely. A conversation's own turn list must fit in task memory
+    * (real chats are kilobytes; a pathological million-turn "chat" is
+    * a data bug this surfaces by OOM, not by silent truncation).
+    *
+    * Output: (conv, text, mask_spans ARRAY<STRUCT<start, end>>) —
+    * one row per conversation, spans ordered by position. */
+  def chatFormat(turns: DataFrame, convCol: String,
+                 orderCols: Seq[org.apache.spark.sql.Column],
+                 roleCol: String, contentCol: String,
+                 maskRoles: Set[String]): DataFrame = {
+    require(maskRoles.nonEmpty, "chatFormat: empty maskRoles set")
+    val w = Window.partitionBy(col(convCol)).orderBy(orderCols: _*)
+    val seg = concat(lit("<|"), col(roleCol), lit("|>"),
+      col(contentCol), lit("<|end|>"))
+    val masked = col(roleCol).isin(maskRoles.toSeq: _*)
+    val perTurn = turns.select(col(convCol).as("conv"),
+      row_number().over(w).as("rn"), seg.as("seg"),
+      col(roleCol).as("role"), masked.as("masked"))
+    perTurn.groupBy(col("conv"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("seg"),
+        col("role"), col("masked")))).as("arr"))
+      .select(col("conv"),
+        expr("array_join(transform(arr, x -> x.seg), '')").as("text"),
+        // running character offset + span emission, single pass
+        expr(
+          """aggregate(arr,
+            |  struct(CAST(0 AS BIGINT) AS off,
+            |         CAST(array() AS ARRAY<STRUCT<start: BIGINT, end: BIGINT>>) AS spans),
+            |  (acc, x) -> struct(
+            |    acc.off + length(x.seg),
+            |    IF(x.masked,
+            |       array_append(acc.spans, named_struct(
+            |         'start', acc.off + length(x.role) + CAST(4 AS BIGINT),
+            |         'end', acc.off + length(x.seg) - CAST(7 AS BIGINT))),
+            |       acc.spans)),
+            |  acc -> acc.spans)""".stripMargin).as("mask_spans"))
+  }
 }

@@ -163,6 +163,21 @@ object PipelineQueries {
     // id, missing id) are appended, and the read-back GOOD side must be
     // exactly the 200 originals — the quarantine filtered the rest
     // (quarantine contents spec'd in SourcesSpec)
+    // chat-template formatting: per-conversation ordered segments +
+    // loss-mask spans, offsets computed inside a codegen'd aggregate
+    "pack_chat" -> ((s, d) => {
+      import org.apache.spark.sql.functions.explode
+      val turns = events(s, d).select(col("user_id").as("conv_id"),
+        col("ts"), col("event_id"), col("event_type"), col("props"))
+      graft.operators.Packing.chatFormat(turns, "conv_id",
+        Seq(col("ts"), col("event_id")), "event_type", "props",
+        maskRoles = Set("purchase"))
+        .select(col("conv").as("conv_id"), col("text"),
+          explode(col("mask_spans")).as("span"))
+        .select(col("conv_id"), col("text"),
+          col("span.start").as("span_start"), col("span.end").as("span_end"))
+        .orderBy("conv_id", "span_start")
+    }),
     // HTML wrap → extract round trip: the extractor must hand back
     // exactly the prose that went into the markup (tags, script/style
     // blocks, comments, and entities all die on the way out)
@@ -1205,6 +1220,35 @@ object PipelineQueries {
     // wrap-then-extract is the identity on tag-free prose
     "text_html_extract" ->
       "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    // the formatted text is an ordered string_agg; span offsets are
+    // prefix sums of segment lengths (content only: role tag + <|,|>
+    // excluded at the front, <|end|> at the back)
+    "pack_chat" ->
+      """WITH t AS (
+        |  SELECT user_id AS conv_id, event_type AS role,
+        |         COALESCE(props, '') AS content,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT conv_id, rn, role,
+        |         '<|' || role || '|>' || content || '<|end|>' AS seg
+        |  FROM t),
+        |o AS (
+        |  SELECT conv_id, rn, role, seg,
+        |         COALESCE(SUM(length(seg)) OVER (
+        |           PARTITION BY conv_id ORDER BY rn
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM s),
+        |txt AS (
+        |  SELECT conv_id, string_agg(seg, '' ORDER BY rn) AS text
+        |  FROM s GROUP BY conv_id)
+        |SELECT o.conv_id, txt.text,
+        |       CAST(o.off + length(o.role) + 4 AS BIGINT) AS span_start,
+        |       CAST(o.off + length(o.seg) - 7 AS BIGINT) AS span_end
+        |FROM o JOIN txt USING (conv_id)
+        |WHERE o.role = 'purchase'
+        |ORDER BY conv_id, span_start""".stripMargin,
     // the good side of the quarantined ingest is exactly the exported
     // subset — corruption never reaches it
     "ingest_jsonl" ->

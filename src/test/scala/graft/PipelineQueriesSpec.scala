@@ -1863,4 +1863,26 @@ class PipelineQueriesSpec extends SparkSpec {
     val glued = Seq((1L, "<p>one</p><p>two</p>")).toDF("doc_id", "html")
     assert(TextOps.htmlExtract(glued).select("text").head().getString(0) == "one two")
   }
+
+  test("chatFormat: ordered segments, loss-mask spans cover exactly the masked content") {
+    import graft.operators.Packing
+    val turns = Seq(
+      (1L, 1, "user", "hi"),
+      (1L, 2, "assistant", "yo"),
+      (1L, 3, "user", "ok"),
+      (2L, 1, "user", "solo")) // no masked turn: empty span list
+      .toDF("conv_id", "turn", "role", "content")
+    val out = Packing.chatFormat(turns, "conv_id", Seq(col("turn")),
+      "role", "content", maskRoles = Set("assistant"))
+      .orderBy("conv").collect()
+    val text1 = out(0).getAs[String]("text")
+    assert(text1 ==
+      "<|user|>hi<|end|><|assistant|>yo<|end|><|user|>ok<|end|>")
+    val spans = out(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("mask_spans")
+    assert(spans.length == 1)
+    val (s0, e0) = (spans.head.getLong(0), spans.head.getLong(1))
+    assert(text1.substring(s0.toInt, e0.toInt) == "yo",
+      s"span [$s0,$e0) must cover exactly the masked content")
+    assert(out(1).getAs[scala.collection.Seq[Any]]("mask_spans").isEmpty)
+  }
 }
