@@ -661,10 +661,18 @@ object TxLogBatch {
     graft.storage.PartitionTransforms
       .parseAll(m.partitionSpec, StructType.fromDDL(m.schemaDdl))
       .collectFirst { case b: graft.storage.PartitionTransforms.Bucket => b }
-      .filter(_ => m.files.forall(f => f.split('/').last match {
-        case BucketFileRe(_) => true
-        case _ => false
-      }))
+      // every entry must carry a bucket id in its NAME and sit under
+      // THIS transform's own derived directory — a partition-spec
+      // evolution leaves old-layout files in the snapshot, and a
+      // bucketed mount over those would hash-misroute their rows
+      .filter(b => m.files.forall { f =>
+        val okName = f.split('/').last match {
+          case BucketFileRe(_) => true
+          case _ => false
+        }
+        okName && f.split('/').dropRight(1)
+          .exists(_.startsWith(b.dirName + "="))
+      })
       .map(b => org.apache.spark.sql.catalyst.catalog.BucketSpec(
         // the writer sorts every bucket file by the source key, so the
         // spec declares it; Spark trusts the ordering only when a

@@ -2500,6 +2500,93 @@ object TxLog {
     -1L // unreachable
   }
 
+  /** ALTER TABLE ... SET PARTITION SPEC — Iceberg's partition
+    * EVOLUTION: change the hidden layout of an existing table as a
+    * METADATA commit. Old files keep their directories (zero
+    * rewrites), new writes derive the NEW layout, and reads are
+    * correct across the mix by construction: hidden tables never
+    * recover partition values from directories (the raw data is
+    * complete in every file), and dir-vote pruning FAILS OPEN on a
+    * directory that doesn't spell a vote's name — old-layout files
+    * are simply unpruned until a rewrite restages them (OPTIMIZE
+    * migrates the whole table to the new layout as a side effect).
+    *
+    * Guard rails: only HIDDEN-partitioned or UNPARTITIONED tables
+    * evolve (an explicit-partitioned table's column values live ONLY
+    * in its directory names — re-deriving the layout would null
+    * them); and a new transform whose directory name already appears
+    * under LIVE files with different semantics refuses (`bucket(8,k)`
+    * → `bucket(16,k)` share `_bucket_k=` dirs — a vote computed at 16
+    * would mis-prune mod-8 values: lost rows, not a missed
+    * optimization — OPTIMIZE first, then evolve). Evolving TO
+    * unpartitioned refuses for the mirror reason: the read path would
+    * start recovering the derived dirs as columns. */
+  def alterPartitionSpec(spark: SparkSession, path: String,
+                         hiddenPartitions: Seq[String],
+                         maxRetries: Int = 10): Long = {
+    require(hiddenPartitions.nonEmpty,
+      "TxLog.alterPartitionSpec: empty spec — a hidden table cannot " +
+        "evolve to unpartitioned (derived dirs would recover as columns); " +
+        "CLONE or rewrite into a fresh table instead")
+    var retries = 0
+    while (true) {
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"TxLog: no table at $path"))
+      val attempt = manifest(spark, path, v)
+      requireWritable(attempt, path)
+      require(attempt.partitionSpec.nonEmpty || attempt.partitionCols.isEmpty,
+        "TxLog.alterPartitionSpec: table is EXPLICITLY partitioned — its " +
+          "partition values live only in directory names and cannot restage")
+      val declared = StructType.fromDDL(attempt.schemaDdl)
+      val transforms = PartitionTransforms.parseAll(hiddenPartitions, declared)
+      transforms.foreach(t => require(!declared.fieldNames.contains(t.dirName),
+        s"TxLog.alterPartitionSpec: derived name '${t.dirName}' collides " +
+          "with a schema column"))
+      require(transforms.map(_.dirName).distinct.size == transforms.size,
+        "TxLog.alterPartitionSpec: duplicate transforms on one column")
+      // semantic-collision guard over the LIVE file directories
+      val currentByDir = transformsOf(attempt).map(t => t.dirName -> t.spec).toMap
+      val liveDirNames = attempt.files.flatMap(_.split('/').dropRight(1))
+        .flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i > 0) Some(seg.substring(0, i)) else None
+        }.toSet
+      transforms.foreach { t =>
+        if (liveDirNames.contains(t.dirName))
+          require(currentByDir.get(t.dirName).contains(t.spec),
+            s"TxLog.alterPartitionSpec: live files sit under " +
+              s"'${t.dirName}=' directories written by a DIFFERENT " +
+              s"transform — their values would mis-prune under " +
+              s"${t.spec}; OPTIMIZE to restage them, then evolve")
+      }
+      val newPartCols = transforms.map(_.dirName)
+      val nextMinWriter = math.max(attempt.minWriter, 2)
+      try {
+        val ts = clampedTs(attempt)
+        writeDelta(spark, path, attempt.version + 1, newPartCols,
+          attempt.schemaDdl, attempt.sourceBatchId, attempt.statsCols,
+          attempt.constraints, attempt.uniques,
+          operation = s"SET PARTITION SPEC ${transforms.map(_.spec).mkString(", ")}",
+          removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
+          addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
+          colMap = attempt.colMap, dv = attempt.dv,
+          partitionSpec = transforms.map(_.spec))
+        val resolved = attempt.copy(version = attempt.version + 1,
+          partitionCols = newPartCols, ts = Some(ts),
+          minWriter = nextMinWriter, partitionSpec = transforms.map(_.spec))
+        cachePut(spark, path, resolved)
+        maybeCheckpoint(spark, path, resolved)
+        return resolved.version
+      } catch {
+        case e: VersionRaceException =>
+          retries += 1
+          if (retries > maxRetries) throw e
+        // loop: re-read the head and retry
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Append `df` as a new version: old files carried by reference, new
     * files added. With `evolveSchema` the manifest's schema WIDENS
     * (additive-only — see [[widen]]): new columns append at the end,

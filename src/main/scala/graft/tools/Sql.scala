@@ -36,6 +36,7 @@ import graft.tables.Tables
   *   TXLOG ALTER '<path>' RENAME COLUMN <old> TO <new>
   *   TXLOG ALTER '<path>' ADD COLUMN <name> <type>
   *   TXLOG ALTER '<path>' DROP COLUMN <name>
+  *   TXLOG ALTER '<path>' SET HIDDEN PARTITION BY <days(ts)|bucket(n,c)|...>  -- partition evolution
   *   TXLOG ALTER '<path>' SET STATS COLS (<c1[,c2...]>)  -- () disables
   *   TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]
   *   TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [RETAIN <h> HOURS] [DRY RUN]
@@ -88,6 +89,8 @@ object Sql {
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
   private val AlterRenameRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val AlterPartSpecRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+SET\s+HIDDEN\s+PARTITION\s+BY\s+(.+?)\s*""".r
   private val AlterAddColRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
   private val AlterDropColRe =
@@ -195,6 +198,9 @@ object Sql {
         asDf(graft.storage.TxLog.dropConstraint(spark, rt(path), name))
       case AlterRenameRe(path, oldName, newName) =>
         asDf(graft.storage.TxLog.renameColumn(spark, rt(path), oldName, newName))
+      case AlterPartSpecRe(path, specs) =>
+        asDf(graft.storage.TxLog.alterPartitionSpec(spark, rt(path),
+          specs.split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty).toSeq))
       case AlterAddColRe(path, name, ddlType) =>
         asDf(graft.storage.TxLog.addColumn(spark, rt(path), name, ddlType))
       case AlterDropColRe(path, name) =>
