@@ -1187,6 +1187,31 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** PARTITION-SPEC EVOLUTION through the driver gate: create FLAT →
+    * evolve to `days(o_orderdate)` (metadata-only) → append a slice
+    * that lands in the derived layout → delete across BOTH layouts →
+    * read. The gate proves mixed-layout reads and rewrites are
+    * row-exact, not just plausible. */
+  def txlogPevolve(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_pevolve_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    TxLog.create(dim.filter(col("o_orderkey") % 2 === 0), path)
+    // bucket(8) keeps the derived fan-out sane at every SF — days()
+    // over seven years of order dates would mean thousands of tiny
+    // dirs at test scale (the SPEC covers the days form)
+    TxLog.alterPartitionSpec(s, path, Seq("bucket(8, o_custkey)"))
+    TxLog.append(dim.filter(col("o_orderkey") % 2 === 1), path)
+    TxLog.deleteWhere(s, path, col("o_orderkey") % 7 === 0)
+    TxLog.read(s, path)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** CONVERT through the driver gate: a PLAIN partitioned parquet
     * directory (written by stock Spark, no TxLog) adopts in place —
     * files rename under data/, v1 commits the inventory — then takes
@@ -1409,6 +1434,7 @@ object WarehouseQueries {
     "q_txlog_evolve" -> txlogEvolve _,
     "q_txlog_convert" -> txlogConvert _,
     "q_txlog_update" -> txlogUpdate _,
+    "q_txlog_pevolve" -> txlogPevolve _,
     "q_txlog_multicol" -> txlogMulticol _,
     "q_txlog_hidden" -> txlogHidden _,
     "q_txlog_hidden_days" -> txlogHiddenDays _,
@@ -1517,6 +1543,11 @@ object WarehouseQueries {
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    // a mixed-layout lifecycle (flat create, evolve, derived append,
+    // cross-layout delete) ≡ one plain filter over the source
+    "q_txlog_pevolve" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin,
     // a file-granular UPDATE ≡ a CASE-WHEN recompute over the source
     "q_txlog_update" ->
       """SELECT o_orderkey,
