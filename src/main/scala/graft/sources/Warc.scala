@@ -206,8 +206,11 @@ object Warc {
               in.close()
           }
         } catch {
-          case e: java.io.IOException =>
-            // soft tail failure: keep what parsed, report, stop the file
+          // NonFatal, not just IOException: a malformed Content-Length
+          // value (NumberFormatException) or a corrupt gzip member must
+          // degrade to the same parsed-prefix contract — one bad shard
+          // in a 90k-file crawl must never kill the job
+          case scala.util.control.NonFatal(e) =>
             System.err.println(
               s"Warc: $file cut short (${e.getClass.getSimpleName}: " +
                 s"${e.getMessage}) — parsed prefix kept")

@@ -96,11 +96,19 @@ object Txn {
     * to its pre-transaction head — UNLESS its current head is no
     * longer this transaction's own commit (an interleaved writer
     * landed; rolling back would discard their work). Returns
-    * (restored tables, conflicted tables). */
-  private def compensate(spark: SparkSession,
-                         entries: Seq[Entry]): (Seq[String], Seq[String]) = {
+    * (restored, conflicted, indeterminate) table lists.
+    *
+    * INDETERMINATE covers the journal's one-commit blind spot: a
+    * crash BETWEEN a table's commit and the journal republish leaves
+    * the entry with `headBefore` but no `committed`. If that table's
+    * head has since moved, the mover may have been this transaction
+    * OR an interleaved writer — indistinguishable without commit
+    * provenance, so recovery reports it loudly and touches nothing. */
+  private def compensate(spark: SparkSession, entries: Seq[Entry])
+      : (Seq[String], Seq[String], Seq[String]) = {
     val restored = scala.collection.mutable.ArrayBuffer.empty[String]
     val conflicted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val indeterminate = scala.collection.mutable.ArrayBuffer.empty[String]
     entries.reverse.foreach { e =>
       (e.committed, e.headBefore) match {
         case (Some(c), Some(hb)) =>
@@ -110,10 +118,13 @@ object Txn {
             TxLog.restore(spark, e.path, hb)
             restored += e.path
           }
-        case _ => // never committed: nothing to undo
+        case (None, Some(hb)) =>
+          if (!TxLog.currentVersion(spark, e.path).contains(hb))
+            indeterminate += e.path
+        case _ => // table didn't exist at start: nothing to undo
       }
     }
-    (restored.toSeq, conflicted.toSeq)
+    (restored.toSeq, conflicted.toSeq, indeterminate.toSeq)
   }
 
   /** Run `ops` as one transaction against `journalRoot` (the catalog
@@ -155,7 +166,9 @@ object Txn {
       versions.toSeq
     } catch {
       case scala.util.control.NonFatal(cause) =>
-        val (restored, conflicted) = compensate(spark, entries)
+        // live failure: the failing op never committed, so no entry is
+        // in the indeterminate state — only crash recovery can be
+        val (restored, conflicted, _) = compensate(spark, entries)
         if (conflicted.isEmpty)
           fsFor(spark, journalRoot)
             .delete(new Path(txnDir(journalRoot), s"$id.json"), false)
@@ -189,10 +202,11 @@ object Txn {
         .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
         .map { st =>
           val (id, entries) = readJournal(spark, st.getPath)
-          val (restored, conflicted) = compensate(spark, entries)
-          if (conflicted.isEmpty) fs.delete(st.getPath, false)
-          (id, restored, conflicted)
+          val (restored, conflicted, indeterminate) = compensate(spark, entries)
+          if (conflicted.isEmpty && indeterminate.isEmpty)
+            fs.delete(st.getPath, false)
+          (id, restored, conflicted, indeterminate)
         }
-    rows.toDF("txn", "restored", "conflicted")
+    rows.toDF("txn", "restored", "conflicted", "indeterminate")
   }
 }

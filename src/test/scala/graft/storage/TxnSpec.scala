@@ -108,4 +108,29 @@ class TxnSpec extends SparkSpec {
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "_txn")).nonEmpty,
       "a conflicted journal stays for inspection")
   }
+
+  test("the journal blind spot: committed-but-unjournaled heads report indeterminate") {
+    val root = freshRoot("blind")
+    val t1 = s"$root/t1"
+    TxLog.create(Seq((1L, "a")).toDF("k", "v"), t1)             // v1
+    // a crash BETWEEN t1's commit and the journal republish: the head
+    // moved (v2) but the journal never recorded a committed version —
+    // the mover could equally be an interleaved writer
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), t1)             // v2
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_txn"))
+    val journal =
+      s"""{"id": "feedf00d", "ts": 1, "entries": [
+         |  {"path": "$t1", "headBefore": 1}
+         |]}""".stripMargin
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_txn/feedf00d.json"), true)
+    out.write(journal.getBytes("UTF-8")); out.close()
+    val report = Txn.recover(spark, root).collect()
+    assert(report.head.getAs[scala.collection.Seq[String]]("indeterminate").toSeq ==
+      Seq(t1), "a moved head with no recorded commit must report indeterminate")
+    assert(TxLog.read(spark, t1).count() == 2, "recovery must touch nothing")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "_txn")).nonEmpty,
+      "an indeterminate journal stays for inspection")
+  }
 }
