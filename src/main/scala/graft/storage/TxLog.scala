@@ -2542,6 +2542,13 @@ object TxLog {
       transforms.foreach(t => require(!declared.fieldNames.contains(t.dirName),
         s"TxLog.alterPartitionSpec: derived name '${t.dirName}' collides " +
           "with a schema column"))
+      // staging derives dirs on the PHYSICAL frame: a renamed source
+      // would dangle (the files spell its original name) — same
+      // invariant renameColumn enforces from the other side
+      transforms.foreach(t => require(physOf(attempt, t.src) == t.src,
+        s"TxLog.alterPartitionSpec: '${t.src}' is a RENAMED column " +
+          s"(files spell '${physOf(attempt, t.src)}') — transform " +
+          "sources must be un-renamed"))
       require(transforms.map(_.dirName).distinct.size == transforms.size,
         "TxLog.alterPartitionSpec: duplicate transforms on one column")
       // semantic-collision guard over the LIVE file directories

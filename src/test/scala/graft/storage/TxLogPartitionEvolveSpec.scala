@@ -94,6 +94,14 @@ class TxLogPartitionEvolveSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TxLog.alterPartitionSpec(spark, widen, Nil)
     }
+    // a RENAMED source would derive dirs from a dangling logical name
+    val renamed = freshPath("renamed")
+    TxLog.create(Seq((1L, ts(1), 1.0)).toDF("k", "ts", "v"), renamed)
+    TxLog.renameColumn(spark, renamed, "k", "id")
+    val er = intercept[IllegalArgumentException] {
+      TxLog.alterPartitionSpec(spark, renamed, Seq("bucket(4, id)"))
+    }
+    assert(er.getMessage.contains("RENAMED"), er.getMessage)
     // SQL verb round-trip
     val sqlP = freshPath("sql")
     TxLog.create(Seq((1L, ts(1), 1.0)).toDF("k", "ts", "v"), sqlP)

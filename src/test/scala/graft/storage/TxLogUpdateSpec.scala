@@ -125,4 +125,17 @@ class TxLogUpdateSpec extends SparkSpec {
     assert(TxLog.read(spark, path).orderBy("k")
       .select("score").as[Double].collect().toSeq == Seq(1.5, 2.0))
   }
+
+  test("update through outstanding DVs: deleted rows never resurrect into the rewrite") {
+    val path = freshPath("underdv")
+    TxLog.create((1L to 20L).map(i => (i, i * 1.0)).toDF("k", "score"), path)
+    TxLog.deleteWhere(spark, path, col("k") <= 5L, deletionVectors = true)
+    TxLog.updateWhere(spark, path, Seq("score" -> "score + 100"), col("k") > 15L)
+    val got = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == (6L to 20L),
+      "DV-deleted rows must stay gone through the rewrite")
+    assert(got.filter(_._1 > 15L).forall(_._2 > 100.0))
+    assert(got.filter(r => r._1 >= 6L && r._1 <= 15L).forall(_._2 <= 20.0))
+  }
 }
