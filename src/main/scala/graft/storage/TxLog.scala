@@ -3694,8 +3694,7 @@ object TxLog {
     val v = version.getOrElse(cur)
     // the version must be a retained commit (resolvable ⇒ taggable)
     manifest(spark, path, v)
-    val lock = commitLocks.computeIfAbsent(
-      fsFor(spark, path).makeQualified(new Path(path)).toString,
+    val lock = commitLocks.computeIfAbsent(cacheKey(spark, path),
       _ => new Object)
     lock.synchronized {
       val cur = tags(spark, path)
@@ -3709,8 +3708,7 @@ object TxLog {
   /** Drop a tag (the NAME only; the version stays committed and
     * becomes vacuumable like any other). */
   def untag(spark: SparkSession, path: String, name: String): Unit = {
-    val lock = commitLocks.computeIfAbsent(
-      fsFor(spark, path).makeQualified(new Path(path)).toString,
+    val lock = commitLocks.computeIfAbsent(cacheKey(spark, path),
       _ => new Object)
     lock.synchronized {
       val cur = tags(spark, path)
