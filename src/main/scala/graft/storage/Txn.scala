@@ -182,6 +182,25 @@ object Txn {
     }
   }
 
+  /** Name-addressed form: ops may target catalog NAMES (resolved via
+    * `graft.catalog.warehouse`, like every TXLOG verb), and the
+    * warehouse doubles as the journal root — the natural home, since
+    * the catalog is what makes "these tables belong together" a
+    * statement rather than a convention. */
+  def transact(spark: SparkSession, ops: Seq[Op]): Seq[Long] = {
+    val wh = spark.conf.getOption("graft.catalog.warehouse").getOrElse(
+      throw new IllegalArgumentException(
+        "Txn.transact(ops): set graft.catalog.warehouse, or pass an " +
+          "explicit journalRoot with path-addressed ops"))
+    def rt(p: String) = Catalog.resolveTarget(spark, p)
+    transact(spark, wh, ops.map {
+      case Append(p, df) => Append(rt(p), df)
+      case Merge(p, u, k) => Merge(rt(p), u, k)
+      case Delete(p, c) => Delete(rt(p), c)
+      case Update(p, s, c) => Update(rt(p), s, c)
+    })
+  }
+
   /** Recover orphaned transactions after a crash: compensate each
     * journal under `<journalRoot>/_txn/` exactly as a live failure
     * would, deleting journals whose compensation completed. Returns

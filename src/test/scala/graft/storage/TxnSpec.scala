@@ -133,4 +133,29 @@ class TxnSpec extends SparkSpec {
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "_txn")).nonEmpty,
       "an indeterminate journal stays for inspection")
   }
+
+  test("name-addressed form: catalog names resolve, the warehouse is the journal root") {
+    val wh = freshRoot("catalog")
+    val old = spark.conf.getOption("graft.catalog.warehouse")
+    try {
+      spark.conf.set("graft.catalog.warehouse", wh)
+      Catalog.create(spark, "facts", Seq((1L, 1.0)).toDF("k", "v"))
+      Catalog.create(spark, "dims", Seq((1L, "a")).toDF("k", "name"))
+      val versions = Txn.transact(spark, Seq(
+        Txn.Append("facts", Seq((2L, 2.0)).toDF("k", "v")),
+        Txn.Append("dims", Seq((2L, "b")).toDF("k", "name"))))
+      assert(versions == Seq(2L, 2L))
+      assert(Catalog.table(spark, "facts").count() == 2)
+      assert(Catalog.table(spark, "dims").count() == 2)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(wh), spark.sparkContext.hadoopConfiguration)
+      val dir = new org.apache.hadoop.fs.Path(wh, "_txn")
+      assert(!fs.exists(dir) || fs.listStatus(dir).isEmpty)
+    } finally {
+      old match {
+        case Some(s) => spark.conf.set("graft.catalog.warehouse", s)
+        case None => spark.conf.unset("graft.catalog.warehouse")
+      }
+    }
+  }
 }
