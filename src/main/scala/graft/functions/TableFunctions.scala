@@ -125,6 +125,16 @@ object TableFunctions {
         arity("graft_txlog_history", es, 1 to 1)
         plan(TxLog.history(active, litStr("graft_txlog_history", "path", es.head)))
       }),
+    ("graft_txlog_tags",
+      info("graft_txlog_tags",
+        "graft_txlog_tags(path) - the table's retention-pinned named snapshots (tag, version)"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_tags", es, 1 to 1)
+        val p = litStr("graft_txlog_tags", "path", es.head)
+        val s = active
+        import s.implicits._
+        plan(TxLog.tags(s, p).toSeq.sortBy(_._1).toDF("tag", "version"))
+      }),
     ("graft_txlog_files",
       info("graft_txlog_files",
         "graft_txlog_files(path[, version]) - per-file metadata inventory of the TxLog snapshot (partition dir, rows, size, DV-deleted rows, skip stats)"),

@@ -73,6 +73,9 @@ class TxLogTagSpec extends SparkSpec {
     val listed = graft.tools.Sql.exec(spark, s"TXLOG TAGS '$path'")
       .as[(String, Long)].collect().toSeq
     assert(listed == Seq(("release-1", 1L)))
+    // the read-only TVF serves the same listing as pure SQL
+    assert(spark.sql(s"SELECT * FROM graft_txlog_tags('$path')")
+      .as[(String, Long)].collect().toSeq == listed)
     graft.tools.Sql.exec(spark, s"TXLOG UNTAG '$path' release-1")
     assert(TxLog.tags(spark, path).isEmpty)
   }
