@@ -1164,6 +1164,52 @@ object WarehouseQueries {
       .orderBy("p_partkey")
   }
 
+  /** TYPE WIDENING through the driver gate: create with an INT key →
+    * `alterColumnType` to BIGINT (metadata-only) → append a slice
+    * whose keys exceed Int.MaxValue → read. The gate proves int-era
+    * parquet pages and long-era pages aggregate together row-exactly
+    * under the widened schema. */
+  def txlogWiden(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_widen_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select(col("o_orderkey").cast("int").as("k"),
+        col("o_totalprice").as("price"))
+    TxLog.create(dim.filter(col("k") % 2 === 0), path, statsCols = Seq("k"))
+    TxLog.alterColumnType(s, path, "k", "bigint")
+    TxLog.append(dim.filter(col("k") % 2 === 1)
+      .select((col("k").cast("bigint") + lit(4000000000L)).as("k"),
+        col("price")), path)
+    TxLog.read(s, path).select("k", "price").orderBy("k")
+  }
+
+  /** Per-app TXN watermarks through the driver gate: create a base
+    * slice → deliver two idempotent batches, each REPLAYED (the crash
+    * retry), plus one stale re-delivery — the head must hold every
+    * order exactly once. The gate's oracle is simply the whole orders
+    * table: duplicates or losses both hash-mismatch. */
+  def txlogTxn(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_txn_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d).select("o_orderkey", "o_totalprice")
+    val b1 = dim.filter(col("o_orderkey") % 3 === 1)
+    val b2 = dim.filter(col("o_orderkey") % 3 === 2)
+    TxLog.create(dim.filter(col("o_orderkey") % 3 === 0), path)
+    TxLog.appendTxn(b1, path, "loader", 1L)
+    TxLog.appendTxn(b1, path, "loader", 1L) // crash replay: dropped
+    TxLog.appendTxn(b2, path, "loader", 2L)
+    TxLog.appendTxn(b2, path, "loader", 2L) // crash replay: dropped
+    TxLog.appendTxn(b1, path, "loader", 1L) // stale re-delivery: dropped
+    TxLog.read(s, path).select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** UPDATE through the driver gate: create → file-granular
     * `updateWhere` (reprice + restatus every 10th key) → read. The
     * gate checks the updated head row-exactly against a CASE-WHEN
@@ -1432,6 +1478,8 @@ object WarehouseQueries {
     "q_txlog_batch" -> txlogBatch _,
     "q_txlog_rename" -> txlogRename _,
     "q_txlog_evolve" -> txlogEvolve _,
+    "q_txlog_widen" -> txlogWiden _,
+    "q_txlog_txn" -> txlogTxn _,
     "q_txlog_convert" -> txlogConvert _,
     "q_txlog_update" -> txlogUpdate _,
     "q_txlog_pevolve" -> txlogPevolve _,
@@ -1582,6 +1630,21 @@ object WarehouseQueries {
         |       p_retailprice * CAST(0.9 AS DOUBLE) AS discounted
         |FROM part WHERE p_partkey % 3 = 1
         |ORDER BY p_partkey""".stripMargin,
+    // idempotent deliveries with crash replays ≡ every order exactly
+    // once — a dropped watermark would duplicate a third of the table
+    "q_txlog_txn" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    // int-era and long-era files under one widened BIGINT schema ≡ a
+    // union where the odd slice's keys shift beyond Int.MaxValue
+    "q_txlog_widen" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(o_orderkey AS BIGINT) + 4000000000 AS k,
+        |       o_totalprice AS price
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY k""".stripMargin,
     // the (priority, status) nested layout takes q_txlog's update
     // stream; the merged head is the same v2 arithmetic
     "q_txlog_multicol" ->

@@ -106,7 +106,8 @@ object TxLog {
                       minWriter: Int = 1,
                       colMap: Seq[(String, String)] = Nil,
                       dv: Seq[(String, Map[String, Long])] = Nil,
-                      partitionSpec: Seq[String] = Nil)
+                      partitionSpec: Seq[String] = Nil,
+                      txns: Map[String, Long] = Map.empty)
 
   /** Deletion-vector state: each element is one DV parquet file
     * (relative to `<table>/_dv/`) holding (file-key, row_index) rows,
@@ -307,8 +308,15 @@ object TxLog {
     * of silently admitting violations. (Builds that predate the field
     * check nothing — the documented bootstrap caveat; the guard binds
     * every build that knows the rule.) Reads are ungated by this:
-    * constraint metadata is advisory to a reader. */
-  val WriterVersion = 2
+    * constraint metadata is advisory to a reader.
+    *
+    * Generation 3 = per-app transaction watermarks ([[Manifest.txns]],
+    * Delta's SetTransaction): every commit must CARRY the map forward.
+    * A generation-2 writer would drop it, silently re-opening the door
+    * to a replayed idempotent batch (duplicate rows) — so the first
+    * [[appendTxn]] raises the table's `minWriter` to 3. Reads stay
+    * ungated: the map is writer bookkeeping, invisible to queries. */
+  val WriterVersion = 3
 
   /** Refuse writes demanded-newer than this build (never gates reads). */
   private def requireWritable(m: Manifest, path: String): Unit =
@@ -347,7 +355,8 @@ object TxLog {
                            ts: Option[Long], minWriter: Int,
                            colMap: Seq[(String, String)],
                            dv: Seq[(String, Map[String, Long])],
-                           partitionSpec: Seq[String])
+                           partitionSpec: Seq[String],
+                           txns: Map[String, Long])
 
   private def nodeMeta(node: com.fasterxml.jackson.databind.JsonNode): CMeta = CMeta(
     node.get("version").asLong(),
@@ -391,7 +400,12 @@ object TxLog {
             .takeWhile(_ != null).map(k => k -> ent.get(k).asLong()).toMap
       }).getOrElse(Seq.empty),
     Option(node.get("partitionSpec")).map(a =>
-      (0 until a.size()).map(a.get(_).asText()).toSeq).getOrElse(Seq.empty))
+      (0 until a.size()).map(a.get(_).asText()).toSeq).getOrElse(Seq.empty),
+    Option(node.get("txn")).map { t =>
+      val it = t.fieldNames()
+      Iterator.continually(if (it.hasNext) it.next() else null)
+        .takeWhile(_ != null).map(a => a -> t.get(a).asLong()).toMap
+    }.getOrElse(Map.empty))
 
   /** Parse a FULL commit (create/clone, and every pre-delta-format
     * manifest — the legacy one-JSON-per-version shape stays readable). */
@@ -418,7 +432,7 @@ object TxLog {
     }.getOrElse(Map.empty[String, Long])
     Manifest(c.version, c.partitionCols, c.schemaDdl, files, c.sourceBatchId,
       c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
-      c.minWriter, c.colMap, c.dv, c.partitionSpec)
+      c.minWriter, c.colMap, c.dv, c.partitionSpec, c.txns)
   }
 
   /** Apply one DELTA commit to its predecessor's resolved state —
@@ -461,7 +475,7 @@ object TxLog {
       else state.fileStats.view.filterKeys(keptSet).toMap ++ addStats,
       state.fileRows.view.filterKeys(keptSet).toMap ++ addRows,
       c.constraints, c.uniques, c.ts, c.minWriter, c.colMap, c.dv,
-      c.partitionSpec)
+      c.partitionSpec, c.txns)
   }
 
   /** Load a checkpoint's file enumeration (columnar — never one JSON
@@ -480,7 +494,7 @@ object TxLog {
     }.toMap
     Manifest(c.version, c.partitionCols, c.schemaDdl, files, c.sourceBatchId,
       c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
-      c.minWriter, c.colMap, c.dv, c.partitionSpec)
+      c.minWriter, c.colMap, c.dv, c.partitionSpec, c.txns)
   }
 
   /** Resolve the snapshot at `version`: walk back to the nearest
@@ -511,7 +525,8 @@ object TxLog {
                 partitionCols = c.partitionCols, schemaDdl = c.schemaDdl,
                 statsCols = c.statsCols, constraints = c.constraints,
                 uniques = c.uniques, ts = c.ts, minWriter = c.minWriter,
-                colMap = c.colMap, dv = c.dv, partitionSpec = c.partitionSpec))
+                colMap = c.colMap, dv = c.dv, partitionSpec = c.partitionSpec,
+                txns = c.txns))
           } else {
             chain ::= node
             t -= 1
@@ -715,7 +730,8 @@ object TxLog {
                        protocol: Int = 1,
                        colMap: Seq[(String, String)] = Nil,
                        dv: Seq[(String, Map[String, Long])] = Nil,
-                       partitionSpec: Seq[String] = Nil)
+                       partitionSpec: Seq[String] = Nil,
+                       txns: Map[String, Long] = Map.empty)
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val node = mapper.createObjectNode()
     // a column mapping gates READERS too (protocol 2): a pre-mapping
@@ -746,6 +762,10 @@ object TxLog {
         val ent = e.putObject("entries")
         entries.toSeq.sortBy(_._1).foreach { case (k, n) => ent.put(k, n) }
       }
+    }
+    if (txns.nonEmpty) {
+      val t = node.putObject("txn")
+      txns.toSeq.sortBy(_._1).foreach { case (a, tv) => t.put(a, tv) }
     }
     node.put("version", version)
     // provenance, not state: resolution never reads it, DESCRIBE
@@ -794,7 +814,8 @@ object TxLog {
     val node = metaNode(m.version, m.partitionCols, m.schemaDdl,
       m.sourceBatchId, m.statsCols, m.constraints, m.uniques, operation,
       m.ts.getOrElse(System.currentTimeMillis()), m.minWriter,
-      colMap = m.colMap, dv = m.dv, partitionSpec = m.partitionSpec)
+      colMap = m.colMap, dv = m.dv, partitionSpec = m.partitionSpec,
+      txns = m.txns)
     val arr = node.putArray("files")
     m.files.sorted.foreach(arr.add)
     if (m.statsCols.nonEmpty) {
@@ -826,6 +847,7 @@ object TxLog {
                          addStats: Map[String, Map[String, (String, String)]],
                          addRows: Map[String, Long],
                          ts: Long, minWriter: Int,
+                         txns: Map[String, Long],
                          removeFiles: Set[String] = Set.empty,
                          colMap: Seq[(String, String)] = Nil,
                          dv: Seq[(String, Map[String, Long])] = Nil,
@@ -836,7 +858,7 @@ object TxLog {
     val node = metaNode(version, partitionCols, schemaDdl, sourceBatchId,
       statsCols, constraints, uniques, operation, ts, minWriter,
       protocol = if (removeFiles.isEmpty) 1 else 2, colMap = colMap, dv = dv,
-      partitionSpec = partitionSpec)
+      partitionSpec = partitionSpec, txns = txns)
     val rmArr = node.putArray("removeDirs")
     removeDirs.toSeq.sorted.foreach(rmArr.add)
     if (removeFiles.nonEmpty) {
@@ -868,12 +890,13 @@ object TxLog {
                        uniques: Seq[(String, Seq[String])],
                        operation: String,
                        baseRef: Long, ts: Long, minWriter: Int,
+                       txns: Map[String, Long],
                        colMap: Seq[(String, String)] = Nil,
                        dv: Seq[(String, Map[String, Long])] = Nil,
                        partitionSpec: Seq[String] = Nil): Unit = {
     val node = metaNode(version, partitionCols, schemaDdl, sourceBatchId,
       statsCols, constraints, uniques, operation, ts, minWriter,
-      colMap = colMap, dv = dv, partitionSpec = partitionSpec)
+      colMap = colMap, dv = dv, partitionSpec = partitionSpec, txns = txns)
     node.put("baseRef", baseRef)
     commitAtomic(spark, path, version, node)
   }
@@ -976,7 +999,8 @@ object TxLog {
                            maxRetries: Int = 10,
                            removeFiles: Set[String] = Set.empty,
                            revalidate: Manifest => Unit = _ => (),
-                           addDv: Seq[(String, Map[String, Long])] = Nil): Long = {
+                           addDv: Seq[(String, Map[String, Long])] = Nil,
+                           txn: Option[(String, Long)] = None): Long = {
     requireWritable(base, path)
     val (newStats, newRows) = collectStats(spark, path,
       physicalize(StructType.fromDDL(schemaDdl), base.colMap),
@@ -987,8 +1011,18 @@ object TxLog {
     while (true) {
       if (batchId.exists(b => attempt.sourceBatchId.exists(_ >= b)))
         return attempt.version // replayed micro-batch: already committed
+      // per-app watermark: a replayed idempotent commit that lost a
+      // race to its own earlier replay re-checks against the NEW head
+      if (txn.exists { case (app, tv) => attempt.txns.get(app).exists(_ >= tv) })
+        return attempt.version
       try {
         val resolvedBatch = batchId.orElse(attempt.sourceBatchId)
+        val resolvedTxns = attempt.txns ++ txn
+        // the first watermark makes carrying them load-bearing: gate
+        // out writer generations that would silently drop the map
+        val txnMinWriter =
+          if (resolvedTxns.isEmpty) attempt.minWriter
+          else math.max(attempt.minWriter, 3)
         // the commit file is a DELTA — O(files changed) bytes; the
         // race is still one atomic v<N+1>.json rename
         val ts = clampedTs(attempt)
@@ -1003,7 +1037,7 @@ object TxLog {
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
           schemaDdl, resolvedBatch, attempt.statsCols, attempt.constraints,
           attempt.uniques, operation, rewriteDirs, newFiles, newStats, newRows,
-          ts, attempt.minWriter, removeFiles, attempt.colMap, dvKept,
+          ts, txnMinWriter, resolvedTxns, removeFiles, attempt.colMap, dvKept,
           attempt.partitionSpec)
         // resolve the state this delta produced (same transition
         // applyDelta replays) — warms the cache for the next
@@ -1015,8 +1049,8 @@ object TxLog {
           if (attempt.statsCols.isEmpty) Map.empty
           else attempt.fileStats.view.filterKeys(keptSet).toMap ++ newStats,
           attempt.fileRows.view.filterKeys(keptSet).toMap ++ newRows,
-          attempt.constraints, attempt.uniques, Some(ts), attempt.minWriter,
-          attempt.colMap, dvKept, attempt.partitionSpec)
+          attempt.constraints, attempt.uniques, Some(ts), txnMinWriter,
+          attempt.colMap, dvKept, attempt.partitionSpec, resolvedTxns)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return attempt.version + 1
@@ -1469,6 +1503,8 @@ object TxLog {
         // the batch watermark carries forward — a replace must not
         // reopen the door to a replayed streaming batch
         sourceBatchId = prev.sourceBatchId,
+        // per-app watermarks carry for the same reason
+        txns = prev.txns,
         ts = Some(clampedTs(prev)),
         // writer-generation demands never downgrade (Delta's contract):
         // a replace resets constraints but keeps the gate sticky
@@ -1953,7 +1989,8 @@ object TxLog {
           nextChecks, nextUniques, operation,
           removeDirs = Set.empty, addFiles = Nil,
           addStats = Map.empty, addRows = Map.empty,
-          ts = ts, minWriter = nextMinWriter, colMap = attempt.colMap,
+          ts = ts, minWriter = nextMinWriter, txns = attempt.txns,
+          colMap = attempt.colMap,
           dv = attempt.dv, partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
           constraints = nextChecks, uniques = nextUniques,
@@ -2236,7 +2273,7 @@ object TxLog {
           attempt.uniques, operation = s"SET STATS COLS ${cols.mkString(", ")}",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty, ts = ts, minWriter = attempt.minWriter,
-          colMap = attempt.colMap, dv = attempt.dv,
+          txns = attempt.txns, colMap = attempt.colMap, dv = attempt.dv,
           partitionSpec = attempt.partitionSpec)
         // cols = Nil disables skipping: drop the entries exactly like
         // applyDelta's replay of this commit would
@@ -2319,7 +2356,7 @@ object TxLog {
           operation = s"RENAME COLUMN $oldName TO $newName",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
-          colMap = newColMap, dv = attempt.dv,
+          txns = attempt.txns, colMap = newColMap, dv = attempt.dv,
           partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
           partitionCols = newPartCols, schemaDdl = newSchema.toDDL,
@@ -2404,7 +2441,7 @@ object TxLog {
           operation = s"ADD COLUMN $name $ddlType",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
-          colMap = newColMap, dv = attempt.dv,
+          txns = attempt.txns, colMap = newColMap, dv = attempt.dv,
           partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
           schemaDdl = newSchema.toDDL, ts = Some(ts),
@@ -2479,7 +2516,7 @@ object TxLog {
           operation = s"DROP COLUMN $name",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
-          colMap = newColMap, dv = attempt.dv,
+          txns = attempt.txns, colMap = newColMap, dv = attempt.dv,
           partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
           schemaDdl = newSchema.toDDL, statsCols = newStats,
@@ -2487,6 +2524,109 @@ object TxLog {
           // drops the per-file entries with it
           fileStats = if (newStats.isEmpty) Map.empty else attempt.fileStats,
           ts = Some(ts), minWriter = nextMinWriter, colMap = newColMap)
+        cachePut(spark, path, resolved)
+        maybeCheckpoint(spark, path, resolved)
+        return resolved.version
+      } catch {
+        case e: VersionRaceException =>
+          retries += 1
+          if (retries > maxRetries) throw e
+        // loop: re-read the head and retry
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** The type-widening lattice — exactly the promotions Spark 4's
+    * parquet readers (vectorized and row-based) perform when the
+    * requested schema is wider than the file's physical type, so a
+    * widened table needs ZERO data rewrites: historical int32 pages
+    * read as LONG/DOUBLE, float pages as DOUBLE, decimals rescale.
+    * Anything outside the lattice would throw "Parquet column cannot
+    * be converted" on the first historical file — refused up front. */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      // decimal widening: never lose integral digits, never lose scale
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN ... TYPE — type WIDENING as a
+    * METADATA-ONLY commit (Delta's type-widening table feature in
+    * spirit): the declared schema re-types the column, every
+    * historical file keeps its narrower physical encoding, and reads
+    * are correct because the underlying parquet readers promote
+    * narrower physical types to the requested wider one natively
+    * (verified for this Spark build: int32→int64/double, float→double,
+    * decimal precision/scale widening — with filter pushdown intact).
+    * Only promotions in [[widensTo]] are accepted; narrowing or
+    * cross-family retyping fails loudly. Version-pinned reads of older
+    * versions keep their own (narrower) schema, and new appends must
+    * arrive already widened ([[checkSchema]]'s exact-match contract —
+    * same as Delta, cast at the edge).
+    *
+    * Skip-index entries survive: numeric stats serialize as plain
+    * decimal strings and compare as BigDecimal (see [[statsEncode]]),
+    * so an int-era file's "[3, 17]" still votes exactly under a LONG
+    * or DOUBLE query bound — pruning loses nothing across the widen.
+    *
+    * Refuses on layout keys: an explicit partition column's values
+    * re-parse from directory strings (a double rendering "3.0" would
+    * no longer match its "3" dirs), and a hidden-transform source
+    * column's `bucket(n, c)` votes hash the VALUE BYTES — int 3 and
+    * long 3 hash differently, so old dir votes would mis-prune (lost
+    * rows). Widen the data columns; the layout key keeps its type. */
+  def alterColumnType(spark: SparkSession, path: String,
+                      name: String, ddlType: String,
+                      maxRetries: Int = 10): Long = {
+    val newDt = org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+    var retries = 0
+    while (true) {
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"TxLog: no table at $path"))
+      val attempt = manifest(spark, path, v)
+      requireWritable(attempt, path)
+      val declared = StructType.fromDDL(attempt.schemaDdl)
+      require(declared.fieldNames.contains(name),
+        s"TxLog.alterColumnType: no column '$name' in ${attempt.schemaDdl}")
+      val oldDt = declared(name).dataType
+      require(oldDt != newDt,
+        s"TxLog.alterColumnType: '$name' is already ${newDt.sql}")
+      require(widensTo(oldDt, newDt),
+        s"TxLog.alterColumnType: ${oldDt.sql} -> ${newDt.sql} is not a " +
+          "widening promotion the parquet readers perform in place — " +
+          "historical files would fail to read; rewrite into a fresh " +
+          "table to retype")
+      require(!attempt.partitionCols.contains(name),
+        s"TxLog.alterColumnType: '$name' is a partition column — its " +
+          "values re-parse from directory names under the declared type; " +
+          "widening would unmatch the existing directories")
+      transformsOf(attempt).foreach(t => require(t.src != name,
+        s"TxLog.alterColumnType: '$name' is the source of hidden " +
+          s"partition transform ${t.spec} — transform votes hash the " +
+          "value bytes, which change with the type"))
+      val newSchema = StructType(declared.fields.map(f =>
+        if (f.name == name) f.copy(dataType = newDt) else f))
+      try {
+        val ts = clampedTs(attempt)
+        writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
+          newSchema.toDDL, attempt.sourceBatchId, attempt.statsCols,
+          attempt.constraints, attempt.uniques,
+          operation = s"ALTER COLUMN $name TYPE $ddlType",
+          removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
+          addRows = Map.empty, ts = ts, minWriter = attempt.minWriter,
+          txns = attempt.txns, colMap = attempt.colMap, dv = attempt.dv,
+          partitionSpec = attempt.partitionSpec)
+        val resolved = attempt.copy(version = attempt.version + 1,
+          schemaDdl = newSchema.toDDL, ts = Some(ts))
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return resolved.version
@@ -2576,7 +2716,7 @@ object TxLog {
           operation = s"SET PARTITION SPEC ${transforms.map(_.spec).mkString(", ")}",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
-          colMap = attempt.colMap, dv = attempt.dv,
+          txns = attempt.txns, colMap = attempt.colMap, dv = attempt.dv,
           partitionSpec = transforms.map(_.spec))
         val resolved = attempt.copy(version = attempt.version + 1,
           partitionCols = newPartCols, ts = Some(ts),
@@ -2687,6 +2827,56 @@ object TxLog {
       readSet = Some(Set.empty), operation = "STREAMING APPEND",
       revalidate = uniqueRebaseProbe(df, spark, path, m,
         s"appendBatch(batch $batchId)"))
+  }
+
+  /** The per-app idempotency watermark: the highest [[appendTxn]]
+    * version committed under `appId`, None if the app never wrote.
+    * The exactly-once handshake is: read this, compute the next
+    * increment, commit it with [[appendTxn]] at `lastTxn + 1` —
+    * Delta's `txnVersion`/`txnAppId` contract. */
+  def txnVersion(spark: SparkSession, path: String, appId: String): Option[Long] = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    manifest(spark, path, v).txns.get(appId)
+  }
+
+  /** Idempotent append under a PER-APP transaction watermark
+    * (Delta's SetTransaction): the (appId, txnVersion) pair rides in
+    * the manifest, every other commit carries the map forward, and a
+    * replayed delivery — same app, same-or-older version — is
+    * detected and SKIPPED, before staging any data. Unlike
+    * [[appendBatch]]'s single `sourceBatchId`, the map gives EVERY
+    * independent writer (multiple streams, a nightly job, a backfill)
+    * its own exactly-once lane into one table; the check re-runs
+    * inside the rebase loop, so a replay that loses a race to its own
+    * earlier attempt still commits exactly once. Watermarks must be
+    * monotonic per app for the table's lifetime (a restarted pipeline
+    * renumbering from 0 is silently skipped — resume from
+    * [[txnVersion]]). The first watermark raises `minWriter` to 3:
+    * an older writer generation would drop the map on its next
+    * commit, silently re-opening the replay door. Returns the
+    * (possibly unchanged) current version. */
+  def appendTxn(df: DataFrame, path: String, appId: String,
+                txnVersion: Long): Long = {
+    require(appId.nonEmpty, "TxLog.appendTxn: empty appId")
+    val spark = df.sparkSession
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    if (m.txns.get(appId).exists(_ >= txnVersion)) return v // replay
+    requireWritable(m, path)
+    checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
+    enforceConstraints(df, m.constraints, s"appendTxn($appId @ $txnVersion)")
+    enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl), m.files,
+      m, s"appendTxn($appId @ $txnVersion)")
+    val files = stageIn(toPhysical(df, m.colMap), path, physPartCols(m), transformsOf(m))
+    commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
+      schemaDdl = m.schemaDdl, batchId = None,
+      readSet = Some(Set.empty),
+      operation = s"APPEND TXN $appId @ $txnVersion",
+      revalidate = uniqueRebaseProbe(df, spark, path, m,
+        s"appendTxn($appId @ $txnVersion)"),
+      txn = Some(appId -> txnVersion))
   }
 
   /** Streaming ingest into a TxLog table (create it first): every
@@ -3397,10 +3587,12 @@ object TxLog {
       head.sourceBatchId, target.statsCols, target.constraints,
       target.uniques, operation = s"RESTORE TO v$toVersion",
       baseRef = toVersion, ts = ts, minWriter = minWriter,
+      txns = head.txns,
       colMap = target.colMap, dv = target.dv,
       partitionSpec = target.partitionSpec)
     val resolved = target.copy(version = cur + 1,
-      sourceBatchId = head.sourceBatchId, ts = Some(ts), minWriter = minWriter)
+      sourceBatchId = head.sourceBatchId, ts = Some(ts), minWriter = minWriter,
+      txns = head.txns)
     cachePut(spark, path, resolved)
     maybeCheckpoint(spark, path, resolved)
     cur + 1
@@ -4015,11 +4207,18 @@ object TxLog {
           dvCopied)
       }
     cacheInvalidate(spark, target)
+    // sourceBatchId and txns RESET: the clone is a new table — its
+    // ingest apps start their own watermark lanes (carrying the
+    // source's would silently skip their first deliveries). The
+    // partitionSpec CARRIES: the cloned entries' directories spell
+    // derived transform values, and without the spec the read path
+    // would try to recover them as schema columns.
     val cloneM = Manifest(1L, m.partitionCols, m.schemaDdl,
       entries.sorted, sourceBatchId = None, statsCols = m.statsCols,
       fileStats = stats, fileRows = rowCounts, constraints = m.constraints,
       uniques = m.uniques, ts = Some(System.currentTimeMillis()),
-      minWriter = m.minWriter, colMap = m.colMap, dv = dvState)
+      minWriter = m.minWriter, colMap = m.colMap, dv = dvState,
+      partitionSpec = m.partitionSpec)
     writeManifest(spark, target, cloneM,
       operation = s"CLONE${if (deep) " DEEP" else ""} $source v$v")
     cachePut(spark, target, cloneM)

@@ -36,6 +36,7 @@ import graft.tables.Tables
   *   TXLOG ALTER '<path>' RENAME COLUMN <old> TO <new>
   *   TXLOG ALTER '<path>' ADD COLUMN <name> <type>
   *   TXLOG ALTER '<path>' DROP COLUMN <name>
+  *   TXLOG ALTER '<path>' ALTER COLUMN <name> TYPE <type>  -- widening only, metadata-only
   *   TXLOG ALTER '<path>' SET HIDDEN PARTITION BY <days(ts)|bucket(n,c)|...>  -- partition evolution
   *   TXLOG ALTER '<path>' SET STATS COLS (<c1[,c2...]>)  -- () disables
   *   TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]
@@ -95,6 +96,8 @@ object Sql {
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
   private val AlterDropColRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*""".r
+  private val AlterColTypeRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+?)\s*""".r
   private val OptimizeRe =
     """(?is)\s*TXLOG\s+OPTIMIZE\s+'([^']+)'\s*(?:PARTITIONS\s*\(([^)]+)\)\s*)?(?:ZORDER\s+BY\s+(\w+(?:\s*,\s*\w+)*))?\s*""".r
   private val VacuumRe =
@@ -205,6 +208,8 @@ object Sql {
         asDf(graft.storage.TxLog.addColumn(spark, rt(path), name, ddlType))
       case AlterDropColRe(path, name) =>
         asDf(graft.storage.TxLog.dropColumn(spark, rt(path), name))
+      case AlterColTypeRe(path, name, ddlType) =>
+        asDf(graft.storage.TxLog.alterColumnType(spark, rt(path), name, ddlType))
       case OptimizeRe(path, parts, zcols) =>
         asDf(graft.storage.TxLog.compact(spark, rt(path),
           zorderBy = Option(zcols).toSeq
@@ -255,6 +260,7 @@ object Sql {
             "  TXLOG ALTER '<path>' RENAME COLUMN <old> TO <new>\n" +
             "  TXLOG ALTER '<path>' ADD COLUMN <name> <type>\n" +
             "  TXLOG ALTER '<path>' DROP COLUMN <name>\n" +
+            "  TXLOG ALTER '<path>' ALTER COLUMN <name> TYPE <type>\n" +
             "  TXLOG ALTER '<path>' SET STATS COLS (<c1[,c2...]>)\n" +
             "  TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]\n" +
             "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]")

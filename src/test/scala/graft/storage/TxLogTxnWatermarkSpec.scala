@@ -1,0 +1,128 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Per-app transaction watermarks — `appendTxn` / `txnVersion`
+  * (Delta's SetTransaction): each writer app gets its own exactly-once
+  * lane into one table. A replayed delivery (same app, same-or-older
+  * version) is SKIPPED before staging data; every other commit shape
+  * carries the map forward, so maintenance interleaved between a
+  * delivery and its crash-replay cannot defeat the check; the first
+  * watermark raises minWriter to 3 (an older writer generation would
+  * drop the map on its next commit).
+  */
+class TxLogTxnWatermarkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_txnw_$tag").toString + "/tbl"
+
+  test("replayed (appId, version) deliveries are skipped exactly-once") {
+    val path = freshPath("replay")
+    TxLog.create(Seq((1L, "base")).toDF("k", "src"), path)
+    val v2 = TxLog.appendTxn(Seq((2L, "b1")).toDF("k", "src"), path, "loader", 1L)
+    assert(v2 == 2L)
+    assert(TxLog.txnVersion(spark, path, "loader").contains(1L))
+    // exact replay: no new version, no new rows
+    val r = TxLog.appendTxn(Seq((2L, "b1")).toDF("k", "src"), path, "loader", 1L)
+    assert(r == 2L, "replay must return the unchanged head")
+    assert(TxLog.read(spark, path).count() == 2)
+    // a STALE replay (older than the watermark) is skipped too
+    assert(TxLog.appendTxn(Seq((9L, "old")).toDF("k", "src"),
+      path, "loader", 0L) == 2L)
+    assert(TxLog.read(spark, path).count() == 2)
+    // the next increment commits
+    TxLog.appendTxn(Seq((3L, "b2")).toDF("k", "src"), path, "loader", 2L)
+    assert(TxLog.txnVersion(spark, path, "loader").contains(2L))
+    assert(TxLog.read(spark, path).count() == 3)
+  }
+
+  test("independent apps keep independent watermarks") {
+    val path = freshPath("apps")
+    TxLog.create(Seq((1L, "base")).toDF("k", "src"), path)
+    TxLog.appendTxn(Seq((2L, "a")).toDF("k", "src"), path, "app_a", 5L)
+    // app_b at version 1 is NOT gated by app_a's 5
+    TxLog.appendTxn(Seq((3L, "b")).toDF("k", "src"), path, "app_b", 1L)
+    assert(TxLog.read(spark, path).count() == 3)
+    assert(TxLog.txnVersion(spark, path, "app_a").contains(5L))
+    assert(TxLog.txnVersion(spark, path, "app_b").contains(1L))
+    assert(TxLog.txnVersion(spark, path, "app_c").isEmpty)
+  }
+
+  test("the first watermark raises minWriter to 3; plain tables stay put") {
+    val path = freshPath("gate")
+    TxLog.create(Seq((1L, "x")).toDF("k", "src"), path)
+    assert(TxLog.manifest(spark, path, 1L).minWriter == 1)
+    TxLog.appendTxn(Seq((2L, "y")).toDF("k", "src"), path, "app", 1L)
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(m.minWriter == 3,
+      "a table carrying txn watermarks must refuse writer generations " +
+        s"that would drop them (got minWriter ${m.minWriter})")
+  }
+
+  test("every other commit shape carries the map; the replay door stays shut") {
+    val path = freshPath("carry")
+    TxLog.create(Seq((1L, "base", 1.0)).toDF("k", "src", "w"), path)
+    TxLog.appendTxn(Seq((2L, "b1", 2.0)).toDF("k", "src", "w"),
+      path, "loader", 1L)
+    // interleave a plain append, a compaction, a schema evolution and
+    // a restore — the crash-replay of batch 1 must STILL be skipped
+    TxLog.append(Seq((3L, "plain", 3.0)).toDF("k", "src", "w"), path)
+    TxLog.compact(spark, path)
+    TxLog.addColumn(spark, path, "note", "string")
+    assert(TxLog.txnVersion(spark, path, "loader").contains(1L),
+      "append/compact/alter must carry the watermark forward")
+    val head = TxLog.currentVersion(spark, path).get
+    TxLog.restore(spark, path, head - 1)
+    assert(TxLog.txnVersion(spark, path, "loader").contains(1L),
+      "restore must carry the HEAD's watermark")
+    val before = TxLog.read(spark, path).count()
+    TxLog.appendTxn(Seq((2L, "b1", 2.0)).toDF("k", "src", "w"),
+      path, "loader", 1L) // the crash replay
+    assert(TxLog.read(spark, path).count() == before,
+      "replay after interleaved maintenance must not double-append")
+  }
+
+  test("watermarks survive checkpoint-based resolution and a cold cache") {
+    val path = freshPath("ckpt")
+    spark.conf.set("graft.txlog.checkpointInterval", "4")
+    try {
+      TxLog.create(Seq((0L, "base")).toDF("k", "src"), path)
+      TxLog.appendTxn(Seq((1L, "t")).toDF("k", "src"), path, "app", 7L)
+      // push past a checkpoint boundary
+      (2L to 5L).foreach(i =>
+        TxLog.append(Seq((i, "fill")).toDF("k", "src"), path))
+      TxLog.flushSnapshotCacheForTesting()
+      assert(TxLog.txnVersion(spark, path, "app").contains(7L),
+        "resolution from checkpoint + deltas must surface the watermark")
+    } finally spark.conf.unset("graft.txlog.checkpointInterval")
+  }
+
+  test("a clone starts fresh lanes; CREATE OR REPLACE keeps them") {
+    val path = freshPath("clone_src")
+    val tgt = freshPath("clone_tgt")
+    TxLog.create(Seq((1L, "x")).toDF("k", "src"), path)
+    TxLog.appendTxn(Seq((2L, "y")).toDF("k", "src"), path, "app", 3L)
+    TxLog.clone(spark, path, tgt)
+    assert(TxLog.txnVersion(spark, tgt, "app").isEmpty,
+      "a clone is a new table — its ingest apps restart their lanes")
+    TxLog.createOrReplace(Seq((9L, "z")).toDF("k", "src"), path)
+    assert(TxLog.txnVersion(spark, path, "app").contains(3L),
+      "REPLACE redefines data, not delivery history")
+  }
+
+  test("constraints still vet idempotent appends") {
+    val path = freshPath("check")
+    TxLog.create(Seq((1L, "x")).toDF("k", "src"), path)
+    TxLog.addConstraint(spark, path, "k_pos", "k > 0")
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.appendTxn(Seq((-5L, "bad")).toDF("k", "src"), path, "app", 1L)
+    }
+    // the refused delivery did NOT consume the watermark
+    assert(TxLog.txnVersion(spark, path, "app").isEmpty)
+    TxLog.appendTxn(Seq((5L, "good")).toDF("k", "src"), path, "app", 1L)
+    assert(TxLog.read(spark, path).count() == 2)
+  }
+}
