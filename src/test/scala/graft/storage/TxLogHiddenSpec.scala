@@ -442,4 +442,41 @@ class TxLogHiddenSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("HIDDEN"), e2.getMessage)
   }
+
+  test("clone carries the partition spec: the clone reads, prunes and appends like the source") {
+    val src = freshPath("clone_src")
+    val shallow = freshPath("clone_sh")
+    val deep = freshPath("clone_dp")
+    val d = spark.range(0, 72).select(
+      timestamp_micros(col("id") * 3600000000L).as("ts"), col("id").as("k"))
+    TxLog.create(d.coalesce(1), src, hiddenPartitions = Seq("days(ts)"))
+    TxLog.clone(spark, src, shallow)
+    TxLog.clone(spark, src, deep, deep = true)
+    for ((tgt, tag) <- Seq((shallow, "shallow"), (deep, "deep"))) {
+      val m = TxLog.manifest(spark, tgt, 1L)
+      assert(m.partitionSpec == Seq("days(ts)"),
+        s"$tag clone lost the partition spec — reads would recover " +
+          "derived dirs as schema columns")
+      val out = TxLog.read(spark, tgt)
+      assert(out.columns.toSeq == Seq("ts", "k"), s"$tag clone schema")
+      assert(out.select("k").as[Long].collect().toSet == (0L until 72L).toSet,
+        s"$tag clone rows")
+      // derived-layout pruning still works on the clone (through the
+      // format mount, where the dir votes live): equality on one
+      // instant plans exactly its day — even for the shallow clone's
+      // ABSOLUTE by-reference entries
+      val day1 = spark.read.format("graft-txlog").option("path", tgt).load()
+        .filter(col("ts") === lit(tsOfHour(25)))
+      assert(plannedFiles(day1) == 1, s"$tag clone lost hidden pruning")
+      assert(day1.count() == 1)
+      // and new writes derive the clone's own layout
+      TxLog.append(spark.range(72, 73).select(
+        timestamp_micros(col("id") * 3600000000L).as("ts"),
+        col("id").as("k")), tgt)
+      val m2 = TxLog.manifest(spark, tgt, 2L)
+      assert(m2.files.exists(_.startsWith("_days_ts=3/")),
+        s"$tag clone append did not land in derived dirs: ${m2.files}")
+      assert(TxLog.read(spark, tgt).count() == 73)
+    }
+  }
 }
