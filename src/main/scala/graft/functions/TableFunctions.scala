@@ -135,6 +135,19 @@ object TableFunctions {
         import s.implicits._
         plan(TxLog.tags(s, p).toSeq.sortBy(_._1).toDF("tag", "version"))
       }),
+    ("graft_txlog_txns",
+      info("graft_txlog_txns",
+        "graft_txlog_txns(path) - the table's per-app idempotency watermarks (app_id, txn_version)"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_txns", es, 1 to 1)
+        val p = litStr("graft_txlog_txns", "path", es.head)
+        val s = active
+        import s.implicits._
+        val v = TxLog.currentVersion(s, p).getOrElse(
+          throw new IllegalArgumentException(s"graft_txlog_txns: no table at $p"))
+        plan(TxLog.manifest(s, p, v).txns.toSeq.sortBy(_._1)
+          .toDF("app_id", "txn_version"))
+      }),
     ("graft_txlog_files",
       info("graft_txlog_files",
         "graft_txlog_files(path[, version]) - per-file metadata inventory of the TxLog snapshot (partition dir, rows, size, DV-deleted rows, skip stats)"),

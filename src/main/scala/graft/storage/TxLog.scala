@@ -2896,6 +2896,26 @@ object TxLog {
     checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
   }
 
+  /** [[streamAppend]] for MULTIPLE concurrent streams into one table:
+    * each query names its own `appId`, its micro-batch ids ride that
+    * app's [[appendTxn]] watermark lane, and the streams never gate
+    * each other — where [[streamAppend]]'s single `sourceBatchId`
+    * would conflate two queries' batch numbering (stream B's batch 3
+    * silently skipped because stream A already committed a 7). Same
+    * durability contract: give each query its OWN durable
+    * `checkpointLocation`, and never reuse an appId across logically
+    * different pipelines. */
+  def streamAppendTxn(docs: DataFrame, path: String, appId: String,
+                      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendTxn(batch, path, appId, batchId); ()
+      }
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
+
   /** OPTIMIZE — transactional small-file compaction: every live
     * partition holding at least `minFilesToCompact` files is rewritten
     * into ceil(bytes / targetBytesPerFile) new files (sized from

@@ -113,6 +113,49 @@ class TxLogTxnWatermarkSpec extends SparkSpec {
       "REPLACE redefines data, not delivery history")
   }
 
+  test("two streams into one table: each app's lane is exactly-once, neither gates the other") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = freshPath("streams")
+    TxLog.create(Seq((0L, "seed")).toDF("k", "src"), path)
+    val msA = MemoryStream[Long](spark)
+    val msB = MemoryStream[Long](spark)
+    val ckA = java.nio.file.Files.createTempDirectory("graft_txnw_ckA").toString
+    val ckB = java.nio.file.Files.createTempDirectory("graft_txnw_ckB").toString
+    val qA = TxLog.streamAppendTxn(
+      msA.toDF().select(col("value").as("k"), lit("a").as("src")),
+      path, "stream_a", Some(ckA))
+    val qB = TxLog.streamAppendTxn(
+      msB.toDF().select(col("value").as("k"), lit("b").as("src")),
+      path, "stream_b", Some(ckB))
+    try {
+      msA.addData(1L, 2L); qA.processAllAvailable()
+      msB.addData(10L); qB.processAllAvailable()
+      // stream A is several batches ahead — stream B's NEXT batch
+      // must still land (the single-watermark design would skip it)
+      msA.addData(3L); qA.processAllAvailable()
+      msA.addData(4L); qA.processAllAvailable()
+      msB.addData(11L); qB.processAllAvailable()
+    } finally { qA.stop(); qB.stop() }
+    val out = TxLog.read(spark, path)
+    assert(out.filter(col("src") === "a").select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 4L))
+    assert(out.filter(col("src") === "b").select("k").as[Long]
+      .collect().toSet == Set(10L, 11L))
+    // both lanes advanced independently
+    assert(TxLog.txnVersion(spark, path, "stream_a").exists(_ >= 2L))
+    assert(TxLog.txnVersion(spark, path, "stream_b").exists(_ >= 1L))
+  }
+
+  test("SQL: graft_txlog_txns lists the lanes") {
+    val path = freshPath("tvf")
+    TxLog.create(Seq((1L, "x")).toDF("k", "src"), path)
+    TxLog.appendTxn(Seq((2L, "y")).toDF("k", "src"), path, "nightly", 42L)
+    TxLog.appendTxn(Seq((3L, "z")).toDF("k", "src"), path, "backfill", 7L)
+    val rows = spark.sql(s"SELECT * FROM graft_txlog_txns('$path') ORDER BY app_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("backfill", 7L), ("nightly", 42L)))
+  }
+
   test("constraints still vet idempotent appends") {
     val path = freshPath("check")
     TxLog.create(Seq((1L, "x")).toDF("k", "src"), path)
