@@ -1186,6 +1186,33 @@ object WarehouseQueries {
     TxLog.read(s, path).select("k", "price").orderBy("k")
   }
 
+  /** Conditional MERGE through the driver gate: target holds keys
+    * %4 ∈ {0,1}; the source (keys %4 ∈ {1,2}, prices doubled) deletes
+    * matched %8==1 rows, updates the other matched rows to the doubled
+    * price, and inserts the unmatched keys — the full WHEN grammar in
+    * one commit, checked row-exactly against a CASE recompute. */
+  def txlogMergeWhen(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_merge_when_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    TxLog.create(dim.filter(col("o_orderkey") % 4 < 2), path)
+    val source = dim
+      .filter(col("o_orderkey") % 4 === 1 || col("o_orderkey") % 4 === 2)
+      .withColumn("o_totalprice", col("o_totalprice") * lit(2.0))
+    TxLog.mergeWhen(path, source, Seq("o_orderkey"),
+      matched = Seq(
+        TxLog.MergeClause(Some("o_orderkey % 8 = 1"), "delete"),
+        TxLog.MergeClause(None, "update",
+          Seq("o_totalprice" -> "src.o_totalprice"))),
+      notMatched = Seq(TxLog.MergeClause(None, "insert")))
+    TxLog.read(s, path).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** Per-app TXN watermarks through the driver gate: create a base
     * slice → deliver two idempotent batches, each REPLAYED (the crash
     * retry), plus one stale re-delivery — the head must hold every
@@ -1480,6 +1507,7 @@ object WarehouseQueries {
     "q_txlog_evolve" -> txlogEvolve _,
     "q_txlog_widen" -> txlogWiden _,
     "q_txlog_txn" -> txlogTxn _,
+    "q_txlog_merge_when" -> txlogMergeWhen _,
     "q_txlog_convert" -> txlogConvert _,
     "q_txlog_update" -> txlogUpdate _,
     "q_txlog_pevolve" -> txlogPevolve _,
@@ -1630,6 +1658,17 @@ object WarehouseQueries {
         |       p_retailprice * CAST(0.9 AS DOUBLE) AS discounted
         |FROM part WHERE p_partkey % 3 = 1
         |ORDER BY p_partkey""".stripMargin,
+    // the conditional-merge lifecycle ≡ a CASE recompute: %4==0 carry,
+    // %4==1 split by %8 into delete/update, %4==2 insert (doubled)
+    "q_txlog_merge_when" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice
+        |       ELSE o_totalprice * 2.0 END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 0
+        |   OR (o_orderkey % 4 = 1 AND o_orderkey % 8 <> 1)
+        |   OR o_orderkey % 4 = 2
+        |ORDER BY o_orderkey""".stripMargin,
     // idempotent deliveries with crash replays ≡ every order exactly
     // once — a dropped watermark would duplicate a third of the table
     "q_txlog_txn" ->

@@ -3184,6 +3184,185 @@ object TxLog {
       readSet = None, operation = "MERGE", removeFiles = hitFiles)
   }
 
+  /** One WHEN clause of [[mergeWhen]]. `condition` is a SQL boolean
+    * over the TARGET row's columns plus the source row as a struct
+    * named `src` (`src.qty > qty`); None = unconditional. `sets` are
+    * the UPDATE assignments (target column -> SQL expression over the
+    * same namespace); empty for DELETE and INSERT clauses (INSERT is
+    * always `INSERT *` — the source row lands whole). */
+  case class MergeClause(condition: Option[String], action: String,
+                         sets: Seq[(String, String)] = Nil) {
+    require(Set("update", "delete", "insert").contains(action),
+      s"MergeClause: unknown action '$action'")
+    require(action != "update" || sets.nonEmpty,
+      "MergeClause(update): no SET assignments")
+    require(action == "update" || sets.isEmpty,
+      s"MergeClause($action): SET assignments only apply to update")
+  }
+
+  /** The full conditional MERGE (Delta/SQL:2003 grammar): per
+    * joined-row disposition by the FIRST clause whose condition holds
+    * —
+    *  - `matched` (target row has a source row with its key):
+    *    UPDATE SET ... or DELETE;
+    *  - `notMatched` (source row matches no target row): INSERT *;
+    *  - `notMatchedBySource` (target row matches no source row):
+    *    DELETE — the "make target mirror source" sync shape.
+    * Unmatched-by-any-clause rows carry unchanged.
+    *
+    * Write economics follow [[mergeInto]]: without a
+    * `notMatchedBySource` clause the rewrite set is exactly the FILES
+    * holding a matched key (stats prune + Bloom vote + exact
+    * membership scan); with one, every target row must be inspected —
+    * the rewrite is the whole table, Delta's cost for the same clause.
+    * The commit is one protocol-2 `removeFiles` delta either way:
+    * readers see the old snapshot until the single rename.
+    *
+    * Contracts: source keys must be unique within the batch (which
+    * clause wins would otherwise be load-bearing row order); INSERT
+    * requires the source to carry every declared column; UPDATE may
+    * not assign partition/transform-source columns (a moved row's
+    * directory is [[updateWhere]]'s job — merge on the key instead);
+    * CHECK constraints re-vet every written row. Returns the new
+    * version (the unchanged current one when nothing matched any
+    * clause). */
+  def mergeWhen(path: String, source: DataFrame, keys: Seq[String],
+                matched: Seq[MergeClause] = Nil,
+                notMatched: Seq[MergeClause] = Nil,
+                notMatchedBySource: Seq[MergeClause] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, expr, lit, max, min, struct, when}
+    val spark = source.sparkSession
+    require(keys.nonEmpty, "TxLog.mergeWhen: empty key set")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "TxLog.mergeWhen: no WHEN clauses")
+    require(matched.forall(c => c.action == "update" || c.action == "delete"),
+      "TxLog.mergeWhen: WHEN MATCHED supports UPDATE and DELETE")
+    require(notMatched.forall(_.action == "insert") && notMatched.size <= 1,
+      "TxLog.mergeWhen: WHEN NOT MATCHED supports a single INSERT clause")
+    require(notMatchedBySource.forall(_.action == "delete"),
+      "TxLog.mergeWhen: WHEN NOT MATCHED BY SOURCE supports DELETE")
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    requireWritable(m, path)
+    val declared = StructType.fromDDL(m.schemaDdl)
+    require(!declared.fieldNames.contains("src"),
+      "TxLog.mergeWhen: the table has a column literally named 'src' — " +
+        "the clause namespace reserves it for the source-row struct")
+    keys.foreach(k => require(declared.fieldNames.contains(k) &&
+      source.columns.contains(k),
+      s"TxLog.mergeWhen: key '$k' must exist on both sides"))
+    checkSchema(declared, source.schema, evolveSchema = false)
+    if (notMatched.nonEmpty)
+      declared.fields.foreach(f => require(
+        source.columns.contains(f.name),
+        s"TxLog.mergeWhen: INSERT * needs source column '${f.name}'"))
+    // assigning a layout column would silently leave the row in its
+    // old directory — refuse, as updateWhere's relocation contract
+    // doesn't compose with the clause engine
+    val layoutCols = (if (m.partitionSpec.isEmpty) m.partitionCols
+                      else transformsOf(m).map(_.src)).toSet
+    matched.flatMap(_.sets).foreach { case (c, _) =>
+      require(declared.fieldNames.contains(c),
+        s"TxLog.mergeWhen: SET names unknown column '$c'")
+      require(!layoutCols.contains(c),
+        s"TxLog.mergeWhen: SET may not assign layout column '$c'")
+    }
+    // ambiguous-winner guard: one source row per key
+    val dup = graft.operators.Upsert.pkViolations(source, keys)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"TxLog.mergeWhen: duplicate source rows for key (${keys.mkString(",")})")
+    // ---- discovery (same staircase as mergeInto) ----
+    val discoveryFiles: Seq[String] =
+      if (keys.size == 1 && m.statsCols.contains(physOf(m, keys.head))) {
+        val k = keys.head
+        val bounds = source.agg(
+          statsEncode(declared(k).dataType, min(col(k))),
+          statsEncode(declared(k).dataType, max(col(k)))).head()
+        if (bounds.isNullAt(0)) Nil
+        else {
+          val byStats = pruneByRange(m, declared, m.files, k,
+            bounds.getString(0), bounds.getString(1),
+            spark.sessionState.conf.sessionLocalTimeZone)
+          bloomPruneByKeys(spark, path, physOf(m, k),
+            boundedDistinct(source, k, 1024), byStats)
+        }
+      } else m.files
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val hitFiles: Set[String] =
+      if (discoveryFiles.isEmpty || matched.isEmpty) Set.empty
+      else {
+        val resolve = entryResolver(m.files)
+        readFiles(spark, path, declared, discoveryFiles, m.colMap, m.dv,
+            keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
+          .select(keys.map(col) :+ col("_dv_key").as("_gf"): _*)
+          .join(srcKeys, keys, "left_semi")
+          .select("_gf").distinct().collect().map(r => resolve(r.getString(0)))
+          .toSet
+      }
+    val scopeFiles: Set[String] =
+      if (notMatchedBySource.nonEmpty) m.files.toSet else hitFiles
+    val srcStructed = source.select(
+      keys.map(col) :+ struct(source.columns.map(col): _*).as("src"): _*)
+    def clauseCond(c: MergeClause): org.apache.spark.sql.Column =
+      c.condition.map(expr).getOrElse(lit(true))
+    // disposition: first-true clause index; -1 = carry unchanged.
+    // matched and not-matched-by-source branches are disjoint on
+    // src's nullness, so one chain serves both
+    val scopeRows = readFiles(spark, path, declared, scopeFiles.toSeq,
+      m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
+    val joined = scopeRows.join(srcStructed, keys.toSeq, "left_outer")
+    val actions: Seq[(Int, MergeClause, org.apache.spark.sql.Column)] =
+      matched.zipWithIndex.map { case (c, i) =>
+        (i, c, col("src").isNotNull && clauseCond(c)) } ++
+      notMatchedBySource.zipWithIndex.map { case (c, i) =>
+        (matched.size + i, c, col("src").isNull && clauseCond(c)) }
+    val actCol = actions.foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case ((i, _, cond), rest) => when(cond, lit(i)).otherwise(rest)
+    }
+    val deletes = actions.collect { case (i, c, _) if c.action == "delete" => i }
+    val acted = joined.withColumn("_act", actCol)
+    val rewritten =
+      (if (deletes.isEmpty) acted
+       else acted.filter(!col("_act").isInCollection(deletes)))
+      .select(declared.fields.map { f =>
+        actions.collect { case (i, c, _) if c.action == "update" =>
+          c.sets.find(_._1 == f.name).map(s => (i, s._2))
+        }.flatten.foldRight(col(f.name)) { case ((i, setExpr), rest) =>
+          when(col("_act") === i, expr(setExpr)).otherwise(rest)
+        }.cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    // the insert decision anti-joins the DISCOVERY scan, not the
+    // rewrite scope: an insert-only merge rewrites nothing, but a
+    // source row whose key exists in the table must still not insert
+    val inserts: Option[DataFrame] = notMatched.headOption.map { c =>
+      val existingKeys = readFiles(spark, path, declared, discoveryFiles,
+          m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
+        .select(keys.map(col): _*).distinct()
+      source.withColumn("src", struct(source.columns.map(col): _*))
+        .join(existingKeys, keys.toSeq, "left_anti")
+        .filter(clauseCond(c))
+        .select(declared.fieldNames.map(col).toSeq: _*)
+    }
+    if (scopeFiles.isEmpty && inserts.isEmpty) return v // no-op
+    val written = inserts.fold(rewritten)(rewritten.unionByName(_))
+    enforceConstraints(written, m.constraints, "mergeWhen")
+    val partNullCols =
+      if (m.partitionSpec.isEmpty) m.partitionCols
+      else transformsOf(m).map(_.src)
+    if (partNullCols.nonEmpty)
+      require(written.filter(partNullCols.map(col(_).isNull).reduce(_ || _))
+        .limit(1).collect().isEmpty,
+        s"TxLog.mergeWhen: null ${partNullCols.mkString("/")} values are " +
+          "not supported — merge them under an explicit sentinel instead")
+    val newFiles = stageIn(toPhysical(written, m.colMap), path,
+      physPartCols(m), transformsOf(m))
+    commitRebase(spark, path, m, rewriteDirs = Set.empty,
+      newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
+      readSet = None, operation = "MERGE WHEN", removeFiles = scopeFiles)
+  }
+
   /** Up to `limit` distinct values of `colName` in `df`, or Nil when
     * there are more — the bounded driver hop the Bloom vote rides
     * (an unbounded key set skips the vote, never collects). */

@@ -25,6 +25,11 @@ import graft.tables.Tables
   *   TXLOG CREATE '<path>' HIDDEN PARTITION BY <days(ts)|bucket(n,c)|...> AS <select>
   *   TXLOG APPEND INTO '<path>' <select>
   *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>
+  *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING (<select>)
+  *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET <a = e[, ...]> | DELETE]...
+  *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT]
+  *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]...
+  *     -- conditions/SETs see target columns + the source row as `src.<col>`
   *   TXLOG DELETE FROM '<path>' WHERE <condition> [USING DELETION VECTORS]
   *   TXLOG UPDATE '<path>' SET <c1> = <expr1>[, <c2> = <expr2>...] WHERE <condition> [USING DELETION VECTORS]
   *   TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>
@@ -62,8 +67,57 @@ object Sql {
     """(?is)\s*TXLOG\s+CREATE\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*)\s+)?AS\s+(.+)""".r
   private val AppendRe =
     """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+(.+)""".r
+  private val MergeWhenRe =
+    """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+\((.+?)\)\s+(WHEN\s+.+)""".r
   private val MergeRe =
     """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+(.+)""".r
+
+  /** Parse the WHEN-clause tail of a conditional MERGE into
+    * [[graft.storage.TxLog.MergeClause]] triples. Grammar:
+    *   WHEN MATCHED [AND <cond>] THEN UPDATE SET a = e[, ...]
+    *   WHEN MATCHED [AND <cond>] THEN DELETE
+    *   WHEN NOT MATCHED [AND <cond>] THEN INSERT
+    *   WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
+    * Conditions and SET expressions see the target row's columns plus
+    * the source row as a struct named `src`. */
+  private val WhenClauseRe =
+    ("""(?is)WHEN\s+(MATCHED|NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED)""" +
+      """\s*(?:AND\s+(.+?))?\s*THEN\s+(UPDATE\s+SET\s+.+?|DELETE|INSERT)\s*""" +
+      """(?=WHEN\s+|$)""").r
+  private def parseWhenClauses(tail: String)
+      : (Seq[graft.storage.TxLog.MergeClause],
+         Seq[graft.storage.TxLog.MergeClause],
+         Seq[graft.storage.TxLog.MergeClause]) = {
+    import graft.storage.TxLog.MergeClause
+    val found = WhenClauseRe.findAllMatchIn(tail).toSeq
+    require(found.nonEmpty, s"Sql: no parsable WHEN clauses in '$tail'")
+    val leftover = WhenClauseRe.replaceAllIn(tail, "").trim
+    require(leftover.isEmpty,
+      s"Sql: unparsed text among WHEN clauses: '$leftover'")
+    var matched = Seq.empty[MergeClause]
+    var notMatched = Seq.empty[MergeClause]
+    var nms = Seq.empty[MergeClause]
+    found.foreach { mm =>
+      val kind = mm.group(1).toUpperCase.replaceAll("\\s+", " ")
+      val cond = Option(mm.group(2)).map(_.trim).filter(_.nonEmpty)
+      val action = mm.group(3).trim
+      val au = action.toUpperCase
+      kind match {
+        case "MATCHED" if au.startsWith("UPDATE") =>
+          matched :+= MergeClause(cond, "update",
+            parseSets(action.replaceFirst("(?is)UPDATE\\s+SET\\s+", "")))
+        case "MATCHED" if au == "DELETE" =>
+          matched :+= MergeClause(cond, "delete")
+        case "NOT MATCHED" if au == "INSERT" =>
+          notMatched :+= MergeClause(cond, "insert")
+        case "NOT MATCHED BY SOURCE" if au == "DELETE" =>
+          nms :+= MergeClause(cond, "delete")
+        case other => throw new IllegalArgumentException(
+          s"Sql: WHEN $other THEN $action is not a supported merge clause")
+      }
+    }
+    (matched, notMatched, nms)
+  }
   private val DeleteDvRe =
     """(?is)\s*TXLOG\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s+USING\s+DELETION\s+VECTORS\s*""".r
   private val DeleteRe =
@@ -161,6 +215,11 @@ object Sql {
         reg(); asDf(v)
       case AppendRe(path, select) =>
         asDf(graft.storage.TxLog.append(spark.sql(select), rt(path)))
+      case MergeWhenRe(path, keys, select, whenTail) =>
+        val (matched, notMatched, nms) = parseWhenClauses(whenTail)
+        asDf(graft.storage.TxLog.mergeWhen(rt(path), spark.sql(select),
+          keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          matched, notMatched, nms))
       case MergeRe(path, keys, select) =>
         asDf(graft.storage.TxLog.mergeInto(rt(path), spark.sql(select),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq))

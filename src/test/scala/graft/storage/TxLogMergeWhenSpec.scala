@@ -1,0 +1,203 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.storage.TxLog.MergeClause
+
+/** The full conditional MERGE — `mergeWhen` (Delta/SQL:2003 grammar):
+  * WHEN MATCHED [AND] UPDATE/DELETE, WHEN NOT MATCHED INSERT *, WHEN
+  * NOT MATCHED BY SOURCE DELETE. Clause conditions and SET expressions
+  * see the target row's columns plus the source row as a struct named
+  * `src`. Without an NMS clause the rewrite set stays FILE-granular
+  * (only files holding a matched key move); with one, the whole table
+  * rewrites in the same single commit.
+  */
+class TxLogMergeWhenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mw_$tag").toString + "/tbl"
+
+  private def seed(path: String): Unit =
+    TxLog.create(Seq(
+      (1L, "open", 10.0), (2L, "open", 20.0), (3L, "open", 30.0),
+      (4L, "hold", 40.0)).toDF("k", "status", "amt"), path)
+
+  test("full grammar: conditional update, conditional delete, insert, carry") {
+    val path = freshPath("full")
+    seed(path)
+    // source: k=1 (higher amt -> update), k=2 (negative amt -> delete),
+    // k=3 (LOWER amt -> matches neither condition -> carry), k=9 (new -> insert)
+    val src = Seq((1L, "upd", 15.0), (2L, "upd", -1.0),
+      (3L, "upd", 5.0), (9L, "new", 90.0)).toDF("k", "status", "amt")
+    TxLog.mergeWhen(path, src, Seq("k"),
+      matched = Seq(
+        MergeClause(Some("src.amt < 0"), "delete"),
+        MergeClause(Some("src.amt > amt"), "update",
+          Seq("amt" -> "src.amt", "status" -> "src.status"))),
+      notMatched = Seq(MergeClause(None, "insert")))
+    val out = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "upd", 15.0),   // updated (src.amt > amt)
+      (3L, "open", 30.0),  // matched, no clause true: carried
+      (4L, "hold", 40.0),  // unmatched target, no NMS: carried
+      (9L, "new", 90.0)))  // inserted
+  }
+
+  test("first-true clause wins: order between overlapping matched clauses is honored") {
+    val path = freshPath("order")
+    seed(path)
+    val src = Seq((1L, "x", 99.0)).toDF("k", "status", "amt")
+    // both clauses' conditions hold for k=1; the FIRST (delete) wins
+    TxLog.mergeWhen(path, src, Seq("k"),
+      matched = Seq(
+        MergeClause(Some("src.amt > 0"), "delete"),
+        MergeClause(None, "update", Seq("amt" -> "src.amt"))))
+    assert(TxLog.read(spark, path).filter(col("k") === 1L).count() == 0)
+    assert(TxLog.read(spark, path).count() == 3)
+  }
+
+  test("NOT MATCHED BY SOURCE: the sync shape makes target mirror source") {
+    val path = freshPath("nms")
+    seed(path)
+    val src = Seq((1L, "keep", 11.0), (9L, "new", 90.0))
+      .toDF("k", "status", "amt")
+    TxLog.mergeWhen(path, src, Seq("k"),
+      matched = Seq(MergeClause(None, "update",
+        Seq("status" -> "src.status", "amt" -> "src.amt"))),
+      notMatched = Seq(MergeClause(None, "insert")),
+      notMatchedBySource = Seq(MergeClause(None, "delete")))
+    val out = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "keep", 11.0), (9L, "new", 90.0)),
+      s"target must mirror source exactly, got $out")
+    // conditional NMS: only delete unmatched rows the condition names
+    val path2 = freshPath("nms_cond")
+    seed(path2)
+    TxLog.mergeWhen(path2, Seq((1L, "s", 1.0)).toDF("k", "status", "amt"),
+      Seq("k"),
+      notMatchedBySource = Seq(MergeClause(Some("status = 'hold'"), "delete")))
+    assert(TxLog.read(spark, path2).select("k").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L), "only the 'hold' unmatched row deletes")
+  }
+
+  test("file economics: without NMS only files holding matched keys rewrite") {
+    val path = freshPath("econ")
+    // two partitions; matched key lives in p=a only
+    TxLog.create(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0))
+      .toDF("k", "p", "amt"), path, Some("p"))
+    val before = TxLog.manifest(spark, path, 1L).files
+    val bFiles = before.filter(_.startsWith("p=b/")).toSet
+    TxLog.mergeWhen(path, Seq((1L, "a", 9.0)).toDF("k", "p", "amt"),
+      Seq("k"),
+      matched = Seq(MergeClause(None, "update", Seq("amt" -> "src.amt"))))
+    val after = TxLog.manifest(spark, path,
+      TxLog.currentVersion(spark, path).get).files
+    assert(after.filter(_.startsWith("p=b/")).toSet == bFiles,
+      "untouched partition's files must carry by reference")
+    assert(TxLog.read(spark, path).filter(col("k") === 1L)
+      .select("amt").as[Double].head() == 9.0)
+  }
+
+  test("insert-only merge rewrites nothing and never duplicates an existing key") {
+    val path = freshPath("insonly")
+    seed(path)
+    val before = TxLog.manifest(spark, path, 1L).files.toSet
+    // k=1 exists (must NOT insert), k=7 is new
+    TxLog.mergeWhen(path, Seq((1L, "dup", 1.0), (7L, "new", 70.0))
+      .toDF("k", "status", "amt"), Seq("k"),
+      notMatched = Seq(MergeClause(None, "insert")))
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(before.subsetOf(m.files.toSet),
+      "insert-only merge must carry every existing file by reference")
+    val out = TxLog.read(spark, path)
+    assert(out.count() == 5)
+    assert(out.filter(col("k") === 1L).count() == 1, "no duplicate for k=1")
+    assert(out.filter(col("k") === 7L).select("amt").as[Double].head() == 70.0)
+  }
+
+  test("DV-deleted rows stay deleted through the rewrite") {
+    val path = freshPath("dv")
+    seed(path)
+    TxLog.deleteWhere(spark, path, col("k") === 2L, deletionVectors = true)
+    TxLog.mergeWhen(path, Seq((2L, "ghost", 99.0)).toDF("k", "status", "amt"),
+      Seq("k"),
+      matched = Seq(MergeClause(None, "update", Seq("amt" -> "src.amt"))),
+      notMatched = Seq(MergeClause(None, "insert")))
+    // k=2 was DV-deleted: it is NOT matched -> it INSERTS as a new row
+    val out = TxLog.read(spark, path).filter(col("k") === 2L)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((2L, "ghost", 99.0)),
+      s"DV-deleted row must not resurrect its old version, got $out")
+  }
+
+  test("refusals: duplicate source keys, layout SET, unknown SET, partial INSERT source") {
+    val path = freshPath("refuse")
+    TxLog.create(Seq((1L, "a", 1.0)).toDF("k", "p", "amt"), path, Some("p"))
+    intercept[IllegalArgumentException] {
+      TxLog.mergeWhen(path, Seq((1L, "a", 1.0), (1L, "a", 2.0))
+        .toDF("k", "p", "amt"), Seq("k"),
+        matched = Seq(MergeClause(None, "update", Seq("amt" -> "src.amt"))))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.mergeWhen(path, Seq((1L, "b", 1.0)).toDF("k", "p", "amt"),
+        Seq("k"),
+        matched = Seq(MergeClause(None, "update", Seq("p" -> "src.p"))))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.mergeWhen(path, Seq((1L, "a", 1.0)).toDF("k", "p", "amt"),
+        Seq("k"),
+        matched = Seq(MergeClause(None, "update", Seq("nope" -> "1"))))
+    }
+    intercept[IllegalArgumentException] { // INSERT * needs every column
+      TxLog.mergeWhen(path, Seq((9L, "a")).toDF("k", "p"), Seq("k"),
+        notMatched = Seq(MergeClause(None, "insert")))
+    }
+    intercept[IllegalArgumentException] { // no clauses
+      TxLog.mergeWhen(path, Seq((1L, "a", 1.0)).toDF("k", "p", "amt"),
+        Seq("k"))
+    }
+  }
+
+  test("CHECK constraints re-vet the written rows") {
+    val path = freshPath("check")
+    seed(path)
+    TxLog.addConstraint(spark, path, "amt_pos", "amt >= 0")
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.mergeWhen(path, Seq((1L, "bad", 5.0)).toDF("k", "status", "amt"),
+        Seq("k"),
+        matched = Seq(MergeClause(None, "update", Seq("amt" -> "-src.amt"))))
+    }
+    assert(TxLog.read(spark, path).filter(col("k") === 1L)
+      .select("amt").as[Double].head() == 10.0, "refused merge changed nothing")
+  }
+
+  test("SQL verb: multi-clause MERGE parses and runs; the plain upsert form still dispatches") {
+    val path = freshPath("sql")
+    seed(path)
+    spark.sql("SELECT 1").collect() // session warm
+    Seq((1L, "s", 15.0), (2L, "s", -1.0), (9L, "s", 90.0))
+      .toDF("k", "status", "amt").createOrReplaceTempView("mw_src")
+    graft.tools.Sql.exec(spark,
+      s"""TXLOG MERGE INTO '$path' ON k USING (SELECT * FROM mw_src)
+         |WHEN MATCHED AND src.amt < 0 THEN DELETE
+         |WHEN MATCHED AND src.amt > amt THEN UPDATE SET amt = src.amt, status = src.status
+         |WHEN NOT MATCHED THEN INSERT
+         |WHEN NOT MATCHED BY SOURCE AND status = 'hold' THEN DELETE""".stripMargin)
+    val out = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "s", 15.0), (3L, "open", 30.0), (9L, "s", 90.0)),
+      s"got $out")
+    // the legacy upsert form still routes to mergeInto — needs a
+    // partitioned table (its contract)
+    val path2 = freshPath("sql_plain")
+    TxLog.create(Seq((1L, "a", 1.0)).toDF("k", "p", "amt"), path2, Some("p"))
+    Seq((1L, "a", 5.0)).toDF("k", "p", "amt")
+      .createOrReplaceTempView("mw_src2")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG MERGE INTO '$path2' ON k USING SELECT * FROM mw_src2")
+    assert(TxLog.read(spark, path2).select("amt").as[Double].head() == 5.0)
+  }
+}
