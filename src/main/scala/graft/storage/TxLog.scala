@@ -3903,6 +3903,66 @@ object TxLog {
   /** `dryRun = true` reports the data files vacuum WOULD delete and
     * changes nothing — no deletions, no chain-integrity checkpoints,
     * no cache invalidation (Delta's `VACUUM ... DRY RUN`). */
+  /** Parquet files under the table's data dir that NO kept manifest
+    * references — vacuum's sweep set, shared by dry-run and delete.
+    * Below the distributed-index threshold (sized on the LIVE set,
+    * the only count known without walking) the driver walks the tree;
+    * above it the walk fans out ONE TASK PER top-level partition
+    * directory and live-set membership runs as a distributed
+    * subtract — at 10^6 files the driver lists only the data root's
+    * immediate children and collects only the orphans. By-reference
+    * absolute entries (shallow clones) never match a relative
+    * candidate, so a clone's vacuum cannot sweep its source. */
+  private def orphanDataFiles(spark: SparkSession, path: String,
+                              live: Set[String]): Seq[String] = {
+    val fs = fsFor(spark, path)
+    val root = dataDir(path)
+    if (!fs.exists(root)) return Nil
+    val threshold = spark.conf
+      .getOption("graft.txlog.distributedIndexThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    if (live.size < threshold) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      def scan(dir: Path, rel: String): Unit =
+        fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          val r = if (rel.isEmpty) name else s"$rel/$name"
+          if (st.isDirectory) scan(st.getPath, r)
+          else if (name.endsWith(".parquet") && !live.contains(r)) out += r
+        }
+      scan(root, "")
+      out.toSeq
+    } else {
+      val top = fs.listStatus(root)
+      val (dirs, files) = top.partition(_.isDirectory)
+      val rootOrphans = files.map(_.getPath.getName).toSeq
+        .filter(n => n.endsWith(".parquet") && !live.contains(n))
+      val rootStr = root.toString
+      val hconf = new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration)
+      val cands = spark.sparkContext
+        .parallelize(dirs.map(_.getPath.getName).toSeq,
+          math.max(1, math.min(dirs.length, 256)))
+        .flatMap { topDir =>
+          val conf = hconf.value
+          val tfs = new Path(rootStr).getFileSystem(conf)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          def scan(dir: Path, rel: String): Unit =
+            tfs.listStatus(dir).foreach { st =>
+              val name = st.getPath.getName
+              val r = s"$rel/$name"
+              if (st.isDirectory) scan(st.getPath, r)
+              else if (name.endsWith(".parquet")) out += r
+            }
+          scan(new Path(rootStr, topDir), topDir)
+          out
+        }
+      val liveRdd = spark.sparkContext.parallelize(live.toSeq,
+        math.max(1, (live.size / 100000).min(256)))
+      (cands.subtract(liveRdd).collect().toSeq ++ rootOrphans).sorted
+    }
+  }
+
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
              dryRun: Boolean = false,
              keepHours: Option[Double] = None): Seq[String] = {
@@ -3928,18 +3988,8 @@ object TxLog {
       v <= cur - keepVersions && olderThanHorizon(v) &&
         !pinnedByTag.contains(v))
     val live = keep.flatMap(manifest(spark, path, _).files).toSet
-    if (dryRun) {
-      val wouldDelete = scala.collection.mutable.ArrayBuffer.empty[String]
-      def scan(dir: Path, rel: String): Unit =
-        if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-          val name = st.getPath.getName
-          val r = if (rel.isEmpty) name else s"$rel/$name"
-          if (st.isDirectory) scan(st.getPath, r)
-          else if (name.endsWith(".parquet") && !live.contains(r)) wouldDelete += r
-        }
-      scan(dataDir(path), "")
-      return wouldDelete.toSeq
-    }
+    val orphans = orphanDataFiles(spark, path, live)
+    if (dryRun) return orphans
     // metadata-chain integrity BEFORE dropping old commits: every kept
     // version must resolve from kept artifacts alone. Walking kept
     // versions ascending, a version is self-resolvable if it is a full
@@ -3963,18 +4013,29 @@ object TxLog {
         resolvable += t
       }
     }
-    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
-    def walk(dir: Path, rel: String): Unit =
-      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-        val name = st.getPath.getName
-        val r = if (rel.isEmpty) name else s"$rel/$name"
-        if (st.isDirectory) walk(st.getPath, r)
-        else if (name.endsWith(".parquet") && !live.contains(r)) {
-          fs.delete(st.getPath, false)
-          deleted += r
+    // the sweep: above the distributed-index threshold the deletes run
+    // IN TASKS (a 10^6-orphan sweep must not serialize 10^6 driver
+    // RPCs — same economics as convert's renames); below it the driver
+    // loop wins. Deleting an already-gone file is a no-op either way,
+    // so a re-run after a partial crash just finishes the job.
+    val dataRoot = dataDir(path).toString
+    val sweepThreshold = spark.conf
+      .getOption("graft.txlog.distributedIndexThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    if (orphans.size >= sweepThreshold) {
+      val hconf = new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext
+        .parallelize(orphans, math.max(1, math.min(orphans.size / 1000, 256)))
+        .foreachPartition { it =>
+          val conf = hconf.value
+          it.foreach { rel =>
+            val p = new Path(dataRoot, rel)
+            p.getFileSystem(conf).delete(p, false)
+          }
         }
-      }
-    walk(dataDir(path), "")
+    } else orphans.foreach(rel => fs.delete(new Path(dataRoot, rel), false))
+    val deleted = orphans
     // bloom sidecars of files no retained manifest references: the
     // sidecar name is md5(entry), so the live sidecar set is derivable
     // without inverting anything
@@ -4018,7 +4079,7 @@ object TxLog {
       .foreach(st => fs.delete(st.getPath, true))
     // dropped versions must now FAIL resolution, not serve from cache
     cacheInvalidate(spark, path)
-    deleted.toSeq
+    deleted
   }
 
   // ------------------------------------------------------------------

@@ -242,6 +242,32 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TxLog.read(spark, path, Some(1L)).collect() }
   }
 
+  test("vacuum's distributed sweep enumerates and deletes the same set as the driver walk") {
+    val path = freshPath("vac_dist")
+    TxLog.create(fixture, path, Some("part"))
+    TxLog.mergeInto(path, Seq((2L, "p1", 99.0)).toDF("k", "part", "v"), Seq("k"))
+    val want = rows(TxLog.read(spark, path))
+    val superseded = TxLog.manifest(spark, path, 1L).files.toSet
+      .diff(TxLog.manifest(spark, path, 2L).files.toSet)
+    // driver-mode dry run is the reference enumeration
+    val driverSet = TxLog.vacuum(spark, path, keepVersions = 1,
+      dryRun = true).toSet
+    assert(driverSet == superseded)
+    // force BOTH the enumeration fan-out and the task-side deletes
+    spark.conf.set("graft.txlog.distributedIndexThreshold", "1")
+    try {
+      assert(TxLog.vacuum(spark, path, keepVersions = 1,
+        dryRun = true).toSet == driverSet,
+        "distributed enumeration must match the driver walk exactly")
+      val deleted = TxLog.vacuum(spark, path, keepVersions = 1)
+      assert(deleted.toSet == superseded)
+      assert(rows(TxLog.read(spark, path)) == want,
+        "latest version damaged by the distributed sweep")
+      // idempotent: a re-run after the sweep finds nothing
+      assert(TxLog.vacuum(spark, path, keepVersions = 1).isEmpty)
+    } finally spark.conf.unset("graft.txlog.distributedIndexThreshold")
+  }
+
   test("compact (OPTIMIZE): fewer files, identical rows, old version keeps the small files") {
     val path = freshPath("opt")
     TxLog.create(fixture, path, Some("part"))
