@@ -1186,6 +1186,29 @@ object WarehouseQueries {
     TxLog.read(s, path).select("k", "price").orderBy("k")
   }
 
+  /** Null-count skip stats through the driver gate: the table lands
+    * as an ALL-null slice plus two no-null slices (tracked column v),
+    * and the IS NULL query runs through the BATCH MOUNT — the planner
+    * prunes the no-null files by their zero null counts, and the
+    * result must still be row-exact against the raw recompute. */
+  def txlogNullskip(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_nullskip_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d).select(col("o_orderkey"),
+      when(col("o_orderkey") % 3 === 0, lit(null))
+        .otherwise(col("o_totalprice")).cast("double").as("v"))
+    TxLog.create(dim.filter(col("o_orderkey") % 3 === 0), path,
+      statsCols = Seq("v"))
+    TxLog.append(dim.filter(col("o_orderkey") % 3 === 1), path)
+    TxLog.append(dim.filter(col("o_orderkey") % 3 === 2), path)
+    s.read.format("graft-txlog").option("path", path).load()
+      .filter(col("v").isNull)
+      .select("o_orderkey").orderBy("o_orderkey")
+  }
+
   /** Conditional MERGE through the driver gate: target holds keys
     * %4 ∈ {0,1}; the source (keys %4 ∈ {1,2}, prices doubled) deletes
     * matched %8==1 rows, updates the other matched rows to the doubled
@@ -1508,6 +1531,7 @@ object WarehouseQueries {
     "q_txlog_widen" -> txlogWiden _,
     "q_txlog_txn" -> txlogTxn _,
     "q_txlog_merge_when" -> txlogMergeWhen _,
+    "q_txlog_nullskip" -> txlogNullskip _,
     "q_txlog_convert" -> txlogConvert _,
     "q_txlog_update" -> txlogUpdate _,
     "q_txlog_pevolve" -> txlogPevolve _,
@@ -1658,6 +1682,10 @@ object WarehouseQueries {
         |       p_retailprice * CAST(0.9 AS DOUBLE) AS discounted
         |FROM part WHERE p_partkey % 3 = 1
         |ORDER BY p_partkey""".stripMargin,
+    // IS NULL through the null-count-pruned mount ≡ the raw predicate
+    "q_txlog_nullskip" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     // the conditional-merge lifecycle ≡ a CASE recompute: %4==0 carry,
     // %4==1 split by %8 into delete/update, %4==2 insert (doubled)
     "q_txlog_merge_when" ->

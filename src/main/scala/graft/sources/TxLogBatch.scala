@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.{NumericType, StructType}
 
@@ -35,7 +35,7 @@ import graft.storage.TxLog
   */
 class TxLogFileIndex(spark: SparkSession, tablePath: String,
                      m: TxLog.Manifest) extends FileIndex {
-  import TxLogFileIndex.{admitsTagged, dirPartOfEntry, partitionValuesOf}
+  import TxLogFileIndex.{admitsNull, admitsTagged, dirPartOfEntry, partitionValuesOf}
 
   private val declared = StructType.fromDDL(m.schemaDdl)
   private val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
@@ -207,13 +207,33 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
         (physName(c), tag, lo, hi)
       }
 
+  /** (PHYSICAL stats key, wantNull) votes from IsNull/IsNotNull on
+    * tracked columns. Spark pushes IsNotNull next to every comparison,
+    * so an ALL-null file prunes even though it records no min/max to
+    * range-vote with — and IS NULL prunes every file whose tracked
+    * null count is zero. */
+  private def nullVoteSpecs(dataFilters: Seq[Expression]): Seq[(String, Boolean)] =
+    dataFilters.flatMap {
+      case IsNull(a: AttributeReference)
+        if m.statsCols.contains(physName(a.name)) =>
+        Some((physName(a.name), true))
+      case IsNotNull(a: AttributeReference)
+        if m.statsCols.contains(physName(a.name)) =>
+        Some((physName(a.name), false))
+      case _ => None
+    }
+
   private def skipByStats(files: Seq[(String, FileStatus)],
                           dataFilters: Seq[Expression]) = {
     val votes = voteSpecs(dataFilters)
-    if (votes.isEmpty) files
+    val nv = nullVoteSpecs(dataFilters)
+    if (votes.isEmpty && nv.isEmpty) files
     else files.filter { case (entry, _) =>
       votes.forall { case (k, tag, lo, hi) =>
-        admitsTagged(m.fileStats.get(entry).flatMap(_.get(k)), tag, lo, hi) }
+        admitsTagged(m.fileStats.get(entry).flatMap(_.get(k)), tag, lo, hi) } &&
+      nv.forall { case (k, want) =>
+        admitsNull(m.fileNulls.get(entry).flatMap(_.get(k)),
+          m.fileRows.get(entry), want) }
     }
   }
 
@@ -285,6 +305,7 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
                                    dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
     val votes = voteSpecs(dataFilters)
+    val nv = nullVoteSpecs(dataFilters)
     val hv = hiddenVotesOf(dataFilters)
     val bound = boundPartPredicate(partitionFilters)
     val pSchema = partitionSchema
@@ -312,10 +333,18 @@ class TxLogFileIndex(spark: SparkSession, tablePath: String,
                   .map { case (c, a) => c -> ((a(0), a(1))) }.toMap)
               votes.forall { case (k, tag, lo, hi) =>
                 admitsTagged(stats.flatMap(_.get(k)), tag, lo, hi) }
+            }) &&
+            (nv.isEmpty || {
+              val nulls =
+                if (r.isNullAt(3)) None // pre-nulls checkpoint: fail open
+                else Some(r.getAs[scala.collection.Map[String, Long]](3))
+              val rowsN = if (r.isNullAt(1)) None else Some(r.getLong(1))
+              nv.forall { case (k, want) =>
+                admitsNull(nulls.flatMap(_.get(k)), rowsN, want) }
             })
           if (!ok) None
-          else Some((f, if (r.isNullAt(3)) -1L else r.getLong(3),
-            if (r.isNullAt(4)) 0L else r.getLong(4)))
+          else Some((f, if (r.isNullAt(4)) -1L else r.getLong(4),
+            if (r.isNullAt(5)) 0L else r.getLong(5)))
         }
       }.collect()
     val conf = spark.sparkContext.hadoopConfiguration
@@ -410,6 +439,15 @@ object TxLogFileIndex {
           lo.forall(l => mx >= l) && hi.forall(h => h >= mn)
       }
     }
+
+  /** Null-count skip vote. `wantNull` (an IS NULL filter) prunes files
+    * whose tracked null count is ZERO; `!wantNull` (IS NOT NULL —
+    * pushed beside every comparison) prunes files that are ALL-null in
+    * the column. Unknown counts or row totals fail OPEN. */
+  private[sources] def admitsNull(nulls: Option[Long], rows: Option[Long],
+                                  wantNull: Boolean): Boolean =
+    if (wantNull) nulls.forall(_ > 0L)
+    else !nulls.exists(n => rows.exists(n >= _))
 }
 
 /** The table's parquet format: stock `ParquetFileFormat` plus the two

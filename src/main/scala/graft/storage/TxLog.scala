@@ -107,7 +107,8 @@ object TxLog {
                       colMap: Seq[(String, String)] = Nil,
                       dv: Seq[(String, Map[String, Long])] = Nil,
                       partitionSpec: Seq[String] = Nil,
-                      txns: Map[String, Long] = Map.empty)
+                      txns: Map[String, Long] = Map.empty,
+                      fileNulls: Map[String, Map[String, Long]] = Map.empty)
 
   /** Deletion-vector state: each element is one DV parquet file
     * (relative to `<table>/_dv/`) holding (file-key, row_index) rows,
@@ -430,9 +431,19 @@ object TxLog {
       Iterator.continually(if (it.hasNext) it.next() else null)
         .takeWhile(_ != null).map(f => f -> rNode.get(f).asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
+    val fileNulls = Option(node.get("fileNulls")).map { nNode =>
+      val it = nNode.fieldNames()
+      Iterator.continually(if (it.hasNext) it.next() else null)
+        .takeWhile(_ != null).map { f =>
+          val colsNode = nNode.get(f)
+          val cit = colsNode.fieldNames()
+          f -> Iterator.continually(if (cit.hasNext) cit.next() else null)
+            .takeWhile(_ != null).map(c => c -> colsNode.get(c).asLong()).toMap
+        }.toMap
+    }.getOrElse(Map.empty[String, Map[String, Long]])
     Manifest(c.version, c.partitionCols, c.schemaDdl, files, c.sourceBatchId,
       c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
-      c.minWriter, c.colMap, c.dv, c.partitionSpec, c.txns)
+      c.minWriter, c.colMap, c.dv, c.partitionSpec, c.txns, fileNulls)
   }
 
   /** Apply one DELTA commit to its predecessor's resolved state —
@@ -465,6 +476,14 @@ object TxLog {
           }.toMap
       }
     }.toMap
+    val addNulls = adds.flatMap { e =>
+      Option(e.get("nulls")).map { s =>
+        val cit = s.fieldNames()
+        e.get("f").asText() -> Iterator
+          .continually(if (cit.hasNext) cit.next() else null)
+          .takeWhile(_ != null).map(c => c -> s.get(c).asLong()).toMap
+      }
+    }.toMap
     val kept =
       if (rm.isEmpty && rmFiles.isEmpty) state.files
       else state.files.filterNot(f => rm.contains(dirOf(f)) || rmFiles.contains(f))
@@ -475,7 +494,9 @@ object TxLog {
       else state.fileStats.view.filterKeys(keptSet).toMap ++ addStats,
       state.fileRows.view.filterKeys(keptSet).toMap ++ addRows,
       c.constraints, c.uniques, c.ts, c.minWriter, c.colMap, c.dv,
-      c.partitionSpec, c.txns)
+      c.partitionSpec, c.txns,
+      if (c.statsCols.isEmpty) Map.empty
+      else state.fileNulls.view.filterKeys(keptSet).toMap ++ addNulls)
   }
 
   /** Load a checkpoint's file enumeration (columnar — never one JSON
@@ -492,9 +513,14 @@ object TxLog {
         r.getAs[scala.collection.Map[String, scala.collection.Seq[String]]](2)
           .map { case (c, a) => c -> ((a(0), a(1))) }.toMap)
     }.toMap
+    val fileNulls = rows.flatMap { r =>
+      if (r.isNullAt(3)) None // pre-nulls checkpoint row: fail open
+      else Some(r.getString(0) ->
+        r.getAs[scala.collection.Map[String, Long]](3).toMap)
+    }.toMap
     Manifest(c.version, c.partitionCols, c.schemaDdl, files, c.sourceBatchId,
       c.statsCols, fileStats, fileRows, c.constraints, c.uniques, c.ts,
-      c.minWriter, c.colMap, c.dv, c.partitionSpec, c.txns)
+      c.minWriter, c.colMap, c.dv, c.partitionSpec, c.txns, fileNulls)
   }
 
   /** Resolve the snapshot at `version`: walk back to the nearest
@@ -566,6 +592,11 @@ object TxLog {
         org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.StringType, containsNull = false),
+        valueContainsNull = false), nullable = true),
+    org.apache.spark.sql.types.StructField("nulls",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType,
         valueContainsNull = false), nullable = true),
     org.apache.spark.sql.types.StructField("len",
       org.apache.spark.sql.types.LongType, nullable = true),
@@ -641,7 +672,8 @@ object TxLog {
       org.apache.spark.sql.Row(f,
         m.fileRows.get(f).map(java.lang.Long.valueOf).orNull,
         m.fileStats.get(f)
-          .map(_.map { case (c, (mn, mx)) => c -> Seq(mn, mx) }).orNull)
+          .map(_.map { case (c, (mn, mx)) => c -> Seq(mn, mx) }).orNull,
+        m.fileNulls.get(f).orNull)
     }
     val parts = math.max(1, math.min(64, rows.size / 100000))
     // len/mtime stat IN THE TASKS (one RPC per file, parallelized) —
@@ -658,7 +690,7 @@ object TxLog {
         val p = if (f.startsWith("/") || f.contains("://")) new Path(f)
                 else new Path(new Path(dataRoot), f)
         val st = scala.util.Try(p.getFileSystem(conf).getFileStatus(p)).toOption
-        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2),
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), r.get(3),
           st.map(s => java.lang.Long.valueOf(s.getLen)).orNull,
           st.map(s => java.lang.Long.valueOf(s.getModificationTime)).orNull)
       }
@@ -831,6 +863,13 @@ object TxLog {
       val rNode = node.putObject("fileRows")
       m.fileRows.toSeq.sortBy(_._1).foreach { case (f, n) => rNode.put(f, n) }
     }
+    if (m.fileNulls.nonEmpty) {
+      val nNode = node.putObject("fileNulls")
+      m.fileNulls.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+        val cNode = nNode.putObject(f)
+        cols.toSeq.sortBy(_._1).foreach { case (c, n) => cNode.put(c, n) }
+      }
+    }
     commitAtomic(spark, path, m.version, node)
   }
 
@@ -846,6 +885,7 @@ object TxLog {
                          removeDirs: Set[String], addFiles: Seq[String],
                          addStats: Map[String, Map[String, (String, String)]],
                          addRows: Map[String, Long],
+                         addNulls: Map[String, Map[String, Long]],
                          ts: Long, minWriter: Int,
                          txns: Map[String, Long],
                          removeFiles: Set[String] = Set.empty,
@@ -875,6 +915,10 @@ object TxLog {
         cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
           val a = s.putArray(c); a.add(mn); a.add(mx)
         }
+      }
+      addNulls.get(f).filter(_.nonEmpty).foreach { cols =>
+        val nn = e.putObject("nulls")
+        cols.toSeq.sortBy(_._1).foreach { case (c, n) => nn.put(c, n) }
       }
     }
     commitAtomic(spark, path, version, node)
@@ -1002,7 +1046,7 @@ object TxLog {
                            addDv: Seq[(String, Map[String, Long])] = Nil,
                            txn: Option[(String, Long)] = None): Long = {
     requireWritable(base, path)
-    val (newStats, newRows) = collectStats(spark, path,
+    val (newStats, newRows, newNulls) = collectStats(spark, path,
       physicalize(StructType.fromDDL(schemaDdl), base.colMap),
       base.statsCols, newFiles,
       recoverPartitions = base.partitionSpec.isEmpty)
@@ -1037,8 +1081,8 @@ object TxLog {
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
           schemaDdl, resolvedBatch, attempt.statsCols, attempt.constraints,
           attempt.uniques, operation, rewriteDirs, newFiles, newStats, newRows,
-          ts, txnMinWriter, resolvedTxns, removeFiles, attempt.colMap, dvKept,
-          attempt.partitionSpec)
+          newNulls, ts, txnMinWriter, resolvedTxns, removeFiles,
+          attempt.colMap, dvKept, attempt.partitionSpec)
         // resolve the state this delta produced (same transition
         // applyDelta replays) — warms the cache for the next
         // commit/read and feeds the periodic checkpoint
@@ -1050,7 +1094,9 @@ object TxLog {
           else attempt.fileStats.view.filterKeys(keptSet).toMap ++ newStats,
           attempt.fileRows.view.filterKeys(keptSet).toMap ++ newRows,
           attempt.constraints, attempt.uniques, Some(ts), txnMinWriter,
-          attempt.colMap, dvKept, attempt.partitionSpec, resolvedTxns)
+          attempt.colMap, dvKept, attempt.partitionSpec, resolvedTxns,
+          if (attempt.statsCols.isEmpty) Map.empty
+          else attempt.fileNulls.view.filterKeys(keptSet).toMap ++ newNulls)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return attempt.version + 1
@@ -1212,13 +1258,15 @@ object TxLog {
                            schema: StructType, statsCols: Seq[String],
                            files: Seq[String],
                            recoverPartitions: Boolean = true)
-      : (Map[String, Map[String, (String, String)]], Map[String, Long]) = {
-    if (files.isEmpty) return (Map.empty, Map.empty)
+      : (Map[String, Map[String, (String, String)]], Map[String, Long],
+         Map[String, Map[String, Long]]) = {
+    if (files.isEmpty) return (Map.empty, Map.empty, Map.empty)
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val base = dataDir(path).toString
     val aggs = statsCols.flatMap(c => Seq(
       statsEncode(schema(c).dataType, min(col(c))).as(s"_min_$c"),
-      statsEncode(schema(c).dataType, max(col(c))).as(s"_max_$c"))) :+
+      statsEncode(schema(c).dataType, max(col(c))).as(s"_max_$c"),
+      count(col(c)).as(s"_nn_$c"))) :+
       count(lit(1)).as("_rows")
     // hidden-partitioned tables skip basePath: the dirs spell DERIVED
     // values that are not schema columns (the raw data is complete in
@@ -1256,9 +1304,15 @@ object TxLog {
         val mx = r.getAs[String](s"_max_$c")
         if (mn == null || mx == null) None else Some(c -> ((mn, mx)))
       }.toMap
-      (rel, st, r.getAs[Long]("_rows"))
+      // null counts per tracked column — 0 is the load-bearing value
+      // (it's what lets IS NULL prune the file), so every tracked
+      // column records, not just the ones with nulls
+      val rows = r.getAs[Long]("_rows")
+      val nulls = statsCols.map(c => c -> (rows - r.getAs[Long](s"_nn_$c"))).toMap
+      (rel, st, rows, nulls)
     }
-    (pairs.map(p => p._1 -> p._2).toMap, pairs.map(p => p._1 -> p._3).toMap)
+    (pairs.map(p => p._1 -> p._2).toMap, pairs.map(p => p._1 -> p._3).toMap,
+      pairs.map(p => p._1 -> p._4).toMap)
   }
 
   /** Create a table at `path` as version 1. Fails if a table already
@@ -1305,7 +1359,7 @@ object TxLog {
     statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
       s"TxLog.create: stats column '$c' is not in the schema"))
     val files = stageIn(df, path, layout, transforms)
-    val (stats, rowCounts) =
+    val (stats, rowCounts, nullCounts) =
       collectStats(df.sparkSession, path, df.schema, statsCols, files,
         recoverPartitions = transforms.isEmpty)
     // a dead table recreated at this path must not serve the old
@@ -1313,6 +1367,7 @@ object TxLog {
     cacheInvalidate(df.sparkSession, path)
     val m = Manifest(1L, layout, df.schema.toDDL, files.sorted,
       statsCols = statsCols, fileStats = stats, fileRows = rowCounts,
+      fileNulls = nullCounts,
       ts = Some(System.currentTimeMillis()),
       minWriter =
         if (layout.size >= 2 || transforms.nonEmpty) 2 else 1,
@@ -1439,10 +1494,12 @@ object TxLog {
       s"TxLog.convert: partition column '$c' did not recover from the layout"))
     statsCols.foreach(c => require(schema.fieldNames.contains(c),
       s"TxLog.convert: stats column '$c' is not in the schema"))
-    val (stats, rowCounts) = collectStats(spark, dir, schema, statsCols, files)
+    val (stats, rowCounts, nullCounts) =
+      collectStats(spark, dir, schema, statsCols, files)
     cacheInvalidate(spark, dir)
     val m = Manifest(1L, partitionCols, schema.toDDL, files,
       statsCols = statsCols, fileStats = stats, fileRows = rowCounts,
+      fileNulls = nullCounts,
       ts = Some(System.currentTimeMillis()),
       minWriter = if (partitionCols.size >= 2) 2 else 1)
     writeManifest(spark, dir, m, operation = "CONVERT")
@@ -1490,7 +1547,7 @@ object TxLog {
       layout.foreach(c => require(df.schema.fieldNames.contains(c),
         s"TxLog.createOrReplace: partition column '$c' is not in the schema"))
     val files = stageIn(df, path, layout, transforms)
-    val (stats, rowCounts) =
+    val (stats, rowCounts, nullCounts) =
       collectStats(spark, path, df.schema, statsCols, files,
         recoverPartitions = transforms.isEmpty)
     var retries = 0
@@ -1500,6 +1557,7 @@ object TxLog {
       requireWritable(prev, path)
       val m = Manifest(v + 1, layout, df.schema.toDDL, files.sorted,
         statsCols = statsCols, fileStats = stats, fileRows = rowCounts,
+        fileNulls = nullCounts,
         // the batch watermark carries forward — a replace must not
         // reopen the door to a replayed streaming batch
         sourceBatchId = prev.sourceBatchId,
@@ -1989,7 +2047,7 @@ object TxLog {
           nextChecks, nextUniques, operation,
           removeDirs = Set.empty, addFiles = Nil,
           addStats = Map.empty, addRows = Map.empty,
-          ts = ts, minWriter = nextMinWriter, txns = attempt.txns,
+          addNulls = Map.empty, ts = ts, minWriter = nextMinWriter, txns = attempt.txns,
           colMap = attempt.colMap,
           dv = attempt.dv, partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
@@ -2272,7 +2330,7 @@ object TxLog {
           attempt.schemaDdl, attempt.sourceBatchId, physCols, attempt.constraints,
           attempt.uniques, operation = s"SET STATS COLS ${cols.mkString(", ")}",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
-          addRows = Map.empty, ts = ts, minWriter = attempt.minWriter,
+          addRows = Map.empty, addNulls = Map.empty, ts = ts, minWriter = attempt.minWriter,
           txns = attempt.txns, colMap = attempt.colMap, dv = attempt.dv,
           partitionSpec = attempt.partitionSpec)
         // cols = Nil disables skipping: drop the entries exactly like
@@ -2280,6 +2338,7 @@ object TxLog {
         val resolved = attempt.copy(version = attempt.version + 1,
           statsCols = physCols,
           fileStats = if (cols.isEmpty) Map.empty else attempt.fileStats,
+          fileNulls = if (cols.isEmpty) Map.empty else attempt.fileNulls,
           ts = Some(ts))
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
@@ -2355,7 +2414,7 @@ object TxLog {
           attempt.constraints, newUniques,
           operation = s"RENAME COLUMN $oldName TO $newName",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
-          addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
+          addRows = Map.empty, addNulls = Map.empty, ts = ts, minWriter = nextMinWriter,
           txns = attempt.txns, colMap = newColMap, dv = attempt.dv,
           partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
@@ -2440,7 +2499,7 @@ object TxLog {
           attempt.constraints, attempt.uniques,
           operation = s"ADD COLUMN $name $ddlType",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
-          addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
+          addRows = Map.empty, addNulls = Map.empty, ts = ts, minWriter = nextMinWriter,
           txns = attempt.txns, colMap = newColMap, dv = attempt.dv,
           partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
@@ -2515,7 +2574,7 @@ object TxLog {
           attempt.constraints, attempt.uniques,
           operation = s"DROP COLUMN $name",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
-          addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
+          addRows = Map.empty, addNulls = Map.empty, ts = ts, minWriter = nextMinWriter,
           txns = attempt.txns, colMap = newColMap, dv = attempt.dv,
           partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
@@ -2523,6 +2582,7 @@ object TxLog {
           // mirror applyDelta's replay: an emptied skip-column set
           // drops the per-file entries with it
           fileStats = if (newStats.isEmpty) Map.empty else attempt.fileStats,
+          fileNulls = if (newStats.isEmpty) Map.empty else attempt.fileNulls,
           ts = Some(ts), minWriter = nextMinWriter, colMap = newColMap)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
@@ -2622,7 +2682,7 @@ object TxLog {
           attempt.constraints, attempt.uniques,
           operation = s"ALTER COLUMN $name TYPE $ddlType",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
-          addRows = Map.empty, ts = ts, minWriter = attempt.minWriter,
+          addRows = Map.empty, addNulls = Map.empty, ts = ts, minWriter = attempt.minWriter,
           txns = attempt.txns, colMap = attempt.colMap, dv = attempt.dv,
           partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
@@ -2715,7 +2775,7 @@ object TxLog {
           attempt.constraints, attempt.uniques,
           operation = s"SET PARTITION SPEC ${transforms.map(_.spec).mkString(", ")}",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
-          addRows = Map.empty, ts = ts, minWriter = nextMinWriter,
+          addRows = Map.empty, addNulls = Map.empty, ts = ts, minWriter = nextMinWriter,
           txns = attempt.txns, colMap = attempt.colMap, dv = attempt.dv,
           partitionSpec = transforms.map(_.spec))
         val resolved = attempt.copy(version = attempt.version + 1,
@@ -4294,7 +4354,7 @@ object TxLog {
             m.fileRows.get(f).map(java.lang.Long.valueOf).orNull,
             m.fileStats.get(f)
               .map(_.map { case (c, (lo, hi)) => c -> Seq(lo, hi) }).orNull,
-            null, null)
+            m.fileNulls.get(f).orNull, null, null)
         }
         spark.createDataFrame(
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, ckptSchema)
@@ -4426,7 +4486,7 @@ object TxLog {
       if (isAbsEntry(f)) f else new Path(dataDir(source), f).toString
     def absDv(f: String): String =
       if (isAbsEntry(f)) f else new Path(new Path(source, "_dv"), f).toString
-    val (entries, stats, rowCounts, dvState) =
+    val (entries, stats, rowCounts, dvState, nulls) =
       if (!deep) {
         val es = m.files.map(abs)
         (es, m.fileStats.map { case (k, cols) => abs(k) -> cols },
@@ -4436,7 +4496,8 @@ object TxLog {
           // an absolute entry's suffix equals the relative form's
           m.dv.map { case (f, e) =>
             absDv(f) -> e.map { case (k, n) => abs(k) -> n }
-          })
+          },
+          m.fileNulls.map { case (k, cols) => abs(k) -> cols })
       } else {
         val srcFs = fsFor(spark, source)
         val dstFs = fsFor(spark, target)
@@ -4464,7 +4525,8 @@ object TxLog {
         (m.files.map(copied),
           m.fileStats.flatMap { case (k, cols) => copied.get(k).map(_ -> cols) },
           m.fileRows.flatMap { case (k, n) => copied.get(k).map(_ -> n) },
-          dvCopied)
+          dvCopied,
+          m.fileNulls.flatMap { case (k, cols) => copied.get(k).map(_ -> cols) })
       }
     cacheInvalidate(spark, target)
     // sourceBatchId and txns RESET: the clone is a new table — its
@@ -4478,7 +4540,7 @@ object TxLog {
       fileStats = stats, fileRows = rowCounts, constraints = m.constraints,
       uniques = m.uniques, ts = Some(System.currentTimeMillis()),
       minWriter = m.minWriter, colMap = m.colMap, dv = dvState,
-      partitionSpec = m.partitionSpec)
+      partitionSpec = m.partitionSpec, fileNulls = nulls)
     writeManifest(spark, target, cloneM,
       operation = s"CLONE${if (deep) " DEEP" else ""} $source v$v")
     cachePut(spark, target, cloneM)

@@ -58,7 +58,7 @@ object ScaleCheckIndex {
     def writeCkpt(path: String, n: Int): Unit = {
       val rows = entries(n).zipWithIndex.map { case (f, i) =>
         Row(f, 100L, Map("k" -> Seq((i * 100L).toString, (i * 100L + 99L).toString)),
-          1000000L, 0L)
+          null, 1000000L, 0L)
       }
       spark.createDataFrame(
           spark.sparkContext.parallelize(rows, math.max(1, n / 100000)),

@@ -430,7 +430,8 @@ class TxLogBatchSpec extends SparkSpec {
       assert(new java.io.File(s"$path/_manifests/v4.ckpt").exists,
         "distributed mode should have written the on-demand checkpoint")
       val ck = spark.read.parquet(s"$path/_manifests/v4.ckpt")
-      assert(ck.columns.toSet == Set("f", "rows", "stats", "len", "mtime"))
+      assert(ck.columns.toSet ==
+        Set("f", "rows", "stats", "nulls", "len", "mtime"))
       assert(ck.filter(col("len").isNull).count() == 0,
         "checkpoint len must be statted for every live file")
       // sizeInBytes agrees with the driver walk's stat sum
