@@ -3286,10 +3286,21 @@ object TxLog {
     * CHECK constraints re-vet every written row. Returns the new
     * version (the unchanged current one when nothing matched any
     * clause). */
+  /** `deletionVectors = true` switches the conditional merge to
+    * MERGE-ON-READ: every actioned target row's position lands in a
+    * delete-sized DV sidecar (an UPDATE's old version and a DELETE
+    * both), the updated images and inserts append as new files, and
+    * NO existing file rewrites — write cost is actioned ROWS, not
+    * matched FILES. The winner when a few keys change inside big
+    * files; with a NOT MATCHED BY SOURCE clause it is the difference
+    * between a whole-table rewrite and a delete-sized sidecar. Same
+    * DV trade as [[deleteWhere]]: per-read anti-join until OPTIMIZE
+    * materializes. */
   def mergeWhen(path: String, source: DataFrame, keys: Seq[String],
                 matched: Seq[MergeClause] = Nil,
                 notMatched: Seq[MergeClause] = Nil,
-                notMatchedBySource: Seq[MergeClause] = Nil): Long = {
+                notMatchedBySource: Seq[MergeClause] = Nil,
+                deletionVectors: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, max, min, struct, when}
     val spark = source.sparkSession
     require(keys.nonEmpty, "TxLog.mergeWhen: empty key set")
@@ -3350,19 +3361,6 @@ object TxLog {
         }
       } else m.files
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val hitFiles: Set[String] =
-      if (discoveryFiles.isEmpty || matched.isEmpty) Set.empty
-      else {
-        val resolve = entryResolver(m.files)
-        readFiles(spark, path, declared, discoveryFiles, m.colMap, m.dv,
-            keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
-          .select(keys.map(col) :+ col("_dv_key").as("_gf"): _*)
-          .join(srcKeys, keys, "left_semi")
-          .select("_gf").distinct().collect().map(r => resolve(r.getString(0)))
-          .toSet
-      }
-    val scopeFiles: Set[String] =
-      if (notMatchedBySource.nonEmpty) m.files.toSet else hitFiles
     val srcStructed = source.select(
       keys.map(col) :+ struct(source.columns.map(col): _*).as("src"): _*)
     def clauseCond(c: MergeClause): org.apache.spark.sql.Column =
@@ -3370,9 +3368,6 @@ object TxLog {
     // disposition: first-true clause index; -1 = carry unchanged.
     // matched and not-matched-by-source branches are disjoint on
     // src's nullness, so one chain serves both
-    val scopeRows = readFiles(spark, path, declared, scopeFiles.toSeq,
-      m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
-    val joined = scopeRows.join(srcStructed, keys.toSeq, "left_outer")
     val actions: Seq[(Int, MergeClause, org.apache.spark.sql.Column)] =
       matched.zipWithIndex.map { case (c, i) =>
         (i, c, col("src").isNotNull && clauseCond(c)) } ++
@@ -3382,11 +3377,9 @@ object TxLog {
       case ((i, _, cond), rest) => when(cond, lit(i)).otherwise(rest)
     }
     val deletes = actions.collect { case (i, c, _) if c.action == "delete" => i }
-    val acted = joined.withColumn("_act", actCol)
-    val rewritten =
-      (if (deletes.isEmpty) acted
-       else acted.filter(!col("_act").isInCollection(deletes)))
-      .select(declared.fields.map { f =>
+    val updateIdx = actions.collect { case (i, c, _) if c.action == "update" => i }
+    def applyUpdates(df: DataFrame): DataFrame =
+      df.select(declared.fields.map { f =>
         actions.collect { case (i, c, _) if c.action == "update" =>
           c.sets.find(_._1 == f.name).map(s => (i, s._2))
         }.flatten.foldRight(col(f.name)) { case ((i, setExpr), rest) =>
@@ -3405,17 +3398,96 @@ object TxLog {
         .filter(clauseCond(c))
         .select(declared.fieldNames.map(col).toSeq: _*)
     }
-    if (scopeFiles.isEmpty && inserts.isEmpty) return v // no-op
-    val written = inserts.fold(rewritten)(rewritten.unionByName(_))
-    enforceConstraints(written, m.constraints, "mergeWhen")
     val partNullCols =
       if (m.partitionSpec.isEmpty) m.partitionCols
       else transformsOf(m).map(_.src)
-    if (partNullCols.nonEmpty)
-      require(written.filter(partNullCols.map(col(_).isNull).reduce(_ || _))
-        .limit(1).collect().isEmpty,
-        s"TxLog.mergeWhen: null ${partNullCols.mkString("/")} values are " +
-          "not supported — merge them under an explicit sentinel instead")
+    def vetWritten(written: DataFrame, op: String): Unit = {
+      enforceConstraints(written, m.constraints, op)
+      if (partNullCols.nonEmpty)
+        require(written.filter(partNullCols.map(col(_).isNull).reduce(_ || _))
+          .limit(1).collect().isEmpty,
+          s"TxLog.$op: null ${partNullCols.mkString("/")} values are " +
+            "not supported — merge them under an explicit sentinel instead")
+    }
+    if (deletionVectors) {
+      // MERGE-ON-READ: one scan of the scope materializes every
+      // ACTIONED row with its position (the updateWhere(dv) pattern);
+      // the DV and the updated images both derive from that single
+      // materialization — no file rewrites at all
+      val scanFiles: Seq[String] =
+        if (notMatchedBySource.nonEmpty) m.files else discoveryFiles
+      if (scanFiles.isEmpty && inserts.isEmpty) return v // no-op
+      val tmp = new Path(path,
+        s"_tmp_update_${java.util.UUID.randomUUID().toString.take(12)}")
+      val fsx = fsFor(spark, path)
+      try {
+        if (scanFiles.nonEmpty)
+          readFiles(spark, path, declared, scanFiles, m.colMap, m.dv,
+              keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
+            .join(srcStructed, keys.toSeq, "left_outer")
+            .withColumn("_act", actCol)
+            .filter(col("_act") =!= -1)
+            .write.parquet(tmp.toString)
+        val actioned: Option[DataFrame] =
+          if (scanFiles.isEmpty) None
+          else Some(spark.read.parquet(tmp.toString))
+        val images: Option[DataFrame] =
+          if (updateIdx.isEmpty) None
+          else actioned.map(a =>
+            applyUpdates(a.filter(col("_act").isInCollection(updateIdx))))
+        val written: Option[DataFrame] = (images.toSeq ++ inserts.toSeq)
+          .reduceOption(_ unionByName _)
+        written.foreach(vetWritten(_, "mergeWhen(dv)"))
+        val addDv: Seq[(String, Map[String, Long])] =
+          if (actioned.forall(_.isEmpty)) Nil
+          else {
+            val dvName = java.util.UUID.randomUUID().toString.take(12) + ".dv"
+            actioned.get.select(col("_dv_key").as("f"),
+                col("_dv_idx").cast("long").as("row_index"))
+              .write.parquet(dvPath(path, dvName))
+            val perKey = spark.read.parquet(dvPath(path, dvName)).groupBy("f")
+              .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+              .collect().map(r => r.getString(0) -> r.getLong(1))
+            val bySuffix = m.files.map(f => relEntry(f) -> f).toMap
+            Seq(dvName -> perKey.map { case (suffix, n) =>
+              bySuffix.get(suffix)
+                .orElse(bySuffix.get(java.net.URLDecoder.decode(suffix, "UTF-8")))
+                .getOrElse(throw new IllegalStateException(
+                  s"TxLog.mergeWhen(dv): scan key '$suffix' does not map " +
+                    "back to any manifest entry")) -> n
+            }.toMap)
+          }
+        val staged = written.map(w => stageIn(toPhysical(w, m.colMap), path,
+          physPartCols(m), transformsOf(m))).getOrElse(Nil)
+        if (addDv.isEmpty && staged.isEmpty) return v // nothing matched
+        return commitRebase(spark, path, m, rewriteDirs = Set.empty,
+          newFiles = staged, schemaDdl = m.schemaDdl, batchId = None,
+          readSet = None, operation = "MERGE WHEN (DV)", addDv = addDv)
+      } finally fsx.delete(tmp, true)
+    }
+    val hitFiles: Set[String] =
+      if (discoveryFiles.isEmpty || matched.isEmpty) Set.empty
+      else {
+        val resolve = entryResolver(m.files)
+        readFiles(spark, path, declared, discoveryFiles, m.colMap, m.dv,
+            keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
+          .select(keys.map(col) :+ col("_dv_key").as("_gf"): _*)
+          .join(srcKeys, keys, "left_semi")
+          .select("_gf").distinct().collect().map(r => resolve(r.getString(0)))
+          .toSet
+      }
+    val scopeFiles: Set[String] =
+      if (notMatchedBySource.nonEmpty) m.files.toSet else hitFiles
+    val scopeRows = readFiles(spark, path, declared, scopeFiles.toSeq,
+      m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
+    val acted = scopeRows.join(srcStructed, keys.toSeq, "left_outer")
+      .withColumn("_act", actCol)
+    val rewritten = applyUpdates(
+      if (deletes.isEmpty) acted
+      else acted.filter(!col("_act").isInCollection(deletes)))
+    if (scopeFiles.isEmpty && inserts.isEmpty) return v // no-op
+    val written = inserts.fold(rewritten)(rewritten.unionByName(_))
+    vetWritten(written, "mergeWhen")
     val newFiles = stageIn(toPhysical(written, m.colMap), path,
       physPartCols(m), transformsOf(m))
     commitRebase(spark, path, m, rewriteDirs = Set.empty,

@@ -29,6 +29,7 @@ import graft.tables.Tables
   *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET <a = e[, ...]> | DELETE]...
   *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT]
   *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]...
+  *     [USING DELETION VECTORS]
   *     -- conditions/SETs see target columns + the source row as `src.<col>`
   *   TXLOG DELETE FROM '<path>' WHERE <condition> [USING DELETION VECTORS]
   *   TXLOG UPDATE '<path>' SET <c1> = <expr1>[, <c2> = <expr2>...] WHERE <condition> [USING DELETION VECTORS]
@@ -215,11 +216,16 @@ object Sql {
         reg(); asDf(v)
       case AppendRe(path, select) =>
         asDf(graft.storage.TxLog.append(spark.sql(select), rt(path)))
-      case MergeWhenRe(path, keys, select, whenTail) =>
+      case MergeWhenRe(path, keys, select, whenTail0) =>
+        val DvSuffix = """(?is)(.*?)\s+USING\s+DELETION\s+VECTORS\s*$""".r
+        val (whenTail, dv) = whenTail0 match {
+          case DvSuffix(t) => (t, true)
+          case t => (t, false)
+        }
         val (matched, notMatched, nms) = parseWhenClauses(whenTail)
         asDf(graft.storage.TxLog.mergeWhen(rt(path), spark.sql(select),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-          matched, notMatched, nms))
+          matched, notMatched, nms, deletionVectors = dv))
       case MergeRe(path, keys, select) =>
         asDf(graft.storage.TxLog.mergeInto(rt(path), spark.sql(select),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq))

@@ -133,6 +133,80 @@ class TxLogMergeWhenSpec extends SparkSpec {
       s"DV-deleted row must not resurrect its old version, got $out")
   }
 
+  test("DV mode: same dispositions, zero file rewrites, delete-sized sidecar") {
+    val path = freshPath("dvmode")
+    seed(path)
+    val filesBefore = TxLog.manifest(spark, path, 1L).files.toSet
+    val src = Seq((1L, "upd", 15.0), (2L, "upd", -1.0),
+      (3L, "upd", 5.0), (9L, "new", 90.0)).toDF("k", "status", "amt")
+    TxLog.mergeWhen(path, src, Seq("k"),
+      matched = Seq(
+        MergeClause(Some("src.amt < 0"), "delete"),
+        MergeClause(Some("src.amt > amt"), "update",
+          Seq("amt" -> "src.amt", "status" -> "src.status"))),
+      notMatched = Seq(MergeClause(None, "insert")),
+      deletionVectors = true)
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(filesBefore.subsetOf(m.files.toSet),
+      "DV merge must carry every original file by reference")
+    assert(m.dv.nonEmpty, "the actioned rows must land as a DV sidecar")
+    val out = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "upd", 15.0), (3L, "open", 30.0),
+      (4L, "hold", 40.0), (9L, "new", 90.0)),
+      s"DV-mode dispositions diverged: $out")
+  }
+
+  test("DV mode NMS: the sync shape without the whole-table rewrite") {
+    val path = freshPath("dvnms")
+    seed(path)
+    val filesBefore = TxLog.manifest(spark, path, 1L).files.toSet
+    TxLog.mergeWhen(path,
+      Seq((1L, "keep", 11.0), (9L, "new", 90.0)).toDF("k", "status", "amt"),
+      Seq("k"),
+      matched = Seq(MergeClause(None, "update",
+        Seq("status" -> "src.status", "amt" -> "src.amt"))),
+      notMatched = Seq(MergeClause(None, "insert")),
+      notMatchedBySource = Seq(MergeClause(None, "delete")),
+      deletionVectors = true)
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(filesBefore.subsetOf(m.files.toSet),
+      "NMS under DV mode must not rewrite the table")
+    val out = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "keep", 11.0), (9L, "new", 90.0)), s"got $out")
+    // rewrite-mode parity on a fresh copy: identical result
+    val path2 = freshPath("dvnms_rw")
+    seed(path2)
+    TxLog.mergeWhen(path2,
+      Seq((1L, "keep", 11.0), (9L, "new", 90.0)).toDF("k", "status", "amt"),
+      Seq("k"),
+      matched = Seq(MergeClause(None, "update",
+        Seq("status" -> "src.status", "amt" -> "src.amt"))),
+      notMatched = Seq(MergeClause(None, "insert")),
+      notMatchedBySource = Seq(MergeClause(None, "delete")))
+    assert(TxLog.read(spark, path2).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq == out,
+      "rewrite and DV modes must read identically")
+  }
+
+  test("SQL verb: USING DELETION VECTORS suffix routes to the DV engine") {
+    val path = freshPath("dvsql")
+    seed(path)
+    val filesBefore = TxLog.manifest(spark, path, 1L).files.toSet
+    Seq((2L, "s", 99.0)).toDF("k", "status", "amt")
+      .createOrReplaceTempView("mw_dvsrc")
+    graft.tools.Sql.exec(spark,
+      s"""TXLOG MERGE INTO '$path' ON k USING (SELECT * FROM mw_dvsrc)
+         |WHEN MATCHED THEN UPDATE SET amt = src.amt
+         |USING DELETION VECTORS""".stripMargin)
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(filesBefore.subsetOf(m.files.toSet) && m.dv.nonEmpty)
+    assert(TxLog.read(spark, path).filter(col("k") === 2L)
+      .select("amt").as[Double].head() == 99.0)
+  }
+
   test("refusals: duplicate source keys, layout SET, unknown SET, partial INSERT source") {
     val path = freshPath("refuse")
     TxLog.create(Seq((1L, "a", 1.0)).toDF("k", "p", "amt"), path, Some("p"))
