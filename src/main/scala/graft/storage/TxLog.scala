@@ -3100,12 +3100,16 @@ object TxLog {
   def mergeInto(path: String, updates: DataFrame, keys: Seq[String],
                 preValidated: Boolean = false,
                 evolveSchema: Boolean = false,
-                deletionVectors: Boolean = false): Long = {
+                deletionVectors: Boolean = false,
+                txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
     val spark = updates.sparkSession
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
+    // per-app idempotency lane (see [[appendTxn]]): a replayed CDC
+    // apply skips before staging anything
+    if (txn.exists { case (a, tv) => m.txns.get(a).exists(_ >= tv) }) return v
     requireWritable(m, path)
     val pcs = m.partitionCols
     require(pcs.nonEmpty,
@@ -3214,7 +3218,7 @@ object TxLog {
         physPartCols(m), transformsOf(m))
       return commitRebase(spark, path, m, rewriteDirs = Set.empty,
         newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
-        readSet = None, operation = "MERGE (DV)", addDv = addDv)
+        readSet = None, operation = "MERGE (DV)", addDv = addDv, txn = txn)
     }
     // the file key is the _dv_key column, not input_file_name():
     // computed inside each single-source scan, it survives the DV
@@ -3241,7 +3245,7 @@ object TxLog {
     // winner's rows — recompute and re-merge
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
-      readSet = None, operation = "MERGE", removeFiles = hitFiles)
+      readSet = None, operation = "MERGE", removeFiles = hitFiles, txn = txn)
   }
 
   /** One WHEN clause of [[mergeWhen]]. `condition` is a SQL boolean
@@ -3300,7 +3304,8 @@ object TxLog {
                 matched: Seq[MergeClause] = Nil,
                 notMatched: Seq[MergeClause] = Nil,
                 notMatchedBySource: Seq[MergeClause] = Nil,
-                deletionVectors: Boolean = false): Long = {
+                deletionVectors: Boolean = false,
+                txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, max, min, struct, when}
     val spark = source.sparkSession
     require(keys.nonEmpty, "TxLog.mergeWhen: empty key set")
@@ -3315,6 +3320,10 @@ object TxLog {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
+    // per-app idempotency lane (see [[appendTxn]]); note a merge whose
+    // clauses all no-op returns WITHOUT recording the watermark — the
+    // replay no-ops identically, so exactly-once still holds
+    if (txn.exists { case (a, tv) => m.txns.get(a).exists(_ >= tv) }) return v
     requireWritable(m, path)
     val declared = StructType.fromDDL(m.schemaDdl)
     require(!declared.fieldNames.contains("src"),
@@ -3462,7 +3471,8 @@ object TxLog {
         if (addDv.isEmpty && staged.isEmpty) return v // nothing matched
         return commitRebase(spark, path, m, rewriteDirs = Set.empty,
           newFiles = staged, schemaDdl = m.schemaDdl, batchId = None,
-          readSet = None, operation = "MERGE WHEN (DV)", addDv = addDv)
+          readSet = None, operation = "MERGE WHEN (DV)", addDv = addDv,
+          txn = txn)
       } finally fsx.delete(tmp, true)
     }
     val hitFiles: Set[String] =
@@ -3492,7 +3502,8 @@ object TxLog {
       physPartCols(m), transformsOf(m))
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
-      readSet = None, operation = "MERGE WHEN", removeFiles = scopeFiles)
+      readSet = None, operation = "MERGE WHEN", removeFiles = scopeFiles,
+      txn = txn)
   }
 
   /** Up to `limit` distinct values of `colName` in `df`, or Nil when
@@ -3943,12 +3954,15 @@ object TxLog {
     * plus `_change_type`. Applying `changes(src, a, b)` to a replica
     * of version a reproduces version b exactly (spec-pinned). */
   def applyChanges(path: String, feed: DataFrame, keys: Seq[String],
-                   preValidated: Boolean = false): Long = {
+                   preValidated: Boolean = false,
+                   txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.col
     val spark = feed.sparkSession
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
+    // per-app idempotency lane: a replayed feed window skips whole
+    if (txn.exists { case (a, tv) => m.txns.get(a).exists(_ >= tv) }) return v
     val pcs = m.partitionCols
     require(pcs.nonEmpty,
       "TxLog.applyChanges needs a partitioned table (create with partitionCol[s])")
@@ -3993,7 +4007,8 @@ object TxLog {
     val newFiles = stageIn(toPhysical(merged, m.colMap), path, physPartCols(m), transformsOf(m))
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
-      readSet = None, operation = "APPLY CHANGES", removeFiles = hitFiles)
+      readSet = None, operation = "APPLY CHANGES", removeFiles = hitFiles,
+      txn = txn)
   }
 
   /** The directory name Spark's partitioned writer produces for a

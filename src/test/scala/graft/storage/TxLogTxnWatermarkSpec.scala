@@ -156,6 +156,45 @@ class TxLogTxnWatermarkSpec extends SparkSpec {
     assert(rows == Seq(("backfill", 7L), ("nightly", 42L)))
   }
 
+  test("merge verbs and applyChanges ride the same lanes: replayed CDC windows skip") {
+    val path = freshPath("cdc")
+    TxLog.create(Seq((1L, "p", 10.0), (2L, "p", 20.0)).toDF("k", "part", "amt"),
+      path, Some("part"))
+    val upd = Seq((1L, "p", 11.0), (3L, "p", 30.0)).toDF("k", "part", "amt")
+    TxLog.mergeInto(path, upd, Seq("k"), txn = Some("cdc" -> 1L))
+    val after = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(after == Seq((1L, "p", 11.0), (2L, "p", 20.0), (3L, "p", 30.0)))
+    val headV = TxLog.currentVersion(spark, path).get
+    // crash replay of the same window: no new version, same rows
+    assert(TxLog.mergeInto(path, upd, Seq("k"), txn = Some("cdc" -> 1L)) == headV)
+    assert(TxLog.read(spark, path).count() == 3)
+    // mergeWhen on the next window commits; its replay skips
+    TxLog.mergeWhen(path, Seq((2L, "p", 99.0)).toDF("k", "part", "amt"),
+      Seq("k"),
+      matched = Seq(TxLog.MergeClause(None, "update", Seq("amt" -> "src.amt"))),
+      txn = Some("cdc" -> 2L))
+    val v2 = TxLog.currentVersion(spark, path).get
+    assert(TxLog.mergeWhen(path, Seq((2L, "p", 77.0)).toDF("k", "part", "amt"),
+      Seq("k"),
+      matched = Seq(TxLog.MergeClause(None, "update", Seq("amt" -> "src.amt"))),
+      txn = Some("cdc" -> 2L)) == v2, "replayed window must not re-apply")
+    assert(TxLog.read(spark, path).filter(col("k") === 2L)
+      .select("amt").as[Double].head() == 99.0)
+    // applyChanges: a replayed feed window skips whole
+    val feed = Seq((3L, "p", 33.0, "update"), (2L, "p", 0.0, "delete"))
+      .toDF("k", "part", "amt", "_change_type")
+    TxLog.applyChanges(path, feed, Seq("k"), txn = Some("relay" -> 10L))
+    val v3 = TxLog.currentVersion(spark, path).get
+    assert(TxLog.applyChanges(path, feed, Seq("k"),
+      txn = Some("relay" -> 10L)) == v3)
+    assert(TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "p", 11.0), (3L, "p", 33.0)))
+    assert(TxLog.txnVersion(spark, path, "cdc").contains(2L))
+    assert(TxLog.txnVersion(spark, path, "relay").contains(10L))
+  }
+
   test("constraints still vet idempotent appends") {
     val path = freshPath("check")
     TxLog.create(Seq((1L, "x")).toDF("k", "src"), path)
