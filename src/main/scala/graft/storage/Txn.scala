@@ -38,6 +38,12 @@ object Txn {
   final case class Delete(path: String, condition: Column) extends Op
   final case class Update(path: String, set: Seq[(String, String)],
                           condition: Column) extends Op
+  final case class MergeWhen(path: String, source: DataFrame,
+                             keys: Seq[String],
+                             matched: Seq[TxLog.MergeClause] = Nil,
+                             notMatched: Seq[TxLog.MergeClause] = Nil,
+                             notMatchedBySource: Seq[TxLog.MergeClause] = Nil)
+    extends Op
 
   final class TxnFailedException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)
@@ -155,6 +161,8 @@ object Txn {
           case Merge(p, u, k) => TxLog.mergeInto(p, u, k)
           case Delete(p, c) => TxLog.deleteWhere(spark, p, c)
           case Update(p, s, c) => TxLog.updateWhere(spark, p, s, c)
+          case MergeWhen(p, src, k, mm, nm, nms) =>
+            TxLog.mergeWhen(p, src, k, mm, nm, nms)
         }
         versions += v
         entries = entries.map(e =>

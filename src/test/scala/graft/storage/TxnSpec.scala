@@ -34,6 +34,35 @@ class TxnSpec extends SparkSpec {
       "a committed transaction leaves no journal")
   }
 
+  test("conditional merge inside a transaction: sync + append land or compensate together") {
+    val root = freshRoot("mw")
+    val t1 = s"$root/t1"; val t2 = s"$root/t2"
+    TxLog.create(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt"), t1)
+    TxLog.create(Seq((1L, "log")).toDF("k", "note"), t2)
+    val versions = Txn.transact(spark, root, Seq(
+      Txn.MergeWhen(t1, Seq((1L, 11.0), (9L, 90.0)).toDF("k", "amt"),
+        Seq("k"),
+        matched = Seq(TxLog.MergeClause(None, "update", Seq("amt" -> "src.amt"))),
+        notMatched = Seq(TxLog.MergeClause(None, "insert")),
+        notMatchedBySource = Seq(TxLog.MergeClause(None, "delete"))),
+      Txn.Append(t2, Seq((2L, "synced")).toDF("k", "note"))))
+    assert(versions == Seq(2L, 2L))
+    assert(TxLog.read(spark, t1).orderBy("k").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 11.0), (9L, 90.0)))
+    assert(TxLog.read(spark, t2).count() == 2)
+    // failing second op compensates the landed merge
+    intercept[Txn.TxnFailedException] {
+      Txn.transact(spark, root, Seq(
+        Txn.MergeWhen(t1, Seq((1L, 99.0)).toDF("k", "amt"), Seq("k"),
+          matched = Seq(TxLog.MergeClause(None, "update",
+            Seq("amt" -> "src.amt")))),
+        Txn.Append(t2, Seq((3L, "x")).toDF("k", "WRONG_COL"))))
+    }
+    assert(TxLog.read(spark, t1).filter(col("k") === 1L)
+      .select("amt").as[Double].head() == 11.0,
+      "the compensated merge must roll back")
+  }
+
   test("failure compensates: the committed table restores to its pre-txn head") {
     val root = freshRoot("comp")
     val t1 = s"$root/t1"; val t2 = s"$root/t2"
