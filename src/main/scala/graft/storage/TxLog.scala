@@ -4474,6 +4474,17 @@ object TxLog {
         val lut = map(renames.flatMap { case (l, p) => Seq(lit(p), lit(l)) }: _*)
         transform_keys(statsCol0, (k, _) => coalesce(element_at(lut, k), k))
       }
+    // null counts are keyed physical like the range stats — same
+    // logical-name translation, same tombstone filtering
+    val nullsCol0 =
+      if (tombstoned.isEmpty) col("nulls")
+      else map_filter(col("nulls"), (k, _) => !k.isin(tombstoned.toSeq: _*))
+    val nullsCol =
+      if (renames.isEmpty) nullsCol0
+      else {
+        val lut = map(renames.flatMap { case (l, p) => Seq(lit(p), lit(l)) }: _*)
+        transform_keys(nullsCol0, (k, _) => coalesce(element_at(lut, k), k))
+      }
     withDv.select(
       col("f").as("file"),
       when(col("f").contains("/"),
@@ -4482,7 +4493,8 @@ object TxLog {
       col("len").as("size_bytes"),
       col("mtime"),
       col("dv_deleted_rows"),
-      statsCol.as("stats"))
+      statsCol.as("stats"),
+      nullsCol.as("null_counts"))
   }
 
   /** The newest version committed AT OR BEFORE `tsMillis` — the

@@ -31,9 +31,12 @@ class TxLogFilesSpec extends SparkSpec {
       Set("part=p1", "part=p2"))
     // metadata row counts sum to the table count without reading data
     assert(inv.map(_.getAs[Long]("rows")).sum == 3L)
-    // skip stats ride along per file
+    // skip stats ride along per file — range entries AND null counts
     assert(inv.forall(r =>
       r.getAs[Map[String, Seq[String]]]("stats").contains("k")))
+    assert(inv.forall(r =>
+      r.getAs[Map[String, Long]]("null_counts").get("k").contains(0L)),
+      "tracked columns surface their per-file null counts")
     assert(inv.forall(_.getAs[Long]("dv_deleted_rows") == 0L))
     // a DV delete surfaces per-file outstanding counts
     TxLog.deleteWhere(spark, path, col("k") === 1L, deletionVectors = true)
@@ -80,6 +83,10 @@ class TxLogFilesSpec extends SparkSpec {
       val s = r.getAs[Map[String, Seq[String]]]("stats")
       s.contains("id") && !s.contains("k") && s.contains("score")
     }, "renamed stats key must surface under the LOGICAL name")
+    assert(inv.forall { r =>
+      val nn = r.getAs[Map[String, Long]]("null_counts")
+      nn.contains("id") && !nn.contains("k")
+    }, "null counts translate across renames too")
     TxLog.dropColumn(spark, path, "score")
     val afterDrop = TxLog.files(spark, path).collect()
     assert(afterDrop.forall { r =>
