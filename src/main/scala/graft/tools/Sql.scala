@@ -23,7 +23,7 @@ import graft.tables.Tables
   *
   *   TXLOG CREATE [OR REPLACE] '<path>' [PARTITION BY <c1[,c2...]>] AS <select>
   *   TXLOG CREATE '<path>' HIDDEN PARTITION BY <days(ts)|bucket(n,c)|...> AS <select>
-  *   TXLOG APPEND INTO '<path>' <select>
+  *   TXLOG APPEND INTO '<path>' [TXN ('<appId>', <n>)] <select>  -- TXN = idempotent lane
   *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>
   *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING (<select>)
   *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET <a = e[, ...]> | DELETE]...
@@ -66,6 +66,8 @@ object Sql {
     """(?is)\s*TXLOG\s+CREATE\s+'([^']+)'\s+HIDDEN\s+PARTITION\s+BY\s+(.+?)\s+AS\s+(.+)""".r
   private val CreateRe =
     """(?is)\s*TXLOG\s+CREATE\s+'([^']+)'\s*(?:PARTITION\s+BY\s+(\w+(?:\s*,\s*\w+)*)\s+)?AS\s+(.+)""".r
+  private val AppendTxnRe =
+    """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+TXN\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*\)\s+(.+)""".r
   private val AppendRe =
     """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+(.+)""".r
   private val MergeWhenRe =
@@ -214,6 +216,9 @@ object Sql {
           partitionCols = Option(part).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
         reg(); asDf(v)
+      case AppendTxnRe(path, appId, txnV, select) =>
+        asDf(graft.storage.TxLog.appendTxn(spark.sql(select), rt(path),
+          appId, txnV.toLong))
       case AppendRe(path, select) =>
         asDf(graft.storage.TxLog.append(spark.sql(select), rt(path)))
       case MergeWhenRe(path, keys, select, whenTail0) =>

@@ -146,6 +146,22 @@ class TxLogTxnWatermarkSpec extends SparkSpec {
     assert(TxLog.txnVersion(spark, path, "stream_b").exists(_ >= 1L))
   }
 
+  test("SQL verb: TXLOG APPEND INTO ... TXN replays idempotently") {
+    val path = freshPath("sqltxn")
+    TxLog.create(Seq((1L, "x")).toDF("k", "src"), path)
+    Seq((2L, "y")).toDF("k", "src").createOrReplaceTempView("txn_src")
+    val stmt =
+      s"TXLOG APPEND INTO '$path' TXN ('sqlapp', 1) SELECT * FROM txn_src"
+    graft.tools.Sql.exec(spark, stmt)
+    graft.tools.Sql.exec(spark, stmt) // the crash replay
+    assert(TxLog.read(spark, path).count() == 2, "replay must not double-append")
+    assert(TxLog.txnVersion(spark, path, "sqlapp").contains(1L))
+    // the plain APPEND form still dispatches (no regex shadowing)
+    graft.tools.Sql.exec(spark,
+      s"TXLOG APPEND INTO '$path' SELECT * FROM txn_src")
+    assert(TxLog.read(spark, path).count() == 3)
+  }
+
   test("SQL: graft_txlog_txns lists the lanes") {
     val path = freshPath("tvf")
     TxLog.create(Seq((1L, "x")).toDF("k", "src"), path)
