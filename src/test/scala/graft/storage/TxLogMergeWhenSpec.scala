@@ -235,6 +235,49 @@ class TxLogMergeWhenSpec extends SparkSpec {
     }
   }
 
+  test("conditional merge through a RENAME: clauses address the logical name") {
+    val path = freshPath("renamed")
+    seed(path)
+    TxLog.renameColumn(spark, path, "amt", "amount")
+    TxLog.mergeWhen(path,
+      Seq((1L, "s", 15.0), (9L, "s", 90.0)).toDF("k", "status", "amount"),
+      Seq("k"),
+      matched = Seq(MergeClause(Some("src.amount > amount"), "update",
+        Seq("amount" -> "src.amount"))),
+      notMatched = Seq(MergeClause(None, "insert")))
+    val out = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "open", 15.0), (2L, "open", 20.0),
+      (3L, "open", 30.0), (4L, "hold", 40.0), (9L, "s", 90.0)),
+      s"renamed-table merge diverged: $out")
+    // the files still spell the PHYSICAL name — the logical is a view
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(m.colMap.exists { case (l, p) => l == "amount" && p == "amt" })
+  }
+
+  test("conditional merge on a HIDDEN-partitioned table restages through the derived layout") {
+    val path = freshPath("hidden")
+    TxLog.create(Seq((1L, 10.0), (2L, 20.0), (17L, 30.0)).toDF("k", "amt")
+      .coalesce(1), path, hiddenPartitions = Seq("bucket(4, k)"))
+    TxLog.mergeWhen(path,
+      Seq((1L, 11.0), (9L, 90.0)).toDF("k", "amt"), Seq("k"),
+      matched = Seq(MergeClause(None, "update", Seq("amt" -> "src.amt"))),
+      notMatched = Seq(MergeClause(None, "insert")))
+    val out = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 11.0), (2L, 20.0), (9L, 90.0), (17L, 30.0)),
+      s"hidden-table merge diverged: $out")
+    // rewritten and inserted rows landed in derived bucket dirs
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(m.files.forall(_.startsWith("_bucket_k=")), m.files.mkString(","))
+    // SET on the transform source refuses (the layout key's type and
+    // value derive the directory)
+    intercept[IllegalArgumentException] {
+      TxLog.mergeWhen(path, Seq((1L, 0.0)).toDF("k", "amt"), Seq("k"),
+        matched = Seq(MergeClause(None, "update", Seq("k" -> "src.k"))))
+    }
+  }
+
   test("CHECK constraints re-vet the written rows") {
     val path = freshPath("check")
     seed(path)

@@ -95,6 +95,20 @@ class TxLogNullStatsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.txlog.checkpointInterval")
   }
 
+  test("null votes follow a RENAME: the logical filter keys the physical counts") {
+    val path = freshPath("renamed")
+    seed(path)
+    TxLog.renameColumn(spark, path, "v", "value")
+    val mounted = spark.read.format("graft-txlog").option("path", path).load()
+    val isNull = mounted.filter(col("value").isNull)
+    assert(isNull.count() == 3)
+    assert(plannedFiles(isNull) == 2,
+      "IS NULL on the renamed column must still prune by the physical counts")
+    val cmp = mounted.filter(col("value") > 0.0)
+    assert(plannedFiles(cmp) == 2 && cmp.count() == 3,
+      "the all-null file must still prune through the rename")
+  }
+
   test("disabling stats drops the counts; untracked columns never vote") {
     val path = freshPath("off")
     seed(path)
