@@ -1602,6 +1602,28 @@ object TxLog {
     readFiles(spark, path, StructType.fromDDL(m.schemaDdl), m.files, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
   }
 
+  /** [[read]] plus the row-POSITION metadata columns: `_file` (the
+    * data-root-relative entry suffix) and `_pos` (the row's ordinal
+    * within its file) — exactly the (file, position) identity
+    * deletion vectors key on, surfaced for debugging, deterministic
+    * sampling, and external DV computation. Positions of a COMMITTED
+    * file are stable (DV deletes filter rows without renumbering the
+    * survivors); a rewrite renumbers — this identifies (file, row),
+    * it is not a durable row id. */
+  def readWithPosition(spark: SparkSession, path: String,
+                       version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    readFiles(spark, path, StructType.fromDDL(m.schemaDdl), m.files,
+        m.colMap, m.dv, keepDvKey = true,
+        recoverPartitions = m.partitionSpec.isEmpty)
+      .withColumn("_pos", col("_dv_idx").cast("long"))
+      .withColumnRenamed("_dv_key", "_file")
+      .drop("_dv_idx")
+  }
+
   /** Plan a read over an explicit file list under this table's data
     * dir, returning the DECLARED schema (shared by [[read]] and
     * [[appendsSince]]). */

@@ -24,7 +24,7 @@ import graft.tables.Tables
   *   TXLOG CREATE [OR REPLACE] '<path>' [PARTITION BY <c1[,c2...]>] AS <select>
   *   TXLOG CREATE '<path>' HIDDEN PARTITION BY <days(ts)|bucket(n,c)|...> AS <select>
   *   TXLOG APPEND INTO '<path>' [TXN ('<appId>', <n>)] <select>  -- TXN = idempotent lane
-  *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>
+  *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select> [USING DELETION VECTORS]
   *   TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING (<select>)
   *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET <a = e[, ...]> | DELETE]...
   *     [WHEN NOT MATCHED [AND <cond>] THEN INSERT]
@@ -72,6 +72,8 @@ object Sql {
     """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+(.+)""".r
   private val MergeWhenRe =
     """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+\((.+?)\)\s+(WHEN\s+.+)""".r
+  private val MergeDvRe =
+    """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+(.+?)\s+USING\s+DELETION\s+VECTORS\s*""".r
   private val MergeRe =
     """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+(.+)""".r
 
@@ -231,6 +233,10 @@ object Sql {
         asDf(graft.storage.TxLog.mergeWhen(rt(path), spark.sql(select),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           matched, notMatched, nms, deletionVectors = dv))
+      case MergeDvRe(path, keys, select) =>
+        asDf(graft.storage.TxLog.mergeInto(rt(path), spark.sql(select),
+          keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          deletionVectors = true))
       case MergeRe(path, keys, select) =>
         asDf(graft.storage.TxLog.mergeInto(rt(path), spark.sql(select),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq))

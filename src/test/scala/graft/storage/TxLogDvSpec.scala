@@ -267,4 +267,50 @@ class TxLogDvSpec extends SparkSpec {
     assert(rows(TxLog.read(spark, deep)) ==
       Set((1L, "p1", 10.0), (3L, "p2", 30.0), (4L, "p2", 40.0)))
   }
+
+  test("SQL: the plain upsert MERGE takes the USING DELETION VECTORS suffix") {
+    val path = freshPath("sqldv")
+    TxLog.create(fixture, path, Some("part"))
+    val filesBefore = TxLog.manifest(spark, path, 1L).files.toSet
+    Seq((2L, "p1", 99.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("dv_upd")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG MERGE INTO '$path' ON k USING SELECT * FROM dv_upd " +
+        "USING DELETION VECTORS")
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(filesBefore.subsetOf(m.files.toSet) && m.dv.nonEmpty,
+      "the suffix must route to the merge-on-read engine")
+    assert(TxLog.read(spark, path).filter(col("k") === 2L)
+      .select("v").as[Double].head() == 99.0)
+  }
+
+  test("readWithPosition: (file, pos) identity, stable under DV deletes") {
+    val path = freshPath("pos")
+    TxLog.create(fixture, path, Some("part"))
+    val before = TxLog.readWithPosition(spark, path)
+    assert(before.columns.toSet ==
+      Set("k", "part", "v", "_file", "_pos"))
+    assert(before.count() == 4)
+    // positions are unique within a file and every entry is a
+    // manifest suffix
+    assert(before.select("_file", "_pos").distinct().count() == 4)
+    val m = TxLog.manifest(spark, path, 1L)
+    val suffixes = before.select("_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(suffixes.subsetOf(m.files.toSet), suffixes.toString)
+    val posOfK2 = before.filter(col("k") === 2L)
+      .select("_file", "_pos").head()
+    // DV delete filters the row WITHOUT renumbering the survivors:
+    // every surviving (file, pos) pair is unchanged
+    val keep = before.filter(col("k") =!= 2L)
+      .select("k", "_file", "_pos").collect().toSet
+    TxLog.deleteWhere(spark, path, col("k") === 2L, deletionVectors = true)
+    val after = TxLog.readWithPosition(spark, path)
+    assert(after.count() == 3)
+    assert(after.select("k", "_file", "_pos").collect().toSet == keep,
+      "surviving positions must not renumber under a DV delete")
+    assert(after.filter(col("_file") === posOfK2.getString(0) &&
+      col("_pos") === posOfK2.getLong(1)).count() == 0,
+      "the deleted row's position is gone")
+  }
 }
