@@ -4348,6 +4348,19 @@ object TxLog {
           s"(have: ${t.keys.toSeq.sorted.mkString(", ")})"))))
   }
 
+  /** [[restore]] addressed by TAG — "roll the table back to the
+    * snapshot run X trained on", without anyone remembering its
+    * version number. The tag stays put (it names the version, not the
+    * head), so the restore is repeatable and the pinned snapshot
+    * remains vacuum-protected afterwards. */
+  def restoreToTag(spark: SparkSession, path: String, name: String): Long = {
+    val t = tags(spark, path)
+    restore(spark, path, t.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"TxLog.restoreToTag: no tag '$name' at $path " +
+          s"(have: ${t.keys.toSeq.sorted.mkString(", ")})")))
+  }
+
   /** DESCRIBE HISTORY — one row per retained version, metadata only
     * (no data read, no Spark job): version, file count, total bytes,
     * how many files the version added and dropped vs its predecessor

@@ -34,7 +34,7 @@ import graft.tables.Tables
   *   TXLOG DELETE FROM '<path>' WHERE <condition> [USING DELETION VECTORS]
   *   TXLOG UPDATE '<path>' SET <c1> = <expr1>[, <c2> = <expr2>...] WHERE <condition> [USING DELETION VECTORS]
   *   TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>
-  *   TXLOG RESTORE '<path>' TO VERSION <n> | TO TIMESTAMP '<ts>'
+  *   TXLOG RESTORE '<path>' TO VERSION <n> | TO TIMESTAMP '<ts>' | TO TAG '<name>'
   *   TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> UNIQUE (<k1[,k2...]>)
@@ -137,6 +137,8 @@ object Sql {
     """(?is)\s*TXLOG\s+RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*""".r
   private val RestoreTsRe =
     """(?is)\s*TXLOG\s+RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+'([^']+)'\s*""".r
+  private val RestoreTagRe =
+    """(?is)\s*TXLOG\s+RESTORE\s+'([^']+)'\s+TO\s+TAG\s+'?([\w.\-]+)'?\s*""".r
   private val CloneRe =
     """(?is)\s*TXLOG\s+CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(\s+DEEP)?(?:\s+VERSION\s+(\d+))?\s*""".r
   private val AlterAddUniqueRe =
@@ -262,6 +264,8 @@ object Sql {
         asDf(graft.storage.TxLog.restore(spark, rt(path),
           graft.storage.TxLog.versionAt(spark, rt(path),
             graft.storage.TxLog.parseTsMillis(ts))))
+      case RestoreTagRe(path, tagName) =>
+        asDf(graft.storage.TxLog.restoreToTag(spark, rt(path), tagName))
       case CloneRe(src, dst, deep, ver) =>
         asDf(graft.storage.TxLog.clone(spark, rt(src), dst,
           version = Option(ver).map(_.toLong), deep = deep != null))

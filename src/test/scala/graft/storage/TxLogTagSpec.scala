@@ -79,4 +79,27 @@ class TxLogTagSpec extends SparkSpec {
     graft.tools.Sql.exec(spark, s"TXLOG UNTAG '$path' release-1")
     assert(TxLog.tags(spark, path).isEmpty)
   }
+
+  test("RESTORE TO TAG rolls back to the pinned snapshot; the tag survives") {
+    val path = freshPath("restore")
+    TxLog.create(Seq((1L, "a")).toDF("k", "v"), path)          // v1
+    TxLog.tag(spark, path, "train-run")                        // pins v1
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), path)          // v2
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), path)          // v3
+    val v = TxLog.restoreToTag(spark, path, "train-run")       // v4 ≡ v1
+    assert(v == 4L)
+    assert(TxLog.read(spark, path).select("k").as[Long].collect().toSeq ==
+      Seq(1L), "the head must show exactly the tagged snapshot")
+    assert(TxLog.tags(spark, path) == Map("train-run" -> 1L),
+      "restore names the version; the tag stays put")
+    intercept[IllegalArgumentException] {
+      TxLog.restoreToTag(spark, path, "nope")
+    }
+    // SQL form, and the TIMESTAMP/VERSION forms still dispatch around it
+    TxLog.append(Seq((9L, "z")).toDF("k", "v"), path)          // v5
+    graft.tools.Sql.exec(spark, s"TXLOG RESTORE '$path' TO TAG 'train-run'")
+    assert(TxLog.read(spark, path).count() == 1)
+    graft.tools.Sql.exec(spark, s"TXLOG RESTORE '$path' TO VERSION 5")
+    assert(TxLog.read(spark, path).count() == 2)
+  }
 }
