@@ -1155,6 +1155,24 @@ object TxLog {
     -1L // unreachable
   }
 
+  /** Seal a per-app txn watermark on a write verb's NO-OP path.
+    * Returning without recording the watermark leaves the idempotency
+    * lane open: the table can change between the original delivery and
+    * a redelivery (another writer inserts matching keys), so the
+    * replayed window could apply effects the original did not —
+    * exactly-once would hold only until the next interleaved commit.
+    * The seal is Delta's SetTransaction pattern: an empty metadata
+    * delta carrying the resolved txn map. It writes no data, so it
+    * serializes soundly at the original decision snapshot regardless
+    * of interleaved commits — a blind (∅ read-set) commit that never
+    * conflicts. */
+  private def sealNoopTxn(spark: SparkSession, path: String, m: Manifest,
+                          txn: Option[(String, Long)], op: String): Long =
+    if (txn.isEmpty) m.version
+    else commitRebase(spark, path, m, rewriteDirs = Set.empty,
+      newFiles = Nil, schemaDdl = m.schemaDdl, batchId = None,
+      readSet = Some(Set.empty), operation = s"$op NO-OP", txn = txn)
+
   /** Stage-write `df`, move its files into `data/` under a fresh commit
     * uuid, and return the new files' table-relative paths. Old files
     * are never touched.
@@ -2641,6 +2659,24 @@ object TxLog {
     }
   }
 
+  /** Widenings whose values render to the SAME string before and
+    * after — the Bloom sidecars' hash key ([[keyHash]] hashes
+    * `String.valueOf`; [[buildBloomIndex]] hashes a cast-to-string):
+    * integral-family promotions ("3" stays "3") and same-scale
+    * decimal widening. int→double turns "3" into "3.0" and
+    * float→double changes the shortest-round-trip digits, so those
+    * invalidate any existing sidecar. */
+  private def stringStableWiden(from: org.apache.spark.sql.types.DataType,
+                                to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType | ShortType | IntegerType,
+            ShortType | IntegerType | LongType) => true
+      case (f: DecimalType, t: DecimalType) => f.scale == t.scale
+      case _ => false
+    }
+  }
+
   /** ALTER TABLE ... ALTER COLUMN ... TYPE — type WIDENING as a
     * METADATA-ONLY commit (Delta's type-widening table feature in
     * spirit): the declared schema re-types the column, every
@@ -2695,6 +2731,21 @@ object TxLog {
         s"TxLog.alterColumnType: '$name' is the source of hidden " +
           s"partition transform ${t.spec} — transform votes hash the " +
           "value bytes, which change with the type"))
+      // Bloom sidecars are hash-sensitive the same way the transform
+      // votes are: they key on xxhash64 of the value's STRING
+      // rendering, so a promotion that changes the rendering (int →
+      // double probes "3.0" against a sidecar built from "3") turns
+      // every probe into a false NEGATIVE — readByKey and merge
+      // discovery would silently drop files holding matched keys.
+      // String-stable promotions keep their index; anything else drops
+      // the sidecar dir BEFORE the commit (a missing sidecar is
+      // conservatively kept by every probe, and the next
+      // buildBloomIndex call rebuilds under the widened rendering).
+      if (!stringStableWiden(oldDt, newDt)) {
+        val bd = bloomDir(path, physOf(attempt, name))
+        val fsb = fsFor(spark, path)
+        if (fsb.exists(bd)) fsb.delete(bd, true)
+      }
       val newSchema = StructType(declared.fields.map(f =>
         if (f.name == name) f.copy(dataType = newDt) else f))
       try {
@@ -3342,9 +3393,11 @@ object TxLog {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
-    // per-app idempotency lane (see [[appendTxn]]); note a merge whose
-    // clauses all no-op returns WITHOUT recording the watermark — the
-    // replay no-ops identically, so exactly-once still holds
+    // per-app idempotency lane (see [[appendTxn]]); a merge whose
+    // clauses all no-op still SEALS the watermark ([[sealNoopTxn]]) —
+    // the table can change between delivery and redelivery, so an
+    // unsealed lane would let the replay apply effects the original
+    // did not
     if (txn.exists { case (a, tv) => m.txns.get(a).exists(_ >= tv) }) return v
     requireWritable(m, path)
     val declared = StructType.fromDDL(m.schemaDdl)
@@ -3375,6 +3428,7 @@ object TxLog {
       .limit(1).collect()
     require(dup.isEmpty,
       s"TxLog.mergeWhen: duplicate source rows for key (${keys.mkString(",")})")
+    warnUncoveredUniques(m, keys, "mergeWhen")
     // ---- discovery (same staircase as mergeInto) ----
     val discoveryFiles: Seq[String] =
       if (keys.size == 1 && m.statsCols.contains(physOf(m, keys.head))) {
@@ -3434,6 +3488,13 @@ object TxLog {
       else transformsOf(m).map(_.src)
     def vetWritten(written: DataFrame, op: String): Unit = {
       enforceConstraints(written, m.constraints, op)
+      // mirror mergeInto's UNIQUE cost model: within-batch only over
+      // what this commit writes (an INSERT or a SET on a unique column
+      // could otherwise silently duplicate); collisions against
+      // UNTOUCHED files are the uncovered-keys trade flagged loudly by
+      // warnUncoveredUniques above
+      enforceUniques(written, spark, path, declared, Nil, m,
+        s"$op written rows (within-batch)")
       if (partNullCols.nonEmpty)
         require(written.filter(partNullCols.map(col(_).isNull).reduce(_ || _))
           .limit(1).collect().isEmpty,
@@ -3447,7 +3508,8 @@ object TxLog {
       // materialization — no file rewrites at all
       val scanFiles: Seq[String] =
         if (notMatchedBySource.nonEmpty) m.files else discoveryFiles
-      if (scanFiles.isEmpty && inserts.isEmpty) return v // no-op
+      if (scanFiles.isEmpty && inserts.isEmpty)
+        return sealNoopTxn(spark, path, m, txn, "MERGE WHEN (DV)")
       val tmp = new Path(path,
         s"_tmp_update_${java.util.UUID.randomUUID().toString.take(12)}")
       val fsx = fsFor(spark, path)
@@ -3490,7 +3552,8 @@ object TxLog {
           }
         val staged = written.map(w => stageIn(toPhysical(w, m.colMap), path,
           physPartCols(m), transformsOf(m))).getOrElse(Nil)
-        if (addDv.isEmpty && staged.isEmpty) return v // nothing matched
+        if (addDv.isEmpty && staged.isEmpty) // nothing matched any clause
+          return sealNoopTxn(spark, path, m, txn, "MERGE WHEN (DV)")
         return commitRebase(spark, path, m, rewriteDirs = Set.empty,
           newFiles = staged, schemaDdl = m.schemaDdl, batchId = None,
           readSet = None, operation = "MERGE WHEN (DV)", addDv = addDv,
@@ -3517,7 +3580,8 @@ object TxLog {
     val rewritten = applyUpdates(
       if (deletes.isEmpty) acted
       else acted.filter(!col("_act").isInCollection(deletes)))
-    if (scopeFiles.isEmpty && inserts.isEmpty) return v // no-op
+    if (scopeFiles.isEmpty && inserts.isEmpty)
+      return sealNoopTxn(spark, path, m, txn, "MERGE WHEN")
     val written = inserts.fold(rewritten)(rewritten.unionByName(_))
     vetWritten(written, "mergeWhen")
     val newFiles = stageIn(toPhysical(written, m.colMap), path,
@@ -4021,7 +4085,8 @@ object TxLog {
       .select("_gf").distinct().collect().map(_.getString(0))
     val resolve = entryResolver(m.files)
     val hitFiles = hitUris.map(resolve).toSet
-    if (hitFiles.isEmpty && upserts.limit(1).collect().isEmpty) return v
+    if (hitFiles.isEmpty && upserts.limit(1).collect().isEmpty)
+      return sealNoopTxn(spark, path, m, txn, "APPLY CHANGES")
     val hitRows = readFiles(spark, path, declared, hitFiles.toSeq, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
     val merged = graft.operators.Upsert.mergeByKey(
       hitRows.join(deletes, keys, "left_anti"), upserts, keys,

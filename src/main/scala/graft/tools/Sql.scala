@@ -70,12 +70,77 @@ object Sql {
     """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+TXN\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*\)\s+(.+)""".r
   private val AppendRe =
     """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+(.+)""".r
-  private val MergeWhenRe =
-    """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+\((.+?)\)\s+(WHEN\s+.+)""".r
+  private val MergeWhenHeadRe =
+    """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+\((.+)""".r
+
+  /** Extractor for the conditional-MERGE statement. A lazy regex
+    * capture of `USING (...)` stops at the first `) WHEN`, so a source
+    * subquery containing `CASE ... WHEN` mis-parses into a truncated
+    * select — instead, scan for the close paren that BALANCES the
+    * USING open (tracking nesting and single-quoted strings) and claim
+    * the statement only when a WHEN tail follows; otherwise fall
+    * through to the unconditional-merge forms. */
+  private object MergeWhenStmt {
+    def unapply(sql: String): Option[(String, String, String, String)] =
+      sql match {
+        case MergeWhenHeadRe(path, keys, rest) =>
+          var depth = 1; var i = 0; var inQ = false
+          while (i < rest.length && depth > 0) {
+            val c = rest.charAt(i)
+            if (inQ) { if (c == '\'') inQ = false }
+            else c match {
+              case '\'' => inQ = true
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+            }
+            i += 1
+          }
+          if (depth != 0) None
+          else {
+            val select = rest.substring(0, i - 1)
+            val tail = rest.substring(i).trim
+            if (tail.toUpperCase.startsWith("WHEN"))
+              Some((path, keys, select, tail))
+            else None
+          }
+        case _ => None
+      }
+  }
   private val MergeDvRe =
     """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+(.+?)\s+USING\s+DELETION\s+VECTORS\s*""".r
   private val MergeRe =
     """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+(.+)""".r
+
+  /** Positions of TOP-LEVEL occurrences of keyword `kw` in `s`: not
+    * inside parentheses, not inside single-quoted strings, and not
+    * inside a CASE ... END block — so a clause condition's or SET
+    * expression's own `CASE WHEN x THEN y END` never splits the MERGE
+    * grammar, which a lazy-regex split did. Word-bounded,
+    * case-insensitive. */
+  private def topLevelPositions(s: String, kw: String): Seq[Int] = {
+    val up = s.toUpperCase
+    val k = kw.toUpperCase
+    def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def wordAt(pos: Int, w: String): Boolean =
+      up.startsWith(w, pos) &&
+        (pos == 0 || !wordChar(up.charAt(pos - 1))) &&
+        (pos + w.length >= up.length || !wordChar(up.charAt(pos + w.length)))
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0; var depth = 0; var inQ = false; var caseDepth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else if (c == '\'') { inQ = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (wordAt(i, "CASE")) { caseDepth += 1; i += 4 }
+      else if (wordAt(i, "END")) { caseDepth = math.max(0, caseDepth - 1); i += 3 }
+      else if (depth == 0 && caseDepth == 0 && wordAt(i, k)) { out += i; i += k.length }
+      else i += 1
+    }
+    out.toSeq
+  }
 
   /** Parse the WHEN-clause tail of a conditional MERGE into
     * [[graft.storage.TxLog.MergeClause]] triples. Grammar:
@@ -84,28 +149,44 @@ object Sql {
     *   WHEN NOT MATCHED [AND <cond>] THEN INSERT
     *   WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE
     * Conditions and SET expressions see the target row's columns plus
-    * the source row as a struct named `src`. */
-  private val WhenClauseRe =
-    ("""(?is)WHEN\s+(MATCHED|NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED)""" +
-      """\s*(?:AND\s+(.+?))?\s*THEN\s+(UPDATE\s+SET\s+.+?|DELETE|INSERT)\s*""" +
-      """(?=WHEN\s+|$)""").r
+    * the source row as a struct named `src`. Clause boundaries come
+    * from [[topLevelPositions]], so conditions and SETs may themselves
+    * contain CASE ... WHEN ... THEN ... END (searched and simple CASE
+    * alike). */
+  private val WhenKindRe =
+    """(?is)WHEN\s+(MATCHED|NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED)\b(.*)""".r
   private def parseWhenClauses(tail: String)
       : (Seq[graft.storage.TxLog.MergeClause],
          Seq[graft.storage.TxLog.MergeClause],
          Seq[graft.storage.TxLog.MergeClause]) = {
     import graft.storage.TxLog.MergeClause
-    val found = WhenClauseRe.findAllMatchIn(tail).toSeq
-    require(found.nonEmpty, s"Sql: no parsable WHEN clauses in '$tail'")
-    val leftover = WhenClauseRe.replaceAllIn(tail, "").trim
-    require(leftover.isEmpty,
-      s"Sql: unparsed text among WHEN clauses: '$leftover'")
+    val t = tail.trim
+    val whens = topLevelPositions(t, "WHEN")
+    require(whens.nonEmpty && whens.head == 0,
+      s"Sql: no parsable WHEN clauses in '$tail'")
+    val clauses = whens.zip(whens.drop(1) :+ t.length)
+      .map { case (a, b) => t.substring(a, b).trim }
     var matched = Seq.empty[MergeClause]
     var notMatched = Seq.empty[MergeClause]
     var nms = Seq.empty[MergeClause]
-    found.foreach { mm =>
-      val kind = mm.group(1).toUpperCase.replaceAll("\\s+", " ")
-      val cond = Option(mm.group(2)).map(_.trim).filter(_.nonEmpty)
-      val action = mm.group(3).trim
+    clauses.foreach { cl =>
+      val (kind, rest) = cl match {
+        case WhenKindRe(kindRaw, r) =>
+          (kindRaw.toUpperCase.replaceAll("\\s+", " "), r.trim)
+        case _ => throw new IllegalArgumentException(
+          s"Sql: unparsable WHEN clause '$cl'")
+      }
+      val thens = topLevelPositions(rest, "THEN")
+      require(thens.nonEmpty, s"Sql: WHEN clause missing THEN: '$cl'")
+      val condPart = rest.substring(0, thens.head).trim
+      val cond =
+        if (condPart.isEmpty) None
+        else {
+          require(condPart.toUpperCase.startsWith("AND"),
+            s"Sql: expected [AND <cond>] THEN in '$cl'")
+          Some(condPart.substring(3).trim).filter(_.nonEmpty)
+        }
+      val action = rest.substring(thens.head + 4).trim
       val au = action.toUpperCase
       kind match {
         case "MATCHED" if au.startsWith("UPDATE") =>
@@ -225,7 +306,7 @@ object Sql {
           appId, txnV.toLong))
       case AppendRe(path, select) =>
         asDf(graft.storage.TxLog.append(spark.sql(select), rt(path)))
-      case MergeWhenRe(path, keys, select, whenTail0) =>
+      case MergeWhenStmt(path, keys, select, whenTail0) =>
         val DvSuffix = """(?is)(.*?)\s+USING\s+DELETION\s+VECTORS\s*$""".r
         val (whenTail, dv) = whenTail0 match {
           case DvSuffix(t) => (t, true)

@@ -317,4 +317,64 @@ class TxLogMergeWhenSpec extends SparkSpec {
       s"TXLOG MERGE INTO '$path2' ON k USING SELECT * FROM mw_src2")
     assert(TxLog.read(spark, path2).select("amt").as[Double].head() == 5.0)
   }
+
+  test("declared UNIQUE constraints bind on mergeWhen's written rows") {
+    // one file, so the rewrite scope carries every row and the
+    // within-batch gate sees the collision (the uncovered-file case
+    // remains the warned trade, same as mergeInto)
+    val path = freshPath("uniq")
+    TxLog.create(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "status", "u").coalesce(1), path)
+    TxLog.addUniqueConstraint(spark, path, "u_uq", Seq("u"))
+    // an UPDATE SET on the unique column colliding with a carried row
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.mergeWhen(path, Seq((1L, "x", 20L)).toDF("k", "status", "u"),
+        Seq("k"), matched = Seq(MergeClause(None, "update",
+          Seq("u" -> "src.u"))))
+    }
+    // a WHEN NOT MATCHED INSERT duplicating a carried row's unique key
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.mergeWhen(path,
+        Seq((1L, "x", 10L), (3L, "c", 20L)).toDF("k", "status", "u"),
+        Seq("k"),
+        matched = Seq(MergeClause(None, "update", Seq("status" -> "src.status"))),
+        notMatched = Seq(MergeClause(None, "insert")))
+    }
+    // nothing committed, table unchanged
+    assert(TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", 20L)))
+    // a non-colliding merge still lands
+    TxLog.mergeWhen(path, Seq((3L, "c", 30L)).toDF("k", "status", "u"),
+      Seq("k"),
+      matched = Seq(MergeClause(None, "update", Seq("u" -> "src.u"))),
+      notMatched = Seq(MergeClause(None, "insert")))
+    assert(TxLog.read(spark, path).count() == 3)
+  }
+
+  test("USING subqueries and clauses may contain CASE ... WHEN/THEN") {
+    val path = freshPath("sqlcase")
+    seed(path)
+    TxLog.read(spark, path) // warm
+    Seq((1L, 99.0), (9L, 90.0)).toDF("k", "amt0")
+      .createOrReplaceTempView("mw_case_src")
+    // searched CASE in the subquery projection, simple CASE in a
+    // clause condition, searched CASE in a SET expression — each
+    // contains WHEN/THEN/END tokens the lazy-regex split tripped over
+    graft.tools.Sql.exec(spark,
+      s"TXLOG MERGE INTO '$path' ON k USING (" +
+        "SELECT k, CASE WHEN amt0 > 50 THEN 'big' ELSE 'small' END AS status, " +
+        "amt0 AS amt FROM mw_case_src) " +
+        "WHEN MATCHED AND CASE (k) WHEN 1 THEN true ELSE false END " +
+        "THEN UPDATE SET amt = src.amt, " +
+        "status = CASE WHEN src.amt > amt THEN 'raised' ELSE 'lowered' END " +
+        "WHEN NOT MATCHED THEN INSERT")
+    val out = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "raised", 99.0), // simple-CASE condition true, searched-CASE SET
+      (2L, "open", 20.0), (3L, "open", 30.0), (4L, "hold", 40.0),
+      (9L, "big", 90.0)),   // inserted with the subquery's CASE projection
+      s"got $out")
+  }
 }

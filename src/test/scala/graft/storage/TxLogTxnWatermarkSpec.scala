@@ -211,6 +211,46 @@ class TxLogTxnWatermarkSpec extends SparkSpec {
     assert(TxLog.txnVersion(spark, path, "relay").contains(10L))
   }
 
+  test("a no-op mergeWhen still seals the watermark — replay cannot re-apply") {
+    import graft.storage.TxLog.MergeClause
+    val path = freshPath("noopseal")
+    TxLog.create(Seq((1L, "base")).toDF("k", "v"), path)
+    // delivery 1: key 9 matches nothing and there is no INSERT clause —
+    // zero data change, but the lane must seal anyway: the table can
+    // change before a redelivery, and an unsealed lane would let the
+    // replay apply effects the original did not
+    val d1 = Seq((9L, "d1")).toDF("k", "v")
+    val clauses = Seq(MergeClause(None, "update", Seq("v" -> "src.v")))
+    TxLog.mergeWhen(path, d1, Seq("k"), matched = clauses,
+      txn = Some("cdc" -> 1L))
+    assert(TxLog.txnVersion(spark, path, "cdc").contains(1L),
+      "no-op merge must record the per-app watermark (SetTransaction)")
+    // interleaved writer: key 9 now exists
+    TxLog.append(Seq((9L, "late")).toDF("k", "v"), path)
+    // crash-replay of delivery 1 must be SKIPPED, not update k=9
+    TxLog.mergeWhen(path, d1, Seq("k"), matched = clauses,
+      txn = Some("cdc" -> 1L))
+    val got = TxLog.read(spark, path).filter(col("k") === 9L)
+      .select("v").as[String].head()
+    assert(got == "late",
+      s"replayed no-op merge re-applied against the changed table: '$got'")
+    // the DV form seals its no-op lane the same way
+    TxLog.mergeWhen(path, Seq((77L, "x")).toDF("k", "v"), Seq("k"),
+      matched = clauses, deletionVectors = true, txn = Some("dv" -> 1L))
+    assert(TxLog.txnVersion(spark, path, "dv").contains(1L))
+  }
+
+  test("a no-op applyChanges still seals the watermark") {
+    val path = freshPath("acseal")
+    TxLog.create(Seq((1L, "p", 1.0)).toDF("k", "part", "amt"), path,
+      partitionCol = Some("part"))
+    // feed touches no existing key and carries no upserts
+    val feed = Seq((9L, "p", 0.0, "delete")).toDF("k", "part", "amt", "_change_type")
+    val v = TxLog.applyChanges(path, feed, Seq("k"), txn = Some("relay" -> 3L))
+    assert(TxLog.txnVersion(spark, path, "relay").contains(3L),
+      s"no-op applyChanges must seal (committed v$v)")
+  }
+
   test("constraints still vet idempotent appends") {
     val path = freshPath("check")
     TxLog.create(Seq((1L, "x")).toDF("k", "src"), path)

@@ -164,6 +164,36 @@ class TxLogWidenSpec extends SparkSpec {
     assert(TxLog.read(spark, path).columns.toSeq == Seq("k", "name", "memo"))
   }
 
+  test("widening invalidates rendering-sensitive Bloom sidecars, keeps stable ones") {
+    // sidecars hash xxhash64 of the value's STRING rendering: "3"
+    // under int, "3.0" under double. A widen that changes the
+    // rendering must drop the sidecar dir (missing = conservatively
+    // kept) or every point probe turns into a silent false negative.
+    val stable = freshPath("bloomstable")
+    TxLog.create(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "name"), stable)
+    TxLog.buildBloomIndex(spark, stable, "k")
+    val stableDir = new java.io.File(stable, "_index/bloom/k")
+    assert(stableDir.exists, "index built")
+    TxLog.alterColumnType(spark, stable, "k", "bigint") // "3" stays "3"
+    assert(stableDir.exists, "integer-family widen must keep the sidecars")
+    assert(TxLog.readByKey(spark, stable, "k", 3L).count() == 1,
+      "stable-rendering probe must still find the row")
+
+    val unstable = freshPath("bloomdrop")
+    TxLog.create(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "name"), unstable)
+    TxLog.buildBloomIndex(spark, unstable, "k")
+    val dropDir = new java.io.File(unstable, "_index/bloom/k")
+    assert(dropDir.exists, "index built")
+    TxLog.alterColumnType(spark, unstable, "k", "double") // "3" -> "3.0"
+    assert(!dropDir.exists,
+      "int->double widen must drop the sidecar dir — probes hash \"3.0\" " +
+        "against filters built from \"3\"")
+    assert(TxLog.prunedFilesByKey(spark, unstable, "k", 3.0).nonEmpty,
+      "pruning must keep candidate files after the widen")
+    assert(TxLog.readByKey(spark, unstable, "k", 3.0).count() == 1,
+      "post-widen point lookup must not lose rows to a stale sidecar")
+  }
+
   test("history records the operation; time travel spans the type change") {
     val path = freshPath("hist")
     TxLog.create(Seq((7, "a")).toDF("k", "name"), path)
