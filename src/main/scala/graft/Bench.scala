@@ -49,7 +49,7 @@ object Bench {
       .withDefaultValue(Vector())
     def converged(ts: Vector[Double]): Boolean = {
       val ok = ts.filter(_ >= 0).sorted
-      ok.size >= 2 && ok(1) <= ok(0) * 1.5
+      ok.size >= 2 && ok(1) <= ok(0) * 1.25
     }
     var round = 0
     var pending = names
@@ -77,10 +77,42 @@ object Bench {
       val ts = samples(name).filter(_ >= 0)
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+    def entriesJson(es: Seq[(String, Double)]): String =
+      es.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // complete record (per-query min + sample count) to a repo file —
+    // per-round evidence that survives any log truncation
+    val fullJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":${entriesJson(results.toSeq.sortBy(-_._2))},""" +
+      s""""samples":${samples.toMap.toSeq.sortBy(_._1).map { case (k, v) =>
+            "\"" + k + "\":" + v.count(_ >= 0) }.mkString("{", ",", "}")},""" +
+      s""""sf":"$sfDir"}"""
+    val fullPath = "BENCH_FULL.json"
+    val w = new java.io.PrintWriter(fullPath, "UTF-8")
+    try w.println(fullJson) finally w.close()
+    println(fullJson)
+    // the harness that collects this output keeps only the LAST ~2000
+    // characters of stdout: a 170-query map is ~5 kB, so the line
+    // above arrives decapitated and unparseable. The FINAL line is a
+    // compact summary sized to survive that window whole — total,
+    // then the slowest queries until the byte budget runs out, plus a
+    // pointer to the full record.
+    val budget = 1500
+    val sorted = results.toSeq.sortBy(-_._2)
+    val kept = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    var used = 0
+    sorted.foreach { case (k, v) =>
+      val cost = k.length + 12
+      if (used + cost <= budget) { kept += ((k, v)); used += cost }
+    }
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""n":${results.size},"queries":${entriesJson(kept.toSeq)},""" +
+      s""""omitted":${results.size - kept.size},"full":"$fullPath",""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
