@@ -1044,7 +1044,8 @@ object TxLog {
                            removeFiles: Set[String] = Set.empty,
                            revalidate: Manifest => Unit = _ => (),
                            addDv: Seq[(String, Map[String, Long])] = Nil,
-                           txn: Option[(String, Long)] = None): Long = {
+                           txn: Option[(String, Long)] = None,
+                           rebaseCheck: Option[(Manifest, Manifest) => Option[String]] = None): Long = {
     requireWritable(base, path)
     val (newStats, newRows, newNulls) = collectStats(spark, path,
       physicalize(StructType.fromDDL(schemaDdl), base.colMap),
@@ -1119,31 +1120,45 @@ object TxLog {
               s"TxLog: concurrent constraint change at $path " +
                 s"(v${base.version} -> v${latest.version}) — re-validate " +
                 "and recompute against the new snapshot")
-          // a deletion-vector commit changes ROWS without changing
-          // FILES — invisible to the file-set comparison below. A
-          // rewrite staged from the pre-DV snapshot read rows the DV
-          // has since deleted (and dvLiveFor would prune the DV
-          // entries for the files it removes), so rebasing it would
-          // RESURRECT the concurrently-deleted rows; racing DV adds
-          // would double-carry delete counts. Any commit that
-          // rewrites/removes files or adds DV state must recompute.
-          if (latest.dv != base.dv &&
-              (rewriteDirs.nonEmpty || removeFiles.nonEmpty || addDv.nonEmpty))
-            throw new CommitConflictException(
-              s"TxLog: concurrent deletion-vector change at $path " +
-                s"(v${base.version} -> v${latest.version}) — recompute " +
-                "against the new snapshot")
-          def under(m: Manifest, dirs: Set[String]) =
-            m.files.filter(f => dirs.contains(dirOf(f))).toSet
-          val overlapped = readSet match {
-            case Some(dirs) => under(latest, dirs) != under(base, dirs)
-            case None => latest.files.toSet != base.files.toSet
+          rebaseCheck match {
+            // FILE-granular read declaration (the MERGE family): the
+            // checker knows exactly which files were read, which are
+            // touched, and what key range the source spans — it
+            // admits rebases the coarse checks below would refuse
+            // (concurrent writes to DISJOINT key ranges) and subsumes
+            // the blanket DV comparison with a per-read-file one
+            case Some(chk) =>
+              chk(base, latest).foreach(reason =>
+                throw new CommitConflictException(
+                  s"TxLog: concurrent commit v${latest.version} at $path " +
+                    s"$reason — recompute against the new snapshot"))
+            case None =>
+              // a deletion-vector commit changes ROWS without changing
+              // FILES — invisible to the file-set comparison below. A
+              // rewrite staged from the pre-DV snapshot read rows the DV
+              // has since deleted (and dvLiveFor would prune the DV
+              // entries for the files it removes), so rebasing it would
+              // RESURRECT the concurrently-deleted rows; racing DV adds
+              // would double-carry delete counts. Any commit that
+              // rewrites/removes files or adds DV state must recompute.
+              if (latest.dv != base.dv &&
+                  (rewriteDirs.nonEmpty || removeFiles.nonEmpty || addDv.nonEmpty))
+                throw new CommitConflictException(
+                  s"TxLog: concurrent deletion-vector change at $path " +
+                    s"(v${base.version} -> v${latest.version}) — recompute " +
+                    "against the new snapshot")
+              def under(m: Manifest, dirs: Set[String]) =
+                m.files.filter(f => dirs.contains(dirOf(f))).toSet
+              val overlapped = readSet match {
+                case Some(dirs) => under(latest, dirs) != under(base, dirs)
+                case None => latest.files.toSet != base.files.toSet
+              }
+              if (overlapped)
+                throw new CommitConflictException(
+                  s"TxLog: concurrent commit v${latest.version} at $path " +
+                    "changed files this write depends on — recompute against " +
+                    "the new snapshot")
           }
-          if (overlapped)
-            throw new CommitConflictException(
-              s"TxLog: concurrent commit v${latest.version} at $path " +
-                "changed files this write depends on — recompute against " +
-                "the new snapshot")
           // caller-supplied semantic re-validation against the rebased
           // head (the UNIQUE gate probes keys that landed since `base`
           // here — without it two racing appends of the same key would
@@ -1172,6 +1187,70 @@ object TxLog {
     else commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = Nil, schemaDdl = m.schemaDdl, batchId = None,
       readSet = Some(Set.empty), operation = s"$op NO-OP", txn = txn)
+
+  /** File-granular OCC read declaration for the MERGE family — the
+    * Delta conflict model, replacing "any interleaved commit conflicts
+    * the merge" (readSet = None) with the merge's TRUE dependencies,
+    * which its three-stage discovery already computed. A rebase onto
+    * `latest` is admitted iff:
+    *
+    *  1. every file the merge TOUCHES (rewrites, or targets with a
+    *     deletion vector) still exists at the head — a concurrent
+    *     OPTIMIZE/DELETE of one would otherwise resurrect rows (the
+    *     compacted copy survives the rewrite) or silently drop our DV
+    *     (dvLiveFor prunes entries whose target left the manifest);
+    *  2. no file the merge READ (the discovery candidates — exactly
+    *     the files whose rows fed the match/insert decisions) changed
+    *     deletion-vector state — rows we decided on may have been
+    *     concurrently deleted;
+    *  3. no file ADDED since the base snapshot might hold a source
+    *     key — an interleaved append of a matched key means the merge
+    *     should have updated it (lost update / duplicate key under
+    *     upsert semantics). Provable only when the merge key is a
+    *     single stats-tracked column: the added file's min/max votes
+    *     against the source-key bounds. Multi-key or untracked merges
+    *     conflict on ANY added file, and files without stats
+    *     conservatively conflict.
+    *
+    * Everything unprovable conflicts — same correctness contract as
+    * before, but concurrent merges into DISJOINT key ranges of one
+    * table (the CDC fan-in shape) now commit without recompute-retry.
+    * `keyBounds` = (column, loEnc, hiEnc) in the stats encoding;
+    * `sourceEmpty` skips rule 3 (no keys to collide). */
+  private[storage] def mergeRebaseCheck(declared: StructType,
+      keyBounds: Option[(String, String, String)], sourceEmpty: Boolean,
+      readCandidates: Set[String], touchedFiles: Set[String],
+      tz: String): (Manifest, Manifest) => Option[String] =
+    (base, latest) => {
+      val latestSet = latest.files.toSet
+      def dvByFile(m: Manifest): Map[String, Seq[String]] =
+        m.dv.flatMap { case (name, files) => files.keys.map(_ -> name) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val gone = touchedFiles.find(!latestSet.contains(_))
+      if (gone.isDefined)
+        Some(s"removed/rewrote a file this merge touches (${gone.get})")
+      else {
+        val bdv = dvByFile(base); val ldv = dvByFile(latest)
+        val dvChanged = readCandidates.find(f =>
+          bdv.getOrElse(f, Nil) != ldv.getOrElse(f, Nil))
+        if (dvChanged.isDefined)
+          Some("changed deletion-vector state of a file this merge " +
+            s"read (${dvChanged.get})")
+        else {
+          val baseSet = base.files.toSet
+          val added = latest.files.filterNot(baseSet)
+          if (added.isEmpty || sourceEmpty) None
+          else keyBounds match {
+            case None => Some("added files while the merge keys are not " +
+              s"provably disjoint (${added.head})")
+            case Some((k, lo, hi)) =>
+              pruneByRange(latest, declared, added, k, lo, hi, tz)
+                .headOption
+                .map(f => s"added a file that may hold merged keys ($f)")
+          }
+        }
+      }
+    }
 
   /** Stage-write `df`, move its files into `data/` under a fresh commit
     * uuid, and return the new files' table-relative paths. Old files
@@ -3229,21 +3308,32 @@ object TxLog {
       "mergeInto updates (within-batch)")
     warnUncoveredUniques(m, keys, "mergeInto")
     // ---- discovery stage 1+2: stats range prune, then Bloom vote ----
-    val discoveryFiles: Seq[String] =
-      if (keys.size == 1 && m.statsCols.contains(physOf(m, keys.head))) {
+    // the source-key bounds double as the commit's READ declaration:
+    // mergeRebaseCheck votes concurrently-added files against them,
+    // so disjoint-key concurrent merges rebase instead of conflicting
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val statsKeyed = keys.size == 1 && m.statsCols.contains(physOf(m, keys.head))
+    val boundsRow =
+      if (!statsKeyed) None
+      else {
         val k = keys.head
         // bounds in the STATS encoding (timestamps as us:-micros)
-        val bounds = updatesAligned.agg(statsEncode(widened(k).dataType, min(col(k))),
-          statsEncode(widened(k).dataType, max(col(k)))).head()
-        if (bounds.isNullAt(0)) Nil // empty batch: nothing matches
-        else {
-          val byStats = pruneByRange(m, widened, m.files, k,
-            bounds.getString(0), bounds.getString(1),
-            spark.sessionState.conf.sessionLocalTimeZone)
-          bloomPruneByKeys(spark, path, physOf(m, k),
-            boundedDistinct(updatesAligned, k, 1024), byStats)
-        }
-      } else m.files
+        Some(updatesAligned.agg(statsEncode(widened(k).dataType, min(col(k))),
+          statsEncode(widened(k).dataType, max(col(k)))).head())
+      }
+    val sourceEmpty = boundsRow.exists(_.isNullAt(0))
+    val keyBounds: Option[(String, String, String)] =
+      boundsRow.filterNot(_.isNullAt(0))
+        .map(b => (keys.head, b.getString(0), b.getString(1)))
+    val discoveryFiles: Seq[String] =
+      if (!statsKeyed) m.files
+      else if (sourceEmpty) Nil // empty batch: nothing matches
+      else {
+        val byStats = pruneByRange(m, widened, m.files, keys.head,
+          keyBounds.get._2, keyBounds.get._3, tz)
+        bloomPruneByKeys(spark, path, physOf(m, keys.head),
+          boundedDistinct(updatesAligned, keys.head, 1024), byStats)
+      }
     // ---- discovery stage 3: exact — which files HOLD a matched key ----
     val updKeys = updatesAligned.select(keys.map(col): _*).distinct()
     if (deletionVectors) {
@@ -3291,7 +3381,9 @@ object TxLog {
         physPartCols(m), transformsOf(m))
       return commitRebase(spark, path, m, rewriteDirs = Set.empty,
         newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
-        readSet = None, operation = "MERGE (DV)", addDv = addDv, txn = txn)
+        readSet = None, operation = "MERGE (DV)", addDv = addDv, txn = txn,
+        rebaseCheck = Some(mergeRebaseCheck(widened, keyBounds, sourceEmpty,
+          discoveryFiles.toSet, addDv.flatMap(_._2.keys).toSet, tz)))
     }
     // the file key is the _dv_key column, not input_file_name():
     // computed inside each single-source scan, it survives the DV
@@ -3312,13 +3404,17 @@ object TxLog {
     val merged = graft.operators.Upsert.mergeByKey(
       hitRows, updatesAligned, keys, preValidated)
     val newFiles = stageIn(toPhysical(merged, m.colMap), path, physPartCols(m), transformsOf(m))
-    // the key discovery read the snapshot's membership, so any
-    // interleaved change invalidates it (readSet = None): it throws
+    // the read declaration is FILE-granular (mergeRebaseCheck): an
+    // interleaved commit conflicts only when it touches what this
+    // merge read/rewrites or adds files that may hold merged keys —
+    // anything else rebases; an actual overlap still throws
     // CommitConflictException rather than silently dropping the
-    // winner's rows — recompute and re-merge
+    // winner's rows (recompute and re-merge)
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
-      readSet = None, operation = "MERGE", removeFiles = hitFiles, txn = txn)
+      readSet = None, operation = "MERGE", removeFiles = hitFiles, txn = txn,
+      rebaseCheck = Some(mergeRebaseCheck(widened, keyBounds, sourceEmpty,
+        discoveryFiles.toSet, hitFiles, tz)))
   }
 
   /** One WHEN clause of [[mergeWhen]]. `condition` is a SQL boolean
@@ -3430,21 +3526,41 @@ object TxLog {
       s"TxLog.mergeWhen: duplicate source rows for key (${keys.mkString(",")})")
     warnUncoveredUniques(m, keys, "mergeWhen")
     // ---- discovery (same staircase as mergeInto) ----
-    val discoveryFiles: Seq[String] =
-      if (keys.size == 1 && m.statsCols.contains(physOf(m, keys.head))) {
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val statsKeyed = keys.size == 1 && m.statsCols.contains(physOf(m, keys.head))
+    val boundsRow =
+      if (!statsKeyed) None
+      else {
         val k = keys.head
-        val bounds = source.agg(
+        Some(source.agg(
           statsEncode(declared(k).dataType, min(col(k))),
-          statsEncode(declared(k).dataType, max(col(k)))).head()
-        if (bounds.isNullAt(0)) Nil
-        else {
-          val byStats = pruneByRange(m, declared, m.files, k,
-            bounds.getString(0), bounds.getString(1),
-            spark.sessionState.conf.sessionLocalTimeZone)
-          bloomPruneByKeys(spark, path, physOf(m, k),
-            boundedDistinct(source, k, 1024), byStats)
-        }
-      } else m.files
+          statsEncode(declared(k).dataType, max(col(k)))).head())
+      }
+    val sourceEmpty = boundsRow.exists(_.isNullAt(0))
+    val keyBounds: Option[(String, String, String)] =
+      boundsRow.filterNot(_.isNullAt(0))
+        .map(b => (keys.head, b.getString(0), b.getString(1)))
+    val discoveryFiles: Seq[String] =
+      if (!statsKeyed) m.files
+      else if (sourceEmpty) Nil
+      else {
+        val byStats = pruneByRange(m, declared, m.files, keys.head,
+          keyBounds.get._2, keyBounds.get._3, tz)
+        bloomPruneByKeys(spark, path, physOf(m, keys.head),
+          boundedDistinct(source, keys.head, 1024), byStats)
+      }
+    // a NOT MATCHED BY SOURCE clause makes EVERY target row (including
+    // rows of concurrently-added files) load-bearing: the read
+    // declaration widens to the whole table and nothing added/changed
+    // is admissible
+    def whenRebaseCheck(readCandidates: Set[String], touched: Set[String])
+        : (Manifest, Manifest) => Option[String] =
+      if (notMatchedBySource.isEmpty)
+        mergeRebaseCheck(declared, keyBounds, sourceEmpty,
+          readCandidates, touched, tz)
+      else
+        mergeRebaseCheck(declared, None, sourceEmpty = false,
+          m.files.toSet, touched, tz)
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val srcStructed = source.select(
       keys.map(col) :+ struct(source.columns.map(col): _*).as("src"): _*)
@@ -3557,7 +3673,8 @@ object TxLog {
         return commitRebase(spark, path, m, rewriteDirs = Set.empty,
           newFiles = staged, schemaDdl = m.schemaDdl, batchId = None,
           readSet = None, operation = "MERGE WHEN (DV)", addDv = addDv,
-          txn = txn)
+          txn = txn, rebaseCheck = Some(whenRebaseCheck(scanFiles.toSet,
+            addDv.flatMap(_._2.keys).toSet)))
       } finally fsx.delete(tmp, true)
     }
     val hitFiles: Set[String] =
@@ -3589,7 +3706,8 @@ object TxLog {
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
       readSet = None, operation = "MERGE WHEN", removeFiles = scopeFiles,
-      txn = txn)
+      txn = txn, rebaseCheck = Some(whenRebaseCheck(
+        discoveryFiles.toSet ++ scopeFiles, scopeFiles)))
   }
 
   /** Up to `limit` distinct values of `colName` in `df`, or Nil when
@@ -4042,7 +4160,7 @@ object TxLog {
   def applyChanges(path: String, feed: DataFrame, keys: Seq[String],
                    preValidated: Boolean = false,
                    txn: Option[(String, Long)] = None): Long = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, max, min}
     val spark = feed.sparkSession
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
@@ -4092,10 +4210,22 @@ object TxLog {
       hitRows.join(deletes, keys, "left_anti"), upserts, keys,
       preValidated = true)
     val newFiles = stageIn(toPhysical(merged, m.colMap), path, physPartCols(m), transformsOf(m))
+    // file-granular read declaration (see mergeRebaseCheck): the feed
+    // key bounds admit concurrently-added files outside the changed
+    // key range, so disjoint CDC lanes into one table don't serialize
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val keyBounds: Option[(String, String, String)] =
+      if (keys.size == 1 && m.statsCols.contains(physOf(m, keys.head))) {
+        val k = keys.head
+        val b = feed.agg(statsEncode(declared(k).dataType, min(col(k))),
+          statsEncode(declared(k).dataType, max(col(k)))).head()
+        if (b.isNullAt(0)) None else Some((k, b.getString(0), b.getString(1)))
+      } else None
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
       readSet = None, operation = "APPLY CHANGES", removeFiles = hitFiles,
-      txn = txn)
+      txn = txn, rebaseCheck = Some(mergeRebaseCheck(declared, keyBounds,
+        sourceEmpty = false, m.files.toSet, hitFiles, tz)))
   }
 
   /** The directory name Spark's partitioned writer produces for a

@@ -204,6 +204,128 @@ class TxLogOccSpec extends SparkSpec {
       rows.toString)
   }
 
+  test("mergeRebaseCheck: the file-granular read declaration, rule by rule") {
+    import org.apache.spark.sql.types.StructType
+    val declared = StructType.fromDDL("id BIGINT, v STRING")
+    val statsOf = (f: String, lo: String, hi: String) =>
+      f -> Map("id" -> (lo, hi))
+    val base = TxLog.Manifest(1L, Nil, declared.toDDL,
+      files = Seq("fA", "fB"), statsCols = Seq("id"),
+      fileStats = Map(statsOf("fA", "1", "10"), statsOf("fB", "1000", "1010")))
+    val bounds = Some(("id", "1", "10")) // the merge's source spans fA
+    def chk(latest: TxLog.Manifest,
+            keyBounds: Option[(String, String, String)] = bounds,
+            sourceEmpty: Boolean = false,
+            read: Set[String] = Set("fA"),
+            touched: Set[String] = Set("fA")) =
+      TxLog.mergeRebaseCheck(declared, keyBounds, sourceEmpty,
+        read, touched, "UTC")(base, latest)
+    // 1. a touched file removed at the head conflicts
+    assert(chk(base.copy(version = 2L, files = Seq("fB"))).isDefined,
+      "removed touched file must conflict")
+    // 2. DV state change on a READ file conflicts; on an unread one, rebases
+    val dvOnA = base.copy(version = 2L, dv = Seq("d1.dv" -> Map("fA" -> 1L)))
+    assert(chk(dvOnA).isDefined, "DV on a read file must conflict")
+    val dvOnB = base.copy(version = 2L, dv = Seq("d1.dv" -> Map("fB" -> 1L)))
+    assert(chk(dvOnB).isEmpty, "DV on an unread file must rebase")
+    // 3. added files vote against the source-key bounds
+    val addedOut = base.copy(version = 2L, files = Seq("fA", "fB", "fC"),
+      fileStats = base.fileStats + statsOf("fC", "500", "600"))
+    assert(chk(addedOut).isEmpty,
+      "added file outside the merged key range must rebase")
+    val addedIn = base.copy(version = 2L, files = Seq("fA", "fB", "fC"),
+      fileStats = base.fileStats + statsOf("fC", "5", "7"))
+    assert(chk(addedIn).isDefined,
+      "added file inside the merged key range must conflict")
+    val addedNoStats = base.copy(version = 2L, files = Seq("fA", "fB", "fC"))
+    assert(chk(addedNoStats).isDefined,
+      "added file without stats must conservatively conflict")
+    // no provable bounds (multi-key merge): any added file conflicts
+    assert(chk(addedOut, keyBounds = None).isDefined,
+      "unprovable key set must conflict on any added file")
+    // empty source: nothing to collide — added files rebase
+    assert(chk(addedIn, keyBounds = None, sourceEmpty = true).isEmpty,
+      "empty source must admit any added file")
+    // untouched-unread file removal rebases (it was exactly scanned and
+    // held no matched key; its replacement is judged by rule 3)
+    val swapped = base.copy(version = 2L, files = Seq("fA", "fC"),
+      fileStats = Map(statsOf("fA", "1", "10"), statsOf("fC", "1000", "1010")),
+      dv = Nil)
+    assert(chk(swapped, read = Set("fA"), touched = Set("fA")).isEmpty,
+      "compaction of an unread file outside the key range must rebase")
+  }
+
+  test("merge commit rebases over a disjoint-range append via its rebaseCheck") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val path = freshDir("merge_rebase_disjoint")
+    TxLog.create((1L to 10L).map(i => (i, s"base$i")).toDF("id", "v")
+      .coalesce(1), path, statsCols = Seq("id"))
+    val base = TxLog.manifest(spark, path, 1L)
+    val declared = StructType.fromDDL(base.schemaDdl)
+    val hit = base.files.toSet // single file: the merge rewrites it
+    val staged = TxLog.stageIn(
+      (1L to 10L).map(i => (i, s"upd$i")).toDF("id", "v").coalesce(1),
+      path, Nil)
+    // interleaved append of a DISJOINT key range (stats [1000, 1010])
+    TxLog.append((1000L to 1010L).map(i => (i, s"hi$i")).toDF("id", "v")
+      .coalesce(1), path)
+    // the merge's declaration: read+touch the base file, keys in [1, 10]
+    val v = TxLog.commitRebase(spark, path, base, rewriteDirs = Set.empty,
+      newFiles = staged, schemaDdl = base.schemaDdl, batchId = None,
+      readSet = None, operation = "MERGE", removeFiles = hit,
+      rebaseCheck = Some(TxLog.mergeRebaseCheck(declared,
+        Some(("id", "1", "10")), sourceEmpty = false, hit, hit, "UTC")))
+    assert(v == 3L, s"disjoint-range merge must rebase, not conflict (v$v)")
+    val rows = TxLog.read(spark, path).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "upd1" && rows(1000L) == "hi1000" && rows.size == 21,
+      rows.toString)
+    // and an OVERLAPPING interleave still conflicts through the checker
+    val base2 = TxLog.manifest(spark, path, 3L)
+    val hit2 = Set(base2.files.head)
+    val staged2 = TxLog.stageIn(Seq((1L, "x")).toDF("id", "v"), path, Nil)
+    TxLog.append(Seq((5L, "clash")).toDF("id", "v").coalesce(1), path)
+    intercept[TxLog.CommitConflictException] {
+      TxLog.commitRebase(spark, path, base2, rewriteDirs = Set.empty,
+        newFiles = staged2, schemaDdl = base2.schemaDdl, batchId = None,
+        readSet = None, operation = "MERGE", removeFiles = hit2,
+        rebaseCheck = Some(TxLog.mergeRebaseCheck(declared,
+          Some(("id", "1", "10")), sourceEmpty = false, hit2, hit2, "UTC")))
+    }
+  }
+
+  test("concurrent mergeInto on disjoint STATS-TRACKED key ranges: no conflict surfaced") {
+    import spark.implicits._
+    val path = freshDir("merge_disjoint_keys")
+    // two files with disjoint id ranges in the SAME partition, id
+    // stats-tracked — the shape where the file-granular read set
+    // admits concurrent lanes
+    TxLog.create((1L to 10L).map(i => (i, 1, s"lo$i")).toDF("id", "p", "v")
+      .coalesce(1), path, partitionCol = Some("p"), statsCols = Seq("id"))
+    TxLog.append((1000L to 1010L).map(i => (i, 1, s"hi$i"))
+      .toDF("id", "p", "v").coalesce(1), path)
+    val uLo = Seq((1L, 1, "lo_upd"), (501L, 1, "lo_ins")).toDF("id", "p", "v")
+    val uHi = Seq((1000L, 1, "hi_upd"), (700L, 1, "hi_ins")).toDF("id", "p", "v")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      // NO retry wrapper: a CommitConflictException fails the future —
+      // disjoint-range merges must commit via rebase alone
+      val fLo = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = TxLog.mergeInto(path, uLo, Seq("id")) })
+      val fHi = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = TxLog.mergeInto(path, uHi, Seq("id")) })
+      val (v1, v2) = (fLo.get(180, java.util.concurrent.TimeUnit.SECONDS),
+        fHi.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      assert(Set(v1, v2) == Set(3L, 4L), s"versions $v1/$v2")
+    } finally pool.shutdown()
+    val rows = TxLog.read(spark, path).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "lo_upd" && rows(501L) == "lo_ins" &&
+      rows(1000L) == "hi_upd" && rows(700L) == "hi_ins" &&
+      rows.size == 23, rows.toString)
+  }
+
   test("replayed micro-batch that loses its race is still committed exactly once") {
     import spark.implicits._
     val path = freshDir("batch_replay")
