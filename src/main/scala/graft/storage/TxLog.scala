@@ -4560,11 +4560,21 @@ object TxLog {
     * (no data read, no Spark job): version, file count, total bytes,
     * how many files the version added and dropped vs its predecessor
     * (a quick read on what kind of commit it was: append adds only,
-    * merge adds+drops, restore re-points), and the streaming batch
-    * watermark. Bytes come from the filesystem's file statuses —
-    * file-count-bounded driver work, the same class as every other
-    * catalog walk here; by-reference clone entries resolve against
-    * their source root. */
+    * merge adds+drops, restore re-points), the streaming batch
+    * watermark, and `operation_metrics` (Delta's operationMetrics, the
+    * incident-triage map): rows_written / rows_removed / dv_rows_added
+    * / bytes_added on every commit, plus verb-exact rows_inserted
+    * (appends/creates), rows_deleted (both DELETE forms) and
+    * rows_updated (DV updates) where the file/DV deltas determine them
+    * — all DERIVED from the per-file row counts and DV tallies the
+    * manifests already carry, so historical commits get them
+    * retroactively and the write path pays nothing. A MERGE's
+    * inserted/updated split needs per-row lineage — [[changes]] (the
+    * CDF) answers that exactly. Keys whose inputs predate row tracking
+    * are omitted rather than guessed. Bytes come from the filesystem's
+    * file statuses — file-count-bounded driver work, the same class as
+    * every other catalog walk here; by-reference clone entries resolve
+    * against their source root. */
   def history(spark: SparkSession, path: String): DataFrame = {
     val fs = fsFor(spark, path)
     val dir = manifestDir(path)
@@ -4585,23 +4595,58 @@ object TxLog {
       }
     }
     val rows = manifests.zipWithIndex.map { case ((v, m), i) =>
-      val prev: Set[String] =
-        if (i == 0) Set.empty else manifests(i - 1)._2.files.toSet
+      val prevM = if (i == 0) None else Some(manifests(i - 1)._2)
+      val prev: Set[String] = prevM.map(_.files.toSet).getOrElse(Set.empty)
       // provenance from the commit node itself (resolution never needs
       // it); absent on pre-provenance commits -> null
       val node = readCommitNode(spark, path, v)
       val op = Option(node.get("operation")).map(_.asText()).orNull
       val ts = Option(node.get("ts"))
         .map(t => new java.sql.Timestamp(t.asLong())).orNull
+      val addedFiles = m.files.filterNot(prev.contains)
+      val removedFiles = prev.diff(m.files.toSet).toSeq
+      // operationMetrics (Delta parity, the incident-triage column) —
+      // DERIVED from the manifests, not recorded at write time: every
+      // commit carries per-file row counts and DV tallies, so the
+      // row-level deltas fall out of the version diff for free and
+      // retroactively (historical commits get them too). Keys whose
+      // inputs predate row tracking are omitted rather than guessed.
+      def sumRows(files: Seq[String], rowsOf: Map[String, Long]): Option[Long] = {
+        val known = files.flatMap(rowsOf.get)
+        if (known.size == files.size) Some(known.sum) else None
+      }
+      val rowsWritten = sumRows(addedFiles, m.fileRows)
+      val rowsRemoved = sumRows(removedFiles,
+        prevM.map(_.fileRows).getOrElse(Map.empty))
+      val prevDv = prevM.map(_.dv.map(_._1).toSet).getOrElse(Set.empty)
+      val newDv = m.dv.filterNot(d => prevDv.contains(d._1))
+      val dvRowsAdded = newDv.map(_._2.values.sum).sum
+      val metrics = scala.collection.mutable.LinkedHashMap[String, Long]()
+      rowsWritten.foreach(metrics("rows_written") = _)
+      rowsRemoved.foreach(metrics("rows_removed") = _)
+      if (newDv.nonEmpty) metrics("dv_rows_added") = dvRowsAdded
+      metrics("bytes_added") = addedFiles.map(sizeOf).sum
+      val opU = Option(op).getOrElse("")
+      // verb-exact row semantics where the file/DV deltas determine
+      // them; MERGE's inserted/updated split needs per-row lineage —
+      // that is what [[changes]] (the CDF) answers exactly
+      if (opU.startsWith("APPEND") || opU.startsWith("STREAMING") ||
+          opU.startsWith("CREATE") || opU == "CONVERT")
+        rowsWritten.foreach(metrics("rows_inserted") = _)
+      if (opU.startsWith("DELETE")) {
+        if (opU.contains("(DV)")) metrics("rows_deleted") = dvRowsAdded
+        else rowsRemoved.foreach(r =>
+          metrics("rows_deleted") = r - rowsWritten.getOrElse(0L))
+      }
+      if (opU == "UPDATE (DV)") metrics("rows_updated") = dvRowsAdded
       (v, m.files.size.toLong, m.files.map(sizeOf).sum,
-        m.files.count(f => !prev.contains(f)).toLong,
-        prev.diff(m.files.toSet).size.toLong,
-        m.sourceBatchId, op, ts)
+        addedFiles.size.toLong, removedFiles.size.toLong,
+        m.sourceBatchId, op, ts, metrics.toMap)
     }
     import spark.implicits._
     rows.toDF("version", "n_files", "total_bytes",
       "files_added", "files_removed", "source_batch_id", "operation",
-      "commit_ts")
+      "commit_ts", "operation_metrics")
   }
 
   /** DESCRIBE DETAIL — the one-row table summary (Delta's shape):

@@ -324,6 +324,41 @@ class TxLogCheckpointSpec extends SparkSpec {
       TxLog.currentVersion(spark, path).get).statsCols == Seq("k"))
   }
 
+  test("history operation_metrics: row-level deltas per commit, derived retroactively") {
+    import spark.implicits._
+    val path = freshDir("opmetrics")
+    TxLog.create((1L to 10L).map(i => (i, "p", s"v$i")).toDF("k", "part", "v"),
+      path, partitionCol = Some("part"))
+    TxLog.append((11L to 15L).map(i => (i, "p", s"v$i")).toDF("k", "part", "v"), path)
+    TxLog.deleteWhere(spark, path,
+      org.apache.spark.sql.functions.expr("k >= 14")) // COW: rewrite minus 2
+    TxLog.deleteWhere(spark, path,
+      org.apache.spark.sql.functions.expr("k = 1"),
+      deletionVectors = true) // DV: 1 row, no file rewrites
+    TxLog.updateWhere(spark, path, Seq("v" -> "'upd'"),
+      org.apache.spark.sql.functions.expr("k = 2"),
+      deletionVectors = true) // DV update: 1 row
+    val h = TxLog.history(spark, path).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(6), r.getMap[String, Long](8).toMap)).toMap
+    assert(h(1L)._2("rows_inserted") == 10L, h(1L).toString)
+    assert(h(2L)._1 == "APPEND" && h(2L)._2("rows_inserted") == 5L)
+    assert(h(3L)._2("rows_deleted") == 2L, h(3L).toString)
+    assert(h(4L)._1 == "DELETE (DV)" && h(4L)._2("rows_deleted") == 1L &&
+      h(4L)._2("dv_rows_added") == 1L, h(4L).toString)
+    assert(h(5L)._1 == "UPDATE (DV)" && h(5L)._2("rows_updated") == 1L &&
+      h(5L)._2("rows_written") == 1L, h(5L).toString)
+    // every commit carries the generic keys
+    h.values.foreach { case (_, m) =>
+      assert(m.contains("bytes_added") && m.contains("rows_written"), m.toString) }
+    // the SQL TVF serves the same column
+    graft.tools.Sql.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      s"SELECT operation_metrics['rows_deleted'] FROM graft_txlog_history('$path') " +
+        "WHERE version = 4").head().getLong(0)
+    assert(viaSql == 1L, s"TVF metric $viaSql")
+  }
+
   test("DESCRIBE DETAIL: one-row metadata summary, no data read") {
     import spark.implicits._
     val path = freshDir("detail")
