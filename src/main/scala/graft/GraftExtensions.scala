@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectOptimizerRule(_ => graft.plans.WindowTopKRule)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // the V2-catalog bridge: graft.* reads lower onto the V1 mount,
+    // DELETE/UPDATE/MERGE lower onto the transactional verbs
+    e.injectPostHocResolutionRule(session => graft.tables.GraftAnalysis(session))
   }
 }
 

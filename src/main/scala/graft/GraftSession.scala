@@ -16,6 +16,11 @@ object GraftSession {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // build-time extensions: the analyzer rules (V2-catalog bridge)
+      // can only inject here — register() below covers the rest on
+      // sessions someone else built
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.tables.GraftCatalog")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

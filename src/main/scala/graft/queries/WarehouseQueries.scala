@@ -1521,7 +1521,41 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The V2 `TableCatalog` through the driver gate: the WHOLE DML loop
+    * in plain SQL resolved by Spark's own analyzer — CTAS into the
+    * catalog, INSERT INTO, UPDATE, DELETE, a conditional MERGE with
+    * INSERT *, and the final SELECT back through `graft.<name>`
+    * (gwasDB/app.R:133's named-table UX). The oracle recomputes the
+    * same final state from the raw parquet in one query; prices only
+    * ever multiply by 2 (exact in binary doubles), so the compare is
+    * cell-exact. */
+  def txlogSql(s: SparkSession, d: String): DataFrame = {
+    val wh = sys.props("java.io.tmpdir") + "/graft_txlog_sql_wh"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(wh), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    s.conf.set("graft.catalog.warehouse", wh)
+    orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("txlog_sql_src")
+    s.sql("CREATE TABLE graft.dml_orders AS " +
+      "SELECT * FROM txlog_sql_src WHERE o_orderkey % 3 = 0")
+    s.sql("INSERT INTO graft.dml_orders " +
+      "SELECT * FROM txlog_sql_src WHERE o_orderkey % 3 = 1")
+    s.sql("UPDATE graft.dml_orders SET o_orderstatus = 'U' " +
+      "WHERE o_orderkey % 10 = 0")
+    s.sql("DELETE FROM graft.dml_orders WHERE o_orderkey % 7 = 0")
+    s.sql("""MERGE INTO graft.dml_orders t
+            |USING (SELECT * FROM txlog_sql_src WHERE o_orderkey % 5 = 0) s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED AND s.o_totalprice > 0
+            |  THEN UPDATE SET o_totalprice = s.o_totalprice * 2
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("SELECT o_orderkey, o_orderstatus, o_totalprice " +
+      "FROM graft.dml_orders ORDER BY o_orderkey, o_orderstatus, o_totalprice")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txlog_sql" -> txlogSql _,
     "q_txlog" -> txlog _,
     "q_txlog_dv" -> txlogDv _,
     "q_txlog_dv_batch" -> txlogDvBatch _,
@@ -1648,6 +1682,32 @@ object WarehouseQueries {
     "q_txlog_pevolve" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin,
+    // the plain-SQL DML loop (CTAS/INSERT/UPDATE/DELETE/MERGE through
+    // the V2 catalog) ≡ a one-query recompute of the final state
+    "q_txlog_sql" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+        |              ELSE o_orderstatus END AS o_orderstatus,
+        |         o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 0
+        |), merged AS (
+        |  SELECT b.o_orderkey, b.o_orderstatus,
+        |         CASE WHEN s.o_orderkey IS NOT NULL AND s.o_totalprice > 0
+        |              THEN s.o_totalprice * 2
+        |              ELSE b.o_totalprice END AS o_totalprice
+        |  FROM base b
+        |  LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 5 = 0) s
+        |    ON b.o_orderkey = s.o_orderkey
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+        |  FROM orders s
+        |  WHERE s.o_orderkey % 5 = 0
+        |    AND s.o_orderkey NOT IN (SELECT o_orderkey FROM base)
+        |)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged
+        |ORDER BY o_orderkey, o_orderstatus, o_totalprice""".stripMargin,
     // a file-granular UPDATE ≡ a CASE-WHEN recompute over the source
     "q_txlog_update" ->
       """SELECT o_orderkey,

@@ -18,15 +18,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-warehouse JVM lock — the same durability class as TxLog's
   * commit files; concurrent writers from SEPARATE processes are
   * last-writer-wins on the REGISTRY, never on table data, which TxLog
-  * itself serializes). Deliberately not a Spark V2 `TableCatalog`:
-  * the engine's relation is Spark's own `HadoopFsRelation` (that is
-  * what buys stock vectorized parquet, codegen and pushdown), and the
-  * V2 catalog API cannot return a V1 relation outside the session
-  * catalog — so names resolve HERE and mount through the same
-  * `graft-txlog` format every other entry point uses.
-  * [[attach]] bridges to plain SQL by registering each name in the
-  * SESSION catalog (`CREATE TABLE name USING graft-txlog`), where the
-  * V1 fallback is first-class. */
+  * itself serializes). This object is the Scala-API face and the
+  * registry OWNER; the same file also backs the Spark V2
+  * `TableCatalog` ([[graft.tables.GraftCatalog]] — `SELECT * FROM
+  * graft.t`, INSERT/UPDATE/DELETE/MERGE through Spark's own resolver,
+  * reads lowered onto the V1 `HadoopFsRelation` mount by
+  * [[graft.tables.GraftAnalysis]]), so both surfaces share one
+  * namespace. [[attach]] additionally bridges names into the SESSION
+  * catalog (`CREATE TABLE name USING graft-txlog`) for tools that
+  * only see unqualified names. */
 object Catalog {
 
   private val NameRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
@@ -73,8 +73,17 @@ object Catalog {
   }
 
   private def mutate(spark: SparkSession,
-                     f: Map[String, String] => Map[String, String]): Unit = {
-    val w = warehouse(spark)
+                     f: Map[String, String] => Map[String, String]): Unit =
+    mutateAt(spark, warehouse(spark), f)
+
+  /** Registry primitives against an EXPLICIT warehouse — the seam the
+    * V2 [[graft.tables.GraftCatalog]] shares, so `spark.sql` names and
+    * the Scala-API names resolve through one file. */
+  private[graft] def entriesAt(spark: SparkSession, w: String): Map[String, String] =
+    readAll(spark, w)
+
+  private[graft] def mutateAt(spark: SparkSession, w: String,
+                              f: Map[String, String] => Map[String, String]): Unit = {
     val lock = locks.computeIfAbsent(w, _ => new Object)
     lock.synchronized { writeAll(spark, w, f(readAll(spark, w))) }
   }

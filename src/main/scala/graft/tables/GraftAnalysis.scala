@@ -1,0 +1,226 @@
+package graft.tables
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, Cast, EqualTo, ExprId, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.graftbridge.ExprBridge
+import org.apache.spark.sql.{Row, SparkSession}
+
+import graft.storage.TxLog
+
+/** The analysis-time bridge that makes `graft.*` tables first-class in
+  * plain SQL (the Delta pattern: a V2 catalog resolves names, an
+  * analyzer rule lowers the plans onto the engine's own machinery):
+  *
+  *  - a read of [[GraftTable]] becomes the V1 `HadoopFsRelation` mount
+  *    — the SAME plan `spark.read.format("graft-txlog")` produces
+  *    (vectorized parquet, codegen, pushdown, manifest pruning), which
+  *    no V2 `ScanBuilder` could return. The replacement keeps the V2
+  *    relation's output attributes, so references above stay resolved;
+  *  - DELETE / UPDATE / MERGE logical plans (which Spark only executes
+  *    natively for `SupportsRowLevelOperations` tables) lower onto the
+  *    transactional verbs `deleteWhere` / `updateWhere` / `mergeWhen`
+  *    — each ONE atomic commit with file-granular OCC.
+  *
+  * Injected by `graft.GraftExtensions` as a post-hoc resolution rule:
+  * it sees fully-resolved plans and runs before Spark's capability
+  * checks would reject the unsupported-DML nodes. */
+case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private object GraftRel {
+    def unapply(plan: LogicalPlan): Option[(GraftTable, Seq[Attribute])] =
+      plan.collectFirst {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+          (r.table.asInstanceOf[GraftTable], plan.output)
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case d @ DeleteFromTable(GraftRel(t, out), condition) if d.resolved =>
+        requireWritable(t)
+        GraftDeleteCommand(t.path, render(condition, Set.empty))
+
+      case u @ UpdateTable(GraftRel(t, out), assignments, condition)
+          if u.resolved =>
+        requireWritable(t)
+        GraftUpdateCommand(t.path,
+          assignments.map(a => assignKey(a.key) -> render(a.value, Set.empty)),
+          condition.map(render(_, Set.empty)))
+
+      case m: MergeIntoTable if m.resolved && isGraft(m.targetTable) =>
+        lowerMerge(m)
+
+      // plain reads (anything left after the DML cases): the V1 mount.
+      // The mount arranges partition columns LAST while the table's
+      // schema keeps the DECLARED order, so the relation mounts with
+      // its own attribute layout and a zero-cost Project restores the
+      // declared order under the V2 relation's exprIds — references
+      // above stay resolved, column pruning passes through.
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val rel = t.v1Relation
+        val byName = r.output.map(a => a.name -> a).toMap
+        val relAttrs = rel.schema.map { f =>
+          val keep = byName(f.name)
+          AttributeReference(f.name, f.dataType, f.nullable, f.metadata)(
+            exprId = if (rel.schema.fieldNames.sameElements(
+              r.output.map(_.name))) keep.exprId
+            else org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId)
+        }
+        val lr = LogicalRelation(rel, relAttrs, None,
+          isStreaming = false, None)
+        if (lr.output.map(_.exprId) == r.output.map(_.exprId)) lr
+        else {
+          val byNameRel = lr.output.map(a => a.name -> a).toMap
+          Project(r.output.map { a =>
+            org.apache.spark.sql.catalyst.expressions.Alias(
+              byNameRel(a.name), a.name)(exprId = a.exprId)
+          }, lr)
+        }
+    }
+
+  private def isGraft(plan: LogicalPlan): Boolean =
+    GraftRel.unapply(plan).isDefined
+
+  private def requireWritable(t: GraftTable): Unit =
+    require(t.versionAsOf.isEmpty,
+      s"graft.${t.name()}: cannot run DML against a time-travel snapshot")
+
+  /** Render a resolved expression back to SQL over the verbs'
+    * namespace: target columns by bare name, source columns (MERGE) as
+    * `src.<name>` — the struct `mergeWhen` exposes. */
+  private def render(e: Expression, srcIds: Set[ExprId]): String =
+    e.transform {
+      case a: AttributeReference if srcIds.contains(a.exprId) =>
+        UnresolvedAttribute(Seq("src", a.name))
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }.sql
+
+  private def assignKey(e: Expression): String = e match {
+    case a: AttributeReference => a.name
+    case other => throw new UnsupportedOperationException(
+      s"graft: SET on a nested field is not supported ($other)")
+  }
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case x => x
+  }
+
+  private def lowerMerge(m: MergeIntoTable): LogicalPlan = {
+    import TxLog.MergeClause
+    val (target, _) = GraftRel.unapply(m.targetTable).get
+    requireWritable(target)
+    val srcIds = m.sourceTable.outputSet.map(_.exprId).toSet
+    val tgtIds = m.targetTable.outputSet.map(_.exprId).toSet
+    // ON: conjunction of target.k = source.k equalities (same name
+    // both sides) — the upsert key shape mergeWhen serves. Anything
+    // else is not expressible as a keyed merge; refuse loudly with the
+    // escape hatch.
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val keys = conjuncts(m.mergeCondition).map { c =>
+      (c match {
+        case EqualTo(a: AttributeReference, b: AttributeReference) => Some((a, b))
+        case _ => None
+      }) match {
+        case Some((a, b)) if tgtIds(a.exprId) && srcIds(b.exprId) &&
+          a.name.equalsIgnoreCase(b.name) => a.name
+        case Some((a, b)) if srcIds(a.exprId) && tgtIds(b.exprId) &&
+          a.name.equalsIgnoreCase(b.name) => b.name
+        case _ => throw new UnsupportedOperationException(
+          s"graft MERGE: ON must be a conjunction of target.k = source.k " +
+            s"equalities on same-named columns, got '${c.sql}' — use the " +
+            "TXLOG MERGE verb for free-form join conditions")
+      }
+    }
+    def cond(c: Option[Expression]): Option[String] = c.map(render(_, srcIds))
+    def updateSets(assigns: Seq[Assignment]): Seq[(String, String)] =
+      assigns.map(a => assignKey(a.key) -> render(a.value, srcIds))
+    // INSERT must be star-shaped (mergeWhen's INSERT * contract): every
+    // assignment carries a same-named source column through unchanged
+    def requireInsertStar(assigns: Seq[Assignment]): Unit =
+      assigns.foreach { a =>
+        val ok = stripCast(a.value) match {
+          case v: AttributeReference =>
+            srcIds(v.exprId) && v.name.equalsIgnoreCase(assignKey(a.key))
+          case _ => false
+        }
+        if (!ok) throw new UnsupportedOperationException(
+          s"graft MERGE: WHEN NOT MATCHED supports INSERT * only " +
+            s"(got ${assignKey(a.key)} = ${a.value.sql}) — use the TXLOG " +
+            "MERGE verb for computed inserts")
+      }
+    val matched = m.matchedActions.map {
+      case ua: UpdateAction => MergeClause(cond(ua.condition), "update",
+        updateSets(ua.assignments))
+      case da: DeleteAction => MergeClause(cond(da.condition), "delete")
+      case other => throw new UnsupportedOperationException(
+        s"graft MERGE: unsupported WHEN MATCHED action $other")
+    }
+    val notMatched = m.notMatchedActions.map {
+      case ia: InsertAction =>
+        requireInsertStar(ia.assignments)
+        MergeClause(cond(ia.condition), "insert")
+      case other => throw new UnsupportedOperationException(
+        s"graft MERGE: unsupported WHEN NOT MATCHED action $other")
+    }
+    val nms = m.notMatchedBySourceActions.map {
+      case da: DeleteAction => MergeClause(cond(da.condition), "delete")
+      case other => throw new UnsupportedOperationException(
+        s"graft MERGE: WHEN NOT MATCHED BY SOURCE supports DELETE only, " +
+          s"got $other")
+    }
+    // the source subtree may itself read graft tables — lower those too
+    GraftMergeCommand(target.path, apply(m.sourceTable), keys,
+      matched, notMatched, nms)
+  }
+}
+
+/** DELETE FROM graft.t WHERE ... → [[TxLog.deleteWhere]]: file-granular
+  * discovery, one atomic commit. */
+case class GraftDeleteCommand(path: String, condSql: String)
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.deleteWhere(spark, path, expr(condSql))))
+}
+
+/** UPDATE graft.t SET ... WHERE ... → [[TxLog.updateWhere]]. */
+case class GraftUpdateCommand(path: String, sets: Seq[(String, String)],
+                              condSql: Option[String])
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.updateWhere(spark, path, sets,
+      condSql.map(expr).getOrElse(
+        org.apache.spark.sql.functions.lit(true)))))
+}
+
+/** MERGE INTO graft.t ... → [[TxLog.mergeWhen]] (the full conditional
+  * grammar, file-granular OCC read set). The source plan is carried
+  * whole and materialized at run time. */
+case class GraftMergeCommand(path: String, source: LogicalPlan,
+                             keys: Seq[String],
+                             matched: Seq[TxLog.MergeClause],
+                             notMatched: Seq[TxLog.MergeClause],
+                             notMatchedBySource: Seq[TxLog.MergeClause])
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.mergeWhen(path, ExprBridge.ofRows(spark, source), keys,
+      matched, notMatched, notMatchedBySource)))
+}

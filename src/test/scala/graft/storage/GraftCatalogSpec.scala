@@ -1,0 +1,191 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The DataSource V2 `TableCatalog` (`graft.*`): Spark's OWN resolver
+  * serving graft tables by name — the reference's actual UX
+  * (`tbl(con, "combined")` behind dbplyr, gwasDB/app.R:133). Plain SQL
+  * DDL + DML round-trips: CREATE/CTAS, SELECT (incl. time travel),
+  * INSERT INTO/OVERWRITE, DELETE/UPDATE/MERGE, ALTER, DROP — reads
+  * plan onto the SAME V1 parquet mount as the `graft-txlog` format
+  * (pushdown intact), writes onto the transactional verbs.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withWarehouse(f: String => Unit): Unit = {
+    val w = java.nio.file.Files.createTempDirectory("graft_v2cat").toString
+    val prev = spark.conf.getOption("graft.catalog.warehouse")
+    spark.conf.set("graft.catalog.warehouse", w)
+    try f(w)
+    finally prev match {
+      case Some(v) => spark.conf.set("graft.catalog.warehouse", v)
+      case None => spark.conf.unset("graft.catalog.warehouse")
+    }
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT: the full plain-SQL loop") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.cust (k BIGINT, seg STRING, amt DOUBLE) " +
+        "PARTITIONED BY (seg)")
+      assert(TxLog.currentVersion(spark, s"$w/cust").contains(1L),
+        "CREATE TABLE must land a TxLog table in the warehouse")
+      spark.sql("INSERT INTO graft.cust VALUES " +
+        "(1, 'a', 10.0), (2, 'b', 20.0), (3, 'a', 30.0)")
+      val out = spark.sql(
+        "SELECT seg, sum(amt) AS s FROM graft.cust GROUP BY seg ORDER BY seg")
+        .as[(String, Double)].collect().toSeq
+      assert(out == Seq(("a", 40.0), ("b", 20.0)), out.toString)
+      // the name is ONE namespace with the Scala API and the TXLOG verbs
+      assert(Catalog.table(spark, "cust").count() == 3)
+      graft.tools.Sql.exec(spark,
+        "TXLOG APPEND INTO 'cust' SELECT CAST(4 AS BIGINT) AS k, " +
+          "'b' AS seg, CAST(5.0 AS DOUBLE) AS amt")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.cust")
+        .head().getLong(0) == 4L)
+      // SHOW TABLES sees the registry
+      val shown = spark.sql("SHOW TABLES IN graft").select("tableName")
+        .as[String].collect().toSet
+      assert(shown.contains("cust"), shown.toString)
+    }
+  }
+
+  test("reads plan onto the V1 parquet mount: pushdown + partition pruning intact") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.scan (k BIGINT, seg STRING, amt DOUBLE) " +
+        "PARTITIONED BY (seg)")
+      spark.sql("INSERT INTO graft.scan SELECT id AS k, " +
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS seg, " +
+        "CAST(id AS DOUBLE) AS amt FROM range(100)")
+      val df = spark.sql(
+        "SELECT k FROM graft.scan WHERE seg = 'a' AND k > 10")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Scan parquet") || plan.contains("FileScan"),
+        s"catalog read must serve through the V1 parquet mount:\n$plan")
+      assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+        s"data filter must push to the scan:\n$plan")
+      assert(df.count() == 44) // even ids 12..98
+      // partition pruning: only seg=a files planned
+      val scanned = df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.toString.linesIterator.find(_.contains("seg=")))
+      assert(!plan.contains("seg=b"), "partition seg=b must be pruned")
+    }
+  }
+
+  test("CTAS, INSERT OVERWRITE, and static-partition overwrite") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.src_nums AS " +
+        "SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v FROM range(10)")
+      assert(spark.sql("SELECT sum(k) AS s FROM graft.src_nums")
+        .head().getLong(0) == 45L)
+      // truncate-overwrite: one commit, history kept
+      spark.sql("INSERT OVERWRITE graft.src_nums " +
+        "SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(3)")
+      assert(spark.sql("SELECT count(*) AS n, sum(k) AS s FROM graft.src_nums")
+        .as[(Long, Long)].head() == ((3L, 3L)))
+      // prior snapshot still served through time travel (CTAS is two
+      // commits: v1 creates the empty table, v2 lands the select)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.src_nums VERSION AS OF 2")
+        .head().getLong(0) == 10L)
+      // static-partition overwrite -> replacePartitions (atomic)
+      spark.sql("CREATE TABLE graft.daily (k BIGINT, d STRING) PARTITIONED BY (d)")
+      spark.sql("INSERT INTO graft.daily VALUES (1, 'mon'), (2, 'tue')")
+      spark.sql("INSERT OVERWRITE graft.daily PARTITION (d = 'mon') " +
+        "SELECT id + 10 AS k FROM range(2)")
+      val rows = spark.sql("SELECT k, d FROM graft.daily ORDER BY k")
+        .as[(Long, String)].collect().toSeq
+      assert(rows == Seq((2L, "tue"), (10L, "mon"), (11L, "mon")), rows.toString)
+    }
+  }
+
+  test("DELETE / UPDATE / MERGE as plain SQL lower onto the transactional verbs") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.acct (k BIGINT, status STRING, amt DOUBLE) " +
+        "PARTITIONED BY (status)")
+      spark.sql("INSERT INTO graft.acct VALUES " +
+        "(1, 'open', 10.0), (2, 'open', 20.0), (3, 'hold', 30.0), (4, 'hold', 40.0)")
+      spark.sql("DELETE FROM graft.acct WHERE amt >= 40")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.acct").head().getLong(0) == 3L)
+      spark.sql("UPDATE graft.acct SET amt = amt + 1 WHERE k <= 2")
+      assert(spark.sql("SELECT sum(amt) AS s FROM graft.acct").head().getDouble(0)
+        == 10.0 + 20.0 + 30.0 + 2.0)
+      // MERGE: conditional update + insert *, CASE inside the condition
+      Seq((2L, "upd", 100.0), (9L, "new", 90.0), (3L, "upd", 0.0))
+        .toDF("k", "status", "amt").createOrReplaceTempView("acct_updates")
+      spark.sql(
+        """MERGE INTO graft.acct t USING acct_updates s ON t.k = s.k
+          |WHEN MATCHED AND s.amt > t.amt THEN UPDATE SET amt = s.amt
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = spark.sql("SELECT k, amt FROM graft.acct ORDER BY k")
+        .as[(Long, Double)].collect().toSeq
+      assert(out == Seq((1L, 11.0), (2L, 100.0), (3L, 30.0), (9L, 90.0)),
+        out.toString)
+      // MERGE delete + NOT MATCHED BY SOURCE
+      Seq((1L, "x", 0.0)).toDF("k", "status", "amt")
+        .createOrReplaceTempView("acct_keep")
+      spark.sql(
+        """MERGE INTO graft.acct t USING acct_keep s ON t.k = s.k
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE AND t.k > 3 THEN DELETE""".stripMargin)
+      assert(spark.sql("SELECT k FROM graft.acct ORDER BY k")
+        .as[Long].collect().toSeq == Seq(2L, 3L))
+    }
+  }
+
+  test("ALTER TABLE: add/rename/drop column and type widening, metadata-only") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.ddl_t AS SELECT CAST(id AS INT) AS k, " +
+        "CAST(id AS DOUBLE) AS v FROM range(5)")
+      spark.sql("ALTER TABLE graft.ddl_t ADD COLUMN note STRING")
+      spark.sql("ALTER TABLE graft.ddl_t RENAME COLUMN note TO memo")
+      spark.sql("ALTER TABLE graft.ddl_t ALTER COLUMN k TYPE BIGINT")
+      val schema = spark.sql("SELECT * FROM graft.ddl_t").schema
+      assert(schema.fieldNames.toSeq == Seq("k", "v", "memo"), schema.toString)
+      assert(schema("k").dataType ==
+        org.apache.spark.sql.types.LongType)
+      spark.sql("ALTER TABLE graft.ddl_t DROP COLUMN memo")
+      assert(spark.sql("SELECT * FROM graft.ddl_t").columns.toSeq == Seq("k", "v"))
+      assert(spark.sql("SELECT sum(k) AS s FROM graft.ddl_t").head().getLong(0) == 10L)
+    }
+  }
+
+  test("time travel, rename, drop: registry-level DDL; data never deleted") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.tt AS SELECT id AS k FROM range(4)")
+      spark.sql("INSERT INTO graft.tt VALUES (100)")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.tt VERSION AS OF 2")
+        .head().getLong(0) == 4L)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.tt").head().getLong(0) == 5L)
+      // tags resolve through VERSION AS OF too
+      TxLog.tag(spark, s"$w/tt", "prod", Some(2L))
+      assert(spark.sql("SELECT count(*) AS n FROM graft.tt VERSION AS OF 'prod'")
+        .head().getLong(0) == 4L)
+      spark.sql("ALTER TABLE graft.tt RENAME TO tt2") // within-catalog rename
+      assert(spark.sql("SELECT count(*) AS n FROM graft.tt2").head().getLong(0) == 5L)
+      spark.sql("DROP TABLE graft.tt2")
+      assert(!spark.catalog.tableExists("graft.tt2"))
+      // dropping the NAME leaves the table dir intact
+      assert(TxLog.currentVersion(spark, s"$w/tt").contains(3L))
+    }
+  }
+
+  test("hidden-partition transforms in CREATE TABLE: bucket layout mounts bucketed") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.buck (k BIGINT, v STRING) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO graft.buck SELECT id AS k, CAST(id AS STRING) AS v " +
+        "FROM range(100)")
+      val m = TxLog.manifest(spark, s"$w/buck",
+        TxLog.currentVersion(spark, s"$w/buck").get)
+      assert(m.partitionSpec == Seq("bucket(4, k)"), m.partitionSpec.toString)
+      assert(spark.sql("SELECT sum(k) AS s FROM graft.buck").head().getLong(0) == 4950L)
+      // a self-join on the bucket key plans WITHOUT a shuffle exchange
+      // on the scan side (the mount reports HashPartitioning)
+      val j = spark.sql(
+        "SELECT count(*) AS n FROM graft.buck a JOIN graft.buck b ON a.k = b.k")
+      assert(j.head().getLong(0) == 100L)
+    }
+  }
+}
