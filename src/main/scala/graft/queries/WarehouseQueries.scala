@@ -1554,7 +1554,32 @@ object WarehouseQueries {
       "FROM graft.dml_orders ORDER BY o_orderkey, o_orderstatus, o_totalprice")
   }
 
+  /** DEFAULT + GENERATED columns through the driver gate: create from
+    * half the orders, ADD COLUMN ... DEFAULT and ADD COLUMN ...
+    * GENERATED AS (both metadata-only — pre-existing rows read null),
+    * then append the other half OMITTING both new columns: the default
+    * fills, the generated computes. The oracle reproduces the
+    * era-split with CASE over the row's parity. */
+  def txlogDefaults(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_defaults_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d).select("o_orderkey", "o_orderstatus")
+    TxLog.create(dim.filter(col("o_orderkey") % 2 === 0), path)
+    TxLog.addColumn(s, path, "src_tag", "string",
+      default = Some("'late_load'"))
+    TxLog.addColumn(s, path, "k_bucket", "bigint",
+      generatedAs = Some("o_orderkey % 4"))
+    TxLog.append(dim.filter(col("o_orderkey") % 2 === 1), path)
+    TxLog.read(s, path)
+      .select("o_orderkey", "o_orderstatus", "src_tag", "k_bucket")
+      .orderBy("o_orderkey")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txlog_defaults" -> txlogDefaults _,
     "q_txlog_sql" -> txlogSql _,
     "q_txlog" -> txlog _,
     "q_txlog_dv" -> txlogDv _,
@@ -1682,6 +1707,13 @@ object WarehouseQueries {
     "q_txlog_pevolve" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin,
+    // metadata-only DEFAULT/GENERATED columns ≡ a CASE over the
+    // row's write era (even keys pre-date the columns -> null)
+    "q_txlog_defaults" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CASE WHEN o_orderkey % 2 = 1 THEN 'late_load' END AS src_tag,
+        |       CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 4 END AS k_bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // the plain-SQL DML loop (CTAS/INSERT/UPDATE/DELETE/MERGE through
     // the V2 catalog) ≡ a one-query recompute of the final state
     "q_txlog_sql" ->

@@ -2080,9 +2080,68 @@ object TxLog {
     * constraints at once, first violating row reported with every
     * constraint it fails. Runs BEFORE [[stageIn]], so a refused commit
     * stages nothing. */
+  // ------------------------------------------------------------------
+  // Column policies: DEFAULT and GENERATED columns ride the constraint
+  // channel under reserved names (`__default__<col>` holds the DEFAULT
+  // expression, `__generated__<col>` the generation expression) — one
+  // serialization, checkpointing, clone/restore and protocol-gating
+  // story instead of a new manifest field. User constraint names may
+  // not start with `__`, so the namespaces cannot collide.
+  // ------------------------------------------------------------------
+  private val DefaultPrefix = "__default__"
+  private val GeneratedPrefix = "__generated__"
+
+  /** Column → DEFAULT expression (SQL over literals/functions only). */
+  private[graft] def columnDefaults(m: Manifest): Map[String, String] =
+    m.constraints.collect { case (n, e) if n.startsWith(DefaultPrefix) =>
+      n.stripPrefix(DefaultPrefix) -> e }.toMap
+
+  /** Column → GENERATED AS expression (SQL over the other columns). */
+  private[graft] def generatedColumns(m: Manifest): Map[String, String] =
+    m.constraints.collect { case (n, e) if n.startsWith(GeneratedPrefix) =>
+      n.stripPrefix(GeneratedPrefix) -> e }.toMap
+
+  /** Fill the INSERT-shaped batch's omitted policy columns: a missing
+    * GENERATED column computes from its expression, a missing DEFAULT
+    * column fills with its default — then reorder to declared order so
+    * the exact-match schema gate passes. Provided columns pass through
+    * untouched (the generated invariant below vets them). */
+  private def fillPolicyColumns(df: DataFrame, m: Manifest,
+                                declared: StructType): DataFrame = {
+    val defs = columnDefaults(m)
+    val gens = generatedColumns(m)
+    if (defs.isEmpty && gens.isEmpty) return df
+    import org.apache.spark.sql.functions.{col, expr}
+    val missing = declared.fields.filter(f =>
+      !df.columns.contains(f.name) &&
+        (gens.contains(f.name) || defs.contains(f.name)))
+    if (missing.isEmpty) return df
+    val filled = missing.foldLeft(df)((d, f) =>
+      d.withColumn(f.name,
+        expr(gens.getOrElse(f.name, defs(f.name))).cast(f.dataType)))
+    filled.select(declared.fieldNames.filter(filled.columns.contains)
+      .map(col).toIndexedSeq: _*)
+  }
+
+  /** The binding form of each constraint entry: user CHECKs bind as
+    * written; a GENERATED entry binds as the null-tolerant invariant
+    * `c IS NULL OR c <=> (expr)` (rows written before the column
+    * existed read as null — a metadata-only ADD never backfills);
+    * DEFAULT entries never bind (they only fill omitted columns). */
+  private def bindingConstraints(constraints: Seq[(String, String)])
+      : Seq[(String, String)] =
+    constraints.flatMap {
+      case (n, _) if n.startsWith(DefaultPrefix) => None
+      case (n, e) if n.startsWith(GeneratedPrefix) =>
+        val c = n.stripPrefix(GeneratedPrefix)
+        Some(n -> s"($c IS NULL) OR ($c <=> ($e))")
+      case other => Some(other)
+    }
+
   private def enforceConstraints(df: DataFrame,
-                                 constraints: Seq[(String, String)],
+                                 constraints0: Seq[(String, String)],
                                  op: String): Unit = {
+    val constraints = bindingConstraints(constraints0)
     if (constraints.isEmpty) return
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not, struct}
     val flags = constraints.zipWithIndex.map { case ((_, c), i) =>
@@ -2116,9 +2175,10 @@ object TxLog {
   def constraintViolationReason(constraints: Seq[(String, String)])
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not, when}
-    constraints.foldLeft(lit(null).cast("string")) { case (acc, (n, c)) =>
-      coalesce(acc, when(not(coalesce(expr(c), lit(true))), lit(s"check:$n")))
-    }
+    bindingConstraints(constraints)
+      .foldLeft(lit(null).cast("string")) { case (acc, (n, c)) =>
+        coalesce(acc, when(not(coalesce(expr(c), lit(true))), lit(s"check:$n")))
+      }
   }
 
   /** The CHECK constraints in force at `version` (default: head) as
@@ -2201,6 +2261,9 @@ object TxLog {
                     check: String): Long = {
     require(name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_'),
       s"TxLog.addConstraint: constraint name must be [A-Za-z0-9_]+, got '$name'")
+    require(!name.startsWith("__"),
+      s"TxLog.addConstraint: names starting with '__' are reserved for " +
+        "column policies (DEFAULT/GENERATED)")
     commitConstraints(spark, path,
       update = { m =>
         require(!m.constraints.exists(_._1 == name) &&
@@ -2233,10 +2296,14 @@ object TxLog {
   /** ALTER TABLE ... DROP CONSTRAINT name — CHECK or UNIQUE, looked up
     * by name. Time travel still sees the constraint on historical
     * versions' metadata; it simply stops binding future commits. */
-  def dropConstraint(spark: SparkSession, path: String, name: String): Long =
+  def dropConstraint(spark: SparkSession, path: String, name: String): Long = {
+    require(!name.startsWith("__"),
+      "TxLog.dropConstraint: reserved policy entries are managed by " +
+        "dropColumnDefault / dropColumn, not DROP CONSTRAINT")
     commitConstraints(spark, path,
       update = { m =>
-        val known = m.constraints.map(_._1) ++ m.uniques.map(_._1)
+        val known = m.constraints.map(_._1).filterNot(_.startsWith("__")) ++
+          m.uniques.map(_._1)
         require(known.contains(name),
           s"TxLog.dropConstraint: no constraint '$name' on $path " +
             s"(have: ${if (known.isEmpty) "none" else known.mkString(", ")})")
@@ -2245,6 +2312,76 @@ object TxLog {
       },
       operation = s"DROP CONSTRAINT $name",
       revalidate = _ => ())
+  }
+
+  /** A policy expression must ANALYZE (against the table's columns for
+    * GENERATED, against nothing for DEFAULT — standard SQL: a default
+    * sees literals and functions only) and be deterministic (a
+    * rand()-default would make replayed idempotent batches diverge). */
+  private def validatePolicyExpr(spark: SparkSession, m: Manifest,
+                                 what: String, e: String,
+                                 overColumns: Boolean): Unit = {
+    val base =
+      if (overColumns)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType.fromDDL(m.schemaDdl))
+      else spark.range(1).select()
+    val analyzed = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(base.select(org.apache.spark.sql.functions.expr(e)))
+      .queryExecution.analyzed
+    require(analyzed.expressions.forall(_.deterministic),
+      s"TxLog: $what must be deterministic, '$e' is not")
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN col SET DEFAULT expr — from this
+    * version on, INSERT-shaped writes (the append family, INSERT INTO
+    * through the V2 catalog, the streaming sink) that OMIT the column
+    * fill it with `expr` cast to the column type. Metadata-only;
+    * existing rows are untouched (standard SQL DEFAULT binds at write,
+    * never at read). The entry rides the constraint channel under the
+    * reserved `__default__` name, so it persists in every commit,
+    * survives checkpoints and clone, and restore reverts it with the
+    * rest of the table state. */
+  def setColumnDefault(spark: SparkSession, path: String, colName: String,
+                       default: String): Long =
+    commitConstraints(spark, path,
+      update = { m =>
+        val declared = StructType.fromDDL(m.schemaDdl)
+        require(declared.fieldNames.contains(colName),
+          s"TxLog.setColumnDefault: no column '$colName' in ${m.schemaDdl}")
+        require(!generatedColumns(m).contains(colName),
+          s"TxLog.setColumnDefault: '$colName' is GENERATED — its value " +
+            "always computes from the generation expression")
+        (m.constraints.filterNot(_._1 == DefaultPrefix + colName) :+
+          (DefaultPrefix + colName -> default), m.uniques)
+      },
+      operation = s"ALTER COLUMN $colName SET DEFAULT $default",
+      revalidate = m => validatePolicyExpr(spark, m,
+        s"DEFAULT for '$colName'", default, overColumns = false))
+
+  /** ALTER TABLE ... ALTER COLUMN col DROP DEFAULT. */
+  def dropColumnDefault(spark: SparkSession, path: String,
+                        colName: String): Long =
+    commitConstraints(spark, path,
+      update = { m =>
+        require(columnDefaults(m).contains(colName),
+          s"TxLog.dropColumnDefault: no DEFAULT on '$colName' " +
+            s"(have: ${columnDefaults(m).keys.toSeq.sorted.mkString(", ") match {
+              case "" => "none"; case x => x }})")
+        (m.constraints.filterNot(_._1 == DefaultPrefix + colName), m.uniques)
+      },
+      operation = s"ALTER COLUMN $colName DROP DEFAULT",
+      revalidate = _ => ())
+
+  /** The column policies in force at the head: (column, kind, expr)
+    * with kind ∈ {default, generated}. */
+  def columnPolicies(spark: SparkSession, path: String): Seq[(String, String, String)] = {
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    columnDefaults(m).toSeq.sorted.map { case (c, e) => (c, "default", e) } ++
+      generatedColumns(m).toSeq.sorted.map { case (c, e) => (c, "generated", e) }
+  }
 
   /** ALTER TABLE ... ADD CONSTRAINT name UNIQUE (cols) — the write-time
     * PRIMARY-KEY gate the reference's Postgres schema enforces on
@@ -2271,6 +2408,9 @@ object TxLog {
                           cols: Seq[String]): Long = {
     require(name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_'),
       s"TxLog.addUniqueConstraint: constraint name must be [A-Za-z0-9_]+, got '$name'")
+    require(!name.startsWith("__"),
+      "TxLog.addUniqueConstraint: names starting with '__' are reserved " +
+        "for column policies (DEFAULT/GENERATED)")
     require(cols.nonEmpty, "TxLog.addUniqueConstraint: name at least one column")
     commitConstraints(spark, path,
       update = { m =>
@@ -2503,6 +2643,10 @@ object TxLog {
         s"TxLog.renameColumn: no column '$oldName' in ${attempt.schemaDdl}")
       require(!declared.fieldNames.contains(newName),
         s"TxLog.renameColumn: column '$newName' already exists")
+      require(!columnDefaults(attempt).contains(oldName) &&
+          !generatedColumns(attempt).contains(oldName),
+        s"TxLog.renameColumn: '$oldName' carries a DEFAULT/GENERATED " +
+          "policy — drop it first, rename, re-add against the new name")
       val word = ("\\b" + java.util.regex.Pattern.quote(oldName) + "\\b").r
       attempt.constraints.foreach { case (n, check) =>
         require(word.findFirstIn(check).isEmpty,
@@ -2578,8 +2722,12 @@ object TxLog {
     * it starts life empty instead of resurrecting old bytes. */
   def addColumn(spark: SparkSession, path: String,
                 name: String, ddlType: String,
-                maxRetries: Int = 10): Long = {
+                maxRetries: Int = 10,
+                generatedAs: Option[String] = None,
+                default: Option[String] = None): Long = {
     val dataType = org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+    require(generatedAs.isEmpty || default.isEmpty,
+      "TxLog.addColumn: a column is GENERATED or has a DEFAULT, not both")
     var retries = 0
     while (true) {
       val v = currentVersion(spark, path).getOrElse(
@@ -2589,6 +2737,16 @@ object TxLog {
       val declared = StructType.fromDDL(attempt.schemaDdl)
       require(!declared.fieldNames.contains(name),
         s"TxLog.addColumn: column '$name' already exists")
+      // GENERATED AS expressions see the OTHER columns (computed per
+      // row on omission, vetted when provided); DEFAULTs see none
+      // (standard SQL: literals and deterministic functions only)
+      generatedAs.foreach(e => validatePolicyExpr(spark, attempt,
+        s"GENERATED AS for '$name'", e, overColumns = true))
+      default.foreach(e => validatePolicyExpr(spark, attempt,
+        s"DEFAULT for '$name'", e, overColumns = false))
+      val policyEntry: Seq[(String, String)] =
+        generatedAs.map(e => GeneratedPrefix + name -> e).toSeq ++
+          default.map(e => DefaultPrefix + name -> e).toSeq
       require(!attempt.partitionCols.contains(name),
         s"TxLog.addColumn: '$name' collides with a partition directory name")
       // physical slots the files may already spell: every live
@@ -2608,22 +2766,27 @@ object TxLog {
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
       val newColMap = attempt.colMap ++
         (if (phys == name) Nil else Seq(name -> phys))
+      val newConstraints = attempt.constraints ++ policyEntry
       val nextMinWriter =
-        if (newColMap == attempt.colMap) attempt.minWriter
+        if (newColMap == attempt.colMap && policyEntry.isEmpty)
+          attempt.minWriter
         else math.max(attempt.minWriter, 2)
       try {
         val ts = clampedTs(attempt)
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
           newSchema.toDDL, attempt.sourceBatchId, attempt.statsCols,
-          attempt.constraints, attempt.uniques,
-          operation = s"ADD COLUMN $name $ddlType",
+          newConstraints, attempt.uniques,
+          operation = s"ADD COLUMN $name $ddlType" +
+            generatedAs.fold("")(e => s" GENERATED AS ($e)") +
+            default.fold("")(e => s" DEFAULT $e"),
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty, addNulls = Map.empty, ts = ts, minWriter = nextMinWriter,
           txns = attempt.txns, colMap = newColMap, dv = attempt.dv,
           partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
           schemaDdl = newSchema.toDDL, ts = Some(ts),
-          minWriter = nextMinWriter, colMap = newColMap)
+          minWriter = nextMinWriter, colMap = newColMap,
+          constraints = newConstraints)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
         return resolved.version
@@ -2670,7 +2833,11 @@ object TxLog {
         s"TxLog.dropColumn: '$name' is the source of hidden partition " +
           s"transform ${t.spec} — the layout derives from it"))
       val word = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
-      attempt.constraints.foreach { case (n, check) =>
+      // the dropped column's OWN policy entries leave with it; other
+      // columns' entries must not reference it
+      val newConstraints = attempt.constraints.filterNot(c =>
+        c._1 == DefaultPrefix + name || c._1 == GeneratedPrefix + name)
+      newConstraints.foreach { case (n, check) =>
         require(word.findFirstIn(check).isEmpty,
           s"TxLog.dropColumn: CHECK constraint '$n' ($check) references " +
             s"'$name' — drop the constraint first")
@@ -2690,7 +2857,7 @@ object TxLog {
         val ts = clampedTs(attempt)
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
           newSchema.toDDL, attempt.sourceBatchId, newStats,
-          attempt.constraints, attempt.uniques,
+          newConstraints, attempt.uniques,
           operation = s"DROP COLUMN $name",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty, addNulls = Map.empty, ts = ts, minWriter = nextMinWriter,
@@ -2698,6 +2865,7 @@ object TxLog {
           partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
           schemaDdl = newSchema.toDDL, statsCols = newStats,
+          constraints = newConstraints,
           // mirror applyDelta's replay: an emptied skip-column set
           // drops the per-file entries with it
           fileStats = if (newStats.isEmpty) Map.empty else attempt.fileStats,
@@ -2951,13 +3119,15 @@ object TxLog {
     * (additive-only — see [[widen]]): new columns append at the end,
     * historical files read as null for them, and a version-pinned read
     * of an older manifest still returns that version's own schema. */
-  def append(df: DataFrame, path: String, evolveSchema: Boolean = false): Long = {
-    val spark = df.sparkSession
+  def append(df0: DataFrame, path: String, evolveSchema: Boolean = false): Long = {
+    val spark = df0.sparkSession
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     requireWritable(m, path)
     val declared = StructType.fromDDL(m.schemaDdl)
+    // omitted DEFAULT/GENERATED columns fill BEFORE the schema gate
+    val df = fillPolicyColumns(df0, m, declared)
     checkSchema(declared, df.schema, evolveSchema)
     // an evolution-added column's physical name IS its logical name —
     // it must not collide with the physical slot of a renamed column
@@ -3022,13 +3192,14 @@ object TxLog {
     * `checkpointLocation`, or a restarted query re-numbering from 0
     * would be silently skipped. Returns the (possibly unchanged)
     * current version. */
-  def appendBatch(df: DataFrame, path: String, batchId: Long): Long = {
-    val spark = df.sparkSession
+  def appendBatch(df0: DataFrame, path: String, batchId: Long): Long = {
+    val spark = df0.sparkSession
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     if (m.sourceBatchId.exists(_ >= batchId)) return v // replay: already committed
     requireWritable(m, path)
+    val df = fillPolicyColumns(df0, m, StructType.fromDDL(m.schemaDdl))
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
     enforceConstraints(df, m.constraints, s"appendBatch(batch $batchId)")
     enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl), m.files,
@@ -3068,15 +3239,16 @@ object TxLog {
     * an older writer generation would drop the map on its next
     * commit, silently re-opening the replay door. Returns the
     * (possibly unchanged) current version. */
-  def appendTxn(df: DataFrame, path: String, appId: String,
+  def appendTxn(df0: DataFrame, path: String, appId: String,
                 txnVersion: Long): Long = {
     require(appId.nonEmpty, "TxLog.appendTxn: empty appId")
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     if (m.txns.get(appId).exists(_ >= txnVersion)) return v // replay
     requireWritable(m, path)
+    val df = fillPolicyColumns(df0, m, StructType.fromDDL(m.schemaDdl))
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
     enforceConstraints(df, m.constraints, s"appendTxn($appId @ $txnVersion)")
     enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl), m.files,

@@ -62,6 +62,11 @@ class GraftCatalog extends TableCatalog {
   }
   override def name(): String = catName
 
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def spark: SparkSession = SparkSession.active
   private def warehouse: String =
     warehouseOpt.orElse(spark.conf.getOption("graft.catalog.warehouse"))
@@ -124,10 +129,19 @@ class GraftCatalog extends TableCatalog {
     require(explicit.isEmpty || hidden.isEmpty,
       s"$catName.${ident.name}: identity partition columns and hidden " +
         "transforms are mutually exclusive (a hidden layout derives its dirs)")
+    // DEFAULT clauses arrive as field metadata (CURRENT_DEFAULT);
+    // the table stores them as column policies
+    val defaults = schema.fields.flatMap(f =>
+      if (f.metadata.contains("CURRENT_DEFAULT"))
+        Some(f.name -> f.metadata.getString("CURRENT_DEFAULT"))
+      else None)
+    val bare = StructType(schema.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema)
+      spark.sparkContext.emptyRDD[Row], bare)
     TxLog.create(empty, path, partitionCols = explicit,
       hiddenPartitions = hidden)
+    defaults.foreach { case (c, e) => TxLog.setColumnDefault(spark, path, c, e) }
     Catalog.mutateAt(spark, warehouse, _ + (ident.name -> path))
     GraftTable(ident.name, path, None)
   }
@@ -153,6 +167,13 @@ class GraftCatalog extends TableCatalog {
         require(u.fieldNames.length == 1,
           s"ALTER TABLE: nested column ${u.fieldNames.mkString(".")} not supported")
         TxLog.alterColumnType(spark, path, u.fieldNames.head, u.newDataType.sql)
+      case dv: TableChange.UpdateColumnDefaultValue =>
+        require(dv.fieldNames.length == 1,
+          s"ALTER TABLE: nested column ${dv.fieldNames.mkString(".")} not supported")
+        Option(dv.newDefaultValue).map(_.trim).filter(_.nonEmpty) match {
+          case Some(e) => TxLog.setColumnDefault(spark, path, dv.fieldNames.head, e)
+          case None => TxLog.dropColumnDefault(spark, path, dv.fieldNames.head)
+        }
       case other => throw new UnsupportedOperationException(
         s"$catName.${ident.name}: unsupported ALTER ${other.getClass.getSimpleName}")
     }
@@ -233,8 +254,19 @@ case class GraftTable(tableName: String, path: String,
   /** DECLARED column order (what CREATE TABLE said), not the mount's
     * physical arrangement (partition columns last) — positional
     * INSERT ... VALUES and SELECT * follow this; [[GraftAnalysis]]
-    * projects the mount back into it. */
-  override def schema(): StructType = StructType.fromDDL(manifest.schemaDdl)
+    * projects the mount back into it. Column DEFAULTs surface as
+    * CURRENT_DEFAULT field metadata, so Spark's own default-column
+    * resolution fills them in INSERTs with explicit column lists. */
+  override def schema(): StructType = {
+    val m = manifest
+    val defs = TxLog.columnDefaults(m)
+    StructType(StructType.fromDDL(m.schemaDdl).fields.map { f =>
+      defs.get(f.name).fold(f)(e => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("CURRENT_DEFAULT", e)
+          .putString("EXISTS_DEFAULT", "NULL").build()))
+    })
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)

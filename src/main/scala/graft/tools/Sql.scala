@@ -40,7 +40,8 @@ import graft.tables.Tables
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> UNIQUE (<k1[,k2...]>)
   *   TXLOG ALTER '<path>' DROP CONSTRAINT <name>
   *   TXLOG ALTER '<path>' RENAME COLUMN <old> TO <new>
-  *   TXLOG ALTER '<path>' ADD COLUMN <name> <type>
+  *   TXLOG ALTER '<path>' ADD COLUMN <name> <type> [GENERATED AS (<expr>) | DEFAULT <expr>]
+  *   TXLOG ALTER '<path>' ALTER COLUMN <name> SET DEFAULT <expr> | DROP DEFAULT
   *   TXLOG ALTER '<path>' DROP COLUMN <name>
   *   TXLOG ALTER '<path>' ALTER COLUMN <name> TYPE <type>  -- widening only, metadata-only
   *   TXLOG ALTER '<path>' SET HIDDEN PARTITION BY <days(ts)|bucket(n,c)|...>  -- partition evolution
@@ -234,6 +235,14 @@ object Sql {
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
   private val AlterPartSpecRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+SET\s+HIDDEN\s+PARTITION\s+BY\s+(.+?)\s*""".r
+  private val AlterAddColGenRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s+GENERATED\s+AS\s*\((.+)\)\s*""".r
+  private val AlterAddColDefRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s+DEFAULT\s+(.+?)\s*""".r
+  private val AlterSetDefaultRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*""".r
+  private val AlterDropDefaultRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*""".r
   private val AlterAddColRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
   private val AlterDropColRe =
@@ -365,6 +374,17 @@ object Sql {
       case AlterPartSpecRe(path, specs) =>
         asDf(graft.storage.TxLog.alterPartitionSpec(spark, rt(path),
           specs.split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty).toSeq))
+      case AlterAddColGenRe(path, name, ddlType, genExpr) =>
+        asDf(graft.storage.TxLog.addColumn(spark, rt(path), name,
+          ddlType.trim, generatedAs = Some(genExpr.trim)))
+      case AlterAddColDefRe(path, name, ddlType, defExpr) =>
+        asDf(graft.storage.TxLog.addColumn(spark, rt(path), name,
+          ddlType.trim, default = Some(defExpr.trim)))
+      case AlterSetDefaultRe(path, name, defExpr) =>
+        asDf(graft.storage.TxLog.setColumnDefault(spark, rt(path), name,
+          defExpr.trim))
+      case AlterDropDefaultRe(path, name) =>
+        asDf(graft.storage.TxLog.dropColumnDefault(spark, rt(path), name))
       case AlterAddColRe(path, name, ddlType) =>
         asDf(graft.storage.TxLog.addColumn(spark, rt(path), name, ddlType))
       case AlterDropColRe(path, name) =>

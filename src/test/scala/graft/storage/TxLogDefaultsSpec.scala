@@ -1,0 +1,150 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DEFAULT and GENERATED columns — the last commonly-hit Delta DDL
+  * family: metadata-only policies that FILL omitted columns on the
+  * INSERT-shaped writes (append family, INSERT INTO, streaming sink)
+  * and, for GENERATED, vet provided values against the generation
+  * expression. Policies ride the constraint channel under reserved
+  * `__default__`/`__generated__` names, so they persist in every
+  * commit, survive checkpoints and clone, and restore reverts them
+  * with the rest of the table state. Existing rows are never
+  * backfilled (standard SQL: DEFAULT binds at write).
+  */
+class TxLogDefaultsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_def_$tag").toString + "/tbl"
+
+  test("SET DEFAULT fills omitted columns; explicit values win; DROP DEFAULT stops") {
+    val path = freshPath("basic")
+    TxLog.create(Seq((1L, "a", "x")).toDF("k", "v", "tag"), path)
+    TxLog.setColumnDefault(spark, path, "tag", "'auto'")
+    // omitted column -> default
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), path)
+    // provided column -> untouched
+    TxLog.append(Seq((3L, "c", "manual")).toDF("k", "v", "tag"), path)
+    assert(TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "a", "x"), (2L, "b", "auto"), (3L, "c", "manual")))
+    assert(TxLog.columnPolicies(spark, path) ==
+      Seq(("tag", "default", "'auto'")))
+    TxLog.dropColumnDefault(spark, path, "tag")
+    // with no default, an omitted column reverts to the null-padding
+    // contract every append has
+    TxLog.append(Seq((4L, "d")).toDF("k", "v"), path)
+    assert(TxLog.read(spark, path).filter(col("k") === 4L)
+      .select("tag").as[Option[String]].head().isEmpty)
+  }
+
+  test("ADD COLUMN ... DEFAULT: old rows read null, new appends fill — via the SQL verbs") {
+    val path = freshPath("addcol")
+    TxLog.create(Seq((1L, "a")).toDF("k", "v"), path)
+    graft.tools.Sql.exec(spark,
+      s"TXLOG ALTER '$path' ADD COLUMN tag string DEFAULT 'filled'")
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), path)
+    assert(TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Option[String])].collect().toSeq ==
+      Seq((1L, "a", None), (2L, "b", Some("filled"))),
+      "metadata-only ADD: old rows null, new appends default")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG ALTER '$path' ALTER COLUMN tag SET DEFAULT 'v2'")
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), path)
+    graft.tools.Sql.exec(spark, s"TXLOG ALTER '$path' ALTER COLUMN tag DROP DEFAULT")
+    assert(TxLog.read(spark, path).filter(col("k") === 3L)
+      .select("tag").as[String].head() == "v2")
+  }
+
+  test("GENERATED columns compute on omission and vet provided values") {
+    val path = freshPath("gen")
+    TxLog.create(Seq((8L, "a")).toDF("k", "v"), path)
+    TxLog.addColumn(spark, path, "k_bucket", "bigint",
+      generatedAs = Some("k % 4"))
+    // omitted -> computed
+    TxLog.append(Seq((9L, "b"), (10L, "c")).toDF("k", "v"), path)
+    assert(TxLog.read(spark, path).orderBy("k")
+      .select("k", "k_bucket").as[(Long, Option[Long])].collect().toSeq ==
+      Seq((8L, None), (9L, Some(1L)), (10L, Some(2L))),
+      "pre-existing row reads null; appended rows compute")
+    // provided-but-WRONG refuses (the generated invariant)
+    intercept[TxLog.ConstraintViolationException] {
+      TxLog.append(Seq((11L, "d", 99L)).toDF("k", "v", "k_bucket"), path)
+    }
+    // provided-and-right passes (a rewrite carrying computed values)
+    TxLog.append(Seq((12L, "e", 0L)).toDF("k", "v", "k_bucket"), path)
+    assert(TxLog.read(spark, path).count() == 4)
+  }
+
+  test("policy validation: no column refs in DEFAULT, determinism, reserved names") {
+    val path = freshPath("vet")
+    TxLog.create(Seq((1L, "a")).toDF("k", "v"), path)
+    // a DEFAULT referencing a column is not SQL DEFAULT semantics
+    intercept[Exception] { TxLog.setColumnDefault(spark, path, "v", "k + 1") }
+    // nondeterministic defaults would make replayed batches diverge
+    intercept[Exception] { TxLog.setColumnDefault(spark, path, "v", "uuid()") }
+    // the reserved namespace is closed to user constraints
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, path, "__default__v", "true")
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.dropConstraint(spark, path, "__default__v")
+    }
+    // GENERATED and DEFAULT are mutually exclusive on one column
+    TxLog.addColumn(spark, path, "g", "bigint", generatedAs = Some("k * 2"))
+    intercept[Exception] { TxLog.setColumnDefault(spark, path, "g", "0") }
+    // renaming/dropping respects policies
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, path, "g", "g2")
+    }
+    intercept[IllegalArgumentException] { // k is referenced by g's expr
+      TxLog.dropColumn(spark, path, "k")
+    }
+    TxLog.dropColumn(spark, path, "g") // drops the policy with the column
+    assert(TxLog.columnPolicies(spark, path).isEmpty)
+  }
+
+  test("plain SQL: CREATE TABLE with DEFAULT + INSERT column list through the catalog") {
+    val w = java.nio.file.Files.createTempDirectory("graft_def_cat").toString
+    val prev = spark.conf.getOption("graft.catalog.warehouse")
+    spark.conf.set("graft.catalog.warehouse", w)
+    try {
+      spark.sql("CREATE TABLE graft.def_t (k BIGINT, v STRING, " +
+        "tag STRING DEFAULT 'fresh')")
+      assert(TxLog.columnPolicies(spark, s"$w/def_t") ==
+        Seq(("tag", "default", "'fresh'")))
+      // Spark's own resolver fills the omitted defaulted column
+      spark.sql("INSERT INTO graft.def_t (k, v) VALUES (1, 'a')")
+      spark.sql("INSERT INTO graft.def_t VALUES (2, 'b', 'manual')")
+      assert(spark.sql("SELECT k, tag FROM graft.def_t ORDER BY k")
+        .as[(Long, String)].collect().toSeq ==
+        Seq((1L, "fresh"), (2L, "manual")))
+      spark.sql("ALTER TABLE graft.def_t ALTER COLUMN tag SET DEFAULT 'v2'")
+      spark.sql("INSERT INTO graft.def_t (k, v) VALUES (3, 'c')")
+      assert(spark.sql("SELECT tag FROM graft.def_t WHERE k = 3")
+        .as[String].head() == "v2")
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.catalog.warehouse", v)
+      case None => spark.conf.unset("graft.catalog.warehouse")
+    }
+  }
+
+  test("policies survive restore (full table-state rollback) and the streaming sink fills") {
+    val path = freshPath("restore")
+    TxLog.create(Seq((1L, "a", "x")).toDF("k", "v", "tag"), path)
+    TxLog.setColumnDefault(spark, path, "tag", "'auto'") // v2
+    TxLog.append(Seq((2L, "b")).toDF("k", "v"), path)    // v3
+    TxLog.restore(spark, path, 1L)                       // v4: no default
+    TxLog.append(Seq((9L, "z")).toDF("k", "v"), path)    // pads null
+    assert(TxLog.read(spark, path).filter(col("k") === 9L)
+      .select("tag").as[Option[String]].head().isEmpty,
+      "restored-away default must not fill")
+    TxLog.restore(spark, path, 3L) // default back in force
+    TxLog.append(Seq((3L, "c")).toDF("k", "v"), path)
+    assert(TxLog.read(spark, path).filter(col("k") === 3L)
+      .select("tag").as[String].head() == "auto")
+  }
+}
