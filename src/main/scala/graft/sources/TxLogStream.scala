@@ -360,11 +360,40 @@ object TxLogStream {
   * cursor: offsets map to manifest state, so batch contents derive
   * entirely from the immutable commit log. */
 class TxLogSource(spark: SparkSession, opts: TxLogStream.Opts,
-                  start: TxLogStream.Start) extends Source {
+                  start: TxLogStream.Start) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import TxLogStream.TxOffset
   import org.apache.spark.sql.functions.{col, lit}
 
   private val path = opts.path
+
+  // ---- Trigger.AvailableNow (the batch-orchestrated incremental
+  // pattern): the engine calls prepareForTriggerAvailableNow once at
+  // query start; we PIN the head that exists at that instant and the
+  // offset walk below never advances past it — so the query drains to
+  // a fixed target under the normal rate limits (bounded catch-up in
+  // maxVersionsPerBatch/maxFilesPerBatch-sized micro-batches) and
+  // terminates, while commits landing mid-drain wait for the next
+  // scheduled run. Without this the engine would fall back to ONE
+  // unbounded batch (and warn), defeating the pacing. KafkaSource
+  // wires the same V1-source + admission-control seam. ----
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = TxLog.currentVersion(spark, path)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** Admission-control seam: the progressive cursor (`lastSeen`) plus
+    * the option-driven budgets already encode the pacing, so the
+    * engine-passed start/limit are advisory here. */
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
 
   override val schema: StructType = TxLogStream.schemaFor(spark, opts)
 
@@ -419,7 +448,9 @@ class TxLogSource(spark: SparkSession, opts: TxLogStream.Opts,
     a.v > b.v || (a.v == b.v && (a.files == -1 || (b.files != -1 && a.files >= b.files)))
 
   override def getOffset: Option[Offset] = {
-    val head = TxLog.currentVersion(spark, path).getOrElse(return None)
+    val head0 = TxLog.currentVersion(spark, path).getOrElse(return None)
+    // under AvailableNow, drain exactly to the pinned start-time head
+    val head = availableNowCap.fold(head0)(math.min(head0, _))
     val cur = lastSeen
     if (opts.cdf) {
       // version-granular only: the change feed diffs whole snapshots

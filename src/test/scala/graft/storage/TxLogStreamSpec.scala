@@ -309,6 +309,49 @@ class TxLogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: bounded catch-up to the start-time head, then terminate; restart drains new commits exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = freshDir("availnow")
+    val ckpt = freshDir("availnow_ckpt")
+    TxLog.create(keyed(Seq((1L, "a", 1.0))), path)
+    val delivered = ArrayBuffer.empty[Row]
+    var batchCount = 0
+    def run() = {
+      batchCount = 0
+      stream(path, "maxVersionsPerBatch" -> "1").writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          delivered.synchronized { delivered ++= df.collect(); batchCount += 1 }
+          ()
+        }.start()
+    }
+    def got = delivered.synchronized {
+      delivered.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toList.sorted }
+    // run 1: the initial snapshot, then STOP on its own (the
+    // batch-orchestrated incremental pattern)
+    val q1 = run()
+    assert(q1.awaitTermination(120000), "AvailableNow query must terminate")
+    assert(got == List((1L, "a", 1.0)), s"snapshot run: $got")
+    // three commits land while no query is running
+    TxLog.append(keyed(Seq((2L, "b", 2.0))), path)
+    TxLog.append(keyed(Seq((3L, "c", 3.0))), path)
+    TxLog.append(keyed(Seq((4L, "d", 4.0))), path)
+    // run 2: drains the delta from the checkpoint to the start-time
+    // head — PACED (one commit per micro-batch), then terminates
+    val q2 = run()
+    assert(q2.awaitTermination(120000), "catch-up run must terminate")
+    assert(got == List((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)), s"catch-up must deliver the delta exactly once: $got")
+    assert(batchCount == 3,
+      s"maxVersionsPerBatch=1 must pace the drain (got $batchCount batches)")
+    // run 3: nothing new — delivers nothing, still terminates
+    val q3 = run()
+    assert(q3.awaitTermination(120000))
+    assert(got.size == 4, "an empty catch-up must deliver nothing")
+  }
+
   test("pre-stream rewrite history: the opening snapshot doesn't care that the table was merged before the stream started") {
     val path = freshDir("prehistory")
     TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0))), path, Some("cat"))
