@@ -48,6 +48,25 @@ class PlanAuditSpec extends SparkSpec {
       "l_shipdate", "l_returnflag", "l_linestatus"), s"scan reads: $read")
   }
 
+  test("q_mad: ONE corpus shuffle, shared via ReusedExchange across the histogram consumers") {
+    // the histogram subtree (groupBy(group, value) over the corpus)
+    // appears three times in the logical plan — median, |v-med|
+    // histogram, outlier tally — but must canonicalize identically so
+    // the corpus-sized shuffle computes ONCE and the other consumers
+    // read the same shuffle files. A localCheckpoint would buy the
+    // same sharing at a full storage write + pipeline barrier; a
+    // regression here triples the dominant shuffle (r10's 8.3 s vs
+    // the reused plan's ~2.6 s min-of-3 at sf0.1, SURVEY §6b).
+    val df = WarehouseQueries.entries("q_mad")(spark, sf)
+    df.collect() // AQE finalizes (and reuses) stages at execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.next().contains("isFinalPlan=true"),
+      s"expected an executed adaptive plan:\n${p.take(500)}")
+    val reused = "ReusedExchange".r.findAllIn(p).size
+    assert(reused >= 2,
+      s"corpus histogram must be shared via ReusedExchange (saw $reused):\n${p.take(4000)}")
+  }
+
   test("dim joins broadcast instead of shuffling the fact side") {
     Seq(
       ReferenceQueries.combinedView(spark, sf),
