@@ -4050,9 +4050,18 @@ object TxLog {
             s"TxLog.deleteWhere(dv): scan key '$suffix' does not map back " +
               "to any manifest entry")) -> n
       }.toMap
+      // blind appends never conflict a delete: the delete serializes
+      // FIRST (its snapshot never contained the appended rows — the
+      // Delta rule). Only the DV-targeted files are load-bearing:
+      // they must survive (dvLiveFor would silently prune our
+      // entries) with unchanged DV state (an overlapping concurrent
+      // DV would double-count deleted rows).
+      val dvTargets = counts.keySet
       commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = Nil,
         schemaDdl = m.schemaDdl, batchId = None, readSet = None,
-        operation = "DELETE (DV)", addDv = Seq(dvName -> counts))
+        operation = "DELETE (DV)", addDv = Seq(dvName -> counts),
+        rebaseCheck = Some(mergeRebaseCheck(schema, None,
+          sourceEmpty = true, dvTargets, dvTargets, "UTC")))
     } else {
       // exact hit-file discovery: the scan prunes to the condition's
       // columns; the collected set is bounded by the live file count
@@ -4068,11 +4077,15 @@ object TxLog {
         toPhysical(readFiles(spark, path, schema, hitFiles.toSeq, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
           .filter(not(hit)), m.colMap),
         path, physPartCols(m), transformsOf(m))
-      // the discovery read the whole snapshot — conflict loudly on any
-      // interleaved change (readSet = None)
+      // file-granular read declaration: only the files this delete
+      // REWRITES are load-bearing — a blind append serializes after
+      // the delete (its rows were never in the delete's snapshot),
+      // and a DV/removal on an un-hit file cannot create matches
       commitRebase(spark, path, m, rewriteDirs = Set.empty,
         newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
-        readSet = None, operation = "DELETE", removeFiles = hitFiles)
+        readSet = None, operation = "DELETE", removeFiles = hitFiles,
+        rebaseCheck = Some(mergeRebaseCheck(schema, None,
+          sourceEmpty = true, hitFiles, hitFiles, "UTC")))
     }
   }
 
@@ -4167,10 +4180,15 @@ object TxLog {
         }.toMap
         val staged = stageIn(toPhysical(images, m.colMap), path,
           physPartCols(m), transformsOf(m))
+        // same read declaration as DELETE (DV): the update serializes
+        // before any blind append; only the DV targets are load-bearing
+        val dvTargets = counts.keySet
         commitRebase(spark, path, m, rewriteDirs = Set.empty,
           newFiles = staged, schemaDdl = m.schemaDdl, batchId = None,
           readSet = None, operation = "UPDATE (DV)",
-          addDv = Seq(dvName -> counts))
+          addDv = Seq(dvName -> counts),
+          rebaseCheck = Some(mergeRebaseCheck(schema, None,
+            sourceEmpty = true, dvTargets, dvTargets, "UTC")))
       } finally fs.delete(tmp, true)
     } else {
       // exact hit-file discovery, identical to DELETE's
@@ -4188,9 +4206,13 @@ object TxLog {
       val newFiles = stageIn(
         toPhysical(assigned(snap, everyRowMatched = false), m.colMap),
         path, physPartCols(m), transformsOf(m))
+      // file-granular read declaration, identical to DELETE's: blind
+      // appends serialize after the update, only hit files conflict
       commitRebase(spark, path, m, rewriteDirs = Set.empty,
         newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
-        readSet = None, operation = "UPDATE", removeFiles = hitFiles)
+        readSet = None, operation = "UPDATE", removeFiles = hitFiles,
+        rebaseCheck = Some(mergeRebaseCheck(schema, None,
+          sourceEmpty = true, hitFiles, hitFiles, "UTC")))
     }
   }
 

@@ -326,6 +326,60 @@ class TxLogOccSpec extends SparkSpec {
       rows.size == 23, rows.toString)
   }
 
+  test("DELETE/UPDATE rebase over blind appends (serialize-first), conflict on touched files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val path = freshDir("del_vs_append")
+    TxLog.create((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), path)
+    // DELETE staged against v1, an append interleaves: the delete
+    // must REBASE (its snapshot never contained the new rows — the
+    // appended rows survive, the matched rows go)
+    val base = TxLog.manifest(spark, path, 1L)
+    val hit = base.files.toSet
+    val staged = TxLog.stageIn(
+      (1L to 10L).filter(_ % 2 == 1).map(i => (i, s"v$i")).toDF("id", "v")
+        .coalesce(1), path, Nil)
+    TxLog.append(Seq((100L, "late")).toDF("id", "v").coalesce(1), path) // v2
+    val vDel = TxLog.commitRebase(spark, path, base, rewriteDirs = Set.empty,
+      newFiles = staged, schemaDdl = base.schemaDdl, batchId = None,
+      readSet = None, operation = "DELETE", removeFiles = hit,
+      rebaseCheck = Some(TxLog.mergeRebaseCheck(
+        org.apache.spark.sql.types.StructType.fromDDL(base.schemaDdl),
+        None, sourceEmpty = true, hit, hit, "UTC")))
+    assert(vDel == 3L, s"delete must rebase over the append (v$vDel)")
+    val ids = TxLog.read(spark, path).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 5L, 7L, 9L, 100L), ids.toString)
+    // end-to-end through the public API: a threaded append + delete
+    // pair both land without a conflict surfacing
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fDel = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = TxLog.deleteWhere(spark, path, expr("id = 9")) })
+      val fApp = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long =
+          TxLog.append(Seq((200L, "x")).toDF("id", "v").coalesce(1), path) })
+      fDel.get(180, java.util.concurrent.TimeUnit.SECONDS)
+      fApp.get(180, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    val after = TxLog.read(spark, path).select("id").as[Long].collect().toSet
+    assert(after == Set(1L, 3L, 5L, 7L, 100L, 200L), after.toString)
+    // but a concurrent rewrite of a file the delete TOUCHES conflicts
+    val base2 = TxLog.manifest(spark, path,
+      TxLog.currentVersion(spark, path).get)
+    val touched = Set(base2.files.head)
+    val staged2 = TxLog.stageIn(Seq((1L, "keep")).toDF("id", "v"), path, Nil)
+    TxLog.compact(spark, path, minFilesToCompact = 1) // rewrites everything
+    intercept[TxLog.CommitConflictException] {
+      TxLog.commitRebase(spark, path, base2, rewriteDirs = Set.empty,
+        newFiles = staged2, schemaDdl = base2.schemaDdl, batchId = None,
+        readSet = None, operation = "DELETE", removeFiles = touched,
+        rebaseCheck = Some(TxLog.mergeRebaseCheck(
+          org.apache.spark.sql.types.StructType.fromDDL(base2.schemaDdl),
+          None, sourceEmpty = true, touched, touched, "UTC")))
+    }
+  }
+
   test("replayed micro-batch that loses its race is still committed exactly once") {
     import spark.implicits._
     val path = freshDir("batch_replay")
