@@ -52,7 +52,8 @@ import graft.storage.{Catalog, TxLog}
   * The registry backing names is [[graft.storage.Catalog]]'s single
   * JSON file, so Scala-API names, TXLOG-verb names, and `graft.*` SQL
   * names are one namespace. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catName: String = "graft"
   private var warehouseOpt: Option[String] = None
 
@@ -123,20 +124,8 @@ class GraftCatalog extends TableCatalog {
     if (entries.contains(ident.name)) throw new TableAlreadyExistsException(ident)
     val path = Option(properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(new Path(warehouse, ident.name).toString)
-    val specs = partitions.toSeq.map(GraftCatalog.specOf)
-    val explicit = specs.collect { case Left(c) => c }
-    val hidden = specs.collect { case Right(s) => s }
-    require(explicit.isEmpty || hidden.isEmpty,
-      s"$catName.${ident.name}: identity partition columns and hidden " +
-        "transforms are mutually exclusive (a hidden layout derives its dirs)")
-    // DEFAULT clauses arrive as field metadata (CURRENT_DEFAULT);
-    // the table stores them as column policies
-    val defaults = schema.fields.flatMap(f =>
-      if (f.metadata.contains("CURRENT_DEFAULT"))
-        Some(f.name -> f.metadata.getString("CURRENT_DEFAULT"))
-      else None)
-    val bare = StructType(schema.fields.map(f =>
-      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val (explicit, hidden, defaults, bare) =
+      GraftCatalog.layoutOf(ident.name, schema, partitions)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], bare)
     TxLog.create(empty, path, partitionCols = explicit,
@@ -145,6 +134,57 @@ class GraftCatalog extends TableCatalog {
     Catalog.mutateAt(spark, warehouse, _ + (ident.name -> path))
     GraftTable(ident.name, path, None)
   }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog): the exec writes the
+  // SELECT through the staged table's V1Write, then commits or aborts.
+  // Atomicity rides what the engine already has: for CREATE the data
+  // lands as the table's v1 in ONE TxLog commit and the NAME only
+  // registers in commitStagedChanges (an aborted CTAS leaves an
+  // unregistered dir that the retry sweeps); for REPLACE the
+  // createOrReplace commit is itself atomic and abort RESTOREs the
+  // pre-replace version (history kept, Delta's RTAS shape). ----
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    checkNs(ident.namespace)
+    if (entries.contains(ident.name)) throw new TableAlreadyExistsException(ident)
+    staged(ident, schema, partitions, properties, replacing = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    staged(ident, schema, partitions, properties, replacing = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    checkNs(ident.namespace)
+    staged(ident, schema, partitions, properties,
+      replacing = entries.contains(ident.name))
+  }
+
+  private def staged(ident: Identifier, schema: StructType,
+                     partitions: Array[Transform],
+                     properties: util.Map[String, String],
+                     replacing: Boolean): StagedGraftTable = {
+    val path =
+      if (replacing) entries(ident.name)
+      else Option(properties.get(TableCatalog.PROP_LOCATION))
+        .getOrElse(new Path(warehouse, ident.name).toString)
+    val (explicit, hidden, defaults, bare) =
+      GraftCatalog.layoutOf(ident.name, schema, partitions)
+    new StagedGraftTable(this, ident.name, path, warehouse, bare,
+      explicit, hidden, defaults, replacing)
+  }
+
+  private[tables] def registerName(name: String, path: String): Unit =
+    Catalog.mutateAt(spark, warehouse, _ + (name -> path))
 
   /** DDL that maps onto the metadata-only ALTER verbs; anything else
     * refuses loudly rather than pretending. */
@@ -197,6 +237,28 @@ class GraftCatalog extends TableCatalog {
 }
 
 object GraftCatalog {
+  /** Split a CREATE's schema + transforms into the engine's layout:
+    * explicit partition columns, hidden transform specs, DEFAULT
+    * policies (from CURRENT_DEFAULT field metadata), and the
+    * metadata-stripped schema. */
+  private[tables] def layoutOf(name: String, schema: StructType,
+                               partitions: Array[Transform])
+      : (Seq[String], Seq[String], Seq[(String, String)], StructType) = {
+    val specs = partitions.toSeq.map(specOf)
+    val explicit = specs.collect { case Left(c) => c }
+    val hidden = specs.collect { case Right(sp) => sp }
+    require(explicit.isEmpty || hidden.isEmpty,
+      s"$name: identity partition columns and hidden transforms are " +
+        "mutually exclusive (a hidden layout derives its dirs)")
+    val defaults = schema.fields.toSeq.flatMap(f =>
+      if (f.metadata.contains("CURRENT_DEFAULT"))
+        Some(f.name -> f.metadata.getString("CURRENT_DEFAULT"))
+      else None)
+    val bare = StructType(schema.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    (explicit, hidden, defaults, bare)
+  }
+
   /** V2 transform → graft layout: identity → explicit partition
     * column (Left), everything else → a hidden-partition spec string
     * (Right) in [[graft.storage.PartitionTransforms]]' grammar. */
@@ -354,4 +416,89 @@ case class GraftTable(tableName: String, path: String,
 
   override def toString: String =
     s"GraftTable($tableName at $path${versionAsOf.fold("")("@v" + _)})"
+}
+
+/** A staged CTAS/RTAS target (see [[GraftCatalog.stageCreate]]).
+  * The exec's write lands through [[V1Write]]: for CREATE the data IS
+  * the table's first commit (no empty-then-append two-step), for
+  * REPLACE it is one atomic createOrReplace commit (history kept).
+  * `commitStagedChanges` applies DEFAULT policies and registers the
+  * name; `abortStagedChanges` deletes a never-registered create dir,
+  * or restores a replaced table to its pre-replace version. */
+class StagedGraftTable(cat: GraftCatalog, tableName: String, path: String,
+                       warehouse: String, bare: StructType,
+                       explicit: Seq[String], hidden: Seq[String],
+                       defaults: Seq[(String, String)], replacing: Boolean)
+  extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private val preVersion: Option[Long] =
+    if (replacing) TxLog.currentVersion(spark, path) else None
+  @volatile private var written = false
+
+  override def name(): String = tableName
+  override def schema(): StructType = bare
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // REPLACE TABLE AS SELECT arrives as a truncate-write into the
+      // staged target; insert() below redefines whole either way
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val aligned = data.select(bare.fieldNames.map(
+                org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+              if (replacing || TxLog.currentVersion(spark, path).isDefined)
+                // REPLACE — or a crashed, never-registered create left
+                // an invisible dir at this path: redefine it whole
+                TxLog.createOrReplace(aligned, path,
+                  partitionCols = explicit, hiddenPartitions = hidden)
+              else
+                TxLog.create(aligned, path,
+                  partitionCols = explicit, hiddenPartitions = hidden)
+              written = true
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    if (!written) {
+      // CREATE TABLE routed through staging without a query: land the
+      // empty definition (parity with the non-staged createTable)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bare)
+      if (replacing || TxLog.currentVersion(spark, path).isDefined)
+        TxLog.createOrReplace(empty, path,
+          partitionCols = explicit, hiddenPartitions = hidden)
+      else TxLog.create(empty, path,
+        partitionCols = explicit, hiddenPartitions = hidden)
+    }
+    defaults.foreach { case (c, e) =>
+      TxLog.setColumnDefault(spark, path, c, e) }
+    cat.registerName(tableName, path)
+  }
+
+  override def abortStagedChanges(): Unit =
+    if (replacing) {
+      // the replace commit may already have landed: roll the table
+      // back to its pre-replace version (a ref commit, O(1))
+      preVersion.foreach { pv =>
+        if (TxLog.currentVersion(spark, path).exists(_ > pv))
+          TxLog.restore(spark, path, pv)
+      }
+    } else {
+      // never registered: the dir is invisible garbage — sweep it
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      ()
+    }
+
+  override def toString: String = s"StagedGraftTable($tableName at $path)"
 }

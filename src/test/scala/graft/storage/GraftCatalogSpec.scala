@@ -85,9 +85,9 @@ class GraftCatalogSpec extends SparkSpec {
         "SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(3)")
       assert(spark.sql("SELECT count(*) AS n, sum(k) AS s FROM graft.src_nums")
         .as[(Long, Long)].head() == ((3L, 3L)))
-      // prior snapshot still served through time travel (CTAS is two
-      // commits: v1 creates the empty table, v2 lands the select)
-      assert(spark.sql("SELECT count(*) AS n FROM graft.src_nums VERSION AS OF 2")
+      // prior snapshot still served through time travel (atomic CTAS:
+      // the data IS v1 — one commit, no empty-then-append two-step)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.src_nums VERSION AS OF 1")
         .head().getLong(0) == 10L)
       // static-partition overwrite -> replacePartitions (atomic)
       spark.sql("CREATE TABLE graft.daily (k BIGINT, d STRING) PARTITIONED BY (d)")
@@ -155,11 +155,11 @@ class GraftCatalogSpec extends SparkSpec {
     withWarehouse { w =>
       spark.sql("CREATE TABLE graft.tt AS SELECT id AS k FROM range(4)")
       spark.sql("INSERT INTO graft.tt VALUES (100)")
-      assert(spark.sql("SELECT count(*) AS n FROM graft.tt VERSION AS OF 2")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.tt VERSION AS OF 1")
         .head().getLong(0) == 4L)
       assert(spark.sql("SELECT count(*) AS n FROM graft.tt").head().getLong(0) == 5L)
       // tags resolve through VERSION AS OF too
-      TxLog.tag(spark, s"$w/tt", "prod", Some(2L))
+      TxLog.tag(spark, s"$w/tt", "prod", Some(1L))
       assert(spark.sql("SELECT count(*) AS n FROM graft.tt VERSION AS OF 'prod'")
         .head().getLong(0) == 4L)
       spark.sql("ALTER TABLE graft.tt RENAME TO tt2") // within-catalog rename
@@ -167,7 +167,33 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("DROP TABLE graft.tt2")
       assert(!spark.catalog.tableExists("graft.tt2"))
       // dropping the NAME leaves the table dir intact
-      assert(TxLog.currentVersion(spark, s"$w/tt").contains(3L))
+      assert(TxLog.currentVersion(spark, s"$w/tt").contains(2L))
+    }
+  }
+
+  test("atomic CTAS / REPLACE TABLE: one commit, abort leaves no trace, RTAS keeps history") {
+    withWarehouse { w =>
+      // a FAILED CTAS must register nothing and leave no table dir
+      intercept[Exception] {
+        spark.sql("CREATE TABLE graft.ghost AS " +
+          "SELECT raise_error('boom') AS x FROM range(1)")
+      }
+      assert(!spark.catalog.tableExists("graft.ghost"), "name must not register")
+      assert(!new java.io.File(s"$w/ghost").exists, "aborted dir must be swept")
+      // a successful CTAS is ONE commit (v1 = the data)
+      spark.sql("CREATE TABLE graft.rt AS SELECT id AS k FROM range(5)")
+      assert(TxLog.currentVersion(spark, s"$w/rt").contains(1L),
+        "CTAS must land as a single commit")
+      // REPLACE TABLE ... AS SELECT: full redefinition, history kept
+      spark.sql("REPLACE TABLE graft.rt AS " +
+        "SELECT id AS k, CAST(id AS STRING) AS v FROM range(2)")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.rt").head().getLong(0) == 2L)
+      assert(spark.sql("SELECT * FROM graft.rt").columns.toSeq == Seq("k", "v"))
+      assert(spark.sql("SELECT count(*) AS n FROM graft.rt VERSION AS OF 1")
+        .head().getLong(0) == 5L, "pre-replace snapshot must survive")
+      // CREATE OR REPLACE on a missing table creates
+      spark.sql("CREATE OR REPLACE TABLE graft.rt2 AS SELECT 1 AS one")
+      assert(spark.sql("SELECT one FROM graft.rt2").head().getInt(0) == 1)
     }
   }
 
