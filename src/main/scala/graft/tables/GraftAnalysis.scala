@@ -57,6 +57,18 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable if m.resolved && isGraft(m.targetTable) =>
         lowerMerge(m)
 
+      // ALTER TABLE ... ADD CONSTRAINT ... CHECK: Spark plans an
+      // enforced CHECK as AddCheckConstraint over a V2 SCAN of the
+      // table (to validate existing rows) — a scan shape this bridge
+      // deliberately does not serve. TxLog.addConstraint IS that
+      // operation: it probes the snapshot and refuses on violations,
+      // then commits the constraint atomically with OCC revalidation.
+      case a: AddCheckConstraint if a.resolved && isGraft(a.child) =>
+        val (t, _) = GraftRel.unapply(a.child).get
+        requireWritable(t)
+        GraftAddConstraintCommand(t.path,
+          a.checkConstraint.userProvidedName, a.checkConstraint.condition)
+
       // plain reads (anything left after the DML cases): the V1 mount.
       // The mount arranges partition columns LAST while the table's
       // schema keeps the DECLARED order, so the relation mounts with
@@ -184,6 +196,18 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
     GraftMergeCommand(target.path, apply(m.sourceTable), keys,
       matched, notMatched, nms)
   }
+}
+
+/** ALTER TABLE ... ADD CONSTRAINT name CHECK (...) →
+  * [[TxLog.addConstraint]]: snapshot-validated, atomically committed,
+  * OCC-revalidated on rebase. */
+case class GraftAddConstraintCommand(path: String, name: String,
+                                     checkSql: String)
+  extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxLog.addConstraint(spark, path, name, checkSql)))
 }
 
 /** DELETE FROM graft.t WHERE ... → [[TxLog.deleteWhere]]: file-granular

@@ -65,8 +65,11 @@ class GraftCatalog extends TableCatalog
 
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def spark: SparkSession = SparkSession.active
   private def warehouse: String =
@@ -207,6 +210,28 @@ class GraftCatalog extends TableCatalog
         require(u.fieldNames.length == 1,
           s"ALTER TABLE: nested column ${u.fieldNames.mkString(".")} not supported")
         TxLog.alterColumnType(spark, path, u.fieldNames.head, u.newDataType.sql)
+      case ac: TableChange.AddConstraint =>
+        import org.apache.spark.sql.connector.catalog.constraints.{Check, PrimaryKey, Unique}
+        ac.constraint match {
+          case c: Check =>
+            TxLog.addConstraint(spark, path, c.name, c.predicateSql)
+          case u: Unique =>
+            TxLog.addUniqueConstraint(spark, path, u.name,
+              u.columns.toSeq.map(_.fieldNames.mkString(".")))
+          case pk: PrimaryKey =>
+            // the engine's UNIQUE gate IS primary-key semantics
+            // (non-null keys, write-time collision refusal)
+            TxLog.addUniqueConstraint(spark, path, pk.name,
+              pk.columns.toSeq.map(_.fieldNames.mkString(".")))
+          case other => throw new UnsupportedOperationException(
+            s"$catName.${ident.name}: unsupported constraint ${other.toDDL}")
+        }
+      case dc: TableChange.DropConstraint =>
+        val known = TxLog.constraintsOf(spark, path).map(_._1).toSet ++
+          TxLog.uniquesOf(spark, path).map(_._1)
+        if (known.contains(dc.name)) TxLog.dropConstraint(spark, path, dc.name)
+        else if (!dc.ifExists) throw new IllegalArgumentException(
+          s"$catName.${ident.name}: no constraint '${dc.name}'")
       case dv: TableChange.UpdateColumnDefaultValue =>
         require(dv.fieldNames.length == 1,
           s"ALTER TABLE: nested column ${dv.fieldNames.mkString(".")} not supported")
@@ -348,6 +373,31 @@ case class GraftTable(tableName: String, path: String,
                 .getOrElse(Expressions.column(a))): _*)
         }.toArray
     else m.partitionCols.map(Expressions.identity).toArray
+  }
+
+  /** The enforced constraint set, surfaced through Spark's own
+    * DESCRIBE machinery: user CHECKs verbatim, UNIQUEs as primary-key
+    * constraints (that is the gate's semantics — non-null keys,
+    * write-time collision refusal). Reserved policy entries
+    * (DEFAULT/GENERATED) surface as column metadata, not here. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val m = manifest
+    val checks = m.constraints.filterNot(_._1.startsWith("__")).map {
+      case (n, e) => Constraint.check(n).predicateSql(e)
+        .enforced(true).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }
+    val uniques = m.uniques.map { case (n, cols) =>
+      Constraint.primaryKey(n,
+        cols.map(c => Expressions.column(c)
+          : org.apache.spark.sql.connector.expressions.NamedReference).toArray)
+        .enforced(true).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }
+    (checks ++ uniques).toArray
   }
 
   override def properties(): util.Map[String, String] =

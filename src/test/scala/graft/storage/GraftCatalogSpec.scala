@@ -197,6 +197,36 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ADD/DROP CONSTRAINT through Spark's resolver: the write-time gate binds") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.cst AS " +
+        "SELECT id AS k, CAST(id AS DOUBLE) AS amt FROM range(5)")
+      spark.sql("ALTER TABLE graft.cst ADD CONSTRAINT amt_pos CHECK (amt >= 0)")
+      // TWO gates now bind: Spark's own V2 write-time enforcement
+      // (constraints() reports the CHECK, so the write plan carries
+      // it — CHECK_CONSTRAINT_VIOLATION) and TxLog's commit gate
+      // behind it; whichever fires, nothing commits
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO graft.cst VALUES (9, -1.0)")
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(m => m.contains("violates constraint") ||
+        m.contains("CHECK_CONSTRAINT_VIOLATION")), e.toString)
+      spark.sql("INSERT INTO graft.cst VALUES (9, 9.0)") // passing row lands
+      assert(spark.sql("SELECT count(*) AS n FROM graft.cst").head().getLong(0) == 6L)
+      // the table reports its enforced set through the V2 API
+      val t = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty[String], "cst"))
+      assert(t.constraints().exists(_.name == "amt_pos"), "CHECK must surface")
+      spark.sql("ALTER TABLE graft.cst DROP CONSTRAINT amt_pos")
+      spark.sql("INSERT INTO graft.cst VALUES (10, -5.0)") // gate lifted
+      assert(TxLog.constraintsOf(spark, s"$w/cst").isEmpty)
+    }
+  }
+
   test("hidden-partition transforms in CREATE TABLE: bucket layout mounts bucketed") {
     withWarehouse { w =>
       spark.sql("CREATE TABLE graft.buck (k BIGINT, v STRING) " +
