@@ -69,6 +69,31 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
         GraftAddConstraintCommand(t.path,
           a.checkConstraint.userProvidedName, a.checkConstraint.condition)
 
+      // spark.readStream.table("graft.t"): lower the V2 streaming
+      // relation onto the graft-txlog V1 Source (offsets = commit
+      // versions, exactly-once, AvailableNow) — the same rewrite Delta
+      // performs for streaming table reads. Reader options
+      // (maxVersionsPerBatch, sinceVersion, ...) ride through; the
+      // change feed changes the SCHEMA, so it stays with
+      // readStream.format("graft-txlog") and refuses here loudly.
+      case sr: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if sr.table.isInstanceOf[GraftTable] =>
+        val t = sr.table.asInstanceOf[GraftTable]
+        require(t.versionAsOf.isEmpty,
+          s"graft.${t.name()}: cannot stream from a time-travel snapshot")
+        import scala.jdk.CollectionConverters._
+        val opts = sr.extraOptions.asScala.toMap
+        require(!opts.keys.exists(_.equalsIgnoreCase("readChangeFeed")),
+          s"graft.${t.name()}: the change feed adds a _change_type column " +
+            "— read it via spark.readStream.format(\"graft-txlog\")" +
+            ".option(\"readChangeFeed\", \"true\") instead of .table")
+        val ds = org.apache.spark.sql.execution.datasources.DataSource(
+          spark, className = "graft-txlog",
+          options = opts + ("path" -> t.path))
+        org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+          ds, "graft-txlog",
+          sr.output.map(_.asInstanceOf[AttributeReference]))
+
       // plain reads (anything left after the DML cases): the V1 mount.
       // The mount arranges partition columns LAST while the table's
       // schema keeps the DECLARED order, so the relation mounts with

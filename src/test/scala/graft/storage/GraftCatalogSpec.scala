@@ -227,6 +227,30 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("spark.readStream.table: catalog names stream through the txlog source") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.feed AS SELECT id AS k FROM range(3)")
+      val q = spark.readStream.table("graft.feed")
+        .writeStream.format("memory").queryName("cat_stream")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("cat_stream").count() == 3, "initial snapshot")
+        spark.sql("INSERT INTO graft.feed VALUES (10), (11)")
+        q.processAllAvailable()
+        val got = spark.table("cat_stream").collect().map(_.getLong(0)).toSet
+        assert(got == Set(0L, 1L, 2L, 10L, 11L),
+          s"appends must tail exactly-once: $got")
+      } finally q.stop()
+      // the change feed changes the schema — refused with a pointer
+      val e = intercept[Exception] {
+        spark.readStream.option("readChangeFeed", "true").table("graft.feed")
+          .writeStream.format("memory").queryName("cat_cdf").start()
+      }
+      assert(e.getMessage.contains("readChangeFeed"), e.getMessage)
+    }
+  }
+
   test("hidden-partition transforms in CREATE TABLE: bucket layout mounts bucketed") {
     withWarehouse { w =>
       spark.sql("CREATE TABLE graft.buck (k BIGINT, v STRING) " +
