@@ -155,6 +155,10 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
     import TxLog.MergeClause
     val (target, _) = GraftRel.unapply(m.targetTable).get
     requireWritable(target)
+    if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+      s"graft MERGE: WITH SCHEMA EVOLUTION is not supported through the " +
+        "catalog — widen with ALTER TABLE ADD COLUMN first, or use " +
+        "TxLog.mergeInto(evolveSchema = true)")
     val srcIds = m.sourceTable.outputSet.map(_.exprId).toSet
     val tgtIds = m.targetTable.outputSet.map(_.exprId).toSet
     // ON: conjunction of target.k = source.k equalities (same name

@@ -85,12 +85,13 @@ object Sql {
     def unapply(sql: String): Option[(String, String, String, String)] =
       sql match {
         case MergeWhenHeadRe(path, keys, rest) =>
-          var depth = 1; var i = 0; var inQ = false
+          var depth = 1; var i = 0
+          var quote: Char = 0
           while (i < rest.length && depth > 0) {
             val c = rest.charAt(i)
-            if (inQ) { if (c == '\'') inQ = false }
+            if (quote != 0) { if (c == quote) quote = 0 }
             else c match {
-              case '\'' => inQ = true
+              case '\'' | '"' => quote = c
               case '(' => depth += 1
               case ')' => depth -= 1
               case _ =>
@@ -128,11 +129,12 @@ object Sql {
         (pos == 0 || !wordChar(up.charAt(pos - 1))) &&
         (pos + w.length >= up.length || !wordChar(up.charAt(pos + w.length)))
     val out = scala.collection.mutable.ArrayBuffer[Int]()
-    var i = 0; var depth = 0; var inQ = false; var caseDepth = 0
+    var i = 0; var depth = 0; var caseDepth = 0
+    var quote: Char = 0 // 0 = outside; otherwise the open quote char
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false; i += 1 }
-      else if (c == '\'') { inQ = true; i += 1 }
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; i += 1 }
       else if (c == '(') { depth += 1; i += 1 }
       else if (c == ')') { depth -= 1; i += 1 }
       else if (wordAt(i, "CASE")) { caseDepth += 1; i += 4 }
