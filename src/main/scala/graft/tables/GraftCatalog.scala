@@ -53,7 +53,15 @@ import graft.storage.{Catalog, TxLog}
   * JSON file, so Scala-API names, TXLOG-verb names, and `graft.*` SQL
   * names are one namespace. */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(catName, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
   private var catName: String = "graft"
   private var warehouseOpt: Option[String] = None
 

@@ -1,0 +1,124 @@
+package graft.tables
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.storage.{Catalog, TxLog}
+
+/** The maintenance verbs as SQL stored procedures (the Iceberg `CALL`
+  * surface), served by [[GraftCatalog]] as a `ProcedureCatalog`:
+  *
+  *   CALL graft.system.vacuum(table => 't', retain_versions => 3)
+  *   CALL graft.system.optimize(table => 't', zorder_by => 'k1,k2')
+  *   CALL graft.system.restore(table => 't', version => 4)
+  *   CALL graft.system.build_bloom_index(table => 't', column => 'id')
+  *
+  * `table` accepts a registered NAME (resolved through the shared
+  * registry) or a filesystem path. Results come back as one-row
+  * relations via [[LocalScan]] — driver-sized by construction (a
+  * version number, a count). The TXLOG verb strings remain the
+  * path-first surface; procedures are the catalog-native spelling a
+  * BI tool or notebook completes on. */
+object GraftProcedures {
+
+  private def p(name: String, dt: DataType) = ProcedureParameter.in(name, dt)
+  private val S = org.apache.spark.sql.types.StringType
+  private val L = org.apache.spark.sql.types.LongType
+  private val B = org.apache.spark.sql.types.BooleanType
+
+  private case class ResultScan(schema: StructType, out: Array[InternalRow])
+    extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = schema
+  }
+
+  /** One procedure: fixed parameter list, one-row result. */
+  private case class Proc(procName: String, doc: String,
+                          params: Array[ProcedureParameter],
+                          resultSchema: StructType,
+                          body: (SparkSession, String, InternalRow) => InternalRow)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = doc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // they commit/delete
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val target = input.getUTF8String(0).toString
+      val path = Catalog.resolveTarget(spark, target)
+      val row = body(spark, path, input)
+      java.util.List.of[Scan](ResultScan(resultSchema, Array(row))).iterator()
+    }
+  }
+
+  private val all: Map[String, Proc] = Seq(
+    Proc("vacuum",
+      "delete files no retained version references; returns the count",
+      Array(p("table", S).build(),
+        p("retain_versions", L).defaultValue("1").build(),
+        p("retain_hours", org.apache.spark.sql.types.DoubleType)
+          .defaultValue("CAST(NULL AS DOUBLE)").build(),
+        p("dry_run", B).defaultValue("false").build()),
+      StructType.fromDDL("deleted_files BIGINT"),
+      (spark, path, in) => InternalRow(
+        TxLog.vacuum(spark, path,
+          keepVersions = in.getLong(1).toInt,
+          dryRun = in.getBoolean(3),
+          keepHours = if (in.isNullAt(2)) None else Some(in.getDouble(2)))
+          .size.toLong)),
+    Proc("optimize",
+      "compact small files (optionally z-order clustered); returns the version",
+      Array(p("table", S).build(),
+        p("zorder_by", S).defaultValue("CAST(NULL AS STRING)").build()),
+      StructType.fromDDL("version BIGINT"),
+      (spark, path, in) => InternalRow(
+        TxLog.compact(spark, path,
+          zorderBy =
+            if (in.isNullAt(1)) Nil
+            else in.getUTF8String(1).toString.split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq))),
+    Proc("restore",
+      "roll the table back to a version (an O(1) ref commit)",
+      Array(p("table", S).build(), p("version", L).build()),
+      StructType.fromDDL("version BIGINT"),
+      (spark, path, in) => InternalRow(
+        TxLog.restore(spark, path, in.getLong(1)))),
+    Proc("build_bloom_index",
+      "build the point-lookup Bloom sidecars for a column; returns sidecars written",
+      Array(p("table", S).build(), p("column", S).build()),
+      StructType.fromDDL("sidecars BIGINT"),
+      (spark, path, in) => InternalRow(
+        TxLog.buildBloomIndex(spark, path,
+          in.getUTF8String(1).toString).toLong)),
+    Proc("tag",
+      "pin a retention-surviving named snapshot at a version (default: head)",
+      Array(p("table", S).build(), p("name", S).build(),
+        p("version", L).defaultValue("CAST(NULL AS BIGINT)").build()),
+      StructType.fromDDL("version BIGINT"),
+      (spark, path, in) => InternalRow({
+        val v = if (in.isNullAt(2)) None else Some(in.getLong(2))
+        TxLog.tag(spark, path, in.getUTF8String(1).toString, v)
+        TxLog.tags(spark, path)(in.getUTF8String(1).toString)
+      })),
+  ).map(x => x.procName -> x).toMap
+
+  def load(catName: String, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("system")),
+      s"$catName: procedures live under the 'system' namespace")
+    all.getOrElse(ident.name, throw new RuntimeException(
+      s"$catName: no procedure '${ident.name}' — " +
+        s"have: ${all.keys.toSeq.sorted.mkString(", ")}"))
+  }
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      all.keys.toSeq.sorted.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+}

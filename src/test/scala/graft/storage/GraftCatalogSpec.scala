@@ -251,6 +251,39 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL graft.system.*: maintenance verbs as stored procedures") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.mt AS SELECT id AS k FROM range(10)")
+      spark.sql("INSERT INTO graft.mt SELECT id + 100 FROM range(5)")
+      spark.sql("INSERT INTO graft.mt SELECT id + 200 FROM range(5)")
+      // optimize: compacts the small files, returns the new version
+      val vOpt = spark.sql(
+        "CALL graft.system.optimize(table => 'mt')").head().getLong(0)
+      assert(vOpt == 4L, s"optimize committed v$vOpt")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.mt").head().getLong(0) == 20L)
+      // tag the compacted snapshot, restore to v1, vacuum dry-run first
+      assert(spark.sql("CALL graft.system.tag(table => 'mt', name => 'compacted')")
+        .head().getLong(0) == 4L)
+      val vRestored = spark.sql(
+        "CALL graft.system.restore(table => 'mt', version => 1)")
+        .head().getLong(0)
+      assert(vRestored == 5L)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.mt").head().getLong(0) == 10L)
+      val dry = spark.sql("CALL graft.system.vacuum(table => 'mt', " +
+        "retain_versions => 1, dry_run => true)").head().getLong(0)
+      val swept = spark.sql("CALL graft.system.vacuum(table => 'mt', " +
+        "retain_versions => 1)").head().getLong(0)
+      assert(dry == swept && swept >= 0L, s"dry=$dry swept=$swept")
+      // tagged snapshot SURVIVES the vacuum (retention-pinned)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.mt VERSION AS OF 'compacted'")
+        .head().getLong(0) == 20L)
+      // bloom index builder returns the sidecar count
+      assert(spark.sql("CALL graft.system.build_bloom_index(" +
+        "table => 'mt', column => 'k')").head().getLong(0) >= 1L)
+      assert(TxLog.readByKey(spark, s"$w/mt", "k", 3L).count() == 1)
+    }
+  }
+
   test("hidden-partition transforms in CREATE TABLE: bucket layout mounts bucketed") {
     withWarehouse { w =>
       spark.sql("CREATE TABLE graft.buck (k BIGINT, v STRING) " +
