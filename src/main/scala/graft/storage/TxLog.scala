@@ -4789,7 +4789,12 @@ object TxLog {
     val versions = fs.listStatus(dir).toSeq
       .flatMap(s => versionOf(s.getPath)).sorted
     val manifests = versions.map(v => v -> manifest(spark, path, v))
-    def sizeOf(f: String): Long = {
+    // one stat per DISTINCT file across ALL versions: retained versions
+    // share most of their file lists (each commit changes O(files
+    // touched)), so an un-memoized walk would pay versions × files stat
+    // RPCs — the exact wall the delta commits exist to avoid
+    val sizeCache = scala.collection.mutable.HashMap.empty[String, Long]
+    def sizeOf(f: String): Long = sizeCache.getOrElseUpdate(f, {
       val p = if (isAbsEntry(f)) new Path(f) else new Path(dataDir(path), f)
       // by-reference clone entries can live on a DIFFERENT scheme than
       // the clone table — resolve each path against its own FileSystem
@@ -4800,7 +4805,7 @@ object TxLog {
       catch {
         case _: java.io.IOException | _: IllegalArgumentException => 0L
       }
-    }
+    })
     val rows = manifests.zipWithIndex.map { case ((v, m), i) =>
       val prevM = if (i == 0) None else Some(manifests(i - 1)._2)
       val prev: Set[String] = prevM.map(_.files.toSet).getOrElse(Set.empty)
