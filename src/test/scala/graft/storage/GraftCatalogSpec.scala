@@ -284,6 +284,48 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("one engine, three doors: Scala API, format mount, and graft.* SQL serve identical plans") {
+    withWarehouse { w =>
+      // a real testdata-backed table (orders slice), reached three ways
+      val src = graft.tables.Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Catalog.create(spark, "orders_d", src, statsCols = Seq("o_orderkey"))
+      val bySql = spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM graft.orders_d " +
+          "WHERE o_orderkey BETWEEN 100 AND 500")
+      val byApi = Catalog.table(spark, "orders_d")
+        .select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey").between(100, 500))
+      val byFmt = spark.read.format("graft-txlog")
+        .option("path", s"$w/orders_d").load()
+        .select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey").between(100, 500))
+      val rows = Seq(bySql, byApi, byFmt).map(
+        _.orderBy("o_orderkey", "o_totalprice").collect().toSeq)
+      assert(rows(0) == rows(1) && rows(1) == rows(2),
+        "three doors must serve identical rows")
+      assert(rows(0).nonEmpty)
+      // identical PHYSICAL shape: same scan class, same pushed filters,
+      // manifest-pruned file set (stats skip files outside the range)
+      def scanLine(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString.linesIterator
+          .find(_.contains("Scan parquet")).getOrElse("NO SCAN")
+      val scans = Seq(bySql, byApi, byFmt).map(scanLine)
+      scans.foreach(l => assert(l.contains("PushedFilters") &&
+        l.contains("GreaterThanOrEqual(o_orderkey,100)"),
+        s"pushdown lost on a door:\n$l"))
+      // the catalog door plans the SAME pruned file count as the mount
+      def plannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.listFiles(Nil, Nil).map(_.files.size.toLong).sum
+        }.getOrElse(-1L)
+      assert(plannedFiles(bySql) == plannedFiles(byFmt),
+        s"catalog door must plan the mount's file set " +
+          s"(${plannedFiles(bySql)} vs ${plannedFiles(byFmt)})")
+    }
+  }
+
   test("hidden-partition transforms in CREATE TABLE: bucket layout mounts bucketed") {
     withWarehouse { w =>
       spark.sql("CREATE TABLE graft.buck (k BIGINT, v STRING) " +
