@@ -3689,10 +3689,13 @@ object TxLog {
       source.columns.contains(k),
       s"TxLog.mergeWhen: key '$k' must exist on both sides"))
     checkSchema(declared, source.schema, evolveSchema = false)
-    if (notMatched.nonEmpty)
+    if (notMatched.nonEmpty) {
+      val policyCols = columnDefaults(m).keySet ++ generatedColumns(m).keySet
       declared.fields.foreach(f => require(
-        source.columns.contains(f.name),
-        s"TxLog.mergeWhen: INSERT * needs source column '${f.name}'"))
+        source.columns.contains(f.name) || policyCols.contains(f.name),
+        s"TxLog.mergeWhen: INSERT * needs source column '${f.name}' " +
+          "(only DEFAULT/GENERATED columns may be omitted)"))
+    }
     // assigning a layout column would silently leave the row in its
     // old directory — refuse, as updateWhere's relocation contract
     // doesn't compose with the clause engine
@@ -3779,9 +3782,14 @@ object TxLog {
       val existingKeys = readFiles(spark, path, declared, discoveryFiles,
           m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
         .select(keys.map(col): _*).distinct()
-      source.withColumn("src", struct(source.columns.map(col): _*))
+      val landed = source
+        .withColumn("src", struct(source.columns.map(col): _*))
         .join(existingKeys, keys.toSeq, "left_anti")
         .filter(clauseCond(c))
+        .select(source.columns.map(col).toIndexedSeq: _*)
+      // INSERT * is insert-shaped: omitted DEFAULT columns fill and
+      // omitted GENERATED columns compute, same as the append family
+      fillPolicyColumns(landed, m, declared)
         .select(declared.fieldNames.map(col).toSeq: _*)
     }
     val partNullCols =

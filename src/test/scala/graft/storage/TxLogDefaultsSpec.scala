@@ -132,6 +132,41 @@ class TxLogDefaultsSpec extends SparkSpec {
     }
   }
 
+  test("MERGE INSERT * fills omitted DEFAULT and computes omitted GENERATED columns") {
+    import graft.storage.TxLog.MergeClause
+    val path = freshPath("mergefill")
+    TxLog.create(Seq((1L, "a")).toDF("k", "v"), path)
+    TxLog.addColumn(spark, path, "tag", "string", default = Some("'merged'"))
+    TxLog.addColumn(spark, path, "k2", "bigint", generatedAs = Some("k * 2"))
+    // source carries only (k, v): the policy columns may be omitted
+    val src = Seq((1L, "upd"), (5L, "new")).toDF("k", "v")
+    TxLog.mergeWhen(path, src, Seq("k"),
+      matched = Seq(MergeClause(None, "update", Seq("v" -> "src.v"))),
+      notMatched = Seq(MergeClause(None, "insert")))
+    val out = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Option[String], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (1L, "upd", None, None),           // pre-policy row: updated, stays null
+      (5L, "new", Some("merged"), Some(10L))), // insert: filled + computed
+      s"got $out")
+    // a column with NO policy still refuses omission
+    TxLog.addColumn(spark, path, "plain", "string")
+    intercept[IllegalArgumentException] {
+      TxLog.mergeWhen(path, Seq((9L, "x")).toDF("k", "v"), Seq("k"),
+        notMatched = Seq(MergeClause(None, "insert")))
+    }
+    // the SQL MERGE surface inherits the fill (same engine path);
+    // 'plain' has no policy so the source must carry it
+    Seq((7L, "sql", "p")).toDF("k", "v", "plain")
+      .createOrReplaceTempView("mw_fill_src")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG MERGE INTO '$path' ON k USING (SELECT * FROM mw_fill_src) " +
+        "WHEN NOT MATCHED THEN INSERT")
+    val r7 = TxLog.read(spark, path).filter(col("k") === 7L)
+      .select("tag", "k2").as[(String, Long)].head()
+    assert(r7 == (("merged", 14L)), r7.toString)
+  }
+
   test("policies survive restore (full table-state rollback) and the streaming sink fills") {
     val path = freshPath("restore")
     TxLog.create(Seq((1L, "a", "x")).toDF("k", "v", "tag"), path)
