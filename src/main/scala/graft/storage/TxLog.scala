@@ -1265,6 +1265,47 @@ object TxLog {
       }
     }
 
+  /** OCC read declaration for the PREDICATE verbs (deleteWhere /
+    * updateWhere) — [[mergeRebaseCheck]]'s rules 1+2 over the touched
+    * files, plus the Delta WriteSerializable rule for ADDED files:
+    * a BLIND append serializes after the predicate op (its rows were
+    * never in the op's snapshot — the op's predicate simply does not
+    * apply to them), but a file added by a NON-blind commit (a
+    * concurrent MERGE/UPDATE rewrite) may hold REWRITTEN rows that now
+    * match this predicate — admitting it would let matching rows
+    * survive the DELETE's commit version (ADVICE r13, low). The verbs
+    * have no key bounds to vote added files against (arbitrary
+    * predicates), so provenance decides: one O(bytes-changed) commit-
+    * node read per interleaved version classifies its adds as blind
+    * (operation APPEND / STREAMING APPEND / APPEND TXN) or not;
+    * anything unreadable or unrecognized conflicts conservatively. */
+  private[graft] def predicateRebaseCheck(spark: SparkSession, path: String,
+      schema: StructType, touchedFiles: Set[String], tz: String)
+      : (Manifest, Manifest) => Option[String] =
+    (base, latest) =>
+      mergeRebaseCheck(schema, None, sourceEmpty = true, touchedFiles,
+          touchedFiles, tz)(base, latest)
+        .orElse {
+          val baseSet = base.files.toSet
+          if (!latest.files.exists(f => !baseSet.contains(f))) None
+          else ((base.version + 1) to latest.version).iterator.flatMap { v =>
+            scala.util.Try {
+              val node = readCommitNode(spark, path, v)
+              val op = Option(node.get("operation")).map(_.asText())
+                .getOrElse("").toUpperCase
+              val blind = op.startsWith("APPEND") ||
+                op.startsWith("STREAMING APPEND")
+              val adds = Option(node.get("add")).map(_.size()).getOrElse(
+                // full/ref commits (CREATE OR REPLACE, RESTORE) redefine
+                // the file set — never admissible under a predicate op
+                if (node.has("files") || node.has("baseRef")) 1 else 0)
+              if (adds > 0 && !blind) Some(s"v$v ($op)") else None
+            }.getOrElse(Some(s"v$v (unreadable commit)"))
+          }.take(1).toSeq.headOption.map(c =>
+            s"added files via non-blind commit $c whose rewritten rows " +
+              "may match this predicate")
+        }
+
   /** Stage-write `df`, move its files into `data/` under a fresh commit
     * uuid, and return the new files' table-relative paths. Old files
     * are never touched.
@@ -2132,8 +2173,13 @@ object TxLog {
     val filled = missing.foldLeft(df)((d, f) =>
       d.withColumn(f.name,
         expr(gens.getOrElse(f.name, defs(f.name))).cast(f.dataType)))
-    filled.select(declared.fieldNames.filter(filled.columns.contains)
-      .map(col).toIndexedSeq: _*)
+    // reorder to declared order but KEEP unknown extra columns (at the
+    // end): the subsequent checkSchema must refuse them exactly as it
+    // does when no policy column was omitted — silently dropping them
+    // here would bypass that gate (ADVICE r13, low)
+    val unknown = filled.columns.filterNot(declared.fieldNames.contains)
+    filled.select((declared.fieldNames.filter(filled.columns.contains) ++
+      unknown).map(col).toIndexedSeq: _*)
   }
 
   /** The binding form of each constraint entry: user CHECKs bind as
@@ -3654,12 +3700,21 @@ object TxLog {
     * between a whole-table rewrite and a delete-sized sidecar. Same
     * DV trade as [[deleteWhere]]: per-read anti-join until OPTIMIZE
     * materializes. */
+  /** `evolveSchema = true` additionally admits source columns the
+    * table does not have yet: the manifest's schema WIDENS in the same
+    * commit ([[widen]] — additive-only, same contract as
+    * [[append]]/[[mergeInto]] evolution), existing rows read the new
+    * columns as null, INSERT * lands them whole, and UPDATE SET may
+    * assign them (`SET newcol = src.newcol`). Version-pinned reads of
+    * older versions keep their own schema. The CDC-sync shape: a
+    * source that grew a column merges without a hand-ALTER first. */
   def mergeWhen(path: String, source: DataFrame, keys: Seq[String],
                 matched: Seq[MergeClause] = Nil,
                 notMatched: Seq[MergeClause] = Nil,
                 notMatchedBySource: Seq[MergeClause] = Nil,
                 deletionVectors: Boolean = false,
-                txn: Option[(String, Long)] = None): Long = {
+                txn: Option[(String, Long)] = None,
+                evolveSchema: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, max, min, struct, when}
     val spark = source.sparkSession
     require(keys.nonEmpty, "TxLog.mergeWhen: empty key set")
@@ -3682,16 +3737,37 @@ object TxLog {
     if (txn.exists { case (a, tv) => m.txns.get(a).exists(_ >= tv) }) return v
     requireWritable(m, path)
     val declared = StructType.fromDDL(m.schemaDdl)
-    require(!declared.fieldNames.contains("src"),
+    checkSchema(declared, source.schema, evolveSchema)
+    // evolution: new columns take their LOGICAL name as the physical
+    // slot — refuse collisions with renamed/dropped slots and derived
+    // hidden-partition dir names (same gates as [[append]] evolution)
+    if (evolveSchema)
+      source.schema.fieldNames.filterNot(declared.fieldNames.contains)
+        .foreach { n =>
+          require(!m.colMap.exists(_._2 == n),
+            s"TxLog.mergeWhen: new column '$n' collides with the physical " +
+              "slot of a renamed or dropped column — add it via " +
+              "TxLog.addColumn first")
+          require(!m.partitionCols.contains(n),
+            s"TxLog.mergeWhen: new column '$n' collides with a derived " +
+              "hidden partition directory name")
+        }
+    val widened = if (evolveSchema) widen(declared, source.schema) else declared
+    // target rows read with their OWN schema; evolution pads the new
+    // columns with typed nulls so both sides join/union in widened shape
+    def padNewCols(df: DataFrame): DataFrame =
+      widened.fields.filterNot(f => declared.fieldNames.contains(f.name))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+    require(!widened.fieldNames.contains("src"),
       "TxLog.mergeWhen: the table has a column literally named 'src' — " +
         "the clause namespace reserves it for the source-row struct")
     keys.foreach(k => require(declared.fieldNames.contains(k) &&
       source.columns.contains(k),
       s"TxLog.mergeWhen: key '$k' must exist on both sides"))
-    checkSchema(declared, source.schema, evolveSchema = false)
     if (notMatched.nonEmpty) {
       val policyCols = columnDefaults(m).keySet ++ generatedColumns(m).keySet
-      declared.fields.foreach(f => require(
+      widened.fields.foreach(f => require(
         source.columns.contains(f.name) || policyCols.contains(f.name),
         s"TxLog.mergeWhen: INSERT * needs source column '${f.name}' " +
           "(only DEFAULT/GENERATED columns may be omitted)"))
@@ -4071,18 +4147,19 @@ object TxLog {
             s"TxLog.deleteWhere(dv): scan key '$suffix' does not map back " +
               "to any manifest entry")) -> n
       }.toMap
-      // blind appends never conflict a delete: the delete serializes
+      // BLIND appends never conflict a delete: the delete serializes
       // FIRST (its snapshot never contained the appended rows — the
-      // Delta rule). Only the DV-targeted files are load-bearing:
-      // they must survive (dvLiveFor would silently prune our
-      // entries) with unchanged DV state (an overlapping concurrent
-      // DV would double-count deleted rows).
+      // Delta rule). The DV-targeted files must survive (dvLiveFor
+      // would silently prune our entries) with unchanged DV state (an
+      // overlapping concurrent DV would double-count deleted rows);
+      // files added by NON-blind commits conflict — see
+      // [[predicateRebaseCheck]].
       val dvTargets = counts.keySet
       commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = Nil,
         schemaDdl = m.schemaDdl, batchId = None, readSet = None,
         operation = "DELETE (DV)", addDv = Seq(dvName -> counts),
-        rebaseCheck = Some(mergeRebaseCheck(schema, None,
-          sourceEmpty = true, dvTargets, dvTargets, "UTC")))
+        rebaseCheck = Some(predicateRebaseCheck(spark, path, schema,
+          dvTargets, "UTC")))
     } else {
       // exact hit-file discovery: the scan prunes to the condition's
       // columns; the collected set is bounded by the live file count
@@ -4098,15 +4175,16 @@ object TxLog {
         toPhysical(readFiles(spark, path, schema, hitFiles.toSeq, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
           .filter(not(hit)), m.colMap),
         path, physPartCols(m), transformsOf(m))
-      // file-granular read declaration: only the files this delete
-      // REWRITES are load-bearing — a blind append serializes after
-      // the delete (its rows were never in the delete's snapshot),
-      // and a DV/removal on an un-hit file cannot create matches
+      // file-granular read declaration: the files this delete REWRITES
+      // are load-bearing, a BLIND append serializes after the delete
+      // (its rows were never in the delete's snapshot), a DV/removal on
+      // an un-hit file cannot create matches — and files added by a
+      // NON-blind commit conflict ([[predicateRebaseCheck]])
       commitRebase(spark, path, m, rewriteDirs = Set.empty,
         newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
         readSet = None, operation = "DELETE", removeFiles = hitFiles,
-        rebaseCheck = Some(mergeRebaseCheck(schema, None,
-          sourceEmpty = true, hitFiles, hitFiles, "UTC")))
+        rebaseCheck = Some(predicateRebaseCheck(spark, path, schema,
+          hitFiles, "UTC")))
     }
   }
 
@@ -4202,14 +4280,15 @@ object TxLog {
         val staged = stageIn(toPhysical(images, m.colMap), path,
           physPartCols(m), transformsOf(m))
         // same read declaration as DELETE (DV): the update serializes
-        // before any blind append; only the DV targets are load-bearing
+        // before any BLIND append; the DV targets are load-bearing and
+        // non-blind adds conflict ([[predicateRebaseCheck]])
         val dvTargets = counts.keySet
         commitRebase(spark, path, m, rewriteDirs = Set.empty,
           newFiles = staged, schemaDdl = m.schemaDdl, batchId = None,
           readSet = None, operation = "UPDATE (DV)",
           addDv = Seq(dvName -> counts),
-          rebaseCheck = Some(mergeRebaseCheck(schema, None,
-            sourceEmpty = true, dvTargets, dvTargets, "UTC")))
+          rebaseCheck = Some(predicateRebaseCheck(spark, path, schema,
+            dvTargets, "UTC")))
       } finally fs.delete(tmp, true)
     } else {
       // exact hit-file discovery, identical to DELETE's
@@ -4228,12 +4307,13 @@ object TxLog {
         toPhysical(assigned(snap, everyRowMatched = false), m.colMap),
         path, physPartCols(m), transformsOf(m))
       // file-granular read declaration, identical to DELETE's: blind
-      // appends serialize after the update, only hit files conflict
+      // appends serialize after the update, hit files and non-blind
+      // adds conflict ([[predicateRebaseCheck]])
       commitRebase(spark, path, m, rewriteDirs = Set.empty,
         newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
         readSet = None, operation = "UPDATE", removeFiles = hitFiles,
-        rebaseCheck = Some(mergeRebaseCheck(schema, None,
-          sourceEmpty = true, hitFiles, hitFiles, "UTC")))
+        rebaseCheck = Some(predicateRebaseCheck(spark, path, schema,
+          hitFiles, "UTC")))
     }
   }
 

@@ -205,7 +205,24 @@ class GraftCatalog extends TableCatalog
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"ALTER TABLE: nested column ${a.fieldNames.mkString(".")} not supported")
-        TxLog.addColumn(spark, path, a.fieldNames.head, a.dataType.sql)
+        // the catalog declared SUPPORT_COLUMN_DEFAULT_VALUE, so Spark
+        // hands DEFAULTs through here — pass them to the engine's
+        // policy channel; anything this add cannot honor (a position,
+        // a comment, NOT NULL over a metadata-only add that reads
+        // existing rows as NULL) refuses loudly rather than silently
+        // dropping it (ADVICE r13, medium)
+        require(a.position() == null,
+          "ALTER TABLE ADD COLUMN: FIRST/AFTER positions are not " +
+            "supported — columns append at the end")
+        require(a.comment() == null,
+          "ALTER TABLE ADD COLUMN: COMMENT is not supported")
+        require(a.isNullable,
+          "ALTER TABLE ADD COLUMN: NOT NULL is not supported — a " +
+            "metadata-only add reads existing rows as NULL")
+        TxLog.addColumn(spark, path, a.fieldNames.head, a.dataType.sql,
+          default = Option(a.defaultValue()).map(dv =>
+            Option(dv.getSql).getOrElse(throw new UnsupportedOperationException(
+              s"ALTER TABLE ADD COLUMN: DEFAULT carries no SQL text ($dv)"))))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"ALTER TABLE: nested column ${r.fieldNames.mkString(".")} not supported")
@@ -491,8 +508,18 @@ class StagedGraftTable(cat: GraftCatalog, tableName: String, path: String,
     with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
-  private val preVersion: Option[Long] =
-    if (replacing) TxLog.currentVersion(spark, path) else None
+  // the pre-stage state decides what abort may touch: a REPLACE (or a
+  // create over a path that already held table versions) rolls back to
+  // this version; a create into a PRE-EXISTING directory must never
+  // recursively delete it (an explicit LOCATION can point at an
+  // unregistered graft table or other data this CTAS did not create —
+  // ADVICE r13, medium); only a directory this CTAS itself created is
+  // safe to sweep on abort.
+  private val preVersion: Option[Long] = TxLog.currentVersion(spark, path)
+  private val preExistingDir: Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
   @volatile private var written = false
 
   override def name(): String = tableName
@@ -543,20 +570,26 @@ class StagedGraftTable(cat: GraftCatalog, tableName: String, path: String,
   }
 
   override def abortStagedChanges(): Unit =
-    if (replacing) {
-      // the replace commit may already have landed: roll the table
-      // back to its pre-replace version (a ref commit, O(1))
+    if (preVersion.isDefined) {
+      // the commit may already have landed (REPLACE, or a create whose
+      // path already held table versions — insert() createOrReplace'd
+      // it): roll back to the pre-stage version (a ref commit, O(1));
+      // history is kept, nothing this CTAS did not create is deleted
       preVersion.foreach { pv =>
         if (TxLog.currentVersion(spark, path).exists(_ > pv))
           TxLog.restore(spark, path, pv)
       }
-    } else {
-      // never registered: the dir is invisible garbage — sweep it
+    } else if (!preExistingDir) {
+      // a directory THIS create made, never registered: invisible
+      // garbage — sweep it
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(p, true)
       ()
     }
+    // else: the path pre-existed without table versions (an explicit
+    // LOCATION over foreign data) — leave it untouched; the staged
+    // files are unregistered and invisible
 
   override def toString: String = s"StagedGraftTable($tableName at $path)"
 }

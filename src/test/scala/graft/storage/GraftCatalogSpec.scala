@@ -197,6 +197,50 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("aborted CTAS at a pre-existing LOCATION never deletes data it did not create") {
+    withWarehouse { w =>
+      // an UNREGISTERED graft table already lives at the target path
+      import spark.implicits._
+      val loc = s"$w/preexisting"
+      TxLog.create(Seq((1L, "keep")).toDF("k", "v"), loc)
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.overlay LOCATION '$loc' AS " +
+          "SELECT CAST(id AS BIGINT) AS k, raise_error('boom') AS v FROM range(1)")
+      }
+      assert(!spark.catalog.tableExists("graft.overlay"))
+      // the pre-existing table (and its history) survives the abort
+      assert(TxLog.read(spark, loc).select("v").head().getString(0) == "keep",
+        "abort must restore, never recursively delete, a pre-existing path")
+      // a plain directory with foreign bytes survives too
+      val rawDir = new java.io.File(s"$w/rawdir"); rawDir.mkdirs()
+      val marker = new java.io.File(rawDir, "precious.txt")
+      java.nio.file.Files.writeString(marker.toPath, "do not delete")
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.overlay2 LOCATION '${rawDir.getPath}' AS " +
+          "SELECT raise_error('boom') AS x FROM range(1)")
+      }
+      assert(marker.exists, "abort must not sweep a directory it did not create")
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMN DEFAULT passes through; position/comment refuse loudly") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.addc (k BIGINT)")
+      spark.sql("INSERT INTO graft.addc VALUES (1)")
+      spark.sql("ALTER TABLE graft.addc ADD COLUMN c INT DEFAULT 5")
+      // the default is IN FORCE: an insert omitting c fills 5, old rows read null
+      spark.sql("INSERT INTO graft.addc (k) VALUES (2)")
+      val rows = spark.sql("SELECT k, c FROM graft.addc ORDER BY k").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+      assert(rows == Map(1L -> None, 2L -> Some(5)), rows.toString)
+      // unsupported facets refuse instead of silently dropping
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.addc ADD COLUMN p INT FIRST") }
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.addc ADD COLUMN q INT COMMENT 'x'") }
+    }
+  }
+
   test("ADD/DROP CONSTRAINT through Spark's resolver: the write-time gate binds") {
     withWarehouse { w =>
       spark.sql("CREATE TABLE graft.cst AS " +

@@ -41,6 +41,19 @@ class TxLogDefaultsSpec extends SparkSpec {
       .select("tag").as[Option[String]].head().isEmpty)
   }
 
+  test("an unknown extra column refuses even when a policy column is omitted") {
+    val path = freshPath("unknowncol")
+    TxLog.create(Seq((1L, "a", "x")).toDF("k", "v", "tag"), path)
+    TxLog.setColumnDefault(spark, path, "tag", "'auto'")
+    // omitting `tag` (filled by policy) must NOT open a side door for
+    // `rogue`: the same loud schema refusal as when no policy fires
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(Seq((2L, "b", "smuggled")).toDF("k", "v", "rogue"), path)
+    }
+    assert(e.getMessage.contains("rogue"), e.getMessage)
+    assert(TxLog.read(spark, path).count() == 1)
+  }
+
   test("ADD COLUMN ... DEFAULT: old rows read null, new appends fill — via the SQL verbs") {
     val path = freshPath("addcol")
     TxLog.create(Seq((1L, "a")).toDF("k", "v"), path)

@@ -255,6 +255,36 @@ class TxLogOccSpec extends SparkSpec {
       "compaction of an unread file outside the key range must rebase")
   }
 
+  test("predicateRebaseCheck: blind appends rebase; non-blind adds conflict") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val path = freshDir("predicate_rebase")
+    TxLog.create((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1), path)
+    val base = TxLog.manifest(spark, path, 1L)
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val touched = base.files.toSet
+    def chk(latestV: Long) = TxLog.predicateRebaseCheck(spark, path, schema,
+      touched, "UTC")(base, TxLog.manifest(spark, path, latestV))
+    // a BLIND append serializes after the predicate op: rebase
+    TxLog.append(Seq((100L, "blind")).toDF("id", "v").coalesce(1), path)
+    assert(chk(2L).isEmpty, "blind append must rebase: " + chk(2L))
+    // an UPDATE's added files may hold REWRITTEN rows that now match
+    // the predicate — Delta's WriteSerializable exempts blind appends
+    // ONLY. The update rewrites the appended file, not a touched one,
+    // so rules 1/2 stay silent and provenance alone must decide.
+    TxLog.updateWhere(spark, path, Seq("v" -> "'rewritten'"),
+      org.apache.spark.sql.functions.col("id") === 100L)
+    val r = chk(3L)
+    assert(r.exists(_.contains("non-blind")),
+      s"non-blind interleaved adds must conflict: $r")
+    // rule 1 still binds through the shared checker: losing a touched
+    // file conflicts regardless of provenance
+    val latest3 = TxLog.manifest(spark, path, 3L)
+    assert(TxLog.predicateRebaseCheck(spark, path, schema,
+      Set("data/not_there.parquet"), "UTC")(base, latest3).isDefined)
+  }
+
   test("merge commit rebases over a disjoint-range append via its rebaseCheck") {
     import spark.implicits._
     import org.apache.spark.sql.types.StructType
