@@ -1554,6 +1554,36 @@ object WarehouseQueries {
       "FROM graft.dml_orders ORDER BY o_orderkey, o_orderstatus, o_totalprice")
   }
 
+  /** MERGE WITH SCHEMA EVOLUTION through the driver gate, in PLAIN
+    * SQL: CTAS a two-column slice into the V2 catalog, then one
+    * `MERGE WITH SCHEMA EVOLUTION` whose source carries a column the
+    * table has never seen — the analyzer ALTERs it in through the
+    * catalog (AUTOMATIC_SCHEMA_EVOLUTION), UPDATE SET * assigns it,
+    * INSERT * lands it whole, and untouched rows read NULL. The
+    * oracle recomputes the widened head with CASE over key parity;
+    * prices only multiply by 2 (exact in binary doubles). */
+  def txlogMergeEvolve(s: SparkSession, d: String): DataFrame = {
+    val wh = sys.props("java.io.tmpdir") + "/graft_txlog_mev_wh"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(wh), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    s.conf.set("graft.catalog.warehouse", wh)
+    orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .createOrReplaceTempView("txlog_mev_src")
+    s.sql("CREATE TABLE graft.mev_orders AS " +
+      "SELECT o_orderkey, o_totalprice FROM txlog_mev_src " +
+      "WHERE o_orderkey % 3 = 0")
+    s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.mev_orders t
+            |USING (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+            |              o_orderpriority AS prio
+            |       FROM txlog_mev_src WHERE o_orderkey % 6 IN (0, 1)) s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql("SELECT o_orderkey, o_totalprice, prio FROM graft.mev_orders " +
+      "ORDER BY o_orderkey")
+  }
+
   /** DEFAULT + GENERATED columns through the driver gate: create from
     * half the orders, ADD COLUMN ... DEFAULT and ADD COLUMN ...
     * GENERATED AS (both metadata-only — pre-existing rows read null),
@@ -1581,6 +1611,7 @@ object WarehouseQueries {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog_defaults" -> txlogDefaults _,
     "q_txlog_sql" -> txlogSql _,
+    "q_txlog_merge_evolve" -> txlogMergeEvolve _,
     "q_txlog" -> txlog _,
     "q_txlog_dv" -> txlogDv _,
     "q_txlog_dv_batch" -> txlogDvBatch _,
@@ -1740,6 +1771,18 @@ object WarehouseQueries {
         |)
         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM merged
         |ORDER BY o_orderkey, o_orderstatus, o_totalprice""".stripMargin,
+    // MERGE WITH SCHEMA EVOLUTION ≡ a CASE recompute over key parity:
+    // %3==0 rows pre-exist (those also %6==0 update and take the new
+    // column), %6==1 rows insert WITH it, everything else reads NULL
+    "q_txlog_merge_evolve" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 6 IN (0, 1) THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 6 IN (0, 1) THEN o_orderpriority
+        |       ELSE NULL END AS prio
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0 OR o_orderkey % 6 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     // a file-granular UPDATE ≡ a CASE-WHEN recompute over the source
     "q_txlog_update" ->
       """SELECT o_orderkey,

@@ -3778,7 +3778,7 @@ object TxLog {
     val layoutCols = (if (m.partitionSpec.isEmpty) m.partitionCols
                       else transformsOf(m).map(_.src)).toSet
     matched.flatMap(_.sets).foreach { case (c, _) =>
-      require(declared.fieldNames.contains(c),
+      require(widened.fieldNames.contains(c),
         s"TxLog.mergeWhen: SET names unknown column '$c'")
       require(!layoutCols.contains(c),
         s"TxLog.mergeWhen: SET may not assign layout column '$c'")
@@ -3820,10 +3820,10 @@ object TxLog {
     def whenRebaseCheck(readCandidates: Set[String], touched: Set[String])
         : (Manifest, Manifest) => Option[String] =
       if (notMatchedBySource.isEmpty)
-        mergeRebaseCheck(declared, keyBounds, sourceEmpty,
+        mergeRebaseCheck(widened, keyBounds, sourceEmpty,
           readCandidates, touched, tz)
       else
-        mergeRebaseCheck(declared, None, sourceEmpty = false,
+        mergeRebaseCheck(widened, None, sourceEmpty = false,
           m.files.toSet, touched, tz)
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val srcStructed = source.select(
@@ -3844,7 +3844,7 @@ object TxLog {
     val deletes = actions.collect { case (i, c, _) if c.action == "delete" => i }
     val updateIdx = actions.collect { case (i, c, _) if c.action == "update" => i }
     def applyUpdates(df: DataFrame): DataFrame =
-      df.select(declared.fields.map { f =>
+      df.select(widened.fields.map { f =>
         actions.collect { case (i, c, _) if c.action == "update" =>
           c.sets.find(_._1 == f.name).map(s => (i, s._2))
         }.flatten.foldRight(col(f.name)) { case ((i, setExpr), rest) =>
@@ -3865,8 +3865,8 @@ object TxLog {
         .select(source.columns.map(col).toIndexedSeq: _*)
       // INSERT * is insert-shaped: omitted DEFAULT columns fill and
       // omitted GENERATED columns compute, same as the append family
-      fillPolicyColumns(landed, m, declared)
-        .select(declared.fieldNames.map(col).toSeq: _*)
+      fillPolicyColumns(landed, m, widened)
+        .select(widened.fieldNames.map(col).toSeq: _*)
     }
     val partNullCols =
       if (m.partitionSpec.isEmpty) m.partitionCols
@@ -3878,7 +3878,7 @@ object TxLog {
       // could otherwise silently duplicate); collisions against
       // UNTOUCHED files are the uncovered-keys trade flagged loudly by
       // warnUncoveredUniques above
-      enforceUniques(written, spark, path, declared, Nil, m,
+      enforceUniques(written, spark, path, widened, Nil, m,
         s"$op written rows (within-batch)")
       if (partNullCols.nonEmpty)
         require(written.filter(partNullCols.map(col(_).isNull).reduce(_ || _))
@@ -3900,8 +3900,9 @@ object TxLog {
       val fsx = fsFor(spark, path)
       try {
         if (scanFiles.nonEmpty)
-          readFiles(spark, path, declared, scanFiles, m.colMap, m.dv,
-              keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
+          padNewCols(readFiles(spark, path, declared, scanFiles, m.colMap,
+              m.dv, keepDvKey = true,
+              recoverPartitions = m.partitionSpec.isEmpty))
             .join(srcStructed, keys.toSeq, "left_outer")
             .withColumn("_act", actCol)
             .filter(col("_act") =!= -1)
@@ -3940,7 +3941,7 @@ object TxLog {
         if (addDv.isEmpty && staged.isEmpty) // nothing matched any clause
           return sealNoopTxn(spark, path, m, txn, "MERGE WHEN (DV)")
         return commitRebase(spark, path, m, rewriteDirs = Set.empty,
-          newFiles = staged, schemaDdl = m.schemaDdl, batchId = None,
+          newFiles = staged, schemaDdl = widened.toDDL, batchId = None,
           readSet = None, operation = "MERGE WHEN (DV)", addDv = addDv,
           txn = txn, rebaseCheck = Some(whenRebaseCheck(scanFiles.toSet,
             addDv.flatMap(_._2.keys).toSet)))
@@ -3959,8 +3960,9 @@ object TxLog {
       }
     val scopeFiles: Set[String] =
       if (notMatchedBySource.nonEmpty) m.files.toSet else hitFiles
-    val scopeRows = readFiles(spark, path, declared, scopeFiles.toSeq,
-      m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
+    val scopeRows = padNewCols(readFiles(spark, path, declared,
+      scopeFiles.toSeq, m.colMap, m.dv,
+      recoverPartitions = m.partitionSpec.isEmpty))
     val acted = scopeRows.join(srcStructed, keys.toSeq, "left_outer")
       .withColumn("_act", actCol)
     val rewritten = applyUpdates(
@@ -3973,7 +3975,7 @@ object TxLog {
     val newFiles = stageIn(toPhysical(written, m.colMap), path,
       physPartCols(m), transformsOf(m))
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
-      newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
+      newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
       readSet = None, operation = "MERGE WHEN", removeFiles = scopeFiles,
       txn = txn, rebaseCheck = Some(whenRebaseCheck(
         discoveryFiles.toSet ++ scopeFiles, scopeFiles)))

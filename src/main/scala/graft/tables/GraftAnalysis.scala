@@ -155,10 +155,13 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
     import TxLog.MergeClause
     val (target, _) = GraftRel.unapply(m.targetTable).get
     requireWritable(target)
-    if (m.withSchemaEvolution) throw new UnsupportedOperationException(
-      s"graft MERGE: WITH SCHEMA EVOLUTION is not supported through the " +
-        "catalog — widen with ALTER TABLE ADD COLUMN first, or use " +
-        "TxLog.mergeInto(evolveSchema = true)")
+    // WITH SCHEMA EVOLUTION: by the time this rule sees the plan,
+    // Spark's ResolveMergeIntoSchemaEvolution has already widened the
+    // table (GraftTable declares AUTOMATIC_SCHEMA_EVOLUTION, so the
+    // analyzer ALTERed new source columns in through alterTable and
+    // re-resolved the target). Passing evolveSchema through to
+    // mergeWhen keeps the verb correct even when extra source columns
+    // survive to execution (e.g. a Scala caller building the plan).
     val srcIds = m.sourceTable.outputSet.map(_.exprId).toSet
     val tgtIds = m.targetTable.outputSet.map(_.exprId).toSet
     // ON: conjunction of target.k = source.k equalities (same name
@@ -223,7 +226,7 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     // the source subtree may itself read graft tables — lower those too
     GraftMergeCommand(target.path, apply(m.sourceTable), keys,
-      matched, notMatched, nms)
+      matched, notMatched, nms, evolveSchema = m.withSchemaEvolution)
   }
 }
 
@@ -268,12 +271,14 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
                              keys: Seq[String],
                              matched: Seq[TxLog.MergeClause],
                              notMatched: Seq[TxLog.MergeClause],
-                             notMatchedBySource: Seq[TxLog.MergeClause])
+                             notMatchedBySource: Seq[TxLog.MergeClause],
+                             evolveSchema: Boolean = false)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TxLog.mergeWhen(path, ExprBridge.ofRows(spark, source), keys,
-      matched, notMatched, notMatchedBySource)))
+      matched, notMatched, notMatchedBySource,
+      evolveSchema = evolveSchema)))
 }

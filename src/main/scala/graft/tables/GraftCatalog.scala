@@ -379,9 +379,18 @@ case class GraftTable(tableName: String, path: String,
           .putString("EXISTS_DEFAULT", "NULL").build()))
     })
   }
+  /** AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's own
+    * `MERGE ... WITH SCHEMA EVOLUTION` analysis: the analyzer computes
+    * the AddColumn set from the source schema, ALTERs through
+    * [[GraftCatalog.alterTable]] (one widening commit), reloads this
+    * table and re-resolves the merge against the widened schema —
+    * [[GraftAnalysis]] then lowers the merge itself onto
+    * [[TxLog.mergeWhen]] with `evolveSchema = true` so a source that
+    * somehow still carries extra columns widens in the merge commit. */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def partitioning(): Array[Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions

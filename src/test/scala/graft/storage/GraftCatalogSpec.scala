@@ -387,4 +387,39 @@ class GraftCatalogSpec extends SparkSpec {
       assert(j.head().getLong(0) == 100L)
     }
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: plain SQL widens and merges") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.msev (k BIGINT, amt DOUBLE)")
+      spark.sql("INSERT INTO graft.msev VALUES (1, 10.0), (2, 20.0)")
+      Seq((1L, 15.0, "gold"), (9L, 90.0, "silver"))
+        .toDF("k", "amt", "tier").createOrReplaceTempView("msev_src")
+      // without the clause, the extra source column refuses loudly
+      val e = intercept[Exception] {
+        spark.sql("MERGE INTO graft.msev t USING msev_src s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(e.getMessage.toLowerCase.contains("schema") ||
+        e.getMessage.contains("tier"), e.getMessage)
+      // WITH SCHEMA EVOLUTION: the analyzer ALTERs the new column in
+      // through the catalog, then the merge lands it — UPDATE SET *
+      // assigns it, INSERT * carries it whole, untouched rows read null
+      spark.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO graft.msev t USING msev_src s " +
+          "ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      val out = spark.sql(
+        "SELECT k, amt, tier FROM graft.msev ORDER BY k")
+        .as[(Long, Double, Option[String])].collect().toSeq
+      assert(out == Seq(
+        (1L, 15.0, Some("gold")),
+        (2L, 20.0, None),
+        (9L, 90.0, Some("silver"))), s"got $out")
+      // the widened schema is durable catalog metadata
+      assert(spark.table("graft.msev").columns.toSeq ==
+        Seq("k", "amt", "tier"))
+    }
+  }
 }

@@ -377,4 +377,61 @@ class TxLogMergeWhenSpec extends SparkSpec {
       (9L, "big", 90.0)),   // inserted with the subquery's CASE projection
       s"got $out")
   }
+
+  test("evolveSchema: UPDATE SET on a new column, INSERT * lands it whole") {
+    val path = freshPath("evolve")
+    seed(path) // v1: (k, status, amt)
+    val src = Seq((1L, "upd", 15.0, "gold"), (9L, "new", 90.0, "silver"))
+      .toDF("k", "status", "amt", "tier")
+    // without the flag the extra column refuses loudly — nothing commits
+    val e = intercept[IllegalArgumentException] {
+      TxLog.mergeWhen(path, src, Seq("k"),
+        matched = Seq(MergeClause(None, "update", Seq("amt" -> "src.amt"))),
+        notMatched = Seq(MergeClause(None, "insert")))
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    assert(TxLog.currentVersion(spark, path).contains(1L))
+    // with it: ONE commit widens the schema, SET may assign the new
+    // column, INSERT * lands it whole, untouched rows read null
+    TxLog.mergeWhen(path, src, Seq("k"),
+      matched = Seq(MergeClause(None, "update",
+        Seq("amt" -> "src.amt", "tier" -> "src.tier"))),
+      notMatched = Seq(MergeClause(None, "insert")),
+      evolveSchema = true)
+    assert(TxLog.currentVersion(spark, path).contains(2L))
+    val out = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Double, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, "open", 15.0, Some("gold")),  // updated; SET names the new col
+      (2L, "open", 20.0, None),          // untouched: new col reads null
+      (3L, "open", 30.0, None),
+      (4L, "hold", 40.0, None),
+      (9L, "new", 90.0, Some("silver"))), s"got $out")
+    // version-pinned read of v1 keeps the PRE-evolution schema
+    assert(TxLog.read(spark, path, Some(1L)).columns.toSeq ==
+      Seq("k", "status", "amt"))
+  }
+
+  test("evolveSchema in DV mode: widened commit, zero file rewrites") {
+    val path = freshPath("evolvedv")
+    seed(path)
+    val before = TxLog.manifest(spark, path, 1L).files.toSet
+    val src = Seq((2L, "upd", 25.0, 7), (8L, "new", 80.0, 8))
+      .toDF("k", "status", "amt", "rank")
+    TxLog.mergeWhen(path, src, Seq("k"),
+      matched = Seq(MergeClause(None, "update",
+        Seq("amt" -> "src.amt", "rank" -> "src.rank"))),
+      notMatched = Seq(MergeClause(None, "insert")),
+      deletionVectors = true, evolveSchema = true)
+    val out = TxLog.read(spark, path).orderBy("k")
+      .as[(Long, String, Double, Option[Int])].collect().toSeq
+    assert(out == Seq(
+      (1L, "open", 10.0, None), (2L, "open", 25.0, Some(7)),
+      (3L, "open", 30.0, None), (4L, "hold", 40.0, None),
+      (8L, "new", 80.0, Some(8))), s"got $out")
+    // merge-on-read: every pre-merge file survives (DV + appends only)
+    val after = TxLog.manifest(spark, path,
+      TxLog.currentVersion(spark, path).get).files.toSet
+    assert(before.subsetOf(after))
+  }
 }
