@@ -1584,6 +1584,33 @@ object WarehouseQueries {
       "ORDER BY o_orderkey")
   }
 
+  /** IDENTITY columns through the driver gate: create an empty table
+    * whose surrogate key is GENERATED ALWAYS AS IDENTITY, then append
+    * the even-key orders and the odd-key orders as two commits. Dense
+    * per-commit allocation makes the SORTED id column deterministic —
+    * ids are exactly [1..N], and every first-batch id precedes every
+    * second-batch id — so the gate is hash-exact even though the
+    * id↔row pairing inside a batch is partition-order dependent. */
+  def txlogIdentity(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_identity_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d).select("o_orderkey", "o_totalprice")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "surrogate_id BIGINT, o_orderkey BIGINT, o_totalprice DOUBLE")
+    TxLog.create(s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), path)
+    TxLog.setColumnIdentity(s, path, "surrogate_id")
+    TxLog.append(dim.filter(col("o_orderkey") % 2 === 0), path)
+    TxLog.append(dim.filter(col("o_orderkey") % 2 === 1), path)
+    TxLog.read(s, path)
+      .select(col("surrogate_id"),
+        (col("o_orderkey") % 2).cast("bigint").as("era"))
+      .orderBy("surrogate_id")
+  }
+
   /** DEFAULT + GENERATED columns through the driver gate: create from
     * half the orders, ADD COLUMN ... DEFAULT and ADD COLUMN ...
     * GENERATED AS (both metadata-only — pre-existing rows read null),
@@ -1612,6 +1639,7 @@ object WarehouseQueries {
     "q_txlog_defaults" -> txlogDefaults _,
     "q_txlog_sql" -> txlogSql _,
     "q_txlog_merge_evolve" -> txlogMergeEvolve _,
+    "q_txlog_identity" -> txlogIdentity _,
     "q_txlog" -> txlog _,
     "q_txlog_dv" -> txlogDv _,
     "q_txlog_dv_batch" -> txlogDvBatch _,
@@ -1783,6 +1811,17 @@ object WarehouseQueries {
         |FROM orders
         |WHERE o_orderkey % 3 = 0 OR o_orderkey % 6 = 1
         |ORDER BY o_orderkey""".stripMargin,
+    // IDENTITY allocation ≡ dense [1..N] with batch-ordered ranges:
+    // the even-key batch (committed first) owns ids [1..n0], the odd
+    // batch [n0+1..N] — sorted ids with their batch parity are exact
+    "q_txlog_identity" ->
+      """WITH e AS (SELECT count(*) AS n0 FROM orders WHERE o_orderkey % 2 = 0),
+        |     t AS (SELECT CAST(row_number() OVER () AS BIGINT) AS surrogate_id
+        |           FROM orders)
+        |SELECT surrogate_id,
+        |       CAST(CASE WHEN surrogate_id <= (SELECT n0 FROM e)
+        |                 THEN 0 ELSE 1 END AS BIGINT) AS era
+        |FROM t ORDER BY surrogate_id""".stripMargin,
     // a file-granular UPDATE ≡ a CASE-WHEN recompute over the source
     "q_txlog_update" ->
       """SELECT o_orderkey,

@@ -316,8 +316,14 @@ object TxLog {
     * A generation-2 writer would drop it, silently re-opening the door
     * to a replayed idempotent batch (duplicate rows) — so the first
     * [[appendTxn]] raises the table's `minWriter` to 3. Reads stay
-    * ungated: the map is writer bookkeeping, invisible to queries. */
-  val WriterVersion = 3
+    * ungated: the map is writer bookkeeping, invisible to queries.
+    *
+    * Generation 4 = IDENTITY columns ([[setColumnIdentity]]): every
+    * INSERT-shaped commit must FILL the column from the manifest's
+    * high-water mark and advance it. A generation-3 writer would
+    * append NULL ids (checkSchema admits missing declared columns) —
+    * so declaring identity raises the table's `minWriter` to 4. */
+  val WriterVersion = 4
 
   /** Refuse writes demanded-newer than this build (never gates reads). */
   private def requireWritable(m: Manifest, path: String): Unit =
@@ -1045,7 +1051,8 @@ object TxLog {
                            revalidate: Manifest => Unit = _ => (),
                            addDv: Seq[(String, Map[String, Long])] = Nil,
                            txn: Option[(String, Long)] = None,
-                           rebaseCheck: Option[(Manifest, Manifest) => Option[String]] = None): Long = {
+                           rebaseCheck: Option[(Manifest, Manifest) => Option[String]] = None,
+                           idClaims: Map[String, (Long, Long)] = Map.empty): Long = {
     requireWritable(base, path)
     val (newStats, newRows, newNulls) = collectStats(spark, path,
       physicalize(StructType.fromDDL(schemaDdl), base.colMap),
@@ -1068,6 +1075,19 @@ object TxLog {
         val txnMinWriter =
           if (resolvedTxns.isEmpty) attempt.minWriter
           else math.max(attempt.minWriter, 3)
+        // identity claims advance the high-water mark in the SAME
+        // commit as the data — the staged files' ids and the mark can
+        // never diverge (a crash between two commits cannot leak a
+        // range, because there is only one commit)
+        val resolvedConstraints =
+          if (idClaims.isEmpty) attempt.constraints
+          else attempt.constraints.map {
+            case (nm, e) if nm.startsWith(IdentityPrefix) &&
+                idClaims.contains(nm.stripPrefix(IdentityPrefix)) =>
+              val sep = e.indexOf(':')
+              nm -> s"${e.take(sep)}:${idClaims(nm.stripPrefix(IdentityPrefix))._2}"
+            case other => other
+          }
         // the commit file is a DELTA — O(files changed) bytes; the
         // race is still one atomic v<N+1>.json rename
         val ts = clampedTs(attempt)
@@ -1080,7 +1100,7 @@ object TxLog {
         // un-materialized deletes
         val dvKept = dvLiveFor(attempt.dv ++ addDv, keptSet)
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
-          schemaDdl, resolvedBatch, attempt.statsCols, attempt.constraints,
+          schemaDdl, resolvedBatch, attempt.statsCols, resolvedConstraints,
           attempt.uniques, operation, rewriteDirs, newFiles, newStats, newRows,
           newNulls, ts, txnMinWriter, resolvedTxns, removeFiles,
           attempt.colMap, dvKept, attempt.partitionSpec)
@@ -1094,7 +1114,7 @@ object TxLog {
           if (attempt.statsCols.isEmpty) Map.empty
           else attempt.fileStats.view.filterKeys(keptSet).toMap ++ newStats,
           attempt.fileRows.view.filterKeys(keptSet).toMap ++ newRows,
-          attempt.constraints, attempt.uniques, Some(ts), txnMinWriter,
+          resolvedConstraints, attempt.uniques, Some(ts), txnMinWriter,
           attempt.colMap, dvKept, attempt.partitionSpec, resolvedTxns,
           if (attempt.statsCols.isEmpty) Map.empty
           else attempt.fileNulls.view.filterKeys(keptSet).toMap ++ newNulls)
@@ -1113,13 +1133,35 @@ object TxLog {
                 s"(v${base.version} -> v${latest.version}) — recompute " +
                 "against the new snapshot")
           // rows were validated under base's constraint set — an
-          // interleaved ADD/DROP CONSTRAINT means they must re-validate
-          if (latest.constraints != base.constraints ||
+          // interleaved ADD/DROP CONSTRAINT means they must re-validate.
+          // Identity entries are excluded from the equality: their
+          // VALUE advances with every allocating commit (that is not a
+          // semantic change), but a definition change (added/dropped
+          // identity column) still conflicts like any other constraint
+          def nonIdentity(cs: Seq[(String, String)]) =
+            cs.filterNot(_._1.startsWith(IdentityPrefix))
+          if (nonIdentity(latest.constraints) != nonIdentity(base.constraints) ||
               latest.uniques != base.uniques)
             throw new CommitConflictException(
               s"TxLog: concurrent constraint change at $path " +
                 s"(v${base.version} -> v${latest.version}) — re-validate " +
                 "and recompute against the new snapshot")
+          if (identityColumns(latest).keySet != identityColumns(base).keySet)
+            throw new CommitConflictException(
+              s"TxLog: concurrent IDENTITY definition change at $path " +
+                s"(v${base.version} -> v${latest.version}) — recompute " +
+                "against the new snapshot")
+          // a concurrent commit ALLOCATED from the mark this commit's
+          // fill read: the staged ids may collide — re-fill from the
+          // new head (the append family catches this and retries)
+          idClaims.foreach { case (c, (expected, _)) =>
+            identityColumns(latest).get(c).foreach { case (_, cur) =>
+              if (cur != expected) throw new IdentityRaceException(
+                s"TxLog: identity mark for '$c' at $path moved " +
+                  s"$expected -> $cur under this commit — re-fill from " +
+                  s"v${latest.version}")
+            }
+          }
           rebaseCheck match {
             // FILE-granular read declaration (the MERGE family): the
             // checker knows exactly which files were read, which are
@@ -2144,6 +2186,30 @@ object TxLog {
   // ------------------------------------------------------------------
   private val DefaultPrefix = "__default__"
   private val GeneratedPrefix = "__generated__"
+  // IDENTITY columns ride the same channel: `__identity__<col>` holds
+  // `<step>:<next>` where `next` is the table's high-water mark — the
+  // next unallocated value. Unlike DEFAULT/GENERATED entries the value
+  // ADVANCES with every allocating commit ([[commitRebase]] rewrites it
+  // under the claims the filling verb passes), and a concurrent
+  // allocation is an OCC race the append family resolves by re-filling
+  // from the new head — two racing appends always land disjoint ranges.
+  private val IdentityPrefix = "__identity__"
+
+  /** Column → (step, next unallocated value). */
+  private[graft] def identityColumns(m: Manifest): Map[String, (Long, Long)] =
+    m.constraints.collect { case (n, e) if n.startsWith(IdentityPrefix) =>
+      val sep = e.indexOf(':')
+      n.stripPrefix(IdentityPrefix) ->
+        (e.take(sep).toLong, e.drop(sep + 1).toLong)
+    }.toMap
+
+  /** A commit's identity claims were computed against a watermark a
+    * concurrent commit has since advanced — the staged files carry ids
+    * another writer may also have allocated. The append family catches
+    * this and re-fills from the new head; rewrite verbs surface it as
+    * a [[CommitConflictException]] (recompute). */
+  private[graft] final class IdentityRaceException(msg: String)
+    extends RuntimeException(msg)
 
   /** Column → DEFAULT expression (SQL over literals/functions only). */
   private[graft] def columnDefaults(m: Manifest): Map[String, String] =
@@ -2182,6 +2248,43 @@ object TxLog {
       unknown).map(col).toIndexedSeq: _*)
   }
 
+  /** Allocate IDENTITY values for an INSERT-shaped batch: each
+    * identity column fills DENSELY from the manifest's high-water
+    * mark — row i takes `next + step*i` — and the returned claims
+    * (column → (expected mark, new mark)) ride the commit so
+    * [[commitRebase]] can detect a racing allocation. The assignment
+    * is distributed and shuffle-free: `zipWithIndex` is two narrow
+    * passes (a per-partition count job, then the indexed map), never a
+    * single-partition row_number. GENERATED ALWAYS: a provided column
+    * with any non-null value refuses loudly; an ALL-NULL provided
+    * column counts as omitted (the SQL door resolves an omitted
+    * identity column to NULL literals via its DEFAULT metadata). */
+  private def fillIdentityColumns(df: DataFrame, m: Manifest, op: String)
+      : (DataFrame, Map[String, (Long, Long)]) = {
+    val ids = identityColumns(m)
+    if (ids.isEmpty) return (df, Map.empty)
+    import org.apache.spark.sql.functions.col
+    val provided = ids.keySet.intersect(df.columns.toSet)
+    provided.foreach { c =>
+      require(df.filter(col(c).isNotNull).limit(1).collect().isEmpty,
+        s"TxLog.$op: column '$c' is GENERATED ALWAYS AS IDENTITY — " +
+          "explicit values are refused (the engine assigns them)")
+    }
+    val bare = df.drop(provided.toSeq: _*)
+    val n = bare.count()
+    val idCols = ids.keys.toSeq.sorted
+    val outSchema = StructType(bare.schema.fields ++ idCols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val filled = df.sparkSession.createDataFrame(
+      bare.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq ++ idCols.map(c => ids(c)._2 + ids(c)._1 * i))
+      }, outSchema)
+    (filled, ids.map { case (c, (step, next)) =>
+      c -> (next, next + step * n) })
+  }
+
   /** The binding form of each constraint entry: user CHECKs bind as
     * written; a GENERATED entry binds as the null-tolerant invariant
     * `c IS NULL OR c <=> (expr)` (rows written before the column
@@ -2191,6 +2294,7 @@ object TxLog {
       : Seq[(String, String)] =
     constraints.flatMap {
       case (n, _) if n.startsWith(DefaultPrefix) => None
+      case (n, _) if n.startsWith(IdentityPrefix) => None
       case (n, e) if n.startsWith(GeneratedPrefix) =>
         val c = n.stripPrefix(GeneratedPrefix)
         Some(n -> s"($c IS NULL) OR ($c <=> ($e))")
@@ -2261,7 +2365,8 @@ object TxLog {
                                                      Seq[(String, Seq[String])]),
                                 revalidate: Manifest => Unit,
                                 operation: String,
-                                maxRetries: Int = 10): Long = {
+                                maxRetries: Int = 10,
+                                minWriterFloor: Int = 0): Long = {
     var retries = 0
     while (true) {
       val v = currentVersion(spark, path).getOrElse(
@@ -2274,10 +2379,10 @@ object TxLog {
       // a future generation-1 build must refuse to append un-vetted
       // rows rather than silently admit violations (ADVICE r8, medium).
       // Never lowered — dropping the last constraint keeps the gate.
-      val nextMinWriter =
+      val nextMinWriter = math.max(minWriterFloor,
         if (nextChecks.nonEmpty || nextUniques.nonEmpty)
           math.max(attempt.minWriter, 2)
-        else attempt.minWriter
+        else attempt.minWriter)
       try {
         val ts = clampedTs(attempt)
         writeDelta(spark, path, attempt.version + 1, attempt.partitionCols,
@@ -2439,7 +2544,71 @@ object TxLog {
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     columnDefaults(m).toSeq.sorted.map { case (c, e) => (c, "default", e) } ++
-      generatedColumns(m).toSeq.sorted.map { case (c, e) => (c, "generated", e) }
+      generatedColumns(m).toSeq.sorted.map { case (c, e) => (c, "generated", e) } ++
+      identityColumns(m).toSeq.sortBy(_._1).map { case (c, (step, next)) =>
+        (c, "identity", s"step=$step next=$next") }
+  }
+
+  /** Declare `colName` GENERATED ALWAYS AS IDENTITY: from this version
+    * on the column is ENGINE-ASSIGNED — every INSERT-shaped commit
+    * ([[append]], [[appendBatch]], [[appendTxn]], [[mergeWhen]]'s
+    * INSERT clause) fills it densely from a per-table high-water mark
+    * carried in the manifest, and EXPLICIT values refuse loudly
+    * (Delta's GENERATED ALWAYS contract; an all-null provided column
+    * counts as omitted — the SQL door's filled-omission shape).
+    * Allocation is OCC-safe: the mark advances inside the same commit
+    * as the data, a racing allocation surfaces in the rebase loop, and
+    * the append family re-fills from the new head — two concurrent
+    * appends always land DISJOINT ranges (the reference's
+    * `study.id` surrogate-key shape, R/gwas_ddl.sql `study` table).
+    * On a non-empty table the mark ADOPTS existing values (max + step
+    * for a positive step) so future ids never collide. Declaring
+    * identity raises the writer gate to generation 4. Requires BIGINT;
+    * refuses layout columns (engine-assigned values must not choose
+    * directories), NULLs in existing rows, and columns already under a
+    * DEFAULT/GENERATED policy. */
+  def setColumnIdentity(spark: SparkSession, path: String, colName: String,
+                        start: Long = 1L, step: Long = 1L): Long = {
+    require(step != 0L, "TxLog.setColumnIdentity: step must be non-zero")
+    commitConstraints(spark, path,
+      update = { m =>
+        val declared = StructType.fromDDL(m.schemaDdl)
+        val f = declared.fields.find(_.name == colName).getOrElse(
+          throw new IllegalArgumentException(
+            s"TxLog.setColumnIdentity: no column '$colName' " +
+              s"(have ${declared.fieldNames.mkString(", ")})"))
+        require(f.dataType == org.apache.spark.sql.types.LongType,
+          s"TxLog.setColumnIdentity: '$colName' must be BIGINT, " +
+            s"is ${f.dataType.sql}")
+        val layout = if (m.partitionSpec.isEmpty) m.partitionCols
+                     else transformsOf(m).map(_.src)
+        require(!layout.contains(colName),
+          s"TxLog.setColumnIdentity: '$colName' is a layout column — " +
+            "engine-assigned values must not choose directories")
+        require(!m.constraints.exists(c =>
+            c._1 == DefaultPrefix + colName ||
+            c._1 == GeneratedPrefix + colName ||
+            c._1 == IdentityPrefix + colName),
+          s"TxLog.setColumnIdentity: '$colName' already carries a column policy")
+        val next =
+          if (m.files.isEmpty) start
+          else {
+            import org.apache.spark.sql.functions.{col, max, min}
+            val snap = read(spark, path, Some(m.version))
+            require(snap.filter(col(colName).isNull).limit(1).collect().isEmpty,
+              s"TxLog.setColumnIdentity: existing rows hold NULL " +
+                s"'$colName' — backfill first")
+            val agg = snap.agg(max(col(colName)), min(col(colName))).head()
+            if (agg.isNullAt(0)) start // files exist but hold zero rows
+            else if (step > 0) math.max(start, agg.getLong(0) + step)
+            else math.min(start, agg.getLong(1) + step)
+          }
+        (m.constraints :+ (IdentityPrefix + colName -> s"$step:$next"),
+          m.uniques)
+      },
+      operation = s"SET IDENTITY $colName",
+      revalidate = _ => (),
+      minWriterFloor = 4)
   }
 
   /** ALTER TABLE ... ADD CONSTRAINT name UNIQUE (cols) — the write-time
@@ -2703,9 +2872,11 @@ object TxLog {
       require(!declared.fieldNames.contains(newName),
         s"TxLog.renameColumn: column '$newName' already exists")
       require(!columnDefaults(attempt).contains(oldName) &&
-          !generatedColumns(attempt).contains(oldName),
-        s"TxLog.renameColumn: '$oldName' carries a DEFAULT/GENERATED " +
-          "policy — drop it first, rename, re-add against the new name")
+          !generatedColumns(attempt).contains(oldName) &&
+          !identityColumns(attempt).contains(oldName),
+        s"TxLog.renameColumn: '$oldName' carries a DEFAULT/GENERATED/" +
+          "IDENTITY policy — drop it first, rename, re-add against the " +
+          "new name")
       val word = ("\\b" + java.util.regex.Pattern.quote(oldName) + "\\b").r
       attempt.constraints.foreach { case (n, check) =>
         require(word.findFirstIn(check).isEmpty,
@@ -2895,7 +3066,8 @@ object TxLog {
       // the dropped column's OWN policy entries leave with it; other
       // columns' entries must not reference it
       val newConstraints = attempt.constraints.filterNot(c =>
-        c._1 == DefaultPrefix + name || c._1 == GeneratedPrefix + name)
+        c._1 == DefaultPrefix + name || c._1 == GeneratedPrefix + name ||
+        c._1 == IdentityPrefix + name)
       newConstraints.foreach { case (n, check) =>
         require(word.findFirstIn(check).isEmpty,
           s"TxLog.dropColumn: CHECK constraint '$n' ($check) references " +
@@ -3178,7 +3350,31 @@ object TxLog {
     * (additive-only — see [[widen]]): new columns append at the end,
     * historical files read as null for them, and a version-pinned read
     * of an older manifest still returns that version's own schema. */
-  def append(df0: DataFrame, path: String, evolveSchema: Boolean = false): Long = {
+  def append(df0: DataFrame, path: String, evolveSchema: Boolean = false): Long =
+    retryIdentityRace("append")(appendOnce(df0, path, evolveSchema))
+
+  /** Re-run an INSERT-shaped verb when its identity allocation lost an
+    * OCC race ([[IdentityRaceException]]): the re-run re-reads the head
+    * and re-fills from the ADVANCED mark, so two racing appends always
+    * land disjoint ranges — neither fails, neither double-allocates.
+    * Bounded like [[commitRebase]]'s own retry loop. */
+  private def retryIdentityRace[T](op: String)(body: => T): T = {
+    var tries = 0
+    while (true) {
+      try return body
+      catch {
+        case e: IdentityRaceException =>
+          tries += 1
+          if (tries > 20) throw new CommitConflictException(
+            s"TxLog.$op: identity allocation lost $tries consecutive " +
+              s"races — ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def appendOnce(df0: DataFrame, path: String,
+                         evolveSchema: Boolean): Long = {
     val spark = df0.sparkSession
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
@@ -3186,8 +3382,11 @@ object TxLog {
     requireWritable(m, path)
     val declared = StructType.fromDDL(m.schemaDdl)
     // omitted DEFAULT/GENERATED columns fill BEFORE the schema gate
-    val df = fillPolicyColumns(df0, m, declared)
-    checkSchema(declared, df.schema, evolveSchema)
+    val df1 = fillPolicyColumns(df0, m, declared)
+    checkSchema(declared, df1.schema, evolveSchema)
+    // IDENTITY columns allocate AFTER the gate (they are engine-
+    // assigned, never incoming); the claims ride the commit
+    val (df, idClaims) = fillIdentityColumns(df1, m, "append")
     // an evolution-added column's physical name IS its logical name —
     // it must not collide with the physical slot of a renamed column
     // (two columns would read from one physical name)
@@ -3220,7 +3419,8 @@ object TxLog {
     commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
       schemaDdl = ddl, batchId = None, readSet = Some(Set.empty),
       operation = "APPEND",
-      revalidate = uniqueRebaseProbe(df, spark, path, m, "append"))
+      revalidate = uniqueRebaseProbe(df, spark, path, m, "append"),
+      idClaims = idClaims)
   }
 
   /** The rebase-revalidation closure shared by the INSERT-shaped
@@ -3251,25 +3451,31 @@ object TxLog {
     * `checkpointLocation`, or a restarted query re-numbering from 0
     * would be silently skipped. Returns the (possibly unchanged)
     * current version. */
-  def appendBatch(df0: DataFrame, path: String, batchId: Long): Long = {
-    val spark = df0.sparkSession
-    val v = currentVersion(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"TxLog: no table at $path"))
-    val m = manifest(spark, path, v)
-    if (m.sourceBatchId.exists(_ >= batchId)) return v // replay: already committed
-    requireWritable(m, path)
-    val df = fillPolicyColumns(df0, m, StructType.fromDDL(m.schemaDdl))
-    checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
-    enforceConstraints(df, m.constraints, s"appendBatch(batch $batchId)")
-    enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl), m.files,
-      m, s"appendBatch(batch $batchId)")
-    val files = stageIn(toPhysical(df, m.colMap), path, physPartCols(m), transformsOf(m))
-    commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
-      schemaDdl = m.schemaDdl, batchId = Some(batchId),
-      readSet = Some(Set.empty), operation = "STREAMING APPEND",
-      revalidate = uniqueRebaseProbe(df, spark, path, m,
-        s"appendBatch(batch $batchId)"))
-  }
+  def appendBatch(df0: DataFrame, path: String, batchId: Long): Long =
+    retryIdentityRace("appendBatch") {
+      val spark = df0.sparkSession
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"TxLog: no table at $path"))
+      val m = manifest(spark, path, v)
+      if (m.sourceBatchId.exists(_ >= batchId)) v // replay: already committed
+      else {
+        requireWritable(m, path)
+        val df1 = fillPolicyColumns(df0, m, StructType.fromDDL(m.schemaDdl))
+        checkSchema(StructType.fromDDL(m.schemaDdl), df1.schema, evolveSchema = false)
+        val (df, idClaims) =
+          fillIdentityColumns(df1, m, s"appendBatch(batch $batchId)")
+        enforceConstraints(df, m.constraints, s"appendBatch(batch $batchId)")
+        enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl), m.files,
+          m, s"appendBatch(batch $batchId)")
+        val files = stageIn(toPhysical(df, m.colMap), path, physPartCols(m), transformsOf(m))
+        commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
+          schemaDdl = m.schemaDdl, batchId = Some(batchId),
+          readSet = Some(Set.empty), operation = "STREAMING APPEND",
+          revalidate = uniqueRebaseProbe(df, spark, path, m,
+            s"appendBatch(batch $batchId)"),
+          idClaims = idClaims)
+      }
+    }
 
   /** The per-app idempotency watermark: the highest [[appendTxn]]
     * version committed under `appId`, None if the app never wrote.
@@ -3299,28 +3505,34 @@ object TxLog {
     * commit, silently re-opening the replay door. Returns the
     * (possibly unchanged) current version. */
   def appendTxn(df0: DataFrame, path: String, appId: String,
-                txnVersion: Long): Long = {
-    require(appId.nonEmpty, "TxLog.appendTxn: empty appId")
-    val spark = df0.sparkSession
-    val v = currentVersion(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"TxLog: no table at $path"))
-    val m = manifest(spark, path, v)
-    if (m.txns.get(appId).exists(_ >= txnVersion)) return v // replay
-    requireWritable(m, path)
-    val df = fillPolicyColumns(df0, m, StructType.fromDDL(m.schemaDdl))
-    checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
-    enforceConstraints(df, m.constraints, s"appendTxn($appId @ $txnVersion)")
-    enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl), m.files,
-      m, s"appendTxn($appId @ $txnVersion)")
-    val files = stageIn(toPhysical(df, m.colMap), path, physPartCols(m), transformsOf(m))
-    commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
-      schemaDdl = m.schemaDdl, batchId = None,
-      readSet = Some(Set.empty),
-      operation = s"APPEND TXN $appId @ $txnVersion",
-      revalidate = uniqueRebaseProbe(df, spark, path, m,
-        s"appendTxn($appId @ $txnVersion)"),
-      txn = Some(appId -> txnVersion))
-  }
+                txnVersion: Long): Long =
+    retryIdentityRace("appendTxn") {
+      require(appId.nonEmpty, "TxLog.appendTxn: empty appId")
+      val spark = df0.sparkSession
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"TxLog: no table at $path"))
+      val m = manifest(spark, path, v)
+      if (m.txns.get(appId).exists(_ >= txnVersion)) v // replay
+      else {
+        requireWritable(m, path)
+        val df1 = fillPolicyColumns(df0, m, StructType.fromDDL(m.schemaDdl))
+        checkSchema(StructType.fromDDL(m.schemaDdl), df1.schema, evolveSchema = false)
+        val (df, idClaims) =
+          fillIdentityColumns(df1, m, s"appendTxn($appId @ $txnVersion)")
+        enforceConstraints(df, m.constraints, s"appendTxn($appId @ $txnVersion)")
+        enforceUniques(df, spark, path, StructType.fromDDL(m.schemaDdl), m.files,
+          m, s"appendTxn($appId @ $txnVersion)")
+        val files = stageIn(toPhysical(df, m.colMap), path, physPartCols(m), transformsOf(m))
+        commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = files,
+          schemaDdl = m.schemaDdl, batchId = None,
+          readSet = Some(Set.empty),
+          operation = s"APPEND TXN $appId @ $txnVersion",
+          revalidate = uniqueRebaseProbe(df, spark, path, m,
+            s"appendTxn($appId @ $txnVersion)"),
+          txn = Some(appId -> txnVersion),
+          idClaims = idClaims)
+      }
+    }
 
   /** Streaming ingest into a TxLog table (create it first): every
     * micro-batch commits as one append version via [[appendBatch]], so
@@ -3497,6 +3709,11 @@ object TxLog {
     val pcs = m.partitionCols
     require(pcs.nonEmpty,
       "TxLog.mergeInto needs a partitioned table (create with partitionCol[s])")
+    require(identityColumns(m).isEmpty,
+      s"TxLog.mergeInto: table has IDENTITY column(s) " +
+        s"${identityColumns(m).keys.mkString(", ")} — updates carry whole " +
+        "rows, which would write explicit identity values; use mergeWhen " +
+        "(its INSERT * allocates them)")
     val declared = StructType.fromDDL(m.schemaDdl)
     checkSchema(declared, updates.schema, evolveSchema)
     // evolution: updates must carry every declared column (a merged row
@@ -3714,7 +3931,21 @@ object TxLog {
                 notMatchedBySource: Seq[MergeClause] = Nil,
                 deletionVectors: Boolean = false,
                 txn: Option[(String, Long)] = None,
-                evolveSchema: Boolean = false): Long = {
+                evolveSchema: Boolean = false): Long =
+    // identity allocation races re-run the whole merge from the new
+    // head — the body derives everything from a fresh manifest read,
+    // so a re-run is a recompute, never a double-apply
+    retryIdentityRace("mergeWhen")(mergeWhenOnce(path, source, keys,
+      matched, notMatched, notMatchedBySource, deletionVectors, txn,
+      evolveSchema))
+
+  private def mergeWhenOnce(path: String, source: DataFrame, keys: Seq[String],
+                            matched: Seq[MergeClause],
+                            notMatched: Seq[MergeClause],
+                            notMatchedBySource: Seq[MergeClause],
+                            deletionVectors: Boolean,
+                            txn: Option[(String, Long)],
+                            evolveSchema: Boolean): Long = {
     import org.apache.spark.sql.functions.{col, expr, lit, max, min, struct, when}
     val spark = source.sparkSession
     require(keys.nonEmpty, "TxLog.mergeWhen: empty key set")
@@ -3765,12 +3996,20 @@ object TxLog {
     keys.foreach(k => require(declared.fieldNames.contains(k) &&
       source.columns.contains(k),
       s"TxLog.mergeWhen: key '$k' must exist on both sides"))
+    // IDENTITY columns are engine-assigned end to end: the source may
+    // not carry them (GENERATED ALWAYS), SET may not assign them (the
+    // gate below), and INSERT * fills them from the high-water mark
+    identityColumns(m).keySet.foreach(c =>
+      require(!source.columns.contains(c),
+        s"TxLog.mergeWhen: column '$c' is GENERATED ALWAYS AS IDENTITY " +
+          "— the source may not carry it (merge on a natural key)"))
     if (notMatched.nonEmpty) {
-      val policyCols = columnDefaults(m).keySet ++ generatedColumns(m).keySet
+      val policyCols = columnDefaults(m).keySet ++
+        generatedColumns(m).keySet ++ identityColumns(m).keySet
       widened.fields.foreach(f => require(
         source.columns.contains(f.name) || policyCols.contains(f.name),
         s"TxLog.mergeWhen: INSERT * needs source column '${f.name}' " +
-          "(only DEFAULT/GENERATED columns may be omitted)"))
+          "(only DEFAULT/GENERATED/IDENTITY columns may be omitted)"))
     }
     // assigning a layout column would silently leave the row in its
     // old directory — refuse, as updateWhere's relocation contract
@@ -3782,6 +4021,8 @@ object TxLog {
         s"TxLog.mergeWhen: SET names unknown column '$c'")
       require(!layoutCols.contains(c),
         s"TxLog.mergeWhen: SET may not assign layout column '$c'")
+      require(!identityColumns(m).contains(c),
+        s"TxLog.mergeWhen: SET may not assign IDENTITY column '$c'")
     }
     // ambiguous-winner guard: one source row per key
     val dup = graft.operators.Upsert.pkViolations(source, keys)
@@ -3854,20 +4095,27 @@ object TxLog {
     // the insert decision anti-joins the DISCOVERY scan, not the
     // rewrite scope: an insert-only merge rewrites nothing, but a
     // source row whose key exists in the table must still not insert
-    val inserts: Option[DataFrame] = notMatched.headOption.map { c =>
-      val existingKeys = readFiles(spark, path, declared, discoveryFiles,
-          m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
-        .select(keys.map(col): _*).distinct()
-      val landed = source
-        .withColumn("src", struct(source.columns.map(col): _*))
-        .join(existingKeys, keys.toSeq, "left_anti")
-        .filter(clauseCond(c))
-        .select(source.columns.map(col).toIndexedSeq: _*)
-      // INSERT * is insert-shaped: omitted DEFAULT columns fill and
-      // omitted GENERATED columns compute, same as the append family
-      fillPolicyColumns(landed, m, widened)
-        .select(widened.fieldNames.map(col).toSeq: _*)
-    }
+    val insertsAndClaims: Option[(DataFrame, Map[String, (Long, Long)])] =
+      notMatched.headOption.map { c =>
+        val existingKeys = readFiles(spark, path, declared, discoveryFiles,
+            m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
+          .select(keys.map(col): _*).distinct()
+        val landed = source
+          .withColumn("src", struct(source.columns.map(col): _*))
+          .join(existingKeys, keys.toSeq, "left_anti")
+          .filter(clauseCond(c))
+          .select(source.columns.map(col).toIndexedSeq: _*)
+        // INSERT * is insert-shaped: omitted DEFAULT columns fill,
+        // omitted GENERATED columns compute, and omitted IDENTITY
+        // columns allocate — same as the append family; the claims
+        // ride this merge's commit
+        val (filled, claims) = fillIdentityColumns(
+          fillPolicyColumns(landed, m, widened), m, "mergeWhen")
+        (filled.select(widened.fieldNames.map(col).toSeq: _*), claims)
+      }
+    val inserts: Option[DataFrame] = insertsAndClaims.map(_._1)
+    val idClaims: Map[String, (Long, Long)] =
+      insertsAndClaims.map(_._2).getOrElse(Map.empty)
     val partNullCols =
       if (m.partitionSpec.isEmpty) m.partitionCols
       else transformsOf(m).map(_.src)
@@ -3944,7 +4192,7 @@ object TxLog {
           newFiles = staged, schemaDdl = widened.toDDL, batchId = None,
           readSet = None, operation = "MERGE WHEN (DV)", addDv = addDv,
           txn = txn, rebaseCheck = Some(whenRebaseCheck(scanFiles.toSet,
-            addDv.flatMap(_._2.keys).toSet)))
+            addDv.flatMap(_._2.keys).toSet)), idClaims = idClaims)
       } finally fsx.delete(tmp, true)
     }
     val hitFiles: Set[String] =
@@ -3978,7 +4226,8 @@ object TxLog {
       newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
       readSet = None, operation = "MERGE WHEN", removeFiles = scopeFiles,
       txn = txn, rebaseCheck = Some(whenRebaseCheck(
-        discoveryFiles.toSet ++ scopeFiles, scopeFiles)))
+        discoveryFiles.toSet ++ scopeFiles, scopeFiles)),
+      idClaims = idClaims)
   }
 
   /** Up to `limit` distinct values of `colName` in `df`, or Nil when
@@ -4042,6 +4291,10 @@ object TxLog {
       "TxLog.replacePartitions: this table uses HIDDEN partitioning " +
         s"(${m.partitionSpec.mkString(", ")}) — partitions have no " +
         "user-facing names; use deleteWhere + append, or mergeInto")
+    require(identityColumns(m).isEmpty,
+      s"TxLog.replacePartitions: table has IDENTITY column(s) " +
+        s"${identityColumns(m).keys.mkString(", ")} — a replace carries " +
+        "explicit identity values; delete + append instead")
     checkSchema(StructType.fromDDL(m.schemaDdl), df.schema, evolveSchema = false)
     enforceConstraints(df, m.constraints, "replacePartitions")
     // multi-column layouts name partitions as Seq/tuple values in
@@ -4230,6 +4483,9 @@ object TxLog {
     set.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c),
         s"TxLog.updateWhere: no column '$c' in ${m.schemaDdl}")
+      require(!identityColumns(m).contains(c),
+        s"TxLog.updateWhere: '$c' is GENERATED ALWAYS AS IDENTITY — " +
+          "explicit values are refused (the engine assigns them)")
       m.uniques.foreach { case (n, cols) =>
         require(!cols.contains(c),
           s"TxLog.updateWhere: '$c' is part of UNIQUE constraint '$n' — " +

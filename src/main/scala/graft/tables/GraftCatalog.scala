@@ -77,7 +77,9 @@ class GraftCatalog extends TableCatalog
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def spark: SparkSession = SparkSession.active
   private def warehouse: String =
@@ -128,6 +130,46 @@ class GraftCatalog extends TableCatalog
       Some(TxLog.versionAt(spark, path, timestamp / 1000L)))
   }
 
+  /** The Column[]-based door Spark actually calls for CREATE TABLE:
+    * identity specs live ONLY on the V2 `Column` (the StructType
+    * conversion Spark would apply for the deprecated overload DROPS
+    * them), so this override extracts them before delegating — a
+    * `GENERATED ALWAYS AS IDENTITY` column becomes the engine's
+    * identity policy ([[TxLog.setColumnIdentity]]) in the same create.
+    * Column DEFAULTs re-encode as the CURRENT_DEFAULT metadata the
+    * schema-based path already adopts. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val identities = columns.toSeq.flatMap { c =>
+      Option(c.identityColumnSpec()).map { s =>
+        if (s.isAllowExplicitInsert) throw new UnsupportedOperationException(
+          s"$catName.${ident.name}.${c.name}: GENERATED BY DEFAULT AS " +
+            "IDENTITY is not supported — use GENERATED ALWAYS AS IDENTITY")
+        require(c.dataType == org.apache.spark.sql.types.LongType,
+          s"$catName.${ident.name}.${c.name}: IDENTITY requires BIGINT, " +
+            s"got ${c.dataType.sql}")
+        (c.name, s.getStart, s.getStep)
+      }
+    }
+    val schema = StructType(columns.map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.defaultValue()).foreach(dv =>
+        mb.putString("CURRENT_DEFAULT", dv.getSql))
+      org.apache.spark.sql.types.StructField(
+        c.name, c.dataType, c.nullable, mb.build())
+    })
+    val t = createTable(ident, schema, partitions, properties)
+    if (identities.isEmpty) t
+    else {
+      val path = entries(ident.name)
+      identities.foreach { case (c, start, step) =>
+        TxLog.setColumnIdentity(spark, path, c, start, step) }
+      loadTable(ident)
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -142,6 +184,9 @@ class GraftCatalog extends TableCatalog
     TxLog.create(empty, path, partitionCols = explicit,
       hiddenPartitions = hidden)
     defaults.foreach { case (c, e) => TxLog.setColumnDefault(spark, path, c, e) }
+    GraftCatalog.identitiesOf(s"$catName.${ident.name}", schema)
+      .foreach { case (c, start, step) =>
+        TxLog.setColumnIdentity(spark, path, c, start, step) }
     Catalog.mutateAt(spark, warehouse, _ + (ident.name -> path))
     GraftTable(ident.name, path, None)
   }
@@ -301,13 +346,34 @@ object GraftCatalog {
       s"$name: identity partition columns and hidden transforms are " +
         "mutually exclusive (a hidden layout derives its dirs)")
     val defaults = schema.fields.toSeq.flatMap(f =>
-      if (f.metadata.contains("CURRENT_DEFAULT"))
+      if (f.metadata.contains("CURRENT_DEFAULT") &&
+          !f.metadata.contains("identity.start"))
         Some(f.name -> f.metadata.getString("CURRENT_DEFAULT"))
       else None)
     val bare = StructType(schema.fields.map(f =>
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
     (explicit, hidden, defaults, bare)
   }
+
+  /** `GENERATED ALWAYS AS IDENTITY` columns in a CREATE TABLE schema:
+    * (column, start, step). Spark hands the spec as the field-metadata
+    * keys `identity.start/step/allowExplicitInsert`; GENERATED BY
+    * DEFAULT (explicit inserts allowed) refuses loudly — the engine
+    * implements the ALWAYS contract only. */
+  private[tables] def identitiesOf(name: String, schema: StructType)
+      : Seq[(String, Long, Long)] =
+    schema.fields.toSeq.flatMap { f =>
+      if (!f.metadata.contains("identity.start")) None
+      else {
+        if (f.metadata.contains("identity.allowExplicitInsert") &&
+            f.metadata.getBoolean("identity.allowExplicitInsert"))
+          throw new UnsupportedOperationException(
+            s"$name.${f.name}: GENERATED BY DEFAULT AS IDENTITY is not " +
+              "supported — use GENERATED ALWAYS AS IDENTITY")
+        Some((f.name, f.metadata.getLong("identity.start"),
+          f.metadata.getLong("identity.step")))
+      }
+    }
 
   /** V2 transform → graft layout: identity → explicit partition
     * column (Left), everything else → a hidden-partition spec string
@@ -372,11 +438,21 @@ case class GraftTable(tableName: String, path: String,
   override def schema(): StructType = {
     val m = manifest
     val defs = TxLog.columnDefaults(m)
+    val ids = TxLog.identityColumns(m)
     StructType(StructType.fromDDL(m.schemaDdl).fields.map { f =>
-      defs.get(f.name).fold(f)(e => f.copy(metadata =
+      // IDENTITY columns surface their spec (DESCRIBE/SHOW CREATE
+      // fidelity); an INSERT that OMITS the column resolves through
+      // Spark's identity handling and lands NULLs the engine's fill
+      // treats as omitted — explicit non-null values refuse in the verb
+      ids.get(f.name).map { case (step, next) => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("identity.start", next)
+          .putLong("identity.step", step)
+          .putBoolean("identity.allowExplicitInsert", false).build())
+      }.orElse(defs.get(f.name).map(e => f.copy(metadata =
         new org.apache.spark.sql.types.MetadataBuilder()
           .putString("CURRENT_DEFAULT", e)
-          .putString("EXISTS_DEFAULT", "NULL").build()))
+          .putString("EXISTS_DEFAULT", "NULL").build()))).getOrElse(f)
     })
   }
   /** AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's own

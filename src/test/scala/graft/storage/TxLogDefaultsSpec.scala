@@ -195,4 +195,138 @@ class TxLogDefaultsSpec extends SparkSpec {
     assert(TxLog.read(spark, path).filter(col("k") === 3L)
       .select("tag").as[String].head() == "auto")
   }
+
+  // ---- GENERATED ALWAYS AS IDENTITY ----
+
+  private def emptyIdTable(path: String): Unit = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING")
+    TxLog.create(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), path)
+    TxLog.setColumnIdentity(spark, path, "id")
+  }
+
+  test("IDENTITY: appends allocate dense disjoint ranges; explicit writes refuse") {
+    val path = freshPath("idbasic")
+    emptyIdTable(path)
+    TxLog.append(Seq("a", "b", "c").toDF("v"), path)
+    TxLog.append(Seq("d", "e").toDF("v"), path)
+    val out = TxLog.read(spark, path).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L), s"got $out")
+    assert(out.map(_._2).sorted == Seq("a", "b", "c", "d", "e"))
+    // first batch takes [1,3], second [4,5] — ranges never interleave
+    assert(out.take(3).map(_._2).toSet == Set("a", "b", "c"))
+    // explicit values refuse (GENERATED ALWAYS)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.append(Seq((99L, "z")).toDF("id", "v"), path)
+    }
+    assert(e.getMessage.contains("IDENTITY"), e.getMessage)
+    // an all-null provided column counts as omitted (the SQL door)
+    TxLog.append(Seq(("f", null.asInstanceOf[java.lang.Long])).toDF("v", "id")
+      .select(col("id").cast("bigint").as("id"), col("v")), path)
+    assert(TxLog.read(spark, path).filter(col("v") === "f")
+      .select("id").as[Long].head() == 6L)
+    assert(TxLog.columnPolicies(spark, path) ==
+      Seq(("id", "identity", "step=1 next=7")))
+  }
+
+  test("IDENTITY: start/step honored; adoption on a non-empty table") {
+    val path = freshPath("idstep")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING")
+    TxLog.create(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), path)
+    TxLog.setColumnIdentity(spark, path, "id", start = 100L, step = 10L)
+    TxLog.append(Seq("a", "b").toDF("v"), path)
+    assert(TxLog.read(spark, path).select("id").as[Long].collect().sorted
+      .toSeq == Seq(100L, 110L))
+    // adoption: existing ids keep, the mark starts above their max
+    val path2 = freshPath("idadopt")
+    TxLog.create(Seq((7L, "x"), (9L, "y")).toDF("id", "v"), path2)
+    TxLog.setColumnIdentity(spark, path2, "id")
+    TxLog.append(Seq("z").toDF("v"), path2)
+    assert(TxLog.read(spark, path2).select("id").as[Long].collect().sorted
+      .toSeq == Seq(7L, 9L, 10L))
+    // NULLs in existing rows refuse adoption
+    val path3 = freshPath("idnull")
+    TxLog.create(Seq((Some(1L), "x"), (None, "y")).toDF("id", "v"), path3)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.setColumnIdentity(spark, path3, "id")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
+  test("IDENTITY: concurrent appends allocate disjoint ranges (OCC re-fill)") {
+    val path = freshPath("idrace")
+    emptyIdTable(path)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val writers = (1 to 4).map { w =>
+      Future {
+        TxLog.append(Seq(s"w$w-1", s"w$w-2", s"w$w-3").toDF("v"), path)
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val ids = TxLog.read(spark, path).select("id").as[Long].collect().toSeq
+    assert(ids.size == 12, s"lost rows: $ids")
+    assert(ids.distinct.size == 12, s"duplicate ids under race: $ids")
+    // dense overall: every race re-fills from the advanced mark
+    assert(ids.sorted == (1L to 12L), s"non-dense allocation: ${ids.sorted}")
+  }
+
+  test("IDENTITY: rewrite verbs respect GENERATED ALWAYS") {
+    val path = freshPath("idverbs")
+    emptyIdTable(path)
+    TxLog.append(Seq("a", "b").toDF("v"), path)
+    // UPDATE SET on the identity column refuses
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, path, Seq("id" -> "99"), col("v") === "a")
+    }
+    assert(e1.getMessage.contains("IDENTITY"))
+    // mergeWhen: source may not carry the column; INSERT * allocates
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.mergeWhen(path, Seq((5L, "c")).toDF("id", "v"), Seq("v"),
+        notMatched = Seq(TxLog.MergeClause(None, "insert")))
+    }
+    assert(e2.getMessage.contains("IDENTITY"))
+    TxLog.mergeWhen(path, Seq("a", "c").toDF("v"), Seq("v"),
+      matched = Seq(TxLog.MergeClause(None, "update", Seq("v" -> "src.v"))),
+      notMatched = Seq(TxLog.MergeClause(None, "insert")))
+    val out = TxLog.read(spark, path).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L), s"got $out")
+    assert(out.map(_._2).toSet == Set("a", "b", "c"))
+    // deleted ids are never re-issued: the mark only advances
+    TxLog.deleteWhere(spark, path, col("v") === "c")
+    TxLog.append(Seq("d").toDF("v"), path)
+    assert(TxLog.read(spark, path).filter(col("v") === "d")
+      .select("id").as[Long].head() == 4L)
+  }
+
+  test("IDENTITY through plain SQL: CREATE ... GENERATED ALWAYS AS IDENTITY") {
+    val w = java.nio.file.Files.createTempDirectory("graft_idsql").toString
+    val prev = spark.conf.getOption("graft.catalog.warehouse")
+    spark.conf.set("graft.catalog.warehouse", w)
+    try {
+      spark.sql("CREATE TABLE graft.idt (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
+      spark.sql("INSERT INTO graft.idt (v) VALUES ('a'), ('b')")
+      spark.sql("INSERT INTO graft.idt (v) VALUES ('c')")
+      val out = spark.sql("SELECT id, v FROM graft.idt ORDER BY id")
+        .as[(Long, String)].collect().toSeq
+      assert(out.map(_._1) == Seq(1L, 2L, 3L), s"got $out")
+      // GENERATED BY DEFAULT refuses loudly
+      val e = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.idt2 (" +
+          "id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING)")
+      }
+      assert(e.getMessage.contains("GENERATED ALWAYS"), e.getMessage)
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.catalog.warehouse", v)
+      case None => spark.conf.unset("graft.catalog.warehouse")
+    }
+  }
 }
