@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the V2-catalog bridge: graft.* reads lower onto the V1 mount,
     // DELETE/UPDATE/MERGE lower onto the transactional verbs
     e.injectPostHocResolutionRule(session => graft.tables.GraftAnalysis(session))
+    // persistent views: must run BEFORE the Resolution batch, where
+    // ResolveSessionCatalog refuses views for every non-session
+    // catalog — the Hints batch is the injection point that precedes it
+    e.injectHintResolutionRule(session => graft.tables.GraftViewRules(session))
   }
 }
 

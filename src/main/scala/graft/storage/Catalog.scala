@@ -112,11 +112,21 @@ object Catalog {
     path
   }
 
+  /** Registry rows whose value is a TABLE path (VIEW rows carry the
+    * `view:` tag and belong to the V2 catalog's ViewCatalog face). */
+  private def tableRows(all: Map[String, String]): Map[String, String] =
+    all.filterNot(_._2.startsWith("view:"))
+
   /** Name → table path; loud on unknown names, listing what exists. */
   def resolve(spark: SparkSession, name: String): String = {
     val all = readAll(spark, warehouse(spark))
-    all.getOrElse(name, throw new IllegalArgumentException(
-      s"Catalog: no table '$name' — known: ${all.keys.toSeq.sorted.mkString(", ")}"))
+    if (all.get(name).exists(_.startsWith("view:")))
+      throw new IllegalArgumentException(
+        s"Catalog: '$name' is a VIEW — query it through SQL " +
+          s"(SELECT ... FROM graft.$name); the verbs take table names")
+    tableRows(all).getOrElse(name, throw new IllegalArgumentException(
+      s"Catalog: no table '$name' — known: " +
+        tableRows(all).keys.toSeq.sorted.mkString(", ")))
   }
 
   /** Drop the NAME (the table dir is untouched — vacuum/delete it
@@ -135,7 +145,7 @@ object Catalog {
     * metadata-only row count. */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    readAll(spark, warehouse(spark)).toSeq.sortBy(_._1).map { case (n, p) =>
+    tableRows(readAll(spark, warehouse(spark))).toSeq.sortBy(_._1).map { case (n, p) =>
       val v = TxLog.currentVersion(spark, p)
       val m = v.map(TxLog.manifest(spark, p, _))
       (n, p, v.getOrElse(-1L), m.map(_.files.size.toLong).getOrElse(0L),
@@ -149,7 +159,7 @@ object Catalog {
     * taken by a different definition refuse loudly rather than
     * shadowing. */
   def attach(spark: SparkSession): Unit =
-    readAll(spark, warehouse(spark)).toSeq.sortBy(_._1).foreach {
+    tableRows(readAll(spark, warehouse(spark))).toSeq.sortBy(_._1).foreach {
       case (n, p) =>
         if (!spark.catalog.tableExists(n))
           spark.sql(s"CREATE TABLE $n USING `graft-txlog` " +

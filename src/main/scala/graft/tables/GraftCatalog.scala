@@ -54,7 +54,8 @@ import graft.storage.{Catalog, TxLog}
   * names are one namespace. */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
@@ -87,7 +88,21 @@ class GraftCatalog extends TableCatalog
       .getOrElse(throw new IllegalStateException(
         s"catalog $catName: set spark.sql.catalog.$catName.warehouse (or " +
           "graft.catalog.warehouse) to the lake directory"))
-  private def entries: Map[String, String] = Catalog.entriesAt(spark, warehouse)
+  /** TABLE rows of the registry (VIEW rows carry the `view:` value
+    * tag and live in [[viewEntries]] — one file, one namespace). */
+  private def entries: Map[String, String] =
+    Catalog.entriesAt(spark, warehouse)
+      .filterNot(_._2.startsWith(GraftCatalog.ViewTag))
+
+  /** Any registry row — table or view — owns the name. */
+  private def nameTaken(n: String): Boolean =
+    Catalog.entriesAt(spark, warehouse).contains(n)
+
+  /** VIEW rows: name → the JSON payload [[GraftView]] decodes. */
+  private def viewEntries: Map[String, String] =
+    Catalog.entriesAt(spark, warehouse)
+      .collect { case (n, v) if v.startsWith(GraftCatalog.ViewTag) =>
+        n -> v.stripPrefix(GraftCatalog.ViewTag) }
 
   /** Tables live in the catalog root; `graft.t` and `graft.default.t`
     * both resolve (some tools always qualify with a namespace). */
@@ -174,7 +189,7 @@ class GraftCatalog extends TableCatalog
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     checkNs(ident.namespace)
-    if (entries.contains(ident.name)) throw new TableAlreadyExistsException(ident)
+    if (nameTaken(ident.name)) throw new TableAlreadyExistsException(ident)
     val path = Option(properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(new Path(warehouse, ident.name).toString)
     val (explicit, hidden, defaults, bare) =
@@ -204,7 +219,7 @@ class GraftCatalog extends TableCatalog
                            properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     checkNs(ident.namespace)
-    if (entries.contains(ident.name)) throw new TableAlreadyExistsException(ident)
+    if (nameTaken(ident.name)) throw new TableAlreadyExistsException(ident)
     staged(ident, schema, partitions, properties, replacing = false)
   }
 
@@ -221,9 +236,17 @@ class GraftCatalog extends TableCatalog
                                     properties: util.Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     checkNs(ident.namespace)
+    requireNotView(ident)
     staged(ident, schema, partitions, properties,
       replacing = entries.contains(ident.name))
   }
+
+  /** A CTAS/RTAS must never silently overwrite a VIEW's registry row. */
+  private def requireNotView(ident: Identifier): Unit =
+    if (viewEntries.contains(ident.name))
+      throw new IllegalArgumentException(
+        s"$catName.${ident.name} is a VIEW — DROP VIEW it first, or " +
+          "CREATE OR REPLACE VIEW to redefine it")
 
   private def staged(ident: Identifier, schema: StructType,
                      partitions: Array[Transform],
@@ -326,12 +349,94 @@ class GraftCatalog extends TableCatalog
   override def renameTable(old: Identifier, to: Identifier): Unit = {
     val path = pathOf(old)
     checkNs(to.namespace)
-    if (entries.contains(to.name)) throw new TableAlreadyExistsException(to)
+    if (nameTaken(to.name)) throw new TableAlreadyExistsException(to)
     Catalog.mutateAt(spark, warehouse, m => m - old.name + (to.name -> path))
   }
+
+  // ---- persistent views (ViewCatalog): CREATE VIEW graft.v AS ... —
+  // the reference's own `CREATE VIEW` shape
+  // (R/postgres_process.Rmd:137, `ukbb_gwas_results_export`). The SQL
+  // text persists in the SAME registry file as table names under a
+  // `view:` value tag, so a fresh session resolves the view, and the
+  // body re-analyzes against the CURRENT head of its tables — reads
+  // through a view plan onto the V1 mount with full pushdown, exactly
+  // like the table read it wraps. ----
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    checkNs(namespace.toArray)
+    viewEntries.keys.toSeq.sorted
+      .map(Identifier.of(namespace.toArray, _)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&
+      viewEntries.contains(ident.name)
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    checkNs(ident.namespace)
+    GraftView(ident.name, viewEntries.getOrElse(ident.name,
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)))
+  }
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    checkNs(info.ident.namespace)
+    if (entries.contains(info.ident.name))
+      throw new TableAlreadyExistsException(info.ident)
+    if (viewEntries.contains(info.ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident)
+    val payload = GraftView.encode(info)
+    Catalog.mutateAt(spark, warehouse,
+      _ + (info.ident.name -> (GraftCatalog.ViewTag + payload)))
+    GraftView(info.ident.name, payload)
+  }
+
+  override def replaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo,
+                           orCreate: Boolean)
+      : org.apache.spark.sql.connector.catalog.View = {
+    checkNs(info.ident.namespace)
+    if (entries.contains(info.ident.name))
+      throw new TableAlreadyExistsException(info.ident)
+    if (!orCreate && !viewEntries.contains(info.ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident)
+    val payload = GraftView.encode(info)
+    Catalog.mutateAt(spark, warehouse,
+      _ + (info.ident.name -> (GraftCatalog.ViewTag + payload)))
+    GraftView(info.ident.name, payload)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val existed = viewExists(ident)
+    if (existed) Catalog.mutateAt(spark, warehouse, _ - ident.name)
+    existed
+  }
+
+  override def renameView(old: Identifier, to: Identifier): Unit = {
+    checkNs(to.namespace)
+    val payload = viewEntries.getOrElse(old.name,
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(old))
+    if (entries.contains(to.name) || viewEntries.contains(to.name))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    Catalog.mutateAt(spark, warehouse,
+      m => m - old.name + (to.name -> (GraftCatalog.ViewTag + payload)))
+  }
+
+  override def alterView(ident: Identifier,
+                         changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View =
+    throw new UnsupportedOperationException(
+      s"$catName.${ident.name}: ALTER VIEW properties are not supported — " +
+        "CREATE OR REPLACE VIEW with the new definition")
 }
 
 object GraftCatalog {
+  /** Registry value tag marking a VIEW row (everything else is a
+    * table path). */
+  private[tables] val ViewTag = "view:"
+
   /** Split a CREATE's schema + transforms into the engine's layout:
     * explicit partition columns, hidden transform specs, DEFAULT
     * policies (from CURRENT_DEFAULT field metadata), and the
@@ -677,4 +782,52 @@ class StagedGraftTable(cat: GraftCatalog, tableName: String, path: String,
     // files are unregistered and invisible
 
   override def toString: String = s"StagedGraftTable($tableName at $path)"
+}
+
+/** A persistent view row decoded from the registry: the stored SQL
+  * text plus the analysis context Spark re-resolves it under (catalog,
+  * namespace, declared schema, column names/aliases). The body
+  * re-analyzes per read, so pushdown and pruning plan against the
+  * CURRENT head of the underlying tables. */
+case class GraftView(viewName: String, payload: String)
+  extends org.apache.spark.sql.connector.catalog.View {
+  private val node =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(payload)
+  private def arr(field: String): Array[String] = {
+    val n = node.get(field)
+    if (n == null || n.isNull) Array.empty
+    else (0 until n.size()).map(n.get(_).asText()).toArray
+  }
+  override def name(): String = viewName
+  override def query(): String = node.get("sql").asText()
+  override def currentCatalog(): String = node.get("catalog").asText()
+  override def currentNamespace(): Array[String] = arr("namespace")
+  override def schema(): StructType =
+    StructType.fromDDL(node.get("schema").asText())
+  override def queryColumnNames(): Array[String] = arr("queryColumnNames")
+  override def columnAliases(): Array[String] = arr("columnAliases")
+  override def columnComments(): Array[String] =
+    columnAliases().map(_ => null)
+  override def properties(): util.Map[String, String] =
+    java.util.Collections.emptyMap()
+}
+
+object GraftView {
+  /** ViewInfo → the registry JSON payload. */
+  private[tables] def encode(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.createObjectNode()
+    n.put("sql", info.sql())
+    n.put("catalog", info.currentCatalog())
+    n.put("schema", info.schema().toDDL)
+    def putArr(field: String, vals: Array[String]): Unit = {
+      val a = n.putArray(field)
+      Option(vals).getOrElse(Array.empty[String]).foreach(a.add)
+    }
+    putArr("namespace", info.currentNamespace())
+    putArr("queryColumnNames", info.queryColumnNames())
+    putArr("columnAliases", info.columnAliases())
+    mapper.writeValueAsString(n)
+  }
 }

@@ -388,6 +388,61 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("persistent views: survive a fresh session, plan with pushdown, full DDL loop") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.vbase (k BIGINT, seg STRING, amt DOUBLE) " +
+        "PARTITIONED BY (seg)")
+      spark.sql("INSERT INTO graft.vbase VALUES " +
+        "(1, 'a', 10.0), (2, 'b', 20.0), (3, 'a', 30.0), (4, 'b', 40.0)")
+      spark.sql("CREATE VIEW graft.vbig AS " +
+        "SELECT k, amt * 2 AS amt2 FROM graft.vbase WHERE amt > 15.0")
+      // the definition is REGISTRY state, not session state: a brand-new
+      // session (fresh SessionState, same registry file) resolves it
+      val s2 = spark.newSession()
+      s2.conf.set("graft.catalog.warehouse", w)
+      val out = s2.sql("SELECT * FROM graft.vbig ORDER BY k")
+        .as[(Long, Double)](org.apache.spark.sql.Encoders.product[(Long, Double)])
+        .collect().toSeq
+      assert(out == Seq((2L, 40.0), (3L, 60.0), (4L, 80.0)), s"got $out")
+      // reads through the view plan onto the V1 parquet mount with the
+      // view's filter pushed into the scan
+      val plan = spark.sql("SELECT k FROM graft.vbig").queryExecution
+        .executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThan(amt,15.0)"), plan.take(2000))
+      // nested views expand recursively; a cycle refuses loudly
+      spark.sql("CREATE VIEW graft.vtop AS " +
+        "SELECT count(*) AS n FROM graft.vbig")
+      assert(spark.sql("SELECT n FROM graft.vtop").head().getLong(0) == 3L)
+      // SHOW VIEWS sees the registry; DROP removes only the named view
+      val shown = spark.sql("SHOW VIEWS IN graft").select("viewName")
+        .as[String].collect().toSet
+      assert(shown == Set("vbig", "vtop"), shown.toString)
+      // CREATE OR REPLACE redefines in place
+      spark.sql("CREATE OR REPLACE VIEW graft.vtop AS " +
+        "SELECT count(*) + 100 AS n FROM graft.vbig")
+      assert(spark.sql("SELECT n FROM graft.vtop").head().getLong(0) == 103L)
+      // a table may not take a view's name, nor CTAS over it
+      val e1 = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.vbig (x INT)") }
+      assert(e1.getMessage.contains("vbig"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("CREATE OR REPLACE TABLE graft.vbig AS SELECT 1 AS x") }
+      assert(e2.getMessage.contains("VIEW"), e2.getMessage)
+      // the Scala-verb namespace refuses view names loudly
+      val e3 = intercept[IllegalArgumentException] {
+        Catalog.resolve(spark, "vbig") }
+      assert(e3.getMessage.contains("VIEW"), e3.getMessage)
+      spark.sql("DROP VIEW graft.vtop")
+      assert(spark.sql("SHOW VIEWS IN graft").count() == 1L)
+      // DROP VIEW on a missing name: IF EXISTS is quiet, bare is loud
+      spark.sql("DROP VIEW IF EXISTS graft.vtop")
+      intercept[Exception] { spark.sql("DROP VIEW graft.vtop") }
+      spark.sql("DROP VIEW graft.vbig")
+      assert(spark.sql("SHOW VIEWS IN graft").count() == 0L)
+    }
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: plain SQL widens and merges") {
     withWarehouse { w =>
       spark.sql("CREATE TABLE graft.msev (k BIGINT, amt DOUBLE)")
