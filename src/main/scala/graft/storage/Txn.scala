@@ -206,6 +206,8 @@ object Txn {
       case Merge(p, u, k) => Merge(rt(p), u, k)
       case Delete(p, c) => Delete(rt(p), c)
       case Update(p, s, c) => Update(rt(p), s, c)
+      case MergeWhen(p, src, k, m, nm, nms) =>
+        MergeWhen(rt(p), src, k, m, nm, nms)
     })
   }
 

@@ -96,6 +96,18 @@ object GraftProcedures {
       (spark, path, in) => InternalRow(
         TxLog.buildBloomIndex(spark, path,
           in.getUTF8String(1).toString).toLong)),
+    Proc("transact",
+      "run ';'-separated TXLOG DML statements as ONE atomic-outcome " +
+        "transaction (journaled saga: on failure every committed table " +
+        "RESTOREs to its pre-transaction head); returns the version per op",
+      // the shared Proc shape resolves arg 0 as a table name — a
+      // statement list is never a bare name, so it passes through
+      // untouched and arrives here verbatim
+      Array(p("statements", S).build()),
+      StructType.fromDDL("versions ARRAY<BIGINT>"),
+      (spark, statements, _) => InternalRow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          graft.tools.Sql.execTxnOps(spark, statements).toArray))),
     Proc("tag",
       "pin a retention-surviving named snapshot at a version (default: head)",
       Array(p("table", S).build(), p("name", S).build(),

@@ -274,6 +274,72 @@ object Sql {
       (item.substring(0, i).trim, item.substring(i + 1).trim)
     }
 
+  /** Split a statement list on TOP-LEVEL semicolons — outside quotes
+    * and parens, so a subquery's own literals never split the block. */
+  private def splitStatements(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0; var depth = 0; var quote: Char = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (c == ';' && depth == 0) {
+        out += s.substring(start, i); start = i + 1
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse ONE TXLOG DML statement into a [[graft.storage.Txn.Op]] —
+    * the subset a transaction block admits: each op is one table
+    * commit the saga can compensate with a RESTORE. Maintenance verbs
+    * (VACUUM, OPTIMIZE, CLONE, ALTER, ...) are refused: they are not
+    * data ops a rollback should ever undo. */
+  private[graft] def parseTxnOp(spark: SparkSession, sql: String)
+      : graft.storage.Txn.Op = {
+    import graft.storage.Txn
+    def rt(p: String) = graft.storage.Catalog.resolveTarget(spark, p)
+    def keysOf(keys: String) =
+      keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    sql match {
+      case AppendRe(path, select) => Txn.Append(rt(path), spark.sql(select))
+      case MergeWhenStmt(path, keys, select, whenTail) =>
+        val (m, nm, nms) = parseWhenClauses(whenTail)
+        Txn.MergeWhen(rt(path), spark.sql(select), keysOf(keys), m, nm, nms)
+      case MergeRe(path, keys, select) =>
+        Txn.Merge(rt(path), spark.sql(select), keysOf(keys))
+      case UpdateRe(path, sets, cond) =>
+        Txn.Update(rt(path), parseSets(sets),
+          org.apache.spark.sql.functions.expr(cond))
+      case DeleteRe(path, cond) =>
+        Txn.Delete(rt(path), org.apache.spark.sql.functions.expr(cond))
+      case other => throw new IllegalArgumentException(
+        "Sql: a TXN block supports the DML verbs only — TXLOG APPEND " +
+          "INTO / MERGE INTO / UPDATE / DELETE FROM — got: " +
+          other.trim.take(120))
+    }
+  }
+
+  /** The TXN block's engine: parse each statement, run them through
+    * [[graft.storage.Txn.transact]] (journaled saga, all-or-nothing
+    * OUTCOME, warehouse-rooted journal), return the version per op. */
+  private[graft] def execTxnOps(spark: SparkSession, body: String): Seq[Long] = {
+    val wh = spark.conf.getOption("graft.catalog.warehouse").getOrElse(
+      throw new IllegalArgumentException(
+        "TXLOG TXN: set graft.catalog.warehouse — the warehouse is the " +
+          "transaction journal root"))
+    val stmts = splitStatements(body)
+    require(stmts.nonEmpty, "Sql: empty TXN block")
+    graft.storage.Txn.transact(spark, wh, stmts.map(parseTxnOp(spark, _)))
+  }
+
+  private val TxnRe =
+    """(?is)\s*TXLOG\s+TXN\s+BEGIN\s*;(.*?);?\s*COMMIT\s*""".r
+
   /** Run one statement: a TXLOG verb or plain SQL. Verb targets may
     * be filesystem paths OR bare catalog NAMES (when
     * `graft.catalog.warehouse` is set): reads/writes resolve through
@@ -293,6 +359,9 @@ object Sql {
         (dir, () => graft.storage.Catalog.register(spark, p, dir))
       } else (p, () => ())
     sql match {
+      case TxnRe(body) =>
+        execTxnOps(spark, body).zipWithIndex
+          .map { case (v, i) => (i, v) }.toDF("op", "version")
       case CreateOrReplaceRe(path, part, select) =>
         val (dir, reg) = createTarget(path)
         val v = graft.storage.TxLog.createOrReplace(spark.sql(select), dir,
@@ -446,7 +515,9 @@ object Sql {
             "  TXLOG ALTER '<path>' ALTER COLUMN <name> TYPE <type>\n" +
             "  TXLOG ALTER '<path>' SET STATS COLS (<c1[,c2...]>)\n" +
             "  TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]\n" +
-            "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]")
+            "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]\n" +
+            "  TXLOG TXN BEGIN; <dml>; <dml>[; ...]; COMMIT " +
+            "(atomic-outcome multi-table transaction)")
       case plain => spark.sql(plain)
     }
   }

@@ -314,4 +314,94 @@ class SqlSurfaceSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [IsNotNull(l_suppkey)"), s"no pushdown through view:\n$p")
   }
+
+  private def withTxnWarehouse(f: String => Unit): Unit = {
+    val w = java.nio.file.Files.createTempDirectory("graft_sqltxn").toString
+    val prev = spark.conf.getOption("graft.catalog.warehouse")
+    spark.conf.set("graft.catalog.warehouse", w)
+    try f(w)
+    finally prev match {
+      case Some(v) => spark.conf.set("graft.catalog.warehouse", v)
+      case None => spark.conf.unset("graft.catalog.warehouse")
+    }
+  }
+
+  private def journalFiles(w: String): Seq[String] = {
+    val d = new java.io.File(s"$w/_txn")
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq.map(_.getName).filter(_.endsWith(".json"))
+  }
+
+  test("TXLOG TXN block: two tables change atomically through SQL") {
+    withTxnWarehouse { w =>
+      graft.tools.Sql.exec(spark,
+        "TXLOG CREATE 'facts' AS SELECT CAST(1 AS BIGINT) AS k, " +
+          "CAST(10.0 AS DOUBLE) AS amt")
+      graft.tools.Sql.exec(spark,
+        "TXLOG CREATE 'rollup' AS SELECT CAST(1 AS BIGINT) AS k, " +
+          "CAST(10.0 AS DOUBLE) AS total")
+      val out = graft.tools.Sql.exec(spark,
+        "TXLOG TXN BEGIN; " +
+          "TXLOG APPEND INTO 'facts' SELECT CAST(2 AS BIGINT) AS k, " +
+          "CAST(5.0 AS DOUBLE) AS amt; " +
+          "TXLOG UPDATE 'rollup' SET total = total + 5.0 WHERE k = 1; " +
+          "COMMIT").as[(Int, Long)].collect().toSeq
+      assert(out == Seq((0, 2L), (1, 2L)), s"got $out")
+      assert(graft.storage.Catalog.table(spark, "facts").count() == 2)
+      assert(graft.storage.Catalog.table(spark, "rollup")
+        .select("total").as[Double].head() == 15.0)
+      assert(journalFiles(w).isEmpty, "journal must clear on success")
+    }
+  }
+
+  test("TXLOG TXN block: a mid-txn CHECK failure compensates and clears the journal") {
+    withTxnWarehouse { w =>
+      graft.tools.Sql.exec(spark,
+        "TXLOG CREATE 'f2' AS SELECT CAST(1 AS BIGINT) AS k, " +
+          "CAST(10.0 AS DOUBLE) AS amt")
+      graft.tools.Sql.exec(spark,
+        "TXLOG CREATE 'r2' AS SELECT CAST(1 AS BIGINT) AS k, " +
+          "CAST(10.0 AS DOUBLE) AS total")
+      graft.tools.Sql.exec(spark,
+        "TXLOG ALTER 'r2' ADD CONSTRAINT pos CHECK (total >= 0)")
+      val before = graft.storage.TxLog.currentVersion(spark, s"$w/f2").get
+      // op 1 (the facts append) COMMITS, then op 2 violates r2's CHECK:
+      // the saga restores f2 to its pre-transaction head and rethrows
+      val e = intercept[graft.storage.Txn.TxnFailedException] {
+        graft.tools.Sql.exec(spark,
+          "TXLOG TXN BEGIN; " +
+            "TXLOG APPEND INTO 'f2' SELECT CAST(2 AS BIGINT) AS k, " +
+            "CAST(5.0 AS DOUBLE) AS amt; " +
+            "TXLOG UPDATE 'r2' SET total = -99.0 WHERE k = 1; " +
+            "COMMIT")
+      }
+      assert(e.getMessage.contains("compensated"), e.getMessage)
+      assert(graft.storage.Catalog.table(spark, "f2").count() == 1,
+        "the committed append must roll back")
+      // the restore is a NEW commit (history kept), content = pre-txn
+      assert(graft.storage.TxLog.read(spark, s"$w/f2", Some(before)).count() == 1)
+      assert(graft.storage.Catalog.table(spark, "r2")
+        .select("total").as[Double].head() == 10.0)
+      assert(journalFiles(w).isEmpty,
+        "a fully-compensated transaction must clear its journal")
+    }
+  }
+
+  test("CALL graft.system.transact: the catalog-native spelling") {
+    withTxnWarehouse { w =>
+      graft.tools.Sql.exec(spark,
+        "TXLOG CREATE 'f3' AS SELECT CAST(1 AS BIGINT) AS k")
+      graft.tools.Sql.exec(spark,
+        "TXLOG CREATE 'r3' AS SELECT CAST(1 AS BIGINT) AS k")
+      val out = spark.sql(
+        "CALL graft.system.transact(statements => " +
+          "\"TXLOG APPEND INTO 'f3' SELECT CAST(2 AS BIGINT) AS k; " +
+          "TXLOG DELETE FROM 'r3' WHERE k = 1\")")
+        .select("versions").as[Seq[Long]].head()
+      assert(out == Seq(2L, 2L), s"got $out")
+      assert(graft.storage.Catalog.table(spark, "f3").count() == 2)
+      assert(graft.storage.Catalog.table(spark, "r3").count() == 0)
+      assert(journalFiles(w).isEmpty)
+    }
+  }
 }
