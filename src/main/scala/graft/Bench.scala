@@ -84,13 +84,27 @@ object Bench {
       es.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // complete record (per-query min + sample count) to a repo file —
-    // per-round evidence that survives any log truncation
+    // complete record to a repo file — per-round evidence that survives
+    // any log truncation. `samples` carries EVERY per-query wall time in
+    // measurement order (element 0 = the query's FIRST execution in
+    // this JVM), and `cold` singles out queries whose first run exceeds
+    // their steady-state min by >1.5x — the codegen-compile-dominated
+    // set (q_mad's reused-histogram plan compiles ~4.5 s once) — so
+    // cold-vs-steady never has to be re-litigated from raw logs.
+    val samplesJson = samples.toMap.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + v.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val coldJson = samples.toMap.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      val ok = v.filter(_ >= 0)
+      if (ok.size >= 2 && ok.head > ok.min * 1.5)
+        Some("\"" + k + "\":{\"first\":" + r3(ok.head) +
+          ",\"min\":" + r3(ok.min) + "}")
+      else None
+    }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":${entriesJson(results.toSeq.sortBy(-_._2))},""" +
-      s""""samples":${samples.toMap.toSeq.sortBy(_._1).map { case (k, v) =>
-            "\"" + k + "\":" + v.count(_ >= 0) }.mkString("{", ",", "}")},""" +
+      s""""samples":$samplesJson,"cold":$coldJson,""" +
       s""""sf":"$sfDir"}"""
     val fullPath = "BENCH_FULL.json"
     val w = new java.io.PrintWriter(fullPath, "UTF-8")

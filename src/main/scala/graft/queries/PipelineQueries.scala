@@ -32,6 +32,28 @@ object PipelineQueries {
       Dedup.incrementalCandidates(batch, Dedup.bandedSignatures(docs))
         .orderBy("new_id", "corpus_id")
     }),
+    // the incremental-ingest GATE decision, oracle-exact by planted
+    // truth: the batch is five VERBATIM re-presents (guaranteed band
+    // candidates, exact jaccard 1.0 → always rejected) plus five
+    // NOVEL docs built from tokens the synthetic corpus cannot contain
+    // (true jaccard 0 → always admitted; even a spurious band
+    // collision is killed by the exact-jaccard verify). The admitted
+    // set is therefore deterministic — exactly the novel ids — even
+    // though the banding internals stay hash-dependent.
+    "dedup_incremental_gate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.format_string
+      val docs = documents(s, d)
+      val represent = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val novel = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          format_string("zzq%d zzr%d zzs%d zzt%d zzu%d zzv%d",
+            col("doc_id"), col("doc_id"), col("doc_id"),
+            col("doc_id"), col("doc_id"), col("doc_id")).as("text"))
+      Dedup.incrementalIngest(represent.unionByName(novel), docs,
+          Dedup.bandedSignatures(docs), minJaccard = 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d))),
     // cross-corpus similarity join: even vec_ids as the reference
     // corpus, odd as the incoming batch (rows-only: LSH internals;
@@ -811,6 +833,36 @@ object PipelineQueries {
   private val pt = "' ' || text || ' '"
 
   val oracles: Map[String, String] = Map(
+    // the polynomial rolling hash is deterministic integer arithmetic:
+    // DuckDB replays h = h*1315423911 + byte with 64-bit wraparound via
+    // HUGEINT mod 2^64, then maps back to the signed BIGINT Spark
+    // returns. Byte access rides ascii() per character — exact because
+    // the synthetic corpus is pure ASCII (verified: octet_length =
+    // length for every row), where UTF-8 bytes ≡ code units.
+    "text_rollhash" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(lower(text), ''),
+        |                        c -> ascii(c)) AS bytes
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |            THEN h - 18446744073709551616::HUGEINT
+        |            ELSE h END AS BIGINT) AS fp64
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::HUGEINT, bytes),
+        |      (acc, x) -> (acc * 1315423911 + x)
+        |                  % 18446744073709551616::HUGEINT) AS h
+        |  FROM b
+        |) ORDER BY doc_id""".stripMargin,
+    // the gate admits EXACTLY the novel half of the planted batch:
+    // re-presents are guaranteed rejections (jaccard 1.0), novel docs
+    // guaranteed admissions (corpus shares none of their tokens)
+    "dedup_incremental_gate" ->
+      """SELECT CAST(doc_id + 2000000 AS BIGINT) AS doc_id
+        |FROM documents WHERE doc_id < 5 ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, sha256(text) AS h
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
