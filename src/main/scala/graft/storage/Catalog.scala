@@ -43,16 +43,39 @@ object Catalog {
   private def fs(spark: SparkSession, w: String) =
     catPath(w).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // freshness-keyed parse cache: analysis reads the registry once per
+  // graft-named relation per resolver pass (the view rule especially),
+  // and on an object store each read is an RPC + GET. Keying the
+  // parsed map on (mtime, length) turns that into ONE status probe per
+  // read — still always-fresh (every registry write renames a new
+  // file into place, changing both), never a TTL guess.
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Map[String, String])]()
+
   private def readAll(spark: SparkSession, w: String): Map[String, String] = {
     val f = fs(spark, w)
-    if (!f.exists(catPath(w))) Map.empty
-    else {
-      val in = f.open(catPath(w))
-      val bytes = try in.readAllBytes() finally in.close()
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-      val it = node.fieldNames()
-      Iterator.continually(if (it.hasNext) it.next() else null)
-        .takeWhile(_ != null).map(n => n -> node.get(n).asText()).toMap
+    val p = catPath(w)
+    val st =
+      try Some(f.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case None => Map.empty
+      case Some(s) =>
+        val cached = Option(parseCache.get(w))
+        cached match {
+          case Some((mt, len, m))
+              if mt == s.getModificationTime && len == s.getLen => m
+          case _ =>
+            val in = f.open(p)
+            val bytes = try in.readAllBytes() finally in.close()
+            val node = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(bytes)
+            val it = node.fieldNames()
+            val m = Iterator.continually(if (it.hasNext) it.next() else null)
+              .takeWhile(_ != null).map(n => n -> node.get(n).asText()).toMap
+            parseCache.put(w, (s.getModificationTime, s.getLen, m))
+            m
+        }
     }
   }
 
@@ -85,7 +108,18 @@ object Catalog {
   private[graft] def mutateAt(spark: SparkSession, w: String,
                               f: Map[String, String] => Map[String, String]): Unit = {
     val lock = locks.computeIfAbsent(w, _ => new Object)
-    lock.synchronized { writeAll(spark, w, f(readAll(spark, w))) }
+    lock.synchronized {
+      val next = f(readAll(spark, w))
+      writeAll(spark, w, next)
+      // refresh the parse cache under the lock: an mtime tick coarser
+      // than two same-length rewrites (rename a→b of equal-length
+      // names) could otherwise serve the pre-write map to this JVM
+      try {
+        val s = fs(spark, w).getFileStatus(catPath(w))
+        parseCache.put(w, (s.getModificationTime, s.getLen, next))
+      } catch { case _: java.io.IOException => parseCache.remove(w) }
+      ()
+    }
   }
 
   /** Register an EXISTING table dir under a name. */

@@ -55,7 +55,10 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Parse + splice a view body, expanding nested graft views with an
     * explicit ancestor chain — a cycle fails loudly instead of
-    * spinning the analyzer's fixed point. */
+    * spinning the analyzer's fixed point. A stored column list applies
+    * as positional aliases over the body (the `FROM (q) t(a, b)`
+    * analyzer node), so `CREATE VIEW v(a, b) AS SELECT ...` renames
+    * exactly like a subquery alias would. */
   private def expand(cat: String, g: GraftCatalog, name: String,
                      chain: Set[String]): LogicalPlan = {
     require(!chain.contains(name),
@@ -71,7 +74,11 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => u
         }
     }
-    SubqueryAlias(name, expanded)
+    val aliased =
+      if (v.columnAliases().isEmpty) expanded
+      else org.apache.spark.sql.catalyst.analysis
+        .UnresolvedSubqueryColumnAliases(v.columnAliases().toSeq, expanded)
+    SubqueryAlias(name, aliased)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -81,13 +88,14 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
           case UnresolvedIdentifier(parts, _) =>
             target(parts) match {
               case Some((cat, g, v)) =>
-                require(c.userSpecifiedColumns.isEmpty,
-                  s"graft.$v: CREATE VIEW with a column list is not " +
-                    "supported — alias the columns in the SELECT")
+                require(c.userSpecifiedColumns.forall(_._2.isEmpty),
+                  s"graft.$v: column COMMENTs in a CREATE VIEW column " +
+                    "list are not supported")
                 val sql = c.originalText.getOrElse(
                   throw new IllegalArgumentException(
                     s"graft.$v: CREATE VIEW without SQL text"))
                 GraftCreateViewCommand(cat, g, v, sql, c.query,
+                  c.userSpecifiedColumns.map(_._1),
                   c.allowExisting, c.replace)
               case None => c
             }
@@ -104,6 +112,22 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => d
         }
 
+      // ALTER VIEW graft.v AS SELECT ... — a redefinition of an
+      // EXISTING view (refuses on a missing name, unlike CREATE OR
+      // REPLACE); the column list resets to the new body's own names
+      case a: org.apache.spark.sql.catalyst.plans.logical.AlterViewAs =>
+        a.child match {
+          case uv: org.apache.spark.sql.catalyst.analysis.UnresolvedView
+              if target(uv.multipartIdentifier).isDefined =>
+            val (cat, g, v) = target(uv.multipartIdentifier).get
+            if (!isView(g, v))
+              throw new NoSuchViewException(
+                Identifier.of(Array.empty, v))
+            GraftCreateViewCommand(cat, g, v, a.originalText, a.query,
+              Nil, allowExisting = false, replace = true)
+          case _ => a
+        }
+
       case s: ShowViews =>
         s.namespace match {
           case org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(parts, _)
@@ -112,6 +136,19 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
             GraftShowViewsCommand(parts.head,
               graftCatalog(parts.head).get, s.pattern, s.output)
           case _ => s
+        }
+
+      // DESCRIBE graft.v — a view is not a table, so the table path
+      // would refuse; serve the stored declaration-time schema (and,
+      // EXTENDED, the stored SQL text)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation =>
+        d.relation match {
+          case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+              if target(tv.multipartIdentifier)
+                .exists { case (_, g, v) => isView(g, v) } =>
+            val (_, g, v) = target(tv.multipartIdentifier).get
+            GraftDescribeViewCommand(g, v, d.isExtended, d.output)
+          case _ => d
         }
 
       case u: UnresolvedRelation if !u.isStreaming =>
@@ -123,11 +160,35 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 }
 
-/** CREATE [OR REPLACE] VIEW graft.v AS ... — analyzes the body once
-  * for the declared schema, persists the SQL text in the registry. */
+/** DESCRIBE [EXTENDED] graft.v — the stored declaration-time schema
+  * (the body re-analyzes at read, so a widened table surfaces there;
+  * this is the declared contract), plus the SQL text when EXTENDED. */
+case class GraftDescribeViewCommand(catalog: GraftCatalog, viewName: String,
+                                    isExtended: Boolean,
+                                    override val output: Seq[Attribute])
+  extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = catalog.loadView(Identifier.of(Array.empty, viewName))
+    val cols = v.schema().fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString, null))
+    if (!isExtended) cols
+    else cols ++ Seq(
+      Row("", "", ""),
+      Row("# Detailed View Information", "", ""),
+      Row("Name", viewName, ""),
+      Row("Type", "VIEW", ""),
+      Row("View Text", v.query(), ""))
+  }
+}
+
+/** CREATE [OR REPLACE] VIEW graft.v [(a, b, ...)] AS ... — analyzes
+  * the body once (for the declared schema and the alias-arity gate),
+  * persists the SQL text + column list in the registry. */
 case class GraftCreateViewCommand(catalogName: String, catalog: GraftCatalog,
                                   viewName: String, sql: String,
-                                  query: LogicalPlan, allowExisting: Boolean,
+                                  query: LogicalPlan,
+                                  columnAliases: Seq[String],
+                                  allowExisting: Boolean,
                                   replace: Boolean)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
@@ -141,9 +202,18 @@ case class GraftCreateViewCommand(catalogName: String, catalog: GraftCatalog,
     // analyze the body (through this session's rules, so nested graft
     // names resolve) — the declaration-time schema snapshot
     val analyzed = ExprBridge.ofRows(spark, query)
+    require(columnAliases.isEmpty ||
+        columnAliases.size == analyzed.schema.size,
+      s"graft.$viewName: the column list names ${columnAliases.size} " +
+        s"columns but the body produces ${analyzed.schema.size}")
+    val declared =
+      if (columnAliases.isEmpty) analyzed.schema
+      else org.apache.spark.sql.types.StructType(
+        analyzed.schema.fields.zip(columnAliases).map { case (f, a) =>
+          f.copy(name = a) })
     val info = new ViewInfo(ident, sql, catalogName, Array("default"),
-      analyzed.schema, analyzed.schema.fieldNames,
-      Array.empty[String], Array.empty[String],
+      declared, analyzed.schema.fieldNames,
+      columnAliases.toArray, Array.empty[String],
       java.util.Collections.emptyMap[String, String]())
     if (replace) catalog.replaceView(info, orCreate = true)
     else catalog.createView(info)

@@ -387,22 +387,41 @@ object Sql {
       case AppendRe(path, select) =>
         asDf(graft.storage.TxLog.append(spark.sql(select), rt(path)))
       case MergeWhenStmt(path, keys, select, whenTail0) =>
+        // trailing modifiers, either order: USING DELETION VECTORS
+        // (merge-on-read) and WITH SCHEMA EVOLUTION (widen on commit)
         val DvSuffix = """(?is)(.*?)\s+USING\s+DELETION\s+VECTORS\s*$""".r
-        val (whenTail, dv) = whenTail0 match {
-          case DvSuffix(t) => (t, true)
-          case t => (t, false)
+        val EvSuffix = """(?is)(.*?)\s+WITH\s+SCHEMA\s+EVOLUTION\s*$""".r
+        var whenTail = whenTail0
+        var dv = false
+        var evolve = false
+        var stripped = true
+        while (stripped) {
+          stripped = whenTail match {
+            case DvSuffix(t) => whenTail = t; dv = true; true
+            case EvSuffix(t) => whenTail = t; evolve = true; true
+            case _ => false
+          }
         }
         val (matched, notMatched, nms) = parseWhenClauses(whenTail)
         asDf(graft.storage.TxLog.mergeWhen(rt(path), spark.sql(select),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-          matched, notMatched, nms, deletionVectors = dv))
+          matched, notMatched, nms, deletionVectors = dv,
+          evolveSchema = evolve))
       case MergeDvRe(path, keys, select) =>
         asDf(graft.storage.TxLog.mergeInto(rt(path), spark.sql(select),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           deletionVectors = true))
-      case MergeRe(path, keys, select) =>
+      case MergeRe(path, keys, select0) =>
+        // the plain upsert form: WITH SCHEMA EVOLUTION rides as a
+        // suffix of the free-form SELECT capture
+        val EvSuffix = """(?is)(.*?)\s+WITH\s+SCHEMA\s+EVOLUTION\s*$""".r
+        val (select, evolve) = select0 match {
+          case EvSuffix(t) => (t, true)
+          case t => (t, false)
+        }
         asDf(graft.storage.TxLog.mergeInto(rt(path), spark.sql(select),
-          keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+          keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          evolveSchema = evolve))
       case UpdateDvRe(path, sets, cond) =>
         asDf(graft.storage.TxLog.updateWhere(spark, rt(path), parseSets(sets),
           org.apache.spark.sql.functions.expr(cond), deletionVectors = true))

@@ -440,6 +440,30 @@ class GraftCatalogSpec extends SparkSpec {
       intercept[Exception] { spark.sql("DROP VIEW graft.vtop") }
       spark.sql("DROP VIEW graft.vbig")
       assert(spark.sql("SHOW VIEWS IN graft").count() == 0L)
+      // a column list applies as positional aliases over the body
+      spark.sql("CREATE VIEW graft.vnamed (id, doubled) AS " +
+        "SELECT k, amt * 2 FROM graft.vbase WHERE k <= 2")
+      val named = spark.sql(
+        "SELECT doubled FROM graft.vnamed WHERE id = 2").head().getDouble(0)
+      assert(named == 40.0, named.toString)
+      // arity mismatch refuses at create
+      val e4 = intercept[Exception] {
+        spark.sql("CREATE VIEW graft.vbad (a, b, c) AS " +
+          "SELECT k FROM graft.vbase") }
+      assert(e4.getMessage.contains("column list"), e4.getMessage)
+      // DESCRIBE serves the stored declaration; EXTENDED adds the text
+      val desc = spark.sql("DESCRIBE graft.vnamed").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(desc == Seq(("id", "bigint"), ("doubled", "double")), desc)
+      val ext = spark.sql("DESCRIBE EXTENDED graft.vnamed").collect()
+        .map(_.getString(0)).toSeq
+      assert(ext.contains("View Text"), ext.toString)
+      // ALTER VIEW AS redefines an existing view; a missing name refuses
+      spark.sql("ALTER VIEW graft.vnamed AS " +
+        "SELECT k AS id FROM graft.vbase WHERE k = 1")
+      assert(spark.sql("SELECT id FROM graft.vnamed").head().getLong(0) == 1L)
+      intercept[Exception] {
+        spark.sql("ALTER VIEW graft.vmissing AS SELECT 1 AS x") }
     }
   }
 

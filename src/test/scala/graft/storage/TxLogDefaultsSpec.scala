@@ -306,6 +306,25 @@ class TxLogDefaultsSpec extends SparkSpec {
       .select("id").as[Long].head() == 4L)
   }
 
+  test("IDENTITY under the idempotent lanes: replays never re-allocate") {
+    val path = freshPath("idlanes")
+    emptyIdTable(path)
+    // streaming micro-batch lane: batch 1 commits, its replay skips
+    // BEFORE allocating (the mark must not move), batch 2 continues
+    TxLog.appendBatch(Seq("a", "b").toDF("v"), path, batchId = 1L)
+    TxLog.appendBatch(Seq("a", "b").toDF("v"), path, batchId = 1L) // replay
+    TxLog.appendBatch(Seq("c").toDF("v"), path, batchId = 2L)
+    val ids = TxLog.read(spark, path).select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    // per-app txn lane: same contract
+    TxLog.appendTxn(Seq("d").toDF("v"), path, "app", 1L)
+    TxLog.appendTxn(Seq("d").toDF("v"), path, "app", 1L) // replay
+    val ids2 = TxLog.read(spark, path).select("id").as[Long].collect().sorted
+    assert(ids2.toSeq == Seq(1L, 2L, 3L, 4L), s"got ${ids2.toSeq}")
+    assert(TxLog.columnPolicies(spark, path) ==
+      Seq(("id", "identity", "step=1 next=5")))
+  }
+
   test("IDENTITY through plain SQL: CREATE ... GENERATED ALWAYS AS IDENTITY") {
     val w = java.nio.file.Files.createTempDirectory("graft_idsql").toString
     val prev = spark.conf.getOption("graft.catalog.warehouse")

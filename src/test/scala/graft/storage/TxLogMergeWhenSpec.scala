@@ -412,6 +412,37 @@ class TxLogMergeWhenSpec extends SparkSpec {
       Seq("k", "status", "amt"))
   }
 
+  test("SQL verbs: WITH SCHEMA EVOLUTION suffix on both MERGE grammars") {
+    import spark.implicits._
+    // conditional grammar, suffix AFTER the WHEN clauses
+    val path = freshPath("sqlev")
+    seed(path)
+    Seq((1L, "u", 11.0, "gold"), (9L, "n", 90.0, "silver"))
+      .toDF("k", "status", "amt", "tier")
+      .createOrReplaceTempView("mw_ev_src")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG MERGE INTO '$path' ON k USING " +
+        "(SELECT * FROM mw_ev_src) " +
+        "WHEN MATCHED THEN UPDATE SET amt = src.amt, tier = src.tier " +
+        "WHEN NOT MATCHED THEN INSERT " +
+        "WITH SCHEMA EVOLUTION")
+    val out = TxLog.read(spark, path).orderBy("k")
+      .select("k", "tier").as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq((1L, Some("gold")), (2L, None), (3L, None),
+      (4L, None), (9L, Some("silver"))), s"got $out")
+    // plain upsert grammar (partitioned table — mergeInto's contract)
+    val path2 = freshPath("sqlev2")
+    TxLog.create(Seq((1L, "a", 1.0)).toDF("k", "p", "amt"), path2, Some("p"))
+    Seq((1L, "a", 2.0, 7), (2L, "a", 3.0, 8))
+      .toDF("k", "p", "amt", "rank").createOrReplaceTempView("mw_ev_src2")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG MERGE INTO '$path2' ON k USING " +
+        "SELECT * FROM mw_ev_src2 WITH SCHEMA EVOLUTION")
+    val out2 = TxLog.read(spark, path2).orderBy("k")
+      .select("k", "rank").as[(Long, Option[Int])].collect().toSeq
+    assert(out2 == Seq((1L, Some(7)), (2L, Some(8))), s"got $out2")
+  }
+
   test("evolveSchema in DV mode: widened commit, zero file rewrites") {
     val path = freshPath("evolvedv")
     seed(path)
