@@ -1710,12 +1710,23 @@ object TxLog {
     * replace is a new table definition — historical versions still
     * show theirs). A race with a concurrent writer retries against
     * the new head; on a path with no table this is exactly [[create]]. */
+  /** `keepPolicies = true` switches the semantics from REDEFINITION to
+    * TRUNCATE + INSERT: the table's CHECK/UNIQUE constraints, DEFAULT/
+    * GENERATED policies and IDENTITY marks CARRY into the new version
+    * and vet/fill the incoming rows — the INSERT OVERWRITE door's
+    * contract (an overwrite is a data operation; silently shedding the
+    * governance contract would let the next insert write NULL ids into
+    * a surrogate-key table). The identity mark only ever advances
+    * (max of the fill's claim and the replaced head's mark), so an id
+    * can never be re-issued against a LIVE row; re-use against
+    * replaced-away history is the same trade RESTORE documents. */
   def createOrReplace(df: DataFrame, path: String,
                       partitionCol: Option[String] = None,
                       statsCols: Seq[String] = Nil,
                       maxRetries: Int = 10,
                       partitionCols: Seq[String] = Nil,
-                      hiddenPartitions: Seq[String] = Nil): Long = {
+                      hiddenPartitions: Seq[String] = Nil,
+                      keepPolicies: Boolean = false): Long = {
     require(partitionCol.isEmpty || partitionCols.isEmpty,
       "TxLog.createOrReplace: pass partitionCol OR partitionCols, not both")
     require(hiddenPartitions.isEmpty ||
@@ -1739,18 +1750,55 @@ object TxLog {
     if (transforms.isEmpty)
       layout.foreach(c => require(df.schema.fieldNames.contains(c),
         s"TxLog.createOrReplace: partition column '$c' is not in the schema"))
-    val files = stageIn(df, path, layout, transforms)
+    // truncate+insert semantics: fill policy/identity columns from the
+    // CARRIED definitions and vet the rows before staging anything —
+    // within-batch UNIQUE enforcement IS whole-table enforcement here,
+    // since the batch becomes the whole table
+    val (df1, idClaims) =
+      if (!keepPolicies) (df, Map.empty[String, (Long, Long)])
+      else {
+        val base = manifest(spark, path, currentVersion(spark, path).get)
+        val declared = StructType.fromDDL(base.schemaDdl)
+        val filledPolicy = fillPolicyColumns(df, base, declared)
+        val (filled, claims) =
+          fillIdentityColumns(filledPolicy, base, "createOrReplace")
+        checkSchema(declared, filled.schema, evolveSchema = false)
+        enforceConstraints(filled, base.constraints, "INSERT OVERWRITE")
+        enforceUniques(filled, spark, path, declared, Nil, base,
+          "INSERT OVERWRITE (whole table)")
+        (filled.select(declared.fieldNames.map(
+          org.apache.spark.sql.functions.col).toIndexedSeq: _*), claims)
+      }
+    val files = stageIn(df1, path, layout, transforms)
     val (stats, rowCounts, nullCounts) =
-      collectStats(spark, path, df.schema, statsCols, files,
+      collectStats(spark, path, df1.schema, statsCols, files,
         recoverPartitions = transforms.isEmpty)
     var retries = 0
     while (true) {
       val v = currentVersion(spark, path).get
       val prev = manifest(spark, path, v)
       requireWritable(prev, path)
-      val m = Manifest(v + 1, layout, df.schema.toDDL, files.sorted,
+      // carried policies: identity marks never regress — the max of
+      // this fill's claim and the replaced head's own mark
+      val keptConstraints =
+        if (!keepPolicies) Nil
+        else prev.constraints.map {
+          case (nm, e) if nm.startsWith(IdentityPrefix) =>
+            val c = nm.stripPrefix(IdentityPrefix)
+            val sep = e.indexOf(':')
+            val headNext = e.drop(sep + 1).toLong
+            val step = e.take(sep).toLong
+            val claimed = idClaims.get(c).map(_._2).getOrElse(headNext)
+            val next = if (step > 0) math.max(claimed, headNext)
+                       else math.min(claimed, headNext)
+            nm -> s"$step:$next"
+          case other => other
+        }
+      val m = Manifest(v + 1, layout, df1.schema.toDDL, files.sorted,
         statsCols = statsCols, fileStats = stats, fileRows = rowCounts,
         fileNulls = nullCounts,
+        constraints = keptConstraints,
+        uniques = if (keepPolicies) prev.uniques else Nil,
         // the batch watermark carries forward — a replace must not
         // reopen the door to a replayed streaming batch
         sourceBatchId = prev.sourceBatchId,
@@ -2273,9 +2321,15 @@ object TxLog {
     val bare = df.drop(provided.toSeq: _*)
     val n = bare.count()
     val idCols = ids.keys.toSeq.sorted
+    // NULLABLE on purpose: the values are never null, but a
+    // non-nullable field here would leak into any path that derives
+    // table DDL from the written frame (createOrReplace), and an
+    // `id BIGINT NOT NULL` table column breaks Spark's own
+    // omitted-identity-column INSERT resolution (it fills a NULL
+    // literal the engine then replaces)
     val outSchema = StructType(bare.schema.fields ++ idCols.map(c =>
       org.apache.spark.sql.types.StructField(c,
-        org.apache.spark.sql.types.LongType, nullable = false)))
+        org.apache.spark.sql.types.LongType, nullable = true)))
     val filled = df.sparkSession.createDataFrame(
       bare.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(

@@ -647,12 +647,17 @@ case class GraftTable(tableName: String, path: String,
               overwriteFilters match {
                 case None => TxLog.append(aligned, path)
                 case Some(Nil) =>
-                  // INSERT OVERWRITE: full redefinition in ONE commit,
-                  // layout kept, history kept
+                  // INSERT OVERWRITE: truncate + insert in ONE commit —
+                  // layout kept, history kept, and the table's
+                  // constraints/policies/identity marks CARRY and vet
+                  // the incoming rows (an overwrite is a data op, not a
+                  // redefinition — shedding the contract silently would
+                  // let the next insert write NULL surrogate ids)
                   TxLog.createOrReplace(aligned, path,
                     statsCols = m.statsCols,
                     partitionCols = m.partitionCols,
-                    hiddenPartitions = m.partitionSpec)
+                    hiddenPartitions = m.partitionSpec,
+                    keepPolicies = true)
                 case Some(filters) =>
                   // INSERT OVERWRITE ... PARTITION (p = v, ...): the
                   // atomic partition replacement verb

@@ -325,6 +325,40 @@ class TxLogDefaultsSpec extends SparkSpec {
       Seq(("id", "identity", "step=1 next=5")))
   }
 
+  test("INSERT OVERWRITE keeps the governance contract: policies vet, identity fills") {
+    val w = java.nio.file.Files.createTempDirectory("graft_idow").toString
+    val prev = spark.conf.getOption("graft.catalog.warehouse")
+    spark.conf.set("graft.catalog.warehouse", w)
+    try {
+      spark.sql("CREATE TABLE graft.owt (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, v DOUBLE)")
+      spark.sql("ALTER TABLE graft.owt ADD CONSTRAINT pos CHECK (v >= 0)")
+      spark.sql("INSERT INTO graft.owt (v) VALUES (1.0), (2.0)")
+      // overwrite = truncate + insert: identity keeps filling, the mark
+      // never regresses past ids the table already issued
+      spark.sql("INSERT OVERWRITE graft.owt (v) VALUES (9.0)")
+      val out = spark.sql("SELECT id, v FROM graft.owt")
+        .as[(Long, Double)].collect().toSeq
+      assert(out == Seq((3L, 9.0)), s"got $out")
+      // the carried CHECK still vets overwrite rows
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft.owt (v) VALUES (-5.0)") }
+      assert(e.getMessage.contains("pos"), e.getMessage)
+      assert(spark.sql("SELECT count(*) FROM graft.owt").head().getLong(0)
+        == 1L, "a refused overwrite must leave the table unchanged")
+      // and the NEXT plain insert still allocates (the policy survived)
+      spark.sql("INSERT INTO graft.owt (v) VALUES (4.0)")
+      val ids = spark.sql("SELECT id FROM graft.owt ORDER BY id")
+        .as[Long].collect().toSeq
+      assert(ids == Seq(3L, 4L), s"got $ids")
+      assert(graft.storage.TxLog.columnPolicies(spark, s"$w/owt")
+        .exists(_._2 == "identity"), "identity policy must survive overwrite")
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.catalog.warehouse", v)
+      case None => spark.conf.unset("graft.catalog.warehouse")
+    }
+  }
+
   test("IDENTITY through plain SQL: CREATE ... GENERATED ALWAYS AS IDENTITY") {
     val w = java.nio.file.Files.createTempDirectory("graft_idsql").toString
     val prev = spark.conf.getOption("graft.catalog.warehouse")
