@@ -515,9 +515,26 @@ object GraftCatalog {
   * write fallback into the transactional verbs. */
 case class GraftTable(tableName: String, path: String,
                       versionAsOf: Option[Long])
-  extends Table with SupportsWrite {
+  extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** TRUNCATE TABLE graft.t — empty the table in ONE commit, history
+    * kept, and (like INSERT OVERWRITE) the governance contract
+    * carries: constraints, policies and IDENTITY marks survive, so the
+    * next insert still vets and still allocates. */
+  override def truncateTable(): Boolean = {
+    require(versionAsOf.isEmpty,
+      s"graft.$tableName: cannot truncate a time-travel snapshot")
+    val m = manifest
+    val declared = StructType.fromDDL(m.schemaDdl)
+    TxLog.createOrReplace(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declared),
+      path, statsCols = m.statsCols, partitionCols = m.partitionCols,
+      hiddenPartitions = m.partitionSpec, keepPolicies = true)
+    true
+  }
 
   /** The V1 mount this table serves reads through — built by the SAME
     * provider as `spark.read.format("graft-txlog")`, so schema shape

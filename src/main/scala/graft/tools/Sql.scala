@@ -384,8 +384,15 @@ object Sql {
       case AppendTxnRe(path, appId, txnV, select) =>
         asDf(graft.storage.TxLog.appendTxn(spark.sql(select), rt(path),
           appId, txnV.toLong))
-      case AppendRe(path, select) =>
-        asDf(graft.storage.TxLog.append(spark.sql(select), rt(path)))
+      case AppendRe(path, select0) =>
+        // WITH SCHEMA EVOLUTION rides as a suffix of the SELECT capture
+        val AppendEv = """(?is)(.*?)\s+WITH\s+SCHEMA\s+EVOLUTION\s*$""".r
+        val (select, evolve) = select0 match {
+          case AppendEv(t) => (t, true)
+          case t => (t, false)
+        }
+        asDf(graft.storage.TxLog.append(spark.sql(select), rt(path),
+          evolveSchema = evolve))
       case MergeWhenStmt(path, keys, select, whenTail0) =>
         // trailing modifiers, either order: USING DELETION VECTORS
         // (merge-on-read) and WITH SCHEMA EVOLUTION (widen on commit)

@@ -359,6 +359,28 @@ class TxLogDefaultsSpec extends SparkSpec {
     }
   }
 
+  test("TRUNCATE TABLE: one commit, history kept, the contract survives") {
+    val w = java.nio.file.Files.createTempDirectory("graft_trnc").toString
+    val prev = spark.conf.getOption("graft.catalog.warehouse")
+    spark.conf.set("graft.catalog.warehouse", w)
+    try {
+      spark.sql("CREATE TABLE graft.trc (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, v DOUBLE)")
+      spark.sql("INSERT INTO graft.trc (v) VALUES (1.0), (2.0)")
+      spark.sql("TRUNCATE TABLE graft.trc")
+      assert(spark.sql("SELECT count(*) FROM graft.trc").head().getLong(0) == 0L)
+      // history kept: the pre-truncate snapshot still reads
+      // (v1 create, v2 identity policy, v3 insert, v4 truncate)
+      assert(graft.storage.TxLog.read(spark, s"$w/trc", Some(3L)).count() == 2L)
+      // the identity mark survived AND never regressed
+      spark.sql("INSERT INTO graft.trc (v) VALUES (7.0)")
+      assert(spark.sql("SELECT id FROM graft.trc").head().getLong(0) == 3L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.catalog.warehouse", v)
+      case None => spark.conf.unset("graft.catalog.warehouse")
+    }
+  }
+
   test("IDENTITY through plain SQL: CREATE ... GENERATED ALWAYS AS IDENTITY") {
     val w = java.nio.file.Files.createTempDirectory("graft_idsql").toString
     val prev = spark.conf.getOption("graft.catalog.warehouse")

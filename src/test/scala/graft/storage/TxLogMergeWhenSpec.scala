@@ -441,6 +441,13 @@ class TxLogMergeWhenSpec extends SparkSpec {
     val out2 = TxLog.read(spark, path2).orderBy("k")
       .select("k", "rank").as[(Long, Option[Int])].collect().toSeq
     assert(out2 == Seq((1L, Some(7)), (2L, Some(8))), s"got $out2")
+    // APPEND grammar, same suffix
+    graft.tools.Sql.exec(spark,
+      s"TXLOG APPEND INTO '$path2' SELECT CAST(3 AS BIGINT) AS k, " +
+        "'a' AS p, CAST(9.0 AS DOUBLE) AS amt, 1 AS rank, " +
+        "'x' AS note WITH SCHEMA EVOLUTION")
+    assert(TxLog.read(spark, path2).columns.contains("note"))
+    assert(TxLog.read(spark, path2).count() == 3)
   }
 
   test("evolveSchema in DV mode: widened commit, zero file rewrites") {
