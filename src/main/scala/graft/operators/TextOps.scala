@@ -191,6 +191,47 @@ object TextOps {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-BENCHMARK-item contamination report — the operational
+    * complement of [[decontaminateNgrams]]: that filters the corpus,
+    * this QUANTIFIES the leak per eval item so a curator can rank
+    * which benchmarks are burned and by how much. Output one row per
+    * benchmark doc: total distinct n-grams, how many of them appear
+    * anywhere in the corpus, the overlap fraction, and how many
+    * DISTINCT corpus documents carry at least one of them.
+    *
+    * Shape at 100 TB: the corpus explodes once (linear in corpus
+    * tokens, fixed-width hashes on the wire, never text) and
+    * immediately semi-joins the DISTINCT benchmark gram set (eval-
+    * suite-sized — AQE broadcasts it), so everything downstream of
+    * the one corpus pass is CANDIDATE-BOUNDED: the distinct and both
+    * aggregates run over matching grams only. */
+  def decontaminationReport(docs: DataFrame, benchmark: DataFrame,
+                            n: Int = 13, textCol: String = "text",
+                            idCol: String = "doc_id",
+                            benchIdCol: String = "bench_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val benchGrams =
+      explodeNgramHashes(benchmark, n, textCol, Seq(col(benchIdCol)))
+        .distinct()
+    val benchGramSet = benchGrams.select("g").distinct()
+    val matching = explodeNgramHashes(docs, n, textCol, Seq(col(idCol)))
+      .join(benchGramSet, "g")
+      .distinct() // (doc_id, g) of MATCHING grams only — candidate-bounded
+    val totals = benchGrams.groupBy(benchIdCol)
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = benchGrams.join(matching, "g")
+      .groupBy(benchIdCol)
+      .agg(countDistinct(col("g")).as("hit_grams"),
+        countDistinct(col(idCol)).as("corpus_docs"))
+    totals.join(hits, Seq(benchIdCol), "left")
+      .select(col(benchIdCol), col("n_grams"),
+        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
+        (coalesce(col("hit_grams"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("overlap_frac"),
+        coalesce(col("corpus_docs"), lit(0L)).as("corpus_docs"))
+      .orderBy(benchIdCol)
+  }
+
   /** Repetition-based quality signals (the Gopher/MassiveText repetition
     * rules, applied at the granularity this corpus has — words and word
     * bigrams, since the synthetic documents carry no line or sentence

@@ -145,6 +145,24 @@ object PipelineQueries {
       TextOps.decontaminateNgrams(docs, bench, n = 13)
         .select("doc_id").orderBy("doc_id")
     }),
+    // per-eval-item contamination REPORT: five benchmark items lifted
+    // verbatim from corpus docs (every gram leaks — overlap 1.0) plus
+    // five clean items built from tokens the corpus cannot contain
+    // (overlap 0.0); the gate checks the full quantification row-exact
+    "decontaminate_report" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat, concat_ws, sequence, size, slice, split, transform}
+      val docs = documents(s, d)
+      val lifted = docs
+        .filter(col("doc_id") < 5 && size(split(col("text"), " ")) >= 32)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 3, 28)).as("text"))
+      val clean = s.range(5).select(
+        (col("id") + 100L).as("bench_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(20)),
+          i => concat(lit("zz"), (col("id") + 100L).cast("string"),
+            lit("_"), i.cast("string")))).as("text"))
+      TextOps.decontaminationReport(docs, lifted.unionByName(clean), n = 13)
+    }),
     "text_rollhash" -> ((s, d) => TextOps.rollhash(documents(s, d))),
     "text_repetition" -> ((s, d) => TextOps.repetition(documents(s, d))),
     // sketch stays in its exact regime here (31 distinct tokens <<
@@ -1122,6 +1140,48 @@ object PipelineQueries {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+    // the contamination REPORT ≡ exact n-gram joins by CONTENT (the
+    // engines' md5 grams only ever join within one engine)
+    "decontaminate_report" ->
+      """WITH lifted AS (
+        |  SELECT doc_id AS bench_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 3, 30), ' ') AS text
+        |  FROM documents
+        |  WHERE doc_id < 5 AND len(string_split(text, ' ')) >= 32),
+        |clean AS (
+        |  SELECT 100 + d AS bench_id,
+        |    array_to_string(list_transform(range(1, 21),
+        |      i -> 'zz' || CAST(100 + d AS VARCHAR) || '_' || CAST(i AS VARCHAR)),
+        |      ' ') AS text
+        |  FROM range(5) t(d)),
+        |bench AS (SELECT * FROM lifted UNION ALL SELECT * FROM clean),
+        |bpos AS (
+        |  SELECT bench_id, string_split(text, ' ') AS toks,
+        |    unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 12, 0))) AS i
+        |  FROM bench),
+        |bgrams AS (
+        |  SELECT DISTINCT bench_id,
+        |    md5(array_to_string(list_slice(toks, i, i + 12), ' ')) AS g
+        |  FROM bpos),
+        |dpos AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 12, 0))) AS i
+        |  FROM documents),
+        |cgrams AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(list_slice(toks, i, i + 12), ' ')) AS g
+        |  FROM dpos),
+        |totals AS (SELECT bench_id, count(*) AS n_grams FROM bgrams GROUP BY 1),
+        |hits AS (
+        |  SELECT b.bench_id, count(DISTINCT b.g) AS hit_grams,
+        |         count(DISTINCT c.doc_id) AS corpus_docs
+        |  FROM bgrams b JOIN cgrams c USING (g) GROUP BY 1)
+        |SELECT t.bench_id, t.n_grams,
+        |  CAST(COALESCE(h.hit_grams, 0) AS BIGINT) AS hit_grams,
+        |  CAST(COALESCE(h.hit_grams, 0) AS DOUBLE) / t.n_grams AS overlap_frac,
+        |  CAST(COALESCE(h.corpus_docs, 0) AS BIGINT) AS corpus_docs
+        |FROM totals t LEFT JOIN hits h ON t.bench_id = h.bench_id
+        |ORDER BY t.bench_id""".stripMargin,
     "dedup_components" ->
       """SELECT range AS doc_id, range - (range % 50) AS component
         |FROM range(0, 1000) ORDER BY doc_id""".stripMargin,
