@@ -2319,22 +2319,43 @@ object TxLog {
           "explicit values are refused (the engine assigns them)")
     }
     val bare = df.drop(provided.toSeq: _*)
-    val n = bare.count()
+    // dense row index WITHOUT leaving the DataFrame engine (an RDD
+    // zipWithIndex measured 1.7x a plain append at 6M rows — the Row
+    // round-trip, not the passes): monotonically_increasing_id encodes
+    // (partitionId << 33 | rowInPartition), so one count pass keyed by
+    // the encoded partition id yields per-partition offsets (a bounded
+    // driver map — one entry per task), and the write pass computes
+    // offset + rowInPartition as pure codegen'd projection. Same
+    // two-pass stability assumption as zipWithIndex: partition COUNTS
+    // must agree between the passes (deterministic plans do).
+    import org.apache.spark.sql.functions.{element_at, lit => flit,
+      monotonically_increasing_id, shiftright, typedlit}
+    val withMono = bare.withColumn("_graft_mono",
+      monotonically_increasing_id())
+    val counts = withMono
+      .groupBy(shiftright(col("_graft_mono"), 33).as("_pid"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets: Map[Long, Long] = {
+      var acc = 0L
+      counts.map { case (pid, c) =>
+        val off = acc; acc += c; pid -> off
+      }.toMap
+    }
+    val rowIdx =
+      element_at(typedlit(offsets), shiftright(col("_graft_mono"), 33)) +
+        col("_graft_mono").bitwiseAND(flit((1L << 33) - 1))
     val idCols = ids.keys.toSeq.sorted
-    // NULLABLE on purpose: the values are never null, but a
-    // non-nullable field here would leak into any path that derives
-    // table DDL from the written frame (createOrReplace), and an
-    // `id BIGINT NOT NULL` table column breaks Spark's own
-    // omitted-identity-column INSERT resolution (it fills a NULL
-    // literal the engine then replaces)
-    val outSchema = StructType(bare.schema.fields ++ idCols.map(c =>
-      org.apache.spark.sql.types.StructField(c,
-        org.apache.spark.sql.types.LongType, nullable = true)))
-    val filled = df.sparkSession.createDataFrame(
-      bare.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(
-          r.toSeq ++ idCols.map(c => ids(c)._2 + ids(c)._1 * i))
-      }, outSchema)
+    // NULLABLE on purpose: a non-nullable field here would leak into
+    // any path that derives table DDL from the written frame
+    // (createOrReplace), and an `id BIGINT NOT NULL` table column
+    // breaks Spark's own omitted-identity-column INSERT resolution
+    // (it fills a NULL literal the engine then replaces)
+    val filled = idCols.foldLeft(withMono) { (d, c) =>
+      d.withColumn(c,
+        (flit(ids(c)._2) + flit(ids(c)._1) * rowIdx).cast("bigint"))
+    }.drop("_graft_mono")
     (filled, ids.map { case (c, (step, next)) =>
       c -> (next, next + step * n) })
   }
