@@ -4795,6 +4795,11 @@ object TxLog {
     val m = manifest(spark, path, v)
     // per-app idempotency lane: a replayed feed window skips whole
     if (txn.exists { case (a, tv) => m.txns.get(a).exists(_ >= tv) }) return v
+    require(identityColumns(m).isEmpty,
+      s"TxLog.applyChanges: table has IDENTITY column(s) " +
+        s"${identityColumns(m).keys.mkString(", ")} — a CDC feed carries " +
+        "explicit id values; a REPLICA of an identity table should not " +
+        "re-declare IDENTITY (the source already allocated)")
     val pcs = m.partitionCols
     require(pcs.nonEmpty,
       "TxLog.applyChanges needs a partitioned table (create with partitionCol[s])")

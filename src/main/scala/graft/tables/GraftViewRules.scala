@@ -37,7 +37,12 @@ import org.apache.spark.sql.{Row, SparkSession}
 case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def graftCatalog(name: String): Option[GraftCatalog] =
-    try spark.sessionState.catalogManager.catalog(name) match {
+    // conf guard first: this probe runs for every relation of every
+    // query (2-part names like `db.table` would otherwise pay a
+    // CatalogNotFoundException per reference on the analysis hot path)
+    if (!spark.conf.getOption(s"spark.sql.catalog.$name")
+        .contains(classOf[GraftCatalog].getName)) None
+    else try spark.sessionState.catalogManager.catalog(name) match {
       case g: GraftCatalog => Some(g)
       case _ => None
     } catch { case _: Exception => None }

@@ -304,6 +304,13 @@ class TxLogDefaultsSpec extends SparkSpec {
     TxLog.append(Seq("d").toDF("v"), path)
     assert(TxLog.read(spark, path).filter(col("v") === "d")
       .select("id").as[Long].head() == 4L)
+    // a CDC feed carries explicit ids — refused (replicas of identity
+    // tables should not re-declare IDENTITY; the source allocated)
+    val e3 = intercept[IllegalArgumentException] {
+      TxLog.applyChanges(path,
+        Seq((9L, "x", "insert")).toDF("id", "v", "_change_type"), Seq("id"))
+    }
+    assert(e3.getMessage.contains("IDENTITY"), e3.getMessage)
   }
 
   test("IDENTITY under the idempotent lanes: replays never re-allocate") {
