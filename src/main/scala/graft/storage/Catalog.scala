@@ -47,8 +47,12 @@ object Catalog {
   // graft-named relation per resolver pass (the view rule especially),
   // and on an object store each read is an RPC + GET. Keying the
   // parsed map on (mtime, length) turns that into ONE status probe per
-  // read — still always-fresh (every registry write renames a new
-  // file into place, changing both), never a TTL guess.
+  // read, never a TTL guess. Honest scope: SAME-JVM freshness is exact
+  // (mutateAt refreshes the cache under the registry lock); a
+  // DIFFERENT process observing a same-length rewrite within one mtime
+  // tick could read stale — a narrower instance of the registry's
+  // documented cross-process model (last-writer-wins, no cross-process
+  // lock), not a new coherence class.
   private val parseCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Map[String, String])]()
 

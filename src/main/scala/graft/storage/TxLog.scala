@@ -1754,10 +1754,12 @@ object TxLog {
     // CARRIED definitions and vet the rows before staging anything —
     // within-batch UNIQUE enforcement IS whole-table enforcement here,
     // since the batch becomes the whole table
-    val (df1, idClaims) =
-      if (!keepPolicies) (df, Map.empty[String, (Long, Long)])
-      else {
-        val base = manifest(spark, path, currentVersion(spark, path).get)
+    val policyBase: Option[Manifest] =
+      if (!keepPolicies) None
+      else Some(manifest(spark, path, currentVersion(spark, path).get))
+    val (df1, idClaims) = policyBase match {
+      case None => (df, Map.empty[String, (Long, Long)])
+      case Some(base) =>
         val declared = StructType.fromDDL(base.schemaDdl)
         val filledPolicy = fillPolicyColumns(df, base, declared)
         val (filled, claims) =
@@ -1768,7 +1770,7 @@ object TxLog {
           "INSERT OVERWRITE (whole table)")
         (filled.select(declared.fieldNames.map(
           org.apache.spark.sql.functions.col).toIndexedSeq: _*), claims)
-      }
+    }
     val files = stageIn(df1, path, layout, transforms)
     val (stats, rowCounts, nullCounts) =
       collectStats(spark, path, df1.schema, statsCols, files,
@@ -1778,6 +1780,22 @@ object TxLog {
       val v = currentVersion(spark, path).get
       val prev = manifest(spark, path, v)
       requireWritable(prev, path)
+      // the rows were vetted/filled under policyBase's policy set — a
+      // retry against a head whose DEFINITIONS changed (interleaved
+      // ADD CONSTRAINT / setColumnIdentity) would carry a contract the
+      // rows were never checked against: recompute instead (the same
+      // rule commitRebase enforces)
+      policyBase.foreach { base =>
+        def nonIdentity(cs: Seq[(String, String)]) =
+          cs.filterNot(_._1.startsWith(IdentityPrefix))
+        if (nonIdentity(prev.constraints) != nonIdentity(base.constraints) ||
+            prev.uniques != base.uniques ||
+            identityColumns(prev).keySet != identityColumns(base).keySet)
+          throw new CommitConflictException(
+            s"TxLog.createOrReplace: concurrent constraint/policy change " +
+              s"at $path (v${base.version} -> v${prev.version}) — " +
+              "re-validate and recompute against the new snapshot")
+      }
       // carried policies: identity marks never regress — the max of
       // this fill's claim and the replaced head's own mark
       val keptConstraints =
@@ -2591,6 +2609,10 @@ object TxLog {
         require(!generatedColumns(m).contains(colName),
           s"TxLog.setColumnDefault: '$colName' is GENERATED — its value " +
             "always computes from the generation expression")
+        require(!identityColumns(m).contains(colName),
+          s"TxLog.setColumnDefault: '$colName' is GENERATED ALWAYS AS " +
+            "IDENTITY — the engine assigns it; a DEFAULT would fill an " +
+            "explicit value the identity gate then refuses")
         (m.constraints.filterNot(_._1 == DefaultPrefix + colName) :+
           (DefaultPrefix + colName -> default), m.uniques)
       },
@@ -4065,6 +4087,17 @@ object TxLog {
       widened.fields.filterNot(f => declared.fieldNames.contains(f.name))
         .foldLeft(df)((d, f) =>
           d.withColumn(f.name, lit(null).cast(f.dataType)))
+    // a no-op merge under evolveSchema still WIDENS: schema presence
+    // must not depend on whether this particular batch matched rows
+    // (the CDC window that grew a column but touched nothing would
+    // otherwise leave the table unwidened AND seal its txn lane, so
+    // the widening never retries). The widen commit also seals.
+    def sealOrWiden(op: String): Long =
+      if (evolveSchema && widened.toDDL != m.schemaDdl)
+        commitRebase(spark, path, m, rewriteDirs = Set.empty,
+          newFiles = Nil, schemaDdl = widened.toDDL, batchId = None,
+          readSet = Some(Set.empty), operation = s"$op (WIDEN)", txn = txn)
+      else sealNoopTxn(spark, path, m, txn, op)
     require(!widened.fieldNames.contains("src"),
       "TxLog.mergeWhen: the table has a column literally named 'src' — " +
         "the clause namespace reserves it for the source-row struct")
@@ -4217,7 +4250,7 @@ object TxLog {
       val scanFiles: Seq[String] =
         if (notMatchedBySource.nonEmpty) m.files else discoveryFiles
       if (scanFiles.isEmpty && inserts.isEmpty)
-        return sealNoopTxn(spark, path, m, txn, "MERGE WHEN (DV)")
+        return sealOrWiden("MERGE WHEN (DV)")
       val tmp = new Path(path,
         s"_tmp_update_${java.util.UUID.randomUUID().toString.take(12)}")
       val fsx = fsFor(spark, path)
@@ -4262,7 +4295,7 @@ object TxLog {
         val staged = written.map(w => stageIn(toPhysical(w, m.colMap), path,
           physPartCols(m), transformsOf(m))).getOrElse(Nil)
         if (addDv.isEmpty && staged.isEmpty) // nothing matched any clause
-          return sealNoopTxn(spark, path, m, txn, "MERGE WHEN (DV)")
+          return sealOrWiden("MERGE WHEN (DV)")
         return commitRebase(spark, path, m, rewriteDirs = Set.empty,
           newFiles = staged, schemaDdl = widened.toDDL, batchId = None,
           readSet = None, operation = "MERGE WHEN (DV)", addDv = addDv,
@@ -4292,7 +4325,7 @@ object TxLog {
       if (deletes.isEmpty) acted
       else acted.filter(!col("_act").isInCollection(deletes)))
     if (scopeFiles.isEmpty && inserts.isEmpty)
-      return sealNoopTxn(spark, path, m, txn, "MERGE WHEN")
+      return sealOrWiden("MERGE WHEN")
     val written = inserts.fold(rewritten)(rewritten.unionByName(_))
     vetWritten(written, "mergeWhen")
     val newFiles = stageIn(toPhysical(written, m.colMap), path,

@@ -175,12 +175,39 @@ class GraftCatalog extends TableCatalog
       org.apache.spark.sql.types.StructField(
         c.name, c.dataType, c.nullable, mb.build())
     })
+    // pre-validate what setColumnIdentity would otherwise refuse AFTER
+    // the name registered — a failed CREATE must not leave a
+    // registered table with half its declared contract
+    identities.foreach { case (c, _, _) =>
+      val layoutSrcs =
+        partitions.flatMap(_.references().flatMap(_.fieldNames())).toSet
+      if (layoutSrcs.contains(c)) throw new IllegalArgumentException(
+        s"$catName.${ident.name}.$c: an IDENTITY column may not drive " +
+          "the partition layout — engine-assigned values must not " +
+          "choose directories")
+    }
     val t = createTable(ident, schema, partitions, properties)
     if (identities.isEmpty) t
     else {
       val path = entries(ident.name)
-      identities.foreach { case (c, start, step) =>
+      try identities.foreach { case (c, start, step) =>
         TxLog.setColumnIdentity(spark, path, c, start, step) }
+      catch {
+        case e: Throwable =>
+          // a failed CREATE must not leave a registered table missing
+          // half its declared contract: unregister, and sweep the dir
+          // only when this create chose it (warehouse-local — an
+          // explicit LOCATION may hold foreign data, so it stays for
+          // inspection like an aborted CTAS)
+          Catalog.mutateAt(spark, warehouse, _ - ident.name)
+          if (properties.get(TableCatalog.PROP_LOCATION) == null)
+            try {
+              val p = new Path(path)
+              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                .delete(p, true)
+            } catch { case _: java.io.IOException => () }
+          throw e
+      }
       loadTable(ident)
     }
   }
@@ -529,9 +556,12 @@ case class GraftTable(tableName: String, path: String,
       s"graft.$tableName: cannot truncate a time-travel snapshot")
     val m = manifest
     val declared = StructType.fromDDL(m.schemaDdl)
+    // hidden layouts store the DERIVED dir names in partitionCols —
+    // passing both would trip createOrReplace's exclusivity gate
     TxLog.createOrReplace(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declared),
-      path, statsCols = m.statsCols, partitionCols = m.partitionCols,
+      path, statsCols = m.statsCols,
+      partitionCols = if (m.partitionSpec.isEmpty) m.partitionCols else Nil,
       hiddenPartitions = m.partitionSpec, keepPolicies = true)
     true
   }
@@ -670,9 +700,13 @@ case class GraftTable(tableName: String, path: String,
                   // the incoming rows (an overwrite is a data op, not a
                   // redefinition — shedding the contract silently would
                   // let the next insert write NULL surrogate ids)
+                  // hidden layouts store the DERIVED dir names in
+                  // partitionCols — pass the spec only (the combo
+                  // trips createOrReplace's exclusivity gate)
                   TxLog.createOrReplace(aligned, path,
                     statsCols = m.statsCols,
-                    partitionCols = m.partitionCols,
+                    partitionCols =
+                      if (m.partitionSpec.isEmpty) m.partitionCols else Nil,
                     hiddenPartitions = m.partitionSpec,
                     keepPolicies = true)
                 case Some(filters) =>

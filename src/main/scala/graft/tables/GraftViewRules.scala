@@ -244,8 +244,16 @@ case class GraftShowViewsCommand(catalogName: String, catalog: GraftCatalog,
                                  override val output: Seq[Attribute])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val re = pattern.map(p =>
-      ("(?i)^" + p.replace("*", ".*").replace("|", "|") + "$").r)
+    // SHOW-pattern grammar, not raw regex: '*' = any sequence, '|' =
+    // alternation, everything else LITERAL (quoted — 'a.b' must not
+    // match 'aXb', 'my+view' must not throw)
+    val re = pattern.map { p =>
+      ("(?i)^(" + p.split("\\|").map(alt =>
+        alt.split("\\*", -1).map {
+          case "" => ""
+          case lit => java.util.regex.Pattern.quote(lit)
+        }.mkString(".*")).mkString("|") + ")$").r
+    }
     catalog.listViews().map(_.name).toSeq.sorted
       .filter(n => re.forall(_.findFirstIn(n).isDefined))
       .map(n => Row(catalogName, n, false))

@@ -281,7 +281,13 @@ object Sql {
     var start = 0; var depth = 0; var quote: Char = 0; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) {
+        // Spark string literals escape with BACKSLASH as well as the
+        // doubled-quote form — skip the escaped char so a literal like
+        // 'it\'s; done' cannot fake a top-level semicolon
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == quote) quote = 0
+      }
       else if (c == '\'' || c == '"') quote = c
       else if (c == '(') depth += 1
       else if (c == ')') depth -= 1

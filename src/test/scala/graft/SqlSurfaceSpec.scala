@@ -387,6 +387,21 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("TXN block: a backslash-escaped quote with a semicolon inside a literal") {
+    withTxnWarehouse { w =>
+      graft.tools.Sql.exec(spark,
+        "TXLOG CREATE 'esc' AS SELECT CAST(1 AS BIGINT) AS k, 'x' AS v")
+      graft.tools.Sql.exec(spark,
+        "TXLOG TXN BEGIN; " +
+          "TXLOG APPEND INTO 'esc' SELECT CAST(2 AS BIGINT) AS k, " +
+          "'it\\'s; done' AS v; " +
+          "COMMIT")
+      assert(graft.storage.Catalog.table(spark, "esc")
+        .filter(org.apache.spark.sql.functions.col("k") === 2L)
+        .select("v").as[String].head() == "it's; done")
+    }
+  }
+
   test("CALL graft.system.transact: the catalog-native spelling") {
     withTxnWarehouse { w =>
       graft.tools.Sql.exec(spark,

@@ -464,6 +464,30 @@ class GraftCatalogSpec extends SparkSpec {
       assert(spark.sql("SELECT id FROM graft.vnamed").head().getLong(0) == 1L)
       intercept[Exception] {
         spark.sql("ALTER VIEW graft.vmissing AS SELECT 1 AS x") }
+      // SHOW VIEWS LIKE: SHOW-pattern grammar, metachars are literal
+      assert(spark.sql("SHOW VIEWS IN graft LIKE 'vna*'").count() == 1L)
+      assert(spark.sql("SHOW VIEWS IN graft LIKE 'v.amed'").count() == 0L)
+      assert(spark.sql("SHOW VIEWS IN graft LIKE 'nope|vnamed'").count() == 1L)
+    }
+  }
+
+  test("INSERT OVERWRITE and TRUNCATE work on hidden-partitioned tables") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.hidow (k BIGINT, v DOUBLE) " +
+        "PARTITIONED BY (bucket(4, k))")
+      spark.sql("INSERT INTO graft.hidow VALUES (1, 1.0), (2, 2.0)")
+      spark.sql("INSERT OVERWRITE graft.hidow VALUES (9, 9.0)")
+      val out = spark.sql("SELECT k, v FROM graft.hidow")
+        .as[(Long, Double)].collect().toSeq
+      assert(out == Seq((9L, 9.0)), s"got $out")
+      // the hidden layout survived the overwrite
+      val m = TxLog.manifest(spark, s"$w/hidow",
+        TxLog.currentVersion(spark, s"$w/hidow").get)
+      assert(m.partitionSpec == Seq("bucket(4, k)"), m.partitionSpec.toString)
+      spark.sql("TRUNCATE TABLE graft.hidow")
+      assert(spark.sql("SELECT count(*) FROM graft.hidow").head().getLong(0) == 0L)
+      spark.sql("INSERT INTO graft.hidow VALUES (3, 3.0)")
+      assert(spark.sql("SELECT k FROM graft.hidow").head().getLong(0) == 3L)
     }
   }
 

@@ -366,6 +366,40 @@ class TxLogDefaultsSpec extends SparkSpec {
     }
   }
 
+  test("policy cross-guards: no DEFAULT on identity; failed identity CREATE leaves nothing") {
+    val path = freshPath("idguard")
+    emptyIdTable(path)
+    // a DEFAULT would fill an explicit value the identity gate refuses
+    val e = intercept[IllegalArgumentException] {
+      TxLog.setColumnDefault(spark, path, "id", "42")
+    }
+    assert(e.getMessage.contains("IDENTITY"), e.getMessage)
+    // SQL: an identity column driving the partition layout refuses
+    // UPFRONT — and the refused CREATE registers nothing
+    val w = java.nio.file.Files.createTempDirectory("graft_idg2").toString
+    val prev = spark.conf.getOption("graft.catalog.warehouse")
+    spark.conf.set("graft.catalog.warehouse", w)
+    try {
+      val e2 = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.idpart (" +
+          "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) " +
+          "PARTITIONED BY (bucket(4, id))")
+      }
+      assert(e2.getMessage.contains("IDENTITY") ||
+        e2.getMessage.contains("layout"), e2.getMessage)
+      assert(spark.sql("SHOW TABLES IN graft").count() == 0L,
+        "a refused CREATE must register nothing")
+      // the corrected CREATE succeeds on the same name
+      spark.sql("CREATE TABLE graft.idpart (" +
+        "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
+      spark.sql("INSERT INTO graft.idpart (v) VALUES ('a')")
+      assert(spark.sql("SELECT id FROM graft.idpart").head().getLong(0) == 1L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.catalog.warehouse", v)
+      case None => spark.conf.unset("graft.catalog.warehouse")
+    }
+  }
+
   test("TRUNCATE TABLE: one commit, history kept, the contract survives") {
     val w = java.nio.file.Files.createTempDirectory("graft_trnc").toString
     val prev = spark.conf.getOption("graft.catalog.warehouse")

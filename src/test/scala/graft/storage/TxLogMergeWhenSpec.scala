@@ -450,6 +450,26 @@ class TxLogMergeWhenSpec extends SparkSpec {
     assert(TxLog.read(spark, path2).count() == 3)
   }
 
+  test("evolveSchema: a merge whose clauses all no-op still widens") {
+    val path = freshPath("evnoop")
+    seed(path)
+    // source keys hit nothing, no INSERT clause: the data no-ops, but
+    // the schema widening must still commit (and seal the txn lane)
+    val src = Seq((99L, "x", 1.0, "gold")).toDF("k", "status", "amt", "tier")
+    TxLog.mergeWhen(path, src, Seq("k"),
+      matched = Seq(MergeClause(None, "update", Seq("amt" -> "src.amt"))),
+      txn = Some("cdc" -> 7L), evolveSchema = true)
+    assert(TxLog.read(spark, path).columns.contains("tier"),
+      "a no-op evolution merge must still widen the schema")
+    assert(TxLog.read(spark, path).count() == 4)
+    // the txn lane sealed with the widen: a replay skips whole
+    val v = TxLog.currentVersion(spark, path).get
+    TxLog.mergeWhen(path, src, Seq("k"),
+      matched = Seq(MergeClause(None, "update", Seq("amt" -> "src.amt"))),
+      txn = Some("cdc" -> 7L), evolveSchema = true)
+    assert(TxLog.currentVersion(spark, path).contains(v), "replay must skip")
+  }
+
   test("evolveSchema in DV mode: widened commit, zero file rewrites") {
     val path = freshPath("evolvedv")
     seed(path)
