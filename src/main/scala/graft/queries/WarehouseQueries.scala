@@ -1611,6 +1611,31 @@ object WarehouseQueries {
       .orderBy("surrogate_id")
   }
 
+  /** INSERT OVERWRITE through the driver gate, in plain SQL: CTAS a
+    * slice, append another, then OVERWRITE with a repriced third — the
+    * truncate+insert shape (one commit, history kept, policies carry;
+    * the keepPolicies door). The oracle is simply the overwrite's own
+    * recompute: anything surviving from the earlier inserts, or any
+    * loss from the overwrite, hash-mismatches. */
+  def txlogOverwrite(s: SparkSession, d: String): DataFrame = {
+    val wh = sys.props("java.io.tmpdir") + "/graft_txlog_ow_wh"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(wh), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+    s.conf.set("graft.catalog.warehouse", wh)
+    orders(s, d).select("o_orderkey", "o_totalprice")
+      .createOrReplaceTempView("txlog_ow_src")
+    s.sql("CREATE TABLE graft.ow_orders AS " +
+      "SELECT * FROM txlog_ow_src WHERE o_orderkey % 3 = 0")
+    s.sql("INSERT INTO graft.ow_orders " +
+      "SELECT * FROM txlog_ow_src WHERE o_orderkey % 3 = 1")
+    s.sql("INSERT OVERWRITE graft.ow_orders " +
+      "SELECT o_orderkey, o_totalprice * 2 AS o_totalprice " +
+      "FROM txlog_ow_src WHERE o_orderkey % 5 = 0")
+    s.sql("SELECT o_orderkey, o_totalprice FROM graft.ow_orders " +
+      "ORDER BY o_orderkey")
+  }
+
   /** DEFAULT + GENERATED columns through the driver gate: create from
     * half the orders, ADD COLUMN ... DEFAULT and ADD COLUMN ...
     * GENERATED AS (both metadata-only — pre-existing rows read null),
@@ -1640,6 +1665,7 @@ object WarehouseQueries {
     "q_txlog_sql" -> txlogSql _,
     "q_txlog_merge_evolve" -> txlogMergeEvolve _,
     "q_txlog_identity" -> txlogIdentity _,
+    "q_txlog_overwrite" -> txlogOverwrite _,
     "q_txlog" -> txlog _,
     "q_txlog_dv" -> txlogDv _,
     "q_txlog_dv_batch" -> txlogDvBatch _,
@@ -1822,6 +1848,12 @@ object WarehouseQueries {
         |       CAST(CASE WHEN surrogate_id <= (SELECT n0 FROM e)
         |                 THEN 0 ELSE 1 END AS BIGINT) AS era
         |FROM t ORDER BY surrogate_id""".stripMargin,
+    // INSERT OVERWRITE ≡ the overwrite's own recompute — survivors
+    // from the pre-overwrite inserts would hash-mismatch
+    "q_txlog_overwrite" ->
+      """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     // a file-granular UPDATE ≡ a CASE-WHEN recompute over the source
     "q_txlog_update" ->
       """SELECT o_orderkey,
