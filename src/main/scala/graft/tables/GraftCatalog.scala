@@ -229,7 +229,7 @@ class GraftCatalog extends TableCatalog
     GraftCatalog.identitiesOf(s"$catName.${ident.name}", schema)
       .foreach { case (c, start, step) =>
         TxLog.setColumnIdentity(spark, path, c, start, step) }
-    Catalog.mutateAt(spark, warehouse, _ + (ident.name -> path))
+    registerName(ident.name, path)
     GraftTable(ident.name, path, None)
   }
 
@@ -289,8 +289,17 @@ class GraftCatalog extends TableCatalog
       explicit, hidden, defaults, replacing)
   }
 
+  /** Atomic check-and-register: a name concurrently taken by a
+    * DIFFERENT definition refuses inside the registry lock (a racing
+    * creator must lose loudly, never overwrite); re-registering the
+    * same name → path is idempotent (the replace flows re-land it). */
   private[tables] def registerName(name: String, path: String): Unit =
-    Catalog.mutateAt(spark, warehouse, _ + (name -> path))
+    Catalog.mutateAt(spark, warehouse, m => m.get(name) match {
+      case Some(p) if p == path => m
+      case Some(_) => throw new TableAlreadyExistsException(
+        Identifier.of(Array.empty, name))
+      case None => m + (name -> path)
+    })
 
   /** DDL that maps onto the metadata-only ALTER verbs; anything else
     * refuses loudly rather than pretending. */
@@ -409,14 +418,19 @@ class GraftCatalog extends TableCatalog
   override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
       : org.apache.spark.sql.connector.catalog.View = {
     checkNs(info.ident.namespace)
-    if (entries.contains(info.ident.name))
-      throw new TableAlreadyExistsException(info.ident)
-    if (viewEntries.contains(info.ident.name))
-      throw new org.apache.spark.sql.catalyst.analysis
-        .ViewAlreadyExistsException(info.ident)
     val payload = GraftView.encode(info)
-    Catalog.mutateAt(spark, warehouse,
-      _ + (info.ident.name -> (GraftCatalog.ViewTag + payload)))
+    // existence checks run INSIDE the registry mutation (atomic
+    // check-and-insert) — a racing CREATE TABLE/VIEW of the same name
+    // must lose loudly, not overwrite
+    Catalog.mutateAt(spark, warehouse, { m =>
+      m.get(info.ident.name) match {
+        case Some(v) if v.startsWith(GraftCatalog.ViewTag) =>
+          throw new org.apache.spark.sql.catalyst.analysis
+            .ViewAlreadyExistsException(info.ident)
+        case Some(_) => throw new TableAlreadyExistsException(info.ident)
+        case None => m + (info.ident.name -> (GraftCatalog.ViewTag + payload))
+      }
+    })
     GraftView(info.ident.name, payload)
   }
 
@@ -424,13 +438,17 @@ class GraftCatalog extends TableCatalog
                            orCreate: Boolean)
       : org.apache.spark.sql.connector.catalog.View = {
     checkNs(info.ident.namespace)
-    if (entries.contains(info.ident.name))
-      throw new TableAlreadyExistsException(info.ident)
-    if (!orCreate && !viewEntries.contains(info.ident.name))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident)
     val payload = GraftView.encode(info)
-    Catalog.mutateAt(spark, warehouse,
-      _ + (info.ident.name -> (GraftCatalog.ViewTag + payload)))
+    Catalog.mutateAt(spark, warehouse, { m =>
+      m.get(info.ident.name) match {
+        case Some(v) if !v.startsWith(GraftCatalog.ViewTag) =>
+          throw new TableAlreadyExistsException(info.ident)
+        case None if !orCreate =>
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchViewException(info.ident)
+        case _ => m + (info.ident.name -> (GraftCatalog.ViewTag + payload))
+      }
+    })
     GraftView(info.ident.name, payload)
   }
 
@@ -442,13 +460,16 @@ class GraftCatalog extends TableCatalog
 
   override def renameView(old: Identifier, to: Identifier): Unit = {
     checkNs(to.namespace)
-    val payload = viewEntries.getOrElse(old.name,
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(old))
-    if (entries.contains(to.name) || viewEntries.contains(to.name))
-      throw new org.apache.spark.sql.catalyst.analysis
-        .ViewAlreadyExistsException(to)
-    Catalog.mutateAt(spark, warehouse,
-      m => m - old.name + (to.name -> (GraftCatalog.ViewTag + payload)))
+    Catalog.mutateAt(spark, warehouse, { m =>
+      val payload = m.get(old.name)
+        .filter(_.startsWith(GraftCatalog.ViewTag))
+        .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchViewException(old))
+      if (m.contains(to.name))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(to)
+      m - old.name + (to.name -> payload)
+    })
   }
 
   override def alterView(ident: Identifier,
