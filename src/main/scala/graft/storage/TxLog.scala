@@ -1727,25 +1727,45 @@ object TxLog {
                       partitionCols: Seq[String] = Nil,
                       hiddenPartitions: Seq[String] = Nil,
                       keepPolicies: Boolean = false): Long = {
-    require(partitionCol.isEmpty || partitionCols.isEmpty,
+    val spark = df.sparkSession
+    // truncate+insert (keepPolicies): the table's OWN definition is
+    // the contract — layout, stats columns and schema all derive from
+    // the head manifest, so no caller has to re-encode the layout-
+    // exclusivity rules (the leak that broke hidden-partitioned
+    // overwrites); a redefinition takes them from the arguments
+    val policyBase: Option[Manifest] =
+      if (!keepPolicies) None
+      else Some(manifest(spark, path, currentVersion(spark, path)
+        .getOrElse(throw new IllegalArgumentException(
+          s"TxLog.createOrReplace(keepPolicies): no table at $path — " +
+            "truncate+insert semantics need an existing definition"))))
+    val resolvedStats = policyBase.map(_.statsCols).getOrElse(statsCols)
+    val resolvedPartCols = policyBase
+      .map(b => if (b.partitionSpec.isEmpty) b.partitionCols else Nil)
+      .getOrElse(partitionCols)
+    val resolvedHidden =
+      policyBase.map(_.partitionSpec).getOrElse(hiddenPartitions)
+    require(keepPolicies ||
+        partitionCol.isEmpty || resolvedPartCols.isEmpty,
       "TxLog.createOrReplace: pass partitionCol OR partitionCols, not both")
-    require(hiddenPartitions.isEmpty ||
-        (partitionCol.isEmpty && partitionCols.isEmpty),
+    require(resolvedHidden.isEmpty ||
+        (partitionCol.isEmpty && resolvedPartCols.isEmpty),
       "TxLog.createOrReplace: hiddenPartitions and explicit partition " +
         "columns are mutually exclusive")
     val transforms =
-      PartitionTransforms.parseAll(hiddenPartitions, df.schema)
+      PartitionTransforms.parseAll(resolvedHidden, df.schema)
     transforms.foreach(t => require(!df.schema.fieldNames.contains(t.dirName),
       s"TxLog.createOrReplace: derived partition name '${t.dirName}' " +
         "collides with a schema column"))
     val layout =
       if (transforms.nonEmpty) transforms.map(_.dirName)
-      else if (partitionCols.nonEmpty) partitionCols else partitionCol.toSeq
-    val spark = df.sparkSession
+      else if (resolvedPartCols.nonEmpty) resolvedPartCols
+      else if (keepPolicies) Nil
+      else partitionCol.toSeq
     if (currentVersion(spark, path).isEmpty)
-      return create(df, path, None, statsCols,
-        if (transforms.nonEmpty) Nil else layout, hiddenPartitions)
-    statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      return create(df, path, None, resolvedStats,
+        if (transforms.nonEmpty) Nil else layout, resolvedHidden)
+    resolvedStats.foreach(c => require(df.schema.fieldNames.contains(c),
       s"TxLog.createOrReplace: stats column '$c' is not in the schema"))
     if (transforms.isEmpty)
       layout.foreach(c => require(df.schema.fieldNames.contains(c),
@@ -1754,9 +1774,6 @@ object TxLog {
     // CARRIED definitions and vet the rows before staging anything —
     // within-batch UNIQUE enforcement IS whole-table enforcement here,
     // since the batch becomes the whole table
-    val policyBase: Option[Manifest] =
-      if (!keepPolicies) None
-      else Some(manifest(spark, path, currentVersion(spark, path).get))
     val (df1, idClaims) = policyBase match {
       case None => (df, Map.empty[String, (Long, Long)])
       case Some(base) =>
@@ -1773,7 +1790,7 @@ object TxLog {
     }
     val files = stageIn(df1, path, layout, transforms)
     val (stats, rowCounts, nullCounts) =
-      collectStats(spark, path, df1.schema, statsCols, files,
+      collectStats(spark, path, df1.schema, resolvedStats, files,
         recoverPartitions = transforms.isEmpty)
     var retries = 0
     while (true) {
@@ -1812,8 +1829,14 @@ object TxLog {
             nm -> s"$step:$next"
           case other => other
         }
-      val m = Manifest(v + 1, layout, df1.schema.toDDL, files.sorted,
-        statsCols = statsCols, fileStats = stats, fileRows = rowCounts,
+      // truncate+insert carries the DECLARED schema DDL verbatim: the
+      // written frame's nullability is incidental (literal VALUES come
+      // back non-nullable) and must not rewrite the table's contract —
+      // an overwrite is a data op, not a redefinition
+      val m = Manifest(v + 1, layout,
+        policyBase.map(_.schemaDdl).getOrElse(df1.schema.toDDL),
+        files.sorted,
+        statsCols = resolvedStats, fileStats = stats, fileRows = rowCounts,
         fileNulls = nullCounts,
         constraints = keptConstraints,
         uniques = if (keepPolicies) prev.uniques else Nil,

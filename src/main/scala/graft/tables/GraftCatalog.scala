@@ -175,46 +175,36 @@ class GraftCatalog extends TableCatalog
       org.apache.spark.sql.types.StructField(
         c.name, c.dataType, c.nullable, mb.build())
     })
-    // pre-validate what setColumnIdentity would otherwise refuse AFTER
-    // the name registered — a failed CREATE must not leave a
-    // registered table with half its declared contract
+    // pre-validate what setColumnIdentity would otherwise refuse after
+    // the data dir exists — a refused CREATE should create NOTHING
+    val layoutSrcs =
+      partitions.flatMap(_.references().flatMap(_.fieldNames())).toSet
     identities.foreach { case (c, _, _) =>
-      val layoutSrcs =
-        partitions.flatMap(_.references().flatMap(_.fieldNames())).toSet
       if (layoutSrcs.contains(c)) throw new IllegalArgumentException(
         s"$catName.${ident.name}.$c: an IDENTITY column may not drive " +
           "the partition layout — engine-assigned values must not " +
           "choose directories")
     }
-    val t = createTable(ident, schema, partitions, properties)
-    if (identities.isEmpty) t
-    else {
-      val path = entries(ident.name)
-      try identities.foreach { case (c, start, step) =>
-        TxLog.setColumnIdentity(spark, path, c, start, step) }
-      catch {
-        case e: Throwable =>
-          // a failed CREATE must not leave a registered table missing
-          // half its declared contract: unregister, and sweep the dir
-          // only when this create chose it (warehouse-local — an
-          // explicit LOCATION may hold foreign data, so it stays for
-          // inspection like an aborted CTAS)
-          Catalog.mutateAt(spark, warehouse, _ - ident.name)
-          if (properties.get(TableCatalog.PROP_LOCATION) == null)
-            try {
-              val p = new Path(path)
-              p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-                .delete(p, true)
-            } catch { case _: java.io.IOException => () }
-          throw e
-      }
-      loadTable(ident)
-    }
+    // registration happens LAST inside createTableAt, so the policies
+    // land before any other session can resolve the name
+    createTableAt(ident, schema, partitions, properties, identities)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
+                           properties: util.Map[String, String]): Table =
+    createTableAt(ident, schema, partitions, properties, Nil)
+
+  /** The one create implementation: the table materializes FULLY
+    * (data dir, DEFAULT policies, IDENTITY policies) before the name
+    * registers — a failure at any step leaves an UNREGISTERED dir,
+    * never a visible table missing half its declared contract, and
+    * never a window where another session can write to a table whose
+    * policies have not landed yet. */
+  private def createTableAt(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String],
+                            identities: Seq[(String, Long, Long)]): Table = {
     checkNs(ident.namespace)
     if (nameTaken(ident.name)) throw new TableAlreadyExistsException(ident)
     val path = Option(properties.get(TableCatalog.PROP_LOCATION))
@@ -226,10 +216,10 @@ class GraftCatalog extends TableCatalog
     TxLog.create(empty, path, partitionCols = explicit,
       hiddenPartitions = hidden)
     defaults.foreach { case (c, e) => TxLog.setColumnDefault(spark, path, c, e) }
-    GraftCatalog.identitiesOf(s"$catName.${ident.name}", schema)
-      .foreach { case (c, start, step) =>
+    (GraftCatalog.identitiesOf(s"$catName.${ident.name}", schema) ++
+      identities).foreach { case (c, start, step) =>
         TxLog.setColumnIdentity(spark, path, c, start, step) }
-    registerName(ident.name, path)
+    registerName(ident.name, path, expectNew = true)
     GraftTable(ident.name, path, None)
   }
 
@@ -289,13 +279,17 @@ class GraftCatalog extends TableCatalog
       explicit, hidden, defaults, replacing)
   }
 
-  /** Atomic check-and-register: a name concurrently taken by a
-    * DIFFERENT definition refuses inside the registry lock (a racing
-    * creator must lose loudly, never overwrite); re-registering the
-    * same name → path is idempotent (the replace flows re-land it). */
-  private[tables] def registerName(name: String, path: String): Unit =
+  /** Atomic check-and-register inside the registry lock. A name taken
+    * by a DIFFERENT definition always refuses. With `expectNew` (the
+    * CREATE flows), a SAME-path entry refuses too: two racing CTAS of
+    * one name both stage at the default warehouse path, so "same path"
+    * there means the other creator already landed — accepting it would
+    * report success for a create whose data a concurrent replace just
+    * clobbered. Replace flows keep the idempotent same-path arm. */
+  private[tables] def registerName(name: String, path: String,
+                                   expectNew: Boolean = false): Unit =
     Catalog.mutateAt(spark, warehouse, m => m.get(name) match {
-      case Some(p) if p == path => m
+      case Some(p) if p == path && !expectNew => m
       case Some(_) => throw new TableAlreadyExistsException(
         Identifier.of(Array.empty, name))
       case None => m + (name -> path)
@@ -575,15 +569,12 @@ case class GraftTable(tableName: String, path: String,
   override def truncateTable(): Boolean = {
     require(versionAsOf.isEmpty,
       s"graft.$tableName: cannot truncate a time-travel snapshot")
-    val m = manifest
-    val declared = StructType.fromDDL(m.schemaDdl)
-    // hidden layouts store the DERIVED dir names in partitionCols —
-    // passing both would trip createOrReplace's exclusivity gate
+    val declared = StructType.fromDDL(manifest.schemaDdl)
+    // keepPolicies derives layout/stats/schema from the table's own
+    // definition — no layout arguments to mis-encode
     TxLog.createOrReplace(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declared),
-      path, statsCols = m.statsCols,
-      partitionCols = if (m.partitionSpec.isEmpty) m.partitionCols else Nil,
-      hiddenPartitions = m.partitionSpec, keepPolicies = true)
+      path, keepPolicies = true)
     true
   }
 
@@ -716,20 +707,13 @@ case class GraftTable(tableName: String, path: String,
                 case None => TxLog.append(aligned, path)
                 case Some(Nil) =>
                   // INSERT OVERWRITE: truncate + insert in ONE commit —
-                  // layout kept, history kept, and the table's
-                  // constraints/policies/identity marks CARRY and vet
-                  // the incoming rows (an overwrite is a data op, not a
-                  // redefinition — shedding the contract silently would
-                  // let the next insert write NULL surrogate ids)
-                  // hidden layouts store the DERIVED dir names in
-                  // partitionCols — pass the spec only (the combo
-                  // trips createOrReplace's exclusivity gate)
-                  TxLog.createOrReplace(aligned, path,
-                    statsCols = m.statsCols,
-                    partitionCols =
-                      if (m.partitionSpec.isEmpty) m.partitionCols else Nil,
-                    hiddenPartitions = m.partitionSpec,
-                    keepPolicies = true)
+                  // layout/stats/schema kept (derived from the table's
+                  // own definition inside keepPolicies), history kept,
+                  // and constraints/policies/identity marks CARRY and
+                  // vet the incoming rows (an overwrite is a data op,
+                  // not a redefinition — shedding the contract silently
+                  // would let the next insert write NULL surrogate ids)
+                  TxLog.createOrReplace(aligned, path, keepPolicies = true)
                 case Some(filters) =>
                   // INSERT OVERWRITE ... PARTITION (p = v, ...): the
                   // atomic partition replacement verb
@@ -833,7 +817,10 @@ class StagedGraftTable(cat: GraftCatalog, tableName: String, path: String,
     }
     defaults.foreach { case (c, e) =>
       TxLog.setColumnDefault(spark, path, c, e) }
-    cat.registerName(tableName, path)
+    // a plain CREATE must lose a registration race loudly — the other
+    // creator's committed data is live under this very path; REPLACE
+    // flows re-land the same name → path idempotently
+    cat.registerName(tableName, path, expectNew = !replacing)
   }
 
   override def abortStagedChanges(): Unit =

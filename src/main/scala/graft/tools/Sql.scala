@@ -276,16 +276,20 @@ object Sql {
 
   /** Split a statement list on TOP-LEVEL semicolons — outside quotes
     * and parens, so a subquery's own literals never split the block. */
-  private def splitStatements(s: String): Seq[String] = {
+  private def splitStatements(s: String,
+                              backslashEscapes: Boolean): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var start = 0; var depth = 0; var quote: Char = 0; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (quote != 0) {
-        // Spark string literals escape with BACKSLASH as well as the
+        // default Spark lexing escapes with BACKSLASH as well as the
         // doubled-quote form — skip the escaped char so a literal like
-        // 'it\'s; done' cannot fake a top-level semicolon
-        if (c == '\\' && i + 1 < s.length) i += 1
+        // 'it\'s; done' cannot fake a top-level semicolon. Under the
+        // legacy escapedStringLiterals=true lexer a backslash is a
+        // plain character, so the skip must mirror the session conf or
+        // 'C:\' would swallow its own closing quote.
+        if (backslashEscapes && c == '\\' && i + 1 < s.length) i += 1
         else if (c == quote) quote = 0
       }
       else if (c == '\'' || c == '"') quote = c
@@ -338,7 +342,8 @@ object Sql {
       throw new IllegalArgumentException(
         "TXLOG TXN: set graft.catalog.warehouse — the warehouse is the " +
           "transaction journal root"))
-    val stmts = splitStatements(body)
+    val stmts = splitStatements(body,
+      backslashEscapes = !spark.sessionState.conf.escapedStringLiterals)
     require(stmts.nonEmpty, "Sql: empty TXN block")
     graft.storage.Txn.transact(spark, wh, stmts.map(parseTxnOp(spark, _)))
   }

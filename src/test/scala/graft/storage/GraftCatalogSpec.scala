@@ -471,6 +471,20 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("INSERT OVERWRITE keeps the declared schema DDL, nullability included") {
+    withWarehouse { _ =>
+      spark.sql("CREATE TABLE graft.nn (k BIGINT, v DOUBLE)")
+      // the overwrite frame is all literals — non-nullable attributes;
+      // the table's declared (nullable) contract must not tighten
+      spark.sql("INSERT OVERWRITE graft.nn VALUES (9, 9.0)")
+      spark.sql("INSERT INTO graft.nn VALUES (4, NULL)")
+      val out = spark.sql("SELECT k, v FROM graft.nn ORDER BY k")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None
+          else Some(r.getDouble(1)))).toSeq
+      assert(out == Seq((4L, None), (9L, Some(9.0))), s"got $out")
+    }
+  }
+
   test("INSERT OVERWRITE and TRUNCATE work on hidden-partitioned tables") {
     withWarehouse { w =>
       spark.sql("CREATE TABLE graft.hidow (k BIGINT, v DOUBLE) " +
