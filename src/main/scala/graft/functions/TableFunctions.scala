@@ -246,7 +246,9 @@ object TableFunctions {
         val ver = es.lift(1).map(litLong(fn, "version", _))
         val rows: java.util.List[org.apache.spark.sql.Row] =
           java.util.Arrays.asList(
-            (TxLog.constraintsOf(active, p, ver).map(c =>
+            (TxLog.constraintsOf(active, p, ver)
+              .filterNot(_._1.startsWith("__prop__")) // see graft_txlog_properties
+              .map(c =>
               org.apache.spark.sql.Row(c._1, "CHECK", c._2)) ++
              TxLog.uniquesOf(active, p, ver).map(u =>
               org.apache.spark.sql.Row(u._1, "UNIQUE",
@@ -258,6 +260,26 @@ object TableFunctions {
             org.apache.spark.sql.types.StructField("type", StringType,
               nullable = false),
             org.apache.spark.sql.types.StructField("definition", StringType,
+              nullable = false)))))
+      }),
+    ("graft_txlog_properties",
+      info("graft_txlog_properties",
+        "graft_txlog_properties(path[, version]) - table properties in force at a version: (key, value), key order"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_properties", es, 1 to 2)
+        val fn = "graft_txlog_properties"
+        val p = litStr(fn, "path", es.head)
+        val ver = es.lift(1).map(litLong(fn, "version", _))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(
+            TxLog.propertiesOf(active, p, ver).toSeq.sortBy(_._1).map {
+              case (k, v) => org.apache.spark.sql.Row(k, v)
+            }: _*)
+        plan(active.createDataFrame(rows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("key", StringType,
+              nullable = false),
+            org.apache.spark.sql.types.StructField("value", StringType,
               nullable = false)))))
       }),
     ("graft_txlog_cdf",

@@ -731,6 +731,93 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embedding space, then within
+    * each cluster collapse every group of near-identical vectors
+    * (cosine ≥ `tau`, transitively closed) to ONE representative.
+    * Complements [[embeddingDupPairs]]: there the blocking is
+    * hyperplane LSH and the output is verified PAIRS; here the k-means
+    * CELL is the blocking — the paper's observation is that semantic
+    * duplicates land in the same cluster, so the cluster assignment
+    * doubles as the candidate generator — and the output is a
+    * per-vector disposition a curation pass filters on.
+    *
+    * Keeper rule: within a duplicate group the member with the LOWEST
+    * cosine to its cell centroid survives (the paper's default —
+    * keep the least-typical example), ties broken by min id so the
+    * operator is deterministic end to end.
+    *
+    * Scale shape: the KMeans fit sees ≤ `fitSampleRows` vectors
+    * (bounded driver model, same cap as [[graft.operators.Ivf.fit]]);
+    * assignment is one linear codegen'd argmin pass
+    * ([[graft.functions.IvfFunctions.ivf_assign]]); the within-cell
+    * pair join is an EQUI-join on `cell` (Σ cell² work — nlist
+    * defaults to ~√N so a cell holds ~√N vectors and the join never
+    * goes corpus²); duplicate groups resolve by the same
+    * pointer-jumping [[components]] loop the MinHash sweep uses.
+    * Nothing driver-sized except the k centroids.
+    *
+    * Returns one row PER INPUT VECTOR:
+    * (vec_id, cell, component, centroid_cos, keep) — `keep = false`
+    * rows are the semantic duplicates to drop. */
+  def semanticDedup(emb: DataFrame, tau: Double = 0.95, nlist: Int = 0,
+                    fitSampleRows: Long = 200000L,
+                    seed: Long = 42L): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0,
+      s"Dedup.semanticDedup: tau must be in (0, 1], got $tau")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    val n = Similarity.corpusCount(emb)
+    val k = if (nlist > 0) nlist else math.max(4, math.sqrt(n.toDouble).toInt)
+    val feat = emb.withColumn("features", array_to_vector(col("embedding")))
+    val fitOn =
+      if (n > fitSampleRows)
+        feat.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
+      else feat
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(fitOn)
+    val matrix = model.clusterCenters.map(_.toArray)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.IvfFunctions.ivf_assign(col("embedding"), matrix)
+        .as("cell"))
+    import spark.implicits._
+    val cents = matrix.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+    // the keeper score, once per vector — k centroid rows broadcast
+    // onto the argmin already computed
+    // rounded at the source: the keeper election must tie-break on id
+    // for equal scores, not on sub-ulp float noise in the dot product
+    val scored = assigned.join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(Similarity.cosine(col("embedding"), col("centroid")), 6)
+          .as("centroid_cos"))
+    // within-cell near-identical pairs: every column renamed per side,
+    // so the self-join is unambiguous and stays an equi-join on cell
+    val a = scored.select(col("cell").as("cell_a"),
+      col("vec_id").as("doc_a"), col("embedding").as("e_a"))
+    val b = scored.select(col("cell").as("cell_b"),
+      col("vec_id").as("doc_b"), col("embedding").as("e_b"))
+    val pairs = a.join(b,
+        col("cell_a") === col("cell_b") && col("doc_a") < col("doc_b"))
+      .filter(Similarity.cosine(col("e_a"), col("e_b")) >= tau)
+      .select(col("doc_a"), col("doc_b"))
+    val comps = components(pairs) // (doc_id, component)
+    // singleton vectors label themselves; keeper per component =
+    // lexicographic min over (centroid_cos, vec_id)
+    val labeled = scored
+      .join(comps.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+    val keepers = labeled.groupBy("component")
+      .agg(min(struct(col("centroid_cos"), col("vec_id"))).as("w"))
+      .select(col("component"), col("w.vec_id").as("keeper"))
+    labeled.join(keepers, "component")
+      .select(col("vec_id"), col("cell"), col("component"),
+        col("centroid_cos"),
+        (col("vec_id") === col("keeper")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** EXACT repeated-substring dedup — the Lee et al. 2022
     * ("Deduplicating Training Data Makes Language Models Better")
     * pass the pipeline's other dedup families don't cover: remove any

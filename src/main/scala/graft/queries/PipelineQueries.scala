@@ -21,6 +21,11 @@ object PipelineQueries {
     // persisted shingle set would leak storage for the session lifetime
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d), cache = false)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDupPairs(embeddings(s, d), minCosine = 0.2)),
+    // SemDeDup: one disposition row per vector — rows-only (KMeans
+    // cluster geometry is not SQL-expressible); the planted-twin
+    // collapse and keeper-rule invariants live in PipelineQueriesSpec
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semanticDedup(embeddings(s, d), tau = 0.2)),
     // incremental ingest dedup: the batch re-presents five corpus docs
     // verbatim under new ids — identical signatures share every band,
     // so the five cross-candidates are GUARANTEED, not probabilistic

@@ -322,8 +322,17 @@ object TxLog {
     * INSERT-shaped commit must FILL the column from the manifest's
     * high-water mark and advance it. A generation-3 writer would
     * append NULL ids (checkSchema admits missing declared columns) —
-    * so declaring identity raises the table's `minWriter` to 4. */
-  val WriterVersion = 4
+    * so declaring identity raises the table's `minWriter` to 4.
+    *
+    * Generation 5 = ENFORCED table properties ([[setProperties]] with
+    * `graft.appendOnly=true`): every row-removing verb must refuse.
+    * A generation-4 writer carries the property blindly but would
+    * still DELETE — so setting the switch raises the table's
+    * `minWriter` to 5 and older builds refuse all writes rather than
+    * half-honor the protection. Free-form (un-enforced) properties
+    * never raise the gate: any generation carries the constraints
+    * channel forward verbatim. */
+  val WriterVersion = 5
 
   /** Refuse writes demanded-newer than this build (never gates reads). */
   private def requireWritable(m: Manifest, path: String): Unit =
@@ -1739,6 +1748,12 @@ object TxLog {
         .getOrElse(throw new IllegalArgumentException(
           s"TxLog.createOrReplace(keepPolicies): no table at $path — " +
             "truncate+insert semantics need an existing definition"))))
+    // TRUNCATE / INSERT OVERWRITE are DATA operations — the appendOnly
+    // contract refuses them; a keepPolicies=false REDEFINITION is DDL
+    // (constraints and properties reset) and stays open, the same
+    // escape hatch as DROP TABLE
+    policyBase.foreach(b => requireAppendable(b, path,
+      "TRUNCATE / INSERT OVERWRITE (keepPolicies replace)"))
     val resolvedStats = policyBase.map(_.statsCols).getOrElse(statsCols)
     val resolvedPartCols = policyBase
       .map(b => if (b.partitionSpec.isEmpty) b.partitionCols else Nil)
@@ -2300,6 +2315,103 @@ object TxLog {
   private[graft] final class IdentityRaceException(msg: String)
     extends RuntimeException(msg)
 
+  // ---- table properties: free-form (key → value) metadata riding
+  // the constraints channel under a reserved prefix (the same lane
+  // DEFAULT/GENERATED/IDENTITY policies use), so every commit shape,
+  // CLONE, RESTORE and keepPolicies-overwrite carries them with ZERO
+  // new serialization, and a concurrent SET TBLPROPERTIES conflicts
+  // interleaved data writers exactly like a constraint change
+  // (commitRebase compares the channel by equality) — load-bearing
+  // for the enforced switch: a DELETE staged under appendOnly=false
+  // must not land after a racing set-to-true.
+  private val PropPrefix = "__prop__"
+
+  /** The one ENFORCED property (Delta's `delta.appendOnly`): `true`
+    * refuses every verb that deletes or rewrites committed rows —
+    * DELETE/UPDATE (both copy-on-write and deletion-vector forms),
+    * MERGE with matched/not-matched-by-source clauses, CDC apply,
+    * REPLACE PARTITIONS, RESTORE, TRUNCATE and INSERT OVERWRITE
+    * (the keepPolicies door). Appends, OPTIMIZE/compaction (content-
+    * preserving rewrites), schema DDL and VACUUM stay open. An
+    * explicit REDEFINITION (`CREATE OR REPLACE` without keepPolicies)
+    * also stays open: it is DDL that resets the whole governance
+    * contract — the same escape hatch as DROP TABLE, which no table
+    * property can prevent. */
+  val AppendOnlyProp = "graft.appendOnly"
+
+  /** Key → value of the properties a manifest carries. */
+  private[graft] def propsOf(m: Manifest): Map[String, String] =
+    m.constraints.collect { case (n, v) if n.startsWith(PropPrefix) =>
+      n.stripPrefix(PropPrefix) -> v
+    }.toMap
+
+  /** Table properties in force at `version` (default: head). */
+  def propertiesOf(spark: SparkSession, path: String,
+                   version: Option[Long] = None): Map[String, String] = {
+    val v = version.orElse(currentVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    propsOf(manifest(spark, path, v))
+  }
+
+  /** SET TBLPROPERTIES — one metadata commit (re-setting a present key
+    * overwrites its value). Setting `graft.appendOnly=true` raises the
+    * table's writer gate to generation 5: an older writer would carry
+    * the property but still delete, so it must refuse whole. */
+  def setProperties(spark: SparkSession, path: String,
+                    props: Map[String, String]): Long = {
+    require(props.nonEmpty, "TxLog.setProperties: empty property map")
+    props.keys.foreach(k => require(
+      k.nonEmpty && k.matches("""[A-Za-z0-9._\-]+""") && !k.startsWith("__"),
+      s"TxLog.setProperties: property key must be [A-Za-z0-9._-]+ and not " +
+        s"start with '__', got '$k'"))
+    props.get(AppendOnlyProp).foreach(v => require(
+      v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+      s"TxLog.setProperties: $AppendOnlyProp must be true or false, got '$v'"))
+    val enforcing = props.get(AppendOnlyProp).exists(_.equalsIgnoreCase("true"))
+    commitConstraints(spark, path,
+      update = { m =>
+        val keep = m.constraints.filterNot { case (n, _) =>
+          n.startsWith(PropPrefix) && props.contains(n.stripPrefix(PropPrefix)) }
+        (keep ++ props.toSeq.sortBy(_._1)
+          .map { case (k, v) => (PropPrefix + k) -> v }, m.uniques)
+      },
+      operation = s"SET TBLPROPERTIES (${props.keys.toSeq.sorted.mkString(", ")})",
+      revalidate = _ => (),
+      minWriterFloor = if (enforcing) 5 else 0)
+  }
+
+  /** UNSET TBLPROPERTIES — idempotent: absent keys are a no-op (no
+    * commit is written when nothing would change). The writer gate
+    * never lowers — the documented one-way ratchet every generation
+    * bump shares. */
+  def unsetProperties(spark: SparkSession, path: String,
+                      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "TxLog.unsetProperties: empty key list")
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    if (!keys.exists(propsOf(manifest(spark, path, v)).contains)) return v
+    commitConstraints(spark, path,
+      update = { m =>
+        (m.constraints.filterNot { case (n, _) =>
+          n.startsWith(PropPrefix) && keys.contains(n.stripPrefix(PropPrefix)) },
+          m.uniques)
+      },
+      operation = s"UNSET TBLPROPERTIES (${keys.sorted.mkString(", ")})",
+      revalidate = _ => ())
+  }
+
+  private[graft] def isAppendOnly(m: Manifest): Boolean =
+    propsOf(m).get(AppendOnlyProp).exists(_.equalsIgnoreCase("true"))
+
+  /** The [[AppendOnlyProp]] gate every row-removing verb calls. */
+  private def requireAppendable(m: Manifest, path: String,
+                                verb: String): Unit =
+    if (isAppendOnly(m))
+      throw new UnsupportedOperationException(
+        s"TxLog: $verb on $path is refused — table property " +
+          s"$AppendOnlyProp=true protects committed rows. " +
+          s"UNSET TBLPROPERTIES ('$AppendOnlyProp') first.")
+
   /** Column → DEFAULT expression (SQL over literals/functions only). */
   private[graft] def columnDefaults(m: Manifest): Map[String, String] =
     m.constraints.collect { case (n, e) if n.startsWith(DefaultPrefix) =>
@@ -2411,6 +2523,7 @@ object TxLog {
     constraints.flatMap {
       case (n, _) if n.startsWith(DefaultPrefix) => None
       case (n, _) if n.startsWith(IdentityPrefix) => None
+      case (n, _) if n.startsWith(PropPrefix) => None // properties never bind rows
       case (n, e) if n.startsWith(GeneratedPrefix) =>
         val c = n.stripPrefix(GeneratedPrefix)
         Some(n -> s"($c IS NULL) OR ($c <=> ($e))")
@@ -2495,8 +2608,12 @@ object TxLog {
       // a future generation-1 build must refuse to append un-vetted
       // rows rather than silently admit violations (ADVICE r8, medium).
       // Never lowered — dropping the last constraint keeps the gate.
+      // Free-form PROPERTY entries don't count: they vet nothing, and
+      // any generation carries the channel forward verbatim (the
+      // enforced switch raises its own floor via [[setProperties]]).
       val nextMinWriter = math.max(minWriterFloor,
-        if (nextChecks.nonEmpty || nextUniques.nonEmpty)
+        if (nextChecks.exists(!_._1.startsWith(PropPrefix)) ||
+            nextUniques.nonEmpty)
           math.max(attempt.minWriter, 2)
         else attempt.minWriter)
       try {
@@ -3826,6 +3943,7 @@ object TxLog {
     // apply skips before staging anything
     if (txn.exists { case (a, tv) => m.txns.get(a).exists(_ >= tv) }) return v
     requireWritable(m, path)
+    requireAppendable(m, path, "mergeInto (an upsert rewrites matched rows)")
     val pcs = m.partitionCols
     require(pcs.nonEmpty,
       "TxLog.mergeInto needs a partitioned table (create with partitionCol[s])")
@@ -4087,6 +4205,11 @@ object TxLog {
     // did not
     if (txn.exists { case (a, tv) => m.txns.get(a).exists(_ >= tv) }) return v
     requireWritable(m, path)
+    // an INSERT-only merge appends — permitted under appendOnly; any
+    // matched / not-matched-by-source clause updates or deletes
+    if (matched.nonEmpty || notMatchedBySource.nonEmpty)
+      requireAppendable(m, path,
+        "mergeWhen with MATCHED / NOT MATCHED BY SOURCE clauses")
     val declared = StructType.fromDDL(m.schemaDdl)
     checkSchema(declared, source.schema, evolveSchema)
     // evolution: new columns take their LOGICAL name as the physical
@@ -4415,6 +4538,7 @@ object TxLog {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
+    requireAppendable(m, path, "replacePartitions")
     val pcs = m.partitionCols
     require(pcs.nonEmpty,
       "TxLog.replacePartitions needs a partitioned table (create with partitionCol[s])")
@@ -4502,6 +4626,7 @@ object TxLog {
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     requireWritable(m, path)
+    requireAppendable(m, path, "deleteWhere")
     val schema = StructType.fromDDL(m.schemaDdl)
     // null-safe: a NULL condition row is NOT deleted (SQL DELETE semantics)
     val hit = coalesce(condition, lit(false))
@@ -4610,6 +4735,7 @@ object TxLog {
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     requireWritable(m, path)
+    requireAppendable(m, path, "updateWhere")
     val schema = StructType.fromDDL(m.schemaDdl)
     set.foreach { case (c, _) =>
       require(schema.fieldNames.contains(c),
@@ -4806,6 +4932,8 @@ object TxLog {
     require(toVersion <= cur, s"TxLog.restore: v$toVersion is not committed (head v$cur)")
     val head = manifest(spark, path, cur)
     requireWritable(head, path)
+    requireAppendable(head, path, "restore (a rollback drops rows " +
+      "appended since the target version)")
     val target = manifest(spark, path, toVersion)
     val ts = clampedTs(head)
     // restoring a constrained version re-raises the gate; never lowered
@@ -4851,6 +4979,8 @@ object TxLog {
     val m = manifest(spark, path, v)
     // per-app idempotency lane: a replayed feed window skips whole
     if (txn.exists { case (a, tv) => m.txns.get(a).exists(_ >= tv) }) return v
+    requireAppendable(m, path,
+      "applyChanges (a CDC feed updates and deletes rows)")
     require(identityColumns(m).isEmpty,
       s"TxLog.applyChanges: table has IDENTITY column(s) " +
         s"${identityColumns(m).keys.mkString(", ")} — a CDC feed carries " +
@@ -5366,7 +5496,9 @@ object TxLog {
       else if (m.partitionCols.isEmpty) null else m.partitionCols.mkString(", "),
       m.files.size.toLong,
       m.files.map(sizeOf).sum, fastCount(spark, path),
-      m.statsCols.mkString(", "), m.constraints.size, m.uniques.size,
+      m.statsCols.mkString(", "),
+      // properties ride the constraints channel but are not CHECKs
+      m.constraints.count(!_._1.startsWith(PropPrefix)), m.uniques.size,
       // outstanding (un-materialized) deletion-vector rows — the "run
       // OPTIMIZE to materialize" advisory signal
       m.dv.flatMap(_._2.values).sum,

@@ -219,6 +219,8 @@ class GraftCatalog extends TableCatalog
     (GraftCatalog.identitiesOf(s"$catName.${ident.name}", schema) ++
       identities).foreach { case (c, start, step) =>
         TxLog.setColumnIdentity(spark, path, c, start, step) }
+    val userProps = GraftCatalog.userTableProps(properties)
+    if (userProps.nonEmpty) TxLog.setProperties(spark, path, userProps)
     registerName(ident.name, path, expectNew = true)
     GraftTable(ident.name, path, None)
   }
@@ -276,7 +278,8 @@ class GraftCatalog extends TableCatalog
     val (explicit, hidden, defaults, bare) =
       GraftCatalog.layoutOf(ident.name, schema, partitions)
     new StagedGraftTable(this, ident.name, path, warehouse, bare,
-      explicit, hidden, defaults, replacing)
+      explicit, hidden, defaults, replacing,
+      GraftCatalog.userTableProps(properties))
   }
 
   /** Atomic check-and-register inside the registry lock. A name taken
@@ -362,6 +365,16 @@ class GraftCatalog extends TableCatalog
           case Some(e) => TxLog.setColumnDefault(spark, path, dv.fieldNames.head, e)
           case None => TxLog.dropColumnDefault(spark, path, dv.fieldNames.head)
         }
+      case s: TableChange.SetProperty =>
+        require(!GraftCatalog.ReservedTableProps.contains(s.property),
+          s"ALTER TABLE SET TBLPROPERTIES: '${s.property}' is a reserved " +
+            "table property — it is derived from the table itself")
+        TxLog.setProperties(spark, path, Map(s.property -> s.value))
+      case r: TableChange.RemoveProperty =>
+        require(!GraftCatalog.ReservedTableProps.contains(r.property),
+          s"ALTER TABLE UNSET TBLPROPERTIES: '${r.property}' is a reserved " +
+            "table property — it is derived from the table itself")
+        TxLog.unsetProperties(spark, path, Seq(r.property))
       case other => throw new UnsupportedOperationException(
         s"$catName.${ident.name}: unsupported ALTER ${other.getClass.getSimpleName}")
     }
@@ -478,6 +491,22 @@ object GraftCatalog {
   /** Registry value tag marking a VIEW row (everything else is a
     * table path). */
   private[tables] val ViewTag = "view:"
+
+  /** Properties DERIVED from the table itself — never persisted, and
+    * refused through SET/UNSET TBLPROPERTIES. `comment` deliberately
+    * stays settable (COMMENT ON TABLE rides the property channel). */
+  private[tables] val ReservedTableProps: Set[String] =
+    Set("location", "provider", "owner", "external", "path",
+      "is_managed_location", "versionAsOf")
+
+  /** TBLPROPERTIES the engine persists: everything a CREATE hands
+    * over minus the reserved/engine-derived entries and write options
+    * (`option.*`). */
+  private[tables] def userTableProps(
+      properties: java.util.Map[String, String]): Map[String, String] =
+    scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap
+      .filterNot { case (k, _) =>
+        ReservedTableProps.contains(k) || k.startsWith("option.") }
 
   /** Split a CREATE's schema + transforms into the engine's layout:
     * explicit partition columns, hidden transform specs, DEFAULT
@@ -675,7 +704,9 @@ case class GraftTable(tableName: String, path: String,
   }
 
   override def properties(): util.Map[String, String] =
-    (Map("location" -> path, "provider" -> "graft-txlog") ++
+    // persisted TBLPROPERTIES first — the derived entries always win
+    (TxLog.propsOf(manifest) ++
+      Map("location" -> path, "provider" -> "graft-txlog") ++
       versionAsOf.map("versionAsOf" -> _.toString)).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -754,7 +785,8 @@ case class GraftTable(tableName: String, path: String,
 class StagedGraftTable(cat: GraftCatalog, tableName: String, path: String,
                        warehouse: String, bare: StructType,
                        explicit: Seq[String], hidden: Seq[String],
-                       defaults: Seq[(String, String)], replacing: Boolean)
+                       defaults: Seq[(String, String)], replacing: Boolean,
+                       userProps: Map[String, String] = Map.empty)
   extends org.apache.spark.sql.connector.catalog.StagedTable
     with SupportsWrite {
 
@@ -817,6 +849,9 @@ class StagedGraftTable(cat: GraftCatalog, tableName: String, path: String,
     }
     defaults.foreach { case (c, e) =>
       TxLog.setColumnDefault(spark, path, c, e) }
+    // a REPLACE reset the property set (redefinition semantics) —
+    // the staged TBLPROPERTIES land fresh either way
+    if (userProps.nonEmpty) TxLog.setProperties(spark, path, userProps)
     // a plain CREATE must lose a registration race loudly — the other
     // creator's committed data is live under this very path; REPLACE
     // flows re-land the same name → path idempotently

@@ -245,6 +245,12 @@ object Sql {
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*""".r
   private val AlterDropDefaultRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*""".r
+  private val AlterSetPropsRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*""".r
+  private val AlterUnsetPropsRe =
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*""".r
+  private val PropsRe =
+    """(?is)\s*TXLOG\s+PROPERTIES\s+'([^']+)'\s*""".r
   private val AlterAddColRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
   private val AlterDropColRe =
@@ -493,6 +499,27 @@ object Sql {
           defExpr.trim))
       case AlterDropDefaultRe(path, name) =>
         asDf(graft.storage.TxLog.dropColumnDefault(spark, rt(path), name))
+      case AlterSetPropsRe(path, pairs) =>
+        val kvRe = """(?s)\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
+        asDf(graft.storage.TxLog.setProperties(spark, rt(path),
+          pairs.split(",").toSeq.map {
+            case kvRe(k, v) => k -> v
+            case other => throw new IllegalArgumentException(
+              "TXLOG ALTER ... SET TBLPROPERTIES: expected 'key'='value', " +
+                s"got '${other.trim}'")
+          }.toMap))
+      case AlterUnsetPropsRe(path, keys) =>
+        val kRe = """(?s)\s*'([^']+)'\s*""".r
+        asDf(graft.storage.TxLog.unsetProperties(spark, rt(path),
+          keys.split(",").toSeq.map {
+            case kRe(k) => k
+            case other => throw new IllegalArgumentException(
+              "TXLOG ALTER ... UNSET TBLPROPERTIES: expected 'key', " +
+                s"got '${other.trim}'")
+          }))
+      case PropsRe(path) =>
+        graft.storage.TxLog.propertiesOf(spark, rt(path)).toSeq.sortBy(_._1)
+          .toDF("key", "value")
       case AlterAddColRe(path, name, ddlType) =>
         asDf(graft.storage.TxLog.addColumn(spark, rt(path), name, ddlType))
       case AlterDropColRe(path, name) =>
@@ -551,6 +578,9 @@ object Sql {
             "  TXLOG ALTER '<path>' DROP COLUMN <name>\n" +
             "  TXLOG ALTER '<path>' ALTER COLUMN <name> TYPE <type>\n" +
             "  TXLOG ALTER '<path>' SET STATS COLS (<c1[,c2...]>)\n" +
+            "  TXLOG ALTER '<path>' SET TBLPROPERTIES ('k'='v'[, ...])\n" +
+            "  TXLOG ALTER '<path>' UNSET TBLPROPERTIES ('k'[, ...])\n" +
+            "  TXLOG PROPERTIES '<path>'\n" +
             "  TXLOG OPTIMIZE '<path>' [PARTITIONS (<v1[,v2...]>)] [ZORDER BY <c1>[, <c2>, ...]]\n" +
             "  TXLOG VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]\n" +
             "  TXLOG TXN BEGIN; <dml>; <dml>[; ...]; COMMIT " +

@@ -69,6 +69,70 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(!got.contains((10L, 99L)), "hamming-4 pair leaked through maxHamming=3")
   }
 
+  test("semanticDedup collapses planted twins to one survivor and keeps everything else") {
+    // 40 one-hot base vectors (pairwise cosine 0) + 10 exact twins of
+    // bases 0..9 under ids 1000.. — a twin lands in its base's cell by
+    // construction (identical vector, identical argmin), cosine 1 >= tau
+    val dim = 40
+    def oneHot(i: Int): Seq[Double] =
+      Seq.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
+    val base = (0 until dim).map(i => (i.toLong, oneHot(i)))
+    val twins = (0 until 10).map(i => (1000L + i, oneHot(i)))
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, tau = 0.99).collect()
+    assert(out.length == dim + 10, "one disposition row per input vector")
+    val keepByld = out.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    (0 until 10).foreach { i =>
+      assert(keepByld(i.toLong), s"base $i must survive (min id on a cosine tie)")
+      assert(!keepByld(1000L + i), s"twin of $i must be dropped")
+    }
+    (10 until dim).foreach(i =>
+      assert(keepByld(i.toLong), s"untouched vector $i must survive"))
+    // twins share their base's component; component column is the min id
+    val compOf = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0 until 10).foreach(i => assert(compOf(1000L + i) == i.toLong,
+      s"twin of $i must land in component $i"))
+  }
+
+  test("semanticDedup keeper rule prefers the LOWEST centroid cosine within a duplicate group") {
+    // one tight group far from its cell centroid direction: v and a
+    // twin v' scaled copy would have equal centroid cos, so instead
+    // plant v (on-axis) and w = normalized(v + small off-axis bump):
+    // cos(v, w) > tau but w sits FURTHER from the centroid after the
+    // axis-heavy cluster pulls the centroid toward v's direction.
+    // Deterministic check: recompute both centroid cosines from the
+    // operator's own output and assert the keeper is the min.
+    val dim = 8
+    def unit(xs: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(xs.map(x => x * x).sum); xs.map(_ / n)
+    }
+    val v = unit(Seq(1.0, 0, 0, 0, 0, 0, 0, 0))
+    val w = unit(Seq(1.0, 0.15, 0, 0, 0, 0, 0, 0)) // cos(v,w) ~ 0.989
+    // padding vectors on other axes keep KMeans honest (k >= 4)
+    val pad = (2 until dim).map(i =>
+      (100L + i, unit(Seq.tabulate(dim)(j => if (j == i) 1.0 else 0.0))))
+    val emb = (Seq((1L, v), (2L, w)) ++ pad).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, tau = 0.98, nlist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val grouped = out.filter(_._2 == 1L) // v and w share component 1
+    assert(grouped.map(_._1).toSet == Set(1L, 2L),
+      s"v and w must form one duplicate group: ${out.toSeq}")
+    val keeper = grouped.filter(_._4).map(_._1).toSeq
+    val minCos = grouped.minBy(t => (t._3, t._1))._1
+    assert(keeper == Seq(minCos),
+      s"keeper must be the lowest-centroid-cos member: ${grouped.toSeq}")
+  }
+
+  test("semanticDedup within-cell join is an equi-join — no cartesian in the plan") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = Dedup.semanticDedup(emb, tau = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell blocking must keep the pair join equi:\n$plan")
+  }
+
   test("connected components collapse chains and leave separate clusters apart") {
     val pairs = Seq(
       (0L, 1L), (1L, 2L), (2L, 7L), // chain: {0,1,2,7} -> 0

@@ -300,6 +300,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(head.selectExpr("sum(score)").head().getDouble(0) == 3.0)
   }
 
+  test("TXLOG SET/UNSET TBLPROPERTIES verbs and the PROPERTIES listing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_props").toString + "/tbl"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("sql_props_src")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG CREATE '$dir' PARTITION BY part AS SELECT * FROM sql_props_src")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG ALTER '$dir' SET TBLPROPERTIES ('tier'='gold', " +
+        "'graft.appendOnly'='true')")
+    val listed = graft.tools.Sql.exec(spark, s"TXLOG PROPERTIES '$dir'")
+      .as[(String, String)].collect().toMap
+    assert(listed == Map("tier" -> "gold", "graft.appendOnly" -> "true"),
+      listed.toString)
+    val e = intercept[UnsupportedOperationException] {
+      graft.tools.Sql.exec(spark,
+        s"TXLOG DELETE FROM '$dir' WHERE k = 1")
+    }
+    assert(e.getMessage.contains("graft.appendOnly"), e.getMessage)
+    graft.tools.Sql.exec(spark,
+      s"TXLOG ALTER '$dir' UNSET TBLPROPERTIES ('graft.appendOnly')")
+    graft.tools.Sql.exec(spark, s"TXLOG DELETE FROM '$dir' WHERE k = 1")
+    assert(graft.storage.TxLog.read(spark, dir).count() == 1L)
+  }
+
   test("a malformed TXLOG statement refuses loudly instead of falling through to the ANSI parser") {
     val e = intercept[IllegalArgumentException] {
       graft.tools.Sql.exec(spark, "TXLOG OPTIMISE '/tmp/nowhere'") // misspelled verb

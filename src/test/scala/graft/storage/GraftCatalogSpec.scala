@@ -539,4 +539,79 @@ class GraftCatalogSpec extends SparkSpec {
         Seq("k", "amt", "tier"))
     }
   }
+
+  test("TBLPROPERTIES through plain SQL: CREATE, SHOW, ALTER SET/UNSET, appendOnly enforcement") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.prot (k BIGINT, seg STRING, amt DOUBLE) " +
+        "PARTITIONED BY (seg) " +
+        "TBLPROPERTIES ('tier'='gold', 'graft.appendOnly'='true')")
+      spark.sql("INSERT INTO graft.prot VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+      val shown = spark.sql("SHOW TBLPROPERTIES graft.prot")
+        .as[(String, String)].collect().toMap
+      assert(shown.get("tier").contains("gold") &&
+        shown.get("graft.appendOnly").contains("true"), shown.toString)
+      // the enforced switch refuses row removal through EVERY SQL door
+      val eDel = intercept[Exception] {
+        spark.sql("DELETE FROM graft.prot WHERE k = 1") }
+      assert(eDel.getMessage.contains("graft.appendOnly"), eDel.getMessage)
+      val eUpd = intercept[Exception] {
+        spark.sql("UPDATE graft.prot SET amt = 0 WHERE k = 1") }
+      assert(eUpd.getMessage.contains("graft.appendOnly"), eUpd.getMessage)
+      val eOvw = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft.prot VALUES (9, 'z', 0.0)") }
+      assert(eOvw.getMessage.contains("graft.appendOnly"), eOvw.getMessage)
+      // appends stay open; UNSET re-opens the rest
+      spark.sql("INSERT INTO graft.prot VALUES (3, 'a', 30.0)")
+      spark.sql("ALTER TABLE graft.prot UNSET TBLPROPERTIES ('graft.appendOnly')")
+      spark.sql("DELETE FROM graft.prot WHERE k = 1")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.prot")
+        .head().getLong(0) == 2L)
+      // SET re-arms it
+      spark.sql("ALTER TABLE graft.prot SET TBLPROPERTIES " +
+        "('graft.appendOnly'='true')")
+      val eAgain = intercept[Exception] {
+        spark.sql("DELETE FROM graft.prot WHERE k = 2") }
+      assert(eAgain.getMessage.contains("graft.appendOnly"), eAgain.getMessage)
+      // reserved keys refuse loudly
+      val eRes = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.prot SET TBLPROPERTIES " +
+          "('location'='/tmp/elsewhere')") }
+      assert(eRes.getMessage.contains("reserved"), eRes.getMessage)
+      // the TVF window into the same state
+      val tvf = spark.sql(
+        s"SELECT * FROM graft_txlog_properties('$w/prot')")
+        .as[(String, String)].collect().toMap
+      assert(tvf.get("graft.appendOnly").contains("true") &&
+        tvf.get("tier").contains("gold"), tvf.toString)
+      // properties do NOT leak into the constraints listing
+      val cons = spark.sql(
+        s"SELECT name FROM graft_txlog_constraints('$w/prot')")
+        .as[String].collect()
+      assert(!cons.exists(_.contains("prop")), cons.mkString(", "))
+    }
+  }
+
+  test("CTAS with TBLPROPERTIES stages them; COMMENT ON TABLE rides the property channel") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.ctp TBLPROPERTIES ('tier'='bronze') " +
+        "AS SELECT CAST(id AS BIGINT) AS k FROM range(5)")
+      val shown = spark.sql("SHOW TBLPROPERTIES graft.ctp")
+        .as[(String, String)].collect().toMap
+      assert(shown.get("tier").contains("bronze"), shown.toString)
+      spark.sql("COMMENT ON TABLE graft.ctp IS 'five rows of k'")
+      // SHOW TBLPROPERTIES hides Spark's RESERVED keys (comment among
+      // them) — the engine's own listing is the visibility check
+      val props = TxLog.propertiesOf(spark, s"$w/ctp")
+      assert(props.get("comment").contains("five rows of k"), props.toString)
+      assert(spark.sql("DESCRIBE TABLE EXTENDED graft.ctp")
+        .filter($"col_name" === "Comment").select("data_type")
+        .as[String].collect().toSeq == Seq("five rows of k"),
+        "DESCRIBE EXTENDED surfaces the comment")
+      // RTAS is a redefinition: the property set resets to the staged one
+      spark.sql("REPLACE TABLE graft.ctp TBLPROPERTIES ('tier'='silver') " +
+        "AS SELECT CAST(id AS BIGINT) AS k FROM range(3)")
+      val props3 = TxLog.propertiesOf(spark, s"$w/ctp")
+      assert(props3 == Map("tier" -> "silver"), props3.toString)
+    }
+  }
 }

@@ -1,0 +1,195 @@
+package graft.storage
+
+import graft.SparkSpec
+
+/** Table properties — Delta's TBLPROPERTIES shape: free-form
+  * (key → value) metadata committed like any other table state (one
+  * metadata version per SET/UNSET, time travel sees historical
+  * values), riding the same channel CHECK constraints do so every
+  * commit shape carries them. The one ENFORCED property is
+  * `graft.appendOnly` (Delta's `delta.appendOnly`): these specs pin
+  * the full refusal matrix — every row-removing verb refuses, every
+  * content-preserving verb still flows — plus the writer-generation-5
+  * protocol gate and the carry/reset semantics across TRUNCATE,
+  * REPLACE, CLONE and RESTORE. */
+class TxLogPropsSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_props_$tag"
+    val f = new java.io.File(d)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete()
+    }
+    if (f.exists()) rm(f)
+    d
+  }
+
+  private def seed(path: String): Unit = {
+    import spark.implicits._
+    TxLog.create(Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "amt", "part"),
+      path, Some("part"))
+  }
+
+  test("SET/UNSET round trip: one commit each, re-set overwrites, time travel sees old values") {
+    val path = freshDir("roundtrip")
+    seed(path)
+    assert(TxLog.propertiesOf(spark, path) == Map.empty)
+    val v2 = TxLog.setProperties(spark, path,
+      Map("owner.team" -> "ingest", "retention-days" -> "30"))
+    assert(v2 == 2L, "SET TBLPROPERTIES is one metadata commit")
+    assert(TxLog.propertiesOf(spark, path) ==
+      Map("owner.team" -> "ingest", "retention-days" -> "30"))
+    val v3 = TxLog.setProperties(spark, path, Map("retention-days" -> "90"))
+    assert(v3 == 3L)
+    assert(TxLog.propertiesOf(spark, path)("retention-days") == "90",
+      "re-setting a present key overwrites its value")
+    assert(TxLog.propertiesOf(spark, path, Some(2L))("retention-days") == "30",
+      "historical versions keep their own property values")
+    val v4 = TxLog.unsetProperties(spark, path, Seq("owner.team"))
+    assert(v4 == 4L)
+    assert(TxLog.propertiesOf(spark, path) == Map("retention-days" -> "90"))
+    // idempotent: unsetting an absent key writes NO commit
+    assert(TxLog.unsetProperties(spark, path, Seq("owner.team")) == 4L,
+      "unset of an absent key is a no-op, not a new version")
+    assert(TxLog.currentVersion(spark, path).contains(4L))
+  }
+
+  test("key validation: reserved __ prefix, bad charset, bad appendOnly value all refuse") {
+    val path = freshDir("validate")
+    seed(path)
+    intercept[IllegalArgumentException] {
+      TxLog.setProperties(spark, path, Map("__sneaky" -> "x"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.setProperties(spark, path, Map("has space" -> "x"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.setProperties(spark, path, Map(TxLog.AppendOnlyProp -> "yes"))
+    }
+    assert(TxLog.currentVersion(spark, path).contains(1L),
+      "every refusal happens before any commit")
+  }
+
+  test("properties never bind as CHECKs and survive appends, OPTIMIZE and schema DDL") {
+    import spark.implicits._
+    val path = freshDir("carry")
+    seed(path)
+    // a value that is NOT valid SQL must never reach the CHECK binder
+    TxLog.setProperties(spark, path, Map("pipeline" -> "nightly :: v2 (!)"))
+    TxLog.append(Seq((3L, 30.0, "a")).toDF("k", "amt", "part"), path)
+    TxLog.compact(spark, path)
+    TxLog.addColumn(spark, path, "note", "STRING")
+    assert(TxLog.propertiesOf(spark, path) ==
+      Map("pipeline" -> "nightly :: v2 (!)"),
+      "every commit shape carries the property channel forward")
+    assert(TxLog.read(spark, path).count() == 3L)
+    // the constraint surfaces stay clean: detail counts no phantom
+    // CHECK, and the constraints listing shows none
+    val detail = TxLog.detail(spark, path).select("n_check_constraints")
+      .collect().head.getInt(0)
+    assert(detail == 0, s"properties are not CHECK constraints (got $detail)")
+  }
+
+  test("properties carry through CLONE and reset on REPLACE (redefinition)") {
+    import spark.implicits._
+    val src = freshDir("clone_src")
+    val dst = freshDir("clone_dst")
+    seed(src)
+    TxLog.setProperties(spark, src, Map("tier" -> "gold"))
+    TxLog.clone(spark, src, dst)
+    assert(TxLog.propertiesOf(spark, dst) == Map("tier" -> "gold"),
+      "a clone is a full table copy — properties included")
+    // redefinition resets the whole governance contract, properties too
+    TxLog.createOrReplace(Seq((9L, 1.0, "z")).toDF("k", "amt", "part"), src,
+      Some("part"))
+    assert(TxLog.propertiesOf(spark, src) == Map.empty,
+      "CREATE OR REPLACE (redefinition) resets properties like constraints")
+    assert(TxLog.propertiesOf(spark, src, Some(2L)) == Map("tier" -> "gold"),
+      "history keeps the old contract")
+  }
+
+  test("appendOnly=true: the full refusal matrix, and UNSET re-opens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = freshDir("appendonly")
+    seed(path)
+    TxLog.setProperties(spark, path, Map(TxLog.AppendOnlyProp -> "true"))
+    val vLocked = TxLog.currentVersion(spark, path).get
+
+    def refused(op: => Any): String = {
+      val e = intercept[UnsupportedOperationException](op)
+      assert(e.getMessage.contains(TxLog.AppendOnlyProp),
+        s"refusal must name the property: ${e.getMessage}")
+      e.getMessage
+    }
+    refused(TxLog.deleteWhere(spark, path, col("k") === 1L))
+    refused(TxLog.deleteWhere(spark, path, col("k") === 1L,
+      deletionVectors = true))
+    refused(TxLog.updateWhere(spark, path, Seq("amt" -> "amt + 1"),
+      col("k") === 1L))
+    refused(TxLog.mergeInto(path,
+      Seq((1L, 11.0, "a")).toDF("k", "amt", "part"), Seq("k")))
+    refused(TxLog.mergeWhen(path,
+      Seq((1L, 11.0, "a")).toDF("k", "amt", "part"), Seq("k"),
+      matched = Seq(TxLog.MergeClause(None, "update",
+        Seq("amt" -> "s.amt")))))
+    refused(TxLog.replacePartitions(
+      Seq((1L, 11.0, "a")).toDF("k", "amt", "part"), path, Seq("a")))
+    refused(TxLog.restore(spark, path, 1L))
+    refused(TxLog.applyChanges(path,
+      Seq((1L, 11.0, "a", "update")).toDF("k", "amt", "part", "_change_type"),
+      Seq("k")))
+    refused(TxLog.createOrReplace(
+      Seq((9L, 1.0, "z")).toDF("k", "amt", "part"), path,
+      keepPolicies = true))
+    assert(TxLog.currentVersion(spark, path).contains(vLocked),
+      "every refusal leaves the version untouched")
+
+    // content-preserving and append verbs still flow
+    assert(TxLog.append(Seq((3L, 30.0, "a")).toDF("k", "amt", "part"), path)
+      == vLocked + 1)
+    val vMerged = TxLog.mergeWhen(path,
+      Seq((4L, 40.0, "b")).toDF("k", "amt", "part"), Seq("k"),
+      notMatched = Seq(TxLog.MergeClause(None, "insert")))
+    assert(vMerged == vLocked + 2, "an INSERT-only merge is an append")
+    TxLog.compact(spark, path)
+    assert(TxLog.read(spark, path).count() == 4L,
+      "OPTIMIZE preserves content and stays open under appendOnly")
+
+    // the switch is reversible — governance, not a ratchet on data
+    TxLog.unsetProperties(spark, path, Seq(TxLog.AppendOnlyProp))
+    TxLog.deleteWhere(spark, path, col("k") === lit(3L))
+    assert(TxLog.read(spark, path).count() == 3L,
+      "after UNSET the delete flows again")
+  }
+
+  test("appendOnly=true raises the writer gate to generation 5 in the commit metadata") {
+    val path = freshDir("minwriter")
+    seed(path)
+    TxLog.setProperties(spark, path, Map(TxLog.AppendOnlyProp -> "true"))
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_manifests/v2.json")), "UTF-8")
+    assert(json.contains("\"minWriter\" : 5") || json.contains("\"minWriter\":5"),
+      s"enforced property must gate older writers (generation 5): $json")
+    // a free-form property never raises the gate
+    val path2 = freshDir("minwriter_free")
+    seed(path2)
+    TxLog.setProperties(spark, path2, Map("tier" -> "gold"))
+    val json2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path2/_manifests/v2.json")), "UTF-8")
+    assert(!json2.contains("minWriter"),
+      s"free-form properties carry on any writer generation: $json2")
+  }
+
+  test("appendOnly=false is a no-op value and does not raise the writer gate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = freshDir("explicit_false")
+    seed(path)
+    TxLog.setProperties(spark, path, Map(TxLog.AppendOnlyProp -> "false"))
+    TxLog.deleteWhere(spark, path, col("k") === 1L)
+    assert(TxLog.read(spark, path).count() == 1L,
+      "appendOnly=false leaves every verb open")
+  }
+}
