@@ -1660,7 +1660,35 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** TBLPROPERTIES + the appendOnly switch through the driver gate:
+    * create, arm `graft.appendOnly=true` (plus a free-form tag),
+    * append under the protection (allowed), verify a DELETE refuses
+    * leaving the table untouched, UNSET, then land the same delete.
+    * The oracle reproduces the final state: a leak of the refused
+    * delete, or a failure of the re-opened one, hash-mismatches. */
+  def txlogProps(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_props_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d).select("o_orderkey", "o_totalprice")
+    TxLog.create(dim.filter(col("o_orderkey") % 2 === 0), path)
+    TxLog.setProperties(s, path,
+      Map(TxLog.AppendOnlyProp -> "true", "tier" -> "gold"))
+    TxLog.append(dim.filter(col("o_orderkey") % 2 === 1), path)
+    val refused =
+      try { TxLog.deleteWhere(s, path, col("o_orderkey") % 7 === 0); false }
+      catch { case _: UnsupportedOperationException => true }
+    require(refused, "q_txlog_props: appendOnly must refuse the delete")
+    TxLog.unsetProperties(s, path, Seq(TxLog.AppendOnlyProp))
+    TxLog.deleteWhere(s, path, col("o_orderkey") % 7 === 0)
+    TxLog.read(s, path).select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txlog_props" -> txlogProps _,
     "q_txlog_defaults" -> txlogDefaults _,
     "q_txlog_sql" -> txlogSql _,
     "q_txlog_merge_evolve" -> txlogMergeEvolve _,
@@ -1853,6 +1881,11 @@ object WarehouseQueries {
     "q_txlog_overwrite" ->
       """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
         |FROM orders WHERE o_orderkey % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // the refused delete leaves nothing; only the re-opened one lands
+    "q_txlog_props" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 7 <> 0
         |ORDER BY o_orderkey""".stripMargin,
     // a file-granular UPDATE ≡ a CASE-WHEN recompute over the source
     "q_txlog_update" ->

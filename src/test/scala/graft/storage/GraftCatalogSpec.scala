@@ -591,6 +591,17 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SHOW CREATE TABLE renders schema, partitioning and TBLPROPERTIES") {
+    withWarehouse { _ =>
+      spark.sql("CREATE TABLE graft.sct (k BIGINT, seg STRING) " +
+        "PARTITIONED BY (seg) TBLPROPERTIES ('tier'='gold')")
+      val stmt = spark.sql("SHOW CREATE TABLE graft.sct").head().getString(0)
+      assert(stmt.contains("graft.sct") && stmt.contains("k BIGINT") &&
+        stmt.contains("PARTITIONED BY (seg)") &&
+        stmt.contains("tier") && stmt.contains("gold"), stmt)
+    }
+  }
+
   test("CTAS with TBLPROPERTIES stages them; COMMENT ON TABLE rides the property channel") {
     withWarehouse { w =>
       spark.sql("CREATE TABLE graft.ctp TBLPROPERTIES ('tier'='bronze') " +
