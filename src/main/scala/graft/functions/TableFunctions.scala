@@ -282,6 +282,15 @@ object TableFunctions {
             org.apache.spark.sql.types.StructField("value", StringType,
               nullable = false)))))
       }),
+    ("graft_txlog_partitions",
+      info("graft_txlog_partitions",
+        "graft_txlog_partitions(path[, version]) - per-partition file/row/byte aggregates of a snapshot (metadata only)"),
+      (es: Seq[Expression]) => {
+        arity("graft_txlog_partitions", es, 1 to 2)
+        val fn = "graft_txlog_partitions"
+        plan(TxLog.partitions(active, litStr(fn, "path", es.head),
+          es.lift(1).map(litLong(fn, "version", _))))
+      }),
     ("graft_txlog_cdf",
       info("graft_txlog_cdf",
         "graft_txlog_cdf(path, from_version, to_version, keys_csv) - change-data feed between two versions"),

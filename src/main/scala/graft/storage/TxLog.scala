@@ -1384,8 +1384,14 @@ object TxLog {
     // of (tasks × dirs) small files. The at-scale default for
     // partitioned ingest; costs one hash shuffle and serializes a hot
     // dir into one task (salt or leave off for skewed layouts).
-    val optimized = partitionCols.nonEmpty &&
-      spark.conf.getOption("graft.txlog.optimizedWrite").exists(_.toBoolean)
+    // the TABLE property (when declared) wins over the session conf —
+    // resolved from the head manifest (cached); a create has no head
+    // yet and falls through to the session knob
+    val tablePref: Option[Boolean] = currentVersion(spark, path)
+      .flatMap(v => propsOf(manifest(spark, path, v)).get(OptimizedWriteProp))
+      .map(_.equalsIgnoreCase("true"))
+    val optimized = partitionCols.nonEmpty && tablePref.getOrElse(
+      spark.conf.getOption("graft.txlog.optimizedWrite").exists(_.toBoolean))
     val toWrite0 =
       if (!optimized) staged
       else staged.repartition(partitionCols.map(c =>
@@ -2339,6 +2345,14 @@ object TxLog {
     * property can prevent. */
   val AppendOnlyProp = "graft.appendOnly"
 
+  /** Per-TABLE override of the session's `graft.txlog.optimizedWrite`
+    * (Delta's `delta.autoOptimize.optimizeWrite` shape): the table
+    * that is always ingested partitioned declares its own layout
+    * discipline instead of trusting every writer's session conf.
+    * Layout-only — no writer-generation gate (an older build ignoring
+    * it writes more small files, never wrong rows). */
+  val OptimizedWriteProp = "graft.optimizedWrite"
+
   /** Key → value of the properties a manifest carries. */
   private[graft] def propsOf(m: Manifest): Map[String, String] =
     m.constraints.collect { case (n, v) if n.startsWith(PropPrefix) =>
@@ -2364,9 +2378,10 @@ object TxLog {
       k.nonEmpty && k.matches("""[A-Za-z0-9._\-]+""") && !k.startsWith("__"),
       s"TxLog.setProperties: property key must be [A-Za-z0-9._-]+ and not " +
         s"start with '__', got '$k'"))
-    props.get(AppendOnlyProp).foreach(v => require(
-      v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
-      s"TxLog.setProperties: $AppendOnlyProp must be true or false, got '$v'"))
+    Seq(AppendOnlyProp, OptimizedWriteProp).foreach(p =>
+      props.get(p).foreach(v => require(
+        v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"TxLog.setProperties: $p must be true or false, got '$v'")))
     val enforcing = props.get(AppendOnlyProp).exists(_.equalsIgnoreCase("true"))
     commitConstraints(spark, path,
       update = { m =>
@@ -5596,6 +5611,29 @@ object TxLog {
       col("dv_deleted_rows"),
       statsCol.as("stats"),
       nullsCol.as("null_counts"))
+  }
+
+  /** The PARTITIONS metadata table (Iceberg's `partitions` metadata
+    * table in spirit): one row per live partition directory of the
+    * snapshot — file count, metadata row count, known bytes, and
+    * outstanding DV-deleted rows. A pure aggregate over [[files]], so
+    * it inherits the same scale route (manifest-direct below the
+    * distributed-index threshold, columnar checkpoint above) and never
+    * reads a data file. Root files of an unpartitioned table group
+    * under the NULL partition; `size_bytes` is null below the
+    * threshold (stat-ing every file is the checkpoint job's business,
+    * exactly as [[files]] documents). */
+  def partitions(spark: SparkSession, path: String,
+                 version: Option[Long] = None): DataFrame = {
+    val pinned = version // functions._ would shadow the parameter
+    import org.apache.spark.sql.functions._
+    files(spark, path, pinned)
+      .groupBy(col("partition_dir"))
+      .agg(count(lit(1)).as("num_files"),
+        sum("rows").as("rows"),
+        sum("size_bytes").as("size_bytes"),
+        sum("dv_deleted_rows").as("dv_deleted_rows"))
+      .orderBy(col("partition_dir"))
   }
 
   /** The newest version committed AT OR BEFORE `tsMillis` — the

@@ -95,6 +95,34 @@ class TxLogFilesSpec extends SparkSpec {
     }, "a dropped column's stats entries are not a column")
   }
 
+  test("partitions(): per-partition aggregates match the file inventory, DV rows included") {
+    val path = freshPath("parts")
+    TxLog.create(Seq((1L, "p1", 1.0), (2L, "p1", 2.0), (3L, "p2", 3.0),
+      (4L, "p2", 4.0), (5L, "p2", 5.0))
+      .toDF("k", "part", "score"), path, Some("part"))
+    TxLog.append(Seq((6L, "p1", 6.0)).toDF("k", "part", "score"), path)
+    TxLog.deleteWhere(spark, path, col("k") === 3L, deletionVectors = true)
+    val parts = TxLog.partitions(spark, path).collect()
+      .map(r => r.getAs[String]("partition_dir") ->
+        (r.getAs[Long]("num_files"), r.getAs[Long]("rows"),
+          r.getAs[Long]("dv_deleted_rows"))).toMap
+    assert(parts.keySet == Set("part=p1", "part=p2"), parts.toString)
+    assert(parts("part=p1")._2 == 3L && parts("part=p2")._2 == 3L,
+      s"metadata row counts per partition: $parts")
+    assert(parts("part=p2")._3 == 1L && parts("part=p1")._3 == 0L,
+      s"outstanding DV deletes attribute to their partition: $parts")
+    // version pinning: the pre-delete snapshot shows no DV rows
+    val v2 = TxLog.partitions(spark, path, Some(2L)).collect()
+      .map(r => r.getAs[String]("partition_dir") ->
+        r.getAs[Long]("dv_deleted_rows")).toMap
+    assert(v2.values.forall(_ == 0L), v2.toString)
+    // the TVF window
+    val tvf = spark.sql(
+      s"SELECT partition_dir, rows FROM graft_txlog_partitions('$path')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tvf == Map("part=p1" -> 3L, "part=p2" -> 3L), tvf.toString)
+  }
+
   test("SQL surface: graft_txlog_files TVF serves the same inventory") {
     val path = freshPath("tvf")
     TxLog.create(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)

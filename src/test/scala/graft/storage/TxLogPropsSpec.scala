@@ -182,6 +182,44 @@ class TxLogPropsSpec extends SparkSpec {
       s"free-form properties carry on any writer generation: $json2")
   }
 
+  test("graft.optimizedWrite as a TABLE property overrides the session conf both ways") {
+    import spark.implicits._
+    def dataFiles(path: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$path/data"))
+    }
+    val batch = (0 until 64).map(i => (i.toLong, i * 1.0, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "amt", "part").repartition(8)
+    val prev = spark.conf.getOption("graft.txlog.optimizedWrite")
+    try {
+      // session OFF, table property ON → one file per partition dir
+      spark.conf.unset("graft.txlog.optimizedWrite")
+      val on = freshDir("optw_on")
+      seed(on)
+      TxLog.setProperties(spark, on, Map(TxLog.OptimizedWriteProp -> "true"))
+      val before = dataFiles(on)
+      TxLog.append(batch, on)
+      assert(dataFiles(on) - before == 2,
+        s"optimizedWrite table property must land ~one file per dir, " +
+          s"got ${dataFiles(on) - before}")
+      // session ON, table property FALSE → the table's word wins
+      spark.conf.set("graft.txlog.optimizedWrite", "true")
+      val off = freshDir("optw_off")
+      seed(off)
+      TxLog.setProperties(spark, off, Map(TxLog.OptimizedWriteProp -> "false"))
+      val before2 = dataFiles(off)
+      TxLog.append(batch, off)
+      assert(dataFiles(off) - before2 > 2,
+        "table property false must override the session's optimizedWrite")
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.txlog.optimizedWrite", v)
+      case None => spark.conf.unset("graft.txlog.optimizedWrite")
+    }
+  }
+
   test("appendOnly=false is a no-op value and does not raise the writer gate") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
