@@ -5270,10 +5270,27 @@ object TxLog {
       fs.listStatus(manifestDir(path))
         .filter(_.getPath.getName.startsWith(".ckpt_"))
         .foreach(st => fs.delete(st.getPath, true))
-    // a crashed DV-mode UPDATE's matched-set materialization (its
-    // finally-cleanup never ran) — same class of invisible garbage
+    // crashed writers' leftovers at the table root — an un-moved
+    // `_staging_<uuid>` batch (stageIn died between write and move: a
+    // FULL copy of its frame, invisible to resolution, leaked forever
+    // without this) and a crashed DV-mode UPDATE's matched-set
+    // materialization (its finally-cleanup never ran). Swept behind an
+    // AGE guard: a LIVE concurrent writer's staging dir must survive
+    // its own in-flight commit (Delta's uncommitted-file retention):
+    // an explicit vacuum `keepHours` horizon governs uncommitted
+    // leftovers exactly as it governs old versions; without one,
+    // `graft.txlog.staleWriteHours` (default 24) is the floor.
+    val staleWriteMs = (spark.conf
+      .getOption("graft.txlog.staleWriteHours")
+      .map(_.toDouble).getOrElse(24.0) * 3600 * 1000).toLong
+    val staleCut = horizon.getOrElse(
+      System.currentTimeMillis() - staleWriteMs)
     fs.listStatus(new Path(path))
-      .filter(_.getPath.getName.startsWith("_tmp_update_"))
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("_staging_") || n.startsWith("_tmp_update_")
+      }
+      .filter(_.getModificationTime < staleCut)
       .foreach(st => fs.delete(st.getPath, true))
     // dropped versions must now FAIL resolution, not serve from cache
     cacheInvalidate(spark, path)

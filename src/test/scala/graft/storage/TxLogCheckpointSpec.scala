@@ -550,4 +550,30 @@ class TxLogCheckpointSpec extends SparkSpec {
       s"TXLOG VACUUM '$path2' RETAIN 1 VERSIONS RETAIN 24 HOURS DRY RUN")
     assert(out.columns.toSeq == Seq("would_delete"))
   }
+
+  test("vacuum sweeps a CRASHED writer's stale _staging_ dir but never a fresh in-flight one") {
+    import spark.implicits._
+    val path = freshDir("vacuum_staging")
+    TxLog.create(Seq((1L, "p0", 1.0)).toDF("k", "part", "v"), path, Some("part"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // a crashed append's leftover: full staged batch, two days old
+    val dead = new org.apache.hadoop.fs.Path(path, "_staging_deadbeef0000")
+    fs.mkdirs(dead)
+    fs.create(new org.apache.hadoop.fs.Path(dead, "part-0.parquet")).close()
+    fs.setTimes(dead, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    // a LIVE concurrent writer's staging, written seconds ago
+    val live = new org.apache.hadoop.fs.Path(path, "_staging_cafebabe0000")
+    fs.mkdirs(live)
+    fs.create(new org.apache.hadoop.fs.Path(live, "part-0.parquet")).close()
+    TxLog.vacuum(spark, path, keepVersions = 1)
+    assert(!fs.exists(dead),
+      "a staging dir older than the uncommitted-file retention is leaked garbage")
+    assert(fs.exists(live),
+      "an in-flight writer's staging dir must survive the sweep")
+    // an explicit horizon governs uncommitted leftovers the same way
+    TxLog.vacuum(spark, path, keepVersions = 1, keepHours = Some(0.0))
+    assert(!fs.exists(live),
+      "a zero-hour horizon sweeps uncommitted leftovers like old versions")
+  }
 }
