@@ -752,10 +752,17 @@ object Dedup {
     * (bounded driver model, same cap as [[graft.operators.Ivf.fit]]);
     * assignment is one linear codegen'd argmin pass
     * ([[graft.functions.IvfFunctions.ivf_assign]]); the within-cell
-    * pair join is an EQUI-join on `cell` (Σ cell² work — nlist
-    * defaults to ~√N so a cell holds ~√N vectors and the join never
-    * goes corpus²); duplicate groups resolve by the same
-    * pointer-jumping [[components]] loop the MinHash sweep uses.
+    * pair join is an EQUI-join on `cell`, so total verify work is
+    * Σ cell² ≈ N · cellSize — the cell is the blocking unit and the
+    * join never goes corpus². SIZE THE CELLS, not the cell count: the
+    * ~√N default (cell ≈ √N) is right up to ~10^8 vectors; beyond
+    * that pass `nlist ≈ N / targetCellSize` (a few thousand per cell)
+    * so the pair work stays LINEAR in N — the same knob the SemDeDup
+    * paper turns (50k clusters at web scale). `nlist` may exceed the
+    * fit sample's support only down to one point per center; the fit
+    * cap is the real ceiling on cell-count growth, exactly as in
+    * [[graft.operators.Ivf.fit]]. Duplicate groups resolve by the
+    * same pointer-jumping [[components]] loop the MinHash sweep uses.
     * Nothing driver-sized except the k centroids.
     *
     * Returns one row PER INPUT VECTOR:
@@ -770,7 +777,12 @@ object Dedup {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
     val n = Similarity.corpusCount(emb)
-    val k = if (nlist > 0) nlist else math.max(4, math.sqrt(n.toDouble).toInt)
+    require(n > 0, "Dedup.semanticDedup: empty corpus")
+    // clamped to the corpus size — KMeans cannot seed more centers
+    // than it has points (tiny-corpus edge)
+    val k = math.min(n,
+      if (nlist > 0) nlist.toLong
+      else math.max(4, math.sqrt(n.toDouble).toInt).toLong).toInt
     val feat = emb.withColumn("features", array_to_vector(col("embedding")))
     val fitOn =
       if (n > fitSampleRows)

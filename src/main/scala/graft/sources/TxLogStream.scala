@@ -148,6 +148,20 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
         if (!exists) TxLog.create(data, path, partitionCols = partCols)
         else TxLog.append(data, path)
       case SaveMode.Overwrite =>
+        // a data-writer overwrite is NOT the DDL escape hatch: under
+        // appendOnly it refuses like every other row-removing door
+        // (redefinition stays available as the explicit TXLOG
+        // CREATE OR REPLACE / REPLACE TABLE statements)
+        if (exists) {
+          val head = TxLog.manifest(spark, path,
+            TxLog.currentVersion(spark, path).get)
+          if (TxLog.isAppendOnly(head))
+            throw new UnsupportedOperationException(
+              s"graft-txlog: overwrite of $path is refused — table " +
+                s"property ${TxLog.AppendOnlyProp}=true protects " +
+                "committed rows. UNSET TBLPROPERTIES first, or " +
+                "redefine via TXLOG CREATE OR REPLACE.")
+        }
         TxLog.createOrReplace(data, path, partitionCols = partCols)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(

@@ -3130,7 +3130,10 @@ object TxLog {
           "IDENTITY policy — drop it first, rename, re-add against the " +
           "new name")
       val word = ("\\b" + java.util.regex.Pattern.quote(oldName) + "\\b").r
-      attempt.constraints.foreach { case (n, check) =>
+      // property VALUES are opaque strings, never SQL over columns —
+      // a prop mentioning the column name must not block the rename
+      attempt.constraints
+        .filterNot(_._1.startsWith(PropPrefix)).foreach { case (n, check) =>
         require(word.findFirstIn(check).isEmpty,
           s"TxLog.renameColumn: CHECK constraint '$n' ($check) references " +
             s"'$oldName' — drop it first, rename, re-add against the new name")
@@ -3320,7 +3323,9 @@ object TxLog {
       val newConstraints = attempt.constraints.filterNot(c =>
         c._1 == DefaultPrefix + name || c._1 == GeneratedPrefix + name ||
         c._1 == IdentityPrefix + name)
-      newConstraints.foreach { case (n, check) =>
+      // property VALUES are opaque strings, never SQL over columns
+      newConstraints
+        .filterNot(_._1.startsWith(PropPrefix)).foreach { case (n, check) =>
         require(word.findFirstIn(check).isEmpty,
           s"TxLog.dropColumn: CHECK constraint '$n' ($check) references " +
             s"'$name' — drop the constraint first")
@@ -4941,14 +4946,28 @@ object TxLog {
     * carries forward from the CURRENT version (not the restored one),
     * so a replayed micro-batch is still detected after a rollback.
     * Returns the new version. */
-  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long =
+    restoreImpl(spark, path, toVersion, gateAppendOnly = true)
+
+  /** [[Txn]]'s compensation door: rolling back a table whose head is
+    * still the FAILED transaction's own commit is mandatory rollback
+    * of an incomplete transaction, not deletion of protected rows —
+    * the one restore the appendOnly gate must not refuse (a refusal
+    * would abort compensation half-way and strand the journal). */
+  private[storage] def restoreCompensating(spark: SparkSession, path: String,
+                                           toVersion: Long): Long =
+    restoreImpl(spark, path, toVersion, gateAppendOnly = false)
+
+  private def restoreImpl(spark: SparkSession, path: String, toVersion: Long,
+                          gateAppendOnly: Boolean): Long = {
     val cur = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     require(toVersion <= cur, s"TxLog.restore: v$toVersion is not committed (head v$cur)")
     val head = manifest(spark, path, cur)
     requireWritable(head, path)
-    requireAppendable(head, path, "restore (a rollback drops rows " +
-      "appended since the target version)")
+    if (gateAppendOnly)
+      requireAppendable(head, path, "restore (a rollback drops rows " +
+        "appended since the target version)")
     val target = manifest(spark, path, toVersion)
     val ts = clampedTs(head)
     // restoring a constrained version re-raises the gate; never lowered
@@ -5264,12 +5283,6 @@ object TxLog {
       fs.delete(new Path(manifestDir(path), s"v$dv.json"), false)
       fs.delete(ckptDir(path, dv), true)
     }
-    // orphaned checkpoint temp dirs (a crashed writer's un-renamed
-    // staging) are invisible to resolution — sweep them here
-    if (fs.exists(manifestDir(path)))
-      fs.listStatus(manifestDir(path))
-        .filter(_.getPath.getName.startsWith(".ckpt_"))
-        .foreach(st => fs.delete(st.getPath, true))
     // crashed writers' leftovers at the table root — an un-moved
     // `_staging_<uuid>` batch (stageIn died between write and move: a
     // FULL copy of its frame, invisible to resolution, leaked forever
@@ -5292,6 +5305,18 @@ object TxLog {
       }
       .filter(_.getModificationTime < staleCut)
       .foreach(st => fs.delete(st.getPath, true))
+    // same class inside _manifests: a crashed checkpoint job's
+    // un-renamed `.ckpt_*` dir and a crashed commit's un-renamed
+    // `.v<N>.json.<uuid>.tmp` — both invisible to resolution, both
+    // behind the same age guard (a LIVE committer's temp survives)
+    if (fs.exists(manifestDir(path)))
+      fs.listStatus(manifestDir(path))
+        .filter { st =>
+          val n = st.getPath.getName
+          (n.startsWith(".ckpt_") || (n.startsWith(".v") && n.endsWith(".tmp"))) &&
+            st.getModificationTime < staleCut
+        }
+        .foreach(st => fs.delete(st.getPath, true))
     // dropped versions must now FAIL resolution, not serve from cache
     cacheInvalidate(spark, path)
     deleted

@@ -121,7 +121,10 @@ object Txn {
           val cur = TxLog.currentVersion(spark, e.path)
           if (!cur.contains(c)) conflicted += e.path
           else {
-            TxLog.restore(spark, e.path, hb)
+            // the head IS this failed transaction's own commit —
+            // rollback of an incomplete transaction bypasses the
+            // appendOnly gate (see TxLog.restoreCompensating)
+            TxLog.restoreCompensating(spark, e.path, hb)
             restored += e.path
           }
         case (None, Some(hb)) =>

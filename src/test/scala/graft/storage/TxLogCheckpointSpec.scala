@@ -576,4 +576,31 @@ class TxLogCheckpointSpec extends SparkSpec {
     assert(!fs.exists(live),
       "a zero-hour horizon sweeps uncommitted leftovers like old versions")
   }
+
+  test("a torn commit's .tmp manifest is invisible to resolution and vacuums when stale") {
+    import spark.implicits._
+    val path = freshDir("torn_commit")
+    TxLog.create(Seq((1L, "p0", 1.0)).toDF("k", "part", "v"), path, Some("part"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // a crashed commitAtomic: temp written, rename never happened
+    val torn = new org.apache.hadoop.fs.Path(
+      s"$path/_manifests/.v2.json.deadbeef.tmp")
+    val out = fs.create(torn)
+    out.write("{\"version\": 2, \"corrupt\": true".getBytes("UTF-8"))
+    out.close()
+    // resolution never sees it: head stays v1, reads serve v1
+    TxLog.flushSnapshotCacheForTesting()
+    assert(TxLog.currentVersion(spark, path).contains(1L))
+    assert(TxLog.read(spark, path).count() == 1L)
+    // and the NEXT commit of v2 lands normally despite the leftover
+    TxLog.append(Seq((2L, "p0", 2.0)).toDF("k", "part", "v"), path)
+    assert(TxLog.currentVersion(spark, path).contains(2L))
+    // fresh temp survives the default sweep; stale temp vacuums away
+    TxLog.vacuum(spark, path, keepVersions = 1)
+    assert(fs.exists(torn), "a fresh temp could be a LIVE committer's")
+    fs.setTimes(torn, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    TxLog.vacuum(spark, path, keepVersions = 1)
+    assert(!fs.exists(torn), "a stale torn-commit temp is garbage")
+  }
 }

@@ -143,6 +143,10 @@ class TxLogPropsSpec extends SparkSpec {
     refused(TxLog.createOrReplace(
       Seq((9L, 1.0, "z")).toDF("k", "amt", "part"), path,
       keepPolicies = true))
+    // the format door's data-writer overwrite is NOT the DDL escape
+    // hatch — it refuses like every other row-removing door
+    refused(Seq((9L, 1.0, "z")).toDF("k", "amt", "part").write
+      .format("graft-txlog").mode("overwrite").option("path", path).save())
     assert(TxLog.currentVersion(spark, path).contains(vLocked),
       "every refusal leaves the version untouched")
 
@@ -217,6 +221,26 @@ class TxLogPropsSpec extends SparkSpec {
     } finally prev match {
       case Some(v) => spark.conf.set("graft.txlog.optimizedWrite", v)
       case None => spark.conf.unset("graft.txlog.optimizedWrite")
+    }
+  }
+
+  test("a property VALUE mentioning a column name never blocks RENAME/DROP COLUMN") {
+    import spark.implicits._
+    val path = freshDir("propword")
+    seed(path)
+    TxLog.addColumn(spark, path, "note", "STRING")
+    // the value names both columns — opaque text, not SQL
+    TxLog.setProperties(spark, path,
+      Map("pipeline.doc" -> "refresh amt and note nightly"))
+    TxLog.renameColumn(spark, path, "amt", "amount")
+    TxLog.dropColumn(spark, path, "note")
+    assert(TxLog.read(spark, path).columns.toSeq == Seq("k", "amount", "part"))
+    assert(TxLog.propertiesOf(spark, path)("pipeline.doc") ==
+      "refresh amt and note nightly", "the property text rides unchanged")
+    // a REAL CHECK referencing the column still blocks, prop present
+    TxLog.addConstraint(spark, path, "amount_pos", "amount > 0")
+    intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, path, "amount", "amt2")
     }
   }
 

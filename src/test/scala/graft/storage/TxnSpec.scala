@@ -87,6 +87,36 @@ class TxnSpec extends SparkSpec {
     assert(!fs.exists(dir) || fs.listStatus(dir).isEmpty)
   }
 
+  test("an appendOnly table inside a failing txn still compensates: own-commit rollback bypasses the gate") {
+    val root = freshRoot("comp_ao")
+    val t1 = s"$root/t1"; val t2 = s"$root/t2"
+    TxLog.create(Seq((1L, "a")).toDF("k", "v"), t1)
+    TxLog.setProperties(spark, t1, Map(TxLog.AppendOnlyProp -> "true"))
+    TxLog.create(Seq((1L, 10.0)).toDF("k", "score"), t2)
+    TxLog.addConstraint(spark, t2, "pos", "score >= 0")
+    intercept[Txn.TxnFailedException] {
+      Txn.transact(spark, root, Seq(
+        Txn.Append(t1, Seq((2L, "b")).toDF("k", "v")),          // commits
+        Txn.Update(t2, Seq("score" -> "-5.0"), col("k") === 1L) // CHECK fails
+      ))
+    }
+    assert(TxLog.read(spark, t1).count() == 1,
+      "rollback of the txn's OWN incomplete append must not be refused")
+    assert(TxLog.isAppendOnly(TxLog.manifest(spark, t1,
+      TxLog.currentVersion(spark, t1).get)),
+      "the restore lands back on the protected definition")
+    // a direct user restore on the same table still refuses
+    val e = intercept[UnsupportedOperationException] {
+      TxLog.restore(spark, t1, 1L)
+    }
+    assert(e.getMessage.contains(TxLog.AppendOnlyProp))
+    // compensation completed: journal gone
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(root, "_txn")
+    assert(!fs.exists(dir) || fs.listStatus(dir).isEmpty)
+  }
+
   test("crash recovery: an orphaned journal compensates on recover()") {
     val root = freshRoot("recover")
     val t1 = s"$root/t1"
