@@ -2353,6 +2353,16 @@ object TxLog {
     * it writes more small files, never wrong rows). */
   val OptimizedWriteProp = "graft.optimizedWrite"
 
+  /** Declared clustering (comma-separated columns): a bare
+    * `OPTIMIZE` / [[compact]] with no explicit `zorderBy` lays the
+    * table out by its own declaration — the liquid-clustering
+    * ergonomic (the table, not each maintenance job, owns its sort
+    * story). An explicit `zorderBy` always wins. Columns validate
+    * against the schema at SET time and again at use (a later DROP
+    * COLUMN leaves the property stale — OPTIMIZE then refuses loudly
+    * until it is re-declared). */
+  val ZorderColsProp = "graft.zorderCols"
+
   /** Key → value of the properties a manifest carries. */
   private[graft] def propsOf(m: Manifest): Map[String, String] =
     m.constraints.collect { case (n, v) if n.startsWith(PropPrefix) =>
@@ -2385,6 +2395,13 @@ object TxLog {
     val enforcing = props.get(AppendOnlyProp).exists(_.equalsIgnoreCase("true"))
     commitConstraints(spark, path,
       update = { m =>
+        props.get(ZorderColsProp).foreach { csv =>
+          val declared = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+          csv.split(",").map(_.trim).filter(_.nonEmpty).foreach(c =>
+            require(declared.contains(c),
+              s"TxLog.setProperties: $ZorderColsProp column '$c' is not " +
+                s"in the schema (${m.schemaDdl})"))
+        }
         val keep = m.constraints.filterNot { case (n, _) =>
           n.startsWith(PropPrefix) && props.contains(n.stripPrefix(PropPrefix)) }
         (keep ++ props.toSeq.sortBy(_._1)
@@ -3885,6 +3902,15 @@ object TxLog {
       }
     if (todo.isEmpty) return v
     val schema = StructType.fromDDL(m.schemaDdl)
+    // the table's DECLARED clustering applies when the caller names
+    // none (graft.zorderCols); an explicit zorderBy always wins
+    val zorder: Seq[String] =
+      if (zorderBy.nonEmpty) zorderBy
+      else propsOf(m).get(ZorderColsProp).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    zorder.foreach(c => require(schema.fieldNames.contains(c),
+      s"TxLog.compact: z-order column '$c' is not in the schema — " +
+        s"re-declare $ZorderColsProp after schema changes"))
     // statistics-sized per partition, but ONE write job for the whole
     // OPTIMIZE: each partition's subset repartitions to its own file
     // count and the union executes as a single Spark job — compaction
@@ -3894,7 +3920,7 @@ object TxLog {
       val bytes = part.queryExecution.optimizedPlan.stats.sizeInBytes
       val n = ((bytes + BigInt(targetBytesPerFile) - 1) / targetBytesPerFile)
         .max(1).toInt
-      zorderBy match {
+      zorder match {
         case Seq() => part.repartition(n)
         case Seq(c1) => // one column: range-cluster + sort IS the z-order
           part.repartitionByRange(n, org.apache.spark.sql.functions.col(c1))
@@ -3913,8 +3939,8 @@ object TxLog {
     commitRebase(spark, path, m, rewriteDirs = todo.keySet,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
       readSet = Some(todo.keySet),
-      operation = if (zorderBy.isEmpty) "OPTIMIZE"
-        else s"OPTIMIZE ZORDER BY ${zorderBy.mkString(", ")}")
+      operation = if (zorder.isEmpty) "OPTIMIZE"
+        else s"OPTIMIZE ZORDER BY ${zorder.mkString(", ")}")
   }
 
   /** Transactional merge — the plain-parquet equivalent of a Delta

@@ -244,6 +244,41 @@ class TxLogPropsSpec extends SparkSpec {
     }
   }
 
+  test("graft.zorderCols: bare OPTIMIZE uses the declared clustering; explicit wins; stale declaration refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = freshDir("zorder_prop")
+    TxLog.create((0 until 64).map(i => (i.toLong, i * 1.0, "a"))
+      .toDF("k", "amt", "part").repartition(8), path, Some("part"))
+    // validation: the declared columns must exist at SET time
+    intercept[IllegalArgumentException] {
+      TxLog.setProperties(spark, path, Map(TxLog.ZorderColsProp -> "nope"))
+    }
+    TxLog.setProperties(spark, path, Map(TxLog.ZorderColsProp -> "k"))
+    TxLog.compact(spark, path)
+    def ops() = TxLog.history(spark, path)
+      .select("operation").as[String].collect().toSeq
+    assert(ops().contains("OPTIMIZE ZORDER BY k"),
+      s"bare OPTIMIZE must lay out by the declared clustering: ${ops()}")
+    // an explicit zorderBy wins over the declaration
+    TxLog.append((64 until 128).map(i => (i.toLong, i * 1.0, "a"))
+      .toDF("k", "amt", "part").repartition(4), path)
+    TxLog.compact(spark, path, zorderBy = Seq("amt"))
+    assert(ops().contains("OPTIMIZE ZORDER BY amt"), ops().toString)
+    // a later DROP COLUMN leaves the declaration stale: OPTIMIZE
+    // refuses loudly instead of silently skipping the layout
+    TxLog.dropColumn(spark, path, "k")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.compact(spark, path, minFilesToCompact = 1)
+    }
+    assert(e.getMessage.contains(TxLog.ZorderColsProp) ||
+      e.getMessage.contains("z-order column"), e.getMessage)
+    // re-declaring heals it
+    TxLog.setProperties(spark, path, Map(TxLog.ZorderColsProp -> "amt"))
+    TxLog.compact(spark, path, minFilesToCompact = 1)
+    assert(TxLog.read(spark, path).count() == 128)
+  }
+
   test("appendOnly=false is a no-op value and does not raise the writer gate") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
