@@ -2363,6 +2363,14 @@ object TxLog {
     * until it is re-declared). */
   val ZorderColsProp = "graft.zorderCols"
 
+  /** Declared retention (hours): a [[vacuum]] called WITHOUT an
+    * explicit `keepHours` honors the table's own word (Delta's
+    * `delta.deletedFileRetentionDuration` shape) — the audited table
+    * declares its time-travel window once instead of trusting every
+    * maintenance job's flags. An explicit `keepHours` always wins
+    * (the operator on the ground is never overridden by metadata). */
+  val RetentionHoursProp = "graft.retentionHours"
+
   /** Key → value of the properties a manifest carries. */
   private[graft] def propsOf(m: Manifest): Map[String, String] =
     m.constraints.collect { case (n, v) if n.startsWith(PropPrefix) =>
@@ -2392,6 +2400,10 @@ object TxLog {
       props.get(p).foreach(v => require(
         v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
         s"TxLog.setProperties: $p must be true or false, got '$v'")))
+    props.get(RetentionHoursProp).foreach(v => require(
+      v.toDoubleOption.exists(_ >= 0),
+      s"TxLog.setProperties: $RetentionHoursProp must be a " +
+        s"non-negative number of hours, got '$v'"))
     val enforcing = props.get(AppendOnlyProp).exists(_.equalsIgnoreCase("true"))
     commitConstraints(spark, path,
       update = { m =>
@@ -5219,8 +5231,13 @@ object TxLog {
     // time-based retention EXTENDS the version window (Delta's
     // retention period in spirit): a version drops only when it is
     // both below the version cut AND provably older than the horizon —
-    // commits without a timestamp (legacy) never drop on time alone
-    val horizon = keepHours.map(h =>
+    // commits without a timestamp (legacy) never drop on time alone.
+    // No explicit keepHours → the table's own declared retention
+    // ([[RetentionHoursProp]]) applies; an explicit argument wins.
+    val resolvedKeepHours = keepHours.orElse(
+      propsOf(manifest(spark, path, cur)).get(RetentionHoursProp)
+        .flatMap(_.toDoubleOption))
+    val horizon = resolvedKeepHours.map(h =>
       System.currentTimeMillis() - (h * 3600 * 1000).toLong)
     def olderThanHorizon(v: Long): Boolean = horizon.forall(c =>
       Option(readCommitNode(spark, path, v).get("ts")).exists(_.asLong() < c))

@@ -279,6 +279,32 @@ class TxLogPropsSpec extends SparkSpec {
     assert(TxLog.read(spark, path).count() == 128)
   }
 
+  test("graft.retentionHours: vacuum without keepHours honors the declared retention; explicit wins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = freshDir("retention")
+    TxLog.create(Seq((1L, 1.0, "a"), (2L, 2.0, "a"))
+      .toDF("k", "amt", "part"), path, Some("part"))            // v1
+    TxLog.deleteWhere(spark, path, col("k") === 1L)             // v2 strands v1's file
+    TxLog.append(Seq((3L, 3.0, "a")).toDF("k", "amt", "part"), path) // v3
+    intercept[IllegalArgumentException] {
+      TxLog.setProperties(spark, path, Map(TxLog.RetentionHoursProp -> "soon"))
+    }
+    TxLog.setProperties(spark, path, Map(TxLog.RetentionHoursProp -> "24"))
+    // bare vacuum: the DECLARED 24h window keeps everything recent
+    val kept = TxLog.vacuum(spark, path, keepVersions = 1)
+    assert(kept.isEmpty,
+      s"declared retention must keep seconds-old versions: $kept")
+    TxLog.flushSnapshotCacheForTesting()
+    assert(TxLog.read(spark, path, Some(1L)).count() == 2,
+      "v1 stays time-travelable under the declared window")
+    // an explicit keepHours always wins over the declaration
+    TxLog.vacuum(spark, path, keepVersions = 1, keepHours = Some(0.0))
+    TxLog.flushSnapshotCacheForTesting()
+    intercept[Exception] { TxLog.read(spark, path, Some(1L)).count() }
+    assert(TxLog.read(spark, path).count() == 2)
+  }
+
   test("appendOnly=false is a no-op value and does not raise the writer gate") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
