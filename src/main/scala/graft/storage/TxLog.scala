@@ -5602,10 +5602,11 @@ object TxLog {
       // outstanding (un-materialized) deletion-vector rows — the "run
       // OPTIMIZE to materialize" advisory signal
       m.dv.flatMap(_._2.values).sum,
-      m.schemaDdl))
+      m.schemaDdl,
+      propsOf(m)))
       .toDF("path", "version", "partition_col", "num_files", "total_bytes",
         "rows", "stats_cols", "n_check_constraints", "n_unique_constraints",
-        "n_dv_rows", "schema_ddl")
+        "n_dv_rows", "schema_ddl", "properties")
   }
 
   /** The FILES metadata table (Delta's per-file inventory at file

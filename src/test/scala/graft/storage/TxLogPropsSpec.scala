@@ -86,9 +86,13 @@ class TxLogPropsSpec extends SparkSpec {
     assert(TxLog.read(spark, path).count() == 3L)
     // the constraint surfaces stay clean: detail counts no phantom
     // CHECK, and the constraints listing shows none
-    val detail = TxLog.detail(spark, path).select("n_check_constraints")
-      .collect().head.getInt(0)
-    assert(detail == 0, s"properties are not CHECK constraints (got $detail)")
+    val det = TxLog.detail(spark, path)
+      .select("n_check_constraints", "properties").collect().head
+    assert(det.getInt(0) == 0,
+      s"properties are not CHECK constraints (got ${det.getInt(0)})")
+    assert(det.getAs[Map[String, String]]("properties") ==
+      Map("pipeline" -> "nightly :: v2 (!)"),
+      "DESCRIBE DETAIL surfaces the property set")
   }
 
   test("properties carry through CLONE and reset on REPLACE (redefinition)") {
