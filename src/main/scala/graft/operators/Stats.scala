@@ -113,6 +113,49 @@ object Stats {
     * partial-agg order and engine libm differences cannot wiggle the
     * total; log2 is spelled ln(r+1)/ln(2) with the SAME operand shapes
     * on both engines. */
+  /** Group-wise ROC AUC via the Mann-Whitney rank formulation with
+    * AVERAGE ranks for ties — the classifier-eval twin of [[rankEval]]
+    * (there: ranked retrieval vs graded truth; here: a scalar score vs
+    * a binary label). For each group:
+    * AUC = (Σ_{pos} r̄ − nPos(nPos+1)/2) / (nPos · nNeg), where a tied
+    * score's average rank is (rows strictly below) + (tied + 1)/2 —
+    * the exact tie handling scikit-learn's roc_auc_score applies, so a
+    * 0.5 contribution per tied positive/negative pair, never a biased
+    * extreme. A group missing either class has no ranking to score →
+    * null AUC (visible, not dropped).
+    *
+    * Scale: one map-side-combinable (group, score) rollup, one
+    * per-group ordered window over the DISTINCT scores (bounded by
+    * distinct scores, not rows), one final group aggregate — no
+    * row-level global sort, no per-group value maps on the shuffle.
+    * Determinism: ranks and class counts are integers (exact in
+    * double far beyond any group size here); one division + round(6)
+    * at the end is the same IEEE arithmetic on both engines. */
+  def auc(df: DataFrame, groupCol: String, scoreCol: String,
+          labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = df
+      .groupBy(col(groupCol), col(scoreCol).as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col(labelCol).cast("int") === 1, 1L).otherwise(0L))
+          .as("_np"))
+    val w = Window.partitionBy(groupCol).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = s.withColumn("_cb", coalesce(sum(col("_n")).over(w), lit(0L)))
+    ranked.groupBy(groupCol).agg(
+        sum(col("_np").cast("double") * (col("_cb").cast("double") +
+          (col("_n").cast("double") + lit(1.0)) / lit(2.0))).as("_spr"),
+        sum(col("_np")).as("n_pos"),
+        (sum(col("_n")) - sum(col("_np"))).as("n_neg"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise((col("_spr") - col("n_pos").cast("double") *
+            (col("n_pos").cast("double") + lit(1.0)) / lit(2.0)) /
+            (col("n_pos").cast("double") * col("n_neg").cast("double"))), 6)
+          .as("auc"))
+      .orderBy(groupCol)
+  }
+
   def rankEval(pred: DataFrame, truth: DataFrame, k: Int,
                queryCol: String = "query_id", itemCol: String = "item_id",
                rankCol: String = "rank", relCol: String = "rel"): DataFrame = {

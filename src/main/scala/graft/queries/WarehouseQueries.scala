@@ -611,6 +611,17 @@ object WarehouseQueries {
       .orderBy("query_id")
   }
 
+  /** Group-wise ROC AUC: does order value "predict" an F status,
+    * per priority class — [[Stats.auc]]'s Mann-Whitney rank form with
+    * scikit-learn's average-rank tie handling, on inputs both engines
+    * derive exactly (integer rank sums, one division, round 6). */
+  def aucQuery(s: SparkSession, d: String): DataFrame =
+    graft.operators.Stats.auc(
+      orders(s, d).select(col("o_orderpriority"), col("o_totalprice"),
+        when(col("o_orderstatus") === "F", lit(1)).otherwise(lit(0))
+          .as("label")),
+      "o_orderpriority", "o_totalprice", "label")
+
   /** Robust outlier accounting per return flag: median / MAD /
     * beyond-3-MADs count of the price column — [[Stats.madOutliers]]
     * over the proven exact-percentile histogram plan. */
@@ -1742,6 +1753,7 @@ object WarehouseQueries {
     "q_assoc_rules" -> assocRules _,
     "q_skyline" -> skylineQuery _,
     "eval_rank" -> rankEvalQuery _,
+    "eval_auc" -> aucQuery _,
     "q_moving_avg" -> movingAvg _,
     "q_ntile" -> distributionWindows _,
     "q_resample" -> resample _,
@@ -2327,6 +2339,31 @@ object WarehouseQueries {
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
         |ORDER BY p_retailprice, p_partkey""".stripMargin,
+    // the same Mann-Whitney average-rank formulation, spelled over
+    // the (group, score) rollup + one cumulative window — integer
+    // rank sums in double, one division, round(6) on both engines
+    "eval_auc" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority, o_totalprice AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        |agg AS (
+        |  SELECT o_orderpriority, s, count(*) AS n, sum(label) AS np
+        |  FROM base GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT o_orderpriority, n, np,
+        |    COALESCE(sum(n) OVER (PARTITION BY o_orderpriority ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM agg)
+        |SELECT o_orderpriority,
+        |  CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(n) - sum(np) AS BIGINT) AS n_neg,
+        |  round((sum(CAST(np AS DOUBLE) * (CAST(cb AS DOUBLE) +
+        |           (CAST(n AS DOUBLE) + 1.0) / 2.0)) -
+        |         CAST(sum(np) AS DOUBLE) * (CAST(sum(np) AS DOUBLE) + 1.0) / 2.0) /
+        |        (CAST(sum(np) AS DOUBLE) * CAST(sum(n) - sum(np) AS DOUBLE)), 6)
+        |    AS auc
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     "eval_rank" ->
       """WITH pred AS (
         |  SELECT c_nationkey AS query_id, c_custkey AS item_id,

@@ -792,6 +792,27 @@ class WarehouseQueriesSpec extends SparkSpec {
     }
   }
 
+  test("auc on a hand-computed fixture: ties average, perfect separation is 1, one-class is null") {
+    import spark.implicits._
+    // group g1: scores pos {3, 2}, neg {2, 1}. Ascending ranks with
+    // average ties: 1 -> 1; the two 2s -> 2.5 each; 3 -> 4.
+    // sum(pos ranks) = 2.5 + 4 = 6.5; U = 6.5 - 2*3/2 = 3.5;
+    // auc = 3.5 / (2*2) = 0.875
+    // group g2: perfect separation -> 1.0
+    // group g3: positives only -> null (no ranking to score)
+    val df = Seq(
+      ("g1", 3.0, 1), ("g1", 2.0, 1), ("g1", 2.0, 0), ("g1", 1.0, 0),
+      ("g2", 9.0, 1), ("g2", 8.0, 1), ("g2", 1.0, 0),
+      ("g3", 5.0, 1), ("g3", 6.0, 1)
+    ).toDF("g", "score", "label")
+    val out = graft.operators.Stats.auc(df, "g", "score", "label")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(out("g1") == ((2L, 2L, Some(0.875))), out.toString)
+    assert(out("g2") == ((2L, 1L, Some(1.0))), out.toString)
+    assert(out("g3") == ((2L, 0L, None)), out.toString)
+  }
+
   test("rankEval on a hand-computed fixture") {
     import spark.implicits._
     // query 1: items ranked a,b,c,d; rels a=2 (rank1), c=1 (rank3).

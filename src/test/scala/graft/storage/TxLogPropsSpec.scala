@@ -172,6 +172,38 @@ class TxLogPropsSpec extends SparkSpec {
       "after UNSET the delete flows again")
   }
 
+  test("OCC: a rewrite staged under the old property set conflicts with a racing SET TBLPROPERTIES") {
+    import spark.implicits._
+    val path = freshDir("occ_props")
+    seed(path)
+    val base = TxLog.manifest(spark, path, 1L)
+    // the race: appendOnly lands AFTER the delete staged its plan
+    // against v1 — the delete must RECOMPUTE, not re-point (landing it
+    // would remove rows the new contract just protected)
+    TxLog.setProperties(spark, path, Map(TxLog.AppendOnlyProp -> "true"))
+    val e = intercept[TxLog.CommitConflictException] {
+      TxLog.commitRebase(spark, path, base,
+        rewriteDirs = Set("part=a"), newFiles = Nil,
+        schemaDdl = base.schemaDdl, batchId = None, readSet = None,
+        operation = "DELETE (race test)")
+    }
+    assert(e.getMessage.contains("constraint change"), e.getMessage)
+    assert(TxLog.read(spark, path).count() == 2,
+      "the stale rewrite must not land")
+    // same shape for a FREE-FORM property: the channel comparison is
+    // equality, so any concurrent SET conflicts a concurrent rewrite
+    val path2 = freshDir("occ_props_free")
+    seed(path2)
+    val base2 = TxLog.manifest(spark, path2, 1L)
+    TxLog.setProperties(spark, path2, Map("tier" -> "gold"))
+    intercept[TxLog.CommitConflictException] {
+      TxLog.commitRebase(spark, path2, base2,
+        rewriteDirs = Set("part=a"), newFiles = Nil,
+        schemaDdl = base2.schemaDdl, batchId = None, readSet = None,
+        operation = "DELETE (race test)")
+    }
+  }
+
   test("appendOnly=true raises the writer gate to generation 5 in the commit metadata") {
     val path = freshDir("minwriter")
     seed(path)
