@@ -113,6 +113,42 @@ object Stats {
     * partial-agg order and engine libm differences cannot wiggle the
     * total; log2 is spelled ln(r+1)/ln(2) with the SAME operand shapes
     * on both engines. */
+  /** Reliability table (calibration bins) — the third leg of the eval
+    * family after [[rankEval]] and [[auc]]: a probability-like score
+    * clamps into [0,1], lands in one of `bins` equal-width bins, and
+    * each OCCUPIED bin reports (n, mean_score, pos_rate, abs_gap).
+    * The expected-calibration-error scalar is one trivial aggregate
+    * away (Σ n/N · abs_gap) and deliberately not folded in: the
+    * per-bin table is the diagnostic — a single scalar hides WHERE
+    * the miscalibration lives.
+    *
+    * Scale: ONE map-side-combinable aggregate over the rows, output
+    * bounded by `bins`. Determinism: score sums ride DECIMAL(18,6)
+    * (the dsum pattern) so partial-agg order can't wiggle the means;
+    * a score of exactly 1.0 belongs to the TOP bin, not a phantom
+    * bins-th one. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000,
+      s"Stats.calibration: bins must be in [2, 10000], got $bins")
+    val s = col(scoreCol).cast("double")
+    val clamped = least(greatest(s, lit(0.0)), lit(1.0))
+    val bin = least(floor(clamped * lit(bins.toDouble)).cast("int"),
+      lit(bins - 1))
+    val mean = col("_ss").cast("double") / col("n").cast("double")
+    val rate = col("n_pos").cast("double") / col("n").cast("double")
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(s.cast(DecimalType(18, 6))).as("_ss"),
+        sum(when(col(labelCol).cast("int") === 1, 1L).otherwise(0L))
+          .as("n_pos"))
+      .select(col("bin"), col("n"),
+        round(mean, 6).as("mean_score"),
+        round(rate, 6).as("pos_rate"),
+        round(abs(mean - rate), 6).as("abs_gap"))
+      .orderBy("bin")
+  }
+
   /** Group-wise ROC AUC via the Mann-Whitney rank formulation with
     * AVERAGE ranks for ties — the classifier-eval twin of [[rankEval]]
     * (there: ranked retrieval vs graded truth; here: a scalar score vs

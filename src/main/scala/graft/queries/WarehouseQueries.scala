@@ -622,6 +622,18 @@ object WarehouseQueries {
           .as("label")),
       "o_orderpriority", "o_totalprice", "label")
 
+  /** Calibration table of a pseudo-probability (order value scaled
+    * into [0,1] by a FIXED divisor — data-independent, so both
+    * engines derive the identical score) against the F-status label:
+    * [[Stats.calibration]]'s equal-width reliability bins. */
+  def calibrationQuery(s: SparkSession, d: String): DataFrame =
+    graft.operators.Stats.calibration(
+      orders(s, d).select(
+        (col("o_totalprice") / lit(600000.0)).as("score"),
+        when(col("o_orderstatus") === "F", lit(1)).otherwise(lit(0))
+          .as("label")),
+      "score", "label")
+
   /** Robust outlier accounting per return flag: median / MAD /
     * beyond-3-MADs count of the price column — [[Stats.madOutliers]]
     * over the proven exact-percentile histogram plan. */
@@ -1754,6 +1766,7 @@ object WarehouseQueries {
     "q_skyline" -> skylineQuery _,
     "eval_rank" -> rankEvalQuery _,
     "eval_auc" -> aucQuery _,
+    "eval_calibration" -> calibrationQuery _,
     "q_moving_avg" -> movingAvg _,
     "q_ntile" -> distributionWindows _,
     "q_resample" -> resample _,
@@ -2339,6 +2352,24 @@ object WarehouseQueries {
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
         |ORDER BY p_retailprice, p_partkey""".stripMargin,
+    // same fixed-divisor score, same clamp/bin arithmetic, score sums
+    // through DECIMAL(18,6) (the dsum pattern) on both engines
+    "eval_calibration" ->
+      """WITH base AS (
+        |  SELECT o_totalprice / 600000.0 AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        |b AS (
+        |  SELECT LEAST(CAST(floor(LEAST(GREATEST(s, 0), 1) * 10.0) AS INT), 9)
+        |    AS bin, s, label
+        |  FROM base)
+        |SELECT bin, count(*) AS n,
+        |  round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS mean_score,
+        |  round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate,
+        |  round(abs(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*) -
+        |        CAST(sum(label) AS DOUBLE) / count(*)), 6) AS abs_gap
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same Mann-Whitney average-rank formulation, spelled over
     // the (group, score) rollup + one cumulative window — integer
     // rank sums in double, one division, round(6) on both engines
