@@ -1710,7 +1710,30 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** The PARTITIONS metadata table through the driver gate: create a
+    * partitioned table, DV-delete a slice, then read the per-partition
+    * METADATA row counts — zero data files read on the serve path.
+    * Only the oracle-derivable columns go through the hash (row
+    * counts net of DV deletes); file counts are layout, not content. */
+  def txlogParts(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_parts_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    TxLog.create(orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+      path, Some("o_orderpriority"))
+    TxLog.deleteWhere(s, path, col("o_orderkey") % 10 === 0,
+      deletionVectors = true)
+    TxLog.partitions(s, path)
+      .select(col("partition_dir"),
+        (col("rows") - col("dv_deleted_rows")).as("live_rows"))
+      .orderBy("partition_dir")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_txlog_parts" -> txlogParts _,
     "q_txlog_props" -> txlogProps _,
     "q_txlog_defaults" -> txlogDefaults _,
     "q_txlog_sql" -> txlogSql _,
@@ -1907,6 +1930,12 @@ object WarehouseQueries {
       """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
         |FROM orders WHERE o_orderkey % 5 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // metadata row counts net of DV deletes ≡ the content recompute
+    "q_txlog_parts" ->
+      """SELECT 'o_orderpriority=' || o_orderpriority AS partition_dir,
+        |  count(*) AS live_rows
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the refused delete leaves nothing; only the re-opened one lands
     "q_txlog_props" ->
       """SELECT o_orderkey, o_totalprice
