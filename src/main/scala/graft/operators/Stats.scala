@@ -137,9 +137,12 @@ object Stats {
       lit(bins - 1))
     val mean = col("_ss").cast("double") / col("n").cast("double")
     val rate = col("n_pos").cast("double") / col("n").cast("double")
+    // mean_score sums the CLAMPED score — the same domain the binning
+    // used — so an out-of-range input can widen an edge bin but never
+    // push mean_score/abs_gap outside [0,1] (r14 advice)
     df.groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"),
-        sum(s.cast(DecimalType(18, 6))).as("_ss"),
+        sum(clamped.cast(DecimalType(18, 6))).as("_ss"),
         sum(when(col(labelCol).cast("int") === 1, 1L).otherwise(0L))
           .as("n_pos"))
       .select(col("bin"), col("n"),

@@ -2393,10 +2393,11 @@ object WarehouseQueries {
         |    AS bin, s, label
         |  FROM base)
         |SELECT bin, count(*) AS n,
-        |  round(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-        |    AS mean_score,
+        |  round(CAST(SUM(CAST(LEAST(GREATEST(s, 0), 1) AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*), 6) AS mean_score,
         |  round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate,
-        |  round(abs(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / count(*) -
+        |  round(abs(CAST(SUM(CAST(LEAST(GREATEST(s, 0), 1) AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*) -
         |        CAST(sum(label) AS DOUBLE) / count(*)), 6) AS abs_gap
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     // the same Mann-Whitney average-rank formulation, spelled over

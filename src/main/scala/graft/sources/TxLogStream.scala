@@ -151,18 +151,12 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
         // a data-writer overwrite is NOT the DDL escape hatch: under
         // appendOnly it refuses like every other row-removing door
         // (redefinition stays available as the explicit TXLOG
-        // CREATE OR REPLACE / REPLACE TABLE statements)
-        if (exists) {
-          val head = TxLog.manifest(spark, path,
-            TxLog.currentVersion(spark, path).get)
-          if (TxLog.isAppendOnly(head))
-            throw new UnsupportedOperationException(
-              s"graft-txlog: overwrite of $path is refused — table " +
-                s"property ${TxLog.AppendOnlyProp}=true protects " +
-                "committed rows. UNSET TBLPROPERTIES first, or " +
-                "redefine via TXLOG CREATE OR REPLACE.")
-        }
-        TxLog.createOrReplace(data, path, partitionCols = partCols)
+        // CREATE OR REPLACE / REPLACE TABLE statements). Enforced at
+        // COMMIT time inside createOrReplace (refuseAppendOnly): a
+        // SET TBLPROPERTIES racing a pre-read here cannot slip the
+        // overwrite through the redefinition path.
+        TxLog.createOrReplace(data, path, partitionCols = partCols,
+          refuseAppendOnly = true)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft-txlog: table already exists at $path (mode ErrorIfExists)")

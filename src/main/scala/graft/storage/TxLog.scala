@@ -1741,7 +1741,8 @@ object TxLog {
                       maxRetries: Int = 10,
                       partitionCols: Seq[String] = Nil,
                       hiddenPartitions: Seq[String] = Nil,
-                      keepPolicies: Boolean = false): Long = {
+                      keepPolicies: Boolean = false,
+                      refuseAppendOnly: Boolean = false): Long = {
     val spark = df.sparkSession
     // truncate+insert (keepPolicies): the table's OWN definition is
     // the contract — layout, stats columns and schema all derive from
@@ -1818,6 +1819,18 @@ object TxLog {
       val v = currentVersion(spark, path).get
       val prev = manifest(spark, path, v)
       requireWritable(prev, path)
+      // commit-time appendOnly gate for DATA-WRITER overwrites
+      // (df.write.mode(Overwrite)): the caller's pre-check races a
+      // concurrent SET TBLPROPERTIES between its head read and this
+      // commit — re-checking the HEAD each retry closes the window the
+      // way the keepPolicies path's constraints-equality check does
+      // (r14 advice). keepPolicies=false DDL redefinitions stay open.
+      if (refuseAppendOnly && isAppendOnly(prev))
+        throw new UnsupportedOperationException(
+          s"TxLog.createOrReplace: overwrite of $path is refused — " +
+            s"table property $AppendOnlyProp=true protects committed " +
+            "rows. UNSET TBLPROPERTIES first, or redefine via " +
+            "TXLOG CREATE OR REPLACE.")
       // the rows were vetted/filled under policyBase's policy set — a
       // retry against a head whose DEFINITIONS changed (interleaved
       // ADD CONSTRAINT / setColumnIdentity) would carry a contract the
@@ -2371,6 +2384,25 @@ object TxLog {
     * (the operator on the ground is never overridden by metadata). */
   val RetentionHoursProp = "graft.retentionHours"
 
+  /** Declared Bloom point-lookup columns (comma-separated): every DATA
+    * commit to a declared table extends the per-file Bloom sidecar
+    * index for exactly the files it added (buildBloomIndex is already
+    * incremental + idempotent — this property just makes maintenance
+    * automatic, Delta's `delta.bloomFilter` ergonomic). Layout-only:
+    * no writer-generation gate — an older writer that skips the
+    * sidecar costs the next point read a few extra file scans, never
+    * wrong rows (readByKey treats missing sidecars as "may contain").
+    * Columns validate against the schema at SET time. */
+  val BloomColsProp = "graft.bloomCols"
+
+  /** Auto-compaction (Delta's `delta.autoOptimize.autoCompact` shape):
+    * after a DATA commit to a declared table, any touched partition
+    * whose small-file count crossed the threshold is compacted by a
+    * FOLLOW-ON commit — never inside the caller's commit, so a failed
+    * heal can never fail the write that triggered it. Refused on
+    * appendOnly tables (compaction removes files). */
+  val AutoCompactProp = "graft.autoCompact"
+
   /** Key → value of the properties a manifest carries. */
   private[graft] def propsOf(m: Manifest): Map[String, String] =
     m.constraints.collect { case (n, v) if n.startsWith(PropPrefix) =>
@@ -2389,14 +2421,18 @@ object TxLog {
     * overwrites its value). Setting `graft.appendOnly=true` raises the
     * table's writer gate to generation 5: an older writer would carry
     * the property but still delete, so it must refuse whole. */
-  def setProperties(spark: SparkSession, path: String,
-                    props: Map[String, String]): Long = {
-    require(props.nonEmpty, "TxLog.setProperties: empty property map")
+  /** The schema-free subset of [[setProperties]]' validation — key
+    * shape and fixed-value checks. Callers that stage work before the
+    * table exists (GraftCatalog.createTable) pre-check the user map so
+    * an invalid TBLPROPERTIES refuses cleanly with NOTHING written
+    * (r14 advice: a post-create refusal left a committed-but-
+    * unregistered dir). */
+  def validateProperties(props: Map[String, String]): Unit = {
     props.keys.foreach(k => require(
       k.nonEmpty && k.matches("""[A-Za-z0-9._\-]+""") && !k.startsWith("__"),
       s"TxLog.setProperties: property key must be [A-Za-z0-9._-]+ and not " +
         s"start with '__', got '$k'"))
-    Seq(AppendOnlyProp, OptimizedWriteProp).foreach(p =>
+    Seq(AppendOnlyProp, OptimizedWriteProp, AutoCompactProp).foreach(p =>
       props.get(p).foreach(v => require(
         v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
         s"TxLog.setProperties: $p must be true or false, got '$v'")))
@@ -2404,6 +2440,12 @@ object TxLog {
       v.toDoubleOption.exists(_ >= 0),
       s"TxLog.setProperties: $RetentionHoursProp must be a " +
         s"non-negative number of hours, got '$v'"))
+  }
+
+  def setProperties(spark: SparkSession, path: String,
+                    props: Map[String, String]): Long = {
+    require(props.nonEmpty, "TxLog.setProperties: empty property map")
+    validateProperties(props)
     val enforcing = props.get(AppendOnlyProp).exists(_.equalsIgnoreCase("true"))
     commitConstraints(spark, path,
       update = { m =>
@@ -5332,21 +5374,35 @@ object TxLog {
     // without this) and a crashed DV-mode UPDATE's matched-set
     // materialization (its finally-cleanup never ran). Swept behind an
     // AGE guard: a LIVE concurrent writer's staging dir must survive
-    // its own in-flight commit (Delta's uncommitted-file retention):
-    // an explicit vacuum `keepHours` horizon governs uncommitted
-    // leftovers exactly as it governs old versions; without one,
-    // `graft.txlog.staleWriteHours` (default 24) is the floor.
+    // its own in-flight commit (Delta's uncommitted-file retention).
+    // Uncommitted leftovers get their OWN floor independent of the
+    // version-retention horizon (r14 advice): an explicit keepHours=0
+    // (or graft.retentionHours=0) legitimately drops old VERSIONS
+    // immediately but must never kill an in-flight writer — so the cut
+    // is the OLDER of the vacuum horizon and now − staleWriteHours
+    // (default 24; `graft.txlog.staleWriteHours` tunes it). Age is the
+    // NEWEST mtime found recursively inside the dir, not the root's:
+    // files landing in nested partition subdirs do not refresh the
+    // root mtime, so a long-running staged write would look stale
+    // while still live.
     val staleWriteMs = (spark.conf
       .getOption("graft.txlog.staleWriteHours")
       .map(_.toDouble).getOrElse(24.0) * 3600 * 1000).toLong
-    val staleCut = horizon.getOrElse(
+    val staleCut = math.min(
+      horizon.getOrElse(Long.MaxValue),
       System.currentTimeMillis() - staleWriteMs)
+    def newestMtime(p: Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).map(c => newestMtime(c.getPath)).toSeq).max
+    }
     fs.listStatus(new Path(path))
       .filter { st =>
         val n = st.getPath.getName
         n.startsWith("_staging_") || n.startsWith("_tmp_update_")
       }
-      .filter(_.getModificationTime < staleCut)
+      .filter(st => newestMtime(st.getPath) < staleCut)
       .foreach(st => fs.delete(st.getPath, true))
     // same class inside _manifests: a crashed checkpoint job's
     // un-renamed `.ckpt_*` dir and a crashed commit's un-renamed
@@ -5357,7 +5413,7 @@ object TxLog {
         .filter { st =>
           val n = st.getPath.getName
           (n.startsWith(".ckpt_") || (n.startsWith(".v") && n.endsWith(".tmp"))) &&
-            st.getModificationTime < staleCut
+            newestMtime(st.getPath) < staleCut
         }
         .foreach(st => fs.delete(st.getPath, true))
     // dropped versions must now FAIL resolution, not serve from cache

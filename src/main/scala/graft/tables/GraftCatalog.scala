@@ -211,6 +211,11 @@ class GraftCatalog extends TableCatalog
       .getOrElse(new Path(warehouse, ident.name).toString)
     val (explicit, hidden, defaults, bare) =
       GraftCatalog.layoutOf(ident.name, schema, partitions)
+    // validate user TBLPROPERTIES keys BEFORE anything materializes —
+    // a refused CREATE must leave no committed-but-unregistered dir
+    // (the setProperties call below runs after the data commit)
+    val userProps = GraftCatalog.userTableProps(properties)
+    if (userProps.nonEmpty) TxLog.validateProperties(userProps)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], bare)
     TxLog.create(empty, path, partitionCols = explicit,
@@ -219,7 +224,6 @@ class GraftCatalog extends TableCatalog
     (GraftCatalog.identitiesOf(s"$catName.${ident.name}", schema) ++
       identities).foreach { case (c, start, step) =>
         TxLog.setColumnIdentity(spark, path, c, start, step) }
-    val userProps = GraftCatalog.userTableProps(properties)
     if (userProps.nonEmpty) TxLog.setProperties(spark, path, userProps)
     registerName(ident.name, path, expectNew = true)
     GraftTable(ident.name, path, None)

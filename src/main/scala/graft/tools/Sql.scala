@@ -245,10 +245,13 @@ object Sql {
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*""".r
   private val AlterDropDefaultRe =
     """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*""".r
+  // greedy body up to the LAST ')': values containing ')' or ',' are
+  // legal inside their quotes — the quote-aware pair walk below (not a
+  // naive comma split) tokenizes them (r14 advice)
   private val AlterSetPropsRe =
-    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*""".r
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*""".r
   private val AlterUnsetPropsRe =
-    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*""".r
+    """(?is)\s*TXLOG\s+ALTER\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*""".r
   private val PropsRe =
     """(?is)\s*TXLOG\s+PROPERTIES\s+'([^']+)'\s*""".r
   private val AlterAddColRe =
@@ -500,23 +503,37 @@ object Sql {
       case AlterDropDefaultRe(path, name) =>
         asDf(graft.storage.TxLog.dropColumnDefault(spark, rt(path), name))
       case AlterSetPropsRe(path, pairs) =>
-        val kvRe = """(?s)\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
-        asDf(graft.storage.TxLog.setProperties(spark, rt(path),
-          pairs.split(",").toSeq.map {
-            case kvRe(k, v) => k -> v
+        // quote-aware sequential walk: each step consumes one
+        // 'key'='value' pair and an optional comma + tail, so quoted
+        // values may contain ',' or ')' and any unparsed residue
+        // refuses loudly instead of half-applying
+        val pairStep = """(?s)\s*'([^']+)'\s*=\s*'([^']*)'\s*(?:,(.*))?""".r
+        @annotation.tailrec
+        def walk(rest: String, acc: Vector[(String, String)]): Vector[(String, String)] =
+          rest match {
+            case pairStep(k, v, tail) =>
+              val a = acc :+ (k -> v)
+              if (tail == null) a else walk(tail, a)
             case other => throw new IllegalArgumentException(
               "TXLOG ALTER ... SET TBLPROPERTIES: expected 'key'='value', " +
                 s"got '${other.trim}'")
-          }.toMap))
+          }
+        asDf(graft.storage.TxLog.setProperties(spark, rt(path),
+          walk(pairs, Vector.empty).toMap))
       case AlterUnsetPropsRe(path, keys) =>
-        val kRe = """(?s)\s*'([^']+)'\s*""".r
-        asDf(graft.storage.TxLog.unsetProperties(spark, rt(path),
-          keys.split(",").toSeq.map {
-            case kRe(k) => k
+        val keyStep = """(?s)\s*'([^']+)'\s*(?:,(.*))?""".r
+        @annotation.tailrec
+        def walkKeys(rest: String, acc: Vector[String]): Vector[String] =
+          rest match {
+            case keyStep(k, tail) =>
+              val a = acc :+ k
+              if (tail == null) a else walkKeys(tail, a)
             case other => throw new IllegalArgumentException(
               "TXLOG ALTER ... UNSET TBLPROPERTIES: expected 'key', " +
                 s"got '${other.trim}'")
-          }))
+          }
+        asDf(graft.storage.TxLog.unsetProperties(spark, rt(path),
+          walkKeys(keys, Vector.empty)))
       case PropsRe(path) =>
         graft.storage.TxLog.propertiesOf(spark, rt(path)).toSeq.sortBy(_._1)
           .toDF("key", "value")

@@ -817,15 +817,16 @@ class WarehouseQueriesSpec extends SparkSpec {
     import spark.implicits._
     // bin 0: scores .02 (pos), .04 (neg) -> mean .03, rate .5, gap .47
     // bin 9: score 1.0 clamps INTO bin 9 alongside .95 -> mean .975
-    // out-of-range -0.5 clamps to bin 0 but its RAW score sums (-0.5):
-    // bin 0 mean = (.02 + .04 - .5)/3
+    // out-of-range -0.5 clamps to bin 0 AND sums CLAMPED (0.0): the
+    // bin mean stays inside the binning domain [0,1] —
+    // bin 0 mean = (.02 + .04 + 0)/3 = .02
     val df = Seq((0.02, 1), (0.04, 0), (-0.5, 0), (0.95, 1), (1.0, 1))
       .toDF("score", "label")
     val out = graft.operators.Stats.calibration(df, "score", "label")
       .collect().map(r => r.getInt(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(out.keySet == Set(0, 9), out.toString)
-    assert(out(0) == ((3L, -0.146667, 0.333333, 0.48)), out.toString)
+    assert(out(0) == ((3L, 0.02, 0.333333, 0.313333)), out.toString)
     assert(out(9) == ((2L, 0.975, 1.0, 0.025)), out.toString)
   }
 

@@ -591,6 +591,22 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CREATE TABLE with an invalid TBLPROPERTIES key refuses with NOTHING written") {
+    withWarehouse { w =>
+      // '__'-prefixed keys are reserved for the engine's own channel —
+      // the refusal must come BEFORE any commit, so no
+      // committed-but-unregistered dir leaks (r14 advice)
+      val e = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.badprop (k BIGINT) " +
+          "TBLPROPERTIES ('__secret'='x')")
+      }
+      assert(e.getMessage.contains("__"), e.getMessage)
+      assert(!new java.io.File(s"$w/badprop").exists(),
+        "a refused CREATE must leave no table directory behind")
+      assert(!spark.catalog.tableExists("graft.badprop"))
+    }
+  }
+
   test("SHOW CREATE TABLE renders schema, partitioning and TBLPROPERTIES") {
     withWarehouse { _ =>
       spark.sql("CREATE TABLE graft.sct (k BIGINT, seg STRING) " +

@@ -560,7 +560,11 @@ class TxLogCheckpointSpec extends SparkSpec {
     // a crashed append's leftover: full staged batch, two days old
     val dead = new org.apache.hadoop.fs.Path(path, "_staging_deadbeef0000")
     fs.mkdirs(dead)
-    fs.create(new org.apache.hadoop.fs.Path(dead, "part-0.parquet")).close()
+    val deadFile = new org.apache.hadoop.fs.Path(dead, "part-0.parquet")
+    fs.create(deadFile).close()
+    // age is the NEWEST recursive mtime — a crashed writer's dir is
+    // stale all the way down
+    fs.setTimes(deadFile, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
     fs.setTimes(dead, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
     // a LIVE concurrent writer's staging, written seconds ago
     val live = new org.apache.hadoop.fs.Path(path, "_staging_cafebabe0000")
@@ -571,10 +575,22 @@ class TxLogCheckpointSpec extends SparkSpec {
       "a staging dir older than the uncommitted-file retention is leaked garbage")
     assert(fs.exists(live),
       "an in-flight writer's staging dir must survive the sweep")
-    // an explicit horizon governs uncommitted leftovers the same way
+    // uncommitted leftovers have their OWN floor: an aggressive
+    // keepHours=0 legitimately drops old VERSIONS immediately but must
+    // never kill a LIVE writer's in-flight staging (r14 advice)
     TxLog.vacuum(spark, path, keepVersions = 1, keepHours = Some(0.0))
-    assert(!fs.exists(live),
-      "a zero-hour horizon sweeps uncommitted leftovers like old versions")
+    assert(fs.exists(live),
+      "a zero-hour horizon must not sweep a FRESH in-flight staging dir")
+    // age is the newest mtime found RECURSIVELY: a stale root whose
+    // nested partition subdir is still being written stays protected
+    val nested = new org.apache.hadoop.fs.Path(path, "_staging_feedface0000")
+    val sub = new org.apache.hadoop.fs.Path(nested, "part=p0")
+    fs.mkdirs(sub)
+    fs.create(new org.apache.hadoop.fs.Path(sub, "part-0.parquet")).close()
+    fs.setTimes(nested, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    TxLog.vacuum(spark, path, keepVersions = 1)
+    assert(fs.exists(nested),
+      "a stale ROOT mtime with a fresh nested write must survive (long-running staged write)")
   }
 
   test("a torn commit's .tmp manifest is invisible to resolution and vacuums when stale") {
