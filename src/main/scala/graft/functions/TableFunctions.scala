@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graftbridge.ExprBridge
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
-import graft.operators.{Dedup, Funnel, TextOps}
+import graft.operators.{Dedup, Funnel, Ivf, Pq, Similarity, Stats, TextOps}
 import graft.storage.TxLog
 
 /** Table-valued SQL functions over the flagship operators — the SQL
@@ -53,6 +53,50 @@ object TableFunctions {
   }
 
   private def csv(s: String): Seq[String] = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** A numeric literal as Double (integer, double or decimal). */
+  private def litDouble(fn: String, what: String, e: Expression): Double = e match {
+    case l: Literal if l.value != null => l.value match {
+      case d: java.lang.Double => d.doubleValue
+      case f: java.lang.Float => f.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case n: java.lang.Long => n.toDouble
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a numeric literal, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a numeric literal, got $other")
+  }
+
+  /** A query VECTOR argument: either an `array(…)` literal (any
+    * foldable numeric-array expression — evaluated at analysis time)
+    * or a CSV string literal `'0.1,0.2,…'`. Both spell the same
+    * doubles, so SQL writers can pick whichever composes. */
+  private def litVec(fn: String, what: String, e: Expression): Array[Double] = e match {
+    case l: Literal if l.dataType == StringType && l.value != null =>
+      l.value.toString.split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+    case arr if arr.foldable &&
+        arr.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+      val et = arr.dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      arr.eval() match {
+        case null => throw new IllegalArgumentException(
+          s"$fn: $what must not be null")
+        case data: org.apache.spark.sql.catalyst.util.ArrayData =>
+          data.toObjectArray(et).map {
+            case d: java.lang.Double => d.doubleValue
+            case f: java.lang.Float => f.toDouble
+            case i: java.lang.Integer => i.toDouble
+            case n: java.lang.Long => n.toDouble
+            case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+            case other => throw new IllegalArgumentException(
+              s"$fn: $what has a non-numeric element: $other")
+          }
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an array literal or a CSV string literal, got $other")
+  }
 
   private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     ExprBridge.logicalPlan(df)
@@ -290,6 +334,90 @@ object TableFunctions {
         val fn = "graft_txlog_partitions"
         plan(TxLog.partitions(active, litStr(fn, "path", es.head),
           es.lift(1).map(litLong(fn, "version", _))))
+      }),
+    // ---- the similarity/ANN family through pure SQL: the same
+    // serving plans the Scala calls build (Ivf.query, Pq.ivfQuery,
+    // Similarity.annJoin) spliced into the outer query — partition
+    // pruning to the nprobe probed cells included, spec-pinned by
+    // SqlSurfaceSpec. The index is the OFFLINE artifact Ivf.fit /
+    // Pq.loadOrBuildIvfPq wrote; a SQL-only user queries it with
+    // nothing but a path and a vector. ----
+    ("graft_ann",
+      info("graft_ann",
+        "graft_ann(index_path, query_vec, k[, nprobe]) - IVF ANN top-k (vec_id, cosine) against the index at path; query_vec is an array literal or CSV string"),
+      (es: Seq[Expression]) => {
+        arity("graft_ann", es, 3 to 4)
+        val fn = "graft_ann"
+        val s = active
+        val index = Ivf.load(s, litStr(fn, "index_path", es.head))
+        plan(Ivf.query(s, index, litVec(fn, "query_vec", es(1)),
+          k = litLong(fn, "k", es(2)).toInt,
+          nprobe = es.lift(3).map(litLong(fn, "nprobe", _).toInt).getOrElse(4)))
+      }),
+    ("graft_ann_pq",
+      info("graft_ann_pq",
+        "graft_ann_pq(index_path, query_vec, k[, nprobe[, shortlist]]) - IVF-PQ ANN top-k: partition-pruned ADC shortlist + exact re-rank, against the artifacts Pq.loadOrBuildIvfPq wrote"),
+      (es: Seq[Expression]) => {
+        arity("graft_ann_pq", es, 3 to 5)
+        val fn = "graft_ann_pq"
+        val s = active
+        val path = litStr(fn, "index_path", es.head)
+        // the codes on disk are only valid against a residual-space
+        // model — refuse raw-era artifacts the same way the loader does
+        require(Pq.savedEncoding(s, path) == "residual",
+          s"$fn: the PQ artifacts at $path are not residual-encoded — " +
+            "rebuild via Pq.loadOrBuildIvfPq")
+        val index = Ivf.load(s, path)
+        val model = Pq.load(s, path)
+        plan(Pq.ivfQuery(s, index, model, litVec(fn, "query_vec", es(1)),
+          k = litLong(fn, "k", es(2)).toInt,
+          nprobe = es.lift(3).map(litLong(fn, "nprobe", _).toInt).getOrElse(8),
+          shortlist = es.lift(4).map(litLong(fn, "shortlist", _).toInt)
+            .getOrElse(100)))
+      }),
+    ("graft_ann_join",
+      info("graft_ann_join",
+        "graft_ann_join(left_table, right_table, min_cosine) - LSH-bucketed cross-corpus similarity join of two (vec_id, embedding) tables: candidate pairs from shared buckets, exact cosine verify"),
+      (es: Seq[Expression]) => {
+        arity("graft_ann_join", es, 3 to 3)
+        val fn = "graft_ann_join"
+        plan(Similarity.annJoin(
+          active.table(litStr(fn, "left_table", es.head)),
+          active.table(litStr(fn, "right_table", es(1))),
+          minCosine = litDouble(fn, "min_cosine", es(2))))
+      }),
+    // ---- the eval family through pure SQL (same splice pattern):
+    // score tables live beside the operators that produced them ----
+    ("graft_eval_rank",
+      info("graft_eval_rank",
+        "graft_eval_rank(pred_table, truth_table, k) - NDCG@k/MRR/P@k per query over pred(query_id, item_id, rank) vs truth(query_id, item_id, rel)"),
+      (es: Seq[Expression]) => {
+        arity("graft_eval_rank", es, 3 to 3)
+        val fn = "graft_eval_rank"
+        plan(Stats.rankEval(
+          active.table(litStr(fn, "pred_table", es.head)),
+          active.table(litStr(fn, "truth_table", es(1))),
+          k = litLong(fn, "k", es(2)).toInt))
+      }),
+    ("graft_eval_auc",
+      info("graft_eval_auc",
+        "graft_eval_auc(table, group_col, score_col, label_col) - group-wise ROC AUC (Mann-Whitney, average-rank ties)"),
+      (es: Seq[Expression]) => {
+        arity("graft_eval_auc", es, 4 to 4)
+        val fn = "graft_eval_auc"
+        plan(Stats.auc(active.table(litStr(fn, "table", es.head)),
+          litStr(fn, "group_col", es(1)), litStr(fn, "score_col", es(2)),
+          litStr(fn, "label_col", es(3))))
+      }),
+    ("graft_eval_calibration",
+      info("graft_eval_calibration",
+        "graft_eval_calibration(table, score_col, label_col[, bins]) - reliability table: per-bin (n, mean_score, pos_rate, abs_gap)"),
+      (es: Seq[Expression]) => {
+        arity("graft_eval_calibration", es, 3 to 4)
+        val fn = "graft_eval_calibration"
+        plan(Stats.calibration(active.table(litStr(fn, "table", es.head)),
+          litStr(fn, "score_col", es(1)), litStr(fn, "label_col", es(2)),
+          bins = es.lift(3).map(litLong(fn, "bins", _).toInt).getOrElse(10)))
       }),
     ("graft_txlog_cdf",
       info("graft_txlog_cdf",

@@ -325,6 +325,115 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(graft.storage.TxLog.read(spark, dir).count() == 1L)
   }
 
+  test("graft_ann / graft_ann_pq / graft_ann_join: the ANN family through pure SQL ≡ the Scala calls") {
+    import graft.operators.{Ivf, Pq, Similarity}
+    import graft.tables.Tables
+    graft.tools.Sql.registerAll(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sql_ann").toString
+    val index = Ivf.fit(emb, tmp, nlist = 16)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val qCsv = qv.mkString(",")
+    // CSV-string and array-literal spellings, both ≡ Ivf.query
+    sameAs(s"SELECT * FROM graft_ann('$tmp', '$qCsv', 10, 4)",
+      Ivf.query(spark, index, qv, 10, 4), "graft_ann(csv)")
+    sameAs(s"SELECT * FROM graft_ann('$tmp', array($qCsv), 10, 4)",
+      Ivf.query(spark, index, qv, 10, 4), "graft_ann(array)")
+    // the 100 TB property holds THROUGH the TVF: the scan lists
+    // exactly the nprobe probed cell partitions
+    val scans = spark.sql(s"SELECT * FROM graft_ann('$tmp', '$qCsv', 10, 4)")
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 4,
+      "the TVF's vector scan is not pruned to the probed cells")
+    // IVF-PQ through SQL: ADC shortlist + exact re-rank, same artifacts
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_sql_annpq").toString
+    val (index2, model) = Pq.loadOrBuildIvfPq(spark, emb, tmp2)
+    sameAs(s"SELECT * FROM graft_ann_pq('$tmp2', '$qCsv', 10)",
+      Pq.ivfQuery(spark, index2, model, qv), "graft_ann_pq")
+    // cross-corpus similarity join through SQL
+    emb.filter(col("vec_id") % 2 === 0).createOrReplaceTempView("ann_left")
+    emb.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("ann_right")
+    sameAs(
+      "SELECT * FROM graft_ann_join('ann_left', 'ann_right', 0.2) " +
+        "ORDER BY left_id, right_id",
+      Similarity.annJoin(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), minCosine = 0.2)
+        .orderBy("left_id", "right_id"),
+      "graft_ann_join")
+  }
+
+  test("planted twin surfaces through a pure-SQL ANN query") {
+    import graft.operators.Ivf
+    import graft.tables.Tables
+    val emb = Tables.embeddings(spark, sf)
+    // a byte-identical twin of vec 0 under a fresh id: the recall
+    // ground truth a SQL-only user can check end-to-end
+    val twin = emb.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(999999L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sql_twin").toString
+    Ivf.fit(emb.unionByName(twin), tmp, nlist = 16)
+    val qCsv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray.mkString(",")
+    // the twin shares vec 0's cell, so even nprobe=1 must surface both
+    val top = spark.sql(
+      s"SELECT vec_id, cosine FROM graft_ann('$tmp', '$qCsv', 2, 1)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).toSet == Set(0L, 999999L),
+      s"planted twin missing from SQL top-2: ${top.mkString(", ")}")
+    assert(top.forall(_._2 == 1.0), s"twin cosine not 1.0: ${top.mkString(", ")}")
+  }
+
+  test("graft_eval_rank / graft_eval_auc / graft_eval_calibration ≡ the Stats operators") {
+    import graft.operators.Stats
+    import spark.implicits._
+    val pred = Seq((1, "a", 1), (1, "b", 2), (1, "c", 3), (1, "d", 4))
+      .toDF("query_id", "item_id", "rank")
+    val truth = Seq((1, "a", 2), (1, "c", 1)).toDF("query_id", "item_id", "rel")
+    pred.createOrReplaceTempView("ev_pred")
+    truth.createOrReplaceTempView("ev_truth")
+    sameAs("SELECT * FROM graft_eval_rank('ev_pred', 'ev_truth', 3)",
+      Stats.rankEval(pred, truth, k = 3), "graft_eval_rank")
+    val scored = Seq(("g1", 0.9, 1), ("g1", 0.4, 0), ("g1", 0.6, 1),
+      ("g2", 0.8, 0), ("g2", 0.3, 1)).toDF("grp", "score", "label")
+    scored.createOrReplaceTempView("ev_scores")
+    sameAs("SELECT * FROM graft_eval_auc('ev_scores', 'grp', 'score', 'label')",
+      Stats.auc(scored, "grp", "score", "label"), "graft_eval_auc")
+    sameAs("SELECT * FROM graft_eval_calibration('ev_scores', 'score', 'label', 5)",
+      Stats.calibration(scored, "score", "label", bins = 5),
+      "graft_eval_calibration")
+  }
+
+  test("TBLPROPERTIES values containing ',' and ')' parse quote-aware; residue refuses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_props2").toString + "/tbl"
+    Seq((1L, "a", 1.0)).toDF("k", "part", "v")
+      .createOrReplaceTempView("sql_props2_src")
+    graft.tools.Sql.exec(spark,
+      s"TXLOG CREATE '$dir' PARTITION BY part AS SELECT * FROM sql_props2_src")
+    // a comma and a close-paren INSIDE the quotes are data, not
+    // delimiters (r14 advice: the naive comma split broke both)
+    graft.tools.Sql.exec(spark,
+      s"TXLOG ALTER '$dir' SET TBLPROPERTIES " +
+        "('comment'='gold, audited (daily)', 'tier'='gold')")
+    val listed = graft.storage.TxLog.propertiesOf(spark, dir)
+    assert(listed == Map("comment" -> "gold, audited (daily)", "tier" -> "gold"),
+      listed.toString)
+    // unparsed residue refuses loudly instead of half-applying
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.Sql.exec(spark,
+        s"TXLOG ALTER '$dir' SET TBLPROPERTIES ('a'='1', garbage)")
+    }
+    assert(e.getMessage.contains("expected 'key'='value'"), e.getMessage)
+    assert(graft.storage.TxLog.propertiesOf(spark, dir).get("a").isEmpty,
+      "a refused statement must apply nothing")
+  }
+
   test("a malformed TXLOG statement refuses loudly instead of falling through to the ANSI parser") {
     val e = intercept[IllegalArgumentException] {
       graft.tools.Sql.exec(spark, "TXLOG OPTIMISE '/tmp/nowhere'") // misspelled verb
