@@ -790,10 +790,27 @@ object Dedup {
       else feat
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(fitOn)
     val matrix = model.clusterCenters.map(_.toArray)
+    semanticDisposition(emb, matrix, tau)
+      .drop("embedding")
+      .orderBy("vec_id")
+  }
+
+  /** The disposition core SemDeDup's batch and incremental entries
+    * share: given a FIXED centroid matrix, assign → score → within-cell
+    * pair → components → keeper election. Pairs are within-cell only,
+    * so the result decomposes BY CELL — the property the incremental
+    * path ([[semanticDedupAppend]]) exploits to rework only touched
+    * cells and still match a full recompute exactly. Keeps the
+    * embedding column (the state the incremental path persists);
+    * batch callers drop it. */
+  private def semanticDisposition(emb: DataFrame,
+                                  matrix: Array[Array[Double]],
+                                  tau: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val assigned = emb.select(col("vec_id"), col("embedding"),
       graft.functions.IvfFunctions.ivf_assign(col("embedding"), matrix)
         .as("cell"))
-    import spark.implicits._
     val cents = matrix.zipWithIndex.toIndexedSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
     // the keeper score, once per vector — k centroid rows broadcast
@@ -824,11 +841,104 @@ object Dedup {
       .agg(min(struct(col("centroid_cos"), col("vec_id"))).as("w"))
       .select(col("component"), col("w.vec_id").as("keeper"))
     labeled.join(keepers, "component")
-      .select(col("vec_id"), col("cell"), col("component"),
-        col("centroid_cos"),
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        col("component"), col("centroid_cos"),
         (col("vec_id") === col("keeper")).as("keep"))
-      .orderBy("vec_id")
   }
+
+  /** Offline SemDeDup with a PERSISTED model — the incremental-corpus
+    * counterpart the rest of the pipeline already has (Ivf.append,
+    * incrementalIngest, streaming ANN ingest): fit once, then let a
+    * daily curation run pay only for its batch.
+    *
+    * Artifacts under `path` (the IvfIndex pattern, Ivf.scala):
+    *   - `centroids` — the fitted KMeans centers (cell, centroid);
+    *   - `state` — one row per vector, partitioned BY CELL:
+    *     (vec_id, embedding, component, centroid_cos, keep).
+    *
+    * Returns the full disposition frame (same columns/order as
+    * [[semanticDedup]]). */
+  def semanticDedupInit(emb: DataFrame, path: String, tau: Double = 0.95,
+                        nlist: Int = 0, fitSampleRows: Long = 200000L,
+                        seed: Long = 42L): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0,
+      s"Dedup.semanticDedupInit: tau must be in (0, 1], got $tau")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = Similarity.corpusCount(emb)
+    require(n > 0, "Dedup.semanticDedupInit: empty corpus")
+    val k = math.min(n,
+      if (nlist > 0) nlist.toLong
+      else math.max(4, math.sqrt(n.toDouble).toInt).toLong).toInt
+    val feat = emb.withColumn("features", array_to_vector(col("embedding")))
+    val fitOn =
+      if (n > fitSampleRows)
+        feat.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
+      else feat
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10).fit(fitOn)
+    val matrix = model.clusterCenters.map(_.toArray)
+    matrix.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val state = semanticDisposition(emb, matrix, tau)
+    state.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/state")
+    semanticStateView(spark, path)
+  }
+
+  /** Incremental SemDeDup — assign ONLY the new batch to the persisted
+    * centroids, rework ONLY the cells the batch touched (prior members
+    * re-read from the state partitions, pairs re-verified within those
+    * cells), and leave every untouched cell's disposition byte-
+    * identical on disk. Because [[semanticDisposition]]'s pairs are
+    * within-cell, this equals a full recompute against the SAME
+    * centroids exactly (spec-pinned); centroids drift from the true
+    * fit only as the corpus distribution drifts — refitting stays an
+    * offline decision, the Ivf.append contract. Cost: assignment is
+    * one linear pass over the BATCH; the rework is Σ touched-cell²,
+    * tracking batch size, not corpus size (ScaleCheckSemantic). */
+  def semanticDedupAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                          newEmb: DataFrame, tau: Double = 0.95): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0,
+      s"Dedup.semanticDedupAppend: tau must be in (0, 1], got $tau")
+    val matrix = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val assigned = newEmb.select(col("vec_id"), col("embedding"),
+      graft.functions.IvfFunctions.ivf_assign(col("embedding"), matrix)
+        .as("cell"))
+    // touched cells: bounded by min(batch size, nlist) — driver-safe
+    val touched = assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return semanticStateView(spark, path)
+    val prior = spark.read.parquet(s"$path/state")
+      .filter(col("cell").isin(touched: _*))
+      .select("vec_id", "embedding")
+    val rework = semanticDisposition(
+      prior.unionByName(assigned.select("vec_id", "embedding")), matrix, tau)
+    // overwrite exactly the touched cell partitions (the Ivf.remove
+    // rewrite shape); untouched partitions are never opened
+    val fs = new org.apache.hadoop.fs.Path(s"$path/state")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$path/state_rework_${java.util.UUID.randomUUID().toString.take(8)}"
+    rework.write.partitionBy("cell").parquet(tmp)
+    touched.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/state", s"cell=$c"), true)
+      val src = new org.apache.hadoop.fs.Path(tmp, s"cell=$c")
+      if (fs.exists(src)) fs.rename(src,
+        new org.apache.hadoop.fs.Path(s"$path/state", s"cell=$c"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    semanticStateView(spark, path)
+  }
+
+  /** The persisted state read back in [[semanticDedup]]'s output shape. */
+  private def semanticStateView(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/state")
+      .select("vec_id", "cell", "component", "centroid_cos", "keep")
+      .orderBy("vec_id")
 
   /** EXACT repeated-substring dedup — the Lee et al. 2022
     * ("Deduplicating Training Data Makes Language Models Better")

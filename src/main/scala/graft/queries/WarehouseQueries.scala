@@ -1474,7 +1474,10 @@ object WarehouseQueries {
     val dim = orders(s, d)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     TxLog.create(dim, path, statsCols = Seq("o_orderkey"))
-    TxLog.buildBloomIndex(s, path, "o_orderkey")
+    // DECLARED maintenance: the property backfills the sidecar index
+    // at SET time and every later data commit auto-extends it — no
+    // manual buildBloomIndex call anywhere on this path (r15)
+    TxLog.setProperties(s, path, Map(TxLog.BloomColsProp -> "o_orderkey"))
     // the three smallest keys — a bounded, deterministic driver hop
     val ks = dim.orderBy("o_orderkey").limit(3)
       .select("o_orderkey").collect().map(_.getLong(0))
@@ -1540,7 +1543,16 @@ object WarehouseQueries {
       .withColumn("o_orderstatus", lit("R"))
     TxLog.mergeInto(path, upd, Seq("o_orderkey"))
     TxLog.deleteWhere(s, path, col("o_orderkey") % 1000 === 1)
-    TxLog.changes(s, path, 1L, 3L, Seq("o_orderkey"))
+    // routed through the FORMAT door (readChangeFeed batch options) —
+    // the CDC-backfill spelling; serves exactly TxLog.changes' frame,
+    // so the oracle is unchanged
+    s.read.format("graft-txlog")
+      .option("path", path)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("endingVersion", "3")
+      .option("keys", "o_orderkey")
+      .load()
       .orderBy("o_orderkey")
   }
 
@@ -1710,6 +1722,38 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Auto-compaction through the driver gate: the table DECLARES
+    * `graft.autoCompact`, seven small appends land, and the follow-on
+    * OPTIMIZE heals the touched partition's file count as separate
+    * commits. The query REQUIREs the structural invariants (a heal
+    * ran; the file count is bounded below one-file-per-append) and
+    * serves the final CONTENT — which the oracle recomputes from the
+    * raw source, because a heal must be invisible to readers. */
+  def txlogAutoCompact(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_ac_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d).select("o_orderkey", "o_totalprice")
+    TxLog.create(dim.filter(col("o_orderkey") % 8 === 0), path)
+    TxLog.setProperties(s, path, Map(TxLog.AutoCompactProp -> "true"))
+    s.conf.set("graft.txlog.autoCompactMinFiles", "4")
+    try (1 to 7).foreach(i =>
+      TxLog.append(dim.filter(col("o_orderkey") % 8 === i), path))
+    finally s.conf.unset("graft.txlog.autoCompactMinFiles")
+    val m = TxLog.manifest(s, path, TxLog.currentVersion(s, path).get)
+    require(m.files.size < 8,
+      s"q_txlog_autocompact: heal left ${m.files.size} files — " +
+        "auto-compact never fired")
+    import s.implicits._
+    val ops = TxLog.history(s, path).select("operation").as[String].collect()
+    require(ops.exists(_.startsWith("OPTIMIZE")),
+      s"q_txlog_autocompact: no OPTIMIZE in history: ${ops.toSeq}")
+    TxLog.read(s, path).select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** The PARTITIONS metadata table through the driver gate: create a
     * partitioned table, DV-delete a slice, then read the per-partition
     * METADATA row counts — zero data files read on the serve path.
@@ -1735,6 +1779,7 @@ object WarehouseQueries {
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_txlog_parts" -> txlogParts _,
     "q_txlog_props" -> txlogProps _,
+    "q_txlog_autocompact" -> txlogAutoCompact _,
     "q_txlog_defaults" -> txlogDefaults _,
     "q_txlog_sql" -> txlogSql _,
     "q_txlog_merge_evolve" -> txlogMergeEvolve _,
@@ -1936,6 +1981,11 @@ object WarehouseQueries {
         |  count(*) AS live_rows
         |FROM orders WHERE o_orderkey % 10 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the follow-on compaction heals layout, never content: the final
+    // read ≡ the raw source (all eight %8 slices landed)
+    "q_txlog_autocompact" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     // the refused delete leaves nothing; only the re-opened one lands
     "q_txlog_props" ->
       """SELECT o_orderkey, o_totalprice

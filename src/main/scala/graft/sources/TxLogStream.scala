@@ -90,6 +90,11 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
                               parameters: Map[String, String])
       : org.apache.spark.sql.sources.BaseRelation = {
     val spark = sqlContext.sparkSession
+    // batch change-data-feed door (Delta's readChangeFeed option
+    // shape): serves TxLog.changes' diff frame instead of a snapshot
+    val pLower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    if (pLower.get("readchangefeed").exists(_.toBoolean))
+      return TxLogBatch.cdfRelation(spark, pLower)
     val (path, m) = TxLogBatch.resolve(spark, parameters)
     // a huge-delete snapshot (DV rows above the broadcast budget —
     // priced from manifest counts, zero I/O) mounts through the

@@ -673,6 +673,74 @@ object TxLog {
             "— continuing; the next interval commit will retry")
     }
 
+  /** Guard against the auto-compact follow-on firing from inside its
+    * own OPTIMIZE commit (same-thread re-entrancy belt; the operation
+    * check is the primary gate). */
+  private val inAutoCompact = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Follow-on maintenance for DECLARED table properties — runs AFTER
+    * the commit JSON is durable, so a failure here warns and never
+    * surfaces as a commit failure (both heals are idempotent; the next
+    * commit, or an explicit buildBloomIndex/OPTIMIZE, retries):
+    *
+    *  - `graft.bloomCols`: extend the per-file Bloom sidecar index for
+    *    exactly the files this commit added — [[buildBloomIndex]]
+    *    skips files whose sidecar already exists, so the incremental
+    *    cost is O(new files), and vacuum keeps GC'ing sidecars of
+    *    files no retained manifest references.
+    *  - `graft.autoCompact` (Delta's autoOptimize.autoCompact shape):
+    *    if a partition this commit touched now holds
+    *    `graft.txlog.autoCompactMinFiles` (default 8) or more files,
+    *    compact exactly THOSE partitions as a SEPARATE follow-on
+    *    commit — never inside the caller's commit, so a failed heal
+    *    cannot fail the write that triggered it. OPTIMIZE commits are
+    *    excluded (no recursion), and losing an OCC race to a
+    *    concurrent writer just abandons the heal until the next
+    *    trigger. */
+  private def postCommitMaintain(spark: SparkSession, path: String,
+                                 m: Manifest, newFiles: Seq[String],
+                                 operation: String): Unit = {
+    val props = propsOf(m)
+    if (newFiles.nonEmpty) props.get(BloomColsProp).foreach { csv =>
+      try csv.split(",").map(_.trim).filter(_.nonEmpty)
+        .foreach(c => buildBloomIndex(spark, path, c))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"TxLog: declared Bloom maintenance at $path v${m.version} " +
+              s"failed after the commit landed (${e.getMessage}) — " +
+              "continuing; the build is idempotent and a missing " +
+              "sidecar only costs extra file scans")
+      }
+    }
+    if (newFiles.nonEmpty && !operation.startsWith("OPTIMIZE") &&
+        !inAutoCompact.get() &&
+        props.get(AutoCompactProp).exists(_.equalsIgnoreCase("true"))) {
+      try {
+        val minFiles = spark.conf
+          .getOption("graft.txlog.autoCompactMinFiles")
+          .map(_.toInt).getOrElse(8)
+        val byDir = m.files.groupBy(dirOf)
+        val heal = newFiles.map(dirOf).distinct
+          .filter(d => byDir.getOrElse(d, Nil).size >= minFiles)
+        if (heal.nonEmpty) {
+          inAutoCompact.set(true)
+          try compact(spark, path, minFilesToCompact = minFiles,
+            dirScope = Some(heal.toSet))
+          finally inAutoCompact.set(false)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"TxLog: auto-compact at $path after v${m.version} failed " +
+              s"(${e.getMessage}) — continuing; the write itself is " +
+              "durable and the next trigger retries")
+      }
+    }
+  }
+
   /** Write the resolved state at `m.version` as a parquet directory —
     * a DISTRIBUTED write (partitioned at ~100k entries/task), renamed
     * into place; losing a concurrent-checkpoint race just drops the
@@ -1129,6 +1197,7 @@ object TxLog {
           else attempt.fileNulls.view.filterKeys(keptSet).toMap ++ newNulls)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)
+        postCommitMaintain(spark, path, resolved, newFiles, operation)
         return attempt.version + 1
       } catch {
         case e: VersionRaceException =>
@@ -1889,6 +1958,9 @@ object TxLog {
         writeManifest(spark, path, m, operation = "CREATE OR REPLACE")
         cachePut(spark, path, m)
         maybeCheckpoint(spark, path, m)
+        // keepPolicies keeps declared-index properties in force — the
+        // replaced table's files all need fresh sidecars
+        postCommitMaintain(spark, path, m, files, "CREATE OR REPLACE")
         return m.version
       } catch {
         case e: VersionRaceException =>
@@ -2447,15 +2519,28 @@ object TxLog {
     require(props.nonEmpty, "TxLog.setProperties: empty property map")
     validateProperties(props)
     val enforcing = props.get(AppendOnlyProp).exists(_.equalsIgnoreCase("true"))
-    commitConstraints(spark, path,
+    val v = commitConstraints(spark, path,
       update = { m =>
-        props.get(ZorderColsProp).foreach { csv =>
-          val declared = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
-          csv.split(",").map(_.trim).filter(_.nonEmpty).foreach(c =>
-            require(declared.contains(c),
-              s"TxLog.setProperties: $ZorderColsProp column '$c' is not " +
-                s"in the schema (${m.schemaDdl})"))
-        }
+        Seq(ZorderColsProp, BloomColsProp).foreach(p =>
+          props.get(p).foreach { csv =>
+            val declared = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+            csv.split(",").map(_.trim).filter(_.nonEmpty).foreach(c =>
+              require(declared.contains(c),
+                s"TxLog.setProperties: $p column '$c' is not " +
+                  s"in the schema (${m.schemaDdl})"))
+          })
+        // appendOnly and autoCompact are mutually exclusive: the
+        // compaction heal REMOVES files, which is exactly what the
+        // append-only contract forbids — refuse the combination in
+        // either order (checked against the RESULTING property set,
+        // inside the OCC'd update so a race cannot assemble it)
+        val resulting = propsOf(m) ++ props
+        require(
+          !(resulting.get(AppendOnlyProp).exists(_.equalsIgnoreCase("true")) &&
+            resulting.get(AutoCompactProp).exists(_.equalsIgnoreCase("true"))),
+          s"TxLog.setProperties: $AutoCompactProp=true and " +
+            s"$AppendOnlyProp=true cannot combine — auto-compaction " +
+            "removes files, which the append-only contract forbids")
         val keep = m.constraints.filterNot { case (n, _) =>
           n.startsWith(PropPrefix) && props.contains(n.stripPrefix(PropPrefix)) }
         (keep ++ props.toSeq.sortBy(_._1)
@@ -2464,6 +2549,20 @@ object TxLog {
       operation = s"SET TBLPROPERTIES (${props.keys.toSeq.sorted.mkString(", ")})",
       revalidate = _ => (),
       minWriterFloor = if (enforcing) 5 else 0)
+    // newly-declared Bloom columns BACKFILL the existing files right
+    // away (idempotent, O(files without a sidecar)); failures warn —
+    // the property is committed and the next data commit retries
+    props.get(BloomColsProp).foreach { csv =>
+      try csv.split(",").map(_.trim).filter(_.nonEmpty)
+        .foreach(c => buildBloomIndex(spark, path, c))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"TxLog: declared Bloom backfill at $path failed " +
+              s"(${e.getMessage}) — continuing; the next commit retries")
+      }
+    }
+    v
   }
 
   /** UNSET TBLPROPERTIES — idempotent: absent keys are a no-op (no
@@ -3927,12 +4026,14 @@ object TxLog {
               targetBytesPerFile: Long = 128L << 20,
               minFilesToCompact: Int = 2,
               zorderBy: Seq[String] = Nil,
-              partitions: Seq[Any] = Nil): Long = {
+              partitions: Seq[Any] = Nil,
+              dirScope: Option[Set[String]] = None): Long = {
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     val scope: Option[Set[String]] =
-      if (partitions.isEmpty) None
+      if (dirScope.isDefined) dirScope
+      else if (partitions.isEmpty) None
       else {
         require(m.partitionCols.nonEmpty,
           "TxLog.compact(partitions=...) needs a partitioned table")

@@ -73,6 +73,49 @@ object ScaleCheckSemantic {
     println(f"[scalesem] 10x data -> ${t10 / t1}%4.1fx time " +
       "(fixed cell size: expect ~linear; the KMeans fit is the " +
       "sample-capped constant term)")
+
+    // ---- incremental path: a FIXED batch appended to an indexed
+    // corpus at N and 10N — cost must track the BATCH (touched cells ×
+    // cell size; both pinned), not the corpus; recall stays exact at
+    // both scales. The batch stays BELOW the smaller corpus's nlist so
+    // "touched cells ≤ batch" holds at both scales — a batch larger
+    // than nlist touches every cell and the comparison degenerates to
+    // the full-recompute one above. ----
+    val batchSize = base / 500
+    def runAppend(n: Long): Double = {
+      val c = corpus(n)
+      val nlist = math.max(4, (n / 256).toInt)
+      val path = java.nio.file.Files
+        .createTempDirectory("scalesem_idx").toString
+      Dedup.semanticDedupInit(c, path, tau = 0.999, nlist = nlist)
+      val batch = c.filter(col("vec_id") < batchSize)
+        .select((col("vec_id") + TwinBase).as("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      Dedup.semanticDedupAppend(spark, path, batch, tau = 0.999)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // recall OUTSIDE the timed window (the state read is corpus-sized)
+      val out = Dedup.semanticDedupAppend(spark, path,
+        batch.filter(col("vec_id") < 0), tau = 0.999)
+      val badPairs = out
+        .filter(col("vec_id") >= TwinBase || col("vec_id") < batchSize)
+        .withColumn("pair",
+          when(col("vec_id") >= TwinBase, col("vec_id") - TwinBase)
+            .otherwise(col("vec_id")))
+        .groupBy("pair")
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+        .filter(col("kept") =!= 1L).count()
+      require(badPairs == 0L,
+        s"append twin recall broke at n=$n: $badPairs pairs without " +
+          "exactly one survivor")
+      secs
+    }
+    val a1 = runAppend(base)
+    val a10 = runAppend(base * 10)
+    println(f"[scalesem] append batch=$batchSize onto n=$base%8d  ${a1}%6.1f s")
+    println(f"[scalesem] append batch=$batchSize onto n=${base * 10}%8d  ${a10}%6.1f s")
+    println(f"[scalesem] 10x corpus, same batch -> ${a10 / a1}%4.1fx append time " +
+      "(touched-cell rework: expect ~flat — cost tracks the batch, " +
+      "not the corpus)")
     spark.stop()
   }
 }

@@ -293,6 +293,51 @@ class TxLogBatchSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_batch_tbl")
   }
 
+  test("batch change feed through the format door ≡ TxLog.changes across create→merge→delete") {
+    val path = freshPath("cdf")
+    TxLog.create(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("k", "part", "v"), path, Some("part"))
+    TxLog.mergeInto(path, Seq((2L, "a", 99.0), (4L, "b", 4.0))
+      .toDF("k", "part", "v"), Seq("k"))                       // v2
+    TxLog.deleteWhere(spark, path, col("k") === 1L)            // v3
+    def viaDoor(extra: (String, String)*) = {
+      val r = spark.read.format("graft-txlog")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("keys", "k")
+      extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    // endingVersion absent = current head
+    assert(rows(viaDoor()) ==
+      rows(TxLog.changes(spark, path, 1L, 3L, Seq("k"))),
+      "format-door CDF diverged from TxLog.changes at head")
+    assert(rows(viaDoor("endingVersion" -> "2")) ==
+      rows(TxLog.changes(spark, path, 1L, 2L, Seq("k"))),
+      "explicit endingVersion diverged")
+    // preimage/postimage splitting rides the same option channel
+    assert(rows(viaDoor("withPreimages" -> "true")) ==
+      rows(TxLog.changes(spark, path, 1L, 3L, Seq("k"), withPreimages = true)),
+      "withPreimages diverged")
+    // column pruning through PrunedScan: a two-column select works
+    val pruned = viaDoor().select("k", "_change_type")
+    assert(pruned.columns.toSeq == Seq("k", "_change_type"))
+    assert(pruned.count() == viaDoor().count())
+    // missing keys / startingVersion refuse loudly
+    val eKeys = intercept[IllegalArgumentException] {
+      spark.read.format("graft-txlog").option("path", path)
+        .option("readChangeFeed", "true").option("startingVersion", "1").load()
+    }
+    assert(eKeys.getMessage.contains("keys"), eKeys.getMessage)
+    val eFrom = intercept[IllegalArgumentException] {
+      spark.read.format("graft-txlog").option("path", path)
+        .option("readChangeFeed", "true").option("keys", "k").load()
+    }
+    assert(eFrom.getMessage.contains("startingVersion"), eFrom.getMessage)
+  }
+
   test("batch writes: Append and Overwrite map to the transactional verbs, partitionBy honored") {
     val path = freshPath("write")
     Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("k", "part", "v")

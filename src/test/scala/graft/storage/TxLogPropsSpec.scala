@@ -351,4 +351,89 @@ class TxLogPropsSpec extends SparkSpec {
     assert(TxLog.read(spark, path).count() == 1L,
       "appendOnly=false leaves every verb open")
   }
+
+  test("declared Bloom columns: every data commit auto-extends the sidecar index") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = freshDir("bloomdecl")
+    // interleaved ids so min/max stats cannot prune a point lookup —
+    // only Bloom sidecars can (the TxLogSpec bloom fixture shape)
+    val ids = (0L until 512L).map(i => java.lang.Long.reverse(i) >>> 55)
+    val df = ids.zipWithIndex.map { case (id, i) => (id, s"doc$id", i % 8) }
+      .toDF("id", "body", "bucket")
+      .repartitionByRange(8, col("bucket")).drop("bucket")
+    TxLog.create(df, path, statsCols = Seq("id"))
+    // SET backfills the existing files right away
+    TxLog.setProperties(spark, path, Map(TxLog.BloomColsProp -> "id"))
+    val m1 = TxLog.manifest(spark, path,
+      TxLog.currentVersion(spark, path).get)
+    val planned = TxLog.prunedFilesByKey(spark, path, "id", 137L)
+    assert(planned.size < m1.files.size,
+      s"declared backfill pruned nothing: ${planned.size} of ${m1.files.size}")
+    // an APPEND maintains the index with no manual build call: the
+    // point read plans at most pre-append admitted + the one new file
+    val preAdmitted = TxLog.prunedFilesByKey(spark, path, "id", 100000L).size
+    TxLog.append(Seq((100000L, "new")).toDF("id", "body"), path)
+    val postAdmitted = TxLog.prunedFilesByKey(spark, path, "id", 100000L)
+    assert(postAdmitted.size <= preAdmitted + 1,
+      s"append left unindexed files: ${postAdmitted.size} vs pre $preAdmitted + 1")
+    val got = TxLog.readByKey(spark, path, "id", 100000L)
+      .select("id", "body").as[(Long, String)].collect().toSeq
+    assert(got == Seq((100000L, "new")))
+    // a column not in the schema refuses at SET time
+    val e = intercept[IllegalArgumentException] {
+      TxLog.setProperties(spark, path, Map(TxLog.BloomColsProp -> "nope"))
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
+  test("auto-compact: tiny appends heal as a follow-on OPTIMIZE; history and time travel intact") {
+    import spark.implicits._
+    val path = freshDir("autocompact")
+    TxLog.create(Seq((0L, "p0", 0.0)).toDF("k", "part", "v"), path, Some("part"))
+    TxLog.setProperties(spark, path, Map(TxLog.AutoCompactProp -> "true"))
+    spark.conf.set("graft.txlog.autoCompactMinFiles", "4")
+    try {
+      (1L to 6L).foreach(i =>
+        TxLog.append(Seq((i, "p0", i.toDouble)).toDF("k", "part", "v"), path))
+      val m = TxLog.manifest(spark, path,
+        TxLog.currentVersion(spark, path).get)
+      assert(m.files.size < 5,
+        s"auto-compact did not bound the file count: ${m.files.size} files")
+      assert(TxLog.read(spark, path).count() == 7L,
+        "the heal must preserve every row")
+      val ops = TxLog.history(spark, path).select("operation")
+        .as[String].collect().toSeq
+      assert(ops.exists(_.startsWith("OPTIMIZE")) &&
+        ops.exists(_.startsWith("APPEND")),
+        s"history must show the APPEND...OPTIMIZE sequence, got $ops")
+      // time travel to a pre-compact version still serves (files kept)
+      assert(TxLog.read(spark, path, Some(3L)).count() > 0)
+    } finally spark.conf.unset("graft.txlog.autoCompactMinFiles")
+  }
+
+  test("auto-compact and appendOnly refuse to combine, in either order") {
+    import spark.implicits._
+    val path = freshDir("acao")
+    seed(path)
+    TxLog.setProperties(spark, path, Map(TxLog.AppendOnlyProp -> "true"))
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.setProperties(spark, path, Map(TxLog.AutoCompactProp -> "true"))
+    }
+    assert(e1.getMessage.contains("cannot combine"), e1.getMessage)
+    TxLog.unsetProperties(spark, path, Seq(TxLog.AppendOnlyProp))
+    TxLog.setProperties(spark, path, Map(TxLog.AutoCompactProp -> "true"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.setProperties(spark, path, Map(TxLog.AppendOnlyProp -> "true"))
+    }
+    assert(e2.getMessage.contains("cannot combine"), e2.getMessage)
+    // one statement declaring both refuses the same way
+    val path2 = freshDir("acao2")
+    seed(path2)
+    val e3 = intercept[IllegalArgumentException] {
+      TxLog.setProperties(spark, path2, Map(
+        TxLog.AppendOnlyProp -> "true", TxLog.AutoCompactProp -> "true"))
+    }
+    assert(e3.getMessage.contains("cannot combine"), e3.getMessage)
+  }
 }
