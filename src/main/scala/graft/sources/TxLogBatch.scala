@@ -756,11 +756,23 @@ object TxLogBatch {
       .getOrElse(throw new IllegalArgumentException(
         "graft-txlog: readChangeFeed=true needs keys=<k1,k2,...> (the row " +
           "identity the change diff joins on)"))
-    val from = p.get("startingversion").map(_.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        "graft-txlog: readChangeFeed=true needs startingVersion (and an " +
-          "optional endingVersion; absent = current head)"))
+    // version endpoints, or timestamp endpoints resolved through the
+    // same commit clock time travel uses (Delta's startingTimestamp /
+    // endingTimestamp shape) — one spelling per endpoint
+    require(!(p.contains("startingversion") && p.contains("startingtimestamp")),
+      "graft-txlog: pass startingVersion OR startingTimestamp, not both")
+    require(!(p.contains("endingversion") && p.contains("endingtimestamp")),
+      "graft-txlog: pass endingVersion OR endingTimestamp, not both")
+    val from = p.get("startingversion").map(_.toLong)
+      .orElse(p.get("startingtimestamp").map(ts =>
+        TxLog.versionAt(spark, path, TxLog.parseTsMillis(ts))))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-txlog: readChangeFeed=true needs startingVersion or " +
+          "startingTimestamp (and an optional ending endpoint; " +
+          "absent = current head)"))
     val to = p.get("endingversion").map(_.toLong)
+      .orElse(p.get("endingtimestamp").map(ts =>
+        TxLog.versionAt(spark, path, TxLog.parseTsMillis(ts))))
       .orElse(TxLog.currentVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(
         s"graft-txlog: no table at $path"))

@@ -41,7 +41,12 @@ object GraftProcedures {
   private case class Proc(procName: String, doc: String,
                           params: Array[ProcedureParameter],
                           resultSchema: StructType,
-                          body: (SparkSession, String, InternalRow) => InternalRow)
+                          body: (SparkSession, String, InternalRow) => InternalRow,
+                          // ANN procs accept ANY catalog-visible relation
+                          // as arg 0, not just graft-registry names —
+                          // they resolve leniently and fall back to
+                          // spark.table (see annSource)
+                          lenientArg0: Boolean = false)
     extends UnboundProcedure with BoundProcedure {
     override def name(): String = procName
     override def description(): String = doc
@@ -51,7 +56,10 @@ object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val target = input.getUTF8String(0).toString
-      val path = Catalog.resolveTarget(spark, target)
+      val path =
+        if (lenientArg0)
+          scala.util.Try(Catalog.resolveTarget(spark, target)).getOrElse(target)
+        else Catalog.resolveTarget(spark, target)
       val row = body(spark, path, input)
       java.util.List.of[Scan](ResultScan(resultSchema, Array(row))).iterator()
     }
@@ -118,7 +126,48 @@ object GraftProcedures {
         TxLog.tag(spark, path, in.getUTF8String(1).toString, v)
         TxLog.tags(spark, path)(in.getUTF8String(1).toString)
       })),
+    // the OFFLINE half of the ANN-through-SQL story: graft_ann/
+    // graft_ann_pq serve an index a SQL-only user could not BUILD
+    // until these — fit once here, query forever through the TVFs
+    Proc("ann_build",
+      "fit the IVF ANN index over a (vec_id, embedding) table into " +
+        "index_path (nlist=0 derives ~sqrt(N); spill>1 multi-assigns); " +
+        "returns nlist",
+      Array(p("table", S).build(), p("index_path", S).build(),
+        p("nlist", L).defaultValue("0").build(),
+        p("spill", L).defaultValue("1").build()),
+      StructType.fromDDL("nlist BIGINT"),
+      (spark, path, in) => InternalRow(
+        graft.operators.Ivf.fit(
+          annSource(spark, path, in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString,
+          nlist = in.getLong(2).toInt,
+          spill = in.getLong(3).toInt).nlist.toLong),
+      lenientArg0 = true),
+    Proc("ann_append",
+      "assign a new batch to an EXISTING IVF index (no refit, no " +
+        "corpus rescan — the incremental-ingest path); returns rows " +
+        "appended",
+      Array(p("table", S).build(), p("index_path", S).build()),
+      StructType.fromDDL("appended BIGINT"),
+      (spark, path, in) => InternalRow({
+        val src = annSource(spark, path, in.getUTF8String(0).toString)
+        val idx = graft.operators.Ivf.load(spark,
+          in.getUTF8String(1).toString)
+        graft.operators.Ivf.append(spark, idx, src)
+        src.count()
+      }),
+      lenientArg0 = true),
   ).map(x => x.procName -> x).toMap
+
+  /** ANN procedures take their corpus from EITHER a TxLog table (name
+    * or path — the resolved `path` reads transactionally) or any
+    * catalog-visible relation (temp view, session table) under its
+    * original name. */
+  private def annSource(spark: SparkSession, path: String,
+                        target: String): org.apache.spark.sql.DataFrame =
+    if (TxLog.currentVersion(spark, path).isDefined) TxLog.read(spark, path)
+    else spark.table(target)
 
   def load(catName: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace.isEmpty ||

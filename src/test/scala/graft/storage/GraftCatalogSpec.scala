@@ -328,6 +328,40 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL graft.system.ann_build/ann_append: the ANN lifecycle end-to-end in SQL") {
+    withWarehouse { _ =>
+      val emb = graft.tables.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+      emb.filter(col("vec_id") < 400).createOrReplaceTempView("ann_corpus")
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        .createOrReplaceTempView("ann_batch")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_proc_ann").toString + "/idx"
+      val nlist = spark.sql("CALL graft.system.ann_build(" +
+        s"table => 'ann_corpus', index_path => '$idx', nlist => 8)")
+        .head().getLong(0)
+      assert(nlist == 8L, s"ann_build returned nlist=$nlist")
+      val qv = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray.mkString(",")
+      // query the freshly-built index through the TVF — pure SQL both ways
+      val top = spark.sql(s"SELECT * FROM graft_ann('$idx', '$qv', 5, 8)")
+        .collect()
+      assert(top.length == 5 && top.head.getLong(0) == 0L,
+        s"self must rank first: ${top.map(_.toString).mkString(", ")}")
+      // append the new batch, then find one of ITS vectors
+      val appended = spark.sql("CALL graft.system.ann_append(" +
+        s"table => 'ann_batch', index_path => '$idx')").head().getLong(0)
+      assert(appended == 50L, s"ann_append reported $appended rows")
+      val qv2 = emb.filter(col("vec_id") === 425L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray.mkString(",")
+      val found = spark.sql(s"SELECT vec_id FROM graft_ann('$idx', '$qv2', 1, 8)")
+        .head().getLong(0)
+      assert(found == 425L, s"appended vector not served: got $found")
+    }
+  }
+
   test("one engine, three doors: Scala API, format mount, and graft.* SQL serve identical plans") {
     withWarehouse { w =>
       // a real testdata-backed table (orders slice), reached three ways

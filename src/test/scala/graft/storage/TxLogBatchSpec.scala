@@ -325,6 +325,20 @@ class TxLogBatchSpec extends SparkSpec {
     val pruned = viaDoor().select("k", "_change_type")
     assert(pruned.columns.toSeq == Seq("k", "_change_type"))
     assert(pruned.count() == viaDoor().count())
+    // timestamp endpoints resolve through the same commit clock
+    val ts1 = TxLog.history(spark, path).filter(col("version") === 1L)
+      .select("commit_ts").head().getTimestamp(0).toInstant.toString
+    val viaTs = spark.read.format("graft-txlog").option("path", path)
+      .option("readChangeFeed", "true").option("keys", "k")
+      .option("startingTimestamp", ts1).load()
+    assert(rows(viaTs) == rows(TxLog.changes(spark, path, 1L, 3L, Seq("k"))),
+      "startingTimestamp diverged from the version spelling")
+    val eBoth = intercept[IllegalArgumentException] {
+      spark.read.format("graft-txlog").option("path", path)
+        .option("readChangeFeed", "true").option("keys", "k")
+        .option("startingVersion", "1").option("startingTimestamp", ts1).load()
+    }
+    assert(eBoth.getMessage.contains("not both"), eBoth.getMessage)
     // missing keys / startingVersion refuse loudly
     val eKeys = intercept[IllegalArgumentException] {
       spark.read.format("graft-txlog").option("path", path)
