@@ -386,6 +386,14 @@ object TableFunctions {
           active.table(litStr(fn, "right_table", es(1))),
           minCosine = litDouble(fn, "min_cosine", es(2))))
       }),
+    ("graft_dedup_semantic",
+      info("graft_dedup_semantic",
+        "graft_dedup_semantic(state_path) - the persisted SemDeDup disposition (vec_id, cell, component, centroid_cos, keep) maintained by Dedup.semanticDedupInit/Append"),
+      (es: Seq[Expression]) => {
+        arity("graft_dedup_semantic", es, 1 to 1)
+        plan(Dedup.semanticState(active,
+          litStr("graft_dedup_semantic", "state_path", es.head)))
+      }),
     // ---- the eval family through pure SQL (same splice pattern):
     // score tables live beside the operators that produced them ----
     ("graft_eval_rank",

@@ -885,7 +885,7 @@ object Dedup {
     val state = semanticDisposition(emb, matrix, tau)
     state.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/state")
-    semanticStateView(spark, path)
+    semanticState(spark, path)
   }
 
   /** Incremental SemDeDup — assign ONLY the new batch to the persisted
@@ -912,7 +912,7 @@ object Dedup {
     // touched cells: bounded by min(batch size, nlist) — driver-safe
     val touched = assigned.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return semanticStateView(spark, path)
+    if (touched.isEmpty) return semanticState(spark, path)
     val prior = spark.read.parquet(s"$path/state")
       .filter(col("cell").isin(touched: _*))
       .select("vec_id", "embedding")
@@ -931,11 +931,14 @@ object Dedup {
         new org.apache.hadoop.fs.Path(s"$path/state", s"cell=$c"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    semanticStateView(spark, path)
+    semanticState(spark, path)
   }
 
-  /** The persisted state read back in [[semanticDedup]]'s output shape. */
-  private def semanticStateView(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+  /** The persisted state read back in [[semanticDedup]]'s output shape —
+    * also the lazy serving frame the `graft_dedup_semantic` TVF
+    * splices (a SQL-only user reads the maintained disposition without
+    * ever refitting). */
+  def semanticState(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/state")
       .select("vec_id", "cell", "component", "centroid_cos", "keep")
       .orderBy("vec_id")

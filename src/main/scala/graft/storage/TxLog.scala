@@ -3322,6 +3322,16 @@ object TxLog {
       val newUniques = attempt.uniques.map { case (n, cols) =>
         n -> cols.map(c => if (c == oldName) newName else c)
       }
+      // declared COLUMN-LIST properties follow the rename like uniques
+      // do — a stale graft.zorderCols/bloomCols after RENAME would
+      // refuse (zorder) or warn-per-commit (bloom) until re-declared
+      val newConstraints = attempt.constraints.map {
+        case (n, csv) if n == PropPrefix + ZorderColsProp ||
+            n == PropPrefix + BloomColsProp =>
+          n -> csv.split(",").map(_.trim)
+            .map(c => if (c == oldName) newName else c).mkString(",")
+        case other => other
+      }
       val newPartCols = attempt.partitionCols.map(c =>
         if (c == oldName) newName else c)
       val nextMinWriter = math.max(attempt.minWriter, 2)
@@ -3329,7 +3339,7 @@ object TxLog {
         val ts = clampedTs(attempt)
         writeDelta(spark, path, attempt.version + 1, newPartCols,
           newSchema.toDDL, attempt.sourceBatchId, attempt.statsCols,
-          attempt.constraints, newUniques,
+          newConstraints, newUniques,
           operation = s"RENAME COLUMN $oldName TO $newName",
           removeDirs = Set.empty, addFiles = Nil, addStats = Map.empty,
           addRows = Map.empty, addNulls = Map.empty, ts = ts, minWriter = nextMinWriter,
@@ -3337,7 +3347,8 @@ object TxLog {
           partitionSpec = attempt.partitionSpec)
         val resolved = attempt.copy(version = attempt.version + 1,
           partitionCols = newPartCols, schemaDdl = newSchema.toDDL,
-          uniques = newUniques, ts = Some(ts), minWriter = nextMinWriter,
+          constraints = newConstraints, uniques = newUniques,
+          ts = Some(ts), minWriter = nextMinWriter,
           colMap = newColMap)
         cachePut(spark, path, resolved)
         maybeCheckpoint(spark, path, resolved)

@@ -209,12 +209,15 @@ class GraftCatalog extends TableCatalog
     if (nameTaken(ident.name)) throw new TableAlreadyExistsException(ident)
     val path = Option(properties.get(TableCatalog.PROP_LOCATION))
       .getOrElse(new Path(warehouse, ident.name).toString)
+    val (plainParts, clusterCols) = GraftCatalog.splitClusterBy(partitions)
     val (explicit, hidden, defaults, bare) =
-      GraftCatalog.layoutOf(ident.name, schema, partitions)
+      GraftCatalog.layoutOf(ident.name, schema, plainParts)
     // validate user TBLPROPERTIES keys BEFORE anything materializes —
     // a refused CREATE must leave no committed-but-unregistered dir
-    // (the setProperties call below runs after the data commit)
-    val userProps = GraftCatalog.userTableProps(properties)
+    // (the setProperties call below runs after the data commit);
+    // CLUSTER BY lands as the declared-clustering property
+    val userProps = GraftCatalog.userTableProps(properties) ++
+      clusterCols.map(graft.storage.TxLog.ZorderColsProp -> _)
     if (userProps.nonEmpty) TxLog.validateProperties(userProps)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], bare)
@@ -279,11 +282,13 @@ class GraftCatalog extends TableCatalog
       if (replacing) entries(ident.name)
       else Option(properties.get(TableCatalog.PROP_LOCATION))
         .getOrElse(new Path(warehouse, ident.name).toString)
+    val (plainParts, clusterCols) = GraftCatalog.splitClusterBy(partitions)
     val (explicit, hidden, defaults, bare) =
-      GraftCatalog.layoutOf(ident.name, schema, partitions)
+      GraftCatalog.layoutOf(ident.name, schema, plainParts)
     new StagedGraftTable(this, ident.name, path, warehouse, bare,
       explicit, hidden, defaults, replacing,
-      GraftCatalog.userTableProps(properties))
+      GraftCatalog.userTableProps(properties) ++
+        clusterCols.map(graft.storage.TxLog.ZorderColsProp -> _))
   }
 
   /** Atomic check-and-register inside the registry lock. A name taken
@@ -516,6 +521,24 @@ object GraftCatalog {
     * explicit partition columns, hidden transform specs, DEFAULT
     * policies (from CURRENT_DEFAULT field metadata), and the
     * metadata-stripped schema. */
+  /** `CREATE TABLE ... CLUSTER BY (a, b)` (Spark's ClusterByTransform)
+    * maps onto the DECLARED clustering property — liquid clustering's
+    * DDL spelling over the `graft.zorderCols` machinery a bare
+    * OPTIMIZE already reads. Returns the remaining transforms and the
+    * clustering CSV (if declared); clustering composes with identity
+    * partitioning but is its own axis, not a partition layout. */
+  private[tables] def splitClusterBy(partitions: Array[Transform])
+      : (Array[Transform], Option[String]) = {
+    import org.apache.spark.sql.connector.expressions.ClusterByTransform
+    val (cluster, rest) =
+      partitions.partition(_.isInstanceOf[ClusterByTransform])
+    val cols = cluster.collectFirst {
+      case t: ClusterByTransform =>
+        t.columnNames.map(_.fieldNames().mkString(".")).mkString(",")
+    }
+    (rest, cols)
+  }
+
   private[tables] def layoutOf(name: String, schema: StructType,
                                partitions: Array[Transform])
       : (Seq[String], Seq[String], Seq[(String, String)], StructType) = {

@@ -170,6 +170,13 @@ class PipelineQueriesSpec extends SparkSpec {
     val again = Dedup.semanticDedupAppend(spark, path,
       twinDf.filter(col("vec_id") < 0), tau = 0.99).count()
     assert(again == dim + 10)
+    // the maintained disposition through pure SQL: the TVF serves the
+    // persisted state lazily (no refit at analysis time)
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_dedup_semantic('$path') WHERE NOT keep")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSql == (0 until 10).map(i => 1000L + i).toSet,
+      s"TVF served a different drop set: $viaSql")
   }
 
   test("semanticDedup within-cell join is an equi-join — no cartesian in the plan") {

@@ -625,6 +625,32 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CREATE TABLE ... CLUSTER BY declares the clustering property; bare OPTIMIZE honors it") {
+    withWarehouse { w =>
+      spark.sql("CREATE TABLE graft.lc (k BIGINT, v DOUBLE) CLUSTER BY (k, v)")
+      assert(TxLog.propertiesOf(spark, s"$w/lc")
+        .get(TxLog.ZorderColsProp).contains("k,v"),
+        "CLUSTER BY must land as the declared-clustering property")
+      // clustering is an axis, not a partition layout
+      assert(TxLog.manifest(spark, s"$w/lc", 1L).partitionCols.isEmpty)
+      spark.sql("INSERT INTO graft.lc SELECT id, id * 1.0 FROM range(100)")
+      spark.sql("INSERT INTO graft.lc SELECT id + 100, id * 1.0 FROM range(100)")
+      // a bare OPTIMIZE resolves the declared clustering (no explicit cols)
+      val v = spark.sql("CALL graft.system.optimize(table => 'lc')")
+        .head().getLong(0)
+      import spark.implicits._
+      val op = TxLog.history(spark, s"$w/lc")
+        .filter(col("version") === v).select("operation").as[String].head()
+      assert(op.contains("ZORDER BY k, v"),
+        s"bare OPTIMIZE did not resolve the declaration: $op")
+      // CTAS path declares too
+      spark.sql("CREATE TABLE graft.lc2 CLUSTER BY (k) AS " +
+        "SELECT id AS k, id * 2.0 AS v FROM range(10)")
+      assert(TxLog.propertiesOf(spark, s"$w/lc2")
+        .get(TxLog.ZorderColsProp).contains("k"))
+    }
+  }
+
   test("CREATE TABLE with an invalid TBLPROPERTIES key refuses with NOTHING written") {
     withWarehouse { w =>
       // '__'-prefixed keys are reserved for the engine's own channel —

@@ -92,6 +92,25 @@ class TxLogRenameSpec extends SparkSpec {
     assert(TxLog.read(spark, path).filter(col("key_id") === 7L).count() == 0)
   }
 
+  test("declared zorderCols/bloomCols follow a rename like uniques do") {
+    val path = freshPath("declrename")
+    TxLog.create(spark.range(0, 20).select(col("id").as("k"),
+      lit(1.0).as("v")).coalesce(1), path)
+    TxLog.setProperties(spark, path, Map(
+      TxLog.ZorderColsProp -> "k,v", TxLog.BloomColsProp -> "k"))
+    TxLog.renameColumn(spark, path, "k", "key_id")
+    val props = TxLog.propertiesOf(spark, path)
+    assert(props(TxLog.ZorderColsProp) == "key_id,v",
+      s"zorderCols did not follow the rename: $props")
+    assert(props(TxLog.BloomColsProp) == "key_id",
+      s"bloomCols did not follow the rename: $props")
+    // and the declared paths still WORK under the new name: a bare
+    // OPTIMIZE resolves the clustering, a commit extends the sidecars
+    TxLog.append(Seq((100L, 2.0)).toDF("key_id", "v"), path)
+    TxLog.compact(spark, path)
+    assert(TxLog.readByKey(spark, path, "key_id", 100L).count() == 1)
+  }
+
   test("guard rails: constrained columns refuse rename, old readers refuse protocol 2, evolution cannot shadow a physical slot") {
     val path = freshPath("guards")
     TxLog.create(Seq((1L, "a", 1.0)).toDF("k", "part", "v"), path, Some("part"))

@@ -236,6 +236,44 @@ class TxLogStreamSpec extends SparkSpec {
       "sink must be exactly-once across restarts")
   }
 
+  test("streaming sink + graft.autoCompact: micro-batch small files heal without breaking exactly-once") {
+    // THE autoCompact scenario: a streaming sink drips one small file
+    // per micro-batch; the declared property heals the table as
+    // follow-on OPTIMIZE commits while the sink's batch-id watermark
+    // keeps replays no-ops (the heal must not disturb exactly-once)
+    val src = freshDir("ac_src")
+    val out = freshDir("ac_out")
+    val ckpt = freshDir("ac_ckpt")
+    TxLog.create(keyed(Seq((0L, "a", 0.0))), src)
+    spark.conf.set("graft.txlog.autoCompactMinFiles", "3")
+    try {
+      val q = stream(src).writeStream
+        .format("graft-txlog").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        TxLog.setProperties(spark, out, Map(TxLog.AutoCompactProp -> "true"))
+        (1L to 5L).foreach { i =>
+          TxLog.append(keyed(Seq((i, "a", i.toDouble))), src)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val m = TxLog.manifest(spark, out, TxLog.currentVersion(spark, out).get)
+      assert(m.files.size < 5,
+        s"streaming small files not healed: ${m.files.size} files")
+      import spark.implicits._
+      val ops = TxLog.history(spark, out).select("operation")
+        .as[String].collect().toSeq
+      assert(ops.exists(_.startsWith("OPTIMIZE")),
+        s"no follow-on OPTIMIZE in the sink table's history: $ops")
+      // content exact: every micro-batch's rows, once each
+      assert(TxLog.read(spark, out).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSet ==
+        (0L to 5L).map(i => (i, i.toDouble)).toSet,
+        "the heal disturbed the sink's exactly-once content")
+    } finally spark.conf.unset("graft.txlog.autoCompactMinFiles")
+  }
+
   test("end-to-end incremental ETL: txlog source → transform → txlog sink, exactly-once on both ends") {
     val src = freshDir("e2e_src")
     val out = freshDir("e2e_out")
