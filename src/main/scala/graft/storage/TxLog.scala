@@ -2467,6 +2467,15 @@ object TxLog {
     * Columns validate against the schema at SET time. */
   val BloomColsProp = "graft.bloomCols"
 
+  /** Declared merge-on-read (Delta's `delta.enableDeletionVectors`):
+    * DELETE/UPDATE on a declared table default to deletion-vector mode
+    * — the hot-table contract (delete cost ∝ deleted rows, not
+    * rewritten files) becomes the TABLE's word instead of every
+    * caller's flag. Monotone like Delta's: an explicit
+    * `deletionVectors = true` call still works on undeclared tables;
+    * compaction remains the documented materialization path. */
+  val DeletionVectorsProp = "graft.deletionVectors"
+
   /** Auto-compaction (Delta's `delta.autoOptimize.autoCompact` shape):
     * after a DATA commit to a declared table, any touched partition
     * whose small-file count crossed the threshold is compacted by a
@@ -2504,7 +2513,8 @@ object TxLog {
       k.nonEmpty && k.matches("""[A-Za-z0-9._\-]+""") && !k.startsWith("__"),
       s"TxLog.setProperties: property key must be [A-Za-z0-9._-]+ and not " +
         s"start with '__', got '$k'"))
-    Seq(AppendOnlyProp, OptimizedWriteProp, AutoCompactProp).foreach(p =>
+    Seq(AppendOnlyProp, OptimizedWriteProp, AutoCompactProp,
+        DeletionVectorsProp).foreach(p =>
       props.get(p).foreach(v => require(
         v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
         s"TxLog.setProperties: $p must be true or false, got '$v'")))
@@ -2587,6 +2597,9 @@ object TxLog {
 
   private[graft] def isAppendOnly(m: Manifest): Boolean =
     propsOf(m).get(AppendOnlyProp).exists(_.equalsIgnoreCase("true"))
+
+  private[graft] def dvDeclared(m: Manifest): Boolean =
+    propsOf(m).get(DeletionVectorsProp).exists(_.equalsIgnoreCase("true"))
 
   /** The [[AppendOnlyProp]] gate every row-removing verb calls. */
   private def requireAppendable(m: Manifest, path: String,
@@ -4842,7 +4855,8 @@ object TxLog {
     val schema = StructType.fromDDL(m.schemaDdl)
     // null-safe: a NULL condition row is NOT deleted (SQL DELETE semantics)
     val hit = coalesce(condition, lit(false))
-    if (deletionVectors) {
+    // declared merge-on-read: the table's own word turns DV mode on
+    if (deletionVectors || dvDeclared(m)) {
       // rows to delete, keyed exactly as reads key them — existing DVs
       // already filtered, so a row can never be deleted twice
       val newDel = readFiles(spark, path, schema, m.files, m.colMap, m.dv,
@@ -4973,7 +4987,7 @@ object TxLog {
           case None => col(f.name)
         }
       }.toIndexedSeq: _*)
-    if (deletionVectors) {
+    if (deletionVectors || dvDeclared(m)) {
       // ONE materialization of the matched rows (keys + values): the
       // DV sidecar and the appended images must describe the SAME set
       val tmp = new Path(path,

@@ -436,4 +436,31 @@ class TxLogPropsSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("cannot combine"), e3.getMessage)
   }
+
+  test("graft.deletionVectors: DELETE/UPDATE on a declared table default to merge-on-read") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = freshDir("dvdecl")
+    seed(path)
+    TxLog.setProperties(spark, path, Map(TxLog.DeletionVectorsProp -> "true"))
+    val preFiles = TxLog.manifest(spark, path,
+      TxLog.currentVersion(spark, path).get).files.toSet
+    // no per-call flag anywhere — the table's word turns DV mode on
+    TxLog.deleteWhere(spark, path, col("k") === 1L)
+    val m1 = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(m1.dv.nonEmpty, "declared table must delete via deletion vectors")
+    assert(m1.files.toSet == preFiles,
+      "a DV delete must not rewrite any data file")
+    assert(TxLog.read(spark, path).filter(col("k") === 1L).count() == 0)
+    TxLog.updateWhere(spark, path, Seq("amt" -> "amt + 1"), col("k") === 2L)
+    val m2 = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(m2.dv.nonEmpty, "declared table must update via deletion vectors")
+    assert(TxLog.read(spark, path).filter(col("k") === 2L)
+      .select("amt").as[Double].head() == 21.0)
+    // compaction stays the materialization path
+    TxLog.compact(spark, path, minFilesToCompact = 1)
+    val m3 = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(m3.dv.isEmpty, "OPTIMIZE must materialize the deletion vectors")
+    assert(TxLog.read(spark, path).count() == 1L)
+  }
 }
