@@ -71,6 +71,8 @@ object Sql {
     """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+TXN\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*\)\s+(.+)""".r
   private val AppendRe =
     """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+(.+)""".r
+  private val CopyIntoRe =
+    """(?is)\s*TXLOG\s+COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:FORMAT\s+(\w+))?\s*""".r
   private val MergeWhenHeadRe =
     """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+\((.+)""".r
 
@@ -404,6 +406,10 @@ object Sql {
       case AppendTxnRe(path, appId, txnV, select) =>
         asDf(graft.storage.TxLog.appendTxn(spark.sql(select), rt(path),
           appId, txnV.toLong))
+      case CopyIntoRe(path, srcDir, fmt) =>
+        val (n, v) = graft.storage.CopyInto.copyInto(spark, rt(path), srcDir,
+          Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
+        Seq((n.toLong, v)).toDF("files_loaded", "version")
       case AppendRe(path, select0) =>
         // WITH SCHEMA EVOLUTION rides as a suffix of the SELECT capture
         val AppendEv = """(?is)(.*?)\s+WITH\s+SCHEMA\s+EVOLUTION\s*$""".r
@@ -582,6 +588,7 @@ object Sql {
           "Sql.exec: unrecognized TXLOG statement; supported verbs:\n" +
             "  TXLOG CREATE [OR REPLACE] '<path>' [PARTITION BY <col>] AS <select>\n" +
             "  TXLOG APPEND INTO '<path>' <select>\n" +
+            "  TXLOG COPY INTO '<path>' FROM '<dir>' [FORMAT PARQUET|JSONL]\n" +
             "  TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>\n" +
             "  TXLOG DELETE FROM '<path>' WHERE <condition>\n" +
             "  TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>\n" +
