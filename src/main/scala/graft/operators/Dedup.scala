@@ -916,8 +916,14 @@ object Dedup {
     val prior = spark.read.parquet(s"$path/state")
       .filter(col("cell").isin(touched: _*))
       .select("vec_id", "embedding")
+    // dropDuplicates: a retry after a crash mid-rename re-presents
+    // batch vectors that already landed in SOME touched cells' state —
+    // without this the union would double them and skew the keeper
+    // election (append is single-writer like Ivf.append, but it must
+    // be RE-RUNNABLE after its own crash)
     val rework = semanticDisposition(
-      prior.unionByName(assigned.select("vec_id", "embedding")), matrix, tau)
+      prior.unionByName(assigned.select("vec_id", "embedding"))
+        .dropDuplicates("vec_id"), matrix, tau)
     // overwrite exactly the touched cell partitions (the Ivf.remove
     // rewrite shape); untouched partitions are never opened
     val fs = new org.apache.hadoop.fs.Path(s"$path/state")

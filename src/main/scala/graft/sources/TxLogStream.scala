@@ -93,8 +93,13 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
     // batch change-data-feed door (Delta's readChangeFeed option
     // shape): serves TxLog.changes' diff frame instead of a snapshot
     val pLower = parameters.map { case (k, v) => k.toLowerCase -> v }
-    if (pLower.get("readchangefeed").exists(_.toBoolean))
+    if (pLower.get("readchangefeed").exists(_.toBoolean)) {
+      require(!pLower.contains("versionasof") && !pLower.contains("timestampasof"),
+        "graft-txlog: readChangeFeed takes startingVersion/endingVersion " +
+          "(or starting/endingTimestamp) — versionAsOf/timestampAsOf are " +
+          "snapshot options and do not combine with a change feed")
       return TxLogBatch.cdfRelation(spark, pLower)
+    }
     val (path, m) = TxLogBatch.resolve(spark, parameters)
     // a huge-delete snapshot (DV rows above the broadcast budget —
     // priced from manifest counts, zero I/O) mounts through the

@@ -52,7 +52,9 @@ object CopyInto {
       val name = st.getPath.getName
       if (st.isFile && exts.exists(name.endsWith(_)) &&
           !name.startsWith("_") && !name.startsWith("."))
-        out += ((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+        // full URI string: scheme-stable ledger identity, and exactly
+        // what the reader re-opens on mixed-scheme deployments
+        out += ((st.getPath.toString, st.getLen, st.getModificationTime))
     }
     out.toSeq.sortBy(_._1)
   }

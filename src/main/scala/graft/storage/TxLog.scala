@@ -680,6 +680,20 @@ object TxLog {
     override def initialValue(): Boolean = false
   }
 
+  /** Run `f` with the auto-compact follow-on suppressed on this
+    * thread. [[Txn]] wraps its op loop in this: a heal commit landing
+    * BETWEEN a transaction's ops would move the table head past the
+    * journal's recorded commit, so a later compensation — which only
+    * restores a table whose head IS the transaction's own commit —
+    * would refuse as CONFLICTED. The declared table still heals on its
+    * next ordinary commit; correctness of compensation outranks
+    * immediate layout hygiene. */
+  private[storage] def suppressFollowOnCompact[T](f: => T): T = {
+    val prev = inAutoCompact.get()
+    inAutoCompact.set(true)
+    try f finally inAutoCompact.set(prev)
+  }
+
   /** Follow-on maintenance for DECLARED table properties — runs AFTER
     * the commit JSON is durable, so a failure here warns and never
     * surfaces as a commit failure (both heals are idempotent; the next

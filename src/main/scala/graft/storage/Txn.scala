@@ -158,7 +158,11 @@ object Txn {
     publish(spark, journalRoot, id, entries)
     val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
     try {
-      ops.foreach { op =>
+      // auto-compact follow-ons are suppressed inside the op loop: a
+      // heal commit between two ops would move a table's head past the
+      // journal's recorded commit and strand compensation (see
+      // TxLog.suppressFollowOnCompact). The next ordinary commit heals.
+      TxLog.suppressFollowOnCompact { ops.foreach { op =>
         val v = op match {
           case Append(p, df) => TxLog.append(df, p)
           case Merge(p, u, k) => TxLog.mergeInto(p, u, k)
@@ -171,7 +175,7 @@ object Txn {
         entries = entries.map(e =>
           if (e.path == op.path) e.copy(committed = Some(v)) else e)
         publish(spark, journalRoot, id, entries)
-      }
+      } }
       fsFor(spark, journalRoot)
         .delete(new Path(txnDir(journalRoot), s"$id.json"), false)
       versions.toSeq

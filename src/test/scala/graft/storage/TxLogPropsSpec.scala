@@ -463,4 +463,30 @@ class TxLogPropsSpec extends SparkSpec {
     assert(m3.dv.isEmpty, "OPTIMIZE must materialize the deletion vectors")
     assert(TxLog.read(spark, path).count() == 1L)
   }
+
+  test("a Txn defers the auto-compact heal; the next ordinary commit heals") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = freshDir("txnac")
+    TxLog.create(Seq((0L, "p0", 0.0)).toDF("k", "part", "v"), path, Some("part"))
+    TxLog.setProperties(spark, path, Map(TxLog.AutoCompactProp -> "true"))
+    spark.conf.set("graft.txlog.autoCompactMinFiles", "2")
+    try {
+      // three appends as ONE transaction: no heal may land between the
+      // ops (it would strand compensation), so no OPTIMIZE in history
+      Txn.transact(spark, path, (1L to 3L).map(i =>
+        Txn.Append(path, Seq((i, "p0", i.toDouble)).toDF("k", "part", "v"))))
+      val opsAfterTxn = TxLog.history(spark, path).select("operation")
+        .as[String].collect().toSeq
+      assert(!opsAfterTxn.exists(_.startsWith("OPTIMIZE")),
+        s"a heal landed inside the transaction: $opsAfterTxn")
+      // the next ORDINARY commit heals the declared table
+      TxLog.append(Seq((9L, "p0", 9.0)).toDF("k", "part", "v"), path)
+      val ops = TxLog.history(spark, path).select("operation")
+        .as[String].collect().toSeq
+      assert(ops.exists(_.startsWith("OPTIMIZE")),
+        s"the deferred heal never ran: $ops")
+      assert(TxLog.read(spark, path).count() == 5L)
+    } finally spark.conf.unset("graft.txlog.autoCompactMinFiles")
+  }
 }
