@@ -152,6 +152,62 @@ object Stats {
       .orderBy("bin")
   }
 
+  /** Precision/recall table at equal-width score thresholds — the
+    * fourth leg of the eval family (ranked retrieval → [[rankEval]],
+    * discrimination → [[auc]], score honesty → [[calibration]],
+    * OPERATING POINT → this): for each threshold t = i/`bins`
+    * (i = 0..bins−1), the classifier "predict positive ⇔ score ≥ t"
+    * scores precision = TP/(TP+FP) and recall = TP/P. The table is
+    * what picks a deployment threshold; AUC alone cannot. (Column is
+    * named `prec` — PRECISION is a reserved word in ANSI engines and
+    * the oracle must spell the same name.)
+    *
+    * Scale: the SAME one map-side-combinable bin aggregate
+    * [[calibration]] runs (output bounded by `bins`), then a bins-row
+    * descending cumulative window — never a per-row sort. Determinism:
+    * TP/FP/P are integer counts; one division + round(6) at the end.
+    * A score of exactly 1.0 clamps into the top bin; an empty-positive
+    * corpus surfaces null recall rather than dropping rows. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
+              bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2 && bins <= 10000,
+      s"Stats.prCurve: bins must be in [2, 10000], got $bins")
+    val s = col(scoreCol).cast("double")
+    val clamped = least(greatest(s, lit(0.0)), lit(1.0))
+    val bin = least(floor(clamped * lit(bins.toDouble)).cast("int"),
+      lit(bins - 1))
+    val perBin = df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("int") === 1, 1L).otherwise(0L))
+          .as("n_pos"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // every threshold row exists even when its bin is empty: the
+    // operating-point table must not skip thresholds
+    val edges = (0 until bins).map(i => (i, math.round(i.toDouble / bins * 1e6) / 1e6))
+      .toDF("bin", "threshold")
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = edges.join(perBin, Seq("bin"), "left")
+      .select(col("bin"), col("threshold"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"))
+      .withColumn("predicted_pos", sum(col("n")).over(w))
+      .withColumn("tp", sum(col("n_pos")).over(w))
+    val totalPos = sum(col("n_pos")).over(
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    cum.withColumn("_p", totalPos)
+      .select(col("threshold"), col("predicted_pos"), col("tp"),
+        round(when(col("predicted_pos") > 0,
+          col("tp").cast("double") / col("predicted_pos").cast("double")), 6)
+          .as("prec"),
+        round(when(col("_p") > 0,
+          col("tp").cast("double") / col("_p").cast("double")), 6)
+          .as("recall"))
+      .orderBy("threshold")
+  }
+
   /** Group-wise ROC AUC via the Mann-Whitney rank formulation with
     * AVERAGE ranks for ties — the classifier-eval twin of [[rankEval]]
     * (there: ranked retrieval vs graded truth; here: a scalar score vs

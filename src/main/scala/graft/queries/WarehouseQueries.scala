@@ -634,6 +634,17 @@ object WarehouseQueries {
           .as("label")),
       "score", "label")
 
+  /** Precision/recall operating-point table of the same
+    * pseudo-probability [[calibrationQuery]] scores — [[Stats.prCurve]]
+    * at the default 10 equal-width thresholds. */
+  def prQuery(s: SparkSession, d: String): DataFrame =
+    graft.operators.Stats.prCurve(
+      orders(s, d).select(
+        (col("o_totalprice") / lit(600000.0)).as("score"),
+        when(col("o_orderstatus") === "F", lit(1)).otherwise(lit(0))
+          .as("label")),
+      "score", "label")
+
   /** Robust outlier accounting per return flag: median / MAD /
     * beyond-3-MADs count of the price column — [[Stats.madOutliers]]
     * over the proven exact-percentile histogram plan. */
@@ -1835,6 +1846,7 @@ object WarehouseQueries {
     "eval_rank" -> rankEvalQuery _,
     "eval_auc" -> aucQuery _,
     "eval_calibration" -> calibrationQuery _,
+    "eval_pr" -> prQuery _,
     "q_moving_avg" -> movingAvg _,
     "q_ntile" -> distributionWindows _,
     "q_resample" -> resample _,
@@ -2450,6 +2462,40 @@ object WarehouseQueries {
         |    AS DOUBLE) / count(*) -
         |        CAST(sum(label) AS DOUBLE) / count(*)), 6) AS abs_gap
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same bin aggregate as calibration, then a bins-row
+    // descending cumulative window — integer TP/FP counts, one
+    // division, round(6) on both engines; empty bins keep their
+    // threshold row
+    "eval_pr" ->
+      """WITH base AS (
+        |  SELECT o_totalprice / 600000.0 AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        |b AS (
+        |  SELECT LEAST(CAST(floor(LEAST(GREATEST(s, 0), 1) * 10.0) AS INT), 9)
+        |    AS bin, count(*) AS n, SUM(label) AS n_pos
+        |  FROM base GROUP BY 1),
+        |e AS (SELECT CAST(i AS INT) AS bin, round(i / 10.0, 6) AS threshold
+        |      FROM range(10) t(i)),
+        |c AS (
+        |  SELECT e.bin, e.threshold, COALESCE(b.n, 0) AS n,
+        |    COALESCE(b.n_pos, 0) AS n_pos
+        |  FROM e LEFT JOIN b ON e.bin = b.bin),
+        |cum AS (
+        |  SELECT threshold,
+        |    CAST(SUM(n) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS predicted_pos,
+        |    CAST(SUM(n_pos) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS tp,
+        |    SUM(n_pos) OVER () AS p
+        |  FROM c)
+        |SELECT threshold, predicted_pos, tp,
+        |  round(CASE WHEN predicted_pos > 0
+        |    THEN CAST(tp AS DOUBLE) / predicted_pos END, 6) AS prec,
+        |  round(CASE WHEN p > 0 THEN CAST(tp AS DOUBLE) / p END, 6) AS recall
+        |FROM cum ORDER BY threshold""".stripMargin,
     // the same Mann-Whitney average-rank formulation, spelled over
     // the (group, score) rollup + one cumulative window — integer
     // rank sums in double, one division, round(6) on both engines

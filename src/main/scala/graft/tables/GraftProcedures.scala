@@ -126,6 +126,19 @@ object GraftProcedures {
         TxLog.tag(spark, path, in.getUTF8String(1).toString, v)
         TxLog.tags(spark, path)(in.getUTF8String(1).toString)
       })),
+    Proc("copy_into",
+      "idempotent file-granular load: COPY INTO the table every " +
+        "never-seen data file under source_dir (ledger + data land as " +
+        "one journaled txn); returns (files_loaded, version)",
+      Array(p("table", S).build(), p("source_dir", S).build(),
+        p("format", S).defaultValue("'parquet'").build()),
+      StructType.fromDDL("files_loaded BIGINT, version BIGINT"),
+      (spark, path, in) => {
+        val (n, v) = graft.storage.CopyInto.copyInto(spark, path,
+          in.getUTF8String(1).toString,
+          in.getUTF8String(2).toString.toLowerCase)
+        InternalRow(n.toLong, v)
+      }),
     // the OFFLINE half of the ANN-through-SQL story: graft_ann/
     // graft_ann_pq serve an index a SQL-only user could not BUILD
     // until these — fit once here, query forever through the TVFs

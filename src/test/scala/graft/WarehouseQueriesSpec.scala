@@ -830,6 +830,25 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(out(9) == ((2L, 0.975, 1.0, 0.025)), out.toString)
   }
 
+  test("prCurve on a hand-computed fixture: cumulative counts, empty thresholds kept, null precision") {
+    import spark.implicits._
+    // bins 0/1/9 occupied; total positives = 2. Every threshold row
+    // exists; prec is null where nothing is predicted positive.
+    val df = Seq((0.05, 1), (0.15, 0), (0.95, 1)).toDF("score", "label")
+    val out = graft.operators.Stats.prCurve(df, "score", "label")
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out.size == 10, s"every threshold row must exist: ${out.keySet}")
+    assert(out(0.0) == ((3L, 2L, Some(0.666667), Some(1.0))), out.toString)
+    assert(out(0.1) == ((2L, 1L, Some(0.5), Some(0.5))), out.toString)
+    assert(out(0.5) == ((1L, 1L, Some(1.0), Some(0.5))),
+      "mid thresholds see only the top bin: " + out.toString)
+    assert(out(0.9) == ((1L, 1L, Some(1.0), Some(0.5))), out.toString)
+  }
+
   test("rankEval on a hand-computed fixture") {
     import spark.implicits._
     // query 1: items ranked a,b,c,d; rels a=2 (rank1), c=1 (rank3).

@@ -91,4 +91,29 @@ class CopyIntoSpec extends SparkSpec {
     assert(n == 1)
     assert(TxLog.read(spark, table).filter(col("k") === 9L).count() == 1)
   }
+
+  test("CALL graft.system.copy_into: the catalog-native spelling") {
+    val wh = fresh("wh")
+    val prev = spark.conf.getOption("graft.catalog.warehouse")
+    spark.conf.set("graft.catalog.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE graft.landing (k BIGINT, v DOUBLE)")
+      val src = fresh("procsrc")
+      writeSrcFile(src, "a.parquet", Seq((1L, 1.0), (2L, 2.0)))
+      val row = spark.sql("CALL graft.system.copy_into(" +
+        s"table => 'landing', source_dir => '$src')").head()
+      assert(row.getLong(0) == 1L, s"loaded ${row.getLong(0)} files")
+      assert(spark.sql("SELECT count(*) FROM graft.landing")
+        .head().getLong(0) == 2L)
+      // idempotent through the procedure door too
+      assert(spark.sql("CALL graft.system.copy_into(" +
+        s"table => 'landing', source_dir => '$src')").head().getLong(0) == 0L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft.landing")
+      prev match {
+        case Some(v) => spark.conf.set("graft.catalog.warehouse", v)
+        case None => spark.conf.unset("graft.catalog.warehouse")
+      }
+    }
+  }
 }
