@@ -427,6 +427,16 @@ object TableFunctions {
           litStr(fn, "score_col", es(1)), litStr(fn, "label_col", es(2)),
           bins = es.lift(3).map(litLong(fn, "bins", _).toInt).getOrElse(10)))
       }),
+    ("graft_eval_pr",
+      info("graft_eval_pr",
+        "graft_eval_pr(table, score_col, label_col[, bins]) - precision/recall operating-point table at equal-width thresholds"),
+      (es: Seq[Expression]) => {
+        arity("graft_eval_pr", es, 3 to 4)
+        val fn = "graft_eval_pr"
+        plan(Stats.prCurve(active.table(litStr(fn, "table", es.head)),
+          litStr(fn, "score_col", es(1)), litStr(fn, "label_col", es(2)),
+          bins = es.lift(3).map(litLong(fn, "bins", _).toInt).getOrElse(10)))
+      }),
     ("graft_txlog_cdf",
       info("graft_txlog_cdf",
         "graft_txlog_cdf(path, from_version, to_version, keys_csv) - change-data feed between two versions"),

@@ -1765,6 +1765,33 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** COPY INTO through the driver gate: the table starts from the %3=0
+    * slice; the %3=1 and %3=2 slices land as parquet files in a
+    * landing dir and COPY INTO loads them — TWICE, the second run a
+    * REQUIREd no-op (the idempotency that makes re-runnable ingest
+    * safe). The oracle recomputes the union: exactly-once loading is
+    * content-invisible. */
+  def txlogCopy(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.{CopyInto, TxLog}
+    val base = sys.props("java.io.tmpdir") + "/graft_txlog_copy_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val path = s"$base/t"
+    val landing = s"$base/landing"
+    val dim = orders(s, d).select("o_orderkey", "o_totalprice")
+    TxLog.create(dim.filter(col("o_orderkey") % 3 === 0), path)
+    (1 to 2).foreach(i =>
+      dim.filter(col("o_orderkey") % 3 === i).coalesce(1)
+        .write.parquet(s"$landing/slice$i"))
+    val (n1, _) = CopyInto.copyInto(s, path, landing)
+    require(n1 == 2, s"q_txlog_copy: first copy loaded $n1 files, wanted 2")
+    val (n2, _) = CopyInto.copyInto(s, path, landing)
+    require(n2 == 0, s"q_txlog_copy: re-run loaded $n2 files — not idempotent")
+    TxLog.read(s, path).select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** The PARTITIONS metadata table through the driver gate: create a
     * partitioned table, DV-delete a slice, then read the per-partition
     * METADATA row counts — zero data files read on the serve path.
@@ -1791,6 +1818,7 @@ object WarehouseQueries {
     "q_txlog_parts" -> txlogParts _,
     "q_txlog_props" -> txlogProps _,
     "q_txlog_autocompact" -> txlogAutoCompact _,
+    "q_txlog_copy" -> txlogCopy _,
     "q_txlog_defaults" -> txlogDefaults _,
     "q_txlog_sql" -> txlogSql _,
     "q_txlog_merge_evolve" -> txlogMergeEvolve _,
@@ -1993,6 +2021,10 @@ object WarehouseQueries {
         |  count(*) AS live_rows
         |FROM orders WHERE o_orderkey % 10 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exactly-once COPY INTO ≡ the plain union (all three %3 slices)
+    "q_txlog_copy" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     // the follow-on compaction heals layout, never content: the final
     // read ≡ the raw source (all eight %8 slices landed)
     "q_txlog_autocompact" ->

@@ -407,6 +407,8 @@ class SqlSurfaceSpec extends SparkSpec {
     sameAs("SELECT * FROM graft_eval_calibration('ev_scores', 'score', 'label', 5)",
       Stats.calibration(scored, "score", "label", bins = 5),
       "graft_eval_calibration")
+    sameAs("SELECT * FROM graft_eval_pr('ev_scores', 'score', 'label', 5)",
+      Stats.prCurve(scored, "score", "label", bins = 5), "graft_eval_pr")
   }
 
   test("TBLPROPERTIES values containing ',' and ')' parse quote-aware; residue refuses") {
