@@ -1765,6 +1765,29 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** replaceWhere through the driver gate: the '1-URGENT' region of a
+    * priority-partitioned table replaces with a repriced copy of
+    * itself in ONE commit; every other partition's files carry by
+    * reference. The oracle recomputes the CASE: region rows repriced,
+    * everything else verbatim. */
+  def txlogReplaceWhere(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_rw_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    TxLog.create(dim, path, Some("o_orderpriority"))
+    val backfill = dim.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast(DecimalType(18, 2)) * lit(BigDecimal("2")))
+          .cast("double"))
+    TxLog.replaceWhere(backfill, path, col("o_orderpriority") === "1-URGENT")
+    TxLog.read(s, path).select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** COPY INTO through the driver gate: the table starts from the %3=0
     * slice; the %3=1 and %3=2 slices land as parquet files in a
     * landing dir and COPY INTO loads them — TWICE, the second run a
@@ -1819,6 +1842,7 @@ object WarehouseQueries {
     "q_txlog_props" -> txlogProps _,
     "q_txlog_autocompact" -> txlogAutoCompact _,
     "q_txlog_copy" -> txlogCopy _,
+    "q_txlog_replace_where" -> txlogReplaceWhere _,
     "q_txlog_defaults" -> txlogDefaults _,
     "q_txlog_sql" -> txlogSql _,
     "q_txlog_merge_evolve" -> txlogMergeEvolve _,
@@ -2021,6 +2045,15 @@ object WarehouseQueries {
         |  count(*) AS live_rows
         |FROM orders WHERE o_orderkey % 10 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // a predicate-scoped overwrite ≡ a CASE recompute (prices double
+    // exactly in binary, so the compare is cell-exact)
+    "q_txlog_replace_where" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderpriority = '1-URGENT'
+        |       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |                 CAST(2 AS DECIMAL(1,0)) AS DOUBLE)
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // exactly-once COPY INTO ≡ the plain union (all three %3 slices)
     "q_txlog_copy" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -165,8 +165,19 @@ class TxLogStream extends StreamSourceProvider with StreamSinkProvider
         // COMMIT time inside createOrReplace (refuseAppendOnly): a
         // SET TBLPROPERTIES racing a pre-read here cannot slip the
         // overwrite through the redefinition path.
-        TxLog.createOrReplace(data, path, partitionCols = partCols,
-          refuseAppendOnly = true)
+        // With option("replaceWhere", "<predicate>") the overwrite is
+        // PREDICATE-SCOPED (Delta's replaceWhere): only the matching
+        // region replaces, in one file-granular commit.
+        p.get("replacewhere") match {
+          case Some(pred) =>
+            require(exists,
+              s"graft-txlog: replaceWhere needs an existing table at $path")
+            TxLog.replaceWhere(data, path,
+              org.apache.spark.sql.functions.expr(pred))
+          case None =>
+            TxLog.createOrReplace(data, path, partitionCols = partCols,
+              refuseAppendOnly = true)
+        }
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft-txlog: table already exists at $path (mode ErrorIfExists)")

@@ -4939,6 +4939,91 @@ object TxLog {
     }
   }
 
+  /** Predicate-scoped atomic overwrite — Delta's `replaceWhere` write
+    * option, the date-partitioned BACKFILL verb: replace exactly the
+    * rows matching `condition` with `df` in ONE commit. Discovery and
+    * write economics are the DELETE family's: only the files holding
+    * a matching row rewrite (their non-matching survivor rows carry
+    * verbatim), every other file carries into the new manifest by
+    * reference, and the incoming batch stages beside them — so
+    * re-loading one day of a year-partitioned table touches one day's
+    * files, never the year.
+    *
+    * Contract (Delta's): every incoming row MUST satisfy the
+    * predicate — rows outside the region would make this not an
+    * overwrite OF that region; refused before anything stages. The
+    * batch fills DEFAULT/GENERATED columns, allocates IDENTITY, and
+    * vets CHECK constraints like an append; UNIQUE keys probe against
+    * the POST-replace state (keys that live only inside the replaced
+    * region may legitimately re-present — the backfill's whole
+    * point). appendOnly refuses (rows are removed). OCC: the DELETE
+    * family's predicateRebaseCheck — blind appends serialize after,
+    * non-blind interleaved commits conflict. */
+  def replaceWhere(df0: DataFrame, path: String,
+                   condition: org.apache.spark.sql.Column): Long =
+    retryIdentityRace("replaceWhere") {
+      import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+      val spark = df0.sparkSession
+      val v = currentVersion(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"TxLog: no table at $path"))
+      val m = manifest(spark, path, v)
+      requireWritable(m, path)
+      requireAppendable(m, path, "replaceWhere")
+      val declared = StructType.fromDDL(m.schemaDdl)
+      val df1 = fillPolicyColumns(df0, m, declared)
+      checkSchema(declared, df1.schema, evolveSchema = false)
+      val (df, idClaims) = fillIdentityColumns(df1, m, "replaceWhere")
+      val hit = coalesce(condition, lit(false))
+      val outside = df.filter(not(hit)).count()
+      require(outside == 0,
+        s"TxLog.replaceWhere: $outside incoming row(s) do not satisfy " +
+          "the predicate — an overwrite of a region must stay inside it")
+      enforceConstraints(df, m.constraints, "replaceWhere")
+      // hit-file discovery, the deleteWhere shape
+      val uris = readFiles(spark, path, declared, m.files, m.colMap, m.dv,
+          keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
+        .filter(hit).select(col("_dv_key").as("_f"))
+        .distinct().collect().map(_.getString(0))
+      val resolve = entryResolver(m.files)
+      val hitFiles = uris.map(resolve).toSet
+      // UNIQUE probe against the POST-replace state: untouched files
+      // via the standard probe, hit files' SURVIVOR rows via one
+      // bounded join (replaced-away keys must not block the backfill)
+      enforceUniques(df, spark, path, declared,
+        m.files.filterNot(hitFiles.contains), m, "replaceWhere")
+      if (hitFiles.nonEmpty && m.uniques.nonEmpty) {
+        val survivorRows = readFiles(spark, path, declared,
+          hitFiles.toSeq, m.colMap, m.dv,
+          recoverPartitions = m.partitionSpec.isEmpty).filter(not(hit))
+        m.uniques.foreach { case (name, cols) =>
+          val collided = df.select(cols.map(col).toIndexedSeq: _*)
+            .join(survivorRows.select(cols.map(col).toIndexedSeq: _*), cols)
+            .limit(1).count()
+          if (collided > 0) throw new ConstraintViolationException(
+            s"TxLog: replaceWhere violates UNIQUE $name — an incoming " +
+              "key collides with a surviving row outside the replaced " +
+              "region")
+        }
+      }
+      val survivors =
+        if (hitFiles.isEmpty) Nil
+        else stageIn(
+          toPhysical(readFiles(spark, path, declared, hitFiles.toSeq,
+            m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
+            .filter(not(hit)), m.colMap),
+          path, physPartCols(m), transformsOf(m))
+      val incoming = stageIn(toPhysical(df, m.colMap), path,
+        physPartCols(m), transformsOf(m))
+      commitRebase(spark, path, m, rewriteDirs = Set.empty,
+        newFiles = survivors ++ incoming, schemaDdl = m.schemaDdl,
+        batchId = None, readSet = None, operation = "REPLACE WHERE",
+        removeFiles = hitFiles,
+        rebaseCheck = Some(predicateRebaseCheck(spark, path, declared,
+          hitFiles, "UTC")),
+        revalidate = uniqueRebaseProbe(df, spark, path, m, "replaceWhere"),
+        idClaims = idClaims)
+    }
+
   /** UPDATE ... SET ... WHERE — a FILE-GRANULAR rewrite (Delta's
     * UPDATE): discovery prunes to the files that actually admit a
     * matching row (one snapshot scan through the shared readFiles

@@ -34,6 +34,7 @@ import graft.tables.Tables
   *   TXLOG DELETE FROM '<path>' WHERE <condition> [USING DELETION VECTORS]
   *   TXLOG UPDATE '<path>' SET <c1> = <expr1>[, <c2> = <expr2>...] WHERE <condition> [USING DELETION VECTORS]
   *   TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>
+  *   TXLOG REPLACE INTO '<path>' WHERE (<predicate>) <select>  -- Delta's replaceWhere
   *   TXLOG RESTORE '<path>' TO VERSION <n> | TO TIMESTAMP '<ts>' | TO TAG '<name>'
   *   TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]
   *   TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)
@@ -217,6 +218,8 @@ object Sql {
     """(?is)\s*TXLOG\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s+USING\s+DELETION\s+VECTORS\s*""".r
   private val UpdateRe =
     """(?is)\s*TXLOG\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+)""".r
+  private val ReplaceWhereRe =
+    """(?is)\s*TXLOG\s+REPLACE\s+INTO\s+'([^']+)'\s+WHERE\s*\((.+?)\)\s+(SELECT.+)""".r
   private val ReplaceRe =
     """(?is)\s*TXLOG\s+REPLACE\s+INTO\s+'([^']+)'\s+PARTITIONS\s*\(([^)]+)\)\s+(.+)""".r
   private val RestoreRe =
@@ -467,6 +470,9 @@ object Sql {
       case DeleteRe(path, cond) =>
         asDf(graft.storage.TxLog.deleteWhere(spark, rt(path),
           org.apache.spark.sql.functions.expr(cond)))
+      case ReplaceWhereRe(path, pred, select) =>
+        asDf(graft.storage.TxLog.replaceWhere(spark.sql(select), rt(path),
+          org.apache.spark.sql.functions.expr(pred)))
       case ReplaceRe(path, vals, select) =>
         asDf(graft.storage.TxLog.replacePartitions(spark.sql(select), rt(path),
           vals.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
@@ -592,6 +598,7 @@ object Sql {
             "  TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>\n" +
             "  TXLOG DELETE FROM '<path>' WHERE <condition>\n" +
             "  TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>\n" +
+            "  TXLOG REPLACE INTO '<path>' WHERE (<predicate>) <select>\n" +
             "  TXLOG RESTORE '<path>' TO VERSION <n> | TO TIMESTAMP '<ts>'\n" +
             "  TXLOG CLONE '<src>' TO '<dst>' [DEEP] [VERSION <n>]\n" +
             "  TXLOG ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)\n" +
