@@ -511,6 +511,35 @@ object GraftCatalog {
   /** TBLPROPERTIES the engine persists: everything a CREATE hands
     * over minus the reserved/engine-derived entries and write options
     * (`option.*`). */
+  /** V2 `sources.Filter` → Column, for the REPLACE WHERE overwrite
+    * path. Unsupported shapes refuse loudly — a silently-dropped
+    * filter would widen the replaced region. */
+  private[tables] def filterToColumn(table: String, f: Filter)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v) => col(c) === lit(v)
+      case EqualNullSafe(c, v) => col(c) <=> lit(v)
+      case GreaterThan(c, v) => col(c) > lit(v)
+      case GreaterThanOrEqual(c, v) => col(c) >= lit(v)
+      case LessThan(c, v) => col(c) < lit(v)
+      case LessThanOrEqual(c, v) => col(c) <= lit(v)
+      case In(c, vs) => col(c).isin(vs.toIndexedSeq: _*)
+      case IsNull(c) => col(c).isNull
+      case IsNotNull(c) => col(c).isNotNull
+      case StringStartsWith(c, v) => col(c).startsWith(v)
+      case StringEndsWith(c, v) => col(c).endsWith(v)
+      case StringContains(c, v) => col(c).contains(v)
+      case And(l, r) => filterToColumn(table, l) && filterToColumn(table, r)
+      case Or(l, r) => filterToColumn(table, l) || filterToColumn(table, r)
+      case Not(c) => !filterToColumn(table, c)
+      case other => throw new UnsupportedOperationException(
+        s"graft.$table: REPLACE WHERE cannot translate filter $other — " +
+          "spell the overwrite through TxLog.replaceWhere")
+    }
+  }
+
   private[tables] def userTableProps(
       properties: java.util.Map[String, String]): Map[String, String] =
     scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap
@@ -773,24 +802,31 @@ case class GraftTable(tableName: String, path: String,
                   // would let the next insert write NULL surrogate ids)
                   TxLog.createOrReplace(aligned, path, keepPolicies = true)
                 case Some(filters) =>
-                  // INSERT OVERWRITE ... PARTITION (p = v, ...): the
-                  // atomic partition replacement verb
+                  // INSERT OVERWRITE ... PARTITION (p = v, ...) when
+                  // every partition column is pinned: the atomic
+                  // partition-replacement verb. ANY other filter set —
+                  // Spark's own `INSERT INTO t REPLACE WHERE <cond>`
+                  // lowers to OverwriteByExpression and lands here —
+                  // routes to the predicate-scoped replaceWhere
+                  // (Delta's semantics: file-granular, incoming rows
+                  // vetted inside the region).
                   val pcs = m.partitionCols
-                  val byCol = filters.map {
-                    case EqualTo(c, v) if pcs.contains(c) => c -> v
+                  val static = filters.flatMap {
+                    case EqualTo(c, v) if pcs.contains(c) => Some(c -> v)
                     case org.apache.spark.sql.sources.EqualNullSafe(c, v)
-                      if pcs.contains(c) => c -> v
-                    case f => throw new UnsupportedOperationException(
-                      s"graft.$tableName: INSERT OVERWRITE supports only " +
-                        s"static PARTITION (col = value) filters, got $f")
+                      if pcs.contains(c) => Some(c -> v)
+                    case _ => None
                   }.toMap
-                  require(byCol.keySet == pcs.toSet,
-                    s"graft.$tableName: static overwrite must pin every " +
-                      s"partition column (${pcs.mkString(", ")})")
-                  val tuple =
-                    if (pcs.size == 1) byCol(pcs.head)
-                    else pcs.map(byCol)
-                  TxLog.replacePartitions(aligned, path, Seq(tuple))
+                  if (static.size == filters.size &&
+                      static.keySet == pcs.toSet) {
+                    val tuple =
+                      if (pcs.size == 1) static(pcs.head)
+                      else pcs.map(static)
+                    TxLog.replacePartitions(aligned, path, Seq(tuple))
+                  } else
+                    TxLog.replaceWhere(aligned, path,
+                      filters.map(GraftCatalog.filterToColumn(tableName, _))
+                        .reduce(_ && _))
               }
               ()
             }

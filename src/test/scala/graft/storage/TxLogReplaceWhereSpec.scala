@@ -107,6 +107,38 @@ class TxLogReplaceWhereSpec extends SparkSpec {
     assert(eA.getMessage.contains(TxLog.AppendOnlyProp), eA.getMessage)
   }
 
+  test("Spark's own INSERT INTO ... REPLACE WHERE lowers onto replaceWhere through the V2 catalog") {
+    val w = java.nio.file.Files.createTempDirectory("graft_rw_v2").toString
+    val prev = spark.conf.getOption("graft.catalog.warehouse")
+    spark.conf.set("graft.catalog.warehouse", w)
+    try {
+      spark.sql("CREATE TABLE graft.rwv2 (k BIGINT, seg STRING, v DOUBLE)")
+      spark.sql("INSERT INTO graft.rwv2 VALUES " +
+        "(1, 'a', 1.0), (2, 'a', 2.0), (3, 'b', 3.0)")
+      spark.sql("INSERT INTO graft.rwv2 REPLACE WHERE seg = 'a' " +
+        "VALUES (10, 'a', 10.0)")
+      val got = spark.sql("SELECT k FROM graft.rwv2 ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(3L, 10L), s"V2 REPLACE WHERE diverged: $got")
+      import spark.implicits._
+      val ops = TxLog.history(spark, s"$w/rwv2").select("operation")
+        .as[String].collect().toSeq
+      assert(ops.contains("REPLACE WHERE"), ops.toString)
+      // rows outside the region refuse through this door too
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO graft.rwv2 REPLACE WHERE seg = 'a' " +
+          "VALUES (9, 'b', 9.0)")
+      }
+      assert(e.getMessage.contains("do not satisfy"), e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft.rwv2")
+      prev match {
+        case Some(v) => spark.conf.set("graft.catalog.warehouse", v)
+        case None => spark.conf.unset("graft.catalog.warehouse")
+      }
+    }
+  }
+
   test("the format door and the TXLOG verb spell the same replace") {
     val path = fresh("doors")
     TxLog.create(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "part", "v"),
