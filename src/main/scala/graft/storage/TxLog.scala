@@ -4261,7 +4261,9 @@ object TxLog {
       }
     // ---- discovery stage 3: exact — which files HOLD a matched key ----
     val updKeys = updatesAligned.select(keys.map(col): _*).distinct()
-    if (deletionVectors) {
+    // declared merge-on-read covers the MERGE family too (Delta's
+    // enableDeletionVectors contract)
+    if (deletionVectors || dvDeclared(m)) {
       // MERGE-ON-READ: the matched OLD rows' positions become a DV;
       // the updates append whole. Within-batch key uniqueness still
       // binds (two update rows for one key would BOTH land).
@@ -4627,7 +4629,7 @@ object TxLog {
           s"TxLog.$op: null ${partNullCols.mkString("/")} values are " +
             "not supported — merge them under an explicit sentinel instead")
     }
-    if (deletionVectors) {
+    if (deletionVectors || dvDeclared(m)) {
       // MERGE-ON-READ: one scan of the scope materializes every
       // ACTIONED row with its position (the updateWhere(dv) pattern);
       // the DV and the updated images both derive from that single

@@ -457,6 +457,18 @@ class TxLogPropsSpec extends SparkSpec {
     assert(m2.dv.nonEmpty, "declared table must update via deletion vectors")
     assert(TxLog.read(spark, path).filter(col("k") === 2L)
       .select("amt").as[Double].head() == 21.0)
+    // the MERGE family rides the declaration too (Delta's
+    // enableDeletionVectors contract): a flagless matched-key merge
+    // goes merge-on-read — no data file leaves the manifest
+    val preMerge = TxLog.manifest(spark, path,
+      TxLog.currentVersion(spark, path).get).files.toSet
+    TxLog.mergeInto(path, Seq((2L, 99.0, "b")).toDF("k", "amt", "part"),
+      Seq("k"))
+    val mM = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(preMerge.subsetOf(mM.files.toSet),
+      "a declared-table merge must not rewrite existing files")
+    assert(TxLog.read(spark, path).filter(col("k") === 2L)
+      .select("amt").as[Double].head() == 99.0)
     // compaction stays the materialization path
     TxLog.compact(spark, path, minFilesToCompact = 1)
     val m3 = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
