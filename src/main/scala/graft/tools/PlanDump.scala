@@ -64,6 +64,21 @@ object PlanDump {
         WarehouseQueries.scd2Lookup(spark, d),
       "curation_sweep (quality gate -> dedup -> pack, one gated chain)" ->
         PipelineQueries.entries("curation_sweep")(spark, d),
+      // r15: the ANN family through pure SQL — the TVF splices the
+      // Ivf.query serving plan, so the scan lists exactly the nprobe
+      // probed cell partitions (visible under PartitionFilters)
+      "graft_ann TVF (SQL vector search: cell-pruned scan + TakeOrdered)" -> {
+        import org.apache.spark.sql.functions.col
+        val emb = graft.tables.Tables.embeddings(spark, d)
+        val idx = java.nio.file.Files
+          .createTempDirectory("plandump_ann").toString
+        graft.operators.Ivf.fit(emb, idx, nlist = 16)
+        val qv = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        spark.sql(
+          s"SELECT * FROM graft_ann('$idx', '${qv.mkString(",")}', 10, 4)")
+      },
     )
     val body = picks.map { case (name, df) =>
       s"## $name\n\n```\n${df.queryExecution.explainString(

@@ -107,6 +107,27 @@ class TxLogReplaceWhereSpec extends SparkSpec {
     assert(eA.getMessage.contains(TxLog.AppendOnlyProp), eA.getMessage)
   }
 
+  test("replaceWhere on a HIDDEN-partitioned table: restage rides the transform layout") {
+    val path = fresh("hidden")
+    TxLog.create(Seq(
+      (1L, "2026-01-01", 1.0), (2L, "2026-01-01", 2.0),
+      (3L, "2026-02-01", 3.0))
+      .toDF("k", "d", "v")
+      .select(col("k"), col("d").cast("date").as("d"), col("v")),
+      path, hiddenPartitions = Seq("days(d)"))
+    TxLog.replaceWhere(
+      Seq((10L, "2026-01-01", 10.0)).toDF("k", "d", "v")
+        .select(col("k"), col("d").cast("date").as("d"), col("v")),
+      path, col("d") === lit("2026-01-01").cast("date"))
+    val got = TxLog.read(spark, path).select("k").as[Long].collect().toSet
+    assert(got == Set(10L, 3L),
+      s"hidden-partitioned region must replace whole: $got")
+    // the incoming file landed under the TRANSFORM's derived directory
+    val m = TxLog.manifest(spark, path, TxLog.currentVersion(spark, path).get)
+    assert(m.files.forall(_.contains("=")),
+      s"restaged files must ride the hidden layout: ${m.files}")
+  }
+
   test("Spark's own INSERT INTO ... REPLACE WHERE lowers onto replaceWhere through the V2 catalog") {
     val w = java.nio.file.Files.createTempDirectory("graft_rw_v2").toString
     val prev = spark.conf.getOption("graft.catalog.warehouse")
