@@ -534,6 +534,8 @@ object GraftCatalog {
       case And(l, r) => filterToColumn(table, l) && filterToColumn(table, r)
       case Or(l, r) => filterToColumn(table, l) || filterToColumn(table, r)
       case Not(c) => !filterToColumn(table, c)
+      case _: AlwaysTrue => lit(true)
+      case _: AlwaysFalse => lit(false)
       case other => throw new UnsupportedOperationException(
         s"graft.$table: REPLACE WHERE cannot translate filter $other — " +
           "spell the overwrite through TxLog.replaceWhere")
