@@ -294,6 +294,27 @@ object Sampling {
     * keys round through 6 decimals with ties broken by id, so the
     * selected SET is stable cross-engine even where ln() differs in
     * the last ulp. Weights must be strictly positive. */
+  /** Deterministic fixed-k uniform sample PER GROUP — the eval-set /
+    * inspection ask the fraction-based samplers cannot spell ("100
+    * examples from EVERY source, however big the source is"): each
+    * group's rows rank by a salted md5 draw over the id and the k
+    * smallest survive. md5 is uniform over the id space and
+    * engine-portable (the DuckDB oracle replays the identical draw),
+    * so a fixed salt reproduces the SET bit-for-bit anywhere while a
+    * new salt draws an independent sample. One shuffle on the group
+    * key through the native TopKPerGroup operator — per-partition
+    * k-bounded heaps, no per-group full sort, state k·groups however
+    * large the groups are. */
+  def perGroupK(df: DataFrame, group: Column, k: Int,
+                idCol: String = "doc_id", salt: String = "s0"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val drawn = df.withColumn("_draw",
+      md5(concat_ws(":", lit(salt), col(idCol).cast("string"))))
+    graft.plans.TopK.topKPerGroup(drawn, Seq(group),
+      Seq(col("_draw").asc, col(idCol).asc), k)
+      .drop("_draw")
+  }
+
   def weightProportional(df: DataFrame, weight: Column, k: Int,
                          idCol: String = "doc_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -475,6 +475,15 @@ object PipelineQueries {
       graft.operators.Sampling.weightProportional(
         documents(s, d).select("doc_id", "n_chars"),
         col("n_chars"), k = 100)),
+    // fixed-k uniform sample per group (salted md5 draw, the
+    // TopKPerGroup physical operator): 5 docs from each of 7
+    // synthetic sources, reproducible bit-for-bit on both engines
+    "sample_per_group" -> ((s, d) =>
+      graft.operators.Sampling.perGroupK(
+        documents(s, d).select(col("doc_id"),
+          pmod(col("doc_id"), lit(7)).cast("int").as("grp")),
+        col("grp"), k = 5)
+        .select("grp", "doc_id").orderBy("grp", "doc_id")),
     "dedup_url" -> ((s, d) => {
       import s.implicits._
       val fx = urlFixture.map { case (id, raw, _) => (id, raw) }.toDF("doc_id", "url")
@@ -1451,6 +1460,15 @@ object PipelineQueries {
         |  COUNT(*) AS n
         |FROM tok GROUP BY doc_id, bucket
         |ORDER BY doc_id, bucket""".stripMargin,
+    // the oracle replays the identical salted md5 draw per group
+    "sample_per_group" ->
+      """SELECT grp, doc_id FROM (
+        |  SELECT CAST(doc_id % 7 AS INT) AS grp, doc_id,
+        |    row_number() OVER (
+        |      PARTITION BY doc_id % 7
+        |      ORDER BY md5('s0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5 ORDER BY grp, doc_id""".stripMargin,
     "sample_prop" ->
       """SELECT doc_id, n_chars,
         |  round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

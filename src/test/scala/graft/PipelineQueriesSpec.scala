@@ -844,6 +844,23 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(out.exists(r => r._1 == 2L && r._2 == aBucket))
   }
 
+  test("perGroupK: exact k per group, reproducible draw, a new salt draws differently") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, (i % 4).toInt)).toDF("doc_id", "grp")
+    def draw(salt: String) = graft.operators.Sampling
+      .perGroupK(df, col("grp"), k = 10, salt = salt)
+      .select("grp", "doc_id").as[(Int, Long)].collect().toSet
+    val a = draw("s0")
+    assert(a.groupBy(_._1).forall(_._2.size == 10),
+      s"every group must yield exactly k: ${a.groupBy(_._1).view.mapValues(_.size).toMap}")
+    assert(draw("s0") == a, "a fixed salt must reproduce the set bit-for-bit")
+    assert(draw("other") != a, "a new salt must draw an independent sample")
+    // a group smaller than k survives whole
+    val small = (0L until 3L).map(i => (i, 0)).toDF("doc_id", "grp")
+    assert(graft.operators.Sampling.perGroupK(small, col("grp"), k = 10)
+      .count() == 3L)
+  }
+
   test("weightProportional: heavy weights dominate, zero-weight rows never win, deterministic") {
     import spark.implicits._
     // 50 heavy docs (weight 1000) vs 950 light docs (weight 1):
