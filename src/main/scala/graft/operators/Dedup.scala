@@ -903,6 +903,7 @@ object Dedup {
                           newEmb: DataFrame, tau: Double = 0.95): DataFrame = {
     require(tau > 0.0 && tau <= 1.0,
       s"Dedup.semanticDedupAppend: tau must be in (0, 1], got $tau")
+    restoreAsideCells(spark, path)
     val matrix = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
@@ -925,19 +926,52 @@ object Dedup {
       prior.unionByName(assigned.select("vec_id", "embedding"))
         .dropDuplicates("vec_id"), matrix, tau)
     // overwrite exactly the touched cell partitions (the Ivf.remove
-    // rewrite shape); untouched partitions are never opened
+    // rewrite shape); untouched partitions are never opened. Per cell
+    // the swap is rename-aside → rename-in → delete-aside, so NO crash
+    // point loses the prior members (r15 advice: delete-then-rename
+    // left a window where the cell's history was only in a tmp dir a
+    // re-run never consults): a crash after the aside restores on the
+    // next entry via [[restoreAsideCells]]; a crash after the
+    // rename-in leaves a stale aside the same sweep discards. Aside
+    // dirs are underscore-prefixed, so readers' partition discovery
+    // never sees them.
     val fs = new org.apache.hadoop.fs.Path(s"$path/state")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$path/state_rework_${java.util.UUID.randomUUID().toString.take(8)}"
     rework.write.partitionBy("cell").parquet(tmp)
     touched.foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/state", s"cell=$c"), true)
+      val cur = new org.apache.hadoop.fs.Path(s"$path/state", s"cell=$c")
+      val aside = new org.apache.hadoop.fs.Path(s"$path/state", s"_old_cell=$c")
+      fs.delete(aside, true) // a stale aside from a pre-crash rework
+      if (fs.exists(cur)) require(fs.rename(cur, aside),
+        s"Dedup.semanticDedupAppend: could not set aside cell=$c")
       val src = new org.apache.hadoop.fs.Path(tmp, s"cell=$c")
       if (fs.exists(src)) fs.rename(src,
         new org.apache.hadoop.fs.Path(s"$path/state", s"cell=$c"))
+      fs.delete(aside, true)
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     semanticState(spark, path)
+  }
+
+  /** Crash repair for [[semanticDedupAppend]]'s per-cell swap: restore
+    * any `_old_cell=N` aside whose `cell=N` directory is missing (the
+    * crash hit between rename-aside and rename-in), and discard asides
+    * whose cell landed (the crash hit before the aside's delete).
+    * Idempotent; runs on every append entry. */
+  private def restoreAsideCells(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Unit = {
+    val state = new org.apache.hadoop.fs.Path(s"$path/state")
+    val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(state)) return
+    fs.listStatus(state).filter(_.getPath.getName.startsWith("_old_cell="))
+      .foreach { st =>
+        val orig = new org.apache.hadoop.fs.Path(state,
+          st.getPath.getName.stripPrefix("_old_"))
+        if (!fs.exists(orig)) require(fs.rename(st.getPath, orig),
+          s"Dedup.semanticDedupAppend: could not restore ${st.getPath}")
+        else fs.delete(st.getPath, true)
+      }
   }
 
   /** The persisted state read back in [[semanticDedup]]'s output shape —

@@ -167,7 +167,13 @@ object Stats {
     * descending cumulative window — never a per-row sort. Determinism:
     * TP/FP/P are integer counts; one division + round(6) at the end.
     * A score of exactly 1.0 clamps into the top bin; an empty-positive
-    * corpus surfaces null recall rather than dropping rows. */
+    * corpus surfaces null recall rather than dropping rows. NULL-score
+    * rows bin to a sentinel below every threshold: they never predict
+    * positive at any operating point (an unscored row cannot clear a
+    * threshold), but their positives DO count in the recall
+    * denominator, so recall reflects the whole corpus — the
+    * consistency [[calibration]]'s visible null-bin row has (r15
+    * advice: silently dropping them deflated P invisibly). */
   def prCurve(df: DataFrame, scoreCol: String, labelCol: String,
               bins: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -175,8 +181,10 @@ object Stats {
       s"Stats.prCurve: bins must be in [2, 10000], got $bins")
     val s = col(scoreCol).cast("double")
     val clamped = least(greatest(s, lit(0.0)), lit(1.0))
-    val bin = least(floor(clamped * lit(bins.toDouble)).cast("int"),
-      lit(bins - 1))
+    // bin -1 = unscored (NULL) rows: present in the totals, absent
+    // from every threshold's cumulative TP/predicted_pos
+    val bin = when(s.isNull, lit(-1)).otherwise(
+      least(floor(clamped * lit(bins.toDouble)).cast("int"), lit(bins - 1)))
     val perBin = df.groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol).cast("int") === 1, 1L).otherwise(0L))
@@ -195,9 +203,10 @@ object Stats {
         coalesce(col("n_pos"), lit(0L)).as("n_pos"))
       .withColumn("predicted_pos", sum(col("n")).over(w))
       .withColumn("tp", sum(col("n_pos")).over(w))
-    val totalPos = sum(col("n_pos")).over(
-      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    cum.withColumn("_p", totalPos)
+    // P over ALL bins including the null sentinel — one aggregated row
+    // broadcast onto the bins-row frame
+    val totals = perBin.agg(sum(col("n_pos")).as("_p"))
+    cum.crossJoin(broadcast(totals))
       .select(col("threshold"), col("predicted_pos"), col("tp"),
         round(when(col("predicted_pos") > 0,
           col("tp").cast("double") / col("predicted_pos").cast("double")), 6)

@@ -776,6 +776,12 @@ object TxLogBatch {
       .orElse(TxLog.currentVersion(spark, path))
       .getOrElse(throw new IllegalArgumentException(
         s"graft-txlog: no table at $path"))
+    // a poller that caught up to head reads an EMPTY feed, not an
+    // exception (r15 advice); a start past the end is a caller bug
+    // and says so plainly
+    require(from <= to,
+      s"graft-txlog: startingVersion $from is past endingVersion $to " +
+        s"at $path — the feed runs forward only")
     new TxLogCdfRelation(spark, path, from, to, keys,
       p.get("withpreimages").exists(_.toBoolean))
   }
@@ -867,8 +873,21 @@ class TxLogCdfRelation(spark: SparkSession, path: String,
     with org.apache.spark.sql.sources.PrunedScan {
   import org.apache.spark.sql.{functions => F, SQLContext}
 
-  private val df = TxLog.changes(spark, path, fromVersion, toVersion,
-    keys, withPreimages)
+  // from == to (a caught-up CDC poller with the defaulted head as its
+  // start) = an EMPTY feed in the CDF schema, never an exception
+  private val df =
+    if (fromVersion == toVersion) {
+      val m = TxLog.manifest(spark, path, toVersion)
+      val target = StructType.fromDDL(m.schemaDdl)
+      val ordered = StructType(
+        keys.map(k => target(k)) ++
+          target.fields.filterNot(f => keys.contains(f.name)) :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordered)
+    } else TxLog.changes(spark, path, fromVersion, toVersion,
+      keys, withPreimages)
 
   override def sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = df.schema

@@ -988,7 +988,8 @@ object TxLog {
                          removeFiles: Set[String] = Set.empty,
                          colMap: Seq[(String, String)] = Nil,
                          dv: Seq[(String, Map[String, Long])] = Nil,
-                         partitionSpec: Seq[String] = Nil): Unit = {
+                         partitionSpec: Seq[String] = Nil,
+                         cdc: Option[Seq[String]] = None): Unit = {
     // a protocol-1 reader replaying a removeFiles delta would KEEP the
     // removed files (resurrected rows) — exactly those commits are
     // stamped protocol 2 and refuse old readers
@@ -996,6 +997,14 @@ object TxLog {
       statsCols, constraints, uniques, operation, ts, minWriter,
       protocol = if (removeFiles.isEmpty) 1 else 2, colMap = colMap, dv = dv,
       partitionSpec = partitionSpec, txns = txns)
+    // write-time CDC record (Delta's AddCDCFile in spirit): the staged
+    // row-level change files, referenced FROM the commit so they exist
+    // iff the commit does. Old readers ignore the field — snapshot
+    // resolution never depends on it.
+    cdc.foreach { files =>
+      val arr = node.putArray("cdc")
+      files.sorted.foreach(arr.add)
+    }
     val rmArr = node.putArray("removeDirs")
     removeDirs.toSeq.sorted.foreach(rmArr.add)
     if (removeFiles.nonEmpty) {
@@ -2498,6 +2507,18 @@ object TxLog {
     * appendOnly tables (compaction removes files). */
   val AutoCompactProp = "graft.autoCompact"
 
+  /** Write-time CDC capture (Delta's `delta.enableChangeDataFeed`):
+    * on a declared table every row-changing verb (DELETE/UPDATE/MERGE/
+    * REPLACE WHERE/overwrite/applyChanges) stages its row-level change
+    * record — full row + `_change_type`, update rows as exact
+    * preimage/postimage pairs — under `_change_data/` and references
+    * it from the commit node, so [[changeFeed]] serves the feed (a)
+    * on tables with NO unique key and (b) reading O(changed rows),
+    * never two snapshot scans per window. Pure appends need no
+    * sidecar (the added files ARE the inserts); OPTIMIZE/compaction
+    * commits change no rows and are skipped. */
+  val ChangeDataFeedProp = "graft.changeDataFeed"
+
   /** Key → value of the properties a manifest carries. */
   private[graft] def propsOf(m: Manifest): Map[String, String] =
     m.constraints.collect { case (n, v) if n.startsWith(PropPrefix) =>
@@ -2522,13 +2543,14 @@ object TxLog {
     * an invalid TBLPROPERTIES refuses cleanly with NOTHING written
     * (r14 advice: a post-create refusal left a committed-but-
     * unregistered dir). */
-  def validateProperties(props: Map[String, String]): Unit = {
+  def validateProperties(props: Map[String, String],
+                         schemaFields: Option[Set[String]] = None): Unit = {
     props.keys.foreach(k => require(
       k.nonEmpty && k.matches("""[A-Za-z0-9._\-]+""") && !k.startsWith("__"),
       s"TxLog.setProperties: property key must be [A-Za-z0-9._-]+ and not " +
         s"start with '__', got '$k'"))
     Seq(AppendOnlyProp, OptimizedWriteProp, AutoCompactProp,
-        DeletionVectorsProp).foreach(p =>
+        DeletionVectorsProp, ChangeDataFeedProp).foreach(p =>
       props.get(p).foreach(v => require(
         v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
         s"TxLog.setProperties: $p must be true or false, got '$v'")))
@@ -2536,6 +2558,19 @@ object TxLog {
       v.toDoubleOption.exists(_ >= 0),
       s"TxLog.setProperties: $RetentionHoursProp must be a " +
         s"non-negative number of hours, got '$v'"))
+    // column-list properties validate against the declared schema when
+    // the caller has one in hand (CREATE TABLE pre-validation — r15
+    // advice: a bogus graft.bloomCols refused only AFTER TxLog.create,
+    // leaving a committed-but-unregistered dir); setProperties re-runs
+    // the same check against the live manifest's schema
+    schemaFields.foreach { declared =>
+      Seq(ZorderColsProp, BloomColsProp).foreach(p =>
+        props.get(p).foreach(csv =>
+          csv.split(",").map(_.trim).filter(_.nonEmpty).foreach(c =>
+            require(declared.contains(c),
+              s"TxLog.setProperties: $p column '$c' is not in the " +
+                s"schema (${declared.toSeq.sorted.mkString(", ")})"))))
+    }
   }
 
   def setProperties(spark: SparkSession, path: String,

@@ -32,7 +32,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 object Txn {
 
   sealed trait Op { def path: String }
-  final case class Append(path: String, df: DataFrame) extends Op
+  final case class Append(path: String, df: DataFrame,
+                          evolveSchema: Boolean = false) extends Op
   final case class Merge(path: String, updates: DataFrame,
                          keys: Seq[String]) extends Op
   final case class Delete(path: String, condition: Column) extends Op
@@ -164,7 +165,7 @@ object Txn {
       // TxLog.suppressFollowOnCompact). The next ordinary commit heals.
       TxLog.suppressFollowOnCompact { ops.foreach { op =>
         val v = op match {
-          case Append(p, df) => TxLog.append(df, p)
+          case Append(p, df, ev) => TxLog.append(df, p, evolveSchema = ev)
           case Merge(p, u, k) => TxLog.mergeInto(p, u, k)
           case Delete(p, c) => TxLog.deleteWhere(spark, p, c)
           case Update(p, s, c) => TxLog.updateWhere(spark, p, s, c)
@@ -209,7 +210,7 @@ object Txn {
           "explicit journalRoot with path-addressed ops"))
     def rt(p: String) = Catalog.resolveTarget(spark, p)
     transact(spark, wh, ops.map {
-      case Append(p, df) => Append(rt(p), df)
+      case Append(p, df, ev) => Append(rt(p), df, ev)
       case Merge(p, u, k) => Merge(rt(p), u, k)
       case Delete(p, c) => Delete(rt(p), c)
       case Update(p, s, c) => Update(rt(p), s, c)

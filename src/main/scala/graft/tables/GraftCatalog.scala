@@ -59,7 +59,11 @@ class GraftCatalog extends TableCatalog
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.load(catName, ident)
+    // the catalog's own warehouse rides along, so CALL targets resolve
+    // by name with no session-conf side channel
+    GraftProcedures.load(catName, ident,
+      warehouseOpt.orElse(
+        spark.conf.getOption("graft.catalog.warehouse")))
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.list(namespace)
@@ -212,13 +216,15 @@ class GraftCatalog extends TableCatalog
     val (plainParts, clusterCols) = GraftCatalog.splitClusterBy(partitions)
     val (explicit, hidden, defaults, bare) =
       GraftCatalog.layoutOf(ident.name, schema, plainParts)
-    // validate user TBLPROPERTIES keys BEFORE anything materializes —
-    // a refused CREATE must leave no committed-but-unregistered dir
-    // (the setProperties call below runs after the data commit);
-    // CLUSTER BY lands as the declared-clustering property
+    // validate user TBLPROPERTIES — keys AND column-list values, the
+    // schema is in hand (r15 advice: the schema-free check alone still
+    // let a bogus graft.bloomCols land a committed-but-unregistered
+    // dir) — BEFORE anything materializes; CLUSTER BY lands as the
+    // declared-clustering property
     val userProps = GraftCatalog.userTableProps(properties) ++
       clusterCols.map(graft.storage.TxLog.ZorderColsProp -> _)
-    if (userProps.nonEmpty) TxLog.validateProperties(userProps)
+    if (userProps.nonEmpty)
+      TxLog.validateProperties(userProps, Some(bare.fieldNames.toSet))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], bare)
     TxLog.create(empty, path, partitionCols = explicit,
@@ -285,10 +291,14 @@ class GraftCatalog extends TableCatalog
     val (plainParts, clusterCols) = GraftCatalog.splitClusterBy(partitions)
     val (explicit, hidden, defaults, bare) =
       GraftCatalog.layoutOf(ident.name, schema, plainParts)
+    val stagedProps = GraftCatalog.userTableProps(properties) ++
+      clusterCols.map(graft.storage.TxLog.ZorderColsProp -> _)
+    // same pre-validation as the plain CREATE: a CTAS with a bogus
+    // column-list property refuses before the SELECT ever runs
+    if (stagedProps.nonEmpty)
+      TxLog.validateProperties(stagedProps, Some(bare.fieldNames.toSet))
     new StagedGraftTable(this, ident.name, path, warehouse, bare,
-      explicit, hidden, defaults, replacing,
-      GraftCatalog.userTableProps(properties) ++
-        clusterCols.map(graft.storage.TxLog.ZorderColsProp -> _))
+      explicit, hidden, defaults, replacing, stagedProps)
   }
 
   /** Atomic check-and-register inside the registry lock. A name taken

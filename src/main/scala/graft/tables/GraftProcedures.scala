@@ -46,7 +46,13 @@ object GraftProcedures {
                           // as arg 0, not just graft-registry names —
                           // they resolve leniently and fall back to
                           // spark.table (see annSource)
-                          lenientArg0: Boolean = false)
+                          lenientArg0: Boolean = false,
+                          // the serving V2 catalog's own warehouse
+                          // (threaded by [[load]]): names resolve here
+                          // even when the session-conf registry key is
+                          // unset — CALL through the catalog needs no
+                          // side-channel configuration
+                          catWarehouse: Option[String] = None)
     extends UnboundProcedure with BoundProcedure {
     override def name(): String = procName
     override def description(): String = doc
@@ -56,10 +62,17 @@ object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val target = input.getUTF8String(0).toString
+      val whs = (spark.conf.getOption("graft.catalog.warehouse").toSeq ++
+        catWarehouse.toSeq).distinct
       val path =
-        if (lenientArg0)
-          scala.util.Try(Catalog.resolveTarget(spark, target)).getOrElse(target)
-        else Catalog.resolveTarget(spark, target)
+        if (!Catalog.isName(target) || whs.isEmpty) target
+        else whs.flatMap(wh => Catalog.entriesAt(spark, wh).get(target))
+          .headOption.getOrElse {
+            if (lenientArg0) target
+            else throw new IllegalArgumentException(
+              s"$procName: no registered table '$target' under " +
+                s"${whs.mkString(", ")}")
+          }
       val row = body(spark, path, input)
       java.util.List.of[Scan](ResultScan(resultSchema, Array(row))).iterator()
     }
@@ -129,14 +142,23 @@ object GraftProcedures {
     Proc("copy_into",
       "idempotent file-granular load: COPY INTO the table every " +
         "never-seen data file under source_dir (ledger + data land as " +
-        "one journaled txn); returns (files_loaded, version)",
+        "one journaled txn); pattern globs the source-relative path, " +
+        "force re-loads seen files, merge_schema widens through the " +
+        "evolve machinery; returns (files_loaded, version)",
       Array(p("table", S).build(), p("source_dir", S).build(),
-        p("format", S).defaultValue("'parquet'").build()),
+        p("format", S).defaultValue("'parquet'").build(),
+        p("pattern", S).defaultValue("CAST(NULL AS STRING)").build(),
+        p("force", B).defaultValue("false").build(),
+        p("merge_schema", B).defaultValue("false").build()),
       StructType.fromDDL("files_loaded BIGINT, version BIGINT"),
       (spark, path, in) => {
         val (n, v) = graft.storage.CopyInto.copyInto(spark, path,
           in.getUTF8String(1).toString,
-          in.getUTF8String(2).toString.toLowerCase)
+          in.getUTF8String(2).toString.toLowerCase,
+          pattern =
+            if (in.isNullAt(3)) None else Some(in.getUTF8String(3).toString),
+          force = in.getBoolean(4),
+          mergeSchema = in.getBoolean(5))
         InternalRow(n.toLong, v)
       }),
     // the OFFLINE half of the ANN-through-SQL story: graft_ann/
@@ -182,13 +204,15 @@ object GraftProcedures {
     if (TxLog.currentVersion(spark, path).isDefined) TxLog.read(spark, path)
     else spark.table(target)
 
-  def load(catName: String, ident: Identifier): UnboundProcedure = {
+  def load(catName: String, ident: Identifier,
+           catWarehouse: Option[String] = None): UnboundProcedure = {
     require(ident.namespace.isEmpty ||
       ident.namespace.sameElements(Array("system")),
       s"$catName: procedures live under the 'system' namespace")
     all.getOrElse(ident.name, throw new RuntimeException(
       s"$catName: no procedure '${ident.name}' — " +
         s"have: ${all.keys.toSeq.sorted.mkString(", ")}"))
+      .copy(catWarehouse = catWarehouse)
   }
 
   def list(namespace: Array[String]): Array[Identifier] =

@@ -73,7 +73,7 @@ object Sql {
   private val AppendRe =
     """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+(.+)""".r
   private val CopyIntoRe =
-    """(?is)\s*TXLOG\s+COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:FORMAT\s+(\w+))?\s*""".r
+    """(?is)\s*TXLOG\s+COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:FORMAT\s+(\w+))?\s*(?:PATTERN\s+'([^']+)')?\s*(FORCE)?\s*(MERGESCHEMA)?\s*""".r
   private val MergeWhenHeadRe =
     """(?is)\s*TXLOG\s+MERGE\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+USING\s+\((.+)""".r
 
@@ -409,9 +409,11 @@ object Sql {
       case AppendTxnRe(path, appId, txnV, select) =>
         asDf(graft.storage.TxLog.appendTxn(spark.sql(select), rt(path),
           appId, txnV.toLong))
-      case CopyIntoRe(path, srcDir, fmt) =>
+      case CopyIntoRe(path, srcDir, fmt, pat, force, mergeSch) =>
         val (n, v) = graft.storage.CopyInto.copyInto(spark, rt(path), srcDir,
-          Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
+          Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
+          pattern = Option(pat), force = force != null,
+          mergeSchema = mergeSch != null)
         Seq((n.toLong, v)).toDF("files_loaded", "version")
       case AppendRe(path, select0) =>
         // WITH SCHEMA EVOLUTION rides as a suffix of the SELECT capture
@@ -594,7 +596,7 @@ object Sql {
           "Sql.exec: unrecognized TXLOG statement; supported verbs:\n" +
             "  TXLOG CREATE [OR REPLACE] '<path>' [PARTITION BY <col>] AS <select>\n" +
             "  TXLOG APPEND INTO '<path>' <select>\n" +
-            "  TXLOG COPY INTO '<path>' FROM '<dir>' [FORMAT PARQUET|JSONL]\n" +
+            "  TXLOG COPY INTO '<path>' FROM '<dir>' [FORMAT PARQUET|JSONL] [PATTERN '<glob>'] [FORCE] [MERGESCHEMA]\n" +
             "  TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>\n" +
             "  TXLOG DELETE FROM '<path>' WHERE <condition>\n" +
             "  TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>\n" +

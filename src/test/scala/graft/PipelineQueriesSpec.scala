@@ -179,6 +179,41 @@ class PipelineQueriesSpec extends SparkSpec {
       s"TVF served a different drop set: $viaSql")
   }
 
+  test("semanticDedupAppend crash windows: an aside cell restores; a landed cell discards its aside") {
+    import org.apache.hadoop.fs.Path
+    val dim = 16
+    def oneHot(i: Int): Seq[Double] =
+      Seq.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
+    val path = java.nio.file.Files.createTempDirectory("graft_semcr").toString
+    Dedup.semanticDedupInit(
+      (0 until dim).map(i => (i.toLong, oneHot(i))).toDF("vec_id", "embedding"),
+      path, tau = 0.99)
+    val fullBefore = Dedup.semanticState(spark, path).count()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val state = new Path(s"$path/state")
+    val aCell = fs.listStatus(state).map(_.getPath.getName)
+      .find(_.startsWith("cell=")).get
+    // crash window 1 (the r15 advice): the rework renamed cell=N aside
+    // and died before renaming the new dir in — the OLD protocol lost
+    // those members forever; the aside protocol restores them on the
+    // next entry
+    require(fs.rename(new Path(state, aCell), new Path(state, s"_old_$aCell")))
+    val afterRestore = Dedup.semanticDedupAppend(spark, path,
+      Seq((5000L, oneHot(0))).toDF("vec_id", "embedding"), tau = 0.99)
+    assert(afterRestore.count() == fullBefore + 1,
+      "the aside cell's members must restore before the append reworks")
+    // crash window 2: the reworked cell landed but its aside survived —
+    // the next entry discards the stale aside, state unchanged
+    val bCell = fs.listStatus(state).map(_.getPath.getName)
+      .find(_.startsWith("cell=")).get
+    fs.mkdirs(new Path(state, s"_old_$bCell"))
+    val afterDiscard = Dedup.semanticDedupAppend(spark, path,
+      Seq((5001L, oneHot(1))).toDF("vec_id", "embedding"), tau = 0.99)
+    assert(afterDiscard.count() == fullBefore + 2)
+    assert(!fs.listStatus(state).map(_.getPath.getName)
+      .exists(_.startsWith("_old_")), "stale asides must be swept")
+  }
+
   test("semanticDedup within-cell join is an equi-join — no cartesian in the plan") {
     val emb = Tables.embeddings(spark, sf)
     val plan = Dedup.semanticDedup(emb, tau = 0.5)

@@ -849,6 +849,24 @@ class WarehouseQueriesSpec extends SparkSpec {
     assert(out(0.9) == ((1L, 1L, Some(1.0), Some(0.5))), out.toString)
   }
 
+  test("prCurve null scores: never predicted positive, but counted in the recall denominator") {
+    import spark.implicits._
+    // 2 scored rows (one positive) + 1 NULL-score positive. P = 2:
+    // the unscored positive deflates recall at every threshold (the
+    // corpus-honest denominator, r15 advice) yet never enters
+    // predicted_pos/tp.
+    val df = Seq((Some(0.95), 1), (Some(0.15), 0), (None, 1))
+      .toDF("score", "label")
+    val out = graft.operators.Stats.prCurve(df, "score", "label")
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.size == 10, s"thresholds: ${out.keySet}")
+    assert(out(0.0) == ((2L, 1L, Some(0.5))),
+      "predicted_pos counts only SCORED rows; recall = 1/2: " + out.toString)
+    assert(out(0.9) == ((1L, 1L, Some(0.5))), out.toString)
+  }
+
   test("rankEval on a hand-computed fixture") {
     import spark.implicits._
     // query 1: items ranked a,b,c,d; rels a=2 (rank1), c=1 (rank3).

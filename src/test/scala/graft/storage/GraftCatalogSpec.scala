@@ -664,6 +664,24 @@ class GraftCatalogSpec extends SparkSpec {
       assert(!new java.io.File(s"$w/badprop").exists(),
         "a refused CREATE must leave no table directory behind")
       assert(!spark.catalog.tableExists("graft.badprop"))
+      // column-LIST properties validate against the schema pre-create
+      // too (r15 advice: the schema-free check alone still leaked a
+      // committed-but-unregistered dir for a bogus graft.bloomCols)
+      val e2 = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.badcols (k BIGINT) " +
+          "TBLPROPERTIES ('graft.bloomCols'='bogus')")
+      }
+      assert(e2.getMessage.contains("bogus"), e2.getMessage)
+      assert(!new java.io.File(s"$w/badcols").exists(),
+        "a refused column-list CREATE must leave no table directory behind")
+      assert(!spark.catalog.tableExists("graft.badcols"))
+      // and the CTAS door refuses before the SELECT runs
+      val e3 = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.badctas " +
+          "TBLPROPERTIES ('graft.zorderCols'='nope') AS SELECT 1 AS k")
+      }
+      assert(e3.getMessage.contains("nope"), e3.getMessage)
+      assert(!new java.io.File(s"$w/badctas").exists())
     }
   }
 

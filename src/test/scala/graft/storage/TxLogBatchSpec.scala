@@ -350,6 +350,18 @@ class TxLogBatchSpec extends SparkSpec {
         .option("readChangeFeed", "true").option("keys", "k").load()
     }
     assert(eFrom.getMessage.contains("startingVersion"), eFrom.getMessage)
+    // a poller caught up to head (startingVersion == defaulted ending)
+    // reads an EMPTY feed in the CDF schema — not an exception (r15
+    // advice)
+    val caughtUp = viaDoor("startingVersion" -> "3")
+    assert(caughtUp.columns.toSeq == Seq("k", "part", "v", "_change_type"),
+      caughtUp.columns.mkString(", "))
+    assert(caughtUp.count() == 0L, "caught-up poller must read empty")
+    // a start past the end is a caller bug and says so plainly
+    val ePast = intercept[IllegalArgumentException] {
+      viaDoor("startingVersion" -> "3", "endingVersion" -> "2")
+    }
+    assert(ePast.getMessage.contains("past"), ePast.getMessage)
   }
 
   test("batch writes: Append and Overwrite map to the transactional verbs, partitionBy honored") {
