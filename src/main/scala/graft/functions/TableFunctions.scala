@@ -439,13 +439,17 @@ object TableFunctions {
       }),
     ("graft_txlog_cdf",
       info("graft_txlog_cdf",
-        "graft_txlog_cdf(path, from_version, to_version, keys_csv) - change-data feed between two versions"),
+        "graft_txlog_cdf(path, from_version, to_version[, keys_csv]) - change-data feed between two versions: with keys, the per-key snapshot diff; without, the keyless write-time capture feed (needs graft.changeDataFeed)"),
       (es: Seq[Expression]) => {
-        arity("graft_txlog_cdf", es, 4 to 4)
-        plan(TxLog.changes(active, litStr("graft_txlog_cdf", "path", es.head),
-          litLong("graft_txlog_cdf", "from_version", es(1)),
-          litLong("graft_txlog_cdf", "to_version", es(2)),
-          csv(litStr("graft_txlog_cdf", "keys_csv", es(3)))))
+        arity("graft_txlog_cdf", es, 3 to 4)
+        val p = litStr("graft_txlog_cdf", "path", es.head)
+        val from = litLong("graft_txlog_cdf", "from_version", es(1))
+        val to = litLong("graft_txlog_cdf", "to_version", es(2))
+        es.lift(3) match {
+          case Some(k) => plan(TxLog.changes(active, p, from, to,
+            csv(litStr("graft_txlog_cdf", "keys_csv", k))))
+          case None => plan(TxLog.changeFeed(active, p, from, to))
+        }
       }),
   )
 }

@@ -750,12 +750,14 @@ object TxLogBatch {
                   p: Map[String, String]): TxLogCdfRelation = {
     val path = p.getOrElse("path", throw new IllegalArgumentException(
       "graft-txlog: option 'path' (the TxLog table directory) is required"))
+    // keys present = the snapshot-diff door (net changes per key);
+    // keys ABSENT = the write-time capture door (TxLog.changeFeed):
+    // keyless event feed, O(changed rows) per version, exact
+    // preimages — needs graft.changeDataFeed declared on the table
+    // for its row-changing commits
     val keys = p.get("keys")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .filter(_.nonEmpty)
-      .getOrElse(throw new IllegalArgumentException(
-        "graft-txlog: readChangeFeed=true needs keys=<k1,k2,...> (the row " +
-          "identity the change diff joins on)"))
+      .getOrElse(Nil)
     // version endpoints, or timestamp endpoints resolved through the
     // same commit clock time travel uses (Delta's startingTimestamp /
     // endingTimestamp shape) — one spelling per endpoint
@@ -876,7 +878,10 @@ class TxLogCdfRelation(spark: SparkSession, path: String,
   // from == to (a caught-up CDC poller with the defaulted head as its
   // start) = an EMPTY feed in the CDF schema, never an exception
   private val df =
-    if (fromVersion == toVersion) {
+    if (keys.isEmpty)
+      // the keyless write-time-capture door (handles from == to itself)
+      TxLog.changeFeed(spark, path, fromVersion, toVersion)
+    else if (fromVersion == toVersion) {
       val m = TxLog.manifest(spark, path, toVersion)
       val target = StructType.fromDDL(m.schemaDdl)
       val ordered = StructType(

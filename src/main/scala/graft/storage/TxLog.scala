@@ -939,12 +939,17 @@ object TxLog {
     * every file is new anyway ([[create]], [[clone]]); data commits
     * write O(changed)-sized deltas via [[writeDelta]]. */
   private def writeManifest(spark: SparkSession, path: String, m: Manifest,
-                            operation: String): Unit = {
+                            operation: String,
+                            cdc: Option[Seq[String]] = None): Unit = {
     val node = metaNode(m.version, m.partitionCols, m.schemaDdl,
       m.sourceBatchId, m.statsCols, m.constraints, m.uniques, operation,
       m.ts.getOrElse(System.currentTimeMillis()), m.minWriter,
       colMap = m.colMap, dv = m.dv, partitionSpec = m.partitionSpec,
       txns = m.txns)
+    cdc.foreach { files =>
+      val cArr = node.putArray("cdc")
+      files.sorted.foreach(cArr.add)
+    }
     val arr = node.putArray("files")
     m.files.sorted.foreach(arr.add)
     if (m.statsCols.nonEmpty) {
@@ -1152,7 +1157,8 @@ object TxLog {
                            addDv: Seq[(String, Map[String, Long])] = Nil,
                            txn: Option[(String, Long)] = None,
                            rebaseCheck: Option[(Manifest, Manifest) => Option[String]] = None,
-                           idClaims: Map[String, (Long, Long)] = Map.empty): Long = {
+                           idClaims: Map[String, (Long, Long)] = Map.empty,
+                           cdc: Option[Seq[String]] = None): Long = {
     requireWritable(base, path)
     val (newStats, newRows, newNulls) = collectStats(spark, path,
       physicalize(StructType.fromDDL(schemaDdl), base.colMap),
@@ -1203,7 +1209,7 @@ object TxLog {
           schemaDdl, resolvedBatch, attempt.statsCols, resolvedConstraints,
           attempt.uniques, operation, rewriteDirs, newFiles, newStats, newRows,
           newNulls, ts, txnMinWriter, resolvedTxns, removeFiles,
-          attempt.colMap, dvKept, attempt.partitionSpec)
+          attempt.colMap, dvKept, attempt.partitionSpec, cdc)
         // resolve the state this delta produced (same transition
         // applyDelta replays) — warms the cache for the next
         // commit/read and feeds the periodic checkpoint
@@ -1906,6 +1912,22 @@ object TxLog {
     val (stats, rowCounts, nullCounts) =
       collectStats(spark, path, df1.schema, resolvedStats, files,
         recoverPartitions = transforms.isEmpty)
+    // write-time CDC for the truncate+insert shape (keepPolicies —
+    // schema identical by construction): the replaced snapshot's rows
+    // as deletes, the batch as inserts. A keepPolicies=false
+    // REDEFINITION stays uncaptured (schemas may not union) — the
+    // keyless feed refuses across it, the same rule as RESTORE.
+    val cdcCapture = policyBase.flatMap { base =>
+      captureCdc(spark, path, base, {
+        import org.apache.spark.sql.functions.{col, lit}
+        val declared = StructType.fromDDL(base.schemaDdl)
+        read(spark, path, Some(base.version))
+          .select(declared.fieldNames.map(col).toIndexedSeq
+            :+ lit("delete").as("_change_type"): _*)
+          .unionByName(df1.select(declared.fieldNames.map(col).toIndexedSeq
+            :+ lit("insert").as("_change_type"): _*))
+      })
+    }
     var retries = 0
     while (true) {
       val v = currentVersion(spark, path).get
@@ -1978,7 +2000,8 @@ object TxLog {
           if (layout.size >= 2 || transforms.nonEmpty) 2 else 1),
         partitionSpec = transforms.map(_.spec))
       try {
-        writeManifest(spark, path, m, operation = "CREATE OR REPLACE")
+        writeManifest(spark, path, m, operation = "CREATE OR REPLACE",
+          cdc = cdcCapture)
         cachePut(spark, path, m)
         maybeCheckpoint(spark, path, m)
         // keepPolicies keeps declared-index properties in force — the
@@ -4341,11 +4364,31 @@ object TxLog {
         }
       val newFiles = stageIn(toPhysical(updatesAligned, m.colMap), path,
         physPartCols(m), transformsOf(m))
+      // write-time CDC: matched olds (the same deterministic semi-join
+      // that built the DV) as preimages, their update rows as
+      // postimages, the rest of the batch as inserts
+      val cdc = captureCdc(spark, path, m, {
+        val oldMatched = padNewCols(readFiles(spark, path, declared,
+            discoveryFiles, m.colMap, m.dv,
+            recoverPartitions = m.partitionSpec.isEmpty))
+          .join(updKeys, keys, "left_semi")
+        val matchedKeys = oldMatched.select(keys.map(col): _*).distinct()
+        def shaped(df: DataFrame, t: String) =
+          df.select(widened.fieldNames.map(col).toIndexedSeq
+            :+ lit(t).as("_change_type"): _*)
+        shaped(oldMatched, "update_preimage")
+          .unionByName(shaped(
+            updatesAligned.join(matchedKeys, keys, "left_semi"),
+            "update_postimage"))
+          .unionByName(shaped(
+            updatesAligned.join(matchedKeys, keys, "left_anti"), "insert"))
+      })
       return commitRebase(spark, path, m, rewriteDirs = Set.empty,
         newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
         readSet = None, operation = "MERGE (DV)", addDv = addDv, txn = txn,
         rebaseCheck = Some(mergeRebaseCheck(widened, keyBounds, sourceEmpty,
-          discoveryFiles.toSet, addDv.flatMap(_._2.keys).toSet, tz)))
+          discoveryFiles.toSet, addDv.flatMap(_._2.keys).toSet, tz)),
+        cdc = cdc)
     }
     // the file key is the _dv_key column, not input_file_name():
     // computed inside each single-source scan, it survives the DV
@@ -4372,11 +4415,24 @@ object TxLog {
     // anything else rebases; an actual overlap still throws
     // CommitConflictException rather than silently dropping the
     // winner's rows (recompute and re-merge)
+    val cdc = captureCdc(spark, path, m, {
+      val oldMatched = hitRows.join(updKeys, keys, "left_semi")
+      val matchedKeys = oldMatched.select(keys.map(col): _*).distinct()
+      def shaped(df: DataFrame, t: String) =
+        df.select(widened.fieldNames.map(col).toIndexedSeq
+          :+ lit(t).as("_change_type"): _*)
+      shaped(oldMatched, "update_preimage")
+        .unionByName(shaped(
+          updatesAligned.join(matchedKeys, keys, "left_semi"),
+          "update_postimage"))
+        .unionByName(shaped(
+          updatesAligned.join(matchedKeys, keys, "left_anti"), "insert"))
+    })
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
       readSet = None, operation = "MERGE", removeFiles = hitFiles, txn = txn,
       rebaseCheck = Some(mergeRebaseCheck(widened, keyBounds, sourceEmpty,
-        discoveryFiles.toSet, hitFiles, tz)))
+        discoveryFiles.toSet, hitFiles, tz)), cdc = cdc)
   }
 
   /** One WHEN clause of [[mergeWhen]]. `condition` is a SQL boolean
@@ -4718,11 +4774,29 @@ object TxLog {
           physPartCols(m), transformsOf(m))).getOrElse(Nil)
         if (addDv.isEmpty && staged.isEmpty) // nothing matched any clause
           return sealOrWiden("MERGE WHEN (DV)")
+        // write-time CDC from the ONE materialized actioned set:
+        // deletes carry the old row, updates exact pre/postimages,
+        // inserts the filled rows
+        val cdc = captureCdc(spark, path, m, {
+          def shaped(df: DataFrame, t: String) =
+            df.select(widened.fieldNames.map(col).toIndexedSeq
+              :+ lit(t).as("_change_type"): _*)
+          val parts =
+            actioned.filter(_ => deletes.nonEmpty).map(a =>
+              shaped(a.filter(col("_act").isInCollection(deletes)), "delete")).toSeq ++
+            actioned.filter(_ => updateIdx.nonEmpty).map(a =>
+              shaped(a.filter(col("_act").isInCollection(updateIdx)),
+                "update_preimage")).toSeq ++
+            images.map(shaped(_, "update_postimage")).toSeq ++
+            inserts.map(shaped(_, "insert")).toSeq
+          parts.reduce(_ unionByName _)
+        })
         return commitRebase(spark, path, m, rewriteDirs = Set.empty,
           newFiles = staged, schemaDdl = widened.toDDL, batchId = None,
           readSet = None, operation = "MERGE WHEN (DV)", addDv = addDv,
           txn = txn, rebaseCheck = Some(whenRebaseCheck(scanFiles.toSet,
-            addDv.flatMap(_._2.keys).toSet)), idClaims = idClaims)
+            addDv.flatMap(_._2.keys).toSet)), idClaims = idClaims,
+          cdc = cdc)
       } finally fsx.delete(tmp, true)
     }
     val hitFiles: Set[String] =
@@ -4752,12 +4826,29 @@ object TxLog {
     vetWritten(written, "mergeWhen")
     val newFiles = stageIn(toPhysical(written, m.colMap), path,
       physPartCols(m), transformsOf(m))
+    val cdc = captureCdc(spark, path, m, {
+      def shaped(df: DataFrame, t: String) =
+        df.select(widened.fieldNames.map(col).toIndexedSeq
+          :+ lit(t).as("_change_type"): _*)
+      val parts =
+        (if (deletes.isEmpty) Nil
+         else Seq(shaped(acted.filter(col("_act").isInCollection(deletes)),
+           "delete"))) ++
+        (if (updateIdx.isEmpty) Nil
+         else {
+           val upd = acted.filter(col("_act").isInCollection(updateIdx))
+           Seq(shaped(upd, "update_preimage"),
+             shaped(applyUpdates(upd), "update_postimage"))
+         }) ++
+        inserts.map(shaped(_, "insert")).toSeq
+      parts.reduce(_ unionByName _)
+    })
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
       readSet = None, operation = "MERGE WHEN", removeFiles = scopeFiles,
       txn = txn, rebaseCheck = Some(whenRebaseCheck(
         discoveryFiles.toSet ++ scopeFiles, scopeFiles)),
-      idClaims = idClaims)
+      idClaims = idClaims, cdc = cdc)
   }
 
   /** Up to `limit` distinct values of `colName` in `df`, or Nil when
@@ -4855,10 +4946,21 @@ object TxLog {
     // interleaved appends into the REPLACED partitions conflict via the
     // readSet; appends elsewhere rebase, so the UNIQUE probe re-runs
     // against exactly those landed files (all outside the replace set)
+    val cdc = captureCdc(spark, path, m, {
+      val declared = StructType.fromDDL(m.schemaDdl)
+      val replaced = m.files.filter(f => replaceDirs.contains(dirOf(f)))
+      readFiles(spark, path, declared, replaced, m.colMap, m.dv,
+          recoverPartitions = m.partitionSpec.isEmpty)
+        .select(declared.fieldNames.map(col).toIndexedSeq
+          :+ lit("delete").as("_change_type"): _*)
+        .unionByName(df.select(declared.fieldNames.map(col).toIndexedSeq
+          :+ lit("insert").as("_change_type"): _*))
+    })
     commitRebase(spark, path, m, rewriteDirs = replaceDirs,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
       readSet = Some(replaceDirs), operation = "REPLACE",
-      revalidate = uniqueRebaseProbe(df, spark, path, m, "replacePartitions"))
+      revalidate = uniqueRebaseProbe(df, spark, path, m, "replacePartitions"),
+      cdc = cdc)
   }
 
   /** Transactional DELETE — the GDPR/right-to-be-forgotten commit,
@@ -4943,11 +5045,25 @@ object TxLog {
       // files added by NON-blind commits conflict — see
       // [[predicateRebaseCheck]].
       val dvTargets = counts.keySet
+      // write-time CDC: the deleted rows are the WRITTEN sidecar's
+      // positions joined back (never a re-evaluation of `hit` — exact
+      // under a non-deterministic condition), scanning only the
+      // DV-targeted files
+      val cdc = captureCdc(spark, path, m, {
+        val sidecar = spark.read.parquet(dvPath(path, dvName))
+        val rows = readFiles(spark, path, schema, dvTargets.toSeq,
+          m.colMap, m.dv, keepDvKey = true,
+          recoverPartitions = m.partitionSpec.isEmpty)
+        rows.join(sidecar, rows("_dv_key") === sidecar("f") &&
+            rows("_dv_idx").cast("long") === sidecar("row_index"), "left_semi")
+          .select(schema.fieldNames.map(col).toIndexedSeq
+            :+ lit("delete").as("_change_type"): _*)
+      })
       commitRebase(spark, path, m, rewriteDirs = Set.empty, newFiles = Nil,
         schemaDdl = m.schemaDdl, batchId = None, readSet = None,
         operation = "DELETE (DV)", addDv = Seq(dvName -> counts),
         rebaseCheck = Some(predicateRebaseCheck(spark, path, schema,
-          dvTargets, "UTC")))
+          dvTargets, "UTC")), cdc = cdc)
     } else {
       // exact hit-file discovery: the scan prunes to the condition's
       // columns; the collected set is bounded by the live file count
@@ -4968,11 +5084,17 @@ object TxLog {
       // (its rows were never in the delete's snapshot), a DV/removal on
       // an un-hit file cannot create matches — and files added by a
       // NON-blind commit conflict ([[predicateRebaseCheck]])
+      val cdc = captureCdc(spark, path, m,
+        readFiles(spark, path, schema, hitFiles.toSeq, m.colMap, m.dv,
+            recoverPartitions = m.partitionSpec.isEmpty)
+          .filter(hit)
+          .select(schema.fieldNames.map(col).toIndexedSeq
+            :+ lit("delete").as("_change_type"): _*))
       commitRebase(spark, path, m, rewriteDirs = Set.empty,
         newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
         readSet = None, operation = "DELETE", removeFiles = hitFiles,
         rebaseCheck = Some(predicateRebaseCheck(spark, path, schema,
-          hitFiles, "UTC")))
+          hitFiles, "UTC")), cdc = cdc)
     }
   }
 
@@ -5051,6 +5173,16 @@ object TxLog {
           path, physPartCols(m), transformsOf(m))
       val incoming = stageIn(toPhysical(df, m.colMap), path,
         physPartCols(m), transformsOf(m))
+      // write-time CDC: the replaced region's rows as deletes, the
+      // incoming batch as inserts
+      val cdc = captureCdc(spark, path, m,
+        readFiles(spark, path, declared, hitFiles.toSeq, m.colMap, m.dv,
+            recoverPartitions = m.partitionSpec.isEmpty)
+          .filter(hit)
+          .select(declared.fieldNames.map(col).toIndexedSeq
+            :+ lit("delete").as("_change_type"): _*)
+          .unionByName(df.select(declared.fieldNames.map(col).toIndexedSeq
+            :+ lit("insert").as("_change_type"): _*)))
       commitRebase(spark, path, m, rewriteDirs = Set.empty,
         newFiles = survivors ++ incoming, schemaDdl = m.schemaDdl,
         batchId = None, readSet = None, operation = "REPLACE WHERE",
@@ -5058,7 +5190,7 @@ object TxLog {
         rebaseCheck = Some(predicateRebaseCheck(spark, path, declared,
           hitFiles, "UTC")),
         revalidate = uniqueRebaseProbe(df, spark, path, m, "replaceWhere"),
-        idClaims = idClaims)
+        idClaims = idClaims, cdc = cdc)
     }
 
   /** UPDATE ... SET ... WHERE — a FILE-GRANULAR rewrite (Delta's
@@ -5160,12 +5292,19 @@ object TxLog {
         // before any BLIND append; the DV targets are load-bearing and
         // non-blind adds conflict ([[predicateRebaseCheck]])
         val dvTargets = counts.keySet
+        // write-time CDC from the ONE materialized matched set: exact
+        // pre/postimages, no key join, no condition re-evaluation
+        val cdc = captureCdc(spark, path, m,
+          matched.select(schema.fieldNames.map(col).toIndexedSeq
+              :+ lit("update_preimage").as("_change_type"): _*)
+            .unionByName(images.select(schema.fieldNames.map(col).toIndexedSeq
+              :+ lit("update_postimage").as("_change_type"): _*)))
         commitRebase(spark, path, m, rewriteDirs = Set.empty,
           newFiles = staged, schemaDdl = m.schemaDdl, batchId = None,
           readSet = None, operation = "UPDATE (DV)",
           addDv = Seq(dvName -> counts),
           rebaseCheck = Some(predicateRebaseCheck(spark, path, schema,
-            dvTargets, "UTC")))
+            dvTargets, "UTC")), cdc = cdc)
       } finally fs.delete(tmp, true)
     } else {
       // exact hit-file discovery, identical to DELETE's
@@ -5186,12 +5325,170 @@ object TxLog {
       // file-granular read declaration, identical to DELETE's: blind
       // appends serialize after the update, hit files and non-blind
       // adds conflict ([[predicateRebaseCheck]])
+      val matchedPre = snap.filter(hit)
+      val cdc = captureCdc(spark, path, m,
+        matchedPre.select(schema.fieldNames.map(col).toIndexedSeq
+            :+ lit("update_preimage").as("_change_type"): _*)
+          .unionByName(assigned(matchedPre, everyRowMatched = true)
+            .select(schema.fieldNames.map(col).toIndexedSeq
+              :+ lit("update_postimage").as("_change_type"): _*)))
       commitRebase(spark, path, m, rewriteDirs = Set.empty,
         newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
         readSet = None, operation = "UPDATE", removeFiles = hitFiles,
         rebaseCheck = Some(predicateRebaseCheck(spark, path, schema,
-          hitFiles, "UTC")))
+          hitFiles, "UTC")), cdc = cdc)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Write-time CDC capture (graft.changeDataFeed) — the Delta
+  // enableChangeDataFeed shape: row-changing verbs stage their change
+  // record at commit time; [[changeFeed]] serves it keylessly, reading
+  // O(changed rows) per version instead of two snapshot scans
+  // ------------------------------------------------------------------
+
+  private def cdcDir(path: String) = new Path(path, "_change_data")
+
+  private[graft] def cdfDeclared(m: Manifest): Boolean =
+    propsOf(m).get(ChangeDataFeedProp).exists(_.equalsIgnoreCase("true"))
+
+  /** Stage a commit's row-level change record under `_change_data/`
+    * (one uuid dir per commit) and return the staged file names for
+    * the commit node — or None when the table has not declared
+    * `graft.changeDataFeed` (the by-name frame is never even built, so
+    * capture is free on undeclared tables). The frame carries the
+    * table's LOGICAL columns + `_change_type`; it stages in PHYSICAL
+    * names (the data files' convention), so a later RENAME COLUMN
+    * stays metadata-only for the feed too. Staging happens BEFORE the
+    * commit that references it: a crash leaves an orphan dir (swept by
+    * vacuum behind the stale-write age guard), never a commit whose
+    * change record is missing. */
+  private def captureCdc(spark: SparkSession, path: String, m: Manifest,
+                         frame: => DataFrame): Option[Seq[String]] =
+    if (!cdfDeclared(m)) None
+    else {
+      val id = java.util.UUID.randomUUID().toString.take(12)
+      val dir = new Path(cdcDir(path), id)
+      toPhysical(frame, m.colMap).write.parquet(dir.toString)
+      val fs = fsFor(spark, path)
+      Some(fs.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s"$id/${s.getPath.getName}").toSeq.sorted)
+    }
+
+  /** Keyless, O(changed rows) change feed from write-time capture —
+    * the door [[changes]]' snapshot diff cannot be: it serves tables
+    * with NO unique row identity (duplicate rows included — the
+    * reference's own `no_gwas_result` audit shape,
+    * R/gwas_ddl.sql:66-75), and it reads only each commit's own change
+    * record, never two whole-table snapshots per window.
+    *
+    * One row per change EVENT in `(fromVersion, toVersion]`, in the
+    * end version's logical schema plus `_change_type` ∈ insert |
+    * delete | update_preimage | update_postimage (updates always
+    * carry EXACT pre/postimages — no key join approximates them),
+    * `_commit_version` and `_commit_timestamp`. Event semantics
+    * (Delta's CDF contract): a row inserted then deleted inside the
+    * window shows both events; [[changes]] keeps the net-diff
+    * semantics for keyed consumers.
+    *
+    * Per-version sourcing: a commit with a captured record serves it
+    * verbatim; a pure append (and the CREATE/CONVERT full commit)
+    * serves its added files as inserts — appends need no sidecar;
+    * OPTIMIZE/compaction commits change no rows and are skipped;
+    * metadata commits are skipped. A row-changing commit with NO
+    * record (committed before `graft.changeDataFeed` was declared, or
+    * a RESTORE) refuses loudly — serving a guess would corrupt every
+    * downstream replica. Columns match across renames by PHYSICAL
+    * identity, schema evolution pads typed nulls (the [[changes]]
+    * alignment rules). */
+  def changeFeed(spark: SparkSession, path: String, fromVersion: Long,
+                 toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromVersion <= toVersion,
+      s"TxLog.changeFeed: fromVersion $fromVersion is past toVersion " +
+        s"$toVersion — the feed runs forward only")
+    val mTarget = manifest(spark, path, toVersion)
+    val target = StructType.fromDDL(mTarget.schemaDdl)
+    val outSchema = StructType(target.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType)))
+    def insertsOf(v: Long, files: Seq[String]): DataFrame = {
+      val mv = manifest(spark, path, v)
+      val vSchema = StructType.fromDDL(mv.schemaDdl)
+      // added files carry no DV at their birth commit
+      val df = readFiles(spark, path, vSchema, files, mv.colMap, Nil,
+        recoverPartitions = mv.partitionSpec.isEmpty)
+      df.select(target.fields.map { tf =>
+        val phys = physOf(mTarget, tf.name)
+        val vLogical = mv.colMap.find(_._2 == phys).map(_._1).getOrElse(phys)
+        if (df.columns.contains(vLogical)) col(vLogical).cast(tf.dataType).as(tf.name)
+        else lit(null).cast(tf.dataType).as(tf.name)
+      }.toIndexedSeq :+ lit("insert").as("_change_type"): _*)
+    }
+    def fromRecord(names: Seq[String]): DataFrame = {
+      val raw = spark.read.parquet(
+        names.map(n => new Path(cdcDir(path), n).toString): _*)
+      raw.select(target.fields.map { tf =>
+        val phys = physOf(mTarget, tf.name)
+        if (raw.columns.contains(phys)) col(phys).cast(tf.dataType).as(tf.name)
+        else lit(null).cast(tf.dataType).as(tf.name)
+      }.toIndexedSeq :+ col("_change_type"): _*)
+    }
+    val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val node = readCommitNode(spark, path, v)
+      val op = Option(node.get("operation")).map(_.asText()).getOrElse("")
+      val tsMs = Option(node.get("ts")).map(_.asLong())
+      def stamp(df: DataFrame): DataFrame = df
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          tsMs.map(t => lit(new java.sql.Timestamp(t)))
+            .getOrElse(lit(null)).cast("timestamp"))
+      def arr(field: String): Seq[String] =
+        Option(node.get(field)).toSeq.flatMap(a =>
+          (0 until a.size()).map(a.get(_).asText()))
+      def addFiles: Seq[String] =
+        Option(node.get("add")).toSeq.flatMap(a =>
+          (0 until a.size()).map(a.get(_).get("f").asText()))
+      if (node.has("cdc")) {
+        val names = arr("cdc")
+        if (names.isEmpty) None else Some(stamp(fromRecord(names)))
+      } else if (node.has("baseRef"))
+        throw new UnsupportedOperationException(
+          s"TxLog.changeFeed: v$v at $path ($op) is a ref commit with no " +
+            "change record — a keyless feed cannot diff across a RESTORE; " +
+            "read through TxLog.changes with keys, or restart the feed " +
+            "from this version")
+      else if (node.has("files")) {
+        if (op == "CREATE" || op == "CONVERT")
+          Some(stamp(insertsOf(v, arr("files"))))
+        else throw new UnsupportedOperationException(
+          s"TxLog.changeFeed: v$v at $path ($op) replaced the table with " +
+            "no change record — declare graft.changeDataFeed=true before " +
+            "overwrites, or read through TxLog.changes with keys")
+      } else {
+        val rowChanging = arr("removeDirs").nonEmpty ||
+          arr("removeFiles").nonEmpty || op.endsWith("(DV)")
+        if (op.startsWith("OPTIMIZE")) None // rewrite, zero row change
+        else if (!rowChanging) {
+          val adds = addFiles
+          if (adds.isEmpty) None // metadata-only commit
+          else Some(stamp(insertsOf(v, adds)))
+        } else throw new UnsupportedOperationException(
+          s"TxLog.changeFeed: v$v at $path ($op) changed rows with no " +
+            "change record — it committed before graft.changeDataFeed was " +
+            "declared; read through TxLog.changes with keys, or start the " +
+            "feed after the declaration")
+      }
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    else frames.reduce(_ unionByName _)
   }
 
   /** Change data feed between two committed versions — the row-level
@@ -5348,7 +5645,7 @@ object TxLog {
   def applyChanges(path: String, feed: DataFrame, keys: Seq[String],
                    preValidated: Boolean = false,
                    txn: Option[(String, Long)] = None): Long = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{col, lit, max, min}
     val spark = feed.sparkSession
     val v = currentVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
@@ -5416,11 +5713,29 @@ object TxLog {
           statsEncode(declared(k).dataType, max(col(k)))).head()
         if (b.isNullAt(0)) None else Some((k, b.getString(0), b.getString(1)))
       } else None
+    // write-time CDC: the feed re-expressed as the EFFECT on this
+    // table (a feed "insert" for a key the replica already holds is an
+    // update here; a "delete" for an absent key is no event)
+    val cdc = captureCdc(spark, path, m, {
+      val oldMatched = hitRows.join(feedKeys, keys, "left_semi")
+      val oldKeys = oldMatched.select(keys.map(col): _*).distinct()
+      val upKeys = upserts.select(keys.map(col): _*).distinct()
+      def shaped(d: DataFrame, t: String) =
+        d.select(declared.fieldNames.map(col).toIndexedSeq
+          :+ lit(t).as("_change_type"): _*)
+      shaped(oldMatched.join(deletes, keys, "left_semi"), "delete")
+        .unionByName(shaped(oldMatched.join(upKeys, keys, "left_semi"),
+          "update_preimage"))
+        .unionByName(shaped(upserts.join(oldKeys, keys, "left_semi"),
+          "update_postimage"))
+        .unionByName(shaped(upserts.join(oldKeys, keys, "left_anti"),
+          "insert"))
+    })
     commitRebase(spark, path, m, rewriteDirs = Set.empty,
       newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
       readSet = None, operation = "APPLY CHANGES", removeFiles = hitFiles,
       txn = txn, rebaseCheck = Some(mergeRebaseCheck(declared, keyBounds,
-        sourceEmpty = false, m.files.toSet, hitFiles, tz)))
+        sourceEmpty = false, m.files.toSet, hitFiles, tz)), cdc = cdc)
   }
 
   /** The directory name Spark's partitioned writer produces for a
@@ -5625,6 +5940,27 @@ object TxLog {
       fs.listStatus(dvRoot).foreach { st =>
         if (!liveDv.contains(st.getPath.getName)) fs.delete(st.getPath, true)
       }
+    }
+    // write-time CDC records referenced by NO retained commit node —
+    // expired feed windows, plus orphan dirs a crashed writer staged
+    // but never committed (those hide behind the stale-write age guard
+    // below, so an in-flight commit's staged record survives)
+    val cdcRoot = cdcDir(path)
+    if (fs.exists(cdcRoot)) {
+      val liveCdcDirs = keep.flatMap { kv =>
+        val node = readCommitNode(spark, path, kv)
+        Option(node.get("cdc")).toSeq.flatMap(a =>
+          (0 until a.size()).map(a.get(_).asText().split('/').head))
+      }.toSet
+      val staleWriteMsCdc = (spark.conf
+        .getOption("graft.txlog.staleWriteHours")
+        .map(_.toDouble).getOrElse(24.0) * 3600 * 1000).toLong
+      val cdcCut = math.min(horizon.getOrElse(Long.MaxValue),
+        System.currentTimeMillis() - staleWriteMsCdc)
+      fs.listStatus(cdcRoot)
+        .filter(st => !liveCdcDirs.contains(st.getPath.getName))
+        .filter(st => st.getModificationTime < cdcCut)
+        .foreach(st => fs.delete(st.getPath, true))
     }
     drop.foreach { dv =>
       fs.delete(new Path(manifestDir(path), s"v$dv.json"), false)

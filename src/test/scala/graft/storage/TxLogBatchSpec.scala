@@ -339,12 +339,14 @@ class TxLogBatchSpec extends SparkSpec {
         .option("startingVersion", "1").option("startingTimestamp", ts1).load()
     }
     assert(eBoth.getMessage.contains("not both"), eBoth.getMessage)
-    // missing keys / startingVersion refuse loudly
-    val eKeys = intercept[IllegalArgumentException] {
+    // keys ABSENT routes to the keyless write-time-capture door — this
+    // table never declared graft.changeDataFeed, so its MERGE/DELETE
+    // commits carry no change record and the read refuses loudly
+    val eKeys = intercept[UnsupportedOperationException] {
       spark.read.format("graft-txlog").option("path", path)
         .option("readChangeFeed", "true").option("startingVersion", "1").load()
     }
-    assert(eKeys.getMessage.contains("keys"), eKeys.getMessage)
+    assert(eKeys.getMessage.contains("changeDataFeed"), eKeys.getMessage)
     val eFrom = intercept[IllegalArgumentException] {
       spark.read.format("graft-txlog").option("path", path)
         .option("readChangeFeed", "true").option("keys", "k").load()

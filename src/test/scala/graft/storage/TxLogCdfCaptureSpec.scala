@@ -1,0 +1,192 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Write-time CDC capture (`graft.changeDataFeed`) — the r16 keyless
+  * change feed: row-changing verbs stage their change record at
+  * commit time, [[TxLog.changeFeed]] serves it (a) on tables with NO
+  * unique row identity and (b) reading O(changed rows) per version,
+  * with EXACT update pre/postimages (no key join). */
+class TxLogCdfCaptureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_cdc_$tag").toString + "/t"
+
+  private def events(df: org.apache.spark.sql.DataFrame): Set[(String, Long, String, Double)] =
+    df.select(col("_change_type"), col("_commit_version"), col("k"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+
+  test("keyless feed on a table with DUPLICATE rows: inserts, deletes, exact preimages") {
+    val path = fresh("dup")
+    // a keyless audit shape: k is NOT unique — the snapshot-diff door
+    // cannot serve this table at all
+    TxLog.create(Seq(("a", 1.0), ("a", 1.0), ("b", 2.0))
+      .toDF("k", "v"), path)                                      // v1
+    TxLog.setProperties(spark, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                    // v2
+    TxLog.append(Seq(("c", 3.0), ("a", 1.0)).toDF("k", "v"), path) // v3
+    TxLog.deleteWhere(spark, path, col("k") === "a")              // v4 (3 rows)
+    TxLog.updateWhere(spark, path, Seq("v" -> "v * 10"),
+      col("k") === "b")                                           // v5
+    val feed = TxLog.changeFeed(spark, path, 0L, 5L)
+    assert(feed.columns.toSeq ==
+      Seq("k", "v", "_change_type", "_commit_version", "_commit_timestamp"),
+      feed.columns.mkString(", "))
+    val got = events(feed)
+    val expected = Set(
+      ("insert", 1L, "a", 1.0), ("insert", 1L, "b", 2.0),
+      ("insert", 3L, "c", 3.0), ("insert", 3L, "a", 1.0),
+      ("delete", 4L, "a", 1.0), ("delete", 4L, "a", 1.0),
+      ("delete", 4L, "a", 1.0),
+      ("update_preimage", 5L, "b", 2.0),
+      ("update_postimage", 5L, "b", 20.0))
+    // Set collapses the duplicate rows — compare with multiplicity
+    val gotM = feed.groupBy("_change_type", "_commit_version", "k", "v")
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)) -> r.getLong(4)).toMap
+    assert(gotM(("insert", 1L, "a", 1.0)) == 2L,
+      "duplicate created rows must BOTH appear as inserts")
+    assert(gotM(("delete", 4L, "a", 1.0)) == 3L,
+      s"all three duplicate 'a' rows must appear as deletes: $gotM")
+    assert(got == expected, got.toString)
+    assert(gotM(("update_preimage", 5L, "b", 2.0)) == 1L &&
+      gotM(("update_postimage", 5L, "b", 20.0)) == 1L,
+      "updates carry exact pre/postimages without any key join")
+    // a caught-up window is empty, never an exception
+    assert(TxLog.changeFeed(spark, path, 5L, 5L).count() == 0L)
+  }
+
+  test("event-feed ≡ snapshot-diff on single-version windows across every captured verb") {
+    val path = fresh("parity")
+    TxLog.create(Seq((1L, "p1", 1.0), (2L, "p1", 2.0), (3L, "p2", 3.0))
+      .toDF("k", "part", "v"), path, Some("part"), statsCols = Seq("k"))
+    TxLog.setProperties(spark, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))
+    def parity(commit: => Long): Unit = {
+      val v = commit
+      val viaFeed = TxLog.changeFeed(spark, path, v - 1, v)
+        .drop("_commit_version", "_commit_timestamp")
+      val viaDiff = TxLog.changes(spark, path, v - 1, v, Seq("k"),
+        withPreimages = true)
+      assert(viaFeed.columns.sorted.toSeq == viaDiff.columns.sorted.toSeq,
+        s"v$v schema: ${viaFeed.columns.mkString(",")} vs ${viaDiff.columns.mkString(",")}")
+      val cols = viaDiff.columns.toSeq
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(rows(viaFeed) == rows(viaDiff),
+        s"v$v: feed ${rows(viaFeed)} vs diff ${rows(viaDiff)}")
+    }
+    parity(TxLog.mergeInto(path,
+      Seq((2L, "p1", 20.0), (4L, "p2", 4.0)).toDF("k", "part", "v"),
+      Seq("k")))
+    parity(TxLog.deleteWhere(spark, path, col("k") === 1L))
+    parity(TxLog.updateWhere(spark, path, Seq("v" -> "v + 0.5"),
+      col("k") === 3L))
+    parity(TxLog.replaceWhere(
+      Seq((7L, "p2", 7.0)).toDF("k", "part", "v"), path,
+      col("part") === "p2"))
+    parity(TxLog.mergeWhen(path, Seq((7L, "p2", 70.0), (8L, "p1", 8.0))
+      .toDF("k", "part", "v"), Seq("k"),
+      matched = Seq(TxLog.MergeClause(None, "update",
+        Seq("v" -> "src.v"))),
+      notMatched = Seq(TxLog.MergeClause(None, "insert"))))
+    parity(TxLog.applyChanges(path,
+      Seq((8L, "p1", 80.0, "update"), (9L, "p1", 9.0, "insert"),
+        (2L, "p1", 0.0, "delete"))
+        .toDF("k", "part", "v", "_change_type"), Seq("k")))
+    parity(TxLog.replacePartitions(
+      Seq((10L, "p1", 10.0)).toDF("k", "part", "v"), path, Seq("p1")))
+    parity(TxLog.createOrReplace(
+      Seq((11L, "p1", 11.0)).toDF("k", "part", "v"), path,
+      keepPolicies = true))
+  }
+
+  test("OPTIMIZE is skipped; uncaptured row changes and RESTORE refuse loudly") {
+    val path = fresh("gaps")
+    TxLog.create(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), path)   // v1
+    TxLog.deleteWhere(spark, path, col("k") === 1L)                // v2: uncaptured
+    val e = intercept[UnsupportedOperationException] {
+      TxLog.changeFeed(spark, path, 1L, 2L).collect()
+    }
+    assert(e.getMessage.contains("changeDataFeed"), e.getMessage)
+    TxLog.setProperties(spark, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                     // v3
+    TxLog.append(Seq((3L, 3.0)).toDF("k", "v"), path)              // v4
+    TxLog.append(Seq((4L, 4.0)).toDF("k", "v"), path)              // v5
+    TxLog.compact(spark, path)                                     // v6: OPTIMIZE
+    val got = events(TxLog.changeFeed(spark, path, 2L, 6L)
+      .withColumn("k", col("k").cast("string")))
+    assert(got == Set(("insert", 4L, "3", 3.0), ("insert", 5L, "4", 4.0)),
+      s"OPTIMIZE must contribute no events: $got")
+    TxLog.restore(spark, path, 4L)                                 // v7
+    val eR = intercept[UnsupportedOperationException] {
+      TxLog.changeFeed(spark, path, 6L, 7L).collect()
+    }
+    assert(eR.getMessage.contains("RESTORE"), eR.getMessage)
+    // windows that STOP before the restore still serve
+    assert(TxLog.changeFeed(spark, path, 2L, 6L).count() == 2L)
+  }
+
+  test("format door keyless + TVF keyless + rename alignment") {
+    val path = fresh("doors")
+    TxLog.create(Seq((1L, "p1", 1.0), (2L, "p1", 2.0))
+      .toDF("k", "part", "v"), path, Some("part"))
+    TxLog.setProperties(spark, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))
+    TxLog.deleteWhere(spark, path, col("k") === 1L)                // v3
+    // a RENAME between the change and the read: the feed serves the
+    // NEW logical name (physical identity, the changes() rule)
+    TxLog.renameColumn(spark, path, "v", "amount")                 // v4
+    val viaScala = TxLog.changeFeed(spark, path, 2L, 4L)
+    assert(viaScala.columns.contains("amount") &&
+      !viaScala.columns.contains("v"),
+      viaScala.columns.mkString(", "))
+    assert(viaScala.filter(col("_change_type") === "delete")
+      .select("amount").as[Double].collect().toSeq == Seq(1.0))
+    val viaDoor = spark.read.format("graft-txlog")
+      .option("path", path).option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "4").load()
+    assert(viaDoor.collect().map(_.toString).sorted.toSeq ==
+      viaScala.collect().map(_.toString).sorted.toSeq,
+      "format-door keyless CDF diverged from TxLog.changeFeed")
+    val viaTvf = spark.sql(
+      s"SELECT * FROM graft_txlog_cdf('$path', 2, 4)")
+    assert(viaTvf.collect().map(_.toString).sorted.toSeq ==
+      viaScala.collect().map(_.toString).sorted.toSeq,
+      "TVF keyless CDF diverged from TxLog.changeFeed")
+  }
+
+  test("vacuum keeps retained change records, sweeps expired ones") {
+    val path = fresh("vac")
+    TxLog.create(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), path)
+    TxLog.setProperties(spark, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))
+    TxLog.deleteWhere(spark, path, col("k") === 1L)                // v3
+    TxLog.updateWhere(spark, path, Seq("v" -> "v * 2"),
+      col("k") === 2L)                                             // v4
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val cdcRoot = new org.apache.hadoop.fs.Path(path, "_change_data")
+    assert(fs.listStatus(cdcRoot).length == 2, "two captured commits")
+    // retain everything: nothing sweeps
+    TxLog.vacuum(spark, path, keepVersions = 10)
+    assert(fs.listStatus(cdcRoot).length == 2)
+    // age the records out of the stale-write guard, then retain only
+    // the head: v3's record expires with its version
+    fs.listStatus(cdcRoot).foreach(st =>
+      fs.setTimes(st.getPath, System.currentTimeMillis() - 100L * 3600 * 1000, -1))
+    spark.conf.set("graft.txlog.staleWriteHours", "0.000001")
+    try TxLog.vacuum(spark, path, keepVersions = 1)
+    finally spark.conf.unset("graft.txlog.staleWriteHours")
+    val left = fs.listStatus(cdcRoot).map(_.getPath.getName).toSet
+    assert(left.size == 1,
+      s"only the head version's record survives: $left")
+    // the head's own feed window still serves
+    assert(TxLog.changeFeed(spark, path, 3L, 4L).count() == 2L)
+  }
+}
