@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graftbridge.ExprBridge
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
-import graft.operators.{Dedup, Funnel, Ivf, Pq, Similarity, Stats, TextOps}
+import graft.operators.{Dedup, Funnel, Ivf, Layout, Packing, Pq, Sampling, Similarity, Stats, TextOps}
 import graft.storage.TxLog
 
 /** Table-valued SQL functions over the flagship operators — the SQL
@@ -436,6 +436,81 @@ object TableFunctions {
         plan(Stats.prCurve(active.table(litStr(fn, "table", es.head)),
           litStr(fn, "score_col", es(1)), litStr(fn, "label_col", es(2)),
           bins = es.lift(3).map(litLong(fn, "bins", _).toInt).getOrElse(10)))
+      }),
+    // ---- the sampling/packing/split family through pure SQL (r16 —
+    // same splice pattern): the curation steps a SQL-only user could
+    // not run before. Determinism contracts ride through unchanged:
+    // the same salt reproduces the identical set on any engine. ----
+    ("graft_sample_per_group",
+      info("graft_sample_per_group",
+        "graft_sample_per_group(table, group_col, k[, id_col[, salt]]) - deterministic fixed-k uniform sample per group (salted md5 draw through the native TopKPerGroup operator; same salt = identical set)"),
+      (es: Seq[Expression]) => {
+        arity("graft_sample_per_group", es, 3 to 5)
+        val fn = "graft_sample_per_group"
+        val tbl = active.table(litStr(fn, "table", es.head))
+        plan(Sampling.perGroupK(tbl,
+          tbl(litStr(fn, "group_col", es(1))),
+          k = litLong(fn, "k", es(2)).toInt,
+          idCol = es.lift(3).map(litStr(fn, "id_col", _)).getOrElse("doc_id"),
+          salt = es.lift(4).map(litStr(fn, "salt", _)).getOrElse("s0")))
+      }),
+    ("graft_sample_stratified",
+      info("graft_sample_stratified",
+        "graft_sample_stratified(table, stratum_col, frac[, id_col]) - exact deterministic stratified sample: ceil(frac*n) rows per stratum by md5-of-id order"),
+      (es: Seq[Expression]) => {
+        arity("graft_sample_stratified", es, 3 to 4)
+        val fn = "graft_sample_stratified"
+        val tbl = active.table(litStr(fn, "table", es.head))
+        plan(Sampling.stratified(tbl,
+          tbl(litStr(fn, "stratum_col", es(1))),
+          frac = litDouble(fn, "frac", es(2)),
+          idCol = es.lift(3).map(litStr(fn, "id_col", _)).getOrElse("doc_id")))
+      }),
+    ("graft_pack_sequences",
+      info("graft_pack_sequences",
+        "graft_pack_sequences(table, tokens_col, budget[, id_col]) - greedy id-ordered sequence packing: (id, n_tokens, offset, seq_id) with seq_id = offset / budget"),
+      (es: Seq[Expression]) => {
+        arity("graft_pack_sequences", es, 3 to 4)
+        val fn = "graft_pack_sequences"
+        val tbl = active.table(litStr(fn, "table", es.head))
+        plan(Packing.packSequences(tbl,
+          tbl(litStr(fn, "tokens_col", es(1))),
+          budget = litLong(fn, "budget", es(2)).toInt,
+          idCol = es.lift(3).map(litStr(fn, "id_col", _)).getOrElse("doc_id")))
+      }),
+    ("graft_split_leakage_safe",
+      info("graft_split_leakage_safe",
+        "graft_split_leakage_safe(docs_table, pairs_table, val_frac[, id_col]) - train/val split where near-dup CLUSTERS (connected components of pairs(doc_a, doc_b)) never straddle the cut"),
+      (es: Seq[Expression]) => {
+        arity("graft_split_leakage_safe", es, 3 to 4)
+        val fn = "graft_split_leakage_safe"
+        plan(Dedup.leakageSafeSplit(
+          active.table(litStr(fn, "docs_table", es.head)),
+          active.table(litStr(fn, "pairs_table", es(1))),
+          valFrac = litDouble(fn, "val_frac", es(2)),
+          idCol = es.lift(3).map(litStr(fn, "id_col", _)).getOrElse("doc_id")))
+      }),
+    ("graft_split_kfold",
+      info("graft_split_kfold",
+        "graft_split_kfold(docs_table, pairs_table, k[, id_col]) - leakage-safe k-fold assignment: near-dup clusters share a fold"),
+      (es: Seq[Expression]) => {
+        arity("graft_split_kfold", es, 3 to 4)
+        val fn = "graft_split_kfold"
+        plan(Dedup.kfoldSplit(
+          active.table(litStr(fn, "docs_table", es.head)),
+          active.table(litStr(fn, "pairs_table", es(1))),
+          k = litLong(fn, "k", es(2)).toInt,
+          idCol = es.lift(3).map(litStr(fn, "id_col", _)).getOrElse("doc_id")))
+      }),
+    ("graft_table_health",
+      info("graft_table_health",
+        "graft_table_health(path[, target_mb]) - the maintenance advisor: per-partition file/size/small-file stats with a compaction recommendation"),
+      (es: Seq[Expression]) => {
+        arity("graft_table_health", es, 1 to 2)
+        val fn = "graft_table_health"
+        plan(Layout.tableHealth(active, litStr(fn, "path", es.head),
+          targetBytes = es.lift(1).map(litLong(fn, "target_mb", _))
+            .getOrElse(128L) << 20))
       }),
     ("graft_txlog_cdf",
       info("graft_txlog_cdf",

@@ -900,7 +900,19 @@ object Dedup {
     * one linear pass over the BATCH; the rework is Σ touched-cell²,
     * tracking batch size, not corpus size (ScaleCheckSemantic). */
   def semanticDedupAppend(spark: org.apache.spark.sql.SparkSession, path: String,
-                          newEmb: DataFrame, tau: Double = 0.95): DataFrame = {
+                          newEmb: DataFrame, tau: Double = 0.95): DataFrame =
+    // single-writer ENFORCED (r16): two racing appends would both read
+    // the same prior cell state and the loser's rework would silently
+    // drop the winner's vectors — the artifact lock serializes them,
+    // so both batches land; crash re-entry (aside restore +
+    // dropDuplicates) stays intact behind the age-broken lock
+    ArtifactLock.withLock(spark, path, "semanticDedupAppend") {
+      semanticDedupAppendLocked(spark, path, newEmb, tau)
+    }
+
+  private def semanticDedupAppendLocked(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newEmb: DataFrame, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0,
       s"Dedup.semanticDedupAppend: tau must be in (0, 1], got $tau")
     restoreAsideCells(spark, path)

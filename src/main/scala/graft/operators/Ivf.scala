@@ -125,19 +125,25 @@ object Ivf {
     * what lets a TxLog-style manifest carry old cells by reference.
     * Centroids drift from the true Voronoi fit only as the corpus
     * distribution drifts; refitting stays an offline decision. */
-  def append(spark: SparkSession, index: IvfIndex, newEmb: DataFrame): Unit = {
-    val assigned =
-      if (index.spill == 1)
-        newEmb.select(col("vec_id"), col("embedding"),
-          graft.functions.IvfFunctions.ivf_assign(
-            col("embedding"), centroidMatrix(index)).as("cell"))
-      else // a spilled index keeps its multi-assignment rule on ingest
-        newEmb.select(col("vec_id"), col("embedding"),
-          explode(graft.functions.IvfFunctions.ivf_assign_multi(
-            col("embedding"), centroidMatrix(index), index.spill)).as("cell"))
-    assigned.write.mode("append").partitionBy("cell")
-      .parquet(s"${index.path}/vectors")
-  }
+  def append(spark: SparkSession, index: IvfIndex, newEmb: DataFrame): Unit =
+    // single-writer ENFORCED (r16): racing maintainers serialize on the
+    // artifact lock instead of interleaving parquet appends with a
+    // concurrent remove's cell rewrite (which could resurrect or drop
+    // vectors); a crashed holder's lock breaks by age and the re-run is
+    // idempotent at the caller's grain
+    ArtifactLock.withLock(spark, index.path, "Ivf.append") {
+      val assigned =
+        if (index.spill == 1)
+          newEmb.select(col("vec_id"), col("embedding"),
+            graft.functions.IvfFunctions.ivf_assign(
+              col("embedding"), centroidMatrix(index)).as("cell"))
+        else // a spilled index keeps its multi-assignment rule on ingest
+          newEmb.select(col("vec_id"), col("embedding"),
+            explode(graft.functions.IvfFunctions.ivf_assign_multi(
+              col("embedding"), centroidMatrix(index), index.spill)).as("cell"))
+      assigned.write.mode("append").partitionBy("cell")
+        .parquet(s"${index.path}/vectors")
+    }
 
   /** Deletion counterpart of [[append]] — the index side of a GDPR
     * erasure (pairs with TxLog.deleteWhere on the source table): drop
@@ -156,10 +162,12 @@ object Ivf {
     * half-removed batch; re-running remove is idempotent). */
   def remove(spark: SparkSession, index: IvfIndex, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "Ivf.remove: empty id batch")
-    removeFromCells(spark, s"${index.path}/vectors", ids)
-    val codes = new org.apache.hadoop.fs.Path(s"${index.path}/codes")
-    val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(codes)) removeFromCells(spark, codes.toString, ids)
+    ArtifactLock.withLock(spark, index.path, "Ivf.remove") {
+      removeFromCells(spark, s"${index.path}/vectors", ids)
+      val codes = new org.apache.hadoop.fs.Path(s"${index.path}/codes")
+      val fs = codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(codes)) removeFromCells(spark, codes.toString, ids)
+    }
   }
 
   /** Rewrite only the cell partitions of `dir` containing an id from

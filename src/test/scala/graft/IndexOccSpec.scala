@@ -1,0 +1,109 @@
+package graft
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ArtifactLock, Dedup, Ivf}
+
+/** OCC for index maintenance (r16, closes the r15 verdict's missing
+  * #4): racing maintainers of the bare-parquet artifacts (IVF vectors,
+  * SemDeDup state) serialize on the artifact lock — no lost vectors,
+  * no doubled vectors, in either completion order — while crash
+  * recovery stays self-service (a dead holder's lock breaks by age;
+  * the re-run protocols behind it are unchanged). */
+class IndexOccSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_iocc_$tag").toString
+
+  private val dim = 16
+  private def oneHot(i: Int): Seq[Double] =
+    Seq.tabulate(dim)(j => if (j == i % dim) 1.0 else 0.0)
+
+  test("racing Ivf.append writers: both batches land exactly once, either order") {
+    val path = fresh("ivf") + "/idx"
+    val base = (0 until 32).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val index = Ivf.fit(base, path, nlist = 4)
+    val b1 = (100 until 140).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val b2 = (200 until 250).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val f1 = Future(Ivf.append(spark, index, b1))
+    val f2 = Future(Ivf.append(spark, index, b2))
+    Await.result(f1, 120.seconds); Await.result(f2, 120.seconds)
+    val ids = spark.read.parquet(s"$path/vectors")
+      .groupBy("vec_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.size == 32 + 40 + 50,
+      s"lost vectors under racing appends: ${ids.size}")
+    assert(ids.values.forall(_ == 1L),
+      s"doubled vectors under racing appends: ${ids.filter(_._2 > 1)}")
+  }
+
+  test("racing append vs remove serialize: the removal is never interleaved away") {
+    val path = fresh("ivfrm") + "/idx"
+    val base = (0 until 32).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val index = Ivf.fit(base, path, nlist = 4)
+    val b = (300 until 340).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val fa = Future(Ivf.append(spark, index, b))
+    val fr = Future(Ivf.remove(spark, index, Seq(0L, 1L, 2L)))
+    Await.result(fa, 120.seconds); Await.result(fr, 120.seconds)
+    val ids = spark.read.parquet(s"$path/vectors")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(0L) && !ids.contains(1L) && !ids.contains(2L),
+      "the removal must survive a racing append")
+    assert((300 until 340).forall(i => ids.contains(i.toLong)),
+      "the append must survive a racing removal")
+  }
+
+  test("racing semanticDedupAppend writers: both batches in the final disposition") {
+    val path = fresh("sem")
+    Dedup.semanticDedupInit(
+      (0 until dim).map(i => (i.toLong, oneHot(i))).toDF("vec_id", "embedding"),
+      path, tau = 0.99)
+    val b1 = (100 until 110).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val b2 = (200 until 210).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val f1 = Future(Dedup.semanticDedupAppend(spark, path, b1, tau = 0.99).count())
+    val f2 = Future(Dedup.semanticDedupAppend(spark, path, b2, tau = 0.99).count())
+    Await.result(f1, 180.seconds); Await.result(f2, 180.seconds)
+    val state = Dedup.semanticState(spark, path)
+      .groupBy("vec_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state.size == dim + 20,
+      s"racing appends lost vectors: ${state.size} of ${dim + 20}")
+    assert(state.values.forall(_ == 1L),
+      s"racing appends doubled vectors: ${state.filter(_._2 > 1)}")
+  }
+
+  test("a live lock times out loudly; a dead holder's lock breaks by age") {
+    val art = fresh("lock") + "/a"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(art), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(art))
+    val lock = new org.apache.hadoop.fs.Path(art, "_maint_lock")
+    val out = fs.create(lock, false)
+    out.write("other live 0".getBytes("UTF-8")); out.close()
+    spark.conf.set("graft.index.lockWaitMs", "400")
+    try {
+      val e = intercept[IllegalStateException] {
+        ArtifactLock.withLock(spark, art, "test") { () }
+      }
+      assert(e.getMessage.contains("timed out"), e.getMessage)
+      // age the holder out: the lock breaks and the verb proceeds
+      fs.setTimes(lock, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+      var ran = false
+      ArtifactLock.withLock(spark, art, "test") { ran = true }
+      assert(ran, "a stale lock must break")
+      assert(!fs.exists(lock), "the breaker's own lock must release")
+    } finally spark.conf.unset("graft.index.lockWaitMs")
+  }
+}

@@ -411,6 +411,64 @@ class SqlSurfaceSpec extends SparkSpec {
       Stats.prCurve(scored, "score", "label", bins = 5), "graft_eval_pr")
   }
 
+  test("graft_sample_* / graft_pack_sequences / graft_split_* ≡ the Scala operators; salt contract pinned") {
+    import graft.operators.{Dedup, Packing, Sampling}
+    import spark.implicits._
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"src_${i % 4}", 10L + i % 7)).toDF("doc_id", "source", "n_tokens")
+    docs.createOrReplaceTempView("samp_docs")
+    sameAs("SELECT * FROM graft_sample_per_group('samp_docs', 'source', 5)",
+      Sampling.perGroupK(docs, docs("source"), 5), "graft_sample_per_group")
+    // the determinism contract THROUGH SQL: same salt = identical set,
+    // a new salt draws an independent one
+    val s1 = spark.sql(
+      "SELECT doc_id FROM graft_sample_per_group('samp_docs', 'source', 5, 'doc_id', 'epoch1')")
+      .as[Long].collect().toSet
+    val s1again = spark.sql(
+      "SELECT doc_id FROM graft_sample_per_group('samp_docs', 'source', 5, 'doc_id', 'epoch1')")
+      .as[Long].collect().toSet
+    val s2 = spark.sql(
+      "SELECT doc_id FROM graft_sample_per_group('samp_docs', 'source', 5, 'doc_id', 'epoch2')")
+      .as[Long].collect().toSet
+    assert(s1 == s1again, "same salt must reproduce the identical set")
+    assert(s1 != s2, "a new salt must draw a different set")
+    sameAs("SELECT * FROM graft_sample_stratified('samp_docs', 'source', 0.25)",
+      Sampling.stratified(docs, docs("source"), 0.25),
+      "graft_sample_stratified")
+    sameAs("SELECT * FROM graft_pack_sequences('samp_docs', 'n_tokens', 64)",
+      Packing.packSequences(docs, docs("n_tokens"), budget = 64),
+      "graft_pack_sequences")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("samp_pairs")
+    sameAs("SELECT * FROM graft_split_leakage_safe('samp_docs', 'samp_pairs', 0.25)",
+      Dedup.leakageSafeSplit(docs, pairs, valFrac = 0.25),
+      "graft_split_leakage_safe")
+    // the leakage contract through SQL: a near-dup cluster never
+    // straddles the cut
+    val splits = spark.sql(
+      "SELECT doc_id, split FROM graft_split_leakage_safe('samp_docs', 'samp_pairs', 0.25)")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(splits(0L), splits(1L), splits(2L)).size == 1,
+      s"cluster {0,1,2} straddled the cut: $splits")
+    sameAs("SELECT * FROM graft_split_kfold('samp_docs', 'samp_pairs', 4)",
+      Dedup.kfoldSplit(docs, pairs, k = 4), "graft_split_kfold")
+  }
+
+  test("graft_table_health serves the maintenance advisor through SQL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sql_health").toString + "/tbl"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "part", "v")
+      .repartition(4).write.partitionBy("part").parquet(dir)
+    sameAs(s"SELECT * FROM graft_table_health('$dir')",
+      graft.operators.Layout.tableHealth(spark, dir), "graft_table_health")
+    val advisor = spark.sql(
+      s"SELECT dir, n_files, small_file_frac FROM graft_table_health('$dir', 1)")
+      .collect()
+    assert(advisor.nonEmpty && advisor.forall(_.getString(0).startsWith("part=")),
+      advisor.mkString(", "))
+  }
+
   test("TBLPROPERTIES values containing ',' and ')' parse quote-aware; residue refuses") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sql_props2").toString + "/tbl"
