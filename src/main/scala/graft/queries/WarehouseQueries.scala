@@ -1567,6 +1567,36 @@ object WarehouseQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Write-time CDC capture through the driver gate (r16): declare
+    * `graft.changeDataFeed`, delete + update, then read the KEYLESS
+    * event feed — exact preimages from the capture, no key join, the
+    * commit version on every event. The oracle derives the same events
+    * analytically from the source table (delete commits at v3, the
+    * update's pre/post pairs at v4; the create's own inserts sit
+    * outside the (1, 4] window). */
+  def txlogCdfCapture(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_cdfcap_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val dim = orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    TxLog.create(dim, path)                                        // v1
+    TxLog.setProperties(s, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                     // v2
+    TxLog.deleteWhere(s, path, col("o_orderkey") % 1000 === 1)     // v3
+    TxLog.updateWhere(s, path, Seq(
+      "o_orderstatus" -> "'R'",
+      "o_totalprice" -> ("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * " +
+        "CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)")),
+      col("o_orderkey") % 10 === 0)                                // v4
+    TxLog.changeFeed(s, path, 1L, 4L)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice",
+        "_change_type", "_commit_version")
+      .orderBy("o_orderkey", "_change_type")
+  }
+
   /** The V2 `TableCatalog` through the driver gate: the WHOLE DML loop
     * in plain SQL resolved by Spark's own analyzer — CTAS into the
     * catalog, INSERT INTO, UPDATE, DELETE, a conditional MERGE with
@@ -1866,6 +1896,7 @@ object WarehouseQueries {
     "q_txlog_hidden_days" -> txlogHiddenDays _,
     "q_txlog_point" -> txlogPoint _,
     "q_txlog_cdf" -> txlogCdf _,
+    "q_txlog_cdf_capture" -> txlogCdfCapture _,
     "q_txlog_restore" -> txlogRestore _,
     "q_txlog_mv" -> txlogMv _,
     "q_scd2" -> scd2 _,
@@ -2208,6 +2239,24 @@ object WarehouseQueries {
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority, 'delete'
         |  FROM orders WHERE o_orderkey % 1000 = 1)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_txlog_cdf_capture" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, _change_type,
+        |       _commit_version
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    'delete' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+        |  FROM orders WHERE o_orderkey % 1000 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    'update_preimage', CAST(4 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 1000 <> 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 'R',
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |         CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE),
+        |    'update_postimage', CAST(4 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 1000 <> 1)
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
     "q_scd2" ->
       """WITH dim AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -784,7 +784,17 @@ object TxLogBatch {
     require(from <= to,
       s"graft-txlog: startingVersion $from is past endingVersion $to " +
         s"at $path — the feed runs forward only")
-    new TxLogCdfRelation(spark, path, from, to, keys,
+    // rate limiting for huge version ranges (the streaming source's
+    // maxFilesPerTrigger in spirit): maxVersionsPerRead CAPS the
+    // window at from + N, so a backfill loops bounded chunks —
+    // chunked reads union to exactly the uncapped feed (spec-pinned)
+    val capped = p.get("maxversionsperread").map(_.toLong) match {
+      case Some(n) =>
+        require(n > 0, "graft-txlog: maxVersionsPerRead must be positive")
+        math.min(to, from + n)
+      case None => to
+    }
+    new TxLogCdfRelation(spark, path, from, capped, keys,
       p.get("withpreimages").exists(_.toBoolean))
   }
 }

@@ -287,9 +287,9 @@ object TxLogStream {
     maxFilesPerBatch.foreach(m =>
       require(m > 0, s"graft-txlog: maxFilesPerBatch must be positive, got $m"))
     if (cdf) {
-      require(keys.nonEmpty,
-        "graft-txlog: readChangeFeed=true needs keys=<k1,k2,...> (the row identity " +
-          "the change diff joins on)")
+      // keys present = the snapshot-diff feed; keys ABSENT = the
+      // keyless write-time-capture feed (TxLog.changeFeed — needs
+      // graft.changeDataFeed declared for row-changing commits)
       require(maxFilesPerBatch.isEmpty,
         "graft-txlog: maxFilesPerBatch applies to append mode only — the change " +
           "feed diffs whole version snapshots; use maxVersionsPerBatch")
@@ -379,7 +379,15 @@ object TxLogStream {
       throw new IllegalArgumentException(
         s"graft-txlog: no TxLog table at ${opts.path} — create it first"))
     val table = StructType.fromDDL(TxLog.manifest(spark, opts.path, head).schemaDdl)
-    if (opts.cdf)
+    if (opts.cdf && opts.keys.isEmpty)
+      // the keyless capture feed carries the commit stamps too
+      StructType(table.fields ++ Seq(
+        StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_version", org.apache.spark.sql.types.LongType,
+          nullable = false),
+        StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType)))
+    else if (opts.cdf)
       StructType(table.fields :+ StructField("_change_type", StringType, nullable = false))
     else table
   }
@@ -426,8 +434,12 @@ class TxLogSource(spark: SparkSession, opts: TxLogStream.Opts,
 
   override val schema: StructType = TxLogStream.schemaFor(spark, opts)
 
+  // the TABLE's own columns = the stream schema minus the feed's meta
+  // columns (one in keyed CDF mode, three in keyless mode)
   private val tableCols: Seq[String] =
-    (if (opts.cdf) schema.fields.dropRight(1) else schema.fields).map(_.name).toSeq
+    (if (opts.cdf && opts.keys.isEmpty) schema.fields.dropRight(3)
+     else if (opts.cdf) schema.fields.dropRight(1)
+     else schema.fields).map(_.name).toSeq
 
   /** The file list a cursor at version `w` indexes: the full snapshot
     * for the start version, the commit's ADDED files for the tail
@@ -548,16 +560,31 @@ class TxLogSource(spark: SparkSession, opts: TxLogStream.Opts,
         checkNoDrift(df, to.v)
         df.select(tableCols.map(col): _*)
       } else {
+        val metaCols =
+          if (opts.keys.nonEmpty) Seq("_change_type")
+          else Seq("_change_type", "_commit_version", "_commit_timestamp")
         // files == 0 marks the pending initial snapshot: deliver the
         // state at to.v as inserts (covers any extra versions folded
         // into the same first batch — net state IS the initial load)
-        val df = if (from.files == 0)
-          TxLog.read(spark, path, Some(to.v))
+        val df = if (from.files == 0) {
+          val snap = TxLog.read(spark, path, Some(to.v))
             .withColumn("_change_type", lit("insert"))
-        else TxLog.changes(spark, path, from.v, to.v, opts.keys,
-          withPreimages = opts.withPreimages)
-        checkNoDrift(df.drop("_change_type"), to.v)
-        df.select((tableCols :+ "_change_type").map(col): _*)
+          if (opts.keys.nonEmpty) snap
+          else snap
+            .withColumn("_commit_version", lit(to.v))
+            .withColumn("_commit_timestamp",
+              TxLog.manifest(spark, path, to.v).ts
+                .map(t => lit(new java.sql.Timestamp(t)))
+                .getOrElse(lit(null)).cast("timestamp"))
+        } else if (opts.keys.nonEmpty)
+          TxLog.changes(spark, path, from.v, to.v, opts.keys,
+            withPreimages = opts.withPreimages)
+        else
+          // keyless: the write-time capture feed — O(changed rows)
+          // per micro-batch, exact preimages, duplicate-row tables
+          TxLog.changeFeed(spark, path, from.v, to.v)
+        checkNoDrift(metaCols.foldLeft(df)(_ drop _), to.v)
+        df.select((tableCols ++ metaCols).map(col): _*)
       }
     StreamBridge.asStreamingLeaf(batch)
   }

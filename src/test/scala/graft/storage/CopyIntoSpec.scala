@@ -92,6 +92,28 @@ class CopyIntoSpec extends SparkSpec {
     assert(TxLog.read(spark, table).filter(col("k") === 9L).count() == 1)
   }
 
+  test("JSONL format: the {json,jsonl} listing glob and schema-vetted load") {
+    val table = fresh("jsonl") + "/t"
+    val src = fresh("jsonlsrc")
+    TxLog.create(Seq((0L, 0.0)).toDF("k", "v"), table)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(src), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    def writeJsonl(name: String, lines: Seq[String]): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(src, name), true)
+      out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")); out.close()
+    }
+    writeJsonl("a.jsonl", Seq("""{"k": 1, "v": 1.0}""", """{"k": 2, "v": 2.0}"""))
+    writeJsonl("b.json", Seq("""{"k": 3, "v": 3.0}"""))
+    writeJsonl("ignored.txt", Seq("""{"k": 9, "v": 9.0}"""))
+    val (n, _) = CopyInto.copyInto(spark, table, src, format = "jsonl")
+    assert(n == 2, s"jsonl copy loaded $n files (expected .jsonl + .json)")
+    assert(TxLog.read(spark, table).select("k").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L, 3L))
+    val (n2, _) = CopyInto.copyInto(spark, table, src, format = "jsonl")
+    assert(n2 == 0, "jsonl re-run must be a no-op")
+  }
+
   test("crash between data and ledger commits: re-run compensates first, never double-loads") {
     val root = fresh("crash")
     val table = s"$root/t"
@@ -201,8 +223,11 @@ class CopyIntoSpec extends SparkSpec {
     // a catalog carrying its OWN warehouse option: names resolve with
     // graft.catalog.warehouse entirely unset (the V2 door)
     val wh = fresh("v2wh")
-    assert(spark.conf.getOption("graft.catalog.warehouse").isEmpty,
-      "precondition: the session-conf registry key must be unset here")
+    // force the session-conf registry key OFF for the test's duration —
+    // the point is that the catalog's OWN warehouse suffices (the
+    // shared-session suite may have left the conf set)
+    val prevConf = spark.conf.getOption("graft.catalog.warehouse")
+    prevConf.foreach(_ => spark.conf.unset("graft.catalog.warehouse"))
     spark.conf.set("spark.sql.catalog.g2", "graft.tables.GraftCatalog")
     spark.conf.set("spark.sql.catalog.g2.warehouse", wh)
     try {
@@ -224,6 +249,7 @@ class CopyIntoSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS g2.drop_zone")
       spark.conf.unset("spark.sql.catalog.g2.warehouse")
       spark.conf.unset("spark.sql.catalog.g2")
+      prevConf.foreach(spark.conf.set("graft.catalog.warehouse", _))
     }
   }
 }

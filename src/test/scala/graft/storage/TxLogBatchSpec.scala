@@ -364,6 +364,11 @@ class TxLogBatchSpec extends SparkSpec {
       viaDoor("startingVersion" -> "3", "endingVersion" -> "2")
     }
     assert(ePast.getMessage.contains("past"), ePast.getMessage)
+    // maxVersionsPerRead caps the keyed window at from + N: the capped
+    // read equals the explicitly-bounded one
+    assert(rows(viaDoor("maxVersionsPerRead" -> "1")) ==
+      rows(TxLog.changes(spark, path, 1L, 2L, Seq("k"))),
+      "maxVersionsPerRead must cap the window at from + N")
   }
 
   test("batch writes: Append and Overwrite map to the transactional verbs, partitionBy honored") {

@@ -161,6 +161,35 @@ class TxLogCdfCaptureSpec extends SparkSpec {
       "TVF keyless CDF diverged from TxLog.changeFeed")
   }
 
+  test("maxVersionsPerRead: chunked keyless reads union to exactly the uncapped feed") {
+    val path = fresh("chunks")
+    TxLog.create(Seq((1L, 1.0)).toDF("k", "v"), path)            // v1
+    TxLog.setProperties(spark, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                   // v2
+    (2 to 6).foreach(i =>
+      TxLog.append(Seq((i.toLong, i.toDouble)).toDF("k", "v"), path)) // v3..v7
+    TxLog.deleteWhere(spark, path, col("k") === 2L)              // v8
+    def read(from: Long, cap: Option[Long]) = {
+      val r = spark.read.format("graft-txlog").option("path", path)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", from.toString)
+        .option("endingVersion", "8")
+      cap.fold(r)(n => r.option("maxVersionsPerRead", n.toString)).load()
+    }
+    val whole = read(0L, None).collect().map(_.toString).sorted.toSeq
+    // loop bounded chunks the way a backfill would: advance the start
+    // to the previous chunk's capped end until caught up
+    var fromV = 0L
+    var chunked = Seq.empty[String]
+    while (fromV < 8L) {
+      val chunk = read(fromV, Some(3L))
+      chunked ++= chunk.collect().map(_.toString)
+      fromV = math.min(8L, fromV + 3L)
+    }
+    assert(chunked.sorted == whole,
+      s"chunked reads diverged: ${chunked.size} vs ${whole.size} events")
+  }
+
   test("vacuum keeps retained change records, sweeps expired ones") {
     val path = fresh("vac")
     TxLog.create(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), path)

@@ -109,6 +109,35 @@ class TxLogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KEYLESS streaming CDF: the write-time capture feed, exact preimages per micro-batch") {
+    val path = freshDir("cdf_keyless")
+    TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0))), path)   // v1
+    TxLog.setProperties(spark, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                       // v2
+    val q = stream(path, "readChangeFeed" -> "true",
+      "sinceVersion" -> "latest").writeStream
+      .format("memory").queryName("txs_cdf_nk").outputMode("append").start()
+    try {
+      TxLog.deleteWhere(spark, path,
+        org.apache.spark.sql.functions.col("k") === 1L)              // v3
+      TxLog.updateWhere(spark, path, Seq("v" -> "v * 10"),
+        org.apache.spark.sql.functions.col("k") === 2L)              // v4
+      q.processAllAvailable()
+      val rows = spark.table("txs_cdf_nk").collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getString(3),
+          r.getLong(4))).toSet
+      assert(rows == Set(
+        (1L, 1.0, "delete", 3L),
+        (2L, 2.0, "update_preimage", 4L),
+        (2L, 20.0, "update_postimage", 4L)),
+        s"keyless streamed feed: $rows")
+      // schema carries the commit stamps
+      assert(spark.table("txs_cdf_nk").columns.toSeq ==
+        Seq("k", "cat", "v", "_change_type", "_commit_version",
+          "_commit_timestamp"))
+    } finally q.stop()
+  }
+
   test("sinceTimestamp: the tail starts after the version live at that instant") {
     val path = freshDir("since_ts")
     TxLog.create(keyed(Seq((1L, "a", 1.0))), path)          // v1
