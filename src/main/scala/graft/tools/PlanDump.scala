@@ -79,6 +79,22 @@ object PlanDump {
         spark.sql(
           s"SELECT * FROM graft_ann('$idx', '${qv.mkString(",")}', 10, 4)")
       },
+      // r16: the keyless write-time capture feed — the plan scans the
+      // commit's OWN change-record files under _change_data, never two
+      // whole-table snapshots with a key join (the O(changed rows)
+      // claim, visible in the scan's file listing)
+      "TxLog.changeFeed (keyless CDC: record-file scan, no snapshot join)" -> {
+        import org.apache.spark.sql.functions.col
+        import spark.implicits._
+        val t = java.nio.file.Files
+          .createTempDirectory("plandump_cdc").toString + "/t"
+        graft.storage.TxLog.create(
+          Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), t)
+        graft.storage.TxLog.setProperties(spark, t,
+          Map(graft.storage.TxLog.ChangeDataFeedProp -> "true"))
+        graft.storage.TxLog.deleteWhere(spark, t, col("k") === 1L)
+        graft.storage.TxLog.changeFeed(spark, t, 2L, 3L)
+      },
     )
     val body = picks.map { case (name, df) =>
       s"## $name\n\n```\n${df.queryExecution.explainString(

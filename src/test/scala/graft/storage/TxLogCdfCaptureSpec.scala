@@ -190,6 +190,40 @@ class TxLogCdfCaptureSpec extends SparkSpec {
       s"chunked reads diverged: ${chunked.size} vs ${whole.size} events")
   }
 
+  test("the keyless feed drives incremental view maintenance on a table with NO key") {
+    val path = fresh("mv")
+    // duplicate rows throughout — the keyed CDF (and therefore the
+    // old Mv pipeline) cannot serve this table at all
+    TxLog.create(Seq(("a", 1.0), ("a", 1.0), ("b", 2.0))
+      .toDF("grp", "v"), path)                                     // v1
+    TxLog.setProperties(spark, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                     // v2
+    var mv = Mv.aggregate(TxLog.read(spark, path, Some(2L)),
+      Seq("grp"), Seq("v"))
+    var last = 2L
+    def advance(commit: => Long): Unit = {
+      val v = commit
+      mv = Mv.applyDelta(mv,
+        TxLog.changeFeed(spark, path, last, v)
+          .drop("_commit_version", "_commit_timestamp"),
+        Seq("grp"), Seq("v"))
+      last = v
+    }
+    advance(TxLog.append(Seq(("a", 3.0), ("c", 4.0)).toDF("grp", "v"), path))
+    advance(TxLog.deleteWhere(spark, path,
+      col("grp") === "a" && col("v") === 1.0)) // drops BOTH duplicates
+    advance(TxLog.updateWhere(spark, path, Seq("v" -> "v + 100"),
+      col("grp") === "b"))
+    val got = mv.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Mv.aggregate(TxLog.read(spark, path), Seq("grp"), Seq("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"keyless-feed-maintained view diverged from the full recompute: " +
+        s"$got vs $want")
+  }
+
   test("vacuum keeps retained change records, sweeps expired ones") {
     val path = fresh("vac")
     TxLog.create(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), path)
