@@ -34,6 +34,13 @@ object TableFunctions {
       s"$fn: $what must be a non-null string literal, got $other")
   }
 
+  /** A TxLog-table argument: accepts a filesystem path OR a registered
+    * catalog NAME (resolved through `graft.catalog.warehouse`, exactly
+    * like every TXLOG verb) — the TVFs and the verbs spell targets the
+    * same way. */
+  private def litPath(fn: String, what: String, e: Expression): String =
+    graft.storage.Catalog.resolveTarget(active, litStr(fn, what, e))
+
   private def litLong(fn: String, what: String, e: Expression): Long = e match {
     case l: Literal if l.dataType == IntegerType && l.value != null =>
       l.value.asInstanceOf[Int].toLong
@@ -159,7 +166,7 @@ object TableFunctions {
         "graft_txlog(path[, version]) - snapshot read of the TxLog table at path; version time-travels"),
       (es: Seq[Expression]) => {
         arity("graft_txlog", es, 1 to 2)
-        plan(TxLog.read(active, litStr("graft_txlog", "path", es.head),
+        plan(TxLog.read(active, litPath("graft_txlog", "path", es.head),
           es.lift(1).map(litLong("graft_txlog", "version", _))))
       }),
     ("graft_txlog_history",
@@ -167,14 +174,14 @@ object TableFunctions {
         "graft_txlog_history(path) - commit history of the TxLog table at path"),
       (es: Seq[Expression]) => {
         arity("graft_txlog_history", es, 1 to 1)
-        plan(TxLog.history(active, litStr("graft_txlog_history", "path", es.head)))
+        plan(TxLog.history(active, litPath("graft_txlog_history", "path", es.head)))
       }),
     ("graft_txlog_tags",
       info("graft_txlog_tags",
         "graft_txlog_tags(path) - the table's retention-pinned named snapshots (tag, version)"),
       (es: Seq[Expression]) => {
         arity("graft_txlog_tags", es, 1 to 1)
-        val p = litStr("graft_txlog_tags", "path", es.head)
+        val p = litPath("graft_txlog_tags", "path", es.head)
         val s = active
         import s.implicits._
         plan(TxLog.tags(s, p).toSeq.sortBy(_._1).toDF("tag", "version"))
@@ -184,7 +191,7 @@ object TableFunctions {
         "graft_txlog_txns(path) - the table's per-app idempotency watermarks (app_id, txn_version)"),
       (es: Seq[Expression]) => {
         arity("graft_txlog_txns", es, 1 to 1)
-        val p = litStr("graft_txlog_txns", "path", es.head)
+        val p = litPath("graft_txlog_txns", "path", es.head)
         val s = active
         import s.implicits._
         val v = TxLog.currentVersion(s, p).getOrElse(
@@ -197,7 +204,7 @@ object TableFunctions {
         "graft_txlog_files(path[, version]) - per-file metadata inventory of the TxLog snapshot (partition dir, rows, size, DV-deleted rows, skip stats)"),
       (es: Seq[Expression]) => {
         arity("graft_txlog_files", es, 1 to 2)
-        plan(TxLog.files(active, litStr("graft_txlog_files", "path", es.head),
+        plan(TxLog.files(active, litPath("graft_txlog_files", "path", es.head),
           es.lift(1).map(litLong("graft_txlog_files", "version", _))))
       }),
     ("graft_topk",
@@ -221,7 +228,7 @@ object TableFunctions {
       (es: Seq[Expression]) => {
         arity("graft_txlog_appends", es, 2 to 3)
         plan(TxLog.appendsSince(active,
-          litStr("graft_txlog_appends", "path", es.head),
+          litPath("graft_txlog_appends", "path", es.head),
           litLong("graft_txlog_appends", "since_version", es(1)),
           es.lift(2).map(litLong("graft_txlog_appends", "to_version", _))))
       }),
@@ -231,7 +238,7 @@ object TableFunctions {
       (es: Seq[Expression]) => {
         arity("graft_txlog_between", es, 4 to 5)
         val fn = "graft_txlog_between"
-        plan(TxLog.readBetween(active, litStr(fn, "path", es.head),
+        plan(TxLog.readBetween(active, litPath(fn, "path", es.head),
           litStr(fn, "col", es(1)), litAny(fn, "lo", es(2)), litAny(fn, "hi", es(3)),
           es.lift(4).map(litLong(fn, "version", _))))
       }),
@@ -241,7 +248,7 @@ object TableFunctions {
       (es: Seq[Expression]) => {
         arity("graft_txlog_point", es, 3 to 3)
         val fn = "graft_txlog_point"
-        plan(TxLog.readByKey(active, litStr(fn, "path", es.head),
+        plan(TxLog.readByKey(active, litPath(fn, "path", es.head),
           litStr(fn, "col", es(1)), litAny(fn, "value", es(2))))
       }),
     ("graft_txlog_detail",
@@ -249,7 +256,7 @@ object TableFunctions {
         "graft_txlog_detail(path) - one-row table summary: version, layout, size, metadata row count, constraint counts, schema"),
       (es: Seq[Expression]) => {
         arity("graft_txlog_detail", es, 1 to 1)
-        plan(TxLog.detail(active, litStr("graft_txlog_detail", "path", es.head)))
+        plan(TxLog.detail(active, litPath("graft_txlog_detail", "path", es.head)))
       }),
     ("graft_txlog_asof",
       info("graft_txlog_asof",
@@ -257,7 +264,7 @@ object TableFunctions {
       (es: Seq[Expression]) => {
         arity("graft_txlog_asof", es, 2 to 2)
         val fn = "graft_txlog_asof"
-        plan(TxLog.readAsOf(active, litStr(fn, "path", es.head),
+        plan(TxLog.readAsOf(active, litPath(fn, "path", es.head),
           TxLog.parseTsMillis(litStr(fn, "ts", es(1)))))
       }),
     ("graft_txlog_count",
@@ -266,7 +273,7 @@ object TableFunctions {
       (es: Seq[Expression]) => {
         arity("graft_txlog_count", es, 1 to 2)
         val fn = "graft_txlog_count"
-        val p = litStr(fn, "path", es.head)
+        val p = litPath(fn, "path", es.head)
         val ver = es.lift(1).map(litLong(fn, "version", _))
         val (n, metaOnly) = TxLog.fastCount(active, p, ver) match {
           case Some(c) => (c, true)
@@ -286,7 +293,7 @@ object TableFunctions {
       (es: Seq[Expression]) => {
         arity("graft_txlog_constraints", es, 1 to 2)
         val fn = "graft_txlog_constraints"
-        val p = litStr(fn, "path", es.head)
+        val p = litPath(fn, "path", es.head)
         val ver = es.lift(1).map(litLong(fn, "version", _))
         val rows: java.util.List[org.apache.spark.sql.Row] =
           java.util.Arrays.asList(
@@ -312,7 +319,7 @@ object TableFunctions {
       (es: Seq[Expression]) => {
         arity("graft_txlog_properties", es, 1 to 2)
         val fn = "graft_txlog_properties"
-        val p = litStr(fn, "path", es.head)
+        val p = litPath(fn, "path", es.head)
         val ver = es.lift(1).map(litLong(fn, "version", _))
         val rows: java.util.List[org.apache.spark.sql.Row] =
           java.util.Arrays.asList(
@@ -332,7 +339,7 @@ object TableFunctions {
       (es: Seq[Expression]) => {
         arity("graft_txlog_partitions", es, 1 to 2)
         val fn = "graft_txlog_partitions"
-        plan(TxLog.partitions(active, litStr(fn, "path", es.head),
+        plan(TxLog.partitions(active, litPath(fn, "path", es.head),
           es.lift(1).map(litLong(fn, "version", _))))
       }),
     // ---- the similarity/ANN family through pure SQL: the same
@@ -508,7 +515,7 @@ object TableFunctions {
       (es: Seq[Expression]) => {
         arity("graft_table_health", es, 1 to 2)
         val fn = "graft_table_health"
-        plan(Layout.tableHealth(active, litStr(fn, "path", es.head),
+        plan(Layout.tableHealth(active, litPath(fn, "path", es.head),
           targetBytes = es.lift(1).map(litLong(fn, "target_mb", _))
             .getOrElse(128L) << 20))
       }),
@@ -517,7 +524,7 @@ object TableFunctions {
         "graft_txlog_cdf(path, from_version, to_version[, keys_csv]) - change-data feed between two versions: with keys, the per-key snapshot diff; without, the keyless write-time capture feed (needs graft.changeDataFeed)"),
       (es: Seq[Expression]) => {
         arity("graft_txlog_cdf", es, 3 to 4)
-        val p = litStr("graft_txlog_cdf", "path", es.head)
+        val p = litPath("graft_txlog_cdf", "path", es.head)
         val from = litLong("graft_txlog_cdf", "from_version", es(1))
         val to = litLong("graft_txlog_cdf", "to_version", es(2))
         es.lift(3) match {

@@ -5401,10 +5401,18 @@ object TxLog {
     * a RESTORE) refuses loudly — serving a guess would corrupt every
     * downstream replica. Columns match across renames by PHYSICAL
     * identity, schema evolution pads typed nulls (the [[changes]]
-    * alignment rules). */
+    * alignment rules).
+    *
+    * Plan shape at scale: versions GROUP BY SCHEMA ERA (identical
+    * schemaDdl + colMap + partitionSpec), one scan per (era, kind) —
+    * all of an era's record files in one scan with the commit stamps
+    * joined back from the record's own uuid directory, all of an
+    * era's added files in one scan with stamps joined from the file
+    * suffix — so a 10^4-version backfill window plans a handful of
+    * scans, never a 10^4-way union. */
   def changeFeed(spark: SparkSession, path: String, fromVersion: Long,
                  toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, regexp_extract}
     require(fromVersion <= toVersion,
       s"TxLog.changeFeed: fromVersion $fromVersion is past toVersion " +
         s"$toVersion — the feed runs forward only")
@@ -5417,37 +5425,13 @@ object TxLog {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("_commit_timestamp",
         org.apache.spark.sql.types.TimestampType)))
-    def insertsOf(v: Long, files: Seq[String]): DataFrame = {
-      val mv = manifest(spark, path, v)
-      val vSchema = StructType.fromDDL(mv.schemaDdl)
-      // added files carry no DV at their birth commit
-      val df = readFiles(spark, path, vSchema, files, mv.colMap, Nil,
-        recoverPartitions = mv.partitionSpec.isEmpty)
-      df.select(target.fields.map { tf =>
-        val phys = physOf(mTarget, tf.name)
-        val vLogical = mv.colMap.find(_._2 == phys).map(_._1).getOrElse(phys)
-        if (df.columns.contains(vLogical)) col(vLogical).cast(tf.dataType).as(tf.name)
-        else lit(null).cast(tf.dataType).as(tf.name)
-      }.toIndexedSeq :+ lit("insert").as("_change_type"): _*)
-    }
-    def fromRecord(names: Seq[String]): DataFrame = {
-      val raw = spark.read.parquet(
-        names.map(n => new Path(cdcDir(path), n).toString): _*)
-      raw.select(target.fields.map { tf =>
-        val phys = physOf(mTarget, tf.name)
-        if (raw.columns.contains(phys)) col(phys).cast(tf.dataType).as(tf.name)
-        else lit(null).cast(tf.dataType).as(tf.name)
-      }.toIndexedSeq :+ col("_change_type"): _*)
-    }
-    val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
+    // classify every version in the window (metadata-only walk)
+    final case class Src(v: Long, tsMs: Option[Long], record: Seq[String],
+                         adds: Seq[String])
+    val sources: Seq[Src] = ((fromVersion + 1) to toVersion).flatMap { v =>
       val node = readCommitNode(spark, path, v)
       val op = Option(node.get("operation")).map(_.asText()).getOrElse("")
       val tsMs = Option(node.get("ts")).map(_.asLong())
-      def stamp(df: DataFrame): DataFrame = df
-        .withColumn("_commit_version", lit(v))
-        .withColumn("_commit_timestamp",
-          tsMs.map(t => lit(new java.sql.Timestamp(t)))
-            .getOrElse(lit(null)).cast("timestamp"))
       def arr(field: String): Seq[String] =
         Option(node.get(field)).toSeq.flatMap(a =>
           (0 until a.size()).map(a.get(_).asText()))
@@ -5456,7 +5440,7 @@ object TxLog {
           (0 until a.size()).map(a.get(_).get("f").asText()))
       if (node.has("cdc")) {
         val names = arr("cdc")
-        if (names.isEmpty) None else Some(stamp(fromRecord(names)))
+        if (names.isEmpty) None else Some(Src(v, tsMs, names, Nil))
       } else if (node.has("baseRef"))
         throw new UnsupportedOperationException(
           s"TxLog.changeFeed: v$v at $path ($op) is a ref commit with no " +
@@ -5465,7 +5449,7 @@ object TxLog {
             "from this version")
       else if (node.has("files")) {
         if (op == "CREATE" || op == "CONVERT")
-          Some(stamp(insertsOf(v, arr("files"))))
+          Some(Src(v, tsMs, Nil, arr("files")))
         else throw new UnsupportedOperationException(
           s"TxLog.changeFeed: v$v at $path ($op) replaced the table with " +
             "no change record — declare graft.changeDataFeed=true before " +
@@ -5477,7 +5461,7 @@ object TxLog {
         else if (!rowChanging) {
           val adds = addFiles
           if (adds.isEmpty) None // metadata-only commit
-          else Some(stamp(insertsOf(v, adds)))
+          else Some(Src(v, tsMs, Nil, adds))
         } else throw new UnsupportedOperationException(
           s"TxLog.changeFeed: v$v at $path ($op) changed rows with no " +
             "change record — it committed before graft.changeDataFeed was " +
@@ -5485,6 +5469,71 @@ object TxLog {
             "feed after the declaration")
       }
     }
+    import spark.implicits._
+    def tsLit(tsMs: Option[Long]) =
+      tsMs.map(t => new java.sql.Timestamp(t)).orNull
+    def alignToTarget(df: DataFrame,
+                      logicalOf: String => String): Seq[org.apache.spark.sql.Column] =
+      target.fields.map { tf =>
+        val vName = logicalOf(tf.name)
+        if (df.columns.contains(vName)) col(vName).cast(tf.dataType).as(tf.name)
+        else lit(null).cast(tf.dataType).as(tf.name)
+      }.toIndexedSeq
+    def eraKey(v: Long): (String, Seq[(String, String)], Seq[String]) = {
+      val mv = manifest(spark, path, v)
+      (mv.schemaDdl, mv.colMap, mv.partitionSpec)
+    }
+    // record scans: one per schema era; each record row finds its
+    // commit stamps through the uuid directory the capture staged it
+    // under (a broadcast uuid -> (version, ts) map, never a per-version
+    // plan branch)
+    val recordFrames = sources.filter(_.record.nonEmpty).groupBy(s => eraKey(s.v))
+      .values.toSeq.sortBy(_.head.v).map { group =>
+      val stamps = group.flatMap(s => s.record.map(_.split('/').head)
+        .distinct.map(u => (u, s.v, tsLit(s.tsMs))))
+        .toDF("_cdc_dir", "_commit_version", "_commit_timestamp")
+      val raw = spark.read.parquet(group.flatMap(_.record)
+        .map(n => new Path(cdcDir(path), n).toString): _*)
+      raw
+        .withColumn("_cdc_dir",
+          regexp_extract(input_file_name(), "_change_data/([^/]+)/", 1))
+        .join(broadcast(stamps), "_cdc_dir")
+        .select(alignToTarget(raw, n => physOf(mTarget, n))
+          :+ col("_change_type") :+ col("_commit_version")
+          :+ col("_commit_timestamp"): _*)
+    }
+    // insert synthesis: one scan per schema era over the union of the
+    // era's added files; each row finds its commit stamps through its
+    // file's data-root-relative suffix (the _dv_key column readFiles
+    // computes — the same identity the manifests use)
+    val insertFrames = sources.filter(_.adds.nonEmpty).groupBy(s => eraKey(s.v))
+      .values.toSeq.sortBy(_.head.v).map { group =>
+      val mv = manifest(spark, path, group.head.v)
+      val vSchema = StructType.fromDDL(mv.schemaDdl)
+      // the scan's _dv_key comes from input_file_name (URI-encoded);
+      // manifest entries are raw — stamp BOTH spellings so a partition
+      // value needing encoding can never silently drop its rows
+      // (the entryResolver two-form rule)
+      val stamps = group.flatMap(s => s.adds.flatMap { f =>
+          val raw = relEntry(f)
+          val enc = new java.net.URI(null, null, "/" + raw, null)
+            .getRawPath.stripPrefix("/")
+          Seq(raw, enc).distinct.map(k => (k, s.v, tsLit(s.tsMs)))
+        })
+        .toDF("_dv_key", "_commit_version", "_commit_timestamp")
+      // added files carry no DV at their birth commit
+      val df = readFiles(spark, path, vSchema,
+        group.flatMap(_.adds), mv.colMap, Nil, keepDvKey = true,
+        recoverPartitions = mv.partitionSpec.isEmpty)
+      df.join(broadcast(stamps), "_dv_key")
+        .select(alignToTarget(df, { n =>
+            val phys = physOf(mTarget, n)
+            mv.colMap.find(_._2 == phys).map(_._1).getOrElse(phys)
+          })
+          :+ lit("insert").as("_change_type") :+ col("_commit_version")
+          :+ col("_commit_timestamp"): _*)
+    }
+    val frames = recordFrames ++ insertFrames
     if (frames.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)

@@ -454,6 +454,28 @@ class SqlSurfaceSpec extends SparkSpec {
       Dedup.kfoldSplit(docs, pairs, k = 4), "graft_split_kfold")
   }
 
+  test("TxLog TVFs accept catalog NAMES like the TXLOG verbs do") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_tvf_names").toString
+    val prev = spark.conf.getOption("graft.catalog.warehouse")
+    spark.conf.set("graft.catalog.warehouse", wh)
+    try {
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+        .createOrReplaceTempView("tvf_names_src")
+      graft.tools.Sql.exec(spark,
+        "TXLOG CREATE 'named_t' AS SELECT * FROM tvf_names_src")
+      assert(spark.sql("SELECT sum(k) FROM graft_txlog('named_t')")
+        .head().getLong(0) == 3L, "graft_txlog must resolve the name")
+      assert(spark.sql("SELECT count(*) FROM graft_txlog_history('named_t')")
+        .head().getLong(0) >= 1L)
+      assert(spark.sql("SELECT rows FROM graft_txlog_count('named_t')")
+        .head().getLong(0) == 2L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.catalog.warehouse", v)
+      case None => spark.conf.unset("graft.catalog.warehouse")
+    }
+  }
+
   test("graft_table_health serves the maintenance advisor through SQL") {
     import spark.implicits._
     val dir = java.nio.file.Files

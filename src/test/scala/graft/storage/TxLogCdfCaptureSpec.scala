@@ -190,6 +190,32 @@ class TxLogCdfCaptureSpec extends SparkSpec {
       s"chunked reads diverged: ${chunked.size} vs ${whole.size} events")
   }
 
+  test("auto-compaction heals are invisible to the keyless feed") {
+    val path = fresh("ac")
+    TxLog.create(Seq((0L, "p0", 0.0)).toDF("k", "part", "v"),
+      path, Some("part"))
+    TxLog.setProperties(spark, path, Map(
+      TxLog.ChangeDataFeedProp -> "true",
+      TxLog.AutoCompactProp -> "true"))
+    // enough tiny appends to trip the small-file heal (default
+    // threshold 8): the follow-on OPTIMIZE commit rewrites the
+    // partition but changes no rows — the feed must carry exactly the
+    // appended inserts and nothing else
+    (1 to 9).foreach(i =>
+      TxLog.append(Seq((i.toLong, "p0", i.toDouble)).toDF("k", "part", "v")
+        .coalesce(1), path))
+    val head = TxLog.currentVersion(spark, path).get
+    val ops = TxLog.history(spark, path)
+      .select("operation").as[String].collect()
+    assert(ops.exists(_.startsWith("OPTIMIZE")),
+      s"precondition: the heal must have fired ($ops)")
+    val feed = TxLog.changeFeed(spark, path, 2L, head)
+    assert(feed.count() == 9L,
+      "the heal's rewrite must contribute no events")
+    assert(feed.select("_change_type").distinct()
+      .as[String].collect().toSeq == Seq("insert"))
+  }
+
   test("the keyless feed drives incremental view maintenance on a table with NO key") {
     val path = fresh("mv")
     // duplicate rows throughout — the keyed CDF (and therefore the
