@@ -5362,7 +5362,15 @@ object TxLog {
     * stays metadata-only for the feed too. Staging happens BEFORE the
     * commit that references it: a crash leaves an orphan dir (swept by
     * vacuum behind the stale-write age guard), never a commit whose
-    * change record is missing. */
+    * change record is missing.
+    *
+    * Determinism posture: the MERGE-ON-READ modes derive their record
+    * from the materialized matched set / the written DV sidecar —
+    * exact under non-deterministic predicates; the REWRITE modes
+    * re-evaluate the predicate for the record, the same documented
+    * posture those operators already take for the rewrite itself
+    * (deterministic conditions — the overwhelming case — are exact
+    * everywhere). */
   private def captureCdc(spark: SparkSession, path: String, m: Manifest,
                          frame: => DataFrame): Option[Seq[String]] =
     if (!cdfDeclared(m)) None
@@ -5525,12 +5533,22 @@ object TxLog {
       val df = readFiles(spark, path, vSchema,
         group.flatMap(_.adds), mv.colMap, Nil, keepDvKey = true,
         recoverPartitions = mv.partitionSpec.isEmpty)
-      df.join(broadcast(stamps), "_dv_key")
+      // LEFT join + in-plan guard: a scan key neither stamp spelling
+      // matched would otherwise DROP its rows silently — fail loud
+      // instead (costs nothing: a codegen'd null check, no extra pass)
+      df.join(broadcast(stamps), Seq("_dv_key"), "left")
         .select(alignToTarget(df, { n =>
             val phys = physOf(mTarget, n)
             mv.colMap.find(_._2 == phys).map(_._1).getOrElse(phys)
           })
-          :+ lit("insert").as("_change_type") :+ col("_commit_version")
+          :+ lit("insert").as("_change_type")
+          :+ org.apache.spark.sql.functions.when(
+              col("_commit_version").isNull,
+              org.apache.spark.sql.functions.raise_error(
+                org.apache.spark.sql.functions.concat(
+                  lit(s"TxLog.changeFeed: scan file key "), col("_dv_key"),
+                  lit(" maps to no commit in the window at " + path))))
+            .otherwise(col("_commit_version")).as("_commit_version")
           :+ col("_commit_timestamp"): _*)
     }
     val frames = recordFrames ++ insertFrames

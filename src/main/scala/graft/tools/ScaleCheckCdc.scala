@@ -53,6 +53,33 @@ object ScaleCheckCdc {
       (feed, diff, capture)
     }
 
+    // wide-window shape: N captured commits read in ONE feed — the
+    // era-grouped planner must keep the plan a handful of scans, so
+    // the read cost tracks total changed rows, not version count
+    def wideWindow(commits: Int): Double = {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"scalecdc_wide_$commits").toString + "/t"
+      TxLog.create(
+        spark.range(0, 100000L).select(col("id").as("k"),
+          (col("id") % 8).cast("string").as("part"), lit(1.0).as("v")),
+        path, partitionCols = Seq("part"), statsCols = Seq("k"))
+      TxLog.setProperties(spark, path,
+        Map(TxLog.ChangeDataFeedProp -> "true"))
+      (0 until commits).foreach(i =>
+        TxLog.deleteWhere(spark, path,
+          col("k") >= i * 10L && col("k") < i * 10L + 10L))
+      val head = TxLog.currentVersion(spark, path).get
+      TxLog.changeFeed(spark, path, 2L, head).count() // warm
+      timed { require(TxLog.changeFeed(spark, path, 2L, head).count() ==
+        commits * 10L) }
+    }
+    val w20 = wideWindow(20)
+    val w100 = wideWindow(100)
+    println(f"[scalecdc] wide window (era-grouped plan): 20-commit feed " +
+      f"${w20}%6.2f s, 100-commit feed ${w100}%6.2f s -> ${w100 / w20}%4.1fx " +
+      "at 5x versions (expect sub-linear: one scan per schema era, " +
+      "never one per version)")
+
     val (f1, d1, c1) = measure(100000L)
     val (f10, d10, c10) = measure(1000000L)
     println(f"[scalecdc] changeFeed(v-1,v) after a 100-row delete: " +
