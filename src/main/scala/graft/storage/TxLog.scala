@@ -5602,10 +5602,32 @@ object TxLog {
       }.toIndexedSeq: _*)
     }
     val nonKey = target.fieldNames.filterNot(keys.contains).toSeq
-    val o = aligned(fromVersion)
+    // r16 fast path: a FORWARD single-commit window over a feed-servable
+    // commit diffs the commit's OWN change record instead of two whole
+    // snapshots — O(changed rows), the version-granular shape every
+    // incremental consumer (Mv, the streaming CDC relay) actually
+    // reads. The record's old/new subsets feed the SAME diff core the
+    // snapshots would, so semantics are identical: untouched keys are
+    // in neither subset, a no-op update (or a delete+identical
+    // reinsert) compares equal and drops, a key-moving update
+    // surfaces as delete+insert. Any refusal (uncaptured row change,
+    // RESTORE) falls back to the snapshot diff.
+    val recordSides: Option[(DataFrame, DataFrame)] =
+      if (toVersion != fromVersion + 1) None
+      else try {
+        val feed = changeFeed(spark, path, fromVersion, toVersion)
+        Some((
+          feed.filter(col("_change_type").isin("delete", "update_preimage"))
+            .select(target.fieldNames.map(col).toIndexedSeq: _*),
+          feed.filter(col("_change_type").isin("insert", "update_postimage"))
+            .select(target.fieldNames.map(col).toIndexedSeq: _*)))
+      } catch { case _: UnsupportedOperationException => None }
+    val (oBase, nBase) = recordSides
+      .getOrElse((aligned(fromVersion), aligned(toVersion)))
+    val o = oBase
       .select(keys.map(col) ++ nonKey.map(c => col(c).as(s"_o_$c"))
         :+ lit(true).as("_o_present"): _*)
-    val n = aligned(toVersion)
+    val n = nBase
       .select(keys.map(col) ++ nonKey.map(c => col(c).as(s"_n_$c"))
         :+ lit(true).as("_n_present"): _*)
     val joined = o.join(n, keys, "full_outer")

@@ -25,32 +25,38 @@ object ScaleCheckCdc {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    def build(rows: Long): String = {
+    def build(rows: Long, declare: Boolean): String = {
       val path = java.nio.file.Files
-        .createTempDirectory(s"scalecdc_$rows").toString + "/t"
+        .createTempDirectory(s"scalecdc_${rows}_$declare").toString + "/t"
       TxLog.create(
         spark.range(0, rows).select(col("id").as("k"),
           (col("id") % 8).cast("string").as("part"),
           lit(1.0).as("v")),
         path, partitionCols = Seq("part"), statsCols = Seq("k"))
-      TxLog.setProperties(spark, path,
+      if (declare) TxLog.setProperties(spark, path,
         Map(TxLog.ChangeDataFeedProp -> "true"))
       // the measured commit: a 100-row needle delete
       TxLog.deleteWhere(spark, path, col("k") < 100L)
       path
     }
 
-    def measure(rows: Long): (Double, Double, Double) = {
-      val path = build(rows)
+    def measure(rows: Long): (Double, Double, Double, Double) = {
+      val path = build(rows, declare = true)
+      val twin = build(rows, declare = false) // snapshot-diff baseline
       val v = TxLog.currentVersion(spark, path).get
       // warm one read so codegen/JIT is out of the timing
       TxLog.changeFeed(spark, path, v - 1, v).count()
       val feed = timed(TxLog.changeFeed(spark, path, v - 1, v).count())
-      val diff = timed(
+      // keyed changes() on the DECLARED table takes the record fast
+      // path (r16); the undeclared twin pays the two-snapshot join
+      val diffFast = timed(
         TxLog.changes(spark, path, v - 1, v, Seq("k")).count())
+      val tv = TxLog.currentVersion(spark, twin).get
+      val diffSnap = timed(
+        TxLog.changes(spark, twin, tv - 1, tv, Seq("k")).count())
       val capture = timed(
         TxLog.deleteWhere(spark, path, col("k") < 200L))
-      (feed, diff, capture)
+      (feed, diffFast, diffSnap, capture)
     }
 
     // wide-window shape: N captured commits read in ONE feed — the
@@ -80,15 +86,18 @@ object ScaleCheckCdc {
       "at 5x versions (expect sub-linear: one scan per schema era, " +
       "never one per version)")
 
-    val (f1, d1, c1) = measure(100000L)
-    val (f10, d10, c10) = measure(1000000L)
+    val (f1, df1, ds1, c1) = measure(100000L)
+    val (f10, df10, ds10, c10) = measure(1000000L)
     println(f"[scalecdc] changeFeed(v-1,v) after a 100-row delete: " +
       f"10^5-row table ${f1}%6.3f s, 10^6-row table ${f10}%6.3f s -> " +
       f"${f10 / f1}%4.1fx at 10x rows (expect ~flat: reads the record, " +
       "never the snapshots)")
-    println(f"[scalecdc] keyed snapshot diff on the same windows: " +
-      f"${d1}%6.3f s vs ${d10}%6.3f s -> ${d10 / d1}%4.1fx at 10x rows " +
-      "(expect ~linear: two snapshot scans per window)")
+    println(f"[scalecdc] KEYED changes(v-1,v), declared table (record " +
+      f"fast path): ${df1}%6.3f s vs ${df10}%6.3f s -> " +
+      f"${df10 / df1}%4.1fx at 10x rows (expect ~flat)")
+    println(f"[scalecdc] KEYED changes(v-1,v), undeclared twin (two-" +
+      f"snapshot join): ${ds1}%6.3f s vs ${ds10}%6.3f s — the cost the " +
+      "fast path removes")
     println(f"[scalecdc] captured DELETE commit: ${c1}%6.3f s vs " +
       f"${c10}%6.3f s -> ${c10 / c1}%4.1fx at 10x rows (discovery scan " +
       "dominates; the capture itself is touched-rows-sized)")

@@ -106,6 +106,55 @@ class TxLogCdfCaptureSpec extends SparkSpec {
       keepPolicies = true))
   }
 
+  test("keyed changes() fast path ≡ snapshot diff: twin tables, one declared, one not") {
+    // the SAME history lands on a CDF-declared table (single-commit
+    // windows diff the record — O(changed rows)) and an undeclared
+    // twin (two-snapshot diff); the outputs must match byte-for-byte,
+    // including the cases that distinguish the algorithms: a NO-OP
+    // update (merge re-presenting identical values — both must drop
+    // it), a replaceWhere delete+reinsert of the SAME key with new
+    // values (net update), and a key-moving update (delete+insert).
+    val decl = fresh("twin_d")
+    val twin = fresh("twin_u")
+    def build(path: String, declare: Boolean): Unit = {
+      TxLog.create(Seq((1L, "p1", 1.0), (2L, "p1", 2.0), (3L, "p2", 3.0))
+        .toDF("k", "part", "v"), path, Some("part"))
+      if (declare) TxLog.setProperties(spark, path,
+        Map(TxLog.ChangeDataFeedProp -> "true"))
+      else TxLog.setProperties(spark, path, Map("tier" -> "twin"))
+      // merge: k=2 NO-OP (identical values), k=4 insert, k=3 update
+      TxLog.mergeInto(path, Seq((2L, "p1", 2.0), (3L, "p2", 30.0),
+        (4L, "p2", 4.0)).toDF("k", "part", "v"), Seq("k"))
+      // replaceWhere p2: k=3 reinserted with a NEW value (net update),
+      // k=4 reinserted IDENTICAL (net nothing), k=5 fresh (net insert)
+      TxLog.replaceWhere(Seq((3L, "p2", 300.0), (4L, "p2", 4.0),
+        (5L, "p2", 5.0)).toDF("k", "part", "v"), path,
+        col("part") === "p2")
+      // key-moving update: k=1 -> k=100 (diff on k: delete + insert)
+      TxLog.updateWhere(spark, path, Seq("k" -> "100"), col("k") === 1L)
+    }
+    build(decl, declare = true)
+    build(twin, declare = false)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    (2L to 4L).foreach { v =>
+      Seq(false, true).foreach { pre =>
+        val fast = TxLog.changes(spark, decl, v, v + 1, Seq("k"),
+          withPreimages = pre)
+        val slow = TxLog.changes(spark, twin, v, v + 1, Seq("k"),
+          withPreimages = pre)
+        assert(rows(fast) == rows(slow),
+          s"v$v->v${v + 1} (preimages=$pre): fast ${rows(fast)} " +
+            s"vs snapshot ${rows(slow)}")
+      }
+    }
+    // the no-op merge window nets exactly {insert 4, update 3}
+    val net = TxLog.changes(spark, decl, 2L, 3L, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(net == Set((4L, "insert"), (3L, "update")),
+      s"no-op update must drop: $net")
+  }
+
   test("OPTIMIZE is skipped; uncaptured row changes and RESTORE refuse loudly") {
     val path = fresh("gaps")
     TxLog.create(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), path)   // v1
