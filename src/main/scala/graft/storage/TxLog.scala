@@ -2593,8 +2593,20 @@ object TxLog {
             require(declared.contains(c),
               s"TxLog.setProperties: $p column '$c' is not in the " +
                 s"schema (${declared.toSeq.sorted.mkString(", ")})"))))
+      // the change feed's meta columns are reserved on declared tables
+      // (Delta reserves the same names): a schema column named
+      // _change_type would collide with every captured record
+      if (props.get(ChangeDataFeedProp).exists(_.equalsIgnoreCase("true")))
+        CdfReservedCols.foreach(c => require(!declared.contains(c),
+          s"TxLog.setProperties: $ChangeDataFeedProp=true reserves " +
+            s"column name '$c' for the change feed — rename the " +
+            "schema column first"))
     }
   }
+
+  /** Column names the change feed claims on a declared table. */
+  private[graft] val CdfReservedCols =
+    Seq("_change_type", "_commit_version", "_commit_timestamp")
 
   def setProperties(spark: SparkSession, path: String,
                     props: Map[String, String]): Long = {
@@ -2611,6 +2623,14 @@ object TxLog {
                 s"TxLog.setProperties: $p column '$c' is not " +
                   s"in the schema (${m.schemaDdl})"))
           })
+        // declaring the change feed reserves its meta column names
+        if (props.get(ChangeDataFeedProp).exists(_.equalsIgnoreCase("true"))) {
+          val declared = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+          CdfReservedCols.foreach(c => require(!declared.contains(c),
+            s"TxLog.setProperties: $ChangeDataFeedProp=true reserves " +
+              s"column name '$c' for the change feed — rename the " +
+              "schema column first"))
+        }
         // appendOnly and autoCompact are mutually exclusive: the
         // compaction heal REMOVES files, which is exactly what the
         // append-only contract forbids — refuse the combination in
@@ -3378,6 +3398,9 @@ object TxLog {
         s"TxLog.renameColumn: no column '$oldName' in ${attempt.schemaDdl}")
       require(!declared.fieldNames.contains(newName),
         s"TxLog.renameColumn: column '$newName' already exists")
+      require(!(cdfDeclared(attempt) && CdfReservedCols.contains(newName)),
+        s"TxLog.renameColumn: '$newName' is reserved by the declared " +
+          s"change feed ($ChangeDataFeedProp=true)")
       require(!columnDefaults(attempt).contains(oldName) &&
           !generatedColumns(attempt).contains(oldName) &&
           !identityColumns(attempt).contains(oldName),
@@ -3500,6 +3523,9 @@ object TxLog {
           default.map(e => DefaultPrefix + name -> e).toSeq
       require(!attempt.partitionCols.contains(name),
         s"TxLog.addColumn: '$name' collides with a partition directory name")
+      require(!(cdfDeclared(attempt) && CdfReservedCols.contains(name)),
+        s"TxLog.addColumn: '$name' is reserved by the declared change " +
+          s"feed ($ChangeDataFeedProp=true)")
       // physical slots the files may already spell: every live
       // column's physical name plus every colMap target (renames AND
       // drop tombstones)

@@ -326,6 +326,36 @@ class TxLogCdfCaptureSpec extends SparkSpec {
         s"$got vs $want")
   }
 
+  test("the feed's meta column names are reserved on declared tables") {
+    val path = fresh("resv")
+    TxLog.create(Seq((1L, "x")).toDF("k", "_change_type"), path)
+    // declaring over a colliding schema refuses
+    val e1 = intercept[IllegalArgumentException] {
+      TxLog.setProperties(spark, path,
+        Map(TxLog.ChangeDataFeedProp -> "true"))
+    }
+    assert(e1.getMessage.contains("reserves"), e1.getMessage)
+    // a declared table refuses growing/renaming INTO the reserved names
+    val clean = fresh("resv2")
+    TxLog.create(Seq((1L, 1.0)).toDF("k", "v"), clean)
+    TxLog.setProperties(spark, clean,
+      Map(TxLog.ChangeDataFeedProp -> "true"))
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.addColumn(spark, clean, "_commit_version", "BIGINT")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      TxLog.renameColumn(spark, clean, "v", "_change_type")
+    }
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
+    // and the pre-create door refuses too
+    intercept[IllegalArgumentException] {
+      TxLog.validateProperties(
+        Map(TxLog.ChangeDataFeedProp -> "true"),
+        Some(Set("k", "_commit_timestamp")))
+    }
+  }
+
   test("vacuum keeps retained change records, sweeps expired ones") {
     val path = fresh("vac")
     TxLog.create(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), path)
