@@ -326,6 +326,26 @@ class TxLogCdfCaptureSpec extends SparkSpec {
         s"$got vs $want")
   }
 
+  test("schema evolution splits eras: pre-widen inserts pad the new column with nulls") {
+    val path = fresh("eras")
+    TxLog.create(Seq((1L, 1.0)).toDF("k", "v"), path)            // v1
+    TxLog.setProperties(spark, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                   // v2
+    TxLog.append(Seq((2L, 2.0)).toDF("k", "v"), path)            // v3: old era
+    TxLog.append(Seq((3L, 3.0, "x")).toDF("k", "v", "tag"), path,
+      evolveSchema = true)                                       // v4: widened
+    TxLog.deleteWhere(spark, path, col("k") === 1L)              // v5: record era
+    val feed = TxLog.changeFeed(spark, path, 2L, 5L)
+    val got = feed.collect().map(r => (r.getLong(0),
+      Option(r.get(2)).map(_.toString).orNull, r.getString(3),
+      r.getLong(4))).toSet
+    assert(got == Set(
+      (2L, null, "insert", 3L),   // pre-widen era: tag pads null
+      (3L, "x", "insert", 4L),    // widened era carries the new column
+      (1L, null, "delete", 5L)),  // the record era (v1's row predates tag)
+      s"era-split feed: $got")
+  }
+
   test("the feed's meta column names are reserved on declared tables") {
     val path = fresh("resv")
     TxLog.create(Seq((1L, "x")).toDF("k", "_change_type"), path)
