@@ -72,6 +72,8 @@ object Sql {
     """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+TXN\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*\)\s+(.+)""".r
   private val AppendRe =
     """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+(.+)""".r
+  private val ApplyChangesRe =
+    """(?is)\s*TXLOG\s+APPLY\s+CHANGES\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+(SELECT.+)""".r
   private val CopyIntoRe =
     """(?is)\s*TXLOG\s+COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:FORMAT\s+(\w+))?\s*(?:PATTERN\s+'([^']+)')?\s*(FORCE)?\s*(MERGESCHEMA)?\s*""".r
   private val MergeWhenHeadRe =
@@ -409,6 +411,13 @@ object Sql {
       case AppendTxnRe(path, appId, txnV, select) =>
         asDf(graft.storage.TxLog.appendTxn(spark.sql(select), rt(path),
           appId, txnV.toLong))
+      // the CDC CONSUMER side in pure SQL: pair with the
+      // graft_txlog_cdf TVF for a whole replication loop in one
+      // statement — TXLOG APPLY CHANGES INTO 'replica' ON k
+      // SELECT * FROM graft_txlog_cdf('primary', 1, 3, 'k')
+      case ApplyChangesRe(path, keys, select) =>
+        asDf(graft.storage.TxLog.applyChanges(rt(path), spark.sql(select),
+          keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       case CopyIntoRe(path, srcDir, fmt, pat, force, mergeSch) =>
         val (n, v) = graft.storage.CopyInto.copyInto(spark, rt(path), srcDir,
           Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
@@ -597,6 +606,7 @@ object Sql {
             "  TXLOG CREATE [OR REPLACE] '<path>' [PARTITION BY <col>] AS <select>\n" +
             "  TXLOG APPEND INTO '<path>' <select>\n" +
             "  TXLOG COPY INTO '<path>' FROM '<dir>' [FORMAT PARQUET|JSONL] [PATTERN '<glob>'] [FORCE] [MERGESCHEMA]\n" +
+            "  TXLOG APPLY CHANGES INTO '<path>' ON k1[,k2...] <select of a CDF feed>\n" +
             "  TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>\n" +
             "  TXLOG DELETE FROM '<path>' WHERE <condition>\n" +
             "  TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>\n" +

@@ -476,6 +476,33 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("TXLOG APPLY CHANGES: the whole CDC replication loop in pure SQL") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sql_cdc_loop").toString
+    val primary = s"$root/primary"
+    val replica = s"$root/replica"
+    graft.storage.TxLog.create(
+      Seq((1L, "p1", 1.0), (2L, "p1", 2.0), (3L, "p2", 3.0))
+        .toDF("k", "part", "v"), primary, Some("part"))          // v1
+    graft.storage.TxLog.create(
+      graft.storage.TxLog.read(spark, primary, Some(1L)), replica,
+      Some("part"))
+    graft.storage.TxLog.mergeInto(primary,
+      Seq((2L, "p1", 20.0), (4L, "p2", 4.0)).toDF("k", "part", "v"),
+      Seq("k"))                                                  // v2
+    graft.storage.TxLog.deleteWhere(spark, primary, col("k") === 1L) // v3
+    // produce the feed AND apply it, both as SQL strings
+    val out = graft.tools.Sql.exec(spark,
+      s"TXLOG APPLY CHANGES INTO '$replica' ON k " +
+        s"SELECT * FROM graft_txlog_cdf('$primary', 1, 3, 'k')")
+    assert(out.head().getLong(0) >= 2L, "the apply must commit")
+    def rows(p: String) = graft.storage.TxLog.read(spark, p)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(replica) == rows(primary),
+      "the SQL-driven replica must equal the primary head")
+  }
+
   test("graft_table_health serves the maintenance advisor through SQL") {
     import spark.implicits._
     val dir = java.nio.file.Files
