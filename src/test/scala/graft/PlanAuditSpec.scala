@@ -113,6 +113,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"single-reducer exchange:\n$p")
   }
 
+  test("graft_sample_per_group TVF plans through the native TopKPerGroup — no per-group sort") {
+    import spark.implicits._
+    (0 until 500).map(i => (i.toLong, s"src_${i % 4}"))
+      .toDF("doc_id", "source").createOrReplaceTempView("pa_samp")
+    val df = spark.sql(
+      "SELECT * FROM graft_sample_per_group('pa_samp', 'source', 5)")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"),
+      s"the TVF must splice the native operator:\n${p.take(2000)}")
+    // k-bounded heaps, never a window/global sort over the corpus
+    assert(!p.contains("Window") && !p.contains("SortExec"),
+      s"no per-group sort machinery expected:\n${p.take(2000)}")
+  }
+
   test("q_funnel: both windows and the aggregates share ONE user_id shuffle") {
     val p = plan(WarehouseQueries.funnel(spark, sf))
     val userShuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
