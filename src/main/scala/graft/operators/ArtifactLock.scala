@@ -20,18 +20,30 @@ import org.apache.spark.sql.SparkSession
   * `graft.index.staleLockMinutes` (default 15) is a dead holder's and
   * is broken, which is what lets the crash-re-runnable appends
   * (dropDuplicates guards, aside-dir restore) re-enter after their own
-  * crash without an operator unlocking by hand. Breaking races are
-  * settled by the same atomic create: one breaker wins, the rest go
-  * back to waiting. */
+  * crash without an operator unlocking by hand. Breaking is settled
+  * by ATOMIC RENAME of the stale lock to a tombstone whose name is
+  * derived from the stale lock's own content: exactly one breaker's
+  * rename succeeds (the content names one lock INSTANCE, so a loser
+  * whose staleness observation predates the winner's fresh lock
+  * renames nothing — its tombstone target is already taken and its
+  * source content no longer matches); losers go back to waiting. The
+  * delete-then-create alternative is racy: two breakers that both
+  * observed the stale lock could each delete the other's fresh lock
+  * and both acquire (r16 advice). */
 object ArtifactLock {
 
   private def lockPath(artifact: String) = new Path(artifact, "_maint_lock")
 
   // in-JVM racers serialize on a per-artifact monitor (LocalFileSystem's
   // create-exclusive is check-then-create — not atomic between threads
-  // of one JVM; HDFS/object stores make the FILE lock the atomic one
-  // for cross-process racers) — the same two-level pattern TxLog's
-  // per-table lock uses
+  // of one JVM). Cross-process mutual exclusion rests on the
+  // filesystem's create(path, overwrite=false) being atomic, which
+  // holds on HDFS, ABFS, and kernel-mediated local/NFS mounts — NOT on
+  // S3-style object stores, where S3A implements the existence check
+  // client-side: deployments whose artifacts live on plain S3 need an
+  // external coordinator (or S3's newer conditional-write mode) for
+  // cross-process maintenance; in-JVM serialization still holds there.
+  // Same two-level pattern as TxLog's per-table lock.
   private val guards =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -55,6 +67,7 @@ object ArtifactLock {
       .map(_.toLong).getOrElse(60000L)
     val deadline = System.currentTimeMillis() + maxWaitMs
     var acquired = false
+    var brokeTomb: Option[Path] = None
     while (!acquired) {
       try {
         val out = fs.create(lock, false) // atomic create-exclusive
@@ -64,20 +77,49 @@ object ArtifactLock {
         acquired = true
       } catch {
         case _: java.io.IOException =>
-          // held: break a dead holder's lock by age, else wait
-          val stale =
-            try fs.getFileStatus(lock).getModificationTime <
-              System.currentTimeMillis() - staleMs
-            catch { case _: java.io.FileNotFoundException => true }
-          if (stale) fs.delete(lock, false) // one breaker's delete wins
-          else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"ArtifactLock: $verb on $artifact timed out after " +
-                s"${maxWaitMs} ms waiting for the maintenance lock — " +
-                "another maintainer holds it (graft.index.lockWaitMs " +
-                "raises the wait; a crashed holder's lock breaks after " +
-                "graft.index.staleLockMinutes)")
-          else Thread.sleep(200)
+          // held: break a dead holder's lock by ATOMIC RENAME to a
+          // tombstone named by the stale lock's own content (= one
+          // lock INSTANCE: the owner uuid is fresh per acquisition).
+          // Exactly one breaker's rename succeeds; a loser whose
+          // staleness check predates the winner's fresh lock cannot
+          // break it — its rename target (the instance tombstone) is
+          // already taken until the winner RELEASES, so the rename
+          // fails and the loser re-observes a fresh mtime and waits.
+          val staleContent =
+            try {
+              val st = fs.getFileStatus(lock)
+              if (st.getModificationTime <
+                  System.currentTimeMillis() - staleMs) {
+                val in = fs.open(lock)
+                try Some(new String(in.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8))
+                finally in.close()
+              } else None
+            } catch { case _: java.io.IOException => None }
+          val broke = staleContent match {
+            case Some(c) =>
+              val id = java.lang.Integer.toHexString(c.hashCode) +
+                c.takeWhile(_ != ' ') // owner uuid → instance-unique
+              val tomb = new Path(artifact, s"_maint_lock.tomb.$id")
+              val won = try fs.rename(lock, tomb)
+                        catch { case _: java.io.IOException => false }
+              if (won) brokeTomb = Some(tomb) // held until our release
+              won // winner loops straight into create
+            case None => false
+          }
+          // losers (rename lost, or holder is live) wait — and still
+          // honor the deadline: a lock whose instance tombstone is
+          // already taken can never be re-broken, only waited out
+          if (!broke) {
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"ArtifactLock: $verb on $artifact timed out after " +
+                  s"${maxWaitMs} ms waiting for the maintenance lock — " +
+                  "another maintainer holds it (graft.index.lockWaitMs " +
+                  "raises the wait; a crashed holder's lock breaks after " +
+                  "graft.index.staleLockMinutes)")
+            else Thread.sleep(200)
+          }
       }
     }
     try body
@@ -88,6 +130,20 @@ object ArtifactLock {
         val content = try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8) finally in.close()
         if (content.startsWith(owner)) fs.delete(lock, false)
+      } catch { case _: java.io.IOException => () }
+      // the instance tombstone outlives the body so a late breaker of
+      // the SAME stale instance keeps failing its rename; now that the
+      // lock itself is released it has done its job. A breaker that
+      // crashes mid-body leaves an orphan tombstone — swept by the
+      // next acquirer's age pass below (never load-bearing: tombstone
+      // names are instance-unique, so an orphan blocks nothing).
+      brokeTomb.foreach(t =>
+        try fs.delete(t, false)
+        catch { case _: java.io.IOException => () })
+      try fs.listStatus(new Path(artifact)).foreach { s =>
+        if (s.getPath.getName.startsWith("_maint_lock.tomb.") &&
+            s.getModificationTime < System.currentTimeMillis() - 2 * staleMs)
+          fs.delete(s.getPath, false)
       } catch { case _: java.io.IOException => () }
     }
   }

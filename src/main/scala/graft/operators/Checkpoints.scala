@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** The one seam for eager lineage cuts in iterative operators
+  * (Graph.pagerank/kcore/hierarchy, Dedup.components, the BPE merge
+  * loop, madOutliers' shared histogram).
+  *
+  * Iterative plans re-read their own output several times per round;
+  * chaining rounds lazily grows the logical plan geometrically and
+  * stalls Catalyst long before the data is the problem, so each round
+  * ends in an EAGER materialization. WHERE the blocks land is the
+  * fault-tolerance trade:
+  *
+  *  - default: `localCheckpoint(eager)` — executor-memory/disk
+  *    resident, no external storage, fast. The documented soft spot
+  *    (r16 verdict): blocks die with their executor, so at cluster
+  *    scale an executor loss mid-loop fails the JOB instead of
+  *    recomputing a partition.
+  *  - `graft.checkpointDir` set: reliable `checkpoint()` into that
+  *    directory — partitions rebuild from HDFS/object storage after
+  *    executor loss; the cost is one write to shared storage per cut.
+  *    This is the 1000-executor posture: on long iterative jobs the
+  *    probability of losing SOME executor approaches 1, and a
+  *    restart-from-scratch costs more than every checkpoint write
+  *    combined.
+  *
+  * The conf is read per cut, so a session can scope it around one
+  * pipeline (`spark.conf.set(...)` / `unset`). Results are identical
+  * either way — only recovery semantics differ (parity spec:
+  * CheckpointSpec). */
+object Checkpoints {
+
+  val DirConf = "graft.checkpointDir"
+
+  /** Eagerly materialize `df` and return a frame whose lineage starts
+    * at the materialized partitions. Reliable when [[DirConf]] is
+    * set; local otherwise. */
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirConf) match {
+      case Some(dir) if dir.nonEmpty =>
+        // setCheckpointDir is idempotent for a stable conf value;
+        // re-setting per cut keeps the seam correct when a caller
+        // flips the conf between pipelines in one session
+        if (!spark.sparkContext.getCheckpointDir.contains(dir))
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(true)
+    }
+  }
+}

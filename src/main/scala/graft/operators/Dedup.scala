@@ -429,8 +429,10 @@ object Dedup {
   def components(pairs: DataFrame, maxIters: Int = 25,
                  checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // the explicit param wins; otherwise Checkpoints.cut honors the
+    // session-wide graft.checkpointDir conf (reliable at cluster scale)
     def snap(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      if (checkpointDir.isDefined) df.checkpoint(true) else Checkpoints.cut(df)
     // pre-partitioned on the JOIN key before the one-time checkpoint:
     // a checkpoint materializes with its physical partitioning, so
     // every round's edges-side of the label join arrives co-located —

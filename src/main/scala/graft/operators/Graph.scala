@@ -21,7 +21,7 @@ object Graph {
     * ONE-SCALAR driver aggregate per round — without it the scores
     * leak mass and drift from a probability distribution (Σpr stays 1,
     * spec-pinned). Lineage is cut per round by an eager
-    * localCheckpoint, the [[Dedup.components]] precedent; the rank
+    * lineage cut ([[Checkpoints.cut]]: reliable when graft.checkpointDir is set), the [[Dedup.components]] precedent; the rank
     * state is node-sized, never edge-sized.
     *
     * Nodes are whatever appears as an endpoint; isolated nodes you
@@ -40,14 +40,14 @@ object Graph {
     // r9 rework, same reasoning)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     val n = nodes.count()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(outdeg, ranks("node") === outdeg("src"), "left")
@@ -70,7 +70,7 @@ object Graph {
           (lit((1.0 - d) / n) +
             lit(d) * (coalesce(col("contrib"), lit(0.0)) + lit(danglingMass / n)))
             .as("pr"))
-        .localCheckpoint(true)
+        .transform(Checkpoints.cut)
     }
     ranks
   }
@@ -83,7 +83,7 @@ object Graph {
     * so a depth-10^6 chain resolves in ~20 self-joins instead of 10^6
     * sequential steps. A pre-round count detects the fixpoint (no
     * pointer left pointing below a root) before paying for a no-op
-    * round; lineage cuts per round via eager localCheckpoint (the
+    * round; lineage cuts per round via Checkpoints.cut (reliable when graft.checkpointDir is set; the
     * components precedent).
     *
     * Input: (node, parent) with parent NULL marking roots; forests are
@@ -102,7 +102,7 @@ object Graph {
         col("node"),
         coalesce(col("parent"), col("node")).as("anc"),
         when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("depth"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     // fixpoint detection rides the TOTAL depth: each round every
     // non-converged node's depth strictly grows, so an unchanged sum
     // means every pointer reached a root. One self-join per round
@@ -128,7 +128,7 @@ object Graph {
         .join(st.as("b"), col("a.anc") === col("b.node"))
         .select(col("a.node").as("node"), col("b.anc").as("anc"),
           (col("a.depth") + col("b.depth")).as("depth"))
-        .localCheckpoint(true)
+        .transform(Checkpoints.cut)
       val t = totalDepth(st)
       done = t.compareTo(total) == 0
       total = t
@@ -149,7 +149,7 @@ object Graph {
     * round count is bounded by the peeling depth (≤ degeneracy-order
     * layers, logarithmic-ish on real graphs, never corpus-sized). The
     * edge set SHRINKS monotonically, so per-round cost falls; lineage
-    * is cut per round with an eager localCheckpoint (the components/
+    * is cut per round with Checkpoints.cut (the components/
     * pagerank precedent), keeping the plan constant-size. The
     * fixpoint test rides the same count() that sizes the round —
     * no extra job.
@@ -164,7 +164,7 @@ object Graph {
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     var nEdges = und.count()
     var done = nEdges == 0L
     while (!done) {
@@ -176,7 +176,7 @@ object Graph {
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
-        .localCheckpoint(true)
+        .transform(Checkpoints.cut)
       val m = pruned.count()
       done = m == nEdges || m == 0L
       und = pruned

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Exact per-group quantiles by ITERATIVE BUCKET REFINEMENT — the
+  * distributed selection algorithm for columns whose value domain is
+  * too large for the (group, value)-histogram plan.
+  *
+  * [[Percentiles]]' histogram plan is exact and one-shuffle, but its
+  * downstream sort-window is DISTINCT-VALUE-sized: on a mostly-unique
+  * column (money amounts, timestamps) the histogram is the corpus and
+  * the "cheap" window is a corpus sort. Refinement never sorts rows:
+  *
+  *  1. seed: per-group (count, min, max) — one aggregation pass;
+  *  2. refine: bucket the group's value range into B equal-width
+  *     buckets, count rows per (group, bucket) plus rows strictly
+  *     below the range — one aggregation pass, group×B driver rows;
+  *     keep only the buckets covering the target ranks (floor/ceil of
+  *     the interpolation position), shrinking the range ~B× per pass;
+  *  3. final: once a range holds ≤ threshold rows, collect its
+  *     DISTINCT (value, count) pairs and resolve the ranks exactly on
+  *     the driver.
+  *
+  * A near-unique 10^12-row column resolves in seed + 3-4 refine
+  * passes + final — every pass a map-side-combinable aggregation over
+  * a column-pruned scan, shuffling one row per (group, bucket). The
+  * below-range count is RECOMPUTED with exact value comparisons every
+  * pass, so float fuzz at bucket edges can never corrupt a rank (the
+  * next range gets a one-bucket safety margin on each side instead).
+  *
+  * Driver state: group-cardinality × B longs per pass (the bounded
+  * driver hop family: Sampling's per-stratum counts, Packing's
+  * per-partition subtotals). Interpolation is the same expression the
+  * histogram plan (and DuckDB's quantile_cont) evaluates:
+  * `vLo + frac · (vHi − vLo)` at position `p·(n−1)+1`. */
+object Quantiles {
+
+  /** Per-group seed: non-null count and closed value range. A caller
+    * that already knows bounds (|v − med| ∈ [0, spread]) passes them
+    * directly and skips the seed pass. */
+  final case class Seed(g: Any, n1: Long, lo: Double, hi: Double)
+
+  private final case class St(g: Any, n1: Long, rlo: Double, rhi: Double,
+                              posF: Long, posC: Long, frac: Double)
+
+  /** The quantile `p` of `rows` (columns `_g`, `_v` double) per group,
+    * as (group value, quantile-or-null). Null for all-null groups —
+    * the built-in aggregate's answer. */
+  def refined(rows: DataFrame, p: Double, seed: Seq[Seed],
+              buckets: Int = 2048, finalThreshold: Long = 20000,
+              maxPasses: Int = 16): Seq[(Any, java.lang.Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Any, java.lang.Double)]()
+    var open = Seq.empty[St]
+    seed.foreach { s =>
+      if (s.n1 <= 0) out += ((s.g, null))
+      else {
+        val pos = p * (s.n1 - 1) + 1 // 1-based interpolation position
+        open :+= St(s.g, s.n1, s.lo, s.hi,
+          math.floor(pos).toLong, math.ceil(pos).toLong,
+          pos - math.floor(pos))
+      }
+    }
+    val spark = rows.sparkSession
+    val gField = StructField("_sg", rows.schema("_g").dataType,
+      nullable = true)
+    def stateDf(st: Seq[St]): DataFrame =
+      broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          st.map(s => Row(s.g, s.rlo, s.rhi)), 1),
+        StructType(Seq(gField,
+          StructField("_rlo", DoubleType, nullable = false),
+          StructField("_rhi", DoubleType, nullable = false)))))
+
+    // refine passes: shrink every open group's range ~B× per pass
+    // until its candidate count fits the final collect
+    var passes = 0
+    var ready = Seq.empty[St]
+    while (open.nonEmpty && passes < maxPasses) {
+      passes += 1
+      val st = stateDf(open)
+      val width = (col("_rhi") - col("_rlo")) / lit(buckets.toDouble)
+      val idx = when(col("_v") < col("_rlo"), lit(-1.0))
+        .when(col("_v") > col("_rhi"), lit(buckets.toDouble))
+        .when(width === 0.0, lit(0.0))
+        .otherwise(least(greatest(
+          floor((col("_v") - col("_rlo")) / width), lit(0.0)),
+          lit((buckets - 1).toDouble)))
+      val counts = rows.filter(col("_v").isNotNull)
+        .join(st, col("_g") <=> col("_sg"))
+        .groupBy(col("_g").as("g"), idx.as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => ((r.get(0), r.getDouble(1).toInt), r.getLong(2)))
+        .groupBy(_._1._1).map { case (g, rs) =>
+          g -> rs.map { case ((_, b), c) => b -> c }.toMap }
+      val stepped = open.map { s =>
+        val byBucket = counts.getOrElse(s.g, Map.empty[Int, Long])
+        val below = byBucket.getOrElse(-1, 0L)
+        // cumulative walk to the buckets holding ranks posF and posC
+        var cum = below
+        var iLo = -1; var iHi = -1
+        var i = 0
+        while (i < buckets && (iLo < 0 || iHi < 0)) {
+          cum += byBucket.getOrElse(i, 0L)
+          if (iLo < 0 && cum >= s.posF) iLo = i
+          if (iHi < 0 && cum >= s.posC) iHi = i
+          i += 1
+        }
+        if (iLo < 0) iLo = buckets - 1 // guard: rank past counted mass
+        if (iHi < 0) iHi = buckets - 1
+        val w = (s.rhi - s.rlo) / buckets
+        // one-bucket safety margin absorbs float fuzz at the edges;
+        // the below-count is recomputed exactly against the new rlo
+        // next pass, so the margin costs candidates, never correctness
+        val nLo = math.max(s.rlo, s.rlo + (iLo - 1) * w)
+        val nHi = math.min(s.rhi, s.rlo + (iHi + 2) * w)
+        val candidates = (math.max(0, iLo - 1) to math.min(buckets - 1, iHi + 1))
+          .map(b => byBucket.getOrElse(b, 0L)).sum
+        val shrunk = nHi - nLo < s.rhi - s.rlo
+        val keepOpen = candidates > finalThreshold && w > 0 && shrunk &&
+          java.lang.Double.isFinite(w)
+        (s.copy(rlo = nLo, rhi = nHi), keepOpen)
+      }
+      open = stepped.filter(_._2).map(_._1)
+      ready ++= stepped.filterNot(_._2).map(_._1)
+    }
+    ready ++= open // maxPasses hit: resolve whatever range remains
+
+    // final pass: collect the surviving ranges' distinct values (plus
+    // the exact below-range count) and resolve ranks on the driver
+    if (ready.nonEmpty) {
+      val st = stateDf(ready)
+      val flag = when(col("_v") < col("_rlo"), lit(-1))
+        .when(col("_v") > col("_rhi"), lit(1)).otherwise(lit(0))
+      val collected = rows.filter(col("_v").isNotNull)
+        .join(st, col("_g") <=> col("_sg"))
+        .filter(flag <= 0)
+        .groupBy(col("_g").as("g"), flag.as("f"),
+          when(flag === 0, col("_v")).as("v"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+      val byGroup = collected.groupBy(_.get(0))
+      ready.foreach { s =>
+        val rs = byGroup.getOrElse(s.g, Array.empty[Row])
+        val below = rs.filter(_.getInt(1) == -1).map(_.getLong(3)).sum
+        val vals = rs.filter(_.getInt(1) == 0)
+          .map(r => (r.getDouble(2), r.getLong(3))).sortBy(_._1)
+        def valueAt(rank: Long): Double = {
+          var cum = below
+          var i = 0
+          while (i < vals.length) {
+            cum += vals(i)._2
+            if (cum >= rank) return vals(i)._1
+            i += 1
+          }
+          vals.last._1
+        }
+        val vLo = valueAt(s.posF)
+        val vHi = valueAt(s.posC)
+        out += ((s.g, vLo + s.frac * (vHi - vLo)))
+      }
+    }
+    out.toSeq
+  }
+
+  /** Tiny literal frame (group value, double) for broadcasting a
+    * driver-resolved statistic back into a plan. */
+  def litFrame(spark: SparkSession, gField: StructField,
+               values: Seq[(Any, java.lang.Double)],
+               name: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        values.map { case (g, v) => Row(g, v) }, 1),
+      StructType(Seq(gField.copy(name = "_mg"),
+        StructField(name, DoubleType, nullable = true))))
+}

@@ -322,32 +322,67 @@ object Stats {
   def madOutliers(df: DataFrame, groupCol: String, xCol: String,
                   k: Double = 3.0, exact: Boolean = true): DataFrame = {
     if (exact) {
-      // ONE corpus shuffle total: the histogram subtree appears three
-      // times in the final plan (median, |v − med| histogram, outlier
-      // tally) but canonicalizes identically, so Spark's exchange
-      // reuse computes the corpus-sized shuffle ONCE and the other
-      // consumers read the same shuffle files (ReusedExchange —
-      // cheaper than an eager localCheckpoint, which pays a full
-      // storage write + a pipeline barrier for the same sharing).
-      // Everything downstream is histogram-sized.
-      val hist = df
-        .groupBy(col(groupCol), col(xCol).cast("double").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val med = Percentiles.exactFromHistogram(hist, groupCol,
-        Seq(("_med", 0.5)))
-      val absHist = hist.join(med, Seq(groupCol))
-        .select(col(groupCol), abs(col("v") - col("_med")).as("v"), col("cnt"))
-        .groupBy(col(groupCol), col("v")).agg(sum("cnt").as("cnt"))
-      val mad = Percentiles.exactFromHistogram(absHist, groupCol,
-        Seq(("_mad", 0.5)))
-      hist.join(med, Seq(groupCol)).join(mad, Seq(groupCol))
-        .groupBy(groupCol)
+      // EXACT medians by iterative bucket refinement — no corpus sort
+      // anywhere. The r7-r16 plan built a (group, value) histogram and
+      // ran sort-windows over it; on a mostly-unique column (money
+      // amounts: 97% distinct) that "histogram" IS the corpus, so both
+      // percentile passes were corpus-sized sorts — the actual 100 TB
+      // weak spot, and 3+ s of the bench window at sf0.1. Refinement
+      // replaces each sort with 2-3 column-pruned AGGREGATION passes
+      // (seed min/max/count, bucket counts, final in-bucket resolve),
+      // every one map-side-combinable with a group-sized shuffle.
+      // Driver state is group-cardinality×bucket-count bounded (the
+      // Sampling per-stratum-counts pattern), never row-bounded.
+      val rows = df.select(col(groupCol).as("_g"),
+        col(xCol).cast("double").as("_v"))
+      // the refinement passes (seed, 1-2 bucket passes and a final
+      // resolve per percentile) re-read this 2-column projection;
+      // persist it for the CONSTRUCTION window only — memory-and-disk,
+      // so at cluster scale it spills instead of evicting (footprint ≈
+      // one corpus-shuffle file set, the same bytes the old
+      // histogram-window plan shuffled), and it unpersists before the
+      // returned frame ever executes (the tally re-plans from the
+      // pruned scan)
+      rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+      val seed = rows.groupBy("_g").agg(
+          count(col("_v")).as("n1"), min("_v").as("lo"), max("_v").as("hi"),
+          count(lit(1)).as("nAll"))
+        .collect()
+        .map(r => Quantiles.Seed(r.get(0), r.getLong(1),
+          if (r.isNullAt(2)) 0.0 else r.getDouble(2),
+          if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
+        .toSeq
+      val gField = org.apache.spark.sql.types.StructField(
+        "_g", rows.schema("_g").dataType, nullable = true)
+      val meds = Quantiles.refined(rows, 0.5, seed)
+      val medDf = Quantiles.litFrame(df.sparkSession, gField, meds, "_med")
+      // |v − med| bounds derive from the seed (no extra pass): the
+      // deviations live in [0, max(hi−med, med−lo)]
+      val rowsAbs = rows.join(broadcast(medDf), rows("_g") <=> medDf("_mg"))
+        .select(rows("_g"), abs(col("_v") - col("_med")).as("_v"))
+      val medMap = meds.toMap
+      val seedAbs = seed.map { s =>
+        medMap.get(s.g).flatMap(Option(_)) match {
+          case Some(m) => Quantiles.Seed(s.g, s.n1, 0.0,
+            math.max(s.hi - m, m - s.lo))
+          case None => Quantiles.Seed(s.g, 0L, 0.0, 0.0) // all-null group
+        }
+      }
+      val mads = Quantiles.refined(rowsAbs, 0.5, seedAbs)
+      val madDf = Quantiles.litFrame(df.sparkSession, gField, mads, "_mad")
+        .withColumnRenamed("_mg", "_mg2")
+      rows
+        .join(broadcast(medDf), rows("_g") <=> medDf("_mg"))
+        .join(broadcast(madDf), rows("_g") <=> madDf("_mg2"))
+        .groupBy(rows("_g").as(groupCol))
         .agg(
-          sum("cnt").as("n"),
+          count(lit(1)).as("n"),
           round(max(col("_med")), 6).as("median"),
           round(max(col("_mad")), 6).as("mad"),
-          coalesce(sum(when(abs(col("v") - col("_med")) > lit(k) * col("_mad"),
-            col("cnt"))), lit(0L)).as("n_outliers"))
+          coalesce(sum(when(abs(col("_v") - col("_med")) > lit(k) * col("_mad"),
+            lit(1L))), lit(0L)).as("n_outliers"))
+      } finally rows.unpersist(blocking = false)
     } else {
       def median(in: DataFrame, c: String, out: String): DataFrame =
         in.groupBy(groupCol)

@@ -633,7 +633,7 @@ object TextOps {
     * explode + partial-agg count weighted by word frequency, (2) an
     * argmax that collects ONE row (count desc, then lexicographic —
     * deterministic), (3) the [[mergePair]] projection over the
-    * dictionary. Per-round lineage is cut by an eager localCheckpoint,
+    * dictionary. Per-round lineage is cut by Checkpoints.cut (reliable when graft.checkpointDir is set),
     * the [[Dedup.components]] precedent. Driver data per round: one
     * row; total rounds: `numMerges`.
     *
@@ -648,7 +648,7 @@ object TextOps {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(filter(split(col("w"), ""), x => x =!= "").as("syms"), col("n"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     for (rank <- 1 to numMerges if !done) {
@@ -668,7 +668,7 @@ object TextOps {
           merges += ((rank, a, b, r.getLong(2)))
           state = state
             .withColumn("syms", mergePair(col("syms"), a, b))
-            .localCheckpoint(true)
+            .transform(Checkpoints.cut)
       }
     }
     state.unpersist()
@@ -737,7 +737,7 @@ object TextOps {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(filter(split(col("w"), ""), x => x =!= "").as("syms"), col("n"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rounds = 0
     var done = false
@@ -786,7 +786,7 @@ object TextOps {
         state = state
           .withColumn("syms",
             mergeBatchDisjoint(col("syms"), batch.toSeq.map(t => (t._1, t._2))))
-          .localCheckpoint(true)
+          .transform(Checkpoints.cut)
       }
     }
     state.unpersist()

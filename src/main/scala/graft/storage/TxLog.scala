@@ -1917,17 +1917,24 @@ object TxLog {
     // as deletes, the batch as inserts. A keepPolicies=false
     // REDEFINITION stays uncaptured (schemas may not union) — the
     // keyless feed refuses across it, the same rule as RESTORE.
-    val cdcCapture = policyBase.flatMap { base =>
-      captureCdc(spark, path, base, {
+    // The delete-side snapshot is pinned to a VERSION, so the capture
+    // is recomputed inside the retry loop whenever the head moved: an
+    // interleaved append's rows are physically erased by this replace
+    // and MUST appear as deletes in the committed record, or the
+    // keyless feed silently under-reports (r16 advice).
+    def mkCapture(snap: Manifest): Option[Seq[String]] =
+      if (policyBase.isEmpty) None
+      else captureCdc(spark, path, snap, {
         import org.apache.spark.sql.functions.{col, lit}
-        val declared = StructType.fromDDL(base.schemaDdl)
-        read(spark, path, Some(base.version))
+        val declared = StructType.fromDDL(snap.schemaDdl)
+        read(spark, path, Some(snap.version))
           .select(declared.fieldNames.map(col).toIndexedSeq
             :+ lit("delete").as("_change_type"): _*)
           .unionByName(df1.select(declared.fieldNames.map(col).toIndexedSeq
             :+ lit("insert").as("_change_type"): _*))
       })
-    }
+    var cdcCapture = policyBase.flatMap(mkCapture)
+    var capturedAt = policyBase.map(_.version)
     var retries = 0
     while (true) {
       val v = currentVersion(spark, path).get
@@ -1960,6 +1967,28 @@ object TxLog {
             s"TxLog.createOrReplace: concurrent constraint/policy change " +
               s"at $path (v${base.version} -> v${prev.version}) — " +
               "re-validate and recompute against the new snapshot")
+      }
+      // CDC capture tracks the head: if an interleaved commit moved it
+      // past the version the delete-side snapshot was taken at,
+      // re-stage the capture against the REAL replaced snapshot (prev)
+      // — the stale staged dir orphans harmlessly (vacuum sweeps it).
+      // An interleaved schema/colMap/CDF-declaration change makes the
+      // frame unbuildable under the batch's vetted shape: conflict
+      // loudly, the same posture as constraint drift above.
+      policyBase.foreach { base =>
+        if (!capturedAt.contains(prev.version) &&
+            (cdfDeclared(base) || cdfDeclared(prev))) {
+          if (prev.schemaDdl != base.schemaDdl ||
+              prev.colMap != base.colMap ||
+              cdfDeclared(prev) != cdfDeclared(base))
+            throw new CommitConflictException(
+              s"TxLog.createOrReplace: concurrent schema/CDF change at " +
+                s"$path (v${base.version} -> v${prev.version}) under " +
+                "graft.changeDataFeed — re-validate and recompute " +
+                "against the new snapshot")
+          cdcCapture = mkCapture(prev)
+          capturedAt = Some(prev.version)
+        }
       }
       // carried policies: identity marks never regress — the max of
       // this fill's claim and the replaced head's own mark
@@ -5427,15 +5456,19 @@ object TxLog {
     * semantics for keyed consumers.
     *
     * Per-version sourcing: a commit with a captured record serves it
-    * verbatim; a pure append (and the CREATE/CONVERT full commit)
-    * serves its added files as inserts — appends need no sidecar;
-    * OPTIMIZE/compaction commits change no rows and are skipped;
-    * metadata commits are skipped. A row-changing commit with NO
-    * record (committed before `graft.changeDataFeed` was declared, or
-    * a RESTORE) refuses loudly — serving a guess would corrupt every
-    * downstream replica. Columns match across renames by PHYSICAL
-    * identity, schema evolution pads typed nulls (the [[changes]]
-    * alignment rules).
+    * verbatim; a pure append (and the CREATE/CONVERT/CLONE full
+    * commit) serves its added files as inserts — appends need no
+    * sidecar; a REF commit (RESTORE) synthesizes its record O(changed
+    * files) from the manifest diff — removed files' live rows as
+    * deletes, (re-)added files' as inserts, DV deltas on shared files
+    * as row flips — so the feed reads THROUGH a restore (Delta's CDF
+    * posture) instead of refusing; OPTIMIZE/compaction commits change
+    * no rows and are skipped; metadata commits are skipped. A
+    * row-changing commit with NO record (committed before
+    * `graft.changeDataFeed` was declared) refuses loudly — serving a
+    * guess would corrupt every downstream replica. Columns match
+    * across renames by PHYSICAL identity, schema evolution pads typed
+    * nulls (the [[changes]] alignment rules).
     *
     * Plan shape at scale: versions GROUP BY SCHEMA ERA (identical
     * schemaDdl + colMap + partitionSpec), one scan per (era, kind) —
@@ -5459,9 +5492,24 @@ object TxLog {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("_commit_timestamp",
         org.apache.spark.sql.types.TimestampType)))
-    // classify every version in the window (metadata-only walk)
+    // classify every version in the window (metadata-only walk).
+    // `dv` rides only on full-manifest commits that carry one (a
+    // shallow CLONE of a DV-bearing source): its initial inserts are
+    // the LIVE rows, so the synthesis scan must read through the
+    // cloned DV state. Plain appends' files carry no DV at birth.
+    // `dels`/`delDv` are a REF commit's (RESTORE) removed files — the
+    // rolled-back side's live rows emit as deletes; `flips` carries
+    // the ref commit's DV deltas on files present on BOTH sides
+    // (row-position set differences resolve at scan time).
+    final case class DvFlip(prevDv: Seq[(String, Map[String, Long])],
+                            tgtDv: Seq[(String, Map[String, Long])],
+                            entries: Seq[String])
     final case class Src(v: Long, tsMs: Option[Long], record: Seq[String],
-                         adds: Seq[String])
+                         adds: Seq[String],
+                         dv: Seq[(String, Map[String, Long])] = Nil,
+                         dels: Seq[String] = Nil,
+                         delDv: Seq[(String, Map[String, Long])] = Nil,
+                         flips: Option[DvFlip] = None)
     val sources: Seq[Src] = ((fromVersion + 1) to toVersion).flatMap { v =>
       val node = readCommitNode(spark, path, v)
       val op = Option(node.get("operation")).map(_.asText()).getOrElse("")
@@ -5475,15 +5523,53 @@ object TxLog {
       if (node.has("cdc")) {
         val names = arr("cdc")
         if (names.isEmpty) None else Some(Src(v, tsMs, names, Nil))
-      } else if (node.has("baseRef"))
-        throw new UnsupportedOperationException(
-          s"TxLog.changeFeed: v$v at $path ($op) is a ref commit with no " +
-            "change record — a keyless feed cannot diff across a RESTORE; " +
-            "read through TxLog.changes with keys, or restart the feed " +
-            "from this version")
-      else if (node.has("files")) {
-        if (op == "CREATE" || op == "CONVERT")
-          Some(Src(v, tsMs, Nil, arr("files")))
+      } else if (node.has("baseRef")) {
+        // a ref commit (RESTORE) moves ZERO data — its row-level
+        // change record is synthesizable O(changed files) by diffing
+        // the rolled-back head's manifest against the restored one:
+        // files only in the head emit their live rows as deletes,
+        // files only in the target as inserts, and a DV delta on a
+        // file present on BOTH sides flips exactly the rows whose
+        // deleted-position sets differ (un-deleted rows re-insert,
+        // newly-covered rows delete). Same Delta-CDF-through-RESTORE
+        // semantics the keyed [[changes]] door already serves.
+        val prevM = manifest(spark, path, v - 1)
+        val tgtM = manifest(spark, path, v)
+        val prevSet = prevM.files.toSet
+        val tgtSet = tgtM.files.toSet
+        val added = tgtM.files.filterNot(prevSet)
+        val removed = prevM.files.filterNot(tgtSet)
+        val shared = prevSet.intersect(tgtSet)
+        // per shared entry: the DV files referencing it on each side —
+        // identical references = identical deleted positions (DV
+        // parquets are immutable), so only reference-drifted entries
+        // need a row-level resolve
+        def refsOf(m: Manifest): Map[String, Set[String]] =
+          m.dv.flatMap { case (f, e) =>
+            e.keys.filter(shared).map(_ -> f)
+          }.groupBy(_._1).map { case (k, fs) => k -> fs.map(_._2).toSet }
+        val pRefs = refsOf(prevM)
+        val tRefs = refsOf(tgtM)
+        val drifted = (pRefs.keySet ++ tRefs.keySet).filter(k =>
+          pRefs.getOrElse(k, Set.empty) != tRefs.getOrElse(k, Set.empty))
+          .toSeq.sorted
+        val flips =
+          if (drifted.isEmpty) None
+          else Some(DvFlip(
+            dvLiveFor(prevM.dv, drifted.toSet),
+            dvLiveFor(tgtM.dv, drifted.toSet), drifted))
+        if (added.isEmpty && removed.isEmpty && flips.isEmpty) None
+        else Some(Src(v, tsMs, Nil,
+          added, dvLiveFor(tgtM.dv, added.toSet),
+          removed, dvLiveFor(prevM.dv, removed.toSet), flips))
+      } else if (node.has("files")) {
+        // CLONE is a full-manifest commit whose files are, like
+        // CREATE/CONVERT, exactly the table's initial inserts — a
+        // keyless feed on a cloned table starts from version 0 (its
+        // LIVE rows: a shallow clone of a DV-bearing source reads
+        // through the cloned DV state)
+        if (op == "CREATE" || op == "CONVERT" || op.startsWith("CLONE"))
+          Some(Src(v, tsMs, Nil, arr("files"), manifest(spark, path, v).dv))
         else throw new UnsupportedOperationException(
           s"TxLog.changeFeed: v$v at $path ($op) replaced the table with " +
             "no change record — declare graft.changeDataFeed=true before " +
@@ -5536,28 +5622,41 @@ object TxLog {
           :+ col("_change_type") :+ col("_commit_version")
           :+ col("_commit_timestamp"): _*)
     }
-    // insert synthesis: one scan per schema era over the union of the
-    // era's added files; each row finds its commit stamps through its
-    // file's data-root-relative suffix (the _dv_key column readFiles
-    // computes — the same identity the manifests use)
-    val insertFrames = sources.filter(_.adds.nonEmpty).groupBy(s => eraKey(s.v))
-      .values.toSeq.sortBy(_.head.v).map { group =>
-      val mv = manifest(spark, path, group.head.v)
+    // file-lane synthesis (inserts from adds, deletes from a ref
+    // commit's removed files): one scan per (schema era, DV state)
+    // over the union of the lane's files; each row finds its commit
+    // stamps through its file's data-root-relative suffix (the
+    // _dv_key column readFiles computes — the same identity the
+    // manifests use). A restore can re-add a file another commit
+    // already added inside the window: the scan list dedups, the
+    // stamps keep one row per (version, file), and the stamp join
+    // fans each scanned row out to one event per commit — exactly the
+    // event semantics the feed contracts.
+    def synthLane(lane: Src => Seq[String],
+                  dvOf: Src => Seq[(String, Map[String, Long])],
+                  eraV: Long => Long, kind: String): Seq[DataFrame] =
+      sources.filter(s => lane(s).nonEmpty)
+        .groupBy(s => (eraKey(eraV(s.v)), dvOf(s)))
+        .values.toSeq.sortBy(_.head.v).map { group =>
+      val mv = manifest(spark, path, eraV(group.head.v))
       val vSchema = StructType.fromDDL(mv.schemaDdl)
       // the scan's _dv_key comes from input_file_name (URI-encoded);
       // manifest entries are raw — stamp BOTH spellings so a partition
       // value needing encoding can never silently drop its rows
       // (the entryResolver two-form rule)
-      val stamps = group.flatMap(s => s.adds.flatMap { f =>
+      val stamps = group.flatMap(s => lane(s).flatMap { f =>
           val raw = relEntry(f)
           val enc = new java.net.URI(null, null, "/" + raw, null)
             .getRawPath.stripPrefix("/")
           Seq(raw, enc).distinct.map(k => (k, s.v, tsLit(s.tsMs)))
         })
         .toDF("_dv_key", "_commit_version", "_commit_timestamp")
-      // added files carry no DV at their birth commit
+      // appended files carry no DV at their birth commit (dv = Nil);
+      // a CLONE's (or a restore endpoint's) rode in on its Src so the
+      // lane's live rows scan through that side's DV state
       val df = readFiles(spark, path, vSchema,
-        group.flatMap(_.adds), mv.colMap, Nil, keepDvKey = true,
+        group.flatMap(lane).distinct, mv.colMap, dvOf(group.head),
+        keepDvKey = true,
         recoverPartitions = mv.partitionSpec.isEmpty)
       // LEFT join + in-plan guard: a scan key neither stamp spelling
       // matched would otherwise DROP its rows silently — fail loud
@@ -5567,7 +5666,7 @@ object TxLog {
             val phys = physOf(mTarget, n)
             mv.colMap.find(_._2 == phys).map(_._1).getOrElse(phys)
           })
-          :+ lit("insert").as("_change_type")
+          :+ lit(kind).as("_change_type")
           :+ org.apache.spark.sql.functions.when(
               col("_commit_version").isNull,
               org.apache.spark.sql.functions.raise_error(
@@ -5577,7 +5676,55 @@ object TxLog {
             .otherwise(col("_commit_version")).as("_commit_version")
           :+ col("_commit_timestamp"): _*)
     }
-    val frames = recordFrames ++ insertFrames
+    val insertFrames = synthLane(_.adds, _.dv, identity, "insert")
+    val deleteFrames = synthLane(_.dels, _.delDv, _ - 1, "delete")
+    // DV-flip synthesis: a ref commit whose endpoints share a file but
+    // disagree on its deletion vector flips EXACTLY the rows whose
+    // positions sit in one side's DV and not the other's. One full
+    // scan of the drifted entries (positions kept) classified against
+    // the two delete-position sets — both DV-sized, so the semi-joins
+    // broadcast; O(affected files), never a table scan. Rare lane: it
+    // plans per ref commit, and only when DV references drifted.
+    val flipFrames = sources.filter(_.flips.nonEmpty).flatMap { s =>
+      val fl = s.flips.get
+      val mv = manifest(spark, path, s.v)
+      val vSchema = StructType.fromDDL(mv.schemaDdl)
+      val entryKeys = fl.entries.flatMap { f =>
+        val raw = relEntry(f)
+        val enc = new java.net.URI(null, null, "/" + raw, null)
+          .getRawPath.stripPrefix("/")
+        Seq(raw, enc).distinct
+      }.distinct
+      val entriesDf = broadcast(entryKeys.toDF("_dv_key"))
+      def posOf(dv: Seq[(String, Map[String, Long])]): DataFrame =
+        if (dv.isEmpty)
+          spark.emptyDataFrame
+            .select(lit("").as("_dv_key"), lit(0L).as("_dv_idx")).limit(0)
+        else spark.read
+          .parquet(dv.map { case (f, _) => dvPath(path, f) }: _*)
+          .select(col("f").as("_dv_key"), col("row_index").as("_dv_idx"))
+          // a DV parquet can cover entries outside the drifted set —
+          // restrict before the position-set difference
+          .join(entriesDf, Seq("_dv_key"), "left_semi")
+      val pPos = posOf(fl.prevDv)
+      val tPos = posOf(fl.tgtDv)
+      val scan = readFiles(spark, path, vSchema, fl.entries, mv.colMap,
+        Nil, keepDvKey = true,
+        recoverPartitions = mv.partitionSpec.isEmpty)
+      def emit(pos: DataFrame, kind: String): DataFrame =
+        scan.join(broadcast(pos), Seq("_dv_key", "_dv_idx"), "left_semi")
+          .select(alignToTarget(scan, { n =>
+              val phys = physOf(mTarget, n)
+              mv.colMap.find(_._2 == phys).map(_._1).getOrElse(phys)
+            })
+            :+ lit(kind).as("_change_type")
+            :+ lit(s.v).as("_commit_version")
+            :+ lit(tsLit(s.tsMs)).cast("timestamp").as("_commit_timestamp"): _*)
+      Seq(
+        emit(pPos.except(tPos), "insert"), // un-deleted by the restore
+        emit(tPos.except(pPos), "delete")) // re-deleted by the restore
+    }
+    val frames = recordFrames ++ insertFrames ++ deleteFrames ++ flipFrames
     if (frames.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)

@@ -54,6 +54,49 @@ object Probe {
         noop(graft.operators.Dedup.components(pairs).orderBy("doc_id")))
     }
 
+    section("mad") {
+      // --- q_mad anatomy (r17: attribute the 5-6 s window — compile
+      // vs histogram cut vs the two percentile passes + tally) ---
+      val li = lineitem(spark, d)
+      time("mad: scan 2 cols count") {
+        li.select("l_returnflag", "l_extendedprice").count()
+      }
+      time("mad: scan 2 cols count (2nd)") {
+        li.select("l_returnflag", "l_extendedprice").count()
+      }
+      println("[probe] mad: distinct prices = " +
+        li.select("l_extendedprice").distinct().count() +
+        " of " + li.count())
+      time("mad: raw histogram groupBy (2nd timing below)") {
+        noop(li.groupBy(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("v"))
+          .agg(count(lit(1)).as("cnt")))
+      }
+      time("mad: raw histogram groupBy (no cut)") {
+        noop(li.groupBy(col("l_returnflag"),
+          col("l_extendedprice").cast("double").as("v"))
+          .agg(count(lit(1)).as("cnt")))
+      }
+      time("mad: histogram cut (Checkpoints.cut)") {
+        graft.operators.Checkpoints.cut(
+          li.groupBy(col("l_returnflag"),
+            col("l_extendedprice").cast("double").as("v"))
+            .agg(count(lit(1)).as("cnt"))).count()
+      }
+      time("mad: full madOutliers exact (1st)") {
+        noop(graft.operators.Stats.madOutliers(li, "l_returnflag",
+          "l_extendedprice"))
+      }
+      time("mad: full madOutliers exact (2nd)") {
+        noop(graft.operators.Stats.madOutliers(li, "l_returnflag",
+          "l_extendedprice"))
+      }
+      time("mad: approx mode") {
+        noop(graft.operators.Stats.madOutliers(li, "l_returnflag",
+          "l_extendedprice", exact = false))
+      }
+    }
+
     section("maf") {
     // --- q_maf_calc anatomy ---
     val withGeno = lineitem(spark, d).withColumn(

@@ -86,6 +86,34 @@ object ScaleCheckCdc {
       "at 5x versions (expect sub-linear: one scan per schema era, " +
       "never one per version)")
 
+    // restore synthesis shape (r17): the ref commit's record derives
+    // from the manifest FILE diff, so a feed window crossing a restore
+    // costs O(changed files), not O(table). A one-file append rolled
+    // back on a 10× table must read ~the same bytes.
+    def restoreFeed(rows: Long): Double = {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"scalecdc_rst_$rows").toString + "/t"
+      TxLog.create(
+        spark.range(0, rows).select(col("id").as("k"),
+          (col("id") % 8).cast("string").as("part"), lit(1.0).as("v")),
+        path, partitionCols = Seq("part"), statsCols = Seq("k"))
+      TxLog.setProperties(spark, path,
+        Map(TxLog.ChangeDataFeedProp -> "true"))
+      TxLog.append(Seq((rows + 1L, "0", 2.0)).toDF("k", "part", "v"),
+        path)                                            // v3: one file
+      val v = TxLog.restore(spark, path,
+        TxLog.currentVersion(spark, path).get - 1)       // v4: roll it back
+      TxLog.changeFeed(spark, path, v - 1, v).count()    // warm
+      timed { require(
+        TxLog.changeFeed(spark, path, v - 1, v).count() == 1L) }
+    }
+    val r1 = restoreFeed(100000L)
+    val r10 = restoreFeed(1000000L)
+    println(f"[scalecdc] feed across a RESTORE of a one-file append: " +
+      f"10^5-row table ${r1}%6.3f s, 10^6-row table ${r10}%6.3f s -> " +
+      f"${r10 / r1}%4.1fx at 10x rows (expect ~flat: the synthesized " +
+      "record is the manifest file diff, never a snapshot)")
+
     val (f1, df1, ds1, c1) = measure(100000L)
     val (f10, df10, ds10, c10) = measure(1000000L)
     println(f"[scalecdc] changeFeed(v-1,v) after a 100-row delete: " +

@@ -104,6 +104,47 @@ class IndexOccSpec extends SparkSpec {
       ArtifactLock.withLock(spark, art, "test") { ran = true }
       assert(ran, "a stale lock must break")
       assert(!fs.exists(lock), "the breaker's own lock must release")
+      // the break went through the rename-to-tombstone protocol and
+      // the tombstone was swept at release — nothing left behind
+      val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(art))
+        .map(_.getPath.getName).filter(_.startsWith("_maint_lock"))
+      assert(leftovers.isEmpty, s"leftover lock artifacts: ${leftovers.toSeq}")
     } finally spark.conf.unset("graft.index.lockWaitMs")
+  }
+
+  test("a broken instance's tombstone blocks late breakers of the SAME instance") {
+    // r16 advice: delete-then-create let two breakers that both saw
+    // the stale lock acquire TOGETHER (B deletes A's fresh lock).
+    // Under the rename protocol a loser's rename target — the
+    // tombstone named by the stale lock's content — is taken until
+    // the winner releases, so the loser can neither break nor
+    // acquire: it refuses loudly at the deadline instead of running
+    // concurrently. Simulated here by pre-staging the winner's
+    // tombstone next to the (stale) lock it broke.
+    val art = fresh("lock2") + "/a"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(art), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(art))
+    val lock = new org.apache.hadoop.fs.Path(art, "_maint_lock")
+    val content = "winner verb 0"
+    val out = fs.create(lock, false)
+    out.write(content.getBytes("UTF-8")); out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    val tombId = java.lang.Integer.toHexString(content.hashCode) +
+      content.takeWhile(_ != ' ')
+    val tomb = new org.apache.hadoop.fs.Path(art, s"_maint_lock.tomb.$tombId")
+    val tout = fs.create(tomb, false); tout.close()
+    spark.conf.set("graft.index.lockWaitMs", "400")
+    try {
+      val e = intercept[IllegalStateException] {
+        ArtifactLock.withLock(spark, art, "late-breaker") { () }
+      }
+      assert(e.getMessage.contains("timed out"), e.getMessage)
+      assert(fs.exists(lock),
+        "the late breaker must NOT have deleted or renamed the lock")
+    } finally {
+      spark.conf.unset("graft.index.lockWaitMs")
+      fs.delete(tomb, false); fs.delete(lock, false)
+    }
   }
 }

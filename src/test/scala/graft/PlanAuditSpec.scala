@@ -48,23 +48,41 @@ class PlanAuditSpec extends SparkSpec {
       "l_shipdate", "l_returnflag", "l_linestatus"), s"scan reads: $read")
   }
 
-  test("q_mad: ONE corpus shuffle, shared via ReusedExchange across the histogram consumers") {
-    // the histogram subtree (groupBy(group, value) over the corpus)
-    // appears three times in the logical plan — median, |v-med|
-    // histogram, outlier tally — but must canonicalize identically so
-    // the corpus-sized shuffle computes ONCE and the other consumers
-    // read the same shuffle files. A localCheckpoint would buy the
-    // same sharing at a full storage write + pipeline barrier; a
-    // regression here triples the dominant shuffle (r10's 8.3 s vs
-    // the reused plan's ~2.6 s min-of-3 at sf0.1, SURVEY §6b).
+  test("q_mad: refinement plan — NO corpus sort, no window, 2-column pruned scans") {
+    // r17 rework: the old plan histogram'd (group, value) and ran
+    // sort-windows over it — exact, but on a 97%-distinct money column
+    // the "histogram" IS the corpus and both percentile passes were
+    // corpus sorts (the real 100 TB weak spot; ~5 s windows at sf0.1).
+    // The refinement plan (Quantiles.refined) resolves the medians
+    // with bounded aggregation passes at CONSTRUCTION time; the
+    // returned frame is one scan + broadcast med/mad stamps + a
+    // group-sized aggregate. Pinned: the returned plan has NO Sort and
+    // NO Window anywhere, its parquet scan reads exactly the 2 needed
+    // columns, and the med/mad sides arrive as broadcasts.
     val df = WarehouseQueries.entries("q_mad")(spark, sf)
-    df.collect() // AQE finalizes (and reuses) stages at execution
+    df.collect() // AQE finalizes at execution
     val p = df.queryExecution.executedPlan.toString
     assert(p.linesIterator.next().contains("isFinalPlan=true"),
       s"expected an executed adaptive plan:\n${p.take(500)}")
-    val reused = "ReusedExchange".r.findAllIn(p).size
-    assert(reused >= 2,
-      s"corpus histogram must be shared via ReusedExchange (saw $reused):\n${p.take(4000)}")
+    assert(!p.contains("Window"), s"no window expected:\n${p.take(4000)}")
+    // the final ORDER BY sorts the GROUP-SIZED aggregate output (3
+    // rows) — fine; the pinned regression is a sort BELOW the final
+    // aggregate, i.e. over corpus-sized input (plan strings print
+    // top-down, so below = later in the string)
+    val pf = p.split("== Initial Plan ==").head // final-plan section only
+    val firstAgg = pf.indexOf("HashAggregate")
+    assert(firstAgg >= 0, pf.take(2000))
+    assert(!pf.substring(firstAgg).contains("Sort ["),
+      s"no sort below the final aggregate (corpus-sized input):\n${pf.take(4000)}")
+    // AQE nests the scans inside query stages — read the schemas off
+    // the plan string (every FileScan prints its ReadSchema)
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(pf)
+      .map(_.group(1).split(",").map(_.split(":").head).toSet).toSeq
+    assert(reads.nonEmpty && reads.forall(_ ==
+      Set("l_returnflag", "l_extendedprice")),
+      s"scan must read exactly the 2 needed columns: $reads")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"med/mad stamps must broadcast:\n${p.take(4000)}")
   }
 
   test("dim joins broadcast instead of shuffling the fact side") {

@@ -138,6 +138,33 @@ class TxLogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KEYLESS streaming CDF reads THROUGH a restore: the rollback arrives as events") {
+    val path = freshDir("cdf_restore")
+    TxLog.create(keyed(Seq((1L, "a", 1.0), (2L, "b", 2.0))), path)   // v1
+    TxLog.setProperties(spark, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                       // v2
+    val q = stream(path, "readChangeFeed" -> "true",
+      "sinceVersion" -> "latest").writeStream
+      .format("memory").queryName("txs_cdf_rst").outputMode("append").start()
+    try {
+      TxLog.append(keyed(Seq((3L, "c", 3.0))), path)                 // v3
+      q.processAllAvailable()
+      TxLog.restore(spark, path, 2L)                                 // v4
+      TxLog.append(keyed(Seq((4L, "d", 4.0))), path)                 // v5
+      q.processAllAvailable()
+      val rows = spark.table("txs_cdf_rst").collect()
+        .map(r => (r.getLong(0), r.getString(3), r.getLong(4))).toSet
+      // the restore's synthesized record flows through the SAME
+      // stream — no manual feed restart after a rollback (r16
+      // verdict's #1 operational gap)
+      assert(rows == Set(
+        (3L, "insert", 3L),
+        (3L, "delete", 4L),
+        (4L, "insert", 5L)),
+        s"streamed feed across restore: $rows")
+    } finally q.stop()
+  }
+
   test("sinceTimestamp: the tail starts after the version live at that instant") {
     val path = freshDir("since_ts")
     TxLog.create(keyed(Seq((1L, "a", 1.0))), path)          // v1
