@@ -210,11 +210,36 @@ object WarehouseQueries {
     * cohorts' id sets (rows-only: sketch estimates; the ≤5%-of-exact
     * and planted-overlap invariants are spec'd). */
   def hllOverlapQuery(s: SparkSession, d: String): DataFrame = {
+    // BOUND-CHECKED gate (r16 verdict #8): the sketch overlap still
+    // runs (the key's point: KB-sized cohort sketches answer any
+    // pairwise overlap post hoc), but each cohort estimate must land
+    // within 10% of its exact distinct count, and the
+    // inclusion–exclusion intersection within 10% of the UNION size
+    // (its error is the sum of three estimates' errors, so it scales
+    // with the union, not the overlap — the operator's own documented
+    // caveat). The exact counts hash-verify against DuckDB.
     val ev = events(s, d)
-    graft.operators.Sketches.hllOverlap(
-      ev.filter(col("event_type") === "view").select("user_id"),
-      ev.filter(col("event_type") === "purchase").select("user_id"),
-      "user_id")
+    val a = ev.filter(col("event_type") === "view").select("user_id")
+    val b = ev.filter(col("event_type") === "purchase").select("user_id")
+    val est = graft.operators.Sketches.hllOverlap(a, b, "user_id")
+    val ex = a.distinct().withColumn("_in_a", lit(1))
+      .join(b.distinct().withColumn("_in_b", lit(1)), Seq("user_id"), "full_outer")
+      .agg(
+        sum("_in_a").as("exact_a"),
+        sum("_in_b").as("exact_b"),
+        sum(when(col("_in_a") === 1 && col("_in_b") === 1, 1L))
+          .as("exact_intersection"))
+    est.crossJoin(ex) // both sides are ONE row
+      .select(
+        col("exact_a"), col("exact_b"),
+        coalesce(col("exact_intersection"), lit(0L)).as("exact_intersection"),
+        (abs(col("est_a") - col("exact_a")) <= lit(0.10) * col("exact_a"))
+          .as("a_ok"),
+        (abs(col("est_b") - col("exact_b")) <= lit(0.10) * col("exact_b"))
+          .as("b_ok"),
+        (abs(col("est_intersection") -
+            coalesce(col("exact_intersection"), lit(0L))) <=
+          lit(0.10) * (col("exact_a") + col("exact_b"))).as("i_ok"))
   }
 
   /** Seasonal-naive forecast backtest: predict the LAST day's hourly
@@ -452,8 +477,17 @@ object WarehouseQueries {
     // absent in TPC-H) appears in BOTH aggregates, and a plain equi-join
     // would silently drop it — <=> keeps semantics identical to the
     // single-aggregate form
+    // BOUND-CHECKED gate (r16 verdict #8): the exact column is
+    // hash-verified against DuckDB, and the sketch's estimate must sit
+    // within 5× its configured rsd (0.02 → 10%) of it — a healthy
+    // HLL++ passes with overwhelming margin; a broken sketch (or a
+    // broken merge) flips bound_ok to false and the driver gate FAILS
+    // the key instead of recording `no_oracle`. The estimate itself
+    // stays engine-specific and is deliberately not in the output.
     approx.join(exact, approx("l_suppkey") <=> exact("l_suppkey"))
-      .select(approx("l_suppkey"), col("approx_parts"), col("exact_parts"))
+      .select(approx("l_suppkey"), col("exact_parts"),
+        (abs(col("approx_parts").cast("double") - col("exact_parts")) <=
+          lit(0.10) * col("exact_parts")).as("bound_ok"))
       .orderBy("l_suppkey")
   }
 
@@ -465,10 +499,23 @@ object WarehouseQueries {
     * engine-specific); the spec pins combine ≡ single-pass exactly and
     * brackets the error vs exact distinct. */
   def hllRollup(s: SparkSession, d: String): DataFrame = {
+    // BOUND-CHECKED gate (r16 verdict #8): the per-type answer still
+    // comes from the slice-and-merge path (the key's whole point: any
+    // window answers from KB-sized sketch rows, no event rescans), but
+    // the merged estimate must land within 10% (≈6× the lgK=12 rsd)
+    // of the exact distinct count, which is itself hash-verified
+    // against DuckDB. A broken merge flips bound_ok to false and
+    // FAILS the gate instead of recording `no_oracle`.
     val slices = graft.operators.Sketches.hllSlices(
       events(s, d), expr("unix_micros(ts) div 86400000000"),
       Seq("event_type"), "user_id")
-    graft.operators.Sketches.hllCombine(slices, Seq("event_type"))
+    val approx = graft.operators.Sketches.hllCombine(slices, Seq("event_type"))
+    val exact = events(s, d).groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    approx.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_distinct").cast("double") - col("exact_users")) <=
+          lit(0.10) * col("exact_users")).as("bound_ok"))
       .orderBy("event_type")
   }
 
@@ -523,14 +570,40 @@ object WarehouseQueries {
     * q_distinct_count. Rows-only (sketch internals are
     * engine-specific); the spec bounds the rank error vs the exact
     * histogram percentiles. */
-  def approxPercentiles(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+  def approxPercentiles(s: SparkSession, d: String): DataFrame = {
+    // BOUND-CHECKED gate (r16 verdict #8): percentile_approx promises
+    // a value whose RANK is within 1/accuracy of the target — checked
+    // here by bracketing each estimate between the EXACT percentiles
+    // at p ± 50/accuracy (generous: 50× the bound), via the same
+    // histogram plan q_percentile hash-verifies. The exact medians in
+    // the output are themselves hash-verified against DuckDB's
+    // quantile_cont; a sketch regression flips a *_ok to false and
+    // FAILS the gate instead of recording `no_oracle`.
+    val eps = 50.0 / 10000
+    val approx = lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("med_qty"),
-        percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("q1_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("q3_price"))
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("a_med"),
+        percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("a_q1"),
+        percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("a_q3"))
+    val exact = graft.operators.Percentiles.exactMulti(
+      lineitem(s, d), "l_returnflag", Seq(
+        ("med_qty", "l_quantity", 0.5),
+        ("med_lo", "l_quantity", 0.5 - eps), ("med_hi", "l_quantity", 0.5 + eps),
+        ("q1_price", "l_extendedprice", 0.25),
+        ("q1_lo", "l_extendedprice", 0.25 - eps), ("q1_hi", "l_extendedprice", 0.25 + eps),
+        ("q3_price", "l_extendedprice", 0.75),
+        ("q3_lo", "l_extendedprice", 0.75 - eps), ("q3_hi", "l_extendedprice", 0.75 + eps)))
+    approx.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        round(col("med_qty"), 4).as("med_qty"),
+        round(col("q1_price"), 4).as("q1_price"),
+        round(col("q3_price"), 4).as("q3_price"),
+        col("a_med").between(col("med_lo"), col("med_hi")).as("med_ok"),
+        col("a_q1").between(col("q1_lo"), col("q1_hi")).as("q1_ok"),
+        col("a_q3").between(col("q3_lo"), col("q3_hi")).as("q3_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Unpivot (melt): wide metric columns → (metric, value) rows via
     * `stack` — the inverse of q_pivot_wide, one generator pass. */
@@ -2735,6 +2808,38 @@ object WarehouseQueries {
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q3_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // bound-checked approx gates (r17): the exact columns hash-verify;
+    // the *_ok flags are computed Spark-side against the exact answer
+    // with the algorithm's published error bound and must all read
+    // TRUE — a sketch regression hash-mismatches instead of hiding
+    // behind `no_oracle`
+    "q_approx_distinct" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS bound_ok
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q3_price,
+        |  true AS med_ok, true AS q1_ok, true AS q3_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_hll_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS bound_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_hll_overlap" ->
+      """SELECT
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |     WHERE event_type = 'view') AS exact_a,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |     WHERE event_type = 'purchase') AS exact_b,
+        |  (SELECT count(*) FROM
+        |     (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |      INTERSECT
+        |      SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase')) AS exact_intersection,
+        |  true AS a_ok, true AS b_ok, true AS i_ok""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
         |  SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS value FROM lineitem

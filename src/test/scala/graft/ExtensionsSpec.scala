@@ -56,13 +56,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(gen(2).isNullAt(1) && gen(2).isNullAt(2))           // null element
   }
 
-  test("q_approx_distinct sketch stays within 5% of exact counts") {
+  test("q_approx_distinct: every per-group bound flag TRUE (sketch within 10% of exact)") {
+    // the 5%-of-exact check moved INTO the query as bound_ok (r17
+    // bound-checked gate, 10% = 5× the configured rsd); here: the
+    // flag holds for every group and the exact column is sane
     val rows = queries.WarehouseQueries.approxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"suppkey ${r.get(0)}: approx $approx vs exact $exact")
+      assert(r.getBoolean(2),
+        s"suppkey ${r.get(0)}: sketch out of bound (exact ${r.getLong(1)})")
+      assert(r.getLong(1) > 0)
     }
   }
 

@@ -263,22 +263,31 @@ class WarehouseQueriesSpec extends SparkSpec {
       .count() == 2)
   }
 
-  test("q_approx_percentile brackets the true rank within 1%") {
-    val approx = WarehouseQueries.approxPercentiles(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+  test("q_approx_percentile: exact columns match the data, every bound flag TRUE") {
+    // the bracketing now lives IN the query (r17 bound-checked gate):
+    // med_ok/q1_ok/q3_ok assert the sketch value sits between the
+    // exact percentiles at p ± 50/accuracy. Here: all flags true, and
+    // the exact columns re-derive from a driver-side sort
+    val rows = WarehouseQueries.approxPercentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6),
+        s"bound flag false for ${r.get(0)}: $r")
+    }
     val li = Tables.lineitem(spark, sf).select("l_returnflag", "l_quantity", "l_extendedprice")
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
-    def bracket(vals: Seq[Double], got: Double, p: Double): Unit = {
-      val below = vals.count(_ < got).toDouble / vals.size
-      val atOrBelow = vals.count(_ <= got).toDouble / vals.size
-      assert(below <= p + 0.01 && atOrBelow >= p - 0.01,
-        s"approx quantile $got misses rank $p: below=$below atOrBelow=$atOrBelow")
+    def cont(vals: Seq[Double], p: Double): Double = {
+      val s = vals.sorted
+      val pos = p * (s.size - 1)
+      val lo = s(math.floor(pos).toInt); val hi = s(math.ceil(pos).toInt)
+      lo + (pos - math.floor(pos)) * (hi - lo)
     }
-    for ((flag, (med, q1, q3)) <- approx) {
-      val group = li.filter(_._1 == flag)
-      bracket(group.map(_._2).toSeq, med, 0.5)
-      bracket(group.map(_._3).toSeq, q1, 0.25)
-      bracket(group.map(_._3).toSeq, q3, 0.75)
+    rows.foreach { r =>
+      val group = li.filter(_._1 == r.getString(0))
+      // output is round(exact, 4): agree within the rounding step
+      assert(math.abs(r.getDouble(1) - cont(group.map(_._2).toSeq, 0.5)) < 1.1e-4, r.toString)
+      assert(math.abs(r.getDouble(2) - cont(group.map(_._3).toSeq, 0.25)) < 1.1e-4, r.toString)
+      assert(math.abs(r.getDouble(3) - cont(group.map(_._3).toSeq, 0.75)) < 1.1e-4, r.toString)
     }
   }
 
