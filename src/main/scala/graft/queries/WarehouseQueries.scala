@@ -1785,6 +1785,45 @@ object WarehouseQueries {
       "ORDER BY o_orderkey")
   }
 
+  /** VARIANT through the lake (r16 verdict #5, Spark 4 VariantType):
+    * the events table's JSON props column lands in a TxLog table as a
+    * typed `variant` column (parse_json at ingest — the open-format
+    * answer to stringly-typed JSON lakes), survives the manifest's
+    * schema-DDL round trip, appends across commits, takes a DV delete
+    * whose predicate reads THROUGH the variant (`variant_get`), and
+    * feeds its change record with the variant payload intact. The
+    * gate output extracts typed fields, so the oracle replays it with
+    * DuckDB's JSON functions over the raw parquet: per type, live
+    * rows, their variant-extracted k-sum, and the CDC delete count. */
+  def txlogVariant(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_txlog_variant_query"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val ev = events(s, d).select(col("event_id"), col("event_type"),
+      parse_json(col("props")).as("v"))
+    TxLog.create(ev.filter(col("event_id") % 2 === 0), path)        // v1
+    TxLog.setProperties(s, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                      // v2
+    TxLog.append(ev.filter(col("event_id") % 2 === 1), path)        // v3
+    // the delete predicate reads THROUGH the variant column; DV mode
+    // keeps it zero-rewrite, and the CDF capture carries the variant
+    TxLog.deleteWhere(s, path,
+      expr("variant_get(v, '$.k', 'bigint')") % 7 === 0,
+      deletionVectors = true)                                       // v4
+    val live = TxLog.read(s, path).groupBy("event_type").agg(
+      count(lit(1)).as("n_live"),
+      sum(expr("variant_get(v, '$.k', 'bigint')")).as("sum_k"))
+    val deleted = TxLog.changeFeed(s, path, 3L, 4L)
+      .filter(col("_change_type") === "delete")
+      .groupBy("event_type").agg(count(lit(1)).as("n_cdc_deletes"))
+    live.join(deleted, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_live"), col("sum_k"),
+        coalesce(col("n_cdc_deletes"), lit(0L)).as("n_cdc_deletes"))
+      .orderBy("event_type")
+  }
+
   /** DEFAULT + GENERATED columns through the driver gate: create from
     * half the orders, ADD COLUMN ... DEFAULT and ADD COLUMN ...
     * GENERATED AS (both metadata-only — pre-existing rows read null),
@@ -1951,6 +1990,7 @@ object WarehouseQueries {
     "q_txlog_merge_evolve" -> txlogMergeEvolve _,
     "q_txlog_identity" -> txlogIdentity _,
     "q_txlog_overwrite" -> txlogOverwrite _,
+    "q_txlog_variant" -> txlogVariant _,
     "q_txlog" -> txlog _,
     "q_txlog_dv" -> txlogDv _,
     "q_txlog_dv_batch" -> txlogDvBatch _,
@@ -2808,6 +2848,24 @@ object WarehouseQueries {
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q3_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // VARIANT lake key: the oracle replays the variant_get arithmetic
+    // with DuckDB's JSON functions over the raw events parquet
+    "q_txlog_variant" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |live AS (
+        |  SELECT event_type, count(*) AS n_live,
+        |         CAST(sum(k) AS BIGINT) AS sum_k
+        |  FROM ev WHERE k % 7 <> 0 GROUP BY event_type),
+        |dels AS (
+        |  SELECT event_type, count(*) AS n_cdc_deletes
+        |  FROM ev WHERE k % 7 = 0 GROUP BY event_type)
+        |SELECT l.event_type, l.n_live, l.sum_k,
+        |       COALESCE(d.n_cdc_deletes, 0) AS n_cdc_deletes
+        |FROM live l LEFT JOIN dels d USING (event_type)
+        |ORDER BY l.event_type""".stripMargin,
     // bound-checked approx gates (r17): the exact columns hash-verify;
     // the *_ok flags are computed Spark-side against the exact answer
     // with the algorithm's published error bound and must all read

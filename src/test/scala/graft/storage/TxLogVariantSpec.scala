@@ -1,0 +1,92 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** VARIANT columns through the lake (Spark 4 VariantType): the typed
+  * answer to stringly-JSON columns. Pins the deliberate contract —
+  * the manifest's schema-DDL round trip carries VARIANT, appends and
+  * version-pinned reads preserve the payload byte-for-byte (compared
+  * through to_json), predicates read through `variant_get` (DV deletes
+  * included), the change feed carries the variant payload, schema
+  * evolution adds variant columns with null backfill, and min/max
+  * stats on a variant column refuse loudly (there is no meaningful
+  * order to prune by). */
+class TxLogVariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_var_$tag").toString + "/t"
+
+  private def mk(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "js").select(col("id"), parse_json(col("js")).as("v"))
+  }
+
+  test("create/append/read round trip: VariantType survives the manifest DDL") {
+    val path = fresh("rt")
+    TxLog.create(mk(Seq((1L, """{"k":5,"tags":["a","b"]}"""))), path)
+    TxLog.append(mk(Seq((2L, """{"k":7,"nested":{"x":1.5}}"""))), path)
+    val got = TxLog.read(spark, path)
+    assert(got.schema("v").dataType ==
+      org.apache.spark.sql.types.VariantType, got.schema.toDDL)
+    val js = got.select(col("id"), to_json(col("v")).as("j"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(js(1L) == """{"k":5,"tags":["a","b"]}""", js.toString)
+    assert(js(2L) == """{"k":7,"nested":{"x":1.5}}""", js.toString)
+    // typed extraction down arbitrary paths
+    val x = got.filter(col("id") === 2L)
+      .select(expr("variant_get(v, '$.nested.x', 'double')")).head().getDouble(0)
+    assert(x == 1.5)
+  }
+
+  test("DV delete through variant_get; the change feed carries the variant payload") {
+    val path = fresh("dv")
+    TxLog.create(mk(Seq((1L, """{"k":1}"""), (2L, """{"k":2}"""),
+      (3L, """{"k":3}"""))), path)                                  // v1
+    TxLog.setProperties(spark, path,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                      // v2
+    TxLog.deleteWhere(spark, path,
+      expr("variant_get(v, '$.k', 'int')") === 2,
+      deletionVectors = true)                                       // v3
+    assert(TxLog.read(spark, path).count() == 2L)
+    val feed = TxLog.changeFeed(spark, path, 2L, 3L)
+      .select(col("_change_type"), col("id"), to_json(col("v")).as("j"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(feed.toSeq == Seq(("delete", 2L, """{"k":2}""")), feed.toSeq)
+    // and a restore across the variant DV flips it back, payload intact
+    TxLog.restore(spark, path, 2L)                                  // v4
+    val flip = TxLog.changeFeed(spark, path, 3L, 4L)
+      .select(col("_change_type"), col("id"), to_json(col("v")).as("j"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(flip.toSeq == Seq(("insert", 2L, """{"k":2}""")), flip.toSeq)
+  }
+
+  test("schema evolution: ADD COLUMN variant backfills null; old versions keep their schema") {
+    val path = fresh("evolve")
+    TxLog.create(Seq((1L, "a")).toDF("id", "s"), path)              // v1
+    TxLog.addColumn(spark, path, "meta", "variant")                 // v2
+    TxLog.append(Seq((2L, "b", """{"m":1}"""))
+      .toDF("id", "s", "js")
+      .select(col("id"), col("s"), parse_json(col("js")).as("meta")),
+      path)                                                         // v3
+    val got = TxLog.read(spark, path)
+      .select(col("id"), to_json(col("meta")).as("j"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> Some("""{"m":1}""")), got.toString)
+    assert(!TxLog.read(spark, path, Some(1L)).columns.contains("meta"),
+      "version-pinned reads keep their own schema")
+  }
+
+  test("min/max stats on a variant column refuse loudly") {
+    val path = fresh("stats")
+    val e = intercept[Exception] {
+      TxLog.create(mk(Seq((1L, """{"k":1}"""))), path,
+        statsCols = Seq("v"))
+    }
+    assert(Option(e.getMessage).exists(m =>
+      m.toLowerCase.contains("variant") || m.contains("v")),
+      s"refusal must name the column or type: ${e.getMessage}")
+  }
+}
