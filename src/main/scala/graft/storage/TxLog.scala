@@ -6519,10 +6519,16 @@ object TxLog {
       // OPTIMIZE to materialize" advisory signal
       m.dv.flatMap(_._2.values).sum,
       m.schemaDdl,
-      propsOf(m)))
+      propsOf(m),
+      // ANALYZE-time NDV stats (CBO inputs): the analyzed-at version
+      // makes staleness visible next to the head version above
+      Analyze.read(spark, path).map(a => java.lang.Long.valueOf(a.analyzedVersion)).orNull,
+      Analyze.read(spark, path).map(_.cols.view.mapValues(_.ndv).toMap)
+        .getOrElse(Map.empty[String, Long])))
       .toDF("path", "version", "partition_col", "num_files", "total_bytes",
         "rows", "stats_cols", "n_check_constraints", "n_unique_constraints",
-        "n_dv_rows", "schema_ddl", "properties")
+        "n_dv_rows", "schema_ddl", "properties", "analyzed_version",
+        "column_ndv")
   }
 
   /** The FILES metadata table (Delta's per-file inventory at file

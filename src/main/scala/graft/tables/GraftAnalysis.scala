@@ -111,7 +111,7 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
               r.output.map(_.name))) keep.exprId
             else org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId)
         }
-        val lr = LogicalRelation(rel, relAttrs, None,
+        val lr = LogicalRelation(rel, relAttrs, catalogStats(t, rel),
           isStreaming = false, None)
         if (lr.output.map(_.exprId) == r.output.map(_.exprId)) lr
         else {
@@ -122,6 +122,54 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
           }, lr)
         }
     }
+
+  /** ANALYZE-time statistics → CBO (r16 verdict #4): when the table
+    * has persisted NDV sketches ([[graft.storage.Analyze]]), the mount
+    * carries a synthetic `CatalogTable` whose `CatalogStatistics` give
+    * Catalyst an exact rowCount (manifest fileRows minus DV deletes —
+    * always live, never stale) and per-column distinctCount/nullCount.
+    * With `spark.sql.cbo.enabled` (+ joinReorder) a 3+-table join then
+    * reorders BEFORE its first shuffle — the decision AQE can only
+    * retrofit after a stage has already run. Un-ANALYZEd tables attach
+    * rowCount alone (the manifest knows it for free); stats attach is
+    * inert unless CBO is on (`toPlanStats` falls back to sizeInBytes). */
+  private def catalogStats(t: GraftTable,
+                           rel: org.apache.spark.sql.sources.BaseRelation)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
+    try {
+      val v = t.versionAsOf.orElse(TxLog.currentVersion(spark, t.path))
+        .getOrElse(return None)
+      val m = TxLog.manifest(spark, t.path, v)
+      // exact live rows: per-file counts minus DV-deleted rows; a file
+      // without a tracked count (pre-stats history) forfeits rowCount
+      val rowCount =
+        if (!m.files.forall(m.fileRows.contains)) None
+        else Some(BigInt(m.files.map(m.fileRows).sum -
+          graft.sources.TxLogBatch.dvRowCount(m)))
+      val ndv = graft.storage.Analyze.read(spark, t.path)
+        .filter(_.analyzedVersion <= v) // never serve future stats to time travel
+      if (rowCount.isEmpty && ndv.isEmpty) return None
+      val nulls: Map[String, Long] = m.fileNulls.values
+        .flatten.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+      val colStats: Map[String, CatalogColumnStat] = ndv.map(_.cols.map {
+        case (c, s) => c -> CatalogColumnStat(
+          distinctCount = Some(BigInt(s.ndv)),
+          nullCount = nulls.get(c).map(BigInt(_)))
+      }).getOrElse(Map.empty)
+      Some(CatalogTable(
+        identifier = org.apache.spark.sql.catalyst.TableIdentifier(t.name()),
+        tableType = CatalogTableType.EXTERNAL,
+        storage = CatalogStorageFormat.empty,
+        schema = rel.schema,
+        provider = Some("graft-txlog"),
+        stats = Some(CatalogStatistics(
+          sizeInBytes = BigInt(rel.sizeInBytes),
+          rowCount = rowCount,
+          colStats = colStats))))
+    } catch { case _: Exception => None } // stats are advisory, never fatal
+  }
 
   private def isGraft(plan: LogicalPlan): Boolean =
     GraftRel.unapply(plan).isDefined

@@ -104,6 +104,24 @@ object GraftProcedures {
             if (in.isNullAt(1)) Nil
             else in.getUTF8String(1).toString.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq))),
+    Proc("analyze",
+      "compute/refresh table-level column NDV sketches for CBO " +
+        "(append-only history refreshes incrementally from the stored " +
+        "sketches); returns per-column distinct-count estimates",
+      Array(p("table", S).build(),
+        p("columns", S).defaultValue("CAST(NULL AS STRING)").build()),
+      StructType.fromDDL("analyzed_version BIGINT, ndv MAP<STRING, BIGINT>"),
+      (spark, path, in) => {
+        val cols =
+          if (in.isNullAt(1)) Nil
+          else in.getUTF8String(1).toString.split(",").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+        val t = graft.storage.Analyze.analyze(spark, path, cols)
+        InternalRow(t.analyzedVersion,
+          org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            t.cols.toSeq.sortBy(_._1).map(c => UTF8String.fromString(c._1)).toArray,
+            t.cols.toSeq.sortBy(_._1).map(_._2.ndv).toArray))
+      }),
     Proc("restore",
       "roll the table back to a version (an O(1) ref commit)",
       Array(p("table", S).build(), p("version", L).build()),

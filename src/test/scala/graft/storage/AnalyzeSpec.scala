@@ -1,0 +1,120 @@
+package graft.storage
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ANALYZE-time column NDV → cost-based optimization (r16 verdict #4).
+  * [[Analyze]] persists per-column DataSketches HLL sketches beside
+  * the table; [[graft.tables.GraftAnalysis]] mounts catalog reads with
+  * CatalogStatistics (exact manifest rowCount minus DV deletes +
+  * ANALYZEd distinctCount/nullCount), so `spark.sql.cbo.enabled` join
+  * reordering has real inputs BEFORE the first shuffle — the decision
+  * AQE can only retrofit after a stage has run. */
+class AnalyzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_an_$tag").toString + "/t"
+
+  test("full ANALYZE: NDV within sketch tolerance of exact; incremental merge ≡ recompute") {
+    val path = fresh("ndv")
+    TxLog.create(spark.range(0, 2000).select(col("id").as("k"),
+      (col("id") % 37).as("cat")), path)
+    val t1 = Analyze.analyze(spark, path)
+    assert(math.abs(t1.cols("k").ndv - 2000L) <= 2000 * 0.05, t1.cols.toString)
+    assert(t1.cols("cat").ndv == 37L, t1.cols.toString)
+    // append-only refresh merges the stored sketches with ONLY the new
+    // slice; the result must match a from-scratch recompute
+    TxLog.append(spark.range(2000, 3000).select(col("id").as("k"),
+      (col("id") % 41).as("cat")), path)
+    val inc = Analyze.analyze(spark, path)
+    assert(inc.analyzedVersion == 2L)
+    // a sketch union is not bit-identical to a single-pass sketch
+    // (merge order perturbs the estimator) — both must land within
+    // the sketch tolerance of the TRUE count (3000 / 41)
+    assert(math.abs(inc.cols("k").ndv - 3000L) <= 3000 * 0.05,
+      s"incremental ${inc.cols}")
+    assert(inc.cols("cat").ndv == 41L, inc.cols.toString)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_stats"), true)
+    val full = Analyze.analyze(spark, path)
+    assert(math.abs(full.cols("k").ndv - 3000L) <= 3000 * 0.05,
+      s"full ${full.cols}")
+    // rewrite history (a delete) cannot carry sketches: the next
+    // ANALYZE silently recomputes and lands on the live values
+    TxLog.deleteWhere(spark, path, col("k") < 1000L)
+    val after = Analyze.analyze(spark, path)
+    assert(math.abs(after.cols("k").ndv - 2000L) <= 2000 * 0.05,
+      after.cols.toString)
+  }
+
+  test("DESCRIBE DETAIL surfaces analyzed_version and column_ndv") {
+    val path = fresh("detail")
+    TxLog.create(spark.range(0, 100).select(col("id").as("k")), path)
+    val before = TxLog.detail(spark, path).head()
+    assert(before.isNullAt(before.fieldIndex("analyzed_version")))
+    Analyze.analyze(spark, path)
+    val d = TxLog.detail(spark, path).head()
+    assert(d.getLong(d.fieldIndex("analyzed_version")) == 1L)
+    val ndv = d.getMap[String, Long](d.fieldIndex("column_ndv"))
+    assert(ndv.contains("k") && math.abs(ndv("k") - 100L) <= 5, ndv.toString)
+  }
+
+  test("CBO join reorder flips with ANALYZEd stats on; results identical") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_an_wh").toString
+    spark.conf.set("graft.catalog.warehouse", wh)
+    try {
+      spark.range(0, 20000)
+        .select(col("id").as("k"), (col("id") % 500).as("mid_k"),
+          (col("id") % 5).as("dim_k"))
+        .createOrReplaceTempView("cbo_src")
+      spark.sql("CREATE TABLE graft.cbo_fact AS SELECT * FROM cbo_src")
+      spark.sql("CREATE TABLE graft.cbo_mid AS " +
+        "SELECT DISTINCT mid_k AS k, mid_k % 7 AS attr FROM cbo_src")
+      spark.sql("CREATE TABLE graft.cbo_dim AS " +
+        "SELECT DISTINCT dim_k AS k, dim_k * 10 AS tag FROM cbo_src")
+      // deliberately bad written order: fact ⋈ mid first (500-row
+      // build), then dim (5-row) — with stats the optimizer should
+      // prefer a different shape than the written one
+      val sql =
+        """SELECT count(*) AS n, sum(d.tag) AS s
+          |FROM graft.cbo_fact f
+          |JOIN graft.cbo_mid m ON f.mid_k = m.k
+          |JOIN graft.cbo_dim d ON f.dim_k = d.k
+          |WHERE m.attr < 3 AND d.tag < 40""".stripMargin
+      def joinOrder(): Seq[String] = {
+        val plan = spark.sql(sql).queryExecution.optimizedPlan
+        plan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.catalogTable.map(_.identifier.table).getOrElse("?")
+        }
+      }
+      val noCbo = joinOrder()
+      spark.sql("CALL graft.system.analyze(table => 'cbo_fact')")
+      spark.sql("CALL graft.system.analyze(table => 'cbo_mid')")
+      spark.sql("CALL graft.system.analyze(table => 'cbo_dim')")
+      val expected = spark.sql(sql).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val withCbo = joinOrder()
+      val got = spark.sql(sql).collect().map(_.toString).toSeq
+      assert(got == expected, s"CBO changed RESULTS: $got vs $expected")
+      assert(noCbo != withCbo,
+        s"stats must flip the join order: $noCbo == $withCbo")
+      // and the optimized plan actually carries our statistics
+      val stats = spark.sql("SELECT * FROM graft.cbo_fact")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(20000)), stats.toString)
+      assert(stats.attributeStats.nonEmpty, "attribute stats must attach")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      spark.sql("DROP TABLE IF EXISTS graft.cbo_fact")
+      spark.sql("DROP TABLE IF EXISTS graft.cbo_mid")
+      spark.sql("DROP TABLE IF EXISTS graft.cbo_dim")
+      spark.conf.unset("graft.catalog.warehouse")
+    }
+  }
+}
