@@ -53,6 +53,12 @@ object Percentiles {
     * re-aggregate one corpus histogram instead of paying a second
     * corpus scan: a |v − median| histogram is HISTOGRAM-sized work,
     * the percentile machinery on top is identical. */
+  /** [[exactFromHistogram]] opened for the scale harness
+    * (tools/ScaleCheckQuantiles compares it against refinement). */
+  def exactFromHistogramPublic(hist0: DataFrame, groupCol: String,
+                               ps: Seq[(String, Double)]): DataFrame =
+    exactFromHistogram(hist0, groupCol, ps)
+
   private[operators] def exactFromHistogram(hist0: DataFrame, groupCol: String,
                                             ps: Seq[(String, Double)]): DataFrame = {
     val hist = hist0

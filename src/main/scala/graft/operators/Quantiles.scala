@@ -147,6 +147,10 @@ object Quantiles {
         val below = rs.filter(_.getInt(1) == -1).map(_.getLong(3)).sum
         val vals = rs.filter(_.getInt(1) == 0)
           .map(r => (r.getDouble(2), r.getLong(3))).sortBy(_._1)
+        require(vals.nonEmpty,
+          s"Quantiles.refined: empty candidate range for group ${s.g} " +
+            s"[${s.rlo}, ${s.rhi}] ranks ${s.posF}/${s.posC} — rank " +
+            "bookkeeping drifted (refuse loudly, never interpolate a guess)")
         def valueAt(rank: Long): Double = {
           var cum = below
           var i = 0
