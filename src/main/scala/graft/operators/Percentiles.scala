@@ -59,6 +59,51 @@ object Percentiles {
                                ps: Seq[(String, Double)]): DataFrame =
     exactFromHistogram(hist0, groupCol, ps)
 
+  /** [[exactMulti]]'s answers through r17 bucket-refinement selection
+    * ([[Quantiles]]) — the plan for NEAR-UNIQUE value columns, where
+    * the histogram's sort-window is corpus-sized and corpus-shuffled
+    * (ScaleCheckQuantiles: 105× the shuffled bytes at 10^8 rows).
+    * Same values bit-for-bit: identical `vLo + frac·(vHi−vLo)`
+    * interpolation at `p·(n−1)+1` over the same data values.
+    *
+    * EAGER: the bounded refinement actions (seed + 1-2 bucket passes +
+    * final resolve per value column, all quantiles of a column
+    * sharing every pass) run at CONSTRUCTION — the q_mad/madOutliers
+    * precedent; the returned frame is a group-sized literal that
+    * broadcasts into whatever joins it. Callers composing lazy plans
+    * (views, streaming) should use [[exactMulti]]. */
+  def refinedExactMulti(df: DataFrame, groupCol: String,
+                        specs: Seq[(String, String, Double)]): DataFrame = {
+    require(specs.nonEmpty, "at least one (name, valueCol, p) spec required")
+    val spark = df.sparkSession
+    val gField = org.apache.spark.sql.types.StructField(
+      "_g", df.schema(groupCol).dataType, nullable = true)
+    val resolved = scala.collection.mutable.Map[(String, Any), java.lang.Double]()
+    val groups = scala.collection.mutable.LinkedHashSet[Any]()
+    specs.map(_._2).distinct.foreach { vc =>
+      val sub = specs.filter(_._2 == vc)
+      val rows = df.select(col(groupCol).as("_g"),
+        col(s"`${vc.replace("`", "``")}`").cast("double").as("_v"))
+      val seed = rows.groupBy("_g").agg(
+          count(col("_v")).as("n1"), min("_v").as("lo"), max("_v").as("hi"))
+        .collect()
+        .map(r => Quantiles.Seed(r.get(0), r.getLong(1),
+          if (r.isNullAt(2)) 0.0 else r.getDouble(2),
+          if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
+        .toSeq
+      seed.foreach(s => groups += s.g)
+      Quantiles.refinedMulti(rows, sub.map(_._3), seed).foreach {
+        case ((g, pi), v) => resolved((sub(pi)._1, g)) = v
+      }
+    }
+    val valueMap: Map[Any, Seq[java.lang.Double]] = groups.toSeq.map { g =>
+      (g, specs.map(sp =>
+        resolved.getOrElse((sp._1, g), null: java.lang.Double)))
+    }.toMap
+    Quantiles.litFrameMulti(spark, gField, specs.map(_._1), valueMap)
+      .withColumnRenamed("_mg", groupCol)
+  }
+
   private[operators] def exactFromHistogram(hist0: DataFrame, groupCol: String,
                                             ps: Seq[(String, Double)]): DataFrame = {
     val hist = hist0

@@ -14,23 +14,29 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * the "cheap" window is a corpus sort. Refinement never sorts rows:
   *
   *  1. seed: per-group (count, min, max) — one aggregation pass;
-  *  2. refine: bucket the group's value range into B equal-width
-  *     buckets, count rows per (group, bucket) plus rows strictly
-  *     below the range — one aggregation pass, group×B driver rows;
-  *     keep only the buckets covering the target ranks (floor/ceil of
-  *     the interpolation position), shrinking the range ~B× per pass;
+  *  2. refine: bucket each target's value range into B equal-width
+  *     buckets, count rows per (group, target, bucket) plus rows
+  *     strictly below the range — one aggregation pass,
+  *     group×target×B driver rows; keep only the buckets covering the
+  *     target ranks (floor/ceil of the interpolation position),
+  *     shrinking the range ~B× per pass;
   *  3. final: once a range holds ≤ threshold rows, collect its
   *     DISTINCT (value, count) pairs and resolve the ranks exactly on
   *     the driver.
   *
-  * A near-unique 10^12-row column resolves in seed + 3-4 refine
+  * A near-unique 10^12-row column resolves in seed + 1-2 refine
   * passes + final — every pass a map-side-combinable aggregation over
-  * a column-pruned scan, shuffling one row per (group, bucket). The
-  * below-range count is RECOMPUTED with exact value comparisons every
-  * pass, so float fuzz at bucket edges can never corrupt a rank (the
-  * next range gets a one-bucket safety margin on each side instead).
+  * a column-pruned scan, shuffling one row per (group, target,
+  * bucket): ~FLAT wire cost at any corpus size, vs the histogram
+  * plan's corpus-linear shuffle (ScaleCheckQuantiles: 105× fewer
+  * shuffled bytes at 10^8 near-unique rows). Several quantiles of one
+  * column share every pass (rows fan out per live target in-plan).
+  * The below-range count is RECOMPUTED with exact value comparisons
+  * every pass, so float fuzz at bucket edges can never corrupt a rank
+  * (the next range gets a one-bucket safety margin on each side
+  * instead).
   *
-  * Driver state: group-cardinality × B longs per pass (the bounded
+  * Driver state: group × target × B longs per pass (the bounded
   * driver hop family: Sampling's per-stratum counts, Packing's
   * per-partition subtotals). Interpolation is the same expression the
   * histogram plan (and DuckDB's quantile_cont) evaluates:
@@ -42,7 +48,8 @@ object Quantiles {
     * directly and skips the seed pass. */
   final case class Seed(g: Any, n1: Long, lo: Double, hi: Double)
 
-  private final case class St(g: Any, n1: Long, rlo: Double, rhi: Double,
+  private final case class St(g: Any, pi: Int, n1: Long,
+                              rlo: Double, rhi: Double,
                               posF: Long, posC: Long, frac: Double)
 
   /** The quantile `p` of `rows` (columns `_g`, `_v` double) per group,
@@ -50,16 +57,27 @@ object Quantiles {
     * the built-in aggregate's answer. */
   def refined(rows: DataFrame, p: Double, seed: Seq[Seed],
               buckets: Int = 2048, finalThreshold: Long = 20000,
-              maxPasses: Int = 16): Seq[(Any, java.lang.Double)] = {
-    val out = scala.collection.mutable.ArrayBuffer[(Any, java.lang.Double)]()
+              maxPasses: Int = 16): Seq[(Any, java.lang.Double)] =
+    refinedMulti(rows, Seq(p), seed, buckets, finalThreshold, maxPasses)
+      .map { case ((g, _), v) => (g, v) }
+
+  /** Several quantiles of the SAME value column in shared passes:
+    * one result per (group, index into `ps`). */
+  def refinedMulti(rows: DataFrame, ps: Seq[Double], seed: Seq[Seed],
+                   buckets: Int = 2048, finalThreshold: Long = 20000,
+                   maxPasses: Int = 16): Seq[((Any, Int), java.lang.Double)] = {
+    require(ps.nonEmpty, "Quantiles.refinedMulti: at least one quantile")
+    val out = scala.collection.mutable.ArrayBuffer[((Any, Int), java.lang.Double)]()
     var open = Seq.empty[St]
     seed.foreach { s =>
-      if (s.n1 <= 0) out += ((s.g, null))
-      else {
-        val pos = p * (s.n1 - 1) + 1 // 1-based interpolation position
-        open :+= St(s.g, s.n1, s.lo, s.hi,
-          math.floor(pos).toLong, math.ceil(pos).toLong,
-          pos - math.floor(pos))
+      ps.zipWithIndex.foreach { case (p, pi) =>
+        if (s.n1 <= 0) out += (((s.g, pi), null))
+        else {
+          val pos = p * (s.n1 - 1) + 1 // 1-based interpolation position
+          open :+= St(s.g, pi, s.n1, s.lo, s.hi,
+            math.floor(pos).toLong, math.ceil(pos).toLong,
+            pos - math.floor(pos))
+        }
       }
     }
     val spark = rows.sparkSession
@@ -68,13 +86,16 @@ object Quantiles {
     def stateDf(st: Seq[St]): DataFrame =
       broadcast(spark.createDataFrame(
         spark.sparkContext.parallelize(
-          st.map(s => Row(s.g, s.rlo, s.rhi)), 1),
+          st.map(s => Row(s.g, s.pi, s.rlo, s.rhi)), 1),
         StructType(Seq(gField,
+          StructField("_pi", org.apache.spark.sql.types.IntegerType,
+            nullable = false),
           StructField("_rlo", DoubleType, nullable = false),
           StructField("_rhi", DoubleType, nullable = false)))))
 
-    // refine passes: shrink every open group's range ~B× per pass
-    // until its candidate count fits the final collect
+    // refine passes: shrink every open target's range ~B× per pass
+    // until its candidate count fits the final collect. The state
+    // join fans each row out to the group's LIVE targets only.
     var passes = 0
     var ready = Seq.empty[St]
     while (open.nonEmpty && passes < maxPasses) {
@@ -89,14 +110,14 @@ object Quantiles {
           lit((buckets - 1).toDouble)))
       val counts = rows.filter(col("_v").isNotNull)
         .join(st, col("_g") <=> col("_sg"))
-        .groupBy(col("_g").as("g"), idx.as("b"))
+        .groupBy(col("_g").as("g"), col("_pi"), idx.as("b"))
         .agg(count(lit(1)).as("c"))
         .collect()
-        .map(r => ((r.get(0), r.getDouble(1).toInt), r.getLong(2)))
-        .groupBy(_._1._1).map { case (g, rs) =>
-          g -> rs.map { case ((_, b), c) => b -> c }.toMap }
+        .map(r => ((r.get(0), r.getInt(1)), r.getDouble(2).toInt, r.getLong(3)))
+        .groupBy(_._1).map { case (k, rs) =>
+          k -> rs.map { case (_, b, c) => b -> c }.toMap }
       val stepped = open.map { s =>
-        val byBucket = counts.getOrElse(s.g, Map.empty[Int, Long])
+        val byBucket = counts.getOrElse((s.g, s.pi), Map.empty[Int, Long])
         val below = byBucket.getOrElse(-1, 0L)
         // cumulative walk to the buckets holding ranks posF and posC
         var cum = below
@@ -116,11 +137,18 @@ object Quantiles {
         // next pass, so the margin costs candidates, never correctness
         val nLo = math.max(s.rlo, s.rlo + (iLo - 1) * w)
         val nHi = math.min(s.rhi, s.rlo + (iHi + 2) * w)
-        val candidates = (math.max(0, iLo - 1) to math.min(buckets - 1, iHi + 1))
-          .map(b => byBucket.getOrElse(b, 0L)).sum
+        val window = math.max(0, iLo - 1) to math.min(buckets - 1, iHi + 1)
+        val candidates = window.map(b => byBucket.getOrElse(b, 0L)).sum
+        // ≤2 occupied buckets in the window = the targets sit on at
+        // most two value CLUSTERS (a low-cardinality column's integer
+        // spike, a heavy repeated value): more refining cannot split
+        // them apart faster than the final DISTINCT resolve collapses
+        // them — without this a 50-distinct column would grind through
+        // maxPasses shaving float exponents
+        val occupied = window.count(b => byBucket.getOrElse(b, 0L) > 0)
         val shrunk = nHi - nLo < s.rhi - s.rlo
-        val keepOpen = candidates > finalThreshold && w > 0 && shrunk &&
-          java.lang.Double.isFinite(w)
+        val keepOpen = candidates > finalThreshold && occupied > 2 &&
+          w > 0 && shrunk && java.lang.Double.isFinite(w)
         (s.copy(rlo = nLo, rhi = nHi), keepOpen)
       }
       open = stepped.filter(_._2).map(_._1)
@@ -137,16 +165,16 @@ object Quantiles {
       val collected = rows.filter(col("_v").isNotNull)
         .join(st, col("_g") <=> col("_sg"))
         .filter(flag <= 0)
-        .groupBy(col("_g").as("g"), flag.as("f"),
+        .groupBy(col("_g").as("g"), col("_pi"), flag.as("f"),
           when(flag === 0, col("_v")).as("v"))
         .agg(count(lit(1)).as("c"))
         .collect()
-      val byGroup = collected.groupBy(_.get(0))
+      val byKey = collected.groupBy(r => (r.get(0), r.getInt(1)))
       ready.foreach { s =>
-        val rs = byGroup.getOrElse(s.g, Array.empty[Row])
-        val below = rs.filter(_.getInt(1) == -1).map(_.getLong(3)).sum
-        val vals = rs.filter(_.getInt(1) == 0)
-          .map(r => (r.getDouble(2), r.getLong(3))).sortBy(_._1)
+        val rs = byKey.getOrElse((s.g, s.pi), Array.empty[Row])
+        val below = rs.filter(_.getInt(2) == -1).map(_.getLong(4)).sum
+        val vals = rs.filter(_.getInt(2) == 0)
+          .map(r => (r.getDouble(3), r.getLong(4))).sortBy(_._1)
         require(vals.nonEmpty,
           s"Quantiles.refined: empty candidate range for group ${s.g} " +
             s"[${s.rlo}, ${s.rhi}] ranks ${s.posF}/${s.posC} — rank " +
@@ -163,7 +191,7 @@ object Quantiles {
         }
         val vLo = valueAt(s.posF)
         val vHi = valueAt(s.posC)
-        out += ((s.g, vLo + s.frac * (vHi - vLo)))
+        out += (((s.g, s.pi), vLo + s.frac * (vHi - vLo)))
       }
     }
     out.toSeq
@@ -179,4 +207,15 @@ object Quantiles {
         values.map { case (g, v) => Row(g, v) }, 1),
       StructType(Seq(gField.copy(name = "_mg"),
         StructField(name, DoubleType, nullable = true))))
+
+  /** Tiny literal frame (group value, several doubles) — the
+    * multi-statistic broadcast shape. */
+  def litFrameMulti(spark: SparkSession, gField: StructField,
+                    names: Seq[String],
+                    values: Map[Any, Seq[java.lang.Double]]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        values.toSeq.map { case (g, vs) => Row((g +: vs): _*) }, 1),
+      StructType(gField.copy(name = "_mg") +:
+        names.map(n => StructField(n, DoubleType, nullable = true))))
 }

@@ -551,6 +551,11 @@ object WarehouseQueries {
     * Same number: linear interpolation at rank p·(n-1), matching
     * DuckDB quantile_cont modulo one ulp, absorbed by round(4). */
   def percentiles(s: SparkSession, d: String): DataFrame =
+    // stays on the histogram plan deliberately: this key SHOWCASES the
+    // one-shuffle lazy percentile plan (its 100 TB regime is bounded
+    // value domains); the refinement alternative is measured at parity
+    // here and serves q_winsorize/madOutliers where the domain is
+    // near-unique (ScaleCheckQuantiles has the wire-cost comparison)
     graft.operators.Percentiles.exactMulti(
       lineitem(s, d), "l_returnflag",
       Seq(
@@ -586,6 +591,9 @@ object WarehouseQueries {
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("a_med"),
         percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000)).as("a_q1"),
         percentile_approx(col("l_extendedprice"), lit(0.75), lit(10000)).as("a_q3"))
+    // 9 quantiles over 2 columns: the histogram plan shares ONE
+    // shuffle per column across all of a column's targets — cheaper
+    // here than refinement's per-pass jobs (measured 2.2 s vs 3.6 s)
     val exact = graft.operators.Percentiles.exactMulti(
       lineitem(s, d), "l_returnflag", Seq(
         ("med_qty", "l_quantity", 0.5),
@@ -740,7 +748,10 @@ object WarehouseQueries {
     * codegen'd least/greatest projection — the corpus never shuffles
     * for the transform, only for the bounds' histogram. */
   def winsorize(s: SparkSession, d: String): DataFrame = {
-    val bounds = graft.operators.Percentiles.exactMulti(
+    // refinement selection (r17): l_extendedprice is near-unique, so
+    // the histogram plan's sort-window was corpus-sized; the bounds
+    // resolve in shared bounded passes and broadcast into the clip
+    val bounds = graft.operators.Percentiles.refinedExactMulti(
       lineitem(s, d), "l_returnflag",
       Seq(("_lo", "l_extendedprice", 0.05), ("_hi", "l_extendedprice", 0.95)))
     lineitem(s, d)
