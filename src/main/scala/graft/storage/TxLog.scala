@@ -6000,6 +6000,146 @@ object TxLog {
         sourceEmpty = false, m.files.toSet, hitFiles, tz)), cdc = cdc)
   }
 
+  /** [[applyChanges]]' KEYLESS sibling — the consumer for the
+    * write-time-capture EVENT feed ([[changeFeed]]) on tables with NO
+    * unique row identity (duplicate rows included — the reference's
+    * `no_gwas_result` audit shape). Closes the keyless replication
+    * loop: `changeFeed` produces, this applies.
+    *
+    * MULTISET semantics, one atomic commit: the window's events net
+    * out per FULL ROW (insert/update_postimage +1, delete/
+    * update_preimage −1 — intra-window churn cancels, so replaying
+    * `changeFeed(a, b)` onto a replica of version a reproduces
+    * version b's row multiset exactly, restores included). Positive
+    * net appends that many copies; negative net lands as DELETION
+    * VECTORS on the first |net| live occurrences in (file, position)
+    * order — arbitrary among identical rows (they are
+    * indistinguishable) but deterministic, and O(changed rows): no
+    * partition or table rewrite. A feed that deletes rows the replica
+    * does not hold refuses LOUDLY (replica drift must never be
+    * papered over by skipping events).
+    *
+    * Scale: the net aggregation and the occurrence match shuffle on
+    * the full row — changed-rows-sized on the feed side; the
+    * occurrence window partitions by the row VALUE, bounded by a
+    * value's duplicate multiplicity, never the corpus. */
+  def applyChangeEvents(path: String, feed: DataFrame,
+                        txn: Option[(String, Long)] = None): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = feed.sparkSession
+    val v = currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"TxLog: no table at $path"))
+    val m = manifest(spark, path, v)
+    if (txn.exists { case (a, tv) => m.txns.get(a).exists(_ >= tv) }) return v
+    requireAppendable(m, path,
+      "applyChangeEvents (a CDC event feed deletes rows)")
+    require(identityColumns(m).isEmpty,
+      "TxLog.applyChangeEvents: a replica of an identity table should " +
+        "not re-declare IDENTITY (the source already allocated)")
+    val declared = StructType.fromDDL(m.schemaDdl)
+    require(feed.columns.contains("_change_type"),
+      "TxLog.applyChangeEvents: feed must carry _change_type " +
+        "(see TxLog.changeFeed)")
+    declared.fieldNames.foreach(c => require(feed.columns.contains(c),
+      s"TxLog.applyChangeEvents: feed is missing table column '$c'"))
+    val cols = declared.fieldNames.toSeq
+    val w = when(col("_change_type").isin("insert", "update_postimage"),
+        lit(1L))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1L))
+    val typed = feed.select(cols.map(col) :+ w.as("_w"): _*)
+    require(typed.filter(col("_w").isNull).limit(1).collect().isEmpty,
+      "TxLog.applyChangeEvents: unknown _change_type in the feed — " +
+        "expected insert | delete | update_preimage | update_postimage")
+    // net multiset effect per full row; cut so the (possibly
+    // expensive) feed plan evaluates once across the phases below
+    val grouped = graft.operators.Checkpoints.cut(
+      typed.groupBy(cols.map(col): _*).agg(sum("_w").as("_net"))
+        .filter(col("_net") =!= 0L))
+    val addRows = grouped.filter(col("_net") > 0)
+      .select(cols.map(col)
+        :+ explode(sequence(lit(1L), col("_net"))).as("_i"): _*)
+      .select(cols.map(col): _*)
+    enforceConstraints(addRows, m.constraints, "applyChangeEvents inserts")
+    val removals = grouped.filter(col("_net") < 0)
+      .select(cols.map(c => col(c).as(s"_r_$c")) :+ (-col("_net")).as("_need"): _*)
+    val needTotal = removals.agg(coalesce(sum("_need"), lit(0L)))
+      .head().getLong(0)
+    val haveAdds = addRows.limit(1).collect().nonEmpty
+    if (needTotal == 0L && !haveAdds)
+      return sealNoopTxn(spark, path, m, txn, "APPLY CHANGES (KEYLESS)")
+    // match removals to concrete LIVE occurrences, first-N per row in
+    // (file, position) order
+    val withPos = readFiles(spark, path, declared, m.files, m.colMap, m.dv,
+      keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
+    val cond = cols.map(c => withPos(c) <=> col(s"_r_$c")).reduce(_ && _)
+    val ow = Window.partitionBy(cols.map(c => col(s"_r_$c")): _*)
+      .orderBy(col("_dv_key"), col("_dv_idx"))
+    val picked = withPos.join(removals, cond, "inner")
+      .withColumn("_rn", row_number().over(ow))
+      .filter(col("_rn") <= col("_need"))
+      .select(col("_dv_key").as("f"),
+        col("_dv_idx").cast("long").as("row_index"))
+    val (addDv, cdcDeleteSrc) =
+      if (needTotal == 0L) (Nil: Seq[(String, Map[String, Long])], None)
+      else {
+        // write FIRST, count from the written sidecar (the deleteWhere
+        // pattern: committed counts describe exactly the bytes on disk)
+        val dvName = java.util.UUID.randomUUID().toString.take(12) + ".dv"
+        picked.write.parquet(dvPath(path, dvName))
+        val perKey = spark.read.parquet(dvPath(path, dvName)).groupBy("f")
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val pickedTotal = perKey.map(_._2).sum
+        require(pickedTotal == needTotal, {
+          fsFor(spark, path).delete(new Path(dvPath(path, dvName)), true)
+          s"TxLog.applyChangeEvents: the feed deletes $needTotal row " +
+            s"occurrence(s) but the replica holds only $pickedTotal " +
+            "matching live row(s) — the replica has drifted from the " +
+            "feed's source; refuse loudly rather than skip events"
+        })
+        val bySuffix = m.files.map(f => relEntry(f) -> f).toMap
+        val counts = perKey.map { case (suffix, n) =>
+          bySuffix.get(suffix)
+            .orElse(bySuffix.get(java.net.URLDecoder.decode(suffix, "UTF-8")))
+            .getOrElse(throw new IllegalStateException(
+              s"TxLog.applyChangeEvents: scan key '$suffix' does not map " +
+                "back to any manifest entry")) -> n
+        }.toMap
+        (Seq(dvName -> counts), Some(dvName))
+      }
+    val newFiles =
+      if (!haveAdds) Nil
+      else stageIn(toPhysical(addRows, m.colMap), path, physPartCols(m),
+        transformsOf(m))
+    // write-time CDC for the replica's own downstream: adds as
+    // inserts, the written sidecar's positions joined back as deletes
+    val cdc = captureCdc(spark, path, m, {
+      val dels = cdcDeleteSrc.map { dvName =>
+        val sidecar = spark.read.parquet(dvPath(path, dvName))
+        val rows = readFiles(spark, path, declared, m.files, m.colMap, m.dv,
+          keepDvKey = true, recoverPartitions = m.partitionSpec.isEmpty)
+        rows.join(sidecar, rows("_dv_key") === sidecar("f") &&
+            rows("_dv_idx").cast("long") === sidecar("row_index"), "left_semi")
+          .select(cols.map(col).toIndexedSeq
+            :+ lit("delete").as("_change_type"): _*)
+      }
+      val ins = addRows.select(cols.map(col).toIndexedSeq
+        :+ lit("insert").as("_change_type"): _*)
+      dels.map(_.unionByName(ins)).getOrElse(ins)
+    })
+    val dvTargets = addDv.headOption.map(_._2.keySet).getOrElse(Set.empty)
+    commitRebase(spark, path, m, rewriteDirs = Set.empty,
+      newFiles = newFiles, schemaDdl = m.schemaDdl, batchId = None,
+      readSet = None, operation = "APPLY CHANGES (KEYLESS)",
+      addDv = addDv, txn = txn,
+      rebaseCheck =
+        if (dvTargets.isEmpty) None
+        else Some(predicateRebaseCheck(spark, path, declared, dvTargets,
+          "UTC")),
+      cdc = cdc)
+  }
+
   /** The directory name Spark's partitioned writer produces for a
     * value — its own escaping, so the touched-set arithmetic matches
     * the bytes on disk. (Values whose String form differs from Spark's

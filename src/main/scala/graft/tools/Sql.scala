@@ -74,6 +74,9 @@ object Sql {
     """(?is)\s*TXLOG\s+APPEND\s+INTO\s+'([^']+)'\s+(.+)""".r
   private val ApplyChangesRe =
     """(?is)\s*TXLOG\s+APPLY\s+CHANGES\s+INTO\s+'([^']+)'\s+ON\s+([\w,\s]+?)\s+(SELECT.+)""".r
+  // no ON clause = the KEYLESS event-feed consumer (multiset apply)
+  private val ApplyChangeEventsRe =
+    """(?is)\s*TXLOG\s+APPLY\s+CHANGES\s+INTO\s+'([^']+)'\s+(SELECT.+)""".r
   private val CopyIntoRe =
     """(?is)\s*TXLOG\s+COPY\s+INTO\s+'([^']+)'\s+FROM\s+'([^']+)'\s*(?:FORMAT\s+(\w+))?\s*(?:PATTERN\s+'([^']+)')?\s*(FORCE)?\s*(MERGESCHEMA)?\s*""".r
   private val MergeWhenHeadRe =
@@ -418,6 +421,12 @@ object Sql {
       case ApplyChangesRe(path, keys, select) =>
         asDf(graft.storage.TxLog.applyChanges(rt(path), spark.sql(select),
           keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      // keyless: TXLOG APPLY CHANGES INTO 'replica'
+      // SELECT * FROM graft_txlog_cdf('primary', 1, 3) — the event
+      // feed's multiset consumer for tables with no unique row identity
+      case ApplyChangeEventsRe(path, select) =>
+        asDf(graft.storage.TxLog.applyChangeEvents(rt(path),
+          spark.sql(select)))
       case CopyIntoRe(path, srcDir, fmt, pat, force, mergeSch) =>
         val (n, v) = graft.storage.CopyInto.copyInto(spark, rt(path), srcDir,
           Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
@@ -607,6 +616,7 @@ object Sql {
             "  TXLOG APPEND INTO '<path>' <select>\n" +
             "  TXLOG COPY INTO '<path>' FROM '<dir>' [FORMAT PARQUET|JSONL] [PATTERN '<glob>'] [FORCE] [MERGESCHEMA]\n" +
             "  TXLOG APPLY CHANGES INTO '<path>' ON k1[,k2...] <select of a CDF feed>\n" +
+            "  TXLOG APPLY CHANGES INTO '<path>' <select of an EVENT feed> (keyless multiset apply)\n" +
             "  TXLOG MERGE INTO '<path>' ON <k1[,k2...]> USING <select>\n" +
             "  TXLOG DELETE FROM '<path>' WHERE <condition>\n" +
             "  TXLOG REPLACE INTO '<path>' PARTITIONS (<v1[,v2...]>) <select>\n" +

@@ -503,6 +503,31 @@ class SqlSurfaceSpec extends SparkSpec {
       "the SQL-driven replica must equal the primary head")
   }
 
+  test("TXLOG APPLY CHANGES without ON: the KEYLESS event-feed loop in pure SQL") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sql_cdc_keyless").toString
+    val primary = s"$root/primary"
+    val replica = s"$root/replica"
+    // duplicate rows: no key exists — only the event feed serves this
+    graft.storage.TxLog.create(
+      Seq(("a", 1.0), ("a", 1.0), ("b", 2.0)).toDF("k", "v"), primary) // v1
+    graft.storage.TxLog.setProperties(spark, primary,
+      Map(graft.storage.TxLog.ChangeDataFeedProp -> "true"))           // v2
+    graft.storage.TxLog.deleteWhere(spark, primary, col("k") === "a")  // v3
+    graft.storage.TxLog.append(Seq(("c", 3.0)).toDF("k", "v"), primary) // v4
+    graft.storage.TxLog.create(
+      Seq.empty[(String, Double)].toDF("k", "v"), replica)
+    val out = graft.tools.Sql.exec(spark,
+      s"TXLOG APPLY CHANGES INTO '$replica' " +
+        s"SELECT * FROM graft_txlog_cdf('$primary', 0, 4)")
+    assert(out.head().getLong(0) >= 2L, "the apply must commit")
+    def ms(p: String) = graft.storage.TxLog.read(spark, p)
+      .groupBy("k", "v").count().collect().map(_.toString).sorted.toSeq
+    assert(ms(replica) == ms(primary),
+      s"keyless SQL replica must equal the primary: ${ms(replica)} vs ${ms(primary)}")
+  }
+
   test("graft_table_health serves the maintenance advisor through SQL") {
     import spark.implicits._
     val dir = java.nio.file.Files

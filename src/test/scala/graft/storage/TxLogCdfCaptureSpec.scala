@@ -298,6 +298,64 @@ class TxLogCdfCaptureSpec extends SparkSpec {
     }
   }
 
+  test("keyless replication loop: changeFeed → applyChangeEvents, duplicate rows, across a restore") {
+    val primary = fresh("loop_p")
+    val replica = fresh("loop_r")
+    // a table with NO key: duplicate rows are first-class
+    TxLog.create(Seq(("a", 1.0), ("a", 1.0), ("b", 2.0))
+      .toDF("k", "v"), primary)                                     // v1
+    TxLog.setProperties(spark, primary,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                      // v2
+    TxLog.append(Seq(("c", 3.0), ("a", 1.0)).toDF("k", "v"), primary) // v3
+    TxLog.deleteWhere(spark, primary, col("k") === "a")             // v4
+    TxLog.updateWhere(spark, primary, Seq("v" -> "v * 10"),
+      col("k") === "b")                                             // v5
+    TxLog.restore(spark, primary, 3L)                               // v6
+    TxLog.append(Seq(("d", 4.0)).toDF("k", "v"), primary)           // v7
+    // replica starts EMPTY and replays the whole history as events
+    TxLog.create(Seq.empty[(String, Double)].toDF("k", "v"), replica)
+    def multiset(path: String, ver: Option[Long] = None) =
+      TxLog.read(spark, path, ver).groupBy("k", "v").count()
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+        .toMap
+    // stepwise: after each window the replica IS that version
+    (1L to 7L).foreach { v =>
+      TxLog.applyChangeEvents(replica,
+        TxLog.changeFeed(spark, primary, v - 1, v))
+      assert(multiset(replica) == multiset(primary, Some(v)),
+        s"replica drifted at v$v: ${multiset(replica)} vs " +
+          s"${multiset(primary, Some(v))}")
+    }
+    // and ONE wide window onto a fresh empty replica lands on the head
+    // (intra-window churn — insert→delete→re-insert via the restore —
+    // nets out in the multiset algebra)
+    val replica2 = fresh("loop_r2")
+    TxLog.create(Seq.empty[(String, Double)].toDF("k", "v"), replica2)
+    TxLog.applyChangeEvents(replica2,
+      TxLog.changeFeed(spark, primary, 0L, 7L), txn = Some(("lane", 7L)))
+    assert(multiset(replica2) == multiset(primary), multiset(replica2).toString)
+    // the apply is O(changed rows): removals land as DELETION VECTORS
+    // (no rewrite), adds as appended files
+    val hist = TxLog.history(spark, replica).collect()
+      .map(_.toString).mkString("\n")
+    assert(hist.contains("APPLY CHANGES (KEYLESS)"), hist)
+    // per-app idempotency lane: a replayed window is a no-op
+    val after1 = TxLog.currentVersion(spark, replica2).get
+    TxLog.applyChangeEvents(replica2,
+      TxLog.changeFeed(spark, primary, 0L, 7L), txn = Some(("lane", 7L)))
+    assert(TxLog.currentVersion(spark, replica2).get == after1 &&
+      multiset(replica2) == multiset(primary),
+      "replayed window must not re-apply")
+    // drift refuses LOUDLY: a feed deleting rows the replica lacks
+    import spark.implicits._
+    val bogus = Seq(("zz", 99.0, "delete", 8L))
+      .toDF("k", "v", "_change_type", "_commit_version")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.applyChangeEvents(replica, bogus)
+    }
+    assert(e.getMessage.contains("drifted"), e.getMessage)
+  }
+
   test("keyless feed on a CLONED table starts from version 0 (live rows through the cloned DVs)") {
     val srcDir = fresh("clone_src")
     val dstDir = fresh("clone_dst")
