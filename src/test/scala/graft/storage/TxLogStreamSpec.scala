@@ -224,6 +224,41 @@ class TxLogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KEYLESS CDC replica in ONE streaming job: event feed → applyChangeEvents, restore included") {
+    val primary = freshDir("cdc_keyless_p")
+    val replica = freshDir("cdc_keyless_r")
+    import spark.implicits._
+    // duplicate rows: no key exists — the event feed + multiset apply
+    // is the ONLY replication path for this table
+    TxLog.create(Seq(("a", 1.0), ("a", 1.0), ("b", 2.0))
+      .toDF("k", "v"), primary)                                   // v1
+    TxLog.setProperties(spark, primary,
+      Map(TxLog.ChangeDataFeedProp -> "true"))                    // v2
+    TxLog.create(TxLog.read(spark, primary), replica)
+    val q = stream(primary, "readChangeFeed" -> "true",
+      "sinceVersion" -> "latest").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        TxLog.applyChangeEvents(replica, df,
+          txn = Some(("keyless-relay", id))); ()
+      }.start()
+    try {
+      TxLog.append(Seq(("c", 3.0), ("a", 1.0)).toDF("k", "v"), primary) // v3
+      q.processAllAvailable()
+      TxLog.deleteWhere(spark, primary,
+        org.apache.spark.sql.functions.col("k") === "a")          // v4
+      q.processAllAvailable()
+      TxLog.restore(spark, primary, 3L)                           // v5: rollback
+      q.processAllAvailable()
+      def ms(p: String) = TxLog.read(spark, p).groupBy("k", "v").count()
+        .collect().map(_.toString).sorted.toSeq
+      assert(ms(replica) == ms(primary),
+        s"keyless replica diverged: ${ms(replica)} vs ${ms(primary)}")
+      // three 'a' copies survive: the restore re-inserted the deleted ones
+      assert(TxLog.read(spark, replica)
+        .filter(org.apache.spark.sql.functions.col("k") === "a").count() == 3L)
+    } finally q.stop()
+  }
+
   test("maxVersionsPerBatch=1: snapshot first, then one commit per batch") {
     val path = freshDir("rate")
     TxLog.create(keyed(Seq((1L, "a", 1.0))), path)
