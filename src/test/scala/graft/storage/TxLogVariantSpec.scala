@@ -79,6 +79,56 @@ class TxLogVariantSpec extends SparkSpec {
       "version-pinned reads keep their own schema")
   }
 
+  test("SHREDDED variant writes round-trip through the lake (Spark 4 parquet shredding)") {
+    // shredding stores a variant's common paths as real parquet
+    // columns (typed, stats-bearing) next to the binary remainder —
+    // the scale posture for variant-heavy lakes. Session-conf scoped:
+    // writers opt in, readers opt in; the lake machinery (manifest
+    // DDL, DV deletes, version pins) is agnostic to the file encoding.
+    val path = fresh("shred")
+    spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+    spark.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+    spark.conf.set("spark.sql.variant.allowReadingShredded", "true")
+    try {
+      TxLog.create(mk(Seq((1L, """{"k":5,"s":"x"}"""),
+        (2L, """{"k":7,"s":"y"}"""))), path)
+      TxLog.append(mk(Seq((3L, """{"k":9,"s":"z"}"""))), path)
+      TxLog.deleteWhere(spark, path,
+        expr("variant_get(v, '$.k', 'int')") === 7,
+        deletionVectors = true)
+      val got = TxLog.read(spark, path)
+        .select(col("id"), expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("variant_get(v, '$.s', 'string')").as("s"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == Set((1L, 5, "x"), (3L, 9, "z")), got.toString)
+      // the files really are shredded: the parquet footer carries the
+      // typed_value group, not just the binary value column
+      val dataDir = new java.io.File(s"$path/data")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      val pq = walk(dataDir).filter(_.getName.endsWith(".parquet"))
+      assert(pq.nonEmpty)
+      // Spark re-surfaces VariantType regardless of encoding — the
+      // PHYSICAL message type in the parquet footer is the witness:
+      // shredded = a typed_value field beside the binary value
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(pq.head.getAbsolutePath),
+          spark.sparkContext.hadoopConfiguration))
+      val physical =
+        try footer.getFileMetaData.getSchema.toString
+        finally footer.close()
+      assert(physical.contains("typed_value"),
+        s"expected a shredded physical layout:\n$physical")
+    } finally {
+      spark.conf.unset("spark.sql.variant.writeShredding.enabled")
+      spark.conf.unset("spark.sql.variant.inferShreddingSchema")
+      spark.conf.unset("spark.sql.variant.allowReadingShredded")
+    }
+  }
+
   test("min/max stats on a variant column refuse loudly") {
     val path = fresh("stats")
     val e = intercept[Exception] {
