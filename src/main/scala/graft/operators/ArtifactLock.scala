@@ -16,23 +16,126 @@ import org.apache.spark.sql.SparkSession
   * A second writer WAITS (bounded, `graft.index.lockWaitMs`, default
   * 60 s) and then refuses loudly — so concurrent appends serialize,
   * neither is lost, and nothing doubles. A LIVE holder refreshes
-  * nothing: crash recovery is by AGE — a lock older than
-  * `graft.index.staleLockMinutes` (default 15) is a dead holder's and
-  * is broken, which is what lets the crash-re-runnable appends
-  * (dropDuplicates guards, aside-dir restore) re-enter after their own
-  * crash without an operator unlocking by hand. Breaking is settled
-  * by ATOMIC RENAME of the stale lock to a tombstone whose name is
-  * derived from the stale lock's own content: exactly one breaker's
-  * rename succeeds (the content names one lock INSTANCE, so a loser
-  * whose staleness observation predates the winner's fresh lock
-  * renames nothing — its tombstone target is already taken and its
-  * source content no longer matches); losers go back to waiting. The
-  * delete-then-create alternative is racy: two breakers that both
-  * observed the stale lock could each delete the other's fresh lock
-  * and both acquire (r16 advice). */
+  * nothing: crash recovery is by AGE — a lock whose own content
+  * timestamp is older than `graft.index.staleLockMinutes` (default
+  * 15) is a dead holder's and is broken, which is what lets the
+  * crash-re-runnable appends (dropDuplicates guards, aside-dir
+  * restore) re-enter after their own crash without an operator
+  * unlocking by hand. Breaking ([[tryBreakStale]]) is settled by
+  * ATOMIC RENAME of the stale lock to a tombstone named by the stale
+  * lock's own content — ONE read supplies both the staleness clock
+  * and the tombstone identity, so a fresh lock can never be judged
+  * stale on a dead instance's evidence. The delete-then-create
+  * alternative is racy: two breakers that both observed the stale
+  * lock could each delete the other's fresh lock and both acquire
+  * (r16 advice).
+  *
+  * Exactness of the guarantee, per filesystem class:
+  *  - rename refuses an existing destination (HDFS, ABFS): mutual
+  *    exclusion is exact — of all breakers of one stale instance,
+  *    precisely one rename succeeds; a loser whose observation
+  *    predates the winner's fresh lock targets an already-taken
+  *    tombstone and renames nothing.
+  *  - rename REPLACES the destination (POSIX local/NFS, rename(2)):
+  *    a late loser's rename can displace a winner's FRESH lock onto
+  *    the old tombstone. Two verifications close the observed races:
+  *    the breaker re-reads the tombstone it renamed and RESTORES a
+  *    displaced live lock, and every acquirer re-reads the lock after
+  *    create and only enters the body if it still carries its own
+  *    owner id. What remains is a compound race (a displacement
+  *    landing exactly between another acquirer's create and verify,
+  *    concurrent with a third acquirer's create in the restore
+  *    window) — microsecond windows requiring three simultaneous
+  *    breakers on a DEV filesystem; in-JVM racers are fully
+  *    serialized by the monitor regardless. Production object-store
+  *    deployments get exact arbitration from the conditional-put
+  *    commit arbiter ([[graft.storage.CommitArbiter]]) instead of
+  *    filesystem rename semantics. */
 object ArtifactLock {
 
   private def lockPath(artifact: String) = new Path(artifact, "_maint_lock")
+
+  private def readContent(fs: org.apache.hadoop.fs.FileSystem,
+                          p: Path): Option[String] = {
+    val in = fs.open(p)
+    try Some(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** The tombstone path for one lock INSTANCE: named by the lock's own
+    * content (the owner uuid is fresh per acquisition), so two breakers
+    * of the same instance target the SAME tombstone and exactly one
+    * rename can win where rename refuses an existing destination. */
+  private def tombPath(artifact: String, content: String): Path = {
+    val id = java.lang.Integer.toHexString(content.hashCode) +
+      content.takeWhile(_ != ' ')
+    new Path(artifact, s"_maint_lock.tomb.$id")
+  }
+
+  /** Break the lock iff it is a dead holder's, returning the tombstone
+    * held until release. The decision sequence (r17 advice: staleness
+    * and tombstone identity MUST derive from one atomic read — deciding
+    * staleness from a getFileStatus mtime and identity from a later
+    * read let a breaker judge instance X stale on instance Y's clock):
+    *
+    *  1. mtime pre-filter — cheap skip of the read while the holder is
+    *     obviously live; never the decision;
+    *  2. ONE read of the lock body; the `owner verb timestampMs`
+    *     content supplies both the staleness clock and the tombstone
+    *     name, so a fresh lock created after the pre-filter can never
+    *     be classified stale (its content timestamp is fresh);
+    *  3. atomic rename lock → instance tombstone;
+    *  4. verify the tombstone carries the content we judged — on
+    *     overwrite-rename filesystems (POSIX local/NFS: rename(2)
+    *     REPLACES the destination) a loser's rename can land a FRESH
+    *     lock on the old instance's tombstone; the verify catches it
+    *     and RESTORES the fresh lock by renaming back, then reports
+    *     no-break. On rename-refusing filesystems (HDFS/ABFS) step 4
+    *     never trips and the protocol is exact. */
+  private[graft] def tryBreakStale(fs: org.apache.hadoop.fs.FileSystem,
+                                       artifact: String, lock: Path,
+                                       staleMs: Long): Option[Path] = {
+    val preFilter =
+      try fs.getFileStatus(lock).getModificationTime <
+        System.currentTimeMillis() - staleMs
+      catch { case _: java.io.IOException => false }
+    if (!preFilter) return None
+    val content =
+      try readContent(fs, lock)
+      catch { case _: java.io.IOException => None }
+    val staleContent = content.filter { c =>
+      val ts = c.split(' ').lastOption.flatMap(_.toLongOption)
+      // unparseable timestamp → fall back to the (already stale) mtime
+      ts.forall(_ < System.currentTimeMillis() - staleMs)
+    }
+    staleContent.flatMap(c => renameAndVerify(fs, artifact, lock, c))
+  }
+
+  /** Steps 3-4 of the break: atomic rename to the judged instance's
+    * tombstone, then verify the tombstone holds that instance — on an
+    * overwrite-rename filesystem the rename may have displaced a LIVE
+    * lock, which is put back and reported as no-break. */
+  private[graft] def renameAndVerify(fs: org.apache.hadoop.fs.FileSystem,
+                                         artifact: String, lock: Path,
+                                         judged: String): Option[Path] = {
+    val tomb = tombPath(artifact, judged)
+    val won = try fs.rename(lock, tomb)
+              catch { case _: java.io.IOException => false }
+    if (!won) None
+    else {
+      val tombContent = try readContent(fs, tomb)
+                        catch { case _: java.io.IOException => None }
+      if (tombContent.contains(judged)) Some(tomb) // the instance we judged
+      else {
+        // overwrite-rename race: we displaced a LIVE lock — put it
+        // back and wait like any other loser
+        try fs.rename(tomb, lock)
+        catch { case _: java.io.IOException => () }
+        None
+      }
+    }
+  }
 
   // in-JVM racers serialize on a per-artifact monitor (LocalFileSystem's
   // create-exclusive is check-then-create — not atomic between threads
@@ -74,43 +177,28 @@ object ArtifactLock {
         try out.write(s"$owner $verb ${System.currentTimeMillis()}"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        acquired = true
+        // belt for overwrite-rename filesystems: a racing breaker
+        // whose stale read predates our acquisition could have renamed
+        // OUR fresh lock onto an old instance's tombstone in the gap —
+        // confirm the lock on disk is ours before entering the body
+        // (one read; on rename-refusing filesystems this never trips)
+        val onDisk = try readContent(fs, lock)
+                     catch { case _: java.io.IOException => None }
+        if (onDisk.exists(_.startsWith(owner))) acquired = true
+        // else: swept out from under us — loop back into create/wait
       } catch {
         case _: java.io.IOException =>
-          // held: break a dead holder's lock by ATOMIC RENAME to a
-          // tombstone named by the stale lock's own content (= one
-          // lock INSTANCE: the owner uuid is fresh per acquisition).
-          // Exactly one breaker's rename succeeds; a loser whose
-          // staleness check predates the winner's fresh lock cannot
-          // break it — its rename target (the instance tombstone) is
-          // already taken until the winner RELEASES, so the rename
-          // fails and the loser re-observes a fresh mtime and waits.
-          val staleContent =
-            try {
-              val st = fs.getFileStatus(lock)
-              if (st.getModificationTime <
-                  System.currentTimeMillis() - staleMs) {
-                val in = fs.open(lock)
-                try Some(new String(in.readAllBytes(),
-                  java.nio.charset.StandardCharsets.UTF_8))
-                finally in.close()
-              } else None
-            } catch { case _: java.io.IOException => None }
-          val broke = staleContent match {
-            case Some(c) =>
-              val id = java.lang.Integer.toHexString(c.hashCode) +
-                c.takeWhile(_ != ' ') // owner uuid → instance-unique
-              val tomb = new Path(artifact, s"_maint_lock.tomb.$id")
-              val won = try fs.rename(lock, tomb)
-                        catch { case _: java.io.IOException => false }
-              if (won) brokeTomb = Some(tomb) // held until our release
-              won // winner loops straight into create
-            case None => false
-          }
+          // held: break a dead holder's lock via [[tryBreakStale]] —
+          // ONE atomic read decides both staleness (the timestamp the
+          // content itself carries) and the tombstone identity, so a
+          // breaker can never classify lock instance X stale on
+          // evidence from instance Y (r17 advice)
+          val broke = tryBreakStale(fs, artifact, lock, staleMs)
+          broke.foreach(t => brokeTomb = Some(t)) // held until release
           // losers (rename lost, or holder is live) wait — and still
           // honor the deadline: a lock whose instance tombstone is
           // already taken can never be re-broken, only waited out
-          if (!broke) {
+          if (broke.isEmpty) {
             if (System.currentTimeMillis() > deadline)
               throw new IllegalStateException(
                 s"ArtifactLock: $verb on $artifact timed out after " +

@@ -33,6 +33,17 @@ object Checkpoints {
 
   val DirConf = "graft.checkpointDir"
 
+  // last conf value actually applied via setCheckpointDir. The
+  // context's own getCheckpointDir can never equal the conf value:
+  // setCheckpointDir stores a QUALIFIED `<dir>/<random-uuid>` child,
+  // so comparing against it re-set (and re-mkdir'd a fresh UUID
+  // directory) on EVERY cut — one mkdirs RPC plus directory litter
+  // per round of pagerank/BPE/components (r17 advice). Caching the
+  // applied conf string makes the guard real; the getCheckpointDir
+  // check alongside it keeps the seam correct if some other code
+  // path cleared or re-pointed the context's checkpoint dir.
+  @volatile private var appliedDir: String = null
+
   /** Eagerly materialize `df` and return a frame whose lineage starts
     * at the materialized partitions. Reliable when [[DirConf]] is
     * set; local otherwise. */
@@ -40,11 +51,11 @@ object Checkpoints {
     val spark = df.sparkSession
     spark.conf.getOption(DirConf) match {
       case Some(dir) if dir.nonEmpty =>
-        // setCheckpointDir is idempotent for a stable conf value;
-        // re-setting per cut keeps the seam correct when a caller
-        // flips the conf between pipelines in one session
-        if (!spark.sparkContext.getCheckpointDir.contains(dir))
-          spark.sparkContext.setCheckpointDir(dir)
+        val sc = spark.sparkContext
+        if (appliedDir != dir || sc.getCheckpointDir.isEmpty) {
+          sc.setCheckpointDir(dir)
+          appliedDir = dir
+        }
         df.checkpoint(eager = true)
       case _ => df.localCheckpoint(true)
     }

@@ -20,9 +20,15 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   *     group×target×B driver rows; keep only the buckets covering the
   *     target ranks (floor/ceil of the interpolation position),
   *     shrinking the range ~B× per pass;
-  *  3. final: once a range holds ≤ threshold rows, collect its
-  *     DISTINCT (value, count) pairs and resolve the ranks exactly on
-  *     the driver.
+  *  3. final: once a range's DISTINCT-VALUE estimate (a per-bucket
+  *     approx_count_distinct riding the same pass) fits the driver
+  *     budget, collect its DISTINCT (value, count) pairs and resolve
+  *     the ranks exactly on the driver. Distinctness — not row count,
+  *     not occupied-bucket count — is the close signal, because the
+  *     collect is distinct-sized: a billion-row one-value spike closes
+  *     immediately, while a near-unique cluster parked in one bucket
+  *     by a heavy-tail outlier keeps splitting (each pass re-buckets
+  *     the shrunken range into B fresh buckets).
   *
   * A near-unique 10^12-row column resolves in seed + 1-2 refine
   * passes + final — every pass a map-side-combinable aggregation over
@@ -47,6 +53,12 @@ object Quantiles {
     * that already knows bounds (|v − med| ∈ [0, spread]) passes them
     * directly and skips the seed pass. */
   final case class Seed(g: Any, n1: Long, lo: Double, hi: Double)
+
+  /** Diagnostics from the LAST refinedMulti call on this JVM — test
+    * observability for the close condition (passes taken, rows the
+    * final resolve collected). Not part of the operator contract. */
+  final case class RefineStats(passes: Int, finalCollected: Long)
+  @volatile private[graft] var lastStats: RefineStats = RefineStats(0, 0L)
 
   private final case class St(g: Any, pi: Int, n1: Long,
                               rlo: Double, rhi: Double,
@@ -111,20 +123,27 @@ object Quantiles {
       val counts = rows.filter(col("_v").isNotNull)
         .join(st, col("_g") <=> col("_sg"))
         .groupBy(col("_g").as("g"), col("_pi"), idx.as("b"))
-        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("c"),
+          // per-bucket DISTINCT estimate: buckets partition the value
+          // range, so summing over a window never double-counts — the
+          // honest close signal, since the final resolve's collect is
+          // DISTINCT-sized, not row-sized
+          approx_count_distinct(col("_v"), 0.05).as("d"))
         .collect()
-        .map(r => ((r.get(0), r.getInt(1)), r.getDouble(2).toInt, r.getLong(3)))
+        .map(r => ((r.get(0), r.getInt(1)), r.getDouble(2).toInt,
+          (r.getLong(3), r.getLong(4))))
         .groupBy(_._1).map { case (k, rs) =>
-          k -> rs.map { case (_, b, c) => b -> c }.toMap }
+          k -> rs.map { case (_, b, cd) => b -> cd }.toMap }
       val stepped = open.map { s =>
-        val byBucket = counts.getOrElse((s.g, s.pi), Map.empty[Int, Long])
-        val below = byBucket.getOrElse(-1, 0L)
+        val byBucket =
+          counts.getOrElse((s.g, s.pi), Map.empty[Int, (Long, Long)])
+        val below = byBucket.get(-1).map(_._1).getOrElse(0L)
         // cumulative walk to the buckets holding ranks posF and posC
         var cum = below
         var iLo = -1; var iHi = -1
         var i = 0
         while (i < buckets && (iLo < 0 || iHi < 0)) {
-          cum += byBucket.getOrElse(i, 0L)
+          cum += byBucket.get(i).map(_._1).getOrElse(0L)
           if (iLo < 0 && cum >= s.posF) iLo = i
           if (iHi < 0 && cum >= s.posC) iHi = i
           i += 1
@@ -138,16 +157,20 @@ object Quantiles {
         val nLo = math.max(s.rlo, s.rlo + (iLo - 1) * w)
         val nHi = math.min(s.rhi, s.rlo + (iHi + 2) * w)
         val window = math.max(0, iLo - 1) to math.min(buckets - 1, iHi + 1)
-        val candidates = window.map(b => byBucket.getOrElse(b, 0L)).sum
-        // ≤2 occupied buckets in the window = the targets sit on at
-        // most two value CLUSTERS (a low-cardinality column's integer
-        // spike, a heavy repeated value): more refining cannot split
-        // them apart faster than the final DISTINCT resolve collapses
-        // them — without this a 50-distinct column would grind through
-        // maxPasses shaving float exponents
-        val occupied = window.count(b => byBucket.getOrElse(b, 0L) > 0)
+        // close on the window's DISTINCT estimate, not its row count
+        // or occupied-bucket count: the final resolve collects DISTINCT
+        // (value, count) pairs, so a billion-row single-value spike is
+        // one collected row (close now), while a tight near-unique
+        // cluster occupying ONE bucket still needs splitting — the
+        // next pass re-buckets the shrunken range into B new buckets,
+        // so low occupancy never means refinement is exhausted (the
+        // r17 advice's heavy-tail counterexample: one outlier
+        // stretching the seed range parks the whole bulk in bucket 0).
+        // 2× headroom on the estimate covers the sketch's rsd.
+        val windowDistinct =
+          window.map(b => byBucket.get(b).map(_._2).getOrElse(0L)).sum
         val shrunk = nHi - nLo < s.rhi - s.rlo
-        val keepOpen = candidates > finalThreshold && occupied > 2 &&
+        val keepOpen = windowDistinct > finalThreshold / 2 &&
           w > 0 && shrunk && java.lang.Double.isFinite(w)
         (s.copy(rlo = nLo, rhi = nHi), keepOpen)
       }
@@ -156,6 +179,7 @@ object Quantiles {
     }
     ready ++= open // maxPasses hit: resolve whatever range remains
 
+    lastStats = RefineStats(passes, 0L)
     // final pass: collect the surviving ranges' distinct values (plus
     // the exact below-range count) and resolve ranks on the driver
     if (ready.nonEmpty) {
@@ -169,6 +193,7 @@ object Quantiles {
           when(flag === 0, col("_v")).as("v"))
         .agg(count(lit(1)).as("c"))
         .collect()
+      lastStats = RefineStats(passes, collected.length.toLong)
       val byKey = collected.groupBy(r => (r.get(0), r.getInt(1)))
       ready.foreach { s =>
         val rs = byKey.getOrElse((s.g, s.pi), Array.empty[Row])

@@ -101,35 +101,61 @@ object Analyze {
           cols
         } else schema.fields.filter(sketchCol(_).isDefined).map(_.name).toSeq
       val prior = read(spark, path)
-      val incremental = prior.filter { p =>
-        p.analyzedVersion < v &&
-          wanted.forall(p.cols.contains) && {
-          // appends-only since the analyzed version? (file-set diff —
-          // a remove/rewrite means sketches cannot carry)
-          val prevFiles = TxLog.manifest(spark, path, p.analyzedVersion)
-            .files.toSet
-          prevFiles.subsetOf(m.files.toSet)
-        }
-      }
-      val merged = incremental match {
-        case Some(p) =>
-          if (p.analyzedVersion == v) p.cols.view.filterKeys(wanted.contains).toMap
-          else {
-            val fresh = sketchAgg(
-              TxLog.appendsSince(spark, path, p.analyzedVersion), wanted)
-            val combined = wanted.map { n =>
-              val old = java.util.Base64.getDecoder.decode(p.cols(n).sketchB64)
-              val nw = fresh.getOrElse(n, Array.empty[Byte])
-              n -> union(spark, old, nw)
-            }.toMap
-            estimate(spark, combined)
+      // short-circuit: every wanted column already analyzed at this
+      // exact version — nothing can have changed, return the stored
+      // stats without a recompute or a rewrite
+      prior match {
+        case Some(p) if p.analyzedVersion == v &&
+            wanted.forall(p.cols.contains) => p
+        case _ =>
+          val sketchable =
+            schema.fields.filter(sketchCol(_).isDefined).map(_.name).toSet
+          val incremental = prior.filter { p =>
+            p.analyzedVersion < v &&
+              wanted.forall(p.cols.contains) && {
+              // appends-only since the analyzed version? Both the FILE
+              // set (a remove/rewrite means sketches cannot unmerge)
+              // and the DELETION VECTORS must be unchanged: a DV-mode
+              // delete removes rows without touching the file set, so
+              // the file-set test alone would take the incremental
+              // path and appendsSince would refuse (r17 advice) —
+              // fall back to a full recompute instead
+              val prevM = TxLog.manifest(spark, path, p.analyzedVersion)
+              prevM.files.toSet.subsetOf(m.files.toSet) && prevM.dv == m.dv
+            }
           }
-        case None =>
-          estimate(spark, sketchAgg(TxLog.read(spark, path), wanted))
+          val merged = incremental match {
+            case Some(p) =>
+              // union the appends slice into EVERY stored column, not
+              // just the wanted subset: the written analyzedVersion
+              // advances to v, so a column skipped here would lose the
+              // (p.analyzedVersion, v] appends from its sketch forever
+              val refresh = (wanted ++ p.cols.keys).distinct
+                .filter(sketchable)
+              val fresh = sketchAgg(
+                TxLog.appendsSince(spark, path, p.analyzedVersion), refresh)
+              val combined = refresh.map { n =>
+                val old = p.cols.get(n)
+                  .map(c => java.util.Base64.getDecoder.decode(c.sketchB64))
+                  .getOrElse(Array.empty[Byte])
+                val nw = fresh.getOrElse(n, Array.empty[Byte])
+                n -> union(spark, old, nw)
+              }.toMap
+              estimate(spark, combined)
+            case None =>
+              // full recompute refreshes every previously-stored column
+              // alongside the wanted ones — an explicit-cols ANALYZE
+              // must never silently drop paid-for stats (r17 advice);
+              // the extra columns ride the same table scan
+              val all = (wanted ++
+                prior.map(_.cols.keys.toSeq).getOrElse(Nil)).distinct
+                .filter(sketchable)
+              estimate(spark, sketchAgg(TxLog.read(spark, path), all))
+          }
+          val out = TableNdv(v, merged)
+          write(spark, path, out)
+          out
       }
-      val out = TableNdv(v, merged)
-      write(spark, path, out)
-      out
     }
 
   private def union(spark: SparkSession, a: Array[Byte],

@@ -5682,11 +5682,25 @@ object TxLog {
     // disagree on its deletion vector flips EXACTLY the rows whose
     // positions sit in one side's DV and not the other's. One full
     // scan of the drifted entries (positions kept) classified against
-    // the two delete-position sets — both DV-sized, so the semi-joins
-    // broadcast; O(affected files), never a table scan. Rare lane: it
-    // plans per ref commit, and only when DV references drifted.
+    // the two delete-position sets — O(affected files), never a table
+    // scan. The semi-joins broadcast the position sets only while the
+    // manifests' per-entry counts price them under
+    // graft.txlog.dvBroadcastMaxRows (the same budget the batch mount
+    // applies before collecting a DV map): a restore crossing a DV
+    // commit that covered 10^7-10^8 rows would otherwise hand the
+    // whole position set to the driver as a FORCED broadcast (r17
+    // verdict #1) — above budget the hint is dropped and the
+    // left-semi plans as a distributed join (AQE still broadcasts
+    // genuinely small sides on its own). Rare lane: it plans per ref
+    // commit, and only when DV references drifted.
     val flipFrames = sources.filter(_.flips.nonEmpty).flatMap { s =>
       val fl = s.flips.get
+      val flipDvRows = (fl.prevDv.iterator ++ fl.tgtDv.iterator)
+        .map(_._2.valuesIterator.sum).sum
+      val positionHint: DataFrame => DataFrame =
+        if (flipDvRows <=
+            graft.sources.TxLogBatch.dvBroadcastMaxRows(spark)) broadcast
+        else identity
       val mv = manifest(spark, path, s.v)
       val vSchema = StructType.fromDDL(mv.schemaDdl)
       val entryKeys = fl.entries.flatMap { f =>
@@ -5712,7 +5726,7 @@ object TxLog {
         Nil, keepDvKey = true,
         recoverPartitions = mv.partitionSpec.isEmpty)
       def emit(pos: DataFrame, kind: String): DataFrame =
-        scan.join(broadcast(pos), Seq("_dv_key", "_dv_idx"), "left_semi")
+        scan.join(positionHint(pos), Seq("_dv_key", "_dv_idx"), "left_semi")
           .select(alignToTarget(scan, { n =>
               val phys = physOf(mTarget, n)
               mv.colMap.find(_._2 == phys).map(_._1).getOrElse(phys)

@@ -45,6 +45,29 @@ class CheckpointSpec extends SparkSpec {
     } finally spark.conf.unset(Checkpoints.DirConf)
   }
 
+  test("repeated cuts reuse one checkpoint dir (idempotent guard is live)") {
+    // setCheckpointDir stores a qualified <dir>/<uuid> child, so the
+    // old getCheckpointDir.contains(dir) guard was dead code and every
+    // cut minted a fresh UUID directory (r17 advice). Pinned: two cuts
+    // under one conf value leave exactly ONE uuid child and the
+    // context's checkpoint dir does not move between them.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_idem").toString
+    spark.conf.set(Checkpoints.DirConf, dir)
+    try {
+      assert(Checkpoints.cut(Seq(1, 2).toDF("x")).count() == 2L)
+      val after1 = spark.sparkContext.getCheckpointDir
+      assert(Checkpoints.cut(Seq(3, 4, 5).toDF("x")).count() == 3L)
+      val after2 = spark.sparkContext.getCheckpointDir
+      assert(after1 == after2,
+        s"checkpoint dir moved between cuts: $after1 vs $after2")
+      val children = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory)
+      assert(children.length == 1,
+        s"expected one uuid child under $dir, got ${children.toSeq}")
+    } finally spark.conf.unset(Checkpoints.DirConf)
+  }
+
   test("pagerank ≡ under local and reliable cuts") {
     def run() = Graph.pagerank(edges, iterations = 8)
       .orderBy("node").collect().map(r => (r.getLong(0),

@@ -112,6 +112,65 @@ class IndexOccSpec extends SparkSpec {
     } finally spark.conf.unset("graft.index.lockWaitMs")
   }
 
+  test("staleness is judged from the content's own timestamp, not the mtime (fresh-lock swap)") {
+    // r17 advice: deciding staleness from one getFileStatus mtime and
+    // the tombstone identity from a LATER read let a breaker observe a
+    // stale mtime, then read a FRESH lock that replaced it in between,
+    // and break that live lock. Post-fix one read supplies both, so a
+    // lock whose CONTENT timestamp is fresh never breaks — simulated
+    // by the divergence itself: an aged mtime over fresh content.
+    val art = fresh("lock3") + "/a"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(art), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(art))
+    val lock = new org.apache.hadoop.fs.Path(art, "_maint_lock")
+    val out = fs.create(lock, false)
+    out.write(s"liveowner verb ${System.currentTimeMillis()}"
+      .getBytes("UTF-8")); out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60L * 60 * 1000, -1)
+    spark.conf.set("graft.index.lockWaitMs", "400")
+    try {
+      val e = intercept[IllegalStateException] {
+        ArtifactLock.withLock(spark, art, "test") { () }
+      }
+      assert(e.getMessage.contains("timed out"), e.getMessage)
+      assert(fs.exists(lock), "the live (fresh-content) lock must survive")
+    } finally {
+      spark.conf.unset("graft.index.lockWaitMs")
+      fs.delete(lock, false)
+    }
+  }
+
+  test("a displacing rename is detected by tombstone verify and the live lock restored") {
+    // the overwrite-rename residual (r17 verdict #5): on a filesystem
+    // where rename REPLACES its destination, a loser whose stale read
+    // predates the winner's break renames the winner's FRESH lock onto
+    // the old instance's tombstone. The break path now verifies the
+    // tombstone it renamed carries the judged instance and restores a
+    // displaced live lock. Driven directly at the renameAndVerify seam
+    // with the tombstone absent, so the rename succeeds on every
+    // filesystem and the verify/restore branch is what's under test.
+    val art = fresh("lock4") + "/a"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(art), spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(art))
+    val lock = new org.apache.hadoop.fs.Path(art, "_maint_lock")
+    val fresh_ = s"winner verb ${System.currentTimeMillis()}"
+    val out = fs.create(lock, false)
+    out.write(fresh_.getBytes("UTF-8")); out.close()
+    val judgedStale = "deadowner verb 0" // what the loser read earlier
+    val got = ArtifactLock.renameAndVerify(fs, art, lock, judgedStale)
+    assert(got.isEmpty, "a displaced live lock must not count as broken")
+    val back = {
+      val in = fs.open(lock)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(back == fresh_, s"the live lock must be restored, got '$back'")
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(art))
+      .map(_.getPath.getName).filter(_.startsWith("_maint_lock.tomb"))
+    assert(leftovers.isEmpty, s"no tombstone may remain: ${leftovers.toSeq}")
+  }
+
   test("a broken instance's tombstone blocks late breakers of the SAME instance") {
     // r16 advice: delete-then-create let two breakers that both saw
     // the stale lock acquire TOGETHER (B deletes A's fresh lock).

@@ -81,6 +81,35 @@ class QuantilesSpec extends SparkSpec {
     assert(secs < 8.0, s"low-cardinality refinement took ${secs}s")
   }
 
+  test("heavy-tailed data keeps refining: one outlier cannot force a corpus-sized final collect") {
+    // r17 advice: the old occupied<=2 early-exit closed a target the
+    // moment its rank window spanned ≤2 occupied buckets — but one
+    // outlier at 1e9 stretches the seed range so the ENTIRE near-unique
+    // bulk lands in bucket 0 on pass 1, and the "closed" final resolve
+    // then collected near-corpus-sized distinct pairs to the driver.
+    // Post-fix the close signal is the window's distinct ESTIMATE, so
+    // refinement re-buckets the shrunken range and the final collect
+    // stays threshold-bounded.
+    val rnd = new scala.util.Random(7)
+    val n = 20000
+    val data = (1 to n).map(_ => ("g", rnd.nextDouble())) :+ (("g", 1e9))
+    val df = data.toDF("g", "x")
+    val rows = df.select(col("g").as("_g"), col("x").as("_v"))
+    val seed = Seq(Quantiles.Seed("g", (n + 1).toLong, 0.0, 1e9))
+    val threshold = 500L
+    val got = Quantiles.refined(rows, 0.5, seed,
+      buckets = 64, finalThreshold = threshold)
+    val stats = Quantiles.lastStats
+    assert(stats.passes >= 2,
+      s"heavy tail must not close on pass 1: $stats")
+    assert(stats.finalCollected <= threshold * 2,
+      s"final collect must stay threshold-bounded, got $stats")
+    val expected = df.agg(expr("percentile(x, 0.5)")).head().getDouble(0)
+    val v = got.head._2
+    assert(math.abs(v - expected) <= math.abs(expected) * 1e-12,
+      s"refined $v vs builtin $expected")
+  }
+
   test("refinedExactMulti ≡ exactMulti on a mixed-spec frame (same values bit-for-bit)") {
     val df = (1 to 2000).map(i =>
       (s"g${i % 4}", (i * 7919 % 997).toDouble, (i % 9).toDouble))

@@ -50,6 +50,62 @@ class AnalyzeSpec extends SparkSpec {
       after.cols.toString)
   }
 
+  test("DV-mode delete falls back to a full recompute (never throws)") {
+    // r17 advice: the incremental eligibility checked only the FILE
+    // set, but a deletion-vector delete changes rows without touching
+    // it — the incremental path then hit appendsSince's
+    // history-not-append-only refusal and CALL analyze failed outright.
+    val path = fresh("dv")
+    TxLog.create(spark.range(0, 1000).select(col("id").as("k")), path)
+    assert(Analyze.analyze(spark, path).cols("k").ndv > 900L)
+    TxLog.deleteWhere(spark, path, col("k") < 400L, deletionVectors = true)
+    val after = Analyze.analyze(spark, path) // must not throw
+    assert(after.analyzedVersion == 2L)
+    assert(math.abs(after.cols("k").ndv - 600L) <= 600 * 0.05,
+      after.cols.toString)
+  }
+
+  test("explicit-cols ANALYZE refreshes those columns without dropping the rest") {
+    val path = fresh("cols")
+    TxLog.create(spark.range(0, 500).select(col("id").as("k"),
+      (col("id") % 13).as("cat"), (col("id") % 7).as("small")), path)
+    val all = Analyze.analyze(spark, path)
+    assert(all.cols.keySet == Set("k", "cat", "small"))
+    TxLog.append(spark.range(500, 900).select(col("id").as("k"),
+      (col("id") % 13).as("cat"), (col("id") % 7).as("small")), path)
+    // incremental, scoped to one column: the OTHER columns must keep
+    // their stats AND absorb the appends slice (the stored
+    // analyzedVersion advances for the whole file)
+    val one = Analyze.analyze(spark, path, cols = Seq("cat"))
+    assert(one.analyzedVersion == 2L)
+    assert(one.cols.keySet == Set("k", "cat", "small"),
+      s"explicit-cols run dropped stats: ${one.cols.keySet}")
+    assert(math.abs(one.cols("k").ndv - 900L) <= 900 * 0.05,
+      s"carried column missed the appends slice: ${one.cols}")
+    // rewrite history + explicit cols: full-recompute path must also
+    // preserve (and refresh) the full stored column set
+    TxLog.deleteWhere(spark, path, col("k") < 100L)
+    val two = Analyze.analyze(spark, path, cols = Seq("small"))
+    assert(two.cols.keySet == Set("k", "cat", "small"),
+      s"full-recompute explicit-cols run dropped stats: ${two.cols.keySet}")
+    assert(math.abs(two.cols("k").ndv - 800L) <= 800 * 0.05,
+      two.cols.toString)
+  }
+
+  test("re-ANALYZE at an unchanged version is a no-op (no recompute, no rewrite)") {
+    val path = fresh("noop")
+    TxLog.create(spark.range(0, 300).select(col("id").as("k")), path)
+    val first = Analyze.analyze(spark, path)
+    val statsFile = new java.io.File(
+      new java.net.URI(path).getPath + "/_stats/ndv.json")
+    val mtime = statsFile.lastModified()
+    Thread.sleep(20)
+    val again = Analyze.analyze(spark, path)
+    assert(again == first)
+    assert(statsFile.lastModified() == mtime,
+      "unchanged-version re-ANALYZE must not rewrite ndv.json")
+  }
+
   test("DESCRIBE DETAIL surfaces analyzed_version and column_ndv") {
     val path = fresh("detail")
     TxLog.create(spark.range(0, 100).select(col("id").as("k")), path)

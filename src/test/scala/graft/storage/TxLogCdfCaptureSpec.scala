@@ -255,6 +255,53 @@ class TxLogCdfCaptureSpec extends SparkSpec {
     assert(keyed == Set(("delete", 1L), ("delete", 2L)), keyed.toString)
   }
 
+  test("over-budget DV flips drop the broadcast hint: distributed fallback, row-exact") {
+    // r17 verdict #1: the flip lane force-broadcast the DV position
+    // sets with no size guard — the identical shape the batch mount
+    // prices from the manifest's per-entry counts. Post-fix the hint
+    // rides only under graft.txlog.dvBroadcastMaxRows; here the
+    // budget is forced to 0 so the position semi-joins must plan
+    // DISTRIBUTED (no static BroadcastExchange on the _dv_idx side —
+    // autoBroadcastJoinThreshold is disabled so only a leftover hint
+    // could produce one), with results identical to the hinted plan.
+    val path = fresh("flip_budget")
+    TxLog.create(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0))
+      .toDF("k", "v"), path)                                       // v1
+    TxLog.setProperties(spark, path, Map(
+      TxLog.ChangeDataFeedProp -> "true"))                         // v2
+    TxLog.deleteWhere(spark, path, col("k") <= 2L,
+      deletionVectors = true)                                      // v3 (DV)
+    TxLog.restore(spark, path, 2L)                                 // v4
+    TxLog.restore(spark, path, 3L)                                 // v5
+    def ev(from: Long, to: Long) =
+      TxLog.changeFeed(spark, path, from, to)
+        .select("_change_type", "_commit_version", "k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val hintedBack = ev(3L, 4L)
+    val hintedFwd = ev(4L, 5L)
+    spark.conf.set("graft.txlog.dvBroadcastMaxRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val feed = TxLog.changeFeed(spark, path, 3L, 4L)
+      val plan = feed.queryExecution.sparkPlan.toString
+      val broadcastPos = plan.linesIterator.filter(l =>
+        l.contains("BroadcastHashJoin") && l.contains("_dv_idx")).toSeq
+      assert(broadcastPos.isEmpty,
+        s"position semi-join must not broadcast over budget:\n$broadcastPos")
+      assert(plan.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+          l.contains("_dv_idx")),
+        s"expected a distributed position semi-join in:\n$plan")
+      assert(ev(3L, 4L) == hintedBack,
+        s"fallback parity (un-delete): ${ev(3L, 4L)} vs $hintedBack")
+      assert(ev(4L, 5L) == hintedFwd,
+        s"fallback parity (re-delete): ${ev(4L, 5L)} vs $hintedFwd")
+    } finally {
+      spark.conf.unset("graft.txlog.dvBroadcastMaxRows")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("racing append vs INSERT OVERWRITE: the committed capture deletes the REAL replaced snapshot") {
     // r16 advice (medium): createOrReplace computed its CDC capture
     // once, against the head it entered with — an append interleaving
