@@ -104,6 +104,99 @@ object Percentiles {
       .withColumnRenamed("_mg", groupCol)
   }
 
+  /** Conf key for [[adaptiveExactMulti]]'s dispatch threshold: a value
+    * column whose estimated TOTAL distinct count (summed per-group
+    * estimates) exceeds this refines; below it the histogram plan
+    * wins (several quantiles of a column share its one shuffle). */
+  val MaxHistogramDistinctConf = "graft.quantiles.maxHistogramDistinct"
+  val MaxHistogramDistinctDefault = 10000000L
+
+  /** Plan each [[adaptiveExactMulti]] call actually took, per value
+    * column ("histogram" | "refinement") — test observability for the
+    * dispatch pin; not part of the operator contract. */
+  @volatile private[graft] var lastDispatch: Map[String, String] = Map.empty
+
+  /** [[exactMulti]]'s answers behind a PLAN DISPATCHER (r17 verdict
+    * #2): per value column, choose between the one-shuffle histogram
+    * plan — optimal while the column's distinct count keeps the
+    * sort-window small, and all of a column's quantiles share the one
+    * shuffle — and bucket-refinement selection ([[Quantiles]]), whose
+    * wire cost is ~flat at any corpus size and which therefore wins on
+    * near-unique columns where the histogram IS the corpus
+    * (ScaleCheckQuantiles: 105× the shuffled bytes at 10^8 rows; at
+    * 100 TB the histogram plan on such a column is corpus-linear
+    * shuffle).
+    *
+    * The decision input is ONE group-sized probe pass per call:
+    * count/min/max per (group, column) — exactly the refinement seed,
+    * REUSED when refinement wins, so the probe is free in that case —
+    * plus a per-group approx_count_distinct. A column whose summed
+    * estimate exceeds [[MaxHistogramDistinctConf]] (default 10^7)
+    * refines; the rest stay on the histogram. Values are identical
+    * either way (same interpolation at p·(n−1)+1 over the same data).
+    * EAGER like [[refinedExactMulti]] (the probe collects group-sized
+    * rows at construction); callers composing lazy plans use
+    * [[exactMulti]]. */
+  def adaptiveExactMulti(df: DataFrame, groupCol: String,
+                         specs: Seq[(String, String, Double)]): DataFrame = {
+    require(specs.nonEmpty, "at least one (name, valueCol, p) spec required")
+    val spark = df.sparkSession
+    val maxDistinct = spark.conf.getOption(MaxHistogramDistinctConf)
+      .map(_.toLong).getOrElse(MaxHistogramDistinctDefault)
+    def q(n: String) = col(s"`${n.replace("`", "``")}`").cast("double")
+    val vcols = specs.map(_._2).distinct
+    val probeAggs = vcols.zipWithIndex.flatMap { case (vc, i) =>
+      Seq(count(q(vc)).as(s"n_$i"), min(q(vc)).as(s"lo_$i"),
+        max(q(vc)).as(s"hi_$i"),
+        approx_count_distinct(q(vc), 0.05).as(s"d_$i"))
+    }
+    val probe = df.groupBy(col(groupCol).as("_g"))
+      .agg(probeAggs.head, probeAggs.tail: _*).collect().toSeq
+    val seedsByCol: Map[String, Seq[Quantiles.Seed]] =
+      vcols.zipWithIndex.map { case (vc, i) =>
+        val base = 1 + i * 4
+        vc -> probe.map(r => Quantiles.Seed(r.get(0), r.getLong(base),
+          if (r.isNullAt(base + 1)) 0.0 else r.getDouble(base + 1),
+          if (r.isNullAt(base + 2)) 0.0 else r.getDouble(base + 2)))
+      }.toMap
+    val distinctByCol: Map[String, Long] =
+      vcols.zipWithIndex.map { case (vc, i) =>
+        vc -> probe.iterator.map(_.getLong(1 + i * 4 + 3)).sum
+      }.toMap
+    val (refCols, histCols) =
+      vcols.partition(vc => distinctByCol(vc) > maxDistinct)
+    lastDispatch = vcols.map(vc => vc ->
+      (if (refCols.contains(vc)) "refinement" else "histogram")).toMap
+    val histFrame = if (histCols.isEmpty) None else Some(
+      exactMulti(df, groupCol, specs.filter(s => histCols.contains(s._2))))
+    val refFrame = if (refCols.isEmpty) None else Some {
+      val gField = org.apache.spark.sql.types.StructField(
+        "_g", df.schema(groupCol).dataType, nullable = true)
+      val refSpecs = specs.filter(s => refCols.contains(s._2))
+      val resolved =
+        scala.collection.mutable.Map[(String, Any), java.lang.Double]()
+      refCols.foreach { vc =>
+        val sub = refSpecs.filter(_._2 == vc)
+        val rows = df.select(col(groupCol).as("_g"), q(vc).as("_v"))
+        Quantiles.refinedMulti(rows, sub.map(_._3), seedsByCol(vc)).foreach {
+          case ((g, pi), v) => resolved((sub(pi)._1, g)) = v
+        }
+      }
+      val groups = probe.map(_.get(0))
+      val valueMap: Map[Any, Seq[java.lang.Double]] = groups.map { g =>
+        (g, refSpecs.map(sp =>
+          resolved.getOrElse((sp._1, g), null: java.lang.Double)))
+      }.toMap
+      Quantiles.litFrameMulti(spark, gField, refSpecs.map(_._1), valueMap)
+        .withColumnRenamed("_mg", groupCol)
+    }
+    val joined = (histFrame.toSeq ++ refFrame.toSeq).reduce { (a, b) =>
+      a.join(b.withColumnRenamed(groupCol, "__g"),
+        col(groupCol) <=> col("__g")).drop("__g")
+    }
+    joined.select(col(groupCol) +: specs.map(sp => col(sp._1)): _*)
+  }
+
   private[operators] def exactFromHistogram(hist0: DataFrame, groupCol: String,
                                             ps: Seq[(String, Double)]): DataFrame = {
     val hist = hist0

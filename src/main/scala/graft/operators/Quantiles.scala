@@ -20,15 +20,16 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   *     group×target×B driver rows; keep only the buckets covering the
   *     target ranks (floor/ceil of the interpolation position),
   *     shrinking the range ~B× per pass;
-  *  3. final: once a range's DISTINCT-VALUE estimate (a per-bucket
-  *     approx_count_distinct riding the same pass) fits the driver
-  *     budget, collect its DISTINCT (value, count) pairs and resolve
-  *     the ranks exactly on the driver. Distinctness — not row count,
-  *     not occupied-bucket count — is the close signal, because the
-  *     collect is distinct-sized: a billion-row one-value spike closes
-  *     immediately, while a near-unique cluster parked in one bucket
-  *     by a heavy-tail outlier keeps splitting (each pass re-buckets
-  *     the shrunken range into B fresh buckets).
+  *  3. final: once a range holds ≤ threshold rows — or every occupied
+  *     bucket in it is provably ATOMIC (the bucket's exact min equals
+  *     its max: one distinct value, which no amount of further
+  *     splitting can narrow, and which the DISTINCT resolve collapses
+  *     to one row however many rows pile on it) — collect its
+  *     DISTINCT (value, count) pairs and resolve the ranks exactly on
+  *     the driver. Occupancy alone is NOT a close signal: a
+  *     heavy-tail outlier parks the whole near-unique bulk in one
+  *     bucket on pass 1, and the next pass re-buckets the shrunken
+  *     range into B fresh buckets and splits it fine.
   *
   * A near-unique 10^12-row column resolves in seed + 1-2 refine
   * passes + final — every pass a map-side-combinable aggregation over
@@ -123,20 +124,21 @@ object Quantiles {
       val counts = rows.filter(col("_v").isNotNull)
         .join(st, col("_g") <=> col("_sg"))
         .groupBy(col("_g").as("g"), col("_pi"), idx.as("b"))
-        .agg(count(lit(1)).as("c"),
-          // per-bucket DISTINCT estimate: buckets partition the value
-          // range, so summing over a window never double-counts — the
-          // honest close signal, since the final resolve's collect is
-          // DISTINCT-sized, not row-sized
-          approx_count_distinct(col("_v"), 0.05).as("d"))
+        // per-bucket count plus the bucket's exact value range: a
+        // bucket with mn == mx holds ONE distinct value, the exact
+        // cannot-split-further signal the close condition needs — at
+        // 16 bytes per partial row, where a distinct SKETCH per bucket
+        // was measured to 10× the refinement loop's whole wire cost
+        .agg(count(lit(1)).as("c"), min(col("_v")).as("mn"),
+          max(col("_v")).as("mx"))
         .collect()
         .map(r => ((r.get(0), r.getInt(1)), r.getDouble(2).toInt,
-          (r.getLong(3), r.getLong(4))))
+          (r.getLong(3), r.getDouble(4), r.getDouble(5))))
         .groupBy(_._1).map { case (k, rs) =>
-          k -> rs.map { case (_, b, cd) => b -> cd }.toMap }
+          k -> rs.map { case (_, b, cmm) => b -> cmm }.toMap }
       val stepped = open.map { s =>
         val byBucket =
-          counts.getOrElse((s.g, s.pi), Map.empty[Int, (Long, Long)])
+          counts.getOrElse((s.g, s.pi), Map.empty[Int, (Long, Double, Double)])
         val below = byBucket.get(-1).map(_._1).getOrElse(0L)
         // cumulative walk to the buckets holding ranks posF and posC
         var cum = below
@@ -157,20 +159,23 @@ object Quantiles {
         val nLo = math.max(s.rlo, s.rlo + (iLo - 1) * w)
         val nHi = math.min(s.rhi, s.rlo + (iHi + 2) * w)
         val window = math.max(0, iLo - 1) to math.min(buckets - 1, iHi + 1)
-        // close on the window's DISTINCT estimate, not its row count
-        // or occupied-bucket count: the final resolve collects DISTINCT
-        // (value, count) pairs, so a billion-row single-value spike is
-        // one collected row (close now), while a tight near-unique
-        // cluster occupying ONE bucket still needs splitting — the
-        // next pass re-buckets the shrunken range into B new buckets,
-        // so low occupancy never means refinement is exhausted (the
-        // r17 advice's heavy-tail counterexample: one outlier
-        // stretching the seed range parks the whole bulk in bucket 0).
-        // 2× headroom on the estimate covers the sketch's rsd.
-        val windowDistinct =
-          window.map(b => byBucket.get(b).map(_._2).getOrElse(0L)).sum
+        val candidates =
+          window.map(b => byBucket.get(b).map(_._1).getOrElse(0L)).sum
+        // the window is EXHAUSTED — refining provably cannot narrow it
+        // further — when every occupied bucket holds a single distinct
+        // value (its exact min == max): the final DISTINCT resolve then
+        // collects ≤ |window| rows however many ROWS pile on them, so a
+        // billion-row one-value spike closes on pass 1. Low OCCUPANCY
+        // alone never closes (the r17 advice's counterexample: one
+        // outlier stretches the seed range so the whole near-unique
+        // bulk parks in bucket 0 — the next pass re-buckets the
+        // shrunken range into B fresh buckets and splits it fine), so
+        // an open target keeps refining until its window rows fit the
+        // final collect or its buckets are provably atomic.
+        val exhausted = window.forall(b =>
+          byBucket.get(b).forall { case (_, mn, mx) => mn == mx })
         val shrunk = nHi - nLo < s.rhi - s.rlo
-        val keepOpen = windowDistinct > finalThreshold / 2 &&
+        val keepOpen = candidates > finalThreshold && !exhausted &&
           w > 0 && shrunk && java.lang.Double.isFinite(w)
         (s.copy(rlo = nLo, rhi = nHi), keepOpen)
       }

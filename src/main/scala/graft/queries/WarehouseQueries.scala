@@ -551,12 +551,14 @@ object WarehouseQueries {
     * Same number: linear interpolation at rank p·(n-1), matching
     * DuckDB quantile_cont modulo one ulp, absorbed by round(4). */
   def percentiles(s: SparkSession, d: String): DataFrame =
-    // stays on the histogram plan deliberately: this key SHOWCASES the
-    // one-shuffle lazy percentile plan (its 100 TB regime is bounded
-    // value domains); the refinement alternative is measured at parity
-    // here and serves q_winsorize/madOutliers where the domain is
-    // near-unique (ScaleCheckQuantiles has the wire-cost comparison)
-    graft.operators.Percentiles.exactMulti(
+    // r18: the plan DISPATCHER picks per value column — histogram
+    // while the probe's distinct estimate stays under
+    // graft.quantiles.maxHistogramDistinct (all of a column's
+    // quantiles share its one shuffle; the regime at this key's NDVs),
+    // bucket refinement above it (a near-unique column at 100 TB makes
+    // the histogram corpus-sized — ScaleCheckQuantiles measured 105×
+    // the shuffled bytes at 10^8 rows). Values identical either way.
+    graft.operators.Percentiles.adaptiveExactMulti(
       lineitem(s, d), "l_returnflag",
       Seq(
         ("med_qty", "l_quantity", 0.5),

@@ -114,6 +114,41 @@ object ScaleCheckCdc {
       f"${r10 / r1}%4.1fx at 10x rows (expect ~flat: the synthesized " +
       "record is the manifest file diff, never a snapshot)")
 
+    // DV-flip budget shape (r18): a restore crossing a DV commit that
+    // covered HALF the table synthesizes rows/2 flips — the position
+    // semi-joins broadcast only while the manifest prices the sets
+    // under graft.txlog.dvBroadcastMaxRows; over budget they must
+    // plan DISTRIBUTED and still return the identical count, so a
+    // 10^7-DV restore can never hand the driver a forced broadcast.
+    def flipFeed(rows: Long, budget: String): Double = {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"scalecdc_flip_${rows}_$budget")
+        .toString + "/t"
+      TxLog.create(
+        spark.range(0, rows).select(col("id").as("k"),
+          (col("id") % 8).cast("string").as("part"), lit(1.0).as("v")),
+        path, partitionCols = Seq("part"), statsCols = Seq("k"))
+      TxLog.setProperties(spark, path,
+        Map(TxLog.ChangeDataFeedProp -> "true"))
+      TxLog.deleteWhere(spark, path, col("k") % 2L === 0L,
+        deletionVectors = true)                      // DV covers rows/2
+      val v = TxLog.restore(spark, path,
+        TxLog.currentVersion(spark, path).get - 1)   // flip them back in
+      spark.conf.set("graft.txlog.dvBroadcastMaxRows", budget)
+      try {
+        TxLog.changeFeed(spark, path, v - 1, v).count() // warm
+        timed { require(
+          TxLog.changeFeed(spark, path, v - 1, v).count() == rows / 2) }
+      } finally spark.conf.unset("graft.txlog.dvBroadcastMaxRows")
+    }
+    val fbHint = flipFeed(1000000L, "100000000") // in-budget: broadcast
+    val fbDist = flipFeed(1000000L, "0")         // forced distributed
+    println(f"[scalecdc] feed across a RESTORE flipping a 500k-row DV: " +
+      f"broadcast plan ${fbHint}%6.3f s, distributed fallback " +
+      f"${fbDist}%6.3f s -> ${fbDist / fbHint}%4.1fx (the fallback " +
+      "price; above graft.txlog.dvBroadcastMaxRows it is the only " +
+      "SAFE plan — the driver never materializes the position sets)")
+
     val (f1, df1, ds1, c1) = measure(100000L)
     val (f10, df10, ds10, c10) = measure(1000000L)
     println(f"[scalecdc] changeFeed(v-1,v) after a 100-row delete: " +

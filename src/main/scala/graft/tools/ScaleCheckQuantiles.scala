@@ -108,6 +108,54 @@ object ScaleCheckQuantiles {
         "cluster pays per shuffled byte; refinement's wire cost is " +
         "group×bucket rows per pass regardless of corpus size")
     }
+
+    // r18 dispatch row: adaptiveExactMulti must pick the lower-wire
+    // plan at BOTH extremes — refinement on near-unique data, the
+    // histogram on a bounded domain — and its shuffled bytes must sit
+    // at (probe cost above) the winner's, far under the loser's.
+    import graft.operators.Percentiles
+    val dispatchRows = 10000000L
+    spark.conf.set(Percentiles.MaxHistogramDistinctConf, "1000000")
+    try {
+      def viaAdaptive(unique: Boolean): (String, Long) = {
+        val df =
+          if (unique) data(dispatchRows)
+          else spark.range(0, dispatchRows).select(
+            (col("id") % 4).cast("string").as("g"),
+            (col("id") % 1000).cast("double").as("v"))
+        val specs = Seq(("p50", "v", 0.5), ("p90", "v", 0.9))
+        Percentiles.adaptiveExactMulti(df, "g", specs).collect() // warm
+        val chosen = Percentiles.lastDispatch("v")
+        val b = shuffled(
+          Percentiles.adaptiveExactMulti(df, "g", specs).collect())
+        (chosen, b)
+      }
+      def viaForced(unique: Boolean, refine: Boolean): Long = {
+        val df =
+          if (unique) data(dispatchRows)
+          else spark.range(0, dispatchRows).select(
+            (col("id") % 4).cast("string").as("g"),
+            (col("id") % 1000).cast("double").as("v"))
+        val specs = Seq(("p50", "v", 0.5), ("p90", "v", 0.9))
+        val thr = if (refine) "0" else s"${Long.MaxValue}"
+        spark.conf.set(Percentiles.MaxHistogramDistinctConf, thr)
+        try {
+          Percentiles.adaptiveExactMulti(df, "g", specs).collect() // warm
+          shuffled(Percentiles.adaptiveExactMulti(df, "g", specs).collect())
+        } finally
+          spark.conf.set(Percentiles.MaxHistogramDistinctConf, "1000000")
+      }
+      val (cU, bU) = viaAdaptive(unique = true)
+      val fU = viaForced(unique = true, refine = false)
+      val (cB, bB) = viaAdaptive(unique = false)
+      val fB = viaForced(unique = false, refine = true)
+      println(f"[scaleq] DISPATCH near-unique $dispatchRows%11d rows: " +
+        f"chose $cU%-10s shuffle ${mb(bU)} vs forced-histogram ${mb(fU)}")
+      println(f"[scaleq] DISPATCH 1000-domain $dispatchRows%11d rows: " +
+        f"chose $cB%-10s shuffle ${mb(bB)} vs forced-refinement ${mb(fB)}")
+      println("[scaleq] the dispatcher must land on the smaller number " +
+        "on BOTH lines (probe pass included in its bytes)")
+    } finally spark.conf.unset(Percentiles.MaxHistogramDistinctConf)
     spark.stop()
   }
 }

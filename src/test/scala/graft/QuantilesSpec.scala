@@ -110,6 +110,48 @@ class QuantilesSpec extends SparkSpec {
       s"refined $v vs builtin $expected")
   }
 
+  test("adaptive dispatch: near-unique columns refine, bounded-domain columns stay on the histogram") {
+    // r17 verdict #2: q_percentile hardcoded the histogram plan — on a
+    // near-unique column at scale that is corpus-linear wire. The
+    // dispatcher probes per-group distinct estimates once and picks
+    // per value column; pinned in BOTH directions with the threshold
+    // forced between the two columns' cardinalities, values identical
+    // to the plain histogram plan either way.
+    val df = (1 to 4000).map(i =>
+      (s"g${i % 2}", i * 0.6180339887 % 1000.0, (i % 7).toDouble))
+      .toDF("g", "wide", "narrow")
+    val specs = Seq(("w_med", "wide", 0.5), ("w_p9", "wide", 0.9),
+      ("n_med", "narrow", 0.5))
+    val expected = Percentiles.exactMulti(df, "g", specs)
+      .orderBy("g").collect().map(_.toString).toSeq
+    // threshold between narrow's ~7 and wide's ~4000 distinct values
+    spark.conf.set(Percentiles.MaxHistogramDistinctConf, "100")
+    try {
+      val got = Percentiles.adaptiveExactMulti(df, "g", specs)
+        .orderBy("g").collect().map(_.toString).toSeq
+      assert(got == expected, s"$got vs $expected")
+      assert(Percentiles.lastDispatch ==
+        Map("wide" -> "refinement", "narrow" -> "histogram"),
+        Percentiles.lastDispatch.toString)
+      // threshold above both: everything stays on the histogram
+      spark.conf.set(Percentiles.MaxHistogramDistinctConf, "1000000")
+      val all = Percentiles.adaptiveExactMulti(df, "g", specs)
+        .orderBy("g").collect().map(_.toString).toSeq
+      assert(all == expected, s"$all vs $expected")
+      assert(Percentiles.lastDispatch ==
+        Map("wide" -> "histogram", "narrow" -> "histogram"),
+        Percentiles.lastDispatch.toString)
+      // threshold below both: everything refines
+      spark.conf.set(Percentiles.MaxHistogramDistinctConf, "1")
+      val ref = Percentiles.adaptiveExactMulti(df, "g", specs)
+        .orderBy("g").collect().map(_.toString).toSeq
+      assert(ref == expected, s"$ref vs $expected")
+      assert(Percentiles.lastDispatch ==
+        Map("wide" -> "refinement", "narrow" -> "refinement"),
+        Percentiles.lastDispatch.toString)
+    } finally spark.conf.unset(Percentiles.MaxHistogramDistinctConf)
+  }
+
   test("refinedExactMulti ≡ exactMulti on a mixed-spec frame (same values bit-for-bit)") {
     val df = (1 to 2000).map(i =>
       (s"g${i % 4}", (i * 7919 % 997).toDouble, (i % 9).toDouble))
