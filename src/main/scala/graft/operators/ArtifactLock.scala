@@ -55,6 +55,26 @@ object ArtifactLock {
 
   private def lockPath(artifact: String) = new Path(artifact, "_maint_lock")
 
+  /** Acquisition goes through the session's [[graft.storage.CommitArbiter]]
+    * (`graft.txlog.commitArbiter`), with the default rename arbiter
+    * mapped to create-exclusive — a lock IS a create-exclusive object
+    * (rename arbitration exists for the commit JSON). On
+    * conditional-put object stores the create carries If-None-Match,
+    * making acquisition EXACT where it previously needed an external
+    * coordinator. Release also goes through the arbiter (a
+    * CAS/coordinator arbiter keys wins off its own ledger). BREAKING a
+    * dead holder still renames (the tombstone protocol): a store with
+    * no atomic rename would need an If-Match conditional delete, and a
+    * ledger arbiter its coordinator's TTL — neither is modeled here,
+    * so acquisition/release are in-contract on those deployments,
+    * stale-break is not. */
+  private def lockArbiter(spark: SparkSession): graft.storage.CommitArbiter =
+    graft.storage.CommitArbiter.resolve(spark) match {
+      case graft.storage.RenameCommitArbiter =>
+        graft.storage.CreateExclusiveCommitArbiter
+      case other => other
+    }
+
   private def readContent(fs: org.apache.hadoop.fs.FileSystem,
                           p: Path): Option[String] = {
     val in = fs.open(p)
@@ -139,12 +159,15 @@ object ArtifactLock {
 
   // in-JVM racers serialize on a per-artifact monitor (LocalFileSystem's
   // create-exclusive is check-then-create — not atomic between threads
-  // of one JVM). Cross-process mutual exclusion rests on the
-  // filesystem's create(path, overwrite=false) being atomic, which
-  // holds on HDFS, ABFS, and kernel-mediated local/NFS mounts — NOT on
-  // S3-style object stores, where S3A implements the existence check
-  // client-side: deployments whose artifacts live on plain S3 need an
-  // external coordinator (or S3's newer conditional-write mode) for
+  // of one JVM). Cross-process mutual exclusion rests on the elected
+  // arbiter's putIfAbsent being atomic: create-exclusive holds on
+  // HDFS, ABFS, and kernel-mediated local/NFS mounts, and — since the
+  // r18 arbiter seam — on S3-class stores in CONDITIONAL-WRITE mode
+  // (the close() PUT carries If-None-Match; S3A surfaces it through
+  // create(overwrite=false) with conditional create enabled), which
+  // brings object-store ACQUISITION in-contract. Plain object stores
+  // with neither conditional writes nor atomic create remain out:
+  // they need an external coordinator (a custom arbiter FQCN) for
   // cross-process maintenance; in-JVM serialization still holds there.
   // Same two-level pattern as TxLog's per-table lock.
   private val guards =
@@ -169,14 +192,16 @@ object ArtifactLock {
     val maxWaitMs = spark.conf.getOption("graft.index.lockWaitMs")
       .map(_.toLong).getOrElse(60000L)
     val deadline = System.currentTimeMillis() + maxWaitMs
+    val arbiter = lockArbiter(spark)
     var acquired = false
     var brokeTomb: Option[Path] = None
     while (!acquired) {
-      try {
-        val out = fs.create(lock, false) // atomic create-exclusive
-        try out.write(s"$owner $verb ${System.currentTimeMillis()}"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+      val won =
+        try arbiter.putIfAbsent(fs, lock,
+          s"$owner $verb ${System.currentTimeMillis()}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: java.io.IOException => false } // held/contended
+      if (won) {
         // belt for overwrite-rename filesystems: a racing breaker
         // whose stale read predates our acquisition could have renamed
         // OUR fresh lock onto an old instance's tombstone in the gap —
@@ -186,28 +211,27 @@ object ArtifactLock {
                      catch { case _: java.io.IOException => None }
         if (onDisk.exists(_.startsWith(owner))) acquired = true
         // else: swept out from under us — loop back into create/wait
-      } catch {
-        case _: java.io.IOException =>
-          // held: break a dead holder's lock via [[tryBreakStale]] —
-          // ONE atomic read decides both staleness (the timestamp the
-          // content itself carries) and the tombstone identity, so a
-          // breaker can never classify lock instance X stale on
-          // evidence from instance Y (r17 advice)
-          val broke = tryBreakStale(fs, artifact, lock, staleMs)
-          broke.foreach(t => brokeTomb = Some(t)) // held until release
-          // losers (rename lost, or holder is live) wait — and still
-          // honor the deadline: a lock whose instance tombstone is
-          // already taken can never be re-broken, only waited out
-          if (broke.isEmpty) {
-            if (System.currentTimeMillis() > deadline)
-              throw new IllegalStateException(
-                s"ArtifactLock: $verb on $artifact timed out after " +
-                  s"${maxWaitMs} ms waiting for the maintenance lock — " +
-                  "another maintainer holds it (graft.index.lockWaitMs " +
-                  "raises the wait; a crashed holder's lock breaks after " +
-                  "graft.index.staleLockMinutes)")
-            else Thread.sleep(200)
-          }
+      } else {
+        // held: break a dead holder's lock via [[tryBreakStale]] —
+        // ONE atomic read decides both staleness (the timestamp the
+        // content itself carries) and the tombstone identity, so a
+        // breaker can never classify lock instance X stale on
+        // evidence from instance Y (r17 advice)
+        val broke = tryBreakStale(fs, artifact, lock, staleMs)
+        broke.foreach(t => brokeTomb = Some(t)) // held until release
+        // losers (rename lost, or holder is live) wait — and still
+        // honor the deadline: a lock whose instance tombstone is
+        // already taken can never be re-broken, only waited out
+        if (broke.isEmpty) {
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"ArtifactLock: $verb on $artifact timed out after " +
+                s"${maxWaitMs} ms waiting for the maintenance lock — " +
+                "another maintainer holds it (graft.index.lockWaitMs " +
+                "raises the wait; a crashed holder's lock breaks after " +
+                "graft.index.staleLockMinutes)")
+          else Thread.sleep(200)
+        }
       }
     }
     try body
@@ -217,7 +241,11 @@ object ArtifactLock {
         val in = fs.open(lock)
         val content = try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        if (content.startsWith(owner)) fs.delete(lock, false)
+        // release THROUGH the arbiter: a CAS/coordinator arbiter keys
+        // the win decision off its own ledger, so a bare file delete
+        // would leave the entry squatting and starve every later
+        // acquirer
+        if (content.startsWith(owner)) arbiter.delete(fs, lock)
       } catch { case _: java.io.IOException => () }
       // the instance tombstone outlives the body so a late breaker of
       // the SAME stale instance keeps failing its rename; now that the

@@ -799,42 +799,40 @@ object TxLog {
     if (!fs.rename(tmp, ckptDir(path, m.version))) fs.delete(tmp, true)
   }
 
-  /** Per-table locks serializing the exists+rename publish step for
-    * writers in THIS JVM. The filesystem's rename is the cross-process
-    * arbiter only where it refuses an existing destination (HDFS);
-    * POSIX local rename OVERWRITES, so two same-version renames can
-    * both "succeed" — a lost update the in-JVM lock closes for
-    * threaded writers (the Delta LogStore contract: dev filesystems
-    * get a JVM lock, HDFS gets atomic rename, plain object stores are
-    * documented out). Keyed by canonical path; entries are tiny and
-    * tables few — no eviction. */
+  /** Per-table locks serializing the publish step for writers in THIS
+    * JVM (the Delta LogStore contract's local half: dev filesystems
+    * get a JVM lock; the store's own primitive arbitrates across
+    * processes). Keyed by canonical path; entries are tiny and tables
+    * few — no eviction. */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** Atomically land one commit JSON as `v<version>.json`: temp write
-    * + rename, losing the race loudly — never overwriting a committed
-    * version. Shared by all three commit shapes. */
+  /** Atomically land one commit JSON as `v<version>.json`, losing any
+    * race loudly — never overwriting a committed version. Shared by
+    * all three commit shapes. The cross-process decision is the
+    * session's [[CommitArbiter]] (`graft.txlog.commitArbiter`):
+    * `rename` (default) = temp write + exists + rename, exact where
+    * rename refuses an existing destination (HDFS, ABFS);
+    * `conditional` = one create-exclusive write of the final object,
+    * exact on HDFS, kernel-mediated local mounts, and S3-class stores
+    * in conditional-write mode (the close() PUT carries
+    * If-None-Match) — the deployment class the rename contract
+    * documented out. */
   private def commitAtomic(spark: SparkSession, path: String, version: Long,
                            node: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
     val fs = fsFor(spark, path)
     fs.mkdirs(manifestDir(path))
-    val tmp = new Path(manifestDir(path),
-      s".v$version.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
-    finally out.close()
     val dst = new Path(manifestDir(path), s"v$version.json")
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)
     // optimistic concurrency: lose the race loudly, never overwrite a
     // committed version
     val lock = commitLocks.computeIfAbsent(cacheKey(spark, path), _ => new Object)
     val won = lock.synchronized {
-      !fs.exists(dst) && fs.rename(tmp, dst)
+      CommitArbiter.resolve(spark).putIfAbsent(fs, dst, bytes)
     }
-    if (!won) {
-      fs.delete(tmp, false)
+    if (!won)
       throw new VersionRaceException(
         s"TxLog: concurrent commit detected for v$version at $path")
-    }
     writeHeadHint(fs, path, version)
   }
 
