@@ -33,8 +33,9 @@ import graft.storage.TxLog
   *    optimization, never a filter (the exact predicate still runs on
   *    the scan).
   */
-class TxLogFileIndex(spark: SparkSession, tablePath: String,
-                     m: TxLog.Manifest) extends FileIndex {
+class TxLogFileIndex(spark: SparkSession,
+                     private[graft] val tablePath: String,
+                     private[graft] val m: TxLog.Manifest) extends FileIndex {
   import TxLogFileIndex.{admitsNull, admitsTagged, dirPartOfEntry, partitionValuesOf}
 
   private val declared = StructType.fromDDL(m.schemaDdl)
@@ -809,7 +810,9 @@ object TxLogBatch {
   * `unhandledFilters` contract), so a partially-translated predicate
   * stays exact. Row-based by construction — the transitional state a
   * compact/OPTIMIZE resolves back to the columnar mount. */
-class TxLogJoinRelation(spark: SparkSession, path: String, m: TxLog.Manifest)
+class TxLogJoinRelation(spark: SparkSession,
+                        private[graft] val path: String,
+                        private[graft] val m: TxLog.Manifest)
   extends org.apache.spark.sql.sources.BaseRelation
     with org.apache.spark.sql.sources.PrunedFilteredScan {
   import org.apache.spark.sql.{functions => F, sources, Column, SQLContext}

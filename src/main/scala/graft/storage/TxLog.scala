@@ -753,6 +753,22 @@ object TxLog {
               "durable and the next trigger retries")
       }
     }
+    // declared NDV staleness automation: a data commit that added files
+    // refreshes the persisted sketches — incremental (O(new files))
+    // while the history since the last ANALYZE is append-only with
+    // unchanged DVs, full recompute otherwise. OPTIMIZE moves rows
+    // between files without changing them: NDV is invariant, skip.
+    if (newFiles.nonEmpty && !operation.startsWith("OPTIMIZE") &&
+        props.get(AutoAnalyzeProp).exists(_.equalsIgnoreCase("true"))) {
+      try Analyze.analyze(spark, path)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"TxLog: auto-ANALYZE at $path after v${m.version} failed " +
+              s"(${e.getMessage}) — continuing; stats are advisory and " +
+              "the next data commit retries")
+      }
+    }
   }
 
   /** Write the resolved state at `m.version` as a parquet directory —
@@ -2569,6 +2585,18 @@ object TxLog {
     * commits change no rows and are skipped. */
   val ChangeDataFeedProp = "graft.changeDataFeed"
 
+  /** ANALYZE staleness automation (r17 verdict #4): on a declared
+    * table every DATA commit that adds files refreshes the persisted
+    * NDV sketches as a FOLLOW-ON step (never inside the caller's
+    * commit; a failed refresh costs staler stats, nothing else).
+    * Append-only histories ride [[Analyze]]'s incremental merge —
+    * O(new files): the fresh slice is sketched and hll_union'd into
+    * the stored sketches; rewrite histories fall back to the full
+    * recompute the sketches' no-unmerge algebra requires. OPTIMIZE
+    * commits are skipped (compaction moves rows between files without
+    * changing them — NDV is invariant). */
+  val AutoAnalyzeProp = "graft.autoAnalyze"
+
   /** Key → value of the properties a manifest carries. */
   private[graft] def propsOf(m: Manifest): Map[String, String] =
     m.constraints.collect { case (n, v) if n.startsWith(PropPrefix) =>
@@ -2600,7 +2628,7 @@ object TxLog {
       s"TxLog.setProperties: property key must be [A-Za-z0-9._-]+ and not " +
         s"start with '__', got '$k'"))
     Seq(AppendOnlyProp, OptimizedWriteProp, AutoCompactProp,
-        DeletionVectorsProp, ChangeDataFeedProp).foreach(p =>
+        DeletionVectorsProp, ChangeDataFeedProp, AutoAnalyzeProp).foreach(p =>
       props.get(p).foreach(v => require(
         v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
         s"TxLog.setProperties: $p must be true or false, got '$v'")))

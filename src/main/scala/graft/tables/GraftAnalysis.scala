@@ -43,6 +43,14 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
+      // PATH-door mounts (format("graft-txlog").load / the TVFs) carry
+      // no CatalogTable — attach the same manifest rowCount + ANALYZE
+      // NDV stats the catalog-name door gets, so CBO reorders
+      // path-addressed joins too. Non-TxLog relations fall straight
+      // through (same object back = no change).
+      case lr: LogicalRelation if lr.catalogTable.isEmpty =>
+        attachPathStats(lr)
+
       case d @ DeleteFromTable(GraftRel(t, out), condition) if d.resolved =>
         requireWritable(t)
         GraftDeleteCommand(t.path, render(condition, Set.empty))
@@ -135,20 +143,35 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
     * inert unless CBO is on (`toPlanStats` falls back to sizeInBytes). */
   private def catalogStats(t: GraftTable,
                            rel: org.apache.spark.sql.sources.BaseRelation)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+    try {
+      val v = t.versionAsOf.orElse(TxLog.currentVersion(spark, t.path))
+        .getOrElse(return None)
+      statsCatalogTable(t.path, v, TxLog.manifest(spark, t.path, v),
+        t.name(), rel.schema, BigInt(rel.sizeInBytes))
+    } catch { case _: Exception => None } // stats are advisory, never fatal
+
+  /** The synthetic stats-bearing `CatalogTable` for ANY TxLog mount of
+    * `path` at version `v` — shared by the catalog-name door above and
+    * the PATH doors (r17 verdict #4: `format("graft-txlog").load(path)`
+    * and the TVFs planned with sizeInBytes alone, so a path-addressed
+    * 3-table join got no NDV-driven reorder even on an ANALYZEd
+    * table). */
+  private def statsCatalogTable(path: String, v: Long, m: TxLog.Manifest,
+                                name: String,
+                                schema: org.apache.spark.sql.types.StructType,
+                                sizeInBytes: BigInt)
       : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
     import org.apache.spark.sql.catalyst.catalog.CatalogColumnStat
     try {
-      val v = t.versionAsOf.orElse(TxLog.currentVersion(spark, t.path))
-        .getOrElse(return None)
-      val m = TxLog.manifest(spark, t.path, v)
       // exact live rows: per-file counts minus DV-deleted rows; a file
       // without a tracked count (pre-stats history) forfeits rowCount
       val rowCount =
         if (!m.files.forall(m.fileRows.contains)) None
         else Some(BigInt(m.files.map(m.fileRows).sum -
           graft.sources.TxLogBatch.dvRowCount(m)))
-      val ndv = graft.storage.Analyze.read(spark, t.path)
+      val ndv = graft.storage.Analyze.read(spark, path)
         .filter(_.analyzedVersion <= v) // never serve future stats to time travel
       if (rowCount.isEmpty && ndv.isEmpty) return None
       val nulls: Map[String, Long] = m.fileNulls.values
@@ -159,16 +182,43 @@ case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
           nullCount = nulls.get(c).map(BigInt(_)))
       }).getOrElse(Map.empty)
       Some(CatalogTable(
-        identifier = org.apache.spark.sql.catalyst.TableIdentifier(t.name()),
+        identifier = org.apache.spark.sql.catalyst.TableIdentifier(name),
         tableType = CatalogTableType.EXTERNAL,
         storage = CatalogStorageFormat.empty,
-        schema = rel.schema,
+        schema = schema,
         provider = Some("graft-txlog"),
         stats = Some(CatalogStatistics(
-          sizeInBytes = BigInt(rel.sizeInBytes),
+          sizeInBytes = sizeInBytes,
           rowCount = rowCount,
           colStats = colStats))))
     } catch { case _: Exception => None } // stats are advisory, never fatal
+  }
+
+  /** Attach the same statistics to PATH-door mounts: a bare
+    * `LogicalRelation` whose relation is a TxLog mount (the format
+    * door's HadoopFsRelation over [[graft.sources.TxLogFileIndex]], or
+    * the DV-over-budget [[graft.sources.TxLogJoinRelation]]) gets the
+    * synthetic CatalogTable the catalog door already carries. Fires
+    * once per relation (the catalogTable-empty guard), costs one
+    * ndv.json read per planning, and is advisory — any failure leaves
+    * the relation as it was. */
+  private def attachPathStats(lr: LogicalRelation): LogicalRelation = {
+    val attached = lr.relation match {
+      case fsRel: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fsRel.location match {
+          case idx: graft.sources.TxLogFileIndex =>
+            statsCatalogTable(idx.tablePath, idx.m.version, idx.m,
+              new org.apache.hadoop.fs.Path(idx.tablePath).getName,
+              lr.relation.schema, BigInt(fsRel.sizeInBytes))
+          case _ => None
+        }
+      case jr: graft.sources.TxLogJoinRelation =>
+        statsCatalogTable(jr.path, jr.m.version, jr.m,
+          new org.apache.hadoop.fs.Path(jr.path).getName,
+          jr.schema, BigInt(jr.sizeInBytes))
+      case _ => None
+    }
+    attached.map(ct => lr.copy(catalogTable = Some(ct))).getOrElse(lr)
   }
 
   private def isGraft(plan: LogicalPlan): Boolean =

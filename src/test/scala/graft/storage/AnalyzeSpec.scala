@@ -118,6 +118,84 @@ class AnalyzeSpec extends SparkSpec {
     assert(ndv.contains("k") && math.abs(ndv("k") - 100L) <= 5, ndv.toString)
   }
 
+  test("graft.autoAnalyze: appends refresh NDV automatically; DV deletes fall back clean") {
+    val path = fresh("auto")
+    TxLog.create(spark.range(0, 400).select(col("id").as("k")), path) // v1
+    assert(Analyze.read(spark, path).isEmpty, "no stats before opt-in")
+    TxLog.setProperties(spark, path,
+      Map(TxLog.AutoAnalyzeProp -> "true"))                           // v2
+    TxLog.append(spark.range(400, 700).select(col("id").as("k")), path) // v3
+    val t3 = Analyze.read(spark, path)
+    assert(t3.exists(_.analyzedVersion == 3L),
+      s"append must auto-refresh stats, got $t3")
+    assert(math.abs(t3.get.cols("k").ndv - 700L) <= 700 * 0.05,
+      t3.get.cols.toString)
+    // second append rides the incremental merge (append-only history)
+    TxLog.append(spark.range(700, 1000).select(col("id").as("k")), path) // v4
+    val t4 = Analyze.read(spark, path)
+    assert(t4.exists(_.analyzedVersion == 4L), t4.toString)
+    assert(math.abs(t4.get.cols("k").ndv - 1000L) <= 1000 * 0.05,
+      t4.get.cols.toString)
+    // a DV delete then an append: the refresh must recompute, not throw
+    TxLog.deleteWhere(spark, path, col("k") < 500L,
+      deletionVectors = true)                                         // v5
+    TxLog.append(spark.range(1000, 1100).select(col("id").as("k")), path) // v6
+    val t6 = Analyze.read(spark, path)
+    assert(t6.exists(_.analyzedVersion == 6L), t6.toString)
+    assert(math.abs(t6.get.cols("k").ndv - 600L) <= 600 * 0.05,
+      t6.get.cols.toString)
+  }
+
+  test("CBO reorder flips through the PATH door too (format mounts carry the stats)") {
+    // r17 verdict #4: format("graft-txlog").load(path) planned with
+    // sizeInBytes alone — a path-addressed join got no NDV reorder
+    // even on an ANALYZEd table. Same shape as the catalog-door pin,
+    // all three tables mounted by PATH.
+    val root = java.nio.file.Files.createTempDirectory("graft_an_pd").toString
+    spark.range(0, 20000)
+      .select(col("id").as("k"), (col("id") % 500).as("mid_k"),
+        (col("id") % 5).as("dim_k"))
+      .createOrReplaceTempView("pd_src")
+    val fact = s"$root/pd_fact"; val mid = s"$root/pd_mid"
+    val dim = s"$root/pd_dim"
+    TxLog.create(spark.table("pd_src"), fact)
+    TxLog.create(spark.sql(
+      "SELECT DISTINCT mid_k AS k, mid_k % 7 AS attr FROM pd_src"), mid)
+    TxLog.create(spark.sql(
+      "SELECT DISTINCT dim_k AS k, dim_k * 10 AS tag FROM pd_src"), dim)
+    def mount(p: String) = spark.read.format("graft-txlog")
+      .option("path", p).load()
+    def q() = mount(fact).as("f")
+      .join(mount(mid).as("m"), col("f.mid_k") === col("m.k"))
+      .join(mount(dim).as("d"), col("f.dim_k") === col("d.k"))
+      .filter(col("m.attr") < 3 && col("d.tag") < 40)
+      .agg(count(lit(1)).as("n"), sum(col("d.tag")).as("s"))
+    def joinOrder(): Seq[String] =
+      q().queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.catalogTable.map(_.identifier.table).getOrElse("?")
+      }
+    try {
+      val noCbo = joinOrder()
+      Seq(fact, mid, dim).foreach(p => Analyze.analyze(spark, p))
+      val expected = q().collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val withCbo = joinOrder()
+      val got = q().collect().map(_.toString).toSeq
+      assert(got == expected, s"CBO changed RESULTS: $got vs $expected")
+      assert(noCbo != withCbo,
+        s"path-door stats must flip the join order: $noCbo == $withCbo")
+      val stats = mount(fact).queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(20000)), stats.toString)
+      assert(stats.attributeStats.nonEmpty,
+        "attribute stats must attach through the path door")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+    }
+  }
+
   test("CBO join reorder flips with ANALYZEd stats on; results identical") {
     val wh = java.nio.file.Files.createTempDirectory("graft_an_wh").toString
     spark.conf.set("graft.catalog.warehouse", wh)
