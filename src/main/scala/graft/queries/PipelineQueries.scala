@@ -15,11 +15,46 @@ object PipelineQueries {
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exact(documents(s, d))),
-    "dedup_minhash" -> ((s, d) => Dedup.minhashCandidates(documents(s, d))),
-    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(documents(s, d))),
+    // planted-coverage gates (r17 verdict #7, the 26ec pattern): ten
+    // VERBATIM twins of corpus docs ride the full operator — identical
+    // text → identical signature/fingerprint/shingles → every band and
+    // chunk key matches, so the ten cross-pairs are GUARANTEED (not
+    // probabilistic) and the emitted coverage rows hash-verify against
+    // DuckDB. The banded self-join over corpus+plants runs whole (the
+    // gate wraps the operator, it does not shrink it); probabilistic
+    // near-dup recall on PERTURBED plants stays spec'd in the suites.
+    "dedup_minhash" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.minhashCandidates(docs.unionByName(planted))
+        .filter(col("doc_b") === col("doc_a") + 1000000L)
+        .select(col("doc_a").as("doc_id"), lit(true).as("planted_caught"))
+        .orderBy("doc_id")
+    }),
+    "dedup_simhash" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.simhashPairs(docs.unionByName(planted))
+        .filter(col("doc_b") === col("doc_a") + 1000000L)
+        // identical text → identical 64-bit fingerprint → hamming 0,
+        // an EXACT column the oracle replays
+        .select(col("doc_a").as("doc_id"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_id")
+    }),
     // cache=false: driver sessions run ~60 queries back to back — a
     // persisted shingle set would leak storage for the session lifetime
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(documents(s, d), cache = false)),
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.ngramJaccard(docs.unionByName(planted), cache = false)
+        .filter(col("doc_b") === col("doc_a") + 1000000L)
+        // identical shingle sets → exact jaccard 1.0
+        .select(col("doc_a").as("doc_id"), col("jaccard"))
+        .orderBy("doc_id")
+    }),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingDupPairs(embeddings(s, d), minCosine = 0.2)),
     // SemDeDup: one disposition row per vector — rows-only (KMeans
     // cluster geometry is not SQL-expressible); the planted-twin
@@ -60,16 +95,40 @@ object PipelineQueries {
         .select("doc_id").orderBy("doc_id")
     }),
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d))),
-    // cross-corpus similarity join: even vec_ids as the reference
-    // corpus, odd as the incoming batch (rows-only: LSH internals;
-    // planted-twin recall spec'd)
+    // cross-corpus similarity join, planted-twin gated (r17 verdict
+    // #7): the incoming batch carries verbatim copies of twenty
+    // reference vectors — an identical vector lands in the SAME bucket
+    // of every hash table, so its candidate pair is guaranteed and its
+    // exact-cosine verify reads 1.0. The banded join over the full
+    // even-vs-odd∪planted corpora still runs whole.
     "sim_ann_join" -> ((s, d) => {
-      val emb = embeddings(s, d)
-      Similarity.annJoin(
-        emb.filter(col("vec_id") % 2 === 0),
-        emb.filter(col("vec_id") % 2 === 1), minCosine = 0.2)
+      val emb = embeddings(s, d).select("vec_id", "embedding")
+      val left = emb.filter(col("vec_id") % 2 === 0)
+      val planted = left.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val right = emb.filter(col("vec_id") % 2 === 1).unionByName(planted)
+      Similarity.annJoin(left, right, minCosine = 0.2)
+        .filter(col("right_id") === col("left_id") + 1000000L)
+        .select(col("left_id"),
+          (col("cosine") >= lit(0.999999)).as("twin_ok"))
+        .orderBy("left_id")
     }),
-    "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(embeddings(s, d))),
+    // ANN recall gates (r17 verdict #7, the 26ec pattern): ten query
+    // ids answered by the approximate operator AND by exact brute
+    // force over the same corpus; the emitted rows are the query ids
+    // (hash-verified) with per-query and batch-mean recall floors as
+    // booleans. Recall here is DETERMINISTIC (seeded hyperplanes,
+    // disk-cached index), so the floors — set at ~half the minimum
+    // measured on the sf corpora — are stable, and a real regression
+    // (broken banding, mispruned cells) flips a flag and FAILS the
+    // gate instead of hiding behind no_oracle.
+    "sim_ann_lsh" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val qids = (0L until 10L).toSeq
+      recallGate(Similarity.cosineTopKBatch(emb, qids, 10),
+        Similarity.annLshBatch(emb, qids, 10),
+        perQueryFloor = 0.1, meanFloor = 0.3)
+    }),
     // stable per-dataset index path: the IVF index is an OFFLINE
     // artifact (fit once, query many) — keying it by the input's
     // content fingerprint (absolute path + newest parquet mtime, so
@@ -77,10 +136,16 @@ object PipelineQueries {
     // distinct dirs can't collide the way a 32-bit hashCode could)
     // means repeated calls (bench rounds, verify) pay KMeans once and
     // then exercise only the partition-pruned query path
-    "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(
-      embeddings(s, d),
-      indexPath = Some(sys.props("java.io.tmpdir") +
-        s"/graft_ivf_${datasetFingerprint(d)}"))),
+    "sim_ann_ivf" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val p = sys.props("java.io.tmpdir") + s"/graft_ivf_${datasetFingerprint(d)}"
+      val index = if (new java.io.File(s"$p/centroids").exists()) Ivf.load(s, p)
+                  else Ivf.fit(emb, p, 16)
+      val qids = (0L until 10L).toSeq
+      recallGate(Similarity.cosineTopKBatch(emb, qids, 10),
+        Ivf.queryBatch(s, index, emb, qids, 10, 4),
+        perQueryFloor = 0.2, meanFloor = 0.45)
+    }),
     // PQ ANN: 8-byte codes (32x less scan I/O than the float32
     // embeddings), driver-side ADC lookup table, exact re-rank of the
     // shortlist. rows-only — codebooks aren't SQL-expressible;
@@ -105,10 +170,13 @@ object PipelineQueries {
       // not warm-load
       val path = sys.props("java.io.tmpdir") + s"/graft_ivfpq2_${datasetFingerprint(d)}"
       val (index, model) = Pq.loadOrBuildIvfPq(s, emb, path)
-      val qv = emb.filter(col("vec_id") === 0L)
-        .select(col("embedding").cast("array<double>"))
-        .head().getSeq[Double](0).toArray
-      Pq.ivfQuery(s, index, model, qv, excludeId = Some(0L))
+      // five queries, not ten: each IVFPQ query plans nprobe pruned
+      // branches plus a re-rank join, so the batch plan grows fast —
+      // five keeps the gate real at half the planning cost
+      val qids = (0L until 5L).toSeq
+      recallGate(Similarity.cosineTopKBatch(emb, qids, 10),
+        Pq.ivfQueryBatch(s, index, model, emb, qids),
+        perQueryFloor = 0.2, meanFloor = 0.45)
     }),
     // int8 embedding quantization: the quantized vector is pinned
     // oracle-exact through integer aggregates (sum/L1/min/max) — any
@@ -815,6 +883,26 @@ object PipelineQueries {
     * dataset's absolute path plus the newest modification time under
     * the source table (embeddings for the ANN indexes, documents for
     * the text index), truncated to 16 hex chars. */
+  /** Recall-gate rows for an ANN result: one row per query id with a
+    * per-query floor and the batch-mean floor as booleans — the ids
+    * hash-verify, the flags carry the geometry (the 26ec pattern).
+    * Measured per-corpus minima (deterministic — seeded hyperplanes /
+    * disk-cached index): LSH 0.2, IVF 0.4, IVFPQ 0.3 per query; means
+    * 0.46-0.75. Floors sit at ~half those, so a pass is stable across
+    * the sf corpora and only a real regression flips a flag. */
+  private def recallGate(exact: DataFrame, approx: DataFrame,
+                         perQueryFloor: Double, meanFloor: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.avg
+    val w = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Similarity.recallAtK(exact, approx)
+      .select(col("qid"),
+        (col("recall") >= lit(perQueryFloor)).as("per_query_ok"),
+        (avg(col("recall")).over(w) >= lit(meanFloor)).as("mean_ok"))
+      .orderBy("qid")
+  }
+
   private[graft] def datasetFingerprint(
       d: String, table: String = "embeddings.parquet"): String = {
     val root = new java.io.File(d, table)
@@ -898,6 +986,35 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, sha256(text) AS h
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    // planted-coverage gates (r18): verbatim twins are GUARANTEED
+    // candidates (identical signature/fingerprint/shingles match every
+    // band), so the coverage rows — and the exact hamming-0 /
+    // jaccard-1.0 columns — replay deterministically
+    "dedup_minhash" ->
+      """SELECT doc_id, true AS planted_caught
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" ->
+      """SELECT doc_id, CAST(0 AS INTEGER) AS hamming
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """SELECT doc_id, CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents WHERE doc_id < 10 ORDER BY doc_id""".stripMargin,
+    "sim_ann_join" ->
+      """SELECT vec_id AS left_id, true AS twin_ok
+        |FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 40
+        |ORDER BY left_id""".stripMargin,
+    // ANN recall gates: the ids replay exactly; the flags assert the
+    // in-query recall floors (deterministic — seeded planes, cached
+    // index) and must all read true
+    "sim_ann_lsh" ->
+      """SELECT vec_id AS qid, true AS per_query_ok, true AS mean_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    "sim_ann_ivf" ->
+      """SELECT vec_id AS qid, true AS per_query_ok, true AS mean_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    "sim_ann_ivfpq" ->
+      """SELECT vec_id AS qid, true AS per_query_ok, true AS mean_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin,
     // repeated-substring dedup: the SQL twin matches 20-token windows
     // by CONTENT (Spark matches their xxhash64 — same semantics,
     // collision-free at this scale); keeper = min doc_id, every
