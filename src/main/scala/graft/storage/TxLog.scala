@@ -1584,9 +1584,9 @@ object TxLog {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val base = dataDir(path).toString
     val aggs = statsCols.flatMap(c => Seq(
-      statsEncode(schema(c).dataType, min(col(c))).as(s"_min_$c"),
-      statsEncode(schema(c).dataType, max(col(c))).as(s"_max_$c"),
-      count(col(c)).as(s"_nn_$c"))) :+
+      statsEncode(statsColType(schema, c), min(statsColExpr(c))).as(s"_min_$c"),
+      statsEncode(statsColType(schema, c), max(statsColExpr(c))).as(s"_max_$c"),
+      count(statsColExpr(c)).as(s"_nn_$c"))) :+
       count(lit(1)).as("_rows")
     // hidden-partitioned tables skip basePath: the dirs spell DERIVED
     // values that are not schema columns (the raw data is complete in
@@ -1676,8 +1676,7 @@ object TxLog {
         s"TxLog.create: partition column '$c' is not in the schema"))
     require(currentVersion(df.sparkSession, path).isEmpty,
       s"TxLog: table already exists at $path")
-    statsCols.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"TxLog.create: stats column '$c' is not in the schema"))
+    validateStatsCols(df.schema, statsCols, "TxLog.create")
     val files = stageIn(df, path, layout, transforms)
     val (stats, rowCounts, nullCounts) =
       collectStats(df.sparkSession, path, df.schema, statsCols, files,
@@ -1812,8 +1811,7 @@ object TxLog {
       .parquet(files.map(f => s"$base/$f"): _*).schema
     partitionCols.foreach(c => require(schema.fieldNames.contains(c),
       s"TxLog.convert: partition column '$c' did not recover from the layout"))
-    statsCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"TxLog.convert: stats column '$c' is not in the schema"))
+    validateStatsCols(schema, statsCols, "TxLog.convert")
     val (stats, rowCounts, nullCounts) =
       collectStats(spark, dir, schema, statsCols, files)
     cacheInvalidate(spark, dir)
@@ -1899,8 +1897,7 @@ object TxLog {
     if (currentVersion(spark, path).isEmpty)
       return create(df, path, None, resolvedStats,
         if (transforms.nonEmpty) Nil else layout, resolvedHidden)
-    resolvedStats.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"TxLog.createOrReplace: stats column '$c' is not in the schema"))
+    validateStatsCols(df.schema, resolvedStats, "TxLog.createOrReplace")
     if (transforms.isEmpty)
       layout.foreach(c => require(df.schema.fieldNames.contains(c),
         s"TxLog.createOrReplace: partition column '$c' is not in the schema"))
@@ -2210,7 +2207,10 @@ object TxLog {
     val v = version.orElse(currentVersion(spark, path)).getOrElse(
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
-    if (!m.statsCols.contains(physOf(m, colName))) return m.files // not tracked: no pruning
+    val trackedKey =
+      if (parseVariantStats(colName).isDefined) colName
+      else physOf(m, colName)
+    if (!m.statsCols.contains(trackedKey)) return m.files // not tracked: no pruning
     pruneByRange(m, StructType.fromDDL(m.schemaDdl), m.files, colName,
       lower, upper, spark.sessionState.conf.sessionLocalTimeZone)
   }
@@ -2232,6 +2232,87 @@ object TxLog {
   private[graft] val TsStatsPrefix = "us:"
 
   /** The column expression that produces a value's stats-v2 string. */
+  /** A declared VARIANT-PATH stats column — the `v:$.k` spelling (r17
+    * verdict #8): `<column>:$.<path>[:<type>]`, where `<type>` defaults
+    * to double (numeric-range skipping, the common case) and may be
+    * any of string|bigint|int|double|date|timestamp. Shredded writes
+    * (spark.sql.variant.writeShredding) store common paths as typed,
+    * stats-bearing parquet columns; this is the manifest-side pairing:
+    * per-file min/max of `variant_get(column, path, type)` measured at
+    * commit (the collect reads the just-written files, so a shredded
+    * file serves the extraction from its typed_value pages), voting in
+    * [[prunedFiles]]/[[readBetween]] exactly like a real column's
+    * stats. A path absent or differently-typed in some rows extracts
+    * null there; a file with NO extractable values records no bounds
+    * and never votes — the skip index's standard fail-open. */
+  private[graft] final case class VariantStatsPath(column: String,
+                                                   path: String,
+                                                   typeName: String) {
+    def cast: org.apache.spark.sql.types.DataType = typeName match {
+      case "string" => org.apache.spark.sql.types.StringType
+      case "bigint" | "long" => org.apache.spark.sql.types.LongType
+      case "int" => org.apache.spark.sql.types.IntegerType
+      case "double" => org.apache.spark.sql.types.DoubleType
+      case "date" => org.apache.spark.sql.types.DateType
+      case "timestamp" => org.apache.spark.sql.types.TimestampType
+      case other => throw new IllegalArgumentException(
+        s"TxLog: unsupported variant stats type '$other' in " +
+          s"'$column:$path:$typeName' (string|bigint|int|double|date|" +
+          "timestamp)")
+    }
+    def extract: org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.expr(
+        s"variant_get(`${column.replace("`", "``")}`, '$path', '$typeName')")
+  }
+
+  private[graft] def parseVariantStats(c: String): Option[VariantStatsPath] = {
+    val parts = c.split(":", 3)
+    if (parts.length >= 2 && parts(1).startsWith("$."))
+      Some(VariantStatsPath(parts(0), parts(1),
+        if (parts.length == 3) parts(2) else "double"))
+    else None
+  }
+
+  /** The ORDERING type a stats column's bounds encode under — the
+    * declared cast for a variant path, the schema type otherwise. */
+  private def statsColType(schema: StructType, c: String)
+      : org.apache.spark.sql.types.DataType =
+    parseVariantStats(c).map(_.cast).getOrElse(schema(c).dataType)
+
+  /** The extraction expression a stats column measures. */
+  private def statsColExpr(c: String): org.apache.spark.sql.Column =
+    parseVariantStats(c).map(_.extract)
+      .getOrElse(org.apache.spark.sql.functions.col(
+        s"`${c.replace("`", "``")}`"))
+
+  /** Shared declaration check for `statsCols`: plain entries must name
+    * a schema column; `v:$.k` entries must name a VARIANT schema column
+    * and a supported type. */
+  private def validateStatsCols(schema: StructType,
+                                statsCols: Seq[String],
+                                who: String): Unit =
+    statsCols.foreach { c =>
+      parseVariantStats(c) match {
+        case Some(vp) =>
+          require(schema.fieldNames.contains(vp.column),
+            s"$who: variant stats path '$c' names column '${vp.column}' " +
+              "which is not in the schema")
+          require(schema(vp.column).dataType ==
+              org.apache.spark.sql.types.VariantType,
+            s"$who: stats path '$c' requires '${vp.column}' to be " +
+              s"VARIANT, got ${schema(vp.column).dataType.simpleString}")
+          vp.cast // validates the type name, throws on garbage
+        case None =>
+          require(schema.fieldNames.contains(c),
+            s"$who: stats column '$c' is not in the schema")
+          require(schema(c).dataType !=
+              org.apache.spark.sql.types.VariantType,
+            s"$who: min/max stats on a whole variant column '$c' are " +
+              "meaningless (a variant has no value order) — declare a " +
+              s"typed PATH instead, e.g. '$c:$$.field:bigint'")
+      }
+    }
+
   private def statsEncode(dt: org.apache.spark.sql.types.DataType,
                           c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{concat, lit, unix_micros}
@@ -2286,9 +2367,13 @@ object TxLog {
                            files: Seq[String], colName: String,
                            lower: Any, upper: Any, tz: String): Seq[String] = {
     import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampType}
-    val dt = schema(colName).dataType
-    // stats are keyed by PHYSICAL name (stable across renames)
-    val statsKey = physOf(m, colName)
+    val dt = statsColType(schema, colName)
+    // stats are keyed by PHYSICAL name (stable across renames); a
+    // variant-path spelling is its own key (renaming the base variant
+    // column orphans its path stats — fail-open, re-ANALYZE to rebuild)
+    val statsKey =
+      if (parseVariantStats(colName).isDefined) colName
+      else physOf(m, colName)
     def dec(s: String): Option[BigDecimal] = scala.util.Try(BigDecimal(s)).toOption
     val loEnc = statsEncodeBound(dt, tz, lower)
     val hiEnc = statsEncodeBound(dt, tz, upper)
@@ -2331,9 +2416,10 @@ object TxLog {
       throw new IllegalArgumentException(s"TxLog: no table at $path"))
     val m = manifest(spark, path, v)
     val files = prunedFiles(spark, path, colName, lower, upper, Some(v))
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.lit
+    // a variant-path column filters through its declared extraction
     readFiles(spark, path, StructType.fromDDL(m.schemaDdl), files, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty)
-      .filter(col(colName).between(lit(lower), lit(upper)))
+      .filter(statsColExpr(colName).between(lit(lower), lit(upper)))
   }
 
   /** Incremental consumption for append-mostly tables: the rows added

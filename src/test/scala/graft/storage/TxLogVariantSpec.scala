@@ -129,6 +129,77 @@ class TxLogVariantSpec extends SparkSpec {
     }
   }
 
+  test("variant-path skipping: 'v:$.k' stats prune a clustered table to the matching files") {
+    // r17 verdict #8: shredded writes store common paths as typed,
+    // stats-bearing parquet columns — this is the manifest-side
+    // pairing. Four appends, each a file covering a disjoint $.k
+    // decade; a narrow range plans ONLY the matching file, and the
+    // default-double and explicit-bigint spellings agree.
+    val path = fresh("skip")
+    def decade(lo: Long) =
+      mk((lo until lo + 10L).map(k => (k, s"""{"k":$k,"s":"x$k"}""")))
+        .coalesce(1) // one file per decade: the clustered layout under test
+    TxLog.create(decade(0L), path,
+      statsCols = Seq("v:$.k", "v:$.s:string"))
+    Seq(10L, 20L, 30L).foreach(lo => TxLog.append(decade(lo), path))
+    val m = TxLog.manifest(spark, path,
+      TxLog.currentVersion(spark, path).get)
+    assert(m.files.length == 4, m.files.toString)
+    // every file carries bounds for the declared paths
+    assert(m.files.forall(f => m.fileStats.get(f).exists(_.contains("v:$.k"))),
+      m.fileStats.toString)
+    val pruned = TxLog.prunedFiles(spark, path, "v:$.k", 12L, 17L)
+    assert(pruned.length == 1,
+      s"narrow $$.k range must plan one file of four, got $pruned")
+    val got = TxLog.readBetween(spark, path, "v:$.k", 12L, 17L)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(12L to 17L), got.mkString(","))
+    // string-typed path prunes lexicographically within its decade
+    val prunedS = TxLog.prunedFiles(spark, path, "v:$.s:string", "x12", "x17")
+    assert(prunedS.length < 4, s"string path stats must vote: $prunedS")
+    // an untracked path never prunes (fail-open)
+    assert(TxLog.prunedFiles(spark, path, "v:$.nope", 0L, 1L).length == 4)
+  }
+
+  test("variant-path skipping through SHREDDED writes (typed_value pages serve the stats)") {
+    spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+    spark.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+    spark.conf.set("spark.sql.variant.allowReadingShredded", "true")
+    try {
+      val path = fresh("shredskip")
+      def decade(lo: Long) =
+        mk((lo until lo + 10L).map(k => (k, s"""{"k":$k}"""))).coalesce(1)
+      TxLog.create(decade(0L), path, statsCols = Seq("v:$.k:bigint"))
+      Seq(10L, 20L).foreach(lo => TxLog.append(decade(lo), path))
+      val pruned = TxLog.prunedFiles(spark, path, "v:$.k:bigint", 21L, 25L)
+      assert(pruned.length == 1,
+        s"shredded files must carry path bounds, got $pruned")
+      val got = TxLog.readBetween(spark, path, "v:$.k:bigint", 21L, 25L)
+        .select(col("id")).collect().map(_.getLong(0)).sorted
+      assert(got.sameElements(21L to 25L), got.mkString(","))
+    } finally {
+      spark.conf.unset("spark.sql.variant.writeShredding.enabled")
+      spark.conf.unset("spark.sql.variant.inferShreddingSchema")
+      spark.conf.unset("spark.sql.variant.allowReadingShredded")
+    }
+  }
+
+  test("variant-path stats declarations validate loudly") {
+    val df = mk(Seq((1L, """{"k":1}""")))
+    val badType = intercept[Exception] {
+      TxLog.create(df, fresh("badtype"), statsCols = Seq("v:$.k:garbage"))
+    }
+    assert(badType.getMessage.contains("garbage"), badType.getMessage)
+    val notVariant = intercept[Exception] {
+      TxLog.create(df, fresh("notvar"), statsCols = Seq("id:$.k:bigint"))
+    }
+    assert(notVariant.getMessage.contains("VARIANT"), notVariant.getMessage)
+    val noCol = intercept[Exception] {
+      TxLog.create(df, fresh("nocol"), statsCols = Seq("w:$.k"))
+    }
+    assert(noCol.getMessage.contains("'w'"), noCol.getMessage)
+  }
+
   test("min/max stats on a variant column refuse loudly") {
     val path = fresh("stats")
     val e = intercept[Exception] {
