@@ -137,6 +137,17 @@ object Percentiles {
     * EAGER like [[refinedExactMulti]] (the probe collects group-sized
     * rows at construction); callers composing lazy plans use
     * [[exactMulti]]. */
+  // session-scoped memo of the DISPATCH DECISION (per-column distinct
+  // estimates), keyed by the analyzed plan's semantic hash — the
+  // corpusCount-memo pattern: a repeat call over the same corpus whose
+  // columns all dispatched to the histogram skips the probe scan
+  // entirely. Only the decision caches, never the refinement seeds: a
+  // stale hit (data rewritten under an identical plan in one session)
+  // can pick the less-optimal plan, but values are computed fresh
+  // either way — plan choice skew, never a wrong number.
+  private val dispatchMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+
   def adaptiveExactMulti(df: DataFrame, groupCol: String,
                          specs: Seq[(String, String, Double)]): DataFrame = {
     require(specs.nonEmpty, "at least one (name, valueCol, p) spec required")
@@ -145,6 +156,19 @@ object Percentiles {
       .map(_.toLong).getOrElse(MaxHistogramDistinctDefault)
     def q(n: String) = col(s"`${n.replace("`", "``")}`").cast("double")
     val vcols = specs.map(_._2).distinct
+    val memoKey = scala.util.Try(
+      df.queryExecution.analyzed.semanticHash().toString).getOrElse(
+        java.util.UUID.randomUUID().toString) +
+      "|" + groupCol + "|" + vcols.mkString(",") + "|" + maxDistinct
+    val memoHit = Option(dispatchMemo.get(memoKey))
+    memoHit.filter(_.valuesIterator.forall(_ <= maxDistinct)) match {
+      case Some(_) =>
+        // every column stays on the histogram: no seeds needed, the
+        // probe is pure overhead — skip it
+        lastDispatch = vcols.map(_ -> "histogram").toMap
+        return exactMulti(df, groupCol, specs)
+      case None => ()
+    }
     val probeAggs = vcols.zipWithIndex.flatMap { case (vc, i) =>
       Seq(count(q(vc)).as(s"n_$i"), min(q(vc)).as(s"lo_$i"),
         max(q(vc)).as(s"hi_$i"),
@@ -163,6 +187,8 @@ object Percentiles {
       vcols.zipWithIndex.map { case (vc, i) =>
         vc -> probe.iterator.map(_.getLong(1 + i * 4 + 3)).sum
       }.toMap
+    dispatchMemo.put(memoKey, distinctByCol)
+    if (dispatchMemo.size > 256) dispatchMemo.clear() // bounded, advisory
     val (refCols, histCols) =
       vcols.partition(vc => distinctByCol(vc) > maxDistinct)
     lastDispatch = vcols.map(vc => vc ->
