@@ -1564,6 +1564,38 @@ object TxLog {
     moved.toSeq
   }
 
+  /** Driver-side parquet-footer row counts for exactly the staged
+    * files — the rows-only fast path of [[collectStats]]. Footers are
+    * a few KB of metadata at the file tail; reads run on a small
+    * bounded thread pool (the files were just written, so the local
+    * page cache is warm). Any failure returns None and the caller
+    * falls back to the distributed counting aggregate. */
+  private def footerRowCounts(spark: SparkSession, path: String,
+                              files: Seq[String]): Option[Map[String, Long]] =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val base = dataDir(path)
+      val out = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, files.size)))
+      try {
+        val tasks = files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(new Path(base, f), conf)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try out.put(f, r.getRecordCount)
+              finally r.close()
+            }
+          })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
+      import scala.jdk.CollectionConverters._
+      Some(out.asScala.map { case (k, v) => k -> v.longValue }.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Per-file min/max for the tracked columns PLUS per-file row
     * counts, computed by ONE bounded aggregate over exactly the newly
     * staged files (grouped by input_file_name — page-cache-warm, never
@@ -1581,6 +1613,28 @@ object TxLog {
       : (Map[String, Map[String, (String, String)]], Map[String, Long],
          Map[String, Map[String, Long]]) = {
     if (files.isEmpty) return (Map.empty, Map.empty, Map.empty)
+    // rows-only commits (no declared skip stats) read the counts
+    // straight from the parquet FOOTERS on the driver: the footer row
+    // count IS count(1) (exact, not a statistic), so this returns the
+    // identical numbers the counting aggregate produces without paying
+    // a Spark job per commit (~0.2 s of scheduling on an otherwise
+    // sub-second commit). Bounded: above the threshold the distributed
+    // aggregate runs as before — an O(files) driver loop must not meet
+    // a 10^6-file commit (the same ceiling stageIn's rename loop
+    // already accepts; footer reads are the cheaper metadata op).
+    // Declared statsCols keep the aggregate: min/max must come from
+    // the SAME expression semantics (statsEncode over column values) —
+    // footer statistics truncate binary min/max and diverge on NaN
+    // ordering, so they are not a safe substitute for the skip index.
+    if (statsCols.isEmpty) {
+      val maxFooter = spark.conf.getOption("graft.txlog.footerStatsMaxFiles")
+        .map(_.toLong).getOrElse(65536L)
+      if (files.size <= maxFooter)
+        footerRowCounts(spark, path, files) match {
+          case Some(rc) => return (Map.empty, rc, Map.empty)
+          case None => () // unreadable footer: fall through to the job
+        }
+    }
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val base = dataDir(path).toString
     val aggs = statsCols.flatMap(c => Seq(
@@ -4437,10 +4491,6 @@ object TxLog {
     // dir value of a null source is null too)
     val partNullCols =
       if (m.partitionSpec.isEmpty) pcs else transformsOf(m).map(_.src)
-    require(updates.filter(partNullCols.map(col(_).isNull).reduce(_ || _))
-      .limit(1).collect().isEmpty,
-      s"TxLog.mergeInto: null ${partNullCols.mkString("/")} values are not " +
-        "supported — merge them under an explicit sentinel partition instead")
     val widened = if (evolveSchema) widen(declared, updates.schema) else declared
     def padNewCols(df: DataFrame): DataFrame =
       widened.fields.filterNot(f => declared.fieldNames.contains(f.name))
@@ -4449,6 +4499,40 @@ object TxLog {
     val updatesAligned =
       if (evolveSchema) updates.select(widened.fieldNames.map(col): _*)
       else updates
+    // batch validation, FUSED into one job (r18 opt round): the
+    // null-partition probe and the within-batch duplicate-key probe
+    // each cost a full pass over the updates; one key-grouped
+    // aggregate answers both — any group with a null-partition member
+    // or more than one row is a violation, and the violation-sized
+    // second aggregate distinguishes which error to raise (null first,
+    // the order the separate probes checked in). With `preValidated`
+    // the caller owns uniqueness and only the null probe remains.
+    val partNullFlag = partNullCols.map(col(_).isNull).reduce(_ || _)
+    if (preValidated) {
+      require(updatesAligned.filter(partNullFlag)
+        .limit(1).collect().isEmpty,
+        s"TxLog.mergeInto: null ${partNullCols.mkString("/")} values are not " +
+          "supported — merge them under an explicit sentinel partition instead")
+    } else {
+      import org.apache.spark.sql.functions.{concat_ws, count, when}
+      val viol = updatesAligned.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__graft_c"),
+          org.apache.spark.sql.functions.max(
+            when(partNullFlag, lit(1)).otherwise(lit(0))).as("__graft_pn"))
+        .filter(col("__graft_c") > 1 || col("__graft_pn") === 1)
+        .agg(
+          org.apache.spark.sql.functions.max(col("__graft_pn")).as("anyNull"),
+          org.apache.spark.sql.functions.min(when(col("__graft_c") > 1,
+            concat_ws(",", keys.map(k => col(k).cast("string")): _*)))
+            .as("dupKey"))
+        .head()
+      require(viol.isNullAt(0) || viol.getInt(0) == 0,
+        s"TxLog.mergeInto: null ${partNullCols.mkString("/")} values are not " +
+          "supported — merge them under an explicit sentinel partition instead")
+      require(viol.isNullAt(1),
+        s"TxLog.mergeInto: duplicate update rows for key " +
+          s"(${keys.mkString(",")})=(${if (viol.isNullAt(1)) "" else viol.getString(1)})")
+    }
     // only the incoming side needs vetting: untouched rows passed at
     // their own commit, and a merge never changes them
     enforceConstraints(updatesAligned, m.constraints, "mergeInto updates")
@@ -4491,13 +4575,8 @@ object TxLog {
     if (deletionVectors || dvDeclared(m)) {
       // MERGE-ON-READ: the matched OLD rows' positions become a DV;
       // the updates append whole. Within-batch key uniqueness still
-      // binds (two update rows for one key would BOTH land).
-      if (!preValidated) {
-        val dup = graft.operators.Upsert.pkViolations(updatesAligned, keys)
-          .limit(1).collect()
-        require(dup.isEmpty,
-          s"TxLog.mergeInto: duplicate update rows for key (${keys.mkString(",")})")
-      }
+      // binds (two update rows for one key would BOTH land) — already
+      // vetted by the fused validation aggregate above.
       // write FIRST, count from the written sidecar (one discovery
       // scan total — the deleteWhere(dv) pattern)
       val dvName = java.util.UUID.randomUUID().toString.take(12) + ".dv"
@@ -4573,8 +4652,10 @@ object TxLog {
     // merge = rows of the hit files with updates applied (updates win),
     // plus inserts; staged per-partition so moved keys land right
     val hitRows = padNewCols(readFiles(spark, path, declared, hitFiles.toSeq, m.colMap, m.dv, recoverPartitions = m.partitionSpec.isEmpty))
+    // preValidated = true: within-batch uniqueness was vetted by the
+    // fused validation aggregate at the top of this verb
     val merged = graft.operators.Upsert.mergeByKey(
-      hitRows, updatesAligned, keys, preValidated)
+      hitRows, updatesAligned, keys, preValidated = true)
     val newFiles = stageIn(toPhysical(merged, m.colMap), path, physPartCols(m), transformsOf(m))
     // the read declaration is FILE-granular (mergeRebaseCheck): an
     // interleaved commit conflicts only when it touches what this
@@ -5033,13 +5114,17 @@ object TxLog {
     * without a sidecar (or an empty/unbounded key set) stay —
     * always an optimization, never a filter. */
   private def bloomPruneByKeys(spark: SparkSession, path: String,
-                               colName: String, values: Seq[Any],
+                               colName: String, values: => Seq[Any],
                                files: Seq[String]): Seq[String] = {
-    if (values.isEmpty) return files
+    // sidecar existence FIRST: `values` is by-name because computing a
+    // bounded distinct over the source is a Spark job — pure overhead
+    // on the (common) tables that never declared a Bloom index
     val fs = fsFor(spark, path)
     val dir = bloomDir(path, colName)
     if (!fs.exists(dir)) return files
-    val hashes = values.map(keyHash)
+    val vals = values
+    if (vals.isEmpty) return files
+    val hashes = vals.map(keyHash)
     files.filter { f =>
       val p = new Path(dir, sidecarName(f))
       if (!fs.exists(p)) true

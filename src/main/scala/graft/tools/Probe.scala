@@ -147,6 +147,91 @@ object Probe {
     time("alias_resolve: full again")(noop(full))
     }
 
+    section("txlogjobs") {
+    // per-JOB attribution inside one lifecycle verb: which Spark jobs
+    // (and how much non-job driver time) a create/merge/delete pays
+    import graft.storage.TxLog
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.CopyOnWriteArrayList[(Int, Long, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.put(js.jobId, (js.time, String.valueOf(js.properties.getProperty("callSite.short"))))
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val (t0, site) = jobs.getOrDefault(je.jobId, (je.time, "?"))
+        done.add((je.jobId, je.time - t0, site))
+      }
+    })
+    val path = sys.props("java.io.tmpdir") + "/graft_probe_txlog_jobs"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    def phase(tag: String)(f: => Unit): Unit = {
+      Thread.sleep(200); done.clear()
+      val t0 = System.nanoTime()
+      f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // let listener events drain
+      val items = done.toArray.map(_.asInstanceOf[(Int, Long, String)]).sortBy(_._1)
+      val jobSum = items.map(_._2).sum / 1e3
+      println(f"[probe] $tag%-28s wall $wall%6.2f s, ${items.length}%2d jobs ${jobSum}%6.2f s in-job, ${wall - jobSum}%6.2f s driver")
+      items.foreach { case (id, ms, site) =>
+        println(f"[probe]     job $id%4d ${ms / 1e3}%7.3f s  $site") }
+    }
+    for (i <- 1 to 2) {
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val dim = orders(spark, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .coalesce(4)
+      phase(s"jobs[$i]: create")(
+        TxLog.create(dim, path, hiddenPartitions = Seq("bucket(16, o_custkey)")))
+      val upd = dim.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+            lit(BigDecimal("1.1"))).cast("double"))
+        .withColumn("o_orderstatus", lit("R"))
+      phase(s"jobs[$i]: mergeInto")(
+        TxLog.mergeInto(path, upd, Seq("o_orderkey")))
+      phase(s"jobs[$i]: deleteWhere")(
+        TxLog.deleteWhere(spark, path, col("o_orderkey") % 97 === 0))
+      val rd = spark.read.format("graft-txlog").option("path", path).load()
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      phase(s"jobs[$i]: read+sort")(noop(rd.orderBy("o_orderkey")))
+    }
+    }
+
+    section("txlog") {
+    // --- q_txlog_hidden lifecycle anatomy (r18 opt round: attribute
+    // the ~3.4 s across create/merge/delete/read so the commit path's
+    // fixed costs can be sized before touching them) ---
+    import graft.storage.TxLog
+    val path = sys.props("java.io.tmpdir") + "/graft_probe_txlog_hidden"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    for (i <- 1 to 2) {
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val dim = orders(spark, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .coalesce(4)
+      time(s"hidden[$i]: dim noop (scan+coalesce)")(noop(dim))
+      time(s"hidden[$i]: bare parquet write of dim")(
+        dim.write.mode("overwrite").parquet(path + "_bare"))
+      time(s"hidden[$i]: TxLog.create (16 buckets)")(
+        TxLog.create(dim, path, hiddenPartitions = Seq("bucket(16, o_custkey)")))
+      val upd = dim.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+            lit(BigDecimal("1.1"))).cast("double"))
+        .withColumn("o_orderstatus", lit("R"))
+      time(s"hidden[$i]: mergeInto")(
+        TxLog.mergeInto(path, upd, Seq("o_orderkey")))
+      time(s"hidden[$i]: deleteWhere")(
+        TxLog.deleteWhere(spark, path, col("o_orderkey") % 97 === 0))
+      val rd = spark.read.format("graft-txlog").option("path", path).load()
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      time(s"hidden[$i]: read back, no sort")(noop(rd))
+      time(s"hidden[$i]: read back + orderBy")(noop(rd.orderBy("o_orderkey")))
+    }
+    }
+
     section("unpivot") {
     // --- q_unpivot anatomy (r3 bench regression 3.88 -> 6.81 s) ---
     val unp = lineitem(spark, d).select(

@@ -360,6 +360,32 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("mergeInto's fused validation still catches each violation class (r18 one-job probe)") {
+    // the null-partition probe and the duplicate-key probe fused into
+    // one aggregate — both error classes must still fire, null first
+    val path = freshPath("fusedval")
+    TxLog.create(fixture, path, Some("part"))
+    val dupUpd = Seq((1L, "p1", 9.0), (1L, "p1", 8.0)).toDF("k", "part", "v")
+    val eDup = intercept[IllegalArgumentException] {
+      TxLog.mergeInto(path, dupUpd, Seq("k"))
+    }
+    assert(eDup.getMessage.contains("duplicate update rows") &&
+      eDup.getMessage.contains("(k)=(1)"), s"wrong failure: ${eDup.getMessage}")
+    // a batch violating BOTH reports the null-partition error (the
+    // order the formerly-separate probes checked in)
+    val both = Seq((2L, null.asInstanceOf[String], 1.0),
+      (3L, "p1", 1.0), (3L, "p1", 2.0)).toDF("k", "part", "v")
+    val eBoth = intercept[IllegalArgumentException] {
+      TxLog.mergeInto(path, both, Seq("k"))
+    }
+    assert(eBoth.getMessage.contains("null part"),
+      s"wrong failure: ${eBoth.getMessage}")
+    // a clean batch still merges (the fused probe admits it untouched)
+    TxLog.mergeInto(path, Seq((1L, "p1", 99.0)).toDF("k", "part", "v"), Seq("k"))
+    assert(TxLog.read(spark, path).filter(col("k") === 1L)
+      .select("v").head().getDouble(0) == 99.0)
+  }
+
   test("batch replay detection survives interleaved maintenance commits (watermark carry)") {
     val path = freshPath("wm")
     TxLog.create(fixture, path, Some("part"))
