@@ -60,4 +60,26 @@ object Checkpoints {
       case _ => df.localCheckpoint(true)
     }
   }
+
+  /** [[cut]] for loops whose NEXT statement is already a full action
+    * over the cut frame (a convergence aggregate, a top-k collect, a
+    * count): the local checkpoint is marked LAZILY and that action
+    * materializes it — compute + persist + aggregate in ONE Spark job
+    * instead of a materialization job followed by the aggregate job
+    * (guide §5: per-round driver/job overhead is the whole cost of
+    * these node-sized loops at bench scale). Lineage still restarts at
+    * the materialized partitions, so plans stay constant-size across
+    * rounds. The reliable-dir posture keeps the EAGER reliable
+    * checkpoint: a lazy `checkpoint()` re-computes the whole plan a
+    * second time to write the checkpoint files, which costs more than
+    * the one job this fusion saves. Callers MUST follow a cutLazy with
+    * a full-coverage action before branching on the frame — a partial
+    * action (isEmpty/take) would materialize only some partitions. */
+  def cutLazy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirConf) match {
+      case Some(dir) if dir.nonEmpty => cut(df)
+      case _ => df.localCheckpoint(false)
+    }
+  }
 }

@@ -433,19 +433,30 @@ object Dedup {
     // session-wide graft.checkpointDir conf (reliable at cluster scale)
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else Checkpoints.cut(df)
+    // every snapLazy below is immediately followed by a full-coverage
+    // action (labelSum — an ungrouped aggregate), which materializes
+    // the checkpoint in the SAME job (Checkpoints.cutLazy): one Spark
+    // job per round instead of two, on a loop whose per-round data is
+    // label-sized and whose real cost is job overhead (guide §5)
+    def snapLazy(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else Checkpoints.cutLazy(df)
     // pre-partitioned on the JOIN key before the one-time checkpoint:
     // a checkpoint materializes with its physical partitioning, so
     // every round's edges-side of the label join arrives co-located —
     // the EDGE-sized shuffle (the term that made the 100M-edge
     // ScaleCheck hop spill-bound) happens once here, never per round;
     // only label-sized exchanges remain in the loop
-    val edges = snap(pairs
+    // lazy cut: the initial-label aggregate (via prevSum) reads every
+    // edge partition, materializing this checkpoint in the same job
+    val edges = snapLazy(pairs
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .repartition(col("b")))
     // initial label: min(self, direct neighbors) — saves one round
-    var labels = snap(edges.groupBy("a")
+    // (lazy cut: the prevSum aggregate right below materializes it)
+    var labels = snapLazy(edges.groupBy("a")
       .agg(min("b").as("nmin"))
       .select(col("a").as("id"), least(col("a"), col("nmin")).as("comp")))
     // coalesce to 0: an EMPTY label table (legit when the candidate
@@ -469,7 +480,7 @@ object Dedup {
         .groupBy("id").agg(min(col("ncomp")).as("comp"))
       // pointer jump: labels are themselves node ids, so comp's comp is
       // a self-join — the doubling that makes long chains logarithmic
-      val next = snap(propagated
+      val next = snapLazy(propagated
         .join(
           propagated.select(col("id").as("cid"), col("comp").as("ccomp")),
           col("comp") === col("cid"), "left")

@@ -38,16 +38,20 @@ object Graph {
     // the 20 iterations re-shuffles (or re-reads) the EDGE table — only
     // rank-sized exchanges remain in the loop (the Dedup.components
     // r9 rework, same reasoning)
+    // lazy cuts: nodes.count() below reads every edge and node
+    // partition, materializing both checkpoints in that one job
+    // (Checkpoints.cutLazy — one job per cut saved, guide §5)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
-      .transform(Checkpoints.cut)
+      .transform(Checkpoints.cutLazy)
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-      .transform(Checkpoints.cut)
+      .transform(Checkpoints.cutLazy)
     val n = nodes.count()
+    // lazy: the first iteration's danglingMass aggregate covers it
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .transform(Checkpoints.cut)
+      .transform(Checkpoints.cutLazy)
     var ranks = nodes.withColumn("pr", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(outdeg, ranks("node") === outdeg("src"), "left")
@@ -64,13 +68,17 @@ object Graph {
           col("csrc") === col("esrc"))
         .groupBy(col("edst").as("node"))
         .agg(sum(col("w").cast(DecimalType(28, 20))).cast("double").as("contrib"))
+      // lazy cut: the NEXT iteration's danglingMass aggregate (or the
+      // caller's terminal action, on the last round) reads every rank
+      // partition and materializes this checkpoint in the same job —
+      // one job per iteration instead of two
       ranks = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - d) / n) +
             lit(d) * (coalesce(col("contrib"), lit(0.0)) + lit(danglingMass / n)))
             .as("pr"))
-        .transform(Checkpoints.cut)
+        .transform(Checkpoints.cutLazy)
     }
     ranks
   }
@@ -98,11 +106,13 @@ object Graph {
     // per-row Long must stay exact for the guard to mean anything
     require(maxRounds <= 60,
       s"flattenHierarchy: maxRounds > 60 risks depth overflow, got $maxRounds")
+    // lazy cut: totalDepth right below is a full-coverage aggregate
+    // and materializes the checkpoint in the same job
     var st = nodes.select(
         col("node"),
         coalesce(col("parent"), col("node")).as("anc"),
         when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("depth"))
-      .transform(Checkpoints.cut)
+      .transform(Checkpoints.cutLazy)
     // fixpoint detection rides the TOTAL depth: each round every
     // non-converged node's depth strictly grows, so an unchanged sum
     // means every pointer reached a root. One self-join per round
@@ -128,7 +138,7 @@ object Graph {
         .join(st.as("b"), col("a.anc") === col("b.node"))
         .select(col("a.node").as("node"), col("b.anc").as("anc"),
           (col("a.depth") + col("b.depth")).as("depth"))
-        .transform(Checkpoints.cut)
+        .transform(Checkpoints.cutLazy)
       val t = totalDepth(st)
       done = t.compareTo(total) == 0
       total = t
@@ -164,7 +174,7 @@ object Graph {
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .transform(Checkpoints.cut)
+      .transform(Checkpoints.cutLazy)
     var nEdges = und.count()
     var done = nEdges == 0L
     while (!done) {
@@ -176,7 +186,7 @@ object Graph {
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
-        .transform(Checkpoints.cut)
+        .transform(Checkpoints.cutLazy)
       val m = pruned.count()
       done = m == nEdges || m == 0L
       und = pruned

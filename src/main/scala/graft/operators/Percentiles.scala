@@ -74,10 +74,22 @@ object Percentiles {
     * (views, streaming) should use [[exactMulti]]. */
   def refinedExactMulti(df: DataFrame, groupCol: String,
                         specs: Seq[(String, String, Double)]): DataFrame = {
-    require(specs.nonEmpty, "at least one (name, valueCol, p) spec required")
-    val spark = df.sparkSession
+    val (_, valueMap) = refinedExactMultiValues(df, groupCol, specs)
     val gField = org.apache.spark.sql.types.StructField(
       "_g", df.schema(groupCol).dataType, nullable = true)
+    Quantiles.litFrameMulti(df.sparkSession, gField, specs.map(_._1), valueMap)
+      .withColumnRenamed("_mg", groupCol)
+  }
+
+  /** [[refinedExactMulti]]'s resolved statistics as DRIVER values —
+    * (groups in first-seen order, group → one value per spec). For
+    * callers that inline the group-sized result as literal expressions
+    * (Quantiles.litChain) instead of joining a literal frame: same
+    * bounded refinement passes, no frame, no broadcast join. */
+  def refinedExactMultiValues(df: DataFrame, groupCol: String,
+                              specs: Seq[(String, String, Double)])
+      : (Seq[Any], Map[Any, Seq[java.lang.Double]]) = {
+    require(specs.nonEmpty, "at least one (name, valueCol, p) spec required")
     val resolved = scala.collection.mutable.Map[(String, Any), java.lang.Double]()
     val groups = scala.collection.mutable.LinkedHashSet[Any]()
     specs.map(_._2).distinct.foreach { vc =>
@@ -100,8 +112,7 @@ object Percentiles {
       (g, specs.map(sp =>
         resolved.getOrElse((sp._1, g), null: java.lang.Double)))
     }.toMap
-    Quantiles.litFrameMulti(spark, gField, specs.map(_._1), valueMap)
-      .withColumnRenamed("_mg", groupCol)
+    (groups.toSeq, valueMap)
   }
 
   /** Conf key for [[adaptiveExactMulti]]'s dispatch threshold: a value

@@ -61,6 +61,12 @@ object Quantiles {
   final case class RefineStats(passes: Int, finalCollected: Long)
   @volatile private[graft] var lastStats: RefineStats = RefineStats(0, 0L)
 
+  /** Largest open-target count the refine passes inline as a literal
+    * when-chain (vs the broadcast state join): plans stay small and the
+    * per-pass broadcast-build job disappears for the common few-group
+    * case, while a 10^4-group call keeps the join. */
+  val InlineStateMax = 64
+
   private final case class St(g: Any, pi: Int, n1: Long,
                               rlo: Double, rhi: Double,
                               posF: Long, posC: Long, frac: Double)
@@ -105,6 +111,38 @@ object Quantiles {
             nullable = false),
           StructField("_rlo", DoubleType, nullable = false),
           StructField("_rhi", DoubleType, nullable = false)))))
+    // Fan-out to live targets as a LITERAL when-chain + explode instead
+    // of a broadcast-joined state frame: the state is driver-resolved
+    // and tiny, but a per-pass broadcast frame costs a parallelize
+    // materialization plus a BroadcastExchange build job under AQE —
+    // per REFINEMENT PASS, on a loop whose whole cost at bench scale is
+    // driver-synchronized job overhead (guide §5). The when-chain is
+    // null-safe (<=>), total over the seeded groups, and drops rows of
+    // unseeded groups exactly like the inner state join did. Bounded:
+    // past `InlineStateMax` entries (or a group value lit() cannot
+    // encode) the broadcast join stays — plan choice only, the
+    // aggregated rows and arithmetic are identical either way.
+    def stateCol(st: Seq[St]): Option[org.apache.spark.sql.Column] =
+      if (st.size > InlineStateMax) None
+      else scala.util.Try {
+        val byG = st.groupBy(_.g).toSeq
+        val structType = "array<struct<_pi:int,_rlo:double,_rhi:double>>"
+        byG.foldLeft(lit(null).cast(structType)) { case (acc, (g, sts)) =>
+          val arr = array(sts.map(s => struct(lit(s.pi).as("_pi"),
+            lit(s.rlo).as("_rlo"), lit(s.rhi).as("_rhi"))): _*)
+          when(col("_g") <=> lit(g), arr).otherwise(acc)
+        }
+      }.toOption
+    def fanned(st: Seq[St]): DataFrame = {
+      val base = rows.filter(col("_v").isNotNull)
+      stateCol(st) match {
+        case Some(c) =>
+          base.select(col("_g"), col("_v"), explode(c).as("_st"))
+            .select(col("_g"), col("_v"), col("_st._pi").as("_pi"),
+              col("_st._rlo").as("_rlo"), col("_st._rhi").as("_rhi"))
+        case None => base.join(stateDf(st), col("_g") <=> col("_sg"))
+      }
+    }
 
     // refine passes: shrink every open target's range ~B× per pass
     // until its candidate count fits the final collect. The state
@@ -113,7 +151,6 @@ object Quantiles {
     var ready = Seq.empty[St]
     while (open.nonEmpty && passes < maxPasses) {
       passes += 1
-      val st = stateDf(open)
       val width = (col("_rhi") - col("_rlo")) / lit(buckets.toDouble)
       val idx = when(col("_v") < col("_rlo"), lit(-1.0))
         .when(col("_v") > col("_rhi"), lit(buckets.toDouble))
@@ -121,8 +158,7 @@ object Quantiles {
         .otherwise(least(greatest(
           floor((col("_v") - col("_rlo")) / width), lit(0.0)),
           lit((buckets - 1).toDouble)))
-      val counts = rows.filter(col("_v").isNotNull)
-        .join(st, col("_g") <=> col("_sg"))
+      val counts = fanned(open)
         .groupBy(col("_g").as("g"), col("_pi"), idx.as("b"))
         // per-bucket count plus the bucket's exact value range: a
         // bucket with mn == mx holds ONE distinct value, the exact
@@ -188,11 +224,9 @@ object Quantiles {
     // final pass: collect the surviving ranges' distinct values (plus
     // the exact below-range count) and resolve ranks on the driver
     if (ready.nonEmpty) {
-      val st = stateDf(ready)
       val flag = when(col("_v") < col("_rlo"), lit(-1))
         .when(col("_v") > col("_rhi"), lit(1)).otherwise(lit(0))
-      val collected = rows.filter(col("_v").isNotNull)
-        .join(st, col("_g") <=> col("_sg"))
+      val collected = fanned(ready)
         .filter(flag <= 0)
         .groupBy(col("_g").as("g"), col("_pi"), flag.as("f"),
           when(flag === 0, col("_v")).as("v"))
@@ -226,6 +260,29 @@ object Quantiles {
     }
     out.toSeq
   }
+
+  /** Driver-resolved (group → statistic) as a literal when-chain
+    * COLUMN — the join-free way to attach a tiny resolved map back
+    * into a plan (no literal-frame parallelize job, no
+    * BroadcastExchange build per reference; guide §5). `nullSafe`
+    * picks the group-compare semantics the replaced join had (<=> vs
+    * =). Groups absent from `values` yield null — callers replacing
+    * an INNER join must either know the chain is total over their
+    * rows' groups (the seed-derived case) or filter. None past
+    * [[InlineStateMax]] or for group values `lit` cannot encode —
+    * fall back to [[litFrame]] + join. */
+  def litChain(groupCol: org.apache.spark.sql.Column,
+               values: Seq[(Any, java.lang.Double)],
+               nullSafe: Boolean = true): Option[org.apache.spark.sql.Column] =
+    if (values.size > InlineStateMax) None
+    else scala.util.Try {
+      values.foldLeft(lit(null).cast(DoubleType)) { case (acc, (g, v)) =>
+        val cond = if (nullSafe) groupCol <=> lit(g) else groupCol === lit(g)
+        when(cond,
+          if (v == null) lit(null).cast(DoubleType)
+          else lit(v.doubleValue())).otherwise(acc)
+      }
+    }.toOption
 
   /** Tiny literal frame (group value, double) for broadcasting a
     * driver-resolved statistic back into a plan. */

@@ -361,11 +361,23 @@ object Stats {
       val gField = org.apache.spark.sql.types.StructField(
         "_g", rows.schema("_g").dataType, nullable = true)
       val meds = Quantiles.refined(rows, 0.5, seed)
-      val medDf = Quantiles.litFrame(df.sparkSession, gField, meds, "_med")
+      // the resolved medians/MADs attach as literal when-chains, not
+      // broadcast-joined literal frames: the seed enumerates EVERY
+      // group of `rows`, so the chain is total and the old null-safe
+      // inner joins never dropped a row — identical values, minus a
+      // parallelize + BroadcastExchange build job per reference
+      // (guide §5; litFrame + join remains the >InlineStateMax path)
+      lazy val medDf = Quantiles.litFrame(df.sparkSession, gField, meds, "_med")
+      val medChain = Quantiles.litChain(col("_g"), meds)
       // |v − med| bounds derive from the seed (no extra pass): the
       // deviations live in [0, max(hi−med, med−lo)]
-      val rowsAbs = rows.join(broadcast(medDf), rows("_g") <=> medDf("_mg"))
-        .select(rows("_g"), abs(col("_v") - col("_med")).as("_v"))
+      val rowsAbs = medChain match {
+        case Some(me) =>
+          rows.select(col("_g"), abs(col("_v") - me).as("_v"))
+        case None =>
+          rows.join(broadcast(medDf), rows("_g") <=> medDf("_mg"))
+            .select(rows("_g"), abs(col("_v") - col("_med")).as("_v"))
+      }
       val medMap = meds.toMap
       val seedAbs = seed.map { s =>
         medMap.get(s.g).flatMap(Option(_)) match {
@@ -375,18 +387,32 @@ object Stats {
         }
       }
       val mads = Quantiles.refined(rowsAbs, 0.5, seedAbs)
-      val madDf = Quantiles.litFrame(df.sparkSession, gField, mads, "_mad")
-        .withColumnRenamed("_mg", "_mg2")
-      rows
-        .join(broadcast(medDf), rows("_g") <=> medDf("_mg"))
-        .join(broadcast(madDf), rows("_g") <=> madDf("_mg2"))
-        .groupBy(rows("_g").as(groupCol))
-        .agg(
-          count(lit(1)).as("n"),
-          round(max(col("_med")), 6).as("median"),
-          round(max(col("_mad")), 6).as("mad"),
-          coalesce(sum(when(abs(col("_v") - col("_med")) > lit(k) * col("_mad"),
-            lit(1L))), lit(0L)).as("n_outliers"))
+      val madChain = Quantiles.litChain(col("_g"), mads)
+      (medChain, madChain) match {
+        case (Some(me), Some(ma)) =>
+          rows
+            .select(col("_g"), col("_v"), me.as("_med"), ma.as("_mad"))
+            .groupBy(col("_g").as(groupCol))
+            .agg(
+              count(lit(1)).as("n"),
+              round(max(col("_med")), 6).as("median"),
+              round(max(col("_mad")), 6).as("mad"),
+              coalesce(sum(when(abs(col("_v") - col("_med")) > lit(k) * col("_mad"),
+                lit(1L))), lit(0L)).as("n_outliers"))
+        case _ =>
+          val madDf = Quantiles.litFrame(df.sparkSession, gField, mads, "_mad")
+            .withColumnRenamed("_mg", "_mg2")
+          rows
+            .join(broadcast(medDf), rows("_g") <=> medDf("_mg"))
+            .join(broadcast(madDf), rows("_g") <=> madDf("_mg2"))
+            .groupBy(rows("_g").as(groupCol))
+            .agg(
+              count(lit(1)).as("n"),
+              round(max(col("_med")), 6).as("median"),
+              round(max(col("_mad")), 6).as("mad"),
+              coalesce(sum(when(abs(col("_v") - col("_med")) > lit(k) * col("_mad"),
+                lit(1L))), lit(0L)).as("n_outliers"))
+      }
       } finally if (doPersist) rows.unpersist(blocking = false)
     } else {
       def median(in: DataFrame, c: String, out: String): DataFrame =

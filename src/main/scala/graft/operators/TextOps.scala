@@ -648,7 +648,10 @@ object TextOps {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(filter(split(col("w"), ""), x => x =!= "").as("syms"), col("n"))
-      .transform(Checkpoints.cut)
+      // lazy cuts throughout this loop: every round's pair-count
+      // top-1/window collect scans the whole state and materializes
+      // the checkpoint in the same job (Checkpoints.cutLazy)
+      .transform(Checkpoints.cutLazy)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     for (rank <- 1 to numMerges if !done) {
@@ -668,7 +671,7 @@ object TextOps {
           merges += ((rank, a, b, r.getLong(2)))
           state = state
             .withColumn("syms", mergePair(col("syms"), a, b))
-            .transform(Checkpoints.cut)
+            .transform(Checkpoints.cutLazy)
       }
     }
     state.unpersist()
@@ -737,7 +740,8 @@ object TextOps {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(filter(split(col("w"), ""), x => x =!= "").as("syms"), col("n"))
-      .transform(Checkpoints.cut)
+      // lazy cuts: each round's windowed top collect is full-coverage
+      .transform(Checkpoints.cutLazy)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rounds = 0
     var done = false
@@ -786,7 +790,7 @@ object TextOps {
         state = state
           .withColumn("syms",
             mergeBatchDisjoint(col("syms"), batch.toSeq.map(t => (t._1, t._2))))
-          .transform(Checkpoints.cut)
+          .transform(Checkpoints.cutLazy)
       }
     }
     state.unpersist()

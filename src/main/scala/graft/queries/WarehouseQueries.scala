@@ -752,13 +752,35 @@ object WarehouseQueries {
   def winsorize(s: SparkSession, d: String): DataFrame = {
     // refinement selection (r17): l_extendedprice is near-unique, so
     // the histogram plan's sort-window was corpus-sized; the bounds
-    // resolve in shared bounded passes and broadcast into the clip
-    val bounds = graft.operators.Percentiles.refinedExactMulti(
-      lineitem(s, d), "l_returnflag",
-      Seq(("_lo", "l_extendedprice", 0.05), ("_hi", "l_extendedprice", 0.95)))
-    lineitem(s, d)
+    // resolve in shared bounded passes. r19: they attach as literal
+    // when-chains instead of a broadcast-joined literal frame — the
+    // clip query is then a pure projection + sort over one scan, with
+    // no literal-frame parallelize job and no join (guide §5/§2.4).
+    // The replaced equi-join kept a row iff its (non-null) flag had a
+    // bounds row; the seed enumerates every flag, so only null-flag
+    // rows could drop — the isNotNull filter reproduces that exactly.
+    val (groups, valueMap) = graft.operators.Percentiles
+      .refinedExactMultiValues(lineitem(s, d), "l_returnflag",
+        Seq(("_lo", "l_extendedprice", 0.05), ("_hi", "l_extendedprice", 0.95)))
+    val loC = graft.operators.Quantiles.litChain(col("l_returnflag"),
+      groups.map(g => g -> valueMap(g)(0)), nullSafe = false)
+    val hiC = graft.operators.Quantiles.litChain(col("l_returnflag"),
+      groups.map(g => g -> valueMap(g)(1)), nullSafe = false)
+    val base = lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
-      .join(bounds, Seq("l_returnflag"))
+    val clipped = (loC, hiC) match {
+      case (Some(lo), Some(hi)) =>
+        base.filter(col("l_returnflag").isNotNull)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice"), lo.as("_lo"), hi.as("_hi"))
+      case _ =>
+        val gField = org.apache.spark.sql.types.StructField(
+          "_g", base.schema("l_returnflag").dataType, nullable = true)
+        base.join(graft.operators.Quantiles.litFrameMulti(s, gField,
+            Seq("_lo", "_hi"), valueMap)
+          .withColumnRenamed("_mg", "l_returnflag"), Seq("l_returnflag"))
+    }
+    clipped
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_extendedprice"),

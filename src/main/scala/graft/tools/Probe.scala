@@ -87,13 +87,70 @@ object Probe {
         noop(graft.operators.Stats.madOutliers(li, "l_returnflag",
           "l_extendedprice"))
       }
+      println("[probe] mad: lastStats after 1st = " +
+        graft.operators.Quantiles.lastStats)
       time("mad: full madOutliers exact (2nd)") {
         noop(graft.operators.Stats.madOutliers(li, "l_returnflag",
           "l_extendedprice"))
       }
+      println("[probe] mad: lastStats after 2nd = " +
+        graft.operators.Quantiles.lastStats)
+      time("mad: winsorize bounds (refinedExactMulti)") {
+        noop(graft.operators.Percentiles.refinedExactMulti(
+          li, "l_returnflag",
+          Seq(("_lo", "l_extendedprice", 0.05),
+            ("_hi", "l_extendedprice", 0.95))))
+      }
+      println("[probe] mad: lastStats after winsorize bounds = " +
+        graft.operators.Quantiles.lastStats)
       time("mad: approx mode") {
         noop(graft.operators.Stats.madOutliers(li, "l_returnflag",
           "l_extendedprice", exact = false))
+      }
+    }
+
+    section("madjobs") {
+      // per-JOB attribution inside madOutliers / winsorize bounds —
+      // how many driver-synchronized jobs each refinement query pays
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val done = new java.util.concurrent.CopyOnWriteArrayList[(Int, Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val frames = js.stageInfos.lastOption.map(_.details).getOrElse("")
+            .split('\n').filter(_.contains("graft."))
+            .filterNot(_.contains("graft.tools.Probe"))
+          val site = frames.take(2).mkString(" <- ").trim
+          jobs.put(js.jobId, (js.time,
+            if (site.nonEmpty) site
+            else js.stageInfos.lastOption.map(_.name).getOrElse("?")))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, site) = jobs.getOrDefault(je.jobId, (je.time, "?"))
+          done.add((je.jobId, je.time - t0, site))
+        }
+      })
+      val li = lineitem(spark, d)
+      def phase(tag: String)(f: => Unit): Unit = {
+        Thread.sleep(200); done.clear()
+        val t0 = System.nanoTime()
+        f
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300)
+        val items = done.toArray.map(_.asInstanceOf[(Int, Long, String)]).sortBy(_._1)
+        val jobSum = items.map(_._2).sum / 1e3
+        println(f"[probe] $tag%-28s wall $wall%6.2f s, ${items.length}%2d jobs ${jobSum}%6.2f s in-job, ${wall - jobSum}%6.2f s driver")
+        items.foreach { case (id, ms, site) =>
+          println(f"[probe]     job $id%4d ${ms / 1e3}%7.3f s  $site") }
+      }
+      for (i <- 1 to 2) {
+        phase(s"madjobs[$i]: madOutliers")(
+          noop(graft.operators.Stats.madOutliers(li, "l_returnflag",
+            "l_extendedprice")))
+        phase(s"madjobs[$i]: winsorize bounds")(
+          noop(graft.operators.Percentiles.refinedExactMulti(
+            li, "l_returnflag",
+            Seq(("_lo", "l_extendedprice", 0.05),
+              ("_hi", "l_extendedprice", 0.95)))))
       }
     }
 
@@ -154,8 +211,18 @@ object Probe {
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = new java.util.concurrent.CopyOnWriteArrayList[(Int, Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.put(js.jobId, (js.time, String.valueOf(js.properties.getProperty("callSite.short"))))
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // attribute via the result stage's creation stack: first graft
+        // frame (the verb internals) — callSite properties are not set
+        // on jobs submitted outside an action with a call site
+        val frames = js.stageInfos.lastOption.map(_.details).getOrElse("")
+          .split('\n').filter(_.contains("graft."))
+          .filterNot(_.contains("graft.tools.Probe"))
+        val site = frames.take(2).mkString(" <- ").trim
+        jobs.put(js.jobId, (js.time,
+          if (site.nonEmpty) site
+          else js.stageInfos.lastOption.map(_.name).getOrElse("?")))
+      }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val (t0, site) = jobs.getOrDefault(je.jobId, (je.time, "?"))
         done.add((je.jobId, je.time - t0, site))
