@@ -167,6 +167,17 @@ object TxLog {
 
   private val mapper = new ObjectMapper()
 
+  /** Conf-gated phase tracer (`graft.txlog.trace=true`): wall time of
+    * named verb sub-phases to stderr — attribution tooling for the
+    * commit path's fixed costs; zero overhead when off. */
+  private def trace[T](spark: SparkSession, tag: String)(f: => T): T =
+    if (!spark.conf.getOption("graft.txlog.trace").exists(_.toBoolean)) f
+    else {
+      val t0 = System.nanoTime()
+      try f finally System.err.println(
+        f"[txlog-trace] $tag%-36s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    }
+
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
@@ -1490,20 +1501,30 @@ object TxLog {
       d.withColumn(t.dirName,
         t.derive(org.apache.spark.sql.functions.col(
           "`" + t.src.replace("`", "``") + "`"))))
-    // optimized write (`graft.txlog.optimizedWrite`, default off —
-    // Delta's optimizeWrite in spirit): shuffle rows to their partition
-    // dir BEFORE writing, so a commit lands ~one file per dir instead
-    // of (tasks × dirs) small files. The at-scale default for
-    // partitioned ingest; costs one hash shuffle and serializes a hot
-    // dir into one task (salt or leave off for skewed layouts).
-    // the TABLE property (when declared) wins over the session conf —
-    // resolved from the head manifest (cached); a create has no head
-    // yet and falls through to the session knob
+    // optimized write (`graft.txlog.optimizedWrite` — Delta's
+    // optimizeWrite in spirit): shuffle rows to their partition dir
+    // BEFORE writing, so a commit lands ~one file per dir instead of
+    // (tasks × dirs) small files. Costs one hash shuffle and
+    // serializes a hot dir into one task (salt or leave off for
+    // skewed layouts), so the unset default is off for identity/time
+    // layouts — but ON for BUCKET transforms (r19): a hash bucket is
+    // uniform by construction (no hot dir), one file per bucket is
+    // what lets the mount declare a real BucketSpec (shuffle-free
+    // joins/aggs on the source key), and without the shuffle a
+    // single-split upstream (one parquet file feeding the verb)
+    // serializes the whole staged write into one task — the measured
+    // cause of q_txlog_hidden's 8→32-core anti-scaling. The TABLE
+    // property (when declared) wins over the session conf — resolved
+    // from the head manifest (cached); a create has no head yet and
+    // falls through to the session knob, then the layout default.
     val tablePref: Option[Boolean] = currentVersion(spark, path)
       .flatMap(v => propsOf(manifest(spark, path, v)).get(OptimizedWriteProp))
       .map(_.equalsIgnoreCase("true"))
+    val bucketLayout =
+      transforms.exists(_.isInstanceOf[PartitionTransforms.Bucket])
     val optimized = partitionCols.nonEmpty && tablePref.getOrElse(
-      spark.conf.getOption("graft.txlog.optimizedWrite").exists(_.toBoolean))
+      spark.conf.getOption("graft.txlog.optimizedWrite").map(_.toBoolean)
+        .getOrElse(bucketLayout))
     val toWrite0 =
       if (!optimized) staged
       else staged.repartition(partitionCols.map(c =>
@@ -1523,8 +1544,10 @@ object TxLog {
         org.apache.spark.sql.functions.col(
           "`" + c.replace("`", "``") + "`")): _*)
     val w = toWrite.write.mode("overwrite")
-    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
-      .parquet(staging.toString)
+    trace(spark, "  stageIn: parquet write") {
+      (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+        .parquet(staging.toString)
+    }
     // a bucket transform's derivation IS Spark's own bucket id
     // (pmod(murmur3, n) — HashPartitioning.partitionIdExpression), so
     // staged names embed the id in Spark's `_%05d` bucket-file shape:
@@ -1559,8 +1582,10 @@ object TxLog {
           moved += relDst
         }
       }
-    walk(staging, "")
-    fs.delete(staging, true)
+    trace(spark, "  stageIn: rename walk") {
+      walk(staging, "")
+      fs.delete(staging, true)
+    }
     moved.toSeq
   }
 
@@ -1731,10 +1756,14 @@ object TxLog {
     require(currentVersion(df.sparkSession, path).isEmpty,
       s"TxLog: table already exists at $path")
     validateStatsCols(df.schema, statsCols, "TxLog.create")
-    val files = stageIn(df, path, layout, transforms)
+    val files = trace(df.sparkSession, "create: stageIn") {
+      stageIn(df, path, layout, transforms)
+    }
     val (stats, rowCounts, nullCounts) =
-      collectStats(df.sparkSession, path, df.schema, statsCols, files,
-        recoverPartitions = transforms.isEmpty)
+      trace(df.sparkSession, "create: collectStats") {
+        collectStats(df.sparkSession, path, df.schema, statsCols, files,
+          recoverPartitions = transforms.isEmpty)
+      }
     // a dead table recreated at this path must not serve the old
     // incarnation's cached snapshots
     cacheInvalidate(df.sparkSession, path)
@@ -1745,7 +1774,9 @@ object TxLog {
       minWriter =
         if (layout.size >= 2 || transforms.nonEmpty) 2 else 1,
       partitionSpec = transforms.map(_.spec))
-    writeManifest(df.sparkSession, path, m, operation = "CREATE")
+    trace(df.sparkSession, "create: writeManifest") {
+      writeManifest(df.sparkSession, path, m, operation = "CREATE")
+    }
     cachePut(df.sparkSession, path, m)
     1L
   }
@@ -4508,17 +4539,32 @@ object TxLog {
     // the order the separate probes checked in). With `preValidated`
     // the caller owns uniqueness and only the null probe remains.
     val partNullFlag = partNullCols.map(col(_).isNull).reduce(_ || _)
+    // r19: the fused-validation aggregate IS the distinct update-key
+    // set the discovery scans semi-join against — persist its
+    // key-sized result for the verb (released in the finally below)
+    // so the updates shuffle by key ONCE per merge, not once for the
+    // validation and again for updKeys (guide §2: same keying, one
+    // exchange). preValidated callers own uniqueness and skip both.
+    val keyAgg: Option[DataFrame] =
+      if (preValidated) None
+      else {
+        import org.apache.spark.sql.functions.{count, when}
+        Some(updatesAligned.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__graft_c"),
+            org.apache.spark.sql.functions.max(
+              when(partNullFlag, lit(1)).otherwise(lit(0))).as("__graft_pn"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+    try {
+    trace(spark, "merge: validation") {
     if (preValidated) {
       require(updatesAligned.filter(partNullFlag)
         .limit(1).collect().isEmpty,
         s"TxLog.mergeInto: null ${partNullCols.mkString("/")} values are not " +
           "supported — merge them under an explicit sentinel partition instead")
     } else {
-      import org.apache.spark.sql.functions.{concat_ws, count, when}
-      val viol = updatesAligned.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("__graft_c"),
-          org.apache.spark.sql.functions.max(
-            when(partNullFlag, lit(1)).otherwise(lit(0))).as("__graft_pn"))
+      import org.apache.spark.sql.functions.{concat_ws, when}
+      val viol = keyAgg.get
         .filter(col("__graft_c") > 1 || col("__graft_pn") === 1)
         .agg(
           org.apache.spark.sql.functions.max(col("__graft_pn")).as("anyNull"),
@@ -4532,6 +4578,7 @@ object TxLog {
       require(viol.isNullAt(1),
         s"TxLog.mergeInto: duplicate update rows for key " +
           s"(${keys.mkString(",")})=(${if (viol.isNullAt(1)) "" else viol.getString(1)})")
+    }
     }
     // only the incoming side needs vetting: untouched rows passed at
     // their own commit, and a merge never changes them
@@ -4569,7 +4616,10 @@ object TxLog {
           boundedDistinct(updatesAligned, keys.head, 1024), byStats)
       }
     // ---- discovery stage 3: exact — which files HOLD a matched key ----
-    val updKeys = updatesAligned.select(keys.map(col): _*).distinct()
+    // the validated key aggregate already holds exactly the distinct
+    // keys (cached); only the preValidated lane still pays a distinct
+    val updKeys = keyAgg.map(_.select(keys.map(col): _*))
+      .getOrElse(updatesAligned.select(keys.map(col): _*).distinct())
     // declared merge-on-read covers the MERGE family too (Delta's
     // enableDeletionVectors contract)
     if (deletionVectors || dvDeclared(m)) {
@@ -4639,7 +4689,7 @@ object TxLog {
     // the file key is the _dv_key column, not input_file_name():
     // computed inside each single-source scan, it survives the DV
     // anti-join a deletion-vector-bearing snapshot adds to the plan
-    val hitUris: Array[String] =
+    val hitUris: Array[String] = trace(spark, "merge: hit-file discovery") {
       if (discoveryFiles.isEmpty) Array.empty
       else padNewCols(readFiles(spark, path, declared, discoveryFiles,
           m.colMap, m.dv, keepDvKey = true,
@@ -4647,6 +4697,7 @@ object TxLog {
         .select(keys.map(col) :+ col("_dv_key").as("_gf"): _*)
         .join(updKeys, keys, "left_semi")
         .select("_gf").distinct().collect().map(_.getString(0))
+    }
     val resolve = entryResolver(m.files)
     val hitFiles = hitUris.map(resolve).toSet
     // merge = rows of the hit files with updates applied (updates win),
@@ -4656,7 +4707,9 @@ object TxLog {
     // fused validation aggregate at the top of this verb
     val merged = graft.operators.Upsert.mergeByKey(
       hitRows, updatesAligned, keys, preValidated = true)
-    val newFiles = stageIn(toPhysical(merged, m.colMap), path, physPartCols(m), transformsOf(m))
+    val newFiles = trace(spark, "merge: rewrite+stageIn") {
+      stageIn(toPhysical(merged, m.colMap), path, physPartCols(m), transformsOf(m))
+    }
     // the read declaration is FILE-granular (mergeRebaseCheck): an
     // interleaved commit conflicts only when it touches what this
     // merge read/rewrites or adds files that may hold merged keys —
@@ -4676,11 +4729,17 @@ object TxLog {
         .unionByName(shaped(
           updatesAligned.join(matchedKeys, keys, "left_anti"), "insert"))
     })
-    commitRebase(spark, path, m, rewriteDirs = Set.empty,
-      newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
-      readSet = None, operation = "MERGE", removeFiles = hitFiles, txn = txn,
-      rebaseCheck = Some(mergeRebaseCheck(widened, keyBounds, sourceEmpty,
-        discoveryFiles.toSet, hitFiles, tz)), cdc = cdc)
+    trace(spark, "merge: commitRebase") {
+      commitRebase(spark, path, m, rewriteDirs = Set.empty,
+        newFiles = newFiles, schemaDdl = widened.toDDL, batchId = None,
+        readSet = None, operation = "MERGE", removeFiles = hitFiles, txn = txn,
+        rebaseCheck = Some(mergeRebaseCheck(widened, keyBounds, sourceEmpty,
+          discoveryFiles.toSet, hitFiles, tz)), cdc = cdc)
+    }
+    // every consumer of keyAgg (validation head, DV sidecar write, CDC
+    // capture, hit-file collects) has executed by commit time — both
+    // return paths release the cached key set through this finally
+    } finally keyAgg.foreach(_.unpersist(blocking = false))
   }
 
   /** One WHEN clause of [[mergeWhen]]. `condition` is a SQL boolean

@@ -208,6 +208,10 @@ object Probe {
     // per-JOB attribution inside one lifecycle verb: which Spark jobs
     // (and how much non-job driver time) a create/merge/delete pays
     import graft.storage.TxLog
+    spark.conf.set("graft.txlog.trace", "true")
+    // A/B: pass "ow" as an extra arg to test the optimized-write lane
+    if (args.contains("ow"))
+      spark.conf.set("graft.txlog.optimizedWrite", "true")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = new java.util.concurrent.CopyOnWriteArrayList[(Int, Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
