@@ -211,10 +211,15 @@ object Ivf {
     * the nprobe closest cells → exact cosine → top-k
     * (TakeOrderedAndProject — per-partition heaps, no global sort). */
   def query(spark: SparkSession, index: IvfIndex, queryVec: Array[Double],
-            k: Int = 10, nprobe: Int = 4, excludeId: Option[Long] = None): DataFrame = {
+            k: Int = 10, nprobe: Int = 4, excludeId: Option[Long] = None,
+            vectorsRel: Option[DataFrame] = None): DataFrame = {
     val probeCells = nearestCells(index, queryVec, nprobe)
     val qCol = array(queryVec.map(lit).toIndexedSeq: _*)
-    val cells = spark.read.parquet(s"${index.path}/vectors")
+    // `vectorsRel` lets a batch caller build the vectors relation ONCE:
+    // each spark.read.parquet costs a driver-side file listing + schema
+    // inference, which dominated the |Q|-query eval batch (guide §5)
+    val cells = vectorsRel
+      .getOrElse(spark.read.parquet(s"${index.path}/vectors"))
       .filter(col("cell").isin(probeCells.toIndexedSeq: _*))
     val scored = excludeId.fold(cells)(id => cells.filter(col("vec_id") =!= id))
       .select(
@@ -239,8 +244,12 @@ object Ivf {
     val qvecs = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // one vectors relation shared by every per-query branch (one file
+    // listing instead of |Q|)
+    val vectors = spark.read.parquet(s"${index.path}/vectors")
     queryIds.map { qid =>
-      query(spark, index, qvecs(qid), k, nprobe, excludeId = Some(qid))
+      query(spark, index, qvecs(qid), k, nprobe, excludeId = Some(qid),
+          vectorsRel = Some(vectors))
         .select(lit(qid).as("qid"), col("vec_id"), col("cosine"))
     }.reduce(_ unionAll _)
   }

@@ -303,11 +303,33 @@ object Pq {
     // against also survived AND (b) its marker says residual — an
     // artifact from the raw-encoding era (or a plain-PQ save) would
     // ADC-score residual LUTs against raw-space codes: silent garbage,
-    // not an error. Anything else refits and re-encodes.
-    val haveModel = new java.io.File(s"$path/pq_codebooks").exists() &&
-      haveIndex && savedEncoding(spark, path) == "residual"
+    // not an error. Anything else refits and re-encodes. One read of
+    // pq_codebooks answers both the marker check and the load (r19:
+    // savedEncoding + load each paid a separate parquet scan+collect
+    // on the warm path).
+    val loadedResidual: Option[PqModel] =
+      if (!haveIndex || !new java.io.File(s"$path/pq_codebooks").exists()) None
+      else {
+        val df = spark.read.parquet(s"$path/pq_codebooks")
+        if (!df.columns.contains("encoding")) None // pre-marker era: raw
+        else {
+          val rows = df.select("subspace", "code", "centroid", "encoding")
+            .collect()
+          if (rows.isEmpty || rows.head.getString(3) != "residual") None
+          else {
+            val trip = rows.map(r =>
+              (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+            val m0 = trip.map(_._1).max + 1
+            val ksub0 = trip.map(_._2).max + 1
+            val cb = Array.ofDim[Array[Double]](m0, ksub0)
+            trip.foreach { case (j, c, v) => cb(j)(c) = v }
+            Some(PqModel(m0, ksub0, cb(0)(0).length, cb.map(_.toArray)))
+          }
+        }
+      }
+    val haveModel = loadedResidual.isDefined
     val model =
-      if (haveModel) load(spark, path)
+      if (haveModel) loadedResidual.get
       else {
         val mm = fitResidual(spark, index, m, ksub)
         save(spark, mm, path, encoding = "residual"); mm
@@ -381,7 +403,9 @@ object Pq {
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, ivf: Ivf.IvfIndex,
                model: PqModel, queryVec: Array[Double], k: Int = 10,
                nprobe: Int = 8, shortlist: Int = 100,
-               excludeId: Option[Long] = None): DataFrame = {
+               excludeId: Option[Long] = None,
+               codesRel: Option[DataFrame] = None,
+               vectorsRel: Option[DataFrame] = None): DataFrame = {
     val probeCells = Ivf.nearestCells(ivf, queryVec, nprobe).toIndexedSeq
     val centroidOf = ivf.centroids.toMap
     // residual codes take a PER-CELL ADC table (the query's residual
@@ -390,8 +414,11 @@ object Pq {
     // its own cell partition of m-byte rows. Same broadcast-semi-join
     // shortlist shape as [[query]]: nulls (corrupt codes) sort last,
     // the re-rank joins a shortlist-sized frame instead of folding a
-    // shortlist-sized isin literal.
-    val allCodes = spark.read.parquet(s"${ivf.path}/codes")
+    // shortlist-sized isin literal. codesRel/vectorsRel let a batch
+    // caller pay the relation's file listing + schema inference once
+    // across |Q| queries (guide §5).
+    val allCodes = codesRel.getOrElse(
+      spark.read.parquet(s"${ivf.path}/codes"))
     val scored = probeCells.map { pc =>
       val codes0 = allCodes.filter(col("cell") === pc)
       val codes = excludeId.fold(codes0)(id => codes0.filter(col("vec_id") =!= id))
@@ -412,7 +439,8 @@ object Pq {
       .limit(shortlist)
       .select("vec_id")
     val qCol = array(queryVec.map(lit).toIndexedSeq: _*)
-    val reranked = spark.read.parquet(s"${ivf.path}/vectors")
+    val reranked = vectorsRel
+      .getOrElse(spark.read.parquet(s"${ivf.path}/vectors"))
       .filter(col("cell").isin(probeCells: _*))
       .join(broadcast(short), "vec_id")
       .select(col("vec_id"),
@@ -432,9 +460,15 @@ object Pq {
     val qvecs = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // codes and vectors relations built once for the whole batch: each
+    // spark.read.parquet pays a driver file listing + schema inference,
+    // and the batch used to pay it 2·|Q| times
+    val codes = spark.read.parquet(s"${ivf.path}/codes")
+    val vectors = spark.read.parquet(s"${ivf.path}/vectors")
     queryIds.map { qid =>
       ivfQuery(spark, ivf, model, qvecs(qid), k, nprobe, shortlist,
-        excludeId = Some(qid))
+        excludeId = Some(qid), codesRel = Some(codes),
+        vectorsRel = Some(vectors))
         .select(lit(qid).as("qid"), col("vec_id"), col("cosine"))
     }.reduce(_ unionAll _)
   }

@@ -263,8 +263,13 @@ object Similarity {
     * quality gate for tuning tables/planes (LSH) and nlist/nprobe
     * (IVF). A qid with no approx rows scores 0, not a dropped row. */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    // the approx side is ≤ k·|Q| rows (an eval batch, never a table):
+    // broadcast it so the join skips BOTH sides' (qid, vec_id) sort +
+    // exchange, and the exact side's existing qid partitioning (from
+    // its top-k) feeds the groupBy directly (guide §3.1/§2.4)
     exact.select(col("qid"), col("vec_id"))
-      .join(approx.select(col("qid"), col("vec_id")).withColumn("_hit", lit(1)),
+      .join(broadcast(
+          approx.select(col("qid"), col("vec_id")).withColumn("_hit", lit(1))),
         Seq("qid", "vec_id"), "left")
       .groupBy("qid")
       .agg((sum(coalesce(col("_hit"), lit(0))).cast("double") / count(lit(1)))

@@ -896,7 +896,12 @@ object PipelineQueries {
     import org.apache.spark.sql.functions.avg
     val w = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
+    // coalesce(1): the gate is ≤|Q| rows and the unpartitioned window
+    // needs AllTuples anyway — a one-partition narrow coalesce
+    // satisfies it (and the final sort) without the single-partition
+    // Exchange stage the bare window planned (guide §2.4)
     Similarity.recallAtK(exact, approx)
+      .coalesce(1)
       .select(col("qid"),
         (col("recall") >= lit(perQueryFloor)).as("per_query_ok"),
         (avg(col("recall")).over(w) >= lit(meanFloor)).as("mean_ok"))

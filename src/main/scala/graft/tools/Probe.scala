@@ -154,6 +154,30 @@ object Probe {
       }
     }
 
+    section("lsh") {
+      // sim_ann_lsh anatomy: construction (incl. eager corpusCount) vs
+      // Catalyst analysis+optimization vs execution — which layer eats
+      // the 2.4 s on a 2646-row corpus
+      for (i <- 1 to 2) {
+        var df: org.apache.spark.sql.DataFrame = null
+        time(s"lsh[$i]: construct (entries fn)") {
+          df = graft.queries.PipelineQueries.entries("sim_ann_lsh")(spark, d)
+        }
+        time(s"lsh[$i]: optimize (executedPlan)") {
+          df.queryExecution.executedPlan
+        }
+        time(s"lsh[$i]: execute (noop)")(noop(df))
+        var df2: org.apache.spark.sql.DataFrame = null
+        time(s"ivfpq[$i]: construct") {
+          df2 = graft.queries.PipelineQueries.entries("sim_ann_ivfpq")(spark, d)
+        }
+        time(s"ivfpq[$i]: optimize") {
+          df2.queryExecution.executedPlan
+        }
+        time(s"ivfpq[$i]: execute (noop)")(noop(df2))
+      }
+    }
+
     section("maf") {
     // --- q_maf_calc anatomy ---
     val withGeno = lineitem(spark, d).withColumn(
