@@ -32,17 +32,23 @@ object Assoc {
     * antecedent), lift = confidence / P(consequent). */
   def rules(baskets: DataFrame, basketCol: String, itemCol: String,
             minPairSupport: Long = 2L): DataFrame = {
-    val items = baskets
+    // eager cuts: `items` (the deduped basket rows) feeds the basket
+    // count, the item counts AND both sides of the pair self-join —
+    // lazily the corpus-wide distinct re-ran four times; `pairs` feeds
+    // both directions of the union. Each cut bounds its subtree to one
+    // execution (guide §5; items is the operator's working set, pairs
+    // is co-occurrence-sized).
+    val items = Checkpoints.cut(baskets
       .select(col(basketCol).as("_b"), col(itemCol).as("_i"))
-      .distinct()
+      .distinct())
     val nBaskets = items.agg(countDistinct(col("_b")).as("_nb"))
     val itemCounts = items.groupBy(col("_i")).agg(count(lit(1)).as("_c"))
-    val pairs = items.as("a")
+    val pairs = Checkpoints.cut(items.as("a")
       .join(items.as("b"),
         col("a._b") === col("b._b") && col("a._i") < col("b._i"))
       .groupBy(col("a._i").as("_x"), col("b._i").as("_y"))
       .agg(count(lit(1)).as("_cxy"))
-      .filter(col("_cxy") >= minPairSupport)
+      .filter(col("_cxy") >= minPairSupport))
     val directed = pairs
       .select(col("_x").as("antecedent"), col("_y").as("consequent"), col("_cxy"))
       .unionAll(pairs

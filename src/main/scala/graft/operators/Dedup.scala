@@ -830,10 +830,16 @@ object Dedup {
     // onto the argmin already computed
     // rounded at the source: the keeper election must tie-break on id
     // for equal scores, not on sub-ulp float noise in the dot product
-    val scored = assigned.join(broadcast(cents), "cell")
+    // r19: cut lineage here — `scored` feeds BOTH sides of the
+    // within-cell pair join, the label attach and the keeper election,
+    // so the lazy plan re-ran the scan + cell assignment + centroid
+    // score up to four times; the lazy cut materializes once (during
+    // components' first convergence aggregate) and every later branch
+    // reads the cached partitions (guide §5)
+    val scored = Checkpoints.cutLazy(assigned.join(broadcast(cents), "cell")
       .select(col("vec_id"), col("embedding"), col("cell"),
         round(Similarity.cosine(col("embedding"), col("centroid")), 6)
-          .as("centroid_cos"))
+          .as("centroid_cos")))
     // within-cell near-identical pairs: every column renamed per side,
     // so the self-join is unambiguous and stays an equi-join on cell
     val a = scored.select(col("cell").as("cell_a"),
@@ -1047,25 +1053,38 @@ object Dedup {
     require(k >= 2, s"Dedup.removeRepeatedSpans: k must be >= 2, got $k")
     val toks = docs.select(col(idCol), col(textCol),
       split(trim(col(textCol)), "\\s+").as("_toks"))
-    // 1. gram hash per window position (docs shorter than k emit none)
+    // 1. gram hash per window position (docs shorter than k emit none).
+    // PERSISTED for the duration of step 3's materialization: the gram
+    // explode feeds both the owners aggregate and the coverage join —
+    // lazily those were two full explode executions inside one plan
+    // (and the duplicated subtree tripled the plan size); the persist
+    // computes it once and the eager cut below releases it (guide §5;
+    // at corpus scale MEMORY_AND_DISK spills rather than OOMs, and the
+    // alternative is a second full explode+hash pass).
     val grams = toks
       .filter(size(col("_toks")) >= k)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, size(_toks) - $k), " +
           s"i -> xxhash64(concat_ws(' ', slice(_toks, i + 1, $k))))"))
         .as(Seq("_pos", "_gh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 2. duplicated grams + their keeper: min(id) != max(id) ⇔ the
     // window appears in ≥2 docs — one combinable aggregate
     val owners = grams.groupBy("_gh")
       .agg(min(col(idCol)).as("_keeper"), max(col(idCol)).as("_maxid"))
       .filter(col("_keeper") =!= col("_maxid"))
       .select(col("_gh"), col("_keeper"))
-    // 3. non-keeper occurrences fan out to their k covered positions
-    val covered = grams.join(owners, "_gh")
-      .filter(col(idCol) =!= col("_keeper"))
-      .select(col(idCol),
-        explode(expr(s"sequence(_pos, _pos + ${k - 1})")).as("_cut"))
-      .distinct()
+    // 3. non-keeper occurrences fan out to their k covered positions —
+    // CUT eagerly (duplicated-gram-sized): downstream reads it three
+    // ways (affected ids, the rebuild anti-join), and the cut bounds
+    // the whole gram machinery to one execution
+    val covered = try {
+      Checkpoints.cut(grams.join(owners, "_gh")
+        .filter(col(idCol) =!= col("_keeper"))
+        .select(col(idCol),
+          explode(expr(s"sequence(_pos, _pos + ${k - 1})")).as("_cut"))
+        .distinct())
+    } finally grams.unpersist(blocking = false)
     // 4. rebuild ONLY affected docs; everything else passes verbatim
     val affectedIds = covered.select(col(idCol)).distinct()
     val untouched = docs.join(affectedIds, Seq(idCol), "left_anti")

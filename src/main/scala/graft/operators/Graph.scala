@@ -220,22 +220,31 @@ object Graph {
     * counts are identical to the naive id-ordered enumeration an
     * oracle runs. */
   def triangles(edges: DataFrame): DataFrame = {
-    val und = edges
+    // eager cut: `und` feeds the degree count (twice, via the union)
+    // and the orientation join — without the cut the CALLER's edge
+    // derivation (often itself a join/aggregate) re-executes once per
+    // reference, ~5x here (guide §5; edge-sized state, the
+    // components-edges checkpoint precedent)
+    val und = Checkpoints.cut(edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .distinct())
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val lowerFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = und
+    // eager cut: the oriented edge list feeds all THREE sides of the
+    // wedge/closure joins — lazily that re-ran the canonicalize +
+    // degree joins three times and tripled the plan (the
+    // components-edges checkpoint precedent; edge-sized state)
+    val oriented = Checkpoints.cut(und
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
       .select(
         when(lowerFirst, col("u")).otherwise(col("v")).as("a"),
-        when(lowerFirst, col("v")).otherwise(col("u")).as("b"))
+        when(lowerFirst, col("v")).otherwise(col("u")).as("b")))
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))

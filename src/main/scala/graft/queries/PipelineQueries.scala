@@ -496,13 +496,16 @@ object PipelineQueries {
       val docs = documents(s, d)
       val toks = size(split(col("text"), " "))
       val withTok = docs.select(col("doc_id"), col("text"), toks.as("n_tokens"))
-      val gated = withTok
+      // eager cuts: `gated` feeds its own stage row, the dedup AND the
+      // dedup join-back (the quality pass re-ran 3x lazily); `deduped`
+      // feeds its stage row and the packer (guide §5)
+      val gated = graft.operators.Checkpoints.cut(withTok
         .join(TextOps.quality(docs).select("doc_id", "n_words"), "doc_id")
         .filter(col("n_words") >= 56)
-        .select("doc_id", "text", "n_tokens")
+        .select("doc_id", "text", "n_tokens"))
       val survivors = Dedup.exact(gated)
         .select(col("keep_id").as("doc_id"))
-      val deduped = gated.join(survivors, "doc_id")
+      val deduped = graft.operators.Checkpoints.cut(gated.join(survivors, "doc_id"))
       val packed = graft.operators.Packing.packSequences(
         deduped, col("n_tokens"), budget = 256)
       def stage(name: String, df: DataFrame) =

@@ -178,6 +178,24 @@ object Probe {
       }
     }
 
+    section("semantic") {
+      // dedup_semantic anatomy: KMeans fit vs disposition (assign +
+      // within-cell pairs + components + keeper election)
+      val emb = embeddings(spark, d)
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      for (i <- 1 to 2) {
+        time(s"semantic[$i]: corpus count")(emb.count())
+        val feat = emb.withColumn("features", array_to_vector(col("embedding")))
+        var model: org.apache.spark.ml.clustering.KMeansModel = null
+        time(s"semantic[$i]: kmeans fit (k=51, 10 iters)") {
+          model = new KMeans().setK(51).setSeed(42L).setMaxIter(10).fit(feat)
+        }
+        time(s"semantic[$i]: full dedup_semantic")(
+          noop(graft.queries.PipelineQueries.entries("dedup_semantic")(spark, d)))
+      }
+    }
+
     section("maf") {
     // --- q_maf_calc anatomy ---
     val withGeno = lineitem(spark, d).withColumn(

@@ -81,8 +81,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(reads.nonEmpty && reads.forall(_ ==
       Set("l_returnflag", "l_extendedprice")),
       s"scan must read exactly the 2 needed columns: $reads")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
-      s"med/mad stamps must broadcast:\n${p.take(4000)}")
+    // r19: the driver-resolved med/mad attach as LITERAL when-chains
+    // (Quantiles.litChain) — no join of any kind remains in the tally
+    // (stronger than the r17 "broadcast stamps" pin: the old plan paid
+    // a literal-frame parallelize + BroadcastExchange build per stamp)
+    assert(!p.contains("Join"),
+      s"med/mad stamps must be literal projections, not joins:\n${p.take(4000)}")
+    assert(pf.contains("CASE WHEN"),
+      s"med/mad literal when-chain stamps expected:\n${pf.take(4000)}")
   }
 
   test("dim joins broadcast instead of shuffling the fact side") {
