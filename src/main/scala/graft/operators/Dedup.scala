@@ -231,7 +231,11 @@ object Dedup {
                         corpusBands: DataFrame, shingleK: Int = 2,
                         minJaccard: Double = 0.5, bands: Int = 8,
                         rowsPerBand: Int = 4): DataFrame = {
-    val cands = incrementalCandidates(newDocs, corpusBands, shingleK, bands, rowsPerBand)
+    // eager cut: the candidate list (batch-bounded) feeds both the
+    // corpus-text semi-join and the verify join — lazily the batch
+    // banding + corpus-bands join executed twice (guide §5)
+    val cands = Checkpoints.cut(
+      incrementalCandidates(newDocs, corpusBands, shingleK, bands, rowsPerBand))
     val newSh = withShingles(newDocs, shingleK)
       .select(col("doc_id").as("new_id"), col("sh").as("sh_a"))
     val corpusCand = corpusDocs
@@ -249,7 +253,11 @@ object Dedup {
   }
 
   private def bandedPairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = explodeBands(sigs, bands, rowsPerBand)
+    // eager cut on the SIGNATURE frame (doc-sized: 32 ints/doc — never
+    // the shingle set, whose no-cache posture ngramJaccard documents):
+    // both sides of the bucket self-join descend from it, so lazily the
+    // whole shingle+minhash subtree executed twice (guide §5)
+    val banded = explodeBands(Checkpoints.cut(sigs), bands, rowsPerBand)
     banded.as("a")
       .join(
         banded.as("b"),
@@ -325,7 +333,10 @@ object Dedup {
     // chunk pair: cv_i concatenated above cv_j
     val pairKeys = for { i <- 0 until m; j <- i + 1 until m }
       yield shiftleft(chunk(i), widths(j)).cast("long") + chunk(j)
-    val fps = fingerprints.select("doc_id", "fp")
+    // eager cut: the fingerprint frame (doc-sized, 16 bytes/doc) feeds
+    // both sides of the chunk-pair self-join — lazily the 64-bit-vote
+    // aggregation upstream executed twice (guide §5)
+    val fps = Checkpoints.cut(fingerprints.select("doc_id", "fp"))
     val keyed = fps
       .withColumn("pks", array(pairKeys: _*))
       .select(col("doc_id"), col("fp"), posexplode(col("pks")).as(Seq("pi", "pk")))
@@ -719,8 +730,11 @@ object Dedup {
                         n: Long = -1L): DataFrame = {
     val p = if (planes > 0) planes
             else Similarity.planesFor(if (n > 0) n else Similarity.corpusCount(emb))
-    val banded = Similarity.withBuckets(emb, dim, tables, p)
-      .select(col("vec_id"), posexplode(col("bks")).as(Seq("t", "bucket")))
+    // eager cut before the explode: both sides of the bucket self-join
+    // descend from the banded frame — lazily the hyperplane banding
+    // expression evaluated twice over the corpus (guide §5)
+    val banded = Checkpoints.cut(Similarity.withBuckets(emb, dim, tables, p)
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("t", "bucket"))))
     // distinct FIRST: clustered corpora make the same pair collide in
     // several tables — dedup ids before paying for any cosine
     val pairs = banded.as("a")

@@ -192,7 +192,13 @@ object Similarity {
              tables: Int = 8, planes: Int = 0, n: Long = -1L): DataFrame = {
     val p = if (planes > 0) planes
             else planesFor(if (n > 0) n else corpusCount(emb))
-    val banded = withBuckets(emb, dim, tables, p)
+    // eager cut BEFORE the bucket explode: the banded frame feeds both
+    // the corpus side and the query-probe side — lazily the
+    // tables×planes hyperplane banding expression evaluated twice over
+    // the corpus (guide §5/§4; N rows of embedding + `tables` ints)
+    val bucketed = graft.operators.Checkpoints.cut(
+      withBuckets(emb, dim, tables, p))
+    val banded = bucketed
       .select(col("vec_id"), col("embedding"), posexplode(col("bks")).as(Seq("t", "bucket")))
     val qb = banded.filter(col("vec_id") === queryId)
       .select(col("t").as("qt"), col("bucket").as("qbucket"), col("embedding").as("q_emb"))
@@ -240,7 +246,11 @@ object Similarity {
                   n: Long = -1L): DataFrame = {
     val p = if (planes > 0) planes
             else planesFor(if (n > 0) n else corpusCount(emb))
-    val banded = withBuckets(emb, dim, tables, p)
+    // same pre-explode cut as [[annLsh]]: one banding evaluation
+    // shared by the corpus and query-probe sides
+    val bucketed = graft.operators.Checkpoints.cut(
+      withBuckets(emb, dim, tables, p))
+    val banded = bucketed
       .select(col("vec_id"), col("embedding"), posexplode(col("bks")).as(Seq("t", "bucket")))
     val qb = banded.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("t").as("qt"),
